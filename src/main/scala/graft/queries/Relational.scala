@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Headline relational queries over the TPC-H-ish testdata, written
+  * DataFrame-first so Catalyst plans them (pushdown, partial aggregation,
+  * broadcast joins for the small dimensions).
+  *
+  * Numeric policy for oracle parity: double-typed measures are cast to
+  * exact DECIMAL before SUM/AVG so the aggregate is associative — the
+  * result no longer depends on partition/merge order, which makes the
+  * value bit-identical between Spark (any parallelism) and single-threaded
+  * DuckDB. The final value is cast back to double on both sides.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double measure. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+  private def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 6))) / count(c)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-flavored pricing summary: single scan of lineitem, partial
+    // (map-side) aggregation then 2-key final agg — no join, one shuffle
+    // whose cardinality is the tiny group count. Scales linearly.
+    "q1_pricing_summary" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Join + group-by: orders (fact) joined to customer (dim). customer is
+    // small relative to orders at every SF → broadcast, no shuffle of the
+    // fact side for the join; the only shuffle is the final group-by.
+    "q3_segment_revenue" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // 5-way star join: all dimensions broadcast; lineitem never shuffles
+    // until the final 1-key aggregation.
+    "q5_nation_revenue" -> ((s, dir) => {
+      val region = Tables.load(s, dir, "region")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(cust),
+          ord("o_custkey") === cust("c_custkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Filter + projection: predicate and column pruning both reach the
+    // parquet scan (PushedFilters / 3-column ReadSchema).
+    "q_filter_project" -> ((s, dir) => {
+      Tables.load(s, dir, "part")
+        .filter(col("p_size") >= 30 && col("p_brand") === "Brand#23")
+        .select(col("p_partkey"), col("p_name"),
+          (col("p_retailprice") * lit(0.9)).as("discounted"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Global aggregate (no GROUP BY) — partial agg per partition then a
+    // single-row final combine; no full shuffle.
+    "q_global_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          davg(col("o_totalprice")).as("avg_price"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+    }),
+
+    // DISTINCT projection (shuffle on the distinct key set only).
+    "q_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment")).distinct()
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // CASE WHEN + conditional aggregation.
+    "q_case_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(lit(0))).as("finished_total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Window functions: top-2 orders per customer by price. Single shuffle
+    // on the partition key; rank prune immediately after.
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Left join + null handling: customers with their order counts,
+    // including customers with no orders.
+    "q_left_join" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Semi + anti joins (EXISTS / NOT EXISTS): no payload from the right
+    // side crosses the network, only the key set.
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders").select(col("o_custkey"))
+      val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+      val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+      withOrders.union(withoutOrders).orderBy(col("kind"))
+    }),
+
+    // Set ops: UNION / INTERSECT / EXCEPT (capability the reference lists
+    // as unsupported; free on Spark).
+    "q_set_ops" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val a = ord.filter(col("o_totalprice") > 100000).select(col("o_custkey"))
+      val b = ord.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .union(a.except(b).withColumn("op", lit("except")))
+        .orderBy(col("op"), col("o_custkey"))
+    }),
+
+    // Grouping sets via rollup — multi-level aggregate in one pass.
+    "q_rollup" -> ((s, dir) => {
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+      cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }),
+
+    // Correlated-style aggregation via self-join on a derived aggregate:
+    // customers whose account balance is above their nation's average.
+    "q_above_avg" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val natAvg = cust.groupBy(col("c_nationkey").as("nk"))
+        .agg(davg(col("c_acctbal")).as("nation_avg"))
+      cust.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nation_avg"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Theta (non-equi, range) join kept deliberately small on both sides:
+    // nation x region cross-style comparison. Range joins at scale need
+    // either a broadcast nested-loop (small side) or binning; here the
+    // small side broadcasts.
+    "q_theta_join" -> ((s, dir) => {
+      val n1 = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("a_key"), col("n_regionkey").as("a_region"))
+      val n2 = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("b_key"), col("n_regionkey").as("b_region"))
+      n1.join(broadcast(n2),
+          col("a_region") === col("b_region") && col("a_key") < col("b_key"))
+        .groupBy(col("a_region"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("a_region"))
+    }),
+
+    // Date/time functions over the events table.
+    "q_events_by_day" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) / COUNT(l_discount) AS DOUBLE) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_segment_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_filter_project" ->
+      """SELECT p_partkey, p_name, p_retailprice * 0.9 AS discounted
+        |FROM part WHERE p_size >= 30 AND p_brand = 'Brand#23'
+        |ORDER BY p_partkey""".stripMargin,
+    "q_global_agg" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) / COUNT(o_totalprice) AS DOUBLE) AS avg_price,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_case_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS finished_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "q_left_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY kind""".stripMargin,
+    "q_set_ops" ->
+      """SELECT o_custkey, 'intersect' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t1
+        |UNION ALL
+        |SELECT o_custkey, 'except' AS op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t2
+        |ORDER BY op, o_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_above_avg" ->
+      """SELECT c_nationkey, COUNT(*) AS n_above
+        |FROM customer
+        |JOIN (SELECT c_nationkey AS nk,
+        |        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) / COUNT(c_acctbal) AS DOUBLE) AS nation_avg
+        |      FROM customer GROUP BY c_nationkey) t ON c_nationkey = nk
+        |WHERE c_acctbal > nation_avg
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_theta_join" ->
+      """SELECT a.n_regionkey AS a_region, COUNT(*) AS n_pairs
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        |GROUP BY a.n_regionkey ORDER BY a_region""".stripMargin,
+    "q_events_by_day" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+  )
+}

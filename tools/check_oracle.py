@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+Reads each <out>/<name> parquet (Spark result) and compares row/schema/hash
+against DuckDB running oracle_sql.json on views over the sf parquet tables.
+Dev tool only — not part of the library.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(rows, cols):
+    # sort columns by name (driver contract), then sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchall()
+            gotcols = [d[0] for d in con.description]
+            exp = con.execute(sql).fetchall()
+            expcols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if sorted(gotcols) != sorted(expcols):
+            print(f"FAIL {name}: cols {sorted(gotcols)} != {sorted(expcols)}")
+            n_fail += 1; continue
+        g, e = norm(got, gotcols), norm(exp, expcols)
+        if g == e:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        else:
+            print(f"FAIL {name}: {len(g)} vs {len(e)} rows")
+            for a, b in list(zip(g, e))[:3]:
+                if a != b:
+                    print(f"  got {a}\n  exp {b}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
