@@ -1,0 +1,99 @@
+package graft.ast
+
+/** AST for the PostgreSQL-flavored dialect of the reference engine
+  * (node inventory: reference src/framequery/parser/ast.py:8-162, surveyed
+  * in SURVEY.md §2.0). Plain case classes — the compiler walks these and
+  * emits DataFrame transformations; there is no interpreter.
+  */
+sealed trait SqlNode
+
+// ---------------------------------------------------------------- expressions
+sealed trait Expr extends SqlNode
+
+/** Possibly-qualified column reference (`c1`, `t.c1`, `s.t.c1`). */
+final case class ColRef(parts: Seq[String]) extends Expr {
+  def sql: String = parts.mkString(".")
+}
+final case class IntLit(v: Long) extends Expr
+final case class FloatLit(v: Double) extends Expr
+final case class StringLit(v: String) extends Expr
+final case class BoolLit(v: Boolean) extends Expr
+case object NullLit extends Expr
+
+/** Binary operator; `op` is the lower-cased SQL token (`+`, `||`, `and`,
+  * `like`, `not like`, `in`, ...). */
+final case class BinaryOp(op: String, left: Expr, right: Expr) extends Expr
+final case class UnaryOp(op: String, operand: Expr) extends Expr
+
+/** Scalar function call. */
+final case class Call(func: String, args: Seq[Expr]) extends Expr
+
+/** Aggregate ("set function") call; `star` for count(*). */
+final case class CallSet(func: String, args: Seq[Expr], distinct: Boolean = false,
+    star: Boolean = false) extends Expr
+
+/** Window frame bound: None = unbounded, Some(0) = current row, Some(n) = n. */
+final case class FrameSpec(kind: String, start: Option[Long], end: Option[Long])
+
+/** `f(...) OVER ([PARTITION BY ...] [ORDER BY ...] [frame])` — parsed but
+  * dead in the reference (SURVEY §2.5); fully executable here. */
+final case class CallAnalytics(call: Expr, partitionBy: Seq[Expr],
+    orderBy: Seq[SortItem], frame: Option[FrameSpec] = None) extends Expr
+
+final case class CastExpr(e: Expr, to: String) extends Expr
+
+/** Searched CASE; the parser desugars simple CASE into searched form with
+  * `=` comparisons (reference parser/_parser.py:292-312 does the same). */
+final case class CaseExpr(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+
+/** `e IN (a, b, c)` / `e NOT IN (...)` — value-list membership. */
+final case class InList(e: Expr, values: Seq[Expr], negated: Boolean) extends Expr
+
+/** Scalar subquery `(select ...)` in expression position — extension. */
+final case class ScalarSubquery(select: Select) extends Expr
+/** `e IN (select ...)` / `EXISTS (select ...)` — extension. */
+final case class InSubquery(e: Expr, select: Select, negated: Boolean) extends Expr
+final case class ExistsSubquery(select: Select, negated: Boolean) extends Expr
+
+// ---------------------------------------------------------------- select bits
+sealed trait SelectItem extends SqlNode
+final case class ExprItem(e: Expr, alias: Option[String]) extends SelectItem
+/** `*` or `t.*` */
+final case class Wildcard(table: Option[String]) extends SelectItem
+
+final case class SortItem(e: Expr, asc: Boolean, nullsFirst: Option[Boolean] = None)
+
+// ------------------------------------------------------------------ relations
+sealed trait Relation extends SqlNode
+final case class TableRef(schema: Option[String], name: String,
+    alias: Option[String]) extends Relation
+final case class SubqueryRel(select: Select, alias: Option[String]) extends Relation
+final case class TableFunctionRel(func: String, args: Seq[Expr],
+    alias: Option[String], lateral: Boolean) extends Relation
+final case class JoinRel(how: String, left: Relation, right: Relation,
+    on: Option[Expr]) extends Relation
+
+// ----------------------------------------------------------------- statements
+sealed trait Statement extends SqlNode
+
+final case class Select(
+    cte: Seq[(String, Select)] = Nil,
+    distinct: Boolean = false,
+    items: Seq[SelectItem] = Nil,
+    from: Seq[Relation] = Nil,
+    where: Option[Expr] = None,
+    groupBy: Seq[Expr] = Nil,
+    having: Option[Expr] = None,
+    orderBy: Seq[SortItem] = Nil,
+    limit: Option[Long] = None,
+    offset: Option[Long] = None,
+    setOps: Seq[(String, Select)] = Nil // (union|union all|intersect|except, rhs)
+) extends Statement
+
+final case class CopyFrom(table: String, path: String,
+    options: Map[String, String]) extends Statement
+final case class CopyTo(table: String, path: String,
+    options: Map[String, String]) extends Statement
+final case class CreateTableAs(name: String, select: Select) extends Statement
+final case class DropTable(names: Seq[String]) extends Statement
+final case class ShowStmt(what: String) extends Statement

@@ -1,0 +1,504 @@
+package graft.compiler
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ast._
+import graft.functions.Registry
+
+final case class CompileException(msg: String) extends RuntimeException(msg)
+
+/** AST → DataFrame compiler.
+  *
+  * Plays the role of the reference's `execute_ast` + Model pair
+  * (reference src/framequery/executor/_executor.py:162-448 and
+  * _pandas.py) but emits a *declarative* Spark logical plan instead of
+  * eagerly executing operators: Catalyst then does predicate pushdown,
+  * column pruning, join selection (broadcast vs shuffle), partial
+  * aggregation and whole-stage codegen. None of the reference's
+  * hand-rolled physical machinery survives — the 3-phase aggregate split
+  * (_executor.py:451-519), the outer-theta-join rowid skeleton
+  * (_pandas.py:260-288) and the odd-even partition sort (_dask.py) are
+  * all native Spark operators here (SURVEY §4).
+  */
+final class Compiler(spark: SparkSession, registry: Registry,
+    tableFunctions: TableFunctions) {
+
+  /** Resolve-and-compile a full SELECT against a scope (name → DataFrame). */
+  def compileSelect(sel: Select, scope: Map[String, DataFrame]): DataFrame = {
+    // CTEs evaluate into a child scope (reference _executor.py:167-171)
+    val scope2 = sel.cte.foldLeft(scope) { case (sc, (name, sub)) =>
+      sc + (name -> compileSelect(sub, sc))
+    }
+    var df = compileCore(sel, scope2)
+
+    // set operations (extension; the reference lists them unsupported §2.7)
+    for ((op, rhsSel) <- sel.setOps) {
+      val rhs = compileCore(rhsSel, scope2)
+      df = op match {
+        case "union all" => df.union(rhs)
+        case "union" => df.union(rhs).distinct()
+        case "intersect" => df.intersect(rhs)
+        case "except" => df.except(rhs)
+      }
+    }
+    // ORDER BY over a set-op result may only reference output columns
+    if (sel.setOps.nonEmpty && sel.orderBy.nonEmpty) {
+      val names = df.columns.toSeq
+      df = df.orderBy(sel.orderBy.map { si =>
+        si.e match {
+          case IntLit(n) if n >= 1 && n <= names.length =>
+            sortCol(col(names((n - 1).toInt)), si)
+          case e => sortCol(compileExpr(e), si)
+        }
+      }: _*)
+    }
+    for (o <- sel.offset) df = df.offset(o.toInt)
+    for (l <- sel.limit) df = df.limit(l.toInt)
+    df
+  }
+
+  // ------------------------------------------------------------- core select
+  private def compileCore(sel: Select, scope: Map[String, DataFrame]): DataFrame = {
+    // FROM: left-fold comma items as cross joins; join chains inside
+    // (reference execute_from, _executor.py:336-368). WHERE conjuncts that
+    // span sides need no manual promotion — Catalyst pushes predicates
+    // into joins natively (PushPredicateThroughJoin).
+    var from: DataFrame = null
+    for (rel <- sel.from) {
+      from =
+        if (from == null) compileRelation(rel, scope)
+        else rel match {
+          case tf: TableFunctionRel if tf.lateral =>
+            tableFunctions.compileLateral(from, tf, this)
+          case _ => from.crossJoin(compileRelation(rel, scope))
+        }
+    }
+    if (from == null) from = spark.range(1).select() // dual (SURVEY §1.1)
+
+    for (w <- sel.where) from = applyWhere(from, w, scope)
+
+    val items = expandWildcards(sel.items, from)
+    val hasAgg = items.exists(i => containsAgg(itemExpr(i))) ||
+      sel.groupBy.nonEmpty || sel.having.exists(containsAgg)
+
+    if (!hasAgg) compileProjection(from, items, sel)
+    else compileAggregate(from, items, sel)
+  }
+
+  private def itemExpr(i: SelectItem): Expr = i match {
+    case ExprItem(e, _) => e
+    case Wildcard(_) => IntLit(0)
+  }
+
+  // -------------------------------------------------------------- wildcards
+  /** `*` and `t.*` become star ColRefs that Catalyst expands. */
+  private def expandWildcards(items: Seq[SelectItem], from: DataFrame): Seq[SelectItem] =
+    items.map {
+      case Wildcard(None) => ExprItem(ColRef(Seq("*")), None)
+      case Wildcard(Some(t)) => ExprItem(ColRef(Seq(t, "*")), None)
+      case other => other
+    }
+
+  private def isStar(i: SelectItem): Boolean = i match {
+    case ExprItem(ColRef(parts), None) => parts.last == "*"
+    case _ => false
+  }
+
+  /** output naming (reference auto-aliasing _util.py:173-213:
+    * explicit alias > source column name > function name > generated). */
+  private def outName(i: SelectItem, idx: Int): String = i match {
+    case ExprItem(_, Some(a)) => a
+    case ExprItem(ColRef(parts), None) => parts.last
+    case ExprItem(CallSet(fn, _, _, _), None) => fn
+    case ExprItem(CallAnalytics(CallSet(fn, _, _, _), _, _, _), None) => fn
+    case ExprItem(CallAnalytics(Call(fn, _), _, _, _), None) => fn
+    case ExprItem(Call(fn, _), None) => fn
+    case ExprItem(CastExpr(ColRef(parts), _), None) => parts.last
+    case _ => s"_col$idx"
+  }
+
+  // ------------------------------------------------------------- projection
+  private def compileProjection(from: DataFrame, items: Seq[SelectItem],
+      sel: Select): DataFrame = {
+    if (items.exists(isStar)) return compileStarProjection(from, items, sel)
+
+    val names = items.zipWithIndex.map { case (i, k) => outName(i, k) }
+    val compiled = items.zipWithIndex.map {
+      case (ExprItem(e, _), k) => compileExpr(e).as(s"__out$k")
+      case (Wildcard(_), _) => throw CompileException("unexpanded wildcard")
+    }
+
+    // ORDER BY resolution: ordinal / output name / arbitrary expression
+    // (expressions ride along as hidden projection columns — legal because
+    // non-output sort keys come from the same FROM frame)
+    val hidden = Seq.newBuilder[Column]
+    val specs: Seq[Column] =
+      if (sel.setOps.nonEmpty) Nil
+      else sel.orderBy.zipWithIndex.map { case (si, j) =>
+        si.e match {
+          case IntLit(n) if n >= 1 && n <= names.length =>
+            sortCol(col(s"__out${n - 1}"), si)
+          case ColRef(Seq(nm)) if names.contains(nm) =>
+            sortCol(col(s"__out${names.indexOf(nm)}"), si)
+          case e =>
+            hidden += compileExpr(e).as(s"__ord$j")
+            sortCol(col(s"__ord$j"), si)
+        }
+      }
+    val hiddenCols = hidden.result()
+
+    var df = from.select(compiled ++ hiddenCols: _*)
+    if (sel.distinct) {
+      if (hiddenCols.nonEmpty)
+        throw CompileException(
+          "for SELECT DISTINCT, ORDER BY expressions must appear in the select list")
+      df = df.distinct()
+    }
+    if (specs.nonEmpty) df = df.orderBy(specs: _*)
+    df.select(names.indices.map(k => col(s"__out$k")): _*).toDF(names: _*)
+  }
+
+  /** Projection containing `*` / `t.*` — column set is Catalyst-expanded,
+    * so output renaming is skipped and sorts compile against the result. */
+  private def compileStarProjection(from: DataFrame, items: Seq[SelectItem],
+      sel: Select): DataFrame = {
+    val cols = items.zipWithIndex.map {
+      case (i @ ExprItem(e, _), k) =>
+        val c = compileExpr(e)
+        if (isStar(i)) c else c.as(outName(i, k))
+      case (Wildcard(_), _) => throw CompileException("unexpanded wildcard")
+    }
+    var df = from.select(cols: _*)
+    if (sel.distinct) df = df.distinct()
+    if (sel.orderBy.nonEmpty && sel.setOps.isEmpty) {
+      val names = df.columns.toSeq
+      df = df.orderBy(sel.orderBy.map { si =>
+        si.e match {
+          case IntLit(n) if n >= 1 && n <= names.length =>
+            sortCol(col(names((n - 1).toInt)), si)
+          case e => sortCol(compileExpr(e), si)
+        }
+      }: _*)
+    }
+    df
+  }
+
+  // -------------------------------------------------------------- aggregate
+  private def compileAggregate(from: DataFrame, items: Seq[SelectItem],
+      sel: Select): DataFrame = {
+    val names = items.zipWithIndex.map { case (i, k) => outName(i, k) }
+    val itemsE: Seq[Expr] = items.map {
+      case ExprItem(e, _) => e
+      case Wildcard(_) => throw CompileException("wildcards cannot appear with aggregates")
+    }
+    val aliasMap: Map[String, Expr] = items.zipWithIndex.collect {
+      case (ExprItem(e, Some(a)), _) => a -> e
+    }.toMap
+
+    // normalize GROUP BY: ordinals, select-list aliases, expressions
+    // (reference normalize_group_by, _executor.py:258-306). Source columns
+    // shadow aliases, as in PG.
+    val fromCols = from.columns.toSet
+    val groupExprs: Seq[Expr] = sel.groupBy.map {
+      case IntLit(n) =>
+        if (n < 1 || n > itemsE.length)
+          throw CompileException(s"GROUP BY position $n is out of range")
+        itemsE((n - 1).toInt)
+      case ColRef(Seq(name)) if !fromCols.contains(name) && aliasMap.contains(name) =>
+        aliasMap(name)
+      case e => e
+    }
+    val groupCols = groupExprs.map(compileExpr)
+
+    // Each select item compiles to one Column; Catalyst validates that
+    // non-aggregate fragments are grouping expressions. This single step
+    // replaces the reference's pre-agg/agg/post-agg projection split.
+    val itemCols = itemsE.zipWithIndex.map { case (e, k) =>
+      compileExpr(e).as(s"__out$k")
+    }
+    val havingCol = sel.having.map(h => compileExpr(h).as("__having"))
+
+    // agg-context ORDER BY: output refs use the projection; anything else
+    // (e.g. `order by sum(x)` not in the list) becomes a hidden agg column
+    val extras = Seq.newBuilder[Column]
+    val specs: Seq[Column] =
+      if (sel.setOps.nonEmpty) Nil
+      else sel.orderBy.zipWithIndex.map { case (si, j) =>
+        si.e match {
+          case IntLit(n) if n >= 1 && n <= names.length =>
+            sortCol(col(s"__out${n - 1}"), si)
+          case ColRef(Seq(nm)) if names.contains(nm) =>
+            sortCol(col(s"__out${names.indexOf(nm)}"), si)
+          case e if itemsE.contains(e) =>
+            sortCol(col(s"__out${itemsE.indexOf(e)}"), si)
+          case e =>
+            extras += compileExpr(e).as(s"__ord$j")
+            sortCol(col(s"__ord$j"), si)
+        }
+      }
+
+    val aggExprs = itemCols ++ havingCol.toSeq ++ extras.result()
+    var df =
+      if (groupCols.isEmpty) from.groupBy().agg(aggExprs.head, aggExprs.tail: _*)
+      else from.groupBy(groupCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+
+    if (havingCol.isDefined) df = df.filter(col("__having"))
+    if (sel.distinct) df = df.dropDuplicates(names.indices.map(k => s"__out$k"))
+    if (specs.nonEmpty) df = df.orderBy(specs: _*)
+    df.select(names.indices.map(k => col(s"__out$k")): _*).toDF(names: _*)
+  }
+
+  private def sortCol(c: Column, si: SortItem): Column =
+    si.nullsFirst match {
+      case Some(true) => if (si.asc) c.asc_nulls_first else c.desc_nulls_first
+      case Some(false) => if (si.asc) c.asc_nulls_last else c.desc_nulls_last
+      case None => if (si.asc) c.asc else c.desc
+    }
+
+  // ------------------------------------------------------------------ WHERE
+  /** Applies WHERE; lowers IN-subquery conjuncts to semi/anti joins —
+    * the Spark-native decorrelation (only the key set shuffles). */
+  private def applyWhere(from: DataFrame, w: Expr,
+      scope: Map[String, DataFrame]): DataFrame = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case BinaryOp("and", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    var df = from
+    val plain = Seq.newBuilder[Expr]
+    for (c <- conjuncts(w)) c match {
+      case InSubquery(e, sub, negated) =>
+        val rhs0 = compileSelect(sub, scope)
+        if (rhs0.columns.length != 1)
+          throw CompileException("IN (subquery) must return exactly one column")
+        val rhs = rhs0.toDF("__in_key") // unique name avoids ambiguity
+        val how = if (negated) "left_anti" else "left_semi"
+        // NOTE: NOT IN with NULLs in the subquery is anti-join semantics
+        // here (documented divergence from SQL's three-valued NOT IN)
+        df = df.join(rhs, compileExpr(e) === col("__in_key"), how)
+      case ExistsSubquery(_, _) =>
+        throw CompileException(
+          "EXISTS subqueries are not supported; rewrite as IN or a join")
+      case other => plain += other
+    }
+    val rest = plain.result()
+    if (rest.isEmpty) df
+    else df.filter(rest.map(compileExpr).reduce(_ && _))
+  }
+
+  // -------------------------------------------------------------- relations
+  def compileRelation(rel: Relation, scope: Map[String, DataFrame]): DataFrame =
+    rel match {
+      case TableRef(_, name, alias) =>
+        val base = scope.getOrElse(name,
+          builtinTable(name).getOrElse(
+            throw CompileException(s"table '$name' not found in scope")))
+        base.alias(alias.getOrElse(name))
+      case SubqueryRel(sub, alias) =>
+        val a = alias.getOrElse(
+          throw CompileException("subqueries need to be named"))
+        compileSelect(sub, scope).alias(a)
+      case tf @ TableFunctionRel(_, _, _, lateral) =>
+        if (lateral)
+          throw CompileException("LATERAL requires a preceding FROM item")
+        else tableFunctions.compile(tf, this, scope)
+      case JoinRel(how, l, r, on) =>
+        val left = compileRelation(l, scope)
+        r match {
+          case tf: TableFunctionRel if tf.lateral =>
+            tableFunctions.compileLateral(left, tf, this)
+          case _ =>
+            val right = compileRelation(r, scope)
+            (how, on) match {
+              case ("cross", _) => left.crossJoin(right)
+              case (_, Some(cond)) => left.join(right, compileExpr(cond),
+                if (how == "full") "full_outer" else how)
+              case (_, None) => left.crossJoin(right)
+            }
+        }
+    }
+
+  /** Built-in catalog tables (reference _pandas.py:103-116). */
+  private def builtinTable(name: String): Option[DataFrame] = name match {
+    case "pg_namespace" =>
+      import spark.implicits._
+      Some(Seq(("public", 1, Option.empty[String]),
+        ("pg_catalog", 2, Option.empty[String]),
+        ("information_schema", 3, Option.empty[String]))
+        .toDF("nspname", "nspowner", "nspacl"))
+    case _ => None
+  }
+
+  // ------------------------------------------------------------ expressions
+  private def containsAgg(e: Expr): Boolean = e match {
+    case _: CallSet => true
+    case _: CallAnalytics => false // window calls are not group aggregates
+    case BinaryOp(_, l, r) => containsAgg(l) || containsAgg(r)
+    case UnaryOp(_, x) => containsAgg(x)
+    case Call(_, args) => args.exists(containsAgg)
+    case CastExpr(x, _) => containsAgg(x)
+    case CaseExpr(bs, o) =>
+      bs.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
+        o.exists(containsAgg)
+    case InList(x, vs, _) => containsAgg(x) || vs.exists(containsAgg)
+    case _ => false
+  }
+
+  private def quoted(parts: Seq[String]): String =
+    parts.map(p => if (p == "*") p else s"`$p`").mkString(".")
+
+  /** When true, column refs compile as lateral outer references (used for
+    * the correlated arguments of LATERAL table functions). */
+  private var markOuter = false
+
+  /** Compile an expression whose column refs resolve against the LEFT side
+    * of a lateral join (Spark 4 `Column.outer()`). */
+  def compileExprOuter(e: Expr): Column = {
+    markOuter = true
+    try compileExpr(e) finally markOuter = false
+  }
+
+  def compileExpr(e: Expr): Column = e match {
+    case ColRef(parts) =>
+      // schema.table.col → table.col (schemas are a single flat namespace,
+      // like the reference's normalize_col_ref, _util.py:84-117)
+      val eff = if (parts.length > 2) parts.takeRight(2) else parts
+      val c = col(quoted(eff))
+      if (markOuter) c.outer() else c
+    case IntLit(v) => lit(v)
+    case FloatLit(v) => lit(v)
+    case StringLit(v) => lit(v)
+    case BoolLit(v) => lit(v)
+    case NullLit => lit(null)
+
+    case BinaryOp(op, l, r) =>
+      val (cl, cr) = (compileExpr(l), compileExpr(r))
+      op match {
+        case "+" => cl + cr
+        case "-" => cl - cr
+        case "*" => cl * cr
+        case "/" => cl / cr
+        case "%" => cl % cr
+        case "^" => pow(cl, cr) // POWER in this dialect, not XOR (§2.9)
+        case "||" => concat(cl.cast("string"), cr.cast("string"))
+        case "&" => cl.bitwiseAND(cr)
+        case "|" => cl.bitwiseOR(cr)
+        case "#" => cl.bitwiseXOR(cr)
+        case "<<" => call_function("shiftleft", cl, cr)
+        case ">>" => call_function("shiftright", cl, cr)
+        case "=" => cl === cr
+        case "!=" => cl =!= cr
+        case "<=>" => cl <=> cr
+        case "<" => cl < cr
+        case ">" => cl > cr
+        case "<=" => cl <= cr
+        case ">=" => cl >= cr
+        case "and" => cl && cr
+        case "or" => cl || cr
+        case "like" => call_function("like", cl, cr)
+        case "not like" => !call_function("like", cl, cr)
+        case "ilike" => call_function("ilike", cl, cr)
+        case "not ilike" => !call_function("ilike", cl, cr)
+        case other => throw CompileException(s"unsupported operator '$other'")
+      }
+
+    case UnaryOp(op, x) =>
+      val cx = compileExpr(x)
+      op match {
+        case "-" => negate(cx)
+        case "not" => !cx
+        case "~" => bitwise_not(cx)
+        case "is null" => cx.isNull
+        case "is not null" => cx.isNotNull
+        case other => throw CompileException(s"unsupported unary '$other'")
+      }
+
+    case CastExpr(x, ty) => compileCast(compileExpr(x), ty)
+
+    case CaseExpr(branches, otherwise) =>
+      val whens = branches.foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(compileExpr(c), compileExpr(v)))
+        case (Some(acc), (c, v)) => Some(acc.when(compileExpr(c), compileExpr(v)))
+      }.getOrElse(throw CompileException("CASE needs at least one WHEN"))
+      otherwise match {
+        case Some(o) => whens.otherwise(compileExpr(o))
+        case None => whens
+      }
+
+    case InList(x, vs, negated) =>
+      val cx = compileExpr(x)
+      val in = vs.map(v => cx === compileExpr(v)).reduce(_ || _)
+      if (negated) !in else in
+
+    case Call("interval", Seq(StringLit(s))) => expr(s"INTERVAL '$s'")
+    case Call(fn, args) => registry(fn, args.map(compileExpr))
+
+    case cs: CallSet => compileAggCall(cs)
+
+    case CallAnalytics(base0, partitionBy, orderBy, frame) =>
+      val base = base0 match {
+        case cs: CallSet => compileAggCall(cs)
+        case Call(fn, args) => registry(fn, args.map(compileExpr))
+        case other => compileExpr(other)
+      }
+      var w = Window.partitionBy(partitionBy.map(compileExpr): _*)
+      if (orderBy.nonEmpty)
+        w = w.orderBy(orderBy.map(si => sortCol(compileExpr(si.e), si)): _*)
+      for (f <- frame) {
+        def b(v: Option[Long], start: Boolean): Long = v match {
+          case None => if (start) Window.unboundedPreceding else Window.unboundedFollowing
+          case Some(x) => x
+        }
+        w = if (f.kind == "rows") w.rowsBetween(b(f.start, start = true), b(f.end, start = false))
+        else w.rangeBetween(b(f.start, start = true), b(f.end, start = false))
+      }
+      base.over(w)
+
+    case ScalarSubquery(_) =>
+      throw CompileException("scalar subqueries in expressions are not supported")
+    case InSubquery(_, _, _) | ExistsSubquery(_, _) =>
+      throw CompileException(
+        "IN/EXISTS subqueries are only supported as top-level WHERE conjuncts")
+  }
+
+  private def compileAggCall(cs: CallSet): Column = cs match {
+    case CallSet("count", _, _, true) => count(lit(1))
+    case CallSet(fn, _, _, true) =>
+      throw CompileException(s"$fn(*) is not supported")
+    case CallSet("count", args, true, _) =>
+      count_distinct(compileExpr(args.head), args.tail.map(compileExpr): _*)
+    case CallSet("sum", Seq(a), true, _) => sum_distinct(compileExpr(a))
+    case CallSet("avg", Seq(a), true, _) =>
+      sum_distinct(compileExpr(a)) / count_distinct(compileExpr(a))
+    case CallSet(fn, _, true, _) =>
+      throw CompileException(s"DISTINCT is not supported for $fn")
+    case CallSet(fn, args, false, _) =>
+      val mapped = fn match {
+        case "every" => "bool_and"
+        case "collect" => "collect_list"
+        case "stddev" => "stddev_samp"
+        case "variance" => "var_samp"
+        case other => other
+      }
+      call_function(mapped, args.map(compileExpr): _*)
+  }
+
+  private def compileCast(c: Column, ty: String): Column = {
+    val base = ty.takeWhile(_ != '(')
+    base match {
+      case "varchar" | "text" | "char" | "string" => c.cast("string")
+      case "json" => c.cast("string") // raw-text JSON representation (Json.scala)
+      case "int" | "integer" | "int4" => c.cast("int")
+      case "bigint" | "int8" => c.cast("long")
+      case "smallint" | "int2" => c.cast("short")
+      case "float" | "float8" | "double" => c.cast("double")
+      case "real" | "float4" => c.cast("float")
+      case "decimal" | "numeric" => c.cast(ty.replace("numeric", "decimal"))
+      case "boolean" | "bool" => c.cast("boolean")
+      case "date" => c.cast("date")
+      case "timestamp" => c.cast("timestamp")
+      case other => throw CompileException(s"unsupported cast target '$other'")
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft.exec
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ast._
+import graft.compiler.{Compiler, CompileException, TableFunctions}
+import graft.functions.Registry
+import graft.parser.Parser
+
+/** Persistent query session: mutable scope (name → DataFrame) + statement
+  * handlers. The Spark-native analog of the reference's `Executor`
+  * (reference src/framequery/executor/_executor.py:37-96): `update` adds
+  * frames, COPY/CREATE TABLE AS/DROP TABLE mutate the scope,
+  * `addFunction`/`addTableFunction`/`addLateralFunction` extend the
+  * registries, `withBasepath` rebinds the COPY base directory.
+  *
+  * Caller-frame scope capture (reference :123-128) has no JVM analog —
+  * the scope is always explicit (documented divergence, SURVEY §7.4).
+  */
+final class Executor(val spark: SparkSession,
+    initial: Map[String, DataFrame] = Map.empty) {
+
+  private var scope: Map[String, DataFrame] = initial
+  val registry = new Registry
+  val tableFunctions = new TableFunctions(spark)
+  private val compiler = new Compiler(spark, registry, tableFunctions)
+
+  def update(entries: (String, DataFrame)*): Unit =
+    scope ++= entries
+
+  def tableNames: Seq[String] = scope.keys.toSeq.sorted
+  def table(name: String): Option[DataFrame] = scope.get(name)
+
+  def addFunction(name: String, f: Seq[Column] => Column): Unit =
+    registry.register(name, f)
+  def addTableFunction(name: String, f: Seq[Any] => DataFrame): Unit =
+    tableFunctions.register(name, f)
+  def addLateralFunction(name: String,
+      f: (DataFrame, Seq[Column]) => DataFrame): Unit =
+    tableFunctions.registerLateral(name, f)
+
+  def basepath: String = tableFunctions.basepath
+  def withBasepath[A](p: String)(body: => A): A = {
+    val old = tableFunctions.basepath
+    tableFunctions.basepath = p
+    try body finally tableFunctions.basepath = old
+  }
+  def setBasepath(p: String): Unit = tableFunctions.basepath = p
+
+  /** Execute one statement. SELECT/SHOW return a DataFrame; DDL/COPY
+    * mutate the scope and return None. */
+  def execute(sql: String): Option[DataFrame] = Parser.parse(sql) match {
+    case s: Select => Some(compiler.compileSelect(s, scope))
+
+    case CopyFrom(table, path, options) =>
+      scope += (table -> tableFunctions.readCsv(
+        tableFunctions.resolvePath(path), options))
+      None
+
+    case CopyTo(table, path, options) =>
+      val df = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      writeSingleCsv(df, tableFunctions.resolvePath(path), options)
+      None
+
+    case CreateTableAs(name, query) =>
+      // lazy by design: the plan re-evaluates on use, like every Spark
+      // view. (The reference materializes eagerly; for re-read stability
+      // over mutating sources call .cache() on the stored frame.)
+      scope += (name -> compiler.compileSelect(query, scope))
+      None
+
+    case DropTable(names) =>
+      scope --= names
+      None
+
+    case ShowStmt(what) =>
+      // config stubs (reference _executor.py:403-414)
+      val value = what match {
+        case "transaction isolation level" => "read only"
+        case "standard_conforming_strings" => "on"
+        case other => ""
+      }
+      import spark.implicits._
+      Some(Seq(value).toDF(what.replace(' ', '_')))
+  }
+
+  /** SELECT-only entry; throws on statements. */
+  def query(sql: String): DataFrame =
+    execute(sql).getOrElse(
+      throw CompileException("statement did not produce a result set"))
+
+  /** Single-file CSV for reference parity (reference COPY TO writes one
+    * file with header, _pandas.py:205-220). Spark writes a part-file per
+    * partition; we coalesce(1) and move the part into place. On a real
+    * cluster prefer `df.write.csv(dir)` — directory output, no single-node
+    * bottleneck; this path exists for API/test parity at reference scale. */
+  private def writeSingleCsv(df: DataFrame, path: String,
+      options: Map[String, String]): Unit = {
+    val tmp = Files.createTempDirectory("graft_copyto").toString + "/out"
+    var w = df.coalesce(1).write.option("header", "true")
+    for ((k, v) <- options) k match {
+      case "delimiter" | "sep" => w = w.option("sep", v)
+      case "header" => w = w.option("header", v)
+      case "format" => ()
+      case other => w = w.option(other, v)
+    }
+    w.csv(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .find(p => p.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException("no csv part written"))
+    Files.move(Paths.get(part), Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+object Executor {
+  /** One-shot convenience ≅ reference `fq.execute(q, scope=...)`. */
+  def execute(sql: String, scope: Map[String, DataFrame],
+      spark: SparkSession): DataFrame =
+    new Executor(spark, scope).query(sql)
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** JSON support for `:: json` values and the json_each /
+  * json_array_elements table functions (reference util/_funcs.py:134-158).
+  *
+  * Representation decision (SURVEY §7.4): JSON values travel as their raw
+  * JSON text in StringType columns — schema-free like the reference's
+  * dtype=object Python values — except that top-level strings are
+  * unquoted, matching the reference where `json.loads` yields a bare
+  * Python str. Jackson ships inside /opt/spark/jars (Spark's own
+  * dependency), so no extra library is introduced.
+  */
+/** One (key, value) pair of a JSON object — named fields so `inline()`
+  * yields `key`/`value` columns directly (PG json_each row shape). */
+final case class JsonKV(key: String, value: String)
+
+object Json {
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def render(n: JsonNode): String =
+    if (n.isTextual) n.asText() else mapper.writeValueAsString(n)
+
+  /** object text → ordered (key, value-text) pairs */
+  def parseObject(s: String): Seq[(String, String)] = {
+    if (s == null) return Seq.empty
+    val node = mapper.readTree(s)
+    node.properties().asScala.toSeq.map(e => (e.getKey, render(e.getValue)))
+  }
+
+  /** array text → element-text list */
+  def parseArray(s: String): Seq[String] = {
+    if (s == null) return Seq.empty
+    val node = mapper.readTree(s)
+    node.elements().asScala.toSeq.map(render)
+  }
+
+  /** json_each(col): array<struct<key,value>> for inline/explode */
+  val jsonEachUdf = udf((s: String) => parseObject(s).map { case (k, v) => JsonKV(k, v) })
+  /** json_array_elements(col): array<string> for explode */
+  val jsonArrayUdf = udf((s: String) => parseArray(s))
+
+  /** scalar: extract a field from a JSON object column (extension) */
+  val jsonGetUdf = udf((s: String, field: String) => {
+    if (s == null) null
+    else {
+      val n = mapper.readTree(s).get(field)
+      if (n == null) null else render(n)
+    }
+  })
+
+  def jsonEach(c: Column): Column = explode(jsonEachUdf(c))
+  def jsonArrayElements(c: Column): Column = explode(jsonArrayUdf(c))
+}

@@ -1,0 +1,751 @@
+package graft.parser
+
+import graft.ast._
+import Tokenizer._
+
+/** Recursive-descent parser for the PG-flavored dialect.
+  *
+  * Grammar follows the reference's combinator grammar (reference
+  * src/framequery/parser/_parser.py:234-565; precedence chain surveyed in
+  * SURVEY.md §2.9) with the deliberate extensions SURVEY §7.2 lists:
+  * HAVING, window frames, set operations, IN value-lists, BETWEEN,
+  * EXISTS/IN subqueries, FULL/CROSS join keywords.
+  */
+final class Parser(tokens: Vector[Token]) {
+  private var pos = 0
+
+  private def peek: Option[Token] = if (pos < tokens.length) Some(tokens(pos)) else None
+  private def peekAt(k: Int): Option[Token] =
+    if (pos + k < tokens.length) Some(tokens(pos + k)) else None
+  private def next(): Token = {
+    val t = tokens(pos); pos += 1; t
+  }
+  private def fail(msg: String): Nothing = {
+    val ctx = tokens.slice(math.max(0, pos - 2), pos + 3).map(_.value).mkString(" ")
+    throw new ParseException(s"$msg near '$ctx' (token ${pos})")
+  }
+  private def isKw(t: Token, kw: String): Boolean =
+    t.kind == TIdent && t.lower == kw
+  private def peekKw(kw: String): Boolean = peek.exists(isKw(_, kw))
+  private def peekKwAt(k: Int, kw: String): Boolean = peekAt(k).exists(isKw(_, kw))
+  private def acceptKw(kw: String): Boolean =
+    if (peekKw(kw)) { pos += 1; true } else false
+  private def expectKw(kw: String): Unit =
+    if (!acceptKw(kw)) fail(s"expected '$kw'")
+  private def peekOp(op: String): Boolean =
+    peek.exists(t => t.kind == TOp && t.value == op)
+  private def acceptOp(op: String): Boolean =
+    if (peekOp(op)) { pos += 1; true } else false
+  private def expectOp(op: String): Unit =
+    if (!acceptOp(op)) fail(s"expected '$op'")
+
+  private val reserved = Set(
+    "select", "from", "where", "group", "having", "order", "limit", "offset",
+    "join", "inner", "left", "right", "full", "outer", "cross", "on", "as",
+    "and", "or", "not", "in", "like", "between", "is", "null", "true", "false",
+    "case", "when", "then", "else", "end", "cast", "distinct", "all", "union",
+    "intersect", "except", "by", "asc", "desc", "with", "lateral", "exists",
+    "copy", "create", "drop", "show", "using", "nulls")
+
+  private val aggFunctions = Set(
+    "avg", "max", "min", "sum", "count", "every", "any_value",
+    "stddev_pop", "stddev_samp", "stddev", "var_pop", "var_samp", "variance",
+    "bool_and", "bool_or", "collect", "collect_list", "collect_set",
+    "first_value_agg", "median", "mode", "corr", "covar_pop", "covar_samp",
+    "approx_count_distinct", "string_agg", "array_agg")
+
+  private val windowOnlyFunctions = Set(
+    "row_number", "rank", "dense_rank", "percent_rank", "ntile", "cume_dist",
+    "lag", "lead", "first_value", "last_value", "nth_value")
+
+  // ------------------------------------------------------------- entry points
+  def parseStatement(): Statement = {
+    val stmt =
+      if (peekKw("copy")) parseCopy()
+      else if (peekKw("drop")) parseDrop()
+      else if (peekKw("create")) parseCreate()
+      else if (peekKw("show")) parseShow()
+      else parseSelect()
+    acceptOp(";")
+    if (pos < tokens.length) fail("trailing tokens")
+    stmt
+  }
+
+  // ------------------------------------------------------------- statements
+  private def parseIdent(): String = peek match {
+    case Some(t) if t.kind == TQuotedIdent => next(); t.value
+    case Some(t) if t.kind == TIdent && !reserved(t.lower) => next(); t.value
+    case _ => fail("expected identifier")
+  }
+
+  private def parseCopy(): Statement = {
+    expectKw("copy")
+    val table = parseIdent()
+    val isFrom =
+      if (acceptKw("from")) true
+      else if (acceptKw("to")) false
+      else fail("expected FROM or TO")
+    val path = peek match {
+      case Some(t) if t.kind == TString => next(); t.value
+      case _ => fail("expected path string")
+    }
+    var options = Map.empty[String, String]
+    if (acceptKw("with")) {
+      var done = false
+      while (!done) {
+        val name = parseIdent().toLowerCase
+        val value = peek match {
+          case Some(t) if t.kind == TString => next(); t.value
+          case Some(t) if t.kind == TIdent => next(); t.value
+          case _ => fail("expected option value")
+        }
+        options += (name -> value)
+        done = !acceptOp(",")
+      }
+    }
+    if (isFrom) CopyFrom(table, path, options) else CopyTo(table, path, options)
+  }
+
+  private def parseDrop(): Statement = {
+    expectKw("drop"); expectKw("table")
+    var names = Seq(parseIdent())
+    while (acceptOp(",")) names :+= parseIdent()
+    DropTable(names)
+  }
+
+  private def parseCreate(): Statement = {
+    expectKw("create"); expectKw("table")
+    val name = parseIdent()
+    expectKw("as")
+    CreateTableAs(name, parseSelect())
+  }
+
+  private def parseShow(): Statement = {
+    expectKw("show")
+    val rest = new StringBuilder
+    while (pos < tokens.length && !peekOp(";")) {
+      if (rest.nonEmpty) rest.append(' ')
+      rest.append(next().lower)
+    }
+    ShowStmt(rest.toString)
+  }
+
+  // ----------------------------------------------------------------- select
+  def parseSelect(): Select = {
+    val cte =
+      if (acceptKw("with")) {
+        var entries = Seq.empty[(String, Select)]
+        var done = false
+        while (!done) {
+          val name = parseIdent()
+          expectKw("as"); expectOp("(")
+          val sub = parseSelect()
+          expectOp(")")
+          entries :+= (name -> sub)
+          done = !acceptOp(",")
+        }
+        entries
+      } else Nil
+
+    var sel = parseCoreSelect().copy(cte = cte)
+
+    // set operations chain
+    var setOps = Seq.empty[(String, Select)]
+    var going = true
+    while (going) {
+      if (acceptKw("union")) {
+        val op = if (acceptKw("all")) "union all" else "union"
+        setOps :+= (op -> parseCoreSelect())
+      } else if (acceptKw("intersect")) setOps :+= ("intersect" -> parseCoreSelect())
+      else if (acceptKw("except")) setOps :+= ("except" -> parseCoreSelect())
+      else going = false
+    }
+    if (setOps.nonEmpty) sel = sel.copy(setOps = setOps)
+
+    // trailing order/limit/offset apply to the full (set-op) result
+    val ob = parseOrderByOpt()
+    if (ob.nonEmpty) sel = sel.copy(orderBy = ob)
+    parseLimitOffset() match {
+      case (l, o) =>
+        if (l.isDefined) sel = sel.copy(limit = l)
+        if (o.isDefined) sel = sel.copy(offset = o)
+    }
+    sel
+  }
+
+  private def parseCoreSelect(): Select = {
+    expectKw("select")
+    val distinct = acceptKw("distinct") || { acceptKw("all"); false }
+    var items = Seq(parseSelectItem())
+    while (acceptOp(",")) items :+= parseSelectItem()
+
+    val from =
+      if (acceptKw("from")) {
+        var rels = Seq(parseJoinChain())
+        while (acceptOp(",")) rels :+= parseJoinChain()
+        rels
+      } else Nil
+
+    val where = if (acceptKw("where")) Some(parseExpr()) else None
+
+    val groupBy =
+      if (peekKw("group")) {
+        expectKw("group"); expectKw("by")
+        var es = Seq(parseExpr())
+        while (acceptOp(",")) es :+= parseExpr()
+        es
+      } else Nil
+
+    val having = if (acceptKw("having")) Some(parseExpr()) else None
+    Select(distinct = distinct, items = items, from = from, where = where,
+      groupBy = groupBy, having = having)
+  }
+
+  private def parseOrderByOpt(): Seq[SortItem] =
+    if (peekKw("order")) {
+      expectKw("order"); expectKw("by")
+      var is = Seq(parseSortItem())
+      while (acceptOp(",")) is :+= parseSortItem()
+      is
+    } else Nil
+
+  private def parseSortItem(): SortItem = {
+    val e = parseExpr()
+    val asc =
+      if (acceptKw("desc")) false
+      else { acceptKw("asc"); true } // SQL-standard default ASC (SURVEY §2.6 decision)
+    val nf =
+      if (acceptKw("nulls")) {
+        if (acceptKw("first")) Some(true)
+        else { expectKw("last"); Some(false) }
+      } else None
+    SortItem(e, asc, nf)
+  }
+
+  private def parseLimitOffset(): (Option[Long], Option[Long]) = {
+    var limit: Option[Long] = None
+    var offset: Option[Long] = None
+    // PG allows LIMIT/OFFSET in either order; reference grammar is limit-first
+    var going = true
+    while (going) {
+      if (peekKw("limit")) {
+        expectKw("limit")
+        if (acceptKw("all")) limit = None
+        else limit = Some(parseNonNegInt())
+      } else if (peekKw("offset")) {
+        expectKw("offset")
+        offset = Some(parseNonNegInt())
+      } else going = false
+    }
+    (limit, offset)
+  }
+
+  private def parseNonNegInt(): Long = peek match {
+    case Some(t) if t.kind == TInt => next(); t.value.toLong
+    case _ => fail("expected integer")
+  }
+
+  private def parseSelectItem(): SelectItem = {
+    if (peekOp("*")) { next(); return Wildcard(None) }
+    // qualified wildcard: name(.name)*.*
+    if (peek.exists(t => t.kind == TIdent || t.kind == TQuotedIdent)) {
+      val save = pos
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      var ok = !reserved(tokens(pos).lower) || tokens(pos).kind == TQuotedIdent
+      if (ok) {
+        parts += next().value
+        var going = true
+        while (going && peekOp(".")) {
+          if (peekAt(1).exists(t => t.kind == TOp && t.value == "*")) {
+            next(); next()
+            return Wildcard(Some(parts.mkString(".")))
+          } else if (peekAt(1).exists(t => t.kind == TIdent || t.kind == TQuotedIdent)) {
+            next(); parts += next().value
+          } else going = false
+        }
+      }
+      pos = save
+    }
+    val e = parseExpr()
+    val alias =
+      if (acceptKw("as")) Some(parseIdent())
+      else peek match {
+        case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+          next(); Some(t.value)
+        case _ => None
+      }
+    ExprItem(e, alias)
+  }
+
+  // ------------------------------------------------------------------- FROM
+  private def parseJoinChain(): Relation = {
+    var left = parseRelation()
+    var going = true
+    while (going) {
+      val save = pos
+      var how: Option[String] = None
+      if (acceptKw("join")) how = Some("inner")
+      else if (acceptKw("inner")) { expectKw("join"); how = Some("inner") }
+      else if (peekKw("left")) {
+        next(); acceptKw("outer"); expectKw("join"); how = Some("left")
+      } else if (peekKw("right")) {
+        next(); acceptKw("outer"); expectKw("join"); how = Some("right")
+      } else if (peekKw("full")) {
+        next(); acceptKw("outer"); expectKw("join"); how = Some("full")
+      } else if (peekKw("cross")) { next(); expectKw("join"); how = Some("cross") }
+      else if (peekKw("lateral")) {
+        // implicit lateral join inside a chain: `a, lateral f(x) as b` is
+        // handled at the comma level; `a join lateral ...` is non-standard
+        pos = save; going = false
+      }
+      how match {
+        case Some(h) =>
+          val right = parseRelation()
+          val on = if (h != "cross" && acceptKw("on")) Some(parseExpr()) else None
+          left = JoinRel(h, left, right, on)
+        case None => going = false
+      }
+    }
+    left
+  }
+
+  private def parseRelation(): Relation = {
+    val lateral = acceptKw("lateral")
+    if (peekOp("(")) {
+      next()
+      val sub = parseSelect()
+      expectOp(")")
+      acceptKw("as")
+      val alias = peek match {
+        case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+          next(); Some(t.value)
+        case _ => None
+      }
+      return SubqueryRel(sub, alias)
+    }
+    // table function? ident followed by '('
+    if (peek.exists(t => t.kind == TIdent && !reserved(t.lower)) &&
+        peekAt(1).exists(t => t.kind == TOp && t.value == "(")) {
+      val fn = next().lower
+      expectOp("(")
+      var args = Seq.empty[Expr]
+      if (!peekOp(")")) {
+        args :+= parseExpr()
+        while (acceptOp(",")) args :+= parseExpr()
+      }
+      expectOp(")")
+      acceptKw("as")
+      val alias = peek match {
+        case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+          next(); Some(t.value)
+        case _ => None
+      }
+      return TableFunctionRel(fn, args, alias, lateral)
+    }
+    // plain table ref, possibly schema-qualified
+    val first = parseIdent()
+    val (schema, name) =
+      if (peekOp(".") && peekAt(1).exists(t => t.kind == TIdent || t.kind == TQuotedIdent)) {
+        next(); (Some(first), next().value)
+      } else (None, first)
+    acceptKw("as")
+    val alias = peek match {
+      case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+        next(); Some(t.value)
+      case _ => None
+    }
+    TableRef(schema, name, alias)
+  }
+
+  // ------------------------------------------------------------ expressions
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var e = parseAnd()
+    while (acceptKw("or")) e = BinaryOp("or", e, parseAnd())
+    e
+  }
+
+  private def parseAnd(): Expr = {
+    var e = parseNot()
+    while (acceptKw("and")) e = BinaryOp("and", e, parseNot())
+    e
+  }
+
+  private def parseNot(): Expr =
+    if (acceptKw("not")) UnaryOp("not", parseNot())
+    else parsePredicate()
+
+  /** comparisons, LIKE, IN, BETWEEN, IS NULL */
+  private def parsePredicate(): Expr = {
+    var e = parseBitShift()
+    var going = true
+    while (going) {
+      if (peekOp("=") || peekOp("!=") || peekOp("<>") || peekOp("<") ||
+          peekOp(">") || peekOp("<=") || peekOp(">=")) {
+        val op = next().value
+        val norm = if (op == "<>") "!=" else op
+        e = BinaryOp(norm, e, parseBitShift())
+      } else if (peekKw("like")) {
+        next(); e = BinaryOp("like", e, parseBitShift())
+      } else if (peekKw("ilike")) {
+        next(); e = BinaryOp("ilike", e, parseBitShift())
+      } else if (peekKw("not") && peekKwAt(1, "like")) {
+        next(); next(); e = BinaryOp("not like", e, parseBitShift())
+      } else if (peekKw("not") && peekKwAt(1, "ilike")) {
+        next(); next(); e = BinaryOp("not ilike", e, parseBitShift())
+      } else if (peekKw("not") && peekKwAt(1, "in")) {
+        next(); next(); e = parseInTail(e, negated = true)
+      } else if (peekKw("not") && peekKwAt(1, "between")) {
+        next(); next(); e = parseBetweenTail(e, negated = true)
+      } else if (peekKw("in")) {
+        next(); e = parseInTail(e, negated = false)
+      } else if (peekKw("between")) {
+        next(); e = parseBetweenTail(e, negated = false)
+      } else if (peekKw("is")) {
+        next()
+        val neg = acceptKw("not")
+        if (acceptKw("null")) {
+          e = if (neg) UnaryOp("is not null", e) else UnaryOp("is null", e)
+        } else if (acceptKw("true")) {
+          val base = BinaryOp("<=>", e, BoolLit(true))
+          e = if (neg) UnaryOp("not", base) else base
+        } else if (acceptKw("false")) {
+          val base = BinaryOp("<=>", e, BoolLit(false))
+          e = if (neg) UnaryOp("not", base) else base
+        } else fail("expected NULL/TRUE/FALSE after IS")
+      } else going = false
+    }
+    e
+  }
+
+  private def parseInTail(e: Expr, negated: Boolean): Expr = {
+    expectOp("(")
+    if (peekKw("select") || peekKw("with")) {
+      val sub = parseSelect()
+      expectOp(")")
+      InSubquery(e, sub, negated)
+    } else {
+      var vs = Seq(parseExpr())
+      while (acceptOp(",")) vs :+= parseExpr()
+      expectOp(")")
+      InList(e, vs, negated)
+    }
+  }
+
+  private def parseBetweenTail(e: Expr, negated: Boolean): Expr = {
+    val lo = parseBitShift()
+    expectKw("and")
+    val hi = parseBitShift()
+    val in = BinaryOp("and", BinaryOp(">=", e, lo), BinaryOp("<=", e, hi))
+    if (negated) UnaryOp("not", in) else in
+  }
+
+  /** `# << >>` (xor / shifts) */
+  private def parseBitShift(): Expr = {
+    var e = parseAddSub()
+    var going = true
+    while (going) {
+      if (peekOp("#")) { next(); e = BinaryOp("#", e, parseAddSub()) }
+      else if (peekOp("<<")) { next(); e = BinaryOp("<<", e, parseAddSub()) }
+      else if (peekOp(">>")) { next(); e = BinaryOp(">>", e, parseAddSub()) }
+      else going = false
+    }
+    e
+  }
+
+  /** `+ - & |` (reference groups bitwise and/or with additive level) */
+  private def parseAddSub(): Expr = {
+    var e = parseConcat()
+    var going = true
+    while (going) {
+      if (peekOp("+")) { next(); e = BinaryOp("+", e, parseConcat()) }
+      else if (peekOp("-")) { next(); e = BinaryOp("-", e, parseConcat()) }
+      else if (peekOp("&")) { next(); e = BinaryOp("&", e, parseConcat()) }
+      else if (peekOp("|")) { next(); e = BinaryOp("|", e, parseConcat()) }
+      else going = false
+    }
+    e
+  }
+
+  private def parseConcat(): Expr = {
+    var e = parseMulDiv()
+    while (peekOp("||")) { next(); e = BinaryOp("||", e, parseMulDiv()) }
+    e
+  }
+
+  private def parseMulDiv(): Expr = {
+    var e = parsePow()
+    var going = true
+    while (going) {
+      if (peekOp("*")) { next(); e = BinaryOp("*", e, parsePow()) }
+      else if (peekOp("/")) { next(); e = BinaryOp("/", e, parsePow()) }
+      else if (peekOp("%")) { next(); e = BinaryOp("%", e, parsePow()) }
+      else going = false
+    }
+    e
+  }
+
+  /** `^` is POWER in this dialect (not XOR — SURVEY §2.9), right-assoc. */
+  private def parsePow(): Expr = {
+    val e = parseUnary()
+    if (peekOp("^")) { next(); BinaryOp("^", e, parsePow()) }
+    else e
+  }
+
+  private def parseUnary(): Expr =
+    if (acceptOp("-")) UnaryOp("-", parseUnary())
+    else if (acceptOp("+")) parseUnary()
+    else if (acceptOp("~")) UnaryOp("~", parseUnary())
+    else parseCastPostfix()
+
+  private def parseCastPostfix(): Expr = {
+    var e = parseAtom()
+    while (acceptOp("::")) e = CastExpr(e, parseTypeName())
+    e
+  }
+
+  private def parseTypeName(): String = {
+    val base = peek match {
+      case Some(t) if t.kind == TIdent => next(); t.lower
+      case _ => fail("expected type name")
+    }
+    val full = new StringBuilder(base)
+    // multi-word types: double precision
+    if (base == "double" && peekKw("precision")) { next(); full.clear(); full.append("double") }
+    if (acceptOp("(")) {
+      full.append('(').append(parseNonNegInt())
+      while (acceptOp(",")) full.append(',').append(parseNonNegInt())
+      expectOp(")")
+      full.append(')')
+    }
+    full.toString
+  }
+
+  private def parseAtom(): Expr = {
+    peek match {
+      case None => fail("unexpected end of input")
+      case Some(t) =>
+        t.kind match {
+          case TInt => next(); IntLit(t.value.toLong)
+          case TFloat => next(); FloatLit(t.value.toDouble)
+          case TString => next(); StringLit(t.value)
+          case TQuotedIdent => parseNameOrCall()
+          case TOp if t.value == "(" =>
+            next()
+            if (peekKw("select") || peekKw("with")) {
+              val sub = parseSelect()
+              expectOp(")")
+              ScalarSubquery(sub)
+            } else {
+              val e = parseExpr()
+              expectOp(")")
+              e
+            }
+          case TIdent =>
+            t.lower match {
+              case "null" => next(); NullLit
+              case "true" => next(); BoolLit(true)
+              case "false" => next(); BoolLit(false)
+              case "case" => parseCase()
+              case "cast" => parseCastCall()
+              case "exists" =>
+                next(); expectOp("(")
+                val sub = parseSelect()
+                expectOp(")")
+                ExistsSubquery(sub, negated = false)
+              case "trim" if peekAt(1).exists(x => x.kind == TOp && x.value == "(") =>
+                parseTrim()
+              case "position" if peekAt(1).exists(x => x.kind == TOp && x.value == "(") =>
+                parsePosition()
+              case "extract" if peekAt(1).exists(x => x.kind == TOp && x.value == "(") =>
+                parseExtract()
+              case "substring" if peekAt(1).exists(x => x.kind == TOp && x.value == "(") =>
+                parseSubstring()
+              case "interval" if peekAt(1).exists(_.kind == TString) =>
+                next(); val s = next().value
+                Call("interval", Seq(StringLit(s)))
+              case kw if reserved(kw) => fail(s"unexpected keyword '$kw'")
+              case _ => parseNameOrCall()
+            }
+          case _ => fail(s"unexpected token '${t.value}'")
+        }
+    }
+  }
+
+  private def parseNameOrCall(): Expr = {
+    val parts = scala.collection.mutable.ArrayBuffer[String](next().value)
+    while (peekOp(".") && peekAt(1).exists(t => t.kind == TIdent || t.kind == TQuotedIdent)) {
+      next(); parts += next().value
+    }
+    if (parts.length == 1 && peekOp("(")) {
+      val fn = parts.head.toLowerCase
+      next() // (
+      // count(*) — and `f(*)` generally parses as star-call
+      if (peekOp("*")) {
+        next(); expectOp(")")
+        val base = CallSet(fn, Nil, star = true)
+        return parseOverOpt(base)
+      }
+      val distinct = acceptKw("distinct")
+      var args = Seq.empty[Expr]
+      if (!peekOp(")")) {
+        args :+= parseExpr()
+        while (acceptOp(",")) args :+= parseExpr()
+      }
+      expectOp(")")
+      val isWindowNext = peekKw("over")
+      val base: Expr =
+        if (aggFunctions(fn) || fn == "count") CallSet(fn, args, distinct = distinct)
+        else if (windowOnlyFunctions(fn) && isWindowNext) Call(fn, args)
+        else if (distinct) fail(s"DISTINCT not supported for function $fn")
+        else Call(fn, args)
+      parseOverOpt(base)
+    } else ColRef(parts.toSeq)
+  }
+
+  private def parseOverOpt(base: Expr): Expr = {
+    if (!peekKw("over")) return base
+    next()
+    expectOp("(")
+    var partitionBy = Seq.empty[Expr]
+    if (peekKw("partition")) {
+      next(); expectKw("by")
+      partitionBy :+= parseExpr()
+      while (acceptOp(",")) partitionBy :+= parseExpr()
+    }
+    var orderBy = Seq.empty[SortItem]
+    if (peekKw("order")) {
+      next(); expectKw("by")
+      orderBy :+= parseSortItem()
+      while (acceptOp(",")) orderBy :+= parseSortItem()
+    }
+    var frame: Option[FrameSpec] = None
+    if (peekKw("rows") || peekKw("range")) {
+      val kind = next().lower
+      def bound(): Option[Long] = {
+        if (acceptKw("unbounded")) {
+          if (!acceptKw("preceding")) expectKw("following")
+          None
+        } else if (acceptKw("current")) { expectKw("row"); Some(0L) }
+        else {
+          val sign = peek match {
+            case Some(x) if x.kind == TInt => next().value.toLong
+            case _ => fail("expected frame bound")
+          }
+          if (acceptKw("preceding")) Some(-sign)
+          else { expectKw("following"); Some(sign) }
+        }
+      }
+      expectKw("between")
+      val s = bound()
+      expectKw("and")
+      val e = bound()
+      frame = Some(FrameSpec(kind, s, e))
+    }
+    expectOp(")")
+    CallAnalytics(base, partitionBy, orderBy, frame)
+  }
+
+  private def parseCase(): Expr = {
+    expectKw("case")
+    // simple CASE: operand before WHEN → desugar to searched with '='
+    val operand: Option[Expr] = if (!peekKw("when")) Some(parseExpr()) else None
+    var branches = Seq.empty[(Expr, Expr)]
+    while (acceptKw("when")) {
+      val cond0 = parseExpr()
+      val cond = operand match {
+        case Some(op) => BinaryOp("=", op, cond0)
+        case None => cond0
+      }
+      expectKw("then")
+      branches :+= (cond -> parseExpr())
+    }
+    val otherwise = if (acceptKw("else")) Some(parseExpr()) else None
+    expectKw("end")
+    CaseExpr(branches, otherwise)
+  }
+
+  private def parseCastCall(): Expr = {
+    expectKw("cast"); expectOp("(")
+    val e = parseExpr()
+    expectKw("as")
+    val ty = parseTypeName()
+    expectOp(")")
+    CastExpr(e, ty)
+  }
+
+  private def parseTrim(): Expr = {
+    expectKw("trim"); expectOp("(")
+    var mode = "both"
+    var sawMode = false
+    if (acceptKw("both")) { mode = "both"; sawMode = true }
+    else if (acceptKw("leading")) { mode = "leading"; sawMode = true }
+    else if (acceptKw("trailing")) { mode = "trailing"; sawMode = true }
+    val first = if (!peekKw("from")) Some(parseExpr()) else None
+    if (acceptKw("from")) {
+      val src = parseExpr()
+      expectOp(")")
+      Call(s"trim_$mode", Seq(first.getOrElse(StringLit(" ")), src))
+    } else {
+      // plain trim(s) [or trim(s, chars) extension]
+      if (sawMode) fail("expected FROM in trim()")
+      var args = Seq(first.getOrElse(fail("expected expression in trim()")))
+      while (acceptOp(",")) args :+= parseExpr()
+      expectOp(")")
+      if (args.length == 2) Call("trim_both", Seq(args(1), args(0)))
+      else Call("trim_both", Seq(StringLit(" "), args.head))
+    }
+  }
+
+  private def parsePosition(): Expr = {
+    expectKw("position"); expectOp("(")
+    val needle = parseBitShift() // stop before IN
+    expectKw("in")
+    val hay = parseExpr()
+    expectOp(")")
+    Call("position", Seq(needle, hay))
+  }
+
+  private def parseExtract(): Expr = {
+    expectKw("extract"); expectOp("(")
+    val field = peek match {
+      case Some(t) if t.kind == TIdent => next(); t.lower
+      case _ => fail("expected date field")
+    }
+    expectKw("from")
+    val e = parseExpr()
+    expectOp(")")
+    Call("extract", Seq(StringLit(field), e))
+  }
+
+  private def parseSubstring(): Expr = {
+    expectKw("substring"); expectOp("(")
+    val s = parseExpr()
+    if (acceptKw("from")) {
+      val start = parseExpr()
+      val len = if (acceptKw("for")) Some(parseExpr()) else None
+      expectOp(")")
+      Call("substring", Seq(s, start) ++ len)
+    } else {
+      var args = Seq(s)
+      while (acceptOp(",")) args :+= parseExpr()
+      expectOp(")")
+      Call("substring", args)
+    }
+  }
+}
+
+object Parser {
+  def parse(sql: String): Statement =
+    new Parser(Tokenizer.tokenize(sql)).parseStatement()
+  def parseQuery(sql: String): Select =
+    parse(sql) match {
+      case s: Select => s
+      case other => throw new ParseException(s"expected SELECT, got $other")
+    }
+  def parseExpression(sql: String): Expr = {
+    val p = new Parser(Tokenizer.tokenize(sql))
+    p.parseExpr()
+  }
+}

@@ -1,0 +1,340 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.exec.Executor
+
+/** Port of the reference's PostgreSQL-differential conformance corpus
+  * (reference tests/test__postgres_conformance.py:81-255) — the best
+  * executable spec of the dialect's semantics (SURVEY §5).
+  *
+  * Oracle: `spark.sql` over the same fixtures (ANSI-equivalent query
+  * text where the dialect diverges), or literal expected rows where no
+  * Spark SQL equivalent exists. Row comparison is order-insensitive and
+  * dtype-lenient, mirroring the reference's `_norm_result`.
+  */
+class ConformanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.session
+  import spark.implicits._
+
+  lazy val fixtures: Map[String, DataFrame] = {
+    val m = Map(
+      "test" -> Seq((0, 1), (1, 2), (0, 3), (1, 4), (0, 5), (1, 6)).toDF("c1", "c2"),
+      "other" -> Seq((0, 7), (1, 8), (0, 9), (1, 0), (0, 1), (1, 2)).toDF("c3", "c4"),
+      "names" -> Seq(("foo", 0), ("bar", 1), ("baz", 2)).toDF("name", "id"),
+      "ages" -> Seq((20, 0), (30, 1), (40, 2)).toDF("age", "id"))
+    m.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    m
+  }
+
+  lazy val exec = new Executor(spark, fixtures)
+
+  private def norm(v: Any): String = v match {
+    case null => "NULL"
+    case b: Boolean => b.toString
+    case b: Byte => b.toLong.toString
+    case s: Short => s.toLong.toString
+    case i: Int => i.toLong.toString
+    case l: Long => l.toString
+    case f: Float => f"${f.toDouble}%.6f"
+    case d: Double => f"$d%.6f"
+    case d: java.math.BigDecimal => f"${d.doubleValue}%.6f"
+    case other => other.toString
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i => norm(r.get(i)))).sortBy(_.mkString("|"))
+
+  /** engine result vs spark.sql oracle (same text unless `oracle` given) */
+  private def check(q: String, oracle: String = null): Unit = {
+    fixtures // force view registration
+    val got = rows(exec.query(q))
+    val exp = rows(spark.sql(if (oracle == null) q else oracle))
+    assert(got == exp, s"\nquery: $q\ngot:  $got\nexp:  $exp")
+  }
+
+  /** engine result vs literal expected rows */
+  private def checkLit(q: String, expected: Seq[Seq[Any]]): Unit = {
+    val got = rows(exec.query(q))
+    val exp = expected.map(_.map(norm)).sortBy(_.mkString("|"))
+    assert(got == exp, s"\nquery: $q\ngot:  $got\nexp:  $exp")
+  }
+
+  // ------------------------------------------------ aggregates & group by
+  test("group by column") {
+    check("select c1, count(1) as cnt, sum(c2) from test group by c1")
+  }
+  test("group by ordinal") {
+    check("select c1, count(1) as cnt, sum(c2) from test group by 1")
+  }
+  test("projection with exprs and aliases") {
+    check("select c1 as a, c2 as b, c1 + c2 from test")
+  }
+  test("where filter") {
+    check("select c1 as a, c2 as b, c1 + c2 from test where c1 = 0")
+  }
+  test("cte") {
+    check("""with temp as (select c1 as a, c2 as b from test)
+             select a + b from temp""")
+  }
+  test("table wildcard") { check("select test.* from test") }
+  test("group by boolean expression") {
+    check("select count(*) from test group by 1 = 1",
+      "select count(*) from test group by c1 is not null")
+  }
+  test("global count") { check("select count(*) from test") }
+  test("qualified refs") { check("select test.c1, 2 * test.c2 from test") }
+  test("subquery in from") {
+    check("""select c1, count(1) as cnt, sum(c2)
+             from (select c1, 2 * c2 as c2 from test) sq group by c1""")
+  }
+  test("group by alias") {
+    check("select 2 * c1 as cc, sum(c2) from test group by cc",
+      "select 2 * c1 as cc, sum(c2) from test group by 2 * c1")
+  }
+  test("group by expression verbatim") {
+    check("select sum(c2) from test group by 2 * c1")
+  }
+  test("global agg avg/min/max") {
+    check("select avg(c2), min(c2), max(c2), sum(c2), count(c2) from test")
+  }
+  test("having") {
+    check("select c1, sum(c2) as s from test group by c1 having sum(c2) > 6")
+  }
+  test("distinct aggregate") {
+    check("select count(distinct c1) from test")
+  }
+
+  // ---------------------------------------------------------------- joins
+  test("simple equi join") {
+    check("select c2, c4 from test join other on c1 = c3")
+  }
+  test("join with left-side filter in ON") {
+    check("select c2, c4 from test join other on c1 = c3 and c1 = 0")
+  }
+  test("join with right-side filter in ON") {
+    check("select c2, c4 from test join other on c1 = c3 and c3 = 0")
+  }
+  test("join with left transform key") {
+    check("select c2, c4 from test join other on (c1 + 1) % 2 = c3")
+  }
+  test("join with right transform key") {
+    check("select c2, c4 from test join other on c1 = (c3 + 1) % 2")
+  }
+  test("cross join with where promotion") {
+    check("select c2, c4 from test, other where c1 = (c3 + 1) % 2")
+  }
+  test("theta inner join") {
+    check("select c2, c4 from test join other on c1 <= c3")
+  }
+  test("theta left join") {
+    check("select * from test left join other on c1 < c3")
+  }
+  test("theta right join") {
+    check("select * from other right join test on c1 < c3")
+  }
+  test("left join with transform key") {
+    check("select c2, c4 from test left join other on c1 = (c3 + 1) % 2")
+  }
+  test("join then group") {
+    check("select sum(c2), avg(c4) from test join other on c1 = c3 group by c1")
+  }
+  test("full outer join") {
+    check("select * from test full join other on c1 = c3 and c4 > 5")
+  }
+  test("join chain to third table") {
+    check("""select name, age from names join ages on names.id = ages.id
+             join test on test.c1 = names.id""")
+  }
+  test("self join with aliases") {
+    check("select * from test as a, test as b")
+  }
+  test("named join-agg over fixture pair") {
+    check("""select names.id, avg(age) from names join ages
+             on names.id = ages.id group by 1""")
+  }
+
+  // --------------------------------------------------- quoted identifiers
+  test("quoted identifiers") {
+    check("""select "c1", "test"."c2" from test""",
+      "select c1, test.c2 from test")
+  }
+
+  // ------------------------------------------------------- case sensitivity
+  test("like is case sensitive") {
+    checkLit("select 'Foo' like '%oo'", Seq(Seq(true)))
+    checkLit("select 'Foo' like '%OO'", Seq(Seq(false)))
+    checkLit("select upper('Foo') like '%OO'", Seq(Seq(true)))
+    checkLit("select 'Foo' like lower('%OO')", Seq(Seq(true)))
+  }
+  test("concat coalesces nulls (PG semantics)") {
+    checkLit("select concat('foo', null, 'bar')", Seq(Seq("foobar")))
+  }
+
+  // ------------------------------------------------------------------ json
+  test("json_each from cast") {
+    checkLit(
+      """select * from json_each(cast('{"foo": "bar", "hello": "world"}' as json))""",
+      Seq(Seq("foo", "bar"), Seq("hello", "world")))
+  }
+  test("json_each from :: cast") {
+    checkLit(
+      """select * from json_each('{"foo": "bar", "hello": "world"}' :: json)""",
+      Seq(Seq("foo", "bar"), Seq("hello", "world")))
+  }
+  test("lateral json_each over json_array_elements") {
+    checkLit(
+      """select b.key from json_array_elements('[{"foo": "bar"}]' :: json),
+         lateral json_each(value) as b order by key""",
+      Seq(Seq("foo")))
+  }
+
+  // --------------------------------------------------------- special forms
+  test("trim both chars") {
+    checkLit("select trim(both 'xyz' from 'yxTomxx')", Seq(Seq("Tom")))
+  }
+  test("position") {
+    checkLit("select position('f' in 'foo'), position('b' in 'foo')",
+      Seq(Seq(1, 0)))
+  }
+  test("string concat operator") {
+    checkLit("select 'Post' || 'greSQL'", Seq(Seq("PostgreSQL")))
+  }
+
+  // -------------------------------------------------------------- operators
+  test("boolean operators") {
+    checkLit("select true and false, true or false, true and not false",
+      Seq(Seq(false, true, true)))
+  }
+  test("comparisons") {
+    checkLit("select 0 <> 1, 0 < 1, 1 > 2, 1 <= 2, 3 >= 4, 3 = 3, 4 != 4",
+      Seq(Seq(true, true, false, true, false, true, false)))
+  }
+  test("arithmetic and bitwise operators") {
+    // ^ is POWER (not XOR), # is XOR — the PG operator set (§2.9)
+    checkLit(
+      """select 2 + 3, 2 - 3, 2 * 3, 4 / 2, 5 % 4, 2.0 ^ 3.0, 91 & 15,
+         32 | 3, 17 # 5, ~1, 1 << 4, 8 >> 2""",
+      Seq(Seq[Any](5L, -1L, 6L, 2.0, 1L, 8.0, 11L, 35L, 20L, -2L, 16L, 2L)))
+  }
+  test("operator precedence") {
+    checkLit(
+      """select (2.0 + 3.0) ^ 2.0 + (1.0 - 2.0) ^ 2.0, 2.0 * 3.0 ^ 2.0,
+         2.0 * 4.0 + 3.0""",
+      Seq(Seq(26.0, 18.0, 11.0)))
+  }
+  test("boolean precedence") {
+    checkLit("select false and true or true", Seq(Seq(true)))
+  }
+
+  // -------------------------------------------------------- limits & sorts
+  test("limit") { check("select * from test limit 3") }
+  test("limit offset") {
+    // positional slice over unordered input isn't deterministic in a
+    // distributed engine; pin the order
+    check("select * from test order by c2 limit 3 offset 2")
+  }
+  test("offset only") { check("select * from test order by c2 offset 3") }
+  test("distinct") { check("select distinct c1 from test") }
+  test("select all") { check("select all c1 from test") }
+  test("order by ordinal and column") {
+    check("select c1, c2 from test order by 1, c2")
+  }
+  test("order by expression (reference xfail, supported here)") {
+    check("select c1, c2 from test order by 4 * c2")
+  }
+  test("order by desc") {
+    check("select c1, c2 from test order by c2 desc")
+  }
+
+  // ------------------------------------------------------------------- case
+  test("searched case") {
+    check("""SELECT c2, CASE WHEN c2 = 1 THEN 'one' WHEN c2 = 2 THEN 'two'
+             ELSE 'other' END FROM test""")
+  }
+  test("simple case (desugared)") {
+    check("""SELECT c2, CASE c2 WHEN 1 THEN 'one' WHEN 2 THEN 'two'
+             ELSE 'other' END FROM test""")
+  }
+
+  // ------------------------------------------------------------ extensions
+  test("window function over partition") {
+    check("""select c1, c2, sum(c2) over (partition by c1 order by c2) as running
+             from test""")
+  }
+  test("row_number window") {
+    check("""select c1, c2, row_number() over (partition by c1 order by c2 desc) as rn
+             from test""")
+  }
+  test("window frame rows between") {
+    check("""select c1, c2, sum(c2) over (partition by c1 order by c2
+             rows between 1 preceding and current row) as s from test""")
+  }
+  test("union / union all / intersect / except") {
+    check("select c1 from test union select c3 from other")
+    check("select c1 from test union all select c3 from other")
+    check("select c1 from test intersect select c3 from other")
+    check("select c2 from test except select c4 from other")
+  }
+  test("in value list") {
+    check("select c2 from test where c2 in (1, 3, 5)")
+  }
+  test("not in value list") {
+    check("select c2 from test where c2 not in (1, 3, 5)")
+  }
+  test("between") {
+    check("select c2 from test where c2 between 2 and 4")
+  }
+  test("in subquery lowered to semi join") {
+    check("select c2 from test where c1 in (select c3 from other where c4 > 5)")
+  }
+  test("not in subquery lowered to anti join") {
+    check("select c2 from test where c1 not in (select c3 from other where c4 > 6)",
+      // Spark SQL NOT IN has three-valued semantics; fixture has no NULLs
+      // so anti-join === NOT IN here
+      "select c2 from test where c1 not in (select c3 from other where c4 > 6)")
+  }
+  test("is null / is not null") {
+    check("""select c2 from test left join other on c1 = c3 and c4 > 100
+             where c4 is null""")
+  }
+  test("generate_series table function") {
+    checkLit("select * from generate_series(1, 5)",
+      Seq(Seq(1), Seq(2), Seq(3), Seq(4), Seq(5)))
+  }
+  test("generate_series with step") {
+    checkLit("select * from generate_series(0, 10, 5)",
+      Seq(Seq(0), Seq(5), Seq(10)))
+  }
+  test("lateral generate_series") {
+    check("select c1, generate_series from test, lateral generate_series(1, c2)",
+      "select c1, s as generate_series from test lateral view explode(sequence(1, c2)) t as s")
+  }
+  test("pg_namespace catalog table") {
+    checkLit("""select nspname from pg_namespace where nspname not like 'pg_%'
+                order by nspname""",
+      Seq(Seq("information_schema"), Seq("public")))
+  }
+  test("dual (from-less select)") {
+    checkLit("select 1 + 1", Seq(Seq(2)))
+  }
+  test("version stub") {
+    checkLit("select version() like 'PostgreSQL%'", Seq(Seq(true)))
+  }
+  test("cast varchar") {
+    checkLit("select cast(1 as varchar) || '!'", Seq(Seq("1!")))
+  }
+  test("postgres :: cast") {
+    checkLit("select 1 :: varchar, '2.5' :: double", Seq(Seq("1", 2.5)))
+  }
+  test("scientific notation floats") {
+    checkLit("select 1e3, 1.5e-2, 2.5", Seq(Seq(1000.0, 0.015, 2.5)))
+  }
+  test("subqueries must be named") {
+    val e = intercept[Exception] {
+      exec.query("select * from (select 1) ")
+    }
+    assert(e.getMessage.contains("named"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.exec.Executor
+
+/** Statement handlers + session surface (reference Executor semantics:
+  * tests/test__executor__execute.py, tests/test__alchemy.py). */
+class ExecutorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  /** README flagship (reference Readme.md:27-35, golden {(0,11),(1,15)}) */
+  test("flagship join-aggregate") {
+    val exec = new Executor(spark, Map(
+      "stores" -> Seq((0, 1), (0, 2), (1, 3), (1, 4)).toDF("country", "id"),
+      "sales" -> Seq((1, 5), (2, 6), (3, 7), (4, 8)).toDF("store_id", "sales")))
+    val got = exec.query(
+      """select country, sum(sales) as sales from sales
+         join stores on sales.store_id = stores.id group by country""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((0, 11L), (1, 15L)))
+  }
+
+  /** executor golden fixture (reference tests/test__executor__execute.py:12-63) */
+  test("golden: projections and grouped aggregates") {
+    val exec = new Executor(spark, Map(
+      "example" -> Seq((1, 4, 0), (2, 5, 0), (3, 6, 1)).toDF("a", "b", "g")))
+    assert(exec.query("select * from example").collect().length == 3)
+    assert(exec.query("select a + b as c from example")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(5, 7, 9))
+    assert(exec.query("select g, sum(a) as s from example group by g")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet == Set((0, 3L), (1, 3L)))
+    assert(exec.query("select 2 * g as gg, sum(a) as s from example group by gg")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 3L), (2L, 3L)))
+    assert(exec.query("select sum(a) as s from example group by 2 * g")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    assert(exec.query("select a from example order by a desc")
+      .collect().map(_.getInt(0)).toSeq == Seq(3, 2, 1))
+  }
+
+  test("copy from / copy to round trip (reference csv fixture)") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val src = dir.resolve("test.csv")
+    // reference fixture tests/data/test.csv (semicolon csv)
+    Files.writeString(src,
+      "f;g;i\n7.0;0;1\n8.0;0;2\n9.0;0;3\n0.0;1;4\n1.0;1;5\n2.0;2;6\n")
+    val exec = new Executor(spark)
+    exec.setBasepath(dir.toString)
+    exec.execute("COPY foo FROM 'test.csv' WITH delimiter ';', format 'csv'")
+    val got = exec.query("select g, sum(i) as s from foo group by g")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((0, 6L), (1, 9L), (2, 6L))) // golden (FIXTURES §4)
+
+    exec.execute("CREATE TABLE bar AS select g, sum(i) as s from foo group by g")
+    exec.execute(s"COPY bar TO 'out.csv' WITH delimiter ';', format 'csv'")
+    val written = Files.readString(dir.resolve("out.csv"))
+    assert(written.startsWith("g;s\n") || written.startsWith("g;s\r\n"))
+    assert(written.linesIterator.size == 4)
+
+    exec.execute("DROP TABLE foo, bar")
+    assert(exec.tableNames.isEmpty)
+    intercept[Exception] { exec.query("select * from foo") }
+  }
+
+  test("copy_from as table function in FROM") {
+    val dir = Files.createTempDirectory("graft_csv2")
+    Files.writeString(dir.resolve("t.csv"), "a;b\n1;2\n3;4\n")
+    val exec = new Executor(spark)
+    exec.setBasepath(dir.toString)
+    val got = exec.query(
+      "select sum(a + b) as s from copy_from('t.csv', 'delimiter', ';', 'format', 'csv')")
+      .collect()(0).getLong(0)
+    assert(got == 10L)
+  }
+
+  test("show stubs") {
+    val exec = new Executor(spark)
+    val df = exec.execute("SHOW TRANSACTION ISOLATION LEVEL").get
+    assert(df.collect()(0).getString(0) == "read only")
+  }
+
+  test("scalar UDF registration (reference add_function)") {
+    val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
+    exec.addFunction("double_it", args => args.head * 2)
+    assert(exec.query("select double_it(x) as y from t")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4, 6))
+  }
+
+  test("table UDF registration (reference add_table_function)") {
+    val exec = new Executor(spark)
+    exec.addTableFunction("two_rows", _ => Seq(1, 2).toDF("v"))
+    assert(exec.query("select * from two_rows()")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
+  test("lateral UDF registration (reference add_lateral_function)") {
+    val exec = new Executor(spark, Map("t" -> Seq(2, 3).toDF("n")))
+    exec.addLateralFunction("repeat_n", (left, args) =>
+      left.select(col("*"), explode(sequence(lit(1), args.head)).as("i")))
+    assert(exec.query("select n, i from t, lateral repeat_n(n)")
+      .collect().length == 5)
+  }
+
+  test("create table as is visible to later statements") {
+    val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
+    exec.execute("create table big as select x from t where x > 1")
+    assert(exec.query("select count(*) as n from big").collect()(0).getLong(0) == 2L)
+  }
+
+  test("ambiguous column reference errors (reference raises)") {
+    val exec = new Executor(spark, Map(
+      "a" -> Seq((1, 2)).toDF("x", "y"),
+      "b" -> Seq((1, 3)).toDF("x", "z")))
+    val e = intercept[Exception] {
+      exec.query("select x from a join b on a.x = b.x").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("ambiguous"))
+  }
+}
