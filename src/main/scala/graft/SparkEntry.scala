@@ -16,12 +16,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operators (dedup/similarity/text/multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.EngineSql.queries
+    graft.queries.Relational.queries ++
+    graft.queries.EngineSql.queries ++
+    graft.operators.TextAnalysis.queries ++
+    graft.operators.Dedup.queries ++
+    graft.operators.Similarity.queries ++
+    graft.operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql ++ graft.queries.EngineSql.oracleSql
+    graft.queries.Relational.oracleSql ++
+    graft.queries.EngineSql.oracleSql ++
+    graft.operators.TextAnalysis.oracleSql ++
+    graft.operators.Dedup.oracleSql ++
+    graft.operators.Similarity.oracleSql ++
+    graft.operators.Multimodal.oracleSql
 }

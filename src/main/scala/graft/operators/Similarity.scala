@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — correct, O(n·q), fine when the
+  * query set is small or the corpus fits a broadcast. Scale path:
+  * sign-random-projection (SRP) LSH buckets — candidates only within a
+  * bucket, so the pair space shrinks by ~2^planes; recall is tunable via
+  * multi-probe (compare buckets differing in one bit).
+  * All vector math is codegen'd `functions._` (see [[Vectors]]).
+  */
+object Similarity {
+
+  /** Brute-force top-k neighbours for each query row: cross join pruned
+    * by broadcasting the (small) query side; at cluster scale the corpus
+    * side streams partition-local with no shuffle. */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("q_id"))
+      .select(col("q_id"), col("nn_id"),
+        Vectors.cosine(col("q_emb"), col("nn_emb")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** ANN via SRP-LSH: pair only within a bucket. Lower recall than brute
+    * force, bounded cost at any corpus size. */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 6): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+      Vectors.srpBucket(col("embedding"), planes).as("bucket"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      Vectors.srpBucket(col("embedding"), planes).as("q_bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    c.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .filter(col("nn_id") =!= col("q_id"))
+      .select(col("q_id"), col("nn_id"),
+        Vectors.cosine(col("q_emb"), col("nn_emb")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  // --------------------------------------------------------- driver queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force top-10 for 5 fixed query vectors — DuckDB oracle
+    "sim_knn_brute" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      knnBrute(e, e.filter(col("vec_id") < 5), k = 10)
+        .select(col("q_id"), col("nn_id"), round(col("cos"), 6).as("cos"), col("rk"))
+        .orderBy(col("q_id"), col("rk"))
+    }),
+    // SRP-LSH ANN for the same queries (bucket scheme is engine-specific →
+    // rows-only gate; recall vs brute force is asserted in SimilaritySpec)
+    "sim_knn_lsh" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      knnLsh(e, e.filter(col("vec_id") < 5), k = 10)
+        .agg(count(lit(1)).as("n_results"),
+          round(avg(col("cos")), 6).as("avg_cos"))
+    }),
+    // centroid similarity per label: mean vector then cosine of each
+    // member to its label centroid (aggregate over arrays, no UDF)
+    "sim_label_centroid" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val dim = 64
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+      val centroids = e.groupBy(col("label"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("label").as("c_label"),
+          array((0 until dim).map(i => col(s"s$i")): _*).as("centroid"))
+      e.join(broadcast(centroids), col("label") === col("c_label"))
+        .select(col("label"), col("vec_id"),
+          round(Vectors.cosine(col("embedding"), col("centroid")), 4).as("cos_c"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("cos_c")), 4).as("avg_cos"))
+        .orderBy(col("label"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // double-precision cosine mirroring the Spark expression exactly
+    "sim_knn_brute" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |         for s in list_zip(embedding, embedding)])) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |    list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |      for s in list_zip(q.embedding, c.embedding)]) / (q.nrm * c.nrm) AS cos0
+        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT q_id, nn_id, cos0,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos0 DESC, nn_id) AS rk
+        |  FROM pairs)
+        |SELECT q_id, nn_id, round(cos0, 6) AS cos, rk
+        |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+    // sim_knn_lsh / sim_label_centroid: engine-specific scheme / float-sum
+    // order → rows-only driver gate + ScalaTest semantics checks
+  )
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float|double>` embeddings.
+  *
+  * Pure `functions._` compositions (zip_with / aggregate) — codegen'd,
+  * no UDFs, so the hot path stays inside whole-stage codegen and scales
+  * linearly with rows on any cluster size. Sums run sequentially
+  * left-to-right in double precision, which keeps results bit-identical
+  * to a single-threaded oracle evaluating the same expression.
+  */
+object Vectors {
+  /** elementwise product-sum in double precision */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** squared L2 distance */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic pseudo-random hyperplane: component j of plane p is
+    * a signed hash of (p, j) — reproducible on any cluster, no RNG state. */
+  private def planeComponent(p: Int, j: Column): Column =
+    when(pmod(xxhash64(lit(p), j), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-random-projection (SimHash-for-vectors) bucket id over `nPlanes`
+    * deterministic hyperplanes: the LSH key for cosine similarity. Vectors
+    * with high cosine land in equal buckets with high probability. */
+  def srpBucket(vec: Column, nPlanes: Int): Column = {
+    // bit p = sign(dot(vec, plane_p)); bucket = sum(bit_p << p)
+    val bits = (0 until nPlanes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeComponent(p, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Semantic checks for the pipeline operators whose driver-gate entries
+  * are rows-only (engine-specific signatures): MinHash/LSH recall vs
+  * exhaustive jaccard, SimHash hamming behavior, SRP-LSH ANN recall vs
+  * brute force, multimodal stub plumbing. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 0
+      (2L, "a completely different document about spark query engines"),
+      (3L, "a completely different document about spark query planners"), // near-dup of 2
+      (4L, "nothing in common with anything else here at all whatsoever"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again")) // exact dup of 0
+    base.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val g = Dedup.exact(docs).collect()
+    assert(g.length == 5) // 6 docs, one exact pair
+    val dup = g.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // keeps min doc_id
+  }
+
+  test("minhash LSH finds high-jaccard pairs found by exhaustive search") {
+    // exhaustive ground truth
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val l = sh.select(col("doc_id").as("a"), col("sh").as("sa"))
+    val r = sh.select(col("doc_id").as("b"), col("sh").as("sb"))
+    val truth = l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"), Dedup.jaccard(col("sa"), col("sb")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.contains((0L, 5L)) && truth.contains((0L, 1L)))
+
+    val found = Dedup.minhashDupPairs(docs, numHashes = 16, bands = 4, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // verification step makes found ⊆ truth; banding should catch these
+    // very-high-jaccard pairs
+    assert(found.subsetOf(truth))
+    assert(found.contains((0L, 5L)))
+    assert(found.contains((0L, 1L)))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct far") {
+    val sig = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sig(a) ^ sig(b))
+    assert(ham(0, 5) == 0)
+    assert(ham(0, 1) < ham(0, 4))
+    assert(ham(2, 3) < ham(2, 4))
+  }
+
+  test("simhash banding finds hamming-close pairs") {
+    val pairs = Dedup.simhashDupPairs(docs, maxDist = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)))
+  }
+
+  private lazy val vectors = {
+    // deterministic synthetic embeddings: 3 tight clusters of 5 + noise
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 3).flatMap { c =>
+      val center = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 5).map { i =>
+        val v = center.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+        (c * 5 + i).toLong -> v
+      }
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("brute-force knn ranks cluster members first") {
+    val res = Similarity.knnBrute(vectors, vectors.filter(col("vec_id") === 0), k = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(res == Set(1L, 2L, 3L, 4L)) // same-cluster ids
+  }
+
+  test("SRP-LSH ANN achieves high recall vs brute force on clusters") {
+    val brute = Similarity.knnBrute(vectors, vectors, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(vectors, vectors, k = 4, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("multimodal stub: features preserve byte mass, frames cover payload") {
+    implicit val s = spark
+    val media = Multimodal.asMedia(docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(f => f.features.sum.toInt == f.n_bytes))
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    // determinism: same input → same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.features.toSeq).toSeq.sortBy(_.hashCode) ==
+      again.map(_.features.toSeq).toSeq.sortBy(_.hashCode))
+    val frames = Multimodal.sampleFrames(media, stride = 1).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.forall { case (id, fs) =>
+      fs.map(_.frame.length).sum ==
+        feats.find(_.doc_id == id).get.n_bytes
+    })
+  }
+
+  test("langid prefers matching profile") {
+    val d = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "the cat and the dog is here"),
+      (3L, "le chat et la vache est ici"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "fr", 4L -> "und"))
+  }
+}
