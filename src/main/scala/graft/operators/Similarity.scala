@@ -20,14 +20,17 @@ object Similarity {
     * by broadcasting the (small) query side; at cluster scale the corpus
     * side streams partition-local with no shuffle. */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // norms once per vector, not per pair
+    val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+      Vectors.norm2Fast(col("embedding")).as("nn_nrm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      Vectors.norm2Fast(col("embedding")).as("q_nrm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("q_id"))
       .select(col("q_id"), col("nn_id"),
-        Vectors.cosine(col("q_emb"), col("nn_emb")).as("cos"))
+        (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
@@ -37,15 +40,17 @@ object Similarity {
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 6): DataFrame = {
     val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+      Vectors.norm2Fast(col("embedding")).as("nn_nrm"),
       Vectors.srpBucket(col("embedding"), planes).as("bucket"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      Vectors.norm2Fast(col("embedding")).as("q_nrm"),
       Vectors.srpBucket(col("embedding"), planes).as("q_bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     c.join(broadcast(q), col("bucket") === col("q_bucket"))
       .filter(col("nn_id") =!= col("q_id"))
       .select(col("q_id"), col("nn_id"),
-        Vectors.cosine(col("q_emb"), col("nn_emb")).as("cos"))
+        (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
