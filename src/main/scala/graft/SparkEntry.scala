@@ -24,7 +24,8 @@ object SparkEntry {
     graft.operators.TextAnalysis.queries ++
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
-    graft.operators.Multimodal.queries
+    graft.operators.Multimodal.queries ++
+    graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
     graft.operators.TextAnalysis.oracleSql ++
     graft.operators.Dedup.oracleSql ++
     graft.operators.Similarity.oracleSql ++
-    graft.operators.Multimodal.oracleSql
+    graft.operators.Multimodal.oracleSql ++
+    graft.streaming.Streams.oracleSql
 }

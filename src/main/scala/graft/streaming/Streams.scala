@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Structured Streaming surface (extension — the reference is batch-only,
+  * SURVEY §2.11). The same operator layer compiles to streaming plans:
+  * readStream → watermark → windowed aggregation → sink.
+  *
+  * At scale this is the ingestion path: the identical aggregation
+  * expressions used in batch (`graft.queries`) run incrementally with
+  * state kept per window+key; watermarks bound that state.
+  */
+object Streams {
+
+  /** schema of the events table as written by the generator (ts stored
+    * as TIMESTAMP(NANOS) parquet → long with nanosAsLong) */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of the events parquet with the µs timestamp surfaced. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source wants a directory; glob-filter to the table
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumnRenamed("ts", "ts_nanos")
+      .withColumn("ts", expr("timestamp_micros(ts_nanos div 1000)"))
+  }
+
+  /** Tumbling-window counts/sums per event type, watermarked. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** In-stream exact dedup by key within the watermark horizon — the
+    * streaming face of [[graft.operators.Dedup.exact]]. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  private val runId = new AtomicInteger(0)
+
+  /** Run a (complete-mode) streaming aggregation over the static parquet
+    * to completion and return the final table — turns the streaming path
+    * into a batch-comparable result for tests and the correctness gate. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // materialize: the memory sink table is dropped when the query stops
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+
+  // --------------------------------------------------------- driver queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the streaming plan's final state must hash-match DuckDB running the
+    // equivalent batch SQL — incremental == batch is the core invariant
+    "st_window_counts" -> ((s, dir) => {
+      runToCompletion(s, windowedCounts(readEvents(s, dir)))
+        .orderBy(col("window_start"), col("event_type"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "st_window_counts" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
+}
