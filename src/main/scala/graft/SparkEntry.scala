@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.Multimodal.queries ++
+    graft.operators.AsofJoin.queries ++
     graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
     graft.operators.Dedup.oracleSql ++
     graft.operators.Similarity.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
+    graft.operators.AsofJoin.oracleSql ++
     graft.streaming.Streams.oracleSql
 }

@@ -79,6 +79,10 @@ sealed trait Statement extends SqlNode
 final case class Select(
     cte: Seq[(String, Select)] = Nil,
     distinct: Boolean = false,
+    /** PG `DISTINCT ON (exprs)` — keep first row per key under ORDER BY
+      * (unsupported xfail in the reference,
+      * tests/test__postgres_conformance.py:259-267; implemented here). */
+    distinctOn: Seq[Expr] = Nil,
     items: Seq[SelectItem] = Nil,
     from: Seq[Relation] = Nil,
     where: Option[Expr] = None,

@@ -78,6 +78,19 @@ final class Compiler(spark: SparkSession, registry: Registry,
 
     for (w <- sel.where) from = applyWhere(from, w, scope)
 
+    // DISTINCT ON (exprs): keep the first row per key under ORDER BY —
+    // Window.partitionBy + row_number = 1 (SURVEY §2.2's proposed mapping;
+    // one shuffle on the key set)
+    if (sel.distinctOn.nonEmpty) {
+      val keys = sel.distinctOn.map(compileExpr)
+      val order =
+        if (sel.orderBy.nonEmpty) sel.orderBy.map(si => sortCol(compileExpr(si.e), si))
+        else keys
+      val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+      from = from.withColumn("__don", row_number().over(w))
+        .filter(col("__don") === 1).drop("__don")
+    }
+
     val items = expandWildcards(sel.items, from)
     val hasAgg = items.exists(i => containsAgg(itemExpr(i))) ||
       sel.groupBy.nonEmpty || sel.having.exists(containsAgg)

@@ -46,6 +46,9 @@ object Registry {
     // PG compat stubs (reference _pandas.py:50-51)
     "version" -> (_ => lit("PostgreSQL 9.6.0 (graft spark engine)")),
     "current_schema" -> (_ => lit("public")),
+    // distributed row id (reference add_rowid / dask strided ids,
+    // util/_dask.py:105-120 — one partition-local counter here, no rounds)
+    "rowid" -> (_ => monotonically_increasing_id()),
     // extract(field FROM ts) — parser passes field as first (string) arg
     "extract" -> { case Seq(field, src) => call_function("date_part", field, src) },
     "if" -> { case Seq(c, a, b) => when(c, a).otherwise(b) },

@@ -175,7 +175,17 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseCoreSelect(): Select = {
     expectKw("select")
-    val distinct = acceptKw("distinct") || { acceptKw("all"); false }
+    var distinctOn = Seq.empty[Expr]
+    val distinct =
+      if (acceptKw("distinct")) {
+        if (acceptKw("on")) {
+          expectOp("(")
+          distinctOn :+= parseExpr()
+          while (acceptOp(",")) distinctOn :+= parseExpr()
+          expectOp(")")
+          false
+        } else true
+      } else { acceptKw("all"); false }
     var items = Seq(parseSelectItem())
     while (acceptOp(",")) items :+= parseSelectItem()
 
@@ -197,8 +207,8 @@ final class Parser(tokens: Vector[Token]) {
       } else Nil
 
     val having = if (acceptKw("having")) Some(parseExpr()) else None
-    Select(distinct = distinct, items = items, from = from, where = where,
-      groupBy = groupBy, having = having)
+    Select(distinct = distinct, distinctOn = distinctOn, items = items,
+      from = from, where = where, groupBy = groupBy, having = having)
   }
 
   private def parseOrderByOpt(): Seq[SortItem] =

@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.exec.{Executor, ScopeSpec}
+
+/** DISTINCT ON, rowid(), scope-spec bootstrap. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  test("DISTINCT ON keeps first row per key under ORDER BY") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((0, 1, "a"), (0, 2, "b"), (1, 3, "c"), (1, 1, "d"))
+        .toDF("k", "v", "s")))
+    val got = exec.query(
+      "select distinct on (k) k, v, s from t order by k, v desc")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((0, 2, "b"), (1, 3, "c")))
+  }
+
+  test("DISTINCT ON without order by returns one row per key") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((0, 1), (0, 2), (1, 3)).toDF("k", "v")))
+    val got = exec.query("select distinct on (k) k from t")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(0, 1))
+  }
+
+  test("rowid() produces distinct monotonic ids") {
+    val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3, 4).toDF("x")))
+    val ids = exec.query("select rowid() as id from t")
+      .collect().map(_.getLong(0))
+    assert(ids.distinct.length == 4)
+  }
+
+  test("scope-spec JSON bootstrap (reference dialect.py semantics)") {
+    val dir = Files.createTempDirectory("graft_spec")
+    Files.writeString(dir.resolve("test.csv"), "f;g;i\n7.0;0;1\n8.0;0;2\n9.0;1;3\n")
+    Files.writeString(dir.resolve("scope.json"),
+      """{ "setup": [
+        |  "COPY foo FROM 'test.csv' WITH delimiter ';', format 'csv'  ",
+        |  "CREATE TABLE agg AS select g, sum(i) as s from foo group by g"
+        |] }""".stripMargin)
+    val exec = ScopeSpec.load(spark, dir.resolve("scope.json").toString)
+    assert(exec.tableNames == Seq("agg", "foo"))
+    val got = exec.query("select g, s from agg")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((0, 3L), (1, 3L)))
+  }
+}

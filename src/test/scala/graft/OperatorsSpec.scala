@@ -111,6 +111,26 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("asof join matches latest preceding row per key, with tolerance") {
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 15L, "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, 8L, 100.0), (1L, 12L, 110.0), (2L, 1L, 50.0))
+      .toDF("k", "qt", "px")
+    val got = AsofJoin.asof(trades, quotes, Seq("k"), "t", "qt")
+      .collect().map(r => (r.getString(2), Option(r.get(4)))).toMap
+    assert(got == Map(
+      "t1" -> Some(100.0), // latest quote at t=10 is qt=8
+      "t2" -> Some(110.0), // qt=12
+      "t3" -> Some(50.0)))
+    val tol = AsofJoin.asof(trades, quotes, Seq("k"), "t", "qt",
+      tolerance = Some(5L))
+      .collect().map(r => (r.getString(2), Option(r.get(4)))).toMap
+    assert(tol == Map(
+      "t1" -> Some(100.0), // 10-8=2 within 5
+      "t2" -> None,        // 20-12=8 beyond 5
+      "t3" -> None))       // 15-1=14 beyond 5
+  }
+
   test("langid prefers matching profile") {
     val d = Seq(
       (1L, "der hund und die katze ist da"),
