@@ -130,6 +130,27 @@ object EngineSql {
           |  sum(cast(props->>'k' as bigint)) as s
           |from events group by 1 order by key""".stripMargin),
 
+      // date/time functions: extract special form + date arithmetic
+      "fq_dates" -> (
+        """select cast(extract(year from o_orderdate) as bigint) as y,
+          |  cast(extract(month from o_orderdate) as bigint) as m,
+          |  count(1) as n,
+          |  cast(sum(cast(o_totalprice as decimal(18,6))) as double) as total
+          |from orders group by 1, 2 order by y, m""".stripMargin,
+        """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+          |  CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+          |  count(1) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin),
+
+      // math functions resolved through call_function fallback (casts pin
+      // result types so both engines hash identically)
+      "fq_math" -> same(
+        """select abs(-3) as a, cast(round(2.567, 1) as double) as r,
+          |  cast(floor(2.9) as bigint) as f, cast(ceil(2.1) as bigint) as c,
+          |  sqrt(16.0) as sq, mod(17, 5) as md,
+          |  greatest(1, 9, 3) as g, least(4, 2, 8) as l""".stripMargin),
+
       // decimal-exact revenue through the engine dialect
       "fq_revenue" -> same(
         """select l_returnflag,
@@ -143,8 +164,32 @@ object EngineSql {
     defs.map { case (name, (engineSql, _)) =>
       name -> ((s: SparkSession, dir: String) =>
         Executor.execute(engineSql, Tables.scope(s, dir), s))
-    }
+    } ++ Map(
+      // statement surface end-to-end: COPY TO → COPY FROM → CREATE TABLE
+      // AS → SELECT, through a persistent Executor session
+      "fq_statements" -> ((s: SparkSession, dir: String) => {
+        val exec = new Executor(s, Tables.scope(s, dir))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stmt").toString
+        exec.setBasepath(tmp)
+        exec.execute("COPY nation TO 'nation.csv' WITH delimiter '|', format 'csv'")
+        exec.execute("COPY nback FROM 'nation.csv' WITH delimiter '|', format 'csv'")
+        exec.execute(
+          """CREATE TABLE regc AS
+            |select n_regionkey, count(1) as n from nback group by n_regionkey""".stripMargin)
+        exec.execute("DROP TABLE nback")
+        exec.query("select n_regionkey, n from regc order by n_regionkey")
+      }),
+      // qualified wildcard through the engine
+      "fq_star" -> ((s: SparkSession, dir: String) =>
+        Executor.execute("select nation.* from nation order by n_nationkey",
+          Tables.scope(s, dir), s))
+    )
 
   def oracleSql: Map[String, String] =
-    defs.map { case (name, (_, oracle)) => name -> oracle }
+    defs.map { case (name, (_, oracle)) => name -> oracle } ++ Map(
+      "fq_statements" ->
+        """SELECT n_regionkey, count(*) AS n FROM nation
+          |GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+      "fq_star" -> "SELECT * FROM nation ORDER BY n_nationkey"
+    )
 }

@@ -131,6 +131,23 @@ class OperatorsSpec extends AnyFunSuite {
       "t3" -> None))       // 15-1=14 beyond 5
   }
 
+  test("salted join equals plain join; salted agg equals plain agg") {
+    val left = Seq((1, "a"), (1, "b"), (2, "c"), (1, "d")).toDF("k", "v")
+    val right = Seq((1, 10), (2, 20), (3, 30)).toDF("k", "w")
+    val plain = left.join(right, Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    val salted = Skew.saltedJoin(left, right, "k", salts = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(salted == plain)
+
+    val df = Seq((1, 5L), (1, 7L), (2, 3L)).toDF("k", "v")
+    val agg = Skew.saltedAgg(df, "k", 4,
+      partial = Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
+      combine = Seq(sum(col("n")).as("n"), sum(col("s")).as("s")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(agg == Set((1, 2L, 12L), (2, 1L, 3L)))
+  }
+
   test("langid prefers matching profile") {
     val d = Seq(
       (1L, "der hund und die katze ist da"),
