@@ -55,6 +55,49 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** ANN via IVF (inverted file): KMeans partitions the corpus into
+    * `nCells` cells; each query probes only its `nProbe` nearest cells.
+    * Cost per query ≈ nProbe/nCells of the corpus, and the corpus can be
+    * stored partitioned by cell so a probe is a partition-pruned read.
+    * Uses Spark MLlib KMeans (distributed training, seeded). */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val withVec = corpus.withColumn("__vec",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(42)
+      .setFeaturesCol("__vec").setPredictionCol("__cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+        Vectors.norm2Fast(col("embedding")).as("nn_nrm"), col("__cell"))
+
+    // tiny centroid table broadcasts; queries pick nProbe nearest cells
+    val centersDf = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }.toDF("__cell", "__centroid")
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__dist"), col("__cell"))
+    val qCells = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Vectors.norm2Fast(col("embedding")).as("q_nrm"))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("__dist", Vectors.dist2FD(col("q_emb"), col("__centroid")))
+      .withColumn("__prk", row_number().over(wProbe))
+      .filter(col("__prk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("__cell"))
+
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    assigned.join(broadcast(qCells), "__cell")
+      .filter(col("nn_id") =!= col("q_id"))
+      .select(col("q_id"), col("nn_id"),
+        (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+  }
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force top-10 for 5 fixed query vectors — DuckDB oracle
@@ -69,6 +112,14 @@ object Similarity {
     "sim_knn_lsh" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       knnLsh(e, e.filter(col("vec_id") < 5), k = 10)
+        .agg(count(lit(1)).as("n_results"),
+          round(avg(col("cos")), 6).as("avg_cos"))
+    }),
+    // IVF ANN for the same queries (kmeans cells are engine-specific →
+    // rows-only gate; recall vs brute force asserted in OperatorsSpec)
+    "sim_knn_ivf" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      knnIvf(e, e.filter(col("vec_id") < 5), k = 10, nCells = 16, nProbe = 6)
         .agg(count(lit(1)).as("n_results"),
           round(avg(col("cos")), 6).as("avg_cos"))
     }),

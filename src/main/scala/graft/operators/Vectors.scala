@@ -33,6 +33,15 @@ object Vectors {
     s
   })
 
+  /** squared L2 distance, float vector vs double vector (IVF centroids) */
+  val dist2FD = udf((a: Seq[Float], b: Seq[Double]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i).toDouble - b(i); s += d * d; i += 1 }
+    s
+  })
+
   def norm2(a: Column): Column = sqrt(dot(a, a))
   def norm2Fast(a: Column): Column = sqrt(dotFast(a, a))
 

@@ -84,6 +84,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(res == Set(1L, 2L, 3L, 4L)) // same-cluster ids
   }
 
+  test("IVF ANN achieves high recall vs brute force on clusters") {
+    val brute = Similarity.knnBrute(vectors, vectors, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.knnIvf(vectors, vectors, k = 4, nCells = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+
   test("SRP-LSH ANN achieves high recall vs brute force on clusters") {
     val brute = Similarity.knnBrute(vectors, vectors, k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
