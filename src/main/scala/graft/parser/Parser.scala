@@ -485,29 +485,31 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseMulDiv(): Expr = {
-    var e = parsePow()
+    var e = parseUnary()
     var going = true
     while (going) {
-      if (peekOp("*")) { next(); e = BinaryOp("*", e, parsePow()) }
-      else if (peekOp("/")) { next(); e = BinaryOp("/", e, parsePow()) }
-      else if (peekOp("%")) { next(); e = BinaryOp("%", e, parsePow()) }
+      if (peekOp("*")) { next(); e = BinaryOp("*", e, parseUnary()) }
+      else if (peekOp("/")) { next(); e = BinaryOp("/", e, parseUnary()) }
+      else if (peekOp("%")) { next(); e = BinaryOp("%", e, parseUnary()) }
       else going = false
     }
     e
   }
 
-  /** `^` is POWER in this dialect (not XOR — SURVEY §2.9), right-assoc. */
-  private def parsePow(): Expr = {
-    val e = parseUnary()
-    if (peekOp("^")) { next(); BinaryOp("^", e, parsePow()) }
-    else e
-  }
-
+  /** PG precedence: `^` binds TIGHTER than unary minus (`-2 ^ 2` = -4),
+    * and is right-associative with a possibly-signed right operand. */
   private def parseUnary(): Expr =
     if (acceptOp("-")) UnaryOp("-", parseUnary())
     else if (acceptOp("+")) parseUnary()
     else if (acceptOp("~")) UnaryOp("~", parseUnary())
-    else parseCastPostfix()
+    else parsePow()
+
+  /** `^` is POWER in this dialect (not XOR — SURVEY §2.9). */
+  private def parsePow(): Expr = {
+    val e = parseCastPostfix()
+    if (peekOp("^")) { next(); BinaryOp("^", e, parseUnary()) }
+    else e
+  }
 
   private def parseCastPostfix(): Expr = {
     var e = parseAtom()

@@ -331,6 +331,20 @@ class ConformanceSpec extends AnyFunSuite {
   test("scientific notation floats") {
     checkLit("select 1e3, 1.5e-2, 2.5", Seq(Seq(1000.0, 0.015, 2.5)))
   }
+  // ------------------------- reference xfail list, supported here (§2.6)
+  test("xfail 1: distinct on with pow projection") {
+    checkLit(
+      """select distinct on (c1) c1, c2, -c2 ^ c1 as c3 from test
+         order by c1, c2""",
+      Seq(Seq[Any](0L, 1L, -1.0), Seq[Any](1L, 2L, -2.0)))
+  }
+  test("xfail 2: order by transformed column") {
+    check("select * from test order by 4 * c1")
+  }
+  test("pow binds tighter than unary minus (PG -2^2 = -4)") {
+    checkLit("select -2 ^ 2, 2 ^ -1 :: double", Seq(Seq[Any](-4.0, 0.5)))
+  }
+
   test("subqueries must be named") {
     val e = intercept[Exception] {
       exec.query("select * from (select 1) ")
