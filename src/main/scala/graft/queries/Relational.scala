@@ -203,6 +203,94 @@ object Relational {
         .orderBy(col("a_region"))
     }),
 
+    // TPC-H Q4 shape: EXISTS → left-semi join (only keys shuffle).
+    "q4_exists" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.09).select(col("l_orderkey"))
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q7 shape: nation-pair trade volume; both nation dims broadcast
+    // twice under different aliases.
+    "q7_nation_pairs" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      val n1 = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val n2 = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), cust("c_nationkey") === col("c_nk"))
+        .join(broadcast(n2), sup("s_nationkey") === col("s_nk"))
+        .filter(col("cust_nation").isin("FRANCE", "GERMANY") &&
+          col("supp_nation").isin("FRANCE", "GERMANY") &&
+          col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .orderBy(col("cust_nation"), col("supp_nation"))
+    }),
+
+    // TPC-H Q10 shape: top customers by returned-item revenue.
+    "q10_returned" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 shape: conditional revenue share (case inside both sums).
+    "q14_promo" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg((dsum(when(col("p_type").like("PROMO%"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0))) /
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+          .as("promo_pct"))
+    }),
+
+    // TPC-H Q18 shape: large orders via HAVING, join back for detail.
+    "q18_big_orders" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val big = li.groupBy(col("l_orderkey").as("big_ok"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 200)
+      ord.join(big, ord("o_orderkey") === col("big_ok"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
+    // TPC-H Q19 shape: OR-of-ANDs predicate — Catalyst pushes the common
+    // conjuncts and keeps the disjunction evaluable in one scan pass.
+    "q19_or_pushdown" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val part = Tables.load(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Date/time functions over the events table.
     "q_events_by_day" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -310,6 +398,54 @@ object Relational {
         |FROM nation a JOIN nation b
         |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
         |GROUP BY a.n_regionkey ORDER BY a_region""".stripMargin,
+    "q4_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_nation_pairs" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('FRANCE', 'GERMANY')
+        |  AND n2.n_name IN ('FRANCE', 'GERMANY')
+        |  AND n1.n_name != n2.n_name
+        |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """SELECT CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |  * 100 AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q18_big_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 200) t
+        |  ON o_orderkey = l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q19_or_pushdown" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
     "q_events_by_day" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
