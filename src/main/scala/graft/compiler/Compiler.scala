@@ -58,8 +58,51 @@ final class Compiler(spark: SparkSession, registry: Registry,
     df
   }
 
+  /** Bottom-up expression rewrite. */
+  private def rewriteExpr(e: Expr)(f: Expr => Expr): Expr = {
+    val r: Expr = e match {
+      case BinaryOp(op, l, x) => BinaryOp(op, rewriteExpr(l)(f), rewriteExpr(x)(f))
+      case UnaryOp(op, x) => UnaryOp(op, rewriteExpr(x)(f))
+      case Call(fn, args) => Call(fn, args.map(rewriteExpr(_)(f)))
+      case CallSet(fn, args, d, s) => CallSet(fn, args.map(rewriteExpr(_)(f)), d, s)
+      case CallAnalytics(c, pb, ob, fr) =>
+        CallAnalytics(rewriteExpr(c)(f), pb.map(rewriteExpr(_)(f)),
+          ob.map(si => si.copy(e = rewriteExpr(si.e)(f))), fr)
+      case CastExpr(x, t) => CastExpr(rewriteExpr(x)(f), t)
+      case CaseExpr(bs, o) => CaseExpr(
+        bs.map { case (c, v) => rewriteExpr(c)(f) -> rewriteExpr(v)(f) },
+        o.map(rewriteExpr(_)(f)))
+      case InList(x, vs, n) => InList(rewriteExpr(x)(f), vs.map(rewriteExpr(_)(f)), n)
+      case InSubquery(x, s, n) => InSubquery(rewriteExpr(x)(f), s, n)
+      case other => other
+    }
+    f(r)
+  }
+
   // ------------------------------------------------------------- core select
-  private def compileCore(sel: Select, scope: Map[String, DataFrame]): DataFrame = {
+  private def compileCore(sel0: Select, scope: Map[String, DataFrame]): DataFrame = {
+    // Uncorrelated scalar subqueries: compile each to a 1-row frame that
+    // broadcast-cross-joins onto FROM, and rewrite the expression into a
+    // plain column ref — fully lazy and distributed, no driver collect.
+    var scalarSubs = Seq.empty[(String, DataFrame)]
+    def liftScalars(e: Expr): Expr = rewriteExpr(e) {
+      case ScalarSubquery(sub) =>
+        val df = compileSelect(sub, scope)
+        if (df.columns.length != 1)
+          throw CompileException("scalar subquery must return one column")
+        val name = s"__sq${scalarSubs.length}"
+        scalarSubs :+= (name -> df.toDF(name))
+        ColRef(Seq(name))
+      case other => other
+    }
+    val sel = sel0.copy(
+      items = sel0.items.map {
+        case ExprItem(e, a) => ExprItem(liftScalars(e), a)
+        case w => w
+      },
+      where = sel0.where.map(liftScalars),
+      having = sel0.having.map(liftScalars))
+
     // FROM: left-fold comma items as cross joins; join chains inside
     // (reference execute_from, _executor.py:336-368). WHERE conjuncts that
     // span sides need no manual promotion — Catalyst pushes predicates
@@ -75,6 +118,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
         }
     }
     if (from == null) from = spark.range(1).select() // dual (SURVEY §1.1)
+    for ((_, sq) <- scalarSubs) from = from.crossJoin(broadcast(sq))
 
     for (w <- sel.where) from = applyWhere(from, w, scope)
 
@@ -346,7 +390,16 @@ final class Compiler(spark: SparkSession, registry: Registry,
   // ------------------------------------------------------------ expressions
   private def containsAgg(e: Expr): Boolean = e match {
     case _: CallSet => true
-    case _: CallAnalytics => false // window calls are not group aggregates
+    // a window call is NOT itself a group aggregate (sum(v) OVER (...) is
+    // a window function) — but group aggregates may appear in its
+    // partition/order operands (`rank() over (order by sum(v))`, legal in
+    // PG and in Spark's Aggregate analyzer)
+    case CallAnalytics(c, pb, ob, _) =>
+      pb.exists(containsAgg) || ob.exists(si => containsAgg(si.e)) ||
+        (c match {
+          case CallSet(_, args, _, _) => args.exists(containsAgg)
+          case other => containsAgg(other)
+        })
     case BinaryOp(_, l, r) => containsAgg(l) || containsAgg(r)
     case UnaryOp(_, x) => containsAgg(x)
     case Call(_, args) => args.exists(containsAgg)

@@ -271,6 +271,10 @@ class ConformanceSpec extends AnyFunSuite {
     check("""select c1, c2, sum(c2) over (partition by c1 order by c2
              rows between 1 preceding and current row) as s from test""")
   }
+  test("window over aggregate result (rank of group sums)") {
+    check("""select c1, sum(c2) as s, rank() over (order by sum(c2) desc) as r
+             from test group by c1""")
+  }
   test("union / union all / intersect / except") {
     check("select c1 from test union select c3 from other")
     check("select c1 from test union all select c3 from other")
@@ -285,6 +289,12 @@ class ConformanceSpec extends AnyFunSuite {
   }
   test("between") {
     check("select c2 from test where c2 between 2 and 4")
+  }
+  test("scalar subquery in WHERE (broadcast cross join lowering)") {
+    check("select c1, c2 from test where c2 > (select avg(c4) from other)")
+  }
+  test("scalar subquery in select list") {
+    check("select c1, (select max(c4) from other) as m from test")
   }
   test("in subquery lowered to semi join") {
     check("select c2 from test where c1 in (select c3 from other where c4 > 5)")
