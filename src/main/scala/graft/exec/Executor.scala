@@ -91,6 +91,29 @@ final class Executor(val spark: SparkSession,
     execute(sql).getOrElse(
       throw CompileException("statement did not produce a result set"))
 
+  /** Execute a semicolon-separated script; returns the last result set.
+    * The split is quote-aware (a ';' inside a string literal, e.g. a CSV
+    * delimiter option, does not terminate the statement). */
+  def executeScript(script: String): Option[DataFrame] = {
+    val stmts = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inStr = false
+    for (c <- script) {
+      if (c == '\'') { inStr = !inStr; sb.append(c) }
+      else if (c == ';' && !inStr) { stmts += sb.toString; sb.clear() }
+      else sb.append(c)
+    }
+    stmts += sb.toString
+    stmts.result().map(_.trim).filter(_.nonEmpty)
+      .foldLeft(Option.empty[DataFrame])((_, s) => execute(s))
+  }
+
+  /** Catalyst's formatted physical plan for a dialect query — the
+    * inspection surface for pushdown / join-strategy checks. */
+  def explain(sql: String): String =
+    query(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
   /** Single-file CSV for reference parity (reference COPY TO writes one
     * file with header, _pandas.py:205-220). Spark writes a part-file per
     * partition; we coalesce(1) and move the part into place. On a real

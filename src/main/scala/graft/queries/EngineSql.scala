@@ -151,6 +151,19 @@ object EngineSql {
           |  sqrt(16.0) as sq, mod(17, 5) as md,
           |  greatest(1, 9, 3) as g, least(4, 2, 8) as l""".stripMargin),
 
+      // window over aggregate result (PG-legal, dead in the reference)
+      "fq_window_agg" -> same(
+        """select o_orderpriority,
+          |  cast(sum(cast(o_totalprice as decimal(18,6))) as double) as total,
+          |  rank() over (order by sum(cast(o_totalprice as decimal(18,6))) desc) as rnk
+          |from orders group by o_orderpriority order by rnk""".stripMargin),
+
+      // scalar subquery lowered to a broadcast cross join
+      "fq_scalar_subquery" -> same(
+        """select count(1) as n from orders
+          |where o_totalprice > (select cast(sum(cast(o_totalprice as decimal(18,6)))
+          |                      / count(1) as double) from orders)""".stripMargin),
+
       // decimal-exact revenue through the engine dialect
       "fq_revenue" -> same(
         """select l_returnflag,

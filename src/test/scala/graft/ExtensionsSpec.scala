@@ -34,6 +34,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ids.distinct.length == 4)
   }
 
+  test("partitioned write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    val df = Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "part", "v")
+    graft.sources.Sinks.writePartitioned(df, dir, Seq("part"))
+    val read = spark.read.parquet(dir).filter(org.apache.spark.sql.functions.col("part") === "a")
+    assert(read.count() == 2)
+    // partition pruning: only the part=a directory appears in the scan
+    val plan = read.queryExecution.executedPlan.toString
+    assert(!plan.contains("part=b") || plan.contains("PartitionFilters"))
+  }
+
+  test("executeScript runs statements and returns last result") {
+    val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
+    val out = exec.executeScript(
+      """create table big as select x from t where x > 1;
+        |select count(1) as n from big;""".stripMargin)
+    assert(out.get.collect()(0).getLong(0) == 2L)
+  }
+
+  test("explain exposes the physical plan") {
+    val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
+    val plan = exec.explain("select x from t where x > 1")
+    assert(plan.contains("Filter") || plan.contains("LocalTableScan"))
+  }
+
   test("scope-spec JSON bootstrap (reference dialect.py semantics)") {
     val dir = Files.createTempDirectory("graft_spec")
     Files.writeString(dir.resolve("test.csv"), "f;g;i\n7.0;0;1\n8.0;0;2\n9.0;1;3\n")
