@@ -324,7 +324,14 @@ final class Compiler(spark: SparkSession, registry: Registry,
     }
     var df = from
     val plain = Seq.newBuilder[Expr]
-    for (c <- conjuncts(w)) c match {
+    for (c0 <- conjuncts(w)) {
+      // normalize NOT EXISTS / NOT (x IN (...)) shapes
+      val c = c0 match {
+        case UnaryOp("not", ExistsSubquery(s, n)) => ExistsSubquery(s, !n)
+        case UnaryOp("not", InSubquery(e, s, n)) => InSubquery(e, s, !n)
+        case other => other
+      }
+      c match {
       case InSubquery(e, sub, negated) =>
         val rhs0 = compileSelect(sub, scope)
         if (rhs0.columns.length != 1)
@@ -334,14 +341,93 @@ final class Compiler(spark: SparkSession, registry: Registry,
         // NOTE: NOT IN with NULLs in the subquery is anti-join semantics
         // here (documented divergence from SQL's three-valued NOT IN)
         df = df.join(rhs, compileExpr(e) === col("__in_key"), how)
-      case ExistsSubquery(_, _) =>
-        throw CompileException(
-          "EXISTS subqueries are not supported; rewrite as IN or a join")
+      case ExistsSubquery(sub, negated) =>
+        df = lowerExists(df, sub, negated, scope)
       case other => plain += other
+      }
     }
     val rest = plain.result()
     if (rest.isEmpty) df
     else df.filter(rest.map(compileExpr).reduce(_ && _))
+  }
+
+  /** Lower [NOT] EXISTS (select ... from inner where ...) to a left-semi
+    * (anti) join. Decorrelation: the subquery's WHERE conjuncts split
+    * into inner-only filters (applied before the join — only the
+    * filtered key set shuffles) and equality conjuncts linking one inner
+    * side to one outer side (the join keys). Anything else is rejected. */
+  private def lowerExists(outer: DataFrame, sub: Select, negated: Boolean,
+      scope: Map[String, DataFrame]): DataFrame = {
+    if (sub.from.isEmpty)
+      throw CompileException("EXISTS subquery needs a FROM clause")
+    var inner: DataFrame = null
+    for (rel <- sub.from)
+      inner = if (inner == null) compileRelation(rel, scope)
+      else inner.crossJoin(compileRelation(rel, scope))
+
+    // inner namespace: column names + relation aliases
+    val innerCols = inner.columns.toSet
+    def innerAliases(r: Relation): Set[String] = r match {
+      case TableRef(_, n, a) => Set(a.getOrElse(n))
+      case SubqueryRel(_, a) => a.toSet
+      case TableFunctionRel(f, _, a, _) => Set(a.getOrElse(f))
+      case JoinRel(_, l, rr, _) => innerAliases(l) ++ innerAliases(rr)
+    }
+    val aliases = sub.from.flatMap(innerAliases).toSet
+    def isInner(e: Expr): Boolean = e match {
+      case ColRef(Seq(c)) => innerCols.contains(c)
+      case ColRef(parts) if parts.length >= 2 => aliases.contains(parts.head)
+      case _ => false
+    }
+    def allRefsInner(e: Expr): Boolean = e match {
+      case c: ColRef => isInner(c)
+      case BinaryOp(_, l, r) => allRefsInner(l) && allRefsInner(r)
+      case UnaryOp(_, x) => allRefsInner(x)
+      case Call(_, args) => args.forall(allRefsInner)
+      case CastExpr(x, _) => allRefsInner(x)
+      case InList(x, vs, _) => allRefsInner(x) && vs.forall(allRefsInner)
+      case CaseExpr(bs, o) =>
+        bs.forall { case (c, v) => allRefsInner(c) && allRefsInner(v) } &&
+          o.forall(allRefsInner)
+      case _: IntLit | _: FloatLit | _: StringLit | _: BoolLit | NullLit => true
+      case _ => false
+    }
+
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case BinaryOp("and", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val innerFilters = Seq.newBuilder[Expr]
+    val joinConds = Seq.newBuilder[(Expr, Expr)] // (outer side, inner side)
+    for (c <- sub.where.toSeq.flatMap(conjuncts)) c match {
+      case _ if allRefsInner(c) => innerFilters += c
+      case BinaryOp("=", l, r) if allRefsInner(l) && !allRefsInner(r) =>
+        joinConds += (r -> l)
+      case BinaryOp("=", l, r) if allRefsInner(r) && !allRefsInner(l) =>
+        joinConds += (l -> r)
+      case other => throw CompileException(
+        s"unsupported correlated predicate in EXISTS: $other " +
+          "(only inner-only filters and outer = inner equalities)")
+    }
+    val conds = joinConds.result()
+    if (conds.isEmpty)
+      throw CompileException(
+        "uncorrelated EXISTS is not supported; use a join or IN")
+
+    // unique alias isolates inner columns from same-named outer ones
+    existsCounter += 1
+    val tag = s"__ex$existsCounter"
+    var rhs = inner
+    val fs = innerFilters.result()
+    if (fs.nonEmpty) rhs = rhs.filter(fs.map(compileExpr).reduce(_ && _))
+    val rhsAliased = rhs.alias(tag)
+    def innerSide(e: Expr): Column = e match {
+      case ColRef(Seq(c)) => col(s"`$tag`.`$c`")
+      case other => compileExpr(other) // qualified refs resolve via nesting
+    }
+    val joinExpr = conds.map { case (o, i) => compileExpr(o) === innerSide(i) }
+      .reduce(_ && _)
+    outer.join(rhsAliased, joinExpr, if (negated) "left_anti" else "left_semi")
   }
 
   // -------------------------------------------------------------- relations
@@ -417,6 +503,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
   /** When true, column refs compile as lateral outer references (used for
     * the correlated arguments of LATERAL table functions). */
   private var markOuter = false
+  private var existsCounter = 0
 
   /** Compile an expression whose column refs resolve against the LEFT side
     * of a lateral join (Spark 4 `Column.outer()`). */

@@ -109,6 +109,18 @@ object EngineSql {
       "fq_count_distinct" -> same(
         """select count(distinct o_custkey) as n from orders"""),
 
+      // correlated EXISTS → decorrelated semi join
+      "fq_exists" -> same(
+        """select o_orderpriority, count(1) as n from orders
+          |where exists (select 1 from lineitem
+          |              where l_orderkey = o_orderkey and l_discount > 0.09)
+          |group by o_orderpriority order by o_orderpriority""".stripMargin),
+
+      // correlated NOT EXISTS → anti join
+      "fq_not_exists" -> same(
+        """select count(1) as n from customer
+          |where not exists (select 1 from orders where o_custkey = c_custkey)""".stripMargin),
+
       // IN (subquery) → semi join
       "fq_in_subquery" -> same(
         """select count(1) as n from customer

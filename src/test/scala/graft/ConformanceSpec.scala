@@ -296,6 +296,14 @@ class ConformanceSpec extends AnyFunSuite {
   test("scalar subquery in select list") {
     check("select c1, (select max(c4) from other) as m from test")
   }
+  test("correlated EXISTS lowered to semi join") {
+    check("""select c1, c2 from test
+             where exists (select 1 from other where c3 = c1 and c4 > 5)""")
+  }
+  test("correlated NOT EXISTS lowered to anti join") {
+    check("""select c1, c2 from test
+             where not exists (select 1 from other where c3 = c1 and c4 > 6)""")
+  }
   test("in subquery lowered to semi join") {
     check("select c2 from test where c1 in (select c3 from other where c4 > 5)")
   }
