@@ -275,6 +275,17 @@ class ConformanceSpec extends AnyFunSuite {
     check("""select c1, sum(c2) as s, rank() over (order by sum(c2) desc) as r
              from test group by c1""")
   }
+  test("lag/lead/first_value window functions") {
+    check("""select c1, c2,
+               lag(c2) over (partition by c1 order by c2) as prev,
+               lead(c2) over (partition by c1 order by c2) as nxt,
+               first_value(c2) over (partition by c1 order by c2) as fst
+             from test""")
+  }
+  test("coalesce and nullif") {
+    check("""select c2, coalesce(c4, -1) as c4x, nullif(c1, 0) as n
+             from test left join other on c1 = c3 and c4 > 7""")
+  }
   test("union / union all / intersect / except") {
     check("select c1 from test union select c3 from other")
     check("select c1 from test union all select c3 from other")
