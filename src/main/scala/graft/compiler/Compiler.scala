@@ -455,6 +455,13 @@ final class Compiler(spark: SparkSession, registry: Registry,
             val right = compileRelation(r, scope)
             (how, on) match {
               case ("cross", _) => left.crossJoin(right)
+              case (_, Some(Call("__using", cols))) =>
+                // USING (a, b): equi-join with shared columns coalesced
+                left.join(right,
+                  cols.map { case ColRef(Seq(c)) => c
+                             case other => throw CompileException(
+                               s"bad USING column $other") },
+                  if (how == "full") "full_outer" else how)
               case (_, Some(cond)) => left.join(right, compileExpr(cond),
                 if (how == "full") "full_outer" else how)
               case (_, None) => left.crossJoin(right)

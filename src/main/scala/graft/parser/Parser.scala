@@ -311,8 +311,19 @@ final class Parser(tokens: Vector[Token]) {
       how match {
         case Some(h) =>
           val right = parseRelation()
-          val on = if (h != "cross" && acceptKw("on")) Some(parseExpr()) else None
-          left = JoinRel(h, left, right, on)
+          if (h != "cross" && acceptKw("using")) {
+            // USING (a, b) — equi-join on shared column names, marked by a
+            // sentinel expression the compiler recognizes
+            expectOp("(")
+            var cols = Seq(parseIdent())
+            while (acceptOp(",")) cols :+= parseIdent()
+            expectOp(")")
+            left = JoinRel(h, left, right,
+              Some(Call("__using", cols.map(c => ColRef(Seq(c))))))
+          } else {
+            val on = if (h != "cross" && acceptKw("on")) Some(parseExpr()) else None
+            left = JoinRel(h, left, right, on)
+          }
         case None => going = false
       }
     }
@@ -412,6 +423,12 @@ final class Parser(tokens: Vector[Token]) {
         next(); e = parseInTail(e, negated = false)
       } else if (peekKw("between")) {
         next(); e = parseBetweenTail(e, negated = false)
+      } else if (peekKw("is") && peekKwAt(1, "distinct")) {
+        next(); next(); expectKw("from")
+        e = UnaryOp("not", BinaryOp("<=>", e, parseBitShift()))
+      } else if (peekKw("is") && peekKwAt(1, "not") && peekKwAt(2, "distinct")) {
+        next(); next(); next(); expectKw("from")
+        e = BinaryOp("<=>", e, parseBitShift())
       } else if (peekKw("is")) {
         next()
         val neg = acceptKw("not")

@@ -307,6 +307,25 @@ class ConformanceSpec extends AnyFunSuite {
   test("scalar subquery in select list") {
     check("select c1, (select max(c4) from other) as m from test")
   }
+  test("join using shared columns") {
+    check("select name, age from names join ages using (id)")
+  }
+  test("is distinct from / is not distinct from") {
+    check("""select c2, c4 is distinct from c2, c4 is not distinct from c2
+             from test left join other on c1 = c3 and c4 > 7""")
+  }
+  test("having without group by (global aggregate filter)") {
+    check("select sum(c2) as s from test having sum(c2) > 10")
+    checkLit("select sum(c2) as s from test having sum(c2) > 100", Seq())
+  }
+  test("exact percentile matches") {
+    check("select percentile(c2, 0.5) as med from test",
+      "select percentile(c2, 0.5) as med from test")
+  }
+  test("string_agg / collect sorted") {
+    check("select c1, array_sort(collect(c2)) as vs from test group by c1",
+      "select c1, sort_array(collect_list(c2)) as vs from test group by c1")
+  }
   test("correlated EXISTS lowered to semi join") {
     check("""select c1, c2 from test
              where exists (select 1 from other where c3 = c1 and c4 > 5)""")
