@@ -87,6 +87,12 @@ final case class Select(
     from: Seq[Relation] = Nil,
     where: Option[Expr] = None,
     groupBy: Seq[Expr] = Nil,
+    /** "simple" | "rollup" | "cube" | "sets" (multi-level aggregates —
+      * absent in the reference, SURVEY §2.4; native in Spark). */
+    groupType: String = "simple",
+    /** for groupType = "sets": the explicit grouping sets, each a subset
+      * of [[groupBy]] (which holds the union, in first-appearance order). */
+    groupingSets: Seq[Seq[Expr]] = Nil,
     having: Option[Expr] = None,
     orderBy: Seq[SortItem] = Nil,
     limit: Option[Long] = None,

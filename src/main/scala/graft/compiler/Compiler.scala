@@ -81,18 +81,36 @@ final class Compiler(spark: SparkSession, registry: Registry,
 
   // ------------------------------------------------------------- core select
   private def compileCore(sel0: Select, scope: Map[String, DataFrame]): DataFrame = {
-    // Uncorrelated scalar subqueries: compile each to a 1-row frame that
-    // broadcast-cross-joins onto FROM, and rewrite the expression into a
-    // plain column ref — fully lazy and distributed, no driver collect.
-    var scalarSubs = Seq.empty[(String, DataFrame)]
+    // Scalar subqueries are lifted out of expressions into joins on FROM —
+    // fully lazy and distributed, no driver collect:
+    //  - uncorrelated: 1-row frame broadcast-cross-joined onto FROM;
+    //  - correlated (equality correlation): decorrelated to a grouped
+    //    aggregate left-joined on the correlation keys (one shuffle of the
+    //    inner keyed by the correlation columns — the classic Kim/Neumann
+    //    agg-decorrelation; TPC-H Q2/Q17 shape).
+    var scalarJoins = Seq.empty[DataFrame => DataFrame]
+    var scalarCount = 0
     def liftScalars(e: Expr): Expr = rewriteExpr(e) {
       case ScalarSubquery(sub) =>
-        val df = compileSelect(sub, scope)
-        if (df.columns.length != 1)
-          throw CompileException("scalar subquery must return one column")
-        val name = s"__sq${scalarSubs.length}"
-        scalarSubs :+= (name -> df.toDF(name))
-        ColRef(Seq(name))
+        scalarCount += 1
+        val n = scalarCount
+        val correlated = innerContext(sub, scope) match {
+          case Some(ctx) =>
+            sub.where.toSeq.flatMap(conjuncts).exists(c => !ctx.allInner(c))
+          case None => false
+        }
+        if (!correlated) {
+          val df = compileSelect(sub, scope)
+          if (df.columns.length != 1)
+            throw CompileException("scalar subquery must return one column")
+          val name = s"__sq$n"
+          scalarJoins :+= ((f: DataFrame) => f.crossJoin(broadcast(df.toDF(name))))
+          ColRef(Seq(name))
+        } else {
+          val (joinFn, replacement) = lowerCorrelatedScalar(sub, scope, n)
+          scalarJoins :+= joinFn
+          replacement
+        }
       case other => other
     }
     val sel = sel0.copy(
@@ -118,7 +136,19 @@ final class Compiler(spark: SparkSession, registry: Registry,
         }
     }
     if (from == null) from = spark.range(1).select() // dual (SURVEY §1.1)
-    for ((_, sq) <- scalarSubs) from = from.crossJoin(broadcast(sq))
+
+    // scalar-subquery joins add helper columns; a bare `*` must expand to
+    // the pre-join column set, so isolate it behind a subquery alias
+    // (skipped when a `t.*` is also present — those must see inner aliases)
+    val starTag: Option[String] =
+      if (scalarJoins.nonEmpty &&
+          sel.items.exists { case Wildcard(None) => true; case _ => false } &&
+          !sel.items.exists { case Wildcard(Some(_)) => true; case _ => false }) {
+        existsCounter += 1
+        Some(s"__base$existsCounter")
+      } else None
+    for (t <- starTag) from = from.alias(t)
+    for (jf <- scalarJoins) from = jf(from)
 
     for (w <- sel.where) from = applyWhere(from, w, scope)
 
@@ -135,7 +165,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
         .filter(col("__don") === 1).drop("__don")
     }
 
-    val items = expandWildcards(sel.items, from)
+    val items = expandWildcards(sel.items, starTag)
     val hasAgg = items.exists(i => containsAgg(itemExpr(i))) ||
       sel.groupBy.nonEmpty || sel.having.exists(containsAgg)
 
@@ -149,10 +179,13 @@ final class Compiler(spark: SparkSession, registry: Registry,
   }
 
   // -------------------------------------------------------------- wildcards
-  /** `*` and `t.*` become star ColRefs that Catalyst expands. */
-  private def expandWildcards(items: Seq[SelectItem], from: DataFrame): Seq[SelectItem] =
+  /** `*` and `t.*` become star ColRefs that Catalyst expands; a bare `*`
+    * is qualified with the pre-scalar-join base alias when one exists. */
+  private def expandWildcards(items: Seq[SelectItem],
+      starTag: Option[String]): Seq[SelectItem] =
     items.map {
-      case Wildcard(None) => ExprItem(ColRef(Seq("*")), None)
+      case Wildcard(None) =>
+        ExprItem(ColRef(starTag.toSeq :+ "*"), None)
       case Wildcard(Some(t)) => ExprItem(ColRef(Seq(t, "*")), None)
       case other => other
     }
@@ -296,9 +329,17 @@ final class Compiler(spark: SparkSession, registry: Registry,
       }
 
     val aggExprs = itemCols ++ havingCol.toSeq ++ extras.result()
-    var df =
-      if (groupCols.isEmpty) from.groupBy().agg(aggExprs.head, aggExprs.tail: _*)
-      else from.groupBy(groupCols: _*).agg(aggExprs.head, aggExprs.tail: _*)
+    // multi-level aggregates: one pass producing every grouping level
+    // (Spark expands to an Expand node — no per-level rescan)
+    val grouped = sel.groupType match {
+      case "rollup" => from.rollup(groupCols: _*)
+      case "cube" => from.cube(groupCols: _*)
+      case "sets" =>
+        from.groupingSets(sel.groupingSets.map(_.map(compileExpr)), groupCols: _*)
+      case _ =>
+        if (groupCols.isEmpty) from.groupBy() else from.groupBy(groupCols: _*)
+    }
+    var df = grouped.agg(aggExprs.head, aggExprs.tail: _*)
 
     if (havingCol.isDefined) df = df.filter(col("__having"))
     if (sel.distinct) df = df.dropDuplicates(names.indices.map(k => s"__out$k"))
@@ -318,10 +359,6 @@ final class Compiler(spark: SparkSession, registry: Registry,
     * the Spark-native decorrelation (only the key set shuffles). */
   private def applyWhere(from: DataFrame, w: Expr,
       scope: Map[String, DataFrame]): DataFrame = {
-    def conjuncts(e: Expr): Seq[Expr] = e match {
-      case BinaryOp("and", l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     var df = from
     val plain = Seq.newBuilder[Expr]
     for (c0 <- conjuncts(w)) {
@@ -351,83 +388,162 @@ final class Compiler(spark: SparkSession, registry: Registry,
     else df.filter(rest.map(compileExpr).reduce(_ && _))
   }
 
-  /** Lower [NOT] EXISTS (select ... from inner where ...) to a left-semi
-    * (anti) join. Decorrelation: the subquery's WHERE conjuncts split
-    * into inner-only filters (applied before the join — only the
-    * filtered key set shuffles) and equality conjuncts linking one inner
-    * side to one outer side (the join keys). Anything else is rejected. */
-  private def lowerExists(outer: DataFrame, sub: Select, negated: Boolean,
-      scope: Map[String, DataFrame]): DataFrame = {
-    if (sub.from.isEmpty)
-      throw CompileException("EXISTS subquery needs a FROM clause")
+  // -------------------------------------------- correlated-subquery lowering
+
+  /** AND-flattened conjuncts (reference flatten_ands, _util.py:388-392). */
+  private def conjuncts(e: Expr): Seq[Expr] = e match {
+    case BinaryOp("and", l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** every column reference in an expression (subquery nodes not entered —
+    * their refs belong to deeper scopes). */
+  private def collectColRefs(e: Expr): Seq[Seq[String]] = {
+    val b = Seq.newBuilder[Seq[String]]
+    rewriteExpr(e) { case c @ ColRef(p) => b += p; c; case other => other }
+    b.result()
+  }
+
+  /** A subquery's own namespace (its FROM columns + relation aliases),
+    * used for the origin analysis that splits correlated predicates —
+    * the Spark-side analog of the reference's `determine_origin` lattice
+    * (_util.py:395-453), applied to subqueries instead of join sides. */
+  private final case class InnerCtx(inner: DataFrame, cols: Set[String],
+      aliases: Set[String]) {
+    /** SQL scoping: a bare ref matching an inner column binds to the
+      * inner (innermost scope wins); a qualified ref binds by alias. */
+    def isInnerRef(parts: Seq[String]): Boolean =
+      if (parts.length >= 2) aliases.contains(parts.head)
+      else cols.contains(parts.head)
+    def allInner(e: Expr): Boolean = collectColRefs(e).forall(isInnerRef)
+  }
+
+  private def relAliases(r: Relation): Set[String] = r match {
+    case TableRef(_, n, a) => Set(a.getOrElse(n))
+    case SubqueryRel(_, a) => a.toSet
+    case TableFunctionRel(f, _, a, _) => Set(a.getOrElse(f))
+    case JoinRel(_, l, rr, _) => relAliases(l) ++ relAliases(rr)
+  }
+
+  /** Compile a subquery's FROM fold and namespace; None when FROM-less. */
+  private def innerContext(sub: Select,
+      scope: Map[String, DataFrame]): Option[InnerCtx] = {
+    if (sub.from.isEmpty) return None
     var inner: DataFrame = null
     for (rel <- sub.from)
       inner = if (inner == null) compileRelation(rel, scope)
       else inner.crossJoin(compileRelation(rel, scope))
+    Some(InnerCtx(inner, inner.columns.toSet, sub.from.flatMap(relAliases).toSet))
+  }
 
-    // inner namespace: column names + relation aliases
-    val innerCols = inner.columns.toSet
-    def innerAliases(r: Relation): Set[String] = r match {
-      case TableRef(_, n, a) => Set(a.getOrElse(n))
-      case SubqueryRel(_, a) => a.toSet
-      case TableFunctionRel(f, _, a, _) => Set(a.getOrElse(f))
-      case JoinRel(_, l, rr, _) => innerAliases(l) ++ innerAliases(rr)
-    }
-    val aliases = sub.from.flatMap(innerAliases).toSet
-    def isInner(e: Expr): Boolean = e match {
-      case ColRef(Seq(c)) => innerCols.contains(c)
-      case ColRef(parts) if parts.length >= 2 => aliases.contains(parts.head)
-      case _ => false
-    }
-    def allRefsInner(e: Expr): Boolean = e match {
-      case c: ColRef => isInner(c)
-      case BinaryOp(_, l, r) => allRefsInner(l) && allRefsInner(r)
-      case UnaryOp(_, x) => allRefsInner(x)
-      case Call(_, args) => args.forall(allRefsInner)
-      case CastExpr(x, _) => allRefsInner(x)
-      case InList(x, vs, _) => allRefsInner(x) && vs.forall(allRefsInner)
-      case CaseExpr(bs, o) =>
-        bs.forall { case (c, v) => allRefsInner(c) && allRefsInner(v) } &&
-          o.forall(allRefsInner)
-      case _: IntLit | _: FloatLit | _: StringLit | _: BoolLit | NullLit => true
-      case _ => false
+  /** Rewrite inner-scope refs to `tag.col` so they resolve against the
+    * aliased right side of a decorrelated join. */
+  private def qualifyInner(e: Expr, tag: String, ctx: InnerCtx): Expr =
+    rewriteExpr(e) {
+      case ColRef(parts) if ctx.isInnerRef(parts) => ColRef(Seq(tag, parts.last))
+      case other => other
     }
 
-    def conjuncts(e: Expr): Seq[Expr] = e match {
-      case BinaryOp("and", l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val innerFilters = Seq.newBuilder[Expr]
-    val joinConds = Seq.newBuilder[(Expr, Expr)] // (outer side, inner side)
-    for (c <- sub.where.toSeq.flatMap(conjuncts)) c match {
-      case _ if allRefsInner(c) => innerFilters += c
-      case BinaryOp("=", l, r) if allRefsInner(l) && !allRefsInner(r) =>
-        joinConds += (r -> l)
-      case BinaryOp("=", l, r) if allRefsInner(r) && !allRefsInner(l) =>
-        joinConds += (l -> r)
-      case other => throw CompileException(
-        s"unsupported correlated predicate in EXISTS: $other " +
-          "(only inner-only filters and outer = inner equalities)")
-    }
-    val conds = joinConds.result()
-    if (conds.isEmpty)
-      throw CompileException(
-        "uncorrelated EXISTS is not supported; use a join or IN")
+  /** Lower [NOT] EXISTS (select ... from inner where ...) to a left-semi
+    * (anti) join. Decorrelation: inner-only conjuncts filter the inner
+    * side *before* the join (only the filtered rows shuffle); everything
+    * else — equalities, non-equi comparisons, arbitrary mixed predicates —
+    * becomes the join condition, from which Catalyst extracts equi keys
+    * for hash joins and leaves residuals as post-filters. An EXISTS with
+    * no correlated conjunct degenerates to a semi join against LIMIT 1 of
+    * the filtered inner (a non-emptiness probe, broadcast). */
+  private def lowerExists(outer: DataFrame, sub: Select, negated: Boolean,
+      scope: Map[String, DataFrame]): DataFrame = {
+    val ctx = innerContext(sub, scope).getOrElse(
+      throw CompileException("EXISTS subquery needs a FROM clause"))
+    val (innerFilters, joinPreds) =
+      sub.where.toSeq.flatMap(conjuncts).partition(ctx.allInner)
 
     // unique alias isolates inner columns from same-named outer ones
     existsCounter += 1
     val tag = s"__ex$existsCounter"
-    var rhs = inner
-    val fs = innerFilters.result()
-    if (fs.nonEmpty) rhs = rhs.filter(fs.map(compileExpr).reduce(_ && _))
-    val rhsAliased = rhs.alias(tag)
-    def innerSide(e: Expr): Column = e match {
-      case ColRef(Seq(c)) => col(s"`$tag`.`$c`")
-      case other => compileExpr(other) // qualified refs resolve via nesting
+    var rhs = ctx.inner
+    if (innerFilters.nonEmpty)
+      rhs = rhs.filter(innerFilters.map(compileExpr).reduce(_ && _))
+    val how = if (negated) "left_anti" else "left_semi"
+    if (joinPreds.isEmpty)
+      // uncorrelated: non-emptiness probe — one row broadcast
+      outer.join(broadcast(rhs.limit(1).alias(tag)), lit(true), how)
+    else {
+      val cond = joinPreds
+        .map(p => compileExpr(qualifyInner(p, tag, ctx))).reduce(_ && _)
+      outer.join(rhs.alias(tag), cond, how)
     }
-    val joinExpr = conds.map { case (o, i) => compileExpr(o) === innerSide(i) }
-      .reduce(_ && _)
-    outer.join(rhsAliased, joinExpr, if (negated) "left_anti" else "left_semi")
+  }
+
+  /** Decorrelate a correlated scalar subquery `(select AGG-EXPR from
+    * inner where corr-conjuncts)` into a grouped aggregate left-joined on
+    * the correlation keys: inner-only conjuncts pre-filter, equality
+    * conjuncts outer-expr = inner-expr become groupBy keys + join keys,
+    * aggregate calls become agg columns, and the returned expression is
+    * the item expression over those columns (COUNT coalesced to 0 —
+    * SQL's empty-group count). One shuffle of the filtered inner keyed
+    * by the correlation columns; the join is a plain equi join Catalyst
+    * plans freely (broadcast when the aggregated side is small). */
+  private def lowerCorrelatedScalar(sub: Select, scope: Map[String, DataFrame],
+      n: Int): (DataFrame => DataFrame, Expr) = {
+    val tag = s"__csq$n"
+    if (sub.items.length != 1)
+      throw CompileException("scalar subquery must return one column")
+    if (sub.groupBy.nonEmpty || sub.orderBy.nonEmpty || sub.limit.nonEmpty ||
+        sub.offset.nonEmpty || sub.distinct || sub.setOps.nonEmpty ||
+        sub.cte.nonEmpty)
+      throw CompileException(
+        "correlated scalar subquery supports only SELECT <agg> FROM ... WHERE ...")
+    val item = sub.items.head match {
+      case ExprItem(e, _) => e
+      case _ => throw CompileException("scalar subquery cannot select *")
+    }
+    if (!containsAgg(item))
+      throw CompileException(
+        "correlated scalar subquery must be an aggregate (one row per key)")
+
+    val ctx = innerContext(sub, scope).get
+    val innerFilters = Seq.newBuilder[Expr]
+    val keys = Seq.newBuilder[(Expr, Expr)] // (outer side, inner side)
+    for (c <- sub.where.toSeq.flatMap(conjuncts)) c match {
+      case _ if ctx.allInner(c) => innerFilters += c
+      case BinaryOp("=", l, r) if ctx.allInner(l) =>
+        keys += (r -> l)
+      case BinaryOp("=", l, r) if ctx.allInner(r) =>
+        keys += (l -> r)
+      case other => throw CompileException(
+        s"unsupported correlated predicate in scalar subquery: $other " +
+          "(only inner-only filters and outer = inner equalities)")
+    }
+    val keyList = keys.result()
+
+    // aggregate calls → named agg columns; the rest of the item is
+    // evaluated post-join over them
+    var aggCols = Seq.empty[Column]
+    val postExpr = rewriteExpr(item) {
+      case cs @ CallSet(fn, _, _, _) =>
+        val nm = s"${tag}_a${aggCols.length}"
+        aggCols :+= compileAggCall(cs).as(nm)
+        val ref: Expr = ColRef(Seq(nm))
+        if (fn == "count") Call("coalesce", Seq(ref, IntLit(0))) else ref
+      case other => other
+    }
+
+    var inner = ctx.inner
+    val fs = innerFilters.result()
+    if (fs.nonEmpty) inner = inner.filter(fs.map(compileExpr).reduce(_ && _))
+    val keyCols = keyList.zipWithIndex.map { case ((_, ie), i) =>
+      compileExpr(ie).as(s"${tag}_k$i")
+    }
+    val agg = inner.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val joinFn = (outer: DataFrame) =>
+      outer.join(agg,
+        keyList.zipWithIndex.map { case ((oe, _), i) =>
+          compileExpr(oe) === col(s"${tag}_k$i")
+        }.reduce(_ && _),
+        "left")
+    (joinFn, postExpr)
   }
 
   // -------------------------------------------------------------- relations

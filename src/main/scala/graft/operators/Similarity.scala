@@ -67,9 +67,16 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
+    // cache the vectorized corpus: KMeans is multi-pass (each iteration is
+    // a full scan) and the assignment pass reads it once more. Random init
+    // + few iterations: cell quality barely moves ANN recall (probing
+    // nProbe cells absorbs boundary error) but k-means|| init alone costs
+    // ~5 extra passes.
     val withVec = corpus.withColumn("__vec",
       array_to_vector(col("embedding").cast("array<double>")))
+      .persist()
     val model = new KMeans().setK(nCells).setSeed(42)
+      .setInitMode("random").setMaxIter(5)
       .setFeaturesCol("__vec").setPredictionCol("__cell")
       .fit(withVec)
     val assigned = model.transform(withVec)

@@ -198,17 +198,51 @@ final class Parser(tokens: Vector[Token]) {
 
     val where = if (acceptKw("where")) Some(parseExpr()) else None
 
+    var groupType = "simple"
+    var groupingSets = Seq.empty[Seq[Expr]]
     val groupBy =
       if (peekKw("group")) {
         expectKw("group"); expectKw("by")
-        var es = Seq(parseExpr())
-        while (acceptOp(",")) es :+= parseExpr()
-        es
+        if (peekKw("rollup") || peekKw("cube")) {
+          groupType = next().lower
+          expectOp("(")
+          var es = Seq(parseExpr())
+          while (acceptOp(",")) es :+= parseExpr()
+          expectOp(")")
+          es
+        } else if (peekKw("grouping") && peekKwAt(1, "sets")) {
+          next(); next()
+          groupType = "sets"
+          expectOp("(")
+          // each element: `(a, b)` / `()` / bare expr (= singleton set)
+          def parseSet(): Seq[Expr] =
+            if (acceptOp("(")) {
+              if (acceptOp(")")) Nil
+              else {
+                var es = Seq(parseExpr())
+                while (acceptOp(",")) es :+= parseExpr()
+                expectOp(")")
+                es
+              }
+            } else Seq(parseExpr())
+          groupingSets = Seq(parseSet())
+          while (acceptOp(",")) groupingSets :+= parseSet()
+          expectOp(")")
+          // union of all set members, in first-appearance order
+          groupingSets.flatten.foldLeft(Seq.empty[Expr]) {
+            (acc, e) => if (acc.contains(e)) acc else acc :+ e
+          }
+        } else {
+          var es = Seq(parseExpr())
+          while (acceptOp(",")) es :+= parseExpr()
+          es
+        }
       } else Nil
 
     val having = if (acceptKw("having")) Some(parseExpr()) else None
     Select(distinct = distinct, distinctOn = distinctOn, items = items,
-      from = from, where = where, groupBy = groupBy, having = having)
+      from = from, where = where, groupBy = groupBy, groupType = groupType,
+      groupingSets = groupingSets, having = having)
   }
 
   private def parseOrderByOpt(): Seq[SortItem] =
@@ -403,9 +437,18 @@ final class Parser(tokens: Vector[Token]) {
     var going = true
     while (going) {
       if (peekOp("=") || peekOp("!=") || peekOp("<>") || peekOp("<") ||
-          peekOp(">") || peekOp("<=") || peekOp(">=")) {
+          peekOp(">") || peekOp("<=") || peekOp(">=") ||
+          peekOp("!>") || peekOp("!<")) {
         val op = next().value
-        val norm = if (op == "<>") "!=" else op
+        // `!>` (not greater) / `!<` (not less) — T-SQL-style sugar the
+        // reference tokenizes but never maps (ref _parser.py:206); here
+        // they execute as their ANSI equivalents
+        val norm = op match {
+          case "<>" => "!="
+          case "!>" => "<="
+          case "!<" => ">="
+          case other => other
+        }
         e = BinaryOp(norm, e, parseBitShift())
       } else if (peekKw("like")) {
         next(); e = BinaryOp("like", e, parseBitShift())

@@ -176,6 +176,51 @@ object EngineSql {
           |where o_totalprice > (select cast(sum(cast(o_totalprice as decimal(18,6)))
           |                      / count(1) as double) from orders)""".stripMargin),
 
+      // TPC-H Q17 shape: correlated scalar subquery decorrelated to a
+      // grouped aggregate left join (avg small-quantity threshold per part)
+      "fq_q17_small_qty" -> same(
+        """select cast(sum(cast(l_extendedprice as decimal(18,6))) as double) / 7.0
+          |    as avg_yearly
+          |from lineitem join part on p_partkey = l_partkey
+          |where p_brand = 'Brand#23' and p_size < 10
+          |  and l_quantity < 0.2 *
+          |    (select cast(sum(cast(l_quantity as decimal(18,6))) as double) / count(1)
+          |     from lineitem l2 where l2.l_partkey = p_partkey)""".stripMargin),
+
+      // TPC-H Q21 shape (reshaped: l_shipdate for commit/receipt): the
+      // supplier who shipped last in multi-supplier finished orders —
+      // EXISTS + NOT EXISTS with non-equi correlated predicates
+      "fq_q21_waiting_supplier" -> same(
+        """select s_name, count(1) as numwait
+          |from supplier
+          |join lineitem l1 on s_suppkey = l1.l_suppkey
+          |join orders on o_orderkey = l1.l_orderkey
+          |where o_orderstatus = 'F'
+          |  and exists (select 1 from lineitem l2
+          |              where l2.l_orderkey = l1.l_orderkey
+          |                and l2.l_suppkey <> l1.l_suppkey)
+          |  and not exists (select 1 from lineitem l3
+          |                  where l3.l_orderkey = l1.l_orderkey
+          |                    and l3.l_suppkey <> l1.l_suppkey
+          |                    and l3.l_shipdate > l1.l_shipdate)
+          |group by s_name
+          |order by numwait desc, s_name
+          |limit 10""".stripMargin),
+
+      // TPC-H Q22 shape: rich customers with no orders — uncorrelated
+      // scalar average + NOT EXISTS anti join + IN list
+      "fq_q22_idle_balance" -> same(
+        """select c_nationkey, count(1) as numcust,
+          |  cast(sum(cast(c_acctbal as decimal(18,6))) as double) as totacctbal
+          |from customer
+          |where c_nationkey in (1, 3, 5, 7, 9)
+          |  and c_acctbal >
+          |    (select cast(sum(cast(c_acctbal as decimal(18,6))) as double) / count(1)
+          |     from customer c2
+          |     where c2.c_acctbal > 0.0 and c2.c_nationkey in (1, 3, 5, 7, 9))
+          |  and not exists (select 1 from orders where o_custkey = c_custkey)
+          |group by c_nationkey order by c_nationkey""".stripMargin),
+
       // decimal-exact revenue through the engine dialect
       "fq_revenue" -> same(
         """select l_returnflag,

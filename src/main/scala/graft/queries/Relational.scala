@@ -230,8 +230,8 @@ object Relational {
         .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(n1), cust("c_nationkey") === col("c_nk"))
         .join(broadcast(n2), sup("s_nationkey") === col("s_nk"))
-        .filter(col("cust_nation").isin("FRANCE", "GERMANY") &&
-          col("supp_nation").isin("FRANCE", "GERMANY") &&
+        .filter(col("cust_nation").isin("NATION_1", "NATION_2") &&
+          col("supp_nation").isin("NATION_1", "NATION_2") &&
           col("cust_nation") =!= col("supp_nation"))
         .groupBy(col("cust_nation"), col("supp_nation"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
@@ -289,6 +289,92 @@ object Relational {
             col("p_size").between(1, 15)))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q6 shape: pure scan-side filter + global agg — predicate
+    // pushdown carries every conjunct to the parquet reader; no shuffle
+    // beyond the single-row combine.
+    "q6_forecast_revenue" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q8 shape: national market share inside a region by order year.
+    // All five dimensions broadcast; lineitem is the only shuffled side,
+    // and only for the final per-year aggregate.
+    "q8_market_share" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      val nation = Tables.load(s, dir, "nation")
+      val n1 = nation.select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+      val n2 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val amer = Tables.load(s, dir, "region").filter(col("r_name") === "AMERICA")
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), cust("c_nationkey") === col("c_nk"))
+        .join(broadcast(amer), col("c_rk") === col("r_regionkey"))
+        .join(broadcast(n2), sup("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0))) /
+          dsum(vol)).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q12 shape (reshaped: no l_shipmode/l_commitdate in this
+    // corpus): late shipments — shipped >60 days after order date —
+    // bucketed by priority class per return flag.
+    "q12_late_shipments" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+            .otherwise(1)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — left join so
+    // zero-order customers appear, two cascaded aggregations.
+    "q13_order_distribution" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val ord = Tables.load(s, dir, "orders")
+        .filter(!col("o_orderpriority").like("5%"))
+      val counts = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q15 shape: top supplier by windowed revenue — the max is a
+    // 1-row broadcast joined back (no driver collect, no second scan of
+    // the revenue aggregate thanks to plan reuse).
+    "q15_top_supplier" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val rev = li
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+      val maxRev = rev.agg(max(col("total_rev")).as("mr"))
+      rev.join(broadcast(maxRev), col("total_rev") === col("mr"))
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
     }),
 
     // Date/time functions over the events table.
@@ -412,8 +498,8 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IN ('FRANCE', 'GERMANY')
-        |  AND n2.n_name IN ('FRANCE', 'GERMANY')
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
         |  AND n1.n_name != n2.n_name
         |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin,
     "q10_returned" ->
@@ -446,6 +532,59 @@ object Relational {
         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |    AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (
+        |    SELECT * FROM orders WHERE o_orderpriority NOT LIKE '5%') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_events_by_day" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

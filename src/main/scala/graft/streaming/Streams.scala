@@ -61,13 +61,23 @@ object Streams {
     * into a batch-comparable result for tests and the correctness gate. */
   def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // Streaming state parallelism is pinned at first start by
+    // spark.sql.shuffle.partitions — and each partition is a state store
+    // with per-batch commit/checkpoint overhead. The windowed-agg state
+    // here is tiny (windows × event types), so a handful of stores wins;
+    // on a real cluster ingesting at volume this would stay at the
+    // session default instead.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // materialize: the memory sink table is dropped when the query stops
     val out = spark.table(name).cache()
     out.count()

@@ -334,6 +334,58 @@ class ConformanceSpec extends AnyFunSuite {
     check("""select c1, c2 from test
              where not exists (select 1 from other where c3 = c1 and c4 > 6)""")
   }
+  test("correlated EXISTS with non-equi predicate (generalized lowering)") {
+    check("""select c1, c2 from test
+             where exists (select 1 from other where c3 = c1 and c4 > c2)""")
+  }
+  test("correlated NOT EXISTS with non-equi predicate") {
+    check("""select c1, c2 from test
+             where not exists (select 1 from other where c3 = c1 and c4 < c2)""")
+  }
+  test("uncorrelated EXISTS (non-emptiness probe)") {
+    check("select c1, c2 from test where exists (select 1 from other where c4 > 8)")
+    checkLit("select c1 from test where exists (select 1 from other where c4 > 100)",
+      Seq())
+  }
+  test("correlated scalar subquery in WHERE (grouped-agg decorrelation)") {
+    check("""select c1, c2 from test
+             where c2 > (select avg(c4) from other where c3 = c1)""")
+  }
+  test("correlated scalar subquery in select list") {
+    check("select c1, c2, (select max(c4) from other where c3 = c1) as m from test")
+  }
+  test("correlated scalar count is 0 for empty groups") {
+    check("""select c2, (select count(1) from other where c3 = c1 and c4 > 100) as n
+             from test""")
+  }
+  test("correlated scalar with expression over the aggregate") {
+    check("""select c1, c2 from test
+             where c2 < (select 2 * avg(c4) from other where c3 = c1)""")
+  }
+  test("star projection unaffected by scalar subquery helper columns") {
+    check("select * from test where c2 > (select avg(c4) from other where c3 = c1)",
+      "select * from test t where c2 > (select avg(c4) from other where c3 = t.c1)")
+  }
+  test("!> and !< execute as their ANSI complements") {
+    check("select c2 from test where c2 !> 3", "select c2 from test where c2 <= 3")
+    check("select c2 from test where c2 !< 3", "select c2 from test where c2 >= 3")
+  }
+  test("group by rollup") {
+    check("""select c1, c2 % 2 as par, count(1) as n, sum(c2) as s
+             from test group by rollup (c1, c2 % 2)""")
+  }
+  test("group by cube") {
+    check("""select c1, c2 % 2 as par, count(1) as n
+             from test group by cube (c1, c2 % 2)""")
+  }
+  test("group by grouping sets") {
+    check("""select c1, c2 % 2 as par, count(1) as n
+             from test group by grouping sets ((c1), (c2 % 2), ())""")
+  }
+  test("grouping() marker function under rollup") {
+    check("""select c1, grouping(c1) as g, count(1) as n
+             from test group by rollup (c1)""")
+  }
   test("in subquery lowered to semi join") {
     check("select c2 from test where c1 in (select c3 from other where c4 > 5)")
   }
