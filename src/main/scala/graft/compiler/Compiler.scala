@@ -571,6 +571,14 @@ final class Compiler(spark: SparkSession, registry: Registry,
             val right = compileRelation(r, scope)
             (how, on) match {
               case ("cross", _) => left.crossJoin(right)
+              case (_, Some(Call("__natural", _))) =>
+                // NATURAL JOIN: USING over all shared column names
+                val shared = left.columns.filter(right.columns.contains(_)).toSeq
+                if (shared.isEmpty)
+                  throw CompileException(
+                    "NATURAL JOIN has no common columns; use CROSS JOIN")
+                left.join(right, shared,
+                  if (how == "full") "full_outer" else how)
               case (_, Some(Call("__using", cols))) =>
                 // USING (a, b): equi-join with shared columns coalesced
                 left.join(right,

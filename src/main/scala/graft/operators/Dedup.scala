@@ -166,11 +166,14 @@ object Dedup {
       threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
     val shRows = shingleRows(docs, shingleK, xxhash64(_))
     // shingle sets (collect_set dedupes) for the verify step; persisted —
-    // computed once, read by both verify legs
+    // computed once, read by the signature derivation AND both verify legs
     val sh = shRows.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       .persist()
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignatureFromRows(shRows, numHashes)
+    // signatures from the persisted sets, not a recomputation of the
+    // tokenize→window shingle pipeline (min() is set-insensitive, so the
+    // dedup collect_set doesn't change any signature)
+    val sig = minhashSignatureAgg(sh, numHashes)
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),

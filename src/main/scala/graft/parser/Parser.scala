@@ -45,7 +45,7 @@ final class Parser(tokens: Vector[Token]) {
     "and", "or", "not", "in", "like", "between", "is", "null", "true", "false",
     "case", "when", "then", "else", "end", "cast", "distinct", "all", "union",
     "intersect", "except", "by", "asc", "desc", "with", "lateral", "exists",
-    "copy", "create", "drop", "show", "using", "nulls")
+    "copy", "create", "drop", "show", "using", "nulls", "natural")
 
   private val aggFunctions = Set(
     "avg", "max", "min", "sum", "count", "every", "any_value",
@@ -328,7 +328,18 @@ final class Parser(tokens: Vector[Token]) {
     while (going) {
       val save = pos
       var how: Option[String] = None
-      if (acceptKw("join")) how = Some("inner")
+      var natural = false
+      if (acceptKw("natural")) {
+        // NATURAL [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN — equi-join on all
+        // shared column names (absent in the reference's grammar, §2.3)
+        natural = true
+        if (acceptKw("join")) how = Some("inner")
+        else if (acceptKw("inner")) { expectKw("join"); how = Some("inner") }
+        else if (acceptKw("left")) { acceptKw("outer"); expectKw("join"); how = Some("left") }
+        else if (acceptKw("right")) { acceptKw("outer"); expectKw("join"); how = Some("right") }
+        else if (acceptKw("full")) { acceptKw("outer"); expectKw("join"); how = Some("full") }
+        else fail("expected JOIN after NATURAL")
+      } else if (acceptKw("join")) how = Some("inner")
       else if (acceptKw("inner")) { expectKw("join"); how = Some("inner") }
       else if (peekKw("left")) {
         next(); acceptKw("outer"); expectKw("join"); how = Some("left")
@@ -343,6 +354,10 @@ final class Parser(tokens: Vector[Token]) {
         pos = save; going = false
       }
       how match {
+        case Some(h) if natural =>
+          val right = parseRelation()
+          // shared columns resolved at compile time (schema-dependent)
+          left = JoinRel(h, left, right, Some(Call("__natural", Nil)))
         case Some(h) =>
           val right = parseRelation()
           if (h != "cross" && acceptKw("using")) {

@@ -176,6 +176,13 @@ object EngineSql {
           |where o_totalprice > (select cast(sum(cast(o_totalprice as decimal(18,6)))
           |                      / count(1) as double) from orders)""".stripMargin),
 
+      // multi-level aggregate through the engine: GROUPING SETS compile to
+      // one Expand pass (no per-level rescan)
+      "fq_grouping_sets" -> same(
+        """select n_regionkey, n_nationkey % 2 as par, count(1) as n
+          |from nation
+          |group by grouping sets ((n_regionkey), (n_nationkey % 2), ())""".stripMargin),
+
       // TPC-H Q17 shape: correlated scalar subquery decorrelated to a
       // grouped aggregate left join (avg small-quantity threshold per part)
       "fq_q17_small_qty" -> same(

@@ -310,6 +310,16 @@ class ConformanceSpec extends AnyFunSuite {
   test("join using shared columns") {
     check("select name, age from names join ages using (id)")
   }
+  test("natural join over shared columns") {
+    check("select name, age from names natural join ages")
+    check("select name, age from names natural left join ages")
+  }
+  test("natural join with no shared columns is rejected") {
+    val e = intercept[Exception] {
+      exec.query("select 1 from test natural join names")
+    }
+    assert(e.getMessage.contains("no common columns"))
+  }
   test("is distinct from / is not distinct from") {
     check("""select c2, c4 is distinct from c2, c4 is not distinct from c2
              from test left join other on c1 = c3 and c4 > 7""")

@@ -45,6 +45,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("part=b") || plan.contains("PartitionFilters"))
   }
 
+  test("bucketed write makes the bucket-key join shuffle-free") {
+    // saveAsTable writes under the session's default warehouse dir; the
+    // tables are dropped (data deleted) in the finally block
+    val a = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "va")
+    val b = Seq((1, 10), (2, 20), (4, 40)).toDF("k", "vb")
+    graft.sources.Sinks.writeBucketed(a, "graft_buck_a", "k", 4)
+    graft.sources.Sinks.writeBucketed(b, "graft_buck_b", "k", 4)
+    // force the sort-merge path (at test scale the planner would rather
+    // broadcast, which bypasses bucketing entirely)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_buck_a")
+        .join(spark.table("graft_buck_b"), "k")
+      assert(joined.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+        .toSet == Set((1, "x", 10), (2, "y", 20)))
+      // both sides pre-bucketed on k → no Exchange in the join subtree
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"expected shuffle-free bucketed sort-merge join, got:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graft_buck_a")
+      spark.sql("DROP TABLE IF EXISTS graft_buck_b")
+    }
+  }
+
   test("executeScript runs statements and returns last result") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val out = exec.executeScript(
