@@ -58,6 +58,29 @@ final class Compiler(spark: SparkSession, registry: Registry,
     df
   }
 
+  /** In aggregate context, references to lifted scalar-subquery helper
+    * columns (`__sqN`, `__csqN_*`) must themselves aggregate — they are
+    * constant per row (uncorrelated) or per correlation key (which PG
+    * requires to be grouped), so `first()` is exact. Stops at CallSet
+    * boundaries: refs already inside an aggregate need no wrapping. */
+  private def firstWrapScalarHelpers(e: Expr): Expr = e match {
+    case ColRef(Seq(nm)) if nm.startsWith("__sq") || nm.startsWith("__csq") =>
+      CallSet("first", Seq(e))
+    case _: CallSet => e
+    case BinaryOp(op, l, r) =>
+      BinaryOp(op, firstWrapScalarHelpers(l), firstWrapScalarHelpers(r))
+    case UnaryOp(op, x) => UnaryOp(op, firstWrapScalarHelpers(x))
+    case Call(fn, args) => Call(fn, args.map(firstWrapScalarHelpers))
+    case CastExpr(x, t) => CastExpr(firstWrapScalarHelpers(x), t)
+    case CaseExpr(bs, o) => CaseExpr(
+      bs.map { case (c, v) =>
+        firstWrapScalarHelpers(c) -> firstWrapScalarHelpers(v) },
+      o.map(firstWrapScalarHelpers))
+    case InList(x, vs, n) =>
+      InList(firstWrapScalarHelpers(x), vs.map(firstWrapScalarHelpers), n)
+    case other => other
+  }
+
   /** Bottom-up expression rewrite. */
   private def rewriteExpr(e: Expr)(f: Expr => Expr): Expr = {
     val r: Expr = e match {
@@ -304,10 +327,16 @@ final class Compiler(spark: SparkSession, registry: Registry,
     // Each select item compiles to one Column; Catalyst validates that
     // non-aggregate fragments are grouping expressions. This single step
     // replaces the reference's pre-agg/agg/post-agg projection split.
+    //
+    // Lifted scalar-subquery helper columns (__sqN / __csqN_*) are
+    // per-row-constant join outputs, not grouping columns; in aggregate
+    // context they are re-read through first() so e.g.
+    // `HAVING sum(x) > (select ...)` aggregates cleanly.
     val itemCols = itemsE.zipWithIndex.map { case (e, k) =>
-      compileExpr(e).as(s"__out$k")
+      compileExpr(firstWrapScalarHelpers(e)).as(s"__out$k")
     }
-    val havingCol = sel.having.map(h => compileExpr(h).as("__having"))
+    val havingCol =
+      sel.having.map(h => compileExpr(firstWrapScalarHelpers(h)).as("__having"))
 
     // agg-context ORDER BY: output refs use the projection; anything else
     // (e.g. `order by sum(x)` not in the list) becomes a hidden agg column
@@ -323,7 +352,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
           case e if itemsE.contains(e) =>
             sortCol(col(s"__out${itemsE.indexOf(e)}"), si)
           case e =>
-            extras += compileExpr(e).as(s"__ord$j")
+            extras += compileExpr(firstWrapScalarHelpers(e)).as(s"__ord$j")
             sortCol(col(s"__ord$j"), si)
         }
       }

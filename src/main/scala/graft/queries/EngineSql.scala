@@ -228,6 +228,66 @@ object EngineSql {
           |  and not exists (select 1 from orders where o_custkey = c_custkey)
           |group by c_nationkey order by c_nationkey""".stripMargin),
 
+      // TPC-H Q2 shape (schema has no partsupp): best-balance supplier
+      // per nation via a correlated scalar MAX subquery (decorrelated to
+      // a grouped-agg broadcast join), then an equi join to nation
+      "fq_q2_best_supplier" -> same(
+        """select s.s_name, n_name, cast(s.s_acctbal as double) as bal
+          |from supplier as s join nation on n_nationkey = s.s_nationkey
+          |where s.s_acctbal = (select max(s2.s_acctbal) from supplier s2
+          |                     where s2.s_nationkey = s.s_nationkey)
+          |order by n_name, s.s_name""".stripMargin),
+
+      // TPC-H Q9 shape: profit by nation and ship year — 4-table join
+      // with a LIKE filter pushed to the part scan and extract(year)
+      "fq_q9_profit" -> same(
+        """select n_name, cast(extract(year from l_shipdate) as bigint) as o_year,
+          |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)))
+          |       as double) as profit
+          |from lineitem
+          |join supplier on s_suppkey = l_suppkey
+          |join part on p_partkey = l_partkey
+          |join nation on n_nationkey = s_nationkey
+          |where p_name like '%bolt%'
+          |group by 1, 2 order by n_name, o_year""".stripMargin),
+
+      // TPC-H Q11 shape: nations holding an outsized share of supplier
+      // balance — uncorrelated scalar subquery inside HAVING (the
+      // fraction threshold scales with the data, so the query is
+      // scale-factor-invariant)
+      "fq_q11_top_balance" -> same(
+        """select s_nationkey,
+          |  cast(sum(cast(s_acctbal as decimal(18,6))) as double) as bal
+          |from supplier group by s_nationkey
+          |having sum(cast(s_acctbal as decimal(18,6))) >
+          |  (select sum(cast(s_acctbal as decimal(18,6))) * 0.05 from supplier)
+          |order by bal desc, s_nationkey""".stripMargin),
+
+      // TPC-H Q16 shape: distinct supplier count per brand/type with
+      // <>/NOT LIKE/IN filters on the dimension side
+      "fq_q16_supplier_cnt" -> same(
+        """select p_brand, p_type, count(distinct l_suppkey) as supplier_cnt
+          |from part join lineitem on l_partkey = p_partkey
+          |where p_brand <> 'Brand#1' and p_type not like 'MEDIUM%'
+          |  and p_size in (1, 4, 7)
+          |group by p_brand, p_type
+          |order by supplier_cnt desc, p_brand, p_type""".stripMargin),
+
+      // TPC-H Q20 shape: suppliers who shipped an above-average volume of
+      // a part family — IN (grouped subquery) lowered to a semi join,
+      // with a scale-invariant scalar-subquery HAVING threshold
+      "fq_q20_excess_volume" -> same(
+        """select s_name, s_nationkey from supplier
+          |where s_suppkey in (
+          |  select l_suppkey from lineitem join part on p_partkey = l_partkey
+          |  where p_name like '%bolt%'
+          |  group by l_suppkey
+          |  having sum(l_quantity) >
+          |    (select 1.2 * sum(l_quantity) / count(distinct l_suppkey)
+          |     from lineitem join part on p_partkey = l_partkey
+          |     where p_name like '%bolt%'))
+          |order by s_name""".stripMargin),
+
       // decimal-exact revenue through the engine dialect
       "fq_revenue" -> same(
         """select l_returnflag,

@@ -307,6 +307,20 @@ class ConformanceSpec extends AnyFunSuite {
   test("scalar subquery in select list") {
     check("select c1, (select max(c4) from other) as m from test")
   }
+  test("scalar subquery in HAVING (first-wrapped helper column)") {
+    check("""select c1, sum(c2) as s from test group by c1
+             having sum(c2) > (select avg(c4) from other)""")
+  }
+  test("scalar subquery in aggregate select item") {
+    check("""select c1, sum(c2) - (select min(c4) from other) as adj
+             from test group by c1""")
+  }
+  test("correlated scalar subquery in HAVING") {
+    check("""select c1, sum(c2) as s from test group by c1
+             having sum(c2) > (select avg(c4) from other where c3 = c1)""",
+      """select c1, sum(c2) as s from test t group by c1
+         having sum(c2) > (select avg(c4) from other where c3 = t.c1)""")
+  }
   test("join using shared columns") {
     check("select name, age from names join ages using (id)")
   }
