@@ -26,6 +26,7 @@ object SparkEntry {
     graft.operators.Similarity.queries ++
     graft.operators.Multimodal.queries ++
     graft.operators.AsofJoin.queries ++
+    graft.operators.Sampling.queries ++
     graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
     graft.operators.Similarity.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
     graft.operators.AsofJoin.oracleSql ++
+    graft.operators.Sampling.oracleSql ++
     graft.streaming.Streams.oracleSql
 }

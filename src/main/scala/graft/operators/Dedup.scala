@@ -230,6 +230,76 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Exhaustive n-gram jaccard near-dup pairs within each `source`
+    * bucket — the O(n²-per-bucket) correctness baseline (MinHash+LSH is
+    * the scale path). md5-hashed shingles are portable, so an external
+    * oracle reproduces the exact pair set. Shingle table persisted: one
+    * computation feeds both self-join legs. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+      k: Int = 3): DataFrame = {
+    val d = shingleRows(docs, k,
+        g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+        carry = Seq("source"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(collect_set(col("s")).as("sh"))
+      .persist()
+    val l = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Connected components over an undirected pair list `(doc_a, doc_b)`:
+    * returns `(doc_id, root)` where root = min doc_id reachable. This is
+    * the step that turns near-dup PAIRS into dedup GROUPS (keep one doc
+    * per component).
+    *
+    * Algorithm: min-label propagation to a fixpoint — each round joins
+    * the label table to the edge list and takes the per-node min of
+    * neighbor labels (two shuffles per round, both keyed by node id).
+    * Rounds = component diameter, which for dedup graphs is tiny (near-
+    * dup clusters are dense); `maxIter` caps adversarial chains, and
+    * `localCheckpoint` truncates the lineage each round so the plan does
+    * not grow with iterations (at cluster scale: `checkpoint` to a
+    * reliable store instead). For graphs with large diameters switch to
+    * the large-star/small-star contraction of Kiveris et al., which
+    * converges in O(log n) rounds — not needed for dedup workloads. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    var labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(least(min(col("v")), first(col("u"))).as("root"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate: min over neighbors' labels, vs own label
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "v"), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("root")).as("nroot"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("root"), col("nroot")).as("root"))
+        .localCheckpoint()
+      // change detection: label tables are tiny vs the corpus (only docs
+      // appearing in some pair), and localCheckpoint makes the probe cheap
+      val changed = next.alias("n").join(labels.alias("o"), "doc_id")
+        .filter(col("n.root") =!= col("o.root")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** One row per dup cluster: representative (min doc_id), size. */
+  def clusterSummary(components: DataFrame): DataFrame =
+    components.groupBy(col("root")).agg(count(lit(1)).as("cluster_size"))
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup summary — oracle-checkable
@@ -243,21 +313,28 @@ object Dedup {
     // correctness baseline (LSH below is the scale path), restricted to 4
     // source buckets. Oracle-checkable in DuckDB with identical list
     // semantics. Shingle table persisted: one computation, two join legs.
-    "dd_ngram_jaccard" -> ((s, dir) => {
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(Tables.load(s, dir, "documents")
+          .filter(col("source").isin("src0", "src1", "src2", "src3")), 0.2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // dup pairs → dedup GROUPS: connected components over the union of
+    // exact-dup pairs (fingerprint equality) and similarity pairs (the
+    // synthetic corpus is near-dup-free, so the ngram threshold is set
+    // to weak-overlap level to give the clustering a real graph). The
+    // keep-set is then one doc per root. Oracle: DuckDB recursive-CTE
+    // transitive closure over the same edges.
+    "dd_cluster" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-        .filter(col("source").isin("src0", "src1", "src2", "src3"))
-      val d = shingleRows(docs, 3,
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
-          carry = Seq("source"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(collect_set(col("s")).as("sh"))
-        .persist()
-      val l = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val r = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      l.join(r, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
-        .filter(col("jac") >= 0.2)
-        .orderBy(col("doc_a"), col("doc_b"))
+      val sim = ngramJaccardPairs(
+        docs.filter(col("source").isin("src0", "src1", "src2", "src3")), 0.02)
+        .select(col("doc_a"), col("doc_b"))
+      val fp = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val ex = fp.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("doc_b")),
+          col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(sim.unionAll(ex)).orderBy(col("doc_id"))
     }),
     // MinHash LSH + verify (signature scheme is engine-specific → rows-only
     // gate; semantics proven in DedupSpec against exhaustive jaccard)
@@ -320,6 +397,34 @@ object Dedup {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, source,
+        |    [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+        |     for g in list_distinct([array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, greatest(len(toks) - 2, 1) + 1)])] AS s
+        |  FROM (SELECT doc_id, source,
+        |          string_split_regex(lower(trim(text)), '\s+') AS toks
+        |        FROM documents
+        |        WHERE source IN ('src0', 'src1', 'src2', 'src3'))),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.02
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+        |    ON md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+        |   AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(n, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n)
+        |SELECT n AS doc_id, min(r) AS root FROM reach
+        |GROUP BY n ORDER BY doc_id""".stripMargin,
     // double-precision cosine mirroring the Spark expression exactly
     // (list_cosine_similarity is float32 → last-ulp mismatches)
     "dd_embedding_cos" ->

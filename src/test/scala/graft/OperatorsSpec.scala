@@ -78,6 +78,32 @@ class OperatorsSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("connected components: chain, clique, and isolated pair") {
+    // chain 1-2-3-4 (diameter 3: needs >1 propagation round),
+    // triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("deterministic hash sample is stable and stratified") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = Sampling.stratified(df, col("grp"), col("id"),
+      Map("a" -> 0.5), default = 0.1)
+    val ids1 = s1.collect().map(_.getLong(0)).toSet
+    val ids2 = s1.collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2) // same plan, same rows — no rand()
+    val na = s1.filter(col("grp") === "a").count().toDouble
+    val nb = s1.filter(col("grp") === "b").count().toDouble
+    assert(math.abs(na / 1000.0 - 0.5) < 0.08, s"a-fraction $na")
+    assert(math.abs(nb / 1000.0 - 0.1) < 0.05, s"b-fraction $nb")
+  }
+
   test("brute-force knn ranks cluster members first") {
     val res = Similarity.knnBrute(vectors, vectors.filter(col("vec_id") === 0), k = 4)
       .collect().map(_.getLong(1)).toSet
