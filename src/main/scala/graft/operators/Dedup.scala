@@ -256,16 +256,18 @@ object Dedup {
     * the step that turns near-dup PAIRS into dedup GROUPS (keep one doc
     * per component).
     *
-    * Algorithm: min-label propagation to a fixpoint — each round joins
-    * the label table to the edge list and takes the per-node min of
-    * neighbor labels (two shuffles per round, both keyed by node id).
-    * Rounds = component diameter, which for dedup graphs is tiny (near-
-    * dup clusters are dense); `maxIter` caps adversarial chains, and
-    * `localCheckpoint` truncates the lineage each round so the plan does
-    * not grow with iterations (at cluster scale: `checkpoint` to a
-    * reliable store instead). For graphs with large diameters switch to
-    * the large-star/small-star contraction of Kiveris et al., which
-    * converges in O(log n) rounds — not needed for dedup workloads. */
+    * Algorithm: min-label propagation with pointer jumping — each round
+    * (a) takes the per-node min over neighbor labels (one join + one
+    * partial-agg shuffle, both keyed by node id), then (b) compresses
+    * one pointer hop (`root := label(root)`, a self-join of the label
+    * table). Step (b) is what makes convergence O(log diameter) instead
+    * of O(diameter): labels race down chains exponentially, the same
+    * idea as large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"). Every round
+    * `localCheckpoint` truncates the lineage so the plan does not grow
+    * with iterations (at cluster scale: `checkpoint` to a reliable
+    * store instead); the label table only ever holds docs that appear
+    * in some pair — orders of magnitude smaller than the corpus. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -276,16 +278,21 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate: min over neighbors' labels, vs own label
-      val next = edges
+      // (a) candidate: min over neighbors' labels, vs own label
+      val prop = edges
         .join(labels.withColumnRenamed("doc_id", "v"), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("root")).as("nroot"))
         .join(labels, "doc_id")
         .select(col("doc_id"), least(col("root"), col("nroot")).as("root"))
+      // (b) pointer jump: follow the root's own label one hop
+      val next = prop.alias("a")
+        .join(prop.select(col("doc_id").as("root"), col("root").as("rroot"))
+          .alias("b"), Seq("root"), "left")
+        .select(col("doc_id"),
+          least(coalesce(col("rroot"), col("root")), col("root")).as("root"))
         .localCheckpoint()
-      // change detection: label tables are tiny vs the corpus (only docs
-      // appearing in some pair), and localCheckpoint makes the probe cheap
+      // convergence probe on the (tiny, checkpointed) label tables
       val changed = next.alias("n").join(labels.alias("o"), "doc_id")
         .filter(col("n.root") =!= col("o.root")).limit(1).count()
       converged = changed == 0
