@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.NativeVectorColumns
+
+/** Public facade over the native codegen'd vector expressions (which
+  * live under `org.apache.spark.sql.graft` for `private[sql]` access —
+  * see NativeVectorExpressions.scala for design notes). */
+object NativeVector {
+  /** dot(array<float>, array<float>) → double, codegen'd in place. */
+  def floatDot(a: Column, b: Column): Column =
+    NativeVectorColumns.floatDot(a, b)
+
+  /** squared L2: array<float> vs array<double> (IVF centroids). */
+  def floatDoubleDist2(a: Column, b: Column): Column =
+    NativeVectorColumns.floatDoubleDist2(a, b)
+}

@@ -72,6 +72,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native float_dot matches interpreted HOF dot bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // via parquet so the plan has a real scan (a pure LocalRelation gets
+    // constant-folded by ConvertToLocalRelation and shows no expressions)
+    val dir = Files.createTempDirectory("graft_vec").toString
+    Seq(
+      (1L, Array(0.25f, -1.5f, 3.125f), Array(2.0f, 0.5f, -0.125f)),
+      (2L, Array(1e-7f, 1e7f, -0.33333f), Array(0.77777f, -1e-6f, 1e6f)),
+      (3L, Array.empty[Float], Array.empty[Float]))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val vecs = spark.read.parquet(dir)
+    val native = vecs.select(col("id"),
+      graft.operators.Vectors.dotFast(col("a"), col("b")).as("d"))
+    val hof = vecs.select(col("id"),
+      graft.operators.Vectors.dot(col("a"), col("b")).as("d"))
+    assert(native.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      hof.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    // the hot path must be the native codegen'd expression, not a UDF
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("float_dot"), plan)
+    assert(!plan.contains("UDF"), plan)
+  }
+
+  test("native float_double_dist2 computes squared L2 against centroids") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.0)))
+      .toDF("v", "c")
+      .select(graft.operators.Vectors.dist2FD(col("v"), col("c")).as("d"))
+    assert(df.collect().head.getDouble(0) == 0.25 + 4.0)
+  }
+
   test("executeScript runs statements and returns last result") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val out = exec.executeScript(
