@@ -52,6 +52,14 @@ object Registry {
     // extract(field FROM ts) — parser passes field as first (string) arg
     "extract" -> { case Seq(field, src) => call_function("date_part", field, src) },
     "if" -> { case Seq(c, a, b) => when(c, a).otherwise(b) },
-    "nullif" -> { case Seq(a, b) => when(a === b, lit(null)).otherwise(a) }
+    "nullif" -> { case Seq(a, b) => when(a === b, lit(null)).otherwise(a) },
+    // native codegen'd vector expressions (beyond the reference):
+    // embedding similarity straight from dialect SQL
+    "float_dot" -> { case Seq(a, b) => NativeVector.floatDot(a, b) },
+    "float_double_dist2" -> { case Seq(a, b) =>
+      NativeVector.floatDoubleDist2(a, b) },
+    "cosine_sim" -> { case Seq(a, b) =>
+      NativeVector.floatDot(a, b) /
+        (sqrt(NativeVector.floatDot(a, a)) * sqrt(NativeVector.floatDot(b, b))) }
   )
 }

@@ -288,6 +288,25 @@ object EngineSql {
           |     where p_name like '%bolt%'))
           |order by s_name""".stripMargin),
 
+      // native codegen'd vector expression through the dialect: cosine
+      // between consecutive embeddings, with an expression join key
+      // (b.vec_id = a.vec_id + 1). The oracle mirrors the exact double-
+      // precision multiply-accumulate order.
+      "fq_vector_cosine" -> (
+        """select a.vec_id as id_a,
+          |  round(cosine_sim(a.embedding, b.embedding), 6) as cos
+          |from embeddings as a join embeddings as b on b.vec_id = a.vec_id + 1
+          |where a.vec_id < 50 order by id_a""".stripMargin,
+        """SELECT a.vec_id AS id_a,
+          |  round(list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+          |          for s in list_zip(a.embedding, b.embedding)])
+          |    / (sqrt(list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+          |          for s in list_zip(a.embedding, a.embedding)]))
+          |     * sqrt(list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+          |          for s in list_zip(b.embedding, b.embedding)]))), 6) AS cos
+          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id < 50 ORDER BY id_a""".stripMargin),
+
       // decimal-exact revenue through the engine dialect
       "fq_revenue" -> same(
         """select l_returnflag,

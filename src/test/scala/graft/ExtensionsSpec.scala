@@ -103,6 +103,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.collect().head.getDouble(0) == 0.25 + 4.0)
   }
 
+  test("float_dot registers into spark.sql and the dialect engine") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """select float_dot(array(cast(1.5 as float), cast(-2.0 as float)),
+        |                 array(cast(4.0 as float), cast(0.5 as float))) as d
+        |""".stripMargin).collect().head.getDouble(0)
+    assert(r == 1.5 * 4.0 + -2.0 * 0.5)
+    // dialect engine: registry-native cosine_sim over an embedding scope
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val exec = new Executor(spark, Map("embeddings" -> emb))
+    val cos = exec.query(
+      """select a.vec_id as id, cosine_sim(a.embedding, b.embedding) as c
+        |from embeddings as a join embeddings as b on b.vec_id = a.vec_id + 1
+        |""".stripMargin).collect().head
+    assert(cos.getLong(0) == 1L && math.abs(cos.getDouble(1) - 0.6) < 1e-6)
+  }
+
   test("executeScript runs statements and returns last result") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val out = exec.executeScript(
