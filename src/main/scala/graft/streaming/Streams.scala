@@ -54,12 +54,45 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream interval join: purchases attributed to
+    * same-user clicks within the preceding `windowMinutes`. Both sides
+    * carry watermarks and the join condition bounds event time on both,
+    * so each side's buffered state is dropped once the other's watermark
+    * passes — state stays O(events within the horizon), not O(stream).
+    *
+    * The coarse timestamp bounds (with slack) are what Spark uses for
+    * state cleanup; the exact pairing predicate runs on the raw
+    * nanosecond column, so results are bit-exact against an oracle
+    * reading the nanosecond parquet directly (the µs-truncated `ts`
+    * would admit boundary pairs the nanos exclude). */
+  def clickPurchaseJoin(spark: SparkSession, dir: String,
+      windowMinutes: Int = 30): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("ts_nanos").as("c_ns"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("ts_nanos").as("p_ns"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("interval 1 second") &&
+        col("p_ts") <= col("c_ts") + expr(s"interval ${windowMinutes + 1} minutes") &&
+        col("p_ns") >= col("c_ns") &&
+        col("p_ns") - col("c_ns") <= lit(windowMinutes * 60L * 1000000000L),
+      "inner")
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Run a (complete-mode) streaming aggregation over the static parquet
     * to completion and return the final table — turns the streaming path
     * into a batch-comparable result for tests and the correctness gate. */
-  def runToCompletion(spark: SparkSession, agg: DataFrame): DataFrame = {
+  def runToCompletion(spark: SparkSession, agg: DataFrame,
+      mode: String = "complete"): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     // Streaming state parallelism is pinned at first start by
     // spark.sql.shuffle.partitions — and each partition is a state store
@@ -71,7 +104,7 @@ object Streams {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = agg.writeStream
-        .outputMode("complete")
+        .outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -91,6 +124,20 @@ object Streams {
     "st_window_counts" -> ((s, dir) => {
       runToCompletion(s, windowedCounts(readEvents(s, dir)))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+    // stream-stream join run to completion (append mode: inner-join
+    // matches emit as they arrive), then batch-aggregated per hour —
+    // streaming == batch is the invariant the oracle checks
+    "st_join_attribution" -> ((s, dir) => {
+      runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
+        .groupBy(date_format(
+          timestamp_seconds(floor(unix_timestamp(col("p_ts")) / 3600) * 3600),
+          "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("p_user")).as("n_users"),
+          sum(col("p_value").cast(DecimalType(18, 6))).cast("double")
+            .as("total_value"))
+        .orderBy(col("hour"))
     })
   )
 
@@ -100,6 +147,17 @@ object Streams {
         |         '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "st_join_attribution" ->
+      """SELECT strftime(to_timestamp(floor(epoch(p.ts) / 3600) * 3600),
+        |         '%Y-%m-%d %H:%M:%S') AS hour,
+        |  count(*) AS n_pairs, count(DISTINCT p.user_id) AS n_users,
+        |  CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.user_id = p.user_id
+        | AND epoch_ns(p.ts) >= epoch_ns(c.ts)
+        | AND epoch_ns(p.ts) - epoch_ns(c.ts) <= 1800000000000
+        |GROUP BY 1 ORDER BY hour""".stripMargin
   )
 }

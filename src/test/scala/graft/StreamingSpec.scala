@@ -27,6 +27,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.clickPurchaseJoin(spark, dir), mode = "append")
+      .select(col("c_user"), col("c_ns"), col("p_ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val ev = Tables.load(spark, dir, "events")
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts_nanos").as("c_ns"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("ts_nanos").as("p_ns")),
+        col("u") === col("pu") && col("p_ns") >= col("c_ns") &&
+          col("p_ns") - col("c_ns") <= lit(30L * 60 * 1000000000L))
+      .select(col("u"), col("c_ns"), col("p_ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stateful running counts via flatMapGroupsWithState over a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
