@@ -68,6 +68,9 @@ sealed trait Relation extends SqlNode
 final case class TableRef(schema: Option[String], name: String,
     alias: Option[String]) extends Relation
 final case class SubqueryRel(select: Select, alias: Option[String]) extends Relation
+/** `(VALUES (e, ...), ...) AS t(c1, ...)` — literal inline relation. */
+final case class ValuesRel(rows: Seq[Seq[Expr]], alias: Option[String],
+    columns: Seq[String]) extends Relation
 final case class TableFunctionRel(func: String, args: Seq[Expr],
     alias: Option[String], lateral: Boolean) extends Relation
 final case class JoinRel(how: String, left: Relation, right: Relation,

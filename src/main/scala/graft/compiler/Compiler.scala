@@ -587,6 +587,27 @@ final class Compiler(spark: SparkSession, registry: Registry,
         val a = alias.getOrElse(
           throw CompileException("subqueries need to be named"))
         compileSelect(sub, scope).alias(a)
+      case ValuesRel(rows, alias, columns) =>
+        // one single-row projection per tuple, unioned — Catalyst folds
+        // this to a LocalRelation (type-coercing across rows), so no jobs
+        // run; VALUES is driver-literal by construction
+        if (rows.isEmpty) throw CompileException("VALUES needs at least one row")
+        val arity = rows.head.length
+        if (rows.exists(_.length != arity))
+          throw CompileException("VALUES rows differ in arity")
+        val names =
+          if (columns.nonEmpty) {
+            if (columns.length != arity)
+              throw CompileException(
+                s"VALUES has $arity columns but ${columns.length} names")
+            columns
+          } else (1 to arity).map(i => s"column$i") // PG default names
+        val df = rows.map { r =>
+          spark.range(1).select(r.zip(names).map { case (e, n) =>
+            compileExpr(e).as(n)
+          }: _*)
+        }.reduce(_ unionAll _)
+        alias.fold(df)(df.alias)
       case tf @ TableFunctionRel(_, _, _, lateral) =>
         if (lateral)
           throw CompileException("LATERAL requires a preceding FROM item")

@@ -34,6 +34,18 @@ final class Executor(val spark: SparkSession,
 
   def addFunction(name: String, f: Seq[Column] => Column): Unit =
     registry.register(name, f)
+  /** Register a typed Spark Aggregator as a SQL aggregate (the UDAF
+    * surface SURVEY §2.10 leaves open): usable from dialect SQL in
+    * grouped, global, and HAVING positions. Registration goes through
+    * `spark.udf` (session-wide) and the parser's set-function name table
+    * (process-wide) — both registries are global by nature. */
+  def addAggregate[IN: scala.reflect.runtime.universe.TypeTag, BUF, OUT](
+      name: String,
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT]): Unit = {
+    spark.udf.register(name, udaf(agg))
+    Parser.extraAggNames.add(name.toLowerCase)
+  }
+
   def addTableFunction(name: String, f: Seq[Any] => DataFrame): Unit =
     tableFunctions.register(name, f)
   def addLateralFunction(name: String,

@@ -383,6 +383,32 @@ final class Parser(tokens: Vector[Token]) {
     val lateral = acceptKw("lateral")
     if (peekOp("(")) {
       next()
+      // VALUES relation: ( values (e, ...), (e, ...) ) as t(c1, ...)
+      if (acceptKw("values")) {
+        var rows = Seq.empty[Seq[Expr]]
+        do {
+          expectOp("(")
+          var row = Seq.empty[Expr]
+          row :+= parseExpr()
+          while (acceptOp(",")) row :+= parseExpr()
+          expectOp(")")
+          rows :+= row
+        } while (acceptOp(","))
+        expectOp(")")
+        acceptKw("as")
+        val alias = peek match {
+          case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+            next(); Some(t.value)
+          case _ => None
+        }
+        var cols = Seq.empty[String]
+        if (alias.isDefined && acceptOp("(")) {
+          cols :+= parseIdent()
+          while (acceptOp(",")) cols :+= parseIdent()
+          expectOp(")")
+        }
+        return ValuesRel(rows, alias, cols)
+      }
       val sub = parseSelect()
       expectOp(")")
       acceptKw("as")
@@ -464,7 +490,14 @@ final class Parser(tokens: Vector[Token]) {
           case "!<" => ">="
           case other => other
         }
-        e = BinaryOp(norm, e, parseBitShift())
+        if ((peekKw("any") || peekKw("some") || peekKw("all")) &&
+            peekAt(1).exists(t => t.kind == TOp && t.value == "(")) {
+          val quant = next().lower
+          expectOp("(")
+          val sub = parseSelect()
+          expectOp(")")
+          e = desugarQuantified(norm, e, sub, quant)
+        } else e = BinaryOp(norm, e, parseBitShift())
       } else if (peekKw("like")) {
         next(); e = BinaryOp("like", e, parseBitShift())
       } else if (peekKw("ilike")) {
@@ -683,12 +716,56 @@ final class Parser(tokens: Vector[Token]) {
       expectOp(")")
       val isWindowNext = peekKw("over")
       val base: Expr =
-        if (aggFunctions(fn) || fn == "count") CallSet(fn, args, distinct = distinct)
+        if (aggFunctions(fn) || fn == "count" ||
+            Parser.extraAggNames.contains(fn))
+          CallSet(fn, args, distinct = distinct)
         else if (windowOnlyFunctions(fn) && isWindowNext) Call(fn, args)
         else if (distinct) fail(s"DISTINCT not supported for function $fn")
         else Call(fn, args)
       parseOverOpt(base)
     } else ColRef(parts.toSeq)
+  }
+
+  /** `x op ANY/SOME/ALL (select s from ...)` desugared onto the EXISTS
+    * decorrelation path — which gives exact SQL semantics in WHERE
+    * context, including empty sets and NULLs:
+    *   x op ANY(sub) ⟺ EXISTS s: (x op s) is true
+    *   x op ALL(sub) ⟺ NOT EXISTS s: (x op s) is not true
+    *                    (i.e. fails, or s/x NULL — and empty ⇒ true)
+    */
+  private def desugarQuantified(op: String, x: Expr, sub: Select,
+      quant: String): Expr = {
+    val se = sub.items match {
+      case Seq(ExprItem(e0, _)) => e0
+      case _ => fail("quantified subquery must select exactly one column")
+    }
+    if (sub.groupBy.nonEmpty || sub.having.nonEmpty || sub.limit.nonEmpty ||
+        sub.offset.nonEmpty || sub.setOps.nonEmpty || containsSetFn(se))
+      fail("quantified subquery supports plain SELECT <expr> FROM ... WHERE ...")
+    def withConjunct(extra: Expr): Select =
+      sub.copy(items = Seq(ExprItem(IntLit(1), None)),
+        where = Some(sub.where.fold(extra)(w => BinaryOp("and", w, extra))),
+        orderBy = Nil, distinct = false)
+    if (quant == "all") {
+      val notTrue = BinaryOp("or",
+        BinaryOp("or", UnaryOp("not", BinaryOp(op, x, se)),
+          UnaryOp("is null", se)),
+        UnaryOp("is null", x))
+      ExistsSubquery(withConjunct(notTrue), negated = true)
+    } else
+      ExistsSubquery(withConjunct(BinaryOp(op, x, se)), negated = false)
+  }
+
+  private def containsSetFn(e: Expr): Boolean = e match {
+    case _: CallSet => true
+    case BinaryOp(_, l, r) => containsSetFn(l) || containsSetFn(r)
+    case UnaryOp(_, y) => containsSetFn(y)
+    case Call(_, as) => as.exists(containsSetFn)
+    case CastExpr(y, _) => containsSetFn(y)
+    case CaseExpr(bs, o) =>
+      bs.exists { case (c, v) => containsSetFn(c) || containsSetFn(v) } ||
+        o.exists(containsSetFn)
+    case _ => false
   }
 
   private def parseOverOpt(base: Expr): Expr = {
@@ -824,6 +901,14 @@ final class Parser(tokens: Vector[Token]) {
 }
 
 object Parser {
+  /** Names of user-registered aggregate functions (UDAFs) — the grammar
+    * must type `f(x)` as a set function to route it through the
+    * aggregation path (global aggregates, HAVING). Registration is
+    * inherently session-global (Spark's own udf registry is), hence a
+    * process-wide concurrent set rather than parser state. */
+  val extraAggNames: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def parse(sql: String): Statement =
     new Parser(Tokenizer.tokenize(sql)).parseStatement()
   def parseQuery(sql: String): Select =

@@ -321,6 +321,40 @@ class ConformanceSpec extends AnyFunSuite {
       """select c1, sum(c2) as s from test t group by c1
          having sum(c2) > (select avg(c4) from other where c3 = t.c1)""")
   }
+  test("VALUES relation with column aliases") {
+    check("select a, b from (values (1, 'x'), (2, 'y')) as v(a, b) order by a")
+    check("""select c1, s from test
+             join (values (0, 'zero'), (1, 'one')) as names(n, s) on c1 = n""")
+  }
+  test("VALUES default column names are column1..columnN (PG style)") {
+    // Spark's own default is col1..colN — the oracle adapts
+    check("select column1 + column2 as s from (values (1, 2)) as v",
+      "select col1 + col2 as s from (values (1, 2)) as v")
+  }
+  // Spark SQL has no quantified subqueries — oracles use EXISTS forms
+  test("quantified comparison: op ANY (subquery)") {
+    check("select c1, c2 from test where c2 > any (select c4 from other)",
+      "select c1, c2 from test where exists (select 1 from other where c2 > c4)")
+    check("""select c1, c2 from test
+             where c2 = any (select c4 from other where c3 = c1)""",
+      """select c1, c2 from test t
+         where exists (select 1 from other where c3 = t.c1 and t.c2 = c4)""")
+    checkLit("select c1 from test where c2 > any (select c4 from other where c4 > 100)",
+      Seq()) // empty set: ANY is false
+  }
+  test("quantified comparison: op ALL (subquery)") {
+    check("select c1, c2 from test where c2 > all (select c4 from other where c4 < 5)",
+      """select c1, c2 from test
+         where not exists (select 1 from other where c4 < 5 and not c2 > c4)""")
+    // empty set: ALL is true — every row passes
+    check("select c1 from test where c2 > all (select c4 from other where c4 > 100)",
+      "select c1 from test")
+    // NULL in the set makes ALL not-true → row filtered
+    checkLit("""select c1 from test
+                where c2 > all (select case when c4 > 8 then null else c4 end
+                                from other)""",
+      Seq())
+  }
   test("join using shared columns") {
     check("select name, age from names join ages using (id)")
   }

@@ -88,6 +88,33 @@ class ExecutorSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4, 6))
   }
 
+  test("aggregate UDAF registration (Aggregator surface, SURVEY §2.10)") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    object Product extends Aggregator[Long, Long, Long] {
+      def zero: Long = 1L
+      def reduce(b: Long, a: Long): Long = b * a
+      def merge(l: Long, r: Long): Long = l * r
+      def finish(b: Long): Long = b
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L)).toDF("k", "v")))
+    exec.addAggregate("prod", Product)
+    // grouped
+    assert(exec.query("select k, prod(v) as p from t group by k order by k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 6L), (1L, 20L)))
+    // global (no GROUP BY — requires the parser to type prod as a set fn)
+    assert(exec.query("select prod(v) as p from t")
+      .collect().head.getLong(0) == 120L)
+    // HAVING over the custom aggregate
+    assert(exec.query(
+      "select k from t group by k having prod(v) > 10 order by k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("table UDF registration (reference add_table_function)") {
     val exec = new Executor(spark)
     exec.addTableFunction("two_rows", _ => Seq(1, 2).toDF("v"))
