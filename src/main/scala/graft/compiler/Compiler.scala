@@ -39,7 +39,9 @@ final class Compiler(spark: SparkSession, registry: Registry,
         case "union all" => df.union(rhs)
         case "union" => df.union(rhs).distinct()
         case "intersect" => df.intersect(rhs)
+        case "intersect all" => df.intersectAll(rhs)
         case "except" => df.except(rhs)
+        case "except all" => df.exceptAll(rhs)
       }
     }
     // ORDER BY over a set-op result may only reference output columns

@@ -66,14 +66,28 @@ final class Executor(val spark: SparkSession,
     case s: Select => Some(compiler.compileSelect(s, scope))
 
     case CopyFrom(table, path, options) =>
-      scope += (table -> tableFunctions.readCsv(
-        tableFunctions.resolvePath(path), options))
+      // format 'csv' (reference surface) | 'parquet' | 'json' (extension)
+      val p = tableFunctions.resolvePath(path)
+      val df = options.getOrElse("format", "csv") match {
+        case "parquet" => spark.read.parquet(p)
+        case "json" => spark.read.json(p)
+        case _ => tableFunctions.readCsv(p, options)
+      }
+      scope += (table -> df)
       None
 
     case CopyTo(table, path, options) =>
       val df = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
-      writeSingleCsv(df, tableFunctions.resolvePath(path), options)
+      val p = tableFunctions.resolvePath(path)
+      options.getOrElse("format", "csv") match {
+        // parquet/json write a directory of part-files — the scale-native
+        // layout (parallel writers); csv keeps the reference's one-file
+        // contract via coalesce(1)
+        case "parquet" => df.write.mode("overwrite").parquet(p)
+        case "json" => df.write.mode("overwrite").json(p)
+        case _ => writeSingleCsv(df, p, options)
+      }
       None
 
     case CreateTableAs(name, query) =>

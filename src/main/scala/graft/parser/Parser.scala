@@ -156,8 +156,13 @@ final class Parser(tokens: Vector[Token]) {
       if (acceptKw("union")) {
         val op = if (acceptKw("all")) "union all" else "union"
         setOps :+= (op -> parseCoreSelect())
-      } else if (acceptKw("intersect")) setOps :+= ("intersect" -> parseCoreSelect())
-      else if (acceptKw("except")) setOps :+= ("except" -> parseCoreSelect())
+      } else if (acceptKw("intersect")) {
+        val op = if (acceptKw("all")) "intersect all" else "intersect"
+        setOps :+= (op -> parseCoreSelect())
+      } else if (acceptKw("except")) {
+        val op = if (acceptKw("all")) "except all" else "except"
+        setOps :+= (op -> parseCoreSelect())
+      }
       else going = false
     }
     if (setOps.nonEmpty) sel = sel.copy(setOps = setOps)

@@ -355,6 +355,10 @@ class ConformanceSpec extends AnyFunSuite {
                                 from other)""",
       Seq())
   }
+  test("intersect all / except all keep duplicates") {
+    check("""select c1 from test intersect all select c1 from test""")
+    check("""select c1 from test except all select c1 from test where c2 > 4""")
+  }
   test("join using shared columns") {
     check("select name, age from names join ages using (id)")
   }

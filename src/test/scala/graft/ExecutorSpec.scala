@@ -115,6 +115,22 @@ class ExecutorSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("COPY TO/FROM with parquet and json formats (extension)") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "s")))
+    val dir = Files.createTempDirectory("graft_copy_fmt").toString
+    exec.execute(s"COPY t TO '$dir/t_parquet' WITH format 'parquet'")
+    exec.execute(s"COPY t TO '$dir/t_json' WITH format 'json'")
+    exec.execute(s"COPY p FROM '$dir/t_parquet' WITH format 'parquet'")
+    exec.execute(s"COPY j FROM '$dir/t_json' WITH format 'json'")
+    assert(exec.query("select id, s from p order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(exec.query("select id, s from j order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
   test("table UDF registration (reference add_table_function)") {
     val exec = new Executor(spark)
     exec.addTableFunction("two_rows", _ => Seq(1, 2).toDF("v"))
