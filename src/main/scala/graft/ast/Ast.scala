@@ -110,3 +110,5 @@ final case class CopyTo(table: String, path: String,
 final case class CreateTableAs(name: String, select: Select) extends Statement
 final case class DropTable(names: Seq[String]) extends Statement
 final case class ShowStmt(what: String) extends Statement
+/** `EXPLAIN select ...` — returns the formatted physical plan as rows. */
+final case class ExplainStmt(query: Select) extends Statement

@@ -90,6 +90,12 @@ final class Executor(val spark: SparkSession,
       }
       None
 
+    case ExplainStmt(q) =>
+      val plan = compiler.compileSelect(q, scope).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      Some(spark.createDataset(plan.linesIterator.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF("query plan"))
+
     case CreateTableAs(name, query) =>
       // lazy by design: the plan re-evaluates on use, like every Spark
       // view. (The reference materializes eagerly; for re-read stability

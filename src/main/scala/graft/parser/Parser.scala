@@ -65,6 +65,7 @@ final class Parser(tokens: Vector[Token]) {
       else if (peekKw("drop")) parseDrop()
       else if (peekKw("create")) parseCreate()
       else if (peekKw("show")) parseShow()
+      else if (peekKw("explain")) { next(); ExplainStmt(parseSelect()) }
       else parseSelect()
     acceptOp(";")
     if (pos < tokens.length) fail("trailing tokens")

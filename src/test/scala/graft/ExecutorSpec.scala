@@ -131,6 +131,15 @@ class ExecutorSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("EXPLAIN statement returns the physical plan as rows") {
+    val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
+    val rows = exec.execute("explain select x, x + 1 from t where x > 1")
+      .get.collect().map(_.getString(0))
+    assert(rows.exists(_.contains("Physical Plan")))
+    // local fixture folds to a LocalTableScan; just check node lines exist
+    assert(rows.exists(_.matches("\\(\\d+\\) .*")))
+  }
+
   test("table UDF registration (reference add_table_function)") {
     val exec = new Executor(spark)
     exec.addTableFunction("two_rows", _ => Seq(1, 2).toDF("v"))
