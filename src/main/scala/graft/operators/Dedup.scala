@@ -143,6 +143,14 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** jaccard with precomputed set sizes: |A∪B| = |A|+|B|−|A∩B|, so the
+    * pair loop pays ONE array op (intersect) instead of also building
+    * the union array — the dominant cost in the O(n²) verify step. */
+  def jaccardPre(a: Column, na: Column, b: Column, nb: Column): Column = {
+    val i = size(array_intersect(a, b))
+    i.cast("double") / (na + nb - i)
+  }
+
   // ------------------------------------------------------------- pipelines
 
   /** Exact dedup: one row per distinct content digest, keeping min doc_id.
@@ -186,10 +194,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct() // same pair can collide in several bands
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        size(col("sh")).as("n_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        size(col("sh")).as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        jaccardPre(col("sh_a"), col("n_a"), col("sh_b"), col("n_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -242,12 +252,16 @@ object Dedup {
         carry = Seq("source"))
       .groupBy(col("doc_id"), col("source"))
       .agg(collect_set(col("s")).as("sh"))
+      .withColumn("n", size(col("sh"))) // set size once per doc, not per pair
       .persist()
-    val l = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val l = d.select(col("source"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"), col("n").as("n_a"))
+    val r = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"), col("n").as("n_b"))
     l.join(r, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        round(jaccardPre(col("sh_a"), col("n_a"), col("sh_b"), col("n_b")), 6)
+          .as("jac"))
       .filter(col("jac") >= threshold)
   }
 
