@@ -80,6 +80,12 @@ final class Compiler(spark: SparkSession, registry: Registry,
       o.map(firstWrapScalarHelpers))
     case InList(x, vs, n) =>
       InList(firstWrapScalarHelpers(x), vs.map(firstWrapScalarHelpers), n)
+    case InSubquery(x, s, n) => InSubquery(firstWrapScalarHelpers(x), s, n)
+    case CallAnalytics(c, pb, ob, fr) =>
+      // window args in agg context: operand aggregates are untouched
+      // (CallSet stops recursion); bare helper refs inside get wrapped
+      CallAnalytics(firstWrapScalarHelpers(c), pb.map(firstWrapScalarHelpers),
+        ob.map(si => si.copy(e = firstWrapScalarHelpers(si.e))), fr)
     case other => other
   }
 

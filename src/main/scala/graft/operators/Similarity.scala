@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -130,13 +131,18 @@ object Similarity {
         .agg(count(lit(1)).as("n_results"),
           round(avg(col("cos")), 6).as("avg_cos"))
     }),
-    // centroid similarity per label: mean vector then cosine of each
-    // member to its label centroid (aggregate over arrays, no UDF)
+    // centroid similarity per label: per-dim sum vector (cosine is
+    // scale-invariant, so the un-normalized sum is the centroid
+    // direction) then cosine of each member to it. All cross-row sums go
+    // through exact DECIMAL so the result is independent of partition
+    // order — which is what makes this oracle-checkable rather than
+    // rows-only (float += is not associative; decimal is).
     "sim_label_centroid" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val dim = 64
       val sums = (0 until dim).map(i =>
-        sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+        sum(element_at(col("embedding"), i + 1).cast(DecimalType(28, 10)))
+          .cast("double").as(s"s$i"))
       val centroids = e.groupBy(col("label"))
         .agg(sums.head, sums.tail: _*)
         .select(col("label").as("c_label"),
@@ -146,7 +152,8 @@ object Similarity {
           round(Vectors.cosine(col("embedding"), col("centroid")), 4).as("cos_c"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("cos_c")), 4).as("avg_cos"))
+          round((sum(col("cos_c").cast(DecimalType(18, 12))) / count(lit(1)))
+            .cast("double"), 4).as("avg_cos"))
         .orderBy(col("label"))
     })
   )
@@ -170,8 +177,30 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos0 DESC, nn_id) AS rk
         |  FROM pairs)
         |SELECT q_id, nn_id, round(cos0, 6) AS cos, rk
-        |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
-    // sim_knn_lsh / sim_label_centroid: engine-specific scheme / float-sum
-    // order → rows-only driver gate + ScalaTest semantics checks
+        |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    // sim_knn_lsh / sim_knn_ivf: engine-specific bucketing schemes →
+    // rows-only driver gate + ScalaTest recall checks
+    "sim_label_centroid" ->
+      """WITH dims AS (
+        |  SELECT label, r.i,
+        |    CAST(SUM(CAST(embedding[r.i + 1] AS DECIMAL(28,10))) AS DOUBLE) AS s
+        |  FROM embeddings, (SELECT unnest(range(64)) AS i) r
+        |  GROUP BY label, r.i),
+        |cents AS (
+        |  SELECT label AS c_label, list(s ORDER BY i) AS centroid
+        |  FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    round(list_sum([CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+        |            for p in list_zip(e.embedding, c.centroid)])
+        |      / (sqrt(list_sum([CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+        |            for p in list_zip(e.embedding, e.embedding)]))
+        |       * sqrt(list_sum([CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+        |            for p in list_zip(c.centroid, c.centroid)]))), 4) AS cos_c
+        |  FROM embeddings e JOIN cents c ON e.label = c.c_label)
+        |SELECT label, count(*) AS n,
+        |  round(CAST(SUM(CAST(cos_c AS DECIMAL(18,12))) AS DOUBLE)
+        |        / count(*), 4) AS avg_cos
+        |FROM scored GROUP BY label ORDER BY label""".stripMargin
   )
 }
