@@ -121,6 +121,10 @@ final class Compiler(spark: SparkSession, registry: Registry,
     //    agg-decorrelation; TPC-H Q2/Q17 shape).
     var scalarJoins = Seq.empty[DataFrame => DataFrame]
     var scalarCount = 0
+    // correlated-scalar helper tag → outer correlation key exprs (needed
+    // to validate HAVING/agg use: the keys must be grouped, else the
+    // joined value varies within a group)
+    var csqOuterKeys = Map.empty[String, Seq[Expr]]
     def liftScalars(e: Expr): Expr = rewriteExpr(e) {
       case ScalarSubquery(sub) =>
         scalarCount += 1
@@ -138,8 +142,10 @@ final class Compiler(spark: SparkSession, registry: Registry,
           scalarJoins :+= ((f: DataFrame) => f.crossJoin(broadcast(df.toDF(name))))
           ColRef(Seq(name))
         } else {
-          val (joinFn, replacement) = lowerCorrelatedScalar(sub, scope, n)
+          val (joinFn, replacement, outerKeys) =
+            lowerCorrelatedScalar(sub, scope, n)
           scalarJoins :+= joinFn
+          csqOuterKeys += (s"__csq$n" -> outerKeys)
           replacement
         }
       case other => other
@@ -201,7 +207,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
       sel.groupBy.nonEmpty || sel.having.exists(containsAgg)
 
     if (!hasAgg) compileProjection(from, items, sel)
-    else compileAggregate(from, items, sel)
+    else compileAggregate(from, items, sel, csqOuterKeys)
   }
 
   private def itemExpr(i: SelectItem): Expr = i match {
@@ -307,7 +313,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
 
   // -------------------------------------------------------------- aggregate
   private def compileAggregate(from: DataFrame, items: Seq[SelectItem],
-      sel: Select): DataFrame = {
+      sel: Select, csqOuterKeys: Map[String, Seq[Expr]] = Map.empty): DataFrame = {
     val names = items.zipWithIndex.map { case (i, k) => outName(i, k) }
     val itemsE: Seq[Expr] = items.map {
       case ExprItem(e, _) => e
@@ -331,6 +337,35 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case e => e
     }
     val groupCols = groupExprs.map(compileExpr)
+
+    // correlated scalar subqueries used in aggregate context (HAVING /
+    // select items): their correlation keys must be grouping expressions
+    // — otherwise the joined value varies within a group and first()
+    // would pick one nondeterministically (PG rejects these queries too)
+    if (csqOuterKeys.nonEmpty) {
+      val used = scala.collection.mutable.Set.empty[String]
+      def findHelpers(e: Expr): Unit = e match {
+        case ColRef(Seq(nm)) if nm.startsWith("__csq") =>
+          val cut = nm.indexOf("_a")
+          used += (if (cut > 0) nm.take(cut) else nm)
+        case BinaryOp(_, l, r) => findHelpers(l); findHelpers(r)
+        case UnaryOp(_, x) => findHelpers(x)
+        case Call(_, as) => as.foreach(findHelpers)
+        case CallSet(_, as, _, _) => as.foreach(findHelpers)
+        case CastExpr(x, _) => findHelpers(x)
+        case CaseExpr(bs, o) =>
+          bs.foreach { case (c, v) => findHelpers(c); findHelpers(v) }
+          o.foreach(findHelpers)
+        case InList(x, vs, _) => findHelpers(x); vs.foreach(findHelpers)
+        case _ => ()
+      }
+      (itemsE ++ sel.having ++ sel.orderBy.map(_.e)).foreach(findHelpers)
+      for (tag <- used; keys <- csqOuterKeys.get(tag);
+           k <- keys if !groupExprs.contains(k))
+        throw CompileException(
+          s"correlated scalar subquery in aggregate context requires its " +
+            s"correlation key ($k) to appear in GROUP BY")
+    }
 
     // Each select item compiles to one Column; Catalyst validates that
     // non-aggregate fragments are grouping expressions. This single step
@@ -458,6 +493,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
   private def relAliases(r: Relation): Set[String] = r match {
     case TableRef(_, n, a) => Set(a.getOrElse(n))
     case SubqueryRel(_, a) => a.toSet
+    case ValuesRel(_, a, _) => a.toSet
     case TableFunctionRel(f, _, a, _) => Set(a.getOrElse(f))
     case JoinRel(_, l, rr, _) => relAliases(l) ++ relAliases(rr)
   }
@@ -523,7 +559,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
     * by the correlation columns; the join is a plain equi join Catalyst
     * plans freely (broadcast when the aggregated side is small). */
   private def lowerCorrelatedScalar(sub: Select, scope: Map[String, DataFrame],
-      n: Int): (DataFrame => DataFrame, Expr) = {
+      n: Int): (DataFrame => DataFrame, Expr, Seq[Expr]) = {
     val tag = s"__csq$n"
     if (sub.items.length != 1)
       throw CompileException("scalar subquery must return one column")
@@ -580,7 +616,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
           compileExpr(oe) === col(s"${tag}_k$i")
         }.reduce(_ && _),
         "left")
-    (joinFn, postExpr)
+    (joinFn, postExpr, keyList.map(_._1))
   }
 
   // -------------------------------------------------------------- relations

@@ -68,10 +68,12 @@ final class Executor(val spark: SparkSession,
     case CopyFrom(table, path, options) =>
       // format 'csv' (reference surface) | 'parquet' | 'json' (extension)
       val p = tableFunctions.resolvePath(path)
-      val df = options.getOrElse("format", "csv") match {
+      val df = options.getOrElse("format", "csv").toLowerCase match {
         case "parquet" => spark.read.parquet(p)
         case "json" => spark.read.json(p)
-        case _ => tableFunctions.readCsv(p, options)
+        case "csv" | "text" => tableFunctions.readCsv(p, options)
+        case other => throw CompileException(
+          s"unsupported COPY format '$other' (csv, parquet, json)")
       }
       scope += (table -> df)
       None
@@ -80,13 +82,15 @@ final class Executor(val spark: SparkSession,
       val df = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
       val p = tableFunctions.resolvePath(path)
-      options.getOrElse("format", "csv") match {
+      options.getOrElse("format", "csv").toLowerCase match {
         // parquet/json write a directory of part-files — the scale-native
         // layout (parallel writers); csv keeps the reference's one-file
         // contract via coalesce(1)
         case "parquet" => df.write.mode("overwrite").parquet(p)
         case "json" => df.write.mode("overwrite").json(p)
-        case _ => writeSingleCsv(df, p, options)
+        case "csv" | "text" => writeSingleCsv(df, p, options)
+        case other => throw CompileException(
+          s"unsupported COPY format '$other' (csv, parquet, json)")
       }
       None
 

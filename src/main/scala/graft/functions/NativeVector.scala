@@ -14,4 +14,11 @@ object NativeVector {
   /** squared L2: array<float> vs array<double> (IVF centroids). */
   def floatDoubleDist2(a: Column, b: Column): Column =
     NativeVectorColumns.floatDoubleDist2(a, b)
+
+  /** cosine similarity from three native dots — the single definition
+    * behind Vectors.cosineFast and the SQL cosine_sim function. */
+  def cosine(a: Column, b: Column): Column =
+    floatDot(a, b) /
+      (org.apache.spark.sql.functions.sqrt(floatDot(a, a)) *
+        org.apache.spark.sql.functions.sqrt(floatDot(b, b)))
 }

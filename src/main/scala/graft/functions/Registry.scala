@@ -58,8 +58,6 @@ object Registry {
     "float_dot" -> { case Seq(a, b) => NativeVector.floatDot(a, b) },
     "float_double_dist2" -> { case Seq(a, b) =>
       NativeVector.floatDoubleDist2(a, b) },
-    "cosine_sim" -> { case Seq(a, b) =>
-      NativeVector.floatDot(a, b) /
-        (sqrt(NativeVector.floatDot(a, a)) * sqrt(NativeVector.floatDot(b, b))) }
+    "cosine_sim" -> { case Seq(a, b) => NativeVector.cosine(a, b) }
   )
 }

@@ -245,6 +245,10 @@ object Dedup {
     * the scale path). md5-hashed shingles are portable, so an external
     * oracle reproduces the exact pair set. Shingle table persisted: one
     * computation feeds both self-join legs. */
+  /** NOTE: the shingle table stays persisted for the lifetime of the
+    * returned plan (both self-join legs read it). In a long-lived session
+    * call `spark.catalog.clearCache()` (as Bench does between queries) or
+    * unpersist after materializing, or the cached partitions accumulate. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       k: Int = 3): DataFrame = {
     val d = shingleRows(docs, k,

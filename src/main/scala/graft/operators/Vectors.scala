@@ -39,7 +39,7 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
   def cosineFast(a: Column, b: Column): Column =
-    dotFast(a, b) / (norm2Fast(a) * norm2Fast(b))
+    graft.functions.NativeVector.cosine(a, b)
 
   /** squared L2 distance */
   def dist2(a: Column, b: Column): Column =

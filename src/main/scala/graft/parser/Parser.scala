@@ -733,11 +733,17 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   /** `x op ANY/SOME/ALL (select s from ...)` desugared onto the EXISTS
-    * decorrelation path — which gives exact SQL semantics in WHERE
-    * context, including empty sets and NULLs:
+    * decorrelation path — which gives exact SQL semantics in positive
+    * WHERE context, including empty sets and NULLs:
     *   x op ANY(sub) ⟺ EXISTS s: (x op s) is true
     *   x op ALL(sub) ⟺ NOT EXISTS s: (x op s) is not true
     *                    (i.e. fails, or s/x NULL — and empty ⇒ true)
+    *
+    * Divergence (documented, same family as NOT IN): under an enclosing
+    * NOT, SQL's three-valued unknown would propagate (`NOT unknown` =
+    * unknown → row filtered), while the EXISTS lowering is two-valued —
+    * `not (x = any (...))` over a NULL-containing set keeps rows PG
+    * filters. Positive-context uses (the common case) are exact.
     */
   private def desugarQuantified(op: String, x: Expr, sub: Select,
       quant: String): Expr = {

@@ -359,6 +359,26 @@ class ConformanceSpec extends AnyFunSuite {
     check("""select c1 from test intersect all select c1 from test""")
     check("""select c1 from test except all select c1 from test where c2 > 4""")
   }
+  test("VALUES relation inside subqueries and quantified comparisons") {
+    // regression: relAliases must handle ValuesRel (was a MatchError)
+    check("select (select n from (values (7)) as v(n)) as x",
+      "select 7 as x")
+    check("select c1 from test where c1 = any (select n from (values (0), (5)) as v(n))",
+      "select c1 from test where c1 = 0")
+  }
+  test("correlated scalar in HAVING with ungrouped key is rejected") {
+    val e = intercept[Exception] {
+      exec.query("""select c1, sum(c2) as s from test group by c1
+                    having sum(c2) > (select avg(c4) from other where c3 = c2)""")
+    }
+    assert(e.getMessage.contains("GROUP BY"), e.getMessage)
+  }
+  test("unknown COPY format is rejected") {
+    val e = intercept[Exception] {
+      exec.execute("COPY test TO 'out.x' WITH format 'xml'")
+    }
+    assert(e.getMessage.contains("unsupported COPY format"), e.getMessage)
+  }
   test("join using shared columns") {
     check("select name, age from names join ages using (id)")
   }
