@@ -95,6 +95,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), plan)
   }
 
+  test("multiple native dots in one projection survive strict codegen") {
+    // regression: fixed Java local names collided when cosine expanded to
+    // three FloatDots in one generated scope (silent interpreted
+    // fallback); CODEGEN_ONLY turns any Janino failure into a hard error
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val dir = Files.createTempDirectory("graft_cos").toString
+      Seq((1L, Array(1.0f, 0.0f), Array(0.6f, 0.8f)))
+        .toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir)
+        .select(graft.functions.NativeVector.cosine(col("a"), col("b")).as("c"))
+        .collect().head.getDouble(0)
+      assert(math.abs(got - 0.6) < 1e-6)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("native float_double_dist2 computes squared L2 against centroids") {
     import org.apache.spark.sql.functions.col
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.0)))
