@@ -54,6 +54,38 @@ object TextAnalysis {
     * engines; use xxhash64 for cheaper non-portable runs) */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting" — the MOSS scheme): hash
+    * every k-gram of the token stream, then select the minimum hash of
+    * each sliding window of `w` consecutive k-gram hashes. The selected
+    * set is shift-resistant — any shared run of ≥ w+k-1 tokens between
+    * two documents is guaranteed to contribute a common fingerprint —
+    * which plain whole-document digests are not.
+    *
+    * Shape: posexplode → lead(k-1) window → md5-prefix hash → windowed
+    * min — one shuffle keyed by doc_id, every expression codegen'd.
+    * Returns distinct (doc_id, fp); documents with fewer than w full
+    * k-grams yield no rows (no full window exists). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (0 until k).map(i =>
+      if (i == 0) col("t") else lead(col("t"), i).over(byPos))
+    val grams = tok.select(col("doc_id"), col("pos"),
+        concat_ws(" ", parts: _*).as("g"), parts.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    val winMin = grams.select(col("doc_id"), col("pos"),
+      min(col("h")).over(byPos.rowsBetween(0, w - 1)).as("m"),
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+    winMin.filter(col("pos") <= col("n") - w) // full windows only (0-based)
+      .select(col("doc_id"), col("m").as("fp"))
+      .distinct()
+  }
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_token_count" -> ((s, dir) => {
@@ -81,6 +113,14 @@ object TextAnalysis {
     "ta_fingerprint" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // winnowing fingerprint summary (k=3 grams, w=4 windows)
+    "ta_winnow" -> ((s, dir) => {
+      winnowFingerprints(Tables.load(s, dir, "documents"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
         .orderBy(col("doc_id"))
     })
   )
@@ -121,6 +161,29 @@ object TextAnalysis {
         |FROM scored ORDER BY doc_id""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ta_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i, toks
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id, i,
+        |    CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM g),
+        |w AS (
+        |  SELECT doc_id, i,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM h),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, m FROM w WHERE i <= n - 4 + 1)
+        |SELECT doc_id, count(*) AS n_fp, min(m) AS min_fp, max(m) AS max_fp
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -78,6 +78,26 @@ class OperatorsSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding")
   }
 
+  test("winnowing fingerprints are shift-resistant") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, base),
+      (2L, "prefix words first " + base), // shifted copy
+      (3L, "totally different content with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the shared ≥ w+k-1 token run guarantees common fingerprints
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    // unrelated text shares nothing
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // identical text → identical fingerprint set
+    val again = TextAnalysis.winnowFingerprints(d.filter(col("doc_id") === 1))
+      .collect().map(_.getLong(1)).toSet
+    assert(again == fps(1L))
+  }
+
   test("connected components: chain, clique, and isolated pair") {
     // chain 1-2-3-4 (diameter 3: needs >1 propagation round),
     // triangle 10-11-12, pair 20-21
