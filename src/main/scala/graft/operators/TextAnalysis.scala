@@ -19,6 +19,16 @@ object TextAnalysis {
   /** whitespace tokens of normalized text */
   def tokens(c: Column): Column = split(normText(c), "\\s+")
 
+  /** BPE-style pre-tokenization (the GPT-2 pattern family, lookahead-
+    * free so Java and RE2 regex engines agree): contractions, optional-
+    * space letter runs, digit runs, punctuation runs. The count of these
+    * pieces is the standard cheap proxy for LLM token cost. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  def bpeTokenCount(c: Column): Column =
+    size(call_function("regexp_extract_all", lower(c), lit(bpePattern), lit(0)))
+
   private val stopwords =
     Seq("the", "a", "of", "and", "is", "in", "to", "it", "on", "for")
 
@@ -92,7 +102,8 @@ object TextAnalysis {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           size(tokens(col("text"))).as("n_tokens"),
-          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_words"))
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_words"),
+          bpeTokenCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))
     }),
     "ta_quality" -> ((s, dir) => {
@@ -131,7 +142,10 @@ object TextAnalysis {
     "ta_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-        |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+        |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+        |  len(regexp_extract_all(lower(text),
+        |      '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+'))
+        |    AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ta_quality" ->
       s"""SELECT doc_id, length(text) AS len,
