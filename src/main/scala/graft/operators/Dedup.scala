@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines.
@@ -203,6 +204,43 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** MinHash+LSH with fully PORTABLE hashing (md5-prefix for shingles,
+    * seeded md5 for the signature lanes, decimal-string band buckets):
+    * bit-identical reproducible by any engine, so the whole
+    * shingle→minhash→band→bucket-join→verify pipeline can be
+    * hash-checked against an external oracle — not just rows-counted.
+    * [[minhashDupPairs]] (xxhash64) is the cheaper engine-internal
+    * variant; structure is identical. */
+  def minhashDupPairsPortable(docs: DataFrame, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+    val shRows = shingleRows(docs, shingleK,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val sh = shRows.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
+      .withColumn("n", size(col("sh"))).persist()
+    val rpb = numHashes / bands
+    val mins = (0 until numHashes).map(i =>
+      min(conv(substring(md5(concat_ws("|", lit(i.toString),
+        col("s").cast("string"))), 1, 15), 16, 10).cast("long")).as(s"h$i"))
+    val sig = shRows.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (b * rpb until (b + 1) * rpb)
+          .map(i => col(s"h$i").cast("string")): _*).as("bucket"))
+    }: _*)).as("bk"))
+    val l = banded.select(col("bk").as("bka"), col("doc_id").as("doc_a"))
+    val r = banded.select(col("bk").as("bkb"), col("doc_id").as("doc_b"))
+    l.join(r, col("bka") === col("bkb") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardPre(col("sh_a"), col("n_a"), col("sh_b"), col("n_b")), 6)
+          .as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist. Pigeonhole
     * banding: with 4 16-bit chunks, any pair at distance ≤ 3 shares at
     * least one exact chunk — so pairing happens only inside chunk
@@ -361,6 +399,25 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
       connectedComponents(sim.unionAll(ex)).orderBy(col("doc_id"))
     }),
+    // PORTABLE MinHash+LSH, fully hash-checked: the corpus is each doc
+    // plus a deterministic 80%-prefix variant (a classic near-dup test
+    // harness derived from the given table, reproducible in SQL), so the
+    // pipeline has guaranteed true positives at every scale — the oracle
+    // rebuilds shingles, 16 seeded-md5 minhash lanes, band buckets,
+    // candidate pairs, and the jaccard verify, end to end
+    "dd_minhash_portable" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        expr("substring(text, 1, (4 * length(text)) div 5)").as("text"))
+      minhashDupPairsPortable(base.unionAll(variants), threshold = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(round((sum(col("jac").cast(DecimalType(18, 12)))
+            / count(lit(1))).cast("double"), 6), lit(0.0)).as("avg_jac"),
+          coalesce(sum(when(col("doc_b") === col("doc_a") + 10000000L, 1)
+            .otherwise(0)), lit(0)).as("n_variant_pairs"))
+    }),
     // MinHash LSH + verify (signature scheme is engine-specific → rows-only
     // gate; semantics proven in DedupSpec against exhaustive jaccard)
     "dd_minhash_lsh" -> ((s, dir) => {
@@ -422,6 +479,52 @@ object Dedup {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_minhash_portable" -> {
+      val h = (0 until 16).map(i =>
+        s"""    min(CAST(('0x' || substr(md5('$i|' || CAST(u.s AS VARCHAR)), 1, 15))
+           |      AS BIGINT)) AS h$i""".stripMargin).mkString(",\n")
+      val bucketCase = (0 until 4).map { b =>
+        val cols = (b * 4 until (b + 1) * 4)
+          .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+        s"WHEN $b THEN $cols"
+      }.mkString(" ")
+      s"""WITH src AS (
+        |  SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, substr(text, 1, (4 * length(text)) // 5)
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |sh AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+        |     for g in list_distinct([array_to_string(toks[i:i+2], ' ')
+        |       for i in range(1, greatest(len(toks) - 2, 0) + 1)])] AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |        FROM src)),
+        |sig AS (
+        |  SELECT doc_id,
+        |$h
+        |  FROM (SELECT doc_id, unnest(s) AS s FROM sh) u GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, b.band,
+        |    CASE b.band $bucketCase END AS bucket
+        |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |ver AS (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(len(list_intersect(a.s, bb.s)) AS DOUBLE)
+        |      / (len(a.s) + len(bb.s) - len(list_intersect(a.s, bb.s))), 6) AS jac
+        |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+        |            JOIN sh bb ON bb.doc_id = cand.doc_b)
+        |SELECT count(*) AS n_pairs,
+        |  coalesce(round(CAST(SUM(CAST(jac AS DECIMAL(18,12))) AS DOUBLE)
+        |    / count(*), 6), 0.0) AS avg_jac,
+        |  coalesce(sum(CASE WHEN doc_b = doc_a + 10000000 THEN 1 ELSE 0 END), 0)
+        |    AS n_variant_pairs
+        |FROM ver WHERE jac >= 0.5""".stripMargin
+    },
     "dd_cluster" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, source,
