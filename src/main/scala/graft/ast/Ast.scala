@@ -71,6 +71,12 @@ final case class SubqueryRel(select: Select, alias: Option[String]) extends Rela
 /** `(VALUES (e, ...), ...) AS t(c1, ...)` — literal inline relation. */
 final case class ValuesRel(rows: Seq[Seq[Expr]], alias: Option[String],
     columns: Seq[String]) extends Relation
+/** `t TABLESAMPLE BERNOULLI(pct) [REPEATABLE(seed)]`. With REPEATABLE the
+  * sample is a deterministic row-hash Bernoulli (reproducible across
+  * runs/retries, like [[graft.operators.Sampling]]); without, Spark's
+  * native sample. */
+final case class SampleRel(child: Relation, method: String,
+    percent: Double, seed: Option[Long]) extends Relation
 final case class TableFunctionRel(func: String, args: Seq[Expr],
     alias: Option[String], lateral: Boolean) extends Relation
 final case class JoinRel(how: String, left: Relation, right: Relation,

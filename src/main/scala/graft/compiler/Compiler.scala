@@ -494,6 +494,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
     case TableRef(_, n, a) => Set(a.getOrElse(n))
     case SubqueryRel(_, a) => a.toSet
     case ValuesRel(_, a, _) => a.toSet
+    case SampleRel(child, _, _, _) => relAliases(child)
     case TableFunctionRel(f, _, a, _) => Set(a.getOrElse(f))
     case JoinRel(_, l, rr, _) => relAliases(l) ++ relAliases(rr)
   }
@@ -631,6 +632,22 @@ final class Compiler(spark: SparkSession, registry: Registry,
         val a = alias.getOrElse(
           throw CompileException("subqueries need to be named"))
         compileSelect(sub, scope).alias(a)
+      case SampleRel(child, method, pct, seed) =>
+        if (method != "bernoulli" && method != "system")
+          throw CompileException(s"unsupported TABLESAMPLE method '$method'")
+        val df = compileRelation(child, scope)
+        if (pct < 0 || pct > 100)
+          throw CompileException("TABLESAMPLE percentage must be in [0, 100]")
+        seed match {
+          case Some(s) =>
+            // deterministic row-hash Bernoulli: reproducible across runs
+            // AND task retries (Spark's native sample is neither when
+            // partitions change); a narrow codegen'd filter at the scan
+            df.filter(
+              pmod(xxhash64(lit(s), struct(df.columns.map(col): _*)),
+                lit(1000000L)) < lit(math.round(pct * 10000)))
+          case None => df.sample(pct / 100.0)
+        }
       case ValuesRel(rows, alias, columns) =>
         // one single-row projection per tuple, unioned — Catalyst folds
         // this to a LocalRelation (type-coercing across rows), so no jobs

@@ -452,12 +452,37 @@ final class Parser(tokens: Vector[Token]) {
       } else (None, first)
     acceptKw("as")
     val alias = peek match {
-      case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+      case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
+          t.lower != "tablesample") || t.kind == TQuotedIdent =>
         next(); Some(t.value)
       case _ => None
     }
-    TableRef(schema, name, alias)
+    parseSampleOpt(TableRef(schema, name, alias))
   }
+
+  /** optional `TABLESAMPLE method(pct) [REPEATABLE(seed)]` suffix */
+  private def parseSampleOpt(rel: Relation): Relation =
+    if (acceptKw("tablesample")) {
+      val method = parseIdent().toLowerCase
+      expectOp("(")
+      val pct = parseExpr() match {
+        case IntLit(n) => n.toDouble
+        case FloatLit(f) => f
+        case _ => fail("TABLESAMPLE expects a numeric percentage")
+      }
+      expectOp(")")
+      val seed =
+        if (acceptKw("repeatable")) {
+          expectOp("(")
+          val s = parseExpr() match {
+            case IntLit(n) => n
+            case _ => fail("REPEATABLE expects an integer seed")
+          }
+          expectOp(")")
+          Some(s)
+        } else None
+      SampleRel(rel, method, pct, seed)
+    } else rel
 
   // ------------------------------------------------------------ expressions
   def parseExpr(): Expr = parseOr()

@@ -142,6 +142,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cos.getLong(0) == 1L && math.abs(cos.getDouble(1) - 0.6) < 1e-6)
   }
 
+  test("TABLESAMPLE REPEATABLE is deterministic and ~fraction-sized") {
+    val df = (0 until 4000).map(i => (i, i % 7)).toDF("id", "g")
+    val exec = new Executor(spark, Map("big" -> df))
+    val q = "select id from big tablesample bernoulli(25) repeatable(42)"
+    val a = exec.query(q).collect().map(_.getInt(0)).toSet
+    val b = exec.query(q).collect().map(_.getInt(0)).toSet
+    assert(a == b) // reproducible
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.05, s"got ${a.size}")
+    // different seed → different (but still deterministic) subset
+    val c = exec.query(
+      "select id from big tablesample bernoulli(25) repeatable(7)")
+      .collect().map(_.getInt(0)).toSet
+    assert(c != a)
+    // unsupported method rejected
+    val e = intercept[Exception] {
+      exec.query("select id from big tablesample reservoir(25)")
+    }
+    assert(e.getMessage.contains("TABLESAMPLE"), e.getMessage)
+  }
+
   test("executeScript runs statements and returns last result") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val out = exec.executeScript(
