@@ -633,8 +633,11 @@ final class Compiler(spark: SparkSession, registry: Registry,
           throw CompileException("subqueries need to be named"))
         compileSelect(sub, scope).alias(a)
       case SampleRel(child, method, pct, seed) =>
-        if (method != "bernoulli" && method != "system")
-          throw CompileException(s"unsupported TABLESAMPLE method '$method'")
+        // SYSTEM (block sampling) has different semantics and performance
+        // — rejecting beats silently substituting row-level Bernoulli
+        if (method != "bernoulli")
+          throw CompileException(
+            s"unsupported TABLESAMPLE method '$method' (only BERNOULLI)")
         val df = compileRelation(child, scope)
         if (pct < 0 || pct > 100)
           throw CompileException("TABLESAMPLE percentage must be in [0, 100]")

@@ -172,60 +172,48 @@ object Dedup {
     * (ids), candidate ids, two id-keyed shingle lookups — never an
     * all-pairs product, and never wide arrays through the band shuffle. */
   def minhashDupPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
-    val shRows = shingleRows(docs, shingleK, xxhash64(_))
-    // shingle sets (collect_set dedupes) for the verify step; persisted —
-    // computed once, read by the signature derivation AND both verify legs
-    val sh = shRows.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
-      .persist()
-    val rowsPerBand = numHashes / bands
-    // signatures from the persisted sets, not a recomputation of the
-    // tokenize→window shingle pipeline (min() is set-insensitive, so the
-    // dedup collect_set doesn't change any signature)
-    val sig = minhashSignatureAgg(sh, numHashes)
-    val banded = sig.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"h$i")): _*).as("bucket"))
-      }: _*)).as("bk"))
-    val cand = banded.select(col("bk").as("bka"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("bk").as("bkb"), col("doc_id").as("doc_b")),
-        col("bka") === col("bkb") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct() // same pair can collide in several bands
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        size(col("sh")).as("n_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        size(col("sh")).as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccardPre(col("sh_a"), col("n_a"), col("sh_b"), col("n_b")).as("jac"))
-      .filter(col("jac") >= threshold)
-  }
+      threshold: Double = 0.5, shingleK: Int = 3): DataFrame =
+    minhashPairsImpl(docs, numHashes, bands, threshold, shingleK,
+      shingleHash = xxhash64(_),
+      laneHash = (i, s) => xxhash64(lit(i), s),
+      bucket = cols => xxhash64(cols: _*))
 
   /** MinHash+LSH with fully PORTABLE hashing (md5-prefix for shingles,
     * seeded md5 for the signature lanes, decimal-string band buckets):
     * bit-identical reproducible by any engine, so the whole
     * shingle→minhash→band→bucket-join→verify pipeline can be
     * hash-checked against an external oracle — not just rows-counted.
-    * [[minhashDupPairs]] (xxhash64) is the cheaper engine-internal
-    * variant; structure is identical. */
+    * Same implementation as [[minhashDupPairs]] (the cheap xxhash64
+    * variant); only the three hash functions differ. */
   def minhashDupPairsPortable(docs: DataFrame, numHashes: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
-    val shRows = shingleRows(docs, shingleK,
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+      bands: Int = 4, threshold: Double = 0.5, shingleK: Int = 3): DataFrame =
+    minhashPairsImpl(docs, numHashes, bands, threshold, shingleK,
+      shingleHash = TextAnalysis.md5Prefix60,
+      laneHash = (i, s) => TextAnalysis.md5Prefix60(
+        concat_ws("|", lit(i.toString), s.cast("string"))),
+      bucket = cols => concat_ws(",", cols.map(_.cast("string")): _*))
+
+  /** Shared MinHash+LSH pipeline, parameterized by the shingle, lane,
+    * and band-bucket hash functions. Scale structure: the shingle table
+    * is persisted (computed once — signature derivation explodes the
+    * persisted sets rather than re-running the tokenize→window pipeline,
+    * and both verify legs read it); the band join carries ONLY
+    * (bucket, id); candidate ids dedupe before any array work. */
+  private def minhashPairsImpl(docs: DataFrame, numHashes: Int, bands: Int,
+      threshold: Double, shingleK: Int,
+      shingleHash: Column => Column,
+      laneHash: (Int, Column) => Column,
+      bucket: Seq[Column] => Column): DataFrame = {
+    val shRows = shingleRows(docs, shingleK, shingleHash)
     val sh = shRows.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       .withColumn("n", size(col("sh"))).persist()
+    val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val mins = (0 until numHashes).map(i => min(laneHash(i, col("s"))).as(s"h$i"))
+    val sig = tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val rpb = numHashes / bands
-    val mins = (0 until numHashes).map(i =>
-      min(conv(substring(md5(concat_ws("|", lit(i.toString),
-        col("s").cast("string"))), 1, 15), 16, 10).cast("long")).as(s"h$i"))
-    val sig = shRows.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(",", (b * rpb until (b + 1) * rpb)
-          .map(i => col(s"h$i").cast("string")): _*).as("bucket"))
+        bucket((b * rpb until (b + 1) * rpb).map(i => col(s"h$i"))).as("bucket"))
     }: _*)).as("bk"))
     val l = banded.select(col("bk").as("bka"), col("doc_id").as("doc_a"))
     val r = banded.select(col("bk").as("bkb"), col("doc_id").as("doc_b"))
@@ -413,8 +401,11 @@ object Dedup {
         expr("substring(text, 1, (4 * length(text)) div 5)").as("text"))
       minhashDupPairsPortable(base.unionAll(variants), threshold = 0.5)
         .agg(count(lit(1)).as("n_pairs"),
-          coalesce(round((sum(col("jac").cast(DecimalType(18, 12)))
-            / count(lit(1))).cast("double"), 6), lit(0.0)).as("avg_jac"),
+          // exact decimal SUM (order-independent), then the divide in
+          // double — matching the oracle's CAST(SUM AS DOUBLE)/count
+          // exactly (decimal division rounds differently at the 6th dp)
+          coalesce(round(sum(col("jac").cast(DecimalType(18, 12)))
+            .cast("double") / count(lit(1)), 6), lit(0.0)).as("avg_jac"),
           coalesce(sum(when(col("doc_b") === col("doc_a") + 10000000L, 1)
             .otherwise(0)), lit(0)).as("n_variant_pairs"))
     }),

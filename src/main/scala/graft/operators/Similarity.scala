@@ -152,8 +152,9 @@ object Similarity {
           round(Vectors.cosine(col("embedding"), col("centroid")), 4).as("cos_c"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
-          round((sum(col("cos_c").cast(DecimalType(18, 12))) / count(lit(1)))
-            .cast("double"), 4).as("avg_cos"))
+          // decimal SUM then double divide — the oracle's exact shape
+          round(sum(col("cos_c").cast(DecimalType(18, 12)))
+            .cast("double") / count(lit(1)), 4).as("avg_cos"))
         .orderBy(col("label"))
     })
   )

@@ -64,6 +64,13 @@ object TextAnalysis {
     * engines; use xxhash64 for cheaper non-portable runs) */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** 60-bit integer from the md5 prefix — THE portable hash used
+    * everywhere an external oracle must reproduce hash values
+    * (DuckDB: `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`).
+    * One definition; the oracle SQL must byte-match this construction. */
+  def md5Prefix60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
     * Algorithms for Document Fingerprinting" — the MOSS scheme): hash
     * every k-gram of the token stream, then select the minimum hash of
@@ -86,8 +93,7 @@ object TextAnalysis {
     val grams = tok.select(col("doc_id"), col("pos"),
         concat_ws(" ", parts: _*).as("g"), parts.last.isNotNull.as("__full"))
       .filter(col("__full"))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), col("pos"), md5Prefix60(col("g")).as("h"))
     val winMin = grams.select(col("doc_id"), col("pos"),
       min(col("h")).over(byPos.rowsBetween(0, w - 1)).as("m"),
       count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))

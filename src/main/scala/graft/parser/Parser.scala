@@ -403,7 +403,8 @@ final class Parser(tokens: Vector[Token]) {
         expectOp(")")
         acceptKw("as")
         val alias = peek match {
-          case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+          case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
+              t.lower != "tablesample") || t.kind == TQuotedIdent =>
             next(); Some(t.value)
           case _ => None
         }
@@ -413,17 +414,18 @@ final class Parser(tokens: Vector[Token]) {
           while (acceptOp(",")) cols :+= parseIdent()
           expectOp(")")
         }
-        return ValuesRel(rows, alias, cols)
+        return parseSampleOpt(ValuesRel(rows, alias, cols))
       }
       val sub = parseSelect()
       expectOp(")")
       acceptKw("as")
       val alias = peek match {
-        case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+        case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
+            t.lower != "tablesample") || t.kind == TQuotedIdent =>
           next(); Some(t.value)
         case _ => None
       }
-      return SubqueryRel(sub, alias)
+      return parseSampleOpt(SubqueryRel(sub, alias))
     }
     // table function? ident followed by '('
     if (peek.exists(t => t.kind == TIdent && !reserved(t.lower)) &&
@@ -438,11 +440,12 @@ final class Parser(tokens: Vector[Token]) {
       expectOp(")")
       acceptKw("as")
       val alias = peek match {
-        case Some(t) if (t.kind == TIdent && !reserved(t.lower)) || t.kind == TQuotedIdent =>
+        case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
+            t.lower != "tablesample") || t.kind == TQuotedIdent =>
           next(); Some(t.value)
         case _ => None
       }
-      return TableFunctionRel(fn, args, alias, lateral)
+      return parseSampleOpt(TableFunctionRel(fn, args, alias, lateral))
     }
     // plain table ref, possibly schema-qualified
     val first = parseIdent()
