@@ -118,3 +118,7 @@ final case class DropTable(names: Seq[String]) extends Statement
 final case class ShowStmt(what: String) extends Statement
 /** `EXPLAIN select ...` — returns the formatted physical plan as rows. */
 final case class ExplainStmt(query: Select) extends Statement
+/** `INSERT INTO t [(cols)] select ... | VALUES ...` — appends to the
+  * scope entry via union (frames are immutable; the scope binding moves). */
+final case class InsertInto(table: String, columns: Seq[String],
+    query: Select) extends Statement

@@ -100,6 +100,32 @@ final class Executor(val spark: SparkSession,
       Some(spark.createDataset(plan.linesIterator.toSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF("query plan"))
 
+    case InsertInto(table, cols, q) =>
+      val target = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      var add = compiler.compileSelect(q, scope)
+      val tcols = target.columns
+      if (cols.isEmpty) {
+        // positional: arity must match the target exactly
+        if (add.columns.length != tcols.length)
+          throw CompileException(
+            s"INSERT has ${add.columns.length} columns but '$table' has ${tcols.length}")
+        add = add.toDF(tcols: _*)
+      } else {
+        if (cols.length != add.columns.length)
+          throw CompileException(
+            s"INSERT column list has ${cols.length} names but the source has ${add.columns.length}")
+        add = add.toDF(cols: _*)
+      }
+      val present = add.columns.toSet
+      val aligned = add.select(tcols.map { c =>
+        val ty = target.schema(c).dataType
+        if (present.contains(c)) col(c).cast(ty).as(c)
+        else lit(null).cast(ty).as(c) // unlisted target columns fill NULL
+      }: _*)
+      scope += (table -> target.unionAll(aligned))
+      None
+
     case CreateTableAs(name, query) =>
       // lazy by design: the plan re-evaluates on use, like every Spark
       // view. (The reference materializes eagerly; for re-read stability

@@ -66,6 +66,7 @@ final class Parser(tokens: Vector[Token]) {
       else if (peekKw("create")) parseCreate()
       else if (peekKw("show")) parseShow()
       else if (peekKw("explain")) { next(); ExplainStmt(parseSelect()) }
+      else if (peekKw("insert")) parseInsert()
       else parseSelect()
     acceptOp(";")
     if (pos < tokens.length) fail("trailing tokens")
@@ -105,6 +106,34 @@ final class Parser(tokens: Vector[Token]) {
       }
     }
     if (isFrom) CopyFrom(table, path, options) else CopyTo(table, path, options)
+  }
+
+  private def parseInsert(): Statement = {
+    expectKw("insert"); expectKw("into")
+    val table = parseIdent()
+    var cols = Seq.empty[String]
+    if (peekOp("(")) {
+      next()
+      cols :+= parseIdent()
+      while (acceptOp(",")) cols :+= parseIdent()
+      expectOp(")")
+    }
+    val q =
+      if (peekKw("values")) {
+        next()
+        var rows = Seq.empty[Seq[Expr]]
+        do {
+          expectOp("(")
+          var row = Seq.empty[Expr]
+          row :+= parseExpr()
+          while (acceptOp(",")) row :+= parseExpr()
+          expectOp(")")
+          rows :+= row
+        } while (acceptOp(","))
+        Select(items = Seq(Wildcard(None)),
+          from = Seq(ValuesRel(rows, Some("__v"), cols)))
+      } else parseSelect()
+    InsertInto(table, cols, q)
   }
 
   private def parseDrop(): Statement = {

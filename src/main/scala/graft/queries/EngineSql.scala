@@ -333,6 +333,7 @@ object EngineSql {
           """CREATE TABLE regc AS
             |select n_regionkey, count(1) as n from nback group by n_regionkey""".stripMargin)
         exec.execute("DROP TABLE nback")
+        exec.execute("INSERT INTO regc VALUES (99, 0)")
         exec.query("select n_regionkey, n from regc order by n_regionkey")
       }),
       // qualified wildcard through the engine
@@ -344,8 +345,10 @@ object EngineSql {
   def oracleSql: Map[String, String] =
     defs.map { case (name, (_, oracle)) => name -> oracle } ++ Map(
       "fq_statements" ->
-        """SELECT n_regionkey, count(*) AS n FROM nation
-          |GROUP BY 1 ORDER BY n_regionkey""".stripMargin,
+        """SELECT * FROM (
+          |  SELECT n_regionkey, count(*) AS n FROM nation GROUP BY 1
+          |  UNION ALL SELECT 99, 0)
+          |ORDER BY n_regionkey""".stripMargin,
       "fq_star" -> "SELECT * FROM nation ORDER BY n_nationkey"
     )
 }

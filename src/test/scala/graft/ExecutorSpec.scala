@@ -131,6 +131,23 @@ class ExecutorSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("INSERT INTO appends via values, select, and column subsets") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1L, "a", 1.5)).toDF("id", "s", "v")))
+    exec.execute("insert into t values (2, 'b', 2.5), (3, 'c', 3.5)")
+    exec.execute("insert into t select id + 10, s, v from t where id = 1")
+    exec.execute("insert into t (id, s) values (99, 'z')") // v fills NULL
+    val got = exec.query("select id, s, v from t order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.toString).orNull)).toSeq
+    assert(got == Seq((1L, "a", "1.5"), (2L, "b", "2.5"), (3L, "c", "3.5"),
+      (11L, "a", "1.5"), (99L, "z", null)))
+    val e = intercept[Exception] {
+      exec.execute("insert into t values (1, 'x')") // arity mismatch
+    }
+    assert(e.getMessage.contains("columns"), e.getMessage)
+  }
+
   test("EXPLAIN statement returns the physical plan as rows") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val rows = exec.execute("explain select x, x + 1 from t where x > 1")
