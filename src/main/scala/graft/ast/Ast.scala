@@ -122,3 +122,11 @@ final case class ExplainStmt(query: Select) extends Statement
   * scope entry via union (frames are immutable; the scope binding moves). */
 final case class InsertInto(table: String, columns: Seq[String],
     query: Select) extends Statement
+/** `DELETE FROM t [WHERE p]` — rebinds the scope entry filtered. */
+final case class DeleteFrom(table: String, where: Option[Expr]) extends Statement
+/** `UPDATE t SET c = e, ... [WHERE p]` — rebinds with conditional
+  * column replacement (rows failing p keep their values). */
+final case class UpdateStmt(table: String, sets: Seq[(String, Expr)],
+    where: Option[Expr]) extends Statement
+/** `TRUNCATE [TABLE] t` — rebinds to the empty frame (schema kept). */
+final case class TruncateStmt(table: String) extends Statement

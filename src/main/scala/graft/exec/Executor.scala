@@ -126,6 +126,42 @@ final class Executor(val spark: SparkSession,
       scope += (table -> target.unionAll(aligned))
       None
 
+    case DeleteFrom(table, where) =>
+      val target = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      val kept = where match {
+        // SQL deletes rows where the predicate is TRUE; FALSE and
+        // UNKNOWN rows stay — hence the coalesce before negation
+        case Some(p) => target.filter(!coalesce(compiler.compileExpr(p), lit(false)))
+        case None => target.limit(0)
+      }
+      scope += (table -> kept)
+      None
+
+    case UpdateStmt(table, sets, where) =>
+      val target = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      val cond = where.map(p => coalesce(compiler.compileExpr(p), lit(false)))
+      // all SET expressions evaluate against the OLD row values (SQL
+      // semantics), so build one select rather than chained withColumn
+      val setMap = sets.toMap
+      val updated = target.select(target.columns.map { c =>
+        setMap.get(c) match {
+          case Some(e) =>
+            val newVal = compiler.compileExpr(e).cast(target.schema(c).dataType)
+            cond.fold(newVal)(p => when(p, newVal).otherwise(col(c))).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      scope += (table -> updated)
+      None
+
+    case TruncateStmt(table) =>
+      val target = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      scope += (table -> target.limit(0))
+      None
+
     case CreateTableAs(name, query) =>
       // lazy by design: the plan re-evaluates on use, like every Spark
       // view. (The reference materializes eagerly; for re-read stability

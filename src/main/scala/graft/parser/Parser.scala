@@ -67,6 +67,9 @@ final class Parser(tokens: Vector[Token]) {
       else if (peekKw("show")) parseShow()
       else if (peekKw("explain")) { next(); ExplainStmt(parseSelect()) }
       else if (peekKw("insert")) parseInsert()
+      else if (peekKw("delete")) parseDelete()
+      else if (peekKw("update")) parseUpdate()
+      else if (peekKw("truncate")) parseTruncate()
       else parseSelect()
     acceptOp(";")
     if (pos < tokens.length) fail("trailing tokens")
@@ -134,6 +137,34 @@ final class Parser(tokens: Vector[Token]) {
           from = Seq(ValuesRel(rows, Some("__v"), cols)))
       } else parseSelect()
     InsertInto(table, cols, q)
+  }
+
+  private def parseDelete(): Statement = {
+    expectKw("delete"); expectKw("from")
+    val table = parseIdent()
+    val where = if (acceptKw("where")) Some(parseExpr()) else None
+    DeleteFrom(table, where)
+  }
+
+  private def parseUpdate(): Statement = {
+    expectKw("update")
+    val table = parseIdent()
+    expectKw("set")
+    var sets = Seq.empty[(String, Expr)]
+    var done = false
+    while (!done) {
+      val c = parseIdent()
+      expectOp("=")
+      sets :+= (c -> parseExpr())
+      done = !acceptOp(",")
+    }
+    val where = if (acceptKw("where")) Some(parseExpr()) else None
+    UpdateStmt(table, sets, where)
+  }
+
+  private def parseTruncate(): Statement = {
+    expectKw("truncate"); acceptKw("table")
+    TruncateStmt(parseIdent())
   }
 
   private def parseDrop(): Statement = {

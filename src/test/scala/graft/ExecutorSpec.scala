@@ -148,6 +148,25 @@ class ExecutorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("columns"), e.getMessage)
   }
 
+  test("UPDATE / DELETE / TRUNCATE rebind scope entries") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")))
+    exec.execute("update t set v = v * 2 where id >= 2")
+    assert(exec.query("select v from t order by id")
+      .collect().map(_.getDouble(0)).toSeq == Seq(10.0, 40.0, 60.0))
+    // SET expressions see OLD values: swap-style update is consistent
+    exec.execute("update t set v = id, id = v where id = 1")
+    assert(exec.query("select id, v from t order by v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head == (10L, 1.0))
+    // rows now: (10, 1.0), (2, 40.0), (3, 60.0)
+    exec.execute("delete from t where v > 30")
+    assert(exec.query("select count(1) as n from t")
+      .collect().head.getLong(0) == 1L)
+    exec.execute("truncate table t")
+    assert(exec.query("select count(1) as n from t")
+      .collect().head.getLong(0) == 0L)
+  }
+
   test("EXPLAIN statement returns the physical plan as rows") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val rows = exec.execute("explain select x, x + 1 from t where x > 1")
