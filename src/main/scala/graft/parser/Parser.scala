@@ -799,7 +799,7 @@ final class Parser(tokens: Vector[Token]) {
       if (peekOp("*")) {
         next(); expectOp(")")
         val base = CallSet(fn, Nil, star = true)
-        return parseOverOpt(base)
+        return parseOverOpt(parseFilterOpt(base))
       }
       val distinct = acceptKw("distinct")
       var args = Seq.empty[Expr]
@@ -816,7 +816,7 @@ final class Parser(tokens: Vector[Token]) {
         else if (windowOnlyFunctions(fn) && isWindowNext) Call(fn, args)
         else if (distinct) fail(s"DISTINCT not supported for function $fn")
         else Call(fn, args)
-      parseOverOpt(base)
+      parseOverOpt(parseFilterOpt(base))
     } else ColRef(parts.toSeq)
   }
 
@@ -867,6 +867,25 @@ final class Parser(tokens: Vector[Token]) {
         o.exists(containsSetFn)
     case _ => false
   }
+
+  /** `agg(args) FILTER (WHERE p)` (PG) — desugared at parse time to
+    * `agg(CASE WHEN p THEN arg END)`: SQL aggregates skip NULLs, so the
+    * rewrite is exact for every null-skipping aggregate (count(*)
+    * becomes count(CASE WHEN p THEN 1 END)). */
+  private def parseFilterOpt(base: Expr): Expr =
+    if (peekKw("filter") && peekAt(1).exists(t => t.kind == TOp && t.value == "(")) {
+      base match {
+        case CallSet(fn, args, d, star) =>
+          next(); expectOp("("); expectKw("where")
+          val p = parseExpr()
+          expectOp(")")
+          val newArgs =
+            if (star || args.isEmpty) Seq(CaseExpr(Seq(p -> IntLit(1)), None))
+            else args.map(a => CaseExpr(Seq(p -> a), None))
+          CallSet(fn, newArgs, d, star = false)
+        case _ => fail("FILTER applies only to aggregate functions")
+      }
+    } else base
 
   private def parseOverOpt(base: Expr): Expr = {
     if (!peekKw("over")) return base

@@ -355,6 +355,12 @@ class ConformanceSpec extends AnyFunSuite {
                                 from other)""",
       Seq())
   }
+  test("aggregate FILTER (WHERE ...) clause") {
+    check("""select c1, count(*) filter (where c2 > 2) as n,
+                    sum(c2) filter (where c2 % 2 = 0) as s
+             from test group by c1 order by c1""")
+    check("select count(distinct c1) filter (where c2 < 5) as n from test")
+  }
   test("intersect all / except all keep duplicates") {
     check("""select c1 from test intersect all select c1 from test""")
     check("""select c1 from test except all select c1 from test where c2 > 4""")
