@@ -106,7 +106,10 @@ final case class Select(
     orderBy: Seq[SortItem] = Nil,
     limit: Option[Long] = None,
     offset: Option[Long] = None,
-    setOps: Seq[(String, Select)] = Nil // (union|union all|intersect|except, rhs)
+    setOps: Seq[(String, Select)] = Nil, // (union|union all|intersect|except, rhs)
+    /** `QUALIFY p` — filter over window-function results (post-projection;
+      * Snowflake/DuckDB extension). */
+    qualify: Option[Expr] = None
 ) extends Statement
 
 final case class CopyFrom(table: String, path: String,

@@ -273,9 +273,13 @@ final class Compiler(spark: SparkSession, registry: Registry,
             sortCol(col(s"__ord$j"), si)
         }
       }
-    val hiddenCols = hidden.result()
+    // QUALIFY: window predicate rides along as a hidden column (window
+    // functions evaluate in the projection stage), filtered after
+    val qualCol = sel.qualify.map(q => compileExpr(q).as("__qualify"))
+    val hiddenCols = hidden.result() ++ qualCol.toSeq
 
     var df = from.select(compiled ++ hiddenCols: _*)
+    if (qualCol.isDefined) df = df.filter(col("__qualify"))
     if (sel.distinct) {
       if (hiddenCols.nonEmpty)
         throw CompileException(
@@ -400,7 +404,9 @@ final class Compiler(spark: SparkSession, registry: Registry,
         }
       }
 
-    val aggExprs = itemCols ++ havingCol.toSeq ++ extras.result()
+    val qualCol = sel.qualify.map(q =>
+      compileExpr(firstWrapScalarHelpers(q)).as("__qualify"))
+    val aggExprs = itemCols ++ havingCol.toSeq ++ qualCol.toSeq ++ extras.result()
     // multi-level aggregates: one pass producing every grouping level
     // (Spark expands to an Expand node — no per-level rescan)
     val grouped = sel.groupType match {
@@ -414,6 +420,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
     var df = grouped.agg(aggExprs.head, aggExprs.tail: _*)
 
     if (havingCol.isDefined) df = df.filter(col("__having"))
+    if (qualCol.isDefined) df = df.filter(col("__qualify"))
     if (sel.distinct) df = df.dropDuplicates(names.indices.map(k => s"__out$k"))
     if (specs.nonEmpty) df = df.orderBy(specs: _*)
     df.select(names.indices.map(k => col(s"__out$k")): _*).toDF(names: _*)

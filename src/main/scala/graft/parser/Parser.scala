@@ -298,6 +298,13 @@ final class Parser(tokens: Vector[Token]) {
           groupingSets.flatten.foldLeft(Seq.empty[Expr]) {
             (acc, e) => if (acc.contains(e)) acc else acc :+ e
           }
+        } else if (acceptKw("all")) {
+          // GROUP BY ALL (DuckDB/Spark convenience): group by every
+          // non-aggregate select item — desugared to ordinals here so
+          // the compiler's existing ordinal resolution does the rest
+          items.zipWithIndex.collect {
+            case (ExprItem(e, _), i) if !containsSetFn(e) => IntLit(i + 1)
+          }
         } else {
           var es = Seq(parseExpr())
           while (acceptOp(",")) es :+= parseExpr()
@@ -306,7 +313,9 @@ final class Parser(tokens: Vector[Token]) {
       } else Nil
 
     val having = if (acceptKw("having")) Some(parseExpr()) else None
-    Select(distinct = distinct, distinctOn = distinctOn, items = items,
+    val qualify = if (acceptKw("qualify")) Some(parseExpr()) else None
+    Select(qualify = qualify,
+      distinct = distinct, distinctOn = distinctOn, items = items,
       from = from, where = where, groupBy = groupBy, groupType = groupType,
       groupingSets = groupingSets, having = having)
   }
@@ -464,7 +473,7 @@ final class Parser(tokens: Vector[Token]) {
         acceptKw("as")
         val alias = peek match {
           case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
-              t.lower != "tablesample") || t.kind == TQuotedIdent =>
+              !Set("tablesample", "qualify")(t.lower)) || t.kind == TQuotedIdent =>
             next(); Some(t.value)
           case _ => None
         }
@@ -481,7 +490,7 @@ final class Parser(tokens: Vector[Token]) {
       acceptKw("as")
       val alias = peek match {
         case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
-            t.lower != "tablesample") || t.kind == TQuotedIdent =>
+            !Set("tablesample", "qualify")(t.lower)) || t.kind == TQuotedIdent =>
           next(); Some(t.value)
         case _ => None
       }
@@ -501,7 +510,7 @@ final class Parser(tokens: Vector[Token]) {
       acceptKw("as")
       val alias = peek match {
         case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
-            t.lower != "tablesample") || t.kind == TQuotedIdent =>
+            !Set("tablesample", "qualify")(t.lower)) || t.kind == TQuotedIdent =>
           next(); Some(t.value)
         case _ => None
       }
@@ -516,7 +525,7 @@ final class Parser(tokens: Vector[Token]) {
     acceptKw("as")
     val alias = peek match {
       case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
-          t.lower != "tablesample") || t.kind == TQuotedIdent =>
+          !Set("tablesample", "qualify")(t.lower)) || t.kind == TQuotedIdent =>
         next(); Some(t.value)
       case _ => None
     }

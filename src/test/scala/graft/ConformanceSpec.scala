@@ -361,6 +361,23 @@ class ConformanceSpec extends AnyFunSuite {
              from test group by c1 order by c1""")
     check("select count(distinct c1) filter (where c2 < 5) as n from test")
   }
+  test("QUALIFY filters on window results") {
+    check("""select c1, c2 from test
+             qualify row_number() over (partition by c1 order by c2 desc) = 1""",
+      """select c1, c2 from (
+           select c1, c2, row_number() over (partition by c1 order by c2 desc) rn
+           from test) where rn = 1""")
+    // QUALIFY over a windowed aggregate (rank of group sums)
+    check("""select c1, sum(c2) as s from test group by c1
+             qualify rank() over (order by sum(c2) desc) = 1""",
+      """select c1, s from (
+           select c1, sum(c2) as s, rank() over (order by sum(c2) desc) rk
+           from test group by c1) where rk = 1""")
+  }
+  test("GROUP BY ALL groups by every non-aggregate item") {
+    check("select c1, c2 % 2 as par, count(*) as n from test group by all order by 1, 2",
+      "select c1, c2 % 2 as par, count(*) as n from test group by c1, c2 % 2 order by 1, 2")
+  }
   test("intersect all / except all keep duplicates") {
     check("""select c1 from test intersect all select c1 from test""")
     check("""select c1 from test except all select c1 from test where c2 > 4""")
