@@ -307,6 +307,25 @@ object EngineSql {
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
           |WHERE a.vec_id < 50 ORDER BY id_a""".stripMargin),
 
+      // QUALIFY over a window: top order per customer, top-20 customers
+      "fq_qualify" -> same(
+        """select o_custkey, o_orderkey,
+          |  cast(o_totalprice as double) as price
+          |from orders
+          |where o_custkey < 200
+          |qualify row_number() over (partition by o_custkey
+          |                           order by o_totalprice desc, o_orderkey) = 1
+          |order by o_custkey""".stripMargin),
+
+      // aggregate FILTER clause (parse-time CASE desugar on our side,
+      // native FILTER in DuckDB — results must match exactly)
+      "fq_filter_agg" -> same(
+        """select o_orderpriority,
+          |  count(*) filter (where o_orderstatus = 'F') as n_f,
+          |  cast(sum(cast(o_totalprice as decimal(18,6)))
+          |       filter (where o_totalprice > 100000) as double) as big_total
+          |from orders group by o_orderpriority order by o_orderpriority""".stripMargin),
+
       // decimal-exact revenue through the engine dialect
       "fq_revenue" -> same(
         """select l_returnflag,
