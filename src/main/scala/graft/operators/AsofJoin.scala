@@ -21,6 +21,38 @@ import graft.sources.Tables
   */
 object AsofJoin {
 
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` — the same union+running-window pass with
+    * the time axis descending (right-before-left at equal times keeps
+    * the match inclusive). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPrefix: String = "r_",
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightPrefix,
+      tolerance, forward = true)
+
+  /** Nearest as-of: whichever of the backward/forward match is closer in
+    * time (ties prefer the preceding row). Two window passes — still
+    * shuffle-bound, no pair explosion. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPrefix: String = "r_",
+      tolerance: Option[Long] = None): DataFrame = {
+    val back = asof(left, right, keys, leftTime, rightTime, "__b_", tolerance)
+    val fwd = asofForward(back, right, keys, leftTime, rightTime, "__f_",
+      tolerance)
+    val rCols = right.columns.filterNot(keys.contains)
+    val t = col(leftTime).cast("long")
+    val bT = col(s"__b_$rightTime").cast("long")
+    val fT = col(s"__f_$rightTime").cast("long")
+    // backward wins when forward is absent or strictly farther
+    val useBack = col(s"__f_$rightTime").isNull ||
+      (col(s"__b_$rightTime").isNotNull && (t - bT) <= (fT - t))
+    val out = left.columns.map(col) ++ rCols.map(c =>
+      when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c"))
+        .as(s"$rightPrefix$c"))
+    fwd.select(out: _*)
+  }
+
   /** @param keys        equi keys present in both frames
     * @param leftTime    ordering column in `left` (numeric or timestamp)
     * @param rightTime   ordering column in `right` (same type)
@@ -29,7 +61,13 @@ object AsofJoin {
     *                    matches further back are nulled out */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightPrefix: String = "r_",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightPrefix,
+      tolerance, forward = false)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPrefix: String,
+      tolerance: Option[Long], forward: Boolean): DataFrame = {
     val rStructType = org.apache.spark.sql.types.StructType(right.schema.fields)
     val keyCols = keys.map(col)
 
@@ -44,9 +82,11 @@ object AsofJoin {
         lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields)).as("__l") :+
         struct(right.columns.map(col): _*).as("__r"): _*)
 
-    // right rows sort before left rows at equal time → inclusive match
+    // right rows sort before left rows at equal time → inclusive match;
+    // forward direction = the same scan over a descending time axis
+    val ord = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = lPart.union(rPart)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
@@ -54,10 +94,11 @@ object AsofJoin {
 
     val withTol = tolerance match {
       case Some(t) =>
+        val gap =
+          if (forward) col(s"__match.$rightTime").cast("long") - col("__t")
+          else col("__t") - col(s"__match.$rightTime").cast("long")
         matched.withColumn("__match",
-          when(col("__match").isNotNull &&
-            col("__t") - col(s"__match.$rightTime").cast("long") <= t,
-            col("__match")))
+          when(col("__match").isNotNull && gap <= t, col("__match")))
       case None => matched
     }
     val leftOut = left.columns.map(c => col(s"__l.$c").as(c))

@@ -186,6 +186,24 @@ class OperatorsSpec extends AnyFunSuite {
       "t3" -> None))       // 15-1=14 beyond 5
   }
 
+  test("asof forward and nearest directions") {
+    val l = Seq((1L, 10L, "x"), (1L, 25L, "y")).toDF("k", "t", "name")
+    val r = Seq((1L, 8L, "a"), (1L, 12L, "b"), (1L, 30L, "c"))
+      .toDF("k", "rt", "v")
+    def m(df: org.apache.spark.sql.DataFrame) = // col 3 = matched r_rt
+      df.collect().map(x => x.getString(2) -> Option(x.get(3)).map(_.toString)).toMap
+    assert(m(AsofJoin.asofForward(l, r, Seq("k"), "t", "rt")) ==
+      Map("x" -> Some("12"), "y" -> Some("30"))) // earliest following
+    assert(m(AsofJoin.asofForward(l, r, Seq("k"), "t", "rt",
+      tolerance = Some(3L))) ==
+      Map("x" -> Some("12"), "y" -> None)) // 30-25=5 beyond 3
+    val near = AsofJoin.asofNearest(l, r, Seq("k"), "t", "rt")
+      .collect().map(x => x.getString(2) -> Option(x.get(3)).map(_.toString)).toMap
+    // x: back gap 2 == fwd gap 2 → tie prefers preceding (rt=8)
+    // y: back gap 13 vs fwd gap 5 → following (rt=30)
+    assert(near == Map("x" -> Some("8"), "y" -> Some("30")))
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     val left = Seq((1, "a"), (1, "b"), (2, "c"), (1, "d")).toDF("k", "v")
     val right = Seq((1, 10), (2, 20), (3, 30)).toDF("k", "w")
