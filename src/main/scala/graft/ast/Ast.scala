@@ -51,6 +51,9 @@ final case class InList(e: Expr, values: Seq[Expr], negated: Boolean) extends Ex
 
 /** Scalar subquery `(select ...)` in expression position — extension. */
 final case class ScalarSubquery(select: Select) extends Expr
+/** `(a, b, ...)` row constructor — valid in IN-subquery and equality
+  * comparisons (compiles to a struct). */
+final case class RowCtor(items: Seq[Expr]) extends Expr
 /** `e IN (select ...)` / `EXISTS (select ...)` — extension. */
 final case class InSubquery(e: Expr, select: Select, negated: Boolean) extends Expr
 final case class ExistsSubquery(select: Select, negated: Boolean) extends Expr

@@ -80,6 +80,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
       o.map(firstWrapScalarHelpers))
     case InList(x, vs, n) =>
       InList(firstWrapScalarHelpers(x), vs.map(firstWrapScalarHelpers), n)
+    case RowCtor(items) => RowCtor(items.map(firstWrapScalarHelpers))
     case InSubquery(x, s, n) => InSubquery(firstWrapScalarHelpers(x), s, n)
     case CallAnalytics(c, pb, ob, fr) =>
       // window args in agg context: operand aggregates are untouched
@@ -104,6 +105,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
         bs.map { case (c, v) => rewriteExpr(c)(f) -> rewriteExpr(v)(f) },
         o.map(rewriteExpr(_)(f)))
       case InList(x, vs, n) => InList(rewriteExpr(x)(f), vs.map(rewriteExpr(_)(f)), n)
+      case RowCtor(items) => RowCtor(items.map(rewriteExpr(_)(f)))
       case InSubquery(x, s, n) => InSubquery(rewriteExpr(x)(f), s, n)
       case other => other
     }
@@ -156,7 +158,8 @@ final class Compiler(spark: SparkSession, registry: Registry,
         case w => w
       },
       where = sel0.where.map(liftScalars),
-      having = sel0.having.map(liftScalars))
+      having = sel0.having.map(liftScalars),
+      qualify = sel0.qualify.map(liftScalars))
 
     // FROM: left-fold comma items as cross joins; join chains inside
     // (reference execute_from, _executor.py:336-368). WHERE conjuncts that
@@ -450,13 +453,22 @@ final class Compiler(spark: SparkSession, registry: Registry,
       c match {
       case InSubquery(e, sub, negated) =>
         val rhs0 = compileSelect(sub, scope)
-        if (rhs0.columns.length != 1)
-          throw CompileException("IN (subquery) must return exactly one column")
-        val rhs = rhs0.toDF("__in_key") // unique name avoids ambiguity
+        val keys = e match {
+          case RowCtor(items) => items
+          case single => Seq(single)
+        }
+        if (rhs0.columns.length != keys.length)
+          throw CompileException(
+            s"IN (subquery) arity mismatch: ${keys.length} key(s) vs " +
+              s"${rhs0.columns.length} subquery column(s)")
+        val rhs = rhs0.toDF(keys.indices.map(i => s"__in_key$i"): _*)
         val how = if (negated) "left_anti" else "left_semi"
         // NOTE: NOT IN with NULLs in the subquery is anti-join semantics
         // here (documented divergence from SQL's three-valued NOT IN)
-        df = df.join(rhs, compileExpr(e) === col("__in_key"), how)
+        val cond = keys.zipWithIndex
+          .map { case (k, i) => compileExpr(k) === col(s"__in_key$i") }
+          .reduce(_ && _)
+        df = df.join(rhs, cond, how)
       case ExistsSubquery(sub, negated) =>
         df = lowerExists(df, sub, negated, scope)
       case other => plain += other
@@ -746,6 +758,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
       bs.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
         o.exists(containsAgg)
     case InList(x, vs, _) => containsAgg(x) || vs.exists(containsAgg)
+    case RowCtor(items) => items.exists(containsAgg)
     case _ => false
   }
 
@@ -831,6 +844,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
         case None => whens
       }
 
+    case RowCtor(items) => struct(items.map(compileExpr): _*)
     case InList(x, vs, negated) =>
       val cx = compileExpr(x)
       val in = vs.map(v => cx === compileExpr(v)).reduce(_ || _)

@@ -762,8 +762,15 @@ final class Parser(tokens: Vector[Token]) {
               ScalarSubquery(sub)
             } else {
               val e = parseExpr()
-              expectOp(")")
-              e
+              if (peekOp(",")) { // row constructor (a, b, ...)
+                var items = Seq(e)
+                while (acceptOp(",")) items :+= parseExpr()
+                expectOp(")")
+                RowCtor(items)
+              } else {
+                expectOp(")")
+                e
+              }
             }
           case TIdent =>
             t.lower match {

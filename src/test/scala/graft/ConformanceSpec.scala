@@ -361,6 +361,16 @@ class ConformanceSpec extends AnyFunSuite {
              from test group by c1 order by c1""")
     check("select count(distinct c1) filter (where c2 < 5) as n from test")
   }
+  test("row-constructor IN subquery (multi-key semi/anti join)") {
+    check("""select c1, c2 from test
+             where (c1, c2) in (select c3, c4 from other)""")
+    check("""select c1, c2 from test
+             where (c1, c2) not in (select c3, c4 from other where c4 < 3)""")
+    val e = intercept[Exception] {
+      exec.query("select c1 from test where (c1, c2) in (select c3 from other)")
+    }
+    assert(e.getMessage.contains("arity"), e.getMessage)
+  }
   test("QUALIFY filters on window results") {
     check("""select c1, c2 from test
              qualify row_number() over (partition by c1 order by c2 desc) = 1""",
