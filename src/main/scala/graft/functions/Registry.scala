@@ -51,6 +51,15 @@ object Registry {
     "rowid" -> (_ => monotonically_increasing_id()),
     // extract(field FROM ts) — parser passes field as first (string) arg
     "extract" -> { case Seq(field, src) => call_function("date_part", field, src) },
+    // SQL-standard SIMILAR TO: translated to an anchored Java regex at
+    // runtime — `.` `^` `$` `\` are LITERAL in the SQL flavor (escaped
+    // here), `%`→`.*`, `_`→`.`; `| * + ? ( ) [ ] { }` keep their regex
+    // meaning per the standard. No ESCAPE clause; `_`/`%` inside
+    // character classes are translated too (documented simplification).
+    "similar_to" -> { case Seq(s, p) =>
+      val escaped = regexp_replace(p, "([.^$\\\\])", "\\\\$1")
+      val translated = regexp_replace(regexp_replace(escaped, "%", ".*"), "_", ".")
+      call_function("rlike", s, concat(lit("^(?s)"), translated, lit("$"))) },
     "if" -> { case Seq(c, a, b) => when(c, a).otherwise(b) },
     "nullif" -> { case Seq(a, b) => when(a === b, lit(null)).otherwise(a) },
     // native codegen'd vector expressions (beyond the reference):

@@ -605,6 +605,11 @@ final class Parser(tokens: Vector[Token]) {
         next(); e = BinaryOp("like", e, parseBitShift())
       } else if (peekKw("ilike")) {
         next(); e = BinaryOp("ilike", e, parseBitShift())
+      } else if (peekKw("similar") && peekKwAt(1, "to")) {
+        next(); next(); e = Call("similar_to", Seq(e, parseBitShift()))
+      } else if (peekKw("not") && peekKwAt(1, "similar") && peekKwAt(2, "to")) {
+        next(); next(); next()
+        e = UnaryOp("not", Call("similar_to", Seq(e, parseBitShift())))
       } else if (peekKw("not") && peekKwAt(1, "like")) {
         next(); next(); e = BinaryOp("not like", e, parseBitShift())
       } else if (peekKw("not") && peekKwAt(1, "ilike")) {

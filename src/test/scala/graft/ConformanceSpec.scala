@@ -371,6 +371,16 @@ class ConformanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("arity"), e.getMessage)
   }
+  test("SIMILAR TO uses SQL regex flavor") {
+    checkLit("select name from names where name similar to '%(oo|az)%'",
+      Seq(Seq("foo"), Seq("baz")))
+    checkLit("select name from names where name similar to 'ba_'",
+      Seq(Seq("bar"), Seq("baz")))
+    // '.' is literal in the SQL flavor — matches nothing here
+    checkLit("select name from names where name similar to 'b.r'", Seq())
+    checkLit("select name from names where name not similar to '%a%'",
+      Seq(Seq("foo")))
+  }
   test("QUALIFY filters on window results") {
     check("""select c1, c2 from test
              qualify row_number() over (partition by c1 order by c2 desc) = 1""",
