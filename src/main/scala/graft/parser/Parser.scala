@@ -729,7 +729,16 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseCastPostfix(): Expr = {
     var e = parseAtom()
-    while (acceptOp("::")) e = CastExpr(e, parseTypeName())
+    var going = true
+    while (going) {
+      if (acceptOp("::")) e = CastExpr(e, parseTypeName())
+      else if (acceptOp("[")) { // 1-based subscript (PG/DuckDB semantics)
+        val idx = parseExpr()
+        expectOp("]")
+        // element_at requires an INT index; dialect ints are BIGINT
+        e = Call("element_at", Seq(e, CastExpr(idx, "int")))
+      } else going = false
+    }
     e
   }
 
@@ -797,6 +806,15 @@ final class Parser(tokens: Vector[Token]) {
                 parseExtract()
               case "substring" if peekAt(1).exists(x => x.kind == TOp && x.value == "(") =>
                 parseSubstring()
+              case "array" if peekAt(1).exists(t => t.kind == TOp && t.value == "[") =>
+                next(); next() // array [
+                var items = Seq.empty[Expr]
+                if (!peekOp("]")) {
+                  items :+= parseExpr()
+                  while (acceptOp(",")) items :+= parseExpr()
+                }
+                expectOp("]")
+                Call("array", items)
               case "interval" if peekAt(1).exists(_.kind == TString) =>
                 next(); val s = next().value
                 Call("interval", Seq(StringLit(s)))

@@ -26,8 +26,8 @@ object Tokenizer {
   // longest-match-first operator table (reference keeps the same list)
   private val operators = Seq(
     "::", "||", "<<", ">>", "<=", ">=", "<>", "!=", "!>", "!<",
-    "(", ")", ",", ".", "+", "-", "*", "/", "%", "^", "&", "|", "#", "~",
-    "=", "<", ">", ";")
+    "(", ")", "[", "]", ",", ".", "+", "-", "*", "/", "%", "^", "&", "|",
+    "#", "~", "=", "<", ">", ";")
 
   def tokenize(sql: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]

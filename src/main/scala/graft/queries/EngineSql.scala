@@ -326,6 +326,13 @@ object EngineSql {
           |       filter (where o_totalprice > 100000) as double) as big_total
           |from orders group by o_orderpriority order by o_orderpriority""".stripMargin),
 
+      // array subscript (1-based) through the dialect — same syntax in
+      // DuckDB; float32 element cast to double is exact in both engines
+      "fq_array_subscript" -> same(
+        """select vec_id, round(cast(embedding[1] as double), 6) as e1,
+          |  round(cast(embedding[64] as double), 6) as e64
+          |from embeddings where vec_id < 20 order by vec_id""".stripMargin),
+
       // decimal-exact revenue through the engine dialect
       "fq_revenue" -> same(
         """select l_returnflag,

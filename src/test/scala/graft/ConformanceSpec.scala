@@ -371,6 +371,12 @@ class ConformanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("arity"), e.getMessage)
   }
+  test("ARRAY constructor and 1-based subscript") {
+    check("select array[10, 20, 30][2] as x",
+      "select element_at(array(10, 20, 30), 2) as x")
+    check("select c1, array[c1, c2][1 + 1] as second from test",
+      "select c1, element_at(array(c1, c2), 2) as second from test")
+  }
   test("SIMILAR TO uses SQL regex flavor") {
     checkLit("select name from names where name similar to '%(oo|az)%'",
       Seq(Seq("foo"), Seq("baz")))
