@@ -277,12 +277,13 @@ final class Compiler(spark: SparkSession, registry: Registry,
         }
       }
     // QUALIFY: window predicate rides along as a hidden column (window
-    // functions evaluate in the projection stage), filtered after
+    // functions evaluate in the projection stage), filtered then dropped
+    // — so DISTINCT below sees only output columns
     val qualCol = sel.qualify.map(q => compileExpr(q).as("__qualify"))
-    val hiddenCols = hidden.result() ++ qualCol.toSeq
+    val hiddenCols = hidden.result()
 
-    var df = from.select(compiled ++ hiddenCols: _*)
-    if (qualCol.isDefined) df = df.filter(col("__qualify"))
+    var df = from.select(compiled ++ hiddenCols ++ qualCol.toSeq: _*)
+    if (qualCol.isDefined) df = df.filter(col("__qualify")).drop("__qualify")
     if (sel.distinct) {
       if (hiddenCols.nonEmpty)
         throw CompileException(
@@ -303,7 +304,10 @@ final class Compiler(spark: SparkSession, registry: Registry,
         if (isStar(i)) c else c.as(outName(i, k))
       case (Wildcard(_), _) => throw CompileException("unexpanded wildcard")
     }
-    var df = from.select(cols: _*)
+    // QUALIFY with star output: filter on the hidden window column, drop
+    val qualCol = sel.qualify.map(q => compileExpr(q).as("__qualify"))
+    var df = from.select(cols ++ qualCol.toSeq: _*)
+    if (qualCol.isDefined) df = df.filter(col("__qualify")).drop("__qualify")
     if (sel.distinct) df = df.distinct()
     if (sel.orderBy.nonEmpty && sel.setOps.isEmpty) {
       val names = df.columns.toSeq
@@ -439,6 +443,11 @@ final class Compiler(spark: SparkSession, registry: Registry,
   // ------------------------------------------------------------------ WHERE
   /** Applies WHERE; lowers IN-subquery conjuncts to semi/anti joins —
     * the Spark-native decorrelation (only the key set shuffles). */
+  /** Statement-path entry into the WHERE lowering: DML predicates get
+    * the same IN/EXISTS subquery support as SELECT. */
+  def filterWhere(df: DataFrame, w: Expr,
+      scope: Map[String, DataFrame]): DataFrame = applyWhere(df, w, scope)
+
   private def applyWhere(from: DataFrame, w: Expr,
       scope: Map[String, DataFrame]): DataFrame = {
     var df = from

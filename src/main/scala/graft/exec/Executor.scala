@@ -115,7 +115,9 @@ final class Executor(val spark: SparkSession,
         if (cols.length != add.columns.length)
           throw CompileException(
             s"INSERT column list has ${cols.length} names but the source has ${add.columns.length}")
-        add = add.toDF(cols: _*)
+        // resolve names case-insensitively and reject unknown columns —
+        // a typo must not silently drop the value and insert NULLs
+        add = add.toDF(cols.map(resolveColumn(target, table, _)): _*)
       }
       val present = add.columns.toSet
       val aligned = add.select(tcols.map { c =>
@@ -132,7 +134,12 @@ final class Executor(val spark: SparkSession,
       val kept = where match {
         // SQL deletes rows where the predicate is TRUE; FALSE and
         // UNKNOWN rows stay — hence the coalesce before negation
-        case Some(p) => target.filter(!coalesce(compiler.compileExpr(p), lit(false)))
+        case Some(p) if !containsSubquery(p) =>
+          target.filter(!coalesce(compiler.compileExpr(p), lit(false)))
+        case Some(p) =>
+          // IN/EXISTS predicates route through the full WHERE lowering;
+          // exceptAll removes exactly the matched bag of rows
+          target.exceptAll(compiler.filterWhere(target, p, scope))
         case None => target.limit(0)
       }
       scope += (table -> kept)
@@ -141,18 +148,32 @@ final class Executor(val spark: SparkSession,
     case UpdateStmt(table, sets, where) =>
       val target = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
-      val cond = where.map(p => coalesce(compiler.compileExpr(p), lit(false)))
+      // SET names resolve case-insensitively; unknown columns error
+      // rather than silently not updating anything
+      val setMap: Map[String, Expr] = sets.map { case (c, e) =>
+        resolveColumn(target, table, c) -> e
+      }.toMap
       // all SET expressions evaluate against the OLD row values (SQL
       // semantics), so build one select rather than chained withColumn
-      val setMap = sets.toMap
-      val updated = target.select(target.columns.map { c =>
-        setMap.get(c) match {
-          case Some(e) =>
-            val newVal = compiler.compileExpr(e).cast(target.schema(c).dataType)
-            cond.fold(newVal)(p => when(p, newVal).otherwise(col(c))).as(c)
-          case None => col(c)
-        }
-      }: _*)
+      def applySets(df: DataFrame, cond: Option[Column]): DataFrame =
+        df.select(target.columns.map { c =>
+          setMap.get(c) match {
+            case Some(e) =>
+              val newVal = compiler.compileExpr(e).cast(target.schema(c).dataType)
+              cond.fold(newVal)(p => when(p, newVal).otherwise(col(c))).as(c)
+            case None => col(c)
+          }
+        }: _*)
+      val updated = where match {
+        case None => applySets(target, None)
+        case Some(p) if !containsSubquery(p) =>
+          applySets(target, Some(coalesce(compiler.compileExpr(p), lit(false))))
+        case Some(p) =>
+          // subquery predicate: split matched/unmatched through the full
+          // WHERE lowering, transform only the matched bag
+          val matched = compiler.filterWhere(target, p, scope)
+          target.exceptAll(matched).unionAll(applySets(matched, None))
+      }
       scope += (table -> updated)
       None
 
@@ -211,6 +232,29 @@ final class Executor(val spark: SparkSession,
   def explain(sql: String): String =
     query(sql).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+
+  /** Case-insensitive column resolution for DML name lists. */
+  private def resolveColumn(target: DataFrame, table: String,
+      name: String): String =
+    target.columns.find(_.equalsIgnoreCase(name)).getOrElse(
+      throw CompileException(s"column '$name' does not exist in '$table'"))
+
+  /** Does a DML predicate contain subquery forms that need the full
+    * WHERE lowering (vs a plain row-wise filter)? */
+  private def containsSubquery(e: Expr): Boolean = e match {
+    case _: InSubquery | _: ExistsSubquery | _: ScalarSubquery => true
+    case BinaryOp(_, l, r) => containsSubquery(l) || containsSubquery(r)
+    case UnaryOp(_, x) => containsSubquery(x)
+    case Call(_, as) => as.exists(containsSubquery)
+    case CallSet(_, as, _, _) => as.exists(containsSubquery)
+    case CastExpr(x, _) => containsSubquery(x)
+    case CaseExpr(bs, o) =>
+      bs.exists { case (c, v) => containsSubquery(c) || containsSubquery(v) } ||
+        o.exists(containsSubquery)
+    case InList(x, vs, _) => containsSubquery(x) || vs.exists(containsSubquery)
+    case RowCtor(items) => items.exists(containsSubquery)
+    case _ => false
+  }
 
   /** Single-file CSV for reference parity (reference COPY TO writes one
     * file with header, _pandas.py:205-220). Spark writes a part-file per

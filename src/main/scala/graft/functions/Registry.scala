@@ -59,7 +59,10 @@ object Registry {
     "similar_to" -> { case Seq(s, p) =>
       val escaped = regexp_replace(p, "([.^$\\\\])", "\\\\$1")
       val translated = regexp_replace(regexp_replace(escaped, "%", ".*"), "_", ".")
-      call_function("rlike", s, concat(lit("^(?s)"), translated, lit("$"))) },
+      // non-capturing group: a bare top-level `|` must not escape the
+      // full-string anchors (`^a|b$` would match substrings)
+      call_function("rlike", s,
+        concat(lit("^(?s)(?:"), translated, lit(")$"))) },
     "if" -> { case Seq(c, a, b) => when(c, a).otherwise(b) },
     "nullif" -> { case Seq(a, b) => when(a === b, lit(null)).otherwise(a) },
     // native codegen'd vector expressions (beyond the reference):

@@ -735,8 +735,13 @@ final class Parser(tokens: Vector[Token]) {
       else if (acceptOp("[")) { // 1-based subscript (PG/DuckDB semantics)
         val idx = parseExpr()
         expectOp("]")
-        // element_at requires an INT index; dialect ints are BIGINT
-        e = Call("element_at", Seq(e, CastExpr(idx, "int")))
+        // element_at requires an INT index; dialect ints are BIGINT.
+        // PG returns NULL for indexes < 1 (element_at reads from the
+        // END on negatives) and NULL past the end (try_element_at; the
+        // plain form throws under ANSI) — guard the low side ourselves.
+        val i = CastExpr(idx, "int")
+        e = Call("if", Seq(BinaryOp(">=", i, IntLit(1)),
+          Call("try_element_at", Seq(e, i)), NullLit))
       } else going = false
     }
     e
@@ -897,9 +902,14 @@ final class Parser(tokens: Vector[Token]) {
 
   private def containsSetFn(e: Expr): Boolean = e match {
     case _: CallSet => true
+    // window items are not grouping expressions either (GROUP BY ALL
+    // must exclude them, like any aggregate-bearing item)
+    case _: CallAnalytics => true
     case BinaryOp(_, l, r) => containsSetFn(l) || containsSetFn(r)
     case UnaryOp(_, y) => containsSetFn(y)
     case Call(_, as) => as.exists(containsSetFn)
+    case RowCtor(items) => items.exists(containsSetFn)
+    case InList(x, vs, _) => containsSetFn(x) || vs.exists(containsSetFn)
     case CastExpr(y, _) => containsSetFn(y)
     case CaseExpr(bs, o) =>
       bs.exists { case (c, v) => containsSetFn(c) || containsSetFn(v) } ||

@@ -387,6 +387,34 @@ class ConformanceSpec extends AnyFunSuite {
     checkLit("select name from names where name not similar to '%a%'",
       Seq(Seq("foo")))
   }
+  test("QUALIFY with star projection and with DISTINCT") {
+    check("""select * from test
+             qualify row_number() over (partition by c1 order by c2 desc) = 1""",
+      """select c1, c2 from (
+           select c1, c2, row_number() over (partition by c1 order by c2 desc) rn
+           from test) where rn = 1""")
+    check("""select distinct c1 from test
+             qualify row_number() over (partition by c1, c2 order by c2) = 1""",
+      "select distinct c1 from test")
+  }
+  test("SIMILAR TO top-level alternation stays fully anchored") {
+    // 'foo|bar' must match ONLY 'foo' or 'bar' exactly — not substrings
+    checkLit("select name from names where name similar to 'fo|ba'", Seq())
+    checkLit("select name from names where name similar to 'foo|bar'",
+      Seq(Seq("foo"), Seq("bar")))
+  }
+  test("subscript out-of-range and non-positive indexes return NULL") {
+    checkLit("select array[1, 2][0] as x", Seq(Seq(null)))
+    checkLit("select array[1, 2][-1] as x", Seq(Seq(null)))
+    checkLit("select array[1, 2][5] as x", Seq(Seq(null)))
+  }
+  test("GROUP BY ALL excludes window items") {
+    // the rank item must not become a grouping key
+    check("""select c1, rank() over (order by sum(c2) desc) as r, count(*) as n
+             from test group by all order by 1""",
+      """select c1, rank() over (order by sum(c2) desc) as r, count(*) as n
+         from test group by c1 order by 1""")
+  }
   test("QUALIFY filters on window results") {
     check("""select c1, c2 from test
              qualify row_number() over (partition by c1 order by c2 desc) = 1""",

@@ -167,6 +167,28 @@ class ExecutorSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0L)
   }
 
+  test("DML validates column names and supports subquery predicates") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      "dead" -> Seq(2L, 3L).toDF("id")))
+    // unknown columns error instead of silently no-op / NULL-filling
+    assert(intercept[Exception] {
+      exec.execute("update t set bogus = 1")
+    }.getMessage.contains("does not exist"))
+    assert(intercept[Exception] {
+      exec.execute("insert into t (id, sx) values (9, 'x')")
+    }.getMessage.contains("does not exist"))
+    // case-insensitive resolution
+    exec.execute("update t set S = 'z' where ID = 1")
+    assert(exec.query("select s from t where id = 1").collect().head.getString(0) == "z")
+    // delete / update with IN-subquery predicates
+    exec.execute("delete from t where id in (select id from dead where id > 2)")
+    assert(exec.query("select count(1) as n from t").collect().head.getLong(0) == 2)
+    exec.execute("update t set s = 'gone' where id in (select id from dead)")
+    assert(exec.query("select s from t order by id")
+      .collect().map(_.getString(0)).toSeq == Seq("z", "gone"))
+  }
+
   test("EXPLAIN statement returns the physical plan as rows") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val rows = exec.execute("explain select x, x + 1 from t where x > 1")
