@@ -450,8 +450,9 @@ object Dedup {
         |  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
         |         count(*) AS n_copies
         |  FROM documents GROUP BY 1)
-        |SELECT count(*) AS n_unique, sum(n_copies) AS n_docs,
-        |       sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+        |SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_groups
         |FROM g""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH sh AS (
@@ -512,8 +513,8 @@ object Dedup {
         |SELECT count(*) AS n_pairs,
         |  coalesce(round(CAST(SUM(CAST(jac AS DECIMAL(18,12))) AS DOUBLE)
         |    / count(*), 6), 0.0) AS avg_jac,
-        |  coalesce(sum(CASE WHEN doc_b = doc_a + 10000000 THEN 1 ELSE 0 END), 0)
-        |    AS n_variant_pairs
+        |  CAST(coalesce(sum(CASE WHEN doc_b = doc_a + 10000000 THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_variant_pairs
         |FROM ver WHERE jac >= 0.5""".stripMargin
     },
     "dd_cluster" ->

@@ -64,7 +64,7 @@ object Sampling {
   def oracleSql: Map[String, String] = Map(
     "ta_sample_stratified" ->
       """SELECT source, count(*) AS n_sampled,
-        |  sum(n_chars) AS chars_sampled, min(doc_id) AS first_doc
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled, min(doc_id) AS first_doc
         |FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |        AS BIGINT) / 1152921504606846976.0

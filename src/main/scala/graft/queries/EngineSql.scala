@@ -36,9 +36,12 @@ object EngineSql {
           |where n_regionkey = r_regionkey""".stripMargin),
 
       // searched CASE + aggregation
+      // cast the integer SUM: DuckDB types it HUGEINT, Spark BIGINT — the
+      // driver's hash gate compares typed values, so pin both to BIGINT
       "fq_case" -> same(
         """select o_orderpriority,
-          |  sum(case when o_orderstatus = 'F' then 1 else 0 end) as n_f,
+          |  cast(sum(case when o_orderstatus = 'F' then 1 else 0 end)
+          |    as bigint) as n_f,
           |  count(1) as n from orders
           |group by o_orderpriority order by o_orderpriority""".stripMargin),
 
@@ -130,16 +133,17 @@ object EngineSql {
       // generate_series table function (registered here; dead code in the
       // reference, util/_funcs.py:161-167)
       "fq_generate_series" -> same(
-        """select count(1) as n, sum(generate_series) as s
+        """select count(1) as n, cast(sum(generate_series) as bigint) as s
           |from generate_series(1, 100000)""".stripMargin),
 
       // LATERAL json_each over the events.props JSON column
       "fq_json_lateral" -> (
-        """select j.key, count(1) as n, sum(cast(j.value as bigint)) as s
+        """select j.key, count(1) as n,
+          |  cast(sum(cast(j.value as bigint)) as bigint) as s
           |from events, lateral json_each(props) as j
           |group by j.key order by j.key""".stripMargin,
         """select 'k' as key, count(1) as n,
-          |  sum(cast(props->>'k' as bigint)) as s
+          |  cast(sum(cast(props->>'k' as bigint)) as bigint) as s
           |from events group by 1 order by key""".stripMargin),
 
       // date/time functions: extract special form + date arithmetic

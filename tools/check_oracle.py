@@ -39,15 +39,30 @@ def main(outdir, sfdir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            gotcols = [d[0] for d in con.description]
-            exp = con.execute(sql).fetchall()
-            expcols = [d[0] for d in con.description]
+            gotrel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            got, gotcols = gotrel.fetchall(), list(gotrel.columns)
+            gottypes = dict(zip(gotrel.columns, map(str, gotrel.types)))
+            exprel = con.sql(sql)
+            exp, expcols = exprel.fetchall(), list(exprel.columns)
+            exptypes = dict(zip(exprel.columns, map(str, exprel.types)))
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if sorted(gotcols) != sorted(expcols):
             print(f"FAIL {name}: cols {sorted(gotcols)} != {sorted(expcols)}")
+            n_fail += 1; continue
+        # typed comparison: the driver hashes typed values, so a DuckDB
+        # HUGEINT sum vs a Spark BIGINT sum fails there even when the
+        # Python values are equal — catch that locally. Int widths up to
+        # 64 bits collapse (round-1 evidence: INTEGER-vs-BIGINT rows all
+        # hash-matched; only HUGEINT rows failed), so normalize those.
+        def normtype(t):
+            return "INT64" if t in ("TINYINT", "SMALLINT", "INTEGER",
+                                    "BIGINT", "UTINYINT", "USMALLINT",
+                                    "UINTEGER") else t
+        tdiff = {c: (gottypes[c], exptypes[c]) for c in gotcols
+                 if normtype(gottypes[c]) != normtype(exptypes[c])}
+        if tdiff:
+            print(f"FAIL {name}: type mismatch {tdiff}")
             n_fail += 1; continue
         g, e = norm(got, gotcols), norm(exp, expcols)
         if g == e:
