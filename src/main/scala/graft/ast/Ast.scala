@@ -58,6 +58,21 @@ final case class RowCtor(items: Seq[Expr]) extends Expr
 final case class InSubquery(e: Expr, select: Select, negated: Boolean) extends Expr
 final case class ExistsSubquery(select: Select, negated: Boolean) extends Expr
 
+/** Scope marker, produced only by the quantified-comparison desugar
+  * (`x op ANY/ALL (sub)`): wraps an expression written in the OUTER query
+  * that was textually injected into the subquery's WHERE. The compiler's
+  * origin analysis must classify its column refs as outer-scope even when
+  * their names collide with the subquery's own columns — without the
+  * marker, `where price > any (select price from c)` would bind the outer
+  * `price` to the inner relation and silently degenerate. */
+final case class OuterTagged(e: Expr) extends Expr
+/** Compiler-internal: a pre-resolved engine column injected during
+  * decorrelation (an outer operand bound against the outer plan so the
+  * join condition disambiguates same-named columns). Holds a Spark
+  * `Column`, typed loosely so this module stays engine-agnostic; never
+  * produced by the parser. */
+final case class ResolvedRef(ref: AnyRef) extends Expr
+
 // ---------------------------------------------------------------- select bits
 sealed trait SelectItem extends SqlNode
 final case class ExprItem(e: Expr, alias: Option[String]) extends SelectItem

@@ -515,7 +515,17 @@ final class Compiler(spark: SparkSession, registry: Registry,
     def isInnerRef(parts: Seq[String]): Boolean =
       if (parts.length >= 2) aliases.contains(parts.head)
       else cols.contains(parts.head)
-    def allInner(e: Expr): Boolean = collectColRefs(e).forall(isInnerRef)
+    /** An expression containing an OuterTagged subtree references the
+      * outer scope BY CONSTRUCTION (quantified-comparison desugar) — it
+      * must become a join predicate regardless of name collisions. */
+    def allInner(e: Expr): Boolean =
+      !containsOuterTagged(e) && collectColRefs(e).forall(isInnerRef)
+  }
+
+  private def containsOuterTagged(e: Expr): Boolean = {
+    var found = false
+    rewriteExpr(e) { case o: OuterTagged => found = true; o; case x => x }
+    found
   }
 
   private def relAliases(r: Relation): Set[String] = r match {
@@ -572,8 +582,23 @@ final class Compiler(spark: SparkSession, registry: Registry,
       // uncorrelated: non-emptiness probe — one row broadcast
       outer.join(broadcast(rhs.limit(1).alias(tag)), lit(true), how)
     else {
+      // Strip OuterTagged markers AFTER qualifyInner (the marker shields
+      // its contents from inner qualification): bare refs whose names
+      // collide with inner columns are bound against the outer plan via
+      // Dataset.apply, so the join condition disambiguates; everything
+      // else resolves by the usual alias rules (inner qualifiers are
+      // shadowed by the unique `tag`).
+      def bindOuter(p: Expr): Expr = rewriteExpr(p) {
+        case OuterTagged(x) => rewriteExpr(x) {
+          case r @ ColRef(Seq(n)) if ctx.cols.contains(n) =>
+            scala.util.Try(ResolvedRef(outer(n))).getOrElse(r)
+          case other => other
+        }
+        case other => other
+      }
       val cond = joinPreds
-        .map(p => compileExpr(qualifyInner(p, tag, ctx))).reduce(_ && _)
+        .map(p => compileExpr(bindOuter(qualifyInner(p, tag, ctx))))
+        .reduce(_ && _)
       outer.join(rhs.alias(tag), cond, how)
     }
   }
@@ -793,6 +818,11 @@ final class Compiler(spark: SparkSession, registry: Registry,
       val eff = if (parts.length > 2) parts.takeRight(2) else parts
       val c = col(quoted(eff))
       if (markOuter) c.outer() else c
+    case ResolvedRef(c) => c.asInstanceOf[Column]
+    // a marker that reaches expression compilation unprocessed (e.g. a
+    // quantified comparison in a context without decorrelation) compiles
+    // as its payload — outer binding is the enclosing scope's default
+    case OuterTagged(x) => compileExpr(x)
     case IntLit(v) => lit(v)
     case FloatLit(v) => lit(v)
     case StringLit(v) => lit(v)

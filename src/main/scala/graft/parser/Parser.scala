@@ -890,14 +890,18 @@ final class Parser(tokens: Vector[Token]) {
       sub.copy(items = Seq(ExprItem(IntLit(1), None)),
         where = Some(sub.where.fold(extra)(w => BinaryOp("and", w, extra))),
         orderBy = Nil, distinct = false)
+    // x was written in the OUTER query; mark it so the compiler's origin
+    // analysis binds its columns to the outer scope even when the name
+    // also exists in the subquery's FROM (classic capture hazard)
+    val xo = OuterTagged(x)
     if (quant == "all") {
       val notTrue = BinaryOp("or",
-        BinaryOp("or", UnaryOp("not", BinaryOp(op, x, se)),
+        BinaryOp("or", UnaryOp("not", BinaryOp(op, xo, se)),
           UnaryOp("is null", se)),
-        UnaryOp("is null", x))
+        UnaryOp("is null", xo))
       ExistsSubquery(withConjunct(notTrue), negated = true)
     } else
-      ExistsSubquery(withConjunct(BinaryOp(op, x, se)), negated = false)
+      ExistsSubquery(withConjunct(BinaryOp(op, xo, se)), negated = false)
   }
 
   private def containsSetFn(e: Expr): Boolean = e match {

@@ -355,6 +355,23 @@ class ConformanceSpec extends AnyFunSuite {
                                 from other)""",
       Seq())
   }
+  test("quantified comparison: outer operand collides with inner column name") {
+    // outer test.c2 vs inner v.c2 — without outer-scope tagging the
+    // injected conjunct binds BOTH sides to the inner relation and the
+    // EXISTS degenerates to a constant probe (capture bug)
+    checkLit(
+      "select c1, c2 from test where c2 > any (select c2 from (values (4)) as v(c2))",
+      Seq(Seq(0, 5), Seq(1, 6)))
+    checkLit(
+      "select c1, c2 from test where c2 <= all (select c2 from (values (4)) as v(c2))",
+      Seq(Seq(0, 1), Seq(1, 2), Seq(0, 3), Seq(1, 4)))
+    // strongest form: quantified over the SAME table/column as the outer
+    checkLit("select c1, c2 from test where c2 >= all (select c2 from test)",
+      Seq(Seq(1, 6)))
+    // expression operand with a colliding ref inside
+    checkLit("select c1, c2 from test where c2 + 1 > any (select c2 from test)",
+      Seq(Seq(0, 1), Seq(1, 2), Seq(0, 3), Seq(1, 4), Seq(0, 5), Seq(1, 6)))
+  }
   test("aggregate FILTER (WHERE ...) clause") {
     check("""select c1, count(*) filter (where c2 > 2) as n,
                     sum(c2) filter (where c2 % 2 = 0) as s
