@@ -123,16 +123,27 @@ object Dedup {
     * → (doc_id, sig). Bit-identical to [[simhash]] (vote sums are
     * order-independent integer adds) with the whole vote loop in
     * whole-stage codegen and map-side partial aggregation. */
-  def simhashAgg(docs: DataFrame): DataFrame = {
+  def simhashAgg(docs: DataFrame): DataFrame =
+    simhashAggImpl(docs, xxhash64(_), 64)
+
+  /** Portable 60-bit SimHash: per-token hash is the md5 prefix
+    * ([[TextAnalysis.md5Prefix60]]), so the whole vote loop is
+    * reproducible in an external engine (same treatment as
+    * [[minhashDupPairsPortable]]). */
+  def simhashAggPortable(docs: DataFrame): DataFrame =
+    simhashAggImpl(docs, TextAnalysis.md5Prefix60, 60)
+
+  private def simhashAggImpl(docs: DataFrame, tokHash: Column => Column,
+      bits: Int): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(b =>
+      .select(col("doc_id"), tokHash(col("t")).as("h"))
+    val votes = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
         .otherwise(-1L)).as(s"v$b"))
     tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until bits).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
   }
@@ -229,19 +240,39 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxDist. Pigeonhole
-    * banding: with 4 16-bit chunks, any pair at distance ≤ 3 shares at
-    * least one exact chunk — so pairing happens only inside chunk
-    * buckets. */
-  def simhashDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val chunks = 4
-    // persist: the 64-bit signature is expensive (64-lane vote loop) and
-    // both self-join legs need it — compute once, reuse from storage
-    val withSig = simhashAgg(docs).persist()
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist. Manku-style
+    * pigeonhole banding (Manku/Jain/Sarma, WWW'07): the signature is
+    * split into `maxDist + 1` chunks, so a pair at distance ≤ maxDist
+    * has zero differing bits in AT LEAST ONE chunk — candidate pairing
+    * happens only inside (chunk, bucket) groups and recall is complete
+    * for EVERY maxDist (the previous fixed 4-chunk scheme guaranteed
+    * only ≤ 3 and silently lost pairs at 4-6). */
+  def simhashDupPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhashAgg(docs), maxDist, bits = 64)
+
+  /** Portable SimHash pairs over the 60-bit md5-derived signature —
+    * votes, banding, and hamming verify all reproducible in an external
+    * engine, so the driver hash-checks the whole pipeline. */
+  def simhashDupPairsPortable(docs: DataFrame, maxDist: Int = 6): DataFrame =
+    simhashPairsFromSigs(simhashAggPortable(docs), maxDist, bits = 60)
+
+  /** Pigeonhole banding + hamming verify over a precomputed
+    * (doc_id, sig) table. Chunk boundaries are `i * bits / chunks`
+    * (widths differ by at most one bit). Public for sig-level
+    * completeness testing. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int,
+      bits: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val bounds = (0 to chunks).map(i => i * bits / chunks)
+    // persist: the signature is expensive (per-bit vote lanes) and both
+    // self-join legs need it — compute once, reuse from storage
+    val withSig = sigs.persist()
     val banded = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until chunks).map { i =>
+        val lo = bounds(i)
+        val w = bounds(i + 1) - lo
         struct(lit(i).as("chunk"),
-          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFF).as("bucket"))
+          shiftright(col("sig"), lo).bitwiseAND((1L << w) - 1).as("bucket"))
       }: _*)).as("bk"))
     val l = banded.select(col("bk").as("bka"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = banded.select(col("bk").as("bkb"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -417,10 +448,21 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(round(avg(col("jac")), 6), lit(0.0)).as("avg_jac"))
     }),
-    // SimHash near-dup (rows-only gate; DedupSpec checks hamming math)
+    // PORTABLE SimHash near-dup over base + 80%-prefix variants (same
+    // harness as dd_minhash_portable): 60-bit md5-derived signature, so
+    // the oracle rebuilds the votes, the maxDist+1 pigeonhole banding,
+    // and the hamming verify end to end — fully hash-checked
     "dd_simhash" -> ((s, dir) => {
-      simhashDupPairs(Tables.load(s, dir, "documents"), maxDist = 6)
-        .agg(count(lit(1)).as("n_pairs"))
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        expr("substring(text, 1, (4 * length(text)) div 5)").as("text"))
+      simhashDupPairsPortable(base.unionAll(variants), maxDist = 6)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("dist")), lit(0L)).as("sum_dist"),
+          coalesce(sum(when(col("doc_b") === col("doc_a") + 10000000L, 1L)
+            .otherwise(0L)), lit(0L)).as("n_variant_pairs"))
     }),
     // embedding cosine near-dup, brute-force within label groups —
     // oracle-checkable (DuckDB mirrors the double-precision expression)
@@ -516,6 +558,52 @@ object Dedup {
         |  CAST(coalesce(sum(CASE WHEN doc_b = doc_a + 10000000 THEN 1 ELSE 0 END),
         |    0) AS BIGINT) AS n_variant_pairs
         |FROM ver WHERE jac >= 0.5""".stripMargin
+    },
+    "dd_simhash" -> {
+      // mirror simhashAggPortable + simhashPairsFromSigs exactly: 60-bit
+      // md5-prefix token hashes, per-bit ±1 votes, maxDist+1 pigeonhole
+      // chunks with boundaries i*bits/chunks
+      val bits = 60; val maxDist = 6; val chunks = maxDist + 1
+      val bounds = (0 to chunks).map(i => i * bits / chunks)
+      val bucketCase = (0 until chunks).map { i =>
+        val lo = bounds(i); val mask = (1L << (bounds(i + 1) - lo)) - 1
+        s"WHEN $i THEN (sig >> $lo) & $mask"
+      }.mkString(" ")
+      s"""WITH src AS (
+        |  SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, substr(text, 1, (4 * length(text)) // 5)
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |tok AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+        |        FROM src)),
+        |votes AS (
+        |  SELECT doc_id, bb.b AS b,
+        |    SUM(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM tok, (SELECT unnest(range($bits)) AS b) bb
+        |  GROUP BY doc_id, bb.b),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |      AS BIGINT) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |banded AS (
+        |  SELECT doc_id, sig, c.chunk,
+        |    CASE c.chunk $bucketCase END AS bucket
+        |  FROM sigs, (SELECT unnest(range($chunks)) AS chunk) c),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    bit_count(xor(x.sig, y.sig)) AS dist
+        |  FROM banded x JOIN banded y
+        |    ON x.chunk = y.chunk AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.sig, y.sig)) <= $maxDist)
+        |SELECT count(*) AS n_pairs,
+        |  CAST(coalesce(sum(dist), 0) AS BIGINT) AS sum_dist,
+        |  CAST(coalesce(sum(CASE WHEN doc_b = doc_a + 10000000 THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_variant_pairs
+        |FROM pairs""".stripMargin
     },
     "dd_cluster" ->
       """WITH RECURSIVE sh AS (

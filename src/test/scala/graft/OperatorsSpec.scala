@@ -65,6 +65,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 5L)))
   }
 
+  test("simhash banding is COMPLETE: pairs == brute-force hamming <= maxDist") {
+    // pigeonhole guarantee at the query's own maxDist (the old 4-chunk
+    // scheme only guaranteed <= 3 and silently lost pairs at 4-6)
+    for (maxDist <- Seq(3, 6)) {
+      val sigs = Dedup.simhashAgg(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (a, b)).toSet
+      val lsh = Dedup.simhashDupPairs(docs, maxDist)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(lsh == brute, s"maxDist=$maxDist")
+    }
+  }
+
+  test("simhash banding complete on adversarial sig-level corpus") {
+    // signatures constructed so differing bits concentrate in single
+    // 16-bit chunks of the old scheme: distance 4-6 pairs the 4-chunk
+    // banding could only find by luck
+    val sigs = Seq(
+      0L -> 0L,
+      1L -> 0x3FL,              // 6 low bits differ from sig 0
+      2L -> 0x0FL,              // 4 low bits
+      3L -> (0x7L << 20 | 0x7L), // 3+3 bits across two old chunks
+      4L -> -1L,                 // far from everything else
+      5L -> (0x3FL << 50))       // 6 high bits
+    val df = sigs.toDF("doc_id", "sig")
+    for (maxDist <- Seq(3, 6)) {
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= maxDist
+      } yield (a, b)).toSet
+      val lsh = Dedup.simhashPairsFromSigs(df, maxDist, bits = 64)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(lsh == brute, s"maxDist=$maxDist")
+    }
+  }
+
+  test("portable simhash pairs match xxhash-based structure on near-dups") {
+    val pairs = Dedup.simhashDupPairsPortable(docs, maxDist = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L))) // exact dup: distance 0 always found
+    // completeness vs brute force over the portable 60-bit sigs
+    val sigs = Dedup.simhashAggPortable(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+  }
+
   private lazy val vectors = {
     // deterministic synthetic embeddings: 3 tight clusters of 5 + noise
     val rnd = new scala.util.Random(7)
