@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -39,13 +39,24 @@ object Similarity {
   /** ANN via SRP-LSH: pair only within a bucket. Lower recall than brute
     * force, bounded cost at any corpus size. */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 6): DataFrame = {
+      planes: Int = 6): DataFrame =
+    knnLshImpl(corpus, queries, k, Vectors.srpBucket(_, planes))
+
+  /** [[knnLsh]] with the portable md5-parity hyperplanes
+    * ([[Vectors.srpBucketPortable]]) — bucket assignment reproducible in
+    * an external engine, so the full ranked result is hash-checkable. */
+  def knnLshPortable(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 6): DataFrame =
+    knnLshImpl(corpus, queries, k, Vectors.srpBucketPortable(_, planes))
+
+  private def knnLshImpl(corpus: DataFrame, queries: DataFrame, k: Int,
+      bucketOf: Column => Column): DataFrame = {
     val c = corpus.select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
       Vectors.norm2Fast(col("embedding")).as("nn_nrm"),
-      Vectors.srpBucket(col("embedding"), planes).as("bucket"))
+      bucketOf(col("embedding")).as("bucket"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       Vectors.norm2Fast(col("embedding")).as("q_nrm"),
-      Vectors.srpBucket(col("embedding"), planes).as("q_bucket"))
+      bucketOf(col("embedding")).as("q_bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("nn_id"))
     c.join(broadcast(q), col("bucket") === col("q_bucket"))
@@ -115,21 +126,38 @@ object Similarity {
         .select(col("q_id"), col("nn_id"), round(col("cos"), 6).as("cos"), col("rk"))
         .orderBy(col("q_id"), col("rk"))
     }),
-    // SRP-LSH ANN for the same queries (bucket scheme is engine-specific →
-    // rows-only gate; recall vs brute force is asserted in SimilaritySpec)
+    // SRP-LSH ANN for the same queries, PORTABLE hyperplanes — the
+    // oracle reproduces bucket assignment, candidate join, cosine, and
+    // ranking end to end, so the full ranked result is hash-checked
     "sim_knn_lsh" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      knnLsh(e, e.filter(col("vec_id") < 5), k = 10)
-        .agg(count(lit(1)).as("n_results"),
-          round(avg(col("cos")), 6).as("avg_cos"))
+      knnLshPortable(e, e.filter(col("vec_id") < 5), k = 10, planes = 6)
+        .select(col("q_id"), col("nn_id"), round(col("cos"), 6).as("cos"),
+          col("rk"))
+        .orderBy(col("q_id"), col("rk"))
     }),
-    // IVF ANN for the same queries (kmeans cells are engine-specific →
-    // rows-only gate; recall vs brute force asserted in OperatorsSpec)
+    // IVF ANN: kmeans cells are inherently engine-specific, so the gate
+    // is a recall FLOOR against the in-plan brute-force top-10 (whose
+    // side of the join DuckDB reproduces exactly): n_queries and n_brute
+    // are oracle-computed, and recall_ok asserts IVF found >= 60% of the
+    // true neighbours — a real invariant, not a rows-only count.
+    // (measured recall at nCells=16/nProbe=8: 0.82-0.84 at sf0.001 and
+    // sf0.01 — the floor leaves margin for kmeans partitioning jitter)
     "sim_knn_ivf" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
-      knnIvf(e, e.filter(col("vec_id") < 5), k = 10, nCells = 16, nProbe = 6)
-        .agg(count(lit(1)).as("n_results"),
-          round(avg(col("cos")), 6).as("avg_cos"))
+      val q = e.filter(col("vec_id") < 5)
+      val brute = knnBrute(e, q, k = 10).select(col("q_id"), col("nn_id"))
+      val ivf = knnIvf(e, q, k = 10, nCells = 16, nProbe = 8)
+        .select(col("q_id").as("iq"), col("nn_id").as("inn"), lit(1).as("__hit"))
+      brute.join(ivf,
+          col("q_id") === col("iq") && col("nn_id") === col("inn"), "left")
+        .agg(
+          countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"),
+          sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+        .select(col("n_queries"), col("n_brute"),
+          (col("__hits") >= lit(0.6) * col("n_brute")).cast("bigint")
+            .as("recall_ok"))
     }),
     // centroid similarity per label: per-dim sum vector (cosine is
     // scale-invariant, so the un-normalized sum is the centroid
@@ -179,8 +207,59 @@ object Similarity {
         |  FROM pairs)
         |SELECT q_id, nn_id, round(cos0, 6) AS cos, rk
         |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
-    // sim_knn_lsh / sim_knn_ivf: engine-specific bucketing schemes →
-    // rows-only driver gate + ScalaTest recall checks
+    // portable SRP-LSH: per-plane signs from md5('p|j') parity, summed
+    // left-to-right in double exactly like the Spark aggregate()
+    "sim_knn_lsh" -> {
+      val planes = 6
+      val planeTerms = (0 until planes).map { p =>
+        s"""    (CASE WHEN list_sum([CAST(embedding[j + 1] AS DOUBLE) *
+           |      (CASE WHEN (CAST(('0x' || substr(md5('$p' || '|' ||
+           |          CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0
+           |        THEN 1.0 ELSE -1.0 END)
+           |      for j in range(len(embedding))]) >= 0
+           |      THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString(" +\n")
+      s"""WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |         for s in list_zip(embedding, embedding)])) AS nrm,
+        |$planeTerms AS bucket
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |    list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |      for s in list_zip(q.embedding, c.embedding)]) / (q.nrm * c.nrm) AS cos0
+        |  FROM v q JOIN v c ON c.bucket = q.bucket AND c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT q_id, nn_id, cos0,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos0 DESC, nn_id) AS rk
+        |  FROM pairs)
+        |SELECT q_id, nn_id, round(cos0, 6) AS cos, rk
+        |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+    },
+    // IVF: cells are engine-specific; the oracle fixes the brute-force
+    // side (n_queries, n_brute) and the recall-floor invariant
+    "sim_knn_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |         for s in list_zip(embedding, embedding)])) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |    list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |      for s in list_zip(q.embedding, c.embedding)]) / (q.nrm * c.nrm) AS cos0
+        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT q_id, nn_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos0 DESC, nn_id) AS rk
+        |  FROM pairs)
+        |SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+        |  CAST(count(*) AS BIGINT) AS n_brute,
+        |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM ranked WHERE rk <= 10""".stripMargin,
     "sim_label_centroid" ->
       """WITH dims AS (
         |  SELECT label, r.i,

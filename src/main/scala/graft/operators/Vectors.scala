@@ -57,12 +57,28 @@ object Vectors {
   /** Sign-random-projection (SimHash-for-vectors) bucket id over `nPlanes`
     * deterministic hyperplanes: the LSH key for cosine similarity. Vectors
     * with high cosine land in equal buckets with high probability. */
-  def srpBucket(vec: Column, nPlanes: Int): Column = {
+  def srpBucket(vec: Column, nPlanes: Int): Column =
+    srpBucketImpl(vec, nPlanes, planeComponent)
+
+  /** PORTABLE SRP bucket: plane component ±1 from the md5-prefix parity
+    * of "p|j" ([[graft.operators.TextAnalysis.md5Prefix60]]), so an
+    * external engine reproduces bucket assignment bit-for-bit (DuckDB:
+    * `CASE WHEN CAST(('0x' || substr(md5(p || '|' || j), 1, 15)) AS
+    * BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END`). Costlier than the
+    * xxhash64 variant — use for oracle-checked pipelines. */
+  def srpBucketPortable(vec: Column, nPlanes: Int): Column =
+    srpBucketImpl(vec, nPlanes, (p, j) =>
+      when(pmod(TextAnalysis.md5Prefix60(
+        concat_ws("|", lit(p.toString), j.cast("string"))), lit(2)) === 0,
+        lit(1.0)).otherwise(lit(-1.0)))
+
+  private def srpBucketImpl(vec: Column, nPlanes: Int,
+      component: (Int, Column) => Column): Column = {
     // bit p = sign(dot(vec, plane_p)); bucket = sum(bit_p << p)
     val bits = (0 until nPlanes).map { p =>
       val s = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(p, j)),
+          (x, j) => x.cast("double") * component(p, j)),
         lit(0.0), (acc, x) => acc + x)
       when(s >= 0, lit(1L << p)).otherwise(lit(0L))
     }
