@@ -440,13 +440,27 @@ object Dedup {
           coalesce(sum(when(col("doc_b") === col("doc_a") + 10000000L, 1)
             .otherwise(0)), lit(0)).as("n_variant_pairs"))
     }),
-    // MinHash LSH + verify (signature scheme is engine-specific → rows-only
-    // gate; semantics proven in DedupSpec against exhaustive jaccard)
+    // MinHash LSH + verify, gated on engine-independent invariants: the
+    // xxhash64 band scheme itself can't be reproduced in SQL, but
+    // (a) every exact-duplicate shingle-set pair MUST be found (equal
+    // sets agree on all 16 lanes, so every band collides) and (b) the
+    // verify step means every emitted pair has true jaccard >= the
+    // threshold — both checkable by an exhaustive DuckDB oracle
+    // (the synthetic corpus has no exact dups, so exact COPIES of every
+    // doc are unioned in — each base doc then has a guaranteed jac-1.0
+    // partner, making the completeness invariant non-vacuous)
     "dd_minhash_lsh" -> ((s, dir) => {
-      minhashDupPairs(Tables.load(s, dir, "documents"),
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val copies = docs.select((col("doc_id") + 10000000L).as("doc_id"),
+        col("text"))
+      minhashDupPairs(docs.unionAll(copies),
         numHashes = 16, bands = 4, threshold = 0.3)
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(round(avg(col("jac")), 6), lit(0.0)).as("avg_jac"))
+        .agg(
+          coalesce(sum(when(col("jac") >= 0.999999, 1L).otherwise(0L)),
+            lit(0L)).as("n_exact_pairs"),
+          coalesce((min(col("jac")) >= 0.3).cast("bigint"), lit(1L))
+            .as("precision_ok"))
     }),
     // PORTABLE SimHash near-dup over base + 80%-prefix variants (same
     // harness as dd_minhash_portable): 60-bit md5-derived signature, so
@@ -495,6 +509,27 @@ object Dedup {
         |SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_dup_groups
+        |FROM g""".stripMargin,
+    // exhaustive oracle for the LSH invariants: docs grouped by their
+    // distinct shingle SET; each group of n equal-set docs must yield
+    // n*(n-1)/2 found pairs (jac = 1). Docs with < k tokens produce no
+    // shingles and can never pair — excluded on both sides.
+    "dd_minhash_lsh" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |      for i in range(1, greatest(len(toks) - 2, 0) + 1)])) AS s
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |        FROM src)),
+        |g AS (
+        |  SELECT count(*) AS n FROM sh WHERE len(s) > 0 GROUP BY s)
+        |SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+        |    AS n_exact_pairs,
+        |  CAST(1 AS BIGINT) AS precision_ok
         |FROM g""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH sh AS (
