@@ -183,11 +183,19 @@ object Dedup {
     * (ids), candidate ids, two id-keyed shingle lookups — never an
     * all-pairs product, and never wide arrays through the band shuffle. */
   def minhashDupPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, shingleK: Int = 3): DataFrame =
+      threshold: Double = 0.5, shingleK: Int = 3,
+      maxBucket: Int = defaultMaxBucket): DataFrame =
     minhashPairsImpl(docs, numHashes, bands, threshold, shingleK,
       shingleHash = xxhash64(_),
       laneHash = (i, s) => xxhash64(lit(i), s),
-      bucket = cols => xxhash64(cols: _*))
+      bucket = cols => xxhash64(cols: _*),
+      maxBucket = maxBucket)
+
+  /** Default cap on (band, bucket) occupancy — see [[minhashPairsImpl]].
+    * 1000 docs/bucket bounds a bucket's pair work at ~500k comparisons;
+    * honest LSH buckets on near-dup-mining thresholds stay orders of
+    * magnitude below this. */
+  val defaultMaxBucket = 1000
 
   /** MinHash+LSH with fully PORTABLE hashing (md5-prefix for shingles,
     * seeded md5 for the signature lanes, decimal-string band buckets):
@@ -197,12 +205,14 @@ object Dedup {
     * Same implementation as [[minhashDupPairs]] (the cheap xxhash64
     * variant); only the three hash functions differ. */
   def minhashDupPairsPortable(docs: DataFrame, numHashes: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5, shingleK: Int = 3): DataFrame =
+      bands: Int = 4, threshold: Double = 0.5, shingleK: Int = 3,
+      maxBucket: Int = defaultMaxBucket): DataFrame =
     minhashPairsImpl(docs, numHashes, bands, threshold, shingleK,
       shingleHash = TextAnalysis.md5Prefix60,
       laneHash = (i, s) => TextAnalysis.md5Prefix60(
         concat_ws("|", lit(i.toString), s.cast("string"))),
-      bucket = cols => concat_ws(",", cols.map(_.cast("string")): _*))
+      bucket = cols => concat_ws(",", cols.map(_.cast("string")): _*),
+      maxBucket = maxBucket)
 
   /** Shared MinHash+LSH pipeline, parameterized by the shingle, lane,
     * and band-bucket hash functions. Scale structure: the shingle table
@@ -214,7 +224,8 @@ object Dedup {
       threshold: Double, shingleK: Int,
       shingleHash: Column => Column,
       laneHash: (Int, Column) => Column,
-      bucket: Seq[Column] => Column): DataFrame = {
+      bucket: Seq[Column] => Column,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
     val shRows = shingleRows(docs, shingleK, shingleHash)
     val sh = shRows.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       .withColumn("n", size(col("sh"))).persist()
@@ -222,10 +233,24 @@ object Dedup {
     val mins = (0 until numHashes).map(i => min(laneHash(i, col("s"))).as(s"h$i"))
     val sig = tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val rpb = numHashes / bands
-    val banded = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
+    val banded0 = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         bucket((b * rpb until (b + 1) * rpb).map(i => col(s"h$i"))).as("bucket"))
     }: _*)).as("bk"))
+    // Degenerate-bucket cap: a (band, bucket) with m members produces
+    // m(m-1)/2 candidate pairs — one pathological bucket (masses of
+    // near-empty or identical-signature docs) makes the self-join
+    // quadratic. Buckets over `maxBucket` are DROPPED: the oversized-
+    // bucket list is tiny by construction, so this is a broadcast
+    // anti join (no extra shuffle of the banded rows). Capped buckets
+    // mean those docs' pairs are not mined by THIS band — an explicit
+    // recall/cost trade documented here rather than an implicit O(n²).
+    val banded = if (maxBucket > 0) {
+      val oversized = banded0.groupBy(col("bk"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucket).select(col("bk"))
+      banded0.join(broadcast(oversized), Seq("bk"), "left_anti")
+    } else banded0
     val l = banded.select(col("bk").as("bka"), col("doc_id").as("doc_a"))
     val r = banded.select(col("bk").as("bkb"), col("doc_id").as("doc_b"))
     l.join(r, col("bka") === col("bkb") && col("doc_a") < col("doc_b"))

@@ -50,6 +50,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(found.contains((0L, 1L)))
   }
 
+  test("LSH bucket cap bounds degenerate-bucket pair work") {
+    // 1200 identical docs put > maxBucket members in every band bucket:
+    // uncapped this is ~719k candidate pairs; with the cap those buckets
+    // are dropped and only honest buckets are mined
+    val degenerate = (0 until 1200).map(i =>
+      (i.toLong, "all these documents are exactly the same text"))
+    val distinctish = Seq(
+      (5000L, "a rare unique document about distributed query planning"),
+      (5001L, "a rare unique document about distributed query planning!"))
+    val corpus = (degenerate ++ distinctish).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairs(corpus, 16, 4, 0.5).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((5000L, 5001L))) // honest buckets still mined
+    assert(pairs.length < 100) // degenerate bucket dropped, not exploded
+    // cap is explicit and tunable: off restores exhaustive behavior
+    val small = (0 until 20).map(i =>
+      (i.toLong, "same same same text here okay")).toDF("doc_id", "text")
+    assert(Dedup.minhashDupPairs(small, 16, 4, 0.5, maxBucket = 0)
+      .count() == 190) // C(20,2)
+    assert(Dedup.minhashDupPairs(small, 16, 4, 0.5, maxBucket = 10)
+      .count() == 0)
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sig = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
