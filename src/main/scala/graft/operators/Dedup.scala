@@ -425,17 +425,22 @@ object Dedup {
           .filter(col("source").isin("src0", "src1", "src2", "src3")), 0.2)
         .orderBy(col("doc_a"), col("doc_b"))),
     // dup pairs → dedup GROUPS: connected components over the union of
-    // exact-dup pairs (fingerprint equality) and similarity pairs (the
-    // synthetic corpus is near-dup-free, so the ngram threshold is set
-    // to weak-overlap level to give the clustering a real graph). The
-    // keep-set is then one doc per root. Oracle: DuckDB recursive-CTE
-    // transitive closure over the same edges.
+    // exact-dup pairs (fingerprint equality) and the PORTABLE MinHash+LSH
+    // similarity pairs — the scale path, not the O(n²) ngram baseline
+    // (the synthetic corpus is near-dup-free, so the base+80%-prefix
+    // variant harness supplies guaranteed true near-dups). The keep-set
+    // is then one doc per root. Oracle: DuckDB rebuilds the LSH pipeline
+    // and runs a recursive-CTE transitive closure over the same edges.
     "dd_cluster" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val sim = ngramJaccardPairs(
-        docs.filter(col("source").isin("src0", "src1", "src2", "src3")), 0.02)
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        expr("substring(text, 1, (4 * length(text)) div 5)").as("text"))
+      val corpus = base.unionAll(variants)
+      val sim = minhashDupPairsPortable(corpus, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
-      val fp = docs.select(col("doc_id"),
+      val fp = corpus.select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
       val ex = fp.select(col("fp"), col("doc_id").as("doc_a"))
         .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("doc_b")),
@@ -525,6 +530,56 @@ object Dedup {
     })
   )
 
+  /** base + 80%-prefix-variant harness corpus (guaranteed true near-dups
+    * derivable from the given table), shared by the portable dedup
+    * oracles. Defines `src(doc_id, text)`. */
+  private val variantSrcSql: String =
+    """src AS (
+      |  SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, substr(text, 1, (4 * length(text)) // 5)
+      |  FROM documents WHERE source IN ('src0', 'src1'))""".stripMargin
+
+  /** Shared DuckDB CTE chain mirroring [[minhashDupPairsPortable]]
+    * (16 seeded-md5 lanes, 4 bands, shingle k=3) over an upstream
+    * `src(doc_id, text)` CTE; yields `ver(doc_a, doc_b, jac)` — callers
+    * apply their own threshold filter. */
+  private lazy val portableMinhashVerSql: String = {
+    val h = (0 until 16).map(i =>
+      s"""    min(CAST(('0x' || substr(md5('$i|' || CAST(u.s AS VARCHAR)), 1, 15))
+         |      AS BIGINT)) AS h$i""".stripMargin).mkString(",\n")
+    val bucketCase = (0 until 4).map { b =>
+      val cols = (b * 4 until (b + 1) * 4)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+      s"WHEN $b THEN $cols"
+    }.mkString(" ")
+    s"""sh AS (
+      |  SELECT doc_id,
+      |    [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+      |     for g in list_distinct([array_to_string(toks[i:i+2], ' ')
+      |       for i in range(1, greatest(len(toks) - 2, 0) + 1)])] AS s
+      |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      |        FROM src)),
+      |sig AS (
+      |  SELECT doc_id,
+      |$h
+      |  FROM (SELECT doc_id, unnest(s) AS s FROM sh) u GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, b.band,
+      |    CASE b.band $bucketCase END AS bucket
+      |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      |ver AS (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(len(list_intersect(a.s, bb.s)) AS DOUBLE)
+      |      / (len(a.s) + len(bb.s) - len(list_intersect(a.s, bb.s))), 6) AS jac
+      |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+      |            JOIN sh bb ON bb.doc_id = cand.doc_b)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
       """WITH g AS (
@@ -573,52 +628,14 @@ object Dedup {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
-    "dd_minhash_portable" -> {
-      val h = (0 until 16).map(i =>
-        s"""    min(CAST(('0x' || substr(md5('$i|' || CAST(u.s AS VARCHAR)), 1, 15))
-           |      AS BIGINT)) AS h$i""".stripMargin).mkString(",\n")
-      val bucketCase = (0 until 4).map { b =>
-        val cols = (b * 4 until (b + 1) * 4)
-          .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
-        s"WHEN $b THEN $cols"
-      }.mkString(" ")
-      s"""WITH src AS (
-        |  SELECT doc_id, text FROM documents WHERE source IN ('src0', 'src1')
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, substr(text, 1, (4 * length(text)) // 5)
-        |  FROM documents WHERE source IN ('src0', 'src1')),
-        |sh AS (
-        |  SELECT doc_id,
-        |    [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
-        |     for g in list_distinct([array_to_string(toks[i:i+2], ' ')
-        |       for i in range(1, greatest(len(toks) - 2, 0) + 1)])] AS s
-        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-        |        FROM src)),
-        |sig AS (
-        |  SELECT doc_id,
-        |$h
-        |  FROM (SELECT doc_id, unnest(s) AS s FROM sh) u GROUP BY doc_id),
-        |banded AS (
-        |  SELECT doc_id, b.band,
-        |    CASE b.band $bucketCase END AS bucket
-        |  FROM sig, (SELECT unnest(range(4)) AS band) b),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM banded x JOIN banded y
-        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-        |ver AS (
-        |  SELECT doc_a, doc_b,
-        |    round(CAST(len(list_intersect(a.s, bb.s)) AS DOUBLE)
-        |      / (len(a.s) + len(bb.s) - len(list_intersect(a.s, bb.s))), 6) AS jac
-        |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
-        |            JOIN sh bb ON bb.doc_id = cand.doc_b)
-        |SELECT count(*) AS n_pairs,
+    "dd_minhash_portable" -> (
+      "WITH " + variantSrcSql + ",\n" + portableMinhashVerSql + "\n" +
+      """SELECT count(*) AS n_pairs,
         |  coalesce(round(CAST(SUM(CAST(jac AS DECIMAL(18,12))) AS DOUBLE)
         |    / count(*), 6), 0.0) AS avg_jac,
         |  CAST(coalesce(sum(CASE WHEN doc_b = doc_a + 10000000 THEN 1 ELSE 0 END),
         |    0) AS BIGINT) AS n_variant_pairs
-        |FROM ver WHERE jac >= 0.5""".stripMargin
-    },
+        |FROM ver WHERE jac >= 0.5""".stripMargin),
     "dd_simhash" -> {
       // mirror simhashAggPortable + simhashPairsFromSigs exactly: 60-bit
       // md5-prefix token hashes, per-bit ±1 votes, maxDist+1 pigeonhole
@@ -665,23 +682,12 @@ object Dedup {
         |    0) AS BIGINT) AS n_variant_pairs
         |FROM pairs""".stripMargin
     },
-    "dd_cluster" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id, source,
-        |    [CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
-        |     for g in list_distinct([array_to_string(toks[i:i+2], ' ')
-        |       for i in range(1, greatest(len(toks) - 2, 1) + 1)])] AS s
-        |  FROM (SELECT doc_id, source,
-        |          string_split_regex(lower(trim(text)), '\s+') AS toks
-        |        FROM documents
-        |        WHERE source IN ('src0', 'src1', 'src2', 'src3'))),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.02
+    "dd_cluster" -> (
+      "WITH RECURSIVE " + variantSrcSql + ",\n" + portableMinhashVerSql + ",\n" +
+      """pairs AS (
+        |  SELECT doc_a, doc_b FROM ver WHERE jac >= 0.5
         |  UNION ALL
-        |  SELECT a.doc_id, b.doc_id FROM documents a JOIN documents b
+        |  SELECT a.doc_id, b.doc_id FROM src a JOIN src b
         |    ON md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
         |   AND a.doc_id < b.doc_id),
         |edges AS (
@@ -692,7 +698,7 @@ object Dedup {
         |  UNION
         |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n)
         |SELECT n AS doc_id, min(r) AS root FROM reach
-        |GROUP BY n ORDER BY doc_id""".stripMargin,
+        |GROUP BY n ORDER BY doc_id""".stripMargin),
     // double-precision cosine mirroring the Spark expression exactly
     // (list_cosine_similarity is float32 → last-ulp mismatches)
     "dd_embedding_cos" ->
