@@ -472,11 +472,17 @@ final class Compiler(spark: SparkSession, registry: Registry,
               s"${rhs0.columns.length} subquery column(s)")
         val rhs = rhs0.toDF(keys.indices.map(i => s"__in_key$i"): _*)
         val how = if (negated) "left_anti" else "left_semi"
-        // NOTE: NOT IN with NULLs in the subquery is anti-join semantics
-        // here (documented divergence from SQL's three-valued NOT IN)
-        val cond = keys.zipWithIndex
+        val eq = keys.zipWithIndex
           .map { case (k, i) => compileExpr(k) === col(s"__in_key$i") }
           .reduce(_ && _)
+        // NOT IN is three-valued (PG): a NULL key against a non-empty
+        // set, or a non-matching key against a NULL-containing set, is
+        // UNKNOWN → row filtered. The anti join expresses that with
+        // `eq OR isnull(eq)` — a right row "blocks" the outer row when
+        // the comparison is true OR unknown. This is exactly the shape
+        // Spark's own NOT IN planning uses (null-aware anti join, which
+        // the optimizer fast-paths for single-key broadcasts).
+        val cond = if (negated) eq || eq.isNull else eq
         df = df.join(rhs, cond, how)
       case ExistsSubquery(sub, negated) =>
         df = lowerExists(df, sub, negated, scope)

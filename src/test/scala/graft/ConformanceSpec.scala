@@ -571,6 +571,29 @@ class ConformanceSpec extends AnyFunSuite {
       // so anti-join === NOT IN here
       "select c2 from test where c1 not in (select c3 from other where c4 > 6)")
   }
+  test("NOT IN is three-valued: NULL in the set filters every row") {
+    // 9 > 8 produces one NULL in the set → every comparison is at best
+    // UNKNOWN → NOT IN never true (PG semantics; oracle is spark.sql's
+    // own null-aware NOT IN planning)
+    check("""select c1 from test
+             where c2 not in (select case when c4 > 8 then null else c4 end
+                              from other)""")
+    // empty set → NOT IN true for every row, even NULL keys
+    check("""select c1 from test
+             where c2 not in (select c4 from other where c4 > 100)""")
+  }
+  test("NOT IN is three-valued: NULL key filtered against non-empty set") {
+    // key is NULL for c2 = 2 → UNKNOWN → filtered; c2 = 1 matches → out;
+    // the rest pass (set {0, 1, 2} contains no NULL)
+    check("""select c1, c2 from test
+             where (case when c2 = 2 then null else c2 end)
+               not in (select c4 from other where c4 < 3)""")
+  }
+  test("row-constructor NOT IN with NULL component is three-valued") {
+    check("""select c1, c2 from test
+             where (c1, case when c2 = 2 then null else c2 end)
+               not in (select c3, c4 from other where c4 < 3)""")
+  }
   test("is null / is not null") {
     check("""select c2 from test left join other on c1 = c3 and c4 > 100
              where c4 is null""")
