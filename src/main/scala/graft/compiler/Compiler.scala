@@ -943,6 +943,9 @@ final class Compiler(spark: SparkSession, registry: Registry,
         case "collect" => "collect_list"
         case "stddev" => "stddev_samp"
         case "variance" => "var_samp"
+        // dialect alias: first_value as an AGGREGATE (the bare name is
+        // reserved for the window function by the grammar)
+        case "first_value_agg" => "first_value"
         case other => other
       }
       call_function(mapped, args.map(compileExpr): _*)

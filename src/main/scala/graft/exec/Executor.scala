@@ -34,16 +34,21 @@ final class Executor(val spark: SparkSession,
 
   def addFunction(name: String, f: Seq[Column] => Column): Unit =
     registry.register(name, f)
+  /** UDAF names registered through THIS executor — threaded into the
+    * parser per statement, so one session's registration cannot
+    * reclassify a function name (projection vs aggregate) for another
+    * session in the same JVM. (Spark's udf registry remains
+    * session-wide, as Spark defines it.) */
+  private val registeredAggNames = scala.collection.mutable.Set.empty[String]
+
   /** Register a typed Spark Aggregator as a SQL aggregate (the UDAF
     * surface SURVEY §2.10 leaves open): usable from dialect SQL in
-    * grouped, global, and HAVING positions. Registration goes through
-    * `spark.udf` (session-wide) and the parser's set-function name table
-    * (process-wide) — both registries are global by nature. */
+    * grouped, global, and HAVING positions. */
   def addAggregate[IN: scala.reflect.runtime.universe.TypeTag, BUF, OUT](
       name: String,
       agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT]): Unit = {
     spark.udf.register(name, udaf(agg))
-    Parser.extraAggNames.add(name.toLowerCase)
+    registeredAggNames += name.toLowerCase
   }
 
   def addTableFunction(name: String, f: Seq[Any] => DataFrame): Unit =
@@ -62,7 +67,8 @@ final class Executor(val spark: SparkSession,
 
   /** Execute one statement. SELECT/SHOW return a DataFrame; DDL/COPY
     * mutate the scope and return None. */
-  def execute(sql: String): Option[DataFrame] = Parser.parse(sql) match {
+  def execute(sql: String): Option[DataFrame] =
+    Parser.parse(sql, registeredAggNames.toSet) match {
     case s: Select => Some(compiler.compileSelect(s, scope))
 
     case CopyFrom(table, path, options) =>

@@ -11,7 +11,8 @@ import Tokenizer._
   * HAVING, window frames, set operations, IN value-lists, BETWEEN,
   * EXISTS/IN subqueries, FULL/CROSS join keywords.
   */
-final class Parser(tokens: Vector[Token]) {
+final class Parser(tokens: Vector[Token],
+    extraAggs: Set[String] = Set.empty) {
   private var pos = 0
 
   private def peek: Option[Token] = if (pos < tokens.length) Some(tokens(pos)) else None
@@ -854,8 +855,7 @@ final class Parser(tokens: Vector[Token]) {
       expectOp(")")
       val isWindowNext = peekKw("over")
       val base: Expr =
-        if (aggFunctions(fn) || fn == "count" ||
-            Parser.extraAggNames.contains(fn))
+        if (aggFunctions(fn) || fn == "count" || extraAggs.contains(fn))
           CallSet(fn, args, distinct = distinct)
         else if (windowOnlyFunctions(fn) && isWindowNext) Call(fn, args)
         else if (distinct) fail(s"DISTINCT not supported for function $fn")
@@ -921,10 +921,18 @@ final class Parser(tokens: Vector[Token]) {
     case _ => false
   }
 
+  /** Aggregates that do NOT skip NULL inputs (Spark any_value/first take
+    * whatever the first row gives them) — the plain CASE desugar would
+    * let a filtered-out row's NULL win, so these get an explicit
+    * ignoreNulls=true argument appended. */
+  private val nonNullSkippingAggs = Set("any_value", "first_value_agg")
+
   /** `agg(args) FILTER (WHERE p)` (PG) — desugared at parse time to
     * `agg(CASE WHEN p THEN arg END)`: SQL aggregates skip NULLs, so the
     * rewrite is exact for every null-skipping aggregate (count(*)
-    * becomes count(CASE WHEN p THEN 1 END)). */
+    * becomes count(CASE WHEN p THEN 1 END)). Non-null-skipping
+    * aggregates additionally get ignoreNulls=true so the CASE's NULLs
+    * (the filtered rows) are skipped — row-removal semantics. */
   private def parseFilterOpt(base: Expr): Expr =
     if (peekKw("filter") && peekAt(1).exists(t => t.kind == TOp && t.value == "(")) {
       base match {
@@ -935,7 +943,9 @@ final class Parser(tokens: Vector[Token]) {
           val newArgs =
             if (star || args.isEmpty) Seq(CaseExpr(Seq(p -> IntLit(1)), None))
             else args.map(a => CaseExpr(Seq(p -> a), None))
-          CallSet(fn, newArgs, d, star = false)
+          val withIgnore =
+            if (nonNullSkippingAggs(fn)) newArgs :+ BoolLit(true) else newArgs
+          CallSet(fn, withIgnore, d, star = false)
         case _ => fail("FILTER applies only to aggregate functions")
       }
     } else base
@@ -1073,16 +1083,13 @@ final class Parser(tokens: Vector[Token]) {
 }
 
 object Parser {
-  /** Names of user-registered aggregate functions (UDAFs) — the grammar
-    * must type `f(x)` as a set function to route it through the
-    * aggregation path (global aggregates, HAVING). Registration is
-    * inherently session-global (Spark's own udf registry is), hence a
-    * process-wide concurrent set rather than parser state. */
-  val extraAggNames: java.util.Set[String] =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  def parse(sql: String): Statement =
-    new Parser(Tokenizer.tokenize(sql)).parseStatement()
+  /** Parse with an optional set of user-registered aggregate (UDAF)
+    * names — the grammar must type `f(x)` as a set function to route it
+    * through the aggregation path (global aggregates, HAVING). The set
+    * is per-caller (each Executor threads its own), so one session's
+    * UDAF registration cannot reclassify a name for another session. */
+  def parse(sql: String, extraAggs: Set[String] = Set.empty): Statement =
+    new Parser(Tokenizer.tokenize(sql), extraAggs).parseStatement()
   def parseQuery(sql: String): Select =
     parse(sql) match {
       case s: Select => s

@@ -378,6 +378,18 @@ class ConformanceSpec extends AnyFunSuite {
              from test group by c1 order by c1""")
     check("select count(distinct c1) filter (where c2 < 5) as n from test")
   }
+  test("FILTER on non-null-skipping aggregates removes rows, not nulls-in") {
+    // any_value/first take the FIRST row's value, so the plain CASE
+    // desugar could surface a filtered-out row's NULL; the ignoreNulls
+    // desugar must yield the single qualifying row's value
+    checkLit("select any_value(c1) filter (where c2 = 6) as v from test",
+      Seq(Seq(1)))
+    checkLit("select first_value_agg(c1) filter (where c2 = 5) as v from test",
+      Seq(Seq(0)))
+    // first_value_agg without FILTER aggregates normally
+    checkLit("select first_value_agg(c2) as v from test where c2 = 3",
+      Seq(Seq(3)))
+  }
   test("row-constructor IN subquery (multi-key semi/anti join)") {
     check("""select c1, c2 from test
              where (c1, c2) in (select c3, c4 from other)""")

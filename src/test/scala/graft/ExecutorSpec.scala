@@ -115,6 +115,43 @@ class ExecutorSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("UDAF name classification is per-executor, not process-wide") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    object SessionProd extends Aggregator[Long, Long, Long] {
+      def zero: Long = 1L
+      def reduce(b: Long, a: Long): Long = b * a
+      def merge(x: Long, y: Long): Long = x * y
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    val df = Seq((0L, 2L), (1L, 3L)).toDF("k", "v")
+    val exec1 = new Executor(spark, Map("t" -> df))
+    exec1.addAggregate("sessionprod", SessionProd)
+    assert(exec1.query("select sessionprod(v) as p from t")
+      .collect().head.getLong(0) == 6L)
+    // HAVING routes through the parser's set-function classification
+    // (helper agg columns are created only for parsed aggregates)
+    assert(exec1.query("select k from t group by k having sessionprod(v) > 2")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a DIFFERENT executor must not see sessionprod as an aggregate:
+    // GROUP BY ALL excludes parsed aggregates from the grouping set, so
+    // exec1 groups by k alone while exec2 (scalar classification) tries
+    // to group by the aggregate itself and is rejected by Spark
+    // (previously the name leaked process-wide and silently reclassified
+    // for every session)
+    assert(exec1
+      .query("select k, sessionprod(v) as p from t group by all order by k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L), (1L, 3L)))
+    val exec2 = new Executor(spark, Map("t" -> df))
+    intercept[Exception] {
+      exec2.query("select k, sessionprod(v) as p from t group by all")
+        .collect()
+    }
+  }
+
   test("COPY TO/FROM with parquet and json formats (extension)") {
     val exec = new Executor(spark, Map(
       "t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "s")))
