@@ -209,8 +209,12 @@ object Dedup {
       maxBucket: Int = defaultMaxBucket): DataFrame =
     minhashPairsImpl(docs, numHashes, bands, threshold, shingleK,
       shingleHash = TextAnalysis.md5Prefix60,
-      laneHash = (i, s) => TextAnalysis.md5Prefix60(
-        concat_ws("|", lit(i.toString), s.cast("string"))),
+      // two lanes ride each seeded digest (hex slices [1,16) and
+      // [16,31)) — half the md5 calls of one-digest-per-lane, still
+      // fully reproducible in the oracle
+      laneHash = (i, s) => TextAnalysis.md5Slice60(
+        concat_ws("|", lit((i / 2).toString), s.cast("string")),
+        1 + 15 * (i % 2)),
       bucket = cols => concat_ws(",", cols.map(_.cast("string")): _*),
       maxBucket = maxBucket)
 
@@ -230,8 +234,14 @@ object Dedup {
     val sh = shRows.groupBy(col("doc_id")).agg(collect_set(col("s")).as("sh"))
       .withColumn("n", size(col("sh"))).persist()
     val tok = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val mins = (0 until numHashes).map(i => min(laneHash(i, col("s"))).as(s"h$i"))
-    val sig = tok.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // lane values computed in ONE projection before the aggregation:
+    // whole-stage codegen's subexpression elimination dedupes the shared
+    // digests there (two sliced lanes per md5), which aggregate-input
+    // expressions would each recompute
+    val withLanes = tok.select(col("doc_id") +:
+      (0 until numHashes).map(i => laneHash(i, col("s")).as(s"l$i")): _*)
+    val mins = (0 until numHashes).map(i => min(col(s"l$i")).as(s"h$i"))
+    val sig = withLanes.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val rpb = numHashes / bands
     val banded0 = sig.select(col("doc_id"), explode(array((0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -545,9 +555,11 @@ object Dedup {
     * `src(doc_id, text)` CTE; yields `ver(doc_a, doc_b, jac)` — callers
     * apply their own threshold filter. */
   private lazy val portableMinhashVerSql: String = {
-    val h = (0 until 16).map(i =>
-      s"""    min(CAST(('0x' || substr(md5('$i|' || CAST(u.s AS VARCHAR)), 1, 15))
-         |      AS BIGINT)) AS h$i""".stripMargin).mkString(",\n")
+    val h = (0 until 16).map { i =>
+      val d = i / 2; val off = 1 + 15 * (i % 2)
+      s"""    min(CAST(('0x' || substr(md5('$d|' || CAST(u.s AS VARCHAR)), $off, 15))
+         |      AS BIGINT)) AS h$i""".stripMargin
+    }.mkString(",\n")
     val bucketCase = (0 until 4).map { b =>
       val cols = (b * 4 until (b + 1) * 4)
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")

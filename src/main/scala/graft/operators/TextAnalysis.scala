@@ -68,8 +68,14 @@ object TextAnalysis {
     * everywhere an external oracle must reproduce hash values
     * (DuckDB: `CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)`).
     * One definition; the oracle SQL must byte-match this construction. */
-  def md5Prefix60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def md5Prefix60(c: Column): Column = md5Slice60(c, 1)
+
+  /** 60-bit integer from md5 hex chars [off, off+15) (1-based): a 128-bit
+    * digest carries TWO independent 60-bit lanes (off = 1 and 16), so
+    * multi-lane schemes pay half the md5 calls. DuckDB mirror:
+    * `CAST(('0x' || substr(md5(x), off, 15)) AS BIGINT)`. */
+  def md5Slice60(c: Column, off: Int): Column =
+    conv(substring(md5(c), off, 15), 16, 10).cast("long")
 
   /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
     * Algorithms for Document Fingerprinting" — the MOSS scheme): hash
