@@ -19,7 +19,13 @@ import graft.parser.Parser
   * the scope is always explicit (documented divergence, SURVEY §7.4).
   */
 final class Executor(val spark: SparkSession,
-    initial: Map[String, DataFrame] = Map.empty) {
+    initial: Map[String, DataFrame] = Map.empty,
+    /** reference-parity CREATE TABLE AS: materialize eagerly (eager
+      * localCheckpoint) so later statements see a stable snapshot even
+      * when the source mutates between statements (`_executor.py:
+      * 445-448`). Off by default — lazy plans are the Spark-idiomatic
+      * choice and avoid pinning executor storage. */
+    val eagerCtas: Boolean = false) {
 
   private var scope: Map[String, DataFrame] = initial
   val registry = new Registry
@@ -190,10 +196,15 @@ final class Executor(val spark: SparkSession,
       None
 
     case CreateTableAs(name, query) =>
-      // lazy by design: the plan re-evaluates on use, like every Spark
-      // view. (The reference materializes eagerly; for re-read stability
-      // over mutating sources call .cache() on the stored frame.)
-      scope += (name -> compiler.compileSelect(query, scope))
+      // lazy by default: the plan re-evaluates on use, like every Spark
+      // view. With eagerCtas the frame is materialized NOW via an eager
+      // localCheckpoint — lineage truncated, partitions pinned — giving
+      // the reference's materialize-into-scope snapshot semantics even
+      // when the source path is overwritten afterwards (.cache() would
+      // NOT: Spark re-caches on path overwrite).
+      val df = compiler.compileSelect(query, scope)
+      val stored = if (eagerCtas) df.localCheckpoint(true) else df
+      scope += (name -> stored)
       None
 
     case DropTable(names) =>
@@ -215,6 +226,19 @@ final class Executor(val spark: SparkSession,
   def query(sql: String): DataFrame =
     execute(sql).getOrElse(
       throw CompileException("statement did not produce a result set"))
+
+  /** Parameterized query, DBAPI style (reference dbapi.py:85-90 +
+    * util/_funcs.py:14-36): `%s` positional placeholders substituted
+    * with SQL-escaped literals — NULL for null, `''`-escaped quoting for
+    * strings, bare literals for numbers/booleans; `%%` is a literal
+    * percent. Escaping happens before parsing, so parameter content can
+    * never terminate a literal (the reference's injection guarantee). */
+  def query(sql: String, params: Seq[Any]): DataFrame =
+    query(Executor.substitute(sql, params))
+
+  /** Named-parameter variant: `%(name)s` placeholders. */
+  def query(sql: String, params: Map[String, Any]): DataFrame =
+    query(Executor.substituteNamed(sql, params))
 
   /** Execute a semicolon-separated script; returns the last result set.
     * The split is quote-aware (a ';' inside a string literal, e.g. a CSV
@@ -290,4 +314,66 @@ object Executor {
   def execute(sql: String, scope: Map[String, DataFrame],
       spark: SparkSession): DataFrame =
     new Executor(spark, scope).query(sql)
+
+  /** SQL-literal escape (reference util/_funcs.py:25-36): NULL, quoted
+    * `''`-escaped strings, bare numeric/boolean literals. */
+  def escape(v: Any): String = v match {
+    case null | None => "NULL"
+    case Some(x) => escape(x)
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+    case d: Double => d.toString
+    case f: Float => f.toString
+    case d: BigDecimal => d.toString
+    case d: java.math.BigDecimal => d.toString
+    case other => throw new IllegalArgumentException(
+      s"cannot escape parameter of type ${other.getClass.getName}")
+  }
+
+  /** `%s` positional substitution with `%%` as a literal percent. */
+  def substitute(sql: String, params: Seq[Any]): String = {
+    val out = new StringBuilder
+    var i = 0; var p = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '%' && i + 1 < sql.length) {
+        sql.charAt(i + 1) match {
+          case '%' => out.append('%'); i += 2
+          case 's' =>
+            if (p >= params.length)
+              throw new IllegalArgumentException(
+                s"not enough parameters: ${params.length} given")
+            out.append(escape(params(p))); p += 1; i += 2
+          case c => throw new IllegalArgumentException(
+            s"unsupported placeholder %$c")
+        }
+      } else { out.append(sql.charAt(i)); i += 1 }
+    }
+    if (p != params.length)
+      throw new IllegalArgumentException(
+        s"too many parameters: ${params.length} given, $p used")
+    out.toString
+  }
+
+  /** `%(name)s` named substitution with `%%` as a literal percent. */
+  def substituteNamed(sql: String, params: Map[String, Any]): String = {
+    val ph = java.util.regex.Pattern.compile("%\\(([A-Za-z_][A-Za-z0-9_]*)\\)s")
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '%' && i + 1 < sql.length && sql.charAt(i + 1) == '%') {
+        out.append('%'); i += 2
+      } else if (sql.charAt(i) == '%') {
+        val m = ph.matcher(sql)
+        if (m.find(i) && m.start == i) {
+          val name = m.group(1)
+          val v = params.getOrElse(name,
+            throw new IllegalArgumentException(s"missing parameter '$name'"))
+          out.append(escape(v)); i = m.end
+        } else throw new IllegalArgumentException(
+          s"unsupported placeholder at position $i")
+      } else { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
 }

@@ -152,6 +152,44 @@ class ExecutorSpec extends AnyFunSuite {
     }
   }
 
+  test("parameterized query entry (%s / %(name)s, DBAPI parity)") {
+    val exec = new Executor(spark,
+      Map("t" -> Seq((1L, "a'b"), (2L, "c")).toDF("id", "s")))
+    // string escaping: the embedded quote cannot terminate the literal
+    assert(exec.query("select id from t where s = %s", Seq("a'b"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(exec.query(
+      "select count(1) as n from t where id > %s and s <> %s",
+      Seq(0L, "zzz")).collect().head.getLong(0) == 2L)
+    // named placeholders
+    assert(exec.query("select id from t where s = %(v)s", Map("v" -> "c"))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // %% literal percent (LIKE pattern) + NULL parameter
+    assert(exec.query(
+      "select count(1) as n from t where s like 'a%%' and %s is null",
+      Seq(null)).collect().head.getLong(0) == 1L)
+    // arity errors
+    intercept[IllegalArgumentException] {
+      exec.query("select %s, %s from t", Seq(1))
+    }
+    intercept[IllegalArgumentException] {
+      exec.query("select %s from t", Seq(1, 2))
+    }
+  }
+
+  test("eager CREATE TABLE AS materializes a snapshot (opt-in)") {
+    val dir = Files.createTempDirectory("graft_ctas_eager").toString
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    val eager = new Executor(spark,
+      Map("t" -> spark.read.parquet(dir)), eagerCtas = true)
+    eager.execute("create table snap as select * from t")
+    // mutate the source AFTER the CTAS: the snapshot must not move
+    // (reference materialize-into-scope semantics, _executor.py:445-448)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    assert(eager.query("select count(1) as n from snap")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("COPY TO/FROM with parquet and json formats (extension)") {
     val exec = new Executor(spark, Map(
       "t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "s")))
