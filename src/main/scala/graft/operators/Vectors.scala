@@ -61,16 +61,39 @@ object Vectors {
     srpBucketImpl(vec, nPlanes, planeComponent)
 
   /** PORTABLE SRP bucket: plane component ±1 from the md5-prefix parity
-    * of "p|j" ([[graft.operators.TextAnalysis.md5Prefix60]]), so an
-    * external engine reproduces bucket assignment bit-for-bit (DuckDB:
-    * `CASE WHEN CAST(('0x' || substr(md5(p || '|' || j), 1, 15)) AS
-    * BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END`). Costlier than the
-    * xxhash64 variant — use for oracle-checked pipelines. */
-  def srpBucketPortable(vec: Column, nPlanes: Int): Column =
-    srpBucketImpl(vec, nPlanes, (p, j) =>
-      when(pmod(TextAnalysis.md5Prefix60(
-        concat_ws("|", lit(p.toString), j.cast("string"))), lit(2)) === 0,
-        lit(1.0)).otherwise(lit(-1.0)))
+    * of "p|j", so an external engine reproduces bucket assignment
+    * bit-for-bit (DuckDB: `CASE WHEN CAST(('0x' || substr(md5(p || '|'
+    * || j), 1, 15)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END`).
+    *
+    * The components are plan-time CONSTANTS — computed once driver-side
+    * with the same md5 construction and shipped as literal arrays, so
+    * the per-row work is just the dot products (no hashing in the row
+    * loop at all). `maxDim` bounds the precomputed tables; vectors
+    * longer than it are rejected at plan time. */
+  def srpBucketPortable(vec: Column, nPlanes: Int,
+      maxDim: Int = 1024): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val comps = Array.tabulate(maxDim)(j => md5Parity(s"$p|$j"))
+      val s = aggregate(
+        zip_with(vec, slice(lit(comps), lit(1), size(vec)),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Driver-side twin of the md5-prefix-60 parity sign (see
+    * [[graft.operators.TextAnalysis.md5Prefix60]]): +1.0 when the first
+    * 60 digest bits are even — byte-identical to the engine/oracle
+    * construction, which is what keeps the literal plane tables
+    * oracle-reproducible. */
+  private def md5Parity(s: String): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+    else -1.0
+  }
 
   private def srpBucketImpl(vec: Column, nPlanes: Int,
       component: (Int, Column) => Column): Column = {
