@@ -58,6 +58,13 @@ final case class RowCtor(items: Seq[Expr]) extends Expr
 final case class InSubquery(e: Expr, select: Select, negated: Boolean) extends Expr
 final case class ExistsSubquery(select: Select, negated: Boolean) extends Expr
 
+/** `x op ANY/SOME/ALL (select ...)` — kept intact through parsing so the
+  * compiler can lower it with knowledge of the enclosing negation
+  * context (NOT ANY / NOT ALL need the SQL-standard three-valued
+  * treatment, which a parse-time EXISTS desugar cannot express). */
+final case class QuantifiedCmp(op: String, x: Expr, sub: Select,
+    quant: String) extends Expr
+
 /** Scope marker, produced only by the quantified-comparison desugar
   * (`x op ANY/ALL (sub)`): wraps an expression written in the OUTER query
   * that was textually injected into the subquery's WHERE. The compiler's

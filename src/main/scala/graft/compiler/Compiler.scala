@@ -460,6 +460,10 @@ final class Compiler(spark: SparkSession, registry: Registry,
         case other => other
       }
       c match {
+      case q: QuantifiedCmp =>
+        df = lowerQuantified(df, q, negated = false, scope)
+      case UnaryOp("not", q: QuantifiedCmp) =>
+        df = lowerQuantified(df, q, negated = true, scope)
       case InSubquery(e, sub, negated) =>
         val rhs0 = compileSelect(sub, scope)
         val keys = e match {
@@ -561,6 +565,46 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case ColRef(parts) if ctx.isInnerRef(parts) => ColRef(Seq(tag, parts.last))
       case other => other
     }
+
+  /** Lower `x op ANY/ALL (sub)` onto the EXISTS decorrelation path with
+    * exact SQL three-valued semantics in BOTH polarities (the filter
+    * keeps rows where the predicate is TRUE; NOT keeps rows where it is
+    * FALSE — unknown is filtered either way):
+    *   ANY       ⟺ EXISTS s: (x op s) is true
+    *   NOT ANY   ⟺ NOT EXISTS s: (x op s) is true or unknown
+    *   ALL       ⟺ NOT EXISTS s: (x op s) is not true
+    *   NOT ALL   ⟺ EXISTS s: (x op s) is false
+    * The outer operand is wrapped in OuterTagged so origin analysis
+    * binds its columns to the outer scope (capture hazard). */
+  private def lowerQuantified(outer: DataFrame, q: QuantifiedCmp,
+      negated: Boolean, scope: Map[String, DataFrame]): DataFrame = {
+    val se = q.sub.items.head match {
+      case ExprItem(e0, _) => e0
+      case _ => throw CompileException(
+        "quantified subquery must select exactly one column")
+    }
+    val xo = OuterTagged(q.x)
+    val opC = BinaryOp(q.op, xo, se)
+    def or(a: Expr, b: Expr) = BinaryOp("or", a, b)
+    val nullDisjuncts = or(UnaryOp("is null", se), UnaryOp("is null", xo))
+    def withConjunct(extra: Expr): Select =
+      q.sub.copy(items = Seq(ExprItem(IntLit(1), None)),
+        where = Some(q.sub.where.fold(extra)(w => BinaryOp("and", w, extra))),
+        orderBy = Nil, distinct = false)
+    (q.quant, negated) match {
+      case ("all", false) =>
+        lowerExists(outer, withConjunct(
+          or(UnaryOp("not", opC), nullDisjuncts)), negated = true, scope)
+      case ("all", true) =>
+        lowerExists(outer, withConjunct(UnaryOp("not", opC)),
+          negated = false, scope)
+      case (_, false) =>
+        lowerExists(outer, withConjunct(opC), negated = false, scope)
+      case (_, true) =>
+        lowerExists(outer, withConjunct(or(opC, nullDisjuncts)),
+          negated = true, scope)
+    }
+  }
 
   /** Lower [NOT] EXISTS (select ... from inner where ...) to a left-semi
     * (anti) join. Decorrelation: inner-only conjuncts filter the inner
@@ -829,6 +873,9 @@ final class Compiler(spark: SparkSession, registry: Registry,
     // quantified comparison in a context without decorrelation) compiles
     // as its payload — outer binding is the enclosing scope's default
     case OuterTagged(x) => compileExpr(x)
+    case _: QuantifiedCmp => throw CompileException(
+      "quantified comparison (ANY/SOME/ALL) is only supported as a " +
+        "top-level WHERE condition")
     case IntLit(v) => lit(v)
     case FloatLit(v) => lit(v)
     case StringLit(v) => lit(v)

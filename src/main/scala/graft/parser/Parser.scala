@@ -864,19 +864,10 @@ final class Parser(tokens: Vector[Token],
     } else ColRef(parts.toSeq)
   }
 
-  /** `x op ANY/SOME/ALL (select s from ...)` desugared onto the EXISTS
-    * decorrelation path — which gives exact SQL semantics in positive
-    * WHERE context, including empty sets and NULLs:
-    *   x op ANY(sub) ⟺ EXISTS s: (x op s) is true
-    *   x op ALL(sub) ⟺ NOT EXISTS s: (x op s) is not true
-    *                    (i.e. fails, or s/x NULL — and empty ⇒ true)
-    *
-    * Divergence (documented, same family as NOT IN): under an enclosing
-    * NOT, SQL's three-valued unknown would propagate (`NOT unknown` =
-    * unknown → row filtered), while the EXISTS lowering is two-valued —
-    * `not (x = any (...))` over a NULL-containing set keeps rows PG
-    * filters. Positive-context uses (the common case) are exact.
-    */
+  /** `x op ANY/SOME/ALL (select s from ...)` — validated here, lowered
+    * in the compiler (Compiler.lowerQuantified) where the enclosing
+    * negation context is known: NOT ANY / NOT ALL need three-valued
+    * treatment that a fixed parse-time EXISTS desugar cannot express. */
   private def desugarQuantified(op: String, x: Expr, sub: Select,
       quant: String): Expr = {
     val se = sub.items match {
@@ -886,22 +877,7 @@ final class Parser(tokens: Vector[Token],
     if (sub.groupBy.nonEmpty || sub.having.nonEmpty || sub.limit.nonEmpty ||
         sub.offset.nonEmpty || sub.setOps.nonEmpty || containsSetFn(se))
       fail("quantified subquery supports plain SELECT <expr> FROM ... WHERE ...")
-    def withConjunct(extra: Expr): Select =
-      sub.copy(items = Seq(ExprItem(IntLit(1), None)),
-        where = Some(sub.where.fold(extra)(w => BinaryOp("and", w, extra))),
-        orderBy = Nil, distinct = false)
-    // x was written in the OUTER query; mark it so the compiler's origin
-    // analysis binds its columns to the outer scope even when the name
-    // also exists in the subquery's FROM (classic capture hazard)
-    val xo = OuterTagged(x)
-    if (quant == "all") {
-      val notTrue = BinaryOp("or",
-        BinaryOp("or", UnaryOp("not", BinaryOp(op, xo, se)),
-          UnaryOp("is null", se)),
-        UnaryOp("is null", xo))
-      ExistsSubquery(withConjunct(notTrue), negated = true)
-    } else
-      ExistsSubquery(withConjunct(BinaryOp(op, xo, se)), negated = false)
+    QuantifiedCmp(op, x, sub, if (quant == "some") "any" else quant)
   }
 
   private def containsSetFn(e: Expr): Boolean = e match {

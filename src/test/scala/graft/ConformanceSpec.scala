@@ -355,6 +355,38 @@ class ConformanceSpec extends AnyFunSuite {
                                 from other)""",
       Seq())
   }
+  test("NOT ANY / NOT ALL are three-valued (PG semantics)") {
+    // NULL in the set: NOT (= ANY) filters EVERY row — matching rows are
+    // false, non-matching are unknown (the old EXISTS-flip desugar kept
+    // the non-matching rows)
+    checkLit("""select c1 from test
+                where not (c2 = any (select case when c4 > 8 then null else c4 end
+                                     from other))""",
+      Seq())
+    // empty set: NOT ANY keeps every row
+    checkLit("""select c1 from test
+                where not (c2 = any (select c4 from other where c4 > 100))""",
+      Seq(Seq(0), Seq(1), Seq(0), Seq(1), Seq(0), Seq(1)))
+    // NOT ALL without NULLs is the plain complement: not(c2 > all {0,1,2})
+    checkLit("""select c1 from test
+                where not (c2 > all (select c4 from other where c4 < 5))""",
+      Seq(Seq(0), Seq(1)))
+    // NOT ALL keeps a row only when some element makes the op FALSE —
+    // an all-NULL set never does, so both polarities filter everything
+    checkLit("""select c1 from test
+                where not (c2 > all (select case when c4 >= 0 then null end
+                                     from other))""",
+      Seq())
+    checkLit("""select c1 from test
+                where c2 > all (select case when c4 >= 0 then null end
+                                from other)""",
+      Seq())
+    // NOT ALL with a NULL present still keeps rows some element falsifies
+    checkLit("""select c1 from test
+                where not (c2 > all (select case when c4 > 8 then null else c4 end
+                                     from other))""",
+      Seq(Seq(0), Seq(1), Seq(0), Seq(1), Seq(0), Seq(1)))
+  }
   test("quantified comparison: outer operand collides with inner column name") {
     // outer test.c2 vs inner v.c2 — without outer-scope tagging the
     // injected conjunct binds BOTH sides to the inner relation and the
