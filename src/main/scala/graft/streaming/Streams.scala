@@ -86,6 +86,69 @@ object Streams {
       "inner")
   }
 
+  /** Gap-based sessionization as a native streaming aggregation:
+    * `session_window(ts, gap)` merges an event into the current session
+    * while its timestamp is within the previous event's [ts, ts+gap]
+    * window (boundary INCLUSIVE — verified by the StreamingSpec boundary
+    * test), so a new session starts only at diff > gap. This
+    * is the Spark-idiomatic form — built-in session state, no custom
+    * state code — and its final table equals the batch window-function
+    * sessionization (the invariant the oracle checks). */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("total_value"))
+
+  /** The same sessionization through the TYPED custom-state surface
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`) — the API a
+    * pipeline reaches for when session logic stops being expressible as
+    * an aggregation (per-session ML features, complex emission rules).
+    * Events are buffered and sorted per user inside the group function;
+    * state is one user's in-flight events, dropped at emission.
+    * Semantics proven equal to [[sessionAgg]] in StreamingSpec. */
+  def sessionizeState(spark: SparkSession, events: DataFrame,
+      gapUs: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[(Long, Double)], (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Array[(Long, Double)]]) =>
+          val buf = (state.getOption.getOrElse(Array.empty) ++
+            rows.map(r => (r._2, r._3))).sortBy(_._1)
+          state.remove()
+          // emit all closed sessions; with the single-batch file source
+          // every session closes here, mirroring run-to-completion
+          val out = Seq.newBuilder[(Long, Long, Long, Double)]
+          var start = -1L; var prev = -1L; var n = 0L
+          var total = BigDecimal(0)
+          for ((ts, v) <- buf) {
+            if (start < 0) { start = ts; n = 0; total = 0 }
+            else if (ts - prev > gapUs) {
+              out += ((uid, start, n, total.toDouble))
+              start = ts; n = 0; total = 0
+            }
+            prev = ts
+            n += 1
+            // quantize like sessionAgg's CAST(value AS DECIMAL(18,6))
+            total += BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }
+          if (start >= 0) out += ((uid, start, n, total.toDouble))
+          out.result().iterator
+      }
+      .toDF("user_id", "start_us", "n_events", "total_value")
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Run a (complete-mode) streaming aggregation over the static parquet
@@ -128,6 +191,14 @@ object Streams {
     // stream-stream join run to completion (append mode: inner-join
     // matches emit as they arrive), then batch-aggregated per hour —
     // streaming == batch is the invariant the oracle checks
+    // native session_window sessionization run to completion; the final
+    // table must equal DuckDB's batch window-function sessionization —
+    // per-user gap-based sessions with event counts and decimal-exact
+    // value sums
+    "st_sessions" -> ((s, dir) => {
+      runToCompletion(s, sessionAgg(readEvents(s, dir)))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     "st_join_attribution" -> ((s, dir) => {
       runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
         .groupBy(date_format(
@@ -148,6 +219,30 @@ object Streams {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // batch sessionization: boundary flag via lag, session id via running
+    // sum, grouped. Gap math on µs-truncated timestamps (Spark's ts is
+    // µs); a new session starts at diff > gap (session_window's boundary
+    // is inclusive: an event at exactly ts+gap merges).
+    "st_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events),
+        |b AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (
+        |  SELECT user_id, ts_us, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id,
+        |  strftime(to_timestamp(min(ts_us) // 1000000),
+        |           '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "st_join_attribution" ->
       """SELECT strftime(to_timestamp(floor(epoch(p.ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS hour,

@@ -46,6 +46,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("session_window boundary: an event at exactly ts+gap still merges") {
+    // session_window's boundary is INCLUSIVE: events at 0, +30m (exact
+    // gap), +61m form TWO sessions — {0, +30m} merged, +61m alone
+    // (31m > gap from +30m). The oracle's `diff > gap` flag encodes it
+    val base = 1700000000000000L // µs
+    val ev = Seq(
+      (1L, base, 1.0),
+      (1L, base + 30L * 60 * 1000000, 1.0),
+      (1L, base + 61L * 60 * 1000000, 1.0))
+      .toDF("user_id", "ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val sessions = ev.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    assert(sessions.length == 2, sessions.mkString(", "))
+    assert(sessions.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming session_window equals batch and typed-state sessionization") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.sessionAgg(Streams.readEvents(spark, dir)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(streamed.nonEmpty)
+
+    // batch oracle shape: lag boundary flag + running-sum session ids
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val batch = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("__new", when(lag(col("ts_us"), 1).over(w).isNull ||
+        col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1)
+        .otherwise(0))
+      .withColumn("__sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts_us")).as("start_us"), count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(streamed == batch)
+
+    // typed flatMapGroupsWithState path: same sessions
+    val stateSessions = Streams.runToCompletion(spark,
+      Streams.sessionizeState(spark, Streams.readEvents(spark, dir),
+        gapUs = 1800000000L), mode = "append")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    assert(stateSessions == batch)
+  }
+
   test("stateful running counts via flatMapGroupsWithState over a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
