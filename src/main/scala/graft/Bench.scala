@@ -7,7 +7,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query materializes through the `noop` sink — a count() would let
   * Catalyst prune the whole projection; noop forces every output column
-  * to be computed, which is what a real consumer pays for. */
+  * to be computed, which is what a real consumer pays for.
+  *
+  * Output discipline: the driver captures only the LAST ~2000 characters
+  * of stdout, and sbt appends a "[success] Total time…" line after main
+  * returns. A single JSON line carrying all ~90 per-query timings is
+  * ~2.4 KB and gets its head clipped out of the capture window (this is
+  * exactly what produced `parsed: null` in BENCH_r01/r02). So the line
+  * printed here is kept under ~1750 chars: `value` is always the total
+  * over ALL queries, and `queries` carries as many per-query entries as
+  * fit (prioritized by family). The complete per-query map is written to
+  * BENCH_full.json in the working directory for offline reading.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,14 +46,58 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist() shared subplans; drop them between queries so
-      // cached partitions don't accumulate across the 50+ query run
+      // cached partitions don't accumulate across the 90-query run
       spark.catalog.clearCache()
+      System.err.println(f"[bench] $name%-28s $dt%7.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = {
+      val base = new java.io.File(sfDir).getName // e.g. "sf0.1"
+      if (base.startsWith("sf")) base.drop(2) else "\"" + base + "\""
+    }
+
+    // Full per-query dump (offline artifact, not size-constrained).
+    val fullQs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullQs,"sf":$sfLabel}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+
+    // Compact driver line: per-query entries in family-priority order until
+    // the budget is reached. value/total always covers every query.
+    val priority = (n: String) => n.split("_", 2)(0) match {
+      case "dd"  => 0 // dedup pipeline
+      case "sim" => 1 // similarity/ANN
+      case "ta"  => 2 // text analysis
+      case "mm"  => 3 // multimodal
+      case "st"  => 4 // streaming
+      case "aj"  => 5 // as-of join
+      case s if s.startsWith("q") => 6 // relational headline queries
+      case _ => 7 // fq_* dialect-conformance suite
+    }
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+    val footer = s"""},"sf":$sfLabel}"""
+    val budget = 1750 - header.length - footer.length
+    val ordered = results.sortBy { case (n, _) => (priority(n), n) }
+    val sb = new StringBuilder
+    var used = 0
+    ordered.foreach { case (k, v) =>
+      val entry = "\"" + k + f"""\":$v%.2f"""
+      val cost = entry.length + (if (used == 0) 0 else 1)
+      if (used + cost <= budget) {
+        if (used > 0) sb.append(',')
+        sb.append(entry)
+        used += cost
+      }
+    }
+    // stop() BEFORE the println: any shutdown warning it logs must not land
+    // between the JSON line and the end of the captured output window
     spark.stop()
+    println(header + sb.toString + footer)
   }
 }
