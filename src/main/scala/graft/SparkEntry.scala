@@ -26,6 +26,8 @@ object SparkEntry {
     graft.operators.Similarity.queries ++
     graft.operators.Multimodal.queries ++
     graft.operators.AsofJoin.queries ++
+    graft.operators.RangeJoin.queries ++
+    graft.operators.Sketches.queries ++
     graft.operators.Sampling.queries ++
     graft.streaming.Streams.queries
 
@@ -39,6 +41,8 @@ object SparkEntry {
     graft.operators.Similarity.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
     graft.operators.AsofJoin.oracleSql ++
+    graft.operators.RangeJoin.oracleSql ++
+    graft.operators.Sketches.oracleSql ++
     graft.operators.Sampling.oracleSql ++
     graft.streaming.Streams.oracleSql
 }

@@ -379,8 +379,13 @@ object Dedup {
     * store instead); the label table only ever holds docs that appear
     * in some pair — orders of magnitude smaller than the corpus. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // materialize the (possibly expensive — e.g. a whole LSH mining
+    // pipeline) pair plan ONCE before the symmetric union: both union
+    // legs would otherwise execute it independently in the first job,
+    // since tasks racing within one job don't see each other's cache
+    val p = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).persist()
+    p.count()
+    val edges = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
       .persist()
     var labels = edges.groupBy(col("u").as("doc_id"))
       .agg(least(min(col("v")), first(col("u"))).as("root"))
@@ -388,13 +393,16 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // (a) candidate: min over neighbors' labels, vs own label
+      // (a) candidate: min over neighbors' labels, vs own label.
+      // localCheckpoint before the self-join below — its two legs would
+      // otherwise each execute this join+agg plan
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "v"), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("root")).as("nroot"))
         .join(labels, "doc_id")
         .select(col("doc_id"), least(col("root"), col("nroot")).as("root"))
+        .localCheckpoint()
       // (b) pointer jump: follow the root's own label one hop
       val next = prop.alias("a")
         .join(prop.select(col("doc_id").as("root"), col("root").as("rroot"))
@@ -410,6 +418,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 

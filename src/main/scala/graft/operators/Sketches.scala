@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Approximate sketch aggregates with in-plan accuracy gates.
+  *
+  * At 100 TB, exact `COUNT(DISTINCT)` and exact quantiles are shuffle-
+  * heavy (a distinct shuffle of every key; a full sort per group). The
+  * sketch forms — HyperLogLog++ (`approx_count_distinct`, Heule et al.)
+  * and the Greenwald–Khanna quantile summary (`percentile_approx`) — are
+  * single-pass, fixed-memory, and mergeable, so they aggregate map-side
+  * and ship a few KB per partition instead of the key stream.
+  *
+  * Sketch outputs are engine-specific (an external oracle cannot
+  * reproduce HLL register states), so the driver gate is an INVARIANT
+  * computed in-plan next to the exact answer: the oracle fixes the exact
+  * side and asserts the tolerance flag — the same pattern as
+  * [[Similarity]]'s IVF recall floor. Both sketches are deterministic
+  * for a given dataset, so the flag is stable run to run. */
+object Sketches {
+
+  /** Per-group exact vs HLL++ distinct counts with a relative-error
+    * bound check. rsd 2% → the 5% gate leaves real margin. */
+  def distinctWithHll(df: DataFrame, groupCol: String, keyCol: String,
+      rsd: Double = 0.02, tol: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_distinct(col(keyCol)).as("d_exact"),
+        approx_count_distinct(col(keyCol), rsd).as("__d_approx"))
+      .select(col(groupCol), col("d_exact"),
+        (abs(col("__d_approx") - col("d_exact")) <=
+          lit(tol) * col("d_exact")).cast("bigint").as("within_tol"))
+
+  /** Per-group approximate median gated inside the exact p45–p55 band:
+    * a rank-error invariant (GK guarantees rank error ≤ 1/accuracy),
+    * robust regardless of the value distribution's scale. */
+  def medianWithGk(df: DataFrame, groupCol: String, valCol: String,
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile($valCol, 0.45)").as("__p45"),
+        expr(s"percentile($valCol, 0.55)").as("__p55"),
+        percentile_approx(col(valCol), lit(0.5), lit(accuracy))
+          .as("__amed"))
+      .select(col(groupCol), col("n"),
+        round(col("__p45"), 6).as("p45"), round(col("__p55"), 6).as("p55"),
+        (col("__amed") >= col("__p45") && col("__amed") <= col("__p55"))
+          .cast("bigint").as("within_band"))
+
+  // --------------------------------------------------------- driver queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ap_distinct_hll" -> ((s, dir) =>
+      distinctWithHll(Tables.load(s, dir, "events"), "event_type", "user_id")
+        .orderBy(col("event_type"))),
+    "ap_quantile" -> ((s, dir) =>
+      medianWithGk(Tables.load(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_type")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // exact side reproduced; the tolerance flag asserted — HLL register
+    // state is engine-internal, its 2%-rsd estimate within 5% is the gate
+    "ap_distinct_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS d_exact,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact percentiles (linear interpolation — both engines implement
+    // the standard type-7 quantile) reproduced; the band flag asserted
+    "ap_quantile" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.45), 6) AS p45,
+        |  round(quantile_cont(value, 0.55), 6) AS p55,
+        |  CAST(1 AS BIGINT) AS within_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -108,8 +108,44 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Corpus-level TF-IDF: top-`k` terms per document.
+    *
+    * The idf is the BM25 rational form `(N - df + 0.5) / (df + 0.5)`
+    * (Robertson/Spärck Jones) rather than a logarithm: every operation
+    * on it (int add, divide, multiply by the integer tf) is a correctly-
+    * rounded IEEE-754 primitive, so Spark and any external engine
+    * compute bit-identical scores and the full ranked result is
+    * hash-checkable. A log-based idf is only within-ulp reproducible —
+    * rank flips at near-ties would make the operator untestable.
+    *
+    * Scale shape: tf = one shuffle keyed (doc_id, term) with map-side
+    * combine; df = one shuffle keyed term over the (much smaller) tf
+    * table; N rides a broadcast; the tf⋈df join shuffles by term; top-k
+    * is a window keyed doc_id. No driver-side collection anywhere. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("raw").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("raw",
+        col("tf") * (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("raw"), 6).as("score"), col("rk"))
+  }
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // top-3 TF-IDF terms per document, fully hash-checked
+    "ta_tfidf" -> ((s, dir) => {
+      tfidfTopK(Tables.load(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
     "ta_token_count" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -151,6 +187,24 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = Map(
+    "ta_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf * (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) AS raw
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, raw,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, round(raw, 6) AS score, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "ta_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,

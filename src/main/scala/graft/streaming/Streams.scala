@@ -199,6 +199,22 @@ object Streams {
       runToCompletion(s, sessionAgg(readEvents(s, dir)))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    // streaming exact dedup: the same file read as TWO streams unioned
+    // (every event arrives twice), dropDuplicatesWithinWatermark keeps
+    // one occurrence per event_id with state bounded by the watermark
+    // horizon; the deduped stream feeds a complete-mode aggregation whose
+    // final table must equal the batch aggregate over distinct events
+    "st_dedup" -> ((s, dir) => {
+      val doubled = readEvents(s, dir).unionAll(readEvents(s, dir))
+      val deduped = doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("total_value"))
+      runToCompletion(s, deduped, mode = "complete")
+        .orderBy(col("event_type"))
+    }),
     "st_join_attribution" -> ((s, dir) => {
       runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
         .groupBy(date_format(
@@ -243,6 +259,11 @@ object Streams {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    // each event_id counted once despite arriving on two streams
+    "st_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st_join_attribution" ->
       """SELECT strftime(to_timestamp(floor(epoch(p.ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS hour,

@@ -307,4 +307,51 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "de", 2L -> "en", 3L -> "fr", 4L -> "und"))
   }
+
+  test("tfidf ranks rare terms above common ones, ties broken by term") {
+    val d = Seq(
+      (0L, "apple banana apple"),
+      (1L, "apple cherry"),
+      (2L, "apple banana date")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> r.getString(1)).toMap
+    // doc 0: apple tf=2 df=3 → 2*(3-3+0.5)/3.5 ≈ 0.29; banana tf=1 df=2
+    //   → (3-2+0.5)/2.5 = 0.6 → banana first
+    assert(top((0L, 1)) == "banana" && top((0L, 2)) == "apple")
+    // doc 1: cherry df=1 → (3-1+0.5)/1.5 = 1.67 beats apple 0.14
+    assert(top((1L, 1)) == "cherry")
+    // doc 2: banana 0.6 vs date 1.67 → date first, banana second
+    assert(top((2L, 1)) == "date" && top((2L, 2)) == "banana")
+  }
+
+  test("band join equals plain range-predicate join and plans no nested loop") {
+    val l = Seq((1L, 100L), (1L, 250L), (2L, 100L)).toDF("k", "lt")
+    val r = Seq((1L, 120L), (1L, 260L), (1L, 900L), (2L, 90L), (2L, 140L))
+      .toDF("k", "rt")
+    val got = RangeJoin.bandJoin(l, r, "k", "lt", "rt", window = 50L)
+      .select(col("k"), col("lt"), col("rt")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val want = l.join(r.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("rt") >= col("lt") &&
+          col("rt") - col("lt") <= 50L)
+      .select(col("k"), col("lt"), col("rt")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == want &&
+      got == Set((1L, 100L, 120L), (1L, 250L, 260L), (2L, 100L, 140L)))
+    // the point of bucketing: an equi join the planner can hash, never BNLJ
+    val plan = RangeJoin.bandJoin(l, r, "k", "lt", "rt", window = 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sketch gates hold on a known distribution") {
+    val df = (1 to 5000).map(i => (s"g${i % 2}", i.toLong, i.toDouble))
+      .toDF("g", "k", "v")
+    val hll = Sketches.distinctWithHll(df, "g", "k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hll("g0") == (2500L, 1L) && hll("g1") == (2500L, 1L))
+    val gk = Sketches.medianWithGk(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(gk == Map("g0" -> 1L, "g1" -> 1L))
+  }
 }

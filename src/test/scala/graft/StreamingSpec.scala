@@ -27,6 +27,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup of a doubled stream equals batch over distinct events") {
+    val doubled = Streams.readEvents(spark, dir)
+      .unionAll(Streams.readEvents(spark, dir))
+    val deduped = doubled.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val streamed = Streams.runToCompletion(spark, deduped, mode = "complete")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join equals the batch join") {
     val streamed = Streams.runToCompletion(spark,
       Streams.clickPurchaseJoin(spark, dir), mode = "append")
