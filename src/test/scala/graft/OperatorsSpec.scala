@@ -224,6 +224,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("multi-probe LSH recall is at least single-probe recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.knnLshPortable(emb, q, k = 10, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.knnLshMultiProbe(emb, q, k = 10, planes = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rs = (brute & single).size.toDouble / brute.size
+    val rm = (brute & multi).size.toDouble / brute.size
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+
+    // absolute floor on the clustered fixture (buckets align with
+    // clusters there; the real-table check above is only relative)
+    val bruteC = Similarity.knnBrute(vectors, vectors, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiC = Similarity.knnLshMultiProbe(vectors, vectors, k = 4, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rc = (bruteC & multiC).size.toDouble / bruteC.size
+    assert(rc >= 0.8, s"multi-probe recall $rc too low on clusters")
+  }
+
+  test("PQ ANN with re-rank achieves high recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.knnPq(emb, q, k = 10, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
   test("multimodal stub: features preserve byte mass, frames cover payload") {
     implicit val s = spark
     val media = Multimodal.asMedia(docs)
