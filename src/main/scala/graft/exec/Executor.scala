@@ -78,14 +78,18 @@ final class Executor(val spark: SparkSession,
     case s: Select => Some(compiler.compileSelect(s, scope))
 
     case CopyFrom(table, path, options) =>
-      // format 'csv' (reference surface) | 'parquet' | 'json' (extension)
+      // format 'csv' (reference surface) | 'parquet' | 'json' | 'jsonl'
+      // (extensions). Compressed inputs (.gz etc.) need no option —
+      // Spark's text-based sources decompress by extension.
       val p = tableFunctions.resolvePath(path)
       val df = options.getOrElse("format", "csv").toLowerCase match {
         case "parquet" => spark.read.parquet(p)
-        case "json" => spark.read.json(p)
+        // Spark's json source IS line-delimited by default; 'jsonl'
+        // accepted as the explicit name a pipeline user reaches for
+        case "json" | "jsonl" => spark.read.json(p)
         case "csv" | "text" => tableFunctions.readCsv(p, options)
         case other => throw CompileException(
-          s"unsupported COPY format '$other' (csv, parquet, json)")
+          s"unsupported COPY format '$other' (csv, parquet, json, jsonl)")
       }
       scope += (table -> df)
       None
@@ -94,15 +98,20 @@ final class Executor(val spark: SparkSession,
       val df = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
       val p = tableFunctions.resolvePath(path)
+      // COMPRESSION gzip|snappy|zstd|none rides through as the writer's
+      // codec (parquet defaults to snappy; text formats to none)
+      val codec = options.get("compression").map(_.toLowerCase)
+      def compressed[W](w: org.apache.spark.sql.DataFrameWriter[W]) =
+        codec.fold(w)(c => w.option("compression", c))
       options.getOrElse("format", "csv").toLowerCase match {
         // parquet/json write a directory of part-files — the scale-native
         // layout (parallel writers); csv keeps the reference's one-file
         // contract via coalesce(1)
-        case "parquet" => df.write.mode("overwrite").parquet(p)
-        case "json" => df.write.mode("overwrite").json(p)
+        case "parquet" => compressed(df.write.mode("overwrite")).parquet(p)
+        case "json" | "jsonl" => compressed(df.write.mode("overwrite")).json(p)
         case "csv" | "text" => writeSingleCsv(df, p, options)
         case other => throw CompileException(
-          s"unsupported COPY format '$other' (csv, parquet, json)")
+          s"unsupported COPY format '$other' (csv, parquet, json, jsonl)")
       }
       None
 
@@ -303,7 +312,8 @@ final class Executor(val spark: SparkSession,
     }
     w.csv(tmp)
     val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .find(p => p.endsWith(".csv"))
+      // ".csv.gz" etc. when a compression codec option is set
+      .find(p => p.contains(".csv") && !p.endsWith(".crc"))
       .getOrElse(throw new IllegalStateException("no csv part written"))
     Files.move(Paths.get(part), Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
   }

@@ -206,6 +206,27 @@ class ExecutorSpec extends AnyFunSuite {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("COPY with jsonl format and gzip compression round-trips") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "s")))
+    val dir = Files.createTempDirectory("graft_copy_gz").toString
+    exec.execute(s"COPY t TO '$dir/t_jsonl' WITH format 'jsonl', compression 'gzip'")
+    // part-files must actually be gzip-compressed
+    val parts = Files.list(java.nio.file.Paths.get(s"$dir/t_jsonl"))
+      .toArray.map(_.toString)
+      .filter(p => p.substring(p.lastIndexOf('/') + 1).startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".json.gz")), parts.toSeq)
+    exec.execute(s"COPY j FROM '$dir/t_jsonl' WITH format 'jsonl'")
+    assert(exec.query("select id, s from j order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+
+    // single-file csv contract holds under compression too
+    exec.execute(s"COPY t TO '$dir/t.csv.gz' WITH compression 'gzip'")
+    exec.execute(s"COPY c FROM '$dir/t.csv.gz' WITH header 'true'")
+    assert(exec.query("select count(*) as n from c").collect()(0).getLong(0) == 2)
+  }
+
   test("INSERT INTO appends via values, select, and column subsets") {
     val exec = new Executor(spark, Map(
       "t" -> Seq((1L, "a", 1.5)).toDF("id", "s", "v")))
