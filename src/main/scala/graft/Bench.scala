@@ -55,7 +55,12 @@ object Bench {
     val total = results.map(_._2).sum
     val sfLabel = {
       val base = new java.io.File(sfDir).getName // e.g. "sf0.1"
-      if (base.startsWith("sf")) base.drop(2) else "\"" + base + "\""
+      val suffix = base.drop(2)
+      // only emit an unquoted token when it is a valid JSON number —
+      // "sf_test" must become "_test" (quoted), not bare garbage
+      if (base.startsWith("sf") &&
+          scala.util.Try(suffix.toDouble).isSuccess) suffix
+      else "\"" + base + "\""
     }
 
     // Full per-query dump (offline artifact, not size-constrained).

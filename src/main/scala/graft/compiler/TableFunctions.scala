@@ -91,10 +91,14 @@ final class TableFunctions(spark: SparkSession) {
         // subquery, so materialize the per-row array first, then explode
         val gen = tf.func match {
           case "json_each" =>
-            spark.range(1).select(Json.jsonEachUdf(argCols.head).as("__arr"))
-              .select(inline(col("__arr")))
+            // native from_json → map<string,string>: value rendering is
+            // identical to the Jackson UDF (Json.jsonEachEntries) but the
+            // parse stays inside whole-stage codegen — no per-row UDF in
+            // what is otherwise the hottest lateral path
+            spark.range(1).select(Json.jsonEachEntries(argCols.head).as("__m"))
+              .select(explode(col("__m")))
           case "json_array_elements" =>
-            spark.range(1).select(Json.jsonArrayUdf(argCols.head).as("__arr"))
+            spark.range(1).select(Json.jsonArrayEntries(argCols.head).as("__arr"))
               .select(explode(col("__arr")).as("value"))
           case "generate_series" =>
             val step = if (argCols.length > 2) argCols(2) else lit(1L)

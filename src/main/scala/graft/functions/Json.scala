@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, MapType, StringType}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import scala.jdk.CollectionConverters._
 
@@ -53,6 +54,20 @@ object Json {
     }
   })
 
-  def jsonEach(c: Column): Column = explode(jsonEachUdf(c))
-  def jsonArrayElements(c: Column): Column = explode(jsonArrayUdf(c))
+  /** json_each as a NATIVE generator: `from_json` to `map<string,string>`
+    * stays inside whole-stage codegen and its StringType value conversion
+    * matches [[render]] exactly — textual values unquoted, every other
+    * value (numbers, booleans, nested objects/arrays) re-emitted as its
+    * compact JSON text — so nested values round-trip through a second
+    * `json_each`/`json_array_elements` identically to the Jackson path.
+    * The UDFs above remain for driver-side constant evaluation
+    * (FROM-position table functions over literal JSON). */
+  def jsonEachEntries(c: Column): Column =
+    from_json(c, MapType(StringType, StringType))
+  /** json_array_elements, native: `from_json` to `array<string>`. */
+  def jsonArrayEntries(c: Column): Column =
+    from_json(c, ArrayType(StringType))
+
+  def jsonEach(c: Column): Column = explode(jsonEachEntries(c))
+  def jsonArrayElements(c: Column): Column = explode(jsonArrayEntries(c))
 }

@@ -367,17 +367,20 @@ object Dedup {
     * per component).
     *
     * Algorithm: min-label propagation with pointer jumping — each round
-    * (a) takes the per-node min over neighbor labels (one join + one
-    * partial-agg shuffle, both keyed by node id), then (b) compresses
-    * one pointer hop (`root := label(root)`, a self-join of the label
-    * table). Step (b) is what makes convergence O(log diameter) instead
+    * (a) takes the per-node min over neighbor labels, then (b) compresses
+    * one pointer hop (`root := label(root)` through the previous round's
+    * mapping). Step (b) is what makes convergence O(log diameter) instead
     * of O(diameter): labels race down chains exponentially, the same
     * idea as large-star/small-star contraction (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond"). Every round
-    * `localCheckpoint` truncates the lineage so the plan does not grow
-    * with iterations (at cluster scale: `checkpoint` to a reliable
-    * store instead); the label table only ever holds docs that appear
-    * in some pair — orders of magnitude smaller than the corpus. */
+    * "Connected Components in MapReduce and Beyond"). Both steps are
+    * FUSED into one composed plan per round — a single `localCheckpoint`
+    * action that also truncates the lineage (at cluster scale:
+    * `checkpoint` to a reliable store instead) — because on a big
+    * cluster the loop's cost floor is driver round-trips per iteration,
+    * not data volume. The label table only ever holds docs that appear
+    * in some pair — orders of magnitude smaller than the corpus — and is
+    * broadcast when its measured size allows, leaving at most the
+    * partial-agg shuffle per round. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the (possibly expensive — e.g. a whole LSH mining
     // pipeline) pair plan ONCE before the symmetric union: both union
@@ -385,36 +388,56 @@ object Dedup {
     // since tasks racing within one job don't see each other's cache
     val p = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).persist()
     p.count()
+    // cache the symmetric edge table ALREADY hash-partitioned on u: when
+    // the label side broadcasts (below), the per-iteration plan then needs
+    // no Exchange at all — the neighbor join is map-side and the
+    // groupBy(u) partial agg reuses the cached partitioning
     val edges = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
       .persist()
     var labels = edges.groupBy(col("u").as("doc_id"))
       .agg(least(min(col("v")), first(col("u"))).as("root"))
       .localCheckpoint()
+    // the label table holds only docs that appear in some pair — usually
+    // orders of magnitude smaller than the corpus. Checkpointed plans
+    // carry no size stats, so AQE cannot discover broadcastability on its
+    // own; decide once from the real count (~16 B/row ⇒ 10M rows ≈ 160 MB,
+    // the upper end of a sane broadcast). Past that, joins fall back to
+    // shuffles — the label table is then cluster-scale data anyway.
+    val lblBroadcastable = labels.count() <= 10000000L
+    def hinted(df: DataFrame): DataFrame =
+      if (lblBroadcastable) broadcast(df) else df
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // (a) candidate: min over neighbors' labels, vs own label.
-      // localCheckpoint before the self-join below — its two legs would
-      // otherwise each execute this join+agg plan
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "v"), "v")
+      // Propagate (min over neighbor labels) and pointer-jump FUSED into
+      // one composed plan: ONE localCheckpoint job per round instead of
+      // three (r3 ran prop-ckpt + next-ckpt + a join-probe count, and
+      // driver-side job latency — not data — dominated the loop). The
+      // jump follows the PREVIOUS round's mapping, which is already
+      // checkpointed, so nothing in this plan executes twice.
+      // Stale-by-one compression still races labels down chains
+      // exponentially; labels only ever decrease and stay inside the
+      // component, and the fixpoint test below subsumes the
+      // propagate-only fixpoint (= correct CC labels).
+      val next = edges
+        .join(hinted(labels.withColumnRenamed("doc_id", "v")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("root")).as("nroot"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"), least(col("root"), col("nroot")).as("root"))
+        .join(hinted(labels), "doc_id")
+        .select(col("doc_id"), col("root").as("__old"),
+          least(col("root"), col("nroot")).as("__prop"))
+        .join(hinted(labels.select(col("doc_id").as("__prop"),
+          col("root").as("__rroot"))), Seq("__prop"), "left")
+        .select(col("doc_id"), col("__old"),
+          least(coalesce(col("__rroot"), col("__prop")), col("__prop"))
+            .as("root"))
         .localCheckpoint()
-      // (b) pointer jump: follow the root's own label one hop
-      val next = prop.alias("a")
-        .join(prop.select(col("doc_id").as("root"), col("root").as("rroot"))
-          .alias("b"), Seq("root"), "left")
-        .select(col("doc_id"),
-          least(coalesce(col("rroot"), col("root")), col("root")).as("root"))
-        .localCheckpoint()
-      // convergence probe on the (tiny, checkpointed) label tables
-      val changed = next.alias("n").join(labels.alias("o"), "doc_id")
-        .filter(col("n.root") =!= col("o.root")).limit(1).count()
-      converged = changed == 0
-      labels = next
+      // convergence probe: old label carried through the plan, so this is
+      // a trivial scan of the checkpointed table — no join, no shuffle
+      converged =
+        next.filter(col("root") =!= col("__old")).limit(1).count() == 0
+      labels = next.select(col("doc_id"), col("root"))
       iter += 1
     }
     edges.unpersist()

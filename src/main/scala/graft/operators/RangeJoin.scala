@@ -31,16 +31,22 @@ object RangeJoin {
     * event times (any unit, as long as `window` matches). */
   def bandJoin(left: DataFrame, right: DataFrame,
       key: String, lt: String, rt: String, window: Long): DataFrame = {
+    require(window > 0,
+      s"bandJoin window must be positive, got $window — window=0 would " +
+        "divide by zero into null buckets (silently dropping every left " +
+        "row) and a negative window has no matching rows by definition")
+    require(!left.columns.contains("__gr_bk") && !right.columns.contains("__gr_bk"),
+      "bandJoin reserves the internal column name __gr_bk")
     val width = window // 1 bucket of slack each side → expansion factor 2
     // `div` (integer division) — `/` is double division in Spark and
     // loses sub-µs precision at epoch-nanosecond magnitudes
-    val l = left.withColumn("__bk",
+    val l = left.withColumn("__gr_bk",
       explode(sequence(expr(s"$lt div $width"),
         expr(s"($lt + $window) div $width"))))
-    val r = right.withColumn("__bk", expr(s"$rt div $width"))
-    l.join(r, Seq(key, "__bk"))
+    val r = right.withColumn("__gr_bk", expr(s"$rt div $width"))
+    l.join(r, Seq(key, "__gr_bk"))
       .filter(col(rt) >= col(lt) && col(rt) - col(lt) <= window)
-      .drop("__bk")
+      .drop("__gr_bk")
   }
 
   // --------------------------------------------------------- driver queries

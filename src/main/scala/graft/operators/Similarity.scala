@@ -17,6 +17,29 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Exact top-k per query in TWO phases: a first `row_number` window
+    * keyed by (q_id, input partition id) caps each partition's
+    * contribution at k rows, then the global per-q_id window ranks only
+    * the ≤ k × numPartitions survivors. A single global window would
+    * funnel one query's ENTIRE candidate set (corpus-sized on the
+    * brute/ADC paths) through one task — the classic skew shape at
+    * cluster scale. The ordering is total (tie-broken by `nn_id`), so
+    * phase 1 provably retains every global top-k row and the result is
+    * bit-identical to the single-window plan. `spark_partition_id()` is
+    * projected BEFORE the phase-1 exchange, so it reflects the upstream
+    * (scan/join) partitioning. */
+  private def topKPerQuery(scored: DataFrame, k: Int, order: Seq[Column],
+      rankCol: String = "rk"): DataFrame = {
+    val local = Window.partitionBy(col("q_id"), col("__part")).orderBy(order: _*)
+    val global = Window.partitionBy(col("q_id")).orderBy(order: _*)
+    scored.withColumn("__part", spark_partition_id())
+      .withColumn("__lrk", row_number().over(local))
+      .filter(col("__lrk") <= k)
+      .drop("__part", "__lrk")
+      .withColumn(rankCol, row_number().over(global))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Brute-force top-k neighbours for each query row: cross join pruned
     * by broadcasting the (small) query side; at cluster scale the corpus
     * side streams partition-local with no shuffle. */
@@ -26,14 +49,11 @@ object Similarity {
       Vectors.norm2Fast(col("embedding")).as("nn_nrm"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       Vectors.norm2Fast(col("embedding")).as("q_nrm"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("q_id"))
       .select(col("q_id"), col("nn_id"),
         (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, Seq(col("cos").desc, col("nn_id")))
   }
 
   /** ANN via SRP-LSH: pair only within a bucket. Lower recall than brute
@@ -71,14 +91,11 @@ object Similarity {
         bucketOf(col("embedding")).as("q_bucket"))
       .select(col("q_id"), col("q_emb"), col("q_nrm"),
         explode(array(probes: _*)).as("probe"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    c.join(broadcast(q), col("bucket") === col("probe"))
+    val scored = c.join(broadcast(q), col("bucket") === col("probe"))
       .filter(col("nn_id") =!= col("q_id"))
       .select(col("q_id"), col("nn_id"),
         (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, Seq(col("cos").desc, col("nn_id")))
   }
 
   private def knnLshImpl(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -89,47 +106,123 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       Vectors.norm2Fast(col("embedding")).as("q_nrm"),
       bucketOf(col("embedding")).as("q_bucket"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    c.join(broadcast(q), col("bucket") === col("q_bucket"))
+    val scored = c.join(broadcast(q), col("bucket") === col("q_bucket"))
       .filter(col("nn_id") =!= col("q_id"))
       .select(col("q_id"), col("nn_id"),
         (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, Seq(col("cos").desc, col("nn_id")))
   }
 
-  /** ANN via IVF (inverted file): KMeans partitions the corpus into
+  /** Deterministic training sample for codebook/cell learning: the
+    * `target` corpus rows with the smallest portable hash-uniform of
+    * their id ([[Sampling.uniformHash]]) — ONE TakeOrdered job, no
+    * prior count, identical on every run, retry, and cluster size. */
+  private def sampleEmbeddings(corpus: DataFrame, target: Int): Array[Array[Double]] =
+    corpus.select(col("embedding"))
+      .orderBy(Sampling.uniformHash(col("vec_id")), col("vec_id"))
+      .limit(target)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Lloyd's k-means on a DRIVER-LOCAL sample. Centroid learning needs
+    * thousands of points, not the corpus — and on a cluster the
+    * alternative (distributed KMeans) costs `fits × iterations`
+    * scheduler round-trips that dwarf the arithmetic: 8 subspace fits ×
+    * 5 iterations = 40 jobs to do what is ~20 ms of driver CPU on a
+    * 4096-point sample. Seeded k-means++ init (Arthur & Vassilvitskii,
+    * SODA'07 — D² sampling; free at sample scale and worth several
+    * recall points over uniform init); an emptied cell keeps its
+    * previous centroid. */
+  private[operators] def localKMeans(points: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.length >= k, s"k-means needs >= $k points, got ${points.length}")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < dim) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    // k-means++ init: each next seed drawn ∝ squared distance to the
+    // nearest already-chosen seed
+    val init = new Array[Array[Double]](k)
+    init(0) = points(rnd.nextInt(points.length)).clone
+    val nearest = points.map(d2(_, init(0)))
+    var ci = 1
+    while (ci < k) {
+      val total = nearest.sum
+      var pick = 0
+      if (total > 0) {
+        var target = rnd.nextDouble() * total
+        var i = 0
+        while (i < points.length && target >= 0) {
+          target -= nearest(i); if (target < 0) pick = i; i += 1
+        }
+      } else pick = rnd.nextInt(points.length) // all-duplicate sample
+      init(ci) = points(pick).clone
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), init(ci))
+        if (d < nearest(i)) nearest(i) = d
+        i += 1
+      }
+      ci += 1
+    }
+    var centers = init
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+      }
+      centers = Array.tabulate(k)(c =>
+        if (counts(c) == 0) centers(c)
+        else Array.tabulate(dim)(j => sums(c)(j) / counts(c)))
+    }
+    centers
+  }
+
+  /** Nearest-centroid id as a NATIVE expression: squared distances to
+    * every centroid LITERAL (plan-time constants, like the SRP plane
+    * tables), argmin via array_position(array_min) — the whole
+    * assignment fuses into whole-stage codegen, no model UDF chain. */
+  private def argminCell(vec: Column, centers: Array[Array[Double]]): Column = {
+    val dists = array(centers.map(c =>
+      Vectors.dist2FD(vec, lit(c))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** ANN via IVF (inverted file): k-means partitions the corpus into
     * `nCells` cells; each query probes only its `nProbe` nearest cells.
     * Cost per query ≈ nProbe/nCells of the corpus, and the corpus can be
     * stored partitioned by cell so a probe is a partition-pruned read.
-    * Uses Spark MLlib KMeans (distributed training, seeded). */
+    * Cells train driver-side on a deterministic sample
+    * ([[sampleEmbeddings]]/[[localKMeans]]); full-corpus assignment is a
+    * single codegen'd projection pass ([[argminCell]]). */
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    // cache the vectorized corpus: KMeans is multi-pass (each iteration is
-    // a full scan) and the assignment pass reads it once more. Random init
-    // + few iterations: cell quality barely moves ANN recall (probing
-    // nProbe cells absorbs boundary error) but k-means|| init alone costs
-    // ~5 extra passes.
-    val withVec = corpus.withColumn("__vec",
-      array_to_vector(col("embedding").cast("array<double>")))
-      .persist()
-    val model = new KMeans().setK(nCells).setSeed(42)
-      .setInitMode("random").setMaxIter(5)
-      .setFeaturesCol("__vec").setPredictionCol("__cell")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
+    val centers = localKMeans(sampleEmbeddings(corpus, 4096), nCells,
+      iters = 10, seed = 42)
+    val assigned = corpus
       .select(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
-        Vectors.norm2Fast(col("embedding")).as("nn_nrm"), col("__cell"))
+        Vectors.norm2Fast(col("embedding")).as("nn_nrm"),
+        argminCell(col("embedding"), centers).as("__cell"))
 
     // tiny centroid table broadcasts; queries pick nProbe nearest cells
-    val centersDf = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }.toDF("__cell", "__centroid")
+    val centersDf = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }.toDF("__cell", "__centroid")
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__dist"), col("__cell"))
     val qCells = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -140,13 +233,11 @@ object Similarity {
       .filter(col("__prk") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("__cell"))
 
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
-    assigned.join(broadcast(qCells), "__cell")
+    val scored = assigned.join(broadcast(qCells), "__cell")
       .filter(col("nn_id") =!= col("q_id"))
       .select(col("q_id"), col("nn_id"),
         (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, Seq(col("cos").desc, col("nn_id")))
   }
 
   /** ANN via product quantization (Jégou/Douze/Schmid, TPAMI'11): the
@@ -156,9 +247,10 @@ object Similarity {
     * against 256 bytes of floats — the memory ratio that lets a 100 TB
     * embedding corpus's index live in cluster RAM). Queries score
     * candidates by ADC (asymmetric distance): exact subvector → centroid
-    * distances, summed across subspaces via m BROADCAST hash joins
-    * against the per-query distance tables (m × codebookSize rows) —
-    * the corpus streams through codegen'd joins, no shuffle until the
+    * distances precomputed into a flat per-query LOOKUP TABLE
+    * (m × codebookSize doubles) that broadcasts once — each candidate's
+    * score is m `element_at` lookups summed, so the corpus streams
+    * through one shallow codegen'd projection, no shuffle until the
     * top-`refine` window. The top `refine` candidates are re-ranked by
     * exact cosine (the standard PQ re-rank step), which restores most of
     * the recall the 4-byte codes give up.
@@ -167,40 +259,35 @@ object Similarity {
     * in-plan brute force, like [[knnIvf]]. */
   def knnPq(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       m: Int = 8, codebookSize: Int = 16, refine: Int = 50): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
 
-    // one pass materializes all m subvector columns; each KMeans then
-    // trains on its slice of the SAME cached table (m multi-pass fits —
-    // at real scale these train on a sample, codes assign full-corpus)
-    val withSubs = (0 until m).foldLeft(corpus)((df, i) =>
-      df.withColumn(s"__sv$i",
-        array_to_vector(slice(col("embedding"), i * sub + 1, sub)
-          .cast("array<double>"))))
-      .persist()
-    withSubs.count()
-    val models = (0 until m).map { i =>
-      new KMeans().setK(codebookSize).setSeed(42 + i)
-        .setInitMode("random").setMaxIter(5)
-        .setFeaturesCol(s"__sv$i").setPredictionCol(s"__c$i")
-        .fit(withSubs)
+    // codebooks: per-subspace k-means trained DRIVER-SIDE on one
+    // deterministic sample ([[sampleEmbeddings]]) — the corpus itself is
+    // touched exactly once, by the coded-projection scan below (nothing
+    // cached, nothing multi-pass)
+    val sample = sampleEmbeddings(corpus, 4096)
+    val codebooks = (0 until m).map { i =>
+      localKMeans(
+        sample.map(p => java.util.Arrays.copyOfRange(p, i * sub, (i + 1) * sub)),
+        codebookSize, iters = 10, seed = 42 + i)
     }
-    // corpus → m code columns (model UDFs chain into one projection pass)
-    val coded = models.zipWithIndex.foldLeft(withSubs) {
-      case (df, (mod, i)) => mod.transform(df)
-    }.select(Seq(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
-      Vectors.norm2Fast(col("embedding")).as("nn_nrm")) ++
-      (0 until m).map(i => col(s"__c$i")): _*)
+    // corpus → m code columns in ONE codegen'd projection: argmin against
+    // centroid literals, same plan-time-constant trick as the SRP planes
+    val coded = corpus.select(
+      Seq(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
+        Vectors.norm2Fast(col("embedding")).as("nn_nrm")) ++
+      (0 until m).map(i =>
+        argminCell(slice(col("embedding"), i * sub + 1, sub), codebooks(i))
+          .as(s"__c$i")): _*)
 
     // per-query ADC tables: distance from the query's subvector to every
     // centroid of every subspace — m × codebookSize rows per query
     val centroidRows = for {
-      i <- 0 until m; (c, code) <- models(i).clusterCenters.zipWithIndex
-    } yield (i, code, c.toArray)
+      i <- 0 until m; (c, code) <- codebooks(i).zipWithIndex
+    } yield (i, code, c)
     val centroids = centroidRows.toDF("__sub", "__code", "__centroid")
     val qBase = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
@@ -210,28 +297,37 @@ object Similarity {
         col("__sub"), col("__code"),
         Vectors.dist2FD(slice(col("q_emb"), col("__sub") * sub + 1, lit(sub)),
           col("__centroid")).as("__d"))
+    // ... folded into the paper's LOOKUP TABLE: one flat array of
+    // m × codebookSize distances per query, indexed [sub × size + code]
+    // (array_sort on the (sub, code, d) structs orders exactly that way)
+    val qTab = qDist
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("__sub"), col("__code"),
+        col("__d")))).as("__entries"))
+      .select(col("q_id"),
+        transform(col("__entries"), e => e("__d")).as("__dtab"))
 
-    // ADC scoring: corpus × queries via m broadcast joins on (q, code_i)
-    val qAll = broadcast(qBase.select(col("q_id")))
-    val scored0 = coded.crossJoin(qAll).filter(col("nn_id") =!= col("q_id"))
-    val scored = (0 until m).foldLeft(scored0) { (df, i) =>
-      df.join(broadcast(qDist.filter(col("__sub") === i)
-          .select(col("q_id"), col("__code").as(s"__c$i"), col("__d").as(s"__d$i"))),
-        Seq("q_id", s"__c$i"))
-    }.withColumn("__adc", (0 until m).map(i => col(s"__d$i")).reduce(_ + _))
+    // ADC scoring: ONE broadcast of the per-query tables against the
+    // streaming coded corpus; each candidate's distance is m element_at
+    // lookups summed — a shallow, fully codegen'd plan (the previous
+    // shape, m chained broadcast hash joins, spent more time in
+    // planning/codegen than in the scan)
+    val scored = coded.crossJoin(broadcast(qTab))
+      .filter(col("nn_id") =!= col("q_id"))
+      .withColumn("__adc", (0 until m).map(i =>
+        element_at(col("__dtab"),
+          col(s"__c$i") + lit(i * codebookSize) + 1)).reduce(_ + _))
+      .drop("__dtab")
 
-    // refine: exact cosine over the top-`refine` ADC candidates only
-    val wAdc = Window.partitionBy(col("q_id"))
-      .orderBy(col("__adc"), col("nn_id"))
-    val wTop = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("nn_id"))
-    scored.withColumn("__ark", row_number().over(wAdc))
-      .filter(col("__ark") <= refine)
-      .join(broadcast(qBase), "q_id")
-      .select(col("q_id"), col("nn_id"),
-        (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= k)
+    // refine: exact cosine over the top-`refine` ADC candidates only —
+    // both rankings two-phase so the corpus-sized ADC stream never
+    // funnels one query through one task
+    val refined =
+      topKPerQuery(scored, refine, Seq(col("__adc"), col("nn_id")), "__ark")
+        .join(broadcast(qBase), "q_id")
+        .select(col("q_id"), col("nn_id"),
+          (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
+    topKPerQuery(refined, k, Seq(col("cos").desc, col("nn_id")))
   }
 
   // --------------------------------------------------------- driver queries
@@ -267,8 +363,8 @@ object Similarity {
     // side of the join DuckDB reproduces exactly): n_queries and n_brute
     // are oracle-computed, and recall_ok asserts IVF found >= 60% of the
     // true neighbours — a real invariant, not a rows-only count.
-    // (measured recall at nCells=16/nProbe=8: 0.82-0.84 at sf0.001 and
-    // sf0.01 — the floor leaves margin for kmeans partitioning jitter)
+    // (measured recall at nCells=16/nProbe=8 with sampled k-means++
+    // training: >0.8 at sf0.001-0.1 — margin for partitioning jitter)
     "sim_knn_ivf" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
