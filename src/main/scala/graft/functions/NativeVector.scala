@@ -15,6 +15,10 @@ object NativeVector {
   def floatDoubleDist2(a: Column, b: Column): Column =
     NativeVectorColumns.floatDoubleDist2(a, b)
 
+  /** dot: array<float> vs array<double> (residual PQ encoding). */
+  def floatDoubleDot(a: Column, b: Column): Column =
+    NativeVectorColumns.floatDoubleDot(a, b)
+
   /** cosine similarity from three native dots — the single definition
     * behind Vectors.cosineFast and the SQL cosine_sim function. */
   def cosine(a: Column, b: Column): Column =

@@ -259,8 +259,6 @@ object Similarity {
     * in-plan brute force, like [[knnIvf]]. */
   def knnPq(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       m: Int = 8, codebookSize: Int = 16, refine: Int = 50): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
 
@@ -268,66 +266,222 @@ object Similarity {
     // deterministic sample ([[sampleEmbeddings]]) — the corpus itself is
     // touched exactly once, by the coded-projection scan below (nothing
     // cached, nothing multi-pass)
-    val sample = sampleEmbeddings(corpus, 4096)
-    val codebooks = (0 until m).map { i =>
+    val codebooks = trainCodebooks(sampleEmbeddings(corpus, 4096), sub, codebookSize)
+
+    // corpus → m code columns in ONE codegen'd projection; per-query ADC
+    // lookup tables broadcast against the streaming coded corpus
+    val coded = pqCode(corpus, codebooks, sub)
+    val qBase = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      Vectors.norm2Fast(col("embedding")).as("q_nrm"))
+    val scored = adcScore(coded.crossJoin(broadcast(adcTables(qBase, codebooks, sub))),
+      m, codebookSize)
+    refineTopK(scored, qBase, k, refine)
+  }
+
+  /** Per-subspace PQ codebooks from a driver-local sample (one
+    * [[localKMeans]] fit per subspace, deterministic seeds). */
+  private def trainCodebooks(sample: Array[Array[Double]], sub: Int,
+      codebookSize: Int): IndexedSeq[Array[Array[Double]]] = {
+    val m = sample.head.length / sub
+    (0 until m).map { i =>
       localKMeans(
         sample.map(p => java.util.Arrays.copyOfRange(p, i * sub, (i + 1) * sub)),
         codebookSize, iters = 10, seed = 42 + i)
     }
-    // corpus → m code columns in ONE codegen'd projection: argmin against
-    // centroid literals, same plan-time-constant trick as the SRP planes
-    val coded = corpus.select(
+  }
+
+  /** corpus → (nn_id, nn_emb, nn_nrm, extras…, __c0..__c{m-1}): the m
+    * code columns are argmins against centroid LITERALS, so the whole
+    * encoding is one codegen'd projection — the same plan-time-constant
+    * trick as the SRP planes. */
+  private def pqCode(corpus: DataFrame, codebooks: IndexedSeq[Array[Array[Double]]],
+      sub: Int, extras: Seq[Column] = Nil): DataFrame =
+    corpus.select(
       Seq(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
-        Vectors.norm2Fast(col("embedding")).as("nn_nrm")) ++
-      (0 until m).map(i =>
+        Vectors.norm2Fast(col("embedding")).as("nn_nrm")) ++ extras ++
+      codebooks.indices.map(i =>
         argminCell(slice(col("embedding"), i * sub + 1, sub), codebooks(i))
           .as(s"__c$i")): _*)
 
-    // per-query ADC tables: distance from the query's subvector to every
-    // centroid of every subspace — m × codebookSize rows per query
+  /** Per-query ADC tables `(q_id, __dtab)`: exact distances from the
+    * query's subvectors to every centroid of every subspace, folded into
+    * the paper's flat LOOKUP TABLE — one array of m × codebookSize
+    * doubles per query, indexed [sub × size + code] (array_sort on the
+    * (sub, code, d) structs orders exactly that way). */
+  private def adcTables(qBase: DataFrame,
+      codebooks: IndexedSeq[Array[Array[Double]]], sub: Int): DataFrame = {
+    val spark = qBase.sparkSession
+    import spark.implicits._
     val centroidRows = for {
-      i <- 0 until m; (c, code) <- codebooks(i).zipWithIndex
+      i <- codebooks.indices; (c, code) <- codebooks(i).zipWithIndex
     } yield (i, code, c)
     val centroids = centroidRows.toDF("__sub", "__code", "__centroid")
-    val qBase = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"),
-      Vectors.norm2Fast(col("embedding")).as("q_nrm"))
-    val qDist = qBase.crossJoin(broadcast(centroids))
+    qBase.crossJoin(broadcast(centroids))
       .select(col("q_id"),
         col("__sub"), col("__code"),
         Vectors.dist2FD(slice(col("q_emb"), col("__sub") * sub + 1, lit(sub)),
           col("__centroid")).as("__d"))
-    // ... folded into the paper's LOOKUP TABLE: one flat array of
-    // m × codebookSize distances per query, indexed [sub × size + code]
-    // (array_sort on the (sub, code, d) structs orders exactly that way)
-    val qTab = qDist
       .groupBy(col("q_id"))
       .agg(array_sort(collect_list(struct(col("__sub"), col("__code"),
         col("__d")))).as("__entries"))
       .select(col("q_id"),
         transform(col("__entries"), e => e("__d")).as("__dtab"))
+  }
 
-    // ADC scoring: ONE broadcast of the per-query tables against the
-    // streaming coded corpus; each candidate's distance is m element_at
-    // lookups summed — a shallow, fully codegen'd plan (the previous
-    // shape, m chained broadcast hash joins, spent more time in
-    // planning/codegen than in the scan)
-    val scored = coded.crossJoin(broadcast(qTab))
-      .filter(col("nn_id") =!= col("q_id"))
+  /** ADC score over a (coded ⨯ __dtab) candidate stream: each
+    * candidate's distance is m `element_at` lookups summed — a shallow,
+    * fully codegen'd projection (the earlier shape, m chained broadcast
+    * hash joins, spent more time in planning/codegen than in the scan). */
+  private def adcScore(cand: DataFrame, m: Int, codebookSize: Int): DataFrame =
+    cand.filter(col("nn_id") =!= col("q_id"))
       .withColumn("__adc", (0 until m).map(i =>
         element_at(col("__dtab"),
           col(s"__c$i") + lit(i * codebookSize) + 1)).reduce(_ + _))
       .drop("__dtab")
 
-    // refine: exact cosine over the top-`refine` ADC candidates only —
-    // both rankings two-phase so the corpus-sized ADC stream never
-    // funnels one query through one task
+  /** Exact-cosine re-rank of the top-`refine` ADC candidates (the
+    * standard PQ re-rank step, restoring most of the recall the 4-byte
+    * codes give up). Both rankings two-phase so the corpus-sized ADC
+    * stream never funnels one query through one task. */
+  private def refineTopK(scored: DataFrame, qBase: DataFrame, k: Int,
+      refine: Int): DataFrame = {
     val refined =
       topKPerQuery(scored, refine, Seq(col("__adc"), col("nn_id")), "__ark")
         .join(broadcast(qBase), "q_id")
         .select(col("q_id"), col("nn_id"),
           (Vectors.dotFast(col("q_emb"), col("nn_emb")) / (col("q_nrm") * col("nn_nrm"))).as("cos"))
     topKPerQuery(refined, k, Seq(col("cos").desc, col("nn_id")))
+  }
+
+  /** IVF-PQ composition (Jégou/Douze/Schmid, TPAMI'11 §V — the layout
+    * billion-scale ANN systems actually ship): IVF cells prune the
+    * corpus to each query's `nProbe` nearest cells, PQ ADC scores ONLY
+    * those candidates from the compact codes, exact cosine re-ranks the
+    * top `refine`. Codes quantize the RESIDUAL `x − t(cell)` (the
+    * paper's formulation — residuals are small, so the same 4-bit codes
+    * carry far more precision than raw-vector PQ). Cost per query ≈
+    * (nProbe/nCells) × corpus ADC lookups instead of a full-corpus ADC
+    * scan — at 100 TB the coded corpus is stored partitioned by
+    * `__cell`, so a probe is a partition-pruned read of ~4-byte codes.
+    * Cells and codebooks both train driver-side on one deterministic
+    * sample; the full corpus is touched exactly once, by the coded
+    * projection. */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, codebookSize: Int = 16,
+      refine: Int = 50): DataFrame = {
+    val (cand, qBase, mm, cs) =
+      ivfPqCandidates(corpus, queries, dim, nCells, nProbe, m, codebookSize)
+    refineTopK(adcScore(cand, mm, cs), qBase, k, refine)
+  }
+
+  /** The cell-pruned candidate stream behind [[knnIvfPq]], BEFORE ADC
+    * scoring — exposed (package-private) so tests and the driver gate
+    * can assert the pruning factor: candidate count ≪ corpus × queries.
+    * Returns (candidates, query base, m, codebookSize).
+    *
+    * Residual encoding without materializing residuals: the distance of
+    * subvector x to the shifted centroid `t(ℓ)+c` expands to
+    * `‖t(ℓ)+c‖² − 2·x·c` plus terms constant in c, so the corpus pass
+    * needs only `codebookSize` float×double dots per subspace (SHARED
+    * across all cells — the 2·x·c term doesn't involve ℓ) plus one
+    * lookup into a literal norm table indexed by (cell, code). 128 dot
+    * loops per row here vs 2048 per-cell distance loops done naively. */
+  private[graft] def ivfPqCandidates(corpus: DataFrame, queries: DataFrame,
+      dim: Int, nCells: Int, nProbe: Int, m: Int, codebookSize: Int)
+      : (DataFrame, DataFrame, Int, Int) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+
+    // train cells on the sample, then codebooks on the sample RESIDUALS
+    val sample = sampleEmbeddings(corpus, 4096)
+    val cellCenters = localKMeans(sample, nCells, iters = 10, seed = 42)
+    def nearestCell(p: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < nCells) {
+        var d = 0.0; var j = 0
+        while (j < dim) { val t = p(j) - cellCenters(c)(j); d += t * t; j += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val residuals = sample.map { p =>
+      val t = cellCenters(nearestCell(p))
+      Array.tabulate(dim)(j => p(j) - t(j))
+    }
+    val codebooks = trainCodebooks(residuals, sub, codebookSize)
+
+    // shifted centroids t(ℓ)_sub + c and their norm tables (plan-time
+    // constants, like the SRP planes)
+    def shifted(cell: Int, i: Int, code: Int): Array[Double] =
+      Array.tabulate(sub)(j => cellCenters(cell)(i * sub + j) + codebooks(i)(code)(j))
+    val normTabs: IndexedSeq[Array[Double]] = (0 until m).map { i =>
+      Array.tabulate(nCells * codebookSize) { idx =>
+        val s = shifted(idx / codebookSize, i, idx % codebookSize)
+        var n2 = 0.0; var j = 0
+        while (j < sub) { n2 += s(j) * s(j); j += 1 }
+        n2
+      }
+    }
+
+    // ONE corpus pass, two stacked projections: (1) cell assignment,
+    // (2) per-subspace residual codes via the ‖t+c‖²−2·x·c expansion.
+    // (Catalyst keeps them separate: CollapseProject refuses to inline
+    // the non-cheap __cell argmin into its 128 downstream references.)
+    val celled = corpus.select(col("vec_id").as("nn_id"),
+      col("embedding").as("nn_emb"),
+      Vectors.norm2Fast(col("embedding")).as("nn_nrm"),
+      argminCell(col("embedding"), cellCenters).as("__cell"))
+    val codeCols = (0 until m).map { i =>
+      val dists = array((0 until codebookSize).map { c =>
+        element_at(lit(normTabs(i)),
+          col("__cell") * codebookSize + c + 1) -
+          lit(2.0) * Vectors.dotFD(
+            slice(col("nn_emb"), i * sub + 1, sub), lit(codebooks(i)(c)))
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__c$i")
+    }
+    val coded = celled.select(
+      Seq(col("nn_id"), col("nn_emb"), col("nn_nrm"), col("__cell")) ++
+        codeCols: _*)
+
+    // queries pick their nProbe nearest cells (tiny broadcast centroid
+    // table); the ADC lookup table is PER (query, probed cell) — exact
+    // distances from q_sub to every shifted centroid of that cell, so
+    // entries are ‖q − reconstruction‖² and globally comparable
+    val centersDf = cellCenters.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("__cell", "__centroid")
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__dist"), col("__cell"))
+    val qBase = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      Vectors.norm2Fast(col("embedding")).as("q_nrm"))
+    val qCells = qBase
+      .crossJoin(broadcast(centersDf))
+      .withColumn("__dist", Vectors.dist2FD(col("q_emb"), col("__centroid")))
+      .withColumn("__prk", row_number().over(wProbe))
+      .filter(col("__prk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("__cell"))
+    val shiftedRows = for {
+      cell <- 0 until nCells; i <- 0 until m; code <- 0 until codebookSize
+    } yield (cell, i, code, shifted(cell, i, code))
+    val shiftedDf = shiftedRows.toDF("__scell", "__sub", "__code", "__shifted")
+    val qSide = qCells
+      .join(broadcast(shiftedDf), col("__cell") === col("__scell"))
+      .select(col("q_id"), col("__cell"), col("__sub"), col("__code"),
+        Vectors.dist2FD(slice(col("q_emb"), col("__sub") * sub + 1, lit(sub)),
+          col("__shifted")).as("__d"))
+      .groupBy(col("q_id"), col("__cell"))
+      .agg(array_sort(collect_list(struct(col("__sub"), col("__code"),
+        col("__d")))).as("__entries"))
+      .select(col("q_id"), col("__cell"),
+        transform(col("__entries"), e => e("__d")).as("__dtab"))
+
+    // the equi-join on __cell IS the pruning: a candidate row exists only
+    // when the corpus item's cell is one of the query's probed cells
+    (coded.join(broadcast(qSide), "__cell"), qBase, m, codebookSize)
   }
 
   // --------------------------------------------------------- driver queries
@@ -399,6 +553,34 @@ object Similarity {
         .select(col("n_queries"), col("n_brute"),
           (col("__hits") >= lit(0.6) * col("n_brute")).cast("bigint")
             .as("recall_ok"))
+    }),
+    // IVF-PQ: cell-pruned ADC + exact re-rank — the composed 100 TB ANN
+    // path. Two invariants gated: the recall floor vs in-plan brute
+    // force (same pattern as sim_knn_ivf/pq) AND the pruning factor —
+    // the candidate stream the ADC ever touches must stay well under
+    // corpus × queries, which is the whole point of the composition.
+    "sim_knn_ivfpq" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val brute = knnBrute(e, q, k = 10).select(col("q_id"), col("nn_id"))
+      val ivfpq = knnIvfPq(e, q, k = 10, dim = 64, nCells = 16, nProbe = 4)
+        .select(col("q_id").as("iq"), col("nn_id").as("inn"), lit(1).as("__hit"))
+      val recall = brute.join(ivfpq,
+          col("q_id") === col("iq") && col("nn_id") === col("inn"), "left")
+        .agg(
+          countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_brute"),
+          sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+      val (cand, _, _, _) = ivfPqCandidates(e, q, dim = 64,
+        nCells = 16, nProbe = 4, m = 8, codebookSize = 16)
+      val pruning = cand.agg(count(lit(1)).as("__n_cand"))
+        .crossJoin(e.agg(count(lit(1)).as("__n_corpus")))
+      recall.crossJoin(pruning)
+        .select(col("n_queries"), col("n_brute"),
+          (col("__hits") >= lit(0.6) * col("n_brute")).cast("bigint")
+            .as("recall_ok"),
+          (col("__n_cand") <= lit(0.6) * col("__n_corpus") * col("n_queries"))
+            .cast("bigint").as("pruned_ok"))
     }),
     // centroid similarity per label: per-dim sum vector (cosine is
     // scale-invariant, so the un-normalized sum is the centroid
@@ -549,6 +731,29 @@ object Similarity {
         |SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
         |  CAST(count(*) AS BIGINT) AS n_brute,
         |  CAST(1 AS BIGINT) AS recall_ok
+        |FROM ranked WHERE rk <= 10""".stripMargin,
+    // IVF-PQ: cells + codebooks engine-specific; oracle fixes the brute
+    // side and the two invariant flags (recall floor, pruning factor)
+    "sim_knn_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |         for s in list_zip(embedding, embedding)])) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+        |    list_sum([CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)
+        |      for s in list_zip(q.embedding, c.embedding)]) / (q.nrm * c.nrm) AS cos0
+        |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT q_id, nn_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos0 DESC, nn_id) AS rk
+        |  FROM pairs)
+        |SELECT CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+        |  CAST(count(*) AS BIGINT) AS n_brute,
+        |  CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS pruned_ok
         |FROM ranked WHERE rk <= 10""".stripMargin,
     "sim_label_centroid" ->
       """WITH dims AS (

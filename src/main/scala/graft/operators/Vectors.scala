@@ -34,6 +34,10 @@ object Vectors {
   def dist2FD(a: Column, b: Column): Column =
     graft.functions.NativeVector.floatDoubleDist2(a, b)
 
+  /** dot product, float vector vs double vector (residual PQ encoding) */
+  def dotFD(a: Column, b: Column): Column =
+    graft.functions.NativeVector.floatDoubleDot(a, b)
+
   def norm2(a: Column): Column = sqrt(dot(a, a))
   def norm2Fast(a: Column): Column = sqrt(dotFast(a, a))
 

@@ -117,6 +117,48 @@ final case class FloatDoubleDist2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of an `array<float>` (data vector) against an
+  * `array<double>` (e.g. a PQ codebook centroid) — the residual IVF-PQ
+  * encoding inner loop, where `argmin_c ||x−t−c||²` reduces to
+  * `argmin_c (||t+c||² − 2·x·c)` and `x·c` is the only per-row term. */
+final case class FloatDoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_double_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDoubleDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column builders (bridging `private[sql]` ExpressionUtils). */
 object NativeVectorColumns {
   def floatDot(a: Column, b: Column): Column =
@@ -126,4 +168,8 @@ object NativeVectorColumns {
   def floatDoubleDist2(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatDoubleDist2(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def floatDoubleDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatDoubleDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

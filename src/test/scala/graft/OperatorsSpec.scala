@@ -258,6 +258,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF-PQ composition: recall floor AND candidates pruned vs full ADC scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.knnIvfPq(emb, q, k = 10, dim = 64,
+        nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low")
+    // the pruning invariant: the ADC stream sees only probed cells'
+    // rows, a strict subset of corpus × queries (full-scan PQ's cost)
+    val (cand, _, _, _) = Similarity.ivfPqCandidates(emb, q, dim = 64,
+      nCells = 16, nProbe = 4, m = 8, codebookSize = 16)
+    val nCand = cand.count()
+    val full = emb.count() * q.count()
+    assert(nCand <= 0.6 * full, s"candidates $nCand not pruned vs $full")
+  }
+
   test("multimodal stub: features preserve byte mass, frames cover payload") {
     implicit val s = spark
     val media = Multimodal.asMedia(docs)
