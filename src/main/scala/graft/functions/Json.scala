@@ -58,15 +58,27 @@ object Json {
     * stays inside whole-stage codegen and its StringType value conversion
     * matches [[render]] exactly — textual values unquoted, every other
     * value (numbers, booleans, nested objects/arrays) re-emitted as its
-    * compact JSON text — so nested values round-trip through a second
+    * compact JSON text, and JSON `null` as the text "null" (from_json
+    * yields SQL NULL there; the coalesce restores Jackson parity) — so
+    * nested values round-trip through a second
     * `json_each`/`json_array_elements` identically to the Jackson path.
     * The UDFs above remain for driver-side constant evaluation
-    * (FROM-position table functions over literal JSON). */
-  def jsonEachEntries(c: Column): Column =
-    from_json(c, MapType(StringType, StringType))
-  /** json_array_elements, native: `from_json` to `array<string>`. */
-  def jsonArrayEntries(c: Column): Column =
-    from_json(c, ArrayType(StringType))
+    * (FROM-position table functions over literal JSON).
+    *
+    * Malformed input: the default (PERMISSIVE) silently yields no rows
+    * where the Jackson path raised; pass `failFast = true` for
+    * raise-on-malformed parity where errors matter. */
+  def jsonEachEntries(c: Column, failFast: Boolean = false): Column =
+    transform_values(from_json(c, MapType(StringType, StringType), parseOpts(failFast)),
+      (_, v) => coalesce(v, lit("null")))
+  /** json_array_elements, native: `from_json` to `array<string>`; same
+    * null-text and malformed-input contract as [[jsonEachEntries]]. */
+  def jsonArrayEntries(c: Column, failFast: Boolean = false): Column =
+    transform(from_json(c, ArrayType(StringType), parseOpts(failFast)),
+      v => coalesce(v, lit("null")))
+
+  private def parseOpts(failFast: Boolean): Map[String, String] =
+    if (failFast) Map("mode" -> "FAILFAST") else Map.empty
 
   def jsonEach(c: Column): Column = explode(jsonEachEntries(c))
   def jsonArrayElements(c: Column): Column = explode(jsonArrayEntries(c))

@@ -401,10 +401,25 @@ object Dedup {
     // the label table holds only docs that appear in some pair — usually
     // orders of magnitude smaller than the corpus. Checkpointed plans
     // carry no size stats, so AQE cannot discover broadcastability on its
-    // own; decide once from the real count (~16 B/row ⇒ 10M rows ≈ 160 MB,
-    // the upper end of a sane broadcast). Past that, joins fall back to
-    // shuffles — the label table is then cluster-scale data anyway.
-    val lblBroadcastable = labels.count() <= 10000000L
+    // own; decide once from MEASURED bytes, not row count (ids are
+    // caller-supplied and may be wide strings — a row-count cutoff alone
+    // could broadcast well past driver/executor memory), capped at
+    // 160 MB, the upper end of a sane broadcast. Past that, joins fall
+    // back to shuffles — the label table is then cluster-scale data
+    // anyway. One aggregate over the already-checkpointed table, fused
+    // with the count the decision needs either way.
+    val widthOf: Column = labels.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType =>
+          // bytes + UTF8String/array object overhead in the broadcast map
+          coalesce(length(col(f.name)).cast("long"), lit(0L)) + lit(24L)
+        case _ => lit(16L) // fixed-width value + per-field row share
+      }
+    }.reduce(_ + _)
+    val est = labels.agg(count(lit(1)), sum(widthOf)).head()
+    val lblBroadcastable = est.getLong(0) > 0 &&
+      !est.isNullAt(1) && est.getLong(1) <= (160L << 20)
     def hinted(df: DataFrame): DataFrame =
       if (lblBroadcastable) broadcast(df) else df
     var iter = 0

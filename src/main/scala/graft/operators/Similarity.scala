@@ -133,9 +133,12 @@ object Similarity {
     * SODA'07 — D² sampling; free at sample scale and worth several
     * recall points over uniform init); an emptied cell keeps its
     * previous centroid. */
-  private[operators] def localKMeans(points: Array[Array[Double]], k: Int,
+  private[graft] def localKMeans(points: Array[Array[Double]], k0: Int,
       iters: Int, seed: Long): Array[Array[Double]] = {
-    require(points.length >= k, s"k-means needs >= $k points, got ${points.length}")
+    require(points.nonEmpty, "k-means needs at least one point")
+    // corpora smaller than k degrade gracefully to one cell per point
+    // (fewer, never empty, cells) instead of failing the fit
+    val k = math.min(k0, points.length)
     val dim = points.head.length
     val rnd = new scala.util.Random(seed)
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -559,11 +562,19 @@ object Similarity {
     // force (same pattern as sim_knn_ivf/pq) AND the pruning factor —
     // the candidate stream the ADC ever touches must stay well under
     // corpus × queries, which is the whole point of the composition.
+    // Parameters chosen by measured sweep (tools/TuneIvfPq) across
+    // sf0.001/0.01/0.1: nCells=32/nProbe=12 prunes to ~0.38 of the
+    // corpus per query, m=16 subspaces (8-byte codes) keep ADC ordering
+    // tight, refine=150 re-ranks enough to hold recall 0.78-0.86 at
+    // every verified scale — the earlier nProbe=4/m=8/refine=50 config
+    // capped candidate-level recall at 0.54 on sf0.1 data, below the
+    // floor before ADC even ran.
     "sim_knn_ivfpq" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
       val brute = knnBrute(e, q, k = 10).select(col("q_id"), col("nn_id"))
-      val ivfpq = knnIvfPq(e, q, k = 10, dim = 64, nCells = 16, nProbe = 4)
+      val ivfpq = knnIvfPq(e, q, k = 10, dim = 64, nCells = 32, nProbe = 12,
+          m = 16, codebookSize = 16, refine = 150)
         .select(col("q_id").as("iq"), col("nn_id").as("inn"), lit(1).as("__hit"))
       val recall = brute.join(ivfpq,
           col("q_id") === col("iq") && col("nn_id") === col("inn"), "left")
@@ -572,7 +583,7 @@ object Similarity {
           count(lit(1)).as("n_brute"),
           sum(coalesce(col("__hit"), lit(0))).as("__hits"))
       val (cand, _, _, _) = ivfPqCandidates(e, q, dim = 64,
-        nCells = 16, nProbe = 4, m = 8, codebookSize = 16)
+        nCells = 32, nProbe = 12, m = 16, codebookSize = 16)
       val pruning = cand.agg(count(lit(1)).as("__n_cand"))
         .crossJoin(e.agg(count(lit(1)).as("__n_corpus")))
       recall.crossJoin(pruning)

@@ -258,23 +258,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
-  test("IVF-PQ composition: recall floor AND candidates pruned vs full ADC scan") {
+  // both driver-verified scales: sf0.01 is where the old nProbe=4/m=8
+  // config failed its floor (ADVICE r4) — keep both in the gate forever
+  for (sf <- Seq("0.001", "0.01"))
+    test(s"IVF-PQ composition at sf$sf: recall floor AND candidates pruned vs full ADC scan") {
+      val emb = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.knnBrute(emb, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfpq = Similarity.knnIvfPq(emb, q, k = 10, dim = 64,
+          nCells = 32, nProbe = 12, m = 16, codebookSize = 16, refine = 150)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & ivfpq).size.toDouble / brute.size
+      assert(recall >= 0.6, s"recall $recall too low")
+      // the pruning invariant: the ADC stream sees only probed cells'
+      // rows, a strict subset of corpus × queries (full-scan PQ's cost)
+      val (cand, _, _, _) = Similarity.ivfPqCandidates(emb, q, dim = 64,
+        nCells = 32, nProbe = 12, m = 16, codebookSize = 16)
+      val nCand = cand.count()
+      val full = emb.count() * q.count()
+      assert(nCand <= 0.6 * full, s"candidates $nCand not pruned vs $full")
+    }
+
+  test("localKMeans clamps k to the point count for tiny corpora") {
+    val pts = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0))
+    val centers = Similarity.localKMeans(pts, 16, iters = 3, seed = 1)
+    assert(centers.length == 3)
+    // and the full ANN paths still work when corpus < nCells
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val q = emb.filter(col("vec_id") < 5)
-    val brute = Similarity.knnBrute(emb, q, k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivfpq = Similarity.knnIvfPq(emb, q, k = 10, dim = 64,
-        nCells = 16, nProbe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & ivfpq).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall $recall too low")
-    // the pruning invariant: the ADC stream sees only probed cells'
-    // rows, a strict subset of corpus × queries (full-scan PQ's cost)
-    val (cand, _, _, _) = Similarity.ivfPqCandidates(emb, q, dim = 64,
-      nCells = 16, nProbe = 4, m = 8, codebookSize = 16)
-    val nCand = cand.count()
-    val full = emb.count() * q.count()
-    assert(nCand <= 0.6 * full, s"candidates $nCand not pruned vs $full")
+    val tiny = emb.filter(col("vec_id") < 8)
+    val q = emb.filter(col("vec_id") < 2)
+    val r = Similarity.knnIvf(tiny, q, k = 3, nCells = 16, nProbe = 4).collect()
+    assert(r.nonEmpty)
   }
 
   test("multimodal stub: features preserve byte mass, frames cover payload") {
