@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate (VERDICT r3 #7): the properties that make
+  * the headline queries scale — filters pushed to the parquet scan,
+  * columns pruned, dimension joins broadcast, no accidental cartesian
+  * products, no UDF nodes in hot paths — asserted at `sbt test` time so
+  * a perf-regressing plan change fails CI, not the next bench round.
+  *
+  * Construction only (no job runs): assertions read the pre-execution
+  * physical plan string. sf0.001 keeps any constant-evaluation work
+  * (table-function literals) trivial.
+  */
+class PlanRegressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  /** cartesian shapes: CartesianProduct, or BNLJ with a non-trivial
+    * build side. Queries listed here must never contain either. */
+  private def assertNoCartesian(p: String, name: String): Unit = {
+    assert(!p.contains("CartesianProduct"), s"$name plan has CartesianProduct")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plan has BNLJ")
+  }
+
+  /** Scala UDFs print as `UDF(...)`/`UDF:` in plan details; the hot
+    * relational/dedup/similarity paths must stay native (codegen). */
+  private def assertNoUdf(p: String, name: String): Unit =
+    assert(!p.contains("UDF"), s"$name plan contains a UDF node")
+
+  test("q1_pricing_summary: shipdate filter pushed, columns pruned, no UDF") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "l_shipdate filter not pushed to scan")
+    assert(!p.contains("l_comment") && !p.contains("l_orderkey"),
+      "unneeded lineitem columns not pruned")
+    assertNoCartesian(p, "q1"); assertNoUdf(p, "q1")
+  }
+
+  test("q3_segment_revenue: top-k is TakeOrdered, dims broadcast, filters pushed") {
+    val p = plan("q3_segment_revenue")
+    assert(p.contains("TakeOrderedAndProject"), "sort+limit not fused to top-k")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join on dimensions")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+    assert(p.contains("EqualTo(c_mktsegment"), "segment filter not pushed")
+    assertNoCartesian(p, "q3"); assertNoUdf(p, "q3")
+  }
+
+  test("q5_nation_revenue: all five joins broadcast, lineitem pruned to 4 cols") {
+    val p = plan("q5_nation_revenue")
+    // count numbered node lines — FormattedMode prints every node twice
+    // (tree + details), so a raw substring count double-counts
+    val bhj = "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 5, s"expected >=5 broadcast joins, saw $bhj")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+    assert(!p.contains("l_comment") && !p.contains("l_quantity"),
+      "lineitem columns not pruned")
+    assertNoCartesian(p, "q5"); assertNoUdf(p, "q5")
+  }
+
+  test("q19_or_pushdown: the OR-of-ANDs predicate reaches the scan") {
+    val p = plan("q19_or_pushdown")
+    assert(p.contains("PushedFilters: [") && p.contains("Or("),
+      "OR predicate not pushed to parquet")
+    assertNoUdf(p, "q19")
+  }
+
+  test("q_filter_project: filter and projection pushed to the scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("GreaterThanOrEqual(p_size,30)"), "size filter not pushed")
+    assert(p.contains("EqualTo(p_brand"), "brand filter not pushed")
+    assert(!p.contains("p_comment") && !p.contains("p_container"),
+      "part columns not pruned")
+    assertNoCartesian(p, "q_filter_project"); assertNoUdf(p, "q_filter_project")
+  }
+
+  test("fq_join_agg / fq_revenue: dialect-compiled plans broadcast / stay clean") {
+    val pj = plan("fq_join_agg")
+    assert(pj.contains("BroadcastHashJoin"), "fq_join_agg: no broadcast join")
+    assertNoCartesian(pj, "fq_join_agg"); assertNoUdf(pj, "fq_join_agg")
+    val pr = plan("fq_revenue") // single-table agg: no join to assert
+    assertNoCartesian(pr, "fq_revenue"); assertNoUdf(pr, "fq_revenue")
+  }
+
+  test("fq_json_lateral: native from_json generator, no Jackson UDF (r4 fix)") {
+    val p = plan("fq_json_lateral")
+    assert(p.contains("Generate"), "lateral explode missing")
+    assert(p.contains("from_json"), "json_each not on the native from_json path")
+    assertNoUdf(p, "fq_json_lateral")
+    assert(!p.contains("CartesianProduct"), "fq_json_lateral has CartesianProduct")
+    // (one BNLJ against a broadcast 1-row aggregate is expected — the
+    // scalar COUNT join — and harmless; CartesianProduct is not.)
+  }
+
+  test("sim_knn_lsh: bucket join is equi (broadcast), not all-pairs") {
+    val p = plan("sim_knn_lsh")
+    assert(p.contains("BroadcastHashJoin"), "bucket join not broadcast-equi")
+    assertNoCartesian(p, "sim_knn_lsh"); assertNoUdf(p, "sim_knn_lsh")
+  }
+
+  test("sim_knn_brute: declared cross join broadcasts the query side; two-phase top-k") {
+    val p = plan("sim_knn_brute")
+    // the ONE declared all-pairs baseline: BNLJ is expected, but the
+    // small (query) side must be the broadcast side
+    assert(p.contains("BroadcastNestedLoopJoin"), "brute force shape changed")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows >= 2, s"two-phase top-k collapsed to $windows window(s)")
+    assertNoUdf(p, "sim_knn_brute")
+  }
+
+  test("dd_minhash_portable: banded dedup stays equi-join only") {
+    val p = plan("dd_minhash_portable")
+    assertNoCartesian(p, "dd_minhash_portable")
+    assertNoUdf(p, "dd_minhash_portable")
+  }
+
+  test("ta_tfidf: keyed shuffles only; the one BNLJ is the broadcast corpus-N") {
+    val p = plan("ta_tfidf")
+    assert(!p.contains("CartesianProduct"), "ta_tfidf has CartesianProduct")
+    // the corpus doc-count N rides a 1-row broadcast BNLJ — expected;
+    // more than one BNLJ would mean a real join degraded
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"ta_tfidf has $bnlj BNLJs (expected the 1-row N only)")
+    assertNoUdf(p, "ta_tfidf")
+  }
+
+  test("ta_sample_stratified: hash-sampling predicate pushed to the scan") {
+    val p = plan("ta_sample_stratified")
+    assertNoCartesian(p, "ta_sample_stratified")
+    assertNoUdf(p, "ta_sample_stratified")
+  }
+}
