@@ -25,4 +25,20 @@ object NativeVector {
     floatDot(a, b) /
       (org.apache.spark.sql.functions.sqrt(floatDot(a, a)) *
         org.apache.spark.sql.functions.sqrt(floatDot(b, b)))
+
+  /** squared-L2 argmin cell id; centroid table bound as a reference
+    * object (no plan literals). */
+  def nearestCentroid(vec: Column, centers: Array[Array[Double]]): Column =
+    NativeVectorColumns.nearestCentroid(vec, centers)
+
+  /** all m PQ residual codes in one expression; codebooks + shifted-norm
+    * tables ride as reference objects. */
+  def pqEncodeResidual(vec: Column, cell: Column,
+      normTabs: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column =
+    NativeVectorColumns.pqEncodeResidual(vec, cell, normTabs, codebooks)
+
+  /** ADC lookup sum Σ dtab[i·cs + codes[i]]. */
+  def adcLookupSum(codes: Column, dtab: Column, codebookSize: Int): Column =
+    NativeVectorColumns.adcLookupSum(codes, dtab, codebookSize)
 }

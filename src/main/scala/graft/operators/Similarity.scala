@@ -194,15 +194,15 @@ object Similarity {
     centers
   }
 
-  /** Nearest-centroid id as a NATIVE expression: squared distances to
-    * every centroid LITERAL (plan-time constants, like the SRP plane
-    * tables), argmin via array_position(array_min) — the whole
-    * assignment fuses into whole-stage codegen, no model UDF chain. */
-  private def argminCell(vec: Column, centers: Array[Array[Double]]): Column = {
-    val dists = array(centers.map(c =>
-      Vectors.dist2FD(vec, lit(c))): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** Nearest-centroid id as a NATIVE expression
+    * ([[graft.functions.NativeVector.nearestCentroid]]): one codegen'd
+    * argmin loop with the centroid table bound as a reference object.
+    * (The earlier literal-array form — array_position(array_min(array(
+    * dist², …))) — was semantically identical but put every centroid
+    * component into the expression tree; at 32 cells × 64 dims × several
+    * call sites Catalyst spent SECONDS per query walking it.) */
+  private def argminCell(vec: Column, centers: Array[Array[Double]]): Column =
+    graft.functions.NativeVector.nearestCentroid(vec, centers)
 
   /** ANN via IVF (inverted file): k-means partitions the corpus into
     * `nCells` cells; each query probes only its `nProbe` nearest cells.
@@ -278,7 +278,7 @@ object Similarity {
       col("embedding").as("q_emb"),
       Vectors.norm2Fast(col("embedding")).as("q_nrm"))
     val scored = adcScore(coded.crossJoin(broadcast(adcTables(qBase, codebooks, sub))),
-      m, codebookSize)
+      codebookSize)
     refineTopK(scored, qBase, k, refine)
   }
 
@@ -294,18 +294,23 @@ object Similarity {
     }
   }
 
-  /** corpus → (nn_id, nn_emb, nn_nrm, extras…, __c0..__c{m-1}): the m
-    * code columns are argmins against centroid LITERALS, so the whole
-    * encoding is one codegen'd projection — the same plan-time-constant
-    * trick as the SRP planes. */
+  /** corpus → (nn_id, nn_emb, nn_nrm, extras…, __codes): all m codes
+    * from ONE native expression ([[graft.functions.NativeVector
+    * .pqEncodeResidual]]) with the codebooks bound as reference objects
+    * — the whole encoding is one codegen'd projection and the plan tree
+    * stays O(1) in m × codebookSize. Plain PQ is the nCells=1 residual
+    * case: cell 0, norm tables = raw codebook norms (`‖c‖² − 2·x·c`
+    * has the same argmin as `‖x − c‖²`). */
   private def pqCode(corpus: DataFrame, codebooks: IndexedSeq[Array[Array[Double]]],
-      sub: Int, extras: Seq[Column] = Nil): DataFrame =
+      sub: Int, extras: Seq[Column] = Nil): DataFrame = {
+    val books = codebooks.toArray
+    val normTabs = books.map(_.map(ctr => ctr.map(x => x * x).sum))
     corpus.select(
       Seq(col("vec_id").as("nn_id"), col("embedding").as("nn_emb"),
         Vectors.norm2Fast(col("embedding")).as("nn_nrm")) ++ extras ++
-      codebooks.indices.map(i =>
-        argminCell(slice(col("embedding"), i * sub + 1, sub), codebooks(i))
-          .as(s"__c$i")): _*)
+      Seq(graft.functions.NativeVector.pqEncodeResidual(
+        col("embedding"), lit(0), normTabs, books).as("__codes")): _*)
+  }
 
   /** Per-query ADC tables `(q_id, __dtab)`: exact distances from the
     * query's subvectors to every centroid of every subspace, folded into
@@ -332,15 +337,15 @@ object Similarity {
         transform(col("__entries"), e => e("__d")).as("__dtab"))
   }
 
-  /** ADC score over a (coded ⨯ __dtab) candidate stream: each
-    * candidate's distance is m `element_at` lookups summed — a shallow,
-    * fully codegen'd projection (the earlier shape, m chained broadcast
-    * hash joins, spent more time in planning/codegen than in the scan). */
-  private def adcScore(cand: DataFrame, m: Int, codebookSize: Int): DataFrame =
+  /** ADC score over a (coded ⨯ __dtab) candidate stream: one native
+    * lookup-sum loop ([[graft.functions.NativeVector.adcLookupSum]])
+    * over the codes array — a shallow, fully codegen'd projection
+    * (earlier shapes — m chained broadcast joins, then m element_at
+    * nodes — spent more time in planning than in the scan). */
+  private def adcScore(cand: DataFrame, codebookSize: Int): DataFrame =
     cand.filter(col("nn_id") =!= col("q_id"))
-      .withColumn("__adc", (0 until m).map(i =>
-        element_at(col("__dtab"),
-          col(s"__c$i") + lit(i * codebookSize) + 1)).reduce(_ + _))
+      .withColumn("__adc", graft.functions.NativeVector.adcLookupSum(
+        col("__codes"), col("__dtab"), codebookSize))
       .drop("__dtab")
 
   /** Exact-cosine re-rank of the top-`refine` ADC candidates (the
@@ -373,9 +378,9 @@ object Similarity {
   def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nProbe: Int = 4, m: Int = 8, codebookSize: Int = 16,
       refine: Int = 50): DataFrame = {
-    val (cand, qBase, mm, cs) =
+    val (cand, qBase, _, cs) =
       ivfPqCandidates(corpus, queries, dim, nCells, nProbe, m, codebookSize)
-    refineTopK(adcScore(cand, mm, cs), qBase, k, refine)
+    refineTopK(adcScore(cand, cs), qBase, k, refine)
   }
 
   /** The cell-pruned candidate stream behind [[knnIvfPq]], BEFORE ADC
@@ -431,25 +436,18 @@ object Similarity {
     }
 
     // ONE corpus pass, two stacked projections: (1) cell assignment,
-    // (2) per-subspace residual codes via the ‖t+c‖²−2·x·c expansion.
-    // (Catalyst keeps them separate: CollapseProject refuses to inline
-    // the non-cheap __cell argmin into its 128 downstream references.)
+    // (2) all m residual codes from one native expression (the
+    // ‖t+c‖²−2·x·c expansion lives inside [[PqEncodeResidual]]'s loop;
+    // norm tables and codebooks ride as reference objects, keeping the
+    // plan tree O(1) in nCells × m × codebookSize).
     val celled = corpus.select(col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"),
       Vectors.norm2Fast(col("embedding")).as("nn_nrm"),
       argminCell(col("embedding"), cellCenters).as("__cell"))
-    val codeCols = (0 until m).map { i =>
-      val dists = array((0 until codebookSize).map { c =>
-        element_at(lit(normTabs(i)),
-          col("__cell") * codebookSize + c + 1) -
-          lit(2.0) * Vectors.dotFD(
-            slice(col("nn_emb"), i * sub + 1, sub), lit(codebooks(i)(c)))
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__c$i")
-    }
-    val coded = celled.select(
-      Seq(col("nn_id"), col("nn_emb"), col("nn_nrm"), col("__cell")) ++
-        codeCols: _*)
+    val coded = celled.select(col("nn_id"), col("nn_emb"), col("nn_nrm"),
+      col("__cell"),
+      graft.functions.NativeVector.pqEncodeResidual(col("nn_emb"),
+        col("__cell"), normTabs.toArray, codebooks.toArray).as("__codes"))
 
     // queries pick their nProbe nearest cells (tiny broadcast centroid
     // table); the ADC lookup table is PER (query, probed cell) — exact
@@ -538,14 +536,18 @@ object Similarity {
           (col("__hits") >= lit(0.6) * col("n_brute")).cast("bigint")
             .as("recall_ok"))
     }),
-    // PQ ANN: 8 subspaces × 16 centroids (4-byte codes), ADC + exact
-    // re-rank of the top-50. Codebooks are engine-specific → recall
+    // PQ ANN: 16 subspaces × 16 centroids (8-byte codes), ADC + exact
+    // re-rank of the top-150. Codebooks are engine-specific → recall
     // floor vs in-plan brute force, same gate pattern as sim_knn_ivf.
+    // Parameters from a measured sweep (tools/TunePq): the old
+    // m=8/refine=50 config sat AT the 0.6 floor (0.64-0.70) and under
+    // it on sf0.1 data; m=16/refine=150 holds 0.88-1.00 everywhere.
     "sim_knn_pq" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
       val brute = knnBrute(e, q, k = 10).select(col("q_id"), col("nn_id"))
-      val pq = knnPq(e, q, k = 10, dim = 64)
+      val pq = knnPq(e, q, k = 10, dim = 64, m = 16, codebookSize = 16,
+          refine = 150)
         .select(col("q_id").as("pq"), col("nn_id").as("pnn"), lit(1).as("__hit"))
       brute.join(pq,
           col("q_id") === col("pq") && col("nn_id") === col("pnn"), "left")

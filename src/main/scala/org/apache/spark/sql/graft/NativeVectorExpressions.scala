@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -159,6 +159,173 @@ final case class FloatDoubleDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid id (squared-L2 argmin, first-wins ties) of an
+  * `array<float>` vector against a centroid table bound as a REFERENCE
+  * OBJECT, not as plan literals. The literal-array formulation
+  * (array_position(array_min(array(dist², …)))) was semantically right
+  * but carried every centroid component as an expression-tree literal —
+  * with 32 cells × 64 dims × several call sites, Catalyst spent seconds
+  * per query just walking the tree (measured: the r4 IVF-PQ gate at
+  * 500 rows took ~17 s of pure plan overhead). A reference object is
+  * one opaque pointer in the plan: analysis cost is O(1) and the row
+  * loop is identical machine code. */
+final case class NearestCentroid(child: Expression,
+    centers: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NearestCentroid.assign(a.asInstanceOf[ArrayData], centers)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graft.NearestCentroid.assign($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** shared by interpreted eval and generated code — one definition of
+    * the loop, bit-identical results on both paths */
+  def assign(x: ArrayData, centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      val n = math.min(x.numElements(), ctr.length)
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val t = x.getFloat(j).toDouble - ctr(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+/** All `m` PQ residual codes of a vector in ONE expression:
+  * `code_i = argmin_c normTabs(i)(cell·cs + c) − 2·x_i·c` (the
+  * `‖t+c‖² − 2·x·c` expansion — `‖x‖²` is constant in c and drops out).
+  * Codebooks and shifted-centroid norm tables ride as reference
+  * objects; the previous form spelled each of m × codebookSize
+  * distances out as expression nodes over literal arrays, which put
+  * ~131k literal doubles in the plan tree for m=16/cs=16/nCells=32.
+  * Plain (non-residual) PQ is the nCells=1 special case: pass
+  * `cell = 0` and norm tables of the raw codebook norms. */
+final case class PqEncodeResidual(left: Expression, right: Expression,
+    normTabs: Array[Array[Double]], codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_residual"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqEncodeResidual.encode(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[Int], normTabs, codebooks))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tabs = ctx.addReferenceObj("normTabs", normTabs, "double[][]")
+    val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  org.apache.spark.sql.graft.PqEncodeResidual.encode($a, $b, $tabs, $books));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncodeResidual {
+  def encode(x: ArrayData, cell: Int, normTabs: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var i = 0
+    var off = 0 // = i * sub, subvector base offset
+    while (i < m) {
+      val book = codebooks(i)
+      val tab = normTabs(i)
+      val cs = book.length
+      val sub = book(0).length
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cs) {
+        val ctr = book(c)
+        var dot = 0.0
+        var j = 0
+        while (j < sub) {
+          dot += x.getFloat(off + j).toDouble * ctr(j)
+          j += 1
+        }
+        val d = tab(cell * cs + c) - 2.0 * dot
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(i) = best
+      off += sub
+      i += 1
+    }
+    out
+  }
+}
+
+/** ADC score: `Σ_i dtab[i·cs + codes[i]]` — the per-candidate PQ lookup
+  * sum, one tight loop over the codes array instead of m chained
+  * element_at nodes. `dtab` is the per-query (or per query × probed
+  * cell) flat lookup table; summation order is i = 0..m−1, identical
+  * to the previous expression chain. */
+final case class AdcLookupSum(left: Expression, right: Expression,
+    codebookSize: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_lookup_sum"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    AdcLookupSum.score(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], codebookSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.AdcLookupSum.score($a, $b, $codebookSize);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookupSum =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcLookupSum {
+  def score(codes: ArrayData, dtab: ArrayData, cs: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += dtab.getDouble(i * cs + codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+}
+
 /** Column builders (bridging `private[sql]` ExpressionUtils). */
 object NativeVectorColumns {
   def floatDot(a: Column, b: Column): Column =
@@ -172,4 +339,20 @@ object NativeVectorColumns {
   def floatDoubleDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatDoubleDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def nearestCentroid(vec: Column, centers: Array[Array[Double]]): Column =
+    ExpressionUtils.column(
+      NearestCentroid(ExpressionUtils.expression(vec), centers))
+
+  def pqEncodeResidual(vec: Column, cell: Column,
+      normTabs: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): Column =
+    ExpressionUtils.column(
+      PqEncodeResidual(ExpressionUtils.expression(vec),
+        ExpressionUtils.expression(cell), normTabs, codebooks))
+
+  def adcLookupSum(codes: Column, dtab: Column, codebookSize: Int): Column =
+    ExpressionUtils.column(
+      AdcLookupSum(ExpressionUtils.expression(codes),
+        ExpressionUtils.expression(dtab), codebookSize))
 }

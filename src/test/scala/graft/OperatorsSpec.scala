@@ -247,16 +247,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rc >= 0.8, s"multi-probe recall $rc too low on clusters")
   }
 
-  test("PQ ANN with re-rank achieves high recall vs brute force") {
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val q = emb.filter(col("vec_id") < 5)
-    val brute = Similarity.knnBrute(emb, q, k = 10)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq = Similarity.knnPq(emb, q, k = 10, dim = 64)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & pq).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall $recall too low")
-  }
+  // gate parameters, both driver-verified scales (the old m=8/refine=50
+  // defaults sat at the 0.6 floor — see tools/TunePq sweep)
+  for (sf <- Seq("0.001", "0.01"))
+    test(s"PQ ANN with re-rank at sf$sf: recall floor vs brute force") {
+      val emb = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = Similarity.knnBrute(emb, q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pq = Similarity.knnPq(emb, q, k = 10, dim = 64, m = 16,
+          codebookSize = 16, refine = 150)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & pq).size.toDouble / brute.size
+      assert(recall >= 0.6, s"recall $recall too low")
+    }
 
   // both driver-verified scales: sf0.01 is where the old nProbe=4/m=8
   // config failed its floor (ADVICE r4) — keep both in the gate forever
