@@ -575,8 +575,16 @@ object Similarity {
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
       val brute = knnBrute(e, q, k = 10).select(col("q_id"), col("nn_id"))
-      val ivfpq = knnIvfPq(e, q, k = 10, dim = 64, nCells = 32, nProbe = 12,
-          m = 16, codebookSize = 16, refine = 150)
+      // ONE candidate stream feeds both gates: the ranked result (ADC +
+      // re-rank) and the pruning count. Building them independently (as
+      // r4 did — knnIvfPq plus a second ivfPqCandidates call) trains the
+      // cells/codebooks and runs the coded corpus projection TWICE; the
+      // persist makes the shared subplan execute once inside the single
+      // combined action.
+      val (cand0, qBase, _, cs) = ivfPqCandidates(e, q, dim = 64,
+        nCells = 32, nProbe = 12, m = 16, codebookSize = 16)
+      val cand = cand0.persist()
+      val ivfpq = refineTopK(adcScore(cand, cs), qBase, k = 10, refine = 150)
         .select(col("q_id").as("iq"), col("nn_id").as("inn"), lit(1).as("__hit"))
       val recall = brute.join(ivfpq,
           col("q_id") === col("iq") && col("nn_id") === col("inn"), "left")
@@ -584,8 +592,6 @@ object Similarity {
           countDistinct(col("q_id")).as("n_queries"),
           count(lit(1)).as("n_brute"),
           sum(coalesce(col("__hit"), lit(0))).as("__hits"))
-      val (cand, _, _, _) = ivfPqCandidates(e, q, dim = 64,
-        nCells = 32, nProbe = 12, m = 16, codebookSize = 16)
       val pruning = cand.agg(count(lit(1)).as("__n_cand"))
         .crossJoin(e.agg(count(lit(1)).as("__n_corpus")))
       recall.crossJoin(pruning)

@@ -48,6 +48,41 @@ object Sketches {
         (col("__amed") >= col("__p45") && col("__amed") <= col("__p55"))
           .cast("bigint").as("within_band"))
 
+  /** Top-k heavy hitters with a Count-Min-Sketch cross-check (Cormode &
+    * Muthukrishnan, J.Alg'05). The CMS aggregate (`count_min_sketch`,
+    * spark-sketch) is single-pass, fixed-memory (depth × width counters)
+    * and MERGEABLE — map-side partials ship a few KB per partition, the
+    * 100 TB shape for frequency estimation where an exact per-key count
+    * would shuffle the whole key stream. Gate invariants, both from the
+    * CMS guarantee and deterministic for a fixed seed: the estimate
+    * never underestimates, and overshoots by at most eps × N.
+    *
+    * The estimate probe deserializes the one-row sketch inside a UDF —
+    * k rows total, driver-adjacent work, NOT a per-corpus-row path (the
+    * corpus is touched only by the codegen'd aggregates). */
+  def heavyHittersWithCms(df: DataFrame, keyCol: String, k: Int,
+      eps: Double = 1e-4, confidence: Double = 0.999,
+      seed: Int = 42): DataFrame = {
+    val sketch = df.agg(
+      count_min_sketch(col(keyCol).cast("long"), lit(eps), lit(confidence),
+        lit(seed)).as("__sk"),
+      count(lit(1)).as("__total"))
+    val exactTopK = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col(keyCol)) // total order → stable k
+      .limit(k)
+    val estimate = udf((sk: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(key))
+    exactTopK.crossJoin(broadcast(sketch))
+      .withColumn("__est", estimate(col("__sk"), col(keyCol).cast("long")))
+      .select(col(keyCol), col("n_exact"),
+        (col("__est") >= col("n_exact")).cast("bigint").as("no_underest"),
+        (col("__est") <= col("n_exact") + lit(eps) * col("__total"))
+          .cast("bigint").as("within_eps"))
+      .orderBy(col("n_exact").desc, col(keyCol))
+  }
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ap_distinct_hll" -> ((s, dir) =>
@@ -55,7 +90,9 @@ object Sketches {
         .orderBy(col("event_type"))),
     "ap_quantile" -> ((s, dir) =>
       medianWithGk(Tables.load(s, dir, "events"), "event_type", "value")
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+    "ap_heavy_hitters" -> ((s, dir) =>
+      heavyHittersWithCms(Tables.load(s, dir, "events"), "user_id", k = 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -72,6 +109,14 @@ object Sketches {
         |  round(quantile_cont(value, 0.45), 6) AS p45,
         |  round(quantile_cont(value, 0.55), 6) AS p55,
         |  CAST(1 AS BIGINT) AS within_band
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact top-k side reproduced (same total order); the two CMS
+    // guarantee flags asserted — sketch counters are engine-internal
+    "ap_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_exact,
+        |  CAST(1 AS BIGINT) AS no_underest,
+        |  CAST(1 AS BIGINT) AS within_eps
+        |FROM events GROUP BY user_id
+        |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin
   )
 }

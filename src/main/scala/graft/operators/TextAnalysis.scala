@@ -139,6 +139,41 @@ object TextAnalysis {
         round(col("raw"), 6).as("score"), col("rk"))
   }
 
+  /** End-to-end corpus-cleanup pipeline — the composition a training-data
+    * run actually executes, wired from the individually-gated stages:
+    * language filter ([[langId]]) → quality gate (token count + punct
+    * ratio) → exact dedup (min doc_id per [[fingerprint]]) → deterministic
+    * sample ([[Sampling.hashSample]]). Returns (cleaned docs, funnel).
+    *
+    * Scale shape: stages 1-2 are narrow maps fused into the scan; dedup
+    * is ONE shuffle keyed by digest; the sample filter is again narrow.
+    * The funnel summary here re-aggregates each stage (cheap reduced
+    * aggs) for the oracle's benefit; a production run would ride
+    * `Dataset.observe` accumulators on the single pass instead. */
+  def cleanPipeline(docs: DataFrame, minTokens: Int = 5,
+      maxPunct: Double = 0.2, sampleFraction: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      langId(col("text")).as("lang"),
+      size(tokens(col("text"))).as("n_tokens"),
+      punctRatio(col("text")).as("punct"),
+      fingerprint(col("text")).as("fp"))
+    val kept = scored.filter(col("lang") === "en" &&
+      col("n_tokens") >= minTokens && col("punct") < maxPunct)
+    val deduped = kept
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val sampled = Sampling.hashSample(deduped, col("doc_id"), sampleFraction)
+    val funnel = docs.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .crossJoin(deduped.agg(count(lit(1)).as("n_unique")))
+      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("chars_sampled")))
+    (sampled, funnel)
+  }
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // top-3 TF-IDF terms per document, fully hash-checked
@@ -146,6 +181,9 @@ object TextAnalysis {
       tfidfTopK(Tables.load(s, dir, "documents"), k = 3)
         .orderBy(col("doc_id"), col("rk"))
     }),
+    // the full cleanup funnel, every stage DuckDB-reproduced
+    "ta_pipeline" -> ((s, dir) =>
+      cleanPipeline(Tables.load(s, dir, "documents"))._2),
     "ta_token_count" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -187,6 +225,58 @@ object TextAnalysis {
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   def oracleSql: Map[String, String] = Map(
+    // the funnel mirrored stage by stage: langid CASE, token count,
+    // punct ratio, md5 fingerprint row_number dedup, hash sample
+    "ta_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CASE
+        |      WHEN greatest(
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t))),
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t))),
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))) = 0
+        |        THEN 'und'
+        |      WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t)))
+        |        AND len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t)))
+        |        THEN 'fr'
+        |      WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t)))
+        |        THEN 'de'
+        |      ELSE 'en' END AS lang,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct,
+        |    md5(lower(trim(text))) AS fp
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM scored
+        |  WHERE lang = 'en' AND n_tokens >= 5 AND punct < 0.2),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |sampled AS (
+        |  SELECT * FROM deduped
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |          AS BIGINT) / 1152921504606846976.0 < 0.5)
+        |SELECT
+        |  (SELECT count(*) FROM documents) AS n_raw,
+        |  (SELECT count(*) FROM kept) AS n_kept,
+        |  (SELECT count(*) FROM deduped) AS n_unique,
+        |  (SELECT count(*) FROM sampled) AS n_sampled,
+        |  (SELECT COALESCE(CAST(sum(n_chars) AS BIGINT), 0) FROM sampled)
+        |    AS chars_sampled""".stripMargin,
     "ta_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

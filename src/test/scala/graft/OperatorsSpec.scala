@@ -426,4 +426,14 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(gk == Map("g0" -> 1L, "g1" -> 1L))
   }
+
+  test("CMS heavy hitters: exact top-k order, guarantee flags hold") {
+    // zipf-ish: key i appears ~ 3000/i times — clear heavy hitters
+    val rows = (1 to 50).flatMap(i => Seq.fill(3000 / i)(i.toLong))
+    val df = rows.toDF("k")
+    val hh = Sketches.heavyHittersWithCms(df, "k", k = 5).collect()
+    assert(hh.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(hh.map(_.getLong(1)).toSeq == Seq(3000L, 1500L, 1000L, 750L, 600L))
+    assert(hh.forall(r => r.getLong(2) == 1L && r.getLong(3) == 1L))
+  }
 }
