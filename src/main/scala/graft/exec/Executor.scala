@@ -84,12 +84,13 @@ final class Executor(val spark: SparkSession,
       val p = tableFunctions.resolvePath(path)
       val df = options.getOrElse("format", "csv").toLowerCase match {
         case "parquet" => spark.read.parquet(p)
+        case "orc" => spark.read.orc(p)
         // Spark's json source IS line-delimited by default; 'jsonl'
         // accepted as the explicit name a pipeline user reaches for
         case "json" | "jsonl" => spark.read.json(p)
         case "csv" | "text" => tableFunctions.readCsv(p, options)
         case other => throw CompileException(
-          s"unsupported COPY format '$other' (csv, parquet, json, jsonl)")
+          s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl)")
       }
       scope += (table -> df)
       None
@@ -104,14 +105,15 @@ final class Executor(val spark: SparkSession,
       def compressed[W](w: org.apache.spark.sql.DataFrameWriter[W]) =
         codec.fold(w)(c => w.option("compression", c))
       options.getOrElse("format", "csv").toLowerCase match {
-        // parquet/json write a directory of part-files — the scale-native
-        // layout (parallel writers); csv keeps the reference's one-file
-        // contract via coalesce(1)
+        // parquet/orc/json write a directory of part-files — the scale-
+        // native layout (parallel writers); csv keeps the reference's
+        // one-file contract via coalesce(1)
         case "parquet" => compressed(df.write.mode("overwrite")).parquet(p)
+        case "orc" => compressed(df.write.mode("overwrite")).orc(p)
         case "json" | "jsonl" => compressed(df.write.mode("overwrite")).json(p)
         case "csv" | "text" => writeSingleCsv(df, p, options)
         case other => throw CompileException(
-          s"unsupported COPY format '$other' (csv, parquet, json, jsonl)")
+          s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl)")
       }
       None
 

@@ -398,17 +398,50 @@ object Similarity {
   private[graft] def ivfPqCandidates(corpus: DataFrame, queries: DataFrame,
       dim: Int, nCells: Int, nProbe: Int, m: Int, codebookSize: Int)
       : (DataFrame, DataFrame, Int, Int) = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
+    val model = trainIvfPq(corpus, dim, nCells, m, codebookSize)
+    val coded = codeCorpus(corpus, model)
+    val (qBase, qSide) = ivfPqQuerySide(queries, model, nProbe)
+    // the equi-join on __cell IS the pruning: a candidate row exists only
+    // when the corpus item's cell is one of the query's probed cells
+    (coded.join(broadcast(qSide), "__cell"), qBase, m, codebookSize)
+  }
 
-    // train cells on the sample, then codebooks on the sample RESIDUALS
+  /** Trained IVF-PQ geometry: coarse cells + per-subspace RESIDUAL
+    * codebooks, with the derived shifted-centroid norm tables the
+    * residual trick needs (see [[ivfPqCandidates]]). Driver-local,
+    * a few KB — persisted verbatim by [[buildIvfPqIndex]]. */
+  private[graft] final case class IvfPqModel(
+      cellCenters: Array[Array[Double]],
+      codebooks: IndexedSeq[Array[Array[Double]]]) {
+    val nCells: Int = cellCenters.length
+    val m: Int = codebooks.length
+    val codebookSize: Int = codebooks.head.length
+    val dim: Int = cellCenters.head.length
+    val sub: Int = dim / m
+    /** shifted centroid t(ℓ)_sub + c */
+    def shifted(cell: Int, i: Int, code: Int): Array[Double] =
+      Array.tabulate(sub)(j => cellCenters(cell)(i * sub + j) + codebooks(i)(code)(j))
+    /** ‖t(ℓ)+c‖² per (subspace, cell, code) — plan-time constants */
+    lazy val normTabs: Array[Array[Double]] = Array.tabulate(m) { i =>
+      Array.tabulate(nCells * codebookSize) { idx =>
+        val s = shifted(idx / codebookSize, i, idx % codebookSize)
+        var n2 = 0.0; var j = 0
+        while (j < sub) { n2 += s(j) * s(j); j += 1 }
+        n2
+      }
+    }
+  }
+
+  /** Train cells on the deterministic sample, then codebooks on the
+    * sample RESIDUALS (the TPAMI'11 formulation). */
+  private[graft] def trainIvfPq(corpus: DataFrame, dim: Int, nCells: Int,
+      m: Int, codebookSize: Int): IvfPqModel = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sample = sampleEmbeddings(corpus, 4096)
     val cellCenters = localKMeans(sample, nCells, iters = 10, seed = 42)
     def nearestCell(p: Array[Double]): Int = {
       var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < nCells) {
+      while (c < cellCenters.length) {
         var d = 0.0; var j = 0
         while (j < dim) { val t = p(j) - cellCenters(c)(j); d += t * t; j += 1 }
         if (d < bd) { bd = d; best = c }
@@ -420,40 +453,36 @@ object Similarity {
       val t = cellCenters(nearestCell(p))
       Array.tabulate(dim)(j => p(j) - t(j))
     }
-    val codebooks = trainCodebooks(residuals, sub, codebookSize)
+    IvfPqModel(cellCenters, trainCodebooks(residuals, dim / m, codebookSize))
+  }
 
-    // shifted centroids t(ℓ)_sub + c and their norm tables (plan-time
-    // constants, like the SRP planes)
-    def shifted(cell: Int, i: Int, code: Int): Array[Double] =
-      Array.tabulate(sub)(j => cellCenters(cell)(i * sub + j) + codebooks(i)(code)(j))
-    val normTabs: IndexedSeq[Array[Double]] = (0 until m).map { i =>
-      Array.tabulate(nCells * codebookSize) { idx =>
-        val s = shifted(idx / codebookSize, i, idx % codebookSize)
-        var n2 = 0.0; var j = 0
-        while (j < sub) { n2 += s(j) * s(j); j += 1 }
-        n2
-      }
-    }
-
-    // ONE corpus pass, two stacked projections: (1) cell assignment,
-    // (2) all m residual codes from one native expression (the
-    // ‖t+c‖²−2·x·c expansion lives inside [[PqEncodeResidual]]'s loop;
-    // norm tables and codebooks ride as reference objects, keeping the
-    // plan tree O(1) in nCells × m × codebookSize).
+  /** ONE corpus pass, two stacked projections: (1) cell assignment,
+    * (2) all m residual codes from one native expression (the
+    * ‖t+c‖²−2·x·c expansion lives inside [[PqEncodeResidual]]'s loop;
+    * norm tables and codebooks ride as reference objects, keeping the
+    * plan tree O(1) in nCells × m × codebookSize). */
+  private def codeCorpus(corpus: DataFrame, model: IvfPqModel): DataFrame = {
     val celled = corpus.select(col("vec_id").as("nn_id"),
       col("embedding").as("nn_emb"),
       Vectors.norm2Fast(col("embedding")).as("nn_nrm"),
-      argminCell(col("embedding"), cellCenters).as("__cell"))
-    val coded = celled.select(col("nn_id"), col("nn_emb"), col("nn_nrm"),
+      argminCell(col("embedding"), model.cellCenters).as("__cell"))
+    celled.select(col("nn_id"), col("nn_emb"), col("nn_nrm"),
       col("__cell"),
       graft.functions.NativeVector.pqEncodeResidual(col("nn_emb"),
-        col("__cell"), normTabs.toArray, codebooks.toArray).as("__codes"))
+        col("__cell"), model.normTabs, model.codebooks.toArray).as("__codes"))
+  }
 
-    // queries pick their nProbe nearest cells (tiny broadcast centroid
-    // table); the ADC lookup table is PER (query, probed cell) — exact
-    // distances from q_sub to every shifted centroid of that cell, so
-    // entries are ‖q − reconstruction‖² and globally comparable
-    val centersDf = cellCenters.zipWithIndex
+  /** Query side of IVF-PQ: each query picks its nProbe nearest cells
+    * (tiny broadcast centroid table); the ADC lookup table is PER
+    * (query, probed cell) — exact distances from q_sub to every shifted
+    * centroid of that cell, so entries are ‖q − reconstruction‖² and
+    * globally comparable. Returns (qBase, qSide). */
+  private def ivfPqQuerySide(queries: DataFrame, model: IvfPqModel,
+      nProbe: Int): (DataFrame, DataFrame) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val sub = model.sub
+    val centersDf = model.cellCenters.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("__cell", "__centroid")
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__dist"), col("__cell"))
     val qBase = queries.select(col("vec_id").as("q_id"),
@@ -466,8 +495,9 @@ object Similarity {
       .filter(col("__prk") <= nProbe)
       .select(col("q_id"), col("q_emb"), col("__cell"))
     val shiftedRows = for {
-      cell <- 0 until nCells; i <- 0 until m; code <- 0 until codebookSize
-    } yield (cell, i, code, shifted(cell, i, code))
+      cell <- 0 until model.nCells; i <- 0 until model.m
+      code <- 0 until model.codebookSize
+    } yield (cell, i, code, model.shifted(cell, i, code))
     val shiftedDf = shiftedRows.toDF("__scell", "__sub", "__code", "__shifted")
     val qSide = qCells
       .join(broadcast(shiftedDf), col("__cell") === col("__scell"))
@@ -479,10 +509,66 @@ object Similarity {
         col("__d")))).as("__entries"))
       .select(col("q_id"), col("__cell"),
         transform(col("__entries"), e => e("__d")).as("__dtab"))
+    (qBase, qSide)
+  }
 
-    // the equi-join on __cell IS the pruning: a candidate row exists only
-    // when the corpus item's cell is one of the query's probed cells
-    (coded.join(broadcast(qSide), "__cell"), qBase, m, codebookSize)
+  /** Materialize an IVF-PQ index: the coded corpus written
+    * `partitionBy(__cell)` — the layout that makes a probe a
+    * PARTITION-PRUNED read of ~4-byte codes at 100 TB — plus the
+    * driver-local model (cells, codebooks) as two tiny parquet tables.
+    * The raw embedding rides along per row for the exact re-rank; a
+    * deployment that must not duplicate vectors would instead re-rank
+    * by joining ids back to the primary store. */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, dim: Int,
+      nCells: Int = 16, m: Int = 8, codebookSize: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = trainIvfPq(corpus, dim, nCells, m, codebookSize)
+    codeCorpus(corpus, model).write.mode("overwrite")
+      .partitionBy("__cell").parquet(s"$path/codes")
+    model.cellCenters.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/cells")
+    (for { i <- model.codebooks.indices
+           (c, code) <- model.codebooks(i).zipWithIndex }
+      yield (i, code, c)).toDF("sub", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Load the driver-local model back from [[buildIvfPqIndex]] output.
+    * nCells + m × codebookSize rows — a constant-size driver read, the
+    * same class of work as evaluating constant table-function args. */
+  private[graft] def loadIvfPqModel(spark: SparkSession, path: String): IvfPqModel = {
+    val cells = spark.read.parquet(s"$path/cells").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val bookRows = spark.read.parquet(s"$path/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val m = bookRows.map(_._1).max + 1
+    val books = (0 until m).map { i =>
+      bookRows.filter(_._1 == i).sortBy(_._2).map(_._3)
+    }
+    IvfPqModel(cells, books)
+  }
+
+  /** ANN over a persisted [[buildIvfPqIndex]]: the probed cell set
+    * (bounded by nCells, collected driver-side like any plan constant)
+    * becomes a STATIC `__cell IN (...)` filter on the partitioned codes
+    * table, so the scan shows `PartitionFilters` and touches only
+    * nProbe-ish of the nCells directories — the read-side pruning the
+    * in-memory path can only simulate with a join. Identical training
+    * determinism (same sample, same seeds) makes results bit-equal to
+    * [[knnIvfPq]] at the same parameters. */
+  def knnIvfPqIndexed(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4, refine: Int = 50): DataFrame = {
+    val model = loadIvfPqModel(spark, path)
+    val (qBase, qSide) = ivfPqQuerySide(queries, model, nProbe)
+    val probed = qSide.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0))
+    val coded = spark.read.parquet(s"$path/codes")
+      .filter(col("__cell").isin(probed.map(Int.box): _*))
+    val cand = coded.join(broadcast(qSide), "__cell")
+    refineTopK(adcScore(cand, model.codebookSize), qBase, k, refine)
   }
 
   // --------------------------------------------------------- driver queries
@@ -600,6 +686,29 @@ object Similarity {
             .as("recall_ok"),
           (col("__n_cand") <= lit(0.6) * col("__n_corpus") * col("n_queries"))
             .cast("bigint").as("pruned_ok"))
+    }),
+    // persisted IVF-PQ index: build (partitionBy __cell), query through
+    // the partition-pruned read, and gate BIT-EQUALITY with the
+    // in-memory composition at the same parameters (deterministic
+    // training makes the two paths identical) — the storage-layout
+    // contract, checked end to end. n_results pins 5 queries × k=10.
+    "sim_knn_ivfpq_idx" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val idxDir = System.getProperty("java.io.tmpdir") +
+        "/graft_ivfpq_idx_" + dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      buildIvfPqIndex(e, idxDir, dim = 64, nCells = 16, m = 16,
+        codebookSize = 16)
+      val indexed = knnIvfPqIndexed(s, idxDir, q, k = 10, nProbe = 4,
+        refine = 150)
+      val inMem = knnIvfPq(e, q, k = 10, dim = 64, nCells = 16, nProbe = 4,
+        m = 16, codebookSize = 16, refine = 150)
+      indexed.agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+        .crossJoin(indexed.exceptAll(inMem).agg(count(lit(1)).as("__d1")))
+        .crossJoin(inMem.exceptAll(indexed).agg(count(lit(1)).as("__d2")))
+        .select(col("n_queries"), col("n_results"),
+          (col("__d1") + col("__d2") === 0).cast("bigint").as("same_as_inmem"))
     }),
     // centroid similarity per label: per-dim sum vector (cosine is
     // scale-invariant, so the un-normalized sum is the centroid
@@ -774,6 +883,12 @@ object Similarity {
         |  CAST(1 AS BIGINT) AS recall_ok,
         |  CAST(1 AS BIGINT) AS pruned_ok
         |FROM ranked WHERE rk <= 10""".stripMargin,
+    // the indexed path is gated on equality with the in-memory path
+    // (engine-side), so the oracle pins the structural constants
+    "sim_knn_ivfpq_idx" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries,
+        |  CAST(50 AS BIGINT) AS n_results,
+        |  CAST(1 AS BIGINT) AS same_as_inmem""".stripMargin,
     "sim_label_centroid" ->
       """WITH dims AS (
         |  SELECT label, r.i,

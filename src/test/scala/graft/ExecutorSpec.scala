@@ -204,6 +204,11 @@ class ExecutorSpec extends AnyFunSuite {
     assert(exec.query("select id, s from j order by id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b")))
+    exec.execute(s"COPY t TO '$dir/t_orc' WITH format 'orc'")
+    exec.execute(s"COPY o FROM '$dir/t_orc' WITH format 'orc'")
+    assert(exec.query("select id, s from o order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
   }
 
   test("COPY with jsonl format and gzip compression round-trips") {

@@ -284,6 +284,28 @@ class OperatorsSpec extends AnyFunSuite {
       assert(nCand <= 0.6 * full, s"candidates $nCand not pruned vs $full")
     }
 
+  test("persisted IVF-PQ index: bit-equal to in-memory path, scan partition-pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Similarity.buildIvfPqIndex(emb, dir, dim = 64, nCells = 16, m = 16,
+      codebookSize = 16)
+    val indexed = Similarity.knnIvfPqIndexed(spark, dir, q, k = 10,
+      nProbe = 4, refine = 150)
+    // same deterministic training (sample + seeds) → identical results
+    val inMem = Similarity.knnIvfPq(emb, q, k = 10, dim = 64, nCells = 16,
+      nProbe = 4, m = 16, codebookSize = 16, refine = 150)
+    assert(indexed.collect().map(_.toSeq).toSet ==
+      inMem.collect().map(_.toSeq).toSet)
+    // the probed-cell filter must reach the partitioned scan: the codes
+    // read shows PartitionFilters on __cell, not a full-directory scan
+    val plan = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("__cell"))
+    assert(scanLine.isDefined, s"no __cell PartitionFilters in:\n$plan")
+  }
+
   test("localKMeans clamps k to the point count for tiny corpora") {
     val pts = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0))
     val centers = Similarity.localKMeans(pts, 16, iters = 3, seed = 1)

@@ -134,4 +134,35 @@ class PlanRegressionSpec extends AnyFunSuite {
     assertNoCartesian(p, "ta_sample_stratified")
     assertNoUdf(p, "ta_sample_stratified")
   }
+
+  test("runtime bloom filter injects on a selective dim join (shuffle path)") {
+    // At 100 TB a fact⋈filtered-dim join that is too big to broadcast
+    // goes shuffle — and Spark's runtime bloom filter (InjectRuntimeFilter)
+    // should then prune the fact scan by the dim's join keys BEFORE the
+    // exchange. Local datasets sit under the size thresholds, so lower
+    // them to observe the 100 TB plan shape; broadcast is disabled to
+    // force the shuffle path the optimization exists for.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      val p = spark.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#13")
+      val joined = l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand")).agg(sum(col("l_quantity")).as("qty"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter in optimized plan:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
