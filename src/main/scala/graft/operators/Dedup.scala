@@ -395,9 +395,6 @@ object Dedup {
     val edges = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u"))
       .persist()
-    var labels = edges.groupBy(col("u").as("doc_id"))
-      .agg(least(min(col("v")), first(col("u"))).as("root"))
-      .localCheckpoint()
     // the label table holds only docs that appear in some pair — usually
     // orders of magnitude smaller than the corpus. Checkpointed plans
     // carry no size stats, so AQE cannot discover broadcastability on its
@@ -406,9 +403,11 @@ object Dedup {
     // could broadcast well past driver/executor memory), capped at
     // 160 MB, the upper end of a sane broadcast. Past that, joins fall
     // back to shuffles — the label table is then cluster-scale data
-    // anyway. One aggregate over the already-checkpointed table, fused
-    // with the count the decision needs either way.
-    val widthOf: Column = labels.schema.fields.map { f =>
+    // anyway. The measurement rides the label build's OWN materialization
+    // job as an `observe` metric — no separate aggregate pass.
+    val labels0 = edges.groupBy(col("u").as("doc_id"))
+      .agg(least(min(col("v")), first(col("u"))).as("root"))
+    val widthOf: Column = labels0.schema.fields.map { f =>
       f.dataType match {
         case org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.BinaryType =>
@@ -417,24 +416,33 @@ object Dedup {
         case _ => lit(16L) // fixed-width value + per-field row share
       }
     }.reduce(_ + _)
-    val est = labels.agg(count(lit(1)), sum(widthOf)).head()
-    val lblBroadcastable = est.getLong(0) > 0 &&
-      !est.isNullAt(1) && est.getLong(1) <= (160L << 20)
+    val estObs = new org.apache.spark.sql.Observation
+    var labels = labels0
+      .observe(estObs, count(lit(1)).as("n"), sum(widthOf).as("bytes"))
+      .localCheckpoint()
+    val est = estObs.get // blocks until the checkpoint job reported
+    val lblBroadcastable = est("n").asInstanceOf[Long] > 0 &&
+      est("bytes") != null &&
+      est("bytes").asInstanceOf[Long] <= (160L << 20)
     def hinted(df: DataFrame): DataFrame =
       if (lblBroadcastable) broadcast(df) else df
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       // Propagate (min over neighbor labels) and pointer-jump FUSED into
-      // one composed plan: ONE localCheckpoint job per round instead of
-      // three (r3 ran prop-ckpt + next-ckpt + a join-probe count, and
-      // driver-side job latency — not data — dominated the loop). The
-      // jump follows the PREVIOUS round's mapping, which is already
+      // one composed plan — and the convergence probe rides the SAME
+      // materialization as an `observe` metric, so each round is exactly
+      // ONE job (r3 ran prop-ckpt + next-ckpt + a join-probe count; r4
+      // fused the plans but still paid a probe scan per round). On a
+      // cluster the loop's cost floor is driver round-trips — this is
+      // the minimum: one action per iteration.
+      // The jump follows the PREVIOUS round's mapping, which is already
       // checkpointed, so nothing in this plan executes twice.
       // Stale-by-one compression still races labels down chains
       // exponentially; labels only ever decrease and stay inside the
-      // component, and the fixpoint test below subsumes the
-      // propagate-only fixpoint (= correct CC labels).
+      // component, and the fixpoint test subsumes the propagate-only
+      // fixpoint (= correct CC labels).
+      val chgObs = new org.apache.spark.sql.Observation
       val next = edges
         .join(hinted(labels.withColumnRenamed("doc_id", "v")), "v")
         .groupBy(col("u").as("doc_id"))
@@ -444,14 +452,14 @@ object Dedup {
           least(col("root"), col("nroot")).as("__prop"))
         .join(hinted(labels.select(col("doc_id").as("__prop"),
           col("root").as("__rroot"))), Seq("__prop"), "left")
-        .select(col("doc_id"), col("__old"),
+        .select(col("doc_id"),
           least(coalesce(col("__rroot"), col("__prop")), col("__prop"))
-            .as("root"))
+            .as("root"), col("__old"))
+        .observe(chgObs, sum(when(col("root") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      // convergence probe: old label carried through the plan, so this is
-      // a trivial scan of the checkpointed table — no join, no shuffle
-      converged =
-        next.filter(col("root") =!= col("__old")).limit(1).count() == 0
+      converged = chgObs.get("changed") == null ||
+        chgObs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select(col("doc_id"), col("root"))
       iter += 1
     }
