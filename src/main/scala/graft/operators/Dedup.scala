@@ -275,6 +275,38 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Cross-corpus contamination check — the train/eval DECONTAMINATION
+    * primitive every benchmark-hygiene pipeline needs: eval documents
+    * whose shingle-set jaccard with ANY train document reaches
+    * `threshold`, mined with the same portable MinHash+LSH banding as
+    * [[minhashDupPairsPortable]] (banded candidates only — never
+    * all-pairs, so the check stays linear-ish at 100 TB where the naive
+    * train × eval product is astronomically infeasible). Returns one row
+    * per contaminated eval doc with its BEST-matching train doc
+    * (max (jac, train_id) — deterministic under ties).
+    *
+    * Id spaces may overlap between the two tables: ids are tagged into
+    * disjoint string keys ('t:…' / 'e:…') that ride the whole pipeline,
+    * so no offset arithmetic or prior max-id job is needed. 'e:' < 't:'
+    * in binary order, so cross pairs always land as (eval, train). */
+  def contaminationPortable(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val tagged = train.select(
+        concat(lit("t:"), col("doc_id").cast("string")).as("doc_id"),
+        col("text"))
+      .unionAll(eval.select(
+        concat(lit("e:"), col("doc_id").cast("string")).as("doc_id"),
+        col("text")))
+    minhashDupPairsPortable(tagged, numHashes, bands, threshold)
+      .filter(col("doc_a").startsWith("e:") && col("doc_b").startsWith("t:"))
+      .groupBy(col("doc_a"))
+      .agg(max(struct(col("jac"), col("doc_b"))).as("m"))
+      .select(expr("substring(doc_a, 3)").as("eval_doc"),
+        expr("substring(m.doc_b, 3)").as("train_doc"),
+        col("m.jac").as("jac"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist. Manku-style
     * pigeonhole banding (Manku/Jain/Sarma, WWW'07): the signature is
     * split into `maxDist + 1` chunks, so a pair at distance ≤ maxDist
@@ -535,6 +567,26 @@ object Dedup {
           coalesce(sum(when(col("doc_b") === col("doc_a") + 10000000L, 1)
             .otherwise(0)), lit(0)).as("n_variant_pairs"))
     }),
+    // cross-corpus decontamination: train = src0/src1, eval = src2 plus
+    // 80%-prefix variants of every 10th train doc (guaranteed true
+    // contamination; the synthetic corpus is otherwise near-dup-free).
+    // The portable pipeline makes the FULL result hash-checkable:
+    // contaminated eval ids, their best train match, and the jaccard.
+    "dd_contamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("text"))
+      val planted = train.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          expr("substring(text, 1, (4 * length(text)) div 5)").as("text"))
+      val eval = docs.filter(col("source") === "src2")
+        .select(col("doc_id"), col("text"))
+        .unionAll(planted)
+      contaminationPortable(train, eval, threshold = 0.5)
+        .select(col("eval_doc").cast("long").as("eval_doc"),
+          col("train_doc").cast("long").as("train_doc"), col("jac"))
+        .orderBy(col("eval_doc"))
+    }),
     // MinHash LSH + verify, gated on engine-independent invariants: the
     // xxhash64 band scheme itself can't be reproduced in SQL, but
     // (a) every exact-duplicate shingle-set pair MUST be found (equal
@@ -604,6 +656,22 @@ object Dedup {
       |  UNION ALL
       |  SELECT doc_id + 10000000, substr(text, 1, (4 * length(text)) // 5)
       |  FROM documents WHERE source IN ('src0', 'src1'))""".stripMargin
+
+  /** The [[contaminationPortable]] driver harness's tagged corpus:
+    * train = src0/src1 as 't:id', eval = src2 plus 80%-prefix variants
+    * of every 10th train doc as 'e:id'. */
+  private val contaminationSrcSql: String =
+    """src AS (
+      |  SELECT 't:' || CAST(doc_id AS VARCHAR) AS doc_id, text
+      |  FROM documents WHERE source IN ('src0', 'src1')
+      |  UNION ALL
+      |  SELECT 'e:' || CAST(doc_id AS VARCHAR), text
+      |  FROM documents WHERE source = 'src2'
+      |  UNION ALL
+      |  SELECT 'e:' || CAST(doc_id + 20000000 AS VARCHAR),
+      |    substr(text, 1, (4 * length(text)) // 5)
+      |  FROM documents
+      |  WHERE source IN ('src0', 'src1') AND doc_id % 10 = 0)""".stripMargin
 
   /** Shared DuckDB CTE chain mirroring [[minhashDupPairsPortable]]
     * (16 seeded-md5 lanes, 4 bands, shingle k=3) over an upstream
@@ -695,6 +763,20 @@ object Dedup {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // best train match per contaminated eval doc: max (jac, train_id),
+    // expressed as row_number over (jac DESC, doc_b DESC) — the exact
+    // DuckDB mirror of Spark's max(struct(jac, doc_b))
+    "dd_contamination" -> (
+      "WITH " + contaminationSrcSql + ",\n" + portableMinhashVerSql + "\n" +
+      """SELECT CAST(substr(doc_a, 3) AS BIGINT) AS eval_doc,
+        |  CAST(substr(doc_b, 3) AS BIGINT) AS train_doc, jac
+        |FROM (
+        |  SELECT doc_a, doc_b, jac,
+        |    row_number() OVER (PARTITION BY doc_a
+        |                       ORDER BY jac DESC, doc_b DESC) AS rn
+        |  FROM ver
+        |  WHERE jac >= 0.5 AND doc_a LIKE 'e:%' AND doc_b LIKE 't:%')
+        |WHERE rn = 1 ORDER BY eval_doc""".stripMargin),
     "dd_minhash_portable" -> (
       "WITH " + variantSrcSql + ",\n" + portableMinhashVerSql + "\n" +
       """SELECT count(*) AS n_pairs,

@@ -449,6 +449,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gk == Map("g0" -> 1L, "g1" -> 1L))
   }
 
+  test("cross-corpus contamination: finds planted overlap, survives id collisions") {
+    // eval doc 1 is a near-copy of train doc 2; eval doc 2 is clean —
+    // and BOTH tables use the same small ids, which must not collide
+    val trainTxt = "the quick brown fox jumps over the lazy dog again and again today"
+    val train = Seq(
+      (1L, "completely unrelated text about astronomy stars planets orbits moons"),
+      (2L, trainTxt)).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, trainTxt + " extra"), // near-dup of TRAIN 2, id collides with train 1
+      (2L, "different clean evaluation text nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationPortable(train, eval, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(hits.length == 1)
+    assert(hits.head._1 == "1" && hits.head._2 == "2")
+    assert(hits.head._3 >= 0.5)
+  }
+
   test("CMS heavy hitters: exact top-k order, guarantee flags hold") {
     // zipf-ish: key i appears ~ 3000/i times — clear heavy hitters
     val rows = (1 to 50).flatMap(i => Seq.fill(3000 / i)(i.toLong))
