@@ -44,6 +44,48 @@ object Sampling {
     df.filter(uniformHash(key) < frac)
   }
 
+  /** Token-budget sharding: assign documents to shards of ~`budget`
+    * tokens each. The scale-correct shape is HASH SPREAD, not a global
+    * cumulative sum — a `Window.orderBy` cumsum funnels the corpus
+    * through one task, while `floor(hash_uniform × nShards)` is a
+    * narrow map whose per-shard totals concentrate around the budget by
+    * the law of large numbers (shard skew ~ 1/√(docs per shard)). One
+    * reduced aggregate computes the total; everything else is a
+    * projection. Returns (doc_id, shard) plus the shard count. */
+  def tokenShards(docs: DataFrame, tokensOf: Column, budget: Long): DataFrame = {
+    val total = docs.agg(
+      sum(tokensOf.cast("long")).as("__total"))
+    docs.crossJoin(broadcast(total))
+      .withColumn("__n_shards",
+        greatest(lit(1L), ceil(col("__total").cast("double") / budget)))
+      .withColumn("shard",
+        floor(uniformHash(col("doc_id")) * col("__n_shards")).cast("long"))
+      .drop("__total")
+  }
+
+  /** Domain-mixture sampling: per-source keep fractions that hit a
+    * target token-share distribution under a global token budget —
+    * `fraction(s) = min(1, budget × weight(s) / tokens(s))` — then the
+    * deterministic hash sample at that fraction. The fraction table is
+    * a tiny per-source aggregate (broadcast); selection stays a pure
+    * function of the row key, so the mixture is reproducible and
+    * auditable — the property that matters when a training run must be
+    * re-derived months later. Sources without a target weight get 0. */
+  def mixtureSample(docs: DataFrame, sourceCol: Column, key: Column,
+      tokensOf: Column, weights: Map[String, Double],
+      budget: Long): DataFrame = {
+    val perSource = docs.groupBy(sourceCol.as("__src"))
+      .agg(sum(tokensOf.cast("long")).as("__src_tokens"))
+    val targetTokens = weights.foldLeft(lit(0.0)) { case (acc, (s, w)) =>
+      when(col("__src") === s, lit(budget * w)).otherwise(acc)
+    }
+    val fracs = perSource.withColumn("__frac",
+      least(lit(1.0), targetTokens / col("__src_tokens")))
+    docs.join(broadcast(fracs), sourceCol === col("__src"))
+      .filter(uniformHash(key) < col("__frac"))
+      .drop("__src", "__src_tokens", "__frac")
+  }
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-source stratified sample audit: the whole point is that the
@@ -58,6 +100,31 @@ object Sampling {
           sum(col("n_chars")).as("chars_sampled"),
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("source"))
+    }),
+    // token-budget shards: hash-spread assignment (no global sort), the
+    // full per-shard layout hash-checked — the portable hash makes even
+    // the shard CONTENTS reproducible in the oracle
+    "ta_shards" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).as("n_toks"))
+      tokenShards(docs, col("n_toks"), budget = 20000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+        .orderBy(col("shard"))
+    }),
+    // domain mixture under a 40k-token budget: src0 half, src1/src2 a
+    // quarter each (exact binary weights — the budget×weight literals
+    // must byte-match the oracle's), everything else weight 0
+    "ta_mixture" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("n_toks"))
+      mixtureSample(docs, col("source"), col("doc_id"), col("n_toks"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25), budget = 40000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -69,6 +136,41 @@ object Sampling {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |        AS BIGINT) / 1152921504606846976.0
         |  < (CASE WHEN source IN ('src0', 'src1') THEN 0.5 ELSE 0.1 END)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "ta_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks
+        |  FROM documents),
+        |tot AS (
+        |  SELECT greatest(1, CAST(ceil(CAST(sum(n_toks) AS DOUBLE) / 20000)
+        |    AS BIGINT)) AS n_shards FROM t),
+        |sh AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(floor(
+        |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) / 1152921504606846976.0)
+        |      * CAST(n_shards AS DOUBLE)) AS BIGINT) AS shard
+        |  FROM t, tot)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+    "ta_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_toks
+        |  FROM documents),
+        |per AS (SELECT source, sum(n_toks) AS src_tokens FROM t GROUP BY source),
+        |fr AS (
+        |  SELECT source, least(1.0, (CASE source
+        |      WHEN 'src0' THEN 20000.0 WHEN 'src1' THEN 10000.0
+        |      WHEN 'src2' THEN 10000.0 ELSE 0.0 END)
+        |    / CAST(src_tokens AS DOUBLE)) AS frac
+        |  FROM per),
+        |kept AS (
+        |  SELECT t.source, t.n_toks FROM t JOIN fr ON t.source = fr.source
+        |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))
+        |          AS BIGINT) / 1152921504606846976.0 < fr.frac)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -449,6 +449,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(gk == Map("g0" -> 1L, "g1" -> 1L))
   }
 
+  test("token shards cover every doc once; mixture fractions respect the budget") {
+    val docs = (1L to 300L).map(i => (i, s"src${i % 3}", 100)).toDF("doc_id", "source", "n_toks")
+    val sh = Sampling.tokenShards(docs, col("n_toks"), budget = 5000L)
+    assert(sh.count() == 300) // every doc assigned exactly once
+    val shards = sh.select("shard").distinct().collect().map(_.getLong(0))
+    assert(shards.forall(s => s >= 0 && s < 6)) // 30000 tokens / 5000 = 6
+    val mixed = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      col("n_toks"), Map("src0" -> 0.5, "src1" -> 0.5), budget = 10000L)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src2")) // unweighted source fully excluded
+    // fraction = min(1, 5000/10000) = 0.5 → roughly half of each kept
+    assert(bySrc("src0") > 20 && bySrc("src0") < 80)
+    assert(bySrc("src1") > 20 && bySrc("src1") < 80)
+  }
+
   test("cross-corpus contamination: finds planted overlap, survives id collisions") {
     // eval doc 1 is a near-copy of train doc 2; eval doc 2 is clean —
     // and BOTH tables use the same small ids, which must not collide
