@@ -46,7 +46,11 @@ import graft.exec.Executor
   */
 final class SqlServer(spark: org.apache.spark.sql.SparkSession,
     scope: Map[String, org.apache.spark.sql.DataFrame] = Map.empty,
-    port: Int = 0, defaultMaxRows: Int = 10000) {
+    port: Int = 0, defaultMaxRows: Int = 10000,
+    /** optional scope-spec JSON (see [[graft.exec.ScopeSpec]]) executed
+      * per CONNECTION — the reference dialect's connect-time `setup`
+      * statements and table bindings (dialect.py:18-48). */
+    scopeSpecPath: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
   private val serverSocket = new ServerSocket(port)
@@ -81,8 +85,16 @@ final class SqlServer(spark: org.apache.spark.sql.SparkSession,
     val out = new PrintWriter(
       new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
     // one executor session per connection: statement effects persist
-    // across requests, sessions never see each other's scope mutations
-    val exec = new Executor(spark, scope)
+    // across requests, sessions never see each other's scope mutations.
+    // A scope spec bootstraps each connection like the reference's
+    // connect-time setup; the static scope map rides on top of it.
+    val exec = scopeSpecPath match {
+      case Some(p) =>
+        val e = graft.exec.ScopeSpec.load(spark, p)
+        e.update(scope.toSeq: _*)
+        e
+      case None => new Executor(spark, scope)
+    }
     try {
       var line = in.readLine()
       while (line != null) {

@@ -75,6 +75,24 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("scope-spec bootstrap runs per connection (dialect.py setup parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_srv_spec")
+    Seq((1, "x"), (2, "y")).toDF("id", "s")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    java.nio.file.Files.writeString(dir.resolve("scope.json"),
+      s"""{"tables": {"t": "t.parquet"},
+         | "setup": ["create table doubled as select id * 2 as id2 from t"]}"""
+        .stripMargin)
+    val server = new SqlServer(spark,
+      scopeSpecPath = Some(s"$dir/scope.json"))
+    val client = new SqlClient("127.0.0.1", server.boundPort)
+    try {
+      val Some((_, rows)) = client.execute(
+        "select id2 from doubled order by id2")
+      assert(rows == Seq(Seq(2L), Seq(4L)))
+    } finally { client.close(); server.close() }
+  }
+
   test("null round-trip and row truncation") {
     withServer { c =>
       val Some((cols, rows)) = c.execute(
