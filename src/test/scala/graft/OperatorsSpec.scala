@@ -374,6 +374,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(near == Map("x" -> Some("8"), "y" -> Some("30")))
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // one hot key carries ~3.5MB while every other partition is bytes —
+    // with the skew thresholds scaled down to local data sizes, AQE must
+    // mark the sort-merge join skewed and split the hot partition. This
+    // is the runtime half of the skew story (Skew.saltedJoin is the
+    // compile-time half for broadcast-ineligible cases).
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      val left = spark.range(50000)
+        .select(lit(0L).as("k"), rpad(col("id").cast("string"), 64, "p").as("pad"))
+        .unionAll(spark.range(1, 101)
+          .select(col("id").as("k"), lit("y").as("pad")))
+      val right = spark.range(0, 101).select(col("id").as("k"), lit(1).as("v"))
+      // NOTE: no keyed aggregation downstream of the join — reusing the
+      // join's partitioning there would (correctly) make AQE refuse to
+      // split the skewed partition, since splitting breaks co-partition
+      val j = left.join(right, "k")
+      j.collect() // run THIS QueryExecution so AQE finalizes its plan
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"no skew handling in final AQE plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     val left = Seq((1, "a"), (1, "b"), (2, "c"), (1, "d")).toDF("k", "v")
     val right = Seq((1, 10), (2, 20), (3, 30)).toDF("k", "w")
