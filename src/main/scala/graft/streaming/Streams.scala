@@ -149,6 +149,23 @@ object Streams {
       .toDF("user_id", "start_us", "n_events", "total_value")
   }
 
+  /** Ingestion-time dedup against a STATIC historical corpus — the
+    * complement of [[dedupedStream]]/dropDuplicatesWithinWatermark,
+    * which only dedups within the stream itself: rows whose key already
+    * exists in the history table are dropped. Expressed as stream-static
+    * left_outer + null filter (the supported stream-static shape; a
+    * bare left_anti is not in Structured Streaming's join matrix).
+    * Zero streaming state: the static side is re-planned per micro-batch
+    * — at 100 TB it should be a bucketed or Bloom-compacted key table so
+    * each batch's probe is a pruned read, not a full corpus scan. */
+  def dedupAgainstHistory(stream: DataFrame, history: DataFrame,
+      key: String): DataFrame =
+    stream.join(
+        history.select(col(key)).distinct().withColumn("__seen", lit(1)),
+        Seq(key), "left_outer")
+      .filter(col("__seen").isNull)
+      .drop("__seen")
+
   private val runId = new AtomicInteger(0)
 
   /** Run a (complete-mode) streaming aggregation over the static parquet
@@ -215,6 +232,20 @@ object Streams {
       runToCompletion(s, deduped, mode = "complete")
         .orderBy(col("event_type"))
     }),
+    // dedup against a static history (every 3rd event_id pre-registered):
+    // only unseen events survive; the final aggregate must equal the
+    // batch result over events not in the history — incremental == batch
+    "st_dedup_static" -> ((s, dir) => {
+      val hist = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 3 === 0).select(col("event_id"))
+      val cleaned = dedupAgainstHistory(readEvents(s, dir), hist, "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6)))
+            .cast("double").as("total_value"))
+      runToCompletion(s, cleaned, mode = "complete")
+        .orderBy(col("event_type"))
+    }),
     "st_join_attribution" -> ((s, dir) => {
       runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
         .groupBy(date_format(
@@ -264,6 +295,11 @@ object Streams {
       """SELECT event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st_dedup_static" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 3 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st_join_attribution" ->
       """SELECT strftime(to_timestamp(floor(epoch(p.ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS hour,
