@@ -161,6 +161,18 @@ class ConformanceSpec extends AnyFunSuite {
       "select c1, test.c2 from test")
   }
 
+  test("quoted identifiers carry dots and spaces (reference split_quoted_name)") {
+    // the reference's name splitter preserves dots/spaces INSIDE quotes
+    // (tests/test__executor__util.py:16-22); observable here as scope
+    // tables and columns with such names resolving correctly
+    val odd = Seq((1, 10), (2, 20)).toDF("bar baz", "c.d")
+    val exec2 = new Executor(spark, Map("my table" -> odd))
+    val got = exec2.query(
+      """select "bar baz", "my table"."c.d" from "my table" order by "bar baz"""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(got == Seq((1, 10), (2, 20)))
+  }
+
   // ------------------------------------------------------- case sensitivity
   test("like is case sensitive") {
     checkLit("select 'Foo' like '%oo'", Seq(Seq(true)))
