@@ -75,6 +75,33 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent clients execute safely in parallel") {
+    val server = new SqlServer(spark,
+      Map("t" -> (1 to 100).toDF("x")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    try {
+      val threads = (1 to 4).map { i =>
+        val t = new Thread(null, () => {
+          try {
+            val c = new SqlClient("127.0.0.1", server.boundPort)
+            try {
+              (1 to 5).foreach { _ =>
+                val Some((_, rows)) = c.execute(
+                  "select sum(x) as s from t where x <= %s", Seq(i * 10))
+                if (rows != Seq(Seq((1 to i * 10).sum.toLong)))
+                  throw new AssertionError(s"client $i got $rows")
+              }
+            } finally c.close()
+          } catch { case e: Throwable => errs.add(e) }
+        }, s"client-$i")
+        t.start(); t
+      }
+      threads.foreach(_.join(60000))
+      assert(threads.forall(!_.isAlive), "client thread timed out")
+      assert(errs.isEmpty, s"client errors: $errs")
+    } finally server.close()
+  }
+
   test("scope-spec bootstrap runs per connection (dialect.py setup parity)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_srv_spec")
     Seq((1, "x"), (2, "y")).toDF("id", "s")
