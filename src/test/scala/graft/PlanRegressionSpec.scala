@@ -135,6 +135,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     assertNoUdf(p, "ta_sample_stratified")
   }
 
+  test("dd_contamination: banded equi joins only, no cartesian, no UDF") {
+    val p = plan("dd_contamination")
+    assertNoCartesian(p, "dd_contamination")
+    assertNoUdf(p, "dd_contamination")
+  }
+
+  test("ta_shards / ta_mixture: only 1-row/tiny broadcasts beyond the scan") {
+    for (name <- Seq("ta_shards", "ta_mixture")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has CartesianProduct")
+      // the global-total (1 row) and fraction table (per-source) ride
+      // broadcast nested loop / broadcast hash joins — anything more
+      // means the narrow-map shape regressed
+      val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 1, s"$name has $bnlj BNLJs (expected at most the 1-row total)")
+      assertNoUdf(p, name)
+    }
+  }
+
   test("runtime bloom filter injects on a selective dim join (shuffle path)") {
     // At 100 TB a fact⋈filtered-dim join that is too big to broadcast
     // goes shuffle — and Spark's runtime bloom filter (InjectRuntimeFilter)
