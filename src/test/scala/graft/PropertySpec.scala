@@ -68,6 +68,23 @@ class PropertySpec extends AnyFunSuite {
       1 -> boolExpr(depth - 1).map(e => s"not ($e)"),
       1 -> Gen.oneOf("true", "false", "null"))
 
+  /** Random string expressions over syntax BOTH engines share. `concat`
+    * is deliberately absent: graft implements PG's NULL-coalescing
+    * concat while Spark's returns NULL on any null argument — a
+    * documented divergence, not a bug to surface here (`||` is
+    * null-propagating in both and IS generated). */
+  private def strExpr(depth: Int): Gen[String] =
+    if (depth <= 0) Gen.oneOf("'abc'", "'A b'", "''", "null", "'it''s'")
+    else Gen.frequency(
+      3 -> strExpr(0),
+      2 -> (for {
+        l <- strExpr(depth - 1); r <- strExpr(depth - 1)
+      } yield s"$l || $r"),
+      1 -> strExpr(depth - 1).map(e => s"upper($e)"),
+      1 -> strExpr(depth - 1).map(e => s"lower($e)"),
+      1 -> strExpr(depth - 1).map(e => s"trim($e)"),
+      1 -> strExpr(depth - 1).map(e => s"substring($e, 1, 2)"))
+
   private def agree(sql: String): Unit = {
     val got = exec.query(sql).collect().map(_.toSeq.map(String.valueOf)).toSeq
     val exp = spark.sql(sql).collect().map(_.toSeq.map(String.valueOf)).toSeq
@@ -96,6 +113,18 @@ class PropertySpec extends AnyFunSuite {
         .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
       assert(got == exp, s"\nsql: $sql\ngot: $got\nexp: $exp")
     }
+  }
+
+  test("random string expressions agree with Spark SQL") {
+    forAllN(strExpr(3), 30) { e => agree(s"select ($e) as x") }
+  }
+
+  test("random string predicates agree with Spark SQL") {
+    val pred = for {
+      l <- strExpr(2); r <- strExpr(2)
+      op <- Gen.oneOf("=", "!=", "<", ">=", "like")
+    } yield s"$l $op $r"
+    forAllN(pred, 25) { p => agree(s"select ($p) as x") }
   }
 
   test("aggregates agree with directly computed values") {
