@@ -88,9 +88,14 @@ final class Executor(val spark: SparkSession,
         // Spark's json source IS line-delimited by default; 'jsonl'
         // accepted as the explicit name a pipeline user reaches for
         case "json" | "jsonl" => spark.read.json(p)
+        // Spark 4 ships the XML source built in; rowTag selects the
+        // element that maps to a row (default 'row', the write default)
+        case "xml" => spark.read
+          .option("rowTag", options.getOrElse("rowtag",
+            options.getOrElse("rowTag", "row"))).xml(p)
         case "csv" | "text" => tableFunctions.readCsv(p, options)
         case other => throw CompileException(
-          s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl)")
+          s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")
       }
       scope += (table -> df)
       None
@@ -111,9 +116,12 @@ final class Executor(val spark: SparkSession,
         case "parquet" => compressed(df.write.mode("overwrite")).parquet(p)
         case "orc" => compressed(df.write.mode("overwrite")).orc(p)
         case "json" | "jsonl" => compressed(df.write.mode("overwrite")).json(p)
+        case "xml" => compressed(df.write.mode("overwrite")
+          .option("rowTag", options.getOrElse("rowtag",
+            options.getOrElse("rowTag", "row")))).xml(p)
         case "csv" | "text" => writeSingleCsv(df, p, options)
         case other => throw CompileException(
-          s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl)")
+          s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")
       }
       None
 

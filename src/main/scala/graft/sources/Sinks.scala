@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Write-side helpers: the storage layout decisions that make 100 TB
   * reads cheap.
@@ -13,8 +14,40 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *   (bucketed table metadata requires `saveAsTable`).
   * - `writeSortedParquet`: per-partition sort so min/max row-group stats
   *   make range predicates skippable at the footer level.
+  * - `writeZOrdered`: Morton-interleaved clustering on TWO dimensions —
+  *   a single sort key localizes BOTH columns per file/row-group, so
+  *   min/max stats skip data for predicates on either or both (the
+  *   multi-dimensional layout Delta/Iceberg expose as OPTIMIZE ZORDER,
+  *   here as plain Spark: a codegen'd bit-interleave expression plus a
+  *   range repartition + sort before write).
   */
 object Sinks {
+
+  /** Morton (Z-order) code: interleave the low `bits` bits of two
+    * non-negative ints — bit i of `a` lands at position 2i+1, of `b` at
+    * 2i, so Z-curve locality holds in both dimensions. Pure built-in
+    * bit ops → whole-stage codegen. Caller maps values into [0, 2^bits)
+    * first (rank, scale, or truncate). */
+  def mortonCode(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order-clustered parquet: range-partition and sort by the Morton
+    * code of (ca, cb) so every output file covers a small box in BOTH
+    * dimensions — a 2-D box predicate then touches few files' row
+    * groups instead of a full-dimension stripe. `nFiles` bounds output
+    * file count (at scale: pick from target file size). */
+  def writeZOrdered(df: DataFrame, path: String, ca: String, cb: String,
+      nFiles: Int, bits: Int = 16,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("__z", mortonCode(col(ca), col(cb), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
 
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       mode: SaveMode = SaveMode.Overwrite): Unit =

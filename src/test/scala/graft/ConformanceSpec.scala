@@ -525,7 +525,7 @@ class ConformanceSpec extends AnyFunSuite {
   }
   test("unknown COPY format is rejected") {
     val e = intercept[Exception] {
-      exec.execute("COPY test TO 'out.x' WITH format 'xml'")
+      exec.execute("COPY test TO 'out.x' WITH format 'feather'")
     }
     assert(e.getMessage.contains("unsupported COPY format"), e.getMessage)
   }

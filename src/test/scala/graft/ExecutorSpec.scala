@@ -209,6 +209,11 @@ class ExecutorSpec extends AnyFunSuite {
     assert(exec.query("select id, s from o order by id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b")))
+    exec.execute(s"COPY t TO '$dir/t_xml' WITH format 'xml', rowTag 'doc'")
+    exec.execute(s"COPY x FROM '$dir/t_xml' WITH format 'xml', rowTag 'doc'")
+    assert(exec.query("select id, s from x order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
   }
 
   test("COPY with jsonl format and gzip compression round-trips") {

@@ -45,6 +45,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("part=b") || plan.contains("PartitionFilters"))
   }
 
+  test("z-ordered write localizes BOTH dimensions per file; a 1-D sort does not") {
+    import org.apache.spark.sql.functions._
+    val n = 128 * 128
+    // full 128×128 grid: every (x, y) pair exactly once
+    val grid = spark.range(n).select(
+      (col("id") % 128).cast("int").as("x"),
+      (col("id") / 128).cast("int").as("y"))
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    graft.sources.Sinks.writeZOrdered(grid, s"$dir/z", "x", "y",
+      nFiles = 16, bits = 8)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/xsort")
+    def avgRange(path: String, c: String): Double = {
+      val files = new java.io.File(path).listFiles
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      files.map { f =>
+        val r = spark.read.parquet(f.toString)
+          .agg(min(col(c)), max(col(c))).head()
+        (r.getInt(1) - r.getInt(0)).toDouble
+      }.sum / files.length
+    }
+    // 16 files over a 128×128 Z-curve = one 32×32 quadrant each: both
+    // dimensions span ~31 per file, so min/max stats prune 2-D boxes
+    assert(avgRange(s"$dir/z", "x") < 64.0, "z-order x not localized")
+    assert(avgRange(s"$dir/z", "y") < 64.0, "z-order y not localized")
+    // the 1-D sort localizes x but leaves y spanning the whole domain
+    assert(avgRange(s"$dir/xsort", "y") > 100.0,
+      "control layout unexpectedly localized y")
+  }
+
   test("bucketed write makes the bucket-key join shuffle-free") {
     // saveAsTable writes under the session's default warehouse dir; the
     // tables are dropped (data deleted) in the finally block
