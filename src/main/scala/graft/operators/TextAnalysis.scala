@@ -139,6 +139,46 @@ object TextAnalysis {
         round(col("raw"), 6).as("score"), col("rk"))
   }
 
+  /** Gopher-style document-quality rules (Rae et al., "Scaling Language
+    * Models: … Gopher", 2021, §A1.1.2 — the de-facto standard
+    * pretraining quality filter): per-document boolean flags, all pure
+    * codegen'd expressions over one narrow map (zero shuffle at any
+    * scale). Thresholds are the paper's; `word` = whitespace token.
+    *
+    * - `ok_nwords`:     50 ≤ word count ≤ 100,000
+    * - `ok_wordlen`:    3 ≤ mean word length ≤ 10
+    * - `ok_symbols`:    (# + …) to word ratio ≤ 0.1
+    * - `ok_bullets`:    < 90% of lines start with a bullet
+    * - `ok_ellipsis`:   < 30% of lines end with an ellipsis
+    * - `ok_alpha`:      ≥ 80% of words contain an alphabetic character
+    * - `ok_stopwords`:  ≥ 2 distinct stopwords present
+    * - `pass`:          all of the above */
+  def gopherQualityFlags(c: Column): Column = {
+    val words = split(trim(c), "\\s+")
+    val nWords = size(words)
+    val meanLen = length(regexp_replace(trim(c), "\\s+", ""))
+      .cast("double") / nWords
+    // occurrences via split-count (parts − 1): no regex-callback UDF,
+    // stays inside codegen
+    val nSymbols = (size(split(c, "#", -1)) - 1) +
+      (size(split(c, "\\.\\.\\.", -1)) - 1)
+    val lines = split(c, "\n")
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$|…$")))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(filter(lit(stopwords.toArray),
+      s => array_contains(split(lower(trim(c)), "\\s+"), s)))
+    struct(
+      (nWords >= 50 && nWords <= 100000).as("ok_nwords"),
+      (meanLen >= 3.0 && meanLen <= 10.0).as("ok_wordlen"),
+      (nSymbols.cast("double") / nWords <= 0.1).as("ok_symbols"),
+      (bulletLines.cast("double") / nLines < 0.9).as("ok_bullets"),
+      (ellipsisLines.cast("double") / nLines < 0.3).as("ok_ellipsis"),
+      (alphaWords.cast("double") / nWords >= 0.8).as("ok_alpha"),
+      (stopHits >= 2).as("ok_stopwords"))
+  }
+
   /** End-to-end corpus-cleanup pipeline — the composition a training-data
     * run actually executes, wired from the individually-gated stages:
     * language filter ([[langId]]) → quality gate (token count + punct
@@ -184,6 +224,21 @@ object TextAnalysis {
     // the full cleanup funnel, every stage DuckDB-reproduced
     "ta_pipeline" -> ((s, dir) =>
       cleanPipeline(Tables.load(s, dir, "documents"))._2),
+    // Gopher quality rules: per-source counts of every flag, all
+    // DuckDB-reproduced (pure expressions, portable thresholds)
+    "ta_gopher" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "documents")
+        .select(col("source"), gopherQualityFlags(col("text")).as("q"))
+      val flags = Seq("ok_nwords", "ok_wordlen", "ok_symbols", "ok_bullets",
+        "ok_ellipsis", "ok_alpha", "ok_stopwords")
+      val passAll = flags.map(f => col(s"q.$f")).reduce(_ && _)
+      q.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          flags.map(f =>
+            sum(col(s"q.$f").cast("long")).as(s"n_$f")) :+
+            sum(passAll.cast("long")).as("n_pass"): _*)
+        .orderBy(col("source"))
+    }),
     "ta_token_count" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -277,6 +332,47 @@ object TextAnalysis {
         |  (SELECT count(*) FROM sampled) AS n_sampled,
         |  (SELECT COALESCE(CAST(sum(n_chars) AS BIGINT), 0) FROM sampled)
         |    AS chars_sampled""".stripMargin,
+    "ta_gopher" ->
+      s"""WITH q AS (
+        |  SELECT source,
+        |    len(string_split_regex(trim(text), '\\s+')) AS nwords,
+        |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\\s+')) AS meanlen,
+        |    (len(string_split(text, '#')) - 1)
+        |      + (len(string_split(text, '...')) - 1) AS nsym,
+        |    string_split(text, chr(10)) AS lines,
+        |    string_split_regex(trim(text), '\\s+') AS words,
+        |    string_split_regex(lower(trim(text)), '\\s+') AS lwords
+        |  FROM documents),
+        |f AS (
+        |  SELECT source,
+        |    (nwords >= 50 AND nwords <= 100000) AS ok_nwords,
+        |    (meanlen >= 3.0 AND meanlen <= 10.0) AS ok_wordlen,
+        |    (CAST(nsym AS DOUBLE) / nwords <= 0.1) AS ok_symbols,
+        |    (CAST(len(list_filter(lines,
+        |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |      / len(lines) < 0.9) AS ok_bullets,
+        |    (CAST(len(list_filter(lines,
+        |        l -> regexp_matches(trim(l), '\\.\\.\\.$$|…$$'))) AS DOUBLE)
+        |      / len(lines) < 0.3) AS ok_ellipsis,
+        |    (CAST(len(list_filter(words,
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |      / nwords >= 0.8) AS ok_alpha,
+        |    (len(list_filter($stopList,
+        |        s -> list_contains(lwords, s))) >= 2) AS ok_stopwords
+        |  FROM q)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ok_nwords THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_nwords,
+        |  CAST(sum(CASE WHEN ok_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_wordlen,
+        |  CAST(sum(CASE WHEN ok_symbols THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_symbols,
+        |  CAST(sum(CASE WHEN ok_bullets THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_bullets,
+        |  CAST(sum(CASE WHEN ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_ellipsis,
+        |  CAST(sum(CASE WHEN ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_alpha,
+        |  CAST(sum(CASE WHEN ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_stopwords,
+        |  CAST(sum(CASE WHEN ok_nwords AND ok_wordlen AND ok_symbols
+        |    AND ok_bullets AND ok_ellipsis AND ok_alpha AND ok_stopwords
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "ta_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,
