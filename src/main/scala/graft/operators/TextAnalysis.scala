@@ -152,6 +152,9 @@ object TextAnalysis {
     * - `ok_ellipsis`:   < 30% of lines end with an ellipsis
     * - `ok_alpha`:      ≥ 80% of words contain an alphabetic character
     * - `ok_stopwords`:  ≥ 2 distinct stopwords present
+    * - `ok_duplines`:   duplicate-line fraction ≤ 0.30 (§A1.1.1
+    *                    repetition removal)
+    * - `ok_duppara`:    duplicate-paragraph fraction ≤ 0.30
     * - `pass`:          all of the above */
   def gopherQualityFlags(c: Column): Column = {
     val words = split(trim(c), "\\s+")
@@ -169,6 +172,7 @@ object TextAnalysis {
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     val stopHits = size(filter(lit(stopwords.toArray),
       s => array_contains(split(lower(trim(c)), "\\s+"), s)))
+    val paras = split(c, "\n\n")
     struct(
       (nWords >= 50 && nWords <= 100000).as("ok_nwords"),
       (meanLen >= 3.0 && meanLen <= 10.0).as("ok_wordlen"),
@@ -176,7 +180,11 @@ object TextAnalysis {
       (bulletLines.cast("double") / nLines < 0.9).as("ok_bullets"),
       (ellipsisLines.cast("double") / nLines < 0.3).as("ok_ellipsis"),
       (alphaWords.cast("double") / nWords >= 0.8).as("ok_alpha"),
-      (stopHits >= 2).as("ok_stopwords"))
+      (stopHits >= 2).as("ok_stopwords"),
+      ((nLines - size(array_distinct(lines))).cast("double") / nLines
+        <= 0.3).as("ok_duplines"),
+      ((size(paras) - size(array_distinct(paras))).cast("double")
+        / size(paras) <= 0.3).as("ok_duppara"))
   }
 
   /** End-to-end corpus-cleanup pipeline — the composition a training-data
@@ -230,7 +238,8 @@ object TextAnalysis {
       val q = Tables.load(s, dir, "documents")
         .select(col("source"), gopherQualityFlags(col("text")).as("q"))
       val flags = Seq("ok_nwords", "ok_wordlen", "ok_symbols", "ok_bullets",
-        "ok_ellipsis", "ok_alpha", "ok_stopwords")
+        "ok_ellipsis", "ok_alpha", "ok_stopwords", "ok_duplines",
+        "ok_duppara")
       val passAll = flags.map(f => col(s"q.$f")).reduce(_ && _)
       q.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -341,6 +350,7 @@ object TextAnalysis {
         |    (len(string_split(text, '#')) - 1)
         |      + (len(string_split(text, '...')) - 1) AS nsym,
         |    string_split(text, chr(10)) AS lines,
+        |    string_split(text, chr(10) || chr(10)) AS paras,
         |    string_split_regex(trim(text), '\\s+') AS words,
         |    string_split_regex(lower(trim(text)), '\\s+') AS lwords
         |  FROM documents),
@@ -359,7 +369,11 @@ object TextAnalysis {
         |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
         |      / nwords >= 0.8) AS ok_alpha,
         |    (len(list_filter($stopList,
-        |        s -> list_contains(lwords, s))) >= 2) AS ok_stopwords
+        |        s -> list_contains(lwords, s))) >= 2) AS ok_stopwords,
+        |    (CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |      / len(lines) <= 0.3) AS ok_duplines,
+        |    (CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+        |      / len(paras) <= 0.3) AS ok_duppara
         |  FROM q)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN ok_nwords THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_nwords,
@@ -369,8 +383,11 @@ object TextAnalysis {
         |  CAST(sum(CASE WHEN ok_ellipsis THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_ellipsis,
         |  CAST(sum(CASE WHEN ok_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_alpha,
         |  CAST(sum(CASE WHEN ok_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_stopwords,
+        |  CAST(sum(CASE WHEN ok_duplines THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_duplines,
+        |  CAST(sum(CASE WHEN ok_duppara THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_duppara,
         |  CAST(sum(CASE WHEN ok_nwords AND ok_wordlen AND ok_symbols
         |    AND ok_bullets AND ok_ellipsis AND ok_alpha AND ok_stopwords
+        |    AND ok_duplines AND ok_duppara
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "ta_tfidf" ->
