@@ -75,6 +75,18 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed protocol input yields an error line, not a dead socket") {
+    withServer { c =>
+      // raw junk, valid JSON with no sql field, wrong params type —
+      // each must produce {"error": ...} and leave the session usable
+      assert(c.request("this is not json").has("error"))
+      assert(c.request("""{"q": "select 1"}""").has("error"))
+      assert(c.request("""{"sql": "select 1", "params": 7}""").has("error"))
+      val Some((_, rows)) = c.execute("select 2 as two")
+      assert(rows == Seq(Seq(2L)))
+    }
+  }
+
   test("concurrent clients execute safely in parallel") {
     val server = new SqlServer(spark,
       Map("t" -> (1 to 100).toDF("x")))
