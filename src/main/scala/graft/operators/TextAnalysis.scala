@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -187,6 +188,20 @@ object TextAnalysis {
         / size(paras) <= 0.3).as("ok_duppara"))
   }
 
+  /** PII scrubbing: regex redaction of emails and IPv4 addresses —
+    * standard pre-training hygiene. Patterns avoid lookaround and
+    * alternation so Java (Spark) and RE2 (DuckDB/etc.) regex engines
+    * produce identical matches; replacement is a narrow codegen'd map,
+    * zero shuffle at any scale. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), ipv4Re, "<IP>")
+
+  def piiCount(c: Column, pattern: String): Column =
+    size(call_function("regexp_extract_all", c, lit(pattern), lit(0)))
+
   /** End-to-end corpus-cleanup pipeline — the composition a training-data
     * run actually executes, wired from the individually-gated stages:
     * language filter ([[langId]]) → quality gate (token count + punct
@@ -232,6 +247,28 @@ object TextAnalysis {
     // the full cleanup funnel, every stage DuckDB-reproduced
     "ta_pipeline" -> ((s, dir) =>
       cleanPipeline(Tables.load(s, dir, "documents"))._2),
+    // PII scrub harness: deterministic emails/IPs planted per doc, then
+    // redacted; gated on per-source redaction counts AND an
+    // order-independent checksum of the SCRUBBED text (decimal sum of
+    // 60-bit md5 prefixes), so the full post-redaction content is
+    // verified, not just the counts
+    "ta_scrub" -> ((s, dir) => {
+      val planted = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10.0."), col("doc_id") % 256,
+            lit(".7")).as("text"))
+      planted.select(col("source"),
+          piiCount(col("text"), emailRe).as("n_email"),
+          piiCount(col("text"), ipv4Re).as("n_ip"),
+          md5Prefix60(scrubPii(col("text"))).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("emails_redacted"),
+          sum(col("n_ip")).as("ips_redacted"),
+          sum(col("h").cast(DecimalType(28, 0))).as("scrub_checksum"))
+        .orderBy(col("source"))
+    }),
     // Gopher quality rules: per-source counts of every flag, all
     // DuckDB-reproduced (pure expressions, portable thresholds)
     "ta_gopher" -> ((s, dir) => {
@@ -341,6 +378,23 @@ object TextAnalysis {
         |  (SELECT count(*) FROM sampled) AS n_sampled,
         |  (SELECT COALESCE(CAST(sum(n_chars) AS BIGINT), 0) FROM sampled)
         |    AS chars_sampled""".stripMargin,
+    "ta_scrub" ->
+      s"""WITH p AS (
+        |  SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '$emailRe'))) AS BIGINT)
+        |    AS emails_redacted,
+        |  CAST(sum(len(regexp_extract_all(text, '$ipv4Re'))) AS BIGINT)
+        |    AS ips_redacted,
+        |  sum(CAST(CAST(('0x' || substr(md5(
+        |      regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+        |        '$ipv4Re', '<IP>', 'g')), 1, 15)) AS BIGINT)
+        |    AS DECIMAL(28,0))) AS scrub_checksum
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "ta_gopher" ->
       s"""WITH q AS (
         |  SELECT source,
