@@ -269,6 +269,37 @@ object TextAnalysis {
           sum(col("h").cast(DecimalType(28, 0))).as("scrub_checksum"))
         .orderBy(col("source"))
     }),
+    // THE capstone composition — prepare training data end to end:
+    // Gopher quality gate (9 rules) → PII scrub → exact dedup on the
+    // scrubbed fingerprint → token-budget shards. Per-shard counts,
+    // token totals, AND an order-independent checksum of the surviving
+    // scrubbed text are all hash-checked — the complete output corpus
+    // is verified, not a sample.
+    "ta_prepare" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val flags = Seq("ok_nwords", "ok_wordlen", "ok_symbols", "ok_bullets",
+        "ok_ellipsis", "ok_alpha", "ok_stopwords", "ok_duplines",
+        "ok_duppara")
+      val kept = docs
+        .select(col("doc_id"), col("text"),
+          gopherQualityFlags(col("text")).as("q"))
+        .filter(flags.map(f => col(s"q.$f")).reduce(_ && _))
+        .select(col("doc_id"), scrubPii(col("text")).as("stext"))
+      val deduped = kept
+        .withColumn("fp", fingerprint(col("stext")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+      val t = deduped.select(col("doc_id"),
+        size(tokens(col("stext"))).as("n_toks"),
+        md5Prefix60(col("stext")).as("h"))
+      Sampling.tokenShards(t, col("n_toks"), budget = 20000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
+          sum(col("h").cast(DecimalType(28, 0))).as("checksum"))
+        .orderBy(col("shard"))
+    }),
     // Gopher quality rules: per-source counts of every flag, all
     // DuckDB-reproduced (pure expressions, portable thresholds)
     "ta_gopher" -> ((s, dir) => {
@@ -325,6 +356,49 @@ object TextAnalysis {
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared DuckDB CTE chain mirroring [[gopherQualityFlags]] over the
+    * `documents` table: yields `f(doc_id, source, text, ok_* × 9)` —
+    * used by both the flag-count gate and the prepare pipeline. */
+  private lazy val gopherFlagsCteSql: String =
+    s"""q AS (
+      |  SELECT doc_id, source, text,
+      |    len(string_split_regex(trim(text), '\\s+')) AS nwords,
+      |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
+      |      / len(string_split_regex(trim(text), '\\s+')) AS meanlen,
+      |    (len(string_split(text, '#')) - 1)
+      |      + (len(string_split(text, '...')) - 1) AS nsym,
+      |    string_split(text, chr(10)) AS lines,
+      |    string_split(text, chr(10) || chr(10)) AS paras,
+      |    string_split_regex(trim(text), '\\s+') AS words,
+      |    string_split_regex(lower(trim(text)), '\\s+') AS lwords
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source, text,
+      |    (nwords >= 50 AND nwords <= 100000) AS ok_nwords,
+      |    (meanlen >= 3.0 AND meanlen <= 10.0) AS ok_wordlen,
+      |    (CAST(nsym AS DOUBLE) / nwords <= 0.1) AS ok_symbols,
+      |    (CAST(len(list_filter(lines,
+      |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+      |      / len(lines) < 0.9) AS ok_bullets,
+      |    (CAST(len(list_filter(lines,
+      |        l -> regexp_matches(trim(l), '\\.\\.\\.$$|…$$'))) AS DOUBLE)
+      |      / len(lines) < 0.3) AS ok_ellipsis,
+      |    (CAST(len(list_filter(words,
+      |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      |      / nwords >= 0.8) AS ok_alpha,
+      |    (len(list_filter($stopList,
+      |        s -> list_contains(lwords, s))) >= 2) AS ok_stopwords,
+      |    (CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+      |      / len(lines) <= 0.3) AS ok_duplines,
+      |    (CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+      |      / len(paras) <= 0.3) AS ok_duppara
+      |  FROM q)""".stripMargin
+
+  private val gopherPassSql: String =
+    """ok_nwords AND ok_wordlen AND ok_symbols AND ok_bullets
+      | AND ok_ellipsis AND ok_alpha AND ok_stopwords
+      | AND ok_duplines AND ok_duppara""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // the funnel mirrored stage by stage: langid CASE, token count,
     // punct ratio, md5 fingerprint row_number dedup, hash sample
@@ -378,6 +452,36 @@ object TextAnalysis {
         |  (SELECT count(*) FROM sampled) AS n_sampled,
         |  (SELECT COALESCE(CAST(sum(n_chars) AS BIGINT), 0) FROM sampled)
         |    AS chars_sampled""".stripMargin,
+    "ta_prepare" -> ("WITH " + gopherFlagsCteSql + s""",
+        |kept AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+        |      '$ipv4Re', '<IP>', 'g') AS stext
+        |  FROM f WHERE $gopherPassSql),
+        |dd AS (
+        |  SELECT doc_id, stext FROM (
+        |    SELECT doc_id, stext,
+        |      row_number() OVER (PARTITION BY md5(lower(trim(stext)))
+        |                         ORDER BY doc_id) AS rn
+        |    FROM kept) WHERE rn = 1),
+        |t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(stext)), '\\s+')) AS n_toks,
+        |    CAST(('0x' || substr(md5(stext), 1, 15)) AS BIGINT) AS h
+        |  FROM dd),
+        |tot AS (
+        |  SELECT greatest(1, CAST(ceil(CAST(sum(n_toks) AS DOUBLE) / 20000)
+        |    AS BIGINT)) AS n_shards FROM t),
+        |sh AS (
+        |  SELECT n_toks, h,
+        |    CAST(floor(
+        |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) / 1152921504606846976.0)
+        |      * CAST(n_shards AS DOUBLE)) AS BIGINT) AS shard
+        |  FROM t, tot)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
+        |  sum(CAST(h AS DECIMAL(28,0))) AS checksum
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
     "ta_scrub" ->
       s"""WITH p AS (
         |  SELECT source,
@@ -395,40 +499,7 @@ object TextAnalysis {
         |        '$ipv4Re', '<IP>', 'g')), 1, 15)) AS BIGINT)
         |    AS DECIMAL(28,0))) AS scrub_checksum
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
-    "ta_gopher" ->
-      s"""WITH q AS (
-        |  SELECT source,
-        |    len(string_split_regex(trim(text), '\\s+')) AS nwords,
-        |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
-        |      / len(string_split_regex(trim(text), '\\s+')) AS meanlen,
-        |    (len(string_split(text, '#')) - 1)
-        |      + (len(string_split(text, '...')) - 1) AS nsym,
-        |    string_split(text, chr(10)) AS lines,
-        |    string_split(text, chr(10) || chr(10)) AS paras,
-        |    string_split_regex(trim(text), '\\s+') AS words,
-        |    string_split_regex(lower(trim(text)), '\\s+') AS lwords
-        |  FROM documents),
-        |f AS (
-        |  SELECT source,
-        |    (nwords >= 50 AND nwords <= 100000) AS ok_nwords,
-        |    (meanlen >= 3.0 AND meanlen <= 10.0) AS ok_wordlen,
-        |    (CAST(nsym AS DOUBLE) / nwords <= 0.1) AS ok_symbols,
-        |    (CAST(len(list_filter(lines,
-        |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
-        |      / len(lines) < 0.9) AS ok_bullets,
-        |    (CAST(len(list_filter(lines,
-        |        l -> regexp_matches(trim(l), '\\.\\.\\.$$|…$$'))) AS DOUBLE)
-        |      / len(lines) < 0.3) AS ok_ellipsis,
-        |    (CAST(len(list_filter(words,
-        |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-        |      / nwords >= 0.8) AS ok_alpha,
-        |    (len(list_filter($stopList,
-        |        s -> list_contains(lwords, s))) >= 2) AS ok_stopwords,
-        |    (CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-        |      / len(lines) <= 0.3) AS ok_duplines,
-        |    (CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
-        |      / len(paras) <= 0.3) AS ok_duppara
-        |  FROM q)
+    "ta_gopher" -> ("WITH " + gopherFlagsCteSql + s"""
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN ok_nwords THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_nwords,
         |  CAST(sum(CASE WHEN ok_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_wordlen,
@@ -443,7 +514,7 @@ object TextAnalysis {
         |    AND ok_bullets AND ok_ellipsis AND ok_alpha AND ok_stopwords
         |    AND ok_duplines AND ok_duppara
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+        |FROM f GROUP BY source ORDER BY source""".stripMargin),
     "ta_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,
