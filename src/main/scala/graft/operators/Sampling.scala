@@ -60,7 +60,7 @@ object Sampling {
         greatest(lit(1L), ceil(col("__total").cast("double") / budget)))
       .withColumn("shard",
         floor(uniformHash(col("doc_id")) * col("__n_shards")).cast("long"))
-      .drop("__total")
+      .drop("__total", "__n_shards")
   }
 
   /** Domain-mixture sampling: per-source keep fractions that hit a
