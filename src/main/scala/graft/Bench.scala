@@ -60,7 +60,12 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      val p50 = times.sorted.apply((times.size - 1) / 2)
+      // true median: average the two middles on even run counts (the
+      // lower-middle alone would bias every reported time low)
+      val sortedT = times.sorted
+      val p50 =
+        if (sortedT.size % 2 == 1) sortedT(sortedT.size / 2)
+        else (sortedT(sortedT.size / 2 - 1) + sortedT(sortedT.size / 2)) / 2
       System.err.println(f"[bench] $name%-28s $p50%7.2f s  (${times.map(t => f"$t%.2f").mkString("/")})")
       (name, p50, times)
     }

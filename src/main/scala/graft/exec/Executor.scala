@@ -90,9 +90,9 @@ final class Executor(val spark: SparkSession,
         case "json" | "jsonl" => spark.read.json(p)
         // Spark 4 ships the XML source built in; rowTag selects the
         // element that maps to a row (default 'row', the write default)
+        // the parser lowercases option names, so "rowtag" is the key
         case "xml" => spark.read
-          .option("rowTag", options.getOrElse("rowtag",
-            options.getOrElse("rowTag", "row"))).xml(p)
+          .option("rowTag", options.getOrElse("rowtag", "row")).xml(p)
         case "csv" | "text" => tableFunctions.readCsv(p, options)
         case other => throw CompileException(
           s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")
@@ -117,8 +117,7 @@ final class Executor(val spark: SparkSession,
         case "orc" => compressed(df.write.mode("overwrite")).orc(p)
         case "json" | "jsonl" => compressed(df.write.mode("overwrite")).json(p)
         case "xml" => compressed(df.write.mode("overwrite")
-          .option("rowTag", options.getOrElse("rowtag",
-            options.getOrElse("rowTag", "row")))).xml(p)
+          .option("rowTag", options.getOrElse("rowtag", "row"))).xml(p)
         case "csv" | "text" => writeSingleCsv(df, p, options)
         case other => throw CompileException(
           s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")

@@ -443,8 +443,9 @@ object Dedup {
       f.dataType match {
         case org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.BinaryType =>
-          // bytes + UTF8String/array object overhead in the broadcast map
-          coalesce(length(col(f.name)).cast("long"), lit(0L)) + lit(24L)
+          // BYTES (octet_length — length() counts characters, and UTF-8
+          // ids can be 4 bytes each) + object overhead in the broadcast
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) + lit(24L)
         case _ => lit(16L) // fixed-width value + per-field row share
       }
     }.reduce(_ + _)

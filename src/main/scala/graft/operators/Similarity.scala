@@ -272,13 +272,16 @@ object Similarity {
     val codebooks = trainCodebooks(sampleEmbeddings(corpus, 4096), sub, codebookSize)
 
     // corpus → m code columns in ONE codegen'd projection; per-query ADC
-    // lookup tables broadcast against the streaming coded corpus
+    // lookup tables broadcast against the streaming coded corpus.
+    // ADC stride = the TRAINED codebook size: localKMeans clamps k to
+    // the sample size, so on tiny corpora the books can be smaller than
+    // the requested codebookSize — the dtab is laid out by the actual one
     val coded = pqCode(corpus, codebooks, sub)
     val qBase = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
       Vectors.norm2Fast(col("embedding")).as("q_nrm"))
     val scored = adcScore(coded.crossJoin(broadcast(adcTables(qBase, codebooks, sub))),
-      codebookSize)
+      codebooks.head.length)
     refineTopK(scored, qBase, k, refine)
   }
 
@@ -402,8 +405,10 @@ object Similarity {
     val coded = codeCorpus(corpus, model)
     val (qBase, qSide) = ivfPqQuerySide(queries, model, nProbe)
     // the equi-join on __cell IS the pruning: a candidate row exists only
-    // when the corpus item's cell is one of the query's probed cells
-    (coded.join(broadcast(qSide), "__cell"), qBase, m, codebookSize)
+    // when the corpus item's cell is one of the query's probed cells.
+    // Returned codebook size is the TRAINED one (clamped on tiny
+    // corpora), which is what lays out the ADC tables.
+    (coded.join(broadcast(qSide), "__cell"), qBase, m, model.codebookSize)
   }
 
   /** Trained IVF-PQ geometry: coarse cells + per-subspace RESIDUAL
@@ -663,13 +668,14 @@ object Similarity {
       val brute = knnBrute(e, q, k = 10).select(col("q_id"), col("nn_id"))
       // ONE candidate stream feeds both gates: the ranked result (ADC +
       // re-rank) and the pruning count. Building them independently (as
-      // r4 did — knnIvfPq plus a second ivfPqCandidates call) trains the
-      // cells/codebooks and runs the coded corpus projection TWICE; the
-      // persist makes the shared subplan execute once inside the single
-      // combined action.
-      val (cand0, qBase, _, cs) = ivfPqCandidates(e, q, dim = 64,
+      // r4 did — knnIvfPq plus a second ivfPqCandidates call) trained
+      // the cells/codebooks TWICE — the expensive part (sample job +
+      // driver k-means + broadcast construction). The shared plan below
+      // re-executes only the cheap coded-corpus scan per subtree; no
+      // persist, so nothing leaks into long-lived sessions (a persist
+      // here has no unpersist point once the DataFrame leaves this fn).
+      val (cand, qBase, _, cs) = ivfPqCandidates(e, q, dim = 64,
         nCells = 32, nProbe = 12, m = 16, codebookSize = 16)
-      val cand = cand0.persist()
       val ivfpq = refineTopK(adcScore(cand, cs), qBase, k = 10, refine = 150)
         .select(col("q_id").as("iq"), col("nn_id").as("inn"), lit(1).as("__hit"))
       val recall = brute.join(ivfpq,

@@ -171,8 +171,10 @@ object TextAnalysis {
     val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
     val ellipsisLines = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$|…$")))
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
-    val stopHits = size(filter(lit(stopwords.toArray),
-      s => array_contains(split(lower(trim(c)), "\\s+"), s)))
+    // intersect against ONE tokenization — a filter lambda re-splitting
+    // the document per stop word would tokenize it 10× per row
+    val stopHits = size(array_intersect(
+      array_distinct(split(lower(trim(c)), "\\s+")), lit(stopwords.toArray)))
     val paras = split(c, "\n\n")
     struct(
       (nWords >= 50 && nWords <= 100000).as("ok_nwords"),

@@ -148,22 +148,27 @@ final class SqlServer(spark: org.apache.spark.sql.SparkSession,
   private def renderResult(df: org.apache.spark.sql.DataFrame,
       maxRows: Int): String = {
     val cols = df.columns
-    val fetched = df.limit(maxRows + 1).toJSON.collect()
-    val truncated = fetched.length > maxRows
+    // duplicate output names are routine on a join surface and toJSON
+    // keys rows by NAME (later duplicates clobber earlier ones) — so
+    // rename to positional keys first and report the real names alongside
+    val keyed = df.toDF(cols.indices.map(i => s"__c$i"): _*)
+    val n = math.min(maxRows, Int.MaxValue - 1).max(0)
+    val fetched = keyed.limit(n + 1).toJSON.collect()
+    val truncated = fetched.length > n
     val resp = mapper.createObjectNode()
     val colArr = resp.putArray("columns")
     cols.foreach(colArr.add)
     val rows = resp.putArray("rows")
-    fetched.take(maxRows).foreach { rowJson =>
+    fetched.take(n).foreach { rowJson =>
       val obj = mapper.readTree(rowJson)
       val arr = rows.addArray()
       // toJSON omits null fields — restore them positionally
-      cols.foreach { c =>
-        val v = obj.get(c)
+      cols.indices.foreach { i =>
+        val v = obj.get(s"__c$i")
         if (v == null) arr.addNull() else arr.add(v)
       }
     }
-    resp.put("rowCount", math.min(fetched.length, maxRows))
+    resp.put("rowCount", math.min(fetched.length, n))
     resp.put("truncated", truncated)
     mapper.writeValueAsString(resp)
   }

@@ -306,6 +306,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scanLine.isDefined, s"no __cell PartitionFilters in:\n$plan")
   }
 
+  test("PQ paths survive corpora smaller than the codebook size") {
+    // 10 vectors < codebookSize=16: localKMeans clamps the books to 10
+    // centroids, so the ADC lookup stride must follow the TRAINED size —
+    // striding by the requested 16 reads past the table
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+    val q = emb.filter(col("vec_id") < 2)
+    val pq = Similarity.knnPq(emb, q, k = 3, dim = 64, m = 8,
+      codebookSize = 16, refine = 5)
+    assert(pq.count() > 0)
+    val ivfpq = Similarity.knnIvfPq(emb, q, k = 3, dim = 64, nCells = 4,
+      nProbe = 4, m = 8, codebookSize = 16, refine = 5)
+    assert(ivfpq.count() > 0)
+  }
+
   test("localKMeans clamps k to the point count for tiny corpora") {
     val pts = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0))
     val centers = Similarity.localKMeans(pts, 16, iters = 3, seed = 1)

@@ -132,6 +132,15 @@ class ServerSpec extends AnyFunSuite {
     } finally { client.close(); server.close() }
   }
 
+  test("duplicate result column names stay positional") {
+    withServer { c =>
+      val Some((cols, rows)) = c.execute(
+        "select country as k, id as k from stores where id = 1")
+      assert(cols == Seq("k", "k"))
+      assert(rows == Seq(Seq(0L, 1L)))
+    }
+  }
+
   test("null round-trip and row truncation") {
     withServer { c =>
       val Some((cols, rows)) = c.execute(
