@@ -9,6 +9,15 @@ class ExtensionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
   import spark.implicits._
 
+  test("driver contract: queries and oracles are in lockstep") {
+    // a query without an oracle silently downgrades to a rows-only
+    // check; an oracle without a query is dead SQL — both are drift
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+  }
+
   test("DISTINCT ON keeps first row per key under ORDER BY") {
     val exec = new Executor(spark, Map(
       "t" -> Seq((0, 1, "a"), (0, 2, "b"), (1, 3, "c"), (1, 1, "d"))
