@@ -154,6 +154,18 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_gopher / ta_prepare: no cartesian, no UDF, no accidental BNLJ growth") {
+    for (name <- Seq("ta_gopher", "ta_prepare")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has CartesianProduct")
+      // ta_prepare carries the 1-row shard-total broadcast; anything
+      // beyond one BNLJ means a real join degraded
+      val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 1, s"$name has $bnlj BNLJs")
+      assertNoUdf(p, name)
+    }
+  }
+
   test("runtime bloom filter injects on a selective dim join (shuffle path)") {
     // At 100 TB a fact⋈filtered-dim join that is too big to broadcast
     // goes shuffle — and Spark's runtime bloom filter (InjectRuntimeFilter)
