@@ -14,6 +14,11 @@ final case class MediaFeatures(doc_id: Long, media_type: String,
 /** One sampled "frame" of a media payload. */
 final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
+/** One resized media payload (checksum = sum of output byte values —
+  * lets an oracle verify the exact byte selection, not just the size). */
+final case class MediaResized(doc_id: Long, width: Int, height: Int,
+    n_bytes: Int, checksum: Long)
+
 /** Multimodal column support: treat image/audio/video as opaque `binary`
   * columns with typed metadata, and run decode / feature-extraction /
   * frame-sampling as partition-batched functions over `Dataset[T]`.
@@ -61,6 +66,30 @@ object Multimodal {
     media.mapPartitions(_.map(decodeStub))
   }
 
+  /** Deterministic fake resize: nearest-neighbor byte selection into a
+    * target-area output (out[i] = payload[i·n/area]) — a real resampler
+    * swaps only this function's body; the Dataset plumbing (1 row in →
+    * 1 smaller row out, partition-batched, no shuffle) is the shape a
+    * real image resize runs in. */
+  def resizeStub(r: MediaRow, targetW: Int, targetH: Int): MediaResized = {
+    val area = targetW * targetH
+    val n = r.payload.length
+    var sum = 0L
+    var i = 0
+    while (i < area) {
+      val b = if (n == 0) 0 else r.payload((i.toLong * n / area).toInt) & 0xFF
+      sum += b
+      i += 1
+    }
+    MediaResized(r.doc_id, targetW, targetH, area, sum)
+  }
+
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int)
+      (implicit spark: SparkSession): Dataset[MediaResized] = {
+    import spark.implicits._
+    media.mapPartitions(_.map(resizeStub(_, targetW, targetH)))
+  }
+
   /** Frame sampling: every `stride`-th 64-byte slice of the payload —
     * the video-frame-extraction shape (1 input row → n output rows). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int)
@@ -94,6 +123,13 @@ object Multimodal {
             (acc, x) => acc + x.cast("double")).cast("long").as("feat_mass"))
         .orderBy(col("doc_id"))
     }),
+    // resize: exact byte selection verified via the checksum (ASCII
+    // payload ⇒ the oracle can re-derive every selected byte from text)
+    "mm_resize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      resize(asMedia(Tables.load(s, dir, "documents")), 8, 8).toDF()
+        .orderBy(col("doc_id"))
+    }),
     // frame sampling: 1→n row expansion shape
     "mm_frames" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -112,6 +148,13 @@ object Multimodal {
     "mm_features" ->
       s"""SELECT doc_id, length(text) AS n_bytes, $FeatureDim AS n_features,
         |  length(text) AS feat_mass
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the nearest-neighbor selection re-derived byte by byte (ASCII
+    // payload: ord(char) == byte); integer division mirrors the stub
+    "mm_resize" ->
+      """SELECT doc_id, 8 AS width, 8 AS height, 64 AS n_bytes,
+        |  CAST(list_sum([ord(substr(text, (i * length(text)) // 64 + 1, 1))
+        |       for i in range(64)]) AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH t AS (
