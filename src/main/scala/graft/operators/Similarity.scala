@@ -716,6 +716,26 @@ object Similarity {
         .select(col("n_queries"), col("n_results"),
           (col("__d1") + col("__d2") === 0).cast("bigint").as("same_as_inmem"))
     }),
+    // int8 embedding quantization ([[Vectors.quantizeInt8]]): per-label
+    // code-sum checksum (exact integer arithmetic) pins the full code
+    // content; the err_ok flag asserts the quantization error bound
+    // |x − code/scale| ≤ 0.5/scale holds for every dimension
+    "sim_quantize_int8" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val rows = e.select(col("label"),
+          Vectors.quantizeInt8(col("embedding")).as("qz"), col("embedding"))
+        .select(col("label"),
+          aggregate(col("qz.codes"), lit(0L), (acc, c) => acc + c)
+            .as("row_sum"),
+          array_max(zip_with(col("embedding"), col("qz.codes"),
+            (x, c) => abs(x.cast("double") * col("qz.scale") - c)))
+            .as("maxerr"))
+      rows.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("row_sum")).as("code_sum"),
+          min((col("maxerr") <= lit(0.5 + 1e-9)).cast("bigint")).as("err_ok"))
+        .orderBy(col("label"))
+    }),
     // centroid similarity per label: per-dim sum vector (cosine is
     // scale-invariant, so the un-normalized sum is the centroid
     // direction) then cosine of each member to it. All cross-row sums go
@@ -895,6 +915,30 @@ object Similarity {
       """SELECT CAST(5 AS BIGINT) AS n_queries,
         |  CAST(50 AS BIGINT) AS n_results,
         |  CAST(1 AS BIGINT) AS same_as_inmem""".stripMargin,
+    // quantization mirrored exactly: same scale, same floor(x·s + 0.5)
+    // codes, same error bound — all IEEE double ops
+    "sim_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT label, embedding,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS ma
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT label,
+        |    CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS scale, embedding
+        |  FROM m),
+        |c AS (
+        |  SELECT label,
+        |    list_sum([CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)
+        |         for x in embedding]) AS row_sum,
+        |    list_max([abs(CAST(x AS DOUBLE) * scale
+        |         - floor(CAST(x AS DOUBLE) * scale + 0.5)) for x in embedding])
+        |      AS maxerr
+        |  FROM qz)
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(row_sum) AS BIGINT) AS code_sum,
+        |  CAST(min(CASE WHEN maxerr <= 0.5 + 1e-9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS err_ok
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
     "sim_label_centroid" ->
       """WITH dims AS (
         |  SELECT label, r.i,

@@ -42,6 +42,21 @@ object Vectors {
   def norm2Fast(a: Column): Column = sqrt(dotFast(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Symmetric int8 quantization of a float vector — the standard 4×
+    * memory compression for embedding storage/ANN: per-vector scale
+    * `127 / max|x|`, code `floor(x·scale + 0.5)` (explicit half-up —
+    * `round()`'s half-even would still be portable, but floor+0.5 is
+    * unambiguous across engines). Returns `struct(scale, codes)`;
+    * dequantize as `code / scale`. All double arithmetic — the same
+    * IEEE ops in any engine, so results are bit-reproducible. */
+  def quantizeInt8(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+    struct(scale.as("scale"),
+      transform(v, x =>
+        floor(x.cast("double") * scale + 0.5).cast("int")).as("codes"))
+  }
   def cosineFast(a: Column, b: Column): Column =
     graft.functions.NativeVector.cosine(a, b)
 
