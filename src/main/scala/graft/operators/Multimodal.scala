@@ -72,6 +72,9 @@ object Multimodal {
     * 1 smaller row out, partition-batched, no shuffle) is the shape a
     * real image resize runs in. */
   def resizeStub(r: MediaRow, targetW: Int, targetH: Int): MediaResized = {
+    require(targetW > 0 && targetH > 0 &&
+      targetW.toLong * targetH <= Int.MaxValue,
+      s"invalid resize target ${targetW}x$targetH")
     val area = targetW * targetH
     val n = r.payload.length
     var sum = 0L
@@ -153,8 +156,9 @@ object Multimodal {
     // payload: ord(char) == byte); integer division mirrors the stub
     "mm_resize" ->
       """SELECT doc_id, 8 AS width, 8 AS height, 64 AS n_bytes,
-        |  CAST(list_sum([ord(substr(text, (i * length(text)) // 64 + 1, 1))
-        |       for i in range(64)]) AS BIGINT) AS checksum
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_sum([ord(substr(text, (i * length(text)) // 64 + 1, 1))
+        |       for i in range(64)]) END AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH t AS (

@@ -727,9 +727,11 @@ object Similarity {
         .select(col("label"),
           aggregate(col("qz.codes"), lit(0L), (acc, c) => acc + c)
             .as("row_sum"),
-          array_max(zip_with(col("embedding"), col("qz.codes"),
-            (x, c) => abs(x.cast("double") * col("qz.scale") - c)))
-            .as("maxerr"))
+          // empty-vector parity: array_max([]) is NULL — pin it to 0.0
+          // (trivially within bound) on both sides
+          coalesce(array_max(zip_with(col("embedding"), col("qz.codes"),
+            (x, c) => abs(x.cast("double") * col("qz.scale") - c))),
+            lit(0.0)).as("maxerr"))
       rows.groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
           sum(col("row_sum")).as("code_sum"),
@@ -928,11 +930,11 @@ object Similarity {
         |  FROM m),
         |c AS (
         |  SELECT label,
-        |    list_sum([CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)
-        |         for x in embedding]) AS row_sum,
-        |    list_max([abs(CAST(x AS DOUBLE) * scale
-        |         - floor(CAST(x AS DOUBLE) * scale + 0.5)) for x in embedding])
-        |      AS maxerr
+        |    COALESCE(list_sum([CAST(floor(CAST(x AS DOUBLE) * scale + 0.5)
+        |         AS BIGINT) for x in embedding]), 0) AS row_sum,
+        |    COALESCE(list_max([abs(CAST(x AS DOUBLE) * scale
+        |         - floor(CAST(x AS DOUBLE) * scale + 0.5)) for x in embedding]),
+        |      0.0) AS maxerr
         |  FROM qz)
         |SELECT label, count(*) AS n,
         |  CAST(sum(row_sum) AS BIGINT) AS code_sum,

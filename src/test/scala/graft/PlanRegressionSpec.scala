@@ -154,16 +154,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
-  test("ta_gopher / ta_prepare: no cartesian, no UDF, no accidental BNLJ growth") {
-    for (name <- Seq("ta_gopher", "ta_prepare")) {
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"), s"$name has CartesianProduct")
-      // ta_prepare carries the 1-row shard-total broadcast; anything
-      // beyond one BNLJ means a real join degraded
-      val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
-      assert(bnlj <= 1, s"$name has $bnlj BNLJs")
-      assertNoUdf(p, name)
-    }
+  test("ta_gopher / ta_prepare: no cartesian, no UDF, BNLJ bounded exactly") {
+    // ta_gopher is join-free: any BNLJ is a regression. ta_prepare
+    // carries EXACTLY one — the 1-row shard-total broadcast cross join
+    // from tokenShards; a second would mean a real join degraded.
+    val pg = plan("ta_gopher")
+    assertNoCartesian(pg, "ta_gopher"); assertNoUdf(pg, "ta_gopher")
+    val pp = plan("ta_prepare")
+    assert(!pp.contains("CartesianProduct"), "ta_prepare has CartesianProduct")
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(pp).size
+    assert(bnlj == 1, s"ta_prepare has $bnlj BNLJs (expected the 1-row total only)")
+    assertNoUdf(pp, "ta_prepare")
   }
 
   test("runtime bloom filter injects on a selective dim join (shuffle path)") {
