@@ -190,6 +190,22 @@ object TextAnalysis {
         / size(paras) <= 0.3).as("ok_duppara"))
   }
 
+  /** Chunk a document into fixed-size token windows — the training-
+    * window precursor every LLM data pipeline runs before packing.
+    * Pure array expressions over ONE narrow map (tokenize once, slice
+    * per chunk): zero shuffle at any scale, and 1 row → n_chunks rows
+    * via a single explode. The last chunk may be short; every document
+    * yields at least one chunk (whitespace split never returns an
+    * empty array — '' tokenizes to ['']). */
+  def chunkByTokens(c: Column, chunkTokens: Int): Column = {
+    val toks = tokens(c)
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    explode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => struct(i.as("chunk_id"),
+        concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens)))
+          .as("chunk_text"))))
+  }
+
   /** PII scrubbing: regex redaction of emails and IPv4 addresses —
     * standard pre-training hygiene. Patterns avoid lookaround and
     * alternation so Java (Spark) and RE2 (DuckDB/etc.) regex engines
@@ -249,6 +265,25 @@ object TextAnalysis {
     // the full cleanup funnel, every stage DuckDB-reproduced
     "ta_pipeline" -> ((s, dir) =>
       cleanPipeline(Tables.load(s, dir, "documents"))._2),
+    // fixed-window chunking: per-source chunk counts, token totals of
+    // first/last chunks (pins the boundary arithmetic), and the full
+    // chunk-content checksum — 64-token windows
+    "ta_chunks" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("source"), col("doc_id"),
+          chunkByTokens(col("text"), 64).as("ch"))
+        .select(col("source"), col("doc_id"),
+          col("ch.chunk_id").as("chunk_id"),
+          size(tokens(col("ch.chunk_text"))).as("n_toks"),
+          md5Prefix60(col("ch.chunk_text")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_toks")).as("chunk_tokens"),
+          sum(when(col("chunk_id") === 0, col("n_toks")).otherwise(0L))
+            .as("first_chunk_tokens"),
+          sum(col("h").cast(DecimalType(28, 0))).as("chunk_checksum"))
+        .orderBy(col("source"))
+    }),
     // PII scrub harness: deterministic emails/IPs planted per doc, then
     // redacted; gated on per-source redaction counts AND an
     // order-independent checksum of the SCRUBBED text (decimal sum of
@@ -484,6 +519,31 @@ object TextAnalysis {
         |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
         |  sum(CAST(h AS DECIMAL(28,0))) AS checksum
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
+    "ta_chunks" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |ch AS (
+        |  SELECT source, doc_id, toks,
+        |    unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_id
+        |  FROM d),
+        |t AS (
+        |  SELECT source, chunk_id,
+        |    array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' ')
+        |      AS chunk_text
+        |  FROM ch),
+        |m AS (
+        |  SELECT source, chunk_id,
+        |    len(string_split_regex(lower(trim(chunk_text)), '\s+')) AS n_toks,
+        |    CAST(('0x' || substr(md5(chunk_text), 1, 15)) AS BIGINT) AS h
+        |  FROM t)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(sum(n_toks) AS BIGINT) AS chunk_tokens,
+        |  CAST(sum(CASE WHEN chunk_id = 0 THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS first_chunk_tokens,
+        |  sum(CAST(h AS DECIMAL(28,0))) AS chunk_checksum
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "ta_scrub" ->
       s"""WITH p AS (
         |  SELECT source,
