@@ -532,6 +532,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.head._3 >= 0.5)
   }
 
+  test("chunkByTokens: boundaries exact, content lossless") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"),
+        TextAnalysis.chunkByTokens(col("text"), 4).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_id"), col("ch.chunk_text"))
+      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(chunks.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(chunks(0)._2 == "w1 w2 w3 w4")
+    assert(chunks(1)._2 == "w5 w6 w7 w8")
+    assert(chunks(2)._2 == "w9 w10") // short last chunk, never empty
+    // lossless: rejoining chunks reproduces the tokenized document
+    assert(chunks.map(_._2).mkString(" ") ==
+      (1 to 10).map(i => s"w$i").mkString(" "))
+  }
+
+  test("quantizeInt8: codes bounded, dequantization within half a step") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = df.select(Vectors.quantizeInt8(col("embedding")).as("q"))
+      .select(col("q.scale"), col("q.codes")).head()
+    val scale = r.getDouble(0)
+    val codes = r.getSeq[Int](1)
+    assert(math.abs(scale - 127.0 / 2.0) < 1e-12)
+    // floor(x·63.5 + 0.5): 0.5→32, −1.0→−63, 0.25→16, 2.0→127
+    assert(codes == Seq(32, -63, 16, 127))
+    val orig = Seq(0.5, -1.0, 0.25, 2.0)
+    codes.zip(orig).foreach { case (c, x) =>
+      assert(math.abs(c / scale - x) <= 0.5 / scale + 1e-12)
+    }
+  }
+
+  test("mortonCode interleaves bits with 2-D locality") {
+    val df = Seq((3, 5), (0, 0), (255, 255)).toDF("a", "b")
+    val z = df.select(graft.sources.Sinks.mortonCode(col("a"), col("b"), 8))
+      .collect().map(_.getLong(0))
+    // a=3 (011), b=5 (101): interleave a_i at 2i+1, b_i at 2i →
+    // bits: b0=1,a0=1,b1=0,a1=1,b2=1,a2=0 = 0b101011 = 43? compute:
+    // (1<<0)+(1<<1)+(0<<2)+(1<<3)+(1<<4)+(0<<5) = 1+2+8+16 = 27
+    assert(z(0) == 27L)
+    assert(z(1) == 0L)
+    assert(z(2) == 65535L) // all 16 low bits set
+  }
+
   test("CMS heavy hitters: exact top-k order, guarantee flags hold") {
     // zipf-ish: key i appears ~ 3000/i times — clear heavy hitters
     val rows = (1 to 50).flatMap(i => Seq.fill(3000 / i)(i.toLong))
