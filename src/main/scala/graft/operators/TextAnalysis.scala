@@ -206,6 +206,41 @@ object TextAnalysis {
           .as("chunk_text"))))
   }
 
+  /** Greedy sequence packing: assign token chunks to training windows of
+    * at most `budget` tokens, first-fit in deterministic (doc_id,
+    * chunk_id) order WITHIN hash shards. Packing is inherently
+    * sequential, so the scale shape is shard-then-pack: the hash spread
+    * bounds every sequential run to one shard's chunks (mapPartitions —
+    * the genuine per-partition imperative case), and shards pack in
+    * parallel. A chunk larger than the budget gets a singleton window.
+    * Deterministic: shard assignment is the portable hash, order is
+    * total, so the same windows come out of every run and retry. */
+  def packGreedy(chunks: DataFrame, budget: Long,
+      nShards: Int): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.select(col("doc_id").cast("long"), col("chunk_id").cast("int"),
+        col("n_toks").cast("long"),
+        floor(Sampling.uniformHash(col("doc_id")) * nShards).cast("int")
+          .as("shard"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"), col("chunk_id"))
+      .as[(Long, Int, Long, Int)]
+      .mapPartitions { it =>
+        var curShard = -1
+        var window = -1L
+        var used = 0L
+        it.map { case (doc, chunk, toks, shard) =>
+          if (shard != curShard || used + toks > budget) {
+            window += 1; used = 0L; curShard = shard
+          }
+          used += toks
+          (doc, chunk, toks, shard, window)
+        }
+      }
+      .toDF("doc_id", "chunk_id", "n_toks", "shard", "window")
+  }
+
   /** PII scrubbing: regex redaction of emails and IPv4 addresses —
     * standard pre-training hygiene. Patterns avoid lookaround and
     * alternation so Java (Spark) and RE2 (DuckDB/etc.) regex engines
@@ -283,6 +318,35 @@ object TextAnalysis {
             .as("first_chunk_tokens"),
           sum(col("h").cast(DecimalType(28, 0))).as("chunk_checksum"))
         .orderBy(col("source"))
+    }),
+    // greedy packing of the 64-token chunks into 512-token windows:
+    // chunk census pinned exactly (count + token total, both
+    // oracle-recomputed); the packing guarantees ride as flags —
+    // every window within budget or a singleton, token conservation,
+    // and the window count within its provable bounds
+    "ta_pack" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val chunks = docs.select(col("doc_id"),
+          chunkByTokens(col("text"), 64).as("ch"))
+        .select(col("doc_id"), col("ch.chunk_id").as("chunk_id"),
+          size(tokens(col("ch.chunk_text"))).as("n_toks"))
+      val packed = packGreedy(chunks, budget = 512, nShards = 8)
+      val windows = packed.groupBy(col("shard"), col("window"))
+        .agg(sum(col("n_toks")).as("wtoks"), count(lit(1)).as("wchunks"))
+      val census = chunks.agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_toks")).as("total_tokens"))
+      windows.agg(
+          count(lit(1)).as("__n_windows"),
+          sum(col("wtoks")).as("__packed_tokens"),
+          min((col("wtoks") <= 512 || col("wchunks") === 1)
+            .cast("bigint")).as("bound_ok"))
+        .crossJoin(census)
+        .select(col("n_chunks"), col("total_tokens"), col("bound_ok"),
+          (col("__packed_tokens") === col("total_tokens")).cast("bigint")
+            .as("conserve_ok"),
+          (col("__n_windows") >= ceil(col("total_tokens").cast("double") / 512)
+            && col("__n_windows") <= col("n_chunks")).cast("bigint")
+            .as("count_ok"))
     }),
     // PII scrub harness: deterministic emails/IPs planted per doc, then
     // redacted; gated on per-source redaction counts AND an
@@ -519,6 +583,31 @@ object TextAnalysis {
         |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
         |  sum(CAST(h AS DECIMAL(28,0))) AS checksum
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
+    // packing is engine-side (sequential first-fit in mapPartitions);
+    // the oracle pins the chunk census exactly and asserts the three
+    // packing guarantees — the sketch-gate pattern
+    "ta_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(range(CAST(ceil(len(toks) / 64.0) AS BIGINT))) AS chunk_id,
+        |    toks
+        |  FROM d),
+        |t AS (
+        |  SELECT doc_id, chunk_id,
+        |    len(string_split_regex(lower(trim(
+        |      array_to_string(toks[chunk_id*64+1 : chunk_id*64+64], ' '))),
+        |      '\s+')) AS n_toks
+        |  FROM ch)
+        |SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(1 AS BIGINT) AS bound_ok,
+        |  CAST(1 AS BIGINT) AS conserve_ok,
+        |  CAST(1 AS BIGINT) AS count_ok
+        |FROM t""".stripMargin,
     "ta_chunks" ->
       """WITH d AS (
         |  SELECT source, doc_id,

@@ -547,6 +547,23 @@ class OperatorsSpec extends AnyFunSuite {
       (1 to 10).map(i => s"w$i").mkString(" "))
   }
 
+  test("packGreedy: budget respected, singletons allowed, deterministic") {
+    val chunks = Seq(
+      (1L, 0, 300L), (1L, 1, 300L), (2L, 0, 300L), // pairwise > 512
+      (3L, 0, 600L),                               // oversized singleton
+      (4L, 0, 100L), (4L, 1, 100L)).toDF("doc_id", "chunk_id", "n_toks")
+    val p1 = TextAnalysis.packGreedy(chunks, budget = 512, nShards = 4)
+    val windows = p1.groupBy("shard", "window")
+      .agg(sum("n_toks").as("t"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(windows.forall { case (t, c) => t <= 512 || c == 1 })
+    assert(windows.map(_._1).sum == 1700L) // token conservation
+    // deterministic: a second run assigns identical windows
+    val a = p1.collect().map(_.toSeq).toSet
+    val b = TextAnalysis.packGreedy(chunks, 512, 4).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("quantizeInt8: codes bounded, dequantization within half a step") {
     val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 2.0f)))
       .toDF("vec_id", "embedding")
