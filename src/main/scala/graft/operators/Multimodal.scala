@@ -107,7 +107,7 @@ object Multimodal {
 
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // binary metadata — oracle-checkable (ASCII text ⇒ bytes == chars)
+    // binary metadata — oracle-checkable (byte-based oracle below)
     "mm_meta" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       asMedia(Tables.load(s, dir, "documents")).toDF()
@@ -126,8 +126,8 @@ object Multimodal {
             (acc, x) => acc + x.cast("double")).cast("long").as("feat_mass"))
         .orderBy(col("doc_id"))
     }),
-    // resize: exact byte selection verified via the checksum (ASCII
-    // payload ⇒ the oracle can re-derive every selected byte from text)
+    // resize: exact byte selection verified via the checksum (the
+    // oracle re-derives every selected byte from hex(encode(text)))
     "mm_resize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       resize(asMedia(Tables.load(s, dir, "documents")), 8, 8).toDF()
@@ -144,25 +144,38 @@ object Multimodal {
     })
   )
 
+  // Every oracle below is BYTE-based (octet_length over the UTF-8
+  // encoding; byte values re-derived from substr of hex(encode(text))) —
+  // NOT character-based — so a corpus with non-ASCII text (the '•'/'…'
+  // the Gopher rules handle) still compares exactly against the
+  // byte-indexed stubs instead of silently diverging at the checksum.
   def oracleSql: Map[String, String] = Map(
     "mm_meta" ->
-      """SELECT doc_id, 'image/fake' AS media_type, length(text) AS n_bytes
+      """SELECT doc_id, 'image/fake' AS media_type,
+        |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_features" ->
-      s"""SELECT doc_id, length(text) AS n_bytes, $FeatureDim AS n_features,
-        |  length(text) AS feat_mass
+      s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  $FeatureDim AS n_features,
+        |  octet_length(encode(text)) AS feat_mass
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // the nearest-neighbor selection re-derived byte by byte (ASCII
-    // payload: ord(char) == byte); integer division mirrors the stub
+    // the nearest-neighbor byte selection re-derived byte by byte: byte
+    // i of the payload is hex chars [2i+1, 2i+2] of hex(encode(text));
+    // integer division mirrors the stub's (i·n)/area index
     "mm_resize" ->
-      """SELECT doc_id, 8 AS width, 8 AS height, 64 AS n_bytes,
-        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
-        |    list_sum([ord(substr(text, (i * length(text)) // 64 + 1, 1))
-        |       for i in range(64)]) END AS BIGINT) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id, 8 AS width, 8 AS height, 64 AS n_bytes,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE
+        |    list_sum([CAST(('0x' || substr(hx, 2 * ((i * n) // 64) + 1, 2))
+        |       AS INT) for i in range(64)]) END AS BIGINT) AS checksum
+        |FROM h ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH t AS (
-        |  SELECT doc_id, length(text) AS n, (length(text) + 63) // 64 AS nch
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    (octet_length(encode(text)) + 63) // 64 AS nch
         |  FROM documents)
         |SELECT doc_id,
         |  CAST((nch + 1) // 2 AS BIGINT) AS n_frames,

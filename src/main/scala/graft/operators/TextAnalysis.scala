@@ -78,6 +78,19 @@ object TextAnalysis {
   def md5Slice60(c: Column, off: Int): Column =
     conv(substring(md5(c), off, 15), 16, 10).cast("long")
 
+  /** Order-independent content checksum of a 60-bit hash column that
+    * STAYS INSIDE int64: exact decimal sum of the lanes, reduced mod
+    * 2^60 and cast back to BIGINT. The driver's value hasher rejects
+    * values past 2^63 even when both engines agree on them (the r5
+    * ta_chunks/ta_scrub/ta_prepare failures — HUGEINT-range DECIMAL
+    * sums), so every checksum gate must bound its output. The mod keeps
+    * multiplicity information that a bit_xor would cancel on duplicated
+    * content. DuckDB mirror (sum over BIGINT is HUGEINT — exact):
+    * `CAST(sum(h) % 1152921504606846976 AS BIGINT)`. */
+  val Mod60: Long = 1152921504606846976L // 2^60
+  def checksum60(h: Column): Column =
+    (sum(h.cast(DecimalType(28, 0))) % lit(Mod60)).cast("long")
+
   /** Winnowing fingerprints (Schleimer et al., "Winnowing: Local
     * Algorithms for Document Fingerprinting" — the MOSS scheme): hash
     * every k-gram of the token stream, then select the minimum hash of
@@ -163,9 +176,11 @@ object TextAnalysis {
     val meanLen = length(regexp_replace(trim(c), "\\s+", ""))
       .cast("double") / nWords
     // occurrences via split-count (parts − 1): no regex-callback UDF,
-    // stays inside codegen
+    // stays inside codegen. Both ellipsis forms count, matching the
+    // paper's (# + …) rule and ok_ellipsis's own definition below.
     val nSymbols = (size(split(c, "#", -1)) - 1) +
-      (size(split(c, "\\.\\.\\.", -1)) - 1)
+      (size(split(c, "\\.\\.\\.", -1)) - 1) +
+      (size(split(c, "…", -1)) - 1)
     val lines = split(c, "\n")
     val nLines = size(lines)
     val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
@@ -190,20 +205,44 @@ object TextAnalysis {
         / size(paras) <= 0.3).as("ok_duppara"))
   }
 
-  /** Chunk a document into fixed-size token windows — the training-
-    * window precursor every LLM data pipeline runs before packing.
-    * Pure array expressions over ONE narrow map (tokenize once, slice
-    * per chunk): zero shuffle at any scale, and 1 row → n_chunks rows
-    * via a single explode. The last chunk may be short; every document
-    * yields at least one chunk (whitespace split never returns an
-    * empty array — '' tokenizes to ['']). */
-  def chunkByTokens(c: Column, chunkTokens: Int): Column = {
-    val toks = tokens(c)
+  /** Chunk structs over an ALREADY-MATERIALIZED token-array column.
+    * `toks` must be a bound column (an attribute from a previous
+    * projection), NOT an inline `split(...)` expression: the lambda
+    * below references it once per chunk, and codegen CSE cannot hoist
+    * subexpressions into higher-order-function lambdas (NOTES.md), so an
+    * inlined split would re-tokenize the whole document per chunk —
+    * O(doc_len × n_chunks), the r5 ta_chunks hot spot (7.1 s → the
+    * materialized form is O(doc_len)). `n_toks` comes from slice
+    * arithmetic, not a re-split of the joined chunk text: whitespace
+    * tokens are non-empty (except the [''] of an empty document, where
+    * both definitions give 1), so the two counts agree and the oracle
+    * re-derives it independently by re-splitting. */
+  def chunkStructs(toks: Column, chunkTokens: Int): Column = {
     val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
-    explode(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+    transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
       i => struct(i.as("chunk_id"),
         concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens)))
-          .as("chunk_text"))))
+          .as("chunk_text"),
+        least(size(toks) - i * chunkTokens, lit(chunkTokens)).as("n_toks")))
+  }
+
+  /** Chunk documents into fixed-size token windows — the training-window
+    * precursor every LLM data pipeline runs before packing. Tokenizes
+    * each document EXACTLY ONCE (materialized projection, see
+    * [[chunkStructs]]), then 1 row → n_chunks rows via a single explode:
+    * zero shuffle at any scale. The last chunk may be short; every
+    * document yields at least one chunk (whitespace split never returns
+    * an empty array — '' tokenizes to ['']). Output: `keep` columns +
+    * (chunk_id, chunk_text, n_toks). */
+  def chunkDocs(docs: DataFrame, textCol: String, chunkTokens: Int,
+      keep: Seq[String]): DataFrame = {
+    val kept = keep.map(col)
+    docs.select(kept :+ tokens(col(textCol)).as("__toks"): _*)
+      .select(kept :+ explode(chunkStructs(col("__toks"), chunkTokens))
+        .as("ch"): _*)
+      .select(kept ++ Seq(col("ch.chunk_id").as("chunk_id"),
+        col("ch.chunk_text").as("chunk_text"),
+        col("ch.n_toks").as("n_toks")): _*)
   }
 
   /** Greedy sequence packing: assign token chunks to training windows of
@@ -305,18 +344,15 @@ object TextAnalysis {
     // chunk-content checksum — 64-token windows
     "ta_chunks" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      docs.select(col("source"), col("doc_id"),
-          chunkByTokens(col("text"), 64).as("ch"))
-        .select(col("source"), col("doc_id"),
-          col("ch.chunk_id").as("chunk_id"),
-          size(tokens(col("ch.chunk_text"))).as("n_toks"),
-          md5Prefix60(col("ch.chunk_text")).as("h"))
+      chunkDocs(docs, "text", 64, keep = Seq("source", "doc_id"))
+        .select(col("source"), col("chunk_id"), col("n_toks"),
+          md5Prefix60(col("chunk_text")).as("h"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("n_toks")).as("chunk_tokens"),
           sum(when(col("chunk_id") === 0, col("n_toks")).otherwise(0L))
             .as("first_chunk_tokens"),
-          sum(col("h").cast(DecimalType(28, 0))).as("chunk_checksum"))
+          checksum60(col("h")).as("chunk_checksum"))
         .orderBy(col("source"))
     }),
     // greedy packing of the 64-token chunks into 512-token windows:
@@ -326,10 +362,8 @@ object TextAnalysis {
     // and the window count within its provable bounds
     "ta_pack" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val chunks = docs.select(col("doc_id"),
-          chunkByTokens(col("text"), 64).as("ch"))
-        .select(col("doc_id"), col("ch.chunk_id").as("chunk_id"),
-          size(tokens(col("ch.chunk_text"))).as("n_toks"))
+      val chunks = chunkDocs(docs, "text", 64, keep = Seq("doc_id"))
+        .select(col("doc_id"), col("chunk_id"), col("n_toks"))
       val packed = packGreedy(chunks, budget = 512, nShards = 8)
       val windows = packed.groupBy(col("shard"), col("window"))
         .agg(sum(col("n_toks")).as("wtoks"), count(lit(1)).as("wchunks"))
@@ -350,9 +384,10 @@ object TextAnalysis {
     }),
     // PII scrub harness: deterministic emails/IPs planted per doc, then
     // redacted; gated on per-source redaction counts AND an
-    // order-independent checksum of the SCRUBBED text (decimal sum of
-    // 60-bit md5 prefixes), so the full post-redaction content is
-    // verified, not just the counts
+    // order-independent checksum of the SCRUBBED text (mod-2^60 sum of
+    // 60-bit md5 prefixes — int64-bounded per the driver's hash
+    // contract), so the full post-redaction content is verified, not
+    // just the counts
     "ta_scrub" -> ((s, dir) => {
       val planted = Tables.load(s, dir, "documents")
         .select(col("source"),
@@ -367,7 +402,7 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_email")).as("emails_redacted"),
           sum(col("n_ip")).as("ips_redacted"),
-          sum(col("h").cast(DecimalType(28, 0))).as("scrub_checksum"))
+          checksum60(col("h")).as("scrub_checksum"))
         .orderBy(col("source"))
     }),
     // THE capstone composition — prepare training data end to end:
@@ -398,7 +433,7 @@ object TextAnalysis {
       Sampling.tokenShards(t, col("n_toks"), budget = 20000L)
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
-          sum(col("h").cast(DecimalType(28, 0))).as("checksum"))
+          checksum60(col("h")).as("checksum"))
         .orderBy(col("shard"))
     }),
     // Gopher quality rules: per-source counts of every flag, all
@@ -467,7 +502,8 @@ object TextAnalysis {
       |    CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE)
       |      / len(string_split_regex(trim(text), '\\s+')) AS meanlen,
       |    (len(string_split(text, '#')) - 1)
-      |      + (len(string_split(text, '...')) - 1) AS nsym,
+      |      + (len(string_split(text, '...')) - 1)
+      |      + (len(string_split(text, '…')) - 1) AS nsym,
       |    string_split(text, chr(10)) AS lines,
       |    string_split(text, chr(10) || chr(10)) AS paras,
       |    string_split_regex(trim(text), '\\s+') AS words,
@@ -581,7 +617,7 @@ object TextAnalysis {
         |      * CAST(n_shards AS DOUBLE)) AS BIGINT) AS shard
         |  FROM t, tot)
         |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
-        |  sum(CAST(h AS DECIMAL(28,0))) AS checksum
+        |  CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
     // packing is engine-side (sequential first-fit in mapPartitions);
     // the oracle pins the chunk census exactly and asserts the three
@@ -631,7 +667,7 @@ object TextAnalysis {
         |  CAST(sum(n_toks) AS BIGINT) AS chunk_tokens,
         |  CAST(sum(CASE WHEN chunk_id = 0 THEN n_toks ELSE 0 END) AS BIGINT)
         |    AS first_chunk_tokens,
-        |  sum(CAST(h AS DECIMAL(28,0))) AS chunk_checksum
+        |  CAST(sum(h) % 1152921504606846976 AS BIGINT) AS chunk_checksum
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "ta_scrub" ->
       s"""WITH p AS (
@@ -645,10 +681,10 @@ object TextAnalysis {
         |    AS emails_redacted,
         |  CAST(sum(len(regexp_extract_all(text, '$ipv4Re'))) AS BIGINT)
         |    AS ips_redacted,
-        |  sum(CAST(CAST(('0x' || substr(md5(
+        |  CAST(sum(CAST(('0x' || substr(md5(
         |      regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
-        |        '$ipv4Re', '<IP>', 'g')), 1, 15)) AS BIGINT)
-        |    AS DECIMAL(28,0))) AS scrub_checksum
+        |        '$ipv4Re', '<IP>', 'g')), 1, 15)) AS BIGINT))
+        |    % 1152921504606846976 AS BIGINT) AS scrub_checksum
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "ta_gopher" -> ("WITH " + gopherFlagsCteSql + s"""
         |SELECT source, count(*) AS n_docs,

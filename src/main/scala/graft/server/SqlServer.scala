@@ -43,6 +43,10 @@ import graft.exec.Executor
   * Threading: one daemon accept-thread, one daemon thread per
   * connection. Spark's SparkSession is thread-safe for concurrent
   * queries; each connection's Executor scope is confined to its thread.
+  *
+  * SECURITY: the protocol is UNAUTHENTICATED — any connected peer runs
+  * arbitrary SQL, including COPY FROM/TO filesystem paths. The server
+  * therefore binds loopback by default; see `bindAddress`.
   */
 final class SqlServer(spark: org.apache.spark.sql.SparkSession,
     scope: Map[String, org.apache.spark.sql.DataFrame] = Map.empty,
@@ -50,10 +54,17 @@ final class SqlServer(spark: org.apache.spark.sql.SparkSession,
     /** optional scope-spec JSON (see [[graft.exec.ScopeSpec]]) executed
       * per CONNECTION — the reference dialect's connect-time `setup`
       * statements and table bindings (dialect.py:18-48). */
-    scopeSpecPath: Option[String] = None) {
+    scopeSpecPath: Option[String] = None,
+    /** The protocol carries NO authentication and SQL reaches COPY
+      * FROM/TO (arbitrary filesystem paths), so by default the socket
+      * binds the loopback interface only — same-host clients. Opting
+      * into an external bind address is an explicit statement that the
+      * network perimeter provides the auth (and a production deployment
+      * should front this with Spark Connect or a TLS proxy instead). */
+    bindAddress: java.net.InetAddress = java.net.InetAddress.getLoopbackAddress) {
 
   private val mapper = new ObjectMapper()
-  private val serverSocket = new ServerSocket(port)
+  private val serverSocket = new ServerSocket(port, 50, bindAddress)
   private val running = new AtomicBoolean(true)
 
   /** The bound port (useful with port=0 — ephemeral). */
@@ -133,7 +144,10 @@ final class SqlServer(spark: org.apache.spark.sql.SparkSession,
         case Some(df) => renderResult(df, maxRows)
       }
     } catch {
-      case e: Throwable =>
+      // NonFatal only: an OutOfMemoryError / LinkageError must crash the
+      // process, not be serialized into an {"error": ...} line while the
+      // connection loop keeps running in a corrupted JVM
+      case scala.util.control.NonFatal(e) =>
         val err = mapper.createObjectNode()
         err.put("error",
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName))

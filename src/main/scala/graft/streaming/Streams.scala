@@ -188,8 +188,14 @@ object Streams {
         .format("memory")
         .queryName(name)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        // per-batch duration breakdown (triggerExecution, addBatch,
+        // state commit) for bench forensics — r5's st_* medians moved
+        // 8-13× with unchanged plans and this is how to see where
+        if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+          q.recentProgress.foreach(p => System.err.println(p.json))
+      } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // materialize: the memory sink table is dropped when the query stops
     val out = spark.table(name).cache()

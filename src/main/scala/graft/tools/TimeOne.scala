@@ -1,33 +1,50 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
 
-/** Dev tool: time named SparkEntry queries on SPARK_GRAFT_SF_DIR.
-  * `runMain graft.tools.TimeOne q1_pricing_summary dd_cluster` —
-  * same session config and noop-sink materialization as graft.Bench. */
+/** Single-query isolation timer — the measurement harness VERDICT r5
+  * asked for: `runMain graft.tools.TimeOne <query> [runs]` times one
+  * driver query `runs` times (default 5) in a fresh session configured
+  * exactly like [[graft.Bench]], printing every raw timing plus the
+  * median. Use it to separate plan cost from VM noise: Bench interleaves
+  * ~112 queries, so one loaded-VM window can triple a single query's
+  * reported median (r5: dd_minhash_portable 4.9/10.0/14.5 on an
+  * unchanged plan).
+  *
+  * With SPARK_GRAFT_STREAM_DEBUG=1, streaming queries additionally dump
+  * per-batch progress JSON (durationMs breakdown: addBatch /
+  * stateOperators commit times) via [[graft.streaming.Streams]].
+  */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .appName("graft-timeone")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .appName(s"graft-timeone-$name")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up
-    graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    spark.catalog.clearCache()
-    args.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'"))
+    val times = (1 to runs).map { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      println(f"[timeone] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      System.err.println(f"[timeone] $name run $i: $dt%.2f s")
+      dt
     }
+    val s = times.sorted
+    val p50 = if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    println(f"""{"query":"$name","median":$p50%.3f,"runs":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -532,19 +532,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.head._3 >= 0.5)
   }
 
-  test("chunkByTokens: boundaries exact, content lossless") {
+  test("chunkDocs: boundaries exact, content lossless, single tokenize") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
-    val chunks = df.select(col("doc_id"),
-        TextAnalysis.chunkByTokens(col("text"), 4).as("ch"))
-      .select(col("doc_id"), col("ch.chunk_id"), col("ch.chunk_text"))
-      .collect().map(r => (r.getInt(1), r.getString(2))).sortBy(_._1)
+    val out = TextAnalysis.chunkDocs(df, "text", 4, keep = Seq("doc_id"))
+    val chunks = out
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3))).sortBy(_._1)
     assert(chunks.map(_._1).toSeq == Seq(0, 1, 2))
     assert(chunks(0)._2 == "w1 w2 w3 w4")
     assert(chunks(1)._2 == "w5 w6 w7 w8")
     assert(chunks(2)._2 == "w9 w10") // short last chunk, never empty
+    // n_toks from slice arithmetic matches actual chunk token counts
+    assert(chunks.map(_._3).toSeq == Seq(4, 4, 2))
     // lossless: rejoining chunks reproduces the tokenized document
     assert(chunks.map(_._2).mkString(" ") ==
       (1 to 10).map(i => s"w$i").mkString(" "))
+    // empty document: exactly one chunk of the [''] tokenization
+    val empty = TextAnalysis.chunkDocs(
+      Seq((9L, "")).toDF("doc_id", "text"), "text", 4, keep = Seq("doc_id"))
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(empty.toSeq == Seq((0, "", 1)))
+    // the quadratic-killer invariant: the optimized plan tokenizes each
+    // document ONCE — the Generate's per-chunk lambda must reference the
+    // materialized `__toks` attribute, never an inlined `split(...)`
+    // (codegen CSE cannot hoist subexpressions out of higher-order-
+    // function lambdas, so an inlined split re-tokenizes per chunk).
+    // On this LocalRelation input the projection constant-folds, so the
+    // robust check is: no split() anywhere in the Generate node itself.
+    val plan = out.queryExecution.optimizedPlan.toString
+    val generateLine = plan.linesIterator.find(_.contains("Generate"))
+    assert(generateLine.exists(!_.contains("split(")),
+      s"split() must not be inlined into the chunk lambda:\n$plan")
   }
 
   test("packGreedy: budget respected, singletons allowed, deterministic") {

@@ -7,7 +7,27 @@ against DuckDB running oracle_sql.json on views over the sf parquet tables.
 Dev tool only — not part of the library.
 """
 import sys, json, glob, os
+from decimal import Decimal
 import duckdb
+
+INT64_MIN, INT64_MAX = -2**63, 2**63 - 1
+
+def int64_violation(rows):
+    """Driver hash contract: every numeric value must fit in int64.
+
+    The driver's hasher fails HUGEINT-range values even when both engines
+    agree on them (r5: ta_chunks/ta_scrub/ta_prepare went red at the
+    driver while this local sweep was green). Returns the first offending
+    value, or None.
+    """
+    for r in rows:
+        for v in r:
+            if isinstance(v, bool):
+                continue
+            if isinstance(v, (int, Decimal)) and (
+                    v < INT64_MIN or v > INT64_MAX):
+                return v
+    return None
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -47,6 +67,13 @@ def main(outdir, sfdir):
             exptypes = dict(zip(exprel.columns, map(str, exprel.types)))
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        huge = int64_violation(got)
+        if huge is None:
+            huge = int64_violation(exp)
+        if huge is not None:
+            print(f"FAIL {name}: value outside int64 (driver hash "
+                  f"contract): {huge}")
+            n_fail += 1; continue
         if sorted(gotcols) != sorted(expcols):
             print(f"FAIL {name}: cols {sorted(gotcols)} != {sorted(expcols)}")
             n_fail += 1; continue
