@@ -91,22 +91,35 @@ final class SqlServer(spark: org.apache.spark.sql.SparkSession,
   }
 
   private def serve(sock: Socket): Unit = {
-    val in = new BufferedReader(
-      new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
-    val out = new PrintWriter(
-      new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
-    // one executor session per connection: statement effects persist
-    // across requests, sessions never see each other's scope mutations.
-    // A scope spec bootstraps each connection like the reference's
-    // connect-time setup; the static scope map rides on top of it.
-    val exec = scopeSpecPath match {
-      case Some(p) =>
-        val e = graft.exec.ScopeSpec.load(spark, p)
-        e.update(scope.toSeq: _*)
-        e
-      case None => new Executor(spark, scope)
-    }
     try {
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
+      val out = new PrintWriter(
+        new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
+      // one executor session per connection: statement effects persist
+      // across requests, sessions never see each other's scope mutations.
+      // A scope spec bootstraps each connection like the reference's
+      // connect-time setup; the static scope map rides on top of it.
+      // A bootstrap failure must still ANSWER the client (one error line,
+      // then close) — leaving the socket open would hang every client
+      // blocked on its first response.
+      val exec = try {
+        scopeSpecPath match {
+          case Some(p) =>
+            val e = graft.exec.ScopeSpec.load(spark, p)
+            e.update(scope.toSeq: _*)
+            e
+          case None => new Executor(spark, scope)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val err = mapper.createObjectNode()
+          err.put("error", s"connection bootstrap failed: ${
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+          out.println(mapper.writeValueAsString(err))
+          out.flush()
+          return
+      }
       var line = in.readLine()
       while (line != null) {
         out.println(handle(exec, line))

@@ -18,33 +18,38 @@ import graft.SparkEntry
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // comma-separated names share ONE session in sequence — reproduces
+    // the Bench context where earlier queries' residue (state-store
+    // providers, checkpoint blocks) can tax later ones
+    val names = args(0).split(",").toSeq
     val runs = if (args.length > 1) args(1).toInt else 5
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .appName(s"graft-timeone-$name")
+      .appName(s"graft-timeone-${names.mkString("+")}")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries.getOrElse(name,
-      sys.error(s"unknown query '$name'"))
-    val times = (1 to runs).map { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      System.err.println(f"[timeone] $name run $i: $dt%.2f s")
-      dt
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'"))
+      val times = (1 to runs).map { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.err.println(f"[timeone] $name run $i: $dt%.2f s")
+        dt
+      }
+      val s = times.sorted
+      val p50 = if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      println(f"""{"query":"$name","median":$p50%.3f,"runs":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
     }
-    val s = times.sorted
-    val p50 = if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    println(f"""{"query":"$name","median":$p50%.3f,"runs":[${times.map(t => f"$t%.3f").mkString(",")}]}""")
     spark.stop()
   }
 }

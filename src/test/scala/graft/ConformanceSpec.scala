@@ -706,4 +706,249 @@ class ConformanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("named"))
   }
+
+  // =====================================================================
+  // THE REFERENCE CORPUS, VERBATIM — every query of the reference's
+  // `examples` list (tests/test__postgres_conformance.py:81-255) in its
+  // original order, one registered test per query, so the correspondence
+  // between the reference suite and this engine is auditable line by
+  // line. The thematic tests above pin the same semantics with richer
+  // oracles; this section is the complete enumeration (nothing skipped,
+  // nothing re-ordered) plus the mirrored xfail list.
+  //
+  // Oracle kinds: SameSql (the verbatim text is also valid ANSI/Spark
+  // SQL with identical semantics — engine vs spark.sql), OracleSql
+  // (equivalent ANSI rewrite where the dialect diverges), LitRows (the
+  // reference's PostgreSQL-verified expected values), CountVsSpark
+  // (positional slices over unordered input: row count only, the
+  // content is nondeterministic by SQL semantics).
+  private sealed trait RefCheck
+  private case object SameSql extends RefCheck
+  private case class OracleSql(sql: String) extends RefCheck
+  private case class LitRows(rows: Seq[Seq[Any]]) extends RefCheck
+  private case object CountVsSpark extends RefCheck
+
+  private val referenceCorpus: Seq[(String, RefCheck)] = Seq(
+    "select c1, count(1) as cnt, sum(c2) from test group by c1" -> SameSql,
+    "select c1, count(1) as cnt, sum(c2) from test group by 1" -> SameSql,
+    "select c1 as a, c2 as b, c1 + c2 from test" -> SameSql,
+    "select c1 as a, c2 as b, c1 + c2 from test where c1 = 0" -> SameSql,
+    """
+        with temp as (
+            select
+                c1 as a,
+                c2 as b
+            from test
+        )
+
+        select a + b from temp
+    """ -> SameSql,
+    "select test.* from test" -> SameSql,
+    // spark.sql reads `1 = 1` as ordinal-1 = 1; group by a constant-true
+    // expression is rewritten to an equivalent all-rows-one-group form
+    "select count(*) from test group by 1 = 1" ->
+      OracleSql("select count(*) from test group by c1 is not null"),
+    "select count(*) from test" -> SameSql,
+    "select test.c1, 2 * test.c2 from test" -> SameSql,
+    """
+        select
+            c1, count(1) as cnt, sum(c2)
+        from (
+                select c1, 2 * c2 as c2
+                from test
+            ) sq
+        group by c1
+    """ -> SameSql,
+    """-- simple join
+        select c2, c4
+        from test
+        join other
+        on c1 = c3
+    """ -> SameSql,
+    """-- joins as filters (left filter)
+        select c2, c4
+        from test
+        join other
+        on c1 = c3 and c1 = 0
+    """ -> SameSql,
+    """-- joins as filters (right filter)
+        select c2, c4
+        from test
+        join other
+        on c1 = c3 and c3 = 0
+    """ -> SameSql,
+    """-- join with transforms (left transform)
+        select c2, c4
+        from test
+        join other
+        on (c1 + 1) % 2 = c3
+    """ -> SameSql,
+    """-- join with transforms (right transform)
+        select c2, c4
+        from test
+        join other
+        on c1 = (c3 + 1) % 2
+    """ -> SameSql,
+    """-- cross-join with filter
+        select c2, c4
+        from test, other
+        where c1 = (c3 + 1) % 2
+    """ -> SameSql,
+    """-- join with inequality
+        select c2, c4
+        from test
+        join other
+        on c1 <= c3
+    """ -> SameSql,
+    """
+        select *
+        from test
+        left join other
+        on c1 < c3
+    """ -> SameSql,
+    """
+        select *
+        from other
+        right join test
+        on c1 < c3
+    """ -> SameSql,
+    """
+        select c2, c4
+        from test
+        left join other
+        on c1 = (c3 + 1) % 2
+    """ -> SameSql,
+    """
+        select sum(c2), avg(c4)
+        from test
+        join other
+        on c1 = c3
+        group by c1
+    """ -> SameSql,
+    // PG double-quoted identifiers; Spark SQL quotes with backticks
+    """select "c1", "test"."c2" from test""" ->
+      OracleSql("select c1, test.c2 from test"),
+    // case sensitivity: the reference's PostgreSQL-verified expectations
+    "select 'Foo' like '%oo' " -> LitRows(Seq(Seq(true))),
+    "select 'Foo' like '%OO' " -> LitRows(Seq(Seq(false))),
+    "select upper('Foo') like '%OO' " -> LitRows(Seq(Seq(true))),
+    "select 'Foo' like lower('%OO') " -> LitRows(Seq(Seq(true))),
+    // PG concat skips NULLs (Spark's returns NULL — genuine divergence)
+    "select concat('foo', null, 'bar')" -> LitRows(Seq(Seq("foobar"))),
+    """select * from json_each(cast('{"foo": "bar", "hello": "world"}' as json)) """ ->
+      LitRows(Seq(Seq("foo", "bar"), Seq("hello", "world"))),
+    """select * from json_each('{"foo": "bar", "hello": "world"}' :: json)""" ->
+      LitRows(Seq(Seq("foo", "bar"), Seq("hello", "world"))),
+    """
+        select b.key
+        from
+            json_array_elements('[{"foo": "bar"}]' :: json),
+            lateral json_each(value) as b
+        order by key
+    """ -> LitRows(Seq(Seq("foo"))),
+    "select trim(both 'xyz' from 'yxTomxx')" -> LitRows(Seq(Seq("Tom"))),
+    "select position('f' in 'foo'), position('b' in 'foo')" ->
+      LitRows(Seq(Seq(1, 0))),
+    "select 'Post' || 'greSQL' " -> LitRows(Seq(Seq("PostgreSQL"))),
+    "select true and false, true or false, true and not false " ->
+      LitRows(Seq(Seq(false, true, true))),
+    "select 0 <> 1, 0 < 1, 1 > 2, 1 <= 2, 3 >= 4, 3 = 3, 4 != 4 " ->
+      LitRows(Seq(Seq(true, true, false, true, false, true, false))),
+    // ^ is POWER and # is XOR in the dialect (Spark: ^ is XOR, no #)
+    """
+         select
+             2 + 3, 2 - 3, 2 * 3, 4 / 2,
+             5 % 4, 2.0 ^ 3.0, 91 & 15,
+             32 | 3, 17 # 5, ~1, 1 << 4,
+             8 >> 2
+    """ -> LitRows(Seq(Seq[Any](5L, -1L, 6L, 2.0, 1L, 8.0, 11L, 35L, 20L,
+      -2L, 16L, 2L))),
+    "select * from test limit 3" -> SameSql,
+    "select * from test limit 3 offset 2" -> CountVsSpark,
+    "select * from test offset 3" -> CountVsSpark,
+    "select distinct c1 from test" -> SameSql,
+    "select all c1 from test" -> SameSql,
+    """
+        SELECT c2,
+           CASE WHEN c2 = 1 THEN 'one'
+                WHEN c2 = 2 THEN 'two'
+                ELSE 'other'
+           END
+        FROM test
+    """ -> SameSql,
+    """
+        SELECT c2,
+           CASE c2
+               WHEN 1 THEN 'one'
+               WHEN 2 THEN 'two'
+               ELSE 'other'
+           END
+        FROM test
+    """ -> SameSql,
+    "select false and true or true" -> LitRows(Seq(Seq(true))),
+    "select c1, c2 from test order by 1, c2" -> SameSql,
+    "select * from test as a, test as b" -> SameSql,
+    """
+        select
+            (2.0 + 3.0) ^ 2.0 + (1.0 - 2.0) ^ 2.0,
+            2.0 * 3.0 ^ 2.0,
+            2.0 * 4.0 + 3.0
+    """ -> LitRows(Seq(Seq(26.0, 18.0, 11.0))),
+    """
+        select names.id, avg(age)
+        from names
+        join ages
+        on names.id = ages.id
+        group by 1
+    """ -> SameSql)
+
+  // the reference's xfail_examples, mirrored: queries PostgreSQL accepts
+  // but the reference engine cannot execute. This engine SUPPORTS both —
+  // a documented divergence-in-its-favor, so they are asserted to PASS
+  // with PostgreSQL's values rather than to fail.
+  private val referenceXfailCorpus: Seq[(String, RefCheck)] = Seq(
+    """
+        select distinct on (c1)
+            c1,
+            c2,
+            -c2 ^ c1 as c3
+        from test
+        order by c1, c2
+    """ -> LitRows(Seq(Seq[Any](0L, 1L, -1.0), Seq[Any](1L, 2L, -2.0))),
+    """
+        -- order-by with a transformed column
+        select *
+        from test
+        order by 4 * c1
+    """ -> SameSql)
+
+  private def runRefCheck(q: String, chk: RefCheck): Unit = chk match {
+    case SameSql => check(q)
+    case OracleSql(o) => check(q, o)
+    case LitRows(rows) => checkLit(q, rows)
+    case CountVsSpark =>
+      fixtures
+      assert(exec.query(q).count() == spark.sql(q).count(),
+        s"row count mismatch for: $q")
+  }
+
+  referenceCorpus.zipWithIndex.foreach { case ((q, chk), i) =>
+    val label = q.trim.linesIterator.next().take(58)
+    test(f"reference corpus [${i + 1}%02d/${referenceCorpus.size}] $label") {
+      runRefCheck(q, chk)
+    }
+  }
+  referenceXfailCorpus.zipWithIndex.foreach { case ((q, chk), i) =>
+    val label = q.trim.linesIterator.next().take(50)
+    test(f"reference corpus xfail [${i + 1}] (supported here) $label") {
+      runRefCheck(q, chk)
+    }
+  }
+
+  test("reference corpus is complete: 48 examples + 2 xfail") {
+    // pinned to the reference list's length so a silent drop of an entry
+    // (merge damage, accidental dedup) fails loudly
+    assert(referenceCorpus.size == 48)
+    assert(referenceXfailCorpus.size == 2)
+  }
 }

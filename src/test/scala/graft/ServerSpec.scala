@@ -132,6 +132,20 @@ class ServerSpec extends AnyFunSuite {
     } finally { client.close(); server.close() }
   }
 
+  test("bootstrap failure answers the client instead of hanging it") {
+    // r6 bug found by tools/sql_client.py: a bad scope spec threw OUTSIDE
+    // serve()'s try/finally, leaving the socket open — every client hung
+    // forever on its first readline. Now: one error line, then close.
+    val server = new SqlServer(spark,
+      scopeSpecPath = Some("/nonexistent/scope.json"))
+    val client = new SqlClient("127.0.0.1", server.boundPort)
+    try {
+      val resp = client.request("""{"sql": "select 1"}""")
+      assert(resp.has("error"), s"expected bootstrap error, got $resp")
+      assert(resp.get("error").asText.contains("bootstrap"))
+    } finally { client.close(); server.close() }
+  }
+
   test("duplicate result column names stay positional") {
     withServer { c =>
       val Some((cols, rows)) = c.execute(
