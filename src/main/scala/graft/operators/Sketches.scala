@@ -83,6 +83,36 @@ object Sketches {
       .orderBy(col("n_exact").desc, col(keyCol))
   }
 
+  /** Native `approx_top_k` (Spark 4.1's frequent-items sketch aggregate)
+    * cross-checked against the exact top-k — the compositional gate
+    * NOTES.md queued in r5. Output is aggregate-only because top-k
+    * membership under count TIES is legitimately nondeterministic in
+    * any sketch; the invariants are: k items returned, every estimated
+    * count equals its exact count (the sketch is exact while
+    * `maxTracked` ≥ distinct keys — here 64k vs ≤1.5k users), and every
+    * returned item's exact count clears the exact k-th-largest count
+    * (i.e. the set is A valid top-k, tie-modulo). At 100 TB only the
+    * single-pass mergeable sketch runs; the exact side exists as the
+    * test harness, same as [[heavyHittersWithCms]]. */
+  def approxTopK(df: DataFrame, keyCol: String, k: Int,
+      maxTracked: Int = 65536): DataFrame = {
+    val approx = df
+      .agg(expr(s"approx_top_k($keyCol, $k, $maxTracked)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("est"))
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_exact"))
+    val kth = exact.orderBy(col("n_exact").desc).limit(k)
+      .agg(min(col("n_exact")).as("kth_count"))
+    approx.join(exact, col("item") === col(keyCol), "left")
+      .crossJoin(broadcast(kth))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("est") === col("n_exact")).cast("bigint"))
+          .as("n_count_match"),
+        min(col("kth_count")).as("kth_count"),
+        min((col("n_exact") >= col("kth_count")).cast("bigint"))
+          .as("valid_topk"))
+  }
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ap_distinct_hll" -> ((s, dir) =>
@@ -92,7 +122,9 @@ object Sketches {
       medianWithGk(Tables.load(s, dir, "events"), "event_type", "value")
         .orderBy(col("event_type"))),
     "ap_heavy_hitters" -> ((s, dir) =>
-      heavyHittersWithCms(Tables.load(s, dir, "events"), "user_id", k = 10))
+      heavyHittersWithCms(Tables.load(s, dir, "events"), "user_id", k = 10)),
+    "ap_top_k" -> ((s, dir) =>
+      approxTopK(Tables.load(s, dir, "events"), "user_id", k = 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -117,6 +149,18 @@ object Sketches {
         |  CAST(1 AS BIGINT) AS no_underest,
         |  CAST(1 AS BIGINT) AS within_eps
         |FROM events GROUP BY user_id
-        |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin
+        |ORDER BY n_exact DESC, user_id LIMIT 10""".stripMargin,
+    // the exact k-th-largest count reproduced; the sketch-exactness and
+    // valid-top-k flags asserted (item identities under count ties are
+    // legitimately sketch-dependent, so the gate is set-invariant)
+    "ap_top_k" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        |  ORDER BY n DESC LIMIT 10)
+        |SELECT CAST(10 AS BIGINT) AS n_items,
+        |  CAST(10 AS BIGINT) AS n_count_match,
+        |  CAST(min(n) AS BIGINT) AS kth_count,
+        |  CAST(1 AS BIGINT) AS valid_topk
+        |FROM c""".stripMargin
   )
 }

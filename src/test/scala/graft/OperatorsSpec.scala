@@ -564,6 +564,19 @@ class OperatorsSpec extends AnyFunSuite {
       s"split() must not be inlined into the chunk lambda:\n$plan")
   }
 
+  test("approxTopK: sketch-exact counts, tie-valid membership at the k boundary") {
+    // counts 5,4,3,3,1 with k=3: the boundary is a TIE between two keys
+    // of count 3 — either is a valid 3rd item; the gate asserts set
+    // validity (every member clears kth_count), not a specific winner
+    val df = (Seq.fill(5)(1) ++ Seq.fill(4)(2) ++ Seq.fill(3)(3) ++
+      Seq.fill(3)(4) ++ Seq(5)).toDF("k")
+    val r = Sketches.approxTopK(df, "k", k = 3).head()
+    assert(r.getLong(0) == 3L, "n_items")
+    assert(r.getLong(1) == 3L, "n_count_match — sketch must be exact here")
+    assert(r.getLong(2) == 3L, "kth_count")
+    assert(r.getLong(3) == 1L, "valid_topk")
+  }
+
   test("packGreedy: budget respected, singletons allowed, deterministic") {
     val chunks = Seq(
       (1L, 0, 300L), (1L, 1, 300L), (2L, 0, 300L), // pairwise > 512
