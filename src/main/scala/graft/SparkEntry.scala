@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.EngineSql.queries ++
     graft.operators.TextAnalysis.queries ++
+    graft.operators.C4.queries ++
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.Multimodal.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
     graft.queries.EngineSql.oracleSql ++
     graft.operators.TextAnalysis.oracleSql ++
+    graft.operators.C4.oracleSql ++
     graft.operators.Dedup.oracleSql ++
     graft.operators.Similarity.oracleSql ++
     graft.operators.Multimodal.oracleSql ++

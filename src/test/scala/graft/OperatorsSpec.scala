@@ -564,6 +564,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"split() must not be inlined into the chunk lambda:\n$plan")
   }
 
+  test("C4 line rules: terminal punctuation, >=5 words, no javascript") {
+    val doc =
+      "A proper sentence with enough words here.\n" + // kept
+      "Too short.\n" +                                 // < 5 words
+      "No terminal punctuation in this line at all\n" + // no . ! ? "
+      "This JavaScript mention kills the line dead.\n" + // marker word
+      "Ends with a question mark doesn't it?\n" +      // kept (?)
+      "He said \"quoted ending stays in too.\""        // kept (")
+    val df = Seq((1L, doc)).toDF("doc_id", "text")
+    val cleaned = df.select(C4.lineClean(col("text")).as("c")).head().getString(0)
+    assert(cleaned.linesIterator.size == 3, s"cleaned:\n$cleaned")
+    assert(!cleaned.toLowerCase.contains("javascript"))
+    assert(!cleaned.contains("Too short"))
+    // page flags on a failing page
+    val bad = Seq((2L, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\nSample { code here with many words inside.")).toDF("doc_id", "text")
+    val q = bad.select(C4.pageFlags(C4.lineClean(col("text"))).as("q"))
+      .select(col("q.ok_lorem"), col("q.ok_brace"), col("q.ok_sentences")).head()
+    assert(!q.getBoolean(0) && !q.getBoolean(1) && !q.getBoolean(2))
+  }
+
+  test("C4 span dedup: cross-document spans deduplicate to first occurrence") {
+    val shared = "One full sentence here. Two full sentences here. Three full sentences here. Four closes it."
+    val docs = Seq((1L, shared), (2L, shared), (3L, "Entirely different first. Entirely different second. Entirely different third."))
+      .toDF("doc_id", "text")
+    val spans = C4.spanDedup(docs).collect()
+    // doc1: 2 spans, doc2: 2 spans (duplicates of doc1's), doc3: 1 span
+    assert(spans.length == 5)
+    assert(spans.count(_.getAs[Long]("first") == 1L) == 3)
+    // the duplicates are exactly doc 2's spans (first occurrence = lowest doc_id)
+    assert(spans.filter(_.getAs[Long]("first") == 0L)
+      .forall(_.getAs[Long]("doc_id") == 2L))
+  }
+
   test("approxTopK: sketch-exact counts, tie-valid membership at the k boundary") {
     // counts 5,4,3,3,1 with k=3: the boundary is a TIE between two keys
     // of count 3 — either is a valid 3rd item; the gate asserts set
