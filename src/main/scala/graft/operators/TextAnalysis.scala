@@ -205,6 +205,74 @@ object TextAnalysis {
         / size(paras) <= 0.3).as("ok_duppara"))
   }
 
+  /** Gopher §A1.1.1 repetition-removal filters (Rae et al. 2021, Table
+    * A1) — the n-gram half that [[gopherQualityFlags]]' ok_duplines /
+    * ok_duppara don't cover: a document is repetitive when the MOST
+    * COMMON word n-gram (n = 2, 3, 4) covers too many of its characters
+    * (thresholds 0.20 / 0.18 / 0.16), or when DUPLICATED n-grams
+    * (n = 5..10, count > 1) cover too many (0.15 / 0.14 / 0.13 / 0.12 /
+    * 0.11 / 0.10). Character coverage uses the n-gram string length
+    * over the normalized joined-token length, counting every occurrence
+    * (the RedPajama/Dolma simplification of the paper's position-marked
+    * variant — documented divergence, same filtering behavior on
+    * natural text). Threshold comparisons are INTEGER-exact
+    * (`chars·100 ≤ t100·total`), so both engines agree bit-for-bit with
+    * no float division anywhere.
+    *
+    * Scale shape: ONE posexplode pass (narrow) + one doc-keyed window
+    * for the lead-token n-gram build covering all nine sizes, a
+    * (doc, n, gram) count shuffle, a (doc, n) reduce, and a broadcast-
+    * size grid join — linear in corpus tokens, never quadratic, no
+    * per-size rescan of the corpus.
+    *
+    * Returns (doc_id, n, num_chars, total, pass): one row per document
+    * per n, docs with fewer than n tokens passing with num_chars 0. */
+  val gopherNgramThresholds: Map[Int, Int] = Map(
+    2 -> 20, 3 -> 18, 4 -> 16,
+    5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  def gopherNgramStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ns = gopherNgramThresholds.keys.toSeq.sorted
+    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val census = withToks.select(col("doc_id"),
+      length(concat_ws(" ", col("toks"))).cast("long").as("total"))
+    val pos = withToks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "t")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (0 until ns.max).map(i =>
+      if (i == 0) col("t") else lead(col("t"), i).over(byPos))
+    // gram_n is NULL when the window runs off the document end
+    val gramCols = ns.map { n =>
+      when(leads(n - 1).isNotNull,
+        concat_ws(" ", leads.take(n): _*)).as(s"g$n")
+    }
+    val grams = pos.select(col("doc_id") +: gramCols: _*)
+      .select(col("doc_id"), explode(map_filter(
+        map(ns.flatMap(n => Seq(lit(n), col(s"g$n"))): _*),
+        (_, g) => g.isNotNull)).as(Seq("n", "gram")))
+    val perGram = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDocN = perGram.groupBy(col("doc_id"), col("n"))
+      .agg(
+        max(col("cnt") * length(col("gram"))).as("top_chars"),
+        sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+          .otherwise(0L)).as("dup_chars"))
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val thresholds = ns.map(n => (n, gopherNgramThresholds(n)))
+      .toDF("n", "t100")
+    val grid = census.crossJoin(broadcast(thresholds))
+    grid.join(perDocN, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"),
+        coalesce(when(col("n") <= 4, col("top_chars"))
+          .otherwise(col("dup_chars")), lit(0L)).as("num_chars"),
+        col("total"), col("t100"))
+      .select(col("doc_id"), col("n"), col("num_chars"), col("total"),
+        (col("num_chars") * 100 <= col("t100") * col("total"))
+          .cast("bigint").as("pass"))
+  }
+
   /** Chunk structs over an ALREADY-MATERIALIZED token-array column.
     * `toks` must be a bound column (an attribute from a previous
     * projection), NOT an inline `split(...)` expression: the lambda
@@ -435,6 +503,20 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
           checksum60(col("h")).as("checksum"))
         .orderBy(col("shard"))
+    }),
+    // Gopher §A1.1.1 n-gram repetition filters: per-(source, n) doc
+    // counts, repeated-char mass, and pass counts — all integer
+    // arithmetic, fully DuckDB-reproduced
+    "ta_gopher_ngrams" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      gopherNgramStats(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("num_chars")).as("rep_chars"),
+          sum(col("total")).as("total_chars"),
+          sum(col("pass")).as("n_pass"))
+        .orderBy(col("source"), col("n"))
     }),
     // Gopher quality rules: per-source counts of every flag, all
     // DuckDB-reproduced (pure expressions, portable thresholds)
@@ -686,6 +768,47 @@ object TextAnalysis {
         |        '$ipv4Re', '<IP>', 'g')), 1, 15)) AS BIGINT))
         |    % 1152921504606846976 AS BIGINT) AS scrub_checksum
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "ta_gopher_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |census AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS total
+        |  FROM t),
+        |pos AS (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM t),
+        |grams AS (
+        |  SELECT doc_id, nn.n AS n,
+        |    array_to_string(toks[i+1:i+nn.n], ' ') AS gram
+        |  FROM pos, (SELECT unnest(range(2, 11)) AS n) nn
+        |  WHERE i + nn.n <= len(toks)),
+        |counts AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
+        |perdocn AS (
+        |  SELECT doc_id, n,
+        |    max(cnt * length(gram)) AS top_chars,
+        |    sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
+        |      AS dup_chars
+        |  FROM counts GROUP BY 1, 2),
+        |th AS (SELECT * FROM (VALUES (2,20),(3,18),(4,16),(5,15),(6,14),
+        |  (7,13),(8,12),(9,11),(10,10)) v(n, t100)),
+        |grid AS (
+        |  SELECT c.doc_id, c.source, c.total, th.n, th.t100
+        |  FROM census c CROSS JOIN th),
+        |j AS (
+        |  SELECT g.source, g.n,
+        |    COALESCE(CASE WHEN g.n <= 4 THEN p.top_chars
+        |             ELSE p.dup_chars END, 0) AS num_chars,
+        |    g.total, g.t100
+        |  FROM grid g LEFT JOIN perdocn p
+        |    ON g.doc_id = p.doc_id AND g.n = p.n)
+        |SELECT source, n, count(*) AS n_docs,
+        |  CAST(sum(num_chars) AS BIGINT) AS rep_chars,
+        |  CAST(sum(total) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN num_chars * 100 <= t100 * total
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM j GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
     "ta_gopher" -> ("WITH " + gopherFlagsCteSql + s"""
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN ok_nwords THEN 1 ELSE 0 END) AS BIGINT) AS n_ok_nwords,

@@ -564,6 +564,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"split() must not be inlined into the chunk lambda:\n$plan")
   }
 
+  test("gopherNgramStats: repetitive doc fails, clean doc passes, short doc trivially passes") {
+    val repeated = Seq.fill(20)("the same five gram phrase repeats endlessly").mkString(" ")
+    val clean = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, repeated), (2L, clean), (3L, "one")).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.gopherNgramStats(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // 9 rows (n = 2..10) per doc, including the 1-token doc
+    assert(byDoc.values.forall(_.length == 9))
+    // the repeated doc fails EVERY n: its top n-grams cover ~all chars
+    // and every 5..10-gram is duplicated
+    assert(byDoc(1L).forall(_.getAs[Long]("pass") == 0L))
+    // the all-distinct doc passes every n with zero duplicate mass
+    assert(byDoc(2L).forall(r => r.getAs[Long]("pass") == 1L))
+    assert(byDoc(2L).filter(_.getAs[Int]("n") >= 5)
+      .forall(_.getAs[Long]("num_chars") == 0L))
+    // a doc shorter than n tokens has no n-grams: num 0, pass
+    assert(byDoc(3L).forall(r =>
+      r.getAs[Long]("num_chars") == 0L && r.getAs[Long]("pass") == 1L))
+  }
+
   test("C4 line rules: terminal punctuation, >=5 words, no javascript") {
     val doc =
       "A proper sentence with enough words here.\n" + // kept
