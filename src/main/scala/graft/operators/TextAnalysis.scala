@@ -231,12 +231,17 @@ object TextAnalysis {
     2 -> 20, 3 -> 18, 4 -> 16,
     5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
 
-  def gopherNgramStats(docs: DataFrame): DataFrame = {
+  def gopherNgramStats(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ns = gopherNgramThresholds.keys.toSeq.sorted
-    val withToks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val census = withToks.select(col("doc_id"),
-      length(concat_ws(" ", col("toks"))).cast("long").as("total"))
+    val withToks = docs.select(
+      (col("doc_id") +: keep.map(col)) :+ tokens(col("text")).as("toks"): _*)
+    // `keep` columns ride the census (one row per doc) so callers don't
+    // re-scan the corpus to join them back — at 100 TB a third corpus
+    // pass for a source label is real money
+    val census = withToks.select(
+      (col("doc_id") +: keep.map(col)) :+
+        length(concat_ws(" ", col("toks"))).cast("long").as("total"): _*)
     val pos = withToks.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("pos", "t")))
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -264,13 +269,14 @@ object TextAnalysis {
       .toDF("n", "t100")
     val grid = census.crossJoin(broadcast(thresholds))
     grid.join(perDocN, Seq("doc_id", "n"), "left")
-      .select(col("doc_id"), col("n"),
+      .select((col("doc_id") +: keep.map(col)) ++ Seq(col("n"),
         coalesce(when(col("n") <= 4, col("top_chars"))
           .otherwise(col("dup_chars")), lit(0L)).as("num_chars"),
-        col("total"), col("t100"))
-      .select(col("doc_id"), col("n"), col("num_chars"), col("total"),
+        col("total"), col("t100")): _*)
+      .select((col("doc_id") +: keep.map(col)) ++ Seq(col("n"),
+        col("num_chars"), col("total"),
         (col("num_chars") * 100 <= col("t100") * col("total"))
-          .cast("bigint").as("pass"))
+          .cast("bigint").as("pass")): _*)
   }
 
   /** Chunk structs over an ALREADY-MATERIALIZED token-array column.
@@ -509,8 +515,7 @@ object TextAnalysis {
     // arithmetic, fully DuckDB-reproduced
     "ta_gopher_ngrams" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      gopherNgramStats(docs)
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      gopherNgramStats(docs, keep = Seq("source"))
         .groupBy(col("source"), col("n"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("num_chars")).as("rep_chars"),

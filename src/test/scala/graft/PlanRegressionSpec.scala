@@ -167,6 +167,54 @@ class PlanRegressionSpec extends AnyFunSuite {
     assertNoUdf(pp, "ta_prepare")
   }
 
+  test("ta_chunks / ta_pack: tokenize-once chunking, no cartesian, no UDF") {
+    // the r5 quadratic bug inlined split() into the per-chunk lambda;
+    // the Generate node must reference only the materialized token
+    // attribute (chunkDocs contract, also pinned in OperatorsSpec)
+    Seq("ta_chunks", "ta_pack").foreach { q =>
+      val p = plan(q)
+      val gen = p.linesIterator.filter(_.contains("Generate"))
+      assert(gen.nonEmpty && gen.forall(!_.contains("split(")),
+        s"$q: split() inlined into the chunk Generate")
+      assert(!p.contains("CartesianProduct"), s"$q plan has CartesianProduct")
+    }
+    // ta_chunks is join-free end to end; ta_pack's only BNLJ is the
+    // declared 1-row × 1-row census crossJoin (windows ⨯ census)
+    assertNoCartesian(plan("ta_chunks"), "ta_chunks")
+    assertNoUdf(plan("ta_chunks"), "ta_chunks")
+  }
+
+  test("ta_c4 / ta_c4_spans: line rules stay narrow, span dedup equi-only") {
+    val p1 = plan("ta_c4")
+    assertNoCartesian(p1, "ta_c4"); assertNoUdf(p1, "ta_c4")
+    // line cleanup is a pure map: exactly one exchange (the final
+    // per-source aggregate), no join of any kind
+    assert(!p1.contains("Join"), "ta_c4 must be join-free")
+    val p2 = plan("ta_c4_spans")
+    assertNoCartesian(p2, "ta_c4_spans"); assertNoUdf(p2, "ta_c4_spans")
+  }
+
+  test("ta_gopher_ngrams: one corpus pass, broadcast threshold grid only") {
+    val p = plan("ta_gopher_ngrams")
+    assertNoUdf(p, "ta_gopher_ngrams")
+    assert(!p.contains("CartesianProduct"), "cartesian in ngram plan")
+    // the only nested-loop shape allowed is the 9-row threshold grid
+    // broadcast; the corpus-side scans must not multiply: the documents
+    // parquet is read at most twice (census pass + n-gram pass — `keep`
+    // carries source, so no third join-back scan). Count NUMBERED node
+    // lines: FormattedMode prints every node twice (tree + details).
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"documents scanned $scans times (fan-out regression)")
+  }
+
+  test("ap_top_k: sketch aggregate present, exact side broadcast-joined") {
+    val p = plan("ap_top_k")
+    assert(p.toLowerCase.contains("approx_top_k"),
+      "native approx_top_k aggregate missing from plan")
+    assertNoUdf(p, "ap_top_k")
+    assert(!p.contains("CartesianProduct"), "cartesian in ap_top_k")
+  }
+
   test("runtime bloom filter injects on a selective dim join (shuffle path)") {
     // At 100 TB a fact⋈filtered-dim join that is too big to broadcast
     // goes shuffle — and Spark's runtime bloom filter (InjectRuntimeFilter)
