@@ -38,6 +38,48 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts_nanos div 1000)"))
   }
 
+  /** documents table schema (generator contract — TESTDATA.md). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming read of the documents parquet — the INGESTION face of the
+    * text pipeline: the same pure-expression operators
+    * ([[graft.operators.TextAnalysis]]) run incrementally over arriving
+    * document batches. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Streaming corpus-quality monitor: per-source counts of documents
+    * passing the language gate and the token/punctuation quality gate —
+    * [[graft.operators.TextAnalysis]] expressions applied to a stream.
+    * Stateless map + complete-mode aggregate: state is one row per
+    * source, bounded regardless of corpus size; the narrow stages fuse
+    * into the stream scan exactly as they do in batch (the operators
+    * are ordinary Catalyst expressions, so incremental == batch by
+    * construction — the invariant the driver oracle checks). */
+  def qualityMonitor(docs: DataFrame, minTokens: Int = 5,
+      maxPunct: Double = 0.2): DataFrame = {
+    import graft.operators.TextAnalysis
+    docs
+      .select(col("source"),
+        TextAnalysis.langId(col("text")).as("pred"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("pred") === "en").cast("long")).as("n_en"),
+        sum((col("n_tokens") >= minTokens &&
+          col("punct") < maxPunct).cast("long")).as("n_quality"),
+        sum(col("n_tokens")).as("tokens"))
+  }
+
   /** Tumbling-window counts/sums per event type, watermarked. */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour"): DataFrame =
     events
@@ -252,6 +294,13 @@ object Streams {
       runToCompletion(s, cleaned, mode = "complete")
         .orderBy(col("event_type"))
     }),
+    // the text-pipeline quality gate run as a STREAM over the documents
+    // parquet; final table must equal DuckDB's batch computation —
+    // incremental == batch for the ingestion-path operators
+    "st_quality" -> ((s, dir) => {
+      runToCompletion(s, qualityMonitor(readDocuments(s, dir)))
+        .orderBy(col("source"))
+    }),
     "st_join_attribution" -> ((s, dir) => {
       runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
         .groupBy(date_format(
@@ -306,6 +355,43 @@ object Streams {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id % 3 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "st_quality" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE
+        |      WHEN greatest(
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t))),
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t))),
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))) = 0
+        |        THEN 'und'
+        |      WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t)))
+        |        AND len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t)))
+        |        THEN 'fr'
+        |      WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t)))
+        |        THEN 'de'
+        |      ELSE 'en' END AS pred,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN n_tokens >= 5 AND punct < 0.2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quality,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "st_join_attribution" ->
       """SELECT strftime(to_timestamp(floor(epoch(p.ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS hour,
