@@ -86,6 +86,19 @@ object Sampling {
       .drop("__src", "__src_tokens", "__frac")
   }
 
+  /** Deterministic corpus shuffle: global reordering by a SEEDED
+    * portable hash — the "shuffle the training data" stage with no RNG
+    * state anywhere, so every run, retry, and resumption produces the
+    * identical order (and changing the seed produces an independent
+    * order). At scale this is a range-partitioned sort on a 60-bit key:
+    * Spark samples key ranges, each partition sorts locally, output is
+    * globally ordered without any single-node bottleneck. Ties (hash
+    * collisions) break on the key column for a total order. */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: Long): DataFrame =
+    df.withColumn("shuffle_key", TextAnalysis.md5Prefix60(
+        concat(lit(seed.toString), lit(":"), key.cast("string"))))
+      .orderBy(col("shuffle_key"), key)
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-source stratified sample audit: the whole point is that the
@@ -113,6 +126,13 @@ object Sampling {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
         .orderBy(col("shard"))
     }),
+    // deterministic training-order shuffle: the head of the seeded
+    // global order, fully value-pinned (the top-k fuses to
+    // TakeOrderedAndProject — no global single-partition sort)
+    "ta_shuffle" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      deterministicShuffle(docs, col("doc_id"), seed = 42L).limit(10)
+    }),
     // domain mixture under a 40k-token budget: src0 half, src1/src2 a
     // quarter each (exact binary weights — the budget×weight literals
     // must byte-match the oracle's), everything else weight 0
@@ -137,6 +157,11 @@ object Sampling {
         |        AS BIGINT) / 1152921504606846976.0
         |  < (CASE WHEN source IN ('src0', 'src1') THEN 0.5 ELSE 0.1 END)
         |GROUP BY source ORDER BY source""".stripMargin,
+    "ta_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id LIMIT 10""".stripMargin,
     "ta_shards" ->
       """WITH t AS (
         |  SELECT doc_id,

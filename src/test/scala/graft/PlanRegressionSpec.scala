@@ -215,6 +215,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian in ap_top_k")
   }
 
+  test("ta_shuffle: seeded global order fuses to TakeOrderedAndProject") {
+    val p = plan("ta_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit not fused — a global sort would bottleneck at scale")
+    assertNoUdf(p, "ta_shuffle")
+  }
+
   test("runtime bloom filter injects on a selective dim join (shuffle path)") {
     // At 100 TB a fact⋈filtered-dim join that is too big to broadcast
     // goes shuffle — and Spark's runtime bloom filter (InjectRuntimeFilter)
