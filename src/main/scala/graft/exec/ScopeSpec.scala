@@ -41,4 +41,22 @@ object ScopeSpec {
       exec.execute(stmt.asText())
     exec
   }
+
+  /** Per-connection executor bootstrap shared by both network servers
+    * ([[graft.server.SqlServer]], [[graft.server.PgWireServer]]): the
+    * optional scope spec runs first (connect-time `setup` parity with
+    * the reference dialect), then the static scope map rides on top.
+    * Throws on a bad spec — each server answers the client in its own
+    * protocol and closes (never leave the socket silently open: that
+    * was the r6 SqlServer hang bug). */
+  def bootstrap(spark: SparkSession,
+      scope: Map[String, org.apache.spark.sql.DataFrame],
+      scopeSpecPath: Option[String]): Executor =
+    scopeSpecPath match {
+      case Some(p) =>
+        val e = load(spark, p)
+        e.update(scope.toSeq: _*)
+        e
+      case None => new Executor(spark, scope)
+    }
 }

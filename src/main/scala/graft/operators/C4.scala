@@ -29,10 +29,13 @@ import graft.sources.Tables
   */
 object C4 {
 
-  /** Lines surviving the C4 line rules, rejoined with newlines. */
+  /** Lines surviving the C4 line rules, rejoined with newlines. The
+    * terminal-punctuation anchor is `\z` (strict end-of-text, identical
+    * in Java and RE2) — Java's `$` also matches before a trailing `\r`,
+    * RE2's does not, so `$` would diverge on CRLF corpora. */
   def lineClean(c: Column): Column = {
     val kept = filter(split(c, "\n"), l =>
-      trim(l).rlike("[.!?\"]$") &&
+      trim(l).rlike("[.!?\"]\\z") &&
         size(split(trim(l), "\\s+")) >= 5 &&
         !lower(l).contains("javascript"))
     concat_ws("\n", kept)
@@ -43,10 +46,13 @@ object C4 {
   def sentenceCount(c: Column): Column =
     size(split(c, "[.!?]", -1)) - 1
 
-  /** Page-level flags over the LINE-CLEANED text. */
-  def pageFlags(cleaned: Column): Column = struct(
-    (!lower(cleaned).contains("lorem ipsum")).as("ok_lorem"),
-    (!cleaned.contains("{")).as("ok_brace"),
+  /** Page-level flags: the content markers ("lorem ipsum", `{`) test the
+    * RAW page — the paper drops pages whose content contains them, even
+    * when the offending line would already fall to line cleaning — while
+    * the sentence floor applies to what line cleaning RETAINED. */
+  def pageFlags(raw: Column, cleaned: Column): Column = struct(
+    (!lower(raw).contains("lorem ipsum")).as("ok_lorem"),
+    (!raw.contains("{")).as("ok_brace"),
     (sentenceCount(cleaned) >= 3).as("ok_sentences"))
 
   /** (doc_id, span_id, h, first) rows: every 3-sentence-fragment span of
@@ -101,8 +107,8 @@ object C4 {
       val docs = plantForC4(Tables.load(s, dir, "documents"))
       val flags = Seq("ok_lorem", "ok_brace", "ok_sentences")
       val cleaned = docs
-        .select(col("source"), lineClean(col("text")).as("ctext"))
-        .withColumn("q", pageFlags(col("ctext")))
+        .select(col("source"), col("text"), lineClean(col("text")).as("ctext"))
+        .withColumn("q", pageFlags(col("text"), col("ctext")))
       cleaned.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           flags.map(f => sum(col(s"q.$f").cast("long")).as(s"n_$f")) ++ Seq(
@@ -153,17 +159,17 @@ object C4 {
     "ta_c4" ->
       ("WITH " + plantedCte + """,
         |c AS (
-        |  SELECT source,
+        |  SELECT source, text,
         |    COALESCE(array_to_string(list_filter(string_split(text, chr(10)),
-        |      l -> regexp_matches(trim(l), '[.!?"]$')
+        |      l -> regexp_matches(trim(l), '[.!?"]\z')
         |        AND len(string_split_regex(trim(l), '\s+')) >= 5
         |        AND position('javascript' IN lower(l)) = 0), chr(10)), '')
         |      AS ctext
         |  FROM p),
         |f AS (
         |  SELECT source, ctext,
-        |    position('lorem ipsum' IN lower(ctext)) = 0 AS ok_lorem,
-        |    position('{' IN ctext) = 0 AS ok_brace,
+        |    position('lorem ipsum' IN lower(text)) = 0 AS ok_lorem,
+        |    position('{' IN text) = 0 AS ok_brace,
         |    len(string_split_regex(ctext, '[.!?]')) - 1 >= 3 AS ok_sentences
         |  FROM c)
         |SELECT source, count(*) AS n_docs,

@@ -184,7 +184,9 @@ object TextAnalysis {
     val lines = split(c, "\n")
     val nLines = size(lines)
     val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
-    val ellipsisLines = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$|…$")))
+    // \z, not $: Java's $ matches before a trailing \r, RE2's does not
+    val ellipsisLines =
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)\\z")))
     val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
     // intersect against ONE tokenization — a filter lambda re-splitting
     // the document per stop word would tokenize it 10× per row
@@ -258,9 +260,16 @@ object TextAnalysis {
         (_, g) => g.isNotNull)).as(Seq("n", "gram")))
     val perGram = grams.groupBy(col("doc_id"), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
+    // top_chars = character coverage of the MOST FREQUENT n-gram (the
+    // rule's definition), NOT max over cnt·len products: lexicographic
+    // struct max picks the highest count first, breaking count ties
+    // toward larger coverage — deterministic and identical in DuckDB's
+    // struct max
     val perDocN = perGram.groupBy(col("doc_id"), col("n"))
       .agg(
-        max(col("cnt") * length(col("gram"))).as("top_chars"),
+        max(struct(col("cnt"),
+          (col("cnt") * length(col("gram"))).as("chars")))
+          .getField("chars").as("top_chars"),
         sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
           .otherwise(0L)).as("dup_chars"))
     val sess = docs.sparkSession
@@ -605,7 +614,7 @@ object TextAnalysis {
       |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
       |      / len(lines) < 0.9) AS ok_bullets,
       |    (CAST(len(list_filter(lines,
-      |        l -> regexp_matches(trim(l), '\\.\\.\\.$$|…$$'))) AS DOUBLE)
+      |        l -> regexp_matches(trim(l), '(\\.\\.\\.|…)\\z'))) AS DOUBLE)
       |      / len(lines) < 0.3) AS ok_ellipsis,
       |    (CAST(len(list_filter(words,
       |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
@@ -792,7 +801,8 @@ object TextAnalysis {
         |  SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3),
         |perdocn AS (
         |  SELECT doc_id, n,
-        |    max(cnt * length(gram)) AS top_chars,
+        |    (max({'cnt': cnt, 'chars': cnt * length(gram)})).chars
+        |      AS top_chars,
         |    sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END)
         |      AS dup_chars
         |  FROM counts GROUP BY 1, 2),

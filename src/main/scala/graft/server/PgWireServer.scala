@@ -139,14 +139,35 @@ final class PgWireServer(spark: SparkSession,
     case bytes: Array[Byte] => // bytea hex form; must precede Array[_]
       "\\x" + bytes.map(b => f"$b%02x").mkString
     case s: collection.Seq[_] =>
-      s.map(e => if (e == null) "NULL" else render(e)).mkString("{", ",", "}")
+      s.map(arrayElem).mkString("{", ",", "}")
     case a: Array[_] =>
-      a.map(e => if (e == null) "NULL" else render(e)).mkString("{", ",", "}")
+      a.map(arrayElem).mkString("{", ",", "}")
     case r: org.apache.spark.sql.Row => r.toString
     case other => other.toString
   }
 
+  /** One element of a PG array literal: unquoted NULL for SQL NULL;
+    * elements containing structural characters (comma, braces, quote,
+    * backslash, whitespace), empty strings, and the literal word "null"
+    * are double-quoted with backslash escaping — otherwise `{a,b}` vs
+    * `array('a,b')` would be indistinguishable to a parsing client. */
+  private def arrayElem(e: Any): String = {
+    if (e == null) return "NULL"
+    val s = render(e)
+    val needsQuote = s.isEmpty || s.equalsIgnoreCase("null") ||
+      s.exists(c => c == ',' || c == '{' || c == '}' || c == '"' ||
+        c == '\\' || c.isWhitespace)
+    if (needsQuote)
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    else s
+  }
+
   // ------------------------------------------------------------ connection
+
+  /** Frames above this are protocol garbage, not queries — reject before
+    * allocating (a bogus int32 length would otherwise attempt a
+    * multi-GB array). */
+  private val MaxFrameBytes = 1 << 26 // 64 MiB
 
   private def serve(sock: Socket): Unit = {
     try {
@@ -171,6 +192,11 @@ final class PgWireServer(spark: SparkSession,
         out.flush()
         return
       }
+      if (startupLen < 8 || startupLen > MaxFrameBytes) {
+        sendError(out, s"invalid startup length $startupLen", "08P01")
+        out.flush()
+        return
+      }
       // startup parameters (user/database/options) — read and ignore
       val paramBytes = new Array[Byte](startupLen - 8)
       in.readFully(paramBytes)
@@ -188,16 +214,10 @@ final class PgWireServer(spark: SparkSession,
       }
       send(out, 'K') { b => b.writeInt(sock.getPort); b.writeInt(0) }
 
-      // one executor session per connection (scope-spec bootstrap parity
-      // with SqlServer; a failure answers the client, then closes)
+      // one executor session per connection (shared bootstrap with
+      // SqlServer; a failure answers the client, then closes)
       val exec = try {
-        scopeSpecPath match {
-          case Some(p) =>
-            val e = graft.exec.ScopeSpec.load(spark, p)
-            e.update(scope.toSeq: _*)
-            e
-          case None => new Executor(spark, scope)
-        }
+        graft.exec.ScopeSpec.bootstrap(spark, scope, scopeSpecPath)
       } catch {
         case scala.util.control.NonFatal(e) =>
           sendError(out, s"connection bootstrap failed: ${e.getMessage}")
@@ -211,21 +231,28 @@ final class PgWireServer(spark: SparkSession,
       while (!done) {
         val tag = in.readByte().toChar
         val len = in.readInt()
-        val body = new Array[Byte](len - 4)
-        in.readFully(body)
-        tag match {
-          case 'Q' =>
-            val sql = new String(body, 0, body.length - 1,
-              StandardCharsets.UTF_8) // strip trailing NUL
-            handleQuery(out, exec, sql)
-            readyForQuery(out)
-          case 'X' => done = true
-          case 'S' => readyForQuery(out) // Sync (extended-flow stray)
-          case other =>
-            sendError(out,
-              s"unsupported frontend message '$other' " +
-                "(simple query protocol only)", "0A000")
-            readyForQuery(out)
+        if (len < 4 || len > MaxFrameBytes) {
+          // unrecoverable: the stream is desynchronized — answer, close
+          sendError(out, s"invalid message length $len", "08P01")
+          out.flush()
+          done = true
+        } else {
+          val body = new Array[Byte](len - 4)
+          in.readFully(body)
+          tag match {
+            case 'Q' =>
+              val sql = new String(body, 0, math.max(0, body.length - 1),
+                StandardCharsets.UTF_8) // strip trailing NUL
+              handleQuery(out, exec, sql)
+              readyForQuery(out)
+            case 'X' => done = true
+            case 'S' => readyForQuery(out) // Sync (extended-flow stray)
+            case other =>
+              sendError(out,
+                s"unsupported frontend message '$other' " +
+                  "(simple query protocol only)", "0A000")
+              readyForQuery(out)
+          }
         }
       }
     } catch {

@@ -98,19 +98,11 @@ final class SqlServer(spark: org.apache.spark.sql.SparkSession,
         new OutputStreamWriter(sock.getOutputStream, StandardCharsets.UTF_8))
       // one executor session per connection: statement effects persist
       // across requests, sessions never see each other's scope mutations.
-      // A scope spec bootstraps each connection like the reference's
-      // connect-time setup; the static scope map rides on top of it.
       // A bootstrap failure must still ANSWER the client (one error line,
       // then close) — leaving the socket open would hang every client
       // blocked on its first response.
       val exec = try {
-        scopeSpecPath match {
-          case Some(p) =>
-            val e = graft.exec.ScopeSpec.load(spark, p)
-            e.update(scope.toSeq: _*)
-            e
-          case None => new Executor(spark, scope)
-        }
+        graft.exec.ScopeSpec.bootstrap(spark, scope, scopeSpecPath)
       } catch {
         case scala.util.control.NonFatal(e) =>
           val err = mapper.createObjectNode()

@@ -599,9 +599,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!cleaned.contains("Too short"))
     // page flags on a failing page
     val bad = Seq((2L, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\nSample { code here with many words inside.")).toDF("doc_id", "text")
-    val q = bad.select(C4.pageFlags(C4.lineClean(col("text"))).as("q"))
+    val q = bad.select(
+        C4.pageFlags(col("text"), C4.lineClean(col("text"))).as("q"))
       .select(col("q.ok_lorem"), col("q.ok_brace"), col("q.ok_sentences")).head()
     assert(!q.getBoolean(0) && !q.getBoolean(1) && !q.getBoolean(2))
+    // the content markers test the RAW page: a '{' whose line is dropped
+    // by line cleaning still fails the page (the paper's rule)
+    val hidden = Seq((3L, "code { sample\nA good long sentence survives the cleaning today.")).toDF("doc_id", "text")
+    val h = hidden.select(
+        C4.pageFlags(col("text"), C4.lineClean(col("text"))).as("q"))
+      .select(col("q.ok_brace")).head()
+    assert(!h.getBoolean(0), "raw-content brace must fail the page")
   }
 
   test("C4 span dedup: cross-document spans deduplicate to first occurrence") {
