@@ -393,6 +393,65 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Exact substring-dedup coverage (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", 2021 — the ExactSubstr policy):
+    * a token position is duplicated when some k-token gram covering it
+    * also occurs in at least one OTHER document; per document we compute
+    * the number of tokens covered by the union of duplicated gram
+    * intervals [pos, pos+k-1]. The paper builds a corpus-wide suffix
+    * array — inherently single-node; the Spark-first shape is linear and
+    * fully distributed:
+    *  1. gram rows with positions: ONE posexplode + doc-keyed lead()
+    *     window (the [[shingleRows]] shape, kept inline because coverage
+    *     needs `pos`);
+    *  2. cross-document census: distinct (gram, doc) → per-gram doc
+    *     count ≥ 2 (shuffles keyed by the 60-bit gram hash, map-side
+    *     partial aggregation);
+    *  3. tag duplicated positions: hash join back on the gram hash;
+    *  4. interval union per doc: the gaps-and-islands window pattern —
+    *     an island starts where pos exceeds the running max of previous
+    *     interval ends, so overlapping grams never double-count a token.
+    * Nothing is ever pairwise; every shuffle is keyed by doc or gram.
+    * Grouping is on the md5-prefix hash (portable — the oracle groups by
+    * the same 60-bit value, so collision behavior is identical).
+    *
+    * NOTE: the gram table stays persisted for the lifetime of the
+    * returned plan (census + tag join both read it); long-lived sessions
+    * should `clearCache()` after materializing, as Bench does.
+    *
+    * Returns (doc_id, dup_tokens, n_runs) for docs with any coverage. */
+  def substringDupCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (0 until k).map(i =>
+      if (i == 0) col("t") else lead(col("t"), i).over(w))
+    val grams = tok.select(col("doc_id"), col("pos"),
+        concat_ws(" ", parts: _*).as("g"), parts.last.isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select(col("doc_id"), col("pos"),
+        TextAnalysis.md5Prefix60(col("g")).as("s"))
+      .persist()
+    val dup = grams.select(col("s"), col("doc_id")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2).select(col("s"))
+    val dupPos = grams.join(dup, "s").select(col("doc_id"), col("pos"))
+    // gaps-and-islands: a new island where this interval's start is past
+    // every previous interval's end (same-length intervals ⇒ coverage
+    // within an island is the contiguous run [min pos, max pos + k-1])
+    val prevEnd = max(col("pos") + lit(k - 1)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dupPos
+      .withColumn("__new",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(w))
+    islands.groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("__a"), max(col("pos") + lit(k - 1)).as("__b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__b") - col("__a") + 1).as("dup_tokens"),
+        count(lit(1)).as("n_runs"))
+  }
+
   /** Connected components over an undirected pair list `(doc_a, doc_b)`:
     * returns `(doc_id, root)` where root = min doc_id reachable. This is
     * the step that turns near-dup PAIRS into dedup GROUPS (keep one doc
@@ -522,6 +581,26 @@ object Dedup {
       ngramJaccardPairs(Tables.load(s, dir, "documents")
           .filter(col("source").isin("src0", "src1", "src2", "src3")), 0.2)
         .orderBy(col("doc_a"), col("doc_b"))),
+    // exact substring-dedup coverage (Lee et al. ExactSubstr policy):
+    // per-source doc counts, docs ≥20% covered by cross-document
+    // duplicated 8-token runs, and covered/total token sums — all
+    // integer-exact, interval union fully reproduced by the oracle
+    "dd_substring" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cov = substringDupCoverage(docs, k = 8)
+      val census = docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      census.join(cov, Seq("doc_id"), "left")
+        .select(col("source"), col("n_toks"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_toks") * 5 >= col("n_toks"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("dup_toks")).as("dup_tokens"),
+          sum(col("n_toks")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
     // dup pairs → dedup GROUPS: connected components over the union of
     // exact-dup pairs (fingerprint equality) and the PORTABLE MinHash+LSH
     // similarity pairs — the scale path, not the O(n²) ngram baseline
@@ -747,6 +826,47 @@ object Dedup {
         |    AS n_exact_pairs,
         |  CAST(1 AS BIGINT) AS precision_ok
         |FROM g""".stripMargin,
+    // interval union mirrored with the same gaps-and-islands windows;
+    // grouping by the identical 60-bit md5-prefix gram hash
+    "dd_substring" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |census AS (SELECT doc_id, source, len(toks) AS n_toks FROM d),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15))
+        |      AS BIGINT) AS s
+        |  FROM (SELECT doc_id, unnest(range(len(toks))) AS i, toks FROM d)
+        |  WHERE i + 8 <= len(toks)),
+        |dup AS (
+        |  SELECT s FROM (SELECT DISTINCT s, doc_id FROM g)
+        |  GROUP BY s HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (s)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR pos > max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS newisl
+        |  FROM dp),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+        |  FROM isl),
+        |per AS (
+        |  SELECT doc_id, isl_id, min(pos) AS a, max(pos + 7) AS b
+        |  FROM runs GROUP BY 1, 2),
+        |cov AS (SELECT doc_id, sum(b - a + 1) AS dup_toks FROM per GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(dup_toks, 0) * 5 >= n_toks
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(coalesce(dup_toks, 0)) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        |FROM census LEFT JOIN cov USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, source,

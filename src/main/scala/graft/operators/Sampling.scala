@@ -99,8 +99,71 @@ object Sampling {
         concat(lit(seed.toString), lit(":"), key.cast("string"))))
       .orderBy(col("shuffle_key"), key)
 
+  /** DSIR-style importance weighting for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every raw document by a hashed-bigram bag
+    * likelihood ratio between a TARGET subcorpus and the RAW corpus.
+    * This variant replaces the paper's float log-probability ratio with
+    * an integer rational weight per hash bucket,
+    *   `w_b = ((n_target_b + 1) * 1e6) div (n_raw_b + 1)`
+    * (Laplace smoothing, floor division — monotone in the smoothed
+    * ratio), and scores `score(x) = Σ_{bigram ∈ x} w_bucket(bigram)`:
+    * every step is an exact int64 operation, so scores and ranks are
+    * bit-identical across engines (the rational-BM25 trick from
+    * [[TextAnalysis.tfidfTopK]] applied to data selection). Bound:
+    * target ⊆ raw ⇒ n_target_b ≤ n_raw_b ⇒ w_b ≤ 1e6, so
+    * score ≤ 1e6 × doc_bigrams — int64-safe for any real document.
+    *
+    * Scale shape: ONE posexplode + doc-keyed lead() window builds the
+    * bigram rows ([[Dedup.shingleRows]] — native ops, no lambda
+    * fallback); bucket counts are two reduced aggregates over ≤nBuckets
+    * keys (map-side partial → tiny results); the weight table is
+    * broadcast and scoring is a per-doc sum — no corpus-sized shuffle
+    * beyond the doc-keyed ones. Docs shorter than 2 tokens yield no
+    * rows (callers left-join and default score to 0).
+    *
+    * Returns (doc_id, score). */
+  def dsirScores(docs: DataFrame, isTarget: Column,
+      nBuckets: Int = 512): DataFrame = {
+    val rows = Dedup.shingleRows(
+      docs.select(col("doc_id"), col("text"), isTarget.as("__tgt")),
+      k = 2,
+      g => pmod(TextAnalysis.md5Prefix60(g), lit(nBuckets.toLong)),
+      carry = Seq("__tgt")).persist()
+    val raw = rows.groupBy(col("s")).agg(count(lit(1)).as("__nr"))
+    val tgt = rows.filter(col("__tgt")).groupBy(col("s"))
+      .agg(count(lit(1)).as("__nt"))
+    // `div` (not `/`): exact integral division — a float divide would
+    // lose exactness past 2^53 at real corpus scale
+    val weights = raw.join(tgt, Seq("s"), "left")
+      .select(col("s"),
+        expr("(coalesce(__nt, 0L) + 1L) * 1000000L div (__nr + 1L)").as("w"))
+    rows.join(broadcast(weights), "s")
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
+  }
+
   // --------------------------------------------------------- driver queries
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DSIR importance weighting with target = lang:'en': per-source doc
+    // counts, exact integer score sums/max, and the count of docs
+    // scoring above the corpus mean (rational comparison score·N > ΣS —
+    // no float division anywhere), all bit-reproduced by the oracle
+    "ta_importance" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scores = dsirScores(docs, col("lang") === "en", nBuckets = 512)
+      val sc = docs.select(col("doc_id"), col("source"))
+        .join(scores, Seq("doc_id"), "left")
+        .select(col("source"), coalesce(col("score"), lit(0L)).as("score"))
+      val tot = sc.agg(count(lit(1)).as("__n"), sum(col("score")).as("__s"))
+      sc.crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).as("score_sum"),
+          max(col("score")).as("max_score"),
+          sum(when(col("score") * col("__n") > col("__s"), 1L).otherwise(0L))
+            .as("n_above_mean"))
+        .orderBy(col("source"))
+    }),
     // per-source stratified sample audit: the whole point is that the
     // sampled row SET (not just its size) is deterministic, so the
     // oracle can hash-match per-stratum counts and content aggregates
@@ -149,6 +212,39 @@ object Sampling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // DuckDB sum(BIGINT) is HUGEINT (exact); comparisons against it are
+    // fine, and the output sums are cast back inside int64 range
+    // (w ≤ 1e6 since target ⊆ raw; see dsirScores bound)
+    "ta_importance" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(array_to_string(toks[i+1:i+2], ' ')), 1, 15))
+        |      AS BIGINT) % 512 AS s
+        |  FROM (SELECT doc_id, lang, unnest(range(len(toks))) AS i, toks FROM d)
+        |  WHERE i + 2 <= len(toks)),
+        |raw AS (SELECT s, count(*) AS nr FROM bg GROUP BY s),
+        |tgt AS (SELECT s, count(*) AS nt FROM bg WHERE lang = 'en' GROUP BY s),
+        |w AS (
+        |  SELECT raw.s, ((coalesce(nt, 0) + 1) * 1000000) // (nr + 1) AS w
+        |  FROM raw LEFT JOIN tgt ON raw.s = tgt.s),
+        |sc0 AS (
+        |  SELECT doc_id, sum(w.w) AS score FROM bg JOIN w USING (s)
+        |  GROUP BY doc_id),
+        |sc AS (
+        |  SELECT dd.doc_id, dd.source, coalesce(score, 0) AS score
+        |  FROM (SELECT doc_id, source FROM documents) dd
+        |  LEFT JOIN sc0 USING (doc_id)),
+        |tot AS (SELECT count(*) AS n, sum(score) AS stot FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(score) AS BIGINT) AS score_sum,
+        |  CAST(max(score) AS BIGINT) AS max_score,
+        |  CAST(sum(CASE WHEN score * n > stot THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above_mean
+        |FROM sc, tot GROUP BY source ORDER BY source""".stripMargin,
     "ta_sample_stratified" ->
       """SELECT source, count(*) AS n_sampled,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled, min(doc_id) AS first_doc

@@ -383,6 +383,40 @@ object Relational {
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy(col("day"), col("event_type"))
+    }),
+
+    // Batch sessionization over the events stream — the gaps-and-islands
+    // window classic (the batch complement of the stateful streaming
+    // st_sessions): a session breaks when a user's inter-event gap
+    // exceeds 30 minutes. All arithmetic is integer epoch seconds, so
+    // every session boundary and span is bit-identical to the oracle's.
+    // Scale shape: both windows and both aggregations are keyed by
+    // user_id — ONE shuffle, reused end to end; nothing global.
+    "q_sessionize" -> ((s, dir) => {
+      // order by the exact nanosecond value (ts is µs-truncated; a
+      // same-microsecond pair would order differently than the oracle's
+      // ns-precision TIMESTAMP otherwise), event_id as total tiebreak
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_nanos"), col("event_id"))
+      val sess = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts_nanos"),
+          // `div`, not `/`: epoch-ns ≈ 1.7e18 > 2^53 — a double divide
+          // would lose the exact second near boundaries
+          expr("ts_nanos div 1000000000").as("sec"))
+        .withColumn("__prev", lag(col("sec"), 1).over(byUser))
+        .withColumn("__new",
+          when(col("__prev").isNull || col("sec") - col("__prev") > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("__new")).over(byUser))
+      sess.groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("sec")) - min(col("sec"))).as("span_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("span_s")).as("total_span_s"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -588,6 +622,35 @@ object Relational {
     "q_events_by_day" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // epoch_ns // 1e9 mirrors Spark's `ts_nanos div 1000000000` exactly
+    // (integer division, positive epochs — no float anywhere); ordering
+    // is the full ns value + event_id on both sides
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_ns(ts) // 1000000000 AS sec,
+        |    lag(epoch_ns(ts) // 1000000000) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts, sec,
+        |    CASE WHEN prev IS NULL OR sec - prev > 1800
+        |      THEN 1 ELSE 0 END AS newsess
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, sec,
+        |    sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS sess
+        |  FROM n),
+        |per AS (
+        |  SELECT user_id, sess, count(*) AS n_events,
+        |    max(sec) - min(sec) AS span_s
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events,
+        |  CAST(sum(span_s) AS BIGINT) AS total_span_s
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

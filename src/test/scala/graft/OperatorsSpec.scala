@@ -692,4 +692,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hh.map(_.getLong(1)).toSeq == Seq(3000L, 1500L, 1000L, 750L, 600L))
     assert(hh.forall(r => r.getLong(2) == 1L && r.getLong(3) == 1L))
   }
+
+  test("substringDupCoverage: interval union, no double counting") {
+    // w1..w12 shared by docs 0 and 1 → with k=4, dup grams at every
+    // start in the run; the union must count 12 tokens once, not
+    // 9 grams × 4. Doc 2 shares nothing. Doc 3 shares two DISJOINT
+    // 4-token runs with doc 0 separated by unique middles → two islands.
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, s"$run unique0 tail0 ends here now"),
+      (1L, s"prefix1 also1 $run"),
+      (2L, "totally different content with nothing shared at all here"),
+      (3L, "w1 w2 w3 w4 mid3a mid3b mid3c w9 w10 w11 w12 done3")
+    ).toDF("doc_id", "text")
+    val cov = Dedup.substringDupCoverage(d, k = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 0/1 share w1..w12 (12 tokens, one island); doc 3's two 4-token
+    // runs are each shared with docs 0/1 (8 tokens, two islands)
+    assert(cov(0L) == (12L, 1L))
+    assert(cov(1L) == (12L, 1L))
+    assert(cov(3L) == (8L, 2L))
+    assert(!cov.contains(2L))
+  }
+
+  test("dsirScores: target-heavy docs outscore raw-typical docs") {
+    // target = docs 0/1 (same bigram vocabulary); doc 2 is raw-only
+    // vocabulary, doc 3 mixes. Per-bucket weight is larger for buckets
+    // target bigrams hit, so score(0) > score(2) after length control
+    // (all docs 6 tokens → 5 bigrams).
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", true),
+      (1L, "alpha beta gamma delta epsilon zeta", true),
+      (2L, "omega psi chi phi upsilon tau", false),
+      (3L, "alpha beta gamma phi upsilon tau", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val sc = Sampling.dsirScores(d, col("is_tgt"), nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sc(0L) == sc(1L)) // identical text → identical integer score
+    assert(sc(0L) > sc(2L)) // target-vocab doc beats raw-only doc
+    assert(sc(3L) > sc(2L) && sc(3L) < sc(0L)) // mixed in between
+    // bound: target ⊆ raw ⇒ every bucket weight ≤ 1e6 ⇒ score ≤ 5e6
+    assert(sc.values.forall(s => s > 0 && s <= 5L * 1000000L))
+  }
 }

@@ -154,6 +154,25 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_substring / q_sessionize / ta_importance: keyed shuffles only") {
+    // dd_substring: gram census + tag join are equi on the gram hash,
+    // interval windows keyed by doc — nothing pairwise anywhere
+    val ps = plan("dd_substring")
+    assertNoCartesian(ps, "dd_substring"); assertNoUdf(ps, "dd_substring")
+    // q_sessionize: pure window + agg pipeline keyed by user_id —
+    // join-free end to end
+    val pq = plan("q_sessionize")
+    assertNoCartesian(pq, "q_sessionize"); assertNoUdf(pq, "q_sessionize")
+    assert(!pq.contains("Join"), "q_sessionize must be join-free")
+    // ta_importance: weight table + corpus total ride broadcasts; the
+    // only BNLJ is the declared 1-row total crossJoin
+    val pi = plan("ta_importance")
+    assert(!pi.contains("CartesianProduct"), "ta_importance has CartesianProduct")
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(pi).size
+    assert(bnlj <= 1, s"ta_importance has $bnlj BNLJs (expected the 1-row total)")
+    assertNoUdf(pi, "ta_importance")
+  }
+
   test("ta_gopher / ta_prepare: no cartesian, no UDF, BNLJ bounded exactly") {
     // ta_gopher is join-free: any BNLJ is a regression. ta_prepare
     // carries EXACTLY one — the 1-row shard-total broadcast cross join
