@@ -452,6 +452,47 @@ object Dedup {
         count(lit(1)).as("n_runs"))
   }
 
+  /** Exact paragraph-level dedup (the MassiveText / RefinedWeb exact-
+    * substring stage at paragraph granularity — Rae et al. 2021 §A1.1.1,
+    * Penedo et al. 2023): every distinct paragraph keeps exactly ONE
+    * occurrence corpus-wide (the minimum (doc_id, position)); all other
+    * copies are removed and documents are rebuilt from their surviving
+    * paragraphs in order.
+    *
+    * Scale shape: paragraphs explode narrowly (1 doc row → n_para rows);
+    * the keep-decision is an ARG-MIN aggregate keyed by the 60-bit
+    * paragraph hash — `min(struct(doc_id, pos))` with map-side partial
+    * aggregation — NOT a row_number window, because a boilerplate
+    * paragraph duplicated 10⁹× would funnel one window partition through
+    * one task, while a partial min stays balanced under any skew. Join
+    * back on the hash (equi), rebuild with a doc-keyed sort_array —
+    * shuffles keyed by hash or doc only, nothing pairwise, no windows.
+    *
+    * Returns (doc_id, clean_text, n_paras_kept); docs whose every
+    * paragraph was claimed elsewhere come back with empty text (the
+    * caller decides whether to drop them). Hashing is the portable
+    * md5-prefix, so an external engine reproduces the exact keep-set. */
+  def paragraphDedup(docs: DataFrame): DataFrame = {
+    val paras = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n\n")).as(Seq("pos", "para")))
+      .withColumn("fp", TextAnalysis.md5Prefix60(col("para")))
+      .persist()
+    val firstOcc = paras.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("m"))
+    val kept = paras.join(firstOcc, "fp")
+      .filter(col("doc_id") === col("m.doc_id") && col("pos") === col("m.pos"))
+      .select(col("doc_id"), col("pos"), col("para"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")), "\n\n").as("clean_text"))
+    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
+  }
+
   /** Connected components over an undirected pair list `(doc_a, doc_b)`:
     * returns `(doc_id, root)` where root = min doc_id reachable. This is
     * the step that turns near-dup PAIRS into dedup GROUPS (keep one doc
@@ -599,6 +640,24 @@ object Dedup {
             .as("n_flagged"),
           sum(col("dup_toks")).as("dup_tokens"),
           sum(col("n_toks")).as("total_tokens"))
+        .orderBy(col("source"))
+    }),
+    // exact paragraph dedup: per-source doc counts, paragraph counts
+    // before/after the corpus-wide keep-one policy, and an int64-bounded
+    // checksum of every REBUILT document — the full cleaned corpus is
+    // verified, not a sample
+    "dd_paragraph" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val clean = paragraphDedup(docs)
+      val before = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), "\n\n")).cast("long").as("n_paras"))
+      before.join(clean, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_paras")).as("paras_before"),
+          sum(col("n_paras_kept")).as("paras_after"),
+          TextAnalysis.checksum60(
+            TextAnalysis.md5Prefix60(col("clean_text"))).as("clean_checksum"))
         .orderBy(col("source"))
     }),
     // dup pairs → dedup GROUPS: connected components over the union of
@@ -826,6 +885,35 @@ object Dedup {
         |    AS n_exact_pairs,
         |  CAST(1 AS BIGINT) AS precision_ok
         |FROM g""".stripMargin,
+    // arg-min keep policy mirrored with the identical struct min; the
+    // rebuilt text re-joined with ORDER BY pos = Spark's array_sort
+    "dd_paragraph" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, string_split(text, chr(10) || chr(10)) AS paras
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i AS pos, paras[i+1] AS para,
+        |    CAST(('0x' || substr(md5(paras[i+1]), 1, 15)) AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, unnest(range(len(paras))) AS i, paras FROM p)),
+        |firstocc AS (
+        |  SELECT fp, min({'doc_id': doc_id, 'pos': pos}) AS m
+        |  FROM occ GROUP BY fp),
+        |kept AS (
+        |  SELECT o.doc_id, o.pos, o.para
+        |  FROM occ o JOIN firstocc f ON o.fp = f.fp
+        |  WHERE o.doc_id = (f.m).doc_id AND o.pos = (f.m).pos),
+        |rebuilt AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |census AS (SELECT doc_id, source, len(paras) AS n_paras FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_paras) AS BIGINT) AS paras_before,
+        |  CAST(sum(coalesce(n_kept, 0)) AS BIGINT) AS paras_after,
+        |  CAST(sum(CAST(('0x' || substr(md5(coalesce(clean_text, '')), 1, 15))
+        |    AS BIGINT)) % 1152921504606846976 AS BIGINT) AS clean_checksum
+        |FROM census LEFT JOIN rebuilt USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
     // interval union mirrored with the same gaps-and-islands windows;
     // grouping by the identical 60-bit md5-prefix gram hash
     "dd_substring" ->

@@ -715,6 +715,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!cov.contains(2L))
   }
 
+  test("paragraphDedup keeps exactly one occurrence corpus-wide, in order") {
+    val d = Seq(
+      (0L, "shared one\n\nunique zero\n\nshared two"),
+      (1L, "shared one\n\nunique one"),
+      (2L, "unique two\n\nshared two\n\nshared one"),
+      (3L, "shared one"), // every paragraph claimed elsewhere
+      (4L, "rep\n\nrep") // within-doc repeat: first position wins
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == ("shared one\n\nunique zero\n\nshared two", 3L))
+    assert(out(1L) == ("unique one", 1L))
+    assert(out(2L) == ("unique two", 1L))
+    assert(out(3L) == ("", 0L))
+    assert(out(4L) == ("rep", 1L))
+  }
+
   test("dsirScores: target-heavy docs outscore raw-typical docs") {
     // target = docs 0/1 (same bigram vocabulary); doc 2 is raw-only
     // vocabulary, doc 3 mixes. Per-bucket weight is larger for buckets

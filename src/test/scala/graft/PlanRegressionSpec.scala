@@ -171,6 +171,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(pi).size
     assert(bnlj <= 1, s"ta_importance has $bnlj BNLJs (expected the 1-row total)")
     assertNoUdf(pi, "ta_importance")
+    // dd_paragraph: the keep-decision must stay an arg-min AGGREGATE
+    // (skew-immune partial min), never a row_number window over the
+    // paragraph-hash partition — a boilerplate paragraph duplicated 10⁹×
+    // would funnel one window partition through one task
+    val pp = plan("dd_paragraph")
+    assertNoCartesian(pp, "dd_paragraph"); assertNoUdf(pp, "dd_paragraph")
+    assert(!pp.contains("RunningWindowFunction") && !pp.contains("Window"),
+      "dd_paragraph keep-decision regressed to a window")
   }
 
   test("ta_gopher / ta_prepare: no cartesian, no UDF, BNLJ bounded exactly") {
