@@ -363,6 +363,32 @@ object TextAnalysis {
       .toDF("doc_id", "chunk_id", "n_toks", "shard", "window")
   }
 
+  /** BPE merge-pair census (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units", 2016 — the byte-pair-encoding
+    * training step): frequency of every adjacent character pair across
+    * the corpus, weighted by word frequency. This is iteration 0 of BPE
+    * training; the top pair is the first merge.
+    *
+    * THE scale insight (what every distributed tokenizer trainer does):
+    * first collapse the corpus to its WORD CENSUS — one shuffle with
+    * map-side combine, 100 TB → a Zipf vocabulary of ~10⁷ rows — and
+    * mine pairs over the census weighted by `freq`, never over the
+    * corpus. Subsequent merge iterations then run on the census alone
+    * (driver- or single-node-sized), which is why they are out of scope
+    * here: the distributed part of BPE training IS this census.
+    *
+    * Pure integer counts — bit-identical in any engine. Words shorter
+    * than 2 chars yield no pairs. Returns (pair, n) — callers top-k. */
+  def bpePairCensus(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words.select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+  }
+
   /** PII scrubbing: regex redaction of emails and IPv4 addresses —
     * standard pre-training hygiene. Patterns avoid lookaround and
     * alternation so Java (Spark) and RE2 (DuckDB/etc.) regex engines
@@ -547,6 +573,13 @@ object TextAnalysis {
             sum(col(s"q.$f").cast("long")).as(s"n_$f")) :+
             sum(passAll.cast("long")).as("n_pass"): _*)
         .orderBy(col("source"))
+    }),
+    // BPE training census: the top-20 merge candidates (adjacent char
+    // pairs weighted by word frequency) — deterministic tiebreak on the
+    // pair string; the top-k fuses to TakeOrderedAndProject
+    "ta_bpe_pairs" -> ((s, dir) => {
+      bpePairCensus(Tables.load(s, dir, "documents"))
+        .orderBy(col("n").desc, col("pair")).limit(20)
     }),
     "ta_token_count" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -858,6 +891,18 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, round(raw, 6) AS score, rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "ta_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT substr(w, i, 2) AS pair, freq
+        |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM words)),
+        |census AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM pairs GROUP BY pair)
+        |SELECT pair, n FROM census ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "ta_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,

@@ -715,6 +715,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!cov.contains(2L))
   }
 
+  test("bpePairCensus counts adjacent char pairs weighted by word freq") {
+    val d = Seq((0L, "aab aab ba"), (1L, "aab x")).toDF("doc_id", "text")
+    // "aab" freq 3 → pairs (aa, ab) each ×3; "ba" ×1; "x" filtered (len 1)
+    val m = TextAnalysis.bpePairCensus(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("aa" -> 3L, "ab" -> 3L, "ba" -> 1L))
+  }
+
   test("paragraphDedup keeps exactly one occurrence corpus-wide, in order") {
     val d = Seq(
       (0L, "shared one\n\nunique zero\n\nshared two"),

@@ -179,6 +179,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     assertNoCartesian(pp, "dd_paragraph"); assertNoUdf(pp, "dd_paragraph")
     assert(!pp.contains("RunningWindowFunction") && !pp.contains("Window"),
       "dd_paragraph keep-decision regressed to a window")
+    // ta_bpe_pairs: corpus→vocab census then pair mining over the vocab;
+    // join-free, top-k must fuse to TakeOrderedAndProject (a global sort
+    // of the pair census would be the scale regression)
+    val pb = plan("ta_bpe_pairs")
+    assertNoCartesian(pb, "ta_bpe_pairs"); assertNoUdf(pb, "ta_bpe_pairs")
+    assert(!pb.contains("Join"), "ta_bpe_pairs must be join-free")
+    assert(pb.contains("TakeOrderedAndProject"),
+      "ta_bpe_pairs top-k no longer fuses to TakeOrderedAndProject")
   }
 
   test("ta_gopher / ta_prepare: no cartesian, no UDF, BNLJ bounded exactly") {
