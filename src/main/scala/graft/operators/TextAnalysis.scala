@@ -389,6 +389,25 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
   }
 
+  /** Vocabulary coverage: what fraction of corpus token OCCURRENCES the
+    * top-`v` most frequent words cover — the OOV-rate metric every
+    * tokenizer/vocabulary decision is evaluated on. Rides the same
+    * corpus→census collapse as [[bpePairCensus]]: the census is one
+    * map-side-combined shuffle; the top-v cut is a TakeOrdered over
+    * census rows (deterministic tiebreak on the word); the coverage
+    * numbers are two reduced aggregates. Integer counts only — the
+    * caller divides if it wants a ratio. */
+  def vocabCoverage(docs: DataFrame, v: Int): DataFrame = {
+    val census = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val top = census.orderBy(col("freq").desc, col("w")).limit(v)
+    top.agg(count(lit(1)).as("vocab_size"),
+        sum(col("freq")).as("covered_tokens"))
+      .crossJoin(broadcast(
+        census.agg(sum(col("freq")).as("total_tokens"),
+          count(lit(1)).as("distinct_words"))))
+  }
+
   /** PII scrubbing: regex redaction of emails and IPv4 addresses —
     * standard pre-training hygiene. Patterns avoid lookaround and
     * alternation so Java (Spark) and RE2 (DuckDB/etc.) regex engines
@@ -574,6 +593,10 @@ object TextAnalysis {
             sum(passAll.cast("long")).as("n_pass"): _*)
         .orderBy(col("source"))
     }),
+    // vocabulary coverage of the top-200 words: OOV-rate numerators and
+    // denominators, all integer-exact
+    "ta_vocab_coverage" -> ((s, dir) =>
+      vocabCoverage(Tables.load(s, dir, "documents"), v = 200)),
     // BPE training census: the top-20 merge candidates (adjacent char
     // pairs weighted by word frequency) — deterministic tiebreak on the
     // pair string; the top-k fuses to TakeOrderedAndProject
@@ -891,6 +914,18 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, round(raw, 6) AS score, rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "ta_vocab_coverage" ->
+      """WITH census AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents)
+        |  GROUP BY w),
+        |top AS (SELECT * FROM census ORDER BY freq DESC, w LIMIT 200)
+        |SELECT
+        |  (SELECT count(*) FROM top) AS vocab_size,
+        |  (SELECT CAST(sum(freq) AS BIGINT) FROM top) AS covered_tokens,
+        |  (SELECT CAST(sum(freq) AS BIGINT) FROM census) AS total_tokens,
+        |  (SELECT count(*) FROM census) AS distinct_words""".stripMargin,
     "ta_bpe_pairs" ->
       """WITH words AS (
         |  SELECT w, count(*) AS freq FROM (
