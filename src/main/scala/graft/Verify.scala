@@ -67,6 +67,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators persist() shared subplans (gram/paragraph/bigram
+      // tables); drop them after each query (as Bench does) or
+      // corpus-sized caches pinned at MEMORY_AND_DISK accumulate across
+      // the remaining ~120 queries of the sweep
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -52,18 +52,23 @@ object Dedup {
     * interpreted — and dominate cost at scale; measured 9.4s vs <2s on
     * 5k docs). One shuffle keyed by doc_id, which the downstream
     * per-document aggregations (min-hash / collect_set) then reuse
-    * without re-shuffling. Documents shorter than k tokens yield no rows. */
+    * without re-shuffling. Documents shorter than k tokens yield no rows.
+    * `withPos = true` additionally emits the gram's token position
+    * (needed by interval-coverage consumers like
+    * [[substringDupCoverage]]). */
   def shingleRows(docs: DataFrame, k: Int, hashFn: Column => Column,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil, withPos: Boolean = false): DataFrame = {
     val tok = docs.select(
       col("doc_id") +: carry.map(col) :+
         posexplode(tokens(col("text"))).as(Seq("pos", "t")): _*)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = (0 until k).map(i => if (i == 0) col("t") else lead(col("t"), i).over(w))
-    tok.select(col("doc_id") +: carry.map(col) :+
+    val posCols = if (withPos) Seq(col("pos")) else Nil
+    tok.select(col("doc_id") +: (carry.map(col) ++ posCols) :+
         concat_ws(" ", parts: _*).as("g") :+ parts.last.isNotNull.as("__full"): _*)
       .filter(col("__full"))
-      .select(col("doc_id") +: carry.map(col) :+ hashFn(col("g")).as("s"): _*)
+      .select(col("doc_id") +: (carry.map(col) ++ posCols) :+
+        hashFn(col("g")).as("s"): _*)
   }
 
   /** MinHash signature: `numHashes` seeded xxhash64 minima over shingles */
@@ -402,8 +407,7 @@ object Dedup {
     * array — inherently single-node; the Spark-first shape is linear and
     * fully distributed:
     *  1. gram rows with positions: ONE posexplode + doc-keyed lead()
-    *     window (the [[shingleRows]] shape, kept inline because coverage
-    *     needs `pos`);
+    *     window ([[shingleRows]] with `withPos = true`);
     *  2. cross-document census: distinct (gram, doc) → per-gram doc
     *     count ≥ 2 (shuffles keyed by the 60-bit gram hash, map-side
     *     partial aggregation);
@@ -421,16 +425,8 @@ object Dedup {
     *
     * Returns (doc_id, dup_tokens, n_runs) for docs with any coverage. */
   def substringDupCoverage(docs: DataFrame, k: Int = 8): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = (0 until k).map(i =>
-      if (i == 0) col("t") else lead(col("t"), i).over(w))
-    val grams = tok.select(col("doc_id"), col("pos"),
-        concat_ws(" ", parts: _*).as("g"), parts.last.isNotNull.as("__full"))
-      .filter(col("__full"))
-      .select(col("doc_id"), col("pos"),
-        TextAnalysis.md5Prefix60(col("g")).as("s"))
+    val grams = shingleRows(docs, k, TextAnalysis.md5Prefix60, withPos = true)
       .persist()
     val dup = grams.select(col("s"), col("doc_id")).distinct()
       .groupBy(col("s")).agg(count(lit(1)).as("__nd"))
@@ -468,15 +464,23 @@ object Dedup {
     * back on the hash (equi), rebuild with a doc-keyed sort_array —
     * shuffles keyed by hash or doc only, nothing pairwise, no windows.
     *
-    * Returns (doc_id, clean_text, n_paras_kept); docs whose every
-    * paragraph was claimed elsewhere come back with empty text (the
-    * caller decides whether to drop them). Hashing is the portable
-    * md5-prefix, so an external engine reproduces the exact keep-set. */
-  def paragraphDedup(docs: DataFrame): DataFrame = {
-    val paras = docs.select(col("doc_id"),
-        posexplode(split(col("text"), "\n\n")).as(Seq("pos", "para")))
+    * Returns (doc_id, keep..., n_paras, clean_text, n_paras_kept);
+    * `keep` columns and the before-count ride the census so callers
+    * never re-scan the corpus to join them back (the gopherNgramStats
+    * keep-column pattern — a second full-text pass for a count is real
+    * money at 100 TB). Docs whose every paragraph was claimed elsewhere
+    * come back with empty text (the caller decides whether to drop
+    * them). Hashing is the portable md5-prefix, so an external engine
+    * reproduces the exact keep-set. */
+  def paragraphDedup(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val paras = docs.select(col("doc_id") +: keep.map(col) :+
+        posexplode(split(col("text"), "\n\n")).as(Seq("pos", "para")): _*)
       .withColumn("fp", TextAnalysis.md5Prefix60(col("para")))
       .persist()
+    // ONE persisted paragraph table feeds the doc census, the arg-min
+    // keep-decision, and the tag join — the corpus is scanned once
+    val census = paras.groupBy(col("doc_id") +: keep.map(col): _*)
+      .agg(count(lit(1)).as("n_paras"))
     val firstOcc = paras.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("m"))
     val kept = paras.join(firstOcc, "fp")
@@ -487,10 +491,10 @@ object Dedup {
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("para")))),
             x => x.getField("para")), "\n\n").as("clean_text"))
-    docs.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    census.join(rebuilt, Seq("doc_id"), "left")
+      .select((col("doc_id") +: keep.map(col)) ++ Seq(col("n_paras"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"))
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept")): _*)
   }
 
   /** Connected components over an undirected pair list `(doc_a, doc_b)`:
@@ -647,11 +651,7 @@ object Dedup {
     // checksum of every REBUILT document — the full cleaned corpus is
     // verified, not a sample
     "dd_paragraph" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val clean = paragraphDedup(docs)
-      val before = docs.select(col("doc_id"), col("source"),
-        size(split(col("text"), "\n\n")).cast("long").as("n_paras"))
-      before.join(clean, "doc_id")
+      paragraphDedup(Tables.load(s, dir, "documents"), keep = Seq("source"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_paras")).as("paras_before"),

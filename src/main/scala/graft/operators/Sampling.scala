@@ -151,17 +151,27 @@ object Sampling {
     "ta_importance" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val scores = dsirScores(docs, col("lang") === "en", nBuckets = 512)
+      // corpus-sum arithmetic in exact DECIMAL: per-doc scores are
+      // int64-safe (w ≤ 1e6), but Σscore and score·N exceed 2^63 at the
+      // 100 TB design point — Spark's long arithmetic would WRAP silently
+      // while DuckDB's HUGEINT stays exact, a silent divergence no small
+      // SF exercises. Decimal sums/products match HUGEINT exactly; the
+      // output casts assume gate-scale values (Verify's int64 guard
+      // trips on the decimal column if that assumption ever breaks).
+      import org.apache.spark.sql.types.DecimalType
       val sc = docs.select(col("doc_id"), col("source"))
         .join(scores, Seq("doc_id"), "left")
         .select(col("source"), coalesce(col("score"), lit(0L)).as("score"))
-      val tot = sc.agg(count(lit(1)).as("__n"), sum(col("score")).as("__s"))
+      val tot = sc.agg(count(lit(1)).as("__n"),
+        sum(col("score").cast(DecimalType(38, 0))).as("__s"))
       sc.crossJoin(broadcast(tot))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("score")).as("score_sum"),
+          sum(col("score").cast(DecimalType(38, 0))).cast("long")
+            .as("score_sum"),
           max(col("score")).as("max_score"),
-          sum(when(col("score") * col("__n") > col("__s"), 1L).otherwise(0L))
-            .as("n_above_mean"))
+          sum(when(col("score").cast(DecimalType(38, 0)) * col("__n")
+            > col("__s"), 1L).otherwise(0L)).as("n_above_mean"))
         .orderBy(col("source"))
     }),
     // per-source stratified sample audit: the whole point is that the

@@ -398,8 +398,12 @@ object TextAnalysis {
     * numbers are two reduced aggregates. Integer counts only — the
     * caller divides if it wants a ratio. */
   def vocabCoverage(docs: DataFrame, v: Int): DataFrame = {
+    // persisted: the top-v cut AND the totals aggregate both read the
+    // census — unpersisted, each branch would re-scan and re-tokenize
+    // the full corpus (the cost the census collapse exists to avoid)
     val census = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .persist()
     val top = census.orderBy(col("freq").desc, col("w")).limit(v)
     top.agg(count(lit(1)).as("vocab_size"),
         sum(col("freq")).as("covered_tokens"))

@@ -731,13 +731,15 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "shared one"), // every paragraph claimed elsewhere
       (4L, "rep\n\nrep") // within-doc repeat: first position wins
     ).toDF("doc_id", "text")
+    // schema: (doc_id, n_paras, clean_text, n_paras_kept)
     val out = Dedup.paragraphDedup(d).collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
-    assert(out(0L) == ("shared one\n\nunique zero\n\nshared two", 3L))
-    assert(out(1L) == ("unique one", 1L))
-    assert(out(2L) == ("unique two", 1L))
-    assert(out(3L) == ("", 0L))
-    assert(out(4L) == ("rep", 1L))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) == (3L, "shared one\n\nunique zero\n\nshared two", 3L))
+    assert(out(1L) == (2L, "unique one", 1L))
+    assert(out(2L) == (3L, "unique two", 1L))
+    assert(out(3L) == (1L, "", 0L))
+    assert(out(4L) == (2L, "rep", 1L))
   }
 
   test("dsirScores: target-heavy docs outscore raw-typical docs") {
