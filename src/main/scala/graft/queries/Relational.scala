@@ -417,6 +417,30 @@ object Relational {
           max(col("n_events")).as("max_session_events"),
           sum(col("span_s")).as("total_span_s"))
         .orderBy(col("user_id"))
+    }),
+
+    // Sequential-pattern funnel over events: per user, earliest view →
+    // first click strictly after it → first purchase strictly after
+    // that. Stage times are exact ns integers, so stage membership is
+    // bit-identical to the oracle. Scale shape: three user-keyed
+    // min-aggregates (map-side partial) chained by user-keyed equi
+    // joins — the same single shuffle key end to end; the one-row
+    // stage counts ride broadcast crossJoins.
+    "q_funnel" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts_nanos"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_nanos")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_nanos") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_nanos")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_nanos") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_nanos")).as("t3"))
+      e.agg(count_distinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(v.agg(count(lit(1)).as("n_viewed"))))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_clicked_after"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchased_after"))))
     })
   )
 
@@ -651,6 +675,23 @@ object Relational {
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
         |  CAST(max(n_events) AS BIGINT) AS max_session_events,
         |  CAST(sum(span_s) AS BIGINT) AS total_span_s
-        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tn FROM events),
+        |v AS (
+        |  SELECT user_id, min(tn) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(tn) AS t2 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND tn > t1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(tn) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND tn > t2 GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+        |  (SELECT count(*) FROM v) AS n_viewed,
+        |  (SELECT count(*) FROM c) AS n_clicked_after,
+        |  (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin
   )
 }

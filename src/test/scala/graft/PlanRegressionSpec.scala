@@ -179,6 +179,13 @@ class PlanRegressionSpec extends AnyFunSuite {
     assertNoCartesian(pp, "dd_paragraph"); assertNoUdf(pp, "dd_paragraph")
     assert(!pp.contains("RunningWindowFunction") && !pp.contains("Window"),
       "dd_paragraph keep-decision regressed to a window")
+    // q_funnel: stage joins stay user-keyed equi; the only BNLJs are
+    // the three declared 1-row stage-count broadcasts
+    val pf = plan("q_funnel")
+    assert(!pf.contains("CartesianProduct"), "q_funnel has CartesianProduct")
+    val fBnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(pf).size
+    assert(fBnlj <= 3, s"q_funnel has $fBnlj BNLJs (expected the 3 1-row counts)")
+    assertNoUdf(pf, "q_funnel")
     // ta_bpe_pairs: corpus→vocab census then pair mining over the vocab;
     // join-free, top-k must fuse to TakeOrderedAndProject (a global sort
     // of the pair census would be the scale regression)
