@@ -441,6 +441,25 @@ object Relational {
         .crossJoin(broadcast(v.agg(count(lit(1)).as("n_viewed"))))
         .crossJoin(broadcast(c.agg(count(lit(1)).as("n_clicked_after"))))
         .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchased_after"))))
+    }),
+
+    // Cohort retention over events: users grouped by first-seen epoch
+    // day, distinct active users per (cohort, day-offset) for the first
+    // week. Days are exact integer `ts_nanos div 86400e9` — no timezone
+    // or DST arithmetic anywhere, so both engines agree bit-for-bit.
+    // Scale shape: first-seen is one user-keyed min-aggregate; the
+    // activity join is user-keyed equi; the (cohort, offset) aggregate
+    // is a tiny grid.
+    "q_retention" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts_nanos div 86400000000000").as("day"))
+      val first = e.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
+      e.join(first, "user_id")
+        .select(col("user_id"), col("day0"), (col("day") - col("day0")).as("offset"))
+        .filter(col("offset") <= 7)
+        .groupBy(col("day0"), col("offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .orderBy(col("day0"), col("offset"))
     })
   )
 
@@ -692,6 +711,15 @@ object Relational {
         |  (SELECT count(DISTINCT user_id) FROM e) AS n_users,
         |  (SELECT count(*) FROM v) AS n_viewed,
         |  (SELECT count(*) FROM c) AS n_clicked_after,
-        |  (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin
+        |  (SELECT count(*) FROM p) AS n_purchased_after""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS day0 FROM e GROUP BY user_id)
+        |SELECT day0, day - day0 AS "offset",
+        |  count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN f USING (user_id)
+        |WHERE day - day0 <= 7
+        |GROUP BY day0, day - day0 ORDER BY day0, "offset"""".stripMargin
   )
 }
