@@ -4,6 +4,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 import graft.exec.Executor
+import graft.operators.Dedup
 
 /** Property-based differential tests (SURVEY §5's proposed upgrade over
   * the reference's example-based suite).
@@ -140,6 +141,74 @@ class PropertySpec extends AnyFunSuite {
         (k, vs.map(_._2.toLong).sum, vs.size.toLong,
           vs.map(_._2).min, vs.map(_._2).max)
       }.toSeq.sorted
+      assert(got == exp)
+    }
+  }
+
+  // -------- differential invariants for the distributed dedup operators:
+  // random corpora from a tiny vocabulary (forcing real duplication)
+  // checked against independent single-threaded in-memory references.
+
+  test("substringDupCoverage matches an in-memory interval-union reference") {
+    val k = 3
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = Gen.listOfN(16,
+      Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))))
+    forAllN(corpus, 5) { wordLists =>
+      val docs = wordLists.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      // reference: gram -> distinct docs; per-doc dup positions; strict
+      // gaps-and-islands union (same adjacency rule as the operator)
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+", -1).toVector }.toMap
+      val gramPos = docs.flatMap { case (id, _) =>
+        val ts = toks(id)
+        (0 to ts.length - k).map(p => (ts.slice(p, p + k), id, p)) }
+      val gramDocs = gramPos.groupBy(_._1).map { case (g, os) =>
+        g -> os.map(_._2).toSet }
+      val exp = docs.flatMap { case (id, _) =>
+        val dupPos = gramPos.filter(o =>
+          o._2 == id && gramDocs(o._1).size >= 2).map(_._3).sorted
+        if (dupPos.isEmpty) None else {
+          var prevEnd = Long.MinValue; var runs = 0L; var covered = 0L
+          var start = 0L
+          dupPos.foreach { p =>
+            if (p > prevEnd) {
+              if (runs > 0) covered += prevEnd - start + 1
+              runs += 1; start = p
+            }
+            prevEnd = math.max(prevEnd, p + k - 1)
+          }
+          covered += prevEnd - start + 1
+          Some(id -> (covered, runs))
+        }
+      }.toMap
+      val got = Dedup.substringDupCoverage(docs.toDF("doc_id", "text"), k)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == exp)
+    }
+  }
+
+  test("paragraphDedup matches an in-memory keep-first reference") {
+    val phrases = Vector("p q", "r s", "t", "u v w")
+    val corpus = Gen.listOfN(12,
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf(phrases))))
+    forAllN(corpus, 5) { paraLists =>
+      val docs = paraLists.zipWithIndex.map { case (ps, i) =>
+        (i.toLong, ps.mkString("\n\n")) }
+      val occ = docs.flatMap { case (id, t) =>
+        t.split("\n\n", -1).zipWithIndex.map { case (p, pos) => (id, pos, p) } }
+      val first = occ.groupBy(_._3).map { case (p, os) =>
+        p -> os.map(o => (o._1, o._2)).min }
+      val exp = docs.map { case (id, _) =>
+        val kept = occ.filter(o => o._1 == id && first(o._3) == (id, o._2))
+          .sortBy(_._2)
+        id -> (occ.count(_._1 == id).toLong,
+          kept.map(_._3).mkString("\n\n"), kept.size.toLong)
+      }.toMap
+      val got = Dedup.paragraphDedup(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3)))
+        .toMap
       assert(got == exp)
     }
   }
