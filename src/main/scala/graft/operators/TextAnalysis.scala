@@ -597,6 +597,29 @@ object TextAnalysis {
             sum(passAll.cast("long")).as("n_pass"): _*)
         .orderBy(col("source"))
     }),
+    // one-row corpus data card: the summary block a dataset release
+    // ships — doc/source/lang counts, token/char totals, exact-dup
+    // count, Gopher pass rate. One corpus pass (Spark's Expand handles
+    // the multi-distinct); every number integer-exact.
+    "ta_datacard" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val flags = Seq("ok_nwords", "ok_wordlen", "ok_symbols", "ok_bullets",
+        "ok_ellipsis", "ok_alpha", "ok_stopwords", "ok_duplines",
+        "ok_duppara")
+      val base = docs.select(col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        fingerprint(col("text")).as("fp"),
+        gopherQualityFlags(col("text")).as("q"))
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("fp")).as("n_unique_docs"),
+        sum(flags.map(f => col(s"q.$f")).reduce(_ && _).cast("long"))
+          .as("n_gopher_pass"))
+    }),
     // vocabulary coverage of the top-200 words: OOV-rate numerators and
     // denominators, all integer-exact
     "ta_vocab_coverage" -> ((s, dir) =>
@@ -918,6 +941,22 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, round(raw, 6) AS score, rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "ta_datacard" -> ("WITH " + gopherFlagsCteSql + s""",
+        |m AS (
+        |  SELECT d.doc_id, d.source, d.lang, d.n_chars,
+        |    len(string_split_regex(lower(trim(d.text)), '\\s+')) AS n_toks,
+        |    md5(lower(trim(d.text))) AS fp,
+        |    ($gopherPassSql) AS pass
+        |  FROM documents d JOIN f ON d.doc_id = f.doc_id)
+        |SELECT count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT fp) AS n_unique_docs,
+        |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_gopher_pass
+        |FROM m""".stripMargin),
     "ta_vocab_coverage" ->
       """WITH census AS (
         |  SELECT w, count(*) AS freq FROM (
