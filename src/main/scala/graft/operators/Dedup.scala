@@ -369,6 +369,86 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): cluster the
+    * embedding space, and within each cluster drop semantic duplicates —
+    * members with cosine ≥ `tau` to another member — keeping, per
+    * duplicate group, the example with the LOWEST cosine to the cluster
+    * centroid (the paper's keep-policy: retain edge examples, drop the
+    * prototypical repeats).
+    *
+    * Two documented divergences from the paper, both chosen for scale +
+    * external reproducibility (same filtering behavior):
+    * - clusters are portable SRP buckets ([[Vectors.srpBucketPortable]]:
+    *   deterministic md5-parity hyperplanes) instead of trained k-means —
+    *   no model state, identical assignment on any engine and any
+    *   cluster size;
+    * - similarity runs over int8-quantized codes
+    *   ([[Vectors.quantizeInt8]]), so the bucket centroid is an INTEGER
+    *   sum vector: cross-row float sums are not associative, integer
+    *   sums are, which is what makes the whole operator hash-checkable
+    *   (cosine is scale-invariant, so the un-normalized sum IS the
+    *   centroid direction — same trick as sim_label_centroid).
+    *
+    * The keep rule is pairwise, not iterative: x is removed iff SOME
+    * same-bucket y with pairCos(x,y) ≥ tau precedes it in strict
+    * (centroidCos, vec_id) order. Per duplicate group the
+    * (centroidCos, vec_id)-minimum always survives, and no connected-
+    * components pass is needed — one bucket-keyed semi-join decides
+    * every row.
+    *
+    * Scale shape: bucketing + quantization are narrow maps over the
+    * scan; the centroid table has at most 2^planes rows and rides a
+    * broadcast back onto the corpus (zero shuffle for the centroid
+    * cosines); the duplicate test is ONE bucket-keyed self-semi-join.
+    * At 100 TB raise `planes` so 2^planes tracks corpus size (the
+    * per-bucket pair cost is the same bounded-bucket contract as the
+    * LSH paths) — the centroid table stays broadcastable at any plane
+    * count that partitions the corpus usefully. */
+  def semDedup(emb: DataFrame, tau: Double, planes: Int = 6): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label"),
+        Vectors.srpBucketPortable(col("embedding"), planes).as("bucket"),
+        Vectors.quantizeInt8(col("embedding")).getField("codes").as("codes"))
+      .withColumn("qnorm", sqrt(aggregate(col("codes"), lit(0L),
+        (a, c) => a + c.cast("long") * c.cast("long")).cast("double")))
+      .persist()
+    // integer centroid-sum vector per bucket, rebuilt in pos order (the
+    // collect_list order is arbitrary; the sort pins it)
+    val cent = q.select(col("bucket"), posexplode(col("codes")).as(Seq("pos", "c")))
+      .groupBy(col("bucket"), col("pos")).agg(sum(col("c")).as("s"))
+      .groupBy(col("bucket"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("cvec"),
+        sqrt(sum(col("s") * col("s")).cast("double")).as("cnorm"))
+    val scored = q.join(broadcast(cent), "bucket")
+      .withColumn("dotc", aggregate(
+        zip_with(col("codes"), col("cvec"), (c, s) => c.cast("long") * s),
+        lit(0L), (a, x) => a + x))
+      .withColumn("cosc", when(col("qnorm") > 0 && col("cnorm") > 0,
+          col("dotc").cast("double") / (col("qnorm") * col("cnorm")))
+        .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("label"), col("bucket"), col("codes"),
+        col("qnorm"), col("cosc"))
+      .persist()
+    val other = scored.select(col("bucket").as("b_b"), col("vec_id").as("id_b"),
+      col("codes").as("c_b"), col("qnorm").as("n_b"), col("cosc").as("k_b"))
+    // integer pair dot: exact in both engines, then one double divide
+    val pairCos = aggregate(
+      zip_with(col("codes"), col("c_b"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (a, x) => a + x).cast("double") / (col("qnorm") * col("n_b"))
+    val removed = scored.join(other,
+        col("bucket") === col("b_b") && col("vec_id") =!= col("id_b") &&
+          col("qnorm") > 0 && col("n_b") > 0 &&
+          (col("k_b") < col("cosc") ||
+            (col("k_b") === col("cosc") && col("id_b") < col("vec_id"))) &&
+          pairCos >= tau,
+        "left_semi")
+      .select(col("vec_id")).withColumn("removed", lit(1L))
+    scored.join(removed, Seq("vec_id"), "left")
+      .withColumn("rm", coalesce(col("removed"), lit(0L)))
+      .select(col("vec_id"), col("label"), col("bucket"), col("cosc"), col("rm"))
+  }
+
   /** Exhaustive n-gram jaccard near-dup pairs within each `source`
     * bucket — the O(n²-per-bucket) correctness baseline (MinHash+LSH is
     * the scale path). md5-hashed shingles are portable, so an external
@@ -783,6 +863,20 @@ object Dedup {
         .filter(col("cos0") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos0"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    // SemDeDup per-label summary: corpus size, removals, exact identity
+    // of the kept set (id sum) and the full centroid-cosine profile
+    // (half-up fixed-point checksum — int64-bounded at any corpus size)
+    "dd_semdedup" -> ((s, dir) => {
+      semDedup(Tables.load(s, dir, "embeddings"), tau = 0.35)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("rm")).as("n_removed"),
+          sum(when(col("rm") === 0, col("vec_id")).otherwise(0L))
+            .as("kept_id_sum"),
+          sum(floor(col("cosc") * 1e6 + 0.5).cast("long"))
+            .as("cosc_checksum"))
+        .orderBy(col("label"))
     })
   )
 
@@ -1071,6 +1165,79 @@ object Dedup {
         |      for s in list_zip(a.embedding, b.embedding)]) / (a.nrm * b.nrm) AS cos0
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos0, 6) AS cos
-        |FROM p WHERE cos0 >= 0.4 ORDER BY id_a, id_b""".stripMargin
+        |FROM p WHERE cos0 >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "dd_semdedup" -> semDedupOracleSql
   )
+
+  /** DuckDB mirror of [[semDedup]] (planes = 6, tau = 0.35): portable SRP
+    * bucket (md5-parity plane signs, left-to-right double sums — the
+    * [[Vectors.srpBucketPortable]] construction), int8 quantization
+    * ([[Vectors.quantizeInt8]]'s floor(x·scale + 0.5)), integer centroid
+    * sums per bucket, and the pairwise-greedy removal rule as an EXISTS.
+    * Every cross-row aggregate is integer; every double is derived from
+    * identical integers by identical single operations — bit-equal. */
+  private lazy val semDedupOracleSql: String = {
+    val planeTerms = (0 until 6).map { p =>
+      s"""    (CASE WHEN list_sum([CAST(embedding[j + 1] AS DOUBLE) *
+         |      (CASE WHEN (CAST(('0x' || substr(md5('$p' || '|' ||
+         |          CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0
+         |        THEN 1.0 ELSE -1.0 END)
+         |      for j in range(len(embedding))]) >= 0
+         |      THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }.mkString(" +\n")
+    s"""WITH b AS (
+      |  SELECT vec_id, label, embedding,
+      |$planeTerms AS bucket
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, label, bucket, embedding,
+      |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS ma
+      |  FROM b),
+      |qz AS (
+      |  SELECT vec_id, label, bucket,
+      |    [CAST(floor(CAST(x AS DOUBLE)
+      |        * (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END) + 0.5)
+      |      AS BIGINT) for x in embedding] AS codes
+      |  FROM m),
+      |qn AS (
+      |  SELECT vec_id, label, bucket, codes,
+      |    sqrt(CAST(list_sum([c * c for c in codes]) AS DOUBLE)) AS qnorm
+      |  FROM qz),
+      |dims AS (
+      |  SELECT bucket, r.i AS i, CAST(sum(codes[r.i + 1]) AS BIGINT) AS s
+      |  FROM qn, (SELECT unnest(range(64)) AS i) r
+      |  GROUP BY bucket, r.i),
+      |cent AS (
+      |  SELECT bucket, list(s ORDER BY i) AS cvec,
+      |    sqrt(CAST(sum(s * s) AS DOUBLE)) AS cnorm
+      |  FROM dims GROUP BY bucket),
+      |sc AS (
+      |  SELECT q.vec_id, q.label, q.bucket, q.codes, q.qnorm,
+      |    CASE WHEN q.qnorm > 0 AND c.cnorm > 0
+      |      THEN CAST(list_sum([CAST(s[1] * s[2] AS BIGINT)
+      |             for s in list_zip(q.codes, c.cvec)]) AS DOUBLE)
+      |           / (q.qnorm * c.cnorm)
+      |      ELSE 0.0 END AS cosc
+      |  FROM qn q JOIN cent c USING (bucket)),
+      |rm AS (
+      |  SELECT x.vec_id, x.label, x.cosc,
+      |    CASE WHEN EXISTS (
+      |      SELECT 1 FROM sc y
+      |      WHERE y.bucket = x.bucket AND y.vec_id <> x.vec_id
+      |        AND x.qnorm > 0 AND y.qnorm > 0
+      |        AND (y.cosc < x.cosc
+      |             OR (y.cosc = x.cosc AND y.vec_id < x.vec_id))
+      |        AND CAST(list_sum([CAST(s[1] * s[2] AS BIGINT)
+      |              for s in list_zip(x.codes, y.codes)]) AS DOUBLE)
+      |            / (x.qnorm * y.qnorm) >= 0.35
+      |    ) THEN 1 ELSE 0 END AS rm
+      |  FROM sc x)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(rm) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN rm = 0 THEN vec_id ELSE 0 END) AS BIGINT)
+      |    AS kept_id_sum,
+      |  CAST(sum(CAST(floor(cosc * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS cosc_checksum
+      |FROM rm GROUP BY label ORDER BY label""".stripMargin
+  }
 }

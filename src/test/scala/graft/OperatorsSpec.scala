@@ -761,4 +761,53 @@ class OperatorsSpec extends AnyFunSuite {
     // bound: target ⊆ raw ⇒ every bucket weight ≤ 1e6 ⇒ score ≤ 5e6
     assert(sc.values.forall(s => s > 0 && s <= 5L * 1000000L))
   }
+
+  test("semDedup: removal decisions match a brute-force in-memory reference") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tau = 0.35
+    val got = Dedup.semDedup(emb, tau = tau).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // rebuild (bucket, codes) with the same deterministic building blocks,
+    // then apply the pairwise-greedy rule directly — an independent
+    // implementation of the centroid/semi-join plumbing
+    val rows = emb.select(col("vec_id"),
+        Vectors.srpBucketPortable(col("embedding"), 6).as("bucket"),
+        Vectors.quantizeInt8(col("embedding")).getField("codes").as("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toArray))
+    def dot(a: Array[Int], b: Array[Int]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i).toLong * b(i); i += 1 }; s
+    }
+    val removedRef = scala.collection.mutable.Set[Long]()
+    for ((_, members) <- rows.groupBy(_._2)) {
+      val dim = members.head._3.length
+      val sums = Array.fill(dim)(0L)
+      members.foreach { case (_, _, c) =>
+        var i = 0; while (i < dim) { sums(i) += c(i); i += 1 } }
+      val cnorm = math.sqrt(members.head._3.indices
+        .map(i => sums(i) * sums(i)).sum.toDouble)
+      val scored = members.map { case (id, _, c) =>
+        val qn = math.sqrt(dot(c, c).toDouble)
+        val cosc = if (qn > 0 && cnorm > 0)
+          c.indices.map(i => c(i).toLong * sums(i)).sum.toDouble / (qn * cnorm)
+        else 0.0
+        (id, c, qn, cosc)
+      }
+      for ((idX, cX, qnX, coscX) <- scored; (idY, cY, qnY, coscY) <- scored)
+        if (idX != idY && qnX > 0 && qnY > 0 &&
+            (coscY < coscX || (coscY == coscX && idY < idX)) &&
+            dot(cX, cY).toDouble / (qnX * qnY) >= tau)
+          removedRef += idX
+    }
+    assert(removedRef.nonEmpty) // the gate exercises real removals
+    val gotRemoved = got.filter(_._2 == 1L).keySet
+    assert(gotRemoved == removedRef.toSet)
+    // the (centroidCos, id)-minimum of every duplicate pair survives:
+    // removal can never empty a bucket
+    val bucketsWithMembers = rows.groupBy(_._2).map { case (b, ms) =>
+      b -> ms.map(_._1).toSet }
+    bucketsWithMembers.foreach { case (_, ids) =>
+      assert((ids -- removedRef).nonEmpty) }
+  }
 }
