@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.C4.queries ++
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
+    graft.operators.KMeans.queries ++
     graft.operators.Multimodal.queries ++
     graft.operators.AsofJoin.queries ++
     graft.operators.RangeJoin.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
     graft.operators.C4.oracleSql ++
     graft.operators.Dedup.oracleSql ++
     graft.operators.Similarity.oracleSql ++
+    graft.operators.KMeans.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
     graft.operators.AsofJoin.oracleSql ++
     graft.operators.RangeJoin.oracleSql ++
