@@ -620,6 +620,29 @@ object TextAnalysis {
         sum(flags.map(f => col(s"q.$f")).reduce(_ && _).cast("long"))
           .as("n_gopher_pass"))
     }),
+    // corpus-composition drift between two snapshots (the even/odd
+    // doc_id halves stand in for consecutive dumps): per (source, lang)
+    // cell, counts in each half and the parts-per-million share delta —
+    // the monitor a recurring ingestion pipeline alarms on. Integer-
+    // exact (share = n·1e6 div total); one groupBy plus a broadcast of
+    // the one-row totals — no sort, no corpus-wide window, so the cell
+    // table is the only shuffle at any corpus size.
+    "ta_drift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val a = (col("doc_id") % 2 === 0).cast("long")
+      val cells = docs.groupBy(col("source"), col("lang"))
+        .agg(sum(a).as("n_a"), sum(lit(1L) - a).as("n_b"))
+      val tot = docs.agg(sum(a).as("t_a"), sum(lit(1L) - a).as("t_b"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("ppm_a",
+          coalesce(expr("n_a * 1000000L div nullif(t_a, 0)"), lit(0L)))
+        .withColumn("ppm_b",
+          coalesce(expr("n_b * 1000000L div nullif(t_b, 0)"), lit(0L)))
+        .select(col("source"), col("lang"), col("n_a"), col("n_b"),
+          col("ppm_a"), col("ppm_b"),
+          (col("ppm_b") - col("ppm_a")).as("drift_ppm"))
+        .orderBy(col("source"), col("lang"))
+    }),
     // vocabulary coverage of the top-200 words: OOV-rate numerators and
     // denominators, all integer-exact
     "ta_vocab_coverage" -> ((s, dir) =>
@@ -716,6 +739,27 @@ object TextAnalysis {
       | AND ok_duplines AND ok_duppara""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ta_drift" ->
+      """WITH h AS (
+        |  SELECT source, lang,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        |  FROM documents),
+        |cells AS (
+        |  SELECT source, lang,
+        |    CAST(sum(a) AS BIGINT) AS n_a,
+        |    CAST(sum(1 - a) AS BIGINT) AS n_b
+        |  FROM h GROUP BY source, lang),
+        |tot AS (
+        |  SELECT CAST(sum(a) AS BIGINT) AS t_a,
+        |    CAST(sum(1 - a) AS BIGINT) AS t_b
+        |  FROM h)
+        |SELECT c.source, c.lang, c.n_a, c.n_b,
+        |  COALESCE((c.n_a * 1000000) // NULLIF(t.t_a, 0), 0) AS ppm_a,
+        |  COALESCE((c.n_b * 1000000) // NULLIF(t.t_b, 0), 0) AS ppm_b,
+        |  COALESCE((c.n_b * 1000000) // NULLIF(t.t_b, 0), 0)
+        |    - COALESCE((c.n_a * 1000000) // NULLIF(t.t_a, 0), 0)
+        |    AS drift_ppm
+        |FROM cells c, tot t ORDER BY c.source, c.lang""".stripMargin,
     // the funnel mirrored stage by stage: langid CASE, token count,
     // punct ratio, md5 fingerprint row_number dedup, hash sample
     "ta_pipeline" ->
