@@ -249,6 +249,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(scans <= 2, s"documents scanned $scans times (fan-out regression)")
   }
 
+  test("km_embed: literal-centroid assignment, pruned scan, broadcast summary join") {
+    // the assignment pass must carry the centroids as plan literals (no
+    // join, no shuffle before the per-cluster aggregate), the embeddings
+    // scan must prune the unused label column, and the k-row centroid-sum
+    // join must broadcast
+    val p = plan("km_embed")
+    assertNoCartesian(p, "km_embed"); assertNoUdf(p, "km_embed")
+    assert(p.contains("BroadcastHashJoin"), "centroid-sum join not broadcast")
+    assert(!p.contains("SortMergeJoin"), "k-row join degraded to SMJ")
+    assert(!p.contains("label"), "unused label column not pruned from scan")
+  }
+
+  test("ta_drift: one cell shuffle, 1-row totals broadcast only") {
+    val p = plan("ta_drift")
+    assert(!p.contains("CartesianProduct"), "ta_drift has CartesianProduct")
+    assertNoUdf(p, "ta_drift")
+    // the only nested-loop shape allowed is the declared 1-row totals
+    // crossJoin riding a broadcast
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"ta_drift has $bnlj BNLJs (expected the 1-row total only)")
+    assert(!p.contains("SortMergeJoin"), "ta_drift join degraded to SMJ")
+  }
+
   test("ap_top_k: sketch aggregate present, exact side broadcast-joined") {
     val p = plan("ap_top_k")
     assert(p.toLowerCase.contains("approx_top_k"),
