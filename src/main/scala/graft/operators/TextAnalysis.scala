@@ -620,6 +620,37 @@ object TextAnalysis {
         sum(flags.map(f => col(s"q.$f")).reduce(_ && _).cast("long"))
           .as("n_gopher_pass"))
     }),
+    // model-based quality filter: the fasttext-style linear scorer every
+    // LLM data pipeline runs after rule filters (GPT-3 / LLaMA corpus
+    // construction). The model ships as an ARTIFACT — here four integer
+    // features with fixed literal weights:
+    //   score = 3·stopword‰ + 2·type-token‰ + min(meanwordlen·100, 600)
+    //           + 2·min(n_words, 100),   keep = score ≥ 1700
+    // Features are per-mille integers (div, not float division), so
+    // scoring is bit-exact cross-engine. The whole operator is a narrow
+    // projection — zero shuffle at any corpus size; training stays
+    // offline (a model artifact), exactly as in production pipelines.
+    "ta_classifier" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val stop = Seq("the", "a", "of", "and", "is")
+      docs.select(col("doc_id"), col("source"),
+          tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("nw"),
+          size(filter(col("toks"), t => t.isInCollection(stop)))
+            .cast("long").as("nstop"),
+          length(concat_ws("", col("toks"))).cast("long").as("wchars"),
+          size(array_distinct(col("toks"))).cast("long").as("nuniq"))
+        .select(col("doc_id"), col("source"),
+          expr("nstop * 1000 div greatest(nw, 1)").as("stop_pm"),
+          expr("wchars * 100 div greatest(nw, 1)").as("mwl100"),
+          expr("nuniq * 1000 div greatest(nw, 1)").as("ttr_pm"),
+          col("nw"))
+        .withColumn("score", expr(
+          "3 * stop_pm + 2 * ttr_pm + least(mwl100, 600) + 2 * least(nw, 100)"))
+        .withColumn("keep", (col("score") >= 1700).cast("bigint"))
+        .orderBy(col("doc_id"))
+    }),
     // corpus-composition drift between two snapshots (the even/odd
     // doc_id halves stand in for consecutive dumps): per (source, lang)
     // cell, counts in each half and the parts-per-million share delta —
@@ -739,6 +770,34 @@ object TextAnalysis {
       | AND ok_duplines AND ok_duppara""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ta_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS nw,
+        |    CAST(len(list_filter(toks,
+        |      x -> list_contains(['the','a','of','and','is'], x)))
+        |      AS BIGINT) AS nstop,
+        |    CAST(list_sum(list_transform(toks, x -> len(x)))
+        |      AS BIGINT) AS wchars,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS nuniq
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    (nstop * 1000) // greatest(nw, 1) AS stop_pm,
+        |    (wchars * 100) // greatest(nw, 1) AS mwl100,
+        |    (nuniq * 1000) // greatest(nw, 1) AS ttr_pm,
+        |    nw
+        |  FROM f)
+        |SELECT doc_id, source, stop_pm, mwl100, ttr_pm, nw,
+        |  3 * stop_pm + 2 * ttr_pm + least(mwl100, 600)
+        |    + 2 * least(nw, 100) AS score,
+        |  CASE WHEN 3 * stop_pm + 2 * ttr_pm + least(mwl100, 600)
+        |    + 2 * least(nw, 100) >= 1700 THEN 1 ELSE 0 END AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "ta_drift" ->
       """WITH h AS (
         |  SELECT source, lang,
