@@ -206,6 +206,24 @@ object Sampling {
       val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
       deterministicShuffle(docs, col("doc_id"), seed = 42L).limit(10)
     }),
+    // per-domain document cap (RefinedWeb-style): at most 20 docs per
+    // source, selected by deterministic hash order — not arrival order,
+    // so every engine, partitioning, and retry selects the SAME set.
+    // One keyed shuffle (the per-source rank window); a skewed source's
+    // partition is bounded by its row count pre-cap, and the cap itself
+    // bounds everything downstream — the standard guard against one
+    // domain dominating a 100 TB crawl mix.
+    "ta_domain_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      docs.select(col("doc_id"), col("source"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 20)
+        .orderBy(col("source"), col("doc_id"))
+    }),
     // domain mixture under a 40k-token budget: src0 half, src1/src2 a
     // quarter each (exact binary weights — the budget×weight literals
     // must byte-match the oracle's), everything else weight 0
@@ -222,6 +240,16 @@ object Sampling {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ta_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT),
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin,
     // DuckDB sum(BIGINT) is HUGEINT (exact); comparisons against it are
     // fine, and the output sums are cast back inside int64 range
     // (w ≤ 1e6 since target ⊆ raw; see dsirScores bound)
