@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, KMeans, TextAnalysis}
 import graft.sources.Tables
 
 /** Empirical scale-exponent probe: replicates the sf0.1 `documents`
@@ -49,35 +49,48 @@ object ScaleProbe {
           col("source"), concat(lit(s"r$i "), col("text")).as("text"))
       }.reduce(_ unionAll _)
 
-    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "exact_dedup" -> (d => Dedup.exact(d)),
+    // embeddings replica for the vector-side ops (identical vectors per
+    // replica is fine: assignment cost is linear in rows regardless)
+    val embBase = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    def embCorpus(f: Int): DataFrame =
+      (0 until f).map { i =>
+        embBase.select((col("vec_id") + i.toLong * 100000000L).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+
+    val ops: Seq[(String, Int => DataFrame)] = Seq(
+      "exact_dedup" -> (f => Dedup.exact(corpus(f))),
       "minhash_portable_pairs" ->
-        (d => Dedup.minhashDupPairsPortable(d, threshold = 0.5)),
-      "chunk_docs_64" -> (d =>
-        TextAnalysis.chunkDocs(d, "text", 64, keep = Seq("doc_id"))
+        (f => Dedup.minhashDupPairsPortable(corpus(f), threshold = 0.5)),
+      "chunk_docs_64" -> (f =>
+        TextAnalysis.chunkDocs(corpus(f), "text", 64, keep = Seq("doc_id"))
           .groupBy().agg(count(lit(1)).as("n_chunks"),
             sum(col("n_toks")).as("toks"))),
-      "gopher_ngrams" -> (d =>
-        TextAnalysis.gopherNgramStats(d)
+      "gopher_ngrams" -> (f =>
+        TextAnalysis.gopherNgramStats(corpus(f))
           .groupBy(col("n"))
           .agg(sum(col("num_chars")).as("rep"), sum(col("pass")).as("p"))),
-      "winnow_fingerprints" -> (d =>
-        TextAnalysis.winnowFingerprints(d)
+      "winnow_fingerprints" -> (f =>
+        TextAnalysis.winnowFingerprints(corpus(f))
           .groupBy().agg(count(lit(1)).as("n"))),
-      "tfidf_topk" -> (d => TextAnalysis.tfidfTopK(d)))
+      "tfidf_topk" -> (f => TextAnalysis.tfidfTopK(corpus(f))),
+      // k-means: the timed region includes the 2 in-loop re-center
+      // actions (fit collects the k×dim model per iteration), which is
+      // the honest cost of the operator
+      "kmeans_8x3" -> (f => KMeans.fit(embCorpus(f), k = 8, iters = 3)))
 
     // JIT/codegen warm-up outside the measured region
     ops.foreach { case (_, op) =>
-      op(corpus(1)).write.mode("overwrite").format("noop").save()
+      op(1).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
     }
 
     val results = ops.map { case (name, op) =>
       val times = factors.map { f =>
-        val c = corpus(f)
         val ts = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          op(c).write.mode("overwrite").format("noop").save()
+          op(f).write.mode("overwrite").format("noop").save()
           val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
           dt
