@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.KMeans
 
@@ -78,6 +80,67 @@ class KMeansSpec extends AnyFunSuite {
     val i1 = total(1)
     val i3 = total(3)
     assert(i3 <= i1, s"inertia grew: $i1 -> $i3")
+  }
+
+  /** Full in-memory Lloyd reference with the operator's exact
+    * semantics: floor(x·2^15+0.5) quantization, k-lowest-id seeds,
+    * iters assignments bracketing iters-1 floor-div re-centerings,
+    * empty clusters disappearing, ties to the lowest cid. */
+  private def refKMeans(data: Seq[(Long, Array[Float])], k: Int,
+      iters: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val q = data.sortBy(_._1).map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 32768.0 + 0.5).toLong))
+    }
+    var cents: Seq[(Long, Array[Long])] =
+      q.take(k).zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assignAll = q.map { case (id, v) =>
+      val (d, cid) = cents.map(c => (d2(v, c._2), c._1)).min
+      (id, v, cid, d)
+    }
+    for (_ <- 1 until iters) {
+      val asg = assignAll
+      cents = asg.groupBy(_._3).toSeq.sortBy(_._1).map { case (cid, mem) =>
+        val dim = mem.head._2.length
+        (cid, Array.tabulate(dim)(j =>
+          Math.floorDiv(mem.map(_._2(j)).sum, mem.length.toLong)))
+      }
+    }
+    assignAll.groupBy(_._3).toSeq.sortBy(_._1).map { case (cid, mem) =>
+      (cid, mem.length.toLong, mem.map(_._1).sum, mem.map(_._4).sum,
+        cents.find(_._1 == cid).get._2.sum)
+    }
+  }
+
+  test("random corpora: full summary matches the in-memory reference") {
+    // coarse-grid floats make duplicate points and distance TIES likely,
+    // so the lowest-cid tie-break and empty-cluster semantics are
+    // genuinely exercised
+    val gen = for {
+      n <- Gen.chooseNum(5, 24)
+      dim <- Gen.chooseNum(2, 5)
+      k <- Gen.chooseNum(2, math.min(5, n))
+      iters <- Gen.chooseNum(1, 3)
+      vals <- Gen.listOfN(n * dim, Gen.chooseNum(-8, 8).map(_ / 4.0f))
+    } yield (n, dim, k, iters, vals)
+    var seed = Seed(20260813L)
+    for (_ <- 1 to 8) {
+      gen.apply(Gen.Parameters.default, seed).foreach {
+        case (n, dim, k, iters, vals) =>
+          val data = (0 until n).map(i =>
+            (i.toLong, vals.slice(i * dim, (i + 1) * dim).toArray))
+          val df = data.map { case (id, v) => (id, v, 0) }
+            .toDF("vec_id", "embedding", "label")
+          val got = KMeans.fit(df, k, iters).collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getLong(4))).toSeq
+          val want = refKMeans(data, k, iters)
+          assert(got == want,
+            s"n=$n dim=$dim k=$k iters=$iters:\n got $got\nwant $want")
+      }
+      seed = seed.next
+    }
   }
 
   test("floor-division centroid update handles negative sums") {
