@@ -301,6 +301,39 @@ object Streams {
       runToCompletion(s, qualityMonitor(readDocuments(s, dir)))
         .orderBy(col("source"))
     }),
+    // streaming face of ta_drift: the ARRIVING corpus half (odd doc_ids
+    // — today's dump) monitored cell by cell against the static
+    // historical half. The streaming side is one complete-mode
+    // aggregate whose state is one row per (source, lang) cell —
+    // bounded by corpus vocabulary, not volume; the historical side is
+    // a small batch cell table. Output (and oracle) are identical to
+    // the batch ta_drift: incremental == batch is the invariant.
+    "st_drift" -> ((s, dir) => {
+      val streamCells = runToCompletion(s,
+        readDocuments(s, dir).filter(col("doc_id") % 2 =!= 0)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_b")))
+      val histCells = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_a"))
+      val cells = histCells.join(streamCells, Seq("source", "lang"),
+          "full_outer")
+        .select(col("source"), col("lang"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      val tot = cells.agg(sum(col("n_a")).as("t_a"),
+        sum(col("n_b")).as("t_b"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("ppm_a",
+          coalesce(expr("n_a * 1000000L div nullif(t_a, 0)"), lit(0L)))
+        .withColumn("ppm_b",
+          coalesce(expr("n_b * 1000000L div nullif(t_b, 0)"), lit(0L)))
+        .select(col("source"), col("lang"), col("n_a"), col("n_b"),
+          col("ppm_a"), col("ppm_b"),
+          (col("ppm_b") - col("ppm_a")).as("drift_ppm"))
+        .orderBy(col("source"), col("lang"))
+    }),
     "st_join_attribution" -> ((s, dir) => {
       runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
         .groupBy(date_format(
@@ -355,6 +388,9 @@ object Streams {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id % 3 <> 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the incremental==batch invariant stated literally: the streaming
+    // drift monitor's oracle IS the batch ta_drift oracle
+    "st_drift" -> graft.operators.TextAnalysis.oracleSql("ta_drift"),
     "st_quality" ->
       """WITH s AS (
         |  SELECT source,

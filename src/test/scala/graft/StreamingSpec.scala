@@ -127,6 +127,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateSessions == batch)
   }
 
+  test("streaming drift monitor equals the batch ta_drift result") {
+    val dir = "/root/testdata/sf0.001"
+    val st = SparkEntry.queries("st_drift")(spark, dir).collect().map(_.toSeq)
+    val ba = SparkEntry.queries("ta_drift")(spark, dir).collect().map(_.toSeq)
+    assert(st.sameElements(ba), "incremental drift != batch drift")
+  }
+
   test("stateful running counts via flatMapGroupsWithState over a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
