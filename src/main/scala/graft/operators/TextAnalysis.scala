@@ -229,6 +229,33 @@ object TextAnalysis {
     *
     * Returns (doc_id, n, num_chars, total, pass): one row per document
     * per n, docs with fewer than n tokens passing with num_chars 0. */
+  /** The ta_bpe_apply merge table, ordered as BPE learned them (this
+    * corpus's measured top pairs from [[bpePairCensus]]) — a tokenizer
+    * ships exactly such an ordered list as its model artifact. */
+  val bpeMerges: Seq[String] = Seq(
+    "e r", "i n", "o w", "o r", "s t", "m e", "t o", "a t")
+
+  /** Greedy sequential application of [[bpeMerges]] to one word: the
+    * word is char-spaced with sentinel spaces, then each merge runs as
+    * a space-anchored literal replace (boundary anchoring stops a
+    * pair from matching across an already-merged token's edge, e.g.
+    * 'verve' → 'v er v e', never 'v e r v e' → cross-bleed). TWO passes
+    * per merge: sequential replace resumes AFTER each match, so
+    * alternating overlaps ('tototo' → ' t o t o t o ') need a second
+    * sweep to converge to 'to to to' — DuckDB's replace has the same
+    * resume-after-match semantics, so segmentations are byte-identical
+    * (pinned in OperatorsSpec and by the ta_bpe_apply oracle). */
+  def bpeSegment(w: Column): Column = {
+    val spaced0 = concat(lit(" "),
+      trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+    val merged = bpeMerges.foldLeft(spaced0) { (c, m) =>
+      val pat = lit(" " + m + " ")
+      val tgt = lit(" " + m.filterNot(_ == ' ') + " ")
+      replace(replace(c, pat, tgt), pat, tgt)
+    }
+    trim(merged)
+  }
+
   val gopherNgramThresholds: Map[Int, Int] = Map(
     2 -> 20, 3 -> 18, 4 -> 16,
     5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
@@ -685,6 +712,31 @@ object TextAnalysis {
       bpePairCensus(Tables.load(s, dir, "documents"))
         .orderBy(col("n").desc, col("pair")).limit(20)
     }),
+    // BPE merge APPLICATION — the inference half of the tokenizer story
+    // (ta_bpe_pairs is training iteration 0): the 8 merges are a
+    // shipped artifact (this corpus's measured top pairs), applied as
+    // greedy sequential space-anchored replaces over char-spaced words.
+    // Two passes per merge: a sequential replace resumes AFTER each
+    // match, so alternating overlaps (' a b a b ') need a second sweep
+    // — DuckDB's replace has the same resume-after-match semantics, so
+    // segmentation strings are byte-identical. Cost shape: the corpus
+    // collapses to the word census (one map-side-combined shuffle), the
+    // top-20 cut fuses to TakeOrdered, and the merge chain runs on 20
+    // rows — corpus size only ever touches the census pass.
+    "ta_bpe_apply" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val census = docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(20)
+      census.select(col("w"), col("freq"),
+          bpeSegment(col("w")).as("segmentation"))
+        .withColumn("n_subtokens",
+          (length(col("segmentation"))
+            - length(replace(col("segmentation"), lit(" "), lit("")))
+            + 1).cast("long"))
+        .orderBy(col("freq").desc, col("w"))
+    }),
     "ta_token_count" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -770,6 +822,7 @@ object TextAnalysis {
       | AND ok_duplines AND ok_duppara""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ta_bpe_apply" -> bpeApplyOracleSql,
     "ta_classifier" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -1145,4 +1198,28 @@ object TextAnalysis {
         |SELECT doc_id, count(*) AS n_fp, min(m) AS min_fp, max(m) AS max_fp
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB mirror of ta_bpe_apply: the same merge chain nested as
+    * replace(replace(...)) in the same order with the same two passes
+    * per merge, over the same census top-20 cut. */
+  private lazy val bpeApplyOracleSql: String = {
+    val spaced0 =
+      "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    val mergedExpr = bpeMerges.foldLeft(spaced0) { (c, m) =>
+      val pat = s"' $m '"
+      val tgt = s"' ${m.filterNot(_ == ' ')} '"
+      s"replace(replace($c, $pat, $tgt), $pat, $tgt)"
+    }
+    s"""WITH w AS (
+       |  SELECT x AS w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS x
+       |    FROM documents)
+       |  WHERE len(x) >= 2 GROUP BY x),
+       |top AS (SELECT w, freq FROM w ORDER BY freq DESC, w LIMIT 20),
+       |m AS (SELECT w, freq, trim($mergedExpr) AS segmentation FROM top)
+       |SELECT w, freq, segmentation,
+       |  CAST(len(segmentation) - len(replace(segmentation, ' ', '')) + 1
+       |    AS BIGINT) AS n_subtokens
+       |FROM m ORDER BY freq DESC, w""".stripMargin
+  }
 }

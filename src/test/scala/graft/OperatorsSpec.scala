@@ -564,6 +564,21 @@ class OperatorsSpec extends AnyFunSuite {
       s"split() must not be inlined into the chunk lambda:\n$plan")
   }
 
+  test("bpeSegment: overlap needs the second pass; anchoring stops cross-bleed") {
+    // expectations measured from DuckDB's replace (resume-after-match):
+    // 'tototo' alternates, so pass 1 merges positions 1,3 and pass 2
+    // catches the leftover; 'verve' must keep its leading v un-bled;
+    // 'oooo' has no merge rule and stays fully spaced
+    val got = Seq("tototo", "verve", "erer", "oooo").toDF("w")
+      .select(col("w"), TextAnalysis.bpeSegment(col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "tototo" -> "to to to",
+      "verve" -> "v er v e",
+      "erer" -> "er er",
+      "oooo" -> "o o o o"))
+  }
+
   test("gopherNgramStats: repetitive doc fails, clean doc passes, short doc trivially passes") {
     val repeated = Seq.fill(20)("the same five gram phrase repeats endlessly").mkString(" ")
     val clean = (1 to 100).map(i => s"tok$i").mkString(" ")
