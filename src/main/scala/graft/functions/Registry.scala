@@ -70,6 +70,13 @@ object Registry {
     "float_dot" -> { case Seq(a, b) => NativeVector.floatDot(a, b) },
     "float_double_dist2" -> { case Seq(a, b) =>
       NativeVector.floatDoubleDist2(a, b) },
-    "cosine_sim" -> { case Seq(a, b) => NativeVector.cosine(a, b) }
+    "cosine_sim" -> { case Seq(a, b) => NativeVector.cosine(a, b) },
+    // training-data pipeline scalars from dialect SQL (beyond the
+    // reference): the fixed-weight quality model and the shipped
+    // BPE merge table, first-class in the engine's own SQL surface
+    "quality_score" -> { case Seq(t) =>
+      graft.operators.TextAnalysis.qualityScore(t) },
+    "bpe_segment" -> { case Seq(w) =>
+      graft.operators.TextAnalysis.bpeSegment(w) }
   )
 }

@@ -256,6 +256,29 @@ object TextAnalysis {
     trim(merged)
   }
 
+  /** The ta_classifier linear score as ONE scalar expression — the
+    * dialect-SQL face (`quality_score(text)`) of the same fixed-weight
+    * model. Tokenization is inlined per feature (4×): fine for a scalar
+    * applied to selected rows; the ta_classifier driver query keeps its
+    * materialized-token projection for full corpus passes. Integer
+    * floor-division via (a − a mod b)/b — exact for the nonnegative
+    * feature counts, identical to SQL `div`. Kept in lockstep with the
+    * ta_classifier query by an OperatorsSpec equality test. */
+  def qualityScore(text: Column): Column = {
+    val stop = Seq("the", "a", "of", "and", "is")
+    val toks = tokens(text)
+    def nn(c: Column) = c.cast("long")
+    def idiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val nwRaw = nn(size(toks))
+    val nw = greatest(nwRaw, lit(1L))
+    val stopPm =
+      idiv(nn(size(filter(toks, t => t.isInCollection(stop)))) * 1000, nw)
+    val mwl100 = idiv(nn(length(concat_ws("", toks))) * 100, nw)
+    val ttrPm = idiv(nn(size(array_distinct(toks))) * 1000, nw)
+    lit(3L) * stopPm + lit(2L) * ttrPm + least(mwl100, lit(600L)) +
+      lit(2L) * least(nwRaw, lit(100L))
+  }
+
   val gopherNgramThresholds: Map[Int, Int] = Map(
     2 -> 20, 3 -> 18, 4 -> 16,
     5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
@@ -1202,21 +1225,29 @@ object TextAnalysis {
   /** DuckDB mirror of ta_bpe_apply: the same merge chain nested as
     * replace(replace(...)) in the same order with the same two passes
     * per merge, over the same census top-20 cut. */
-  private lazy val bpeApplyOracleSql: String = {
+  /** DuckDB expression mirroring [[bpeSegment]] applied to `inner`
+    * (a SQL expression string): same spacing, same merge order, same
+    * two passes — reused by every oracle that needs a segmentation. */
+  def bpeMergedSqlExpr(inner: String): String = {
     val spaced0 =
-      "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
-    val mergedExpr = bpeMerges.foldLeft(spaced0) { (c, m) =>
+      s"' ' || trim(regexp_replace($inner, '(.)', '\\1 ', 'g')) || ' '"
+    val chained = bpeMerges.foldLeft(spaced0) { (c, m) =>
       val pat = s"' $m '"
       val tgt = s"' ${m.filterNot(_ == ' ')} '"
       s"replace(replace($c, $pat, $tgt), $pat, $tgt)"
     }
+    s"trim($chained)"
+  }
+
+  private lazy val bpeApplyOracleSql: String = {
+    val mergedExpr = bpeMergedSqlExpr("w")
     s"""WITH w AS (
        |  SELECT x AS w, count(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS x
        |    FROM documents)
        |  WHERE len(x) >= 2 GROUP BY x),
        |top AS (SELECT w, freq FROM w ORDER BY freq DESC, w LIMIT 20),
-       |m AS (SELECT w, freq, trim($mergedExpr) AS segmentation FROM top)
+       |m AS (SELECT w, freq, $mergedExpr AS segmentation FROM top)
        |SELECT w, freq, segmentation,
        |  CAST(len(segmentation) - len(replace(segmentation, ' ', '')) + 1
        |    AS BIGINT) AS n_subtokens

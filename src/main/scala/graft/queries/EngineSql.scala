@@ -311,6 +311,41 @@ object EngineSql {
           |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
           |WHERE a.vec_id < 50 ORDER BY id_a""".stripMargin),
 
+      // training-data pipeline scalars through the dialect: the
+      // fixed-weight quality score and the shipped BPE merge table,
+      // callable from the engine's own SQL. The oracle re-derives both
+      // from first principles (feature arithmetic + the same two-pass
+      // merge chain), so the dialect path is hash-gated end to end.
+      "fq_pipeline_scalars" -> (
+        """select doc_id, quality_score(text) as score,
+          |  bpe_segment(regexp_extract(text, '^[a-z]+', 0)) as first_seg
+          |from documents where doc_id < 100 order by doc_id""".stripMargin,
+        {
+          val seg = graft.operators.TextAnalysis
+            .bpeMergedSqlExpr("regexp_extract(f.text, '^[a-z]+')")
+          s"""WITH t AS (
+             |  SELECT doc_id, text,
+             |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+             |  FROM documents WHERE doc_id < 100),
+             |f AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(toks) AS BIGINT) AS nw,
+             |    CAST(len(list_filter(toks,
+             |      x -> list_contains(['the','a','of','and','is'], x)))
+             |      AS BIGINT) AS nstop,
+             |    CAST(list_sum(list_transform(toks, x -> len(x)))
+             |      AS BIGINT) AS wchars,
+             |    CAST(len(list_distinct(toks)) AS BIGINT) AS nuniq
+             |  FROM t)
+             |SELECT doc_id,
+             |  3 * ((nstop * 1000) // greatest(nw, 1))
+             |    + 2 * ((nuniq * 1000) // greatest(nw, 1))
+             |    + least((wchars * 100) // greatest(nw, 1), 600)
+             |    + 2 * least(nw, 100) AS score,
+             |  $seg AS first_seg
+             |FROM f ORDER BY doc_id""".stripMargin
+        }),
+
       // QUALIFY over a window: top order per customer, top-20 customers
       "fq_qualify" -> same(
         """select o_custkey, o_orderkey,

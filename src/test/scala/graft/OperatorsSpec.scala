@@ -564,6 +564,18 @@ class OperatorsSpec extends AnyFunSuite {
       s"split() must not be inlined into the chunk lambda:\n$plan")
   }
 
+  test("qualityScore scalar stays in lockstep with the ta_classifier query") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("ta_classifier")(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val s = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("score2"))
+    assert(q.join(s, "doc_id")
+      .filter(col("score") =!= col("score2")).count() == 0,
+      "dialect quality_score diverged from the ta_classifier pipeline")
+  }
+
   test("bpeSegment: overlap needs the second pass; anchoring stops cross-bleed") {
     // expectations measured from DuckDB's replace (resume-after-match):
     // 'tototo' alternates, so pass 1 merges positions 1,3 and pass 2
