@@ -134,6 +134,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.sameElements(ba), "incremental drift != batch drift")
   }
 
+  test("restart from checkpoint: no source reprocessing, state survives") {
+    // the operational property behind every long-running ingestion
+    // pipeline: kill the query, restart from the checkpoint, and (a) the
+    // already-committed source files are NOT read again, (b) the
+    // aggregate state picks up where it left off — final result equals
+    // the batch aggregate over everything ever ingested
+    val base = java.nio.file.Files.createTempDirectory("graft_restart")
+    val src = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    val schema = "user_id LONG, v LONG"
+
+    @volatile var captured: Map[Long, (Long, Long)] = Map.empty
+    @volatile var inputRows = 0L
+    def run(expectRows: Long): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .groupBy(col("user_id"))
+        .agg(sum(col("v")).as("total"), count(lit(1)).as("n"))
+        .writeStream
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          captured = df.collect()
+            .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        inputRows = q.recentProgress.map(_.numInputRows).sum
+      } finally q.stop()
+      assert(inputRows == expectRows,
+        s"restarted query read $inputRows source rows, expected $expectRows")
+    }
+
+    Seq((1L, 10L), (2L, 20L), (1L, 5L)).toDF("user_id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    run(expectRows = 3) // phase 1: initial ingest
+    assert(captured == Map(1L -> (15L, 2L), 2L -> (20L, 1L)))
+
+    Seq((1L, 1L), (3L, 30L)).toDF("user_id", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    run(expectRows = 2) // phase 2: ONLY the new file is read
+    assert(captured == Map(1L -> (16L, 3L), 2L -> (20L, 1L), 3L -> (30L, 1L)),
+      "state after restart must equal the batch aggregate over all files")
+  }
+
   test("stateful running counts via flatMapGroupsWithState over a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
