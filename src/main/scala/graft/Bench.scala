@@ -100,6 +100,7 @@ object Bench {
     val priority = (n: String) => n.split("_", 2)(0) match {
       case "dd"  => 0 // dedup pipeline
       case "sim" => 1 // similarity/ANN
+      case "km"  => 1 // k-means clustering (same family tier as ANN)
       case "ta"  => 2 // text analysis
       case "mm"  => 3 // multimodal
       case "st"  => 4 // streaming

@@ -73,6 +73,10 @@ object KMeans {
     val spark = emb.sparkSession
     import spark.implicits._
 
+    // NOTE: persisted for the lifetime of the returned plan (seed
+    // collect, every re-center pass, and the final assignment all read
+    // it). Long-lived sessions should clearCache() after materializing,
+    // as Bench/Verify do between queries.
     val q = emb.select(col("vec_id").cast("long").as("vec_id"),
       quantize(col("embedding")).as("q")).persist()
 
