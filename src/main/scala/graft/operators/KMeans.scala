@@ -73,10 +73,8 @@ object KMeans {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    // NOTE: persisted for the lifetime of the returned plan (seed
-    // collect, every re-center pass, and the final assignment all read
-    // it). Long-lived sessions should clearCache() after materializing,
-    // as Bench/Verify do between queries.
+    // persisted across the seed collect and the re-center passes, then
+    // released before the summary plan is returned (no leak per call)
     val q = emb.select(col("vec_id").cast("long").as("vec_id"),
       quantize(col("embedding")).as("q")).persist()
 
@@ -108,6 +106,11 @@ object KMeans {
 
     val centSums = cents.map { case (cid, cv) => (cid, cv.sum) }
       .toDF("cid", "cent_sum")
+    // the cache has served its purpose (seed collect + every re-center);
+    // release it so repeated fit() calls in a long-lived session don't
+    // accumulate pinned corpora — the final assignment below re-derives
+    // q with one extra narrow scan, which is cheaper than a leak
+    q.unpersist(blocking = false)
     assign(q, cents).groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("vec_id")).as("id_sum"),
@@ -134,24 +137,30 @@ object KMeans {
   private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
     val d2 = "list_sum(list_transform(list_zip(t.q, c.cv), " +
       "s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    // a_i for every assignment; c_i only while another assignment will
+    // read it (the summary pairs a$iters with c${iters-1} — emitting an
+    // unused c$iters would obscure that bracketing)
     val iterCtes = (1 to iters).map { i =>
-      s"""a$i AS (
-         |  SELECT vec_id, q, cid, d FROM (
-         |    SELECT vec_id, q, cid, d,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-         |    FROM (
-         |      SELECT t.vec_id, t.q, c.cid, $d2 AS d
-         |      FROM q t CROSS JOIN c${i - 1} c))
-         |  WHERE rn = 1),
-         |c$i AS (
-         |  SELECT cid, list(fd ORDER BY i) AS cv FROM (
-         |    SELECT a.cid, r.i,
-         |      CAST((sum(a.q[r.i + 1])
-         |            - ((sum(a.q[r.i + 1]) % count(*)) + count(*)) % count(*))
-         |           / count(*) AS BIGINT) AS fd
-         |    FROM a$i a, (SELECT unnest(range($dim)) AS i) r
-         |    GROUP BY a.cid, r.i)
-         |  GROUP BY cid)""".stripMargin
+      val aCte =
+        s"""a$i AS (
+           |  SELECT vec_id, q, cid, d FROM (
+           |    SELECT vec_id, q, cid, d,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           |    FROM (
+           |      SELECT t.vec_id, t.q, c.cid, $d2 AS d
+           |      FROM q t CROSS JOIN c${i - 1} c))
+           |  WHERE rn = 1)""".stripMargin
+      if (i == iters) aCte else
+        aCte + ",\n" +
+        s"""c$i AS (
+           |  SELECT cid, list(fd ORDER BY i) AS cv FROM (
+           |    SELECT a.cid, r.i,
+           |      CAST((sum(a.q[r.i + 1])
+           |            - ((sum(a.q[r.i + 1]) % count(*)) + count(*)) % count(*))
+           |           / count(*) AS BIGINT) AS fd
+           |    FROM a$i a, (SELECT unnest(range($dim)) AS i) r
+           |    GROUP BY a.cid, r.i)
+           |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     s"""WITH q AS (
        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -216,8 +216,7 @@ object Sampling {
     "ta_domain_cap" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
-      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
-        16, 10).cast("long")
+      val h = TextAnalysis.md5Prefix60(col("doc_id").cast("string"))
       val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
       docs.select(col("doc_id"), col("source"),
           row_number().over(w).as("rk"))

@@ -229,56 +229,6 @@ object TextAnalysis {
     *
     * Returns (doc_id, n, num_chars, total, pass): one row per document
     * per n, docs with fewer than n tokens passing with num_chars 0. */
-  /** The ta_bpe_apply merge table, ordered as BPE learned them (this
-    * corpus's measured top pairs from [[bpePairCensus]]) — a tokenizer
-    * ships exactly such an ordered list as its model artifact. */
-  val bpeMerges: Seq[String] = Seq(
-    "e r", "i n", "o w", "o r", "s t", "m e", "t o", "a t")
-
-  /** Greedy sequential application of [[bpeMerges]] to one word: the
-    * word is char-spaced with sentinel spaces, then each merge runs as
-    * a space-anchored literal replace (boundary anchoring stops a
-    * pair from matching across an already-merged token's edge, e.g.
-    * 'verve' → 'v er v e', never 'v e r v e' → cross-bleed). TWO passes
-    * per merge: sequential replace resumes AFTER each match, so
-    * alternating overlaps ('tototo' → ' t o t o t o ') need a second
-    * sweep to converge to 'to to to' — DuckDB's replace has the same
-    * resume-after-match semantics, so segmentations are byte-identical
-    * (pinned in OperatorsSpec and by the ta_bpe_apply oracle). */
-  def bpeSegment(w: Column): Column = {
-    val spaced0 = concat(lit(" "),
-      trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
-    val merged = bpeMerges.foldLeft(spaced0) { (c, m) =>
-      val pat = lit(" " + m + " ")
-      val tgt = lit(" " + m.filterNot(_ == ' ') + " ")
-      replace(replace(c, pat, tgt), pat, tgt)
-    }
-    trim(merged)
-  }
-
-  /** The ta_classifier linear score as ONE scalar expression — the
-    * dialect-SQL face (`quality_score(text)`) of the same fixed-weight
-    * model. Tokenization is inlined per feature (4×): fine for a scalar
-    * applied to selected rows; the ta_classifier driver query keeps its
-    * materialized-token projection for full corpus passes. Integer
-    * floor-division via (a − a mod b)/b — exact for the nonnegative
-    * feature counts, identical to SQL `div`. Kept in lockstep with the
-    * ta_classifier query by an OperatorsSpec equality test. */
-  def qualityScore(text: Column): Column = {
-    val stop = Seq("the", "a", "of", "and", "is")
-    val toks = tokens(text)
-    def nn(c: Column) = c.cast("long")
-    def idiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
-    val nwRaw = nn(size(toks))
-    val nw = greatest(nwRaw, lit(1L))
-    val stopPm =
-      idiv(nn(size(filter(toks, t => t.isInCollection(stop)))) * 1000, nw)
-    val mwl100 = idiv(nn(length(concat_ws("", toks))) * 100, nw)
-    val ttrPm = idiv(nn(size(array_distinct(toks))) * 1000, nw)
-    lit(3L) * stopPm + lit(2L) * ttrPm + least(mwl100, lit(600L)) +
-      lit(2L) * least(nwRaw, lit(100L))
-  }
-
   val gopherNgramThresholds: Map[Int, Int] = Map(
     2 -> 20, 3 -> 18, 4 -> 16,
     5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
@@ -512,6 +462,82 @@ object TextAnalysis {
   }
 
   // --------------------------------------------------------- driver queries
+  // ------------------------------------------- tokenizer + classifier
+  // (artifact-driven scalars shared by the driver queries and the SQL
+  // dialect registry — ONE definition each, lockstep by construction)
+
+  /** The ta_bpe_apply merge table, ordered as BPE learned them (this
+    * corpus's measured top pairs from [[bpePairCensus]]) — a tokenizer
+    * ships exactly such an ordered list as its model artifact. */
+  val bpeMerges: Seq[String] = Seq(
+    "e r", "i n", "o w", "o r", "s t", "m e", "t o", "a t")
+
+  /** Greedy sequential application of [[bpeMerges]] to one word: the
+    * word is char-spaced with sentinel spaces, then each merge runs as
+    * a space-anchored literal replace (boundary anchoring stops a
+    * pair from matching across an already-merged token's edge, e.g.
+    * 'verve' → 'v er v e', never 'v e r v e' → cross-bleed). TWO passes
+    * per merge: sequential replace resumes AFTER each match, so
+    * alternating overlaps ('tototo' → ' t o t o t o ') need a second
+    * sweep to converge to 'to to to' — DuckDB's replace has the same
+    * resume-after-match semantics, so segmentations are byte-identical
+    * (pinned in OperatorsSpec and by the ta_bpe_apply oracle). */
+  def bpeSegment(w: Column): Column = {
+    val spaced0 = concat(lit(" "),
+      trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+    val merged = bpeMerges.foldLeft(spaced0) { (c, m) =>
+      val pat = lit(" " + m + " ")
+      val tgt = lit(" " + m.filterNot(_ == ' ') + " ")
+      replace(replace(c, pat, tgt), pat, tgt)
+    }
+    trim(merged)
+  }
+
+  /** The fixed-weight quality model's integer features + score over a
+    * token-array column, as a struct(stop_pm, mwl100, ttr_pm, nw,
+    * score) — the ONE definition behind both the ta_classifier corpus
+    * query (which materializes the tokens first) and the dialect
+    * `quality_score` scalar (which inlines them). Integer
+    * floor-division via (a − a mod b)/b — exact for the nonnegative
+    * feature counts (< 2^53), identical to SQL `div`. */
+  def classifierFeatures(toks: Column): Column = {
+    val stop = Seq("the", "a", "of", "and", "is")
+    def nn(c: Column) = c.cast("long")
+    def idiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val nwRaw = nn(size(toks))
+    val nw = greatest(nwRaw, lit(1L))
+    val stopPm =
+      idiv(nn(size(filter(toks, t => t.isInCollection(stop)))) * 1000, nw)
+    val mwl100 = idiv(nn(length(concat_ws("", toks))) * 100, nw)
+    val ttrPm = idiv(nn(size(array_distinct(toks))) * 1000, nw)
+    val score = lit(3L) * stopPm + lit(2L) * ttrPm +
+      least(mwl100, lit(600L)) + lit(2L) * least(nwRaw, lit(100L))
+    struct(stopPm.as("stop_pm"), mwl100.as("mwl100"), ttrPm.as("ttr_pm"),
+      nwRaw.as("nw"), score.as("score"))
+  }
+
+  /** the classifier score as one scalar — the dialect-SQL face
+    * (`quality_score(text)`) of [[classifierFeatures]] */
+  def qualityScore(text: Column): Column =
+    classifierFeatures(tokens(text)).getField("score")
+
+  /** ppm share deltas from a (source, lang, n_a, n_b) cell table — the
+    * shared tail of ta_drift and st_drift (their oracles are the SAME
+    * SQL, so the two must compute the deltas identically). */
+  def driftFromCells(cells: DataFrame): DataFrame = {
+    val tot = cells.agg(sum(col("n_a")).as("t_a"),
+      sum(col("n_b")).as("t_b"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("ppm_a",
+        coalesce(expr("n_a * 1000000L div nullif(t_a, 0)"), lit(0L)))
+      .withColumn("ppm_b",
+        coalesce(expr("n_b * 1000000L div nullif(t_b, 0)"), lit(0L)))
+      .select(col("source"), col("lang"), col("n_a"), col("n_b"),
+        col("ppm_a"), col("ppm_b"),
+        (col("ppm_b") - col("ppm_a")).as("drift_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // top-3 TF-IDF terms per document, fully hash-checked
     "ta_tfidf" -> ((s, dir) => {
@@ -682,22 +708,14 @@ object TextAnalysis {
     // offline (a model artifact), exactly as in production pipelines.
     "ta_classifier" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val stop = Seq("the", "a", "of", "and", "is")
       docs.select(col("doc_id"), col("source"),
           tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("source"),
-          size(col("toks")).cast("long").as("nw"),
-          size(filter(col("toks"), t => t.isInCollection(stop)))
-            .cast("long").as("nstop"),
-          length(concat_ws("", col("toks"))).cast("long").as("wchars"),
-          size(array_distinct(col("toks"))).cast("long").as("nuniq"))
+          classifierFeatures(col("toks")).as("f"))
         .select(col("doc_id"), col("source"),
-          expr("nstop * 1000 div greatest(nw, 1)").as("stop_pm"),
-          expr("wchars * 100 div greatest(nw, 1)").as("mwl100"),
-          expr("nuniq * 1000 div greatest(nw, 1)").as("ttr_pm"),
-          col("nw"))
-        .withColumn("score", expr(
-          "3 * stop_pm + 2 * ttr_pm + least(mwl100, 600) + 2 * least(nw, 100)"))
+          col("f.stop_pm").as("stop_pm"), col("f.mwl100").as("mwl100"),
+          col("f.ttr_pm").as("ttr_pm"), col("f.nw").as("nw"),
+          col("f.score").as("score"))
         .withColumn("keep", (col("score") >= 1700).cast("bigint"))
         .orderBy(col("doc_id"))
     }),
@@ -711,18 +729,8 @@ object TextAnalysis {
     "ta_drift" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val a = (col("doc_id") % 2 === 0).cast("long")
-      val cells = docs.groupBy(col("source"), col("lang"))
-        .agg(sum(a).as("n_a"), sum(lit(1L) - a).as("n_b"))
-      val tot = docs.agg(sum(a).as("t_a"), sum(lit(1L) - a).as("t_b"))
-      cells.crossJoin(broadcast(tot))
-        .withColumn("ppm_a",
-          coalesce(expr("n_a * 1000000L div nullif(t_a, 0)"), lit(0L)))
-        .withColumn("ppm_b",
-          coalesce(expr("n_b * 1000000L div nullif(t_b, 0)"), lit(0L)))
-        .select(col("source"), col("lang"), col("n_a"), col("n_b"),
-          col("ppm_a"), col("ppm_b"),
-          (col("ppm_b") - col("ppm_a")).as("drift_ppm"))
-        .orderBy(col("source"), col("lang"))
+      driftFromCells(docs.groupBy(col("source"), col("lang"))
+        .agg(sum(a).as("n_a"), sum(lit(1L) - a).as("n_b")))
     }),
     // vocabulary coverage of the top-200 words: OOV-rate numerators and
     // denominators, all integer-exact
@@ -1222,9 +1230,6 @@ object TextAnalysis {
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
-  /** DuckDB mirror of ta_bpe_apply: the same merge chain nested as
-    * replace(replace(...)) in the same order with the same two passes
-    * per merge, over the same census top-20 cut. */
   /** DuckDB expression mirroring [[bpeSegment]] applied to `inner`
     * (a SQL expression string): same spacing, same merge order, same
     * two passes — reused by every oracle that needs a segmentation. */
@@ -1239,6 +1244,8 @@ object TextAnalysis {
     s"trim($chained)"
   }
 
+  /** DuckDB mirror of ta_bpe_apply: [[bpeMergedSqlExpr]] over the same
+    * census top-20 cut, same ordering and subtoken arithmetic. */
   private lazy val bpeApplyOracleSql: String = {
     val mergedExpr = bpeMergedSqlExpr("w")
     s"""WITH w AS (

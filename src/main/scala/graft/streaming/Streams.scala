@@ -317,22 +317,18 @@ object Streams {
         .filter(col("doc_id") % 2 === 0)
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_a"))
-      val cells = histCells.join(streamCells, Seq("source", "lang"),
-          "full_outer")
-        .select(col("source"), col("lang"),
-          coalesce(col("n_a"), lit(0L)).as("n_a"),
-          coalesce(col("n_b"), lit(0L)).as("n_b"))
-      val tot = cells.agg(sum(col("n_a")).as("t_a"),
-        sum(col("n_b")).as("t_b"))
-      cells.crossJoin(broadcast(tot))
-        .withColumn("ppm_a",
-          coalesce(expr("n_a * 1000000L div nullif(t_a, 0)"), lit(0L)))
-        .withColumn("ppm_b",
-          coalesce(expr("n_b * 1000000L div nullif(t_b, 0)"), lit(0L)))
-        .select(col("source"), col("lang"), col("n_a"), col("n_b"),
-          col("ppm_a"), col("ppm_b"),
-          (col("ppm_b") - col("ppm_a")).as("drift_ppm"))
-        .orderBy(col("source"), col("lang"))
+      // union + re-group (NOT a full-outer join): a join on the cell
+      // keys would split NULL-keyed cells (NULL == NULL is never true),
+      // silently diverging from the batch ta_drift's single groupBy —
+      // the union groups NULL keys together exactly as batch does, and
+      // the shared driftFromCells tail keeps the ppm math in lockstep
+      val cells = histCells
+        .select(col("source"), col("lang"), col("n_a"), lit(0L).as("n_b"))
+        .unionAll(streamCells.select(col("source"), col("lang"),
+          lit(0L).as("n_a"), col("n_b")))
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+      graft.operators.TextAnalysis.driftFromCells(cells)
     }),
     "st_join_attribution" -> ((s, dir) => {
       runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
