@@ -100,6 +100,32 @@ object Relational {
           countDistinct(col("o_custkey")).as("n_customers"))
     }),
 
+    // ANALYZE-style column profiling: the statistics sweep a warehouse
+    // runs for its optimizer — non-null count, null count, NDV, min,
+    // max, decimal-exact sum for four numeric columns, computed in ONE
+    // corpus pass (Spark's Expand handles the multi-distinct), then
+    // unpivoted via stack() to a row per column. At 100 TB this is the
+    // same single-scan shape ANALYZE TABLE uses; nothing is per-column
+    // rescanned.
+    "q_profile" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}_n"),
+        sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).cast("double").as(s"${c}_min"),
+        max(col(c)).cast("double").as(s"${c}_max"),
+        dsum(col(c)).as(s"${c}_sum")) }
+      val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', ${c}_n, ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, " +
+          s"${c}_sum").mkString(", ") +
+        ") as (col_name, n, n_nulls, ndv, min_v, max_v, sum_v)"
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(expr(stackExpr))
+        .orderBy(col("col_name"))
+    }),
+
     // DISTINCT projection (shuffle on the distinct key set only).
     "q_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "customer")
@@ -510,6 +536,17 @@ object Relational {
     "q_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "q_profile" -> (Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  COUNT(DISTINCT $c) AS ndv,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v,
+           |  CAST(MAX($c) AS DOUBLE) AS max_v,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"),
     "q_case_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS finished_total
