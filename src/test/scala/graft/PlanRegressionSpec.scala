@@ -272,6 +272,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "ta_drift join degraded to SMJ")
   }
 
+  test("q_profile: one corpus scan feeds every per-column statistic") {
+    // ANALYZE-style profiling must not rescan per column: the four
+    // columns' stats ride one Expand over one parquet scan
+    val p = plan("q_profile")
+    assertNoCartesian(p, "q_profile"); assertNoUdf(p, "q_profile")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"lineitem scanned $scans times (expected 1)")
+    assert(p.contains("Expand"), "multi-distinct did not plan as Expand")
+  }
+
   test("ap_top_k: sketch aggregate present, exact side broadcast-joined") {
     val p = plan("ap_top_k")
     assert(p.toLowerCase.contains("approx_top_k"),
