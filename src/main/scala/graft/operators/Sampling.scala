@@ -155,19 +155,25 @@ object Sampling {
       // int64-safe (w ≤ 1e6), but Σscore and score·N exceed 2^63 at the
       // 100 TB design point — Spark's long arithmetic would WRAP silently
       // while DuckDB's HUGEINT stays exact, a silent divergence no small
-      // SF exercises. Decimal sums/products match HUGEINT exactly; the
-      // output casts assume gate-scale values (Verify's int64 guard
-      // trips on the decimal column if that assumption ever breaks).
+      // SF exercises. Decimal sums/products match HUGEINT exactly. The
+      // long cast on the OUTPUT column is guarded in-plan: under Spark's
+      // non-ANSI semantics an overflowing decimal→long cast yields NULL
+      // (it never reaches Verify's decimal-only int64 guard), so a sum
+      // past 2^63 raises here instead of shipping a silent NULL.
       import org.apache.spark.sql.types.DecimalType
       val sc = docs.select(col("doc_id"), col("source"))
         .join(scores, Seq("doc_id"), "left")
         .select(col("source"), coalesce(col("score"), lit(0L)).as("score"))
       val tot = sc.agg(count(lit(1)).as("__n"),
         sum(col("score").cast(DecimalType(38, 0))).as("__s"))
+      val decSum = sum(col("score").cast(DecimalType(38, 0)))
       sc.crossJoin(broadcast(tot))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("score").cast(DecimalType(38, 0))).cast("long")
+          when(decSum > lit(Long.MaxValue).cast(DecimalType(38, 0)),
+            raise_error(concat(lit("ta_importance: score_sum exceeds int64: "),
+              decSum.cast("string"))))
+            .otherwise(decSum).cast("long")
             .as("score_sum"),
           max(col("score")).as("max_score"),
           sum(when(col("score").cast(DecimalType(38, 0)) * col("__n")

@@ -135,7 +135,8 @@ final class PgWireServer(spark: SparkSession,
     case b: Boolean => if (b) "t" else "f"
     case d: java.math.BigDecimal => d.toPlainString
     case bd: scala.math.BigDecimal => bd.bigDecimal.toPlainString
-    case ts: java.sql.Timestamp => ts.toString
+    case ts: java.sql.Timestamp => renderTimestamp(ts)
+    case ldt: java.time.LocalDateTime => renderLocalDateTime(ldt)
     case bytes: Array[Byte] => // bytea hex form; must precede Array[_]
       "\\x" + bytes.map(b => f"$b%02x").mkString
     case s: collection.Seq[_] =>
@@ -144,6 +145,27 @@ final class PgWireServer(spark: SparkSession,
       a.map(arrayElem).mkString("{", ",", "}")
     case r: org.apache.spark.sql.Row => r.toString
     case other => other.toString
+  }
+
+  /** The engine session runs UTC and the advertised OID is 1114 (tz-less
+    * timestamp), so the wire text must be the UTC wall-clock of the
+    * instant. `Timestamp.toString` renders in the JVM DEFAULT timezone —
+    * on a non-UTC host every value would ship shifted by the host offset
+    * relative to the engine's own results. Convert through Instant at
+    * UTC instead; fractional seconds are trimmed PG-style (absent when
+    * zero, no trailing zeros otherwise). */
+  private val tsSecondsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss")
+
+  private def renderTimestamp(ts: java.sql.Timestamp): String =
+    renderLocalDateTime(
+      ts.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime)
+
+  private def renderLocalDateTime(ldt: java.time.LocalDateTime): String = {
+    val base = tsSecondsFmt.format(ldt)
+    val micros = ldt.getNano / 1000
+    if (micros == 0) base
+    else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
   }
 
   /** One element of a PG array literal: unquoted NULL for SQL NULL;
@@ -314,8 +336,12 @@ final class PgWireServer(spark: SparkSession,
           send(out, 'C')(cstring(_, s"SELECT ${rows.length}"))
       }
     } catch {
-      // NonFatal only (SqlServer policy): fatal JVM errors must crash
-      // the process, not masquerade as a SQL error
+      // NonFatal only (SqlServer policy): a fatal JVM error propagates
+      // out of this per-connection daemon thread instead of masquerading
+      // as a SQL error. By itself that only kills the thread — the
+      // standalone entry points install [[FatalErrorHalt]] so it halts
+      // the whole process rather than leaving a corrupted JVM serving
+      // other connections.
       case scala.util.control.NonFatal(e) =>
         sendError(out,
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
@@ -328,6 +354,7 @@ final class PgWireServer(spark: SparkSession,
   * directly. Binds loopback unless bindAddr is given (trust auth). */
 object PgServeMain {
   def main(args: Array[String]): Unit = {
+    FatalErrorHalt.install()
     val spec = args.headOption.filter(s => s.nonEmpty && s != "''")
     val port = args.drop(1).headOption.map(_.toInt).getOrElse(0)
     val bind = args.drop(2).headOption.filter(_.nonEmpty)

@@ -149,9 +149,11 @@ final class SqlServer(spark: org.apache.spark.sql.SparkSession,
         case Some(df) => renderResult(df, maxRows)
       }
     } catch {
-      // NonFatal only: an OutOfMemoryError / LinkageError must crash the
-      // process, not be serialized into an {"error": ...} line while the
-      // connection loop keeps running in a corrupted JVM
+      // NonFatal only: an OutOfMemoryError / LinkageError must not be
+      // serialized into an {"error": ...} line — it propagates out of
+      // this per-connection daemon thread (killing the connection), and
+      // the standalone entry points install [[FatalErrorHalt]] so the
+      // whole process halts instead of serving on in a corrupted JVM
       case scala.util.control.NonFatal(e) =>
         val err = mapper.createObjectNode()
         err.put("error",

@@ -745,9 +745,12 @@ class ConformanceSpec extends AnyFunSuite {
     """ -> SameSql,
     "select test.* from test" -> SameSql,
     // spark.sql reads `1 = 1` as ordinal-1 = 1; group by a constant-true
-    // expression is rewritten to an equivalent all-rows-one-group form
+    // expression is rewritten to grouping by a different constant — any
+    // constant puts all rows in one group regardless of fixture data
+    // (a column-based rewrite like `c1 is not null` would silently split
+    // into two groups if the fixture ever gained a NULL)
     "select count(*) from test group by 1 = 1" ->
-      OracleSql("select count(*) from test group by c1 is not null"),
+      OracleSql("select count(*) from test group by 'x'"),
     "select count(*) from test" -> SameSql,
     "select test.c1, 2 * test.c2 from test" -> SameSql,
     """
