@@ -240,6 +240,19 @@ final class Executor(val spark: SparkSession,
       Some(Seq(value).toDF(what.replace(' ', '_')))
   }
 
+  /** Compile without executing: a lazy DataFrame for statements that are
+    * side-effect-free (SELECT; SHOW/EXPLAIN build tiny local frames), None
+    * for statements whose execution mutates scope or storage (COPY,
+    * CREATE/DROP/INSERT/TRUNCATE). The PgWire extended protocol uses this
+    * to Bind/Describe a statement before Execute — Describe must not run
+    * a CTAS as a side effect of asking for its result shape. */
+  def compileQuery(sql: String): Option[DataFrame] =
+    Parser.parse(sql, registeredAggNames.toSet) match {
+      case s: Select => Some(compiler.compileSelect(s, scope))
+      case _: ShowStmt | _: ExplainStmt => execute(sql)
+      case _ => None
+    }
+
   /** SELECT-only entry; throws on statements. */
   def query(sql: String): DataFrame =
     execute(sql).getOrElse(

@@ -20,13 +20,16 @@ import graft.exec.Executor
   * Implemented: SSL/GSS negotiation refusal (clients fall back to
   * plaintext), StartupMessage, AuthenticationOk (trust), ParameterStatus,
   * BackendKeyData, the SIMPLE QUERY flow (Q → RowDescription → DataRow*
-  * → CommandComplete → ReadyForQuery), EmptyQueryResponse, ErrorResponse
-  * with connection recovery, NoticeResponse for result truncation, and
-  * Terminate. psql splits multi-statement input client-side and ships
-  * one statement per Q, so the simple flow covers scripts and -c usage.
-  * The extended (Parse/Bind/Execute) flow is not implemented: psycopg2
-  * interpolates parameters client-side and uses the simple flow, which
-  * is the reference DBAPI's own paramstyle model (pyformat, dbapi.py).
+  * → CommandComplete → ReadyForQuery), the EXTENDED QUERY flow
+  * (Parse/Bind/Describe/Execute/Close/Flush/Sync with `$n` parameters,
+  * typed by the OIDs declared at Parse, and PortalSuspended row-limited
+  * fetches — the flow JDBC and psycopg2's prepared statements speak),
+  * EmptyQueryResponse, ErrorResponse with error-until-Sync recovery,
+  * NoticeResponse for result truncation, and Terminate. Transaction /
+  * session-parameter chatter (BEGIN/COMMIT/SET/…) succeeds as no-ops,
+  * mirroring the reference DBAPI's pass-through commit/rollback. Binary
+  * parameter/result FORMATS are not implemented (text only, the client
+  * default); requesting them is a clean 0A000 error.
   *
   * Results ship in text format with PG-style rendering (t/f booleans,
   * `{…}` array literals, NULL as the -1 length sentinel) and honest type
@@ -248,7 +251,11 @@ final class PgWireServer(spark: SparkSession,
       }
       readyForQuery(out)
 
-      // --- message loop
+      // --- message loop (simple + extended query protocols)
+      val session = new ExtendedSession(exec)
+      // after an error in the extended flow the backend discards
+      // messages until Sync (PG protocol §55.2.2 "error recovery")
+      var errorUntilSync = false
       var done = false
       while (!done) {
         val tag = in.readByte().toChar
@@ -262,18 +269,32 @@ final class PgWireServer(spark: SparkSession,
           val body = new Array[Byte](len - 4)
           in.readFully(body)
           tag match {
+            case 'X' => done = true
+            case 'S' => // Sync: end of an extended-flow batch
+              errorUntilSync = false
+              readyForQuery(out)
+            case 'H' => out.flush() // Flush
+            case _ if errorUntilSync => // discard until Sync
             case 'Q' =>
               val sql = new String(body, 0, math.max(0, body.length - 1),
                 StandardCharsets.UTF_8) // strip trailing NUL
               handleQuery(out, exec, sql)
               readyForQuery(out)
-            case 'X' => done = true
-            case 'S' => readyForQuery(out) // Sync (extended-flow stray)
+            case 'P' | 'B' | 'D' | 'E' | 'C' =>
+              try session.handle(tag, body, out)
+              catch {
+                case pe: PgErr =>
+                  sendError(out, pe.getMessage, pe.code)
+                  errorUntilSync = true
+                case scala.util.control.NonFatal(e) =>
+                  sendError(out,
+                    Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+                  errorUntilSync = true
+              }
             case other =>
               sendError(out,
-                s"unsupported frontend message '$other' " +
-                  "(simple query protocol only)", "0A000")
-              readyForQuery(out)
+                s"unsupported frontend message '$other'", "0A000")
+              errorUntilSync = true
           }
         }
       }
@@ -283,6 +304,77 @@ final class PgWireServer(spark: SparkSession,
     } finally sock.close()
   }
 
+  private def sendRowDescription(out: DataOutputStream,
+      schema: StructType): Unit =
+    send(out, 'T') { b =>
+      b.writeShort(schema.length)
+      schema.foreach { f =>
+        cstring(b, f.name)
+        b.writeInt(0)    // table OID
+        b.writeShort(0)  // column attribute number
+        b.writeInt(pgTypeOid(f.dataType))
+        b.writeShort(-1) // type size (variable)
+        b.writeInt(-1)   // type modifier
+        b.writeShort(0)  // text format
+      }
+    }
+
+  private def sendDataRow(out: DataOutputStream, schema: StructType,
+      row: org.apache.spark.sql.Row): Unit =
+    send(out, 'D') { b =>
+      b.writeShort(schema.length)
+      (0 until schema.length).foreach { i =>
+        if (row.isNullAt(i)) b.writeInt(-1)
+        else {
+          val bytes = render(row.get(i)).getBytes(StandardCharsets.UTF_8)
+          b.writeInt(bytes.length)
+          b.write(bytes)
+        }
+      }
+    }
+
+  /** Driver-side materialization with the fetch cap: at 100 TB a client
+    * fetch must be an aggregate or LIMIT-ed slice; the +1 probe detects
+    * truncation without counting the full result. */
+  private def fetchRows(
+      df: DataFrame): (Array[org.apache.spark.sql.Row], Boolean) = {
+    val fetched = df.limit(defaultMaxRows + 1).collect()
+    (fetched.take(defaultMaxRows), fetched.length > defaultMaxRows)
+  }
+
+  private def truncationNotice(out: DataOutputStream): Unit =
+    sendNotice(out,
+      s"result truncated at $defaultMaxRows rows " +
+        "(use LIMIT, an aggregate, or COPY TO for bulk export)")
+
+  /** Statement tag: first keyword(s), the way psql displays them. */
+  private def commandTag(sql: String): String = {
+    val words = sql.trim.split("\\s+").take(2).map(_.toUpperCase)
+    val tag0 = words.headOption.getOrElse("OK")
+    if (tag0 == "CREATE" || tag0 == "DROP") words.mkString(" ") else tag0
+  }
+
+  /** Transaction/parameter chatter that off-the-shelf clients emit
+    * unprompted (psycopg2 sends BEGIN before the first execute, JDBC and
+    * ORMs send SET/COMMIT/ROLLBACK): the engine has no transactions or
+    * server parameters, so these succeed as no-ops with the tag the
+    * client expects — the reference's DBAPI does the same (its
+    * commit()/rollback() are pass statements,
+    * reference src/framequery/alchemy/dbapi.py:40-47). */
+  private def sessionNoOpTag(sql: String): Option[String] = {
+    val head = sql.trim.stripSuffix(";").trim
+      .split("\\s+").headOption.map(_.toUpperCase)
+    head.collect {
+      case "BEGIN" => "BEGIN"
+      case "START" => "START TRANSACTION"
+      case "COMMIT" | "END" => "COMMIT"
+      case "ROLLBACK" | "ABORT" => "ROLLBACK"
+      case "SET" => "SET"
+      case "RESET" => "RESET"
+      case "DISCARD" => "DISCARD ALL"
+    }
+  }
+
   private def handleQuery(out: DataOutputStream, exec: Executor,
       sql: String): Unit =
     try {
@@ -290,49 +382,18 @@ final class PgWireServer(spark: SparkSession,
         send(out, 'I')(_ => ()) // EmptyQueryResponse
         return
       }
+      sessionNoOpTag(sql) match {
+        case Some(tag) => send(out, 'C')(cstring(_, tag)); return
+        case None =>
+      }
       exec.execute(sql) match {
         case None =>
-          // statement tag: first keyword(s), the way psql displays them
-          val words = sql.trim.split("\\s+").take(2).map(_.toUpperCase)
-          val tag0 = words.headOption.getOrElse("OK")
-          val cmdTag =
-            if (tag0 == "CREATE" || tag0 == "DROP") words.mkString(" ")
-            else tag0
-          send(out, 'C')(cstring(_, cmdTag))
+          send(out, 'C')(cstring(_, commandTag(sql)))
         case Some(df) =>
-          val schema = df.schema
-          send(out, 'T') { b =>
-            b.writeShort(schema.length)
-            schema.foreach { f =>
-              cstring(b, f.name)
-              b.writeInt(0)    // table OID
-              b.writeShort(0)  // column attribute number
-              b.writeInt(pgTypeOid(f.dataType))
-              b.writeShort(-1) // type size (variable)
-              b.writeInt(-1)   // type modifier
-              b.writeShort(0)  // text format
-            }
-          }
-          val fetched = df.limit(defaultMaxRows + 1).collect()
-          val rows = fetched.take(defaultMaxRows)
-          rows.foreach { row =>
-            send(out, 'D') { b =>
-              b.writeShort(schema.length)
-              (0 until schema.length).foreach { i =>
-                if (row.isNullAt(i)) b.writeInt(-1)
-                else {
-                  val bytes =
-                    render(row.get(i)).getBytes(StandardCharsets.UTF_8)
-                  b.writeInt(bytes.length)
-                  b.write(bytes)
-                }
-              }
-            }
-          }
-          if (fetched.length > defaultMaxRows)
-            sendNotice(out,
-              s"result truncated at $defaultMaxRows rows " +
-                "(use LIMIT, an aggregate, or COPY TO for bulk export)")
+          sendRowDescription(out, df.schema)
+          val (rows, truncated) = fetchRows(df)
+          rows.foreach(sendDataRow(out, df.schema, _))
+          if (truncated) truncationNotice(out)
           send(out, 'C')(cstring(_, s"SELECT ${rows.length}"))
       }
     } catch {
@@ -346,6 +407,319 @@ final class PgWireServer(spark: SparkSession,
         sendError(out,
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
+
+  // ------------------------------------------------------- extended flow
+
+  /** Protocol-level error with a PG SQLSTATE; thrown by the extended-flow
+    * handlers, answered with ErrorResponse, then the connection discards
+    * messages until Sync. */
+  private final class PgErr(msg: String, val code: String)
+    extends RuntimeException(msg)
+
+  /** Positional reader over one frontend message body. */
+  private final class Reader(body: Array[Byte]) {
+    private val buf = java.nio.ByteBuffer.wrap(body)
+    def byte(): Byte = buf.get()
+    def int16(): Int = buf.getShort().toInt
+    def int32(): Int = buf.getInt()
+    def bytes(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n); buf.get(a); a
+    }
+    def cstring(): String = {
+      val start = buf.position()
+      while (buf.get() != 0) {}
+      new String(body, start, buf.position() - 1 - start,
+        StandardCharsets.UTF_8)
+    }
+  }
+
+  private val intText = "[+-]?[0-9]+".r.pattern
+  private val numText =
+    "[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?".r.pattern
+
+  /** One bound parameter as a SQL literal. Values arrive in PG text
+    * format; the OID declared at Parse picks the literal shape. Numeric
+    * OIDs are validated against numeric syntax (a malformed value is a
+    * 22P02 error, never inlined into the statement), everything else
+    * rides as a `''`-escaped string literal — the engine's CAST/coercion
+    * rules then apply, which is PG's own unknown-type resolution model. */
+  private def paramLiteral(value: Option[String], oid: Int): String =
+    value match {
+      case None => oid match {
+        // typed NULLs so a Describe probe resolves the same schema the
+        // typed execution will
+        case 16 => "CAST(NULL AS BOOLEAN)"
+        case 20 | 21 | 23 | 26 => "CAST(NULL AS BIGINT)"
+        case 700 | 701 => "CAST(NULL AS DOUBLE)"
+        case 1700 => "CAST(NULL AS DECIMAL(38,18))"
+        case 1082 => "CAST(NULL AS DATE)"
+        case 1114 | 1184 => "CAST(NULL AS TIMESTAMP)"
+        case _ => "NULL"
+      }
+      case Some(text) =>
+        def quoted = "'" + text.replace("'", "''") + "'"
+        oid match {
+          case 16 => text.toLowerCase match {
+            case "t" | "true" | "y" | "yes" | "on" | "1" => "TRUE"
+            case "f" | "false" | "n" | "no" | "off" | "0" => "FALSE"
+            case _ => throw new PgErr(
+              s"invalid input syntax for type boolean: \"$text\"", "22P02")
+          }
+          case 20 | 21 | 23 | 26 =>
+            if (intText.matcher(text).matches()) text
+            else throw new PgErr(
+              s"invalid input syntax for type integer: \"$text\"", "22P02")
+          case 700 | 701 =>
+            if (numText.matcher(text).matches()) s"CAST($text AS DOUBLE)"
+            else if (Set("nan", "infinity", "-infinity", "+infinity")
+                .contains(text.toLowerCase))
+              s"CAST($quoted AS DOUBLE)"
+            else throw new PgErr(
+              s"invalid input syntax for type double precision: \"$text\"",
+              "22P02")
+          case 1700 =>
+            if (numText.matcher(text).matches()) text
+            else throw new PgErr(
+              s"invalid input syntax for type numeric: \"$text\"", "22P02")
+          case 1082 => s"CAST($quoted AS DATE)"
+          case 1114 | 1184 => s"CAST($quoted AS TIMESTAMP)"
+          case _ => quoted
+        }
+    }
+
+  /** Walk the statement text outside quoted regions, handing `$n`
+    * references to `onParam`. Single quotes (with `''` escapes) and
+    * double-quoted identifiers are opaque — a `$1` inside a string
+    * literal is data, not a parameter. */
+  private def scanParams(sql: String, out: StringBuilder)(
+      onParam: Int => String): Unit = {
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSingle) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else inSingle = false
+        }
+        i += 1
+      } else if (inDouble) {
+        out.append(c); if (c == '"') inDouble = false; i += 1
+      } else if (c == '\'') { inSingle = true; out.append(c); i += 1 }
+      else if (c == '"') { inDouble = true; out.append(c); i += 1 }
+      else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        out.append(onParam(sql.substring(i + 1, j).toInt))
+        i = j
+      } else { out.append(c); i += 1 }
+    }
+  }
+
+  /** Highest `$n` referenced — the statement's parameter count. */
+  private def countParams(sql: String): Int = {
+    var max = 0
+    scanParams(sql, new StringBuilder) { idx => max = math.max(max, idx); "" }
+    max
+  }
+
+  private def substituteParams(sql: String,
+      values: IndexedSeq[Option[String]], oids: Array[Int]): String = {
+    val out = new StringBuilder
+    scanParams(sql, out) { idx =>
+      if (idx < 1 || idx > values.length)
+        throw new PgErr(s"there is no parameter $$$idx " +
+          s"(${values.length} supplied)", "08P01")
+      paramLiteral(values(idx - 1), if (idx - 1 < oids.length) oids(idx - 1)
+        else 0)
+    }
+    out.toString
+  }
+
+  /** Per-connection extended-protocol state: named prepared statements
+    * and portals (PG protocol "Extended Query"). Parse stores the text;
+    * Bind substitutes parameters and compiles side-effect-free
+    * statements LAZILY (no Spark action); Describe answers from the
+    * lazy plan without executing anything; Execute is the only message
+    * that runs an action — collect for queries (capped like the simple
+    * flow, with PortalSuspended honoring the client's row limit so JDBC
+    * fetchSize cursors work), or the statement's side effect exactly
+    * once for DDL/COPY. */
+  private final class ExtendedSession(exec: Executor) {
+    private final case class Prepared(sql: String, paramOids: Array[Int])
+
+    private final class Portal(val sql: String, val df: Option[DataFrame],
+        val noOpTag: Option[String]) {
+      var rows: Array[org.apache.spark.sql.Row] = _ // null until Execute
+      var truncated = false
+      var pos = 0
+      var executed = false // side-effect statements run exactly once
+    }
+
+    private val prepared =
+      scala.collection.mutable.Map.empty[String, Prepared]
+    private val portals = scala.collection.mutable.Map.empty[String, Portal]
+
+    def handle(tag: Char, body: Array[Byte],
+        out: DataOutputStream): Unit = {
+      val r = new Reader(body)
+      tag match {
+        case 'P' => parse(r, out)
+        case 'B' => bind(r, out)
+        case 'D' => describe(r, out)
+        case 'E' => execute(r, out)
+        case 'C' => close(r, out)
+      }
+    }
+
+    private def parse(r: Reader, out: DataOutputStream): Unit = {
+      val name = r.cstring()
+      val sql = r.cstring()
+      val n = r.int16()
+      val oids = Array.fill(n)(r.int32())
+      // validation is deferred to Bind: the engine's parser has no `$n`
+      // placeholder form, so the text is only parseable once bound
+      prepared(name) = Prepared(sql, oids)
+      send(out, '1')(_ => ()) // ParseComplete
+    }
+
+    private def bind(r: Reader, out: DataOutputStream): Unit = {
+      val portalName = r.cstring()
+      val stmtName = r.cstring()
+      val stmt = prepared.getOrElse(stmtName, throw new PgErr(
+        s"prepared statement \"$stmtName\" does not exist", "26000"))
+      val nFmt = r.int16()
+      val fmts = Array.fill(nFmt)(r.int16())
+      val nParams = r.int16()
+      val values: IndexedSeq[Option[String]] = (0 until nParams).map { i =>
+        val len = r.int32()
+        if (len == -1) None
+        else {
+          val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0)
+            else fmts(i)
+          if (fmt != 0) throw new PgErr(
+            "binary parameter format is not supported " +
+              "(bind parameters in text format)", "0A000")
+          Some(new String(r.bytes(len), StandardCharsets.UTF_8))
+        }
+      }
+      val nResFmt = r.int16()
+      val resFmts = Array.fill(nResFmt)(r.int16())
+      if (resFmts.exists(_ != 0)) throw new PgErr(
+        "binary result format is not supported (request text format)",
+        "0A000")
+      val bound = substituteParams(stmt.sql, values, stmt.paramOids)
+      val noOp = sessionNoOpTag(bound)
+      val df =
+        if (noOp.isDefined || bound.trim.isEmpty || bound.trim == ";") None
+        else exec.compileQuery(bound)
+      portals(portalName) = new Portal(bound, df, noOp)
+      send(out, '2')(_ => ()) // BindComplete
+    }
+
+    private def describe(r: Reader, out: DataOutputStream): Unit = {
+      val kind = r.byte().toChar
+      val name = r.cstring()
+      kind match {
+        case 'S' =>
+          val stmt = prepared.getOrElse(name, throw new PgErr(
+            s"prepared statement \"$name\" does not exist", "26000"))
+          val nParams = countParams(stmt.sql)
+          send(out, 't') { b => // ParameterDescription
+            b.writeShort(nParams)
+            (0 until nParams).foreach { i =>
+              b.writeInt(
+                if (i < stmt.paramOids.length && stmt.paramOids(i) != 0)
+                  stmt.paramOids(i)
+                else 25)
+            }
+          }
+          if (sessionNoOpTag(stmt.sql).isDefined ||
+              stmt.sql.trim.isEmpty) send(out, 'n')(_ => ())
+          else {
+            // schema probe: typed NULLs stand in for the parameters; the
+            // compile is lazy and side-effect-free (compileQuery returns
+            // None for DDL/COPY rather than running them)
+            val probe = substituteParams(stmt.sql,
+              Vector.fill(nParams)(None), stmt.paramOids)
+            exec.compileQuery(probe) match {
+              case Some(df) => sendRowDescription(out, df.schema)
+              case None => send(out, 'n')(_ => ()) // NoData
+            }
+          }
+        case 'P' =>
+          val portal = portals.getOrElse(name, throw new PgErr(
+            s"portal \"$name\" does not exist", "34000"))
+          portal.df match {
+            case Some(df) => sendRowDescription(out, df.schema)
+            case None => send(out, 'n')(_ => ())
+          }
+        case other => throw new PgErr(
+          s"invalid DESCRIBE kind '$other'", "08P01")
+      }
+    }
+
+    private def execute(r: Reader, out: DataOutputStream): Unit = {
+      val name = r.cstring()
+      val maxRows = r.int32()
+      val portal = portals.getOrElse(name, throw new PgErr(
+        s"portal \"$name\" does not exist", "34000"))
+      portal.noOpTag match {
+        case Some(tag) =>
+          send(out, 'C')(cstring(_, tag))
+          return
+        case None =>
+      }
+      if (portal.sql.trim.isEmpty || portal.sql.trim == ";") {
+        send(out, 'I')(_ => ()) // EmptyQueryResponse
+        return
+      }
+      portal.df match {
+        case Some(df) =>
+          if (portal.rows == null) {
+            val (rows, trunc) = fetchRows(df)
+            portal.rows = rows
+            portal.truncated = trunc
+          }
+          val limit = if (maxRows <= 0) Int.MaxValue else maxRows
+          val end = math.min(portal.rows.length.toLong,
+            portal.pos.toLong + limit).toInt
+          while (portal.pos < end) {
+            sendDataRow(out, df.schema, portal.rows(portal.pos))
+            portal.pos += 1
+          }
+          if (portal.pos < portal.rows.length)
+            send(out, 's')(_ => ()) // PortalSuspended: client re-Executes
+          else {
+            if (portal.truncated) truncationNotice(out)
+            send(out, 'C')(cstring(_, s"SELECT ${portal.pos}"))
+          }
+        case None =>
+          // side-effect statement: runs HERE, exactly once — Bind and
+          // Describe must not run a CTAS/COPY as a probe
+          if (!portal.executed) {
+            portal.executed = true
+            exec.execute(portal.sql)
+          }
+          send(out, 'C')(cstring(_, commandTag(portal.sql)))
+      }
+    }
+
+    private def close(r: Reader, out: DataOutputStream): Unit = {
+      val kind = r.byte().toChar
+      val name = r.cstring()
+      kind match {
+        case 'S' => prepared.remove(name)
+        case 'P' => portals.remove(name)
+        case other => throw new PgErr(
+          s"invalid CLOSE kind '$other'", "08P01")
+      }
+      send(out, '3')(_ => ()) // CloseComplete
+    }
+  }
 }
 
 /** Standalone entry point:

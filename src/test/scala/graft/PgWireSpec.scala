@@ -53,6 +53,58 @@ class PgWireSpec extends AnyFunSuite {
       readUntilReady()
     }
 
+    // ---- extended-flow frames (Parse/Bind/Describe/Execute/Close/Sync)
+
+    private def cstr(b: DataOutputStream, s: String): Unit = {
+      b.write(s.getBytes(StandardCharsets.UTF_8)); b.writeByte(0)
+    }
+
+    private def frame(tag: Char)(body: DataOutputStream => Unit): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      body(new DataOutputStream(buf))
+      out.writeByte(tag)
+      out.writeInt(4 + buf.size)
+      buf.writeTo(out)
+    }
+
+    def parseStmt(name: String, sql: String, oids: Seq[Int] = Nil): Unit =
+      frame('P') { b =>
+        cstr(b, name); cstr(b, sql)
+        b.writeShort(oids.length); oids.foreach(b.writeInt)
+      }
+
+    def bind(portal: String, stmt: String,
+        params: Seq[Option[String]] = Nil, paramFmts: Seq[Int] = Nil,
+        resultFmts: Seq[Int] = Nil): Unit =
+      frame('B') { b =>
+        cstr(b, portal); cstr(b, stmt)
+        b.writeShort(paramFmts.length); paramFmts.foreach(b.writeShort)
+        b.writeShort(params.length)
+        params.foreach {
+          case None => b.writeInt(-1)
+          case Some(v) =>
+            val bytes = v.getBytes(StandardCharsets.UTF_8)
+            b.writeInt(bytes.length); b.write(bytes)
+        }
+        b.writeShort(resultFmts.length); resultFmts.foreach(b.writeShort)
+      }
+
+    def describe(kind: Char, name: String): Unit =
+      frame('D') { b => b.writeByte(kind); cstr(b, name) }
+
+    def executePortal(portal: String, maxRows: Int = 0): Unit =
+      frame('E') { b => cstr(b, portal); b.writeInt(maxRows) }
+
+    def closeStmt(kind: Char, name: String): Unit =
+      frame('C') { b => b.writeByte(kind); cstr(b, name) }
+
+    /** Sync, flush, and read the whole batch response until ReadyForQuery. */
+    def sync(): Seq[Msg] = {
+      frame('S')(_ => ())
+      out.flush()
+      readUntilReady()
+    }
+
     /** A deliberately malformed frame (bogus declared length, no body);
       * returns whatever messages arrive before the server closes. */
     def rawFrame(tag: Char, declaredLen: Int): Seq[Msg] = {
@@ -222,6 +274,185 @@ class PgWireSpec extends AnyFunSuite {
       val resp = c.rawFrame('Q', -1)
       assert(resp.exists(m => m.tag == 'E' &&
         str(m.body).contains("invalid message length")))
+    }
+  }
+
+  // ------------------------------------------------- extended query flow
+
+  test("extended flow: parse/bind/describe/execute with a typed parameter") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", "select id, s from fixtures where id > $1 order by id",
+        oids = Seq(23))
+      c.bind("", "", params = Seq(Some("1")))
+      c.describe('P', "")
+      c.executePortal("")
+      val msgs = c.sync()
+      assert(msgs.map(_.tag).containsSlice(Seq('1', '2', 'T')))
+      val desc = rowDesc(msgs.find(_.tag == 'T').get)
+      assert(desc.map(_._1) == Seq("id", "s"))
+      val rows = msgs.filter(_.tag == 'D').map(dataRow)
+      assert(rows == Seq(Seq(Some("2"), Some("b")), Seq(Some("3"), Some("c"))))
+      assert(str(msgs.find(_.tag == 'C').get.body).startsWith("SELECT 2"))
+      assert(msgs.last.tag == 'Z')
+    }
+  }
+
+  test("extended flow: Describe statement answers without executing") {
+    withServer() { c =>
+      c.startup()
+      // named statement with one parameter: ParameterDescription carries
+      // the declared OID, RowDescription the compiled schema
+      c.parseStmt("s1", "select id + $1 as shifted from fixtures",
+        oids = Seq(23))
+      c.describe('S', "s1")
+      val msgs = c.sync()
+      val pd = msgs.find(_.tag == 't').get
+      val pdIn = new DataInputStream(new java.io.ByteArrayInputStream(pd.body))
+      assert(pdIn.readShort() == 1 && pdIn.readInt() == 23)
+      assert(rowDesc(msgs.find(_.tag == 'T').get).map(_._1) == Seq("shifted"))
+
+      // DDL describes as NoData and must NOT run as a Describe side effect
+      c.parseStmt("s2", "create table probe_t as select id from fixtures")
+      c.describe('S', "s2")
+      val ddl = c.sync()
+      assert(ddl.exists(_.tag == 'n'))
+      val notThere = c.query("select count(*) as n from probe_t")
+      assert(notThere.exists(_.tag == 'E'), "Describe must not execute CTAS")
+    }
+  }
+
+  test("extended flow: row-limited Execute suspends and resumes the portal") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", "select id from fixtures order by id")
+      c.bind("", "")
+      c.executePortal("", maxRows = 2)
+      val first = c.sync()
+      assert(first.count(_.tag == 'D') == 2)
+      assert(first.exists(_.tag == 's'), "expected PortalSuspended")
+      assert(!first.exists(_.tag == 'C'))
+      // the portal survives Sync; the next Execute drains it
+      c.executePortal("", maxRows = 2)
+      val rest = c.sync()
+      assert(rest.count(_.tag == 'D') == 1)
+      assert(str(rest.find(_.tag == 'C').get.body).startsWith("SELECT 3"))
+    }
+  }
+
+  test("extended flow: quoted string parameter cannot inject SQL") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", "select $1 as v, '$1' as lit from fixtures where id = 1")
+      c.bind("", "", params = Seq(Some("O'Brien'; drop table fixtures; --")))
+      c.executePortal("")
+      val msgs = c.sync()
+      // the value round-trips verbatim and the `$1` inside a string
+      // literal is data, not a parameter reference
+      assert(dataRow(msgs.find(_.tag == 'D').get) ==
+        Seq(Some("O'Brien'; drop table fixtures; --"), Some("$1")))
+      val alive = c.query("select count(*) as n from fixtures")
+      assert(dataRow(alive.find(_.tag == 'D').get) == Seq(Some("3")))
+    }
+  }
+
+  test("extended flow: NULL parameter and typed-NULL describe probe") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", "select $1 as maybe from fixtures where id = 1",
+        oids = Seq(20))
+      c.bind("", "", params = Seq(None))
+      c.describe('P', "")
+      c.executePortal("")
+      val msgs = c.sync()
+      assert(rowDesc(msgs.find(_.tag == 'T').get) == Seq(("maybe", 20)))
+      assert(dataRow(msgs.find(_.tag == 'D').get) == Seq(None))
+    }
+  }
+
+  test("extended flow: error discards until Sync, then recovers") {
+    withServer() { c =>
+      c.startup()
+      c.bind("", "no_such_stmt")
+      c.executePortal("") // must be discarded by error-until-Sync
+      val msgs = c.sync()
+      assert(msgs.count(_.tag == 'E') == 1)
+      assert(str(msgs.find(_.tag == 'E').get.body).contains("does not exist"))
+      assert(!msgs.exists(_.tag == 'D'))
+      assert(msgs.last.tag == 'Z')
+      // fresh batch on the same connection works
+      c.parseStmt("", "select 41 + 1 as x")
+      c.bind("", "")
+      c.executePortal("")
+      assert(dataRow(c.sync().find(_.tag == 'D').get) == Seq(Some("42")))
+    }
+  }
+
+  test("extended flow: transaction chatter no-ops with client-expected tags") {
+    withServer() { c =>
+      c.startup()
+      for ((sql, tag) <- Seq("BEGIN" -> "BEGIN",
+          "SET application_name = 'jdbc'" -> "SET", "COMMIT" -> "COMMIT")) {
+        c.parseStmt("", sql)
+        c.bind("", "")
+        c.describe('P', "")
+        c.executePortal("")
+        val msgs = c.sync()
+        assert(msgs.exists(_.tag == 'n'), s"$sql should describe as NoData")
+        assert(str(msgs.find(_.tag == 'C').get.body).startsWith(tag))
+      }
+    }
+  }
+
+  test("extended flow: binary formats are refused with a feature error") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", "select $1 as v", oids = Seq(23))
+      c.bind("", "", params = Seq(Some("1")), paramFmts = Seq(1))
+      val msgs = c.sync()
+      assert(str(msgs.find(_.tag == 'E').get.body)
+        .contains("binary parameter format"))
+      c.parseStmt("", "select 1 as v")
+      c.bind("", "", resultFmts = Seq(1))
+      val res = c.sync()
+      assert(str(res.find(_.tag == 'E').get.body)
+        .contains("binary result format"))
+    }
+  }
+
+  test("extended flow: side-effect statement runs exactly once at Execute") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", "create table made_here as " +
+        "select id * 10 as v from fixtures")
+      c.bind("", "")
+      c.executePortal("")
+      val msgs = c.sync()
+      assert(str(msgs.find(_.tag == 'C').get.body).startsWith("CREATE TABLE"))
+      val check = c.query("select sum(v) as s from made_here")
+      assert(dataRow(check.find(_.tag == 'D').get) == Seq(Some("60")))
+    }
+  }
+
+  test("extended flow: close statement and portal, UTC timestamp text") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("ts", "select cast('2024-01-02 03:04:05.5' as timestamp) " +
+        "as t from fixtures where id = 1")
+      c.bind("p1", "ts")
+      c.executePortal("p1")
+      c.closeStmt('P', "p1")
+      c.closeStmt('S', "ts")
+      val msgs = c.sync()
+      // UTC wall-clock text with PG-style trimmed fraction, independent
+      // of the host JVM timezone
+      assert(dataRow(msgs.find(_.tag == 'D').get) ==
+        Seq(Some("2024-01-02 03:04:05.5")))
+      assert(msgs.count(_.tag == '3') == 2)
+      // closed portal is gone
+      c.executePortal("p1")
+      val gone = c.sync()
+      assert(str(gone.find(_.tag == 'E').get.body).contains("does not exist"))
     }
   }
 }
