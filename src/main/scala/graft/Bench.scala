@@ -41,13 +41,28 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).write.mode("overwrite").format("noop").save())
 
-    // Per-query MEDIAN of `runs` timed executions (default 3): this VM's
-    // timings swing 2-4x with outside load (NOTES.md), and single-shot
+    // Ambient-load metadata: this VM's timings swing 2-4x with outside
+    // load (NOTES.md; three rounds in a row mis-flagged "regressions"),
+    // so the artifact records /proc/loadavg around the run — a reader
+    // can tell a loaded capture from a quiet one without re-running.
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split(" ").take(3).mkString("/")
+      catch { case _: Throwable => "unknown" }
+    val loadBefore = loadavg()
+
+    // Per-query MEDIAN of `runs` timed executions (default 3): single-shot
     // numbers drowned a real regression in r3. The cache is cleared
-    // between runs so each one re-executes the full plan.
+    // between runs so each one re-executes the full plan. A query whose
+    // runs disagree by >2x is load-suspect: it gets up to
+    // SPARK_GRAFT_BENCH_EXTRA (default 2) rerun attempts, and if the
+    // spread persists it is flagged in the output — the min-of-runs is
+    // then the trustworthy number (load only ever inflates).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val extraRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until runs).map { _ =>
+      def timeOne(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch {
@@ -60,17 +75,29 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
+      var times = Vector.fill(runs)(timeOne())
+      def spread = times.max / math.max(times.min, 1e-9)
+      var added = 0
+      while (runs > 1 && added < extraRuns && spread > 2.0) {
+        times :+= timeOne()
+        added += 1
+      }
+      val suspect = runs > 1 && spread > 2.0
       // true median: average the two middles on even run counts (the
       // lower-middle alone would bias every reported time low)
       val sortedT = times.sorted
       val p50 =
         if (sortedT.size % 2 == 1) sortedT(sortedT.size / 2)
         else (sortedT(sortedT.size / 2 - 1) + sortedT(sortedT.size / 2)) / 2
-      System.err.println(f"[bench] $name%-28s $p50%7.2f s  (${times.map(t => f"$t%.2f").mkString("/")})")
-      (name, p50, times)
+      val flag = if (suspect) "  LOAD-SUSPECT" else ""
+      System.err.println(f"[bench] $name%-28s $p50%7.2f s  (${times.map(t => f"$t%.2f").mkString("/")})$flag")
+      (name, p50, times, suspect)
     }
+    val loadAfter = loadavg()
 
     val total = results.map(_._2).sum
+    val minTotal = results.map(_._3.min).sum
+    val suspects = results.filter(_._4).map(_._1)
     val sfLabel = {
       val base = new java.io.File(sfDir).getName // e.g. "sf0.1"
       val suffix = base.drop(2)
@@ -82,14 +109,21 @@ object Bench {
     }
 
     // Full per-query dump (offline artifact, not size-constrained):
-    // `queries` carries the medians (p50), `runs` every raw timing.
-    val fullQs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
+    // `queries` carries the medians (p50), `mins` the per-query minima
+    // (the trustworthy number under ambient load), `runs` every raw
+    // timing, `suspect` the queries whose spread stayed >2x after
+    // reruns, and `loadavg` the host load around the run.
+    val fullQs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val fullRuns = results.map { case (k, _, ts) =>
+    val fullMins = results.map { case (k, _, ts, _) =>
+      "\"" + k + f"""\":${ts.min}%.3f"""
+    }.mkString("{", ",", "}")
+    val fullRuns = results.map { case (k, _, ts, _) =>
       "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50","n_runs":$runs,"queries":$fullQs,"runs":$fullRuns,"sf":$sfLabel}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50","n_runs":$runs,"min_total":$minTotal%.3f,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"sf":$sfLabel}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -109,12 +143,21 @@ object Bench {
       case _ => 7 // fq_* dialect-conformance suite
     }
     val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
-    val footer = s"""},"sf":$sfLabel}"""
+    // load metadata + variance flags ride in the compact driver line too:
+    // a BENCH_r{N} whose loadavg is high or whose suspect list is
+    // non-empty must be read via `mins`/min_total, not p50
+    // suspect list capped at 8 names here (full list in BENCH_full.json)
+    // so a heavily-loaded run can't blow the line past the capture window
+    val suspectCompact =
+      (if (suspects.length > 8) suspects.take(8) :+ "+more" else suspects)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val footer =
+      f"""},"min_total":$minTotal%.3f,"n_suspect":${suspects.length},"suspect":$suspectCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
     val budget = 1750 - header.length - footer.length
-    val ordered = results.sortBy { case (n, _, _) => (priority(n), n) }
+    val ordered = results.sortBy { case (n, _, _, _) => (priority(n), n) }
     val sb = new StringBuilder
     var used = 0
-    ordered.foreach { case (k, v, _) =>
+    ordered.foreach { case (k, v, _, _) =>
       val entry = "\"" + k + f"""\":$v%.2f"""
       val cost = entry.length + (if (used == 0) 0 else 1)
       if (used + cost <= budget) {

@@ -80,8 +80,11 @@ class ConformanceSpec extends AnyFunSuite {
   }
   test("table wildcard") { check("select test.* from test") }
   test("group by boolean expression") {
+    // spark.sql reads `1 = 1` as ordinal-1 = 1; rewrite to a constant
+    // group key (one group regardless of fixture data — `c1 is not null`
+    // would silently split into two groups if the fixture gained a NULL)
     check("select count(*) from test group by 1 = 1",
-      "select count(*) from test group by c1 is not null")
+      "select count(*) from test group by 'x'")
   }
   test("global count") { check("select count(*) from test") }
   test("qualified refs") { check("select test.c1, 2 * test.c2 from test") }
