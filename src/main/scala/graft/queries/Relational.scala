@@ -23,6 +23,34 @@ object Relational {
   private def davg(c: Column): Column =
     (sum(c.cast(DecimalType(18, 6))) / count(c)).cast("double")
 
+  /** The 100 TB production form of ANALYZE-style profiling: identical
+    * statistics to `q_profile` but NDV via HLL++
+    * (`approx_count_distinct`, Heule et al. '13) instead of exact
+    * `COUNT(DISTINCT)`. The exact multi-distinct plans through Expand
+    * (one input replica per distinct column — 4× the scan rows into the
+    * first shuffle) and shuffles near-corpus-sized distinct sets on
+    * high-cardinality columns like l_extendedprice; the HLL aggregate is
+    * single-pass, fixed-memory and MERGEABLE, so map-side partials ship
+    * a few KB per partition and the plan has NO Expand (plan-gated in
+    * PlanRegressionSpec). This is the shape real warehouses' ANALYZE
+    * uses for NDV. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.02): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_n"),
+      sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+      approx_count_distinct(col(c), rsd).as(s"${c}_ndv"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max"),
+      dsum(col(c)).as(s"${c}_sum")) }
+    val stackExpr = s"stack(${cols.size}, " + cols.map(c =>
+      s"'$c', ${c}_n, ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, " +
+        s"${c}_sum").mkString(", ") +
+      ") as (col_name, n, n_nulls, ndv_approx, min_v, max_v, sum_v)"
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-flavored pricing summary: single scan of lineitem, partial
     // (map-side) aggregation then 2-key final agg — no join, one shuffle
@@ -123,6 +151,30 @@ object Relational {
         ") as (col_name, n, n_nulls, ndv, min_v, max_v, sum_v)"
       li.agg(aggs.head, aggs.tail: _*)
         .select(expr(stackExpr))
+        .orderBy(col("col_name"))
+    }),
+
+    // Approximate ANALYZE (the scale path for q_profile): production
+    // statistics from [[profileApprox]] (HLL++ NDV, no Expand), joined
+    // to the exact NDVs as the accuracy harness — same gate pattern as
+    // Sketches.distinctWithHll: the oracle fixes the exact side and
+    // asserts the tolerance flag; HLL register state is engine-internal
+    // but deterministic for a dataset, so the flag is stable. rsd 2%,
+    // gate 5% leaves real margin.
+    "q_profile_approx" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val approx = profileApprox(li, cols, rsd = 0.02)
+      val exactAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_ndv"))
+      val exactStack = s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', ${c}_ndv").mkString(", ") + ") as (col_name, ndv)"
+      val exact = li.agg(exactAggs.head, exactAggs.tail: _*)
+        .select(expr(exactStack))
+      approx.join(broadcast(exact), "col_name")
+        .select(col("col_name"), col("n"), col("n_nulls"), col("ndv"),
+          col("min_v"), col("max_v"), col("sum_v"),
+          (abs(col("ndv_approx") - col("ndv")) <= lit(0.05) * col("ndv"))
+            .cast("bigint").as("within_tol"))
         .orderBy(col("col_name"))
     }),
 
@@ -545,6 +597,20 @@ object Relational {
            |  CAST(MIN($c) AS DOUBLE) AS min_v,
            |  CAST(MAX($c) AS DOUBLE) AS max_v,
            |  CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"),
+    // exact side reproduced; the HLL tolerance flag asserted (register
+    // state is engine-internal — the 2%-rsd estimate within 5% is the gate)
+    "q_profile_approx" -> (Seq("l_quantity", "l_extendedprice",
+        "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  COUNT(DISTINCT $c) AS ndv,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v,
+           |  CAST(MAX($c) AS DOUBLE) AS max_v,
+           |  CAST(SUM(CAST($c AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+           |  CAST(1 AS BIGINT) AS within_tol
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"),
     "q_case_agg" ->

@@ -282,6 +282,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(p.contains("Expand"), "multi-distinct did not plan as Expand")
   }
 
+  test("q_profile_approx production path: HLL NDV, no Expand, one scan") {
+    // the scale path for ANALYZE: approx_count_distinct must NOT plan
+    // through Expand (exact multi-distinct replicates every input row
+    // per distinct column) and must keep the single corpus scan
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+    val p = graft.queries.Relational.profileApprox(
+        li, Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Expand"),
+      "profileApprox planned through Expand — exact-NDV shape leaked in")
+    assert(p.toLowerCase.contains("approx_count_distinct"),
+      "HLL aggregate missing from profileApprox plan")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"lineitem scanned $scans times (expected 1)")
+    assertNoUdf(p, "profileApprox")
+  }
+
   test("ap_top_k: sketch aggregate present, exact side broadcast-joined") {
     val p = plan("ap_top_k")
     assert(p.toLowerCase.contains("approx_top_k"),
