@@ -909,8 +909,9 @@ object Dedup {
   /** Shared DuckDB CTE chain mirroring [[minhashDupPairsPortable]]
     * (16 seeded-md5 lanes, 4 bands, shingle k=3) over an upstream
     * `src(doc_id, text)` CTE; yields `ver(doc_a, doc_b, jac)` — callers
-    * apply their own threshold filter. */
-  private lazy val portableMinhashVerSql: String = {
+    * apply their own threshold filter. Package-visible: the fuzzy
+    * prepare capstone in [[TextAnalysis]] composes it too. */
+  private[operators] lazy val portableMinhashVerSql: String = {
     val h = (0 until 16).map { i =>
       val d = i / 2; val off = 1 + 15 * (i % 2)
       s"""    min(CAST(('0x' || substr(md5('$d|' || CAST(u.s AS VARCHAR)), $off, 15))

@@ -644,6 +644,55 @@ object TextAnalysis {
           checksum60(col("h")).as("checksum"))
         .orderBy(col("shard"))
     }),
+    // FUZZY prepare capstone (RefinedWeb-style): same end-to-end
+    // pipeline as ta_prepare but the dedup stage is MinHash-LSH fuzzy
+    // dedup — exact-fingerprint pairs ∪ portable banded-LSH near-dup
+    // pairs → connected components → keep one doc per cluster — the
+    // dedup real crawl pipelines run. The synthetic corpus is
+    // near-dup-free, so the input is the base+80%-prefix-variant
+    // harness (guaranteed true near-dups, same as dd_cluster), on the
+    // src0/src1 sub-corpus to bound the oracle's recursive closure.
+    // Scale shape: banded equi-joins only (plan-gated), CC driver state
+    // = one label row per paired doc. Oracle rebuilds gate → scrub →
+    // LSH → transitive closure → keep-set → shards end to end; the
+    // surviving corpus is checksummed, not sampled.
+    "ta_prepare_fuzzy" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val variants = base.select((col("doc_id") + 10000000L).as("doc_id"),
+        col("source"),
+        expr("substring(text, 1, (4 * length(text)) div 5)").as("text"))
+      val corpus = base.unionAll(variants)
+      val flags = Seq("ok_nwords", "ok_wordlen", "ok_symbols", "ok_bullets",
+        "ok_ellipsis", "ok_alpha", "ok_stopwords", "ok_duplines",
+        "ok_duppara")
+      val kept = corpus
+        .select(col("doc_id"), col("text"),
+          gopherQualityFlags(col("text")).as("q"))
+        .filter(flags.map(f => col(s"q.$f")).reduce(_ && _))
+        .select(col("doc_id"), scrubPii(col("text")).as("stext"))
+      val sim = Dedup.minhashDupPairsPortable(
+          kept.select(col("doc_id"), col("stext").as("text")),
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val fp = kept.select(col("doc_id"), fingerprint(col("stext")).as("fp"))
+      val ex = fp.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("doc_b")),
+          col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+      val cc = Dedup.connectedComponents(sim.unionAll(ex))
+      val keep = kept.join(cc, Seq("doc_id"), "left")
+        .filter(col("root").isNull || col("root") === col("doc_id"))
+      val t = keep.select(col("doc_id"),
+        size(tokens(col("stext"))).as("n_toks"),
+        md5Prefix60(col("stext")).as("h"))
+      Sampling.tokenShards(t, col("n_toks"), budget = 20000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"),
+          checksum60(col("h")).as("checksum"))
+        .orderBy(col("shard"))
+    }),
     // Gopher §A1.1.1 n-gram repetition filters: per-(source, n) doc
     // counts, repeated-char mass, and pass counts — all integer
     // arithmetic, fully DuckDB-reproduced
@@ -811,7 +860,12 @@ object TextAnalysis {
   /** Shared DuckDB CTE chain mirroring [[gopherQualityFlags]] over the
     * `documents` table: yields `f(doc_id, source, text, ok_* × 9)` —
     * used by both the flag-count gate and the prepare pipeline. */
-  private lazy val gopherFlagsCteSql: String =
+  private lazy val gopherFlagsCteSql: String = gopherFlagsCteSqlOver("documents")
+
+  /** Same chain over an arbitrary upstream relation with
+    * (doc_id, source, text) — the fuzzy prepare capstone gates a
+    * base+variant harness corpus rather than `documents` directly. */
+  private def gopherFlagsCteSqlOver(table: String): String =
     s"""q AS (
       |  SELECT doc_id, source, text,
       |    len(string_split_regex(trim(text), '\\s+')) AS nwords,
@@ -824,7 +878,7 @@ object TextAnalysis {
       |    string_split(text, chr(10) || chr(10)) AS paras,
       |    string_split_regex(trim(text), '\\s+') AS words,
       |    string_split_regex(lower(trim(text)), '\\s+') AS lwords
-      |  FROM documents),
+      |  FROM $table),
       |f AS (
       |  SELECT doc_id, source, text,
       |    (nwords >= 50 AND nwords <= 100000) AS ok_nwords,
@@ -985,6 +1039,59 @@ object TextAnalysis {
         |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
         |  CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum
         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
+    // fuzzy prepare: gate → scrub → (exact ∪ banded-LSH pairs) →
+    // recursive-CTE transitive closure → keep-one-per-cluster → shards,
+    // rebuilt end to end; `src` feeds Dedup.portableMinhashVerSql
+    "ta_prepare_fuzzy" -> ("WITH RECURSIVE corpus AS (" + s"""
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE source IN ('src0', 'src1')
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source,
+        |    substr(text, 1, (4 * length(text)) // 5)
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |""".stripMargin + gopherFlagsCteSqlOver("corpus") + s""",
+        |src AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+        |      '$ipv4Re', '<IP>', 'g') AS text
+        |  FROM f WHERE $gopherPassSql),
+        |""".stripMargin + Dedup.portableMinhashVerSql + s""",
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM ver WHERE jac >= 0.5
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id FROM src a JOIN src b
+        |    ON md5(lower(trim(a.text))) = md5(lower(trim(b.text)))
+        |   AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(n, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.n),
+        |cc AS (SELECT n AS doc_id, min(r) AS root FROM reach GROUP BY n),
+        |keep AS (
+        |  SELECT s.doc_id, s.text FROM src s
+        |  LEFT JOIN cc ON s.doc_id = cc.doc_id
+        |  WHERE cc.root IS NULL OR cc.root = s.doc_id),
+        |t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_toks,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM keep),
+        |tot AS (
+        |  SELECT greatest(1, CAST(ceil(CAST(sum(n_toks) AS DOUBLE) / 20000)
+        |    AS BIGINT)) AS n_shards FROM t),
+        |sd AS (
+        |  SELECT n_toks, h,
+        |    CAST(floor(
+        |      (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) / 1152921504606846976.0)
+        |      * CAST(n_shards AS DOUBLE)) AS BIGINT) AS shard
+        |  FROM t, tot)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tokens,
+        |  CAST(sum(h) % 1152921504606846976 AS BIGINT) AS checksum
+        |FROM sd GROUP BY shard ORDER BY shard""".stripMargin),
     // packing is engine-side (sequential first-fit in mapPartitions);
     // the oracle pins the chunk census exactly and asserts the three
     // packing guarantees — the sketch-gate pattern

@@ -209,6 +209,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     assertNoUdf(pp, "ta_prepare")
   }
 
+  test("ta_prepare_fuzzy: banded equi-joins only, BNLJ bounded exactly") {
+    // the fuzzy dedup stage must mine candidates through the banded
+    // LSH equi-join — any CartesianProduct means the all-pairs shape
+    // leaked in; the one legal BNLJ is tokenShards' 1-row shard total
+    val p = plan("ta_prepare_fuzzy")
+    assert(!p.contains("CartesianProduct"), "ta_prepare_fuzzy has CartesianProduct")
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj == 1, s"ta_prepare_fuzzy has $bnlj BNLJs (expected the 1-row total only)")
+    assertNoUdf(p, "ta_prepare_fuzzy")
+  }
+
   test("ta_chunks / ta_pack: tokenize-once chunking, no cartesian, no UDF") {
     // the r5 quadratic bug inlined split() into the per-chunk lambda;
     // the Generate node must reference only the materialized token
