@@ -141,7 +141,12 @@ final case class CopyFrom(table: String, path: String,
     options: Map[String, String]) extends Statement
 final case class CopyTo(table: String, path: String,
     options: Map[String, String]) extends Statement
-final case class CreateTableAs(name: String, select: Select) extends Statement
+/** `CREATE TABLE t [WITH (persist 'parquet'[, path '...'])] AS select`.
+  * Without options the table is a lazy scope view (reference parity);
+  * with `persist` the result is written through the COPY TO machinery
+  * and the scope entry re-opened from storage. */
+final case class CreateTableAs(name: String, select: Select,
+    options: Map[String, String] = Map.empty) extends Statement
 final case class DropTable(names: Seq[String]) extends Statement
 final case class ShowStmt(what: String) extends Statement
 /** `EXPLAIN select ...` — returns the formatted physical plan as rows. */

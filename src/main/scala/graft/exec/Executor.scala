@@ -78,50 +78,13 @@ final class Executor(val spark: SparkSession,
     case s: Select => Some(compiler.compileSelect(s, scope))
 
     case CopyFrom(table, path, options) =>
-      // format 'csv' (reference surface) | 'parquet' | 'json' | 'jsonl'
-      // (extensions). Compressed inputs (.gz etc.) need no option —
-      // Spark's text-based sources decompress by extension.
-      val p = tableFunctions.resolvePath(path)
-      val df = options.getOrElse("format", "csv").toLowerCase match {
-        case "parquet" => spark.read.parquet(p)
-        case "orc" => spark.read.orc(p)
-        // Spark's json source IS line-delimited by default; 'jsonl'
-        // accepted as the explicit name a pipeline user reaches for
-        case "json" | "jsonl" => spark.read.json(p)
-        // Spark 4 ships the XML source built in; rowTag selects the
-        // element that maps to a row (default 'row', the write default)
-        // the parser lowercases option names, so "rowtag" is the key
-        case "xml" => spark.read
-          .option("rowTag", options.getOrElse("rowtag", "row")).xml(p)
-        case "csv" | "text" => tableFunctions.readCsv(p, options)
-        case other => throw CompileException(
-          s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")
-      }
-      scope += (table -> df)
+      scope += (table -> readSource(tableFunctions.resolvePath(path), options))
       None
 
     case CopyTo(table, path, options) =>
       val df = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
-      val p = tableFunctions.resolvePath(path)
-      // COMPRESSION gzip|snappy|zstd|none rides through as the writer's
-      // codec (parquet defaults to snappy; text formats to none)
-      val codec = options.get("compression").map(_.toLowerCase)
-      def compressed[W](w: org.apache.spark.sql.DataFrameWriter[W]) =
-        codec.fold(w)(c => w.option("compression", c))
-      options.getOrElse("format", "csv").toLowerCase match {
-        // parquet/orc/json write a directory of part-files — the scale-
-        // native layout (parallel writers); csv keeps the reference's
-        // one-file contract via coalesce(1)
-        case "parquet" => compressed(df.write.mode("overwrite")).parquet(p)
-        case "orc" => compressed(df.write.mode("overwrite")).orc(p)
-        case "json" | "jsonl" => compressed(df.write.mode("overwrite")).json(p)
-        case "xml" => compressed(df.write.mode("overwrite")
-          .option("rowTag", options.getOrElse("rowtag", "row"))).xml(p)
-        case "csv" | "text" => writeSingleCsv(df, p, options)
-        case other => throw CompileException(
-          s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")
-      }
+      writeSink(df, tableFunctions.resolvePath(path), options)
       None
 
     case ExplainStmt(q) =>
@@ -213,16 +176,34 @@ final class Executor(val spark: SparkSession,
       scope += (table -> target.limit(0))
       None
 
-    case CreateTableAs(name, query) =>
-      // lazy by default: the plan re-evaluates on use, like every Spark
-      // view. With eagerCtas the frame is materialized NOW via an eager
-      // localCheckpoint — lineage truncated, partitions pinned — giving
-      // the reference's materialize-into-scope snapshot semantics even
-      // when the source path is overwritten afterwards (.cache() would
-      // NOT: Spark re-caches on path overwrite).
+    case CreateTableAs(name, query, options) =>
       val df = compiler.compileSelect(query, scope)
-      val stored = if (eagerCtas) df.localCheckpoint(true) else df
-      scope += (name -> stored)
+      options.get("persist") match {
+        case Some(fmt) =>
+          // persisted catalog: `WITH (persist 'parquet'[, path '...'])`
+          // writes the result through the COPY TO machinery and re-opens
+          // the scope entry FROM storage — the table is then lineage-free
+          // (later mutation of its inputs cannot change it) and a fresh
+          // session re-attaches to the same files via ScopeSpec `tables`
+          // or COPY FROM. The reference's CTAS is memory-only
+          // (_executor.py:445-448) — this is the durability a 100 TB
+          // user expects of CREATE TABLE (beyond-parity extension).
+          val p = tableFunctions.resolvePath(
+            options.getOrElse("path", s"$name.$fmt"))
+          val io = options - "persist" - "path" + ("format" -> fmt.toLowerCase)
+          writeSink(df, p, io)
+          scope += (name -> readSource(p, io))
+        case None =>
+          // lazy by default: the plan re-evaluates on use, like every
+          // Spark view. With eagerCtas the frame is materialized NOW via
+          // an eager localCheckpoint — lineage truncated, partitions
+          // pinned — giving the reference's materialize-into-scope
+          // snapshot semantics even when the source path is overwritten
+          // afterwards (.cache() would NOT: Spark re-caches on path
+          // overwrite).
+          val stored = if (eagerCtas) df.localCheckpoint(true) else df
+          scope += (name -> stored)
+      }
       None
 
     case DropTable(names) =>
@@ -315,6 +296,51 @@ final class Executor(val spark: SparkSession,
     case InList(x, vs, _) => containsSubquery(x) || vs.exists(containsSubquery)
     case RowCtor(items) => items.exists(containsSubquery)
     case _ => false
+  }
+
+  /** Source-read dispatch shared by COPY FROM and persisted-CTAS
+    * re-open. format 'csv' (reference surface) | 'parquet' | 'orc' |
+    * 'json' | 'jsonl' | 'xml' (extensions). Compressed inputs (.gz etc.)
+    * need no option — Spark's text-based sources decompress by
+    * extension. */
+  private def readSource(p: String, options: Map[String, String]): DataFrame =
+    options.getOrElse("format", "csv").toLowerCase match {
+      case "parquet" => spark.read.parquet(p)
+      case "orc" => spark.read.orc(p)
+      // Spark's json source IS line-delimited by default; 'jsonl'
+      // accepted as the explicit name a pipeline user reaches for
+      case "json" | "jsonl" => spark.read.json(p)
+      // Spark 4 ships the XML source built in; rowTag selects the
+      // element that maps to a row (default 'row', the write default)
+      // the parser lowercases option names, so "rowtag" is the key
+      case "xml" => spark.read
+        .option("rowTag", options.getOrElse("rowtag", "row")).xml(p)
+      case "csv" | "text" => tableFunctions.readCsv(p, options)
+      case other => throw CompileException(
+        s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")
+    }
+
+  /** Sink-write dispatch shared by COPY TO and persisted CTAS. */
+  private def writeSink(df: DataFrame, p: String,
+      options: Map[String, String]): Unit = {
+    // COMPRESSION gzip|snappy|zstd|none rides through as the writer's
+    // codec (parquet defaults to snappy; text formats to none)
+    val codec = options.get("compression").map(_.toLowerCase)
+    def compressed[W](w: org.apache.spark.sql.DataFrameWriter[W]) =
+      codec.fold(w)(c => w.option("compression", c))
+    options.getOrElse("format", "csv").toLowerCase match {
+      // parquet/orc/json write a directory of part-files — the scale-
+      // native layout (parallel writers); csv keeps the reference's
+      // one-file contract via coalesce(1)
+      case "parquet" => compressed(df.write.mode("overwrite")).parquet(p)
+      case "orc" => compressed(df.write.mode("overwrite")).orc(p)
+      case "json" | "jsonl" => compressed(df.write.mode("overwrite")).json(p)
+      case "xml" => compressed(df.write.mode("overwrite")
+        .option("rowTag", options.getOrElse("rowtag", "row"))).xml(p)
+      case "csv" | "text" => writeSingleCsv(df, p, options)
+      case other => throw CompileException(
+        s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")
+    }
   }
 
   /** Single-file CSV for reference parity (reference COPY TO writes one

@@ -95,21 +95,31 @@ final class Parser(tokens: Vector[Token],
       case Some(t) if t.kind == TString => next(); t.value
       case _ => fail("expected path string")
     }
-    var options = Map.empty[String, String]
-    if (acceptKw("with")) {
-      var done = false
-      while (!done) {
-        val name = parseIdent().toLowerCase
-        val value = peek match {
-          case Some(t) if t.kind == TString => next(); t.value
-          case Some(t) if t.kind == TIdent => next(); t.value
-          case _ => fail("expected option value")
-        }
-        options += (name -> value)
-        done = !acceptOp(",")
-      }
-    }
+    val options =
+      if (acceptKw("with")) parseOptionList() else Map.empty[String, String]
     if (isFrom) CopyFrom(table, path, options) else CopyTo(table, path, options)
+  }
+
+  /** `name [=] value, ...` — optionally parenthesized; values are
+    * strings or bare identifiers. Shared by COPY (reference style:
+    * `WITH format 'csv'`) and CREATE TABLE (`WITH (persist='parquet')`). */
+  private def parseOptionList(): Map[String, String] = {
+    var options = Map.empty[String, String]
+    val paren = acceptOp("(")
+    var done = false
+    while (!done) {
+      val name = parseIdent().toLowerCase
+      acceptOp("=")
+      val value = peek match {
+        case Some(t) if t.kind == TString => next(); t.value
+        case Some(t) if t.kind == TIdent => next(); t.value
+        case _ => fail("expected option value")
+      }
+      options += (name -> value)
+      done = !acceptOp(",")
+    }
+    if (paren) expectOp(")")
+    options
   }
 
   private def parseInsert(): Statement = {
@@ -178,8 +188,10 @@ final class Parser(tokens: Vector[Token],
   private def parseCreate(): Statement = {
     expectKw("create"); expectKw("table")
     val name = parseIdent()
+    val options =
+      if (acceptKw("with")) parseOptionList() else Map.empty[String, String]
     expectKw("as")
-    CreateTableAs(name, parseSelect())
+    CreateTableAs(name, parseSelect(), options)
   }
 
   private def parseShow(): Statement = {

@@ -190,6 +190,47 @@ class ExecutorSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("persisted CREATE TABLE AS survives a session restart") {
+    val dir = Files.createTempDirectory("graft_ctas_persist").toString
+    val src = s"$dir/src"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .write.mode("overwrite").parquet(src)
+    val exec1 = new Executor(spark)
+    exec1.setBasepath(dir)
+    exec1.execute(s"COPY t FROM '$src' WITH format 'parquet'")
+    exec1.execute(
+      "CREATE TABLE big WITH (persist='parquet', path='big_pq') AS " +
+        "select id, s from t where id >= 2")
+    // the scope entry is backed by the written files, not the plan:
+    // overwriting the CTAS input must not move the persisted table
+    Seq((9L, "z")).toDF("id", "s").write.mode("overwrite").parquet(src)
+    assert(exec1.query("select count(1) as n from big")
+      .collect().head.getLong(0) == 2L)
+
+    // a FRESH session re-attaches to the same storage via ScopeSpec
+    Files.writeString(Paths.get(s"$dir/scope.json"),
+      s"""{"basepath": "$dir", "tables": {"big": "big_pq"}}""")
+    val exec2 = graft.exec.ScopeSpec.load(spark, s"$dir/scope.json")
+    assert(exec2.query("select id, s from big order by id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "b"), (3L, "c")))
+
+    // COPY FROM re-attach works too (no spec file needed)
+    val exec3 = new Executor(spark)
+    exec3.setBasepath(dir)
+    exec3.execute("COPY big2 FROM 'big_pq' WITH format 'parquet'")
+    assert(exec3.query("select count(1) as n from big2")
+      .collect().head.getLong(0) == 2L)
+
+    // csv persist rides the same machinery (single-file contract)
+    exec1.execute(
+      "CREATE TABLE small WITH persist 'csv', path 'small.csv' AS " +
+        "select 1 as x")
+    assert(Files.exists(Paths.get(s"$dir/small.csv")))
+    assert(exec1.query("select x from small")
+      .collect().head.get(0).toString == "1")
+  }
+
   test("COPY TO/FROM with parquet and json formats (extension)") {
     val exec = new Executor(spark, Map(
       "t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "s")))

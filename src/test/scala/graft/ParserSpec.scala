@@ -83,7 +83,16 @@ class ParserSpec extends AnyFunSuite {
     assert(Parser.parse("COPY foo TO 'y.csv' WITH format 'csv'") ==
       CopyTo("foo", "y.csv", Map("format" -> "csv")))
     assert(Parser.parse("DROP TABLE a, b") == DropTable(Seq("a", "b")))
-    val CreateTableAs("t", _) = Parser.parse("CREATE TABLE t AS select 1")
+    val CreateTableAs("t", _, opts0) = Parser.parse("CREATE TABLE t AS select 1")
+    assert(opts0 == Map.empty)
+    // persisted-catalog options: parenthesized with '=', and the COPY
+    // bare style, parse to the same map
+    val CreateTableAs("p", _, opts1) = Parser.parse(
+      "CREATE TABLE p WITH (persist='parquet', path='out_dir') AS select 1")
+    assert(opts1 == Map("persist" -> "parquet", "path" -> "out_dir"))
+    val CreateTableAs("p2", _, opts2) = Parser.parse(
+      "CREATE TABLE p2 WITH persist 'parquet' AS select 1")
+    assert(opts2 == Map("persist" -> "parquet"))
   }
 
   test("float literal formats") {
