@@ -2,8 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, KMeans, TextAnalysis}
+import graft.operators.{Dedup, KMeans, Similarity, TextAnalysis}
 import graft.sources.Tables
+import graft.streaming.Streams
 
 /** Empirical scale-exponent probe: replicates the sf0.1 `documents`
   * corpus 1×/2×/4×/8× (doc_id offset + per-replica text tag, so
@@ -20,8 +21,9 @@ import graft.sources.Tables
   * would have been caught by measurement: its exponent was ≈ 2 in
   * document length).
   *
-  * Usage: `runMain graft.tools.ScaleProbe [runsPerPoint]` with
-  * SPARK_GRAFT_SF_DIR (default sf0.1). Reports the MIN over runs at
+  * Usage: `runMain graft.tools.ScaleProbe [runsPerPoint [opName...]]`
+  * with SPARK_GRAFT_SF_DIR (default sf0.1); trailing op names restrict
+  * the probe to just those operators. Reports the MIN over runs at
   * each point (least noise-sensitive for slope fitting on a shared VM)
   * and prints one JSON line per operator plus a summary line.
   */
@@ -78,15 +80,85 @@ object ScaleProbe {
       // k-means: the timed region includes the 2 in-loop re-center
       // actions (fit collects the k×dim model per iteration), which is
       // the honest cost of the operator
-      "kmeans_8x3" -> (f => KMeans.fit(embCorpus(f), k = 8, iters = 3)))
+      "kmeans_8x3" -> (f => KMeans.fit(embCorpus(f), k = 8, iters = 3)),
+
+      // ---- r6 verdict #3: the heaviest family, previously unprobed ----
+
+      // dd_cluster shape: LSH pair mining + exact-fp pairs + connected
+      // components (CC actions run inside the op — counted). The
+      // base+80%-prefix-variant harness keeps per-replica true near-dups,
+      // so edge count grows linearly with f; expect ≈ 1 (CC iterations
+      // add a log-ish chain-contraction term, not a pair blowup).
+      "cluster_cc" -> (f => {
+        val c = corpus(f).filter(col("source").isin("src0", "src1"))
+          .select(col("doc_id"), col("text"))
+        val cor = c.unionAll(c.select(
+          (col("doc_id") + 1000000000L).as("doc_id"),
+          expr("substring(text, 1, (4 * length(text)) div 5)").as("text")))
+        val sim = Dedup.minhashDupPairsPortable(cor, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val fp = cor.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        val ex = fp.select(col("fp"), col("doc_id").as("doc_a"))
+          .join(fp.select(col("fp").as("fp_b"), col("doc_id").as("doc_b")),
+            col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+        Dedup.connectedComponents(sim.unionAll(ex))
+      }),
+      // SemDeDup: SRP buckets + broadcast integer centroids + one
+      // bucket-keyed semi-join. Identical vectors per replica are the
+      // worst case HERE (every bucket's duplicate mass grows f×) —
+      // a superlinear fit would expose the per-bucket pair term.
+      "semdedup" -> (f => Dedup.semDedup(embCorpus(f), tau = 0.35)),
+      // persisted IVF-PQ: train + code + partitionBy-write the index,
+      // then the partition-pruned probe read — the full build+query
+      // lifecycle at the driver-query parameters
+      "ivfpq_index" -> (f => {
+        val path = System.getProperty("java.io.tmpdir") +
+          s"/graft_probe_ivfpq_$f"
+        val e = embCorpus(f)
+        Similarity.buildIvfPqIndex(e, path, dim = 64, nCells = 16, m = 16,
+          codebookSize = 16)
+        Similarity.knnIvfPqIndexed(spark, path,
+          embBase.filter(col("vec_id") < 5), k = 10, nProbe = 4,
+          refine = 150)
+      }))
+
+    // streaming sessionization probes a REPLICATED SOURCE DIR (prepared
+    // outside the timed region — data prep is not operator cost): f×
+    // events with per-replica user ids, session_window agg run to
+    // completion. State grows with live sessions per watermark horizon.
+    val evBase = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val evSchema = evBase.schema
+    val evDirs: Map[Int, String] = factors.map { f =>
+      val d = System.getProperty("java.io.tmpdir") + s"/graft_probe_events_$f"
+      (0 until f).map { i =>
+        evBase.select(
+          (col("event_id") + i.toLong * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + i.toLong * 10000000L).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionAll _).write.mode("overwrite").parquet(d)
+      f -> d
+    }.toMap
+    val streamOps: Seq[(String, Int => DataFrame)] = Seq(
+      "st_sessions" -> (f => Streams.runToCompletion(spark,
+        Streams.sessionAgg(
+          spark.readStream.schema(evSchema).parquet(evDirs(f))))))
+
+    val opFilter = args.drop(1).toSet
+    val allOps = (ops ++ streamOps)
+      .filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
     // JIT/codegen warm-up outside the measured region
-    ops.foreach { case (_, op) =>
+    allOps.foreach { case (_, op) =>
       op(1).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
     }
 
-    val results = ops.map { case (name, op) =>
+    val results = allOps.map { case (name, op) =>
       val times = factors.map { f =>
         val ts = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
