@@ -163,3 +163,9 @@ final case class UpdateStmt(table: String, sets: Seq[(String, Expr)],
     where: Option[Expr]) extends Statement
 /** `TRUNCATE [TABLE] t` — rebinds to the empty frame (schema kept). */
 final case class TruncateStmt(table: String) extends Statement
+/** `ANALYZE [TABLE] [t [, t ...]]` — collect measured table statistics
+  * (row count + estimated in-memory bytes) into the session; no tables
+  * named means every table in scope. The statistics feed the compiler's
+  * broadcast-join decision (see Compiler TableRef) and are visible via
+  * the `table_stats()` table function. Returns no result set, like PG. */
+final case class AnalyzeStmt(tables: Seq[String]) extends Statement

@@ -22,7 +22,21 @@ final case class CompileException(msg: String) extends RuntimeException(msg)
   * all native Spark operators here (SURVEY §4).
   */
 final class Compiler(spark: SparkSession, registry: Registry,
-    tableFunctions: TableFunctions) {
+    tableFunctions: TableFunctions,
+    /** ANALYZE-collected statistics (Executor session state); consulted
+      * at TableRef compile time for the broadcast-join decision. */
+    statsFor: String => Option[TableStats] = _ => None) {
+
+  /** The session's broadcast budget. Honors the standard Spark knob —
+    * a measured table at or under the threshold gets a broadcast hint,
+    * `-1` disables hinting exactly like it disables Spark's own
+    * size-estimate broadcasts. */
+  private def broadcastThreshold: Long = {
+    val v = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    if (v.trim.startsWith("-")) -1L
+    else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+    catch { case _: NumberFormatException => 10485760L }
+  }
 
   /** Resolve-and-compile a full SELECT against a scope (name → DataFrame). */
   def compileSelect(sel: Select, scope: Map[String, DataFrame]): DataFrame = {
@@ -730,7 +744,22 @@ final class Compiler(spark: SparkSession, registry: Registry,
         val base = scope.getOrElse(name,
           builtinTable(name).getOrElse(
             throw CompileException(s"table '$name' not found in scope")))
-        base.alias(alias.getOrElse(name))
+        val aliased = base.alias(alias.getOrElse(name))
+        // statistics → plan choice: an ANALYZEd table whose MEASURED size
+        // fits the session broadcast budget is hinted broadcast here, so
+        // joins against it skip the shuffle entirely — covering the two
+        // cases Catalyst's static estimate gets wrong (computed CTAS
+        // views with product-propagated sizes, and small parquet files
+        // dominated by footer overhead). The hint is only attached where
+        // stats exist; Catalyst ignores it in positions where a
+        // broadcast build side would be illegal (e.g. the preserved side
+        // of an outer join), so attaching at the ref is safe.
+        statsFor(name) match {
+          case Some(st) if {
+            val t = broadcastThreshold; t > 0 && st.sizeBytes <= t
+          } => broadcast(aliased)
+          case _ => aliased
+        }
       case SubqueryRel(sub, alias) =>
         val a = alias.getOrElse(
           throw CompileException("subqueries need to be named"))

@@ -30,10 +30,28 @@ final class Executor(val spark: SparkSession,
   private var scope: Map[String, DataFrame] = initial
   val registry = new Registry
   val tableFunctions = new TableFunctions(spark)
-  private val compiler = new Compiler(spark, registry, tableFunctions)
 
-  def update(entries: (String, DataFrame)*): Unit =
+  /** ANALYZE-collected statistics, keyed by scope name. Any rebind of a
+    * name (COPY FROM, CTAS, DML, DROP, update) invalidates its entry —
+    * stale stats silently steering a broadcast the wrong way is worse
+    * than no stats. */
+  private var stats: Map[String, graft.compiler.TableStats] = Map.empty
+  private val compiler =
+    new Compiler(spark, registry, tableFunctions, name => stats.get(name))
+
+  // inspection surface for the collected statistics:
+  //   SELECT * FROM table_stats()
+  tableFunctions.register("table_stats", _ => {
+    import spark.implicits._
+    stats.toSeq.sortBy(_._1)
+      .map { case (n, s) => (n, s.rows, s.sizeBytes) }
+      .toDF("table_name", "row_count", "est_size_bytes")
+  })
+
+  def update(entries: (String, DataFrame)*): Unit = {
     scope ++= entries
+    stats --= entries.map(_._1)
+  }
 
   def tableNames: Seq[String] = scope.keys.toSeq.sorted
   def table(name: String): Option[DataFrame] = scope.get(name)
@@ -78,7 +96,7 @@ final class Executor(val spark: SparkSession,
     case s: Select => Some(compiler.compileSelect(s, scope))
 
     case CopyFrom(table, path, options) =>
-      scope += (table -> readSource(tableFunctions.resolvePath(path), options))
+      rebind(table, readSource(tableFunctions.resolvePath(path), options))
       None
 
     case CopyTo(table, path, options) =>
@@ -118,7 +136,7 @@ final class Executor(val spark: SparkSession,
         if (present.contains(c)) col(c).cast(ty).as(c)
         else lit(null).cast(ty).as(c) // unlisted target columns fill NULL
       }: _*)
-      scope += (table -> target.unionAll(aligned))
+      rebind(table, target.unionAll(aligned))
       None
 
     case DeleteFrom(table, where) =>
@@ -135,7 +153,7 @@ final class Executor(val spark: SparkSession,
           target.exceptAll(compiler.filterWhere(target, p, scope))
         case None => target.limit(0)
       }
-      scope += (table -> kept)
+      rebind(table, kept)
       None
 
     case UpdateStmt(table, sets, where) =>
@@ -167,13 +185,13 @@ final class Executor(val spark: SparkSession,
           val matched = compiler.filterWhere(target, p, scope)
           target.exceptAll(matched).unionAll(applySets(matched, None))
       }
-      scope += (table -> updated)
+      rebind(table, updated)
       None
 
     case TruncateStmt(table) =>
       val target = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
-      scope += (table -> target.limit(0))
+      rebind(table, target.limit(0))
       None
 
     case CreateTableAs(name, query, options) =>
@@ -192,7 +210,7 @@ final class Executor(val spark: SparkSession,
             options.getOrElse("path", s"$name.$fmt"))
           val io = options - "persist" - "path" + ("format" -> fmt.toLowerCase)
           writeSink(df, p, io)
-          scope += (name -> readSource(p, io))
+          rebind(name, readSource(p, io))
         case None =>
           // lazy by default: the plan re-evaluates on use, like every
           // Spark view. With eagerCtas the frame is materialized NOW via
@@ -202,12 +220,25 @@ final class Executor(val spark: SparkSession,
           // afterwards (.cache() would NOT: Spark re-caches on path
           // overwrite).
           val stored = if (eagerCtas) df.localCheckpoint(true) else df
-          scope += (name -> stored)
+          rebind(name, stored)
       }
       None
 
     case DropTable(names) =>
       scope --= names
+      stats --= names
+      None
+
+    case AnalyzeStmt(tables) =>
+      // measured statistics per table — ONE aggregate pass each (see
+      // TableStats.compute); results steer the compiler's broadcast
+      // decision until the name is rebound. No result set, like PG.
+      val names = if (tables.isEmpty) scope.keys.toSeq.sorted else tables
+      names.foreach { n =>
+        val df = scope.getOrElse(n,
+          throw CompileException(s"table '$n' not found in scope"))
+        stats += (n -> graft.compiler.TableStats.compute(df))
+      }
       None
 
     case ShowStmt(what) =>
@@ -274,6 +305,12 @@ final class Executor(val spark: SparkSession,
   def explain(sql: String): String =
     query(sql).queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
+
+  /** Rebind a scope name and drop its ANALYZE stats (now stale). */
+  private def rebind(name: String, df: DataFrame): Unit = {
+    scope += (name -> df)
+    stats -= name
+  }
 
   /** Case-insensitive column resolution for DML name lists. */
   private def resolveColumn(target: DataFrame, table: String,

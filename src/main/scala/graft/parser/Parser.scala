@@ -71,6 +71,7 @@ final class Parser(tokens: Vector[Token],
       else if (peekKw("delete")) parseDelete()
       else if (peekKw("update")) parseUpdate()
       else if (peekKw("truncate")) parseTruncate()
+      else if (peekKw("analyze")) parseAnalyze()
       else parseSelect()
     acceptOp(";")
     if (pos < tokens.length) fail("trailing tokens")
@@ -176,6 +177,19 @@ final class Parser(tokens: Vector[Token],
   private def parseTruncate(): Statement = {
     expectKw("truncate"); acceptKw("table")
     TruncateStmt(parseIdent())
+  }
+
+  private def parseAnalyze(): Statement = {
+    expectKw("analyze"); acceptKw("table")
+    // bare ANALYZE (no table list) means the whole scope, like PG
+    val isIdent = peek.exists(t =>
+      t.kind == TQuotedIdent || (t.kind == TIdent && !reserved(t.lower)))
+    if (!isIdent) AnalyzeStmt(Nil)
+    else {
+      var names = Seq(parseIdent())
+      while (acceptOp(",")) names :+= parseIdent()
+      AnalyzeStmt(names)
+    }
   }
 
   private def parseDrop(): Statement = {

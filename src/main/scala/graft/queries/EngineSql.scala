@@ -404,7 +404,29 @@ object EngineSql {
       // qualified wildcard through the engine
       "fq_star" -> ((s: SparkSession, dir: String) =>
         Executor.execute("select nation.* from nation order by n_nationkey",
-          Tables.scope(s, dir), s))
+          Tables.scope(s, dir), s)),
+      // statistics → plan choice end-to-end: CTAS a derived dimension
+      // (whose static size estimate is join-propagated, i.e. useless),
+      // ANALYZE it, then join a fact table through it and read the
+      // collected row count back via table_stats(). The measured stats
+      // flip the fact join to broadcast (gated in AnalyzeSpec); the
+      // VALUES the oracle checks are plan-independent.
+      "fq_analyze_stats" -> ((s: SparkSession, dir: String) => {
+        val exec = new Executor(s, Tables.scope(s, dir))
+        exec.executeScript(
+          """CREATE TABLE supp_dim AS
+            |  select s_suppkey, n_name from supplier
+            |  join nation on s_nationkey = n_nationkey;
+            |ANALYZE supp_dim""".stripMargin)
+        exec.query(
+          """select n_name, stat.row_count as dim_rows, count(1) as n_items
+            |from lineitem
+            |join supp_dim on l_suppkey = s_suppkey
+            |cross join (select row_count from table_stats()
+            |            where table_name = 'supp_dim') as stat
+            |group by n_name, stat.row_count
+            |order by n_name""".stripMargin)
+      })
     )
 
   def oracleSql: Map[String, String] =
@@ -414,6 +436,16 @@ object EngineSql {
           |  SELECT n_regionkey, count(*) AS n FROM nation GROUP BY 1
           |  UNION ALL SELECT 99, 0)
           |ORDER BY n_regionkey""".stripMargin,
-      "fq_star" -> "SELECT * FROM nation ORDER BY n_nationkey"
+      "fq_star" -> "SELECT * FROM nation ORDER BY n_nationkey",
+      // supp_dim has one row per supplier, so its ANALYZEd row_count is
+      // COUNT(*) FROM supplier; the join re-derived through nation
+      "fq_analyze_stats" ->
+        """SELECT n_name,
+          |  (SELECT COUNT(*) FROM supplier) AS dim_rows,
+          |  COUNT(*) AS n_items
+          |FROM lineitem
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin
     )
 }
