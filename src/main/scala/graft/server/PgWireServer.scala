@@ -27,13 +27,20 @@ import graft.exec.Executor
   * EmptyQueryResponse, ErrorResponse with error-until-Sync recovery,
   * NoticeResponse for result truncation, and Terminate. Transaction /
   * session-parameter chatter (BEGIN/COMMIT/SET/…) succeeds as no-ops,
-  * mirroring the reference DBAPI's pass-through commit/rollback. Binary
-  * parameter/result FORMATS are not implemented (text only, the client
-  * default); requesting them is a clean 0A000 error.
+  * mirroring the reference DBAPI's pass-through commit/rollback.
   *
-  * Results ship in text format with PG-style rendering (t/f booleans,
-  * `{…}` array literals, NULL as the -1 length sentinel) and honest type
-  * OIDs for the scalar types, so clients parse values correctly.
+  * BINARY formats are implemented for both directions on the scalar
+  * OIDs the server advertises (bool, int2/4/8, float4/8, numeric's
+  * base-10000 groups, date/timestamp relative to the 2000-01-01 PG
+  * epoch, and raw bytes for text) — the formats pgjdbc switches to
+  * after its prepareThreshold and psycopg2's binary cursors request.
+  * A binary PARAMETER with an OID outside that set is a clean 0A000;
+  * a binary RESULT column outside it ships its text rendering's raw
+  * bytes, which IS the binary format of the advertised text OID.
+  *
+  * Text results use PG-style rendering (t/f booleans, `{…}` array
+  * literals, NULL as the -1 length sentinel) and honest type OIDs for
+  * the scalar types, so clients parse values correctly.
   *
   * Sessionful like [[SqlServer]]: one Executor per connection (CREATE
   * TABLE AS persists across statements on the connection, connections
@@ -187,6 +194,184 @@ final class PgWireServer(spark: SparkSession,
     else s
   }
 
+  // ------------------------------------------------------- binary formats
+
+  /** Microseconds/days between the Unix epoch and PG's 2000-01-01. */
+  private val PgEpochDays = 10957L
+  private val PgEpochMicros = 946684800000000L
+
+  private def epochMicrosUtc(ldt: java.time.LocalDateTime): Long =
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      ldt.getNano / 1000L
+
+  /** PG binary-format encoding of one non-NULL value, by its Spark type
+    * (consistent with the OID [[pgTypeOid]] advertised for it). Types
+    * advertised as text ship their text rendering's bytes — that IS the
+    * binary format of the text type. */
+  private def binValue(v: Any, dt: DataType): Array[Byte] = {
+    val bb = (n: Int) => java.nio.ByteBuffer.allocate(n)
+    dt match {
+      case BooleanType =>
+        Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ByteType | ShortType => // advertised int2
+        bb(2).putShort(v match {
+          case b: Byte => b.toShort
+          case s: Short => s
+        }).array()
+      case IntegerType => bb(4).putInt(v.asInstanceOf[Int]).array()
+      case LongType => bb(8).putLong(v.asInstanceOf[Long]).array()
+      case FloatType =>
+        bb(4).putInt(java.lang.Float.floatToIntBits(
+          v.asInstanceOf[Float])).array()
+      case DoubleType =>
+        bb(8).putLong(java.lang.Double.doubleToLongBits(
+          v.asInstanceOf[Double])).array()
+      case _: DecimalType => PgNumeric.encode(v match {
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      })
+      case DateType => bb(4).putInt(((v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay
+        case d: java.time.LocalDate => d.toEpochDay
+      }) - PgEpochDays).toInt).array()
+      case TimestampType | TimestampNTZType => bb(8).putLong((v match {
+        case ts: java.sql.Timestamp =>
+          ts.toInstant.getEpochSecond * 1000000L + ts.getNanos / 1000L
+        case i: java.time.Instant =>
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        case ldt: java.time.LocalDateTime => epochMicrosUtc(ldt)
+      }) - PgEpochMicros).array()
+      case _ => render(v).getBytes(StandardCharsets.UTF_8)
+    }
+  }
+
+  /** Decode one binary-format parameter into its TEXT form, which then
+    * rides the same typed-literal path as text parameters
+    * ([[paramLiteral]]). OIDs outside the advertised scalar set are a
+    * clean 0A000 — the server cannot interpret bytes it never described. */
+  private def binaryParamText(bytes: Array[Byte], oid: Int): String = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    def need(n: Int): Unit = if (bytes.length != n)
+      throw new PgErr(
+        s"invalid binary length ${bytes.length} for type OID $oid", "22P02")
+    oid match {
+      case 16 => need(1); if (buf.get() != 0) "true" else "false"
+      case 21 => need(2); buf.getShort().toString
+      case 23 => need(4); buf.getInt().toString
+      case 20 => need(8); buf.getLong().toString
+      case 700 =>
+        need(4); java.lang.Float.intBitsToFloat(buf.getInt()).toString
+      case 701 =>
+        need(8); java.lang.Double.longBitsToDouble(buf.getLong()).toString
+      case 1700 => PgNumeric.decode(bytes).toPlainString
+      case 1082 =>
+        need(4)
+        java.time.LocalDate.ofEpochDay(buf.getInt() + PgEpochDays).toString
+      case 1114 | 1184 =>
+        need(8)
+        val em = buf.getLong() + PgEpochMicros
+        renderLocalDateTime(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(em, 1000000L),
+          Math.floorMod(em, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC))
+      case 25 | 1042 | 1043 | 0 => // text family: binary == raw bytes
+        new String(bytes, StandardCharsets.UTF_8)
+      case other => throw new PgErr(
+        s"binary parameter format for type OID $other is not supported",
+        "0A000")
+    }
+  }
+
+  /** Result-format resolution per the Bind rules: no codes → all text,
+    * one code → applies to every column, else one per column. */
+  private def resultFmt(fmts: Array[Int], i: Int): Int =
+    if (fmts.isEmpty) 0
+    else if (fmts.length == 1) fmts(0)
+    else if (i < fmts.length) fmts(i)
+    else 0
+
+  /** PG `numeric` binary format: int16 ndigits, weight, sign, dscale,
+    * then ndigits base-10000 groups most-significant first; the value is
+    * Σ digits(i) × 10000^(weight − i). Sign 0x4000 is negative; NaN
+    * (0xC000) has no engine value and errors. */
+  private object PgNumeric {
+    private val B = java.math.BigInteger.valueOf(10000)
+
+    def encode(dec: java.math.BigDecimal): Array[Byte] = {
+      val sign = if (dec.signum() < 0) 0x4000 else 0x0000
+      val abs = dec.abs()
+      val dscale = math.max(0, dec.scale())
+      val intPart = abs.toBigInteger
+      var intGroups = List.empty[Int]
+      var ip = intPart
+      while (ip.signum() > 0) {
+        val qr = ip.divideAndRemainder(B)
+        intGroups = qr(1).intValue() :: intGroups
+        ip = qr(0)
+      }
+      // fraction padded to whole base-10000 groups (exact: group width
+      // ≥ dscale), decomposed most-significant first
+      val fracGroupCount = (dscale + 3) / 4
+      val fracGroups = new Array[Int](fracGroupCount)
+      var f = abs.subtract(new java.math.BigDecimal(intPart))
+        .movePointRight(fracGroupCount * 4).toBigInteger
+      var i = fracGroupCount - 1
+      while (i >= 0) {
+        val qr = f.divideAndRemainder(B)
+        fracGroups(i) = qr(1).intValue()
+        f = qr(0)
+        i -= 1
+      }
+      var digits = intGroups.toVector ++ fracGroups.toVector
+      var weight = intGroups.length - 1
+      if (intGroups.isEmpty) {
+        // |x| < 1: weight counts down from the first fraction group
+        weight = -1
+        while (digits.nonEmpty && digits.head == 0) {
+          digits = digits.tail; weight -= 1
+        }
+      }
+      while (digits.nonEmpty && digits.last == 0) // formula-preserving
+        digits = digits.dropRight(1)
+      if (digits.isEmpty) weight = 0
+      val out = java.nio.ByteBuffer.allocate(8 + 2 * digits.length)
+      out.putShort(digits.length.toShort)
+      out.putShort(weight.toShort)
+      out.putShort(sign.toShort)
+      out.putShort(dscale.toShort)
+      digits.foreach(d => out.putShort(d.toShort))
+      out.array()
+    }
+
+    def decode(bytes: Array[Byte]): java.math.BigDecimal = {
+      if (bytes.length < 8) throw new PgErr(
+        s"invalid binary length ${bytes.length} for type numeric", "22P02")
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val nd = buf.getShort().toInt
+      val weight = buf.getShort().toInt
+      val sign = buf.getShort() & 0xFFFF
+      val dscale = buf.getShort().toInt
+      if (sign == 0xC000) throw new PgErr(
+        "numeric NaN has no SQL value here", "22P02")
+      if (bytes.length != 8 + 2 * nd) throw new PgErr(
+        s"numeric binary declares $nd digits in ${bytes.length} bytes",
+        "22P02")
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < nd) {
+        val d = buf.getShort().toInt
+        if (d < 0 || d > 9999) throw new PgErr(
+          s"numeric binary digit group $d out of range", "22P02")
+        acc = acc.add(java.math.BigDecimal.valueOf(d.toLong)
+          .scaleByPowerOfTen(4 * (weight - i)))
+        i += 1
+      }
+      if (sign == 0x4000) acc = acc.negate()
+      // dscale only ever extends the scale of the digit-group sum
+      try acc.setScale(dscale) catch { case _: ArithmeticException => acc }
+    }
+  }
+
   // ------------------------------------------------------------ connection
 
   /** Frames above this are protocol garbage, not queries — reject before
@@ -304,29 +489,36 @@ final class PgWireServer(spark: SparkSession,
     } finally sock.close()
   }
 
-  private def sendRowDescription(out: DataOutputStream,
-      schema: StructType): Unit =
+  /** RowDescription; `fmts` are the portal's result-format codes (empty
+    * for statement Describe and the simple flow, where format is not yet
+    * chosen / always text). */
+  private def sendRowDescription(out: DataOutputStream, schema: StructType,
+      fmts: Array[Int] = Array.empty): Unit =
     send(out, 'T') { b =>
       b.writeShort(schema.length)
-      schema.foreach { f =>
+      schema.zipWithIndex.foreach { case (f, i) =>
         cstring(b, f.name)
         b.writeInt(0)    // table OID
         b.writeShort(0)  // column attribute number
         b.writeInt(pgTypeOid(f.dataType))
         b.writeShort(-1) // type size (variable)
         b.writeInt(-1)   // type modifier
-        b.writeShort(0)  // text format
+        b.writeShort(resultFmt(fmts, i))
       }
     }
 
   private def sendDataRow(out: DataOutputStream, schema: StructType,
-      row: org.apache.spark.sql.Row): Unit =
+      row: org.apache.spark.sql.Row,
+      fmts: Array[Int] = Array.empty): Unit =
     send(out, 'D') { b =>
       b.writeShort(schema.length)
       (0 until schema.length).foreach { i =>
         if (row.isNullAt(i)) b.writeInt(-1)
         else {
-          val bytes = render(row.get(i)).getBytes(StandardCharsets.UTF_8)
+          val bytes =
+            if (resultFmt(fmts, i) == 1)
+              binValue(row.get(i), schema(i).dataType)
+            else render(row.get(i)).getBytes(StandardCharsets.UTF_8)
           b.writeInt(bytes.length)
           b.write(bytes)
         }
@@ -552,7 +744,7 @@ final class PgWireServer(spark: SparkSession,
     private final case class Prepared(sql: String, paramOids: Array[Int])
 
     private final class Portal(val sql: String, val df: Option[DataFrame],
-        val noOpTag: Option[String]) {
+        val noOpTag: Option[String], val resFmts: Array[Int]) {
       var rows: Array[org.apache.spark.sql.Row] = _ // null until Execute
       var truncated = false
       var pos = 0
@@ -593,6 +785,8 @@ final class PgWireServer(spark: SparkSession,
         s"prepared statement \"$stmtName\" does not exist", "26000"))
       val nFmt = r.int16()
       val fmts = Array.fill(nFmt)(r.int16())
+      if (fmts.exists(f => f != 0 && f != 1)) throw new PgErr(
+        s"invalid parameter format code", "08P01")
       val nParams = r.int16()
       val values: IndexedSeq[Option[String]] = (0 until nParams).map { i =>
         val len = r.int32()
@@ -600,23 +794,25 @@ final class PgWireServer(spark: SparkSession,
         else {
           val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0)
             else fmts(i)
-          if (fmt != 0) throw new PgErr(
-            "binary parameter format is not supported " +
-              "(bind parameters in text format)", "0A000")
-          Some(new String(r.bytes(len), StandardCharsets.UTF_8))
+          val raw = r.bytes(len)
+          if (fmt == 1)
+            // binary parameter: decode to text, then ride the same
+            // typed-literal path — one validation surface for both formats
+            Some(binaryParamText(raw,
+              if (i < stmt.paramOids.length) stmt.paramOids(i) else 0))
+          else Some(new String(raw, StandardCharsets.UTF_8))
         }
       }
       val nResFmt = r.int16()
       val resFmts = Array.fill(nResFmt)(r.int16())
-      if (resFmts.exists(_ != 0)) throw new PgErr(
-        "binary result format is not supported (request text format)",
-        "0A000")
+      if (resFmts.exists(f => f != 0 && f != 1)) throw new PgErr(
+        s"invalid result format code", "08P01")
       val bound = substituteParams(stmt.sql, values, stmt.paramOids)
       val noOp = sessionNoOpTag(bound)
       val df =
         if (noOp.isDefined || bound.trim.isEmpty || bound.trim == ";") None
         else exec.compileQuery(bound)
-      portals(portalName) = new Portal(bound, df, noOp)
+      portals(portalName) = new Portal(bound, df, noOp, resFmts)
       send(out, '2')(_ => ()) // BindComplete
     }
 
@@ -654,7 +850,8 @@ final class PgWireServer(spark: SparkSession,
           val portal = portals.getOrElse(name, throw new PgErr(
             s"portal \"$name\" does not exist", "34000"))
           portal.df match {
-            case Some(df) => sendRowDescription(out, df.schema)
+            case Some(df) =>
+              sendRowDescription(out, df.schema, portal.resFmts)
             case None => send(out, 'n')(_ => ())
           }
         case other => throw new PgErr(
@@ -688,7 +885,8 @@ final class PgWireServer(spark: SparkSession,
           val end = math.min(portal.rows.length.toLong,
             portal.pos.toLong + limit).toInt
           while (portal.pos < end) {
-            sendDataRow(out, df.schema, portal.rows(portal.pos))
+            sendDataRow(out, df.schema, portal.rows(portal.pos),
+              portal.resFmts)
             portal.pos += 1
           }
           if (portal.pos < portal.rows.length)

@@ -89,6 +89,21 @@ class PgWireSpec extends AnyFunSuite {
         b.writeShort(resultFmts.length); resultFmts.foreach(b.writeShort)
       }
 
+    /** Bind with raw byte parameters (binary-format tests). */
+    def bindBin(portal: String, stmt: String,
+        params: Seq[Option[Array[Byte]]], paramFmts: Seq[Int],
+        resultFmts: Seq[Int] = Nil): Unit =
+      frame('B') { b =>
+        cstr(b, portal); cstr(b, stmt)
+        b.writeShort(paramFmts.length); paramFmts.foreach(b.writeShort)
+        b.writeShort(params.length)
+        params.foreach {
+          case None => b.writeInt(-1)
+          case Some(v) => b.writeInt(v.length); b.write(v)
+        }
+        b.writeShort(resultFmts.length); resultFmts.foreach(b.writeShort)
+      }
+
     def describe(kind: Char, name: String): Unit =
       frame('D') { b => b.writeByte(kind); cstr(b, name) }
 
@@ -157,6 +172,27 @@ class PgWireSpec extends AnyFunSuite {
         in.readFully(v)
         Some(str(v))
       }
+    }
+  }
+
+  /** DataRow body → per-column raw bytes (binary-format tests). */
+  private def dataRowBytes(m: Msg): Seq[Option[Array[Byte]]] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(m.body))
+    (0 until in.readShort()).map { _ =>
+      val n = in.readInt()
+      if (n < 0) None
+      else { val v = new Array[Byte](n); in.readFully(v); Some(v) }
+    }
+  }
+
+  /** RowDescription body → per-column format codes. */
+  private def rowDescFmts(m: Msg): Seq[Int] = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(m.body))
+    (0 until in.readShort()).map { _ =>
+      var c = in.readByte()
+      while (c != 0) c = in.readByte()
+      in.readInt(); in.readShort(); in.readInt(); in.readShort(); in.readInt()
+      in.readShort().toInt
     }
   }
 
@@ -404,19 +440,102 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
-  test("extended flow: binary formats are refused with a feature error") {
+  test("extended flow: binary parameters decode across the scalar OIDs") {
     withServer() { c =>
       c.startup()
-      c.parseStmt("", "select $1 as v", oids = Seq(23))
-      c.bind("", "", params = Seq(Some("1")), paramFmts = Seq(1))
+      def i64(v: Long) = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      def f64(v: Double) =
+        java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+      // numeric -9876.5432: groups [9876, 5432], weight 0, sign 0x4000,
+      // dscale 4 (independent hand encoding of the base-10000 format)
+      val num = java.nio.ByteBuffer.allocate(12)
+        .putShort(2).putShort(0).putShort(0x4000.toShort).putShort(4)
+        .putShort(9876.toShort).putShort(5432.toShort).array()
+      val date = java.nio.ByteBuffer.allocate(4).putInt(
+        (java.time.LocalDate.of(2024, 5, 1).toEpochDay - 10957L).toInt)
+        .array()
+      val ts = i64(java.time.LocalDateTime.of(2024, 5, 1, 10, 30, 0,
+          250000000).toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+        + 250000L - 946684800000000L)
+      c.parseStmt("",
+        "select $1 as a, $2 as b, $3 as c, $4 as d, $5 as e, $6 as f, $7 as g",
+        oids = Seq(20, 701, 16, 1700, 1082, 1114, 25))
+      c.bindBin("", "",
+        params = Seq(Some(i64(42L)), Some(f64(2.5)), Some(Array[Byte](1)),
+          Some(num), Some(date), Some(ts),
+          Some("héllo".getBytes("UTF-8"))),
+        paramFmts = Seq(1, 1, 1, 1, 1, 1, 1))
+      c.executePortal("")
       val msgs = c.sync()
-      assert(str(msgs.find(_.tag == 'E').get.body)
-        .contains("binary parameter format"))
-      c.parseStmt("", "select 1 as v")
-      c.bind("", "", resultFmts = Seq(1))
-      val res = c.sync()
-      assert(str(res.find(_.tag == 'E').get.body)
-        .contains("binary result format"))
+      val row = dataRow(msgs.find(_.tag == 'D').get)
+      assert(row == Seq(Some("42"), Some("2.5"), Some("t"),
+        Some("-9876.5432"), Some("2024-05-01"),
+        Some("2024-05-01 10:30:00.25"), Some("héllo")))
+    }
+  }
+
+  test("extended flow: binary result formats across the scalar OIDs") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", """select 7 :: int as i, 2.5 :: double as d,
+        true as b, 'hi' as t, 12345.678 :: decimal(10,3) as n,
+        '2024-05-01' :: date as dt""")
+      c.bind("", "", resultFmts = Seq(1)) // one code applies to all
+      c.describe('P', "")
+      c.executePortal("")
+      val msgs = c.sync()
+      // the portal's RowDescription reports the chosen format per column
+      assert(rowDescFmts(msgs.find(_.tag == 'T').get) == Seq(1, 1, 1, 1, 1, 1))
+      val cols = dataRowBytes(msgs.find(_.tag == 'D').get).map(_.get)
+      def buf(a: Array[Byte]) = java.nio.ByteBuffer.wrap(a)
+      assert(buf(cols(0)).getInt() == 7)
+      assert(buf(cols(1)).getDouble() == 2.5)
+      assert(cols(2).toSeq == Seq(1: Byte))
+      assert(new String(cols(3), "UTF-8") == "hi")
+      // numeric: independently decode Σ d(i)·10000^(weight−i)
+      val nb = buf(cols(4))
+      val (nd, w, sign, dscale) =
+        (nb.getShort().toInt, nb.getShort().toInt, nb.getShort().toInt,
+          nb.getShort().toInt)
+      assert(sign == 0 && dscale == 3)
+      val value = (0 until nd).map { i =>
+        BigDecimal(nb.getShort().toInt) * BigDecimal(10000).pow(w - i)
+      }.sum
+      assert(value == BigDecimal("12345.678"))
+      assert(buf(cols(5)).getInt() ==
+        (java.time.LocalDate.of(2024, 5, 1).toEpochDay - 10957L).toInt)
+      assert(str(msgs.find(_.tag == 'C').get.body).startsWith("SELECT 1"))
+    }
+  }
+
+  test("extended flow: per-column result formats mix text and binary") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", "select id, id * 10 :: bigint as v from fixtures " +
+        "where id = 2")
+      c.bind("", "", resultFmts = Seq(0, 1))
+      c.executePortal("")
+      val msgs = c.sync()
+      val cols = dataRowBytes(msgs.find(_.tag == 'D').get).map(_.get)
+      assert(new String(cols(0), "UTF-8") == "2") // text column
+      assert(java.nio.ByteBuffer.wrap(cols(1)).getLong() == 20L)
+    }
+  }
+
+  test("extended flow: binary parameter with an undescribed OID is 0A000") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("", "select $1 as v", oids = Seq(17)) // bytea
+      c.bindBin("", "", params = Seq(Some(Array[Byte](1, 2))),
+        paramFmts = Seq(1))
+      val msgs = c.sync()
+      assert(str(msgs.find(_.tag == 'E').get.body).contains("0A000"))
+      // connection recovers after Sync
+      c.parseStmt("", "select 1 as ok")
+      c.bind("", "")
+      c.executePortal("")
+      val ok = c.sync()
+      assert(dataRow(ok.find(_.tag == 'D').get) == Seq(Some("1")))
     }
   }
 

@@ -56,6 +56,23 @@ class Client:
     def close_msg(self, kind, name):
         self._send(b"C", kind.encode() + name.encode() + b"\x00")
 
+    def bind_bin(self, portal, stmt, params, fmts, result_fmts):
+        """Bind with raw byte parameters + explicit format codes."""
+        body = portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+        body += struct.pack("!h", len(fmts))
+        for f in fmts:
+            body += struct.pack("!h", f)
+        body += struct.pack("!h", len(params))
+        for p in params:
+            if p is None:
+                body += struct.pack("!i", -1)
+            else:
+                body += struct.pack("!i", len(p)) + p
+        body += struct.pack("!h", len(result_fmts))
+        for f in result_fmts:
+            body += struct.pack("!h", f)
+        self._send(b"B", body)
+
     def sync(self):
         self._send(b"S", b"")
         return self.read_until_ready()
@@ -176,6 +193,26 @@ def main():
     c.bind("", "")
     c.execute("")
     show("recovered", c.sync())
+
+    print("=> BINARY formats: Bind int8 params (40, 2) fmt=binary, "
+          "all-binary results")
+    c.parse("", "select $1 + $2 as total, 2.5 :: double as d", oids=(20, 20))
+    c.bind_bin("", "", [struct.pack("!q", 40), struct.pack("!q", 2)],
+               [1, 1], [1])
+    c.execute("")
+    for tag, body in c.sync():
+        if tag == "D":
+            off = 2
+            (ln,) = struct.unpack("!i", body[off:off + 4]); off += 4
+            total = struct.unpack("!q", body[off:off + ln])[0]; off += ln
+            (ln,) = struct.unpack("!i", body[off:off + 4]); off += 4
+            d = struct.unpack("!d", body[off:off + ln])[0]
+            print(f"  <= DataRow(binary int8 total={total}, "
+                  f"binary float8 d={d})")
+            assert (total, d) == (42, 2.5), (total, d)
+        else:
+            print(f"  <= {describe_msg(tag, body)}")
+    print("  binary round-trip OK")
 
 
 if __name__ == "__main__":
