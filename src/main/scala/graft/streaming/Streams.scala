@@ -16,35 +16,32 @@ import graft.sources.Tables
   */
 object Streams {
 
-  /** schema of the events table as written by the generator (ts stored
-    * as TIMESTAMP(NANOS) parquet → long with nanosAsLong) */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming read of the events parquet with the µs timestamp surfaced. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** The file-stream source requires an explicit schema; an explicit
+    * schema that contradicts the file footer is NOT an error — the
+    * parquet reader reinterprets the bytes and hands back plausible
+    * garbage (round-8: µs int64 read as nanos shrank time 1000×, every
+    * session collapsed, zero exceptions). So the streaming reads take
+    * their schema FROM the footer via a driver-side batch read — one
+    * footer fetch at plan time, nothing per-batch — and all physical-
+    * type adaptation goes through the same [[Tables.withTsNanos]]
+    * normalizer the batch path uses. */
+  private def footerSchema(spark: SparkSession, dir: String,
+      name: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the file-stream source wants a directory; glob-filter to the table
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_nanos")
-      .withColumn("ts", expr("timestamp_micros(ts_nanos div 1000)"))
+    spark.read.parquet(s"$dir/$name.parquet").schema
   }
 
-  /** documents table schema (generator contract — TESTDATA.md). */
-  val documentsSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
+  /** Streaming read of the events parquet with the (ts, ts_nanos) pair
+    * surfaced — same contract as the batch [[Tables.load]]. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = footerSchema(spark, dir, "events")
+    // the file-stream source wants a directory; glob-filter to the table
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    Tables.withTsNanos(raw, schema("ts").dataType)
+  }
 
   /** Streaming read of the documents parquet — the INGESTION face of the
     * text pipeline: the same pure-expression operators
@@ -52,7 +49,7 @@ object Streams {
     * document batches. */
   def readDocuments(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema(documentsSchema)
+      .schema(footerSchema(spark, dir, "documents"))
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
