@@ -204,4 +204,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(last == Map(1L -> 3, 2L -> 2, 3L -> 1))
     } finally q.stop()
   }
+
+  test("events time contract: every known physical type yields the same surface") {
+    import org.apache.spark.sql.types._
+    // legacy TIMESTAMP(NANOS) read as raw long
+    val nanos = Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
+    val fromNanos = Tables.withTsNanos(nanos, LongType)
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    val rn = fromNanos.select(col("ts_nanos"), unix_micros(col("ts"))).head()
+    assert(rn.getLong(0) == 1700000000123456789L)
+    assert(rn.getLong(1) == 1700000000123456L) // truncated, not rounded
+
+    // timestamp[us] with isAdjustedToUTC=false (TimestampNTZ)
+    val ntz = Seq((1L, 1700000000123456L)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us"))
+        .cast(TimestampNTZType).as("ts"))
+    val fromNtz = Tables.withTsNanos(ntz, TimestampNTZType)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.select(col("ts_nanos")).head().getLong(0) ==
+      1700000000123456000L)
+  }
+
+  test("events time contract: an unknown physical type fails loudly") {
+    // r8 failure mode: a schema drift must never reach query results as
+    // plausible-but-wrong values — the normalizer throws instead
+    import org.apache.spark.sql.types.StringType
+    val drifted = Seq((1L, "2023-11-14 22:13:20")).toDF("event_id", "ts")
+    val e = intercept[IllegalStateException] {
+      Tables.withTsNanos(drifted, StringType)
+    }
+    assert(e.getMessage.contains("unsupported parquet type"))
+  }
+
+  test("streaming read takes its schema from the file footer") {
+    // the streaming surface must be identical to the batch surface for
+    // whatever physical type the current testdata generation uses —
+    // hand-written schemas are what made r8 silently wrong
+    val streamed = Streams.readEvents(spark, dir)
+    val batch = Tables.load(spark, dir, "events")
+    assert(streamed.schema == batch.schema)
+    val sRows = Streams.runToCompletion(spark,
+      streamed.withWatermark("ts", "1 hour")
+        .groupBy(col("event_id")).agg(max(col("ts_nanos")).as("ns")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bRows = batch.select(col("event_id"), col("ts_nanos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sRows == bRows && sRows.nonEmpty)
+  }
 }
