@@ -56,9 +56,21 @@ object Tables {
     }
 
   /** Load every table of the star schema as a scope Map (framequery's
-    * name→DataFrame dict, reference src/framequery/executor/_executor.py:37-96). */
+    * name→DataFrame dict, reference src/framequery/executor/_executor.py:37-96).
+    *
+    * Memoized per (session, dir): a DataFrame is an immutable plan, and
+    * building this scope costs ten driver-side parquet footer reads —
+    * the dialect queries (`fq_*`) each construct a scope, so without the
+    * memo a bench/verify sweep pays that footer IO hundreds of times.
+    * Values re-read the files at every execution as usual; only the
+    * schema is pinned, matching the read-only testdata contract. */
+  private val scopeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Map[String, DataFrame]]()
+
   def scope(spark: SparkSession, dir: String): Map[String, DataFrame] =
-    all.map(n => n -> load(spark, dir, n)).toMap
+    scopeCache.computeIfAbsent((spark, dir),
+      _ => all.map(n => n -> load(spark, dir, n)).toMap)
 
   /** Register all tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
