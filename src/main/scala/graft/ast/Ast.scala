@@ -103,7 +103,10 @@ final case class ValuesRel(rows: Seq[Seq[Expr]], alias: Option[String],
 final case class SampleRel(child: Relation, method: String,
     percent: Double, seed: Option[Long]) extends Relation
 final case class TableFunctionRel(func: String, args: Seq[Expr],
-    alias: Option[String], lateral: Boolean) extends Relation
+    alias: Option[String], lateral: Boolean,
+    /** column names from an `alias(col, …)` alias list (PG FROM-clause
+      * form, e.g. `unnest(keys) s(attnum)`) */
+    aliasCols: Seq[String] = Nil) extends Relation
 final case class JoinRel(how: String, left: Relation, right: Relation,
     on: Option[Expr]) extends Relation
 

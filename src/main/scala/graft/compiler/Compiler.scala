@@ -145,11 +145,17 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case ScalarSubquery(sub) =>
         scalarCount += 1
         val n = scalarCount
-        val correlated = innerContext(sub, scope) match {
-          case Some(ctx) =>
-            sub.where.toSeq.flatMap(conjuncts).exists(c => !ctx.allInner(c))
-          case None => false
-        }
+        val correlated =
+          try innerContext(sub, scope) match {
+            case Some(ctx) =>
+              sub.where.toSeq.flatMap(conjuncts).exists(c => !ctx.allInner(c))
+            case None => false
+          } catch {
+            // inner FROM not compilable standalone (e.g. a table function
+            // over an outer column) — correlated by construction; the
+            // row-path lowering decides how to handle it
+            case _: Exception => true
+          }
         if (!correlated) {
           val df = compileSelect(sub, scope)
           if (df.columns.length != 1)
@@ -557,7 +563,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
     case SubqueryRel(_, a) => a.toSet
     case ValuesRel(_, a, _) => a.toSet
     case SampleRel(child, _, _, _) => relAliases(child)
-    case TableFunctionRel(f, _, a, _) => Set(a.getOrElse(f))
+    case TableFunctionRel(f, _, a, _, _) => Set(a.getOrElse(f))
     case JoinRel(_, l, rr, _) => relAliases(l) ++ relAliases(rr)
   }
 
@@ -691,10 +697,16 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case _ => throw CompileException("scalar subquery cannot select *")
     }
     if (!containsAgg(item))
-      throw CompileException(
-        "correlated scalar subquery must be an aggregate (one row per key)")
+      return lowerCorrelatedScalarRow(sub, scope, item, tag)
 
-    val ctx = innerContext(sub, scope).get
+    val ctx =
+      try innerContext(sub, scope).get
+      catch {
+        // inner FROM not compilable standalone (correlated table-function
+        // args) — the row path owns that case and its empty-outer guard
+        case _: Exception =>
+          return lowerCorrelatedScalarRow(sub, scope, item, tag)
+      }
     val innerFilters = Seq.newBuilder[Expr]
     val keys = Seq.newBuilder[(Expr, Expr)] // (outer side, inner side)
     for (c <- sub.where.toSeq.flatMap(conjuncts)) c match {
@@ -703,9 +715,10 @@ final class Compiler(spark: SparkSession, registry: Registry,
         keys += (r -> l)
       case BinaryOp("=", l, r) if ctx.allInner(r) =>
         keys += (l -> r)
-      case other => throw CompileException(
-        s"unsupported correlated predicate in scalar subquery: $other " +
-          "(only inner-only filters and outer = inner equalities)")
+      case _ =>
+        // non-equi / outer-only correlation: the grouped-aggregate
+        // decorrelation can't key on it — take the general row-id path
+        return lowerCorrelatedScalarRow(sub, scope, item, tag)
     }
     val keyList = keys.result()
 
@@ -737,13 +750,219 @@ final class Compiler(spark: SparkSession, registry: Registry,
     (joinFn, postExpr, keyList.map(_._1))
   }
 
+  /** General correlated-scalar-subquery decorrelation by row id — the
+    * path for what the grouped-aggregate decorrelation above cannot
+    * express: non-aggregate items (PG row-subquery semantics: zero
+    * matches → NULL, more than one → runtime error, exactly PG's
+    * message) and arbitrary correlation conjuncts (non-equi,
+    * outer-only, array-membership). Tag each outer row with a row id,
+    * join the inner on the FULL predicate, aggregate per row id, join
+    * the result back onto the INTACT outer — re-joining (vs pulling the
+    * outer columns through the aggregate) keeps the outer's alias
+    * qualifiers alive for the enclosing query's later clauses.
+    *
+    * This shuffles by row id, so the grouped-aggregate decorrelation
+    * stays the fast path for big data; this path exists for PG parity —
+    * psql's `\d` catalog introspection is its main caller. Bare inner
+    * column refs are bound to the inner plan by expression id
+    * (Dataset.apply), so outer/inner name collisions (pg_policy.oid vs
+    * pg_roles.oid) resolve the way SQL scoping says: innermost wins. */
+  private def lowerCorrelatedScalarRow(sub: Select,
+      scope: Map[String, DataFrame], item: Expr,
+      tag: String): (DataFrame => DataFrame, Expr, Seq[Expr]) = {
+    val vName = s"${tag}_v"
+    val cName = s"${tag}_c"
+    val ctx =
+      try innerContext(sub, scope).get
+      catch {
+        case e: Exception =>
+          // The inner FROM does not compile standalone — a table function
+          // over an outer column (psql's `FROM unnest(stxkeys) s(attnum)
+          // JOIN …` / `unnest(tc.reloptions) x` shapes). Lower with the
+          // correlated-generator variant instead.
+          return lowerCorrelatedScalarGen(sub, scope, item, tag, e)
+      }
+    def bindInner(e: Expr): Expr = rewriteExpr(e) {
+      case r @ ColRef(Seq(n)) if ctx.cols.contains(n) =>
+        scala.util.Try(ResolvedRef(ctx.inner(n))).getOrElse(r)
+      case other => other
+    }
+    val conds = sub.where.toSeq.flatMap(conjuncts).map(bindInner)
+
+    // aggregate calls inside the item become per-row-id agg columns; a
+    // non-aggregate item rides as any_value guarded by the match count
+    var aggCols = Seq.empty[Column]
+    val postExpr =
+      if (containsAgg(item)) rewriteExpr(bindInner(item)) {
+        case cs @ CallSet(fn, _, _, _) =>
+          val nm = s"${tag}_a${aggCols.length}"
+          aggCols :+= compileAggCall(cs).as(nm)
+          val ref: Expr = ColRef(Seq(nm))
+          if (fn == "count") Call("coalesce", Seq(ref, IntLit(0))) else ref
+        case other => other
+      } else {
+        aggCols = Seq(any_value(compileExpr(bindInner(item))).as(vName),
+          count(lit(1)).as(cName))
+        Call("if", Seq(
+          BinaryOp(">", ColRef(Seq(cName)), IntLit(1)),
+          Call("raise_error", Seq(StringLit(
+            "more than one row returned by a subquery used as an expression"))),
+          ColRef(Seq(vName))))
+      }
+
+    val joinFn = (outer: DataFrame) => {
+      val rid = s"${tag}_rid"
+      // The row id is nondeterministic and the tagged frame is referenced
+      // twice (match probe + join-back), so pin it with a LAZY local
+      // checkpoint: both references then read the same materialized RDD
+      // and the ids cannot diverge between the two subtrees.
+      val o2 = outer.withColumn(rid, monotonically_increasing_id())
+        .localCheckpoint(false)
+      val cond = conds.map(compileExpr)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val matches = o2.join(ctx.inner, cond, "inner")
+        .groupBy(col(rid))
+        .agg(aggCols.head, aggCols.tail: _*)
+      o2.join(matches, Seq(rid), "left").drop(rid)
+    }
+    (joinFn, postExpr, Seq.empty)
+  }
+
+  /** The correlated-GENERATOR variant of the row-id decorrelation: the
+    * subquery's FROM contains a table function over an OUTER column
+    * (`unnest(outer.arr)`) — not compilable as a standalone inner plan.
+    * Each such relation becomes an `explode` over the tagged outer
+    * (exactly FROM-unnest's inner-join-with-ordinality-less semantics:
+    * empty/NULL arrays contribute zero rows); standalone relations
+    * cross-join in and Catalyst re-plans the filter into proper joins.
+    * Only INNER join trees flatten this way; anything else — or a
+    * standalone relation that itself fails to compile — falls back to
+    * the empty-outer guard: if the outer plan is a provably-empty
+    * LocalRelation (the empty-by-construction catalog stubs), a NULL
+    * item is exact since no row will ever evaluate it; otherwise the
+    * original error is rethrown — never degrade a real query silently. */
+  private def lowerCorrelatedScalarGen(sub: Select,
+      scope: Map[String, DataFrame], item: Expr, tag: String,
+      orig: Exception): (DataFrame => DataFrame, Expr, Seq[Expr]) = {
+    val vName = s"${tag}_v"
+    val cName = s"${tag}_c"
+    def emptyGuard: (DataFrame => DataFrame, Expr, Seq[Expr]) = {
+      val joinFn = (outer: DataFrame) => {
+        import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        outer.queryExecution.optimizedPlan match {
+          case l: LocalRelation if l.data.isEmpty =>
+            outer.withColumn(vName, lit(null).cast("string"))
+          case _ => throw orig
+        }
+      }
+      (joinFn, ColRef(Seq(vName)), Seq.empty)
+    }
+
+    // flatten the FROM into relations + inner-join conditions
+    val condsB = Seq.newBuilder[Expr]
+    var flattenOk = true
+    def flatten(r: Relation): Seq[Relation] = r match {
+      case JoinRel("inner", l, rr, on) =>
+        on match {
+          case Some(Call("__natural" | "__using", _)) =>
+            flattenOk = false; Seq(r)
+          case other => other.foreach(condsB += _); flatten(l) ++ flatten(rr)
+        }
+      case other => Seq(other)
+    }
+    val rels = sub.from.flatMap(flatten)
+    if (!flattenOk) return emptyGuard
+    condsB ++= sub.where.toSeq.flatMap(conjuncts)
+
+    // classify: standalone-compilable vs correlated unnest generators
+    val parts: Seq[Either[(TableFunctionRel, String), DataFrame]] =
+      rels.zipWithIndex.map { case (rel, i) =>
+        try Right(compileRelation(rel, scope))
+        catch {
+          case _: Exception => rel match {
+            case tf @ TableFunctionRel("unnest", Seq(_), _, _, _) =>
+              Left(tf -> s"${tag}_u$i")
+            case _ => return emptyGuard
+          }
+        }
+      }
+    val standaloneCols =
+      parts.collect { case Right(df) => df.columns }.flatten.toSet
+
+    // rewrite refs to a generator's output column onto its unique name:
+    // `s.attnum` (alias-qualified) always; bare `x` only when no
+    // standalone relation also exposes that name (SQL scoping would make
+    // it ambiguous anyway)
+    def renameGen(e: Expr): Expr = rewriteExpr(e) {
+      case r @ ColRef(parts2) =>
+        val hit = parts.collectFirst {
+          case Left((tf, uname))
+            if (parts2.length == 2 &&
+                tf.alias.contains(parts2.head)) ||
+              (parts2.length == 1 &&
+                tf.aliasCols.headOption.orElse(tf.alias)
+                  .contains(parts2.head) &&
+                !standaloneCols.contains(parts2.head)) => uname
+        }
+        hit.fold(r: Expr)(u => ColRef(Seq(u)))
+      case other => other
+    }
+    val conds = condsB.result().map(renameGen)
+
+    var aggCols = Seq.empty[Column]
+    val postExpr =
+      if (containsAgg(item)) rewriteExpr(renameGen(item)) {
+        case cs @ CallSet(fn, _, _, _) =>
+          val nm = s"${tag}_a${aggCols.length}"
+          aggCols :+= compileAggCall(cs).as(nm)
+          val ref: Expr = ColRef(Seq(nm))
+          if (fn == "count") Call("coalesce", Seq(ref, IntLit(0))) else ref
+        case other => other
+      } else {
+        aggCols = Seq(any_value(compileExpr(renameGen(item))).as(vName),
+          count(lit(1)).as(cName))
+        Call("if", Seq(
+          BinaryOp(">", ColRef(Seq(cName)), IntLit(1)),
+          Call("raise_error", Seq(StringLit(
+            "more than one row returned by a subquery used as an expression"))),
+          ColRef(Seq(vName))))
+      }
+
+    val joinFn = (outer: DataFrame) => {
+      val rid = s"${tag}_rid"
+      val o2 = outer.withColumn(rid, monotonically_increasing_id())
+        .localCheckpoint(false)
+      var cur: DataFrame = o2
+      parts.foreach {
+        case Right(df) => cur = cur.crossJoin(df)
+        case Left((tf, uname)) =>
+          cur = cur.withColumn(uname, explode(compileExpr(tf.args.head)))
+      }
+      val cond = conds.map(compileExpr)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val matches = cur.filter(cond)
+        .groupBy(col(rid))
+        .agg(aggCols.head, aggCols.tail: _*)
+      o2.join(matches, Seq(rid), "left").drop(rid)
+    }
+    (joinFn, postExpr, Seq.empty)
+  }
+
   // -------------------------------------------------------------- relations
   def compileRelation(rel: Relation, scope: Map[String, DataFrame]): DataFrame =
     rel match {
-      case TableRef(_, name, alias) =>
-        val base = scope.getOrElse(name,
-          builtinTable(name).getOrElse(
-            throw CompileException(s"table '$name' not found in scope")))
+      case TableRef(schemaOpt, name, alias) =>
+        val base = schemaOpt.map(_.toLowerCase) match {
+          // explicit catalog schemas resolve to the synthesized catalogs
+          // even if a scope table shares the name (PG resolution order)
+          case Some("pg_catalog") | Some("information_schema") =>
+            builtinTable(schemaOpt.map(_.toLowerCase), name, scope).getOrElse(
+              throw CompileException(
+                s"table '${schemaOpt.get}.$name' not found"))
+          case _ => scope.getOrElse(name,
+            builtinTable(None, name, scope).getOrElse(
+              throw CompileException(s"table '$name' not found in scope")))
+        }
         val aliased = base.alias(alias.getOrElse(name))
         // statistics → plan choice: an ANALYZEd table whose MEASURED size
         // fits the session broadcast budget is hinted broadcast here, so
@@ -804,7 +1023,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
           }: _*)
         }.reduce(_ unionAll _)
         alias.fold(df)(df.alias)
-      case tf @ TableFunctionRel(_, _, _, lateral) =>
+      case tf @ TableFunctionRel(_, _, _, lateral, _) =>
         if (lateral)
           throw CompileException("LATERAL requires a preceding FROM item")
         else tableFunctions.compile(tf, this, scope)
@@ -839,15 +1058,30 @@ final class Compiler(spark: SparkSession, registry: Registry,
         }
     }
 
-  /** Built-in catalog tables (reference _pandas.py:103-116). */
-  private def builtinTable(name: String): Option[DataFrame] = name match {
-    case "pg_namespace" =>
-      import spark.implicits._
-      Some(Seq(("public", 1, Option.empty[String]),
-        ("pg_catalog", 2, Option.empty[String]),
-        ("information_schema", 3, Option.empty[String]))
-        .toDF("nspname", "nspowner", "nspacl"))
-    case _ => None
+  /** Session-stable relation OIDs: assigned at first reference, never
+    * reused — psql resolves a name to an OID in one query and reads
+    * pg_attribute by that OID in the next, so the mapping must hold
+    * across statements within a session (scope growth cannot shift
+    * already-assigned values). */
+  private val relationOids =
+    scala.collection.mutable.LinkedHashMap.empty[String, Long]
+  private def oidOf(name: String): Long = relationOids.synchronized {
+    relationOids.getOrElseUpdate(name, 16384L + relationOids.size)
+  }
+
+  /** Built-in catalog tables (reference _pandas.py:103-116 ships only
+    * pg_namespace; the full reflection surface — pg_class, pg_attribute,
+    * pg_type, information_schema — is what `psql \dt`/`\d` and JDBC
+    * metadata need, synthesized from the live scope in [[PgCatalog]]). */
+  private def builtinTable(schema: Option[String], name: String,
+      scope: Map[String, DataFrame]): Option[DataFrame] = {
+    // deterministic OID assignment order regardless of Map iteration
+    val sorted = scope.toSeq.sortBy(_._1)
+    schema match {
+      case Some("information_schema") =>
+        PgCatalog.infoSchemaTable(spark, name, sorted)
+      case _ => PgCatalog.catalogTable(spark, name, sorted, oidOf)
+    }
   }
 
   // ------------------------------------------------------------ expressions
@@ -913,14 +1147,30 @@ final class Compiler(spark: SparkSession, registry: Registry,
 
     case BinaryOp(op, l, r) =>
       val (cl, cr) = (compileExpr(l), compileExpr(r))
+      // PG array-literal strings ('{...}') against array columns compare
+      // on the string rendering: the string side is unchanged (identity
+      // cast), and an array operand — which would otherwise fail analysis
+      // outright — renders and compares instead (psql probes
+      // `polroles = '{0}'` against catalog arrays this way)
+      def braceLit(e: Expr) = e match {
+        case StringLit(s) => s.startsWith("{") && s.endsWith("}")
+        case _ => false
+      }
       op match {
+        case "=" if braceLit(l) || braceLit(r) =>
+          cl.cast("string") === cr.cast("string")
+        case "!=" if braceLit(l) || braceLit(r) =>
+          cl.cast("string") =!= cr.cast("string")
         case "+" => cl + cr
         case "-" => cl - cr
         case "*" => cl * cr
         case "/" => cl / cr
         case "%" => cl % cr
         case "^" => pow(cl, cr) // POWER in this dialect, not XOR (§2.9)
-        case "||" => concat(cl.cast("string"), cr.cast("string"))
+        // raw Concat: TypeCoercion casts mixed scalars to string (PG text
+        // ||) and keeps array||array as ARRAY concatenation (PG array ||).
+        // NULL propagates — `||` is strict, unlike PG's concat() function
+        case "||" => concat(cl, cr)
         case "&" => cl.bitwiseAND(cr)
         case "|" => cl.bitwiseOR(cr)
         case "#" => cl.bitwiseXOR(cr)
@@ -939,6 +1189,12 @@ final class Compiler(spark: SparkSession, registry: Registry,
         case "not like" => !call_function("like", cl, cr)
         case "ilike" => call_function("ilike", cl, cr)
         case "not ilike" => !call_function("ilike", cl, cr)
+        // PG regex-match operators (find-anywhere semantics, same as
+        // Spark's rlike); `*` variants are case-insensitive
+        case "~" => call_function("rlike", cl, cr)
+        case "!~" => !call_function("rlike", cl, cr)
+        case "~*" => call_function("rlike", cl, concat(lit("(?i)"), cr))
+        case "!~*" => !call_function("rlike", cl, concat(lit("(?i)"), cr))
         case other => throw CompileException(s"unsupported operator '$other'")
       }
 
@@ -1031,6 +1287,11 @@ final class Compiler(spark: SparkSession, registry: Registry,
     val base = ty.takeWhile(_ != '(')
     base match {
       case "varchar" | "text" | "char" | "string" => c.cast("string")
+      // PG object-identifier types: rendered as text / bigint — enough
+      // for the catalog queries psql and JDBC issue (::regclass names
+      // would need a reverse OID lookup; clients only display them)
+      case "regtype" | "regclass" | "regnamespace" | "name" => c.cast("string")
+      case "oid" => c.cast("long")
       case "json" => c.cast("string") // raw-text JSON representation (Json.scala)
       case "int" | "integer" | "int4" => c.cast("int")
       case "bigint" | "int8" => c.cast("long")

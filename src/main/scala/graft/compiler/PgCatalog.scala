@@ -1,0 +1,317 @@
+package graft.compiler
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Column
+
+/** Synthesized PostgreSQL system catalogs: the reflection surface that
+  * makes `psql \dt` / `\d table`, JDBC metadata, and SQLAlchemy
+  * inspection work against [[graft.server.PgWireServer]].
+  *
+  * The reference exposes reflection through its SQLAlchemy dialect's
+  * `get_table_names` (reference src/framequery/alchemy/dialect.py:57-60,
+  * tested in tests/test__alchemy.py) — one method over `executor.scope`.
+  * Speaking the wire protocol instead of a Python DBAPI, the equivalent
+  * surface is the pg_catalog relations those clients introspect with:
+  * pg_class/pg_namespace/pg_attribute synthesized from the live scope,
+  * pg_type from the engine's advertised OID set, and empty-but-typed
+  * relations for the objects the engine does not have (indexes,
+  * constraints, inheritance) so client queries against them return
+  * zero rows rather than errors.
+  *
+  * Everything here is driver-local metadata: row counts are O(tables +
+  * columns), so these never touch the cluster — catalog queries stay
+  * LocalTableScan plans regardless of data scale.
+  */
+object PgCatalog {
+
+  val PublicNsOid = 2200L
+  val CatalogNsOid = 11L
+  val InfoSchemaNsOid = 13427L
+  /** the one table access method, mirroring PG's heap AM row */
+  val HeapAmOid = 2L
+
+  /** Spark type → advertised PG type OID. Shared contract with the wire
+    * server's RowDescription (PgWireServer delegates here) and
+    * pg_attribute.atttypid — clients cross-reference the two, so they
+    * must agree. */
+  def typeOid(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case ByteType | ShortType => 21
+    case IntegerType => 23
+    case LongType => 20
+    case FloatType => 700
+    case DoubleType => 701
+    case _: DecimalType => 1700
+    case DateType => 1082
+    case TimestampType | TimestampNTZType => 1114
+    case _ => 25
+  }
+
+  /** (oid, typname, typcategory, typlen) for every OID the engine
+    * advertises — the pg_type working set plus the common aliases
+    * clients probe for. */
+  private val typeRows: Seq[(Long, String, String, Int)] = Seq(
+    (16L, "bool", "B", 1),
+    (17L, "bytea", "U", -1),
+    (18L, "char", "Z", 1),
+    (19L, "name", "S", 64),
+    (20L, "int8", "N", 8),
+    (21L, "int2", "N", 2),
+    (23L, "int4", "N", 4),
+    (25L, "text", "S", -1),
+    (26L, "oid", "N", 4),
+    (700L, "float4", "N", 4),
+    (701L, "float8", "N", 8),
+    (1042L, "bpchar", "S", -1),
+    (1043L, "varchar", "S", -1),
+    (1082L, "date", "D", 4),
+    (1114L, "timestamp", "D", 8),
+    (1184L, "timestamptz", "D", 8),
+    (1700L, "numeric", "N", -1))
+
+  /** `format_type(atttypid, atttypmod)` over the advertised OID set —
+    * a codegen'd CASE chain, no UDF. */
+  def formatType(oid: Column, typmod: Column): Column = {
+    val pretty = Map(16L -> "boolean", 20L -> "bigint", 21L -> "smallint",
+      23L -> "integer", 700L -> "real", 701L -> "double precision",
+      1114L -> "timestamp without time zone",
+      1184L -> "timestamp with time zone")
+    typeRows.foldLeft(lit(null).cast("string")) { case (acc, (o, name, _, _)) =>
+      when(oid.cast("long") === o, lit(pretty.getOrElse(o, name))).otherwise(acc)
+    }
+  }
+
+  /** Dispatch by bare catalog relation name (`pg_*`). `oidOf` assigns
+    * the session-stable relation OID for a scope table name. */
+  def catalogTable(spark: SparkSession, name: String,
+      scope: Seq[(String, DataFrame)],
+      oidOf: String => Long): Option[DataFrame] = name match {
+    case "pg_namespace" => Some(pgNamespace(spark))
+    case "pg_class" => Some(pgClass(spark, scope, oidOf))
+    case "pg_attribute" => Some(pgAttribute(spark, scope, oidOf))
+    case "pg_type" => Some(pgType(spark))
+    case "pg_am" => Some(pgAm(spark))
+    case "pg_attrdef" => Some(empty(spark,
+      "adrelid" -> LongType, "adnum" -> IntegerType, "adbin" -> StringType))
+    case "pg_collation" => Some(empty(spark,
+      "oid" -> LongType, "collname" -> StringType,
+      "collnamespace" -> LongType))
+    case "pg_constraint" => Some(empty(spark,
+      "oid" -> LongType, "conname" -> StringType,
+      "connamespace" -> LongType, "contype" -> StringType,
+      "condeferrable" -> BooleanType, "condeferred" -> BooleanType,
+      "convalidated" -> BooleanType, "conrelid" -> LongType,
+      "contypid" -> LongType, "conindid" -> LongType,
+      "conparentid" -> LongType, "confrelid" -> LongType,
+      "conkey" -> ArrayType(IntegerType), "confkey" -> ArrayType(IntegerType)))
+    case "pg_index" => Some(empty(spark,
+      "indexrelid" -> LongType, "indrelid" -> LongType,
+      "indnatts" -> IntegerType, "indnkeyatts" -> IntegerType,
+      "indisunique" -> BooleanType, "indisprimary" -> BooleanType,
+      "indisexclusion" -> BooleanType, "indimmediate" -> BooleanType,
+      "indisclustered" -> BooleanType, "indisvalid" -> BooleanType,
+      "indisreplident" -> BooleanType, "indkey" -> ArrayType(IntegerType),
+      "indpred" -> StringType))
+    case "pg_inherits" => Some(empty(spark,
+      "inhrelid" -> LongType, "inhparent" -> LongType,
+      "inhseqno" -> IntegerType, "inhdetachpending" -> BooleanType))
+    case "pg_statistic_ext" => Some(empty(spark,
+      "oid" -> LongType, "stxrelid" -> LongType, "stxname" -> StringType,
+      "stxnamespace" -> LongType, "stxstattarget" -> IntegerType,
+      "stxkeys" -> ArrayType(IntegerType),
+      "stxkind" -> ArrayType(StringType)))
+    case "pg_policy" => Some(empty(spark,
+      "oid" -> LongType, "polname" -> StringType, "polrelid" -> LongType,
+      "polcmd" -> StringType, "polpermissive" -> BooleanType,
+      "polroles" -> ArrayType(LongType),
+      "polqual" -> StringType, "polwithcheck" -> StringType))
+    case "pg_publication" => Some(empty(spark,
+      "oid" -> LongType, "pubname" -> StringType, "pubowner" -> LongType,
+      "puballtables" -> BooleanType, "pubinsert" -> BooleanType,
+      "pubupdate" -> BooleanType, "pubdelete" -> BooleanType,
+      "pubtruncate" -> BooleanType, "pubviaroot" -> BooleanType))
+    case "pg_publication_rel" => Some(empty(spark,
+      "oid" -> LongType, "prpubid" -> LongType, "prrelid" -> LongType))
+    case "pg_rewrite" => Some(empty(spark,
+      "oid" -> LongType, "rulename" -> StringType, "ev_class" -> LongType,
+      "ev_type" -> StringType, "ev_enabled" -> StringType))
+    case "pg_trigger" => Some(empty(spark,
+      "oid" -> LongType, "tgname" -> StringType, "tgrelid" -> LongType,
+      "tgenabled" -> StringType, "tgisinternal" -> BooleanType))
+    case "pg_description" => Some(empty(spark,
+      "objoid" -> LongType, "classoid" -> LongType,
+      "objsubid" -> IntegerType, "description" -> StringType))
+    case "pg_roles" => Some(spark.createDataFrame(
+      java.util.List.of(Row(10L, "graft", true, true)),
+      StructType(Seq(StructField("oid", LongType),
+        StructField("rolname", StringType),
+        StructField("rolsuper", BooleanType),
+        StructField("rolcanlogin", BooleanType)))))
+    case _ => None
+  }
+
+  /** information_schema.{schemata,tables,columns} — the ANSI face of the
+    * same scope reflection (SQLAlchemy and many BI tools read these). */
+  def infoSchemaTable(spark: SparkSession, name: String,
+      scope: Seq[(String, DataFrame)]): Option[DataFrame] = name match {
+    case "schemata" => Some(spark.createDataFrame(
+      java.util.List.of(
+        Row("graft", "public", "graft"),
+        Row("graft", "pg_catalog", "graft"),
+        Row("graft", "information_schema", "graft")),
+      StructType(Seq(StructField("catalog_name", StringType),
+        StructField("schema_name", StringType),
+        StructField("schema_owner", StringType)))))
+    case "tables" => Some(spark.createDataFrame(
+      java.util.List.of(scope.map { case (n, _) =>
+        Row("graft", "public", n, "BASE TABLE")
+      }: _*),
+      StructType(Seq(StructField("table_catalog", StringType),
+        StructField("table_schema", StringType),
+        StructField("table_name", StringType),
+        StructField("table_type", StringType)))))
+    case "columns" => Some(spark.createDataFrame(
+      java.util.List.of(scope.flatMap { case (n, df) =>
+        df.schema.fields.zipWithIndex.map { case (f, i) =>
+          Row("graft", "public", n, f.name, i + 1,
+            if (f.nullable) "YES" else "NO", sqlTypeName(f.dataType),
+            typeRows.find(_._1 == typeOid(f.dataType).toLong)
+              .map(_._2).getOrElse("text"))
+        }
+      }: _*),
+      StructType(Seq(StructField("table_catalog", StringType),
+        StructField("table_schema", StringType),
+        StructField("table_name", StringType),
+        StructField("column_name", StringType),
+        StructField("ordinal_position", IntegerType),
+        StructField("is_nullable", StringType),
+        StructField("data_type", StringType),
+        StructField("udt_name", StringType)))))
+    case _ => None
+  }
+
+  private def sqlTypeName(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case ByteType | ShortType => "smallint"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double precision"
+    case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+    case DateType => "date"
+    case TimestampType | TimestampNTZType => "timestamp without time zone"
+    case _: ArrayType => "ARRAY"
+    case _ => "text"
+  }
+
+  private def pgNamespace(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(
+        Row(PublicNsOid, "public", 10L, null),
+        Row(CatalogNsOid, "pg_catalog", 10L, null),
+        Row(InfoSchemaNsOid, "information_schema", 10L, null)),
+      StructType(Seq(StructField("oid", LongType),
+        StructField("nspname", StringType),
+        StructField("nspowner", LongType),
+        StructField("nspacl", StringType))))
+
+  private def pgClass(spark: SparkSession, scope: Seq[(String, DataFrame)],
+      oidOf: String => Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("oid", LongType), StructField("relname", StringType),
+      StructField("relnamespace", LongType), StructField("reltype", LongType),
+      StructField("relowner", LongType), StructField("relam", LongType),
+      StructField("relfilenode", LongType),
+      StructField("reltablespace", LongType),
+      StructField("relpages", IntegerType),
+      StructField("reltuples", FloatType),
+      StructField("reltoastrelid", LongType),
+      StructField("relhasindex", BooleanType),
+      StructField("relpersistence", StringType),
+      StructField("relkind", StringType),
+      StructField("relnatts", IntegerType),
+      StructField("relchecks", IntegerType),
+      StructField("relhasrules", BooleanType),
+      StructField("relhastriggers", BooleanType),
+      StructField("relhassubclass", BooleanType),
+      StructField("relrowsecurity", BooleanType),
+      StructField("relforcerowsecurity", BooleanType),
+      StructField("relispartition", BooleanType),
+      StructField("reloftype", LongType),
+      StructField("relreplident", StringType),
+      StructField("reloptions", ArrayType(StringType)),
+      StructField("relacl", StringType)))
+    val rows = scope.map { case (n, df) =>
+      Row(oidOf(n), n, PublicNsOid, 0L, 10L, HeapAmOid, 0L, 0L,
+        0, -1.0f, 0L, false, "p", "r", df.schema.length, 0,
+        false, false, false, false, false, false, 0L, "d", null, null)
+    }
+    spark.createDataFrame(java.util.List.of(rows: _*), schema)
+  }
+
+  private def pgAttribute(spark: SparkSession,
+      scope: Seq[(String, DataFrame)], oidOf: String => Long): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("attrelid", LongType), StructField("attname", StringType),
+      StructField("atttypid", LongType), StructField("attlen", IntegerType),
+      StructField("attnum", IntegerType),
+      StructField("atttypmod", IntegerType),
+      StructField("attnotnull", BooleanType),
+      StructField("atthasdef", BooleanType),
+      StructField("attidentity", StringType),
+      StructField("attgenerated", StringType),
+      StructField("attisdropped", BooleanType),
+      StructField("attislocal", BooleanType),
+      StructField("attinhcount", IntegerType),
+      StructField("attcollation", LongType),
+      StructField("attstorage", StringType),
+      StructField("attstattarget", IntegerType),
+      StructField("attacl", StringType),
+      StructField("attoptions", ArrayType(StringType)),
+      StructField("attfdwoptions", ArrayType(StringType))))
+    val rows = scope.flatMap { case (n, df) =>
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        val oid = typeOid(f.dataType).toLong
+        Row(oidOf(n), f.name, oid,
+          typeRows.find(_._1 == oid).map(_._4).getOrElse(-1),
+          i + 1, -1, !f.nullable, false, "", "", false, true, 0, 0L,
+          "p", -1, null, null, null)
+      }
+    }
+    spark.createDataFrame(java.util.List.of(rows: _*), schema)
+  }
+
+  private def pgType(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(typeRows.map { case (oid, name, cat, len) =>
+        Row(oid, name, CatalogNsOid, 10L, len, "b", cat, true, 0L, 0L,
+          -1, 0L, false)
+      }: _*),
+      StructType(Seq(StructField("oid", LongType),
+        StructField("typname", StringType),
+        StructField("typnamespace", LongType),
+        StructField("typowner", LongType),
+        StructField("typlen", IntegerType),
+        StructField("typtype", StringType),
+        StructField("typcategory", StringType),
+        StructField("typisdefined", BooleanType),
+        StructField("typrelid", LongType),
+        StructField("typelem", LongType),
+        StructField("typtypmod", IntegerType),
+        StructField("typcollation", LongType),
+        StructField("typnotnull", BooleanType))))
+
+  private def pgAm(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      java.util.List.of(Row(HeapAmOid, "heap", "t")),
+      StructType(Seq(StructField("oid", LongType),
+        StructField("amname", StringType),
+        StructField("amtype", StringType))))
+
+  private def empty(spark: SparkSession,
+      cols: (String, DataType)*): DataFrame =
+    spark.createDataFrame(java.util.List.of[Row](),
+      StructType(cols.map { case (n, t) => StructField(n, t) }))
+}

@@ -69,13 +69,31 @@ final class TableFunctions(spark: SparkSession) {
           case Seq(k, v) => k -> v
         }.toMap
         readCsv(path, opts)
+      case "unnest" =>
+        // PG unnest(array) → one row per element, column named like PG
+        import spark.implicits._
+        args.head match {
+          case null => Seq.empty[String].toDF("unnest")
+          case s: Seq[_] if s.forall(_.isInstanceOf[java.lang.Long]) ||
+              s.forall(_.isInstanceOf[java.lang.Integer]) =>
+            s.map(v => v.asInstanceOf[Number].longValue).toDF("unnest")
+          case s: Seq[_] => s.map(String.valueOf).toDF("unnest")
+          case other => throw CompileException(
+            s"unnest expects an array argument, got $other")
+        }
       case other =>
         userTfs.get(other) match {
           case Some(f) => f(args)
           case None => throw CompileException(s"unknown table function '$other'")
         }
     }
-    df.alias(tf.alias.getOrElse(tf.func))
+    val renamed =
+      if (tf.aliasCols.isEmpty) df
+      else if (tf.aliasCols.length == df.columns.length) df.toDF(tf.aliasCols: _*)
+      else throw CompileException(
+        s"alias column list has ${tf.aliasCols.length} names but " +
+          s"'${tf.func}' returns ${df.columns.length} columns")
+    renamed.alias(tf.alias.getOrElse(tf.func))
   }
 
   /** LATERAL f(args): a true correlated lateral join (Spark 4

@@ -46,6 +46,56 @@ object Registry {
     // PG compat stubs (reference _pandas.py:50-51)
     "version" -> (_ => lit("PostgreSQL 9.6.0 (graft spark engine)")),
     "current_schema" -> (_ => lit("public")),
+    // catalog-reflection functions psql/JDBC call against pg_catalog
+    // (graft.compiler.PgCatalog): visibility checks are always true (one
+    // flat namespace), owners resolve to the engine user, definition
+    // printers return NULL (no stored defaults/constraints/indexes)
+    "current_database" -> (_ => lit("graft")),
+    "current_schemas" -> (_ => array(lit("pg_catalog"), lit("public"))),
+    "pg_get_userbyid" -> (_ => lit("graft")),
+    "pg_table_is_visible" -> (_ => lit(true)),
+    "pg_type_is_visible" -> (_ => lit(true)),
+    "pg_function_is_visible" -> (_ => lit(true)),
+    "pg_get_expr" -> (_ => lit(null).cast("string")),
+    "pg_get_constraintdef" -> (_ => lit(null).cast("string")),
+    "pg_get_indexdef" -> (_ => lit(null).cast("string")),
+    "pg_get_viewdef" -> (_ => lit(null).cast("string")),
+    "pg_get_partkeydef" -> (_ => lit(null).cast("string")),
+    "pg_get_statisticsobjdef_columns" -> (_ => lit(null).cast("string")),
+    "obj_description" -> (_ => lit(null).cast("string")),
+    "col_description" -> (_ => lit(null).cast("string")),
+    "shobj_description" -> (_ => lit(null).cast("string")),
+    "format_type" -> { case Seq(oid, mod) =>
+      graft.compiler.PgCatalog.formatType(oid, mod) },
+    "pg_total_relation_size" -> (_ => lit(0L)),
+    "pg_relation_size" -> (_ => lit(0L)),
+    "pg_table_size" -> (_ => lit(0L)),
+    "pg_indexes_size" -> (_ => lit(0L)),
+    "pg_size_pretty" -> { case Seq(n) =>
+      concat(n.cast("string"), lit(" bytes")) },
+    "pg_encoding_to_char" -> (_ => lit("UTF8")),
+    // nothing is publishable/subscribed — psql's publication listing
+    // filters to zero rows
+    "pg_relation_is_publishable" -> (_ => lit(false)),
+    "pg_backend_pid" -> (_ => lit(0)),
+    "has_table_privilege" -> (_ => lit(true)),
+    "has_schema_privilege" -> (_ => lit(true)),
+    "has_database_privilege" -> (_ => lit(true)),
+    // PG array_to_string ≅ Spark array_join (both skip NULL elements)
+    "array_to_string" -> { case Seq(a, sep) =>
+      call_function("array_join", a, sep) },
+    // `x = ANY(array-expr)` membership (parser desugar): compared on the
+    // string renderings so one compiled form analyzes for every element
+    // type pairing (the catalog queries mix oid/bigint probes with
+    // text[] columns). Caveat: cross-type numeric pairs compare by
+    // rendering ('5' vs '5.0' — PG would coerce); same-type arrays are
+    // exact.
+    "__any_eq" -> { case Seq(arr, x) =>
+      array_contains(arr.cast("array<string>"), x.cast("string")) },
+    // PG quote_ident, always-quoting form (PG skips quotes for safe
+    // lowercase names; always quoting is valid SQL either way)
+    "quote_ident" -> { case Seq(s) =>
+      concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")) },
     // distributed row id (reference add_rowid / dask strided ids,
     // util/_dask.py:105-120 — one partition-local counter here, no rounds)
     "rowid" -> (_ => monotonically_increasing_id()),

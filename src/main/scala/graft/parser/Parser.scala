@@ -523,9 +523,15 @@ final class Parser(tokens: Vector[Token],
       }
       return parseSampleOpt(SubqueryRel(sub, alias))
     }
-    // table function? ident followed by '('
-    if (peek.exists(t => t.kind == TIdent && !reserved(t.lower)) &&
-        peekAt(1).exists(t => t.kind == TOp && t.value == "(")) {
+    // table function? [schema.]ident followed by '('
+    val qualifiedFn = peek.exists(t => t.kind == TIdent && !reserved(t.lower)) &&
+      peekAt(1).exists(t => t.kind == TOp && t.value == ".") &&
+      peekAt(2).exists(_.kind == TIdent) &&
+      peekAt(3).exists(t => t.kind == TOp && t.value == "(")
+    if (qualifiedFn ||
+        (peek.exists(t => t.kind == TIdent && !reserved(t.lower)) &&
+         peekAt(1).exists(t => t.kind == TOp && t.value == "("))) {
+      if (qualifiedFn) { next(); next() } // drop the schema qualifier
       val fn = next().lower
       expectOp("(")
       var args = Seq.empty[Expr]
@@ -541,7 +547,16 @@ final class Parser(tokens: Vector[Token],
           next(); Some(t.value)
         case _ => None
       }
-      return parseSampleOpt(TableFunctionRel(fn, args, alias, lateral))
+      // PG alias column list: `unnest(keys) s(attnum)`
+      var aliasCols = Seq.empty[String]
+      if (alias.isDefined && peekOp("(")) {
+        next()
+        aliasCols :+= parseIdent()
+        while (acceptOp(",")) aliasCols :+= parseIdent()
+        expectOp(")")
+      }
+      return parseSampleOpt(TableFunctionRel(fn, args, alias, lateral,
+        aliasCols))
     }
     // plain table ref, possibly schema-qualified
     val first = parseIdent()
@@ -624,10 +639,43 @@ final class Parser(tokens: Vector[Token],
             peekAt(1).exists(t => t.kind == TOp && t.value == "(")) {
           val quant = next().lower
           expectOp("(")
-          val sub = parseSelect()
-          expectOp(")")
-          e = desugarQuantified(norm, e, sub, quant)
+          if (peekKw("select") || peekKw("with")) {
+            val sub = parseSelect()
+            expectOp(")")
+            e = desugarQuantified(norm, e, sub, quant)
+          } else {
+            // PG array form: `x = ANY(array-expr)` / `x <> ALL(expr)` —
+            // membership tests, compiled in the registry (__any_eq)
+            val arr = parseExpr()
+            expectOp(")")
+            e = (norm, quant) match {
+              case ("=", "any" | "some") => Call("__any_eq", Seq(arr, e))
+              case ("!=", "all") =>
+                UnaryOp("not", Call("__any_eq", Seq(arr, e)))
+              case _ => fail(
+                s"unsupported array quantifier: $norm ${quant.toUpperCase} " +
+                  "(only = ANY and <> ALL)")
+            }
+          }
         } else e = BinaryOp(norm, e, parseBitShift())
+      } else if (peekOp("~") || peekOp("~*") || peekOp("!~") || peekOp("!~*")) {
+        // PG regex-match operators (binary position only; prefix `~`
+        // stays bitwise NOT in parseUnary)
+        val op = next().value
+        e = BinaryOp(op, e, parseBitShift())
+      } else if (peekKw("operator") &&
+          peekAt(1).exists(t => t.kind == TOp && t.value == "(")) {
+        // OPERATOR(schema.op) — explicit-schema operator syntax psql
+        // emits; the schema qualifier carries no meaning here
+        next(); next()
+        if (peek.exists(t => t.kind == TIdent)) { next(); expectOp(".") }
+        val op = peek match {
+          case Some(t) if t.kind == TOp && t.value != ")" => next().value
+          case _ => fail("expected operator name in OPERATOR()")
+        }
+        expectOp(")")
+        val norm = op match { case "<>" => "!="; case other => other }
+        e = BinaryOp(norm, e, parseBitShift())
       } else if (peekKw("like")) {
         next(); e = BinaryOp("like", e, parseBitShift())
       } else if (peekKw("ilike")) {
@@ -759,6 +807,16 @@ final class Parser(tokens: Vector[Token],
     var going = true
     while (going) {
       if (acceptOp("::")) e = CastExpr(e, parseTypeName())
+      else if (peekKw("collate")) {
+        // COLLATE <qualified name>: the engine has one collation
+        // (binary), so the clause is syntax-only — consumed, not applied
+        next()
+        if (peek.exists(t => t.kind == TIdent || t.kind == TQuotedIdent))
+          next()
+        else fail("expected collation name after COLLATE")
+        while (peekOp(".") && peekAt(1).exists(t =>
+            t.kind == TIdent || t.kind == TQuotedIdent)) { next(); next() }
+      }
       else if (acceptOp("[")) { // 1-based subscript (PG/DuckDB semantics)
         val idx = parseExpr()
         expectOp("]")
@@ -775,9 +833,14 @@ final class Parser(tokens: Vector[Token],
   }
 
   private def parseTypeName(): String = {
-    val base = peek match {
+    var base = peek match {
       case Some(t) if t.kind == TIdent => next(); t.lower
       case _ => fail("expected type name")
+    }
+    // `pg_catalog.text`, `pg_catalog.regtype`, … — qualified type names
+    // resolve by their base name
+    while (peekOp(".") && peekAt(1).exists(_.kind == TIdent)) {
+      next(); base = next().lower
     }
     val full = new StringBuilder(base)
     // multi-word types: double precision
@@ -838,6 +901,27 @@ final class Parser(tokens: Vector[Token],
                 parseExtract()
               case "substring" if peekAt(1).exists(x => x.kind == TOp && x.value == "(") =>
                 parseSubstring()
+              case "array" if peekAt(1).exists(t => t.kind == TOp && t.value == "(") &&
+                  peekAt(2).exists(t => t.kind == TIdent &&
+                    (t.lower == "select" || t.lower == "with")) =>
+                // ARRAY(subquery) constructor: desugared to a scalar
+                // subquery collecting the item (sorted when the subquery
+                // orders by its own item — psql's `ORDER BY 1` form)
+                next(); next()
+                val sub = parseSelect()
+                expectOp(")")
+                val it = sub.items match {
+                  case Seq(ExprItem(e0, _)) => e0
+                  case _ => fail("ARRAY(subquery) must select one column")
+                }
+                val agg = sub.copy(
+                  items = Seq(ExprItem(CallSet("collect_list", Seq(it)), None)),
+                  orderBy = Nil)
+                val collected: Expr = ScalarSubquery(agg)
+                if (sub.orderBy.nonEmpty)
+                  Call("sort_array", Seq(collected,
+                    BoolLit(sub.orderBy.head.asc)))
+                else collected
               case "array" if peekAt(1).exists(t => t.kind == TOp && t.value == "[") =>
                 next(); next() // array [
                 var items = Seq.empty[Expr]
@@ -863,8 +947,12 @@ final class Parser(tokens: Vector[Token],
     while (peekOp(".") && peekAt(1).exists(t => t.kind == TIdent || t.kind == TQuotedIdent)) {
       next(); parts += next().value
     }
-    if (parts.length == 1 && peekOp("(")) {
-      val fn = parts.head.toLowerCase
+    // `pg_catalog.`-qualified function calls (psql emits every builtin
+    // fully qualified); the schema adds nothing — same flat registry
+    if ((parts.length == 1 ||
+        (parts.length == 2 && parts.head.equalsIgnoreCase("pg_catalog"))) &&
+        peekOp("(")) {
+      val fn = parts.last.toLowerCase
       next() // (
       // count(*) — and `f(*)` generally parses as star-call
       if (peekOp("*")) {

@@ -25,6 +25,8 @@ object Tokenizer {
 
   // longest-match-first operator table (reference keeps the same list)
   private val operators = Seq(
+    // longest-match-first: `!~*` before `!~` before `!=`; `~*` before `~`
+    "!~*", "!~", "~*",
     "::", "||", "<<", ">>", "<=", ">=", "<>", "!=", "!>", "!<",
     "(", ")", "[", "]", ",", ".", "+", "-", "*", "/", "%", "^", "&", "|",
     "#", "~", "=", "<", ">", ";")

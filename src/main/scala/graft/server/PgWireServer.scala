@@ -127,18 +127,10 @@ final class PgWireServer(spark: SparkSession,
     * ships as text (25) — including arrays/structs, rendered as
     * PG-style literals, which psql displays and generic clients treat
     * as strings. */
-  private def pgTypeOid(dt: DataType): Int = dt match {
-    case BooleanType => 16
-    case ByteType | ShortType => 21
-    case IntegerType => 23
-    case LongType => 20
-    case FloatType => 700
-    case DoubleType => 701
-    case _: DecimalType => 1700
-    case DateType => 1082
-    case TimestampType | TimestampNTZType => 1114
-    case _ => 25
-  }
+  /** Shared with pg_attribute.atttypid (clients cross-reference the
+    * RowDescription OID against the catalog) — one mapping, PgCatalog's. */
+  private def pgTypeOid(dt: DataType): Int =
+    graft.compiler.PgCatalog.typeOid(dt)
 
   /** Text-format rendering with PG conventions. */
   private def render(v: Any): String = v match {
