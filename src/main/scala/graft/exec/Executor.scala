@@ -39,6 +39,26 @@ final class Executor(val spark: SparkSession,
   private val compiler =
     new Compiler(spark, registry, tableFunctions, name => stats.get(name))
 
+  /** Storage paths backing scope entries (COPY FROM / persisted CTAS):
+    * a COPY TO / persisted CTAS that overwrites one of these paths
+    * silently changes the data behind every table reading it — their
+    * ANALYZE stats must drop with it (stale stats steering a broadcast
+    * are worse than none). */
+  private var sourcePaths: Map[String, String] = Map.empty
+
+  /** PG command tag for the last executed statement when it carries a
+    * row count (`INSERT 0 n` / `UPDATE n` / `DELETE n` / `COPY n`) —
+    * what psql displays and JDBC's executeUpdate returns. The count is
+    * one extra Spark job, so it is computed LAZILY the first time a
+    * server asks and memoized; library callers that never read the tag
+    * pay nothing. */
+  private var lastTagThunk: Option[() => String] = None
+  def lastCommandTag: Option[String] = lastTagThunk.map { f =>
+    val tag = f()
+    lastTagThunk = Some(() => tag)
+    tag
+  }
+
   // inspection surface for the collected statistics:
   //   SELECT * FROM table_stats()
   tableFunctions.register("table_stats", _ => {
@@ -91,18 +111,26 @@ final class Executor(val spark: SparkSession,
 
   /** Execute one statement. SELECT/SHOW return a DataFrame; DDL/COPY
     * mutate the scope and return None. */
-  def execute(sql: String): Option[DataFrame] =
+  def execute(sql: String): Option[DataFrame] = {
+    lastTagThunk = None
     Parser.parse(sql, registeredAggNames.toSet) match {
     case s: Select => Some(compiler.compileSelect(s, scope))
 
     case CopyFrom(table, path, options) =>
-      rebind(table, readSource(tableFunctions.resolvePath(path), options))
+      val p = tableFunctions.resolvePath(path)
+      val df = readSource(p, options)
+      rebind(table, df)
+      sourcePaths += (table -> p)
+      lastTagThunk = Some(() => s"COPY ${df.count()}")
       None
 
     case CopyTo(table, path, options) =>
       val df = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
-      writeSink(df, tableFunctions.resolvePath(path), options)
+      val p = tableFunctions.resolvePath(path)
+      writeSink(df, p, options)
+      invalidatePath(p)
+      lastTagThunk = Some(() => s"COPY ${df.count()}")
       None
 
     case ExplainStmt(q) =>
@@ -137,6 +165,7 @@ final class Executor(val spark: SparkSession,
         else lit(null).cast(ty).as(c) // unlisted target columns fill NULL
       }: _*)
       rebind(table, target.unionAll(aligned))
+      lastTagThunk = Some(() => s"INSERT 0 ${aligned.count()}")
       None
 
     case DeleteFrom(table, where) =>
@@ -146,12 +175,18 @@ final class Executor(val spark: SparkSession,
         // SQL deletes rows where the predicate is TRUE; FALSE and
         // UNKNOWN rows stay — hence the coalesce before negation
         case Some(p) if !containsSubquery(p) =>
+          lastTagThunk = Some(() => s"DELETE ${target.filter(
+            coalesce(compiler.compileExpr(p), lit(false))).count()}")
           target.filter(!coalesce(compiler.compileExpr(p), lit(false)))
         case Some(p) =>
           // IN/EXISTS predicates route through the full WHERE lowering;
           // exceptAll removes exactly the matched bag of rows
-          target.exceptAll(compiler.filterWhere(target, p, scope))
-        case None => target.limit(0)
+          val matched = compiler.filterWhere(target, p, scope)
+          lastTagThunk = Some(() => s"DELETE ${matched.count()}")
+          target.exceptAll(matched)
+        case None =>
+          lastTagThunk = Some(() => s"DELETE ${target.count()}")
+          target.limit(0)
       }
       rebind(table, kept)
       None
@@ -176,13 +211,18 @@ final class Executor(val spark: SparkSession,
           }
         }: _*)
       val updated = where match {
-        case None => applySets(target, None)
+        case None =>
+          lastTagThunk = Some(() => s"UPDATE ${target.count()}")
+          applySets(target, None)
         case Some(p) if !containsSubquery(p) =>
+          lastTagThunk = Some(() => s"UPDATE ${target.filter(
+            coalesce(compiler.compileExpr(p), lit(false))).count()}")
           applySets(target, Some(coalesce(compiler.compileExpr(p), lit(false))))
         case Some(p) =>
           // subquery predicate: split matched/unmatched through the full
           // WHERE lowering, transform only the matched bag
           val matched = compiler.filterWhere(target, p, scope)
+          lastTagThunk = Some(() => s"UPDATE ${matched.count()}")
           target.exceptAll(matched).unionAll(applySets(matched, None))
       }
       rebind(table, updated)
@@ -192,6 +232,7 @@ final class Executor(val spark: SparkSession,
       val target = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
       rebind(table, target.limit(0))
+      lastTagThunk = Some(() => "TRUNCATE TABLE")
       None
 
     case CreateTableAs(name, query, options) =>
@@ -210,7 +251,9 @@ final class Executor(val spark: SparkSession,
             options.getOrElse("path", s"$name.$fmt"))
           val io = options - "persist" - "path" + ("format" -> fmt.toLowerCase)
           writeSink(df, p, io)
+          invalidatePath(p)
           rebind(name, readSource(p, io))
+          sourcePaths += (name -> p)
         case None =>
           // lazy by default: the plan re-evaluates on use, like every
           // Spark view. With eagerCtas the frame is materialized NOW via
@@ -227,6 +270,7 @@ final class Executor(val spark: SparkSession,
     case DropTable(names) =>
       scope --= names
       stats --= names
+      sourcePaths --= names
       None
 
     case AnalyzeStmt(tables) =>
@@ -250,6 +294,7 @@ final class Executor(val spark: SparkSession,
       }
       import spark.implicits._
       Some(Seq(value).toDF(what.replace(' ', '_')))
+  }
   }
 
   /** Compile without executing: a lazy DataFrame for statements that are
@@ -310,7 +355,14 @@ final class Executor(val spark: SparkSession,
   private def rebind(name: String, df: DataFrame): Unit = {
     scope += (name -> df)
     stats -= name
+    sourcePaths -= name
   }
+
+  /** A write just overwrote `p`: drop the ANALYZE stats of every scope
+    * entry reading from that path — their measured sizes no longer
+    * describe the data behind them. */
+  private def invalidatePath(p: String): Unit =
+    stats --= sourcePaths.collect { case (n, sp) if sp == p => n }
 
   /** Case-insensitive column resolution for DML name lists. */
   private def resolveColumn(target: DataFrame, table: String,

@@ -40,6 +40,18 @@ object Tokenizer {
       if (c.isWhitespace) { i += 1 }
       else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
         while (i < n && sql(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        // block comment, nested per the SQL standard (and PG)
+        val start = i
+        var depth = 1
+        i += 2
+        while (depth > 0) {
+          if (i + 1 >= n)
+            throw new ParseException(s"unterminated block comment at $start")
+          if (sql(i) == '*' && sql(i + 1) == '/') { depth -= 1; i += 2 }
+          else if (sql(i) == '/' && sql(i + 1) == '*') { depth += 1; i += 2 }
+          else i += 1
+        }
       } else if (c == '\'') {
         val sb = new StringBuilder
         val start = i

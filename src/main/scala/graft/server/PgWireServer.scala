@@ -371,7 +371,15 @@ final class PgWireServer(spark: SparkSession,
     * multi-GB array). */
   private val MaxFrameBytes = 1 << 26 // 64 MiB
 
+  /** live connections by backend pid → (cancel secret, Spark job group);
+    * consulted by out-of-band CancelRequest sockets */
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, String)]()
+  private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val secureRandom = new java.security.SecureRandom()
+
   private def serve(sock: Socket): Unit = {
+    var myPid = -1
     try {
       val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
       val out = new DataOutputStream(
@@ -388,7 +396,20 @@ final class PgWireServer(spark: SparkSession,
         code = in.readInt()
         guard += 1
       }
-      if (code == 80877102) return // CancelRequest: nothing cancellable
+      if (code == 80877102) {
+        // CancelRequest: body is the (pid, secret) pair from the target
+        // connection's BackendKeyData. Out-of-band by design — it rides
+        // its own socket, which closes with no response (PG protocol).
+        // A match cancels the Spark job group every action on that
+        // connection runs under; the canceled query surfaces there as an
+        // ordinary ErrorResponse and the connection stays usable.
+        val pid = in.readInt()
+        val secret = in.readInt()
+        Option(cancelKeys.get(pid)).foreach { case (s, group) =>
+          if (s == secret) spark.sparkContext.cancelJobGroup(group)
+        }
+        return
+      }
       if (code != 196608) { // protocol 3.0
         sendError(out, s"unsupported protocol code $code", "08P01")
         out.flush()
@@ -414,7 +435,18 @@ final class PgWireServer(spark: SparkSession,
         "standard_conforming_strings" -> "on").foreach { case (k, v) =>
         send(out, 'S') { b => cstring(b, k); cstring(b, v) }
       }
-      send(out, 'K') { b => b.writeInt(sock.getPort); b.writeInt(0) }
+      val pid = pidCounter.incrementAndGet()
+      val secret = secureRandom.nextInt()
+      val jobGroup = s"graft-pg-$pid"
+      cancelKeys.put(pid, (secret, jobGroup))
+      myPid = pid
+      // every Spark action this connection thread runs is tagged with the
+      // job group (thread-local), so CancelRequest → cancelJobGroup kills
+      // exactly this connection's running stages; interruptOnCancel
+      // interrupts the task threads for prompt teardown
+      spark.sparkContext.setJobGroup(jobGroup,
+        s"pgwire connection $pid", interruptOnCancel = true)
+      send(out, 'K') { b => b.writeInt(pid); b.writeInt(secret) }
 
       // one executor session per connection (shared bootstrap with
       // SqlServer; a failure answers the client, then closes)
@@ -469,16 +501,24 @@ final class PgWireServer(spark: SparkSession,
                   errorUntilSync = true
               }
             case other =>
+              // an unknown message type means the stream is (or is about
+              // to be) desynchronized — PG treats it as a fatal protocol
+              // violation and closes; waiting for a Sync would hang
+              // simple-protocol clients that never send one
               sendError(out,
-                s"unsupported frontend message '$other'", "0A000")
-              errorUntilSync = true
+                s"unsupported frontend message '$other'", "08P01")
+              out.flush()
+              done = true
           }
         }
       }
     } catch {
       case _: EOFException => // client went away mid-message
       case _: java.io.IOException =>
-    } finally sock.close()
+    } finally {
+      if (myPid > 0) cancelKeys.remove(myPid)
+      sock.close()
+    }
   }
 
   /** RowDescription; `fmts` are the portal's result-format codes (empty
@@ -572,7 +612,10 @@ final class PgWireServer(spark: SparkSession,
       }
       exec.execute(sql) match {
         case None =>
-          send(out, 'C')(cstring(_, commandTag(sql)))
+          // DML/COPY tags carry the PG row count (what psql displays and
+          // JDBC executeUpdate returns); others fall back to the keyword
+          send(out, 'C')(cstring(_,
+            exec.lastCommandTag.getOrElse(commandTag(sql))))
         case Some(df) =>
           sendRowDescription(out, df.schema)
           val (rows, truncated) = fetchRows(df)
@@ -672,14 +715,17 @@ final class PgWireServer(spark: SparkSession,
     }
 
   /** Walk the statement text outside quoted regions, handing `$n`
-    * references to `onParam`. Single quotes (with `''` escapes) and
-    * double-quoted identifiers are opaque — a `$1` inside a string
-    * literal is data, not a parameter. */
+    * references to `onParam`. Single quotes (with `''` escapes),
+    * double-quoted identifiers, `--` line comments and (nested, per PG)
+    * block comments are opaque — a `$1` inside any of them is data, not
+    * a parameter. */
   private def scanParams(sql: String, out: StringBuilder)(
       onParam: Int => String): Unit = {
     var i = 0
     var inSingle = false
     var inDouble = false
+    var inLine = false
+    var blockDepth = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inSingle) {
@@ -692,9 +738,21 @@ final class PgWireServer(spark: SparkSession,
         i += 1
       } else if (inDouble) {
         out.append(c); if (c == '"') inDouble = false; i += 1
+      } else if (inLine) {
+        out.append(c); if (c == '\n') inLine = false; i += 1
+      } else if (blockDepth > 0) {
+        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+          out.append("*/"); blockDepth -= 1; i += 2
+        } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+          out.append("/*"); blockDepth += 1; i += 2
+        } else { out.append(c); i += 1 }
       } else if (c == '\'') { inSingle = true; out.append(c); i += 1 }
       else if (c == '"') { inDouble = true; out.append(c); i += 1 }
-      else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        inLine = true; out.append("--"); i += 2
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        blockDepth = 1; out.append("/*"); i += 2
+      } else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
         var j = i + 1
         while (j < sql.length && sql.charAt(j).isDigit) j += 1
         out.append(onParam(sql.substring(i + 1, j).toInt))
@@ -741,6 +799,7 @@ final class PgWireServer(spark: SparkSession,
       var truncated = false
       var pos = 0
       var executed = false // side-effect statements run exactly once
+      var tag: Option[String] = None // row-count tag captured at Execute
     }
 
     private val prepared =
@@ -780,6 +839,11 @@ final class PgWireServer(spark: SparkSession,
       if (fmts.exists(f => f != 0 && f != 1)) throw new PgErr(
         s"invalid parameter format code", "08P01")
       val nParams = r.int16()
+      // PG protocol: the format-code list is empty (all text), a single
+      // code applying to every parameter, or exactly one per parameter
+      if (nFmt > 1 && nFmt != nParams) throw new PgErr(
+        s"bind message has $nFmt parameter formats but $nParams parameters",
+        "08P01")
       val values: IndexedSeq[Option[String]] = (0 until nParams).map { i =>
         val len = r.int32()
         if (len == -1) None
@@ -893,8 +957,10 @@ final class PgWireServer(spark: SparkSession,
           if (!portal.executed) {
             portal.executed = true
             exec.execute(portal.sql)
+            portal.tag = exec.lastCommandTag
           }
-          send(out, 'C')(cstring(_, commandTag(portal.sql)))
+          send(out, 'C')(cstring(_,
+            portal.tag.getOrElse(commandTag(portal.sql))))
       }
     }
 

@@ -111,6 +111,24 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("overwriting a table's backing path drops its stats") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pathinv").toString
+    val e = freshExec()
+    e.execute(s"COPY nation TO '$tmp/t.parquet' WITH format 'parquet'")
+    e.execute(s"COPY t FROM '$tmp/t.parquet' WITH format 'parquet'")
+    e.execute("ANALYZE t")
+    assert(e.query("select * from table_stats()").count() == 1)
+    // COPY TO over the same path changes the data behind t — its
+    // measured stats are stale and must drop with the write
+    e.execute(s"COPY supplier TO '$tmp/t.parquet' WITH format 'parquet'")
+    assert(e.query("select * from table_stats()").count() == 0)
+    // a different path leaves them alone
+    e.execute(s"COPY t FROM '$tmp/t.parquet' WITH format 'parquet'")
+    e.execute("ANALYZE t")
+    e.execute(s"COPY supplier TO '$tmp/other.parquet' WITH format 'parquet'")
+    assert(e.query("select * from table_stats()").count() == 1)
+  }
+
   test("rebinding a table invalidates its stats") {
     val e = freshExec()
     e.execute("ANALYZE nation")

@@ -574,4 +574,115 @@ class PgWireSpec extends AnyFunSuite {
       assert(str(gone.find(_.tag == 'E').get.body).contains("does not exist"))
     }
   }
+
+  private def withServerAndPort[A](body: (WireClient, Int) => A): A = {
+    val server = new PgWireServer(spark,
+      Map("fixtures" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")))
+    val client = new WireClient(server.boundPort)
+    try body(client, server.boundPort)
+    finally { client.close(); server.close() }
+  }
+
+  test("CancelRequest kills a running query; the connection stays usable") {
+    withServerAndPort { (c, port) =>
+      val key = c.startup().find(_.tag == 'K').get
+      val kin = new DataInputStream(new java.io.ByteArrayInputStream(key.body))
+      val pid = kin.readInt()
+      val secret = kin.readInt()
+      // a 200k × 200k nested-loop count — minutes of work if not canceled
+      @volatile var result: Seq[Msg] = Nil
+      val victim = new Thread(() => {
+        result = c.query(
+          """select count(1) as n
+            |from generate_series(1, 200000) a, generate_series(1, 200000) b
+            |where a.generate_series + b.generate_series = 0""".stripMargin)
+      })
+      victim.start()
+      // cancelJobGroup only hits RUNNING jobs — re-send until the victim
+      // unblocks (first sends may land during driver-side planning)
+      val deadline = System.currentTimeMillis() + 120000
+      while (victim.isAlive && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val s = new Socket("127.0.0.1", port)
+        try {
+          val o = new DataOutputStream(s.getOutputStream)
+          o.writeInt(16); o.writeInt(80877102)
+          o.writeInt(pid); o.writeInt(secret)
+          o.flush()
+        } finally s.close()
+      }
+      victim.join(5000)
+      assert(!victim.isAlive, "query was not canceled within the deadline")
+      assert(result.exists(_.tag == 'E'), "canceled query must error")
+      // the connection survives cancellation
+      val after = c.query("select 1 as x")
+      assert(after.exists(m => m.tag == 'D' &&
+        dataRow(m) == Seq(Some("1"))))
+    }
+  }
+
+  test("DML command tags carry PG row counts") {
+    withServer() { c =>
+      c.startup()
+      def tag(msgs: Seq[Msg]): String =
+        str(msgs.find(_.tag == 'C').get.body).replace(" ", "")
+      assert(tag(c.query(
+        "insert into fixtures values (4, 'd'), (5, 'e')")) == "INSERT 0 2")
+      assert(tag(c.query(
+        "update fixtures set s = 'x' where id >= 4")) == "UPDATE 2")
+      assert(tag(c.query("delete from fixtures where id = 1")) == "DELETE 1")
+      assert(tag(c.query("truncate table fixtures")) == "TRUNCATE TABLE")
+      assert(tag(c.query("delete from fixtures")) == "DELETE 0")
+    }
+  }
+
+  test("$n inside comments is data, not a parameter") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("s1",
+        "select $1::int + 1 as a -- not $2\n/* nor $3 /* nested $4 */ */",
+        Seq(23))
+      c.describe('S', "s1")
+      val msgs = c.sync()
+      val pd = msgs.find(_.tag == 't').get
+      val din = new DataInputStream(new java.io.ByteArrayInputStream(pd.body))
+      assert(din.readShort() == 1) // exactly one parameter, not four
+      c.bind("p1", "s1", Seq(Some("41")))
+      c.executePortal("p1")
+      val m2 = c.sync()
+      assert(dataRow(m2.find(_.tag == 'D').get) == Seq(Some("42")))
+    }
+  }
+
+  test("Bind with a mismatched format-code count is a protocol error") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("s1", "select $1::int + $2::int + $3::int as a",
+        Seq(23, 23, 23))
+      // two format codes for three parameters: neither 0, 1, nor nParams
+      c.bind("p1", "s1", Seq(Some("1"), Some("2"), Some("3")),
+        paramFmts = Seq(0, 0))
+      val msgs = c.sync()
+      assert(msgs.exists(m => m.tag == 'E' &&
+        str(m.body).contains("parameter formats")), msgs.map(_.tag))
+      // error-until-sync recovery leaves the connection usable
+      val after = c.query("select 1 as x")
+      assert(after.exists(m => m.tag == 'D' && dataRow(m) == Seq(Some("1"))))
+    }
+  }
+
+  test("unknown frontend message closes the connection instead of hanging") {
+    withServer() { c =>
+      c.startup()
+      // 'W' is not a frontend message; server must answer and close —
+      // never park in error-until-Sync (a simple client won't Sync)
+      val msgs = c.rawFrame('W', 4)
+      assert(msgs.exists(_.tag == 'E'))
+      // subsequent round-trip fails: the server closed the socket
+      val closed =
+        try { c.query("select 1 as x"); false }
+        catch { case _: java.io.IOException => true }
+      assert(closed, "server should have closed the connection")
+    }
+  }
 }
