@@ -73,6 +73,15 @@ final class Executor(val spark: SparkSession,
     stats --= entries.map(_._1)
   }
 
+  /** Attach a path-backed table with any sidecar stats a previous
+    * session's ANALYZE persisted (ScopeSpec bootstrap path). */
+  private[exec] def attachFromPath(name: String, df: DataFrame,
+      path: String): Unit = {
+    update(name -> df)
+    sourcePaths += (name -> path)
+    Executor.readStatsSidecar(path).foreach(st => stats += (name -> st))
+  }
+
   def tableNames: Seq[String] = scope.keys.toSeq.sorted
   def table(name: String): Option[DataFrame] = scope.get(name)
 
@@ -121,6 +130,8 @@ final class Executor(val spark: SparkSession,
       val df = readSource(p, options)
       rebind(table, df)
       sourcePaths += (table -> p)
+      // stats persisted by a previous session's ANALYZE ride back in
+      Executor.readStatsSidecar(p).foreach(st => stats += (table -> st))
       lastTagThunk = Some(() => s"COPY ${df.count()}")
       None
 
@@ -277,11 +288,17 @@ final class Executor(val spark: SparkSession,
       // measured statistics per table — ONE aggregate pass each (see
       // TableStats.compute); results steer the compiler's broadcast
       // decision until the name is rebound. No result set, like PG.
+      // Path-backed tables additionally persist the measurement as a
+      // sidecar next to the data, so a FRESH session re-attaching to the
+      // files gets the broadcast decision without re-ANALYZE — exactly
+      // how warehouse stats outlive sessions.
       val names = if (tables.isEmpty) scope.keys.toSeq.sorted else tables
       names.foreach { n =>
         val df = scope.getOrElse(n,
           throw CompileException(s"table '$n' not found in scope"))
-        stats += (n -> graft.compiler.TableStats.compute(df))
+        val st = graft.compiler.TableStats.compute(df)
+        stats += (n -> st)
+        sourcePaths.get(n).foreach(p => Executor.writeStatsSidecar(p, st))
       }
       None
 
@@ -457,6 +474,31 @@ final class Executor(val spark: SparkSession,
 }
 
 object Executor {
+
+  /** ANALYZE stats sidecar (`_graft_stats.json` inside a directory
+    * output): the leading underscore makes it invisible to Spark's file
+    * readers, and `mode("overwrite")` rewrites of the directory delete
+    * it with the stale data — exactly the invalidation wanted. */
+  private[exec] def writeStatsSidecar(p: String,
+      st: graft.compiler.TableStats): Unit = {
+    val dir = Paths.get(p)
+    if (Files.isDirectory(dir))
+      Files.writeString(dir.resolve("_graft_stats.json"),
+        s"""{"rows": ${st.rows}, "sizeBytes": ${st.sizeBytes}}""")
+  }
+
+  private[exec] def readStatsSidecar(
+      p: String): Option[graft.compiler.TableStats] = {
+    val f = Paths.get(p).resolve("_graft_stats.json")
+    if (!Files.isRegularFile(f)) None
+    else try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(f))
+      Some(graft.compiler.TableStats(
+        root.get("rows").asLong(), root.get("sizeBytes").asLong()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** One-shot convenience ≅ reference `fq.execute(q, scope=...)`. */
   def execute(sql: String, scope: Map[String, DataFrame],
       spark: SparkSession): DataFrame =

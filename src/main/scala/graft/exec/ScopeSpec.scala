@@ -34,7 +34,8 @@ object ScopeSpec {
         val df =
           if (p.endsWith(".csv")) exec.tableFunctions.readCsv(full, Map.empty)
           else spark.read.parquet(full)
-        exec.update(e.getKey -> df)
+        // path-backed attach: picks up sidecar ANALYZE stats if present
+        exec.attachFromPath(e.getKey, df, full)
       }
     }
     for (setup <- Option(root.get("setup")); stmt <- setup.elements().asScala)

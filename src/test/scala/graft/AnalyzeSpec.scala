@@ -111,6 +111,32 @@ class AnalyzeSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted CTAS + ANALYZE: a fresh session broadcasts without re-ANALYZE") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xstats").toString
+    val e1 = freshExec()
+    e1.execute(s"""CREATE TABLE supp_dim
+      WITH (persist='parquet', path='$tmp/supp_dim') AS
+      select s_suppkey, n_name from supplier
+      join nation on s_nationkey = n_nationkey""")
+    e1.execute("ANALYZE supp_dim") // writes the _graft_stats.json sidecar
+
+    // FRESH session: re-attach from storage, no ANALYZE here
+    val e2 = new Executor(spark)
+    e2.execute(s"COPY lineitem FROM '$dir/lineitem.parquet' WITH format 'parquet'")
+    e2.execute(s"COPY supp_dim FROM '$tmp/supp_dim' WITH format 'parquet'")
+    assert(e2.query("select * from table_stats()").count() == 1,
+      "sidecar stats should ride back in on attach")
+    withThreshold("4096") {
+      val after = plan(e2,
+        """select n_name, count(*) as cnt
+          |from lineitem join supp_dim on l_suppkey = s_suppkey
+          |group by n_name""".stripMargin)
+      assert(after.contains("BroadcastHashJoin") &&
+        !after.contains("SortMergeJoin"),
+        s"expected broadcast from persisted stats without re-ANALYZE:\n$after")
+    }
+  }
+
   test("overwriting a table's backing path drops its stats") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_pathinv").toString
     val e = freshExec()
