@@ -16,7 +16,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    // served from the memoized scope: one footer read per (session, dir,
+    // table) for the whole process, not one per query. A dir that is not
+    // a full star schema (scope build fails) degrades to a direct read.
+    try scope(spark, dir).getOrElse(name, loadUncached(spark, dir, name))
+    catch { case _: Exception => loadUncached(spark, dir, name) }
+
+  private def loadUncached(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
     // The events.ts parquet physical type has changed across generator
     // versions — TIMESTAMP(NANOS) (readable only as a raw Long under
     // spark.sql.legacy.parquet.nanosAsLong) vs plain timestamp[us]. The
@@ -70,7 +78,7 @@ object Tables {
 
   def scope(spark: SparkSession, dir: String): Map[String, DataFrame] =
     scopeCache.computeIfAbsent((spark, dir),
-      _ => all.map(n => n -> load(spark, dir, n)).toMap)
+      _ => all.map(n => n -> loadUncached(spark, dir, n)).toMap)
 
   /** Register all tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, dir: String): Unit =
