@@ -538,7 +538,58 @@ object TextAnalysis {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** CCNet/FineWeb-style LM quality filter: score incoming documents by
+    * bigram cross-entropy under an add-α-smoothed language model trained
+    * on a reference corpus half (even doc_ids = "clean reference", odd =
+    * "incoming dump" — the same split the drift monitor uses).
+    *
+    * P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V); a document's score is
+    * the mean −ln P over its bigrams — the perplexity exponent, the
+    * quantity CCNet thresholds on (lower = more reference-like).
+    *
+    * Scale shape: the model "training" is two map-side-combined count
+    * shuffles (bigram + unigram census over the reference); scoring is
+    * two equi joins of the exploded incoming bigrams against those count
+    * tables (Catalyst broadcasts them when small; at 100 TB they shuffle
+    * — both sides keyed, no skew term beyond the token distribution) and
+    * a 1-row vocabulary broadcast. No driver-side model state at all —
+    * the LM lives in DataFrames, exactly how a 100 TB corpus would hold
+    * a trillion-row count model that no single node could. */
+  def perplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ref = toks.filter(col("doc_id") % 2 === 0)
+    val refBi = bigrams(ref).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val refUni = ref.select(explode(col("t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = refUni.agg(count(lit(1)).cast("double").as("v"))
+    bigrams(toks.filter(col("doc_id") % 2 =!= 0))
+      .join(refBi, Seq("w1", "w2"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        negate(log((coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha))
+          / (coalesce(col("c1"), lit(0L)).cast("double")
+            + lit(alpha) * col("v")))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // bigram-LM cross-entropy per incoming document (CCNet-style
+    // quality filter; reference model = even-doc_id half)
+    "ta_perplexity" -> ((s, dir) => {
+      perplexity(Tables.load(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
     // top-3 TF-IDF terms per document, fully hash-checked
     "ta_tfidf" -> ((s, dir) => {
       tfidfTopK(Tables.load(s, dir, "documents"), k = 3)
@@ -907,6 +958,33 @@ object TextAnalysis {
       | AND ok_duplines AND ok_duppara""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "ta_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i
+        |        FROM tok WHERE len(t) >= 2)),
+        |refbi AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bi
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |refuni AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT doc_id, unnest(t) AS w1 FROM tok)
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM refuni),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    -ln((CAST(coalesce(rb.c2, 0) AS DOUBLE) + 0.5)
+        |        / (CAST(coalesce(ru.c1, 0) AS DOUBLE) + 0.5 * v.v)) AS nll
+        |  FROM bi b
+        |  LEFT JOIN refbi rb ON b.w1 = rb.w1 AND b.w2 = rb.w2
+        |  LEFT JOIN refuni ru ON b.w1 = ru.w1
+        |  CROSS JOIN v
+        |  WHERE b.doc_id % 2 = 1)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ta_bpe_apply" -> bpeApplyOracleSql,
     "ta_classifier" ->
       """WITH t AS (

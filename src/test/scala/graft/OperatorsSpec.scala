@@ -837,4 +837,24 @@ class OperatorsSpec extends AnyFunSuite {
     bucketsWithMembers.foreach { case (_, ids) =>
       assert((ids -- removedRef).nonEmpty) }
   }
+
+  test("perplexity: add-α bigram LM cross-entropy, hand-computed") {
+    // reference (doc 0): tokens [a b a b] → unigrams a:2 b:2 (V=2),
+    // bigrams (a,b):2 (b,a):1; incoming (doc 1): bigrams (a,b) (b,c)
+    val d = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val row = graft.operators.TextAnalysis.perplexity(d).head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    val expected = BigDecimal(
+      (-math.log((2 + 0.5) / (2 + 0.5 * 2)) +
+       -math.log((0 + 0.5) / (2 + 0.5 * 2))) / 2
+    ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getDouble(2) - expected) < 1e-9,
+      s"got ${row.getDouble(2)}, expected $expected")
+    // a reference-like incoming doc scores lower than an OOV one
+    val d2 = Seq((0L, "a b a b a b"), (1L, "a b a b"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.perplexity(d2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(1L) < m(3L))
+  }
 }
