@@ -26,6 +26,7 @@ object SparkEntry {
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.KMeans.queries ++
+    graft.operators.Graph.queries ++
     graft.operators.Multimodal.queries ++
     graft.operators.AsofJoin.queries ++
     graft.operators.RangeJoin.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
     graft.operators.Dedup.oracleSql ++
     graft.operators.Similarity.oracleSql ++
     graft.operators.KMeans.oracleSql ++
+    graft.operators.Graph.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
     graft.operators.AsofJoin.oracleSql ++
     graft.operators.RangeJoin.oracleSql ++
