@@ -27,6 +27,7 @@ object SparkEntry {
     graft.operators.Similarity.queries ++
     graft.operators.KMeans.queries ++
     graft.operators.Graph.queries ++
+    graft.operators.Retrieval.queries ++
     graft.operators.Multimodal.queries ++
     graft.operators.AsofJoin.queries ++
     graft.operators.RangeJoin.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
     graft.operators.Similarity.oracleSql ++
     graft.operators.KMeans.oracleSql ++
     graft.operators.Graph.oracleSql ++
+    graft.operators.Retrieval.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
     graft.operators.AsofJoin.oracleSql ++
     graft.operators.RangeJoin.oracleSql ++

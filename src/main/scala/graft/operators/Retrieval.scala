@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.TextAnalysis.tokens
+
+/** Sparse lexical retrieval: BM25 scoring and reciprocal-rank fusion.
+  *
+  * The retrieval half of a training-data pipeline — mining a 100 TB
+  * corpus for documents relevant to a benchmark query set (targeted
+  * decontamination, eval-set curation, RAG index bootstrap) — is an
+  * inverted-index scan, and that index is exactly one keyed shuffle
+  * away from the corpus: `explode(tokens)` → groupBy (doc, term). The
+  * query set is small by construction, so every query-side join here
+  * rides a broadcast; nothing iterates on the driver.
+  *
+  * Determinism contract (same as [[TextAnalysis.tfidfTopK]]'s rational
+  * idf note): BM25's log-idf is only within-ulp reproducible across
+  * engines, so every rank boundary is taken over `round(score, 9)` —
+  * quantization far above accumulated ulp noise, far below real score
+  * gaps — with doc_id as the total-order tie-break. The reported score
+  * is rounded to 6 dp, the driver's float-compare precision.
+  */
+object Retrieval {
+
+  /** Fixed benchmark query set (qid, term) — three 3-term queries over
+    * the synthetic vocabulary, mixed common/rare df. */
+  val benchmarkTerms: Seq[(Long, String)] = Seq(
+    (1L, "spark"), (1L, "merge"), (1L, "join"),
+    (2L, "vector"), (2L, "scan"), (2L, "batch"),
+    (3L, "customer"), (3L, "stream"), (3L, "window"))
+
+  /** Postings list: one row per (doc_id, term) with term frequency and
+    * the document length it was drawn from. The single wide shuffle of
+    * the module — map-side combine collapses the token stream before it
+    * ships. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Okapi BM25 (Robertson & Zaragoza, FnTIR'09) scores for every
+    * (query, doc) pair sharing at least one term:
+    *
+    *   idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))      [the +1 form —
+    *            never negative, the Lucene default]
+    *   s(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *
+    * Plan shape: postings ⋈ broadcast(query terms) prunes the corpus to
+    * matching rows FIRST; df comes from a term-keyed aggregation of the
+    * (already doc-distinct) postings; N and avgdl are one broadcast
+    * scalar row. The scoring aggregation is keyed (qid, doc_id) —
+    * partial sums combine map-side, so the shuffle carries one row per
+    * scored pair, not one per matched term. */
+  def bm25(docs: DataFrame, queryTerms: DataFrame, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val post = postings(docs)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(tokens(col("text")))).as("avgdl"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    post.join(broadcast(queryTerms), "term")
+      .join(broadcast(dfreq.join(broadcast(queryTerms.select("term").distinct()),
+        "term")), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__tfn",
+        col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("__idf") * col("__tfn")).as("score"))
+  }
+
+  /** Rational query–doc TF-IDF relevance (Σ tf · (N-df+0.5)/(df+0.5)) —
+    * the same log-free idf as [[TextAnalysis.tfidfTopK]], bit-identical
+    * across engines; the second ranker RRF fuses against. */
+  def tfidfRelevance(docs: DataFrame, queryTerms: DataFrame): DataFrame = {
+    val post = postings(docs)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    post.join(broadcast(queryTerms), "term")
+      .join(broadcast(dfreq.join(broadcast(queryTerms.select("term").distinct()),
+        "term")), "term")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("tf") * (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        .as("score"))
+  }
+
+  private def rankWindow: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("qid"))
+      .orderBy(round(col("score"), 9).desc, col("doc_id"))
+
+  /** Per-query top-k by quantized score; `rk` is the dense 1..k rank. */
+  def topK(scores: DataFrame, k: Int): DataFrame =
+    scores.withColumn("rk", row_number().over(rankWindow))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("doc_id"), col("rk"),
+        round(col("score"), 6).as("score"))
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    * rrf(d) = Σ_r 1/(kr + rank_r(d)) over the input rankings. Ranks are
+    * computed over each FULL candidate list — both lexical rankers here
+    * share the exact same candidate support (docs containing ≥1 query
+    * term), so the join is inner and no missing-rank convention is
+    * needed. RRF values are sums of two small-denominator rationals —
+    * exactly reproducible; ties (symmetric rank swaps) break on doc_id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kr: Int = 60): DataFrame = {
+    val ra = a.withColumn("r_bm25", row_number().over(rankWindow))
+      .select(col("qid"), col("doc_id"), col("r_bm25"))
+    val rb = b.withColumn("r_tfidf", row_number().over(rankWindow))
+      .select(col("qid"), col("doc_id"), col("r_tfidf"))
+    val fusedW = Window.partitionBy(col("qid"))
+      .orderBy(round(col("rrf"), 9).desc, col("doc_id"))
+    ra.join(rb, Seq("qid", "doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(kr) + col("r_bm25")) + lit(1.0) / (lit(kr) + col("r_tfidf")))
+      .withColumn("rk", row_number().over(fusedW))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("doc_id"), col("r_bm25"), col("r_tfidf"),
+        col("rk"), round(col("rrf"), 6).as("rrf"))
+  }
+
+  private def queryTermsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    benchmarkTerms.toDF("qid", "term")
+  }
+
+  // --------------------------------------------------------- driver queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ret_bm25" -> ((s, dir) =>
+      topK(bm25(Tables.load(s, dir, "documents"), queryTermsDf(s)), k = 10)
+        .orderBy(col("qid"), col("rk"))),
+    "ret_rrf_fusion" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val qt = queryTermsDf(s)
+      rrfFuse(bm25(docs, qt), tfidfRelevance(docs, qt), k = 10)
+        .orderBy(col("qid"), col("rk"))
+    })
+  )
+
+  private val qtermsSql =
+    "qterms(qid, term) AS (VALUES " + benchmarkTerms
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ") + ")"
+
+  private val bm25CoreSql =
+    s"""$qtermsSql,
+       |toks AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(lower(trim(text)), '\\s+')) AS dl,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents),
+       |post AS (SELECT doc_id, term, dl, count(*) AS tf
+       |         FROM toks GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*) AS n_docs,
+       |    avg(len(string_split_regex(lower(trim(text)), '\\s+'))) AS avgdl
+       |  FROM documents),
+       |dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |bm AS (
+       |  SELECT q.qid, p.doc_id,
+       |    sum(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+       |      * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl)))
+       |      AS score
+       |  FROM post p
+       |  JOIN qterms q ON q.term = p.term
+       |  JOIN dfreq f ON f.term = p.term
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "ret_bm25" ->
+      s"""WITH $bm25CoreSql,
+         |ranked AS (
+         |  SELECT qid, doc_id, score, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS rk
+         |  FROM bm)
+         |SELECT qid, doc_id, rk, round(score, 6) AS score
+         |FROM ranked WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
+    "ret_rrf_fusion" ->
+      s"""WITH $bm25CoreSql,
+         |ti AS (
+         |  SELECT q.qid, p.doc_id,
+         |    sum(p.tf * (s.n_docs - f.df + 0.5) / (f.df + 0.5)) AS score
+         |  FROM post p
+         |  JOIN qterms q ON q.term = p.term
+         |  JOIN dfreq f ON f.term = p.term
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ra AS (SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS r_bm25
+         |  FROM bm),
+         |rb AS (SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS r_tfidf
+         |  FROM ti),
+         |fused AS (
+         |  SELECT ra.qid, ra.doc_id, ra.r_bm25, rb.r_tfidf,
+         |    1.0 / (60 + ra.r_bm25) + 1.0 / (60 + rb.r_tfidf) AS rrf
+         |  FROM ra JOIN rb ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id),
+         |final AS (
+         |  SELECT qid, doc_id, r_bm25, r_tfidf, rrf, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(rrf, 9) DESC, doc_id) AS rk
+         |  FROM fused)
+         |SELECT qid, doc_id, r_bm25, r_tfidf, rk, round(rrf, 6) AS rrf
+         |FROM final WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  )
+}
