@@ -312,6 +312,45 @@ object Dedup {
         col("m.jac").as("jac"))
   }
 
+  /** Exact-shingle contamination with a broadcast Bloom pre-filter.
+    *
+    * Policy: a corpus document is contaminated if it shares ANY exact
+    * word k-shingle with a blocklist document (the strictest form of
+    * benchmark n-gram decontamination — e.g. the 8-gram overlap rule of
+    * GPT-3 appendix C / PaLM's 8-gram decontamination). Semantics are
+    * exact; the Bloom filter is purely a communication optimization:
+    *
+    *   1. blocklist shingles → `DataFrameStatFunctions.bloomFilter`
+    *      (one aggregation job; a 1% fpp filter is ~1.2 bytes/item, so
+    *      even a 10⁹-shingle blocklist broadcasts as ~a GB instead of
+    *      shuffling 100 TB of corpus shingles against it),
+    *   2. corpus shingles stream through the broadcast filter map-side —
+    *      ≥99% of them drop WITHOUT entering the join shuffle,
+    *   3. the ~1% false-positive survivors are confirmed by an exact
+    *      left-semi join against the real blocklist shingle set.
+    *
+    * Step 3 makes the result independent of Bloom hash internals, which
+    * is what lets an external oracle (a plain semi join) verify the full
+    * output. The per-row probe is a Scala UDF — acceptable OFF the hot
+    * path because step 2 already sees only exploded shingle strings and
+    * the filter drops them before any shuffle or codegen boundary; a
+    * custom codegen Expression would save the boxing but not change the
+    * data movement, which is what matters at scale. */
+  def bloomShingleContamination(corpus: DataFrame, blocklist: DataFrame,
+      k: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val blShingles = blocklist
+      .select(explode(shingles(col("text"), k)).as("s")).distinct()
+    val bloom = blShingles.stat.bloomFilter("s",
+      math.max(blShingles.count(), 1000L), fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    corpus.select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .filter(mightContain(col("s")))
+      .join(blShingles, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist. Manku-style
     * pigeonhole banding (Manku/Jain/Sarma, WWW'07): the signature is
     * split into `maxDist + 1` chunks, so a pair at distance ≤ maxDist
@@ -806,6 +845,16 @@ object Dedup {
           col("train_doc").cast("long").as("train_doc"), col("jac"))
         .orderBy(col("eval_doc"))
     }),
+    // Bloom-prefiltered exact 8-gram decontamination: blocklist = src0,
+    // corpus = everything else. The Bloom stage is a pure pre-filter
+    // (exact semi-join confirm), so the oracle is the plain semi join.
+    "dd_bloom_contamination" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      bloomShingleContamination(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), k = 8)
+        .orderBy(col("doc_id"))
+    }),
     // MinHash LSH + verify, gated on engine-independent invariants: the
     // xxhash64 band scheme itself can't be reproduced in SQL, but
     // (a) every exact-duplicate shingle-set pair MUST be found (equal
@@ -1081,6 +1130,21 @@ object Dedup {
         |  FROM ver
         |  WHERE jac >= 0.5 AND doc_a LIKE 'e:%' AND doc_b LIKE 't:%')
         |WHERE rn = 1 ORDER BY eval_doc""".stripMargin),
+    // plain exact semi join — the Bloom stage must be invisible in the
+    // result; shingle construction mirrors Dedup.shingles (trailing
+    // clipped windows only when the doc has < k tokens)
+    "dd_bloom_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS s
+        |  FROM toks, unnest(range(1, greatest(len(t) - 8, 0) + 2)) AS r(i)),
+        |bl AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_hit_shingles
+        |FROM sh WHERE source <> 'src0' AND s IN (SELECT s FROM bl)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd_minhash_portable" -> (
       "WITH " + variantSrcSql + ",\n" + portableMinhashVerSql + "\n" +
       """SELECT count(*) AS n_pairs,

@@ -857,4 +857,19 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(m(1L) < m(3L))
   }
+
+  test("bloom shingle contamination: exact k-gram overlap, no bloom FPs") {
+    // 10-token docs; corpus doc 100 shares the blocklist doc's first 8
+    // tokens twice shifted → 3 overlapping 8-grams; doc 101 shares none
+    val block = Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // all 3 8-grams match
+      (101L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"), // none
+      (102L, "w2 w3 w4 w5 w6 w7 w8 w9 zz zz")   // 8-gram starting at w2
+    ).toDF("doc_id", "text")
+    val hits = Dedup.bloomShingleContamination(corpus, block, k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(100L -> 3L, 102L -> 1L)) // 101 absent: confirm join
+  }
 }
