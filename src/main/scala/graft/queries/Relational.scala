@@ -521,6 +521,52 @@ object Relational {
         .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchased_after"))))
     }),
 
+    // Rolling 7-day per-user window over events — the RANGE-frame
+    // (time-interval) window family, distinct from fq_window's ROWS
+    // frames: each event sees the count and value-sum of its user's
+    // trailing week. Frame bounds are exact integer epoch seconds
+    // (ts_nanos div 1e9) and the value sum is an exact DECIMAL
+    // aggregation, so frame membership and sums are bit-identical to
+    // the oracle regardless of peer order. Scale shape: ONE shuffle
+    // keyed user_id; the range frame is a per-partition sliding
+    // accumulator, not a per-row rescan.
+    "q_rolling_7d" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-604800L, 0L)
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts_nanos div 1000000000").as("sec"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("val_7d",
+          sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("n_7d"),
+          round(col("val_7d"), 6).as("val_7d"))
+        .orderBy(col("event_id"))
+    }),
+
+    // First-order Markov transitions of the per-user event-type
+    // sequence: global bigram counts and the row-normalized transition
+    // probability — the path-mining complement of q_funnel (which fixes
+    // one path; this surfaces all of them). Sequence order is the exact
+    // (ts_nanos, event_id) total order, so every bigram is
+    // deterministic; p is a single integer÷integer divide. Scale shape:
+    // lag() rides a user-keyed window (one shuffle), the bigram count
+    // is a 25-row grid, and the normalizing sum is a window over it.
+    "q_transitions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_nanos"), col("event_id"))
+      val wPrev = Window.partitionBy(col("prev"))
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts_nanos"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") / sum(col("n")).over(wPrev), 6))
+        .orderBy(col("prev"), col("curr"))
+    }),
+
     // Cohort retention over events: users grouped by first-seen epoch
     // day, distinct active users per (cohort, day-offset) for the first
     // week. Days are exact integer `ts_nanos div 86400e9` — no timezone
@@ -823,6 +869,31 @@ object Relational {
         |  count(DISTINCT e.user_id) AS n_active
         |FROM e JOIN f USING (user_id)
         |WHERE day - day0 <= 7
-        |GROUP BY day0, day - day0 ORDER BY day0, "offset"""".stripMargin
+        |GROUP BY day0, day - day0 ORDER BY day0, "offset"""".stripMargin,
+    "q_rolling_7d" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_7d,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+        |    AS val_7d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS curr,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events),
+        |big AS (
+        |  SELECT prev, curr, count(*) AS n FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY prev, curr)
+        |SELECT prev, curr, n,
+        |  round(n / sum(n) OVER (PARTITION BY prev), 6) AS p
+        |FROM big ORDER BY prev, curr""".stripMargin
   )
 }

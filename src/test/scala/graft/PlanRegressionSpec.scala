@@ -355,4 +355,38 @@ class PlanRegressionSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("graph / retrieval / rolling-window plans: keyed shuffles only") {
+    // gr_pagerank: every iteration is an equi join + hash agg — a
+    // cartesian anywhere means the rank×edge join key was lost
+    val pp = plan("gr_pagerank")
+    assertNoCartesian(pp, "gr_pagerank"); assertNoUdf(pp, "gr_pagerank")
+    // gr_triangles: wedge build + closure probe are equi joins; the
+    // closure must be a LeftSemi (probe, not materialize)
+    val pt = plan("gr_triangles")
+    assertNoCartesian(pt, "gr_triangles"); assertNoUdf(pt, "gr_triangles")
+    assert(pt.contains("LeftSemi"), "gr_triangles closure probe not a semi join")
+    // ret_bm25: postings joins ride broadcasts (query side is tiny by
+    // construction); the only BNLJ is the declared 1-row N/avgdl stats
+    val pb = plan("ret_bm25")
+    assert(!pb.contains("CartesianProduct"), "ret_bm25 has CartesianProduct")
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(pb).size
+    assert(bnlj <= 1, s"ret_bm25 has $bnlj BNLJs (expected the 1-row stats)")
+    assertNoUdf(pb, "ret_bm25")
+    // q_rolling_7d: join-free — one user-keyed window end to end
+    val pr = plan("q_rolling_7d")
+    assert(!pr.contains("Join"), "q_rolling_7d must be join-free")
+    assertNoUdf(pr, "q_rolling_7d")
+    // q_transitions: join-free — user-keyed lag window, then a tiny grid
+    val px = plan("q_transitions")
+    assert(!px.contains("Join"), "q_transitions must be join-free")
+    assertNoUdf(px, "q_transitions")
+    // dd_bloom_contamination: the bloom probe is a declared UDF filter
+    // (runs map-side pre-shuffle); the confirm join must stay LeftSemi
+    // equi and nothing may be cartesian
+    val pc = plan("dd_bloom_contamination")
+    assertNoCartesian(pc, "dd_bloom_contamination")
+    assert(pc.contains("LeftSemi"),
+      "dd_bloom_contamination confirm join not a semi join")
+  }
 }
