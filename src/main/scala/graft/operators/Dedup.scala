@@ -338,8 +338,13 @@ object Dedup {
     * data movement, which is what matters at scale. */
   def bloomShingleContamination(corpus: DataFrame, blocklist: DataFrame,
       k: Int = 8, fpp: Double = 0.01): DataFrame = {
+    // materialized once: the count, the bloom aggregation and the confirm
+    // join all read this table — without the checkpoint each of the three
+    // consumers would re-explode and re-distinct the blocklist shingles
+    // (at cluster scale: write to storage / reliable checkpoint instead)
     val blShingles = blocklist
       .select(explode(shingles(col("text"), k)).as("s")).distinct()
+      .localCheckpoint()
     val bloom = blShingles.stat.bloomFilter("s",
       math.max(blShingles.count(), 1000L), fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)

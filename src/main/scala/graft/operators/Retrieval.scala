@@ -35,12 +35,17 @@ object Retrieval {
   /** Postings list: one row per (doc_id, term) with term frequency and
     * the document length it was drawn from. The single wide shuffle of
     * the module — map-side combine collapses the token stream before it
-    * ships. */
+    * ships. `dl` is recovered as Σtf per doc AFTER the aggregation (the
+    * identical value — token count including duplicates): computing it
+    * inline as `size(tokens(text))` next to the explode tokenized every
+    * document twice and carried the length through the generator, a
+    * measured 2× on the corpus scan. */
   def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"),
-        explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"), col("dl"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
 
   /** Okapi BM25 (Robertson & Zaragoza, FnTIR'09) scores for every
     * (query, doc) pair sharing at least one term:
@@ -56,10 +61,19 @@ object Retrieval {
     * partial sums combine map-side, so the shuffle carries one row per
     * scored pair, not one per matched term. */
   def bm25(docs: DataFrame, queryTerms: DataFrame, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
-    val post = postings(docs)
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      avg(size(tokens(col("text")))).as("avgdl"))
+      b: Double = 0.75): DataFrame =
+    bm25FromPostings(postings(docs).localCheckpoint(), queryTerms, k1, b)
+
+  /** BM25 over a pre-built (materialized) postings table — the index-
+    * reuse path: df, N/avgdl and the match join all read the SAME
+    * postings instead of re-tokenizing the corpus per consumer (every
+    * doc contributes ≥ 1 posting row — even an empty text yields the
+    * one empty-string token — so N and avgdl derived here equal the
+    * corpus-side values exactly). */
+  def bm25FromPostings(post: DataFrame, queryTerms: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val stats = post.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     post.join(broadcast(queryTerms), "term")
       .join(broadcast(dfreq.join(broadcast(queryTerms.select("term").distinct()),
@@ -77,9 +91,14 @@ object Retrieval {
   /** Rational query–doc TF-IDF relevance (Σ tf · (N-df+0.5)/(df+0.5)) —
     * the same log-free idf as [[TextAnalysis.tfidfTopK]], bit-identical
     * across engines; the second ranker RRF fuses against. */
-  def tfidfRelevance(docs: DataFrame, queryTerms: DataFrame): DataFrame = {
-    val post = postings(docs)
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+  def tfidfRelevance(docs: DataFrame, queryTerms: DataFrame): DataFrame =
+    tfidfFromPostings(postings(docs).localCheckpoint(), queryTerms)
+
+  /** TF-IDF relevance over a pre-built postings table (see
+    * [[bm25FromPostings]] for why N can be derived from it). */
+  def tfidfFromPostings(post: DataFrame, queryTerms: DataFrame): DataFrame = {
+    val nDocs = post.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     post.join(broadcast(queryTerms), "term")
       .join(broadcast(dfreq.join(broadcast(queryTerms.select("term").distinct()),
@@ -135,9 +154,12 @@ object Retrieval {
       topK(bm25(Tables.load(s, dir, "documents"), queryTermsDf(s)), k = 10)
         .orderBy(col("qid"), col("rk"))),
     "ret_rrf_fusion" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      // ONE postings build shared by both rankers (the inverted index is
+      // built once and consulted twice — at cluster scale it would be
+      // written to storage instead of localCheckpoint)
+      val post = postings(Tables.load(s, dir, "documents")).localCheckpoint()
       val qt = queryTermsDf(s)
-      rrfFuse(bm25(docs, qt), tfidfRelevance(docs, qt), k = 10)
+      rrfFuse(bm25FromPostings(post, qt), tfidfFromPostings(post, qt), k = 10)
         .orderBy(col("qid"), col("rk"))
     })
   )

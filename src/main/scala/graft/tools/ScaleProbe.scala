@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, KMeans, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, KMeans, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 import graft.streaming.Streams
 
@@ -148,8 +148,48 @@ object ScaleProbe {
         Streams.sessionAgg(
           spark.readStream.schema(evSchema).parquet(evDirs(f))))))
 
+    // ---- round-9 additions: graph + retrieval families ----
+    // Click pairs replicated with DISJOINT id spaces per replica (user
+    // and item both offset): edge count grows exactly f×, components
+    // stay replica-local — the realistic "more of the same graph" shape.
+    val pairsBase = Graph.clickPairs(Tables.load(spark, sfDir, "events"))
+    def pairsRep(f: Int): DataFrame =
+      (0 until f).map { i =>
+        pairsBase.select(
+          (col("user_id") + i.toLong * 10000000L).as("user_id"),
+          (col("k") + i.toLong * 10000L).as("k"))
+      }.reduce(_ unionAll _)
+    val graphOps: Seq[(String, Int => DataFrame)] = Seq(
+      // 5 PageRank iterations; timed region includes the node-count job
+      // and the edge-list checkpoint — the honest lifecycle cost
+      "pagerank" -> (f => Graph.pagerank(pairsRep(f).select(
+        concat(lit("u:"), col("user_id")).as("src"),
+        concat(lit("i:"), col("k")).as("dst")))),
+      // co-click projection + wedge-join closure; expect ≈ 1 on the
+      // disjoint-replica graph (wedge count grows f×, not f²)
+      "triangles" -> (f =>
+        Graph.triangleCounts(Graph.coClickGraph(pairsRep(f), minShared = 4))),
+      // inverted-index build + broadcast query scoring; the "r$i" tag
+      // token adds one vocab term per replica, postings grow f×
+      "bm25_topk" -> (f => {
+        import spark.implicits._
+        Retrieval.topK(
+          Retrieval.bm25(corpus(f), Retrieval.benchmarkTerms.toDF("qid", "term")),
+          k = 10)
+      }),
+      // bloom build on the f×-grown blocklist + map-side probe + semi
+      // confirm; cross-replica shingle hits (the tag doesn't namespace
+      // interior 8-grams) keep the match side busy — semi-join cost is
+      // linear in both inputs regardless of match multiplicity
+      "bloom_contamination" -> (f => {
+        val c = corpus(f)
+        Dedup.bloomShingleContamination(
+          c.filter(col("source") =!= "src0"),
+          c.filter(col("source") === "src0"))
+      }))
+
     val opFilter = args.drop(1).toSet
-    val allOps = (ops ++ streamOps)
+    val allOps = (ops ++ streamOps ++ graphOps)
       .filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
     // JIT/codegen warm-up outside the measured region
