@@ -567,6 +567,63 @@ object Relational {
         .orderBy(col("prev"), col("curr"))
     }),
 
+    // Snapshot delta detection (the CDC primitive an incremental
+    // pipeline recompute needs: touch only what changed). Two corpus
+    // versions are derived deterministically from `documents` (every
+    // 7th doc deleted, every 5th edited, every 11th re-added under a
+    // new id), then classified by ONE full-outer join keyed doc_id with
+    // a null-safe text compare — one shuffle, no content hashing needed
+    // (comparing text directly is exact; at 100 TB you'd compare stored
+    // fingerprints instead, same join shape). id_sum is an int64-safe
+    // audit checksum of each class's membership.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val o = docs.select(col("doc_id"), col("text").as("t_old"))
+      val n = newSnap.select(col("doc_id"), col("text").as("t_new"))
+      o.join(n, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("t_old").isNull, lit("added"))
+            .when(col("t_new").isNull, lit("deleted"))
+            .when(col("t_old") === col("t_new"), lit("unchanged"))
+            .otherwise(lit("changed")).as("change"))
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("change"))
+    }),
+
+    // Distribution-outlier census per event_type: mean/σ from EXACT
+    // decimal sums (Σv, Σv² as DECIMAL — order-independent, so the
+    // double-precision mean/σ are bit-identical to the oracle's), then
+    // one broadcast join back to flag |v−mean| > 3σ. Two passes over
+    // events, both keyed aggregations; the stats table is 5 rows.
+    "q_anomaly" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          col("value").cast(DecimalType(18, 6)).as("vq"))
+      val stats = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("vq")).cast("double").as("sx"),
+          sum(col("vq") * col("vq")).cast("double").as("sxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("sigma",
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+      e.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("sigma"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          round(max(col("mean")), 6).as("mean"),
+          round(max(col("sigma")), 6).as("sigma"))
+        .orderBy(col("event_type"))
+    }),
+
     // Cohort retention over events: users grouped by first-seen epoch
     // day, distinct active users per (cohort, day-offset) for the first
     // week. Days are exact integer `ts_nanos div 86400e9` — no timezone
@@ -870,6 +927,43 @@ object Relational {
         |FROM e JOIN f USING (user_id)
         |WHERE day - day0 <= 7
         |GROUP BY day0, day - day0 ORDER BY day0, "offset"""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'deleted'
+        |         WHEN o.text = n.text THEN 'unchanged'
+        |         ELSE 'changed' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT change, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM j GROUP BY change ORDER BY change""".stripMargin,
+    "q_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, value, CAST(value AS DECIMAL(18,6)) AS vq
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(vq) AS DOUBLE) AS sx,
+        |    CAST(SUM(vq * vq) AS DOUBLE) AS sxx
+        |  FROM e GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, sx / n AS mean,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
+        |  FROM s)
+        |SELECT m.event_type, m.n,
+        |  CAST(sum(CASE WHEN abs(e.value - m.mean) > 3.0 * m.sigma
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(m.mean, 6) AS mean, round(m.sigma, 6) AS sigma
+        |FROM e JOIN m USING (event_type)
+        |GROUP BY m.event_type, m.n, m.mean, m.sigma
+        |ORDER BY m.event_type""".stripMargin,
     "q_rolling_7d" ->
       """WITH e AS (
         |  SELECT event_id, user_id, value,

@@ -87,6 +87,23 @@ object Streams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding (overlapping) windowed aggregation — `window(ts, size,
+    * slide)` assigns every event to size/slide windows (4 here), the
+    * monitoring shape tumbling windows can't express (a spike on a
+    * window boundary is halved by tumbling, seen whole by sliding).
+    * State is per-(window, type) like the tumbling case — slide only
+    * multiplies live windows by size/slide, it does not buffer events —
+    * and the watermark still retires windows as event time passes. */
+  def slidingCounts(events: DataFrame, size: String = "2 hours",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** In-stream exact dedup by key within the watermark horizon — the
     * streaming face of [[graft.operators.Dedup.exact]]. */
   def dedupedStream(events: DataFrame): DataFrame =
@@ -250,6 +267,12 @@ object Streams {
       runToCompletion(s, windowedCounts(readEvents(s, dir)))
         .orderBy(col("window_start"), col("event_type"))
     }),
+    // sliding 2h windows every 30min: each event counted in exactly 4
+    // overlapping windows; final state must equal the batch expansion
+    "st_sliding_counts" -> ((s, dir) => {
+      runToCompletion(s, slidingCounts(readEvents(s, dir)))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // stream-stream join run to completion (append mode: inner-join
     // matches emit as they arrive), then batch-aggregated per hour —
     // streaming == batch is the invariant the oracle checks
@@ -347,6 +370,22 @@ object Streams {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // batch expansion of the sliding assignment: an event at second t
+    // belongs to window starts (t//1800)*1800 - k*1800 for k=0..3 (size
+    // 7200 / slide 1800 → 4 windows, no boundary filter needed: the
+    // k-th start is at most 5400+rem < 7200 behind t)
+    "st_sliding_counts" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT (sec // 1800) * 1800 - k * 1800 AS ws, event_type, value
+        |  FROM e, unnest(range(0, 4)) AS r(k))
+        |SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     // batch sessionization: boundary flag via lag, session id via running
     // sum, grouped. Gap math on µs-truncated timestamps (Spark's ts is
     // µs); a new session starts at diff > gap (session_window's boundary

@@ -27,6 +27,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sliding windows equal batch and cover each event 4x") {
+    val streamed = Streams.runToCompletion(spark,
+      Streams.slidingCounts(Streams.readEvents(spark, dir)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+
+    // size/slide = 4: every event is counted in exactly 4 windows
+    val totalWindowed = streamed.toSeq.map(_._3).sum
+    val nEvents = Tables.load(spark, dir, "events").count()
+    assert(totalWindowed == 4 * nEvents)
+  }
+
   test("streaming dedup of a doubled stream equals batch over distinct events") {
     val doubled = Streams.readEvents(spark, dir)
       .unionAll(Streams.readEvents(spark, dir))
