@@ -28,6 +28,7 @@ object SparkEntry {
     graft.operators.KMeans.queries ++
     graft.operators.Graph.queries ++
     graft.operators.Retrieval.queries ++
+    graft.operators.Pca.queries ++
     graft.operators.Multimodal.queries ++
     graft.operators.AsofJoin.queries ++
     graft.operators.RangeJoin.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
     graft.operators.KMeans.oracleSql ++
     graft.operators.Graph.oracleSql ++
     graft.operators.Retrieval.oracleSql ++
+    graft.operators.Pca.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
     graft.operators.AsofJoin.oracleSql ++
     graft.operators.RangeJoin.oracleSql ++

@@ -567,6 +567,40 @@ object Relational {
         .orderBy(col("prev"), col("curr"))
     }),
 
+    // Pairwise Pearson correlation matrix over the lineitem measures —
+    // the feature-selection / data-profiling staple. ONE aggregation
+    // pass computes every moment (n, Σx, Σx², Σxy for all 6 pairs) as
+    // EXACT decimal sums — order-independent, so the double-precision
+    // correlations are bit-identical to the oracle's — then the 6 pair
+    // rows unfold from the single moment row with explode (driver-free).
+    // At 100 TB this is the textbook single-pass moment sketch: the
+    // shuffle carries one 15-number row per partition, nothing else.
+    "q_corr_matrix" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val e = Tables.load(s, dir, "lineitem").select(
+        cols.map(c => col(c).cast(DecimalType(18, 6)).as(c)): _*)
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val moments = e.agg(
+        count(lit(1)).as("n"),
+        (cols.map(c => sum(col(c)).cast("double").as(s"sx_$c")) ++
+         cols.map(c => sum(col(c) * col(c)).cast("double").as(s"sxx_$c")) ++
+         pairs.map { case (a, b) =>
+           sum(col(a) * col(b)).cast("double").as(s"sxy_${a}_$b") }): _*)
+      val pairStructs = pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          ((col("n") * col(s"sxy_${a}_$b") - col(s"sx_$a") * col(s"sx_$b")) /
+            sqrt((col("n") * col(s"sxx_$a") - col(s"sx_$a") * col(s"sx_$a")) *
+              (col("n") * col(s"sxx_$b") - col(s"sx_$b") * col(s"sx_$b"))))
+            .as("r"))
+      }
+      moments.select(explode(array(pairStructs: _*)).as("p"))
+        .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+          round(col("p.r"), 6).as("r"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // Snapshot delta detection (the CDC primitive an incremental
     // pipeline recompute needs: touch only what changed). Two corpus
     // versions are derived deterministically from `documents` (every
@@ -927,6 +961,33 @@ object Relational {
         |FROM e JOIN f USING (user_id)
         |WHERE day - day0 <= 7
         |GROUP BY day0, day - day0 ORDER BY day0, "offset"""".stripMargin,
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val momentSelects =
+        cols.map(c => s"CAST(SUM($c) AS DOUBLE) AS sx_$c") ++
+        cols.map(c => s"CAST(SUM($c * $c) AS DOUBLE) AS sxx_$c") ++
+        pairs.map { case (a, b) =>
+          s"CAST(SUM($a * $b) AS DOUBLE) AS sxy_${a}_$b" }
+      val pairRows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  round((n * sxy_${a}_$b - sx_$a * sx_$b)
+           |    / sqrt((n * sxx_$a - sx_$a * sx_$a)
+           |         * (n * sxx_$b - sx_$b * sx_$b)), 6) AS r FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      // DECIMAL(19,6), not (18,6): DuckDB multiplies 18-digit decimals
+      // in their int64 physical type and overflows on the squares; 19
+      // digits forces the int128 path. The VALUES are identical 6-dp
+      // quantizations either way, so Spark's (18,6) side still matches.
+      s"""WITH e AS (SELECT
+         |  ${cols.map(c => s"CAST($c AS DECIMAL(19,6)) AS $c").mkString(", ")}
+         |  FROM lineitem),
+         |m AS (SELECT count(*) AS n, ${momentSelects.mkString(", ")} FROM e)
+         |$pairRows
+         |ORDER BY col_a, col_b""".stripMargin
+    },
     "q_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents),
         |n AS (
