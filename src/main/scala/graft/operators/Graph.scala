@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints
 import graft.sources.Tables
 
 /** Distributed graph analytics over the behavioral (events) graph.
@@ -43,7 +44,8 @@ object Graph {
     *   rₜ₊₁(v) = (1-d)/N + d · Σ_{(u,v)∈E} rₜ(u)/deg(u)
     *
     * Scale shape: the edge list with out-degrees attached is built once
-    * and `localCheckpoint`ed (reliable `checkpoint` on a real cluster) —
+    * and materialized via [[graft.Checkpoints]] (reliable `checkpoint`
+    * when `graft.checkpoint.dir` is set, local otherwise) —
     * each of the `iters` rounds is then ONE shuffle join ranks⋈edges on
     * `src` plus ONE keyed aggregation on `dst`, both hash-partitioned by
     * node id. Rank state is O(nodes), never collected; the only driver
@@ -56,13 +58,20 @@ object Graph {
     * at a precision far above the accumulated ulp noise. */
   def pagerank(edges: DataFrame, iters: Int = 5,
       damping: Double = 0.85): DataFrame = {
+    // Edge hygiene: duplicate or pre-symmetrized input edges would
+    // double-count degrees after the union below, and a self-loop feeds
+    // a node its own rank — both silently skew ranks, so normalize here
+    // (a no-op extra shuffle for already-clean inputs, paid once and
+    // absorbed into the checkpoint).
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
     // one scalar to the driver: the node count for the teleport term
     val n = deg.count()
     // (src, dst, d) reused every iteration — materialize once
-    val out = sym.join(deg, "src").localCheckpoint()
+    val out = Checkpoints.materialize(sym.join(deg, "src"))
     var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {
       ranks = out.join(ranks, out("src") === ranks("node"))
@@ -77,44 +86,90 @@ object Graph {
   /** Item–item co-click projection: an undirected edge (u < v) between
     * items clicked by at least `minShared` common users. The self-join
     * is keyed on user_id (one shuffle); the `u < v` canonical order
-    * halves the pair stream before the aggregation. */
-  def coClickGraph(pairs: DataFrame, minShared: Long): DataFrame = {
-    val a = pairs.select(col("user_id"), col("k").as("u"))
-    val b = pairs.select(col("user_id"), col("k").as("v"))
+    * halves the pair stream before the aggregation.
+    *
+    * A user with d distinct items still emits O(d²) wedge rows before
+    * the aggregation — at crawl scale a single bot/hub user can
+    * dominate the stage. `maxItemsPerUser` caps that: keep at most N
+    * items per user, chosen by a deterministic md5 order (stable across
+    * runs and partitionings, no favored-item bias). The cap is a
+    * window on the same user_id key the join shuffles on, so the
+    * exchange is reused; the default (no cap) preserves the exact
+    * projection the oracle checks. */
+  def coClickGraph(pairs: DataFrame, minShared: Long,
+      maxItemsPerUser: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped =
+      if (maxItemsPerUser == Int.MaxValue) pairs.select(col("user_id"), col("k"))
+      else pairs
+        .withColumn("__rn", row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(md5(concat_ws(":", col("user_id"), col("k"))), col("k"))))
+        .filter(col("__rn") <= maxItemsPerUser)
+        .select(col("user_id"), col("k"))
+    val a = capped.select(col("user_id"), col("k").as("u"))
+    val b = capped.select(col("user_id"), col("k").as("v"))
     a.join(b, Seq("user_id")).filter(col("u") < col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
 
+  /** Degree-oriented edges: each undirected edge {u,v} as one directed
+    * row lo→hi where hi is the higher-(degree, id) endpoint. Out-degree
+    * under this orientation is bounded by O(√m) (more precisely by the
+    * graph's degeneracy), so the wedge join below fans out per-node by
+    * that bound instead of by raw degree — the hub-skew killer. Struct
+    * comparison gives the lexicographic (degree, id) total order
+    * in-plan, no UDF. */
+  def orientedEdges(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("u"), col("v"))
+    val deg = e0.select(col("u").as("n")).union(e0.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val j = e0
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    j.select(
+      when(fwd, col("u")).otherwise(col("v")).as("lo"),
+      when(fwd, col("v")).otherwise(col("u")).as("hi"),
+      when(fwd, struct(col("dv").as("d"), col("v").as("n")))
+        .otherwise(struct(col("du").as("d"), col("u").as("n"))).as("hi_ord"))
+  }
+
   /** Per-node triangle counts on an undirected edge list (u < v rows).
     *
-    * Algorithm: wedge join — for each wedge (u,v),(u,w) with v < w,
-    * probe the edge set for (v,w); each triangle {u,v,w} with
-    * u < v < w is found exactly once, then exploded to its 3 corners
-    * for the per-node counts. This is the node-iterator MapReduce shape
-    * (Suri & Vassilvitskii, WWW'11): two keyed shuffles (wedge build on
-    * u, closure probe on (v,w)), never an all-pairs product. At 100 TB
-    * the refinement is degree orientation (orient each edge toward the
-    * higher-(degree,id) endpoint) so wedge fan-out is bounded by
-    * arboricity rather than max degree — the triangle SET is identical,
-    * so the oracle below stays valid; the harness item graph is 100
-    * nodes and does not need it.
+    * Algorithm: degree-oriented wedge join (the node-iterator shape of
+    * Suri & Vassilvitskii, WWW'11, with the compact-forward orientation
+    * refinement). Each edge is directed toward its higher-(degree, id)
+    * endpoint; wedges are built only from a node's OUT-neighbors, so a
+    * triangle {a,b,c} is found exactly once — at its lowest-ordered
+    * corner — and per-node wedge fan-out is bounded by the orientation's
+    * out-degree (≤ O(√m)) instead of raw degree. A planted hub of
+    * degree d that would emit C(d,2) wedges unoriented emits ZERO as a
+    * wedge center (all its edges point at it); its triangles are found
+    * from its lower-degree neighbors. Two keyed shuffles total: wedge
+    * build on `lo`, closure probe on (b,c); never an all-pairs product.
+    * The triangle SET is identical to the unoriented formulation, so
+    * the DuckDB oracle below stays valid unchanged.
     *
     * Nodes appearing in the edge list but in no triangle are kept with
     * tri = 0 (left join against the node set) — a dropped zero row is
     * the kind of silent contraction a correctness gate should see. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v")).localCheckpoint()
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.u") === col("e2.u"))
-      .filter(col("e1.v") < col("e2.v"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
-    val tris = wedges.join(e,
-      col("b") === col("u") && col("c") === col("v"), "left_semi")
+    val o = Checkpoints.materialize(orientedEdges(edges))
+    // wedge (a; b, c): two out-edges of a, canonicalized by the
+    // orientation order so each unordered {b,c} appears once
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.lo") === col("e2.lo"))
+      .filter(col("e1.hi_ord") < col("e2.hi_ord"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+    // closure: ord(b) < ord(c), so the oriented edge between them — if
+    // the triangle exists — is exactly the row (lo=b, hi=c)
+    val tris = wedges.join(o,
+      col("b") === col("lo") && col("c") === col("hi"), "left_semi")
     val corners = tris.select(explode(array(col("a"), col("b"), col("c")))
       .as("node"))
-    val nodes = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node"))).distinct()
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
     nodes.join(corners.groupBy("node").agg(count(lit(1)).as("__t")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__t"), lit(0L)).as("tri"))
