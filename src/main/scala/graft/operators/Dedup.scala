@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
+import graft.Checkpoints
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines.
@@ -342,9 +343,8 @@ object Dedup {
     // join all read this table — without the checkpoint each of the three
     // consumers would re-explode and re-distinct the blocklist shingles
     // (at cluster scale: write to storage / reliable checkpoint instead)
-    val blShingles = blocklist
-      .select(explode(shingles(col("text"), k)).as("s")).distinct()
-      .localCheckpoint()
+    val blShingles = Checkpoints.materialize(blocklist
+      .select(explode(shingles(col("text"), k)).as("s")).distinct())
     val bloom = blShingles.stat.bloomFilter("s",
       math.max(blShingles.count(), 1000L), fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
@@ -633,7 +633,7 @@ object Dedup {
     * of O(diameter): labels race down chains exponentially, the same
     * idea as large-star/small-star contraction (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond"). Both steps are
-    * FUSED into one composed plan per round — a single `localCheckpoint`
+    * FUSED into one composed plan per round — a single checkpoint
     * action that also truncates the lineage (at cluster scale:
     * `checkpoint` to a reliable store instead) — because on a big
     * cluster the loop's cost floor is driver round-trips per iteration,
@@ -678,9 +678,8 @@ object Dedup {
       }
     }.reduce(_ + _)
     val estObs = new org.apache.spark.sql.Observation
-    var labels = labels0
-      .observe(estObs, count(lit(1)).as("n"), sum(widthOf).as("bytes"))
-      .localCheckpoint()
+    var labels = Checkpoints.materialize(labels0
+      .observe(estObs, count(lit(1)).as("n"), sum(widthOf).as("bytes")))
     val est = estObs.get // blocks until the checkpoint job reported
     val lblBroadcastable = est("n").asInstanceOf[Long] > 0 &&
       est("bytes") != null &&
@@ -704,7 +703,7 @@ object Dedup {
       // component, and the fixpoint test subsumes the propagate-only
       // fixpoint (= correct CC labels).
       val chgObs = new org.apache.spark.sql.Observation
-      val next = edges
+      val next0 = edges
         .join(hinted(labels.withColumnRenamed("doc_id", "v")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("root")).as("nroot"))
@@ -718,7 +717,7 @@ object Dedup {
             .as("root"), col("__old"))
         .observe(chgObs, sum(when(col("root") =!= col("__old"), 1L)
           .otherwise(0L)).as("changed"))
-        .localCheckpoint()
+      val next = Checkpoints.materialize(next0)
       converged = chgObs.get("changed") == null ||
         chgObs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select(col("doc_id"), col("root"))

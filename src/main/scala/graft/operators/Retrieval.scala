@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints
 import graft.sources.Tables
 import graft.operators.TextAnalysis.tokens
 
@@ -55,14 +56,17 @@ object Retrieval {
     *   s(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
     *
     * Plan shape: postings ⋈ broadcast(query terms) prunes the corpus to
-    * matching rows FIRST; df comes from a term-keyed aggregation of the
-    * (already doc-distinct) postings; N and avgdl are one broadcast
-    * scalar row. The scoring aggregation is keyed (qid, doc_id) —
-    * partial sums combine map-side, so the shuffle carries one row per
-    * scored pair, not one per matched term. */
+    * matching rows FIRST — including for the df computation, which
+    * aggregates only the pruned rows (df per term is identical either
+    * way since postings are doc-distinct per term, but aggregating the
+    * full vocabulary for a ~|q|-row answer is a full term-keyed shuffle
+    * at corpus scale); N and avgdl are one broadcast scalar row. The
+    * scoring aggregation is keyed (qid, doc_id) — partial sums combine
+    * map-side, so the shuffle carries one row per scored pair, not one
+    * per matched term. */
   def bm25(docs: DataFrame, queryTerms: DataFrame, k1: Double = 1.2,
       b: Double = 0.75): DataFrame =
-    bm25FromPostings(postings(docs).localCheckpoint(), queryTerms, k1, b)
+    bm25FromPostings(Checkpoints.materialize(postings(docs)), queryTerms, k1, b)
 
   /** BM25 over a pre-built (materialized) postings table — the index-
     * reuse path: df, N/avgdl and the match join all read the SAME
@@ -74,10 +78,16 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = post.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    post.join(broadcast(queryTerms), "term")
-      .join(broadcast(dfreq.join(broadcast(queryTerms.select("term").distinct()),
-        "term")), "term")
+    // Prune to query terms BEFORE the df aggregation: the broadcast
+    // semi-join drops non-matching postings map-side, so the term-keyed
+    // shuffle feeding df carries only matching rows — not the whole
+    // vocabulary for a ~|q|-row answer. df values are unchanged
+    // (postings are doc-distinct per term).
+    val matched = post.join(
+      broadcast(queryTerms.select("term").distinct()), Seq("term"), "left_semi")
+    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    matched.join(broadcast(queryTerms), "term")
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
@@ -92,17 +102,19 @@ object Retrieval {
     * the same log-free idf as [[TextAnalysis.tfidfTopK]], bit-identical
     * across engines; the second ranker RRF fuses against. */
   def tfidfRelevance(docs: DataFrame, queryTerms: DataFrame): DataFrame =
-    tfidfFromPostings(postings(docs).localCheckpoint(), queryTerms)
+    tfidfFromPostings(Checkpoints.materialize(postings(docs)), queryTerms)
 
   /** TF-IDF relevance over a pre-built postings table (see
-    * [[bm25FromPostings]] for why N can be derived from it). */
+    * [[bm25FromPostings]] for why N can be derived from it and why df
+    * aggregates only the term-pruned postings). */
   def tfidfFromPostings(post: DataFrame, queryTerms: DataFrame): DataFrame = {
     val nDocs = post.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))
-    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    post.join(broadcast(queryTerms), "term")
-      .join(broadcast(dfreq.join(broadcast(queryTerms.select("term").distinct()),
-        "term")), "term")
+    val matched = post.join(
+      broadcast(queryTerms.select("term").distinct()), Seq("term"), "left_semi")
+    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    matched.join(broadcast(queryTerms), "term")
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(nDocs))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("tf") * (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
@@ -126,20 +138,25 @@ object Retrieval {
     * share the exact same candidate support (docs containing ≥1 query
     * term), so the join is inner and no missing-rank convention is
     * needed. RRF values are sums of two small-denominator rationals —
-    * exactly reproducible; ties (symmetric rank swaps) break on doc_id. */
-  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kr: Int = 60): DataFrame = {
-    val ra = a.withColumn("r_bm25", row_number().over(rankWindow))
-      .select(col("qid"), col("doc_id"), col("r_bm25"))
-    val rb = b.withColumn("r_tfidf", row_number().over(rankWindow))
-      .select(col("qid"), col("doc_id"), col("r_tfidf"))
+    * exactly reproducible; ties (symmetric rank swaps) break on doc_id.
+    *
+    * The fusion is ranker-agnostic — `aRank`/`bRank` name the output
+    * rank columns for whatever pair of score tables is fused (the
+    * benchmark call site passes r_bm25/r_tfidf). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kr: Int = 60,
+      aRank: String = "r_a", bRank: String = "r_b"): DataFrame = {
+    val ra = a.withColumn(aRank, row_number().over(rankWindow))
+      .select(col("qid"), col("doc_id"), col(aRank))
+    val rb = b.withColumn(bRank, row_number().over(rankWindow))
+      .select(col("qid"), col("doc_id"), col(bRank))
     val fusedW = Window.partitionBy(col("qid"))
       .orderBy(round(col("rrf"), 9).desc, col("doc_id"))
     ra.join(rb, Seq("qid", "doc_id"))
       .withColumn("rrf",
-        lit(1.0) / (lit(kr) + col("r_bm25")) + lit(1.0) / (lit(kr) + col("r_tfidf")))
+        lit(1.0) / (lit(kr) + col(aRank)) + lit(1.0) / (lit(kr) + col(bRank)))
       .withColumn("rk", row_number().over(fusedW))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("doc_id"), col("r_bm25"), col("r_tfidf"),
+      .select(col("qid"), col("doc_id"), col(aRank), col(bRank),
         col("rk"), round(col("rrf"), 6).as("rrf"))
   }
 
@@ -155,11 +172,13 @@ object Retrieval {
         .orderBy(col("qid"), col("rk"))),
     "ret_rrf_fusion" -> ((s, dir) => {
       // ONE postings build shared by both rankers (the inverted index is
-      // built once and consulted twice — at cluster scale it would be
-      // written to storage instead of localCheckpoint)
-      val post = postings(Tables.load(s, dir, "documents")).localCheckpoint()
+      // built once and consulted twice — set graft.checkpoint.dir to
+      // land it on fault-tolerant storage at cluster scale)
+      val post = Checkpoints.materialize(
+        postings(Tables.load(s, dir, "documents")))
       val qt = queryTermsDf(s)
-      rrfFuse(bm25FromPostings(post, qt), tfidfFromPostings(post, qt), k = 10)
+      rrfFuse(bm25FromPostings(post, qt), tfidfFromPostings(post, qt),
+          k = 10, aRank = "r_bm25", bRank = "r_tfidf")
         .orderBy(col("qid"), col("rk"))
     })
   )

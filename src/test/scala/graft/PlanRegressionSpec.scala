@@ -373,6 +373,12 @@ class PlanRegressionSpec extends AnyFunSuite {
     val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(pb).size
     assert(bnlj <= 1, s"ret_bm25 has $bnlj BNLJs (expected the 1-row stats)")
     assertNoUdf(pb, "ret_bm25")
+    // df (document frequency) must aggregate the term-PRUNED postings:
+    // the broadcast semi-join to the query terms sits below the df
+    // HashAggregate, so the full vocabulary never shuffles for a
+    // |q|-row answer. The prune is the plan's only LeftSemi.
+    assert(pb.contains("LeftSemi"),
+      "ret_bm25 df aggregation input is not term-pruned (no LeftSemi)")
     // q_rolling_7d: join-free — one user-keyed window end to end
     val pr = plan("q_rolling_7d")
     assert(!pr.contains("Join"), "q_rolling_7d must be join-free")
