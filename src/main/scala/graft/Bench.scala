@@ -14,8 +14,10 @@ import org.apache.spark.sql.SparkSession
   * returns. A single JSON line carrying all ~90 per-query timings is
   * ~2.4 KB and gets its head clipped out of the capture window (this is
   * exactly what produced `parsed: null` in BENCH_r01/r02). So the line
-  * printed here is kept under ~1750 chars: `value` is always the total
-  * over ALL queries, and `queries` carries as many per-query entries as
+  * printed here is kept under ~1750 chars: `value` is the total over
+  * every SUCCEEDING query (failures are excluded and surfaced via
+  * `n_failed`/`failed` — an erroring query must not be recorded as a
+  * fast success), and `queries` carries as many per-query entries as
   * fit (prioritized by family). The complete per-query map is written to
   * BENCH_full.json in the working directory for offline reading.
   *
@@ -24,6 +26,57 @@ import org.apache.spark.sql.SparkSession
   * single-shot timings on this VM swing 2-4x with outside load.
   */
 object Bench {
+
+  /** One query's bench outcome. `err` set ⇒ at least one run threw: the
+    * timings then measure a failure path, so the query is excluded from
+    * every total and counted in `n_failed` instead of being recorded as
+    * a (typically suspiciously fast) success — r8's totals lied exactly
+    * this way. */
+  final case class QueryTiming(name: String, p50: Double,
+      times: Vector[Double], suspect: Boolean, err: Option[String])
+
+  /** Time `run` `runs`× (median reported; up to `extraRuns` reruns when
+    * the spread is >2x), catching per-run failures into `err`. */
+  def timeQuery(name: String, run: () => Unit, runs: Int, extraRuns: Int,
+      afterRun: () => Unit = () => ()): QueryTiming = {
+    var err: Option[String] = None
+    def timeOne(): Double = {
+      val t0 = System.nanoTime()
+      try run()
+      catch {
+        case e: Throwable =>
+          if (err.isEmpty)
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      afterRun()
+      dt
+    }
+    var times = Vector.fill(runs)(timeOne())
+    def spread = times.max / math.max(times.min, 1e-9)
+    var added = 0
+    while (runs > 1 && added < extraRuns && spread > 2.0 && err.isEmpty) {
+      times :+= timeOne()
+      added += 1
+    }
+    val suspect = runs > 1 && spread > 2.0
+    // true median: average the two middles on even run counts (the
+    // lower-middle alone would bias every reported time low)
+    val sortedT = times.sorted
+    val p50 =
+      if (sortedT.size % 2 == 1) sortedT(sortedT.size / 2)
+      else (sortedT(sortedT.size / 2 - 1) + sortedT(sortedT.size / 2)) / 2
+    QueryTiming(name, p50, times, suspect, err)
+  }
+
+  /** (p50 total, min-of-runs total) over the queries that succeeded —
+    * a failed query contributes nothing rather than a fast lie. */
+  def totals(results: Seq[QueryTiming]): (Double, Double) = {
+    val ok = results.filter(_.err.isEmpty)
+    (ok.map(_.p50).sum, ok.map(_.times.min).sum)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -62,42 +115,22 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val extraRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timeOne(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
+      val qt = timeQuery(name,
+        () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(),
+        runs, extraRuns,
         // operators persist() shared subplans; drop them between runs so
         // cached partitions don't accumulate (or mask re-execution cost)
-        spark.catalog.clearCache()
-        dt
-      }
-      var times = Vector.fill(runs)(timeOne())
-      def spread = times.max / math.max(times.min, 1e-9)
-      var added = 0
-      while (runs > 1 && added < extraRuns && spread > 2.0) {
-        times :+= timeOne()
-        added += 1
-      }
-      val suspect = runs > 1 && spread > 2.0
-      // true median: average the two middles on even run counts (the
-      // lower-middle alone would bias every reported time low)
-      val sortedT = times.sorted
-      val p50 =
-        if (sortedT.size % 2 == 1) sortedT(sortedT.size / 2)
-        else (sortedT(sortedT.size / 2 - 1) + sortedT(sortedT.size / 2)) / 2
-      val flag = if (suspect) "  LOAD-SUSPECT" else ""
-      System.err.println(f"[bench] $name%-28s $p50%7.2f s  (${times.map(t => f"$t%.2f").mkString("/")})$flag")
-      (name, p50, times, suspect)
+        afterRun = () => spark.catalog.clearCache())
+      val flag = (if (qt.suspect) "  LOAD-SUSPECT" else "") +
+        (if (qt.err.isDefined) "  FAILED" else "")
+      System.err.println(f"[bench] $name%-28s ${qt.p50}%7.2f s  (${qt.times.map(t => f"$t%.2f").mkString("/")})$flag")
+      qt
     }
     val loadAfter = loadavg()
 
-    val total = results.map(_._2).sum
-    val minTotal = results.map(_._3.min).sum
-    val suspects = results.filter(_._4).map(_._1)
+    val (total, minTotal) = totals(results)
+    val failed = results.filter(_.err.isDefined)
+    val suspects = results.filter(r => r.suspect && r.err.isEmpty).map(_.name)
     val sfLabel = {
       val base = new java.io.File(sfDir).getName // e.g. "sf0.1"
       val suffix = base.drop(2)
@@ -113,17 +146,25 @@ object Bench {
     // (the trustworthy number under ambient load), `runs` every raw
     // timing, `suspect` the queries whose spread stayed >2x after
     // reruns, and `loadavg` the host load around the run.
-    val fullQs = results.map { case (k, v, _, _) => "\"" + k + f"""\":$v%.3f""" }
+    val ok = results.filter(_.err.isEmpty)
+    val fullQs = ok.map(r => "\"" + r.name + f"""\":${r.p50}%.3f""")
       .mkString("{", ",", "}")
-    val fullMins = results.map { case (k, _, ts, _) =>
-      "\"" + k + f"""\":${ts.min}%.3f"""
-    }.mkString("{", ",", "}")
-    val fullRuns = results.map { case (k, _, ts, _) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
-    }.mkString("{", ",", "}")
+    val fullMins = ok.map(r => "\"" + r.name + f"""\":${r.times.min}%.3f""")
+      .mkString("{", ",", "}")
+    val fullRuns = ok.map(r =>
+      "\"" + r.name + "\":[" + r.times.map(t => f"$t%.3f").mkString(",") + "]")
+      .mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errJson = failed.map(r =>
+      jstr(r.name) + ":" + jstr(r.err.get.take(200))).mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50","n_runs":$runs,"min_total":$minTotal%.3f,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"sf":$sfLabel}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"sf":$sfLabel}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -151,13 +192,16 @@ object Bench {
     val suspectCompact =
       (if (suspects.length > 8) suspects.take(8) :+ "+more" else suspects)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedCompact =
+      (if (failed.length > 8) failed.take(8).map(_.name) :+ "+more"
+       else failed.map(_.name)).map("\"" + _ + "\"").mkString("[", ",", "]")
     val footer =
-      f"""},"min_total":$minTotal%.3f,"n_suspect":${suspects.length},"suspect":$suspectCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
+      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
     val budget = 1750 - header.length - footer.length
-    val ordered = results.sortBy { case (n, _, _, _) => (priority(n), n) }
+    val ordered = ok.sortBy(r => (priority(r.name), r.name))
     val sb = new StringBuilder
     var used = 0
-    ordered.foreach { case (k, v, _, _) =>
+    ordered.foreach { case QueryTiming(k, v, _, _, _) =>
       val entry = "\"" + k + f"""\":$v%.2f"""
       val cost = entry.length + (if (used == 0) 0 else 1)
       if (used + cost <= budget) {
