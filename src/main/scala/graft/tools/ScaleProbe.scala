@@ -153,11 +153,20 @@ object ScaleProbe {
     // and item both offset): edge count grows exactly f×, components
     // stay replica-local — the realistic "more of the same graph" shape.
     val pairsBase = Graph.clickPairs(Tables.load(spark, sfDir, "events"))
+      .localCheckpoint()
+    // Replica offsets derived from the data, not assumed: fixed 10^7/10^4
+    // constants would silently overlap replica id spaces if base ids ever
+    // exceed them, shrinking the edge-count growth below f and skewing
+    // every measured graph exponent.
+    val (userOff, itemOff) = {
+      val r = pairsBase.agg(max(col("user_id")), max(col("k"))).head()
+      (r.getLong(0) + 1L, r.getLong(1) + 1L)
+    }
     def pairsRep(f: Int): DataFrame =
       (0 until f).map { i =>
         pairsBase.select(
-          (col("user_id") + i.toLong * 10000000L).as("user_id"),
-          (col("k") + i.toLong * 10000L).as("k"))
+          (col("user_id") + i.toLong * userOff).as("user_id"),
+          (col("k") + i.toLong * itemOff).as("k"))
       }.reduce(_ unionAll _)
     val graphOps: Seq[(String, Int => DataFrame)] = Seq(
       // 5 PageRank iterations; timed region includes the node-count job
