@@ -1,0 +1,66 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import graft.exec.Executor
+import graft.sources.Tables
+
+/** Dev tool: dump the fuzz corpus and the graft engine's result for
+  * every corpus query, for the external DuckDB differential
+  * (tools/check_fuzz.py). Mirrors graft.Verify's layout: one parquet
+  * dir per query plus a name→SQL JSON. Usage:
+  *
+  *   runMain graft.tools.FuzzDump <sfDir> <outDir>
+  *
+  * Also writes <outDir>/fuzz_corpus_v1.sql — the committed regression
+  * copy at src/test/resources/ is refreshed from here when the
+  * generator version is deliberately bumped.
+  */
+object FuzzDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    val tbls = Seq("region", "nation", "customer", "supplier", "orders", "part")
+      .map(n => n -> Tables.load(spark, sfDir, n)).toMap
+    val exec = new Executor(spark, tbls)
+
+    val corpus = SqlFuzzer.corpus()
+    Files.write(Paths.get(s"$outDir/fuzz_corpus_v1.sql"),
+      (("-- Seeded fuzz corpus v1: seed " + SqlFuzzer.CorpusSeed + ", " +
+        SqlFuzzer.CorpusSize + " queries. Regenerable via SqlFuzzer.corpus();\n" +
+        "-- FuzzSpec asserts the generator reproduces this file byte-identically.\n" +
+        corpus.mkString("\n")) + "\n").getBytes("UTF-8"))
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    var failed = 0
+    val names = corpus.zipWithIndex.map { case (sql, i) =>
+      val name = f"fz_$i%04d"
+      try exec.query(sql).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[fuzz] $name failed: ${e.getMessage}")
+      }
+      name -> sql
+    }
+    val json = names.map { case (n, s) => s"${q(n)}: ${q(s)}" }
+      .mkString("{", ",", "}")
+    Files.write(Paths.get(s"$outDir/fuzz_sql.json"), json.getBytes("UTF-8"))
+    println(s"[fuzz] dumped ${names.length - failed}/${names.length} queries to $outDir")
+    spark.stop()
+  }
+}

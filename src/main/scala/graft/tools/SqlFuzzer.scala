@@ -1,0 +1,240 @@
+package graft.tools
+
+import java.util.Random
+
+/** Seeded random-SELECT generator for cross-engine differential testing
+  * (the grammar-driven upgrade over PropertySpec's expression-level
+  * fuzzing). Every emitted query is written in the three-way dialect
+  * intersection graft ∩ Spark SQL ∩ DuckDB, so one corpus drives both
+  * the in-process differential (graft front-end vs Spark's own SQL
+  * front-end, FuzzSpec) and the external one (DuckDB via
+  * tools/check_fuzz.py over the same parquet tables).
+  *
+  * Determinism contract: query i is a pure function of (seed, i) —
+  * java.util.Random's LCG is spec-fixed — and the corpus for the
+  * release seed is committed as a regression file; FuzzSpec fails if
+  * the generator drifts.
+  *
+  * Deliberately excluded (documented divergences or nondeterminism,
+  * not bugs to surface):
+  *   - `^`/`#` (power/xor in the graft dialect, different in Spark),
+  *     `!>`/`!<`, `concat()` (PG NULL-coalescing here), ILIKE/SIMILAR
+  *   - `/` on integers (PG truncates, DuckDB yields double)
+  *   - avg()/sum() over raw doubles (merge-order ulps differ across
+  *     engines; sums go through DECIMAL(18,2) casts, scalar subqueries
+  *     use min/max, which are exact)
+  *   - min/max over strings (collation), timestamp columns (render
+  *     formats), ORDER BY without a unique key under LIMIT
+  */
+object SqlFuzzer {
+
+  /** One fuzzable table: primary key, integer / double / string columns. */
+  final case class Tbl(name: String, alias: String, key: String,
+      intCols: Seq[String], dblCols: Seq[String], strCols: Seq[String]) {
+    def allCols: Seq[String] = intCols ++ dblCols ++ strCols
+  }
+
+  val region = Tbl("region", "r", "r_regionkey",
+    Seq("r_regionkey"), Nil, Seq("r_name"))
+  val nation = Tbl("nation", "n", "n_nationkey",
+    Seq("n_nationkey", "n_regionkey"), Nil, Seq("n_name"))
+  val customer = Tbl("customer", "c", "c_custkey",
+    Seq("c_custkey", "c_nationkey"), Seq("c_acctbal"),
+    Seq("c_name", "c_mktsegment"))
+  val supplier = Tbl("supplier", "s", "s_suppkey",
+    Seq("s_suppkey", "s_nationkey"), Seq("s_acctbal"), Seq("s_name"))
+  val orders = Tbl("orders", "o", "o_orderkey",
+    Seq("o_orderkey", "o_custkey"), Seq("o_totalprice"),
+    Seq("o_orderstatus", "o_orderpriority"))
+  val part = Tbl("part", "p", "p_partkey",
+    Seq("p_partkey", "p_size"), Seq("p_retailprice"),
+    Seq("p_name", "p_brand", "p_type"))
+
+  val tables: Seq[Tbl] = Seq(region, nation, customer, supplier, orders, part)
+
+  /** (left, right, join condition) — the star-schema join graph. */
+  val joins: Seq[(Tbl, Tbl, String)] = Seq(
+    (nation, region, "n_regionkey = r_regionkey"),
+    (customer, nation, "c_nationkey = n_nationkey"),
+    (supplier, nation, "s_nationkey = n_nationkey"),
+    (orders, customer, "o_custkey = c_custkey"))
+
+  private def pick[A](r: Random, xs: Seq[A]): A = xs(r.nextInt(xs.length))
+
+  // ------------------------------------------------------------ predicates
+
+  private def intPred(r: Random, c: String): String = r.nextInt(4) match {
+    case 0 => s"$c ${pick(r, Seq("<", ">", "<=", ">=", "=", "<>"))} ${r.nextInt(2000)}"
+    case 1 => { val lo = r.nextInt(1500); s"$c BETWEEN $lo AND ${lo + 1 + r.nextInt(400)}" }
+    case 2 => s"$c IN (${Seq.fill(2 + r.nextInt(4))(r.nextInt(200)).distinct.mkString(", ")})"
+    case _ => s"$c + ${1 + r.nextInt(9)} < ${r.nextInt(2000)}"
+  }
+
+  private def dblPred(r: Random, c: String): String =
+    s"$c ${pick(r, Seq("<", ">", "<=", ">="))} ${r.nextInt(9000)}.${r.nextInt(100)}"
+
+  private def strPred(r: Random, c: String): String = r.nextInt(3) match {
+    case 0 => s"$c LIKE '${('a' + r.nextInt(26)).toChar}%'"
+    case 1 => s"$c NOT LIKE '%${('a' + r.nextInt(26)).toChar}%'"
+    case _ => s"length($c) ${pick(r, Seq(">", "<", ">=", "<="))} ${4 + r.nextInt(16)}"
+  }
+
+  private def basePred(r: Random, t: Tbl, q: String): String = {
+    def qual(c: String) = if (q.isEmpty) c else s"$q.$c"
+    val choices =
+      t.intCols.map(c => () => intPred(r, qual(c))) ++
+        t.dblCols.map(c => () => dblPred(r, qual(c))) ++
+        t.strCols.map(c => () => strPred(r, qual(c)))
+    pick(r, choices)()
+  }
+
+  /** Boolean combination, depth ≤ 2. */
+  private def pred(r: Random, t: Tbl, q: String = "", depth: Int = 2): String =
+    if (depth <= 0 || r.nextInt(3) == 0) basePred(r, t, q)
+    else r.nextInt(3) match {
+      case 0 => s"(${pred(r, t, q, depth - 1)} AND ${pred(r, t, q, depth - 1)})"
+      case 1 => s"(${pred(r, t, q, depth - 1)} OR ${pred(r, t, q, depth - 1)})"
+      case _ => s"NOT (${pred(r, t, q, depth - 1)})"
+    }
+
+  // ------------------------------------------------------------ select items
+
+  /** One projected expression; computed items get an `AS fzK` alias so
+    * both engines report the same output schema. */
+  private def selectItem(r: Random, t: Tbl, k: Int, q: String = ""): String = {
+    def qual(c: String) = if (q.isEmpty) c else s"$q.$c"
+    r.nextInt(6) match {
+      case 0 | 1 => qual(pick(r, t.allCols))
+      case 2 =>
+        val c = qual(pick(r, t.intCols))
+        s"$c ${pick(r, Seq("+", "-", "*"))} ${1 + r.nextInt(9)} AS fz$k"
+      case 3 =>
+        val c = qual(pick(r, t.strCols))
+        pick(r, Seq(s"upper($c) AS fz$k", s"lower($c) AS fz$k",
+          s"substring($c, 1, ${1 + r.nextInt(5)}) AS fz$k",
+          s"$c || '_x' AS fz$k", s"length($c) AS fz$k"))
+      case 4 =>
+        s"CASE WHEN ${basePred(r, t, q)} THEN ${qual(pick(r, t.intCols))} ELSE ${-r.nextInt(10)} END AS fz$k"
+      case _ =>
+        val c = qual(pick(r, t.intCols))
+        s"abs($c - ${r.nextInt(100)}) AS fz$k"
+    }
+  }
+
+  /** Output names must be unique (parquet/result-compare contract): a
+    * plain column drawn twice gets an `AS fzK` alias the second time. */
+  private def dedupe(items: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Set[String]()
+    items.zipWithIndex.map { case (it, k) =>
+      val name =
+        if (it.contains(" AS ")) it.substring(it.lastIndexOf(" AS ") + 4)
+        else it.substring(it.lastIndexOf('.') + 1)
+      if (seen.add(name)) it
+      else if (it.contains(" AS ")) it.substring(0, it.lastIndexOf(" AS ")) + s" AS fzd$k"
+      else s"$it AS fzd$k"
+    }
+  }
+
+  private def selectList(r: Random, t: Tbl, q: String = ""): String =
+    dedupe((0 until (1 + r.nextInt(4))).map(k => selectItem(r, t, k, q)))
+      .mkString(", ")
+
+  // ------------------------------------------------------------ query shapes
+
+  private def singleTable(r: Random): String = {
+    val t = pick(r, tables)
+    val distinct = if (r.nextInt(5) == 0) "DISTINCT " else ""
+    val base = s"SELECT $distinct${selectList(r, t)} FROM ${t.name} WHERE ${pred(r, t)}"
+    // ORDER BY a non-projected key is illegal under DISTINCT (and the
+    // unique key is what makes LIMIT deterministic) — plain selects only
+    if (distinct.isEmpty && r.nextInt(3) == 0)
+      s"$base ORDER BY ${t.key}${if (r.nextBoolean()) " DESC" else ""} LIMIT ${5 + r.nextInt(40)}"
+    else base
+  }
+
+  private def joined(r: Random): String = {
+    val (a, b, on) = pick(r, joins)
+    val how = pick(r, Seq("JOIN", "INNER JOIN", "LEFT JOIN"))
+    val items = dedupe((0 until (1 + r.nextInt(3))).map(k =>
+      selectItem(r, if (r.nextBoolean()) a else b, k, ""))).mkString(", ")
+    val w = s" WHERE ${pred(r, if (how == "LEFT JOIN") a else pick(r, Seq(a, b)), "", 1)}"
+    s"SELECT $items FROM ${a.name} $how ${b.name} ON $on" +
+      (if (r.nextInt(3) > 0) w else "")
+  }
+
+  private def aggregated(r: Random): String = {
+    val withJoin = r.nextInt(3) == 0
+    val (fromSql, t, g) =
+      if (withJoin) {
+        val (a, b, on) = pick(r, joins)
+        (s"${a.name} JOIN ${b.name} ON $on", a,
+          pick(r, b.strCols ++ b.intCols))
+      } else {
+        val t = pick(r, tables)
+        (t.name, t, pick(r, t.strCols ++ t.intCols))
+      }
+    val aggs = Seq.newBuilder[String]
+    aggs += "count(*) AS fz_cnt"
+    if (r.nextBoolean()) aggs += s"min(${pick(r, t.intCols)}) AS fz_min"
+    if (r.nextBoolean()) aggs += s"max(${pick(r, t.intCols)}) AS fz_max"
+    if (r.nextBoolean()) aggs += s"sum(${pick(r, t.intCols)}) AS fz_sum"
+    if (t.dblCols.nonEmpty && r.nextBoolean())
+      aggs += s"sum(CAST(${pick(r, t.dblCols)} AS DECIMAL(18,2))) AS fz_dsum"
+    val having = if (r.nextInt(3) == 0) s" HAVING count(*) > ${r.nextInt(5)}" else ""
+    val where = if (r.nextInt(2) == 0) s" WHERE ${pred(r, t, "", 1)}" else ""
+    s"SELECT $g, ${aggs.result().mkString(", ")} FROM $fromSql$where GROUP BY $g$having"
+  }
+
+  private def subquery(r: Random): String = r.nextInt(3) match {
+    case 0 => // IN over the nation keys
+      val neg = if (r.nextBoolean()) "" else "NOT "
+      s"SELECT ${selectList(r, customer)} FROM customer WHERE c_nationkey ${neg}IN " +
+        s"(SELECT n_nationkey FROM nation WHERE ${pred(r, nation, "", 1)})"
+    case 1 => // correlated EXISTS customer→orders
+      val neg = if (r.nextBoolean()) "" else "NOT "
+      s"SELECT c_custkey, c_acctbal FROM customer c WHERE ${neg}EXISTS " +
+        s"(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND ${pred(r, orders, "o", 1)})"
+    case _ => // IN over supplier nations
+      s"SELECT ${selectList(r, supplier)} FROM supplier WHERE s_nationkey IN " +
+        s"(SELECT n_nationkey FROM nation WHERE ${pred(r, nation, "", 1)})"
+  }
+
+  private def scalarSub(r: Random): String = {
+    val t = pick(r, Seq(customer, supplier, orders))
+    val c = pick(r, t.dblCols)
+    val mm = pick(r, Seq("min", "max"))
+    val frac = pick(r, Seq("0.25", "0.5", "0.75"))
+    s"SELECT ${t.key}, $c FROM ${t.name} WHERE $c ${pick(r, Seq("<", ">"))} " +
+      s"(SELECT $mm($c) FROM ${t.name}) * $frac"
+  }
+
+  private def setOp(r: Random): String = {
+    val op = pick(r, Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
+    val pairs = Seq(
+      (nation, "n_regionkey", region, "r_regionkey"),
+      (customer, "c_nationkey", supplier, "s_nationkey"),
+      (orders, "o_custkey", customer, "c_custkey"))
+    val (a, ca, b, cb) = pick(r, pairs)
+    s"SELECT $ca AS fz_k FROM ${a.name} WHERE ${pred(r, a, "", 1)} $op " +
+      s"SELECT $cb AS fz_k FROM ${b.name} WHERE ${pred(r, b, "", 1)}"
+  }
+
+  /** Query i for the given corpus seed. */
+  def query(seed: Long, i: Int): String = {
+    val r = new Random(seed * 1000003L + i)
+    r.nextInt(100) match {
+      case n if n < 30 => singleTable(r)
+      case n if n < 50 => joined(r)
+      case n if n < 70 => aggregated(r)
+      case n if n < 80 => subquery(r)
+      case n if n < 90 => scalarSub(r)
+      case _ => setOp(r)
+    }
+  }
+
+  /** The committed corpus: seed 20260814, 600 queries. */
+  val CorpusSeed = 20260814L
+  val CorpusSize = 600
+
+  def corpus(): Seq[String] = (0 until CorpusSize).map(query(CorpusSeed, _))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import scala.io.Source
+import org.scalatest.funsuite.AnyFunSuite
+import graft.exec.Executor
+import graft.sources.Tables
+import graft.tools.SqlFuzzer
+
+/** Grammar-driven dialect fuzzing (VERDICT r9 #6): 600 seeded random
+  * SELECTs over the star schema — projections, joins, aggregates,
+  * subqueries, set ops — executed through the graft front-end
+  * (tokenizer → parser → compiler) AND through Spark's own SQL
+  * front-end, results compared row-for-row. The corpus is committed at
+  * src/test/resources/fuzz_corpus_v1.sql as a regression file: the
+  * generator reproducing it byte-identically is itself asserted, so a
+  * generator change can't silently swap the tested query space. The
+  * same corpus runs against DuckDB via tools/check_fuzz.py (dev-side).
+  */
+class FuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val exec = {
+    val tbls = Seq("region", "nation", "customer", "supplier", "orders", "part")
+      .map(n => n -> Tables.load(spark, dir, n)).toMap
+    tbls.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    new Executor(spark, tbls)
+  }
+
+  private def normalized(df: org.apache.spark.sql.DataFrame)
+      : (Seq[String], Seq[Seq[String]]) = {
+    val cols = df.schema.fieldNames.toSeq
+    val rows = df.collect().toSeq
+      .map(r => r.toSeq.map(String.valueOf)).sortBy(_.mkString("\u0001"))
+    (cols, rows)
+  }
+
+  test("generator reproduces the committed corpus byte-identically") {
+    val res = getClass.getResourceAsStream("/fuzz_corpus_v1.sql")
+    assert(res != null, "fuzz_corpus_v1.sql missing from test resources")
+    val committed = Source.fromInputStream(res, "UTF-8").getLines()
+      .filterNot(l => l.isEmpty || l.startsWith("--")).toSeq
+    val generated = SqlFuzzer.corpus()
+    assert(committed.length == generated.length,
+      s"corpus size drift: committed ${committed.length}, generated ${generated.length}")
+    committed.zip(generated).zipWithIndex.foreach { case ((c, g), i) =>
+      assert(c == g, s"corpus drift at query $i:\ncommitted: $c\ngenerated: $g")
+    }
+  }
+
+  test("600 fuzzed queries agree between the graft and Spark SQL front-ends") {
+    val failures = Seq.newBuilder[String]
+    var checked = 0
+    SqlFuzzer.corpus().zipWithIndex.foreach { case (sql, i) =>
+      try {
+        val (gc, gr) = normalized(exec.query(sql))
+        val (sc, sr) = normalized(spark.sql(sql))
+        if (gc != sc)
+          failures += s"[$i] schema: graft=$gc spark=$sc\n  $sql"
+        else if (gr != sr)
+          failures += s"[$i] rows: graft=${gr.length} spark=${sr.length} " +
+            s"firstDiff=${gr.zip(sr).find(p => p._1 != p._2)}\n  $sql"
+        checked += 1
+      } catch {
+        case e: Throwable =>
+          failures += s"[$i] threw ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}\n  $sql"
+      }
+    }
+    val f = failures.result()
+    assert(f.isEmpty,
+      s"${f.length}/${checked} fuzzed queries diverged:\n" + f.take(10).mkString("\n"))
+  }
+}
