@@ -42,6 +42,10 @@ final case class CallAnalytics(call: Expr, partitionBy: Seq[Expr],
 
 final case class CastExpr(e: Expr, to: String) extends Expr
 
+/** `(expr).field` composite field access (PG record syntax) — needed by
+  * pgjdbc's getPrimaryKeys, which projects `(_pg_expandarray(k)).n`. */
+final case class FieldAccess(e: Expr, field: String) extends Expr
+
 /** Searched CASE; the parser desugars simple CASE into searched form with
   * `=` comparisons (reference parser/_parser.py:292-312 does the same). */
 final case class CaseExpr(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
@@ -151,6 +155,12 @@ final case class CopyTo(table: String, path: String,
 final case class CreateTableAs(name: String, select: Select,
     options: Map[String, String] = Map.empty) extends Statement
 final case class DropTable(names: Seq[String]) extends Statement
+/** `ALTER TABLE t ADD [CONSTRAINT name] PRIMARY KEY (col)` — metadata
+  * only (no enforcement on write, like most warehouses): declares the
+  * key that pg_index/pg_constraint reflection and JDBC getPrimaryKeys
+  * report. Single-column for now (see _pg_expandarray). */
+final case class AlterAddPrimaryKey(table: String, constraint: Option[String],
+    cols: Seq[String]) extends Statement
 final case class ShowStmt(what: String) extends Statement
 /** `EXPLAIN select ...` — returns the formatted physical plan as rows. */
 final case class ExplainStmt(query: Select) extends Statement

@@ -88,6 +88,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
     case UnaryOp(op, x) => UnaryOp(op, firstWrapScalarHelpers(x))
     case Call(fn, args) => Call(fn, args.map(firstWrapScalarHelpers))
     case CastExpr(x, t) => CastExpr(firstWrapScalarHelpers(x), t)
+    case FieldAccess(x, f) => FieldAccess(firstWrapScalarHelpers(x), f)
     case CaseExpr(bs, o) => CaseExpr(
       bs.map { case (c, v) =>
         firstWrapScalarHelpers(c) -> firstWrapScalarHelpers(v) },
@@ -115,6 +116,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
         CallAnalytics(rewriteExpr(c)(f), pb.map(rewriteExpr(_)(f)),
           ob.map(si => si.copy(e = rewriteExpr(si.e)(f))), fr)
       case CastExpr(x, t) => CastExpr(rewriteExpr(x)(f), t)
+      case FieldAccess(x, fld) => FieldAccess(rewriteExpr(x)(f), fld)
       case CaseExpr(bs, o) => CaseExpr(
         bs.map { case (c, v) => rewriteExpr(c)(f) -> rewriteExpr(v)(f) },
         o.map(rewriteExpr(_)(f)))
@@ -384,6 +386,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
         case Call(_, as) => as.foreach(findHelpers)
         case CallSet(_, as, _, _) => as.foreach(findHelpers)
         case CastExpr(x, _) => findHelpers(x)
+        case FieldAccess(x, _) => findHelpers(x)
         case CaseExpr(bs, o) =>
           bs.foreach { case (c, v) => findHelpers(c); findHelpers(v) }
           o.foreach(findHelpers)
@@ -1069,6 +1072,19 @@ final class Compiler(spark: SparkSession, registry: Registry,
     relationOids.getOrElseUpdate(name, 16384L + relationOids.size)
   }
 
+  /** Declared primary keys: table → (constraint name, columns).
+    * Metadata only — reflected via pg_index/pg_constraint so JDBC
+    * getPrimaryKeys reports them; dropped when the table is rebound. */
+  private val primaryKeys =
+    scala.collection.mutable.LinkedHashMap.empty[String, (String, Seq[String])]
+  def declarePrimaryKey(table: String, conname: String,
+      cols: Seq[String]): Unit =
+    primaryKeys.synchronized { primaryKeys(table) = (conname, cols) }
+  def dropPrimaryKey(table: String): Unit =
+    primaryKeys.synchronized { primaryKeys.remove(table) }
+  def primaryKeyOf(table: String): Option[(String, Seq[String])] =
+    primaryKeys.synchronized { primaryKeys.get(table) }
+
   /** Built-in catalog tables (reference _pandas.py:103-116 ships only
     * pg_namespace; the full reflection surface — pg_class, pg_attribute,
     * pg_type, information_schema — is what `psql \dt`/`\d` and JDBC
@@ -1077,10 +1093,11 @@ final class Compiler(spark: SparkSession, registry: Registry,
       scope: Map[String, DataFrame]): Option[DataFrame] = {
     // deterministic OID assignment order regardless of Map iteration
     val sorted = scope.toSeq.sortBy(_._1)
+    val pks = primaryKeys.synchronized { primaryKeys.toMap }
     schema match {
       case Some("information_schema") =>
         PgCatalog.infoSchemaTable(spark, name, sorted)
-      case _ => PgCatalog.catalogTable(spark, name, sorted, oidOf)
+      case _ => PgCatalog.catalogTable(spark, name, sorted, oidOf, pks)
     }
   }
 
@@ -1101,6 +1118,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
     case UnaryOp(_, x) => containsAgg(x)
     case Call(_, args) => args.exists(containsAgg)
     case CastExpr(x, _) => containsAgg(x)
+    case FieldAccess(x, _) => containsAgg(x)
     case CaseExpr(bs, o) =>
       bs.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
         o.exists(containsAgg)
@@ -1210,6 +1228,8 @@ final class Compiler(spark: SparkSession, registry: Registry,
       }
 
     case CastExpr(x, ty) => compileCast(compileExpr(x), ty)
+
+    case FieldAccess(x, f) => compileExpr(x).getField(f)
 
     case CaseExpr(branches, otherwise) =>
       val whens = branches.foldLeft(Option.empty[Column]) {

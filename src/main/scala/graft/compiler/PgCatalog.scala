@@ -87,9 +87,11 @@ object PgCatalog {
     * the session-stable relation OID for a scope table name. */
   def catalogTable(spark: SparkSession, name: String,
       scope: Seq[(String, DataFrame)],
-      oidOf: String => Long): Option[DataFrame] = name match {
+      oidOf: String => Long,
+      pks: Map[String, (String, Seq[String])] = Map.empty)
+      : Option[DataFrame] = name match {
     case "pg_namespace" => Some(pgNamespace(spark))
-    case "pg_class" => Some(pgClass(spark, scope, oidOf))
+    case "pg_class" => Some(pgClass(spark, scope, oidOf, pks))
     case "pg_attribute" => Some(pgAttribute(spark, scope, oidOf))
     case "pg_type" => Some(pgType(spark))
     case "pg_am" => Some(pgAm(spark))
@@ -98,22 +100,8 @@ object PgCatalog {
     case "pg_collation" => Some(empty(spark,
       "oid" -> LongType, "collname" -> StringType,
       "collnamespace" -> LongType))
-    case "pg_constraint" => Some(empty(spark,
-      "oid" -> LongType, "conname" -> StringType,
-      "connamespace" -> LongType, "contype" -> StringType,
-      "condeferrable" -> BooleanType, "condeferred" -> BooleanType,
-      "convalidated" -> BooleanType, "conrelid" -> LongType,
-      "contypid" -> LongType, "conindid" -> LongType,
-      "conparentid" -> LongType, "confrelid" -> LongType,
-      "conkey" -> ArrayType(IntegerType), "confkey" -> ArrayType(IntegerType)))
-    case "pg_index" => Some(empty(spark,
-      "indexrelid" -> LongType, "indrelid" -> LongType,
-      "indnatts" -> IntegerType, "indnkeyatts" -> IntegerType,
-      "indisunique" -> BooleanType, "indisprimary" -> BooleanType,
-      "indisexclusion" -> BooleanType, "indimmediate" -> BooleanType,
-      "indisclustered" -> BooleanType, "indisvalid" -> BooleanType,
-      "indisreplident" -> BooleanType, "indkey" -> ArrayType(IntegerType),
-      "indpred" -> StringType))
+    case "pg_constraint" => Some(pgConstraint(spark, scope, oidOf, pks))
+    case "pg_index" => Some(pgIndex(spark, scope, oidOf, pks))
     case "pg_inherits" => Some(empty(spark,
       "inhrelid" -> LongType, "inhparent" -> LongType,
       "inhseqno" -> IntegerType, "inhdetachpending" -> BooleanType))
@@ -217,8 +205,73 @@ object PgCatalog {
         StructField("nspowner", LongType),
         StructField("nspacl", StringType))))
 
+  /** 1-based attribute positions of a declared key's columns. */
+  private def keyAttnums(df: DataFrame, cols: Seq[String]): Seq[Int] =
+    cols.map(c => df.schema.fieldNames.indexWhere(_ == c) + 1)
+
+  /** Declared primary keys joined to the live scope:
+    * (table, table oid, index relname, index oid, key attnums). */
+  private def pkRows(scope: Seq[(String, DataFrame)],
+      oidOf: String => Long, pks: Map[String, (String, Seq[String])])
+      : Seq[(String, Long, String, Long, Seq[Int])] =
+    scope.flatMap { case (n, df) =>
+      pks.get(n).map { case (conname, cols) =>
+        (n, oidOf(n), conname, oidOf(conname), keyAttnums(df, cols))
+      }
+    }
+
+  /** pg_index: one row per declared primary key — real rows, not an
+    * empty stub, so pgjdbc's getPrimaryKeys join path returns data. */
+  private def pgIndex(spark: SparkSession, scope: Seq[(String, DataFrame)],
+      oidOf: String => Long,
+      pks: Map[String, (String, Seq[String])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("indexrelid", LongType), StructField("indrelid", LongType),
+      StructField("indnatts", IntegerType),
+      StructField("indnkeyatts", IntegerType),
+      StructField("indisunique", BooleanType),
+      StructField("indisprimary", BooleanType),
+      StructField("indisexclusion", BooleanType),
+      StructField("indimmediate", BooleanType),
+      StructField("indisclustered", BooleanType),
+      StructField("indisvalid", BooleanType),
+      StructField("indisreplident", BooleanType),
+      StructField("indkey", ArrayType(IntegerType)),
+      StructField("indpred", StringType)))
+    val rows = pkRows(scope, oidOf, pks).map {
+      case (_, relOid, _, idxOid, attnums) =>
+        Row(idxOid, relOid, attnums.length, attnums.length,
+          true, true, false, true, false, true, false, attnums, null)
+    }
+    spark.createDataFrame(java.util.List.of(rows: _*), schema)
+  }
+
+  /** pg_constraint: the `p` (primary key) rows for declared keys. */
+  private def pgConstraint(spark: SparkSession,
+      scope: Seq[(String, DataFrame)], oidOf: String => Long,
+      pks: Map[String, (String, Seq[String])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("oid", LongType), StructField("conname", StringType),
+      StructField("connamespace", LongType), StructField("contype", StringType),
+      StructField("condeferrable", BooleanType),
+      StructField("condeferred", BooleanType),
+      StructField("convalidated", BooleanType),
+      StructField("conrelid", LongType),
+      StructField("contypid", LongType), StructField("conindid", LongType),
+      StructField("conparentid", LongType), StructField("confrelid", LongType),
+      StructField("conkey", ArrayType(IntegerType)),
+      StructField("confkey", ArrayType(IntegerType))))
+    val rows = pkRows(scope, oidOf, pks).map {
+      case (_, relOid, conname, idxOid, attnums) =>
+        Row(oidOf(conname + "$con"), conname, PublicNsOid, "p",
+          false, false, true, relOid, 0L, idxOid, 0L, 0L, attnums, null)
+    }
+    spark.createDataFrame(java.util.List.of(rows: _*), schema)
+  }
+
   private def pgClass(spark: SparkSession, scope: Seq[(String, DataFrame)],
-      oidOf: String => Long): DataFrame = {
+      oidOf: String => Long,
+      pks: Map[String, (String, Seq[String])] = Map.empty): DataFrame = {
     val schema = StructType(Seq(
       StructField("oid", LongType), StructField("relname", StringType),
       StructField("relnamespace", LongType), StructField("reltype", LongType),
@@ -243,12 +296,20 @@ object PgCatalog {
       StructField("relreplident", StringType),
       StructField("reloptions", ArrayType(StringType)),
       StructField("relacl", StringType)))
-    val rows = scope.map { case (n, df) =>
+    val tableRows = scope.map { case (n, df) =>
       Row(oidOf(n), n, PublicNsOid, 0L, 10L, HeapAmOid, 0L, 0L,
-        0, -1.0f, 0L, false, "p", "r", df.schema.length, 0,
+        0, -1.0f, 0L, pks.contains(n), "p", "r", df.schema.length, 0,
         false, false, false, false, false, false, 0L, "d", null, null)
     }
-    spark.createDataFrame(java.util.List.of(rows: _*), schema)
+    // index relations for declared primary keys (relkind 'i'), so the
+    // `pg_class ci ON ci.oid = i.indexrelid` join resolves the PK name
+    val indexRows = pkRows(scope, oidOf, pks).map {
+      case (_, _, conname, idxOid, attnums) =>
+        Row(idxOid, conname, PublicNsOid, 0L, 10L, 0L, 0L, 0L,
+          0, -1.0f, 0L, false, "p", "i", attnums.length, 0,
+          false, false, false, false, false, false, 0L, "n", null, null)
+    }
+    spark.createDataFrame(java.util.List.of(tableRows ++ indexRows: _*), schema)
   }
 
   private def pgAttribute(spark: SparkSession,
@@ -287,7 +348,7 @@ object PgCatalog {
     spark.createDataFrame(
       java.util.List.of(typeRows.map { case (oid, name, cat, len) =>
         Row(oid, name, CatalogNsOid, 10L, len, "b", cat, true, 0L, 0L,
-          -1, 0L, false)
+          -1, 0L, false, 0L)
       }: _*),
       StructType(Seq(StructField("oid", LongType),
         StructField("typname", StringType),
@@ -301,7 +362,9 @@ object PgCatalog {
         StructField("typelem", LongType),
         StructField("typtypmod", IntegerType),
         StructField("typcollation", LongType),
-        StructField("typnotnull", BooleanType))))
+        StructField("typnotnull", BooleanType),
+        // pgjdbc getColumns reads typbasetype (domain base; none here)
+        StructField("typbasetype", LongType))))
 
   private def pgAm(spark: SparkSession): DataFrame =
     spark.createDataFrame(

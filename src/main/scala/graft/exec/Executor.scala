@@ -282,6 +282,24 @@ final class Executor(val spark: SparkSession,
       scope --= names
       stats --= names
       sourcePaths --= names
+      names.foreach(compiler.dropPrimaryKey)
+      None
+
+    case AlterAddPrimaryKey(table, cname, cols) =>
+      val df = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      // single-column keys only: the catalog's _pg_expandarray renders
+      // exactly one (x, n) record per index row (Registry.scala) — a
+      // wider key needs set-returning expansion, so reject it loudly
+      // instead of reflecting a key JDBC clients would misread
+      if (cols.length != 1) throw CompileException(
+        "multi-column primary keys are not supported")
+      cols.foreach { c =>
+        if (!df.columns.contains(c)) throw CompileException(
+          s"column '$c' not found in table '$table'")
+      }
+      compiler.declarePrimaryKey(table, cname.getOrElse(table + "_pkey"), cols)
+      lastTagThunk = Some(() => "ALTER TABLE")
       None
 
     case AnalyzeStmt(tables) =>
@@ -373,6 +391,7 @@ final class Executor(val spark: SparkSession,
     scope += (name -> df)
     stats -= name
     sourcePaths -= name
+    compiler.dropPrimaryKey(name) // declared key no longer describes the data
   }
 
   /** A write just overwrote `p`: drop the ANALYZE stats of every scope

@@ -57,6 +57,18 @@ object Registry {
     "pg_type_is_visible" -> (_ => lit(true)),
     "pg_function_is_visible" -> (_ => lit(true)),
     "pg_get_expr" -> (_ => lit(null).cast("string")),
+    // information_schema._pg_expandarray(arr): PG expands an index key
+    // vector to SETOF (x, n) rows. This engine synthesizes only
+    // single-column index rows (pg_index), for which the expansion is
+    // exactly one (x = arr[1], n = 1) record — returned as a struct so
+    // pgjdbc's `(...).n` / `(...).x` composite access works. A wider
+    // key would need true set-returning semantics: fail loudly rather
+    // than return one row of a k-row expansion.
+    "_pg_expandarray" -> { case Seq(arr) =>
+      when(size(arr) <= 1,
+        struct(try_element_at(arr, lit(1)).as("x"), lit(1).as("n")))
+        .otherwise(raise_error(lit(
+          "_pg_expandarray: multi-column index keys are not supported"))) },
     "pg_get_constraintdef" -> (_ => lit(null).cast("string")),
     "pg_get_indexdef" -> (_ => lit(null).cast("string")),
     "pg_get_viewdef" -> (_ => lit(null).cast("string")),

@@ -72,6 +72,7 @@ final class Parser(tokens: Vector[Token],
       else if (peekKw("update")) parseUpdate()
       else if (peekKw("truncate")) parseTruncate()
       else if (peekKw("analyze")) parseAnalyze()
+      else if (peekKw("alter")) parseAlter()
       else parseSelect()
     acceptOp(";")
     if (pos < tokens.length) fail("trailing tokens")
@@ -83,6 +84,19 @@ final class Parser(tokens: Vector[Token],
     case Some(t) if t.kind == TQuotedIdent => next(); t.value
     case Some(t) if t.kind == TIdent && !reserved(t.lower) => next(); t.value
     case _ => fail("expected identifier")
+  }
+
+  private def parseAlter(): Statement = {
+    expectKw("alter"); expectKw("table")
+    val t = parseIdent()
+    expectKw("add")
+    val cname = if (acceptKw("constraint")) Some(parseIdent()) else None
+    expectKw("primary"); expectKw("key")
+    expectOp("(")
+    var cols = Seq(parseIdent())
+    while (acceptOp(",")) cols :+= parseIdent()
+    expectOp(")")
+    AlterAddPrimaryKey(t, cname, cols)
   }
 
   private def parseCopy(): Statement = {
@@ -817,6 +831,13 @@ final class Parser(tokens: Vector[Token],
         while (peekOp(".") && peekAt(1).exists(t =>
             t.kind == TIdent || t.kind == TQuotedIdent)) { next(); next() }
       }
+      else if (peekOp(".") && peekAt(1).exists(t =>
+          t.kind == TIdent || t.kind == TQuotedIdent)) {
+        // `(expr).field` composite access — name paths never reach here
+        // (parseNameOrCall consumes their dots), so this only fires on
+        // parenthesized/call results, PG record syntax
+        next(); e = FieldAccess(e, next().value)
+      }
       else if (acceptOp("[")) { // 1-based subscript (PG/DuckDB semantics)
         val idx = parseExpr()
         expectOp("]")
@@ -950,7 +971,8 @@ final class Parser(tokens: Vector[Token],
     // `pg_catalog.`-qualified function calls (psql emits every builtin
     // fully qualified); the schema adds nothing — same flat registry
     if ((parts.length == 1 ||
-        (parts.length == 2 && parts.head.equalsIgnoreCase("pg_catalog"))) &&
+        (parts.length == 2 && (parts.head.equalsIgnoreCase("pg_catalog") ||
+          parts.head.equalsIgnoreCase("information_schema")))) &&
         peekOp("(")) {
       val fn = parts.last.toLowerCase
       next() // (
