@@ -211,16 +211,23 @@ object Streams {
     * exists in the history table are dropped. Expressed as stream-static
     * left_outer + null filter (the supported stream-static shape; a
     * bare left_anti is not in Structured Streaming's join matrix).
-    * Zero streaming state: the static side is re-planned per micro-batch
-    * — at 100 TB it should be a bucketed or Bloom-compacted key table so
-    * each batch's probe is a pruned read, not a full corpus scan. */
+    * Zero streaming state; the static side is evaluated per micro-batch,
+    * so by default the distinct key table is persisted (MEMORY_AND_DISK)
+    * the first batch computes it — later batches probe the cached keys
+    * instead of re-scanning and re-distincting the full history. At
+    * 100 TB the history should instead be a bucketed or Bloom-compacted
+    * key table (pass `cacheKeys = false` and pre-shape `history`) so
+    * each batch's probe is a pruned read, not a cached corpus. */
   def dedupAgainstHistory(stream: DataFrame, history: DataFrame,
-      key: String): DataFrame =
-    stream.join(
-        history.select(col(key)).distinct().withColumn("__seen", lit(1)),
-        Seq(key), "left_outer")
+      key: String, cacheKeys: Boolean = true): DataFrame = {
+    val keys0 = history.select(col(key)).distinct().withColumn("__seen", lit(1))
+    val keys = if (cacheKeys)
+      keys0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else keys0
+    stream.join(keys, Seq(key), "left_outer")
       .filter(col("__seen").isNull)
       .drop("__seen")
+  }
 
   private val runId = new AtomicInteger(0)
 
