@@ -1085,6 +1085,31 @@ final class Compiler(spark: SparkSession, registry: Registry,
   def primaryKeyOf(table: String): Option[(String, Seq[String])] =
     primaryKeys.synchronized { primaryKeys.get(table) }
 
+  // Live definition printers over the declared keys: psql's `\d table`
+  // renders its "Indexes:" section from pg_get_indexdef(indexrelid) and
+  // the constraint line from pg_get_constraintdef(conoid). The closures
+  // read the key map at COMPILE time of each query (a CASE chain over
+  // the declared set), so mid-session ALTER TABLE is reflected without
+  // re-registration; with no keys declared they collapse to the old
+  // NULL stubs.
+  registry.register("pg_get_indexdef", { args =>
+    val defs = primaryKeys.synchronized { primaryKeys.toSeq }
+    defs.foldLeft(lit(null).cast("string")) {
+      case (acc, (t, (conname, cols))) =>
+        when(args.head.cast("long") === oidOf(conname),
+          lit(s"CREATE UNIQUE INDEX $conname ON public.$t " +
+            s"USING btree (${cols.mkString(", ")})")).otherwise(acc)
+    }
+  })
+  registry.register("pg_get_constraintdef", { args =>
+    val defs = primaryKeys.synchronized { primaryKeys.toSeq }
+    defs.foldLeft(lit(null).cast("string")) {
+      case (acc, (_, (conname, cols))) =>
+        when(args.head.cast("long") === oidOf(conname + "$con"),
+          lit(s"PRIMARY KEY (${cols.mkString(", ")})")).otherwise(acc)
+    }
+  })
+
   /** Built-in catalog tables (reference _pandas.py:103-116 ships only
     * pg_namespace; the full reflection surface — pg_class, pg_attribute,
     * pg_type, information_schema — is what `psql \dt`/`\d` and JDBC

@@ -117,6 +117,27 @@ class PgJdbcMetaSpec extends AnyFunSuite {
   // ---- wire-level round trip: the same metadata SQL over PgWire via psql
   private def havePsql = new java.io.File("/usr/bin/psql").canExecute
 
+  test("psql \\d renders the Indexes section for a declared primary key") {
+    assume(havePsql)
+    val server = new PgWireServer(spark,
+      Map("nation" -> Tables.load(spark, dir, "nation")))
+    try {
+      import scala.sys.process._
+      val buf = new StringBuilder
+      val logger = ProcessLogger(l => buf.append(l).append('\n'),
+        l => buf.append(l).append('\n'))
+      val rc = Process(Seq("/usr/bin/psql", "-h", "127.0.0.1",
+        "-p", server.boundPort.toString, "-U", "graft", "-d", "g", "-X",
+        "-c", "ALTER TABLE nation ADD PRIMARY KEY (n_nationkey)",
+        "-c", "\\d nation")).!(logger)
+      val out = buf.toString
+      assert(rc == 0 && !out.contains("ERROR"), out)
+      // psql renders the pg_index/pg_get_indexdef join as an Indexes:
+      // footer naming the PK index
+      assert(out.contains("nation_pkey"), out)
+    } finally server.close()
+  }
+
   test("getTables round-trips over the wire protocol") {
     assume(havePsql)
     val server = new PgWireServer(spark,
