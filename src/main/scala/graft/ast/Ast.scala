@@ -161,6 +161,14 @@ final case class DropTable(names: Seq[String]) extends Statement
   * report. Single-column for now (see _pg_expandarray). */
 final case class AlterAddPrimaryKey(table: String, constraint: Option[String],
     cols: Seq[String]) extends Statement
+/** `ALTER TABLE t ADD [CONSTRAINT name] FOREIGN KEY (col) REFERENCES
+  * other (ocol)` — metadata-only referential declaration; the referenced
+  * column must carry a declared primary key (PG requires a unique index
+  * there too). Reflected via pg_constraint contype 'f' for JDBC
+  * getImportedKeys. */
+final case class AlterAddForeignKey(table: String, constraint: Option[String],
+    cols: Seq[String], refTable: String, refCols: Seq[String])
+    extends Statement
 final case class ShowStmt(what: String) extends Statement
 /** `EXPLAIN select ...` — returns the formatted physical plan as rows. */
 final case class ExplainStmt(query: Select) extends Statement

@@ -1085,6 +1085,27 @@ final class Compiler(spark: SparkSession, registry: Registry,
   def primaryKeyOf(table: String): Option[(String, Seq[String])] =
     primaryKeys.synchronized { primaryKeys.get(table) }
 
+  /** Declared foreign keys: table → (constraint name, local column,
+    * referenced table, referenced column), single-column. Metadata only,
+    * like primary keys; dropped with either side's rebind. */
+  private val foreignKeys = scala.collection.mutable.LinkedHashMap
+    .empty[String, Seq[(String, String, String, String)]]
+  def declareForeignKey(table: String, conname: String, col: String,
+      refTable: String, refCol: String): Unit =
+    foreignKeys.synchronized {
+      foreignKeys(table) =
+        foreignKeys.getOrElse(table, Nil).filterNot(_._1 == conname) :+
+          ((conname, col, refTable, refCol))
+    }
+  def dropForeignKeysOf(table: String): Unit = foreignKeys.synchronized {
+    foreignKeys.remove(table)
+    // FKs REFERENCING the rebound/dropped table are stale too
+    foreignKeys.mapValuesInPlace { case (_, fks) =>
+      fks.filterNot(_._3 == table)
+    }
+    foreignKeys.filterInPlace { case (_, fks) => fks.nonEmpty }
+  }
+
   // Live definition printers over the declared keys: psql's `\d table`
   // renders its "Indexes:" section from pg_get_indexdef(indexrelid) and
   // the constraint line from pg_get_constraintdef(conoid). The closures
@@ -1102,11 +1123,17 @@ final class Compiler(spark: SparkSession, registry: Registry,
     }
   })
   registry.register("pg_get_constraintdef", { args =>
-    val defs = primaryKeys.synchronized { primaryKeys.toSeq }
-    defs.foldLeft(lit(null).cast("string")) {
+    val pkDefs = primaryKeys.synchronized { primaryKeys.toSeq }
+    val fkDefs = foreignKeys.synchronized { foreignKeys.toSeq }
+    val withPk = pkDefs.foldLeft(lit(null).cast("string")) {
       case (acc, (_, (conname, cols))) =>
         when(args.head.cast("long") === oidOf(conname + "$con"),
           lit(s"PRIMARY KEY (${cols.mkString(", ")})")).otherwise(acc)
+    }
+    fkDefs.flatMap(_._2).foldLeft(withPk) {
+      case (acc, (conname, c, rt, rc)) =>
+        when(args.head.cast("long") === oidOf(conname + "$con"),
+          lit(s"FOREIGN KEY ($c) REFERENCES $rt($rc)")).otherwise(acc)
     }
   })
 
@@ -1119,10 +1146,11 @@ final class Compiler(spark: SparkSession, registry: Registry,
     // deterministic OID assignment order regardless of Map iteration
     val sorted = scope.toSeq.sortBy(_._1)
     val pks = primaryKeys.synchronized { primaryKeys.toMap }
+    val fks = foreignKeys.synchronized { foreignKeys.toMap }
     schema match {
       case Some("information_schema") =>
         PgCatalog.infoSchemaTable(spark, name, sorted)
-      case _ => PgCatalog.catalogTable(spark, name, sorted, oidOf, pks)
+      case _ => PgCatalog.catalogTable(spark, name, sorted, oidOf, pks, fks)
     }
   }
 

@@ -88,7 +88,8 @@ object PgCatalog {
   def catalogTable(spark: SparkSession, name: String,
       scope: Seq[(String, DataFrame)],
       oidOf: String => Long,
-      pks: Map[String, (String, Seq[String])] = Map.empty)
+      pks: Map[String, (String, Seq[String])] = Map.empty,
+      fks: Map[String, Seq[(String, String, String, String)]] = Map.empty)
       : Option[DataFrame] = name match {
     case "pg_namespace" => Some(pgNamespace(spark))
     case "pg_class" => Some(pgClass(spark, scope, oidOf, pks))
@@ -100,7 +101,7 @@ object PgCatalog {
     case "pg_collation" => Some(empty(spark,
       "oid" -> LongType, "collname" -> StringType,
       "collnamespace" -> LongType))
-    case "pg_constraint" => Some(pgConstraint(spark, scope, oidOf, pks))
+    case "pg_constraint" => Some(pgConstraint(spark, scope, oidOf, pks, fks))
     case "pg_index" => Some(pgIndex(spark, scope, oidOf, pks))
     case "pg_inherits" => Some(empty(spark,
       "inhrelid" -> LongType, "inhparent" -> LongType,
@@ -246,10 +247,14 @@ object PgCatalog {
     spark.createDataFrame(java.util.List.of(rows: _*), schema)
   }
 
-  /** pg_constraint: the `p` (primary key) rows for declared keys. */
+  /** pg_constraint: `p` rows for declared primary keys and `f` rows for
+    * declared foreign keys (conindid of an FK points at the referenced
+    * table's PK index, as in PG; confupd/del types are 'a' = NO ACTION —
+    * the only action metadata-only keys can promise). */
   private def pgConstraint(spark: SparkSession,
       scope: Seq[(String, DataFrame)], oidOf: String => Long,
-      pks: Map[String, (String, Seq[String])]): DataFrame = {
+      pks: Map[String, (String, Seq[String])],
+      fks: Map[String, Seq[(String, String, String, String)]]): DataFrame = {
     val schema = StructType(Seq(
       StructField("oid", LongType), StructField("conname", StringType),
       StructField("connamespace", LongType), StructField("contype", StringType),
@@ -260,13 +265,27 @@ object PgCatalog {
       StructField("contypid", LongType), StructField("conindid", LongType),
       StructField("conparentid", LongType), StructField("confrelid", LongType),
       StructField("conkey", ArrayType(IntegerType)),
-      StructField("confkey", ArrayType(IntegerType))))
-    val rows = pkRows(scope, oidOf, pks).map {
+      StructField("confkey", ArrayType(IntegerType)),
+      StructField("confupdtype", StringType),
+      StructField("confdeltype", StringType)))
+    val byName = scope.toMap
+    val pkConRows = pkRows(scope, oidOf, pks).map {
       case (_, relOid, conname, idxOid, attnums) =>
         Row(oidOf(conname + "$con"), conname, PublicNsOid, "p",
-          false, false, true, relOid, 0L, idxOid, 0L, 0L, attnums, null)
+          false, false, true, relOid, 0L, idxOid, 0L, 0L, attnums, null,
+          " ", " ")
     }
-    spark.createDataFrame(java.util.List.of(rows: _*), schema)
+    val fkConRows = for {
+      (t, list) <- fks.toSeq.sortBy(_._1)
+      tdf <- byName.get(t).toSeq
+      (conname, c, rt, rc) <- list
+      rdf <- byName.get(rt).toSeq
+      (pkCon, _) <- pks.get(rt).toSeq
+    } yield Row(oidOf(conname + "$con"), conname, PublicNsOid, "f",
+      false, false, true, oidOf(t), 0L, oidOf(pkCon), 0L, oidOf(rt),
+      keyAttnums(tdf, Seq(c)), keyAttnums(rdf, Seq(rc)), "a", "a")
+    spark.createDataFrame(
+      java.util.List.of(pkConRows ++ fkConRows: _*), schema)
   }
 
   private def pgClass(spark: SparkSession, scope: Seq[(String, DataFrame)],

@@ -282,7 +282,9 @@ final class Executor(val spark: SparkSession,
       scope --= names
       stats --= names
       sourcePaths --= names
-      names.foreach(compiler.dropPrimaryKey)
+      names.foreach { n =>
+        compiler.dropPrimaryKey(n); compiler.dropForeignKeysOf(n)
+      }
       None
 
     case AlterAddPrimaryKey(table, cname, cols) =>
@@ -299,6 +301,32 @@ final class Executor(val spark: SparkSession,
           s"column '$c' not found in table '$table'")
       }
       compiler.declarePrimaryKey(table, cname.getOrElse(table + "_pkey"), cols)
+      lastTagThunk = Some(() => "ALTER TABLE")
+      None
+
+    case AlterAddForeignKey(table, cname, cols, refTable, refCols) =>
+      val df = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      val rdf = scope.getOrElse(refTable,
+        throw CompileException(s"table '$refTable' not found in scope"))
+      if (cols.length != 1 || refCols.length != 1) throw CompileException(
+        "multi-column foreign keys are not supported")
+      if (!df.columns.contains(cols.head)) throw CompileException(
+        s"column '${cols.head}' not found in table '$table'")
+      if (!rdf.columns.contains(refCols.head)) throw CompileException(
+        s"column '${refCols.head}' not found in table '$refTable'")
+      // PG requires a unique index on the referenced column; the
+      // metadata analog is a declared primary key there — getImportedKeys
+      // resolves the FK through that index (conindid), so enforce it
+      compiler.primaryKeyOf(refTable) match {
+        case Some((_, pkCols)) if pkCols == refCols => ()
+        case _ => throw CompileException(
+          s"referenced column '${refTable}(${refCols.head})' must carry a " +
+            "declared PRIMARY KEY")
+      }
+      compiler.declareForeignKey(table,
+        cname.getOrElse(s"${table}_${cols.head}_fkey"),
+        cols.head, refTable, refCols.head)
       lastTagThunk = Some(() => "ALTER TABLE")
       None
 
@@ -391,7 +419,9 @@ final class Executor(val spark: SparkSession,
     scope += (name -> df)
     stats -= name
     sourcePaths -= name
-    compiler.dropPrimaryKey(name) // declared key no longer describes the data
+    // declared keys no longer describe the data (either side)
+    compiler.dropPrimaryKey(name)
+    compiler.dropForeignKeysOf(name)
   }
 
   /** A write just overwrote `p`: drop the ANALYZE stats of every scope

@@ -91,12 +91,23 @@ final class Parser(tokens: Vector[Token],
     val t = parseIdent()
     expectKw("add")
     val cname = if (acceptKw("constraint")) Some(parseIdent()) else None
-    expectKw("primary"); expectKw("key")
-    expectOp("(")
-    var cols = Seq(parseIdent())
-    while (acceptOp(",")) cols :+= parseIdent()
-    expectOp(")")
-    AlterAddPrimaryKey(t, cname, cols)
+    def colList(): Seq[String] = {
+      expectOp("(")
+      var cols = Seq(parseIdent())
+      while (acceptOp(",")) cols :+= parseIdent()
+      expectOp(")")
+      cols
+    }
+    if (acceptKw("primary")) {
+      expectKw("key")
+      AlterAddPrimaryKey(t, cname, colList())
+    } else {
+      expectKw("foreign"); expectKw("key")
+      val cols = colList()
+      expectKw("references")
+      val ref = parseIdent()
+      AlterAddForeignKey(t, cname, cols, ref, colList())
+    }
   }
 
   private def parseCopy(): Statement = {

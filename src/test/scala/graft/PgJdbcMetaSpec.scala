@@ -101,6 +101,41 @@ class PgJdbcMetaSpec extends AnyFunSuite {
       "rebind must invalidate the declared key")
   }
 
+  /** pgjdbc PgDatabaseMetaData#getImportedKeys(null, "public",
+    * "nation") — comma-join of 9 catalogs including a column-aliased
+    * generate_series table function and column-indexed subscripts. */
+  private val getImportedKeysSql =
+    """SELECT NULL::text AS PKTABLE_CAT, pkn.nspname AS PKTABLE_SCHEM, pkc.relname AS PKTABLE_NAME, pka.attname AS PKCOLUMN_NAME, NULL::text AS FKTABLE_CAT, fkn.nspname AS FKTABLE_SCHEM, fkc.relname AS FKTABLE_NAME, fka.attname AS FKCOLUMN_NAME, pos.n AS KEY_SEQ, CASE con.confupdtype  WHEN 'c' THEN 0 WHEN 'n' THEN 2 WHEN 'd' THEN 4 WHEN 'r' THEN 1 WHEN 'p' THEN 1 WHEN 'a' THEN 3 ELSE NULL END AS UPDATE_RULE, CASE con.confdeltype  WHEN 'c' THEN 0 WHEN 'n' THEN 2 WHEN 'd' THEN 4 WHEN 'r' THEN 1 WHEN 'p' THEN 1 WHEN 'a' THEN 3 ELSE NULL END AS DELETE_RULE, con.conname AS FK_NAME, pkic.relname AS PK_NAME, CASE  WHEN con.condeferrable AND con.condeferred THEN 5 WHEN con.condeferrable THEN 6 ELSE 7 END AS DEFERRABILITY FROM pg_catalog.pg_namespace pkn, pg_catalog.pg_class pkc, pg_catalog.pg_attribute pka, pg_catalog.pg_namespace fkn, pg_catalog.pg_class fkc, pg_catalog.pg_attribute fka, pg_catalog.pg_constraint con, pg_catalog.generate_series(1, 32) pos(n), pg_catalog.pg_class pkic WHERE pkn.oid = pkc.relnamespace AND pkc.oid = pka.attrelid AND pka.attnum = con.confkey[pos.n] AND con.confrelid = pkc.oid AND fkn.oid = fkc.relnamespace AND fkc.oid = fka.attrelid AND fka.attnum = con.conkey[pos.n] AND con.conrelid = fkc.oid AND con.contype = 'f' AND pkic.relkind = 'i' AND pkic.oid = con.conindid AND fkn.nspname = 'public' AND fkc.relname = 'nation' ORDER BY pkn.nspname,pkc.relname,con.conname,pos.n"""
+
+  test("a declared foreign key surfaces through the verbatim getImportedKeys") {
+    // FK requires the referenced column to carry a declared PK (the
+    // metadata analog of PG's unique-index requirement)
+    val e0 = intercept[Exception] {
+      exec.execute(
+        "ALTER TABLE nation ADD FOREIGN KEY (n_regionkey) REFERENCES region (r_regionkey)")
+    }
+    assert(String.valueOf(e0.getMessage).contains("PRIMARY KEY"), e0.getMessage)
+    exec.execute("ALTER TABLE region ADD PRIMARY KEY (r_regionkey)")
+    exec.execute(
+      "ALTER TABLE nation ADD FOREIGN KEY (n_regionkey) REFERENCES region (r_regionkey)")
+    val rows = exec.query(getImportedKeysSql).collect()
+    assert(rows.length == 1, rows.mkString(", "))
+    val r = rows.head
+    assert((r.getString(1), r.getString(2), r.getString(3),
+      r.getString(5), r.getString(6), r.getString(7),
+      r.getAs[Number](8).intValue(), r.getString(11), r.getString(12)) ==
+      ("public", "region", "r_regionkey",
+        "public", "nation", "n_regionkey",
+        1, "nation_n_regionkey_fkey", "region_pkey"), r.toString)
+    // UPDATE/DELETE rules are NO ACTION (3) for metadata-only keys
+    assert(r.getAs[Number](9).intValue() == 3 &&
+      r.getAs[Number](10).intValue() == 3)
+    // rebinding the REFERENCED table drops the dependent FK as stale
+    exec.execute("CREATE TABLE region AS SELECT * FROM region")
+    assert(exec.query(getImportedKeysSql).collect().isEmpty,
+      "rebinding the referenced table must invalidate the FK")
+  }
+
   test("_pg_expandarray expands a 1-element key and fails loudly on wider") {
     val one = exec.query(
       "SELECT (information_schema._pg_expandarray(array[7])).x AS x, " +
