@@ -1149,7 +1149,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
     val fks = foreignKeys.synchronized { foreignKeys.toMap }
     schema match {
       case Some("information_schema") =>
-        PgCatalog.infoSchemaTable(spark, name, sorted)
+        PgCatalog.infoSchemaTable(spark, name, sorted, pks, fks)
       case _ => PgCatalog.catalogTable(spark, name, sorted, oidOf, pks, fks)
     }
   }

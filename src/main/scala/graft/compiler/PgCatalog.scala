@@ -144,7 +144,71 @@ object PgCatalog {
   /** information_schema.{schemata,tables,columns} — the ANSI face of the
     * same scope reflection (SQLAlchemy and many BI tools read these). */
   def infoSchemaTable(spark: SparkSession, name: String,
-      scope: Seq[(String, DataFrame)]): Option[DataFrame] = name match {
+      scope: Seq[(String, DataFrame)],
+      pks: Map[String, (String, Seq[String])] = Map.empty,
+      fks: Map[String, Seq[(String, String, String, String)]] = Map.empty)
+      : Option[DataFrame] = name match {
+    case "table_constraints" =>
+      // ANSI face of the declared keys (SQLAlchemy reads these)
+      val rows =
+        pks.toSeq.sortBy(_._1).map { case (t, (con, _)) =>
+          Row("graft", "public", con, "graft", "public", t,
+            "PRIMARY KEY", "NO", "NO")
+        } ++ fks.toSeq.sortBy(_._1).flatMap { case (t, list) =>
+          list.map { case (con, _, _, _) =>
+            Row("graft", "public", con, "graft", "public", t,
+              "FOREIGN KEY", "NO", "NO")
+          }
+        }
+      Some(spark.createDataFrame(java.util.List.of(rows: _*),
+        StructType(Seq(StructField("constraint_catalog", StringType),
+          StructField("constraint_schema", StringType),
+          StructField("constraint_name", StringType),
+          StructField("table_catalog", StringType),
+          StructField("table_schema", StringType),
+          StructField("table_name", StringType),
+          StructField("constraint_type", StringType),
+          StructField("is_deferrable", StringType),
+          StructField("initially_deferred", StringType)))))
+    case "key_column_usage" =>
+      val rows =
+        pks.toSeq.sortBy(_._1).flatMap { case (t, (con, cols)) =>
+          cols.zipWithIndex.map { case (c, i) =>
+            Row("graft", "public", con, "graft", "public", t, c, i + 1)
+          }
+        } ++ fks.toSeq.sortBy(_._1).flatMap { case (t, list) =>
+          list.map { case (con, c, _, _) =>
+            Row("graft", "public", con, "graft", "public", t, c, 1)
+          }
+        }
+      Some(spark.createDataFrame(java.util.List.of(rows: _*),
+        StructType(Seq(StructField("constraint_catalog", StringType),
+          StructField("constraint_schema", StringType),
+          StructField("constraint_name", StringType),
+          StructField("table_catalog", StringType),
+          StructField("table_schema", StringType),
+          StructField("table_name", StringType),
+          StructField("column_name", StringType),
+          StructField("ordinal_position", IntegerType)))))
+    case "referential_constraints" =>
+      val rows = fks.toSeq.sortBy(_._1).flatMap { case (_, list) =>
+        list.flatMap { case (con, _, rt, _) =>
+          pks.get(rt).map { case (pkCon, _) =>
+            Row("graft", "public", con, "graft", "public", pkCon,
+              "NONE", "NO ACTION", "NO ACTION")
+          }
+        }
+      }
+      Some(spark.createDataFrame(java.util.List.of(rows: _*),
+        StructType(Seq(StructField("constraint_catalog", StringType),
+          StructField("constraint_schema", StringType),
+          StructField("constraint_name", StringType),
+          StructField("unique_constraint_catalog", StringType),
+          StructField("unique_constraint_schema", StringType),
+          StructField("unique_constraint_name", StringType),
+          StructField("match_option", StringType),
+          StructField("update_rule", StringType),
+          StructField("delete_rule", StringType)))))
     case "schemata" => Some(spark.createDataFrame(
       java.util.List.of(
         Row("graft", "public", "graft"),

@@ -149,6 +149,34 @@ class PgJdbcMetaSpec extends AnyFunSuite {
       s"expected loud multi-column failure, got: ${e.getMessage}")
   }
 
+  test("information_schema constraint views reflect declared keys") {
+    // relies on the prior tests' declarations: region PK + nation FK
+    // were declared, then nation PK was dropped by rebinding and region
+    // was rebound too — re-declare a clean pair here
+    exec.execute("ALTER TABLE region ADD PRIMARY KEY (r_regionkey)")
+    exec.execute(
+      "ALTER TABLE nation ADD FOREIGN KEY (n_regionkey) REFERENCES region (r_regionkey)")
+    val tc = exec.query(
+      "SELECT constraint_name, table_name, constraint_type " +
+        "FROM information_schema.table_constraints ORDER BY constraint_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(tc.contains(("region_pkey", "region", "PRIMARY KEY")), tc.toSeq)
+    assert(tc.contains(("nation_n_regionkey_fkey", "nation", "FOREIGN KEY")),
+      tc.toSeq)
+    val kcu = exec.query(
+      "SELECT constraint_name, column_name, ordinal_position " +
+        "FROM information_schema.key_column_usage ORDER BY constraint_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(kcu.contains(("region_pkey", "r_regionkey", 1)), kcu.toSeq)
+    assert(kcu.contains(("nation_n_regionkey_fkey", "n_regionkey", 1)), kcu.toSeq)
+    val rc = exec.query(
+      "SELECT constraint_name, unique_constraint_name, delete_rule " +
+        "FROM information_schema.referential_constraints").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rc.toSeq == Seq(("nation_n_regionkey_fkey", "region_pkey",
+      "NO ACTION")), rc.toSeq)
+  }
+
   // ---- wire-level round trip: the same metadata SQL over PgWire via psql
   private def havePsql = new java.io.File("/usr/bin/psql").canExecute
 
