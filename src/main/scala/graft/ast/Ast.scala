@@ -119,6 +119,13 @@ sealed trait Statement extends SqlNode
 
 final case class Select(
     cte: Seq[(String, Select)] = Nil,
+    /** `WITH RECURSIVE` — CTE entries whose bodies reference their own
+      * name are evaluated as an iterative fixpoint (PG semantics: the
+      * recursive term sees the rows added by the previous iteration
+      * only). Extension; the reference has no recursive CTEs. */
+    cteRecursive: Boolean = false,
+    /** declared column alias lists: `WITH t(n, p) AS (...)` */
+    cteCols: Map[String, Seq[String]] = Map.empty,
     distinct: Boolean = false,
     /** PG `DISTINCT ON (exprs)` — keep first row per key under ORDER BY
       * (unsupported xfail in the reference,

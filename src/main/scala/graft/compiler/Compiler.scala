@@ -40,9 +40,16 @@ final class Compiler(spark: SparkSession, registry: Registry,
 
   /** Resolve-and-compile a full SELECT against a scope (name → DataFrame). */
   def compileSelect(sel: Select, scope: Map[String, DataFrame]): DataFrame = {
-    // CTEs evaluate into a child scope (reference _executor.py:167-171)
+    // CTEs evaluate into a child scope (reference _executor.py:167-171).
+    // Under WITH RECURSIVE, an entry whose body references its own name
+    // takes the iterative-fixpoint path instead of plain evaluation.
     val scope2 = sel.cte.foldLeft(scope) { case (sc, (name, sub)) =>
-      sc + (name -> compileSelect(sub, sc))
+      val declared = sel.cteCols.getOrElse(name, Nil)
+      val df =
+        if (sel.cteRecursive && selectReferences(sub, name))
+          compileRecursiveCte(name, declared, sub, sc)
+        else withDeclaredCols(compileSelect(sub, sc), name, declared)
+      sc + (name -> df)
     }
     var df = compileCore(sel, scope2)
 
@@ -126,6 +133,140 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case other => other
     }
     f(r)
+  }
+
+  // -------------------------------------------------------- recursive CTEs
+
+  /** Apply a declared CTE column list: `WITH t(a, b) AS (...)`. */
+  private def withDeclaredCols(df: DataFrame, name: String,
+      declared: Seq[String]): DataFrame =
+    if (declared.isEmpty) df
+    else if (declared.length != df.columns.length)
+      throw CompileException(s"CTE $name declares ${declared.length} columns " +
+        s"but its body produces ${df.columns.length}")
+    else df.toDF(declared: _*)
+
+  /** Does `sel` (or any nested select) read from table `name`? Drives
+    * the WITH RECURSIVE classification of base vs recursive arms. An
+    * inner CTE of the same name shadows the outer one (PG behavior), so
+    * the walk stops there. */
+  private def selectReferences(sel: Select, name: String): Boolean = {
+    def rel(r: Relation): Boolean = r match {
+      case TableRef(None, t, _) => t.equalsIgnoreCase(name)
+      case TableRef(_, _, _) => false
+      case SubqueryRel(s, _) => selectReferences(s, name)
+      case SampleRel(c, _, _, _) => rel(c)
+      case JoinRel(_, l, r2, on) => rel(l) || rel(r2) || on.exists(expr)
+      case TableFunctionRel(_, args, _, _, _) => args.exists(expr)
+      case ValuesRel(_, _, _) => false
+    }
+    def expr(e: Expr): Boolean = e match {
+      case ScalarSubquery(s) => selectReferences(s, name)
+      case InSubquery(x, s, _) => expr(x) || selectReferences(s, name)
+      case ExistsSubquery(s, _) => selectReferences(s, name)
+      case QuantifiedCmp(_, x, s, _) => expr(x) || selectReferences(s, name)
+      case BinaryOp(_, l, r) => expr(l) || expr(r)
+      case UnaryOp(_, x) => expr(x)
+      case Call(_, args) => args.exists(expr)
+      case CallSet(_, args, _, _) => args.exists(expr)
+      case CallAnalytics(c, pb, ob, _) =>
+        expr(c) || pb.exists(expr) || ob.exists(si => expr(si.e))
+      case CastExpr(x, _) => expr(x)
+      case FieldAccess(x, _) => expr(x)
+      case CaseExpr(bs, o) =>
+        bs.exists { case (c, v) => expr(c) || expr(v) } || o.exists(expr)
+      case InList(x, vs, _) => expr(x) || vs.exists(expr)
+      case RowCtor(items) => items.exists(expr)
+      case OuterTagged(x) => expr(x)
+      case _ => false
+    }
+    if (sel.cte.exists(_._1.equalsIgnoreCase(name))) false // shadowed
+    else sel.from.exists(rel) ||
+      sel.items.exists { case ExprItem(e, _) => expr(e); case _ => false } ||
+      sel.where.exists(expr) || sel.having.exists(expr) ||
+      sel.qualify.exists(expr) ||
+      sel.setOps.exists { case (_, s) => selectReferences(s, name) }
+  }
+
+  /** `WITH RECURSIVE name AS (base UNION [ALL] recursive)` — iterative
+    * fixpoint with PostgreSQL semantics: the recursive term is re-run
+    * with `name` bound to the *working table* (only the rows produced by
+    * the previous iteration, not the whole accumulation), until an
+    * iteration adds no rows. `UNION` deduplicates globally — each
+    * iteration's rows are set-subtracted against everything seen so far
+    * (which also terminates cyclic graphs); `UNION ALL` appends as-is.
+    *
+    * Scale shape: each iteration is one Spark job over the working
+    * table (typically a frontier, small relative to the accumulation);
+    * the delta is materialized through [[graft.Checkpoints]] so plan
+    * lineage stays flat (a reliable checkpoint on a real cluster when
+    * `graft.checkpoint.dir` is set). The final result is a flat union of
+    * the materialized deltas — never re-written per iteration, so total
+    * work is O(Σ|deltaᵢ|) plus, under UNION, the per-iteration
+    * set-difference scan that the semantics themselves require. The only
+    * driver-side value per iteration is the delta's emptiness check.
+    *
+    * The iteration cap (`graft.recursive.maxIterations`, default 1000)
+    * turns a non-terminating recursion into a loud error instead of an
+    * infinite loop. */
+  private def compileRecursiveCte(name: String, declared: Seq[String],
+      sub: Select, scope: Map[String, DataFrame]): DataFrame = {
+    if (sub.setOps.isEmpty)
+      throw CompileException(s"recursive CTE $name must be " +
+        "'base UNION [ALL] recursive-term'")
+    if (sub.orderBy.nonEmpty || sub.limit.nonEmpty || sub.offset.nonEmpty)
+      throw CompileException(s"recursive CTE $name: ORDER BY/LIMIT/OFFSET " +
+        "on the recursive union is not supported")
+    val coreRefs = selectReferences(sub.copy(setOps = Nil), name)
+    if (coreRefs)
+      throw CompileException(s"recursive CTE $name: the non-recursive " +
+        "(base) term may not reference the CTE")
+    val (recArms, baseArms) = sub.setOps.partition {
+      case (_, s) => selectReferences(s, name)
+    }
+    if (recArms.isEmpty) // plain self-less union; treat as ordinary CTE
+      return withDeclaredCols(compileSelect(sub, scope), name, declared)
+    val badOp = (recArms ++ baseArms).collect {
+      case (op, _) if op != "union" && op != "union all" => op }
+    if (badOp.nonEmpty)
+      throw CompileException(s"recursive CTE $name: only UNION [ALL] may " +
+        s"combine arms (got ${badOp.head})")
+    val distinctMode = recArms.exists(_._1 == "union")
+
+    val base0 = compileSelect(
+      sub.copy(setOps = baseArms, cte = Nil, cteRecursive = false), scope)
+    val base = withDeclaredCols(
+      if (distinctMode) base0.distinct() else base0, name, declared)
+    val outCols = base.columns.toSeq
+
+    val maxIters = spark.conf.get("graft.recursive.maxIterations", "1000").toInt
+    var working = graft.Checkpoints.materialize(base)
+    val deltas = scala.collection.mutable.ArrayBuffer(working)
+    var done = working.isEmpty
+    var iter = 0
+    while (!done) {
+      iter += 1
+      if (iter > maxIters)
+        throw CompileException(s"recursive CTE $name exceeded " +
+          s"$maxIters iterations (raise graft.recursive.maxIterations " +
+          "if the recursion is genuinely this deep)")
+      val stepScope = scope + (name -> working)
+      val step0 = recArms.map { case (_, s) =>
+        val armDf = compileSelect(s.copy(cteRecursive = false), stepScope)
+        if (armDf.columns.length != outCols.length)
+          throw CompileException(s"recursive CTE $name: recursive term " +
+            s"produces ${armDf.columns.length} columns, base has " +
+            s"${outCols.length}")
+        armDf.toDF(outCols: _*)
+      }.reduce(_ union _)
+      val step =
+        if (distinctMode) step0.except(deltas.reduce(_ union _))
+        else step0
+      working = graft.Checkpoints.materialize(step)
+      done = working.isEmpty
+      if (!done) deltas += working
+    }
+    deltas.reduce(_ union _)
   }
 
   // ------------------------------------------------------------- core select

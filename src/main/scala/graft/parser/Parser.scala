@@ -245,12 +245,22 @@ final class Parser(tokens: Vector[Token],
 
   // ----------------------------------------------------------------- select
   def parseSelect(): Select = {
+    var cteRecursive = false
+    var cteCols = Map.empty[String, Seq[String]]
     val cte =
       if (acceptKw("with")) {
+        cteRecursive = acceptKw("recursive")
         var entries = Seq.empty[(String, Select)]
         var done = false
         while (!done) {
           val name = parseIdent()
+          // optional declared column list: WITH t(n, path) AS (...)
+          if (acceptOp("(")) {
+            var cols = Seq(parseIdent())
+            while (acceptOp(",")) cols :+= parseIdent()
+            expectOp(")")
+            cteCols += (name -> cols)
+          }
           expectKw("as"); expectOp("(")
           val sub = parseSelect()
           expectOp(")")
@@ -260,7 +270,8 @@ final class Parser(tokens: Vector[Token],
         entries
       } else Nil
 
-    var sel = parseCoreSelect().copy(cte = cte)
+    var sel = parseCoreSelect().copy(cte = cte, cteRecursive = cteRecursive,
+      cteCols = cteCols)
 
     // set operations chain
     var setOps = Seq.empty[(String, Select)]

@@ -187,6 +187,39 @@ object EngineSql {
           |from nation
           |group by grouping sets ((n_regionkey), (n_nationkey % 2), ())""".stripMargin),
 
+      // WITH RECURSIVE, UNION ALL: per-row recursion depth driven by the
+      // data (nation k recurses k+1 times; fixpoint after max(k)+1
+      // iterations, each ONE job over the shrinking frontier)
+      "fq_recursive_series" -> same(
+        """with recursive t(k, n) as (
+          |  select n_nationkey, 0 from nation
+          |  union all
+          |  select k, n + 1 from t where n < k
+          |)
+          |select cast(count(1) as bigint) as cnt,
+          |  cast(sum(n) as bigint) as total, max(n) as hi from t""".stripMargin),
+
+      // WITH RECURSIVE, join in the recursive term: walk the
+      // region→nation hierarchy accumulating a path string
+      "fq_recursive_tree" -> same(
+        """with recursive h(id, parent, path, depth) as (
+          |  select r_regionkey + 100, -1, r_name, 0 from region
+          |  union all
+          |  select n_nationkey, h.id, h.path || '/' || n_name, h.depth + 1
+          |  from nation join h on n_regionkey + 100 = h.id
+          |)
+          |select id, parent, path, depth from h order by depth, id""".stripMargin),
+
+      // WITH RECURSIVE, UNION (distinct): +7 mod 25 walk visits every
+      // residue then cycles — only the set-semantics dedup terminates it
+      "fq_recursive_reach" -> same(
+        """with recursive reach(id) as (
+          |  select 0
+          |  union
+          |  select cast((id + 7) % 25 as int) from reach
+          |)
+          |select cast(count(1) as bigint) as cnt, max(id) as hi from reach""".stripMargin),
+
       // TPC-H Q17 shape: correlated scalar subquery decorrelated to a
       // grouped aggregate left join (avg small-quantity threshold per part)
       "fq_q17_small_qty" -> same(

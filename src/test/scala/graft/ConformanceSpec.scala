@@ -78,6 +78,73 @@ class ConformanceSpec extends AnyFunSuite {
     check("""with temp as (select c1 as a, c2 as b from test)
              select a + b from temp""")
   }
+
+  // ------------------------------------------------------ recursive CTEs
+  test("recursive cte: union all series") {
+    checkLit(
+      """with recursive t(n) as (select 1 union all select n + 1 from t where n < 5)
+        |select n from t""".stripMargin,
+      Seq(Seq(1), Seq(2), Seq(3), Seq(4), Seq(5)))
+  }
+  test("recursive cte: union distinct terminates a cycle") {
+    checkLit(
+      """with recursive r(id) as (select 0 union select (id + 1) % 3 from r)
+        |select id from r""".stripMargin,
+      Seq(Seq(0), Seq(1), Seq(2)))
+  }
+  test("recursive cte: join in the recursive term walks a chain") {
+    checkLit(
+      """with recursive d(id, depth) as (
+        |  select 0, 0
+        |  union all
+        |  select e.c, d.depth + 1
+        |  from (values (1, 0), (2, 1), (3, 2)) as e(c, p)
+        |  join d on e.p = d.id
+        |)
+        |select id, depth from d""".stripMargin,
+      Seq(Seq(0, 0), Seq(1, 1), Seq(2, 2), Seq(3, 3)))
+  }
+  test("recursive cte: declared columns rename a plain cte too") {
+    checkLit(
+      "with recursive t(a, b) as (select 1, 2) select b, a from t",
+      Seq(Seq(2, 1)))
+  }
+  test("recursive cte: only UNION may combine arms") {
+    val e = intercept[graft.compiler.CompileException] {
+      exec.query(
+        "with recursive t(n) as (select 1 intersect select n from t) select n from t")
+        .collect()
+    }
+    assert(e.getMessage.contains("UNION"))
+  }
+  test("recursive cte: base term may not self-reference") {
+    val e = intercept[graft.compiler.CompileException] {
+      exec.query(
+        """with recursive t(n) as (
+          |  select n from t union all select 1) select n from t""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("base"))
+  }
+  test("recursive cte: declared column arity is enforced") {
+    val e = intercept[graft.compiler.CompileException] {
+      exec.query(
+        "with recursive t(a, b) as (select 1 union all select a from t) select a from t")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("column"))
+  }
+  test("recursive cte: iteration cap fails loudly, not forever") {
+    spark.conf.set("graft.recursive.maxIterations", "5")
+    try {
+      val e = intercept[graft.compiler.CompileException] {
+        exec.query(
+          "with recursive t(n) as (select 1 union all select n + 1 from t) select n from t")
+          .collect()
+      }
+      assert(e.getMessage.contains("5 iterations"))
+    } finally spark.conf.unset("graft.recursive.maxIterations")
+  }
   test("table wildcard") { check("select test.* from test") }
   test("group by boolean expression") {
     // spark.sql reads `1 = 1` as ordinal-1 = 1; rewrite to a constant
