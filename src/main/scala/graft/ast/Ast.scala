@@ -106,6 +106,17 @@ final case class ValuesRel(rows: Seq[Seq[Expr]], alias: Option[String],
   * native sample. */
 final case class SampleRel(child: Relation, method: String,
     percent: Double, seed: Option[Long]) extends Relation
+/** `rel PIVOT (agg(e) FOR col IN (v1 [AS name], ...))` — Spark-SQL-style
+  * pivot with an explicit value list (no extra distinct-values job at
+  * scale). Grouping keys are, implicitly, every child column not
+  * referenced by the aggregate or the FOR column. */
+final case class PivotRel(child: Relation, agg: Expr, forCol: ColRef,
+    values: Seq[(Expr, Option[String])]) extends Relation
+/** `rel UNPIVOT [INCLUDE NULLS] (val FOR name IN (c1 [AS 'label'], ...))`
+  * — melt columns to rows; SQL-standard EXCLUDE NULLS is the default. */
+final case class UnpivotRel(child: Relation, valueCol: String,
+    nameCol: String, cols: Seq[(ColRef, Option[String])],
+    includeNulls: Boolean) extends Relation
 final case class TableFunctionRel(func: String, args: Seq[Expr],
     alias: Option[String], lateral: Boolean,
     /** column names from an `alias(col, …)` alias list (PG FROM-clause

@@ -156,6 +156,9 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case TableRef(_, _, _) => false
       case SubqueryRel(s, _) => selectReferences(s, name)
       case SampleRel(c, _, _, _) => rel(c)
+      case PivotRel(c, agg, _, vs) =>
+        rel(c) || expr(agg) || vs.exists(v => expr(v._1))
+      case UnpivotRel(c, _, _, _, _) => rel(c)
       case JoinRel(_, l, r2, on) => rel(l) || rel(r2) || on.exists(expr)
       case TableFunctionRel(_, args, _, _, _) => args.exists(expr)
       case ValuesRel(_, _, _) => false
@@ -707,6 +710,8 @@ final class Compiler(spark: SparkSession, registry: Registry,
     case SubqueryRel(_, a) => a.toSet
     case ValuesRel(_, a, _) => a.toSet
     case SampleRel(child, _, _, _) => relAliases(child)
+    case PivotRel(child, _, _, _) => relAliases(child)
+    case UnpivotRel(child, _, _, _, _) => relAliases(child)
     case TableFunctionRel(f, _, a, _, _) => Set(a.getOrElse(f))
     case JoinRel(_, l, rr, _) => relAliases(l) ++ relAliases(rr)
   }
@@ -1092,6 +1097,14 @@ final class Compiler(spark: SparkSession, registry: Registry,
     (joinFn, postExpr, Seq.empty)
   }
 
+  /** PIVOT/UNPIVOT child: the pivoted relation replaces its input's
+    * identity, so a derived-table input needs no alias of its own. */
+  private def pivotChild(r: Relation, scope: Map[String, DataFrame]): DataFrame =
+    r match {
+      case SubqueryRel(sub, None) => compileSelect(sub, scope)
+      case other => compileRelation(other, scope)
+    }
+
   // -------------------------------------------------------------- relations
   def compileRelation(rel: Relation, scope: Map[String, DataFrame]): DataFrame =
     rel match {
@@ -1146,6 +1159,59 @@ final class Compiler(spark: SparkSession, registry: Registry,
                 lit(1000000L)) < lit(math.round(pct * 10000)))
           case None => df.sample(pct / 100.0)
         }
+      case PivotRel(child, agg, forCol, values) =>
+        // Spark-native pivot with an EXPLICIT value list: no
+        // distinct-values discovery job, and the output schema is known
+        // at compile time — the shape that scales (one hash aggregation,
+        // map-side partials per pivot cell).
+        val df = pivotChild(child, scope)
+        val cs = agg match {
+          case c: CallSet => c
+          case Call(fn, args) => CallSet(fn, args)
+          case _ => throw CompileException(
+            "PIVOT expects a single aggregate function call")
+        }
+        def pivotLit(e: Expr): Any = e match {
+          case IntLit(n) => n
+          case FloatLit(f) => f
+          case StringLit(s) => s
+          case UnaryOp("-", IntLit(n)) => -n
+          case UnaryOp("-", FloatLit(f)) => -f
+          case _ => throw CompileException(
+            "PIVOT IN values must be literals")
+        }
+        val aggRefs = cs.args.flatMap(collectColRefs)
+          .map(_.last.toLowerCase).toSet
+        val forName = forCol.parts.last
+        if (!df.columns.exists(_.equalsIgnoreCase(forName)))
+          throw CompileException(s"PIVOT column '$forName' not found")
+        // implicit grouping: every child column not consumed by the
+        // aggregate or the FOR column (Spark SQL PIVOT semantics)
+        val groupCols = df.columns.filterNot(c =>
+          c.equalsIgnoreCase(forName) || aggRefs.contains(c.toLowerCase))
+        val pivoted = df.groupBy(groupCols.map(col).toSeq: _*)
+          .pivot(forName, values.map(v => pivotLit(v._1)))
+          .agg(compileAggCall(cs))
+        val outNames = groupCols.toSeq ++ values.map { case (v, n) =>
+          n.getOrElse(pivotLit(v).toString) }
+        pivoted.toDF(outNames: _*)
+      case UnpivotRel(child, valueCol, nameCol, colSpecs, includeNulls) =>
+        val df = pivotChild(child, scope)
+        val melted = colSpecs.map { case (c, label) =>
+          val cn = c.parts.last
+          df.columns.find(_.equalsIgnoreCase(cn)).getOrElse(
+            throw CompileException(s"UNPIVOT column '$cn' not found"))
+          (cn, label.getOrElse(cn))
+        }
+        val ids = df.columns.filterNot(c =>
+          melted.exists(_._1.equalsIgnoreCase(c)))
+        // a narrow Expand (one output row per listed column) — no
+        // shuffle; the label is the value column's output name
+        val un = df.unpivot(
+          ids.map(col),
+          melted.map { case (cn, label) => col(cn).as(label) }.toArray,
+          nameCol, valueCol)
+        if (includeNulls) un else un.filter(col(valueCol).isNotNull)
       case ValuesRel(rows, alias, columns) =>
         // one single-row projection per tuple, unioned — Catalyst folds
         // this to a LocalRelation (type-coercing across rows), so no jobs

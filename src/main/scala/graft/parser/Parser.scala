@@ -517,6 +517,9 @@ final class Parser(tokens: Vector[Token],
     left
   }
 
+  /** keywords that may follow a relation and therefore can't be an alias */
+  private val relSuffixKws = Set("tablesample", "qualify", "pivot", "unpivot")
+
   private def parseRelation(): Relation = {
     val lateral = acceptKw("lateral")
     if (peekOp("(")) {
@@ -536,7 +539,7 @@ final class Parser(tokens: Vector[Token],
         acceptKw("as")
         val alias = peek match {
           case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
-              !Set("tablesample", "qualify")(t.lower)) || t.kind == TQuotedIdent =>
+              !relSuffixKws(t.lower)) || t.kind == TQuotedIdent =>
             next(); Some(t.value)
           case _ => None
         }
@@ -553,7 +556,7 @@ final class Parser(tokens: Vector[Token],
       acceptKw("as")
       val alias = peek match {
         case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
-            !Set("tablesample", "qualify")(t.lower)) || t.kind == TQuotedIdent =>
+            !relSuffixKws(t.lower)) || t.kind == TQuotedIdent =>
           next(); Some(t.value)
         case _ => None
       }
@@ -579,7 +582,7 @@ final class Parser(tokens: Vector[Token],
       acceptKw("as")
       val alias = peek match {
         case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
-            !Set("tablesample", "qualify")(t.lower)) || t.kind == TQuotedIdent =>
+            !relSuffixKws(t.lower)) || t.kind == TQuotedIdent =>
           next(); Some(t.value)
         case _ => None
       }
@@ -603,36 +606,79 @@ final class Parser(tokens: Vector[Token],
     acceptKw("as")
     val alias = peek match {
       case Some(t) if (t.kind == TIdent && !reserved(t.lower) &&
-          !Set("tablesample", "qualify")(t.lower)) || t.kind == TQuotedIdent =>
+          !relSuffixKws(t.lower)) || t.kind == TQuotedIdent =>
         next(); Some(t.value)
       case _ => None
     }
     parseSampleOpt(TableRef(schema, name, alias))
   }
 
-  /** optional `TABLESAMPLE method(pct) [REPEATABLE(seed)]` suffix */
-  private def parseSampleOpt(rel: Relation): Relation =
-    if (acceptKw("tablesample")) {
-      val method = parseIdent().toLowerCase
-      expectOp("(")
-      val pct = parseExpr() match {
-        case IntLit(n) => n.toDouble
-        case FloatLit(f) => f
-        case _ => fail("TABLESAMPLE expects a numeric percentage")
-      }
-      expectOp(")")
-      val seed =
-        if (acceptKw("repeatable")) {
-          expectOp("(")
-          val s = parseExpr() match {
-            case IntLit(n) => n
-            case _ => fail("REPEATABLE expects an integer seed")
-          }
-          expectOp(")")
-          Some(s)
-        } else None
-      SampleRel(rel, method, pct, seed)
-    } else rel
+  /** optional relation suffixes, any order/number:
+    * `TABLESAMPLE method(pct) [REPEATABLE(seed)]`, `PIVOT (...)`,
+    * `UNPIVOT [INCLUDE|EXCLUDE NULLS] (...)` */
+  private def parseSampleOpt(rel0: Relation): Relation = {
+    var rel = rel0
+    var going = true
+    while (going) {
+      if (acceptKw("tablesample")) {
+        val method = parseIdent().toLowerCase
+        expectOp("(")
+        val pct = parseExpr() match {
+          case IntLit(n) => n.toDouble
+          case FloatLit(f) => f
+          case _ => fail("TABLESAMPLE expects a numeric percentage")
+        }
+        expectOp(")")
+        val seed =
+          if (acceptKw("repeatable")) {
+            expectOp("(")
+            val s = parseExpr() match {
+              case IntLit(n) => n
+              case _ => fail("REPEATABLE expects an integer seed")
+            }
+            expectOp(")")
+            Some(s)
+          } else None
+        rel = SampleRel(rel, method, pct, seed)
+      } else if (acceptKw("pivot")) {
+        expectOp("(")
+        val agg = parseExpr()
+        expectKw("for")
+        val forCol = ColRef(Seq(parseIdent()))
+        expectKw("in"); expectOp("(")
+        var values = Seq.empty[(Expr, Option[String])]
+        do {
+          val v = parseExpr()
+          val name = if (acceptKw("as")) Some(parseIdent()) else None
+          values :+= (v -> name)
+        } while (acceptOp(","))
+        expectOp(")"); expectOp(")")
+        rel = PivotRel(rel, agg, forCol, values)
+      } else if (acceptKw("unpivot")) {
+        val includeNulls =
+          if (acceptKw("include")) { expectKw("nulls"); true }
+          else { if (acceptKw("exclude")) expectKw("nulls"); false }
+        expectOp("(")
+        val valueCol = parseIdent()
+        expectKw("for")
+        val nameCol = parseIdent()
+        expectKw("in"); expectOp("(")
+        var cols = Seq.empty[(ColRef, Option[String])]
+        do {
+          val c = ColRef(Seq(parseIdent()))
+          val label = if (acceptKw("as")) Some(next() match {
+            case t if t.kind == TString => t.value
+            case t if t.kind == TIdent || t.kind == TQuotedIdent => t.value
+            case _ => fail("UNPIVOT label must be a string or identifier")
+          }) else None
+          cols :+= (c -> label)
+        } while (acceptOp(","))
+        expectOp(")"); expectOp(")")
+        rel = UnpivotRel(rel, valueCol, nameCol, cols, includeNulls)
+      } else going = false
+    }
+    rel
+  }
 
   // ------------------------------------------------------------ expressions
   def parseExpr(): Expr = parseOr()

@@ -182,6 +182,35 @@ object EngineSql {
 
       // multi-level aggregate through the engine: GROUPING SETS compile to
       // one Expand pass (no per-level rescan)
+      // PIVOT with an explicit value list (one hash agg, no
+      // distinct-values discovery job); oracle is the CASE expansion
+      "fq_pivot" -> (
+        """select * from (
+          |  select n_regionkey as rk, n_nationkey % 3 as m,
+          |    cast(n_nationkey as bigint) as nk
+          |  from nation
+          |) pivot (sum(nk) for m in (0 as m0, 1 as m1, 2 as m2))
+          |order by rk""".stripMargin,
+        """SELECT n_regionkey AS rk,
+          |  cast(sum(CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey END) as bigint) AS m0,
+          |  cast(sum(CASE WHEN n_nationkey % 3 = 1 THEN n_nationkey END) as bigint) AS m1,
+          |  cast(sum(CASE WHEN n_nationkey % 3 = 2 THEN n_nationkey END) as bigint) AS m2
+          |FROM nation GROUP BY n_regionkey ORDER BY rk""".stripMargin),
+
+      // UNPIVOT (melt to rows — a narrow Expand, no shuffle); oracle is
+      // the UNION ALL expansion
+      "fq_unpivot" -> (
+        """select n_name, metric, val from (
+          |  select n_name, cast(n_regionkey as bigint) as rk,
+          |    cast(n_nationkey as bigint) as nk
+          |  from nation
+          |) unpivot (val for metric in (rk, nk))
+          |order by n_name, metric""".stripMargin,
+        """SELECT n_name, 'rk' AS metric, cast(n_regionkey as bigint) AS val FROM nation
+          |UNION ALL
+          |SELECT n_name, 'nk' AS metric, cast(n_nationkey as bigint) AS val FROM nation
+          |ORDER BY n_name, metric""".stripMargin),
+
       "fq_grouping_sets" -> same(
         """select n_regionkey, n_nationkey % 2 as par, count(1) as n
           |from nation

@@ -79,6 +79,48 @@ class ConformanceSpec extends AnyFunSuite {
              select a + b from temp""")
   }
 
+  // ------------------------------------------------------ pivot / unpivot
+  test("pivot: explicit value list with aliases") {
+    checkLit(
+      """select * from (select c1, c2 % 2 as par, c2 from test)
+        |pivot (sum(c2) for par in (0 as even, 1 as odd))
+        |order by c1""".stripMargin,
+      Seq(Seq(0, null, 9), Seq(1, 12, null)))
+  }
+  test("pivot: unaliased values name columns by the literal") {
+    checkLit(
+      """select c1, "0", "1" from (select c1, c2 % 2 as par from test)
+        |pivot (count(1) for par in (0, 1)) order by c1""".stripMargin,
+      // count over an absent pivot cell is an empty group → NULL (same
+      // as Spark SQL PIVOT), not 0
+      Seq(Seq(0, null, 3), Seq(1, 3, null)))
+  }
+  test("unpivot: melt with labels, exclude-nulls default") {
+    checkLit(
+      """select c1, k, v from (select c1, c2, c1 + c2 as s from test where c2 < 3)
+        |unpivot (v for k in (c2, s as 'total'))""".stripMargin,
+      Seq(Seq(0, "c2", 1), Seq(0, "total", 1), Seq(1, "c2", 2), Seq(1, "total", 3)))
+  }
+  test("unpivot: include nulls keeps null cells") {
+    checkLit(
+      """select count(1) as n from (
+        |  select c1, case when c2 > 4 then c2 end as big, c2 from test)
+        |unpivot (v for k in (big, c2))""".stripMargin,
+      Seq(Seq(8)))
+    checkLit(
+      """select count(1) as n from (
+        |  select c1, case when c2 > 4 then c2 end as big, c2 from test)
+        |unpivot include nulls (v for k in (big, c2))""".stripMargin,
+      Seq(Seq(12)))
+  }
+  test("pivot: non-literal IN value is rejected") {
+    val e = intercept[graft.compiler.CompileException] {
+      exec.query(
+        "select * from test pivot (sum(c2) for c1 in (c2))").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+
   // ------------------------------------------------------ recursive CTEs
   test("recursive cte: union all series") {
     checkLit(
