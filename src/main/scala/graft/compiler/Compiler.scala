@@ -1515,6 +1515,20 @@ final class Compiler(spark: SparkSession, registry: Registry,
     case CallAnalytics(base0, partitionBy, orderBy, frame) =>
       val base = base0 match {
         case cs: CallSet => compileAggCall(cs)
+        case Call(fn @ ("lag" | "lead" | "ntile"), args) =>
+          // Spark's offset window functions require an IntegerType
+          // offset/bucket count; the dialect's integer literals are
+          // BIGINT, and a LongType offset makes Lead/Lag's implicit
+          // frame fail resolution with the misleading "Cannot specify
+          // window frame" error. Cast the offset argument down.
+          val compiled = args.map(compileExpr)
+          val fixed =
+            if (fn == "ntile") compiled.map(_.cast("int"))
+            else compiled.zipWithIndex.map {
+              case (c, 1) => c.cast("int")
+              case (c, _) => c
+            }
+          registry(fn, fixed)
         case Call(fn, args) => registry(fn, args.map(compileExpr))
         case other => compileExpr(other)
       }

@@ -33,10 +33,14 @@ object FuzzDump {
       .map(n => n -> Tables.load(spark, sfDir, n)).toMap
     val exec = new Executor(spark, tbls)
 
-    val corpus = SqlFuzzer.corpus()
-    Files.write(Paths.get(s"$outDir/fuzz_corpus_v1.sql"),
-      (("-- Seeded fuzz corpus v1: seed " + SqlFuzzer.CorpusSeed + ", " +
-        SqlFuzzer.CorpusSize + " queries. Regenerable via SqlFuzzer.corpus();\n" +
+    val version = args.lift(2).getOrElse("v1")
+    val (corpus, seed) = version match {
+      case "v2" => (SqlFuzzer.corpusV2(), SqlFuzzer.CorpusV2Seed)
+      case _ => (SqlFuzzer.corpus(), SqlFuzzer.CorpusSeed)
+    }
+    Files.write(Paths.get(s"$outDir/fuzz_corpus_$version.sql"),
+      (("-- Seeded fuzz corpus " + version + ": seed " + seed + ", " +
+        corpus.size + " queries. Regenerable via SqlFuzzer;\n" +
         "-- FuzzSpec asserts the generator reproduces this file byte-identically.\n" +
         corpus.mkString("\n")) + "\n").getBytes("UTF-8"))
 

@@ -219,6 +219,87 @@ object SqlFuzzer {
       s"SELECT $cb AS fz_k FROM ${b.name} WHERE ${pred(r, b, "", 1)}"
   }
 
+  // ------------------------------------------------------------ v2 shapes
+  // (window functions, CTEs, nested aggregation — the r9 corpus only
+  // covered flat shapes)
+
+  /** Window functions in a derived table. Determinism: OVER order is
+    * always the table's unique key, so ranks are total and lag/lead are
+    * well-defined; partition aggregates don't order at all. */
+  private def windowed(r: Random): String = {
+    val t = pick(r, Seq(nation, customer, supplier, orders, part))
+    val g = pick(r, t.intCols)
+    val desc = if (r.nextBoolean()) " DESC" else ""
+    r.nextInt(3) match {
+      case 0 => // top-k per group via row_number
+        val k = 1 + r.nextInt(5)
+        s"SELECT fk, fzw FROM (SELECT ${t.key} AS fk, " +
+          s"row_number() OVER (PARTITION BY $g ORDER BY ${t.key}$desc) AS fzw " +
+          s"FROM ${t.name} WHERE ${pred(r, t, "", 1)}) AS dt WHERE fzw <= $k"
+      case 1 => // whole-partition aggregate, no window order
+        val ic = pick(r, t.intCols)
+        val fn = pick(r, Seq("sum", "min", "max", "count"))
+        s"SELECT fk, fzg, fzw FROM (SELECT ${t.key} AS fk, $g AS fzg, " +
+          s"$fn($ic) OVER (PARTITION BY $g) AS fzw FROM ${t.name}) AS dt " +
+          s"WHERE ${intPred(r, "fk")}"
+      case _ => // lag/lead along the key order
+        val ic = pick(r, t.intCols)
+        val fn = pick(r, Seq("lag", "lead"))
+        s"SELECT fk, fzw FROM (SELECT ${t.key} AS fk, " +
+          s"$fn($ic, 1, -1) OVER (PARTITION BY $g ORDER BY ${t.key}) AS fzw " +
+          s"FROM ${t.name} WHERE ${pred(r, t, "", 1)}) AS dt " +
+          s"WHERE ${intPred(r, "fk")}"
+    }
+  }
+
+  /** star-schema fk→pk pairs usable for CTE joins: (fact, fkCol, dim,
+    * pkCol). */
+  private val ctePairs = Seq(
+    (nation, "n_regionkey", region, "r_regionkey"),
+    (customer, "c_nationkey", nation, "n_nationkey"),
+    (supplier, "s_nationkey", nation, "n_nationkey"),
+    (orders, "o_custkey", customer, "c_custkey"))
+
+  private def cteQuery(r: Random): String = r.nextInt(2) match {
+    case 0 => // filtered CTE re-selected (scope layering)
+      val t = pick(r, tables)
+      s"WITH base AS (SELECT ${selectList(r, t)} FROM ${t.name} " +
+        s"WHERE ${pred(r, t, "", 1)}) SELECT * FROM base"
+    case _ => // aggregate CTE joined back to its dimension
+      val (fact, fk, dim, pk) = pick(r, ctePairs)
+      val w = if (r.nextBoolean()) s" WHERE ${pred(r, fact, "", 1)}" else ""
+      val dw = if (r.nextBoolean()) s" WHERE ${pred(r, dim, "", 1)}" else ""
+      s"WITH agg AS (SELECT $fk AS fzk, count(*) AS fz_cnt, " +
+        s"min(${fact.key}) AS fz_min FROM ${fact.name}$w GROUP BY $fk) " +
+        s"SELECT ${dim.key}, fz_cnt, fz_min FROM ${dim.name} " +
+        s"JOIN agg ON $pk = fzk$dw"
+  }
+
+  /** Aggregate over an aggregate (derived-table regrouping). */
+  private def nestedAgg(r: Random): String = {
+    val t = pick(r, Seq(nation, customer, supplier, orders, part))
+    val g = pick(r, t.intCols)
+    val w = if (r.nextBoolean()) s" WHERE ${pred(r, t, "", 1)}" else ""
+    val hv = if (r.nextInt(3) == 0) s" WHERE fz_cnt > ${r.nextInt(4)}" else ""
+    s"SELECT count(*) AS fz_n, min(fz_cnt) AS fz_lo, max(fz_cnt) AS fz_hi " +
+      s"FROM (SELECT $g, count(*) AS fz_cnt FROM ${t.name}$w GROUP BY $g) " +
+      s"AS dt$hv"
+  }
+
+  /** v2 query i: window/CTE/nested shapes mixed with the v1 grammar. */
+  def queryV2(seed: Long, i: Int): String = {
+    val r = new Random(seed * 2000003L + i)
+    r.nextInt(100) match {
+      case n if n < 10 => singleTable(r)
+      case n if n < 20 => joined(r)
+      case n if n < 30 => aggregated(r)
+      case n if n < 55 => windowed(r)
+      case n if n < 75 => cteQuery(r)
+      case n if n < 90 => nestedAgg(r)
+      case _ => setOp(r)
+    }
+  }
+
   /** Query i for the given corpus seed. */
   def query(seed: Long, i: Int): String = {
     val r = new Random(seed * 1000003L + i)
@@ -237,4 +318,11 @@ object SqlFuzzer {
   val CorpusSize = 600
 
   def corpus(): Seq[String] = (0 until CorpusSize).map(query(CorpusSeed, _))
+
+  /** The committed v2 corpus (windows/CTEs/nested aggregation). */
+  val CorpusV2Seed = 20260815L
+  val CorpusV2Size = 400
+
+  def corpusV2(): Seq[String] =
+    (0 until CorpusV2Size).map(queryV2(CorpusV2Seed, _))
 }

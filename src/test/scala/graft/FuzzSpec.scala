@@ -35,12 +35,11 @@ class FuzzSpec extends AnyFunSuite {
     (cols, rows)
   }
 
-  test("generator reproduces the committed corpus byte-identically") {
-    val res = getClass.getResourceAsStream("/fuzz_corpus_v1.sql")
-    assert(res != null, "fuzz_corpus_v1.sql missing from test resources")
+  private def assertCorpusPinned(resource: String, generated: Seq[String]): Unit = {
+    val res = getClass.getResourceAsStream(resource)
+    assert(res != null, s"$resource missing from test resources")
     val committed = Source.fromInputStream(res, "UTF-8").getLines()
       .filterNot(l => l.isEmpty || l.startsWith("--")).toSeq
-    val generated = SqlFuzzer.corpus()
     assert(committed.length == generated.length,
       s"corpus size drift: committed ${committed.length}, generated ${generated.length}")
     committed.zip(generated).zipWithIndex.foreach { case ((c, g), i) =>
@@ -48,10 +47,18 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("600 fuzzed queries agree between the graft and Spark SQL front-ends") {
+  test("generator reproduces the committed corpus byte-identically") {
+    assertCorpusPinned("/fuzz_corpus_v1.sql", SqlFuzzer.corpus())
+  }
+
+  test("generator reproduces the committed v2 corpus byte-identically") {
+    assertCorpusPinned("/fuzz_corpus_v2.sql", SqlFuzzer.corpusV2())
+  }
+
+  private def differential(corpus: Seq[String]): Unit = {
     val failures = Seq.newBuilder[String]
     var checked = 0
-    SqlFuzzer.corpus().zipWithIndex.foreach { case (sql, i) =>
+    corpus.zipWithIndex.foreach { case (sql, i) =>
       try {
         val (gc, gr) = normalized(exec.query(sql))
         val (sc, sr) = normalized(spark.sql(sql))
@@ -69,5 +76,13 @@ class FuzzSpec extends AnyFunSuite {
     val f = failures.result()
     assert(f.isEmpty,
       s"${f.length}/${checked} fuzzed queries diverged:\n" + f.take(10).mkString("\n"))
+  }
+
+  test("600 fuzzed queries agree between the graft and Spark SQL front-ends") {
+    differential(SqlFuzzer.corpus())
+  }
+
+  test("400 v2 fuzzed queries (windows/CTEs/nested aggs) agree with Spark SQL") {
+    differential(SqlFuzzer.corpusV2())
   }
 }
