@@ -210,19 +210,88 @@ object Dedup {
     * hash-checked against an external oracle — not just rows-counted.
     * Same implementation as [[minhashDupPairs]] (the cheap xxhash64
     * variant); only the three hash functions differ. */
+  /** Portable lane `i` over a shingle hash: two 60-bit lanes ride each
+    * seeded md5 digest (hex slices [1,16) and [16,31)) — half the md5
+    * calls of one-digest-per-lane, still fully reproducible in SQL. */
+  private def portableLane(i: Int, s: Column): Column =
+    TextAnalysis.md5Slice60(
+      concat_ws("|", lit((i / 2).toString), s.cast("string")),
+      1 + 15 * (i % 2))
+
   def minhashDupPairsPortable(docs: DataFrame, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5, shingleK: Int = 3,
       maxBucket: Int = defaultMaxBucket): DataFrame =
     minhashPairsImpl(docs, numHashes, bands, threshold, shingleK,
       shingleHash = TextAnalysis.md5Prefix60,
-      // two lanes ride each seeded digest (hex slices [1,16) and
-      // [16,31)) — half the md5 calls of one-digest-per-lane, still
-      // fully reproducible in the oracle
-      laneHash = (i, s) => TextAnalysis.md5Slice60(
-        concat_ws("|", lit((i / 2).toString), s.cast("string")),
-        1 + 15 * (i % 2)),
+      laneHash = portableLane,
       bucket = cols => concat_ws(",", cols.map(_.cast("string")): _*),
       maxBucket = maxBucket)
+
+  /** MinHash LSH index for INCREMENTAL dedup: one row per document
+    * carrying the `numHashes` portable (seeded-md5) signature lanes —
+    * ~16×8 B + id per doc, so the index for a 100 TB corpus is a few
+    * hundred GB of parquet probed WITHOUT ever touching the corpus text
+    * again. Persist with plain `.write.parquet` (or bucketed by a band
+    * key for co-located probes) and hand the reload to
+    * [[dedupAgainstLshIndex]] as new batches arrive. */
+  def buildLshIndex(docs: DataFrame, numHashes: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    val shRows = shingleRows(docs, shingleK, TextAnalysis.md5Prefix60)
+    val withLanes = shRows.select(col("doc_id") +:
+      (0 until numHashes).map(i => portableLane(i, col("s")).as(s"l$i")): _*)
+    val mins = (0 until numHashes).map(i => min(col(s"l$i")).as(s"h$i"))
+    withLanes.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Probe a NEW batch of documents against a persisted corpus index
+    * (day-2 corpus growth: dedup today's crawl against everything ever
+    * ingested without re-signing the archive). Returns one row per
+    * batch document that near-duplicates the indexed corpus:
+    * (batch_doc, corpus_doc = best match, est_jac).
+    *
+    * The confirm is SIGNATURE-level: est_jac = fraction of agreeing
+    * lanes (an unbiased jaccard estimate, exact dyadic rational — no
+    * float noise). That is what makes the index self-contained: no
+    * shingle sets or raw text are stored or read at probe time.
+    *
+    * Scale shape: the batch is small relative to the index, so the
+    * batch's band keys — WITH its signature lanes attached — ride one
+    * BROADCAST. The index streams map-side: scan → band explode →
+    * broadcast hash join → inline lane comparison → filter, and the
+    * only shuffle in the whole probe is the final best-match
+    * aggregation, whose map-side combine leaves at most one row per
+    * (partition, batch doc). The index is never shuffled, re-joined, or
+    * collected. A band pair that collides in several bands is scored
+    * identically each time, so the max() dedups candidates for free. */
+  def dedupAgainstLshIndex(index: DataFrame, batch: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    val rpb = numHashes / bands
+    val bsig = Checkpoints.materialize(
+      buildLshIndex(batch, numHashes, shingleK))
+    def bandRows(sig: DataFrame, idAs: String, pfx: String): DataFrame =
+      sig.select((col("doc_id").as(idAs) +:
+        (0 until numHashes).map(i => col(s"h$i").as(s"$pfx$i"))) :+
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (b * rpb until (b + 1) * rpb)
+              .map(i => col(s"h$i").cast("string")): _*).as("bucket"))
+        }: _*)).as("bk"): _*)
+        .withColumn("band", col("bk.band"))
+        .withColumn("bucket", col("bk.bucket"))
+        .drop("bk")
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    bandRows(index, "corpus_doc", "a")
+      .join(broadcast(bandRows(bsig, "batch_doc", "b")), Seq("band", "bucket"))
+      .select(col("batch_doc"), col("corpus_doc"), agree.as("est_jac"))
+      .filter(col("est_jac") >= minAgree)
+      .groupBy(col("batch_doc"))
+      .agg(max(struct(col("est_jac"), col("corpus_doc"))).as("m"))
+      .select(col("batch_doc"), col("m.corpus_doc").as("corpus_doc"),
+        col("m.est_jac").as("est_jac"))
+  }
 
   /** Shared MinHash+LSH pipeline, parameterized by the shingle, lane,
     * and band-bucket hash functions. Scale structure: the shingle table
@@ -849,6 +918,26 @@ object Dedup {
           col("train_doc").cast("long").as("train_doc"), col("jac"))
         .orderBy(col("eval_doc"))
     }),
+    // INCREMENTAL dedup against a persisted LSH index: corpus =
+    // src0/src1 is signed once and the signatures round-trip through
+    // parquet; the batch = src2 plus 80%-prefix variants of every 10th
+    // corpus doc (guaranteed near-dups) probes the reloaded index. The
+    // confirm is signature-level (fraction of agreeing lanes — exact
+    // dyadic, so fully hash-checkable), never touching corpus text.
+    "dd_lsh_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("source") === "src2")
+        .select(col("doc_id"), col("text"))
+        .unionAll(corpus.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 30000000L).as("doc_id"),
+            expr("substring(text, 1, (4 * length(text)) div 5)").as("text")))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+      buildLshIndex(corpus).write.mode("overwrite").parquet(tmp)
+      dedupAgainstLshIndex(s.read.parquet(tmp), batch, minAgree = 0.5)
+        .orderBy(col("batch_doc"))
+    }),
     // Bloom-prefiltered exact 8-gram decontamination: blocklist = src0,
     // corpus = everything else. The Bloom stage is a pure pre-filter
     // (exact semi-join confirm), so the oracle is the plain semi join.
@@ -964,7 +1053,9 @@ object Dedup {
     * `src(doc_id, text)` CTE; yields `ver(doc_a, doc_b, jac)` — callers
     * apply their own threshold filter. Package-visible: the fuzzy
     * prepare capstone in [[TextAnalysis]] composes it too. */
-  private[operators] lazy val portableMinhashVerSql: String = {
+  /** sh + sig + banded CTEs of the portable pipeline (shared by the
+    * pair-mining oracle below and the incremental-index oracle). */
+  private[operators] lazy val portableSigSql: String = {
     val h = (0 until 16).map { i =>
       val d = i / 2; val off = 1 + 15 * (i % 2)
       s"""    min(CAST(('0x' || substr(md5('$d|' || CAST(u.s AS VARCHAR)), $off, 15))
@@ -989,7 +1080,11 @@ object Dedup {
       |banded AS (
       |  SELECT doc_id, b.band,
       |    CASE b.band $bucketCase END AS bucket
-      |  FROM sig, (SELECT unnest(range(4)) AS band) b),
+      |  FROM sig, (SELECT unnest(range(4)) AS band) b)""".stripMargin
+  }
+
+  private[operators] lazy val portableMinhashVerSql: String =
+    portableSigSql + s""",
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM banded x JOIN banded y
@@ -1000,7 +1095,6 @@ object Dedup {
       |      / (len(a.s) + len(bb.s) - len(list_intersect(a.s, bb.s))), 6) AS jac
       |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
       |            JOIN sh bb ON bb.doc_id = cand.doc_b)""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
@@ -1134,6 +1228,41 @@ object Dedup {
         |  FROM ver
         |  WHERE jac >= 0.5 AND doc_a LIKE 'e:%' AND doc_b LIKE 't:%')
         |WHERE rn = 1 ORDER BY eval_doc""".stripMargin),
+    // incremental-index probe: same portable sig/banded CTEs, candidates
+    // restricted to batch×corpus, confirm = agreeing-lane fraction
+    "dd_lsh_incremental" -> {
+      val agree = (0 until 16)
+        .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      "WITH " +
+        """src AS (
+          |  SELECT 'c:' || CAST(doc_id AS VARCHAR) AS doc_id, text
+          |  FROM documents WHERE source IN ('src0', 'src1')
+          |  UNION ALL
+          |  SELECT 'b:' || CAST(doc_id AS VARCHAR), text
+          |  FROM documents WHERE source = 'src2'
+          |  UNION ALL
+          |  SELECT 'b:' || CAST(doc_id + 30000000 AS VARCHAR),
+          |    substr(text, 1, (4 * length(text)) // 5)
+          |  FROM documents
+          |  WHERE source IN ('src0', 'src1') AND doc_id % 10 = 0)""".stripMargin +
+        ",\n" + portableSigSql + s""",
+          |cand AS (
+          |  SELECT DISTINCT x.doc_id AS bdoc, y.doc_id AS cdoc
+          |  FROM banded x JOIN banded y
+          |    ON x.band = y.band AND x.bucket = y.bucket
+          |  WHERE x.doc_id LIKE 'b:%' AND y.doc_id LIKE 'c:%'),
+          |est AS (
+          |  SELECT bdoc, cdoc, CAST($agree AS DOUBLE) / 16 AS est_jac
+          |  FROM cand JOIN sig a ON a.doc_id = bdoc
+          |            JOIN sig b ON b.doc_id = cdoc)
+          |SELECT CAST(substr(bdoc, 3) AS BIGINT) AS batch_doc,
+          |  CAST(substr(cdoc, 3) AS BIGINT) AS corpus_doc, est_jac
+          |FROM est WHERE est_jac >= 0.5
+          |QUALIFY row_number() OVER (PARTITION BY bdoc
+          |  ORDER BY est_jac DESC, CAST(substr(cdoc, 3) AS BIGINT) DESC) = 1
+          |ORDER BY batch_doc""".stripMargin
+    },
     // plain exact semi join — the Bloom stage must be invisible in the
     // result; shingle construction mirrors Dedup.shingles (trailing
     // clipped windows only when the doc has < k tokens)

@@ -395,4 +395,24 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(pc.contains("LeftSemi"),
       "dd_bloom_contamination confirm join not a semi join")
   }
+
+  test("dd_lsh_incremental: index streams map-side, one broadcast band join") {
+    // the probe's contract: the persisted index is scanned once and
+    // never shuffled — the batch bands ride the single broadcast hash
+    // join, the confirm is inline lane comparison, and the only
+    // exchange is the final best-match aggregation (keyed by batch doc)
+    val p = plan("dd_lsh_incremental")
+    assertNoCartesian(p, "dd_lsh_incremental")
+    assertNoUdf(p, "dd_lsh_incremental")
+    assert(p.contains("BroadcastHashJoin"),
+      "batch band join is not a broadcast hash join")
+    assert(!p.contains("SortMergeJoin"),
+      "index side fell into a shuffle join")
+    // two shuffles total: the best-match aggregation (keyed by batch
+    // doc) and the query entry's final ORDER BY (range partitioning) —
+    // anything more means the index itself got shuffled
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"expected agg + order-by exchanges only, saw $exchanges")
+  }
 }
