@@ -266,31 +266,65 @@ object Dedup {
   def dedupAgainstLshIndex(index: DataFrame, batch: DataFrame,
       numHashes: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
       shingleK: Int = 3): DataFrame = {
-    val rpb = numHashes / bands
     val bsig = Checkpoints.materialize(
       buildLshIndex(batch, numHashes, shingleK))
-    def bandRows(sig: DataFrame, idAs: String, pfx: String): DataFrame =
-      sig.select((col("doc_id").as(idAs) +:
-        (0 until numHashes).map(i => col(s"h$i").as(s"$pfx$i"))) :+
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (b * rpb until (b + 1) * rpb)
-              .map(i => col(s"h$i").cast("string")): _*).as("bucket"))
-        }: _*)).as("bk"): _*)
-        .withColumn("band", col("bk.band"))
-        .withColumn("bucket", col("bk.bucket"))
-        .drop("bk")
-    val agree = (0 until numHashes).map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / numHashes
-    bandRows(index, "corpus_doc", "a")
-      .join(broadcast(bandRows(bsig, "batch_doc", "b")), Seq("band", "bucket"))
-      .select(col("batch_doc"), col("corpus_doc"), agree.as("est_jac"))
+    lshBandRows(index, "corpus_doc", "a", numHashes, bands)
+      .join(broadcast(lshBandRows(bsig, "batch_doc", "b", numHashes, bands)),
+        Seq("band", "bucket"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        laneAgreement(numHashes, "a", "b").as("est_jac"))
       .filter(col("est_jac") >= minAgree)
       .groupBy(col("batch_doc"))
       .agg(max(struct(col("est_jac"), col("corpus_doc"))).as("m"))
       .select(col("batch_doc"), col("m.corpus_doc").as("corpus_doc"),
         col("m.est_jac").as("est_jac"))
+  }
+
+  /** Band rows of a signature table, lanes carried along: doc id (as
+    * `idAs`), renamed lanes `pfx0..`, plus one (band, bucket) row per
+    * band. Shared by the batch index probe and its streaming face. */
+  private[graft] def lshBandRows(sig: DataFrame, idAs: String, pfx: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rpb = numHashes / bands
+    sig.select((col("doc_id").as(idAs) +:
+      (0 until numHashes).map(i => col(s"h$i").as(s"$pfx$i"))) :+
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (b * rpb until (b + 1) * rpb)
+            .map(i => col(s"h$i").cast("string")): _*).as("bucket"))
+      }: _*)).as("bk"): _*)
+      .withColumn("band", col("bk.band"))
+      .withColumn("bucket", col("bk.bucket"))
+      .drop("bk")
+  }
+
+  /** Fraction of agreeing lanes between `aPfx*` and `bPfx*` columns —
+    * an unbiased jaccard estimate, exact dyadic rational. */
+  private[graft] def laneAgreement(numHashes: Int, aPfx: String,
+      bPfx: String): Column =
+    (0 until numHashes).map(i =>
+      when(col(s"$aPfx$i") === col(s"$bPfx$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+
+  /** Per-row portable signature lanes — the STREAMING face of
+    * [[buildLshIndex]]: the same 16 seeded-md5 lane values as the batch
+    * groupBy-min pipeline, computed as a pure projection (array fold
+    * over the document's own shingles) so a document signs in the
+    * micro-batch it arrives in with ZERO streaming state. Documents
+    * shorter than k tokens get null lanes, matching their absence from
+    * the batch-built index (filter `h0 IS NOT NULL` downstream). The
+    * higher-order-function lambdas here are interpreted (CodegenFallback)
+    * — acceptable per micro-batch; the bulk index build stays on the
+    * codegen'd explode/agg path of [[buildLshIndex]]. */
+  def portableSignatureCols(text: Column, numHashes: Int = 16,
+      k: Int = 3): Seq[Column] = {
+    val toks = tokens(text)
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val sh = transform(grams, g => TextAnalysis.md5Prefix60(g))
+    (0 until numHashes).map(i =>
+      array_min(transform(sh, s => portableLane(i, s))).as(s"h$i"))
   }
 
   /** Shared MinHash+LSH pipeline, parameterized by the shingle, lane,

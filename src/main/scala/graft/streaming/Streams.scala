@@ -229,6 +229,38 @@ object Streams {
       .drop("__seen")
   }
 
+  /** Streaming near-dup dedup against a static MinHash LSH index —
+    * the streaming face of [[graft.operators.Dedup.dedupAgainstLshIndex]]:
+    * arriving documents sign THEMSELVES per-row (a pure projection,
+    * [[graft.operators.Dedup.portableSignatureCols]] — no streaming
+    * state), explode into band keys, stream-static inner join against
+    * the index's band rows, inline agreeing-lane confirm, and a
+    * complete-mode best-match aggregate whose state is one row per
+    * matched document — bounded by matches, not corpus size.
+    *
+    * At 100 TB the static side should be a bucketed band table so each
+    * micro-batch probes co-located buckets instead of re-shaping the
+    * index; the operator takes the index as-is and leaves that layout
+    * choice to the caller (same contract as [[dedupAgainstHistory]]). */
+  def lshDedupStream(index: DataFrame, docs: DataFrame,
+      numHashes: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val ssig = docs.select(col("doc_id").as("doc_id") +:
+      Dedup.portableSignatureCols(col("text"), numHashes, shingleK): _*)
+      .filter(col("h0").isNotNull)
+    Dedup.lshBandRows(ssig, "batch_doc", "b", numHashes, bands)
+      .join(Dedup.lshBandRows(index, "corpus_doc", "a", numHashes, bands),
+        Seq("band", "bucket"))
+      .select(col("batch_doc"), col("corpus_doc"),
+        Dedup.laneAgreement(numHashes, "a", "b").as("est_jac"))
+      .filter(col("est_jac") >= minAgree)
+      .groupBy(col("batch_doc"))
+      .agg(max(struct(col("est_jac"), col("corpus_doc"))).as("m"))
+      .select(col("batch_doc"), col("m.corpus_doc").as("corpus_doc"),
+        col("m.est_jac").as("est_jac"))
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Run a (complete-mode) streaming aggregation over the static parquet
@@ -321,6 +353,27 @@ object Streams {
       runToCompletion(s, cleaned, mode = "complete")
         .orderBy(col("event_type"))
     }),
+    // streaming near-dup against the static LSH index: same corpus /
+    // batch split as dd_lsh_incremental (src2 + planted 80%-prefix
+    // variants probe the src0/src1 index), so the final table must
+    // equal the batch probe row for row — incremental == batch for the
+    // whole sign → band → confirm pipeline
+    "st_lsh_dedup" -> ((s, dir) => {
+      val corpus = Tables.load(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("text"))
+      val index = graft.Checkpoints.materialize(
+        graft.operators.Dedup.buildLshIndex(corpus))
+      val src2 = readDocuments(s, dir).filter(col("source") === "src2")
+        .select(col("doc_id"), col("text"))
+      val planted = readDocuments(s, dir)
+        .filter(col("source").isin("src0", "src1") &&
+          col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          expr("substring(text, 1, (4 * length(text)) div 5)").as("text"))
+      runToCompletion(s, lshDedupStream(index, src2.unionAll(planted)))
+        .orderBy(col("batch_doc"))
+    }),
     // the text-pipeline quality gate run as a STREAM over the documents
     // parquet; final table must equal DuckDB's batch computation —
     // incremental == batch for the ingestion-path operators
@@ -371,6 +424,8 @@ object Streams {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // identical split, identical portable pipeline → identical oracle
+    "st_lsh_dedup" -> graft.operators.Dedup.oracleSql("dd_lsh_incremental"),
     "st_window_counts" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS window_start,

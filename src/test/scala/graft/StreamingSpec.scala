@@ -154,6 +154,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.sameElements(ba), "incremental drift != batch drift")
   }
 
+  test("streaming LSH near-dup equals the batch index probe") {
+    // same corpus/batch split → the streaming per-row signature path
+    // must be bit-identical to the batch groupBy-min signature path,
+    // all the way through band keys and the lane-agreement confirm
+    val st = SparkEntry.queries("st_lsh_dedup")(spark, dir)
+      .collect().map(_.toSeq)
+    val ba = SparkEntry.queries("dd_lsh_incremental")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(st.nonEmpty, "planted near-dups produced no streaming matches")
+    assert(st.sameElements(ba), "streaming LSH dedup != batch index probe")
+  }
+
   test("restart from checkpoint: no source reprocessing, state survives") {
     // the operational property behind every long-running ingestion
     // pipeline: kill the query, restart from the checkpoint, and (a) the
