@@ -35,6 +35,14 @@ final case class CallSet(func: String, args: Seq[Expr], distinct: Boolean = fals
 /** Window frame bound: None = unbounded, Some(0) = current row, Some(n) = n. */
 final case class FrameSpec(kind: String, start: Option[Long], end: Option[Long])
 
+/** A named window definition from the `WINDOW w AS (...)` clause. */
+final case class WindowDef(partitionBy: Seq[Expr], orderBy: Seq[SortItem],
+    frame: Option[FrameSpec])
+
+/** `fn(...) OVER w` — reference to a named window; the compiler inlines
+  * the definition before anything else sees the expression. */
+final case class NamedWindowRef(base: Expr, name: String) extends Expr
+
 /** `f(...) OVER ([PARTITION BY ...] [ORDER BY ...] [frame])` — parsed but
   * dead in the reference (SURVEY §2.5); fully executable here. */
 final case class CallAnalytics(call: Expr, partitionBy: Seq[Expr],
@@ -153,6 +161,8 @@ final case class Select(
       * of [[groupBy]] (which holds the union, in first-appearance order). */
     groupingSets: Seq[Seq[Expr]] = Nil,
     having: Option[Expr] = None,
+    /** named windows from the `WINDOW w AS (...)` clause (PG §7.2.5) */
+    windows: Map[String, WindowDef] = Map.empty,
     orderBy: Seq[SortItem] = Nil,
     limit: Option[Long] = None,
     offset: Option[Long] = None,

@@ -130,6 +130,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case InList(x, vs, n) => InList(rewriteExpr(x)(f), vs.map(rewriteExpr(_)(f)), n)
       case RowCtor(items) => RowCtor(items.map(rewriteExpr(_)(f)))
       case InSubquery(x, s, n) => InSubquery(rewriteExpr(x)(f), s, n)
+      case NamedWindowRef(b, n) => NamedWindowRef(rewriteExpr(b)(f), n)
       case other => other
     }
     f(r)
@@ -174,6 +175,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case CallSet(_, args, _, _) => args.exists(expr)
       case CallAnalytics(c, pb, ob, _) =>
         expr(c) || pb.exists(expr) || ob.exists(si => expr(si.e))
+      case NamedWindowRef(b, _) => expr(b)
       case CastExpr(x, _) => expr(x)
       case FieldAccess(x, _) => expr(x)
       case CaseExpr(bs, o) =>
@@ -273,7 +275,27 @@ final class Compiler(spark: SparkSession, registry: Registry,
   }
 
   // ------------------------------------------------------------- core select
-  private def compileCore(sel0: Select, scope: Map[String, DataFrame]): DataFrame = {
+  private def compileCore(sel00: Select, scope: Map[String, DataFrame]): DataFrame = {
+    // Named windows (`WINDOW w AS (...)`) inline into their references
+    // before anything else sees the tree — downstream window handling
+    // is then identical to inline OVER (...).
+    val sel0 = if (sel00.windows.isEmpty) sel00 else {
+      def rw(e: Expr): Expr = rewriteExpr(e) {
+        case NamedWindowRef(base, name) =>
+          val d = sel00.windows.getOrElse(name, throw CompileException(
+            s"window '$name' is not defined in the WINDOW clause"))
+          CallAnalytics(base, d.partitionBy, d.orderBy, d.frame)
+        case other => other
+      }
+      sel00.copy(
+        items = sel00.items.map {
+          case ExprItem(e, a) => ExprItem(rw(e), a)
+          case w => w
+        },
+        qualify = sel00.qualify.map(rw),
+        having = sel00.having.map(rw),
+        orderBy = sel00.orderBy.map(si => si.copy(e = rw(si.e))))
+    }
     // Scalar subqueries are lifted out of expressions into joins on FROM —
     // fully lazy and distributed, no driver collect:
     //  - uncorrelated: 1-row frame broadcast-cross-joined onto FROM;
@@ -1545,6 +1567,9 @@ final class Compiler(spark: SparkSession, registry: Registry,
       }
       base.over(w)
 
+    case NamedWindowRef(_, name) =>
+      throw CompileException(
+        s"window '$name' is not defined in the WINDOW clause")
     case ScalarSubquery(_) =>
       throw CompileException("scalar subqueries in expressions are not supported")
     case InSubquery(_, _, _) | ExistsSubquery(_, _) =>

@@ -376,11 +376,23 @@ final class Parser(tokens: Vector[Token],
       } else Nil
 
     val having = if (acceptKw("having")) Some(parseExpr()) else None
+    // PG WINDOW clause: named specs referenced by `fn() OVER w`
+    var windows = Map.empty[String, WindowDef]
+    if (acceptKw("window")) {
+      var going = true
+      while (going) {
+        val name = parseIdent()
+        expectKw("as"); expectOp("(")
+        windows += (name -> parseWindowSpecBody())
+        expectOp(")")
+        going = acceptOp(",")
+      }
+    }
     val qualify = if (acceptKw("qualify")) Some(parseExpr()) else None
     Select(qualify = qualify,
       distinct = distinct, distinctOn = distinctOn, items = items,
       from = from, where = where, groupBy = groupBy, groupType = groupType,
-      groupingSets = groupingSets, having = having)
+      groupingSets = groupingSets, having = having, windows = windows)
   }
 
   private def parseOrderByOpt(): Seq[SortItem] =
@@ -518,7 +530,8 @@ final class Parser(tokens: Vector[Token],
   }
 
   /** keywords that may follow a relation and therefore can't be an alias */
-  private val relSuffixKws = Set("tablesample", "qualify", "pivot", "unpivot")
+  private val relSuffixKws =
+    Set("tablesample", "qualify", "pivot", "unpivot", "window")
 
   private def parseRelation(): Relation = {
     val lateral = acceptKw("lateral")
@@ -1133,7 +1146,18 @@ final class Parser(tokens: Vector[Token],
   private def parseOverOpt(base: Expr): Expr = {
     if (!peekKw("over")) return base
     next()
+    // `OVER w` — reference to a WINDOW-clause definition, resolved by
+    // the compiler once the (later) WINDOW clause has been parsed
+    if (!peekOp("(")) return NamedWindowRef(base, parseIdent())
     expectOp("(")
+    val d = parseWindowSpecBody()
+    expectOp(")")
+    CallAnalytics(base, d.partitionBy, d.orderBy, d.frame)
+  }
+
+  /** `[PARTITION BY ...] [ORDER BY ...] [ROWS|RANGE BETWEEN ...]` —
+    * the body shared by inline OVER (...) and the WINDOW clause. */
+  private def parseWindowSpecBody(): WindowDef = {
     var partitionBy = Seq.empty[Expr]
     if (peekKw("partition")) {
       next(); expectKw("by")
@@ -1169,8 +1193,7 @@ final class Parser(tokens: Vector[Token],
       val e = bound()
       frame = Some(FrameSpec(kind, s, e))
     }
-    expectOp(")")
-    CallAnalytics(base, partitionBy, orderBy, frame)
+    WindowDef(partitionBy, orderBy, frame)
   }
 
   private def parseCase(): Expr = {

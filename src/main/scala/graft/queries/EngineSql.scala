@@ -182,6 +182,19 @@ object EngineSql {
 
       // multi-level aggregate through the engine: GROUPING SETS compile to
       // one Expand pass (no per-level rescan)
+      // PG WINDOW clause: one named spec drives three functions — the
+      // inline-OVER desugar means Catalyst still sees ONE window node
+      // (one sort, one pass), not three
+      "fq_named_window" -> same(
+        """select o_custkey, o_orderkey, rn, run_cnt, prev_key from (
+          |  select o_custkey, o_orderkey,
+          |    row_number() over w as rn,
+          |    count(1) over w as run_cnt,
+          |    lag(o_orderkey, 1, -1) over w as prev_key
+          |  from orders
+          |  window w as (partition by o_custkey order by o_orderkey)
+          |) t where rn <= 3 order by o_custkey, rn""".stripMargin),
+
       // PIVOT with an explicit value list (one hash agg, no
       // distinct-values discovery job); oracle is the CASE expansion
       "fq_pivot" -> (

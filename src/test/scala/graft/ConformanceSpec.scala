@@ -79,6 +79,28 @@ class ConformanceSpec extends AnyFunSuite {
              select a + b from temp""")
   }
 
+  // ------------------------------------------------------- named windows
+  test("window clause: named spec shared by two functions") {
+    check(
+      """select c1, c2, row_number() over w as rn, sum(c2) over w as run
+        |from test window w as (partition by c1 order by c2)""".stripMargin)
+  }
+  test("window clause: multiple named specs, one with a frame") {
+    check(
+      """select c1, c2, rank() over wa as r,
+        |  sum(c2) over wb as tail_sum
+        |from test
+        |window wa as (partition by c1 order by c2),
+        |  wb as (partition by c1 order by c2
+        |         rows between current row and unbounded following)""".stripMargin)
+  }
+  test("window clause: undefined reference fails loudly") {
+    val e = intercept[graft.compiler.CompileException] {
+      exec.query("select row_number() over nope from test").collect()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   // ------------------------------------------------------ pivot / unpivot
   test("pivot: explicit value list with aliases") {
     checkLit(
