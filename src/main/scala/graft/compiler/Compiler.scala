@@ -246,7 +246,10 @@ final class Compiler(spark: SparkSession, registry: Registry,
 
     val maxIters = spark.conf.get("graft.recursive.maxIterations", "1000").toInt
     var working = graft.Checkpoints.materialize(base)
-    val deltas = scala.collection.mutable.ArrayBuffer(working)
+    // acc is a flat union over MATERIALIZED deltas, grown once per
+    // iteration — never re-built, never re-written (the leaves are
+    // already computed, so referencing acc costs only their re-read)
+    var acc = working
     var done = working.isEmpty
     var iter = 0
     while (!done) {
@@ -264,14 +267,12 @@ final class Compiler(spark: SparkSession, registry: Registry,
             s"${outCols.length}")
         armDf.toDF(outCols: _*)
       }.reduce(_ union _)
-      val step =
-        if (distinctMode) step0.except(deltas.reduce(_ union _))
-        else step0
+      val step = if (distinctMode) step0.except(acc) else step0
       working = graft.Checkpoints.materialize(step)
       done = working.isEmpty
-      if (!done) deltas += working
+      if (!done) acc = acc.union(working)
     }
-    deltas.reduce(_ union _)
+    acc
   }
 
   // ------------------------------------------------------------- core select

@@ -252,13 +252,16 @@ object EngineSql {
           |)
           |select id, parent, path, depth from h order by depth, id""".stripMargin),
 
-      // WITH RECURSIVE, UNION (distinct): +7 mod 25 walk visits every
-      // residue then cycles — only the set-semantics dedup terminates it
+      // WITH RECURSIVE, UNION (distinct): +3 mod 11 walk visits every
+      // residue then cycles — only the set-semantics dedup terminates
+      // it. (11 iterations: each UNION step pays a distinct + set
+      // difference against the accumulation, so the cycle length prices
+      // the demo; depth-stress lives in fq_recursive_series instead.)
       "fq_recursive_reach" -> same(
         """with recursive reach(id) as (
           |  select 0
           |  union
-          |  select cast((id + 7) % 25 as int) from reach
+          |  select cast((id + 3) % 11 as int) from reach
           |)
           |select cast(count(1) as bigint) as cnt, max(id) as hi from reach""".stripMargin),
 
