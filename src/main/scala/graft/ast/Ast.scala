@@ -198,8 +198,11 @@ final case class AlterAddForeignKey(table: String, constraint: Option[String],
     cols: Seq[String], refTable: String, refCols: Seq[String])
     extends Statement
 final case class ShowStmt(what: String) extends Statement
-/** `EXPLAIN select ...` — returns the formatted physical plan as rows. */
-final case class ExplainStmt(query: Select) extends Statement
+/** `EXPLAIN [ANALYZE] select ...` — the formatted physical plan as rows;
+  * with ANALYZE the query executes first (output discarded, PG
+  * semantics) and per-node runtime metrics follow the plan. */
+final case class ExplainStmt(query: Select,
+    analyze: Boolean = false) extends Statement
 /** `INSERT INTO t [(cols)] select ... | VALUES ...` — appends to the
   * scope entry via union (frames are immutable; the scope binding moves). */
 final case class InsertInto(table: String, columns: Seq[String],

@@ -144,10 +144,46 @@ final class Executor(val spark: SparkSession,
       lastTagThunk = Some(() => s"COPY ${df.count()}")
       None
 
-    case ExplainStmt(q) =>
-      val plan = compiler.compileSelect(q, scope).queryExecution
-        .explainString(org.apache.spark.sql.execution.FormattedMode)
-      Some(spark.createDataset(plan.linesIterator.toSeq)(
+    case ExplainStmt(q, analyze) =>
+      val df = compiler.compileSelect(q, scope)
+      val lines =
+        if (!analyze)
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).linesIterator.toSeq
+        else {
+          // PG EXPLAIN ANALYZE: run the query, discard the output, then
+          // report the FINAL (post-AQE) plan plus per-node runtime
+          // metrics — actual rows, spill, shuffle bytes, times
+          val t0 = System.nanoTime()
+          // drive the INSPECTED plan (df.foreach would spin up a
+          // separate RDD query execution and leave these metrics zero)
+          df.queryExecution.toRdd.foreach(_ => ())
+          val elapsedMs = (System.nanoTime() - t0) / 1e6
+          def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+              : org.apache.spark.sql.execution.SparkPlan = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              unwrap(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              unwrap(q.plan)
+            case other => other
+          }
+          def walk(p: org.apache.spark.sql.execution.SparkPlan,
+              depth: Int): Seq[String] = {
+            val u = unwrap(p)
+            val ms = u.metrics.toSeq.sortBy(_._1)
+              .filter(_._2.value > 0)
+              .map { case (k, m) => s"$k=${m.value}" }
+            val line = ("  " * depth) + u.nodeName +
+              (if (ms.isEmpty) "" else ms.mkString(" (", ", ", ")"))
+            line +: u.children.flatMap(walk(_, depth + 1))
+          }
+          (df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).linesIterator.toSeq
+            :+ "" :+ f"Execution time: $elapsedMs%.1f ms"
+            :+ "Runtime metrics:") ++
+            walk(df.queryExecution.executedPlan, 1)
+        }
+      Some(spark.createDataset(lines)(
         org.apache.spark.sql.Encoders.STRING).toDF("query plan"))
 
     case InsertInto(table, cols, q) =>

@@ -66,7 +66,11 @@ final class Parser(tokens: Vector[Token],
       else if (peekKw("drop")) parseDrop()
       else if (peekKw("create")) parseCreate()
       else if (peekKw("show")) parseShow()
-      else if (peekKw("explain")) { next(); ExplainStmt(parseSelect()) }
+      else if (peekKw("explain")) {
+        next()
+        val analyze = acceptKw("analyze")
+        ExplainStmt(parseSelect(), analyze)
+      }
       else if (peekKw("insert")) parseInsert()
       else if (peekKw("delete")) parseDelete()
       else if (peekKw("update")) parseUpdate()

@@ -367,6 +367,19 @@ class ExecutorSpec extends AnyFunSuite {
     assert(rows.exists(_.matches("\\(\\d+\\) .*")))
   }
 
+  test("EXPLAIN ANALYZE executes and reports runtime metrics") {
+    val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
+    val rows = exec.execute(
+      "explain analyze select x % 2 as k, count(1) as n from t group by x % 2")
+      .get.collect().map(_.getString(0))
+    assert(rows.exists(_.contains("Physical Plan")))
+    assert(rows.exists(_.startsWith("Execution time:")))
+    assert(rows.exists(_.contains("Runtime metrics:")))
+    // the aggregate actually ran: its output-rows metric is populated
+    assert(rows.exists(r => r.contains("numOutputRows=")),
+      s"no populated metrics in:\n${rows.mkString("\n")}")
+  }
+
   test("table UDF registration (reference add_table_function)") {
     val exec = new Executor(spark)
     exec.addTableFunction("two_rows", _ => Seq(1, 2).toDF("v"))
