@@ -306,25 +306,43 @@ object Dedup {
       when(col(s"$aPfx$i") === col(s"$bPfx$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numHashes
 
-  /** Per-row portable signature lanes — the STREAMING face of
-    * [[buildLshIndex]]: the same 16 seeded-md5 lane values as the batch
-    * groupBy-min pipeline, computed as a pure projection (array fold
-    * over the document's own shingles) so a document signs in the
-    * micro-batch it arrives in with ZERO streaming state. Documents
-    * shorter than k tokens get null lanes, matching their absence from
-    * the batch-built index (filter `h0 IS NOT NULL` downstream). The
-    * higher-order-function lambdas here are interpreted (CodegenFallback)
-    * — acceptable per micro-batch; the bulk index build stays on the
-    * codegen'd explode/agg path of [[buildLshIndex]]. */
-  def portableSignatureCols(text: Column, numHashes: Int = 16,
-      k: Int = 3): Seq[Column] = {
+  /** Attach per-row portable signature lanes `h0..h{n-1}` — the
+    * STREAMING face of [[buildLshIndex]]: the same seeded-md5 lane
+    * values as the batch groupBy-min pipeline, computed as pure
+    * projections (array folds over the document's own shingles) so a
+    * document signs in the micro-batch it arrives in with ZERO
+    * streaming state. Documents shorter than k tokens get null lanes,
+    * matching their absence from the batch-built index (filter
+    * `h0 IS NOT NULL` downstream).
+    *
+    * Two projection stages on purpose: stage 1 materializes ONE array
+    * of numHashes/2 seeded digests per shingle (each 128-bit digest
+    * carries two 60-bit lanes), stage 2 extracts lane minima with
+    * cheap substring/conv slices. The higher-order-function lambdas
+    * here are interpreted (CodegenFallback) — one-expression-tree
+    * variants re-evaluate md5 per reference, which doubles the digest
+    * work; the stage boundary pins it at numHashes/2 md5 calls per
+    * shingle. (CollapseProject leaves the boundary alone: the staged
+    * alias is non-cheap and multiply referenced.) */
+  def withPortableSignature(df: DataFrame, text: Column,
+      numHashes: Int = 16, k: Int = 3): DataFrame = {
+    require(numHashes % 2 == 0, "numHashes must be even (2 lanes/digest)")
     val toks = tokens(text)
     val grams = when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    val sh = transform(grams, g => TextAnalysis.md5Prefix60(g))
-    (0 until numHashes).map(i =>
-      array_min(transform(sh, s => portableLane(i, s))).as(s"h$i"))
+    val digests = transform(grams, g => {
+      val s = TextAnalysis.md5Prefix60(g).cast("string")
+      array((0 until numHashes / 2).map(d =>
+        md5(concat_ws("|", lit(d.toString), s))): _*)
+    })
+    val staged = df.withColumn("__dg", digests)
+    val lanes = (0 until numHashes).map { i =>
+      array_min(transform(col("__dg"), a =>
+        conv(substring(element_at(a, i / 2 + 1), 1 + 15 * (i % 2), 15),
+          16, 10).cast("long"))).as(s"h$i")
+    }
+    staged.select(df.columns.map(col) ++ lanes: _*)
   }
 
   /** Shared MinHash+LSH pipeline, parameterized by the shingle, lane,

@@ -232,7 +232,7 @@ object Streams {
   /** Streaming near-dup dedup against a static MinHash LSH index —
     * the streaming face of [[graft.operators.Dedup.dedupAgainstLshIndex]]:
     * arriving documents sign THEMSELVES per-row (a pure projection,
-    * [[graft.operators.Dedup.portableSignatureCols]] — no streaming
+    * [[graft.operators.Dedup.withPortableSignature]] — no streaming
     * state), explode into band keys, stream-static inner join against
     * the index's band rows, inline agreeing-lane confirm, and a
     * complete-mode best-match aggregate whose state is one row per
@@ -246,8 +246,10 @@ object Streams {
       numHashes: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
       shingleK: Int = 3): DataFrame = {
     import graft.operators.Dedup
-    val ssig = docs.select(col("doc_id").as("doc_id") +:
-      Dedup.portableSignatureCols(col("text"), numHashes, shingleK): _*)
+    val ssig = Dedup.withPortableSignature(
+      docs.select(col("doc_id"), col("text")), col("text"),
+      numHashes, shingleK)
+      .drop("text")
       .filter(col("h0").isNotNull)
     Dedup.lshBandRows(ssig, "batch_doc", "b", numHashes, bands)
       .join(Dedup.lshBandRows(index, "corpus_doc", "a", numHashes, bands),
