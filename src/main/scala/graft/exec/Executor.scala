@@ -285,6 +285,24 @@ final class Executor(val spark: SparkSession,
     case CreateTableAs(name, query, options) =>
       val df = compiler.compileSelect(query, scope)
       options.get("persist") match {
+        case Some("bucket") =>
+          // bucketed catalog table: `WITH (persist 'bucket', bucket_by
+          // 'k'[, buckets '8'])` — the 100 TB co-location primitive:
+          // two tables bucketed on the same key hash-join WITHOUT a
+          // shuffle on either side (the write pays the partitioning
+          // once; every subsequent join on the key rides it). Lives in
+          // the Spark session catalog because bucket metadata does.
+          val bucketCol = options.getOrElse("bucket_by",
+            throw CompileException(
+              "persist 'bucket' requires a bucket_by column"))
+          if (!df.columns.exists(_.equalsIgnoreCase(bucketCol)))
+            throw CompileException(
+              s"bucket_by column '$bucketCol' not in the result")
+          val n = options.getOrElse("buckets", "8").toInt
+          if (n <= 0) throw CompileException("buckets must be positive")
+          val tbl = s"graft_bucketed_$name"
+          graft.sources.Sinks.writeBucketed(df, tbl, bucketCol, n)
+          rebind(name, spark.table(tbl))
         case Some(fmt) =>
           // persisted catalog: `WITH (persist 'parquet'[, path '...'])`
           // writes the result through the COPY TO machinery and re-opens

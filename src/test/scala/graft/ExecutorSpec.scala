@@ -367,6 +367,37 @@ class ExecutorSpec extends AnyFunSuite {
     assert(rows.exists(_.matches("\\(\\d+\\) .*")))
   }
 
+  test("CTAS persist 'bucket': engine-declared co-location joins shuffle-free") {
+    val exec = new Executor(spark, Map(
+      "src_a" -> Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "va"),
+      "src_b" -> Seq((1, 10), (2, 20), (4, 40)).toDF("k", "vb")))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      exec.execute(
+        "CREATE TABLE ba WITH (persist 'bucket', bucket_by 'k', buckets '4') " +
+          "AS select k, va from src_a")
+      exec.execute(
+        "CREATE TABLE bb WITH (persist 'bucket', bucket_by 'k', buckets '4') " +
+          "AS select k, vb from src_b")
+      val joined = exec.query("select ba.k, va, vb from ba join bb on ba.k = bb.k")
+      assert(joined.collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+        .toSet == Set((1, "x", 10), (2, "y", 20)))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"expected shuffle-free bucketed join through the engine, got:\n$plan")
+      // loud errors: missing bucket_by, absent column
+      val e = intercept[graft.compiler.CompileException] {
+        exec.execute("CREATE TABLE bad WITH (persist 'bucket') AS select 1 as x")
+      }
+      assert(e.getMessage.contains("bucket_by"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_ba")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_bb")
+    }
+  }
+
   test("EXPLAIN ANALYZE executes and reports runtime metrics") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val rows = exec.execute(
