@@ -114,7 +114,43 @@ object Sketches {
   }
 
   // --------------------------------------------------------- driver queries
+  /** Pre-aggregated MERGEABLE sketch table + later rollup — the
+    * warehouse pattern for distinct counts at 100 TB: scan the raw data
+    * ONCE into per-cell HLL sketches (a few KB each, Datasketches
+    * binary — `hll_sketch_agg`), persist the tiny sketch table, and
+    * answer any coarser-grained distinct-count question by MERGING
+    * sketches (`hll_union_agg`) — never rescanning the corpus. Daily
+    * incremental append is the same operation: sketch today's
+    * partition, append one row per cell.
+    *
+    * Here: per (event_type, day) sketches of user_id round-trip
+    * through parquet (the binary column survives storage), then roll
+    * up to event_type. The exact distinct is computed in-plan for the
+    * GATE only — the production path reads nothing but the sketch
+    * table. */
+  def sketchRollup(events: DataFrame, spark: SparkSession,
+      tol: Double = 0.05): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    cells.write.mode("overwrite").parquet(tmp)
+    val rolled = spark.read.parquet(tmp)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("__est"),
+        count(lit(1)).as("n_days"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("d_exact"))
+    rolled.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("d_exact"),
+        (abs(col("__est") - col("d_exact")) <= lit(tol) * col("d_exact"))
+          .cast("bigint").as("within_tol"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ap_sketch_rollup" -> ((s, dir) =>
+      sketchRollup(Tables.load(s, dir, "events"), s)
+        .orderBy(col("event_type"))),
     "ap_distinct_hll" -> ((s, dir) =>
       distinctWithHll(Tables.load(s, dir, "events"), "event_type", "user_id")
         .orderBy(col("event_type"))),
@@ -128,6 +164,15 @@ object Sketches {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // exact sides reproduced (cell count + distinct); the merged-sketch
+    // tolerance flag asserted — Datasketches register state is
+    // engine-internal, the union-then-estimate within 5% is the gate
+    "ap_sketch_rollup" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS d_exact,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exact side reproduced; the tolerance flag asserted — HLL register
     // state is engine-internal, its 2%-rsd estimate within 5% is the gate
     "ap_distinct_hll" ->

@@ -872,4 +872,27 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(100L -> 3L, 102L -> 1L)) // 101 absent: confirm join
   }
+
+  test("HLL sketch rollup: incremental append merges to the full answer") {
+    // the mergeability contract behind Sketches.sketchRollup: sketch
+    // cells built from disjoint slices of the data, unioned as ROWS and
+    // merged with hll_union_agg, estimate exactly what one full-corpus
+    // sketch estimates (register merge is a max — subset sketches
+    // compose losslessly at equal lgK)
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    def rollup(c: org.apache.spark.sql.DataFrame) =
+      c.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val partA = ev.filter(col("user_id") % 2 === 0)
+    val partB = ev.filter(col("user_id") % 2 =!= 0)
+    val incremental = rollup(cells(partA).unionAll(cells(partB)))
+    val full = rollup(cells(ev))
+    assert(incremental == full,
+      s"incremental sketch merge diverged: $incremental vs $full")
+  }
 }
