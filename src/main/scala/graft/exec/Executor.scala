@@ -537,15 +537,31 @@ final class Executor(val spark: SparkSession,
     val codec = options.get("compression").map(_.toLowerCase)
     def compressed[W](w: org.apache.spark.sql.DataFrameWriter[W]) =
       codec.fold(w)(c => w.option("compression", c))
+    // `partition_by 'a[,b]'`: hive-style directory partitioning — the
+    // 100 TB layout lever: a reader filtering on a partition column
+    // prunes whole directories at plan time (zero I/O for excluded
+    // partitions). Directory formats only; csv's one-file contract
+    // can't partition.
+    val partCols = options.get("partition_by").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    partCols.find(c => !df.columns.exists(_.equalsIgnoreCase(c)))
+      .foreach(c => throw CompileException(
+        s"partition_by column '$c' not in the result"))
+    def parted[W](w: org.apache.spark.sql.DataFrameWriter[W]) =
+      if (partCols.isEmpty) w else w.partitionBy(partCols: _*)
     options.getOrElse("format", "csv").toLowerCase match {
       // parquet/orc/json write a directory of part-files — the scale-
       // native layout (parallel writers); csv keeps the reference's
       // one-file contract via coalesce(1)
-      case "parquet" => compressed(df.write.mode("overwrite")).parquet(p)
-      case "orc" => compressed(df.write.mode("overwrite")).orc(p)
-      case "json" | "jsonl" => compressed(df.write.mode("overwrite")).json(p)
+      case "parquet" => parted(compressed(df.write.mode("overwrite"))).parquet(p)
+      case "orc" => parted(compressed(df.write.mode("overwrite"))).orc(p)
+      case "json" | "jsonl" =>
+        parted(compressed(df.write.mode("overwrite"))).json(p)
       case "xml" => compressed(df.write.mode("overwrite")
         .option("rowTag", options.getOrElse("rowtag", "row"))).xml(p)
+      case ("csv" | "text") if partCols.nonEmpty =>
+        throw CompileException(
+          "partition_by requires a directory format (parquet/orc/json)")
       case "csv" | "text" => writeSingleCsv(df, p, options)
       case other => throw CompileException(
         s"unsupported COPY format '$other' (csv, parquet, orc, json, jsonl, xml)")

@@ -398,6 +398,33 @@ class ExecutorSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY TO partition_by: hive layout out, partition pruning back in") {
+    val exec = new Executor(spark, Map("t" ->
+      Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "grp", "v")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    exec.setBasepath(tmp)
+    exec.execute("COPY t TO 'out' WITH (format 'parquet', partition_by 'grp')")
+    // hive-style directories on disk
+    val dirs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("grp=a", "grp=b"), s"unexpected layout: $dirs")
+    // a reader filtering the partition column prunes at plan time
+    val back = spark.read.parquet(s"$tmp/out").filter(col("grp") === "a")
+    assert(back.select("id").collect().map(_.getInt(0)).toSet == Set(1, 3))
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("grp"),
+      s"partition filter not pushed:\n$scan")
+    // loud errors: unknown column, single-file formats
+    val e1 = intercept[graft.compiler.CompileException] {
+      exec.execute("COPY t TO 'o2' WITH (format 'parquet', partition_by 'nope')")
+    }
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[graft.compiler.CompileException] {
+      exec.execute("COPY t TO 'o3' WITH (format 'csv', partition_by 'grp')")
+    }
+    assert(e2.getMessage.contains("directory format"))
+  }
+
   test("EXPLAIN ANALYZE executes and reports runtime metrics") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val rows = exec.execute(
