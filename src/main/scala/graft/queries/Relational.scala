@@ -463,6 +463,36 @@ object Relational {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // Time-series gap fill + LOCF: the resample primitive every metrics
+    // pipeline needs — a dense (event_type × day) grid over the span,
+    // zero-filled counts, and last-observation-carried-forward values.
+    // Scale shape: the daily aggregate is ONE keyed shuffle of the
+    // events; the grid is a broadcast cross of two tiny driver-free
+    // frames (day span × distinct types); the LOCF window shuffles only
+    // the grid (|days|×|types| rows, trivial at any corpus size).
+    "q_gapfill" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("day_value"))
+      val days = ev.agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      val types = ev.select(col("event_type")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      days.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "d"), "left")
+        .select(col("event_type"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          round(coalesce(col("day_value"), lit(0.0)), 6).as("day_value"),
+          round(last(col("day_value"), ignoreNulls = true).over(w), 6)
+            .as("locf_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Batch sessionization over the events stream — the gaps-and-islands
     // window classic (the batch complement of the stateful streaming
     // st_sessions): a session breaks when a user's inter-event gap
@@ -906,6 +936,31 @@ object Relational {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // dense grid via generate_series; LOCF via IGNORE NULLS last_value
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS d FROM span),
+        |grid AS (
+        |  SELECT t.event_type, d.d
+        |  FROM days d CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+        |SELECT g.event_type, strftime(g.d, '%Y-%m-%d') AS day,
+        |  coalesce(n, 0) AS n,
+        |  round(coalesce(day_value, 0), 6) AS day_value,
+        |  round(last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS locf_value
+        |FROM grid g LEFT JOIN daily ON g.event_type = daily.event_type
+        |  AND g.d = daily.d
+        |ORDER BY g.event_type, day""".stripMargin,
     // epoch_ns // 1e9 mirrors Spark's `ts_nanos div 1000000000` exactly
     // (integer division, positive epochs — no float anywhere); ordering
     // is the full ns value + event_id on both sides
