@@ -222,14 +222,28 @@ final class Parser(tokens: Vector[Token],
   }
 
   private def parseDrop(): Statement = {
-    expectKw("drop"); expectKw("table")
+    expectKw("drop")
+    // DROP VIEW is the same scope unbind as DROP TABLE (views ARE lazy
+    // scope entries here)
+    if (!acceptKw("table")) expectKw("view")
     var names = Seq(parseIdent())
     while (acceptOp(",")) names :+= parseIdent()
     DropTable(names)
   }
 
   private def parseCreate(): Statement = {
-    expectKw("create"); expectKw("table")
+    expectKw("create")
+    // CREATE [OR REPLACE] VIEW v AS select — sugar for the lazy CTAS
+    // (an un-persisted CTAS already IS a view: the plan re-evaluates on
+    // use); OR REPLACE is the scope rebind both forms do anyway
+    if (peekKw("or") || peekKw("view")) {
+      if (acceptKw("or")) { expectKw("replace"); expectKw("view") }
+      else expectKw("view")
+      val name = parseIdent()
+      expectKw("as")
+      return CreateTableAs(name, parseSelect(), Map.empty)
+    }
+    expectKw("table")
     val name = parseIdent()
     val options =
       if (acceptKw("with")) parseOptionList() else Map.empty[String, String]

@@ -425,6 +425,21 @@ class ExecutorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("directory format"))
   }
 
+  test("CREATE [OR REPLACE] VIEW / DROP VIEW: lazy scope views") {
+    val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
+    exec.execute("CREATE VIEW v AS select x * 2 as y from t where x > 1")
+    assert(exec.query("select sum(y) as s from v")
+      .collect().head.getLong(0) == 10)
+    exec.execute("CREATE OR REPLACE VIEW v AS select x as y from t")
+    assert(exec.query("select sum(y) as s from v")
+      .collect().head.getLong(0) == 6)
+    exec.execute("DROP VIEW v")
+    val e = intercept[graft.compiler.CompileException] {
+      exec.query("select * from v")
+    }
+    assert(e.getMessage.contains("not found"))
+  }
+
   test("EXPLAIN ANALYZE executes and reports runtime metrics") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val rows = exec.execute(
