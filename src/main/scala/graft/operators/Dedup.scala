@@ -477,6 +477,53 @@ object Dedup {
       .agg(count(lit(1)).as("n_hit_shingles"))
   }
 
+  /** Persist a decontamination blocklist ARTIFACT: the distinct
+    * k-shingle table (parquet — the exact-confirm side) plus the
+    * serialized Bloom filter (`bloom.bin`, written through the Hadoop
+    * filesystem API so the same code targets HDFS/object stores on a
+    * cluster). Build once per blocklist revision; every future batch
+    * probes the reload instead of re-exploding and re-aggregating the
+    * blocklist — the eval-set side of decontamination is static, the
+    * arriving corpus is not. */
+  def writeBloomBlocklist(blocklist: DataFrame, path: String, k: Int = 8,
+      fpp: Double = 0.01): Unit = {
+    val spark = blocklist.sparkSession
+    blocklist.select(explode(shingles(col("text"), k)).as("s")).distinct()
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    val shT = spark.read.parquet(s"$path/shingles")
+    val bloom = shT.stat.bloomFilter("s", math.max(shT.count(), 1000L), fpp)
+    val hp = new org.apache.hadoop.fs.Path(s"$path/bloom.bin")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(hp, true)
+    try bloom.writeTo(os) finally os.close()
+  }
+
+  /** Probe a corpus against a persisted blocklist artifact — identical
+    * result to [[bloomShingleContamination]], but the blocklist work
+    * (shingle explode + distinct + Bloom build) happened ONCE at
+    * [[writeBloomBlocklist]] time: the probe reads the filter bytes on
+    * the driver, broadcasts them, drops non-matching shingles map-side
+    * BEFORE the shuffle, and confirms exactly against the shingle
+    * parquet (the Bloom stage stays invisible in the result). */
+  def bloomContaminationFromArtifact(corpus: DataFrame, path: String,
+      k: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    val shT = spark.read.parquet(s"$path/shingles")
+    val hp = new org.apache.hadoop.fs.Path(s"$path/bloom.bin")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val is = fs.open(hp)
+    val bloom =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+      finally is.close()
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bc.value.mightContainString(s))
+    corpus.select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .filter(mightContain(col("s")))
+      .join(shT, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist. Manku-style
     * pigeonhole banding (Manku/Jain/Sarma, WWW'07): the signature is
     * split into `maxDist + 1` chunks, so a pair at distance ≤ maxDist
@@ -1000,6 +1047,18 @@ object Dedup {
         docs.filter(col("source") === "src0"), k = 8)
         .orderBy(col("doc_id"))
     }),
+    // the same decontamination through a PERSISTED artifact: blocklist
+    // shingles + Bloom bytes round-trip through storage, the probe
+    // rebuilds nothing — result must be identical to the from-scratch
+    // path (same oracle)
+    "dd_bloom_incremental" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      writeBloomBlocklist(docs.filter(col("source") === "src0"), tmp, k = 8)
+      bloomContaminationFromArtifact(
+        docs.filter(col("source") =!= "src0"), tmp, k = 8)
+        .orderBy(col("doc_id"))
+    }),
     // MinHash LSH + verify, gated on engine-independent invariants: the
     // xxhash64 band scheme itself can't be reproduced in SQL, but
     // (a) every exact-duplicate shingle-set pair MUST be found (equal
@@ -1147,6 +1206,19 @@ object Dedup {
       |      / (len(a.s) + len(bb.s) - len(list_intersect(a.s, bb.s))), 6) AS jac
       |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
       |            JOIN sh bb ON bb.doc_id = cand.doc_b)""".stripMargin
+
+  private val bloomContaminationOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS s
+      |  FROM toks, unnest(range(1, greatest(len(t) - 8, 0) + 2)) AS r(i)),
+      |bl AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+      |SELECT doc_id, count(*) AS n_hit_shingles
+      |FROM sh WHERE source <> 'src0' AND s IN (SELECT s FROM bl)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dd_exact" ->
@@ -1318,18 +1390,10 @@ object Dedup {
     // plain exact semi join — the Bloom stage must be invisible in the
     // result; shingle construction mirrors Dedup.shingles (trailing
     // clipped windows only when the doc has < k tokens)
-    "dd_bloom_contamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+7], ' ') AS s
-        |  FROM toks, unnest(range(1, greatest(len(t) - 8, 0) + 2)) AS r(i)),
-        |bl AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
-        |SELECT doc_id, count(*) AS n_hit_shingles
-        |FROM sh WHERE source <> 'src0' AND s IN (SELECT s FROM bl)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dd_bloom_contamination" -> bloomContaminationOracle,
+    // the persisted-artifact path must be indistinguishable from the
+    // from-scratch path: same oracle verbatim
+    "dd_bloom_incremental" -> bloomContaminationOracle,
     "dd_minhash_portable" -> (
       "WITH " + variantSrcSql + ",\n" + portableMinhashVerSql + "\n" +
       """SELECT count(*) AS n_pairs,
