@@ -198,6 +198,19 @@ final case class AlterAddForeignKey(table: String, constraint: Option[String],
     cols: Seq[String], refTable: String, refCols: Seq[String])
     extends Statement
 final case class ShowStmt(what: String) extends Statement
+
+/** One `WHEN [NOT] MATCHED [AND cond] THEN action` arm of a MERGE.
+  * action ∈ update (with `sets`), delete, insert (with cols/vals). */
+final case class MergeClause(matched: Boolean, cond: Option[Expr],
+    action: String, sets: Seq[(String, Expr)] = Nil,
+    insertCols: Seq[String] = Nil, insertVals: Seq[Expr] = Nil)
+/** `MERGE INTO t [AS a] USING src [AS b] ON cond WHEN ... THEN ...` —
+  * SQL:2003 upsert over the immutable scope (join + conditional
+  * projection + union, then rebind). First applicable clause wins; a
+  * target row matching multiple source rows is an error (standard). */
+final case class MergeStmt(table: String, targetAlias: Option[String],
+    source: Relation, on: Expr,
+    clauses: Seq[MergeClause]) extends Statement
 /** `EXPLAIN [ANALYZE] select ...` — the formatted physical plan as rows;
   * with ANALYZE the query executes first (output discarded, PG
   * semantics) and per-node runtime metrics follow the plan. */

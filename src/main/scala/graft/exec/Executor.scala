@@ -275,6 +275,97 @@ final class Executor(val spark: SparkSession,
       rebind(table, updated)
       None
 
+    case MergeStmt(table, tAlias, source, on, clauses) =>
+      val target = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      val ta = tAlias.getOrElse(table)
+      val targetCols = target.columns.toSeq
+      def dtype(c: String) = target.schema(c).dataType
+      // pin row identity: bag semantics need each target row tracked
+      // through the join (duplicates included); checkpoint freezes ids
+      val t = target.withColumn("__tid", monotonically_increasing_id())
+        .localCheckpoint(true).alias(ta)
+      val srcName = source match {
+        case TableRef(_, n, a) => a.getOrElse(n)
+        case SubqueryRel(_, Some(a)) => a
+        case ValuesRel(_, Some(a), _) => a
+        case _ => throw CompileException(
+          "MERGE source must be a table or an aliased subquery")
+      }
+      val srcM = compiler.compileRelation(source, scope)
+        .withColumn("__smark", lit(1)).alias(srcName)
+      val cond = compiler.compileExpr(on)
+      val joined = t.join(srcM, cond, "left_outer")
+      // SQL standard: a target row matching multiple source rows is an
+      // error, not a nondeterministic pick
+      if (joined.filter(col("__smark").isNotNull)
+          .groupBy(col("__tid")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count() > 0)
+        throw CompileException(
+          "MERGE: a target row matched multiple source rows")
+      val isM = col("__smark").isNotNull
+      val matchedClauses = clauses.filter(_.matched)
+      val notMatchedClauses = clauses.filterNot(_.matched)
+      def extraCond(cl: MergeClause): Column =
+        cl.cond.map(e => coalesce(compiler.compileExpr(e), lit(false)))
+          .getOrElse(lit(true))
+      // first applicable clause wins: fold right puts clause 1 outermost
+      def valueFor(c: String): Column =
+        matchedClauses.foldRight(t(c)) { case (cl, acc) =>
+          cl.action match {
+            case "update" =>
+              val setMap = cl.sets.map { case (sc, e) =>
+                resolveColumn(target, table, sc) -> e
+              }.toMap
+              setMap.get(c) match {
+                case Some(e) => when(isM && extraCond(cl),
+                  compiler.compileExpr(e).cast(dtype(c))).otherwise(acc)
+                case None => acc
+              }
+            case _ => acc // delete: value irrelevant, the keep flag drops it
+          }
+        }
+      val keep = matchedClauses.foldRight(lit(true)) { case (cl, acc) =>
+        when(isM && extraCond(cl),
+          lit(cl.action != "delete")).otherwise(acc)
+      }
+      val survivors = joined
+        .select(targetCols.map(c => valueFor(c).as(c)) :+ keep.as("__keep"): _*)
+        .filter(col("__keep")).drop("__keep")
+      // NOT MATCHED: source rows with no target partner, first
+      // applicable clause's INSERT spec (NULL-filled, cast — the
+      // InsertInto contract); rows no clause covers are ignored
+      val insertable = srcM.join(t, cond, "left_anti")
+      def insertValue(cl: MergeClause, c: String): Column = {
+        val cols =
+          if (cl.insertCols.isEmpty) targetCols
+          else cl.insertCols.map(resolveColumn(target, table, _))
+        if (cols.length != cl.insertVals.length)
+          throw CompileException(s"MERGE INSERT has ${cl.insertVals.length} " +
+            s"values for ${cols.length} columns")
+        cols.zip(cl.insertVals).toMap.get(c)
+          .map(e => compiler.compileExpr(e).cast(dtype(c)))
+          .getOrElse(lit(null).cast(dtype(c)))
+      }
+      val anyInsert = notMatchedClauses.foldRight(lit(false)) {
+        case (cl, acc) => when(extraCond(cl), lit(true)).otherwise(acc)
+      }
+      val inserts = insertable.filter(anyInsert).select(targetCols.map { c =>
+        notMatchedClauses.foldRight(lit(null).cast(dtype(c))) {
+          case (cl, acc) => when(extraCond(cl), insertValue(cl, c)).otherwise(acc)
+        }.as(c)
+      }: _*)
+      val anyMatchedApplies = matchedClauses.foldRight(lit(false)) {
+        case (cl, acc) => when(extraCond(cl), lit(true)).otherwise(acc)
+      }
+      lastTagThunk = Some(() => {
+        val m = joined.filter(isM && anyMatchedApplies).count()
+        val i = insertable.filter(anyInsert).count()
+        s"MERGE ${m + i}"
+      })
+      rebind(table, survivors.unionAll(inserts))
+      None
+
     case TruncateStmt(table) =>
       val target = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))

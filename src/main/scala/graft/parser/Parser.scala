@@ -75,6 +75,7 @@ final class Parser(tokens: Vector[Token],
       else if (peekKw("delete")) parseDelete()
       else if (peekKw("update")) parseUpdate()
       else if (peekKw("truncate")) parseTruncate()
+      else if (peekKw("merge")) parseMerge()
       else if (peekKw("analyze")) parseAnalyze()
       else if (peekKw("alter")) parseAlter()
       else parseSelect()
@@ -206,6 +207,63 @@ final class Parser(tokens: Vector[Token],
   private def parseTruncate(): Statement = {
     expectKw("truncate"); acceptKw("table")
     TruncateStmt(parseIdent())
+  }
+
+  private def parseMerge(): Statement = {
+    expectKw("merge"); expectKw("into")
+    val table = parseIdent()
+    val tAlias =
+      if (acceptKw("as")) Some(parseIdent())
+      else peek match {
+        case Some(t) if t.kind == TIdent && !reserved(t.lower) &&
+            t.lower != "using" => next(); Some(t.value)
+        case _ => None
+      }
+    expectKw("using")
+    val source = parseRelation()
+    expectKw("on")
+    val on = parseExpr()
+    var clauses = Seq.empty[MergeClause]
+    while (peekKw("when")) {
+      next()
+      val matched = !acceptKw("not")
+      expectKw("matched")
+      val cond = if (acceptKw("and")) Some(parseExpr()) else None
+      expectKw("then")
+      if (acceptKw("update")) {
+        if (!matched) fail("WHEN NOT MATCHED cannot UPDATE")
+        expectKw("set")
+        var sets = Seq.empty[(String, Expr)]
+        var done = false
+        while (!done) {
+          val c = parseIdent()
+          expectOp("=")
+          sets :+= (c -> parseExpr())
+          done = !acceptOp(",")
+        }
+        clauses :+= MergeClause(matched, cond, "update", sets = sets)
+      } else if (acceptKw("delete")) {
+        if (!matched) fail("WHEN NOT MATCHED cannot DELETE")
+        clauses :+= MergeClause(matched, cond, "delete")
+      } else if (acceptKw("insert")) {
+        if (matched) fail("WHEN MATCHED cannot INSERT")
+        var cols = Seq.empty[String]
+        if (peekOp("(")) {
+          next()
+          cols :+= parseIdent()
+          while (acceptOp(",")) cols :+= parseIdent()
+          expectOp(")")
+        }
+        expectKw("values"); expectOp("(")
+        var vals = Seq(parseExpr())
+        while (acceptOp(",")) vals :+= parseExpr()
+        expectOp(")")
+        clauses :+= MergeClause(matched, cond, "insert",
+          insertCols = cols, insertVals = vals)
+      } else fail("expected UPDATE, DELETE or INSERT after THEN")
+    }
+    if (clauses.isEmpty) fail("MERGE needs at least one WHEN clause")
+    MergeStmt(table, tAlias, source, on, clauses)
   }
 
   private def parseAnalyze(): Statement = {

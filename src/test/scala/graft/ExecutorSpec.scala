@@ -358,6 +358,45 @@ class ExecutorSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("z", "gone"))
   }
 
+  test("MERGE INTO: upsert with update, delete and conditional insert") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "s", "v"),
+      "chg" -> Seq((1, 100, "upd"), (3, 0, "del"), (4, 40, "new"),
+        (5, -1, "skip")).toDF("cid", "cv", "op")))
+    exec.execute(
+      """MERGE INTO t USING chg ON id = cid
+        |WHEN MATCHED AND op = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = cv
+        |WHEN NOT MATCHED AND cv >= 0 THEN INSERT (id, s, v) VALUES (cid, op, cv)
+        |""".stripMargin)
+    val rows = exec.query("select id, s, v from t order by id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    // 1 updated, 2 untouched, 3 deleted, 4 inserted, 5 skipped (cv < 0)
+    assert(rows == Seq((1, "a", 100), (2, "b", 20), (4, "new", 40)))
+  }
+
+  test("MERGE INTO: clause order wins; multi-match errors; subquery source") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1, 10), (2, 20)).toDF("id", "v"),
+      "s" -> Seq((1, 1), (1, 2), (2, 5)).toDF("sid", "sv")))
+    // first-wins: the unconditional UPDATE shadows the later DELETE
+    exec.execute(
+      """MERGE INTO t USING (select sid, max(sv) as sv from s group by sid) AS m
+        |ON id = m.sid
+        |WHEN MATCHED THEN UPDATE SET v = v + m.sv
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(exec.query("select id, v from t order by id")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 12), (2, 25)))
+    // a target row matching multiple source rows is an error
+    val e = intercept[graft.compiler.CompileException] {
+      exec.execute(
+        """MERGE INTO t USING s ON id = sid
+          |WHEN MATCHED THEN UPDATE SET v = sv""".stripMargin)
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
   test("EXPLAIN statement returns the physical plan as rows") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val rows = exec.execute("explain select x, x + 1 from t where x > 1")
