@@ -43,6 +43,10 @@ final case class WindowDef(partitionBy: Seq[Expr], orderBy: Seq[SortItem],
   * the definition before anything else sees the expression. */
 final case class NamedWindowRef(base: Expr, name: String) extends Expr
 
+/** `fn(...) IGNORE NULLS` (standard placement, before OVER) — valid on
+  * first_value/last_value/nth_value/lag/lead/any_value. */
+final case class IgnoreNulls(e: Expr) extends Expr
+
 /** `f(...) OVER ([PARTITION BY ...] [ORDER BY ...] [frame])` — parsed but
   * dead in the reference (SURVEY §2.5); fully executable here. */
 final case class CallAnalytics(call: Expr, partitionBy: Seq[Expr],

@@ -131,6 +131,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case RowCtor(items) => RowCtor(items.map(rewriteExpr(_)(f)))
       case InSubquery(x, s, n) => InSubquery(rewriteExpr(x)(f), s, n)
       case NamedWindowRef(b, n) => NamedWindowRef(rewriteExpr(b)(f), n)
+      case IgnoreNulls(x) => IgnoreNulls(rewriteExpr(x)(f))
       case other => other
     }
     f(r)
@@ -176,6 +177,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
       case CallAnalytics(c, pb, ob, _) =>
         expr(c) || pb.exists(expr) || ob.exists(si => expr(si.e))
       case NamedWindowRef(b, _) => expr(b)
+      case IgnoreNulls(x) => expr(x)
       case CastExpr(x, _) => expr(x)
       case FieldAccess(x, _) => expr(x)
       case CaseExpr(bs, o) =>
@@ -1537,6 +1539,39 @@ final class Compiler(spark: SparkSession, registry: Registry,
 
     case CallAnalytics(base0, partitionBy, orderBy, frame) =>
       val base = base0 match {
+        case IgnoreNulls(inner) =>
+          def arg(args: Seq[Expr], i: Int): Column = compileExpr(args(i))
+          def litInt(e: Expr): Int = e match {
+            case IntLit(n) => n.toInt
+            case UnaryOp("-", IntLit(n)) => -n.toInt
+            case _ => throw CompileException(
+              "IGNORE NULLS lag/lead/nth_value need a literal offset")
+          }
+          val fn = inner match {
+            case Call(f, _) => f
+            case CallSet(f, _, _, _) => f
+            case _ => throw CompileException(
+              "IGNORE NULLS applies to a window function call")
+          }
+          val args = inner match {
+            case Call(_, as) => as
+            case CallSet(_, as, _, _) => as
+            case _ => Nil
+          }
+          (fn, args.length) match {
+            case ("first_value" | "last_value" | "any_value", 1) =>
+              call_function(fn, arg(args, 0), lit(true))
+            case ("nth_value", 2) =>
+              nth_value(arg(args, 0), litInt(args(1)), ignoreNulls = true)
+            case ("lag", n) if n >= 1 && n <= 3 =>
+              lag(arg(args, 0), if (n >= 2) litInt(args(1)) else 1,
+                if (n == 3) arg(args, 2) else null, ignoreNulls = true)
+            case ("lead", n) if n >= 1 && n <= 3 =>
+              lead(arg(args, 0), if (n >= 2) litInt(args(1)) else 1,
+                if (n == 3) arg(args, 2) else null, ignoreNulls = true)
+            case _ => throw CompileException(
+              s"IGNORE NULLS is not supported for $fn/${args.length}")
+          }
         case cs: CallSet => compileAggCall(cs)
         case Call(fn @ ("lag" | "lead" | "ntile"), args) =>
           // Spark's offset window functions require an IntegerType

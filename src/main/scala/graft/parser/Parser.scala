@@ -1219,8 +1219,18 @@ final class Parser(tokens: Vector[Token],
       }
     } else base
 
-  private def parseOverOpt(base: Expr): Expr = {
-    if (!peekKw("over")) return base
+  private def parseOverOpt(base0: Expr): Expr = {
+    // standard null-treatment placement: fn(...) IGNORE NULLS OVER (...)
+    val base =
+      if (peekKw("ignore") && peekKwAt(1, "nulls")) {
+        next(); next(); IgnoreNulls(base0)
+      } else if (peekKw("respect") && peekKwAt(1, "nulls")) {
+        next(); next(); base0 // the default
+      } else base0
+    if (!peekKw("over")) base match {
+      case IgnoreNulls(_) => fail("IGNORE NULLS requires an OVER clause")
+      case _ => return base
+    }
     next()
     // `OVER w` — reference to a WINDOW-clause definition, resolved by
     // the compiler once the (later) WINDOW clause has been parsed

@@ -195,6 +195,20 @@ object EngineSql {
           |  window w as (partition by o_custkey order by o_orderkey)
           |) t where rn <= 3 order by o_custkey, rn""".stripMargin),
 
+      // IGNORE NULLS (standard placement) — the LOCF idiom in pure
+      // dialect SQL; DuckDB's placement is inside the call parens
+      "fq_ignore_nulls" -> (
+        """select o_orderkey,
+          |  last_value(case when o_orderstatus = 'F' then o_totalprice end)
+          |    ignore nulls over (partition by o_custkey order by o_orderkey)
+          |    as last_f
+          |from orders order by o_orderkey""".stripMargin,
+        """SELECT o_orderkey,
+          |  last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+          |    IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+          |    AS last_f
+          |FROM orders ORDER BY o_orderkey""".stripMargin),
+
       // PIVOT with an explicit value list (one hash agg, no
       // distinct-values discovery job); oracle is the CASE expansion
       "fq_pivot" -> (

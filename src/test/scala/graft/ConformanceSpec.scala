@@ -94,6 +94,28 @@ class ConformanceSpec extends AnyFunSuite {
         |  wb as (partition by c1 order by c2
         |         rows between current row and unbounded following)""".stripMargin)
   }
+  test("ignore nulls: LOCF via last_value, lag skips nulls") {
+    checkLit(
+      """select c1, c2,
+        |  last_value(case when c2 % 2 = 0 then c2 end) ignore nulls
+        |    over (order by c2) as lv
+        |from test order by c2""".stripMargin,
+      // c2 = 1..6; even values carry forward over odd rows
+      Seq(Seq(0, 1, null), Seq(1, 2, 2), Seq(0, 3, 2),
+        Seq(1, 4, 4), Seq(0, 5, 4), Seq(1, 6, 6)))
+    checkLit(
+      """select c2, lag(case when c2 % 2 = 0 then c2 end, 1) ignore nulls
+        |  over (order by c2) as pl
+        |from test order by c2""".stripMargin,
+      Seq(Seq(1, null), Seq(2, null), Seq(3, 2),
+        Seq(4, 2), Seq(5, 4), Seq(6, 4)))
+  }
+  test("ignore nulls without OVER is rejected") {
+    intercept[graft.parser.ParseException] {
+      exec.query("select last_value(c2) ignore nulls from test")
+    }
+  }
+
   test("window clause: undefined reference fails loudly") {
     val e = intercept[graft.compiler.CompileException] {
       exec.query("select row_number() over nope from test").collect()
