@@ -396,6 +396,24 @@ class PlanRegressionSpec extends AnyFunSuite {
       "dd_bloom_contamination confirm join not a semi join")
   }
 
+  test("q_gapfill: one keyed daily shuffle, broadcast grid, windowed LOCF") {
+    val p = plan("q_gapfill")
+    assert(!p.contains("CartesianProduct"), "q_gapfill has CartesianProduct")
+    // the only nested-loop is the declared broadcast cross of the two
+    // tiny grid frames (day span × distinct types)
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"q_gapfill has $bnlj BNLJs (expected the grid cross)")
+    assert(p.contains("Window"), "LOCF window missing")
+    assertNoUdf(p, "q_gapfill")
+  }
+
+  test("dd_bloom_incremental: artifact probe keeps the semi-join confirm") {
+    val p = plan("dd_bloom_incremental")
+    assertNoCartesian(p, "dd_bloom_incremental")
+    assert(p.contains("LeftSemi"),
+      "dd_bloom_incremental confirm join not a semi join")
+  }
+
   test("dd_lsh_incremental: index streams map-side, one broadcast band join") {
     // the probe's contract: the persisted index is scanned once and
     // never shuffled — the batch bands ride the single broadcast hash
