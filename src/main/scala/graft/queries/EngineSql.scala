@@ -279,6 +279,13 @@ object EngineSql {
           |)
           |select cast(count(1) as bigint) as cnt, max(id) as hi from reach""".stripMargin),
 
+      // GROUPING() distinguishes subtotal rows from genuine NULL keys
+      // in multi-level aggregates
+      "fq_grouping_fn" -> same(
+        """select coalesce(n_regionkey, -1) as rk,
+          |  cast(grouping(n_regionkey) as int) as g, count(1) as n
+          |from nation group by rollup (n_regionkey) order by g, rk""".stripMargin),
+
       // TPC-H Q17 shape: correlated scalar subquery decorrelated to a
       // grouped aggregate left join (avg small-quantity threshold per part)
       "fq_q17_small_qty" -> same(
