@@ -376,6 +376,25 @@ object Streams {
       runToCompletion(s, lshDedupStream(index, src2.unionAll(planted)))
         .orderBy(col("batch_doc"))
     }),
+    // streaming distinct-user monitor: HLL++ is a MERGEABLE aggregate,
+    // so Structured Streaming maintains it incrementally with one
+    // fixed-size register set per group — the only way a distinct-ish
+    // count works on an unbounded stream (exact DISTINCT aggregation
+    // isn't streamable). Gate: the streamed estimate lands within 5% of
+    // the batch exact, joined AFTER stream completion.
+    "st_distinct_hll" -> ((s, dir) => {
+      val approx = runToCompletion(s,
+        readEvents(s, dir).groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("__d")))
+      val exact = Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("d_exact"))
+      approx.join(exact, "event_type")
+        .select(col("event_type"), col("d_exact"),
+          (abs(col("__d") - col("d_exact")) <= lit(0.05) * col("d_exact"))
+            .cast("bigint").as("within_tol"))
+        .orderBy(col("event_type"))
+    }),
     // the text-pipeline quality gate run as a STREAM over the documents
     // parquet; final table must equal DuckDB's batch computation —
     // incremental == batch for the ingestion-path operators
@@ -428,6 +447,11 @@ object Streams {
   def oracleSql: Map[String, String] = Map(
     // identical split, identical portable pipeline → identical oracle
     "st_lsh_dedup" -> graft.operators.Dedup.oracleSql("dd_lsh_incremental"),
+    // exact side reproduced; the streamed-HLL tolerance flag asserted
+    "st_distinct_hll" ->
+      """SELECT event_type, count(DISTINCT user_id) AS d_exact,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st_window_counts" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS window_start,
