@@ -166,6 +166,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.sameElements(ba), "streaming LSH dedup != batch index probe")
   }
 
+  test("streaming HLL distinct monitor stays within the batch tolerance") {
+    val rows = SparkEntry.queries("st_distinct_hll")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(2) == 1L),
+      s"streamed HLL estimate outside 5% of exact: ${rows.mkString(", ")}")
+  }
+
   test("restart from checkpoint: no source reprocessing, state survives") {
     // the operational property behind every long-running ingestion
     // pipeline: kill the query, restart from the checkpoint, and (a) the
