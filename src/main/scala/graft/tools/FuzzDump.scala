@@ -35,6 +35,7 @@ object FuzzDump {
 
     val version = args.lift(2).getOrElse("v1")
     val (corpus, seed) = version match {
+      case "v3" => (SqlFuzzer.corpusV3(), SqlFuzzer.CorpusV3Seed)
       case "v2" => (SqlFuzzer.corpusV2(), SqlFuzzer.CorpusV2Seed)
       case _ => (SqlFuzzer.corpus(), SqlFuzzer.CorpusSeed)
     }

@@ -325,4 +325,58 @@ object SqlFuzzer {
 
   def corpusV2(): Seq[String] =
     (0 until CorpusV2Size).map(queryV2(CorpusV2Seed, _))
+
+  // -------------------------------------------------- v3: WITH RECURSIVE
+  // Spark 4.1 executes recursive CTEs natively, so the graft fixpoint
+  // gets a THREE-way differential: graft loop vs Spark's native
+  // recursion vs DuckDB. Shapes bound iteration counts (driver loop
+  // cost) to ≲ 25.
+
+  /** UNION ALL arithmetic series with data-independent depth. */
+  private def recSeries(r: Random): String = {
+    val a = r.nextInt(4); val step = 1 + r.nextInt(3)
+    val b = a + 3 + r.nextInt(22)
+    s"WITH RECURSIVE t(n) AS (SELECT $a UNION ALL " +
+      s"SELECT n + $step FROM t WHERE n < $b) " +
+      "SELECT CAST(count(1) AS BIGINT) AS fz_n, " +
+      "CAST(sum(n) AS BIGINT) AS fz_s, max(n) AS fz_m FROM t"
+  }
+
+  /** UNION (distinct) modular walk — termination comes from the set
+    * semantics alone; visits m/gcd(s,m) residues then cycles. */
+  private def recCycle(r: Random): String = {
+    val m = 5 + r.nextInt(8)
+    val s = 1 + r.nextInt(m - 1)
+    s"WITH RECURSIVE c(id) AS (SELECT 0 UNION " +
+      s"SELECT (id + $s) % $m FROM c) " +
+      "SELECT CAST(count(1) AS BIGINT) AS fz_n, max(id) AS fz_m FROM c"
+  }
+
+  /** region→nation hierarchy walk with a random predicate pruning the
+    * recursive term (a join inside the recursion). */
+  private def recHierarchy(r: Random): String = {
+    val w = s" WHERE ${intPred(r, "n_nationkey")}"
+    s"WITH RECURSIVE h(id, d) AS (" +
+      "SELECT r_regionkey + 100, 0 FROM region UNION ALL " +
+      "SELECT n_nationkey, h.d + 1 FROM nation " +
+      s"JOIN h ON n_regionkey + 100 = h.id$w) " +
+      "SELECT CAST(count(1) AS BIGINT) AS fz_n, " +
+      "CAST(sum(id) AS BIGINT) AS fz_s, max(d) AS fz_d FROM h"
+  }
+
+  def queryV3(seed: Long, i: Int): String = {
+    val r = new Random(seed * 3000017L + i)
+    r.nextInt(100) match {
+      case n if n < 40 => recSeries(r)
+      case n if n < 70 => recCycle(r)
+      case _ => recHierarchy(r)
+    }
+  }
+
+  /** The committed v3 corpus (recursive CTE differential). */
+  val CorpusV3Seed = 20260816L
+  val CorpusV3Size = 60
+
+  def corpusV3(): Seq[String] =
+    (0 until CorpusV3Size).map(queryV3(CorpusV3Seed, _))
 }
