@@ -263,6 +263,59 @@ object Streams {
         col("m.est_jac").as("est_jac"))
   }
 
+  /** SELF-BUILDING incremental index: every arriving micro-batch is
+    * (1) deduped against the index AS OF the previous batch, then
+    * (2) its own signatures are APPENDED to the index — so day N's
+    * crawl dedups against everything ingested through day N−1 without
+    * any separate index-build job. `foreachBatch` gives the exactly-once
+    * seam: the append is idempotent per epoch via parquet append +
+    * checkpointed batch ids (re-run batches overwrite their own files
+    * on retry in real deployments; here append semantics suffice for
+    * the at-least-once memory-sink harness).
+    *
+    * Matches accumulate in `matchesSink` (caller-provided in-memory
+    * buffer for tests; a real deployment writes a parquet sink).
+    * Returns the started query; callers run it to completion. */
+  def lshDedupSelfIndexing(spark: SparkSession, docs: DataFrame,
+      indexPath: String,
+      matchesSink: scala.collection.mutable.Buffer[(Long, Long, Double)],
+      numHashes: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
+      shingleK: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val sig = Dedup.withPortableSignature(
+      docs.select(col("doc_id"), col("text")), col("text"),
+      numHashes, shingleK)
+      .drop("text")
+      .filter(col("h0").isNotNull)
+    sig.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val bsig = batch.localCheckpoint(true)
+        val idx =
+          try Some(s.read.parquet(indexPath))
+          catch { case _: Exception => None } // first batch: empty index
+        idx.foreach { index =>
+          Dedup.lshBandRows(index, "corpus_doc", "a", numHashes, bands)
+            .join(broadcast(
+              Dedup.lshBandRows(bsig, "batch_doc", "b", numHashes, bands)),
+              Seq("band", "bucket"))
+            .select(col("batch_doc"), col("corpus_doc"),
+              Dedup.laneAgreement(numHashes, "a", "b").as("est_jac"))
+            .filter(col("est_jac") >= minAgree)
+            .groupBy(col("batch_doc"))
+            .agg(max(struct(col("est_jac"), col("corpus_doc"))).as("m"))
+            .select(col("batch_doc"), col("m.corpus_doc"), col("m.est_jac"))
+            .collect()
+            .foreach(r => matchesSink +=
+              ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+        bsig.write.mode("append").parquet(indexPath)
+        ()
+      }
+      .start()
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Run a (complete-mode) streaming aggregation over the static parquet

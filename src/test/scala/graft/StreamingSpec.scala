@@ -173,6 +173,35 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed HLL estimate outside 5% of exact: ${rows.mkString(", ")}")
   }
 
+  test("self-building LSH index: each batch dedups against all prior batches") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_selfidx").toString
+    val inDir = s"$base/in"; val idxDir = s"$base/idx"
+    import spark.implicits._
+    val d1 = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six")).toDF("doc_id", "text")
+    val d2 = Seq((100L, "alpha beta gamma delta epsilon zeta"), // copy of 0
+      (101L, "completely different words entirely here now")).toDF("doc_id", "text")
+    d1.coalesce(1).write.parquet(inDir)
+    Thread.sleep(1100) // distinct mtimes → deterministic batch split
+    d2.coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema(d1.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val buf = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val q = graft.streaming.Streams.lshDedupSelfIndexing(
+      spark, stream, idxDir, buf)
+    try q.processAllAvailable() finally q.stop()
+    // every signed doc from both batches landed in the index
+    assert(spark.read.parquet(idxDir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 100L, 101L))
+    // exactly one cross-batch match: the copy pair, at full agreement
+    // (direction depends on which file streamed first)
+    assert(buf.toSet == Set((100L, 0L, 1.0)) || buf.toSet == Set((0L, 100L, 1.0)),
+      s"unexpected matches: $buf")
+  }
+
   test("restart from checkpoint: no source reprocessing, state survives") {
     // the operational property behind every long-running ingestion
     // pipeline: kill the query, restart from the checkpoint, and (a) the
