@@ -539,19 +539,9 @@ final class Executor(val spark: SparkSession,
   /** Execute a semicolon-separated script; returns the last result set.
     * The split is quote-aware (a ';' inside a string literal, e.g. a CSV
     * delimiter option, does not terminate the statement). */
-  def executeScript(script: String): Option[DataFrame] = {
-    val stmts = Seq.newBuilder[String]
-    val sb = new StringBuilder
-    var inStr = false
-    for (c <- script) {
-      if (c == '\'') { inStr = !inStr; sb.append(c) }
-      else if (c == ';' && !inStr) { stmts += sb.toString; sb.clear() }
-      else sb.append(c)
-    }
-    stmts += sb.toString
-    stmts.result().map(_.trim).filter(_.nonEmpty)
+  def executeScript(script: String): Option[DataFrame] =
+    Executor.splitStatements(script)
       .foldLeft(Option.empty[DataFrame])((_, s) => execute(s))
-  }
 
   /** Catalyst's formatted physical plan for a dialect query — the
     * inspection surface for pushdown / join-strategy checks. */
@@ -684,6 +674,27 @@ final class Executor(val spark: SparkSession,
 }
 
 object Executor {
+
+  /** Split a multi-statement script on top-level semicolons ('' strings
+    * and "" identifiers respected). Shared by [[Executor.executeScript]]
+    * and the wire server's simple-query flow (psql `-c "a; b"` / `-f`
+    * send one multi-statement string). */
+  def splitStatements(script: String): Seq[String] = {
+    val stmts = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var inIdent = false
+    for (c <- script) {
+      if (c == '\'' && !inIdent) { inStr = !inStr; sb.append(c) }
+      else if (c == '"' && !inStr) { inIdent = !inIdent; sb.append(c) }
+      else if (c == ';' && !inStr && !inIdent) {
+        stmts += sb.toString; sb.clear()
+      }
+      else sb.append(c)
+    }
+    stmts += sb.toString
+    stmts.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** ANALYZE stats sidecar (`_graft_stats.json` inside a directory
     * output): the leading underscore makes it invisible to Spark's file

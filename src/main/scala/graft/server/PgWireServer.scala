@@ -602,26 +602,34 @@ final class PgWireServer(spark: SparkSession,
   private def handleQuery(out: DataOutputStream, exec: Executor,
       sql: String): Unit =
     try {
-      if (sql.trim.isEmpty || sql.trim == ";") {
+      // PG simple protocol: one Query message may carry SEVERAL
+      // statements (psql -c "a; b" / -f file.sql) — each gets its own
+      // response sequence; an error aborts the remainder (the implicit
+      // transaction), then one ReadyForQuery follows from the caller
+      val stmts = Executor.splitStatements(sql)
+      if (stmts.isEmpty) {
         send(out, 'I')(_ => ()) // EmptyQueryResponse
         return
       }
-      sessionNoOpTag(sql) match {
-        case Some(tag) => send(out, 'C')(cstring(_, tag)); return
-        case None =>
-      }
-      exec.execute(sql) match {
-        case None =>
-          // DML/COPY tags carry the PG row count (what psql displays and
-          // JDBC executeUpdate returns); others fall back to the keyword
-          send(out, 'C')(cstring(_,
-            exec.lastCommandTag.getOrElse(commandTag(sql))))
-        case Some(df) =>
-          sendRowDescription(out, df.schema)
-          val (rows, truncated) = fetchRows(df)
-          rows.foreach(sendDataRow(out, df.schema, _))
-          if (truncated) truncationNotice(out)
-          send(out, 'C')(cstring(_, s"SELECT ${rows.length}"))
+      for (one <- stmts) {
+        sessionNoOpTag(one) match {
+          case Some(tag) => send(out, 'C')(cstring(_, tag))
+          case None =>
+            exec.execute(one) match {
+              case None =>
+                // DML/COPY tags carry the PG row count (what psql
+                // displays and JDBC executeUpdate returns); others fall
+                // back to the keyword
+                send(out, 'C')(cstring(_,
+                  exec.lastCommandTag.getOrElse(commandTag(one))))
+              case Some(df) =>
+                sendRowDescription(out, df.schema)
+                val (rows, truncated) = fetchRows(df)
+                rows.foreach(sendDataRow(out, df.schema, _))
+                if (truncated) truncationNotice(out)
+                send(out, 'C')(cstring(_, s"SELECT ${rows.length}"))
+            }
+        }
       }
     } catch {
       // NonFatal only (SqlServer policy): a fatal JVM error propagates

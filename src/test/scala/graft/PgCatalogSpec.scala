@@ -185,4 +185,34 @@ class PgCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), Option(r.getString(1))))
     assert(rows.toSeq == Seq((1L, Some("t.a,t.b")), (2L, None)))
   }
+
+  test("psql drives the round-10 statement surface end to end") {
+    assume(havePsql)
+    withServer { port =>
+      // recursive CTE over the wire
+      val (rc1, out1) = psql(port, "-c",
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t " +
+          "WHERE n < 5) SELECT cast(sum(n) as bigint) AS s FROM t")
+      assert(rc1 == 0 && out1.contains("15"), out1)
+      // CREATE VIEW → MERGE INTO it → read back, one session (-c chains
+      // run in separate connections, so use a single multi-statement -c)
+      val script =
+        "CREATE TABLE tgt AS select n_nationkey as id, n_name as name " +
+          "from nation where n_nationkey < 3;\n" +
+        "MERGE INTO tgt USING (select 1 as sid, 'PATCHED' as sname) AS s " +
+          "ON id = sid WHEN MATCHED THEN UPDATE SET name = sname " +
+          "WHEN NOT MATCHED THEN INSERT (id, name) VALUES (sid, sname);\n" +
+        "SELECT id, name FROM tgt ORDER BY id;"
+      val (rc2, out2) = psql(port, "-c", script)
+      assert(rc2 == 0, out2)
+      assert(out2.contains("PATCHED") && !out2.contains("ERROR"), out2)
+      // EXPLAIN ANALYZE renders plan + metrics over the wire
+      val (rc3, out3) = psql(port, "-c",
+        "EXPLAIN ANALYZE SELECT n_regionkey, count(1) FROM nation " +
+          "GROUP BY n_regionkey")
+      assert(rc3 == 0, out3)
+      assert(out3.contains("Physical Plan") &&
+        out3.contains("Runtime metrics:"), out3)
+    }
+  }
 }
