@@ -494,14 +494,27 @@ final class Executor(val spark: SparkSession,
       None
 
     case ShowStmt(what) =>
-      // config stubs (reference _executor.py:403-414)
-      val value = what match {
-        case "transaction isolation level" => "read only"
-        case "standard_conforming_strings" => "on"
-        case other => ""
-      }
       import spark.implicits._
-      Some(Seq(value).toDF(what.replace(' ', '_')))
+      what match {
+        // real listings over the scope (beyond the reference's stubs)
+        case "tables" =>
+          Some(scope.keys.toSeq.sorted.toDF("table_name"))
+        case s if s.startsWith("columns from ") || s.startsWith("columns in ") =>
+          val t = s.split("\\s+").last
+          val df = scope.getOrElse(t,
+            throw CompileException(s"table '$t' not found in scope"))
+          Some(df.schema.fields.toSeq
+            .map(f => (f.name, f.dataType.simpleString, f.nullable))
+            .toDF("column_name", "data_type", "nullable"))
+        case _ =>
+          // config stubs (reference _executor.py:403-414)
+          val value = what match {
+            case "transaction isolation level" => "read only"
+            case "standard_conforming_strings" => "on"
+            case _ => ""
+          }
+          Some(Seq(value).toDF(what.replace(' ', '_')))
+      }
   }
   }
 

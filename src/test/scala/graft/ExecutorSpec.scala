@@ -358,6 +358,20 @@ class ExecutorSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("z", "gone"))
   }
 
+  test("SHOW TABLES / SHOW COLUMNS list the live scope") {
+    val exec = new Executor(spark, Map(
+      "zz" -> Seq(1).toDF("x"), "aa" -> Seq(("s", 2L)).toDF("name", "n")))
+    assert(exec.execute("SHOW TABLES").get.collect().map(_.getString(0)).toSeq
+      == Seq("aa", "zz"))
+    val cols = exec.execute("SHOW COLUMNS FROM aa").get.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq(("name", "string"), ("n", "bigint")))
+    // scope changes reflect immediately
+    exec.execute("DROP TABLE zz")
+    assert(exec.execute("SHOW TABLES").get.collect().map(_.getString(0)).toSeq
+      == Seq("aa"))
+  }
+
   test("MERGE INTO: upsert with update, delete and conditional insert") {
     val exec = new Executor(spark, Map(
       "t" -> Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "s", "v"),
