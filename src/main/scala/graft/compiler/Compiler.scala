@@ -148,6 +148,27 @@ final class Compiler(spark: SparkSession, registry: Registry,
         s"but its body produces ${df.columns.length}")
     else df.toDF(declared: _*)
 
+  /** How many times does `sel` read table `name` in FROM position?
+    * (PG parity: a recursive arm may reference its CTE exactly once —
+    * `t JOIN t` inside the arm would silently compute delta⋈delta under
+    * working-table semantics, so it must be rejected, not mis-run.) */
+  private def countFromRefs(sel: Select, name: String): Int = {
+    def rel(r: Relation): Int = r match {
+      case TableRef(None, t, _) => if (t.equalsIgnoreCase(name)) 1 else 0
+      case TableRef(_, _, _) => 0
+      case SubqueryRel(s, _) => countFromRefs(s, name)
+      case SampleRel(c, _, _, _) => rel(c)
+      case PivotRel(c, _, _, _) => rel(c)
+      case UnpivotRel(c, _, _, _, _) => rel(c)
+      case JoinRel(_, l, r2, _) => rel(l) + rel(r2)
+      case TableFunctionRel(_, _, _, _, _) => 0
+      case ValuesRel(_, _, _) => 0
+    }
+    if (sel.cte.exists(_._1.equalsIgnoreCase(name))) 0 // shadowed
+    else sel.from.map(rel).sum +
+      sel.setOps.map { case (_, s) => countFromRefs(s, name) }.sum
+  }
+
   /** Does `sel` (or any nested select) read from table `name`? Drives
     * the WITH RECURSIVE classification of base vs recursive arms. An
     * inner CTE of the same name shadows the outer one (PG behavior), so
@@ -230,6 +251,11 @@ final class Compiler(spark: SparkSession, registry: Registry,
         "(base) term may not reference the CTE")
     val (recArms, baseArms) = sub.setOps.partition {
       case (_, s) => selectReferences(s, name)
+    }
+    recArms.find { case (_, s) => countFromRefs(s, name) > 1 }.foreach { _ =>
+      throw CompileException(s"recursive CTE $name: the recursive term " +
+        "may reference the CTE only once (PG restriction — a self-join " +
+        "of the working table would not mean what it looks like)")
     }
     if (recArms.isEmpty) // plain self-less union; treat as ordinary CTE
       return withDeclaredCols(compileSelect(sub, scope), name, declared)

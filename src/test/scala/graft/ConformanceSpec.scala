@@ -220,6 +220,17 @@ class ConformanceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("column"))
   }
+  test("recursive cte: double self-reference is rejected (PG parity)") {
+    val e = intercept[graft.compiler.CompileException] {
+      exec.query(
+        """with recursive t(n) as (
+          |  select 1 union all
+          |  select a.n + b.n from t a join t b on a.n = b.n where a.n < 4)
+          |select n from t""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("only once"))
+  }
+
   test("recursive cte: iteration cap fails loudly, not forever") {
     spark.conf.set("graft.recursive.maxIterations", "5")
     try {
