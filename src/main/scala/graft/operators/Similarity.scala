@@ -716,6 +716,29 @@ object Similarity {
         .select(col("n_queries"), col("n_results"),
           (col("__d1") + col("__d2") === 0).cast("bigint").as("same_as_inmem"))
     }),
+    // Embedding-space drift monitor — the vector-side complement of
+    // ta_drift: per-dimension mean shift between the historical half
+    // (even vec_id) and the arriving half (odd). ONE posexplode pass,
+    // per-(half, dim) decimal-exact sums (order-independent, map-side
+    // partials absorb the fan-in), then a d-row self-join — at 100 TB
+    // the shuffle carries 2·d aggregate rows, nothing else.
+    "em_drift" -> ((s, dir) => {
+      val cells = Tables.load(s, dir, "embeddings")
+        .select((col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+      val m = cells.groupBy(col("half"), col("i"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(27, 12)))
+          .cast("double") / count(lit(1))).as("mu"))
+      val a = m.filter(col("half") === 0)
+        .select(col("i"), col("mu").as("__ma"))
+      val b = m.filter(col("half") === 1)
+        .select(col("i"), col("mu").as("__mb"))
+      a.join(b, "i")
+        .select(col("i"), round(col("__ma"), 6).as("mean_a"),
+          round(col("__mb"), 6).as("mean_b"),
+          round(abs(col("__ma") - col("__mb")), 6).as("shift"))
+        .orderBy(col("i"))
+    }),
     // int8 embedding quantization ([[Vectors.quantizeInt8]]): per-label
     // code-sum checksum (exact integer arithmetic) pins the full code
     // content; the err_ok flag asserts the quantization error bound
@@ -917,6 +940,24 @@ object Similarity {
       """SELECT CAST(5 AS BIGINT) AS n_queries,
         |  CAST(50 AS BIGINT) AS n_results,
         |  CAST(1 AS BIGINT) AS same_as_inmem""".stripMargin,
+    // per-(half, dim) decimal-exact sums then double division — both
+    // engines round the same values at 6dp
+    "em_drift" ->
+      """WITH cells AS (
+        |  SELECT vec_id % 2 AS half,
+        |    unnest(range(len(embedding))) AS i, embedding
+        |  FROM embeddings),
+        |vals AS (
+        |  SELECT half, i, CAST(embedding[i + 1] AS DOUBLE) AS v FROM cells),
+        |m AS (
+        |  SELECT half, i,
+        |    CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS mu
+        |  FROM vals GROUP BY 1, 2)
+        |SELECT a.i, round(a.mu, 6) AS mean_a, round(b.mu, 6) AS mean_b,
+        |  round(abs(a.mu - b.mu), 6) AS shift
+        |FROM m a JOIN m b ON a.i = b.i
+        |WHERE a.half = 0 AND b.half = 1
+        |ORDER BY a.i""".stripMargin,
     // quantization mirrored exactly: same scale, same floor(x·s + 0.5)
     // codes, same error bound — all IEEE double ops
     "sim_quantize_int8" ->
