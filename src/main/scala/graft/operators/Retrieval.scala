@@ -170,6 +170,38 @@ object Retrieval {
     "ret_bm25" -> ((s, dir) =>
       topK(bm25(Tables.load(s, dir, "documents"), queryTermsDf(s)), k = 10)
         .orderBy(col("qid"), col("rk"))),
+    // HYBRID more-like-this: the query docs (id < 3) rank the corpus
+    // lexically (BM25 over their own distinct tokens) AND semantically
+    // (exact cosine over the aligned embeddings — brute is the
+    // baseline; the IVF/LSH paths are the documented scale route), then
+    // reciprocal-rank fusion merges the two orderings. Both legs
+    // exclude the query doc itself; the lexical leg naturally restricts
+    // to docs sharing >= 1 term, and the fusion's inner join keeps docs
+    // both rankers saw (the standard RRF contract here).
+    "ret_hybrid" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val qterms = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .distinct()
+      val lex = bm25FromPostings(
+        Checkpoints.materialize(postings(docs)), qterms)
+        .filter(col("doc_id") =!= col("qid"))
+      val qv = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          Vectors.norm2Fast(col("embedding")).as("qn"))
+      val dense = emb
+        .select(col("vec_id").as("doc_id"), col("embedding").as("ce"),
+          Vectors.norm2Fast(col("embedding")).as("cn"))
+        .crossJoin(broadcast(qv))
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id"),
+          (Vectors.dotFast(col("qe"), col("ce")) /
+            (col("qn") * col("cn"))).as("score"))
+      rrfFuse(lex, dense, k = 10, aRank = "r_lex", bRank = "r_dense")
+        .orderBy(col("qid"), col("rk"))
+    }),
     "ret_rrf_fusion" -> ((s, dir) => {
       // ONE postings build shared by both rankers (the inverted index is
       // built once and consulted twice — set graft.checkpoint.dir to
@@ -187,8 +219,8 @@ object Retrieval {
     "qterms(qid, term) AS (VALUES " + benchmarkTerms
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ") + ")"
 
-  private val bm25CoreSql =
-    s"""$qtermsSql,
+  private def bm25CoreSqlWith(qterms: String) =
+    s"""$qterms,
        |toks AS (
        |  SELECT doc_id,
        |    len(string_split_regex(lower(trim(text)), '\\s+')) AS dl,
@@ -211,7 +243,44 @@ object Retrieval {
        |  CROSS JOIN stats s
        |  GROUP BY 1, 2)""".stripMargin
 
+  private val bm25CoreSql = bm25CoreSqlWith(qtermsSql)
+
   def oracleSql: Map[String, String] = Map(
+    "ret_hybrid" ->
+      s"""WITH ${bm25CoreSqlWith(
+            """qterms AS (
+              |  SELECT DISTINCT qid, term FROM (
+              |    SELECT doc_id AS qid,
+              |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+              |    FROM documents WHERE doc_id < 3))""".stripMargin)},
+         |v AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+         |         for x in list_zip(embedding, embedding)])) AS nrm
+         |  FROM embeddings),
+         |dense AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         |    list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)
+         |      for x in list_zip(q.embedding, c.embedding)]) / (q.nrm * c.nrm)
+         |      AS score
+         |  FROM v q JOIN v c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < 3),
+         |ra AS (SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS r_lex
+         |  FROM bm WHERE doc_id <> qid),
+         |rb AS (SELECT qid, doc_id, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(score, 9) DESC, doc_id) AS r_dense
+         |  FROM dense),
+         |fused AS (
+         |  SELECT ra.qid, ra.doc_id, ra.r_lex, rb.r_dense,
+         |    1.0 / (60 + ra.r_lex) + 1.0 / (60 + rb.r_dense) AS rrf
+         |  FROM ra JOIN rb ON ra.qid = rb.qid AND ra.doc_id = rb.doc_id),
+         |final AS (
+         |  SELECT qid, doc_id, r_lex, r_dense, rrf, row_number() OVER (
+         |    PARTITION BY qid ORDER BY round(rrf, 9) DESC, doc_id) AS rk
+         |  FROM fused)
+         |SELECT qid, doc_id, r_lex, r_dense, rk, round(rrf, 6) AS rrf
+         |FROM final WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
     "ret_bm25" ->
       s"""WITH $bm25CoreSql,
          |ranked AS (
