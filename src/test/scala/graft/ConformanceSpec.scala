@@ -157,6 +157,13 @@ class ConformanceSpec extends AnyFunSuite {
         |unpivot include nulls (v for k in (big, c2))""".stripMargin,
       Seq(Seq(12)))
   }
+  test("pivot: same text executes identically in Spark SQL") {
+    // the dialect's PIVOT is Spark-SQL-shaped on purpose — one corpus
+    // of queries works against both front-ends
+    check(
+      """select * from (select c1, c2 % 2 as par, c2 from test)
+        |pivot (sum(c2) for par in (0 as even, 1 as odd))""".stripMargin)
+  }
   test("pivot: non-literal IN value is rejected") {
     val e = intercept[graft.compiler.CompileException] {
       exec.query(
