@@ -164,6 +164,15 @@ class ConformanceSpec extends AnyFunSuite {
       """select * from (select c1, c2 % 2 as par, c2 from test)
         |pivot (sum(c2) for par in (0 as even, 1 as odd))""".stripMargin)
   }
+  test("unpivot: same text executes identically in Spark SQL") {
+    check(
+      """select * from (select c1, c2, c1 + c2 as s from test)
+        |unpivot (v for k in (c2, s))""".stripMargin)
+    check(
+      """select count(1) as n from (
+        |  select c1, case when c2 > 4 then c2 end as big, c2 from test)
+        |unpivot include nulls (v for k in (big, c2))""".stripMargin)
+  }
   test("pivot: non-literal IN value is rejected") {
     val e = intercept[graft.compiler.CompileException] {
       exec.query(
