@@ -411,6 +411,68 @@ class ExecutorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("multiple source rows"))
   }
 
+  test("MERGE property: 40 random clause programs match a reference fold") {
+    val rnd = new scala.util.Random(20260814L)
+    for (caseNo <- 1 to 40) {
+      // target may carry duplicate ids (bag semantics); source ids are
+      // unique (multi-match is a tested ERROR, not a property case)
+      val tgt = (0 until 6).map(_ => (rnd.nextInt(8), rnd.nextInt(50)))
+      val src = rnd.shuffle((0 until 12).toList).take(5)
+        .map(id => (id, rnd.nextInt(50)))
+      val srcMap = src.toMap
+      // matched-clause generator: (sqlCond, predicate(v, sv), action)
+      def mCond(): (String, (Int, Int) => Boolean) = rnd.nextInt(3) match {
+        case 0 => ("", (_, _) => true)
+        case 1 => val c = rnd.nextInt(50); (s" AND sv > $c", (_, sv) => sv > c)
+        case _ => val c = rnd.nextInt(50); (s" AND v < $c", (v, _) => v < c)
+      }
+      val mClauses = (0 until 1 + rnd.nextInt(2)).map { _ =>
+        val (cs, cp) = mCond()
+        rnd.nextInt(3) match {
+          case 0 => (s"WHEN MATCHED$cs THEN UPDATE SET v = sv",
+            cp, Some((v: Int, sv: Int) => sv))
+          case 1 => (s"WHEN MATCHED$cs THEN UPDATE SET v = v + sv",
+            cp, Some((v: Int, sv: Int) => v + sv))
+          case _ => (s"WHEN MATCHED$cs THEN DELETE", cp, None)
+        }
+      }
+      val (insCondSql, insCondP) =
+        if (rnd.nextBoolean()) ("", (_: Int) => true)
+        else { val c = rnd.nextInt(50); (s" AND sv >= $c", (sv: Int) => sv >= c) }
+      val withInsert = rnd.nextInt(4) > 0
+      val insClause = if (withInsert)
+        Seq(s"WHEN NOT MATCHED$insCondSql THEN INSERT (id, v) VALUES (sid, sv)")
+      else Nil
+      val sql = "MERGE INTO t USING s ON id = sid\n" +
+        (mClauses.map(_._1) ++ insClause).mkString("\n")
+      // reference fold, first-applicable-clause-wins
+      val expectKept = tgt.flatMap { case (id, v) =>
+        srcMap.get(id) match {
+          case None => Some((id, v))
+          case Some(sv) =>
+            mClauses.find { case (_, p, _) => p(v, sv) } match {
+              case Some((_, _, Some(f))) => Some((id, f(v, sv)))
+              case Some((_, _, None)) => None // delete
+              case None => Some((id, v))
+            }
+        }
+      }
+      val tgtIds = tgt.map(_._1).toSet
+      val expectIns =
+        if (withInsert)
+          src.filter { case (id, sv) => !tgtIds.contains(id) && insCondP(sv) }
+        else Nil
+      val expected = (expectKept ++ expectIns).sorted
+      val exec = new Executor(spark, Map(
+        "t" -> tgt.toDF("id", "v"), "s" -> src.toDF("sid", "sv")))
+      exec.execute(sql)
+      val got = exec.query("select id, v from t").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+      assert(got == expected,
+        s"case $caseNo:\n$sql\ntarget=$tgt\nsource=$src\ngot     =$got\nexpected=$expected")
+    }
+  }
+
   test("EXPLAIN statement returns the physical plan as rows") {
     val exec = new Executor(spark, Map("t" -> Seq(1, 2, 3).toDF("x")))
     val rows = exec.execute("explain select x, x + 1 from t where x > 1")
