@@ -53,6 +53,14 @@ object Streams {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** Streaming read of the embeddings parquet (footer-derived schema,
+    * like every stream here). */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(footerSchema(spark, dir, "embeddings"))
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
   /** Streaming corpus-quality monitor: per-source counts of documents
     * passing the language gate and the token/punctuation quality gate —
     * [[graft.operators.TextAnalysis]] expressions applied to a stream.
@@ -429,6 +437,31 @@ object Streams {
       runToCompletion(s, lshDedupStream(index, src2.unionAll(planted)))
         .orderBy(col("batch_doc"))
     }),
+    // streaming face of em_drift: the ARRIVING embedding half (odd
+    // vec_id) monitored dimension by dimension against the static
+    // historical half. One incremental aggregation whose state is one
+    // exact (decimal sum, count) pair per dimension — bounded by d, not
+    // volume; the historical side is a d-row batch table joined after
+    // stream completion. Output (and oracle) identical to em_drift.
+    "st_em_drift" -> ((s, dir) => {
+      val streamHalf = runToCompletion(s,
+        readEmbeddings(s, dir).filter(col("vec_id") % 2 =!= 0)
+          .select(posexplode(col("embedding")).as(Seq("i", "v")))
+          .groupBy(col("i"))
+          .agg((sum(col("v").cast("double").cast(DecimalType(27, 12)))
+            .cast("double") / count(lit(1))).as("__mb")))
+      val hist = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 2 === 0)
+        .select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("i"))
+        .agg((sum(col("v").cast("double").cast(DecimalType(27, 12)))
+          .cast("double") / count(lit(1))).as("__ma"))
+      hist.join(streamHalf, "i")
+        .select(col("i"), round(col("__ma"), 6).as("mean_a"),
+          round(col("__mb"), 6).as("mean_b"),
+          round(abs(col("__ma") - col("__mb")), 6).as("shift"))
+        .orderBy(col("i"))
+    }),
     // streaming distinct-user monitor: HLL++ is a MERGEABLE aggregate,
     // so Structured Streaming maintains it incrementally with one
     // fixed-size register set per group — the only way a distinct-ish
@@ -500,6 +533,8 @@ object Streams {
   def oracleSql: Map[String, String] = Map(
     // identical split, identical portable pipeline → identical oracle
     "st_lsh_dedup" -> graft.operators.Dedup.oracleSql("dd_lsh_incremental"),
+    // identical halves, identical decimal-exact math → identical oracle
+    "st_em_drift" -> graft.operators.Similarity.oracleSql("em_drift"),
     // exact side reproduced; the streamed-HLL tolerance flag asserted
     "st_distinct_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS d_exact,
