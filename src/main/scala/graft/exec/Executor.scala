@@ -296,42 +296,61 @@ final class Executor(val spark: SparkSession,
         .withColumn("__smark", lit(1)).alias(srcName)
       val cond = compiler.compileExpr(on)
       val joined = t.join(srcM, cond, "left_outer")
-      // SQL standard: a target row matching multiple source rows is an
-      // error, not a nondeterministic pick
-      if (joined.filter(col("__smark").isNotNull)
-          .groupBy(col("__tid")).agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > 1).limit(1).count() > 0)
-        throw CompileException(
-          "MERGE: a target row matched multiple source rows")
       val isM = col("__smark").isNotNull
       val matchedClauses = clauses.filter(_.matched)
       val notMatchedClauses = clauses.filterNot(_.matched)
       def extraCond(cl: MergeClause): Column =
         cl.cond.map(e => coalesce(compiler.compileExpr(e), lit(false)))
           .getOrElse(lit(true))
-      // first applicable clause wins: fold right puts clause 1 outermost
+      // SQL:2003: exactly ONE clause acts on a row — decide the first
+      // applicable matched clause ONCE per row (null = matched-but-no-
+      // clause-applies, or not matched) and gate every column update and
+      // the keep flag on that index. Folding per column would let a later
+      // clause's SET leak onto rows an earlier clause already consumed.
+      val clauseIdx: Column = matchedClauses.zipWithIndex
+        .foldRight(lit(null).cast("int")) { case ((cl, i), acc) =>
+          when(isM && extraCond(cl), lit(i)).otherwise(acc)
+        }
+      // SQL standard cardinality check: error only when a target row is
+      // actually UPDATEd/DELETEd via more than one source row (PG
+      // semantics) — insert-only MERGEs against duplicate-matching
+      // sources are legal, as are duplicate matches no clause acts on
+      if (joined.withColumn("__cl", clauseIdx).filter(col("__cl").isNotNull)
+          .groupBy(col("__tid")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).count() > 0)
+        throw CompileException(
+          "MERGE: a target row was updated or deleted by multiple source rows")
       def valueFor(c: String): Column =
-        matchedClauses.foldRight(t(c)) { case (cl, acc) =>
+        matchedClauses.zipWithIndex.foldRight(t(c)) { case ((cl, i), acc) =>
           cl.action match {
             case "update" =>
               val setMap = cl.sets.map { case (sc, e) =>
                 resolveColumn(target, table, sc) -> e
               }.toMap
               setMap.get(c) match {
-                case Some(e) => when(isM && extraCond(cl),
+                case Some(e) => when(col("__cl") === i,
                   compiler.compileExpr(e).cast(dtype(c))).otherwise(acc)
                 case None => acc
               }
             case _ => acc // delete: value irrelevant, the keep flag drops it
           }
         }
-      val keep = matchedClauses.foldRight(lit(true)) { case (cl, acc) =>
-        when(isM && extraCond(cl),
-          lit(cl.action != "delete")).otherwise(acc)
+      val keep = matchedClauses.zipWithIndex.foldRight(lit(true)) {
+        case ((cl, i), acc) =>
+          when(col("__cl") === i, lit(cl.action != "delete")).otherwise(acc)
       }
-      val survivors = joined
-        .select(targetCols.map(c => valueFor(c).as(c)) :+ keep.as("__keep"): _*)
-        .filter(col("__keep")).drop("__keep")
+      // A target row may legally join several source rows when at most one
+      // of them triggers a clause (the cardinality check above guarantees
+      // ≤1 acted copy). Resolve per __tid: the acted copy (__cl non-null)
+      // wins; otherwise the copies are identical originals — keep one.
+      val tidW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__tid")).orderBy(col("__cl").asc_nulls_last)
+      val survivors = joined.withColumn("__cl", clauseIdx)
+        .select(targetCols.map(c => valueFor(c).as(c)) ++
+          Seq(keep.as("__keep"), col("__tid"), col("__cl")): _*)
+        .withColumn("__rn", row_number().over(tidW))
+        .filter(col("__rn") === 1 && col("__keep"))
+        .drop("__rn", "__keep", "__tid", "__cl")
       // NOT MATCHED: source rows with no target partner, first
       // applicable clause's INSERT spec (NULL-filled, cast — the
       // InsertInto contract); rows no clause covers are ignored
@@ -355,11 +374,9 @@ final class Executor(val spark: SparkSession,
           case (cl, acc) => when(extraCond(cl), insertValue(cl, c)).otherwise(acc)
         }.as(c)
       }: _*)
-      val anyMatchedApplies = matchedClauses.foldRight(lit(false)) {
-        case (cl, acc) => when(extraCond(cl), lit(true)).otherwise(acc)
-      }
       lastTagThunk = Some(() => {
-        val m = joined.filter(isM && anyMatchedApplies).count()
+        val m = joined.withColumn("__cl", clauseIdx)
+          .filter(col("__cl").isNotNull).count()
         val i = insertable.filter(anyInsert).count()
         s"MERGE ${m + i}"
       })

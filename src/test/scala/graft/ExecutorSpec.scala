@@ -411,28 +411,86 @@ class ExecutorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("multiple source rows"))
   }
 
+  test("MERGE: first applicable clause consumes the row across ALL columns") {
+    // SQL:2003 — exactly one clause acts per row. A later clause's SET on a
+    // DIFFERENT column must not also apply to a row the first clause took.
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1, 10, "a"), (2, 200, "b")).toDF("id", "v", "name"),
+      "s" -> Seq((1, 1), (2, 2)).toDF("sid", "sv")))
+    exec.execute(
+      """MERGE INTO t USING s ON id = sid
+        |WHEN MATCHED AND v < 100 THEN UPDATE SET v = sv
+        |WHEN MATCHED THEN UPDATE SET name = 'x'""".stripMargin)
+    // row 1: clause 1 applies -> v updated, name untouched
+    // row 2: clause 1 fails -> clause 2 -> name updated, v untouched
+    assert(exec.query("select id, v, name from t order by id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 1, "a"), (2, 200, "x")))
+  }
+
+  test("MERGE: multi-match only errors when a matched clause actually acts") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1, 10)).toDF("id", "v"),
+      "s" -> Seq((1, 1), (1, 2), (3, 30)).toDF("sid", "sv")))
+    // insert-only MERGE against a duplicate-matching source is legal (PG)
+    exec.execute(
+      """MERGE INTO t USING s ON id = sid
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (sid, sv)""".stripMargin)
+    assert(exec.query("select id, v from t order by id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 10), (3, 30)))
+    // duplicate matches excluded by every clause condition: also legal
+    exec.execute(
+      """MERGE INTO t USING s ON id = sid
+        |WHEN MATCHED AND sv > 100 THEN DELETE""".stripMargin)
+    assert(exec.query("select count(*) from t").collect()(0).getLong(0) == 2)
+    // exactly ONE of several matching source rows triggers the clause:
+    // legal (PG) — the acted copy wins, no duplicate survivors
+    exec.execute(
+      """MERGE INTO t USING s ON id = sid
+        |WHEN MATCHED AND sv = 2 THEN UPDATE SET v = 99""".stripMargin)
+    assert(exec.query("select id, v from t order by id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 99), (3, 30)))
+    // but when a matched clause does act via >1 source row: error
+    val e = intercept[graft.compiler.CompileException] {
+      exec.execute(
+        """MERGE INTO t USING s ON id = sid
+          |WHEN MATCHED THEN UPDATE SET v = sv""".stripMargin)
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+  }
+
   test("MERGE property: 40 random clause programs match a reference fold") {
     val rnd = new scala.util.Random(20260814L)
     for (caseNo <- 1 to 40) {
       // target may carry duplicate ids (bag semantics); source ids are
-      // unique (multi-match is a tested ERROR, not a property case)
-      val tgt = (0 until 6).map(_ => (rnd.nextInt(8), rnd.nextInt(50)))
+      // unique (multi-match is a tested ERROR, not a property case).
+      // TWO value columns so cross-column clause bleed-over (a later
+      // clause's SET on another column leaking onto an already-consumed
+      // row) is caught, not just same-column shadowing.
+      val tgt = (0 until 6).map(_ => (rnd.nextInt(8), rnd.nextInt(50), rnd.nextInt(50)))
       val src = rnd.shuffle((0 until 12).toList).take(5)
         .map(id => (id, rnd.nextInt(50)))
       val srcMap = src.toMap
-      // matched-clause generator: (sqlCond, predicate(v, sv), action)
-      def mCond(): (String, (Int, Int) => Boolean) = rnd.nextInt(3) match {
-        case 0 => ("", (_, _) => true)
-        case 1 => val c = rnd.nextInt(50); (s" AND sv > $c", (_, sv) => sv > c)
-        case _ => val c = rnd.nextInt(50); (s" AND v < $c", (v, _) => v < c)
+      // matched-clause generator: (sqlCond, predicate(v, w, sv))
+      def mCond(): (String, (Int, Int, Int) => Boolean) = rnd.nextInt(4) match {
+        case 0 => ("", (_, _, _) => true)
+        case 1 => val c = rnd.nextInt(50); (s" AND sv > $c", (_, _, sv) => sv > c)
+        case 2 => val c = rnd.nextInt(50); (s" AND v < $c", (v, _, _) => v < c)
+        case _ => val c = rnd.nextInt(50); (s" AND w < $c", (_, w, _) => w < c)
       }
       val mClauses = (0 until 1 + rnd.nextInt(2)).map { _ =>
         val (cs, cp) = mCond()
-        rnd.nextInt(3) match {
+        rnd.nextInt(5) match {
           case 0 => (s"WHEN MATCHED$cs THEN UPDATE SET v = sv",
-            cp, Some((v: Int, sv: Int) => sv))
+            cp, Some((v: Int, w: Int, sv: Int) => (sv, w)))
           case 1 => (s"WHEN MATCHED$cs THEN UPDATE SET v = v + sv",
-            cp, Some((v: Int, sv: Int) => v + sv))
+            cp, Some((v: Int, w: Int, sv: Int) => (v + sv, w)))
+          case 2 => (s"WHEN MATCHED$cs THEN UPDATE SET w = sv",
+            cp, Some((v: Int, w: Int, sv: Int) => (v, sv)))
+          case 3 => (s"WHEN MATCHED$cs THEN UPDATE SET v = sv, w = w + 1",
+            cp, Some((v: Int, w: Int, sv: Int) => (sv, w + 1)))
           case _ => (s"WHEN MATCHED$cs THEN DELETE", cp, None)
         }
       }
@@ -441,19 +499,20 @@ class ExecutorSpec extends AnyFunSuite {
         else { val c = rnd.nextInt(50); (s" AND sv >= $c", (sv: Int) => sv >= c) }
       val withInsert = rnd.nextInt(4) > 0
       val insClause = if (withInsert)
-        Seq(s"WHEN NOT MATCHED$insCondSql THEN INSERT (id, v) VALUES (sid, sv)")
+        Seq(s"WHEN NOT MATCHED$insCondSql THEN INSERT (id, v, w) VALUES (sid, sv, 0)")
       else Nil
       val sql = "MERGE INTO t USING s ON id = sid\n" +
         (mClauses.map(_._1) ++ insClause).mkString("\n")
-      // reference fold, first-applicable-clause-wins
-      val expectKept = tgt.flatMap { case (id, v) =>
+      // reference fold, first-applicable-clause-wins, one clause per row
+      val expectKept = tgt.flatMap { case (id, v, w) =>
         srcMap.get(id) match {
-          case None => Some((id, v))
+          case None => Some((id, v, w))
           case Some(sv) =>
-            mClauses.find { case (_, p, _) => p(v, sv) } match {
-              case Some((_, _, Some(f))) => Some((id, f(v, sv)))
+            mClauses.find { case (_, p, _) => p(v, w, sv) } match {
+              case Some((_, _, Some(f))) =>
+                val (nv, nw) = f(v, w, sv); Some((id, nv, nw))
               case Some((_, _, None)) => None // delete
-              case None => Some((id, v))
+              case None => Some((id, v, w))
             }
         }
       }
@@ -461,13 +520,14 @@ class ExecutorSpec extends AnyFunSuite {
       val expectIns =
         if (withInsert)
           src.filter { case (id, sv) => !tgtIds.contains(id) && insCondP(sv) }
+            .map { case (id, sv) => (id, sv, 0) }
         else Nil
       val expected = (expectKept ++ expectIns).sorted
       val exec = new Executor(spark, Map(
-        "t" -> tgt.toDF("id", "v"), "s" -> src.toDF("sid", "sv")))
+        "t" -> tgt.toDF("id", "v", "w"), "s" -> src.toDF("sid", "sv")))
       exec.execute(sql)
-      val got = exec.query("select id, v from t").collect()
-        .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+      val got = exec.query("select id, v, w from t").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq.sorted
       assert(got == expected,
         s"case $caseNo:\n$sql\ntarget=$tgt\nsource=$src\ngot     =$got\nexpected=$expected")
     }
