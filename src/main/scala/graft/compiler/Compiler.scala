@@ -172,12 +172,23 @@ final class Compiler(spark: SparkSession, registry: Registry,
   /** Does `sel` (or any nested select) read from table `name`? Drives
     * the WITH RECURSIVE classification of base vs recursive arms. An
     * inner CTE of the same name shadows the outer one (PG behavior), so
-    * the walk stops there. */
-  private def selectReferences(sel: Select, name: String): Boolean = {
+    * the walk stops there.
+    *
+    * With `exprSubqueryOnly` set, only references reached THROUGH an
+    * expression-position subquery (scalar/IN/EXISTS/quantified — PG's
+    * SubLink) count; bare FROM-position reads do not. PG rejects the
+    * former inside a recursive term ("recursive reference ... must not
+    * appear within a subquery", parse_cte.c) while permitting the
+    * latter — the flag lets the recursion compiler make that exact
+    * distinction. Once inside an expression subquery ANY reference
+    * counts, so those cases recurse in normal mode. */
+  private def selectReferences(sel: Select, name: String,
+      exprSubqueryOnly: Boolean = false): Boolean = {
     def rel(r: Relation): Boolean = r match {
-      case TableRef(None, t, _) => t.equalsIgnoreCase(name)
+      case TableRef(None, t, _) =>
+        !exprSubqueryOnly && t.equalsIgnoreCase(name)
       case TableRef(_, _, _) => false
-      case SubqueryRel(s, _) => selectReferences(s, name)
+      case SubqueryRel(s, _) => selectReferences(s, name, exprSubqueryOnly)
       case SampleRel(c, _, _, _) => rel(c)
       case PivotRel(c, agg, _, vs) =>
         rel(c) || expr(agg) || vs.exists(v => expr(v._1))
@@ -213,7 +224,8 @@ final class Compiler(spark: SparkSession, registry: Registry,
       sel.items.exists { case ExprItem(e, _) => expr(e); case _ => false } ||
       sel.where.exists(expr) || sel.having.exists(expr) ||
       sel.qualify.exists(expr) ||
-      sel.setOps.exists { case (_, s) => selectReferences(s, name) }
+      sel.setOps.exists { case (_, s) =>
+        selectReferences(s, name, exprSubqueryOnly) }
   }
 
   /** `WITH RECURSIVE name AS (base UNION [ALL] recursive)` — iterative
@@ -257,6 +269,16 @@ final class Compiler(spark: SparkSession, registry: Registry,
         "may reference the CTE only once (PG restriction — a self-join " +
         "of the working table would not mean what it looks like)")
     }
+    // PG parity: a self-reference inside an expression subquery (scalar/
+    // IN/EXISTS/quantified) of the recursive term would silently evaluate
+    // against the working table (the current delta), not the CTE — reject
+    // loudly like PG's "must not appear within a subquery" instead
+    recArms.find { case (_, s) =>
+      selectReferences(s, name, exprSubqueryOnly = true) }.foreach { _ =>
+      throw CompileException(s"recursive CTE $name: recursive reference " +
+        "must not appear within a subquery (PG restriction — it would " +
+        "see only the working table, not the CTE)")
+    }
     if (recArms.isEmpty) // plain self-less union; treat as ordinary CTE
       return withDeclaredCols(compileSelect(sub, scope), name, declared)
     val badOp = (recArms ++ baseArms).collect {
@@ -266,8 +288,22 @@ final class Compiler(spark: SparkSession, registry: Registry,
         s"combine arms (got ${badOp.head})")
     val distinctMode = recArms.exists(_._1 == "union")
 
+    // The recursive body's own inner WITH list (WITH RECURSIVE t AS
+    // (WITH h AS (...) SELECT ... UNION ALL ...)) evaluates FIRST into a
+    // child scope — PG accepts this shape; both the base term and every
+    // recursive arm then compile against it. Inner CTEs cannot see the
+    // recursive name (it is not bound yet), matching PG.
+    val innerScope = sub.cte.foldLeft(scope) { case (sc, (cn, cs)) =>
+      val decl = sub.cteCols.getOrElse(cn, Nil)
+      val df =
+        if (sub.cteRecursive && selectReferences(cs, cn))
+          compileRecursiveCte(cn, decl, cs, sc)
+        else withDeclaredCols(compileSelect(cs, sc), cn, decl)
+      sc + (cn -> df)
+    }
+
     val base0 = compileSelect(
-      sub.copy(setOps = baseArms, cte = Nil, cteRecursive = false), scope)
+      sub.copy(setOps = baseArms, cte = Nil, cteRecursive = false), innerScope)
     val base = withDeclaredCols(
       if (distinctMode) base0.distinct() else base0, name, declared)
     val outCols = base.columns.toSeq
@@ -286,7 +322,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
         throw CompileException(s"recursive CTE $name exceeded " +
           s"$maxIters iterations (raise graft.recursive.maxIterations " +
           "if the recursion is genuinely this deep)")
-      val stepScope = scope + (name -> working)
+      val stepScope = innerScope + (name -> working)
       val step0 = recArms.map { case (_, s) =>
         val armDf = compileSelect(s.copy(cteRecursive = false), stepScope)
         if (armDf.columns.length != outCols.length)

@@ -281,12 +281,13 @@ object Streams {
     * on retry in real deployments; here append semantics suffice for
     * the at-least-once memory-sink harness).
     *
-    * Matches accumulate in `matchesSink` (caller-provided in-memory
-    * buffer for tests; a real deployment writes a parquet sink).
-    * Returns the started query; callers run it to completion. */
+    * Matches are WRITTEN to `matchesPath` as an appended parquet sink —
+    * the production shape: nothing about a match ever rides the driver
+    * (columns `batch_doc`, `corpus_doc`, `est_jac`; the path appears on
+    * the first batch that produces a match). Returns the started query;
+    * callers run it to completion. */
   def lshDedupSelfIndexing(spark: SparkSession, docs: DataFrame,
-      indexPath: String,
-      matchesSink: scala.collection.mutable.Buffer[(Long, Long, Double)],
+      indexPath: String, matchesPath: String,
       numHashes: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
       shingleK: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
@@ -300,9 +301,14 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val bsig = batch.localCheckpoint(true)
-        val idx =
-          try Some(s.read.parquet(indexPath))
-          catch { case _: Exception => None } // first batch: empty index
+        // probe the index path EXPLICITLY: only a genuinely-absent index
+        // means "first batch, nothing to dedup against". Any other read
+        // failure (transient FS error, corrupt footer) must propagate and
+        // fail the batch — a broad catch would silently skip dedup for
+        // the micro-batch while still appending its signatures.
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val idx = if (fs.exists(p)) Some(s.read.parquet(indexPath)) else None
         idx.foreach { index =>
           Dedup.lshBandRows(index, "corpus_doc", "a", numHashes, bands)
             .join(broadcast(
@@ -313,10 +319,9 @@ object Streams {
             .filter(col("est_jac") >= minAgree)
             .groupBy(col("batch_doc"))
             .agg(max(struct(col("est_jac"), col("corpus_doc"))).as("m"))
-            .select(col("batch_doc"), col("m.corpus_doc"), col("m.est_jac"))
-            .collect()
-            .foreach(r => matchesSink +=
-              ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+            .select(col("batch_doc"), col("m.corpus_doc").as("corpus_doc"),
+              col("m.est_jac").as("est_jac"))
+            .write.mode("append").parquet(matchesPath)
         }
         bsig.write.mode("append").parquet(indexPath)
         ()

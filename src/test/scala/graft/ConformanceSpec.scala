@@ -247,6 +247,46 @@ class ConformanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("only once"))
   }
 
+  test("recursive cte: body's own inner WITH list is in scope (PG parity)") {
+    checkLit(
+      """with recursive t(n) as (
+        |  with h(s) as (select 2)
+        |  select s from h
+        |  union all
+        |  select n + 1 from t where n < 4)
+        |select n from t""".stripMargin,
+      Seq(Seq(2), Seq(3), Seq(4)))
+    // ...and the recursive ARM sees the inner CTE too
+    checkLit(
+      """with recursive t(n) as (
+        |  with h(step) as (select 10)
+        |  select 0
+        |  union all
+        |  select n + step from t, h where n < 30)
+        |select n from t""".stripMargin,
+      Seq(Seq(0), Seq(10), Seq(20), Seq(30)))
+  }
+  test("recursive cte: self-reference inside an expression subquery is rejected (PG parity)") {
+    // PG: "recursive reference to query t must not appear within a
+    // subquery" — silently running it against the working table would
+    // be a wrong answer, not an error
+    val e = intercept[graft.compiler.CompileException] {
+      exec.query(
+        """with recursive t(n) as (
+          |  select 1 union all
+          |  select n + 1 from t where n < 5 and n in (select n from t))
+          |select n from t""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("subquery"))
+    // FROM-position derived tables remain legal (PG allows these)
+    checkLit(
+      """with recursive t(n) as (
+        |  select 1 union all
+        |  select m + 1 from (select n as m from t) s where m < 3)
+        |select n from t""".stripMargin,
+      Seq(Seq(1), Seq(2), Seq(3)))
+  }
+
   test("recursive cte: iteration cap fails loudly, not forever") {
     spark.conf.set("graft.recursive.maxIterations", "5")
     try {

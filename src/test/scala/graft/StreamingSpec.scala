@@ -189,17 +189,20 @@ class StreamingSpec extends AnyFunSuite {
       .schema(d1.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
-    val buf = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val matchDir = s"$base/matches"
     val q = graft.streaming.Streams.lshDedupSelfIndexing(
-      spark, stream, idxDir, buf)
+      spark, stream, idxDir, matchDir)
     try q.processAllAvailable() finally q.stop()
     // every signed doc from both batches landed in the index
     assert(spark.read.parquet(idxDir).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 100L, 101L))
-    // exactly one cross-batch match: the copy pair, at full agreement
+    // matches come back from the parquet SINK, not a driver buffer:
+    // exactly one cross-batch match — the copy pair, at full agreement
     // (direction depends on which file streamed first)
-    assert(buf.toSet == Set((100L, 0L, 1.0)) || buf.toSet == Set((0L, 100L, 1.0)),
-      s"unexpected matches: $buf")
+    val got = spark.read.parquet(matchDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((100L, 0L, 1.0)) || got == Set((0L, 100L, 1.0)),
+      s"unexpected matches: $got")
   }
 
   test("restart from checkpoint: no source reprocessing, state survives") {
