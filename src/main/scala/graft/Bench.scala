@@ -21,9 +21,12 @@ import org.apache.spark.sql.SparkSession
   * fit (prioritized by family). The complete per-query map is written to
   * BENCH_full.json in the working directory for offline reading.
   *
-  * All reported per-query numbers are MEDIANS over SPARK_GRAFT_BENCH_RUNS
-  * executions (default 3) and `value` is the sum of those medians —
-  * single-shot timings on this VM swing 2-4x with outside load.
+  * All reported per-query numbers are medians of the ≤3 FASTEST WARM
+  * runs out of SPARK_GRAFT_BENCH_RUNS executions (default 3, first run
+  * discarded as warm-up; see [[timeQuery]] for the full statistic
+  * discipline) and `value` is the sum of those medians — single-shot
+  * timings on this VM swing 2-4x with outside load, and r10 proved even
+  * 3-run medians can lie when interference spans the whole window.
   */
 object Bench {
 
@@ -31,14 +34,36 @@ object Bench {
     * timings then measure a failure path, so the query is excluded from
     * every total and counted in `n_failed` instead of being recorded as
     * a (typically suspiciously fast) success — r8's totals lied exactly
-    * this way. */
-  final case class QueryTiming(name: String, p50: Double,
-      times: Vector[Double], suspect: Boolean, err: Option[String])
+    * this way. `p50`/`minWarm` are computed over WARM runs only (see
+    * [[timeQuery]]); `drift` marks a query whose reported p50 still sits
+    * >3x above its own warm minimum after every rerun — the reader must
+    * use `mins` for it. */
+  final case class QueryTiming(name: String, p50: Double, minWarm: Double,
+      times: Vector[Double], suspect: Boolean, drift: Boolean,
+      err: Option[String])
 
-  /** Time `run` `runs`× (median reported; up to `extraRuns` reruns when
-    * the spread is >2x), catching per-run failures into `err`. */
+  /** Time `run` `runs`×, catching per-run failures into `err`.
+    *
+    * Statistic discipline (r10 post-mortem: the driver bench recorded
+    * 3–9× phantom medians that dissolved under isolated re-timing, and
+    * its own suspect detection missed them because all three interleaved
+    * runs were slow TOGETHER):
+    *  - the FIRST run is a discarded warm-up when ≥3 runs exist — it
+    *    pays plan compile + codegen JIT, an inherent one-time cost that
+    *    previously flagged 24 first-run-only "suspects" on a quiet host;
+    *  - `p50` is the median of the ≤3 FASTEST warm runs: ambient load
+    *    only ever inflates, so the distribution's lower mode is the true
+    *    cost, and a rerun that lands fast pulls the median back to it;
+    *  - warm spread >2x buys up to `extraRuns` reruns (ambient
+    *    interference shows up as warm runs disagreeing);
+    *  - `priorMin` (last round's recorded min for this query) buys the
+    *    same reruns when EVERY warm run is >3x it — the
+    *    all-runs-slow-together shape that within-run spread cannot see;
+    *  - if the final p50 still exceeds 3x the warm min, the query is
+    *    flagged `drift` so a reader knows to trust `mins` for it. */
   def timeQuery(name: String, run: () => Unit, runs: Int, extraRuns: Int,
-      afterRun: () => Unit = () => ()): QueryTiming = {
+      afterRun: () => Unit = () => (),
+      priorMin: Option[Double] = None): QueryTiming = {
     var err: Option[String] = None
     def timeOne(): Double = {
       val t0 = System.nanoTime()
@@ -54,12 +79,6 @@ object Bench {
       dt
     }
     var times = Vector.fill(runs)(timeOne())
-    // Load-suspect spread is measured over the WARM runs only (drop the
-    // first execution when ≥3 runs exist): run 1 pays plan compile +
-    // codegen JIT, an inherent one-time cost, and counting it flagged 24
-    // first-run-only "suspects" on a provably quiet host (r10). The flag
-    // exists to mark ambient interference — which shows up as warm runs
-    // disagreeing with each other.
     def warm = if (times.size >= 3) times.tail else times
     def spread = warm.max / math.max(warm.min, 1e-9)
     var added = 0
@@ -68,21 +87,61 @@ object Bench {
       added += 1
     }
     val suspect = runs > 1 && spread > 2.0
-    // true median: average the two middles on even run counts (the
-    // lower-middle alone would bias every reported time low)
-    val sortedT = times.sorted
-    val p50 =
-      if (sortedT.size % 2 == 1) sortedT(sortedT.size / 2)
-      else (sortedT(sortedT.size / 2 - 1) + sortedT(sortedT.size / 2)) / 2
-    QueryTiming(name, p50, times, suspect, err)
+    def median(xs: Vector[Double]): Double = {
+      val w = xs.sorted.take(math.min(3, xs.size))
+      if (w.size % 2 == 1) w(w.size / 2)
+      else (w(w.size / 2 - 1) + w(w.size / 2)) / 2
+    }
+    // drift reruns (separate budget): keep buying runs while EITHER
+    //  - every warm run sits ≥3x above the previous round's min
+    //    (interference spanning the whole window — within-run spread
+    //    cannot see this shape), OR
+    //  - the fastest-3 median still sits ≥3x above the warm min (a fast
+    //    mode has appeared but not yet enough runs to dominate the
+    //    median) — each recovered run pulls the window down further.
+    var driftAdded = 0
+    def stillDrifting: Boolean =
+      priorMin.exists(pm => warm.min > 3.0 * math.max(pm, 0.05)) ||
+        median(warm) > 3.0 * math.max(warm.min, 0.05)
+    while (err.isEmpty && runs > 1 && driftAdded < extraRuns && stillDrifting) {
+      times :+= timeOne()
+      driftAdded += 1
+    }
+    val p50 = median(warm)
+    val minWarm = warm.min
+    val drift = runs > 1 && p50 > 3.0 * math.max(minWarm, 0.05)
+    QueryTiming(name, p50, minWarm, times, suspect, drift, err)
   }
 
-  /** (p50 total, min-of-runs total) over the queries that succeeded —
+  /** (p50 total, min-of-warm-runs total) over the queries that succeeded —
     * a failed query contributes nothing rather than a fast lie. */
   def totals(results: Seq[QueryTiming]): (Double, Double) = {
     val ok = results.filter(_.err.isEmpty)
-    (ok.map(_.p50).sum, ok.map(_.times.min).sum)
+    (ok.map(_.p50).sum, ok.map(_.minWarm).sum)
   }
+
+  /** Last round's per-query minima from the committed BENCH_full.json —
+    * the cross-round drift reference for [[timeQuery]]. Only used when
+    * that capture ran at the SAME scale factor; absent/foreign files are
+    * an empty map, never an error. */
+  def loadPriorMins(path: String, sfBase: String): Map[String, Double] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val sfTok = root.path("sf").asText()
+        if (sfBase != s"sf$sfTok" && sfBase != sfTok) Map.empty
+        else {
+          val mins = root.path("mins")
+          val it = mins.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val k = it.next(); b += k -> mins.path(k).asDouble() }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,16 +180,26 @@ object Bench {
     // then the trustworthy number (load only ever inflates).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val extraRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
+    // last round's committed capture → per-query drift reference
+    val priorMins = loadPriorMins("BENCH_full.json",
+      new java.io.File(sfDir).getName)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val qt = timeQuery(name,
         () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(),
         runs, extraRuns,
         // operators persist() shared subplans; drop them between runs so
         // cached partitions don't accumulate (or mask re-execution cost)
-        afterRun = () => spark.catalog.clearCache())
+        afterRun = () => spark.catalog.clearCache(),
+        priorMin = priorMins.get(name))
       val flag = (if (qt.suspect) "  LOAD-SUSPECT" else "") +
+        (if (qt.drift) "  DRIFT" else "") +
         (if (qt.err.isDefined) "  FAILED" else "")
       System.err.println(f"[bench] $name%-28s ${qt.p50}%7.2f s  (${qt.times.map(t => f"$t%.2f").mkString("/")})$flag")
+      // inter-query cooldown: settle GC debt from the previous query so
+      // it cannot inflate the next one's runs (the cross-query
+      // interference shape behind r10's phantom medians)
+      System.gc()
+      Thread.sleep(200)
       qt
     }
     val loadAfter = loadavg()
@@ -154,9 +223,10 @@ object Bench {
     // timing, `suspect` the queries whose spread stayed >2x after
     // reruns, and `loadavg` the host load around the run.
     val ok = results.filter(_.err.isEmpty)
+    val drifts = results.filter(r => r.drift && r.err.isEmpty).map(_.name)
     val fullQs = ok.map(r => "\"" + r.name + f"""\":${r.p50}%.3f""")
       .mkString("{", ",", "}")
-    val fullMins = ok.map(r => "\"" + r.name + f"""\":${r.times.min}%.3f""")
+    val fullMins = ok.map(r => "\"" + r.name + f"""\":${r.minWarm}%.3f""")
       .mkString("{", ",", "}")
     val fullRuns = ok.map(r =>
       "\"" + r.name + "\":[" + r.times.map(t => f"$t%.3f").mkString(",") + "]")
@@ -170,8 +240,9 @@ object Bench {
     } + "\""
     val errJson = failed.map(r =>
       jstr(r.name) + ":" + jstr(r.err.get.take(200))).mkString("{", ",", "}")
+    val driftJson = drifts.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"sf":$sfLabel}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50-of-3-fastest-warm","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"drift":$driftJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"sf":$sfLabel}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -202,13 +273,16 @@ object Bench {
     val failedCompact =
       (if (failed.length > 8) failed.take(8).map(_.name) :+ "+more"
        else failed.map(_.name)).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftCompact =
+      (if (drifts.length > 8) drifts.take(8) :+ "+more" else drifts)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
     val footer =
-      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
+      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"n_drift":${drifts.length},"drift":$driftCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
     val budget = 1750 - header.length - footer.length
     val ordered = ok.sortBy(r => (priority(r.name), r.name))
     val sb = new StringBuilder
     var used = 0
-    ordered.foreach { case QueryTiming(k, v, _, _, _) =>
+    ordered.foreach { case QueryTiming(k, v, _, _, _, _, _) =>
       val entry = "\"" + k + f"""\":$v%.2f"""
       val cost = entry.length + (if (used == 0) 0 else 1)
       if (used + cost <= budget) {

@@ -2,9 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bench error accounting: a query that throws must surface as failed
-  * and contribute NOTHING to the totals — not show up as a ~0 s
-  * "success" (which is exactly how a round-8 bench total lied). */
+/** Bench statistic discipline: failures must not pollute totals, warm-run
+  * medians must discard the cold run, and cross-round drift (all runs
+  * slow together — the r10 phantom-median shape) must buy reruns and pull
+  * the median back to the distribution's lower mode. */
 class BenchSpec extends AnyFunSuite {
 
   test("a throwing query is marked failed and excluded from totals") {
@@ -19,17 +20,62 @@ class BenchSpec extends AnyFunSuite {
     assert(good.err.isEmpty)
 
     val (total, minTotal) = Bench.totals(Seq(bad, good))
-    assert(total == good.p50 && minTotal == good.times.min,
+    assert(total == good.p50 && minTotal == good.minWarm,
       "failed query leaked into the totals")
   }
 
-  test("median is the average of middles on even run counts") {
+  test("p50 is the median of the fastest warm runs; the cold run is discarded") {
+    // cold run deliberately huge: it must not appear in p50 or minWarm
     var i = 0
-    val delays = Vector(1L, 1L, 30L, 60L) // forces spread>2 → reruns...
-    // use explicit timings instead: drive timeQuery with deterministic work
-    val qt = Bench.timeQuery("even", () => { Thread.sleep(delays(i.min(3))); i += 1 },
+    val delays = Vector(120L, 10L, 12L, 11L)
+    val qt = Bench.timeQuery("warm", () => { Thread.sleep(delays(i.min(3))); i += 1 },
       runs = 4, extraRuns = 0)
-    val s = qt.times.sorted
-    assert(math.abs(qt.p50 - (s(1) + s(2)) / 2) < 1e-12)
+    assert(qt.err.isEmpty)
+    val warm = qt.times.tail.sorted
+    assert(qt.minWarm == warm.head)
+    assert(math.abs(qt.p50 - warm(1)) < 1e-12, // median of 3 warm runs
+      s"p50=${qt.p50} times=${qt.times}")
+    assert(qt.p50 < qt.times.head, "cold run leaked into the median")
+  }
+
+  test("all-runs-slow vs prior min buys drift reruns and recovers the fast mode") {
+    // first 3 runs ~250ms (simulated interference), prior round's min was
+    // 60ms → the cross-round guard must rerun, and the fastest-3 window
+    // must let the recovered fast runs dominate the median
+    var i = 0
+    val delays = Vector(250L, 250L, 250L, 20L, 20L)
+    val qt = Bench.timeQuery("drifty",
+      () => { Thread.sleep(delays(i.min(delays.size - 1))); i += 1 },
+      runs = 3, extraRuns = 2, priorMin = Some(0.06))
+    assert(qt.err.isEmpty)
+    assert(qt.times.length > 3, "prior-min drift guard did not buy reruns")
+    // fastest-3 warm window = [20ms, 20ms, 250ms] → median ~20ms, not ~250ms
+    assert(qt.p50 < 0.1, s"median stayed at the interference mode: ${qt.times}")
+  }
+
+  test("a query still >3x its own min after reruns is flagged drift") {
+    // one fast run among slow ones, no prior min: suspect reruns fire
+    // (warm spread > 2x) but the median stays high → drift flag tells the
+    // reader to trust mins for this query
+    var i = 0
+    val delays = Vector(200L, 200L, 20L, 200L, 200L)
+    val qt = Bench.timeQuery("stuck",
+      () => { Thread.sleep(delays(i.min(delays.size - 1))); i += 1 },
+      runs = 3, extraRuns = 2)
+    assert(qt.err.isEmpty)
+    assert(qt.drift, s"expected drift flag: p50=${qt.p50} times=${qt.times}")
+  }
+
+  test("prior mins load from a committed capture only at the matching SF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench")
+    val f = dir.resolve("BENCH_full.json")
+    java.nio.file.Files.write(f,
+      """{"metric":"total","sf":0.1,"mins":{"q1":1.25,"q2":0.5}}"""
+        .getBytes("UTF-8"))
+    assert(Bench.loadPriorMins(f.toString, "sf0.1") ==
+      Map("q1" -> 1.25, "q2" -> 0.5))
+    assert(Bench.loadPriorMins(f.toString, "sf0.01").isEmpty,
+      "foreign-SF mins must not drive drift reruns")
+    assert(Bench.loadPriorMins(dir.resolve("absent.json").toString, "sf0.1").isEmpty)
   }
 }
