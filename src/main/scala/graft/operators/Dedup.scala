@@ -567,12 +567,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Largest tolerated SRP bucket before the in-bucket pairwise step is
+    * declared quadratic-at-scale: 64× the auto-plane target, i.e. severe
+    * skew or a mis-pinned plane count, never normal variance. */
+  private val srpMaxBucketRows = 64L * 256L
+
+  /** Loud bounded-bucket contract for the SRP-bucketed pairwise
+    * operators: per-bucket pair cost is (bucket size)², so a bucket
+    * beyond the cap means the plane count no longer tracks the corpus —
+    * fail with the fix in the message instead of running quadratically. */
+  private def assertBoundedBuckets(bucketed: DataFrame, planes: Int,
+      op: String, cap: Long = srpMaxBucketRows): Unit = {
+    val biggest = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).first().getLong(0)
+    if (biggest > cap)
+      throw new IllegalStateException(
+        s"$op: largest SRP bucket holds $biggest rows (cap $cap) at " +
+          s"planes=$planes - raise the plane count (or pass planes=0 to " +
+          "derive it from the corpus size) so per-bucket pairwise work " +
+          "stays bounded")
+  }
+
   /** Embedding cosine near-dup pairs ≥ threshold, bucketed by
-    * sign-random-projection so only same-bucket vectors pair. */
+    * sign-random-projection so only same-bucket vectors pair.
+    * `planes = 0` (the default) derives the plane count from the corpus
+    * size ([[Vectors.autoSrpPlanes]]) so per-bucket pair cost stays flat
+    * as the corpus grows; either way a bounded-bucket assertion fails
+    * loudly rather than letting a bucket go quadratic. */
   def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.95,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 0, maxBucketRows: Long = srpMaxBucketRows): DataFrame = {
+    val p = if (planes > 0) planes else Vectors.autoSrpPlanes(emb.count())
     val withB = emb.select(col("vec_id"), col("embedding"),
-      Vectors.srpBucket(col("embedding"), planes).as("bucket"))
+      Vectors.srpBucket(col("embedding"), p).as("bucket"))
+      .persist()
+    assertBoundedBuckets(withB, p, "embeddingDupPairs", maxBucketRows)
     val l = withB.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val r = withB.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     l.join(r, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
@@ -613,17 +642,24 @@ object Dedup {
     * scan; the centroid table has at most 2^planes rows and rides a
     * broadcast back onto the corpus (zero shuffle for the centroid
     * cosines); the duplicate test is ONE bucket-keyed self-semi-join.
-    * At 100 TB raise `planes` so 2^planes tracks corpus size (the
-    * per-bucket pair cost is the same bounded-bucket contract as the
-    * LSH paths) — the centroid table stays broadcastable at any plane
-    * count that partitions the corpus usefully. */
-  def semDedup(emb: DataFrame, tau: Double, planes: Int = 6): DataFrame = {
+    * `planes = 0` (the default) DERIVES the plane count from the corpus
+    * size ([[Vectors.autoSrpPlanes]]: 2^planes tracks n/256) so the
+    * per-bucket pair cost stays flat at any scale — the r10 "raise
+    * planes with corpus size" contract as code — and a bounded-bucket
+    * assertion fails loudly if a bucket goes quadratic anyway. The
+    * centroid table stays broadcastable at any derived plane count
+    * (hi-clamp 2^20 rows). An explicit positive `planes` pins the count
+    * (the guard still applies). */
+  def semDedup(emb: DataFrame, tau: Double, planes: Int = 0,
+      maxBucketRows: Long = srpMaxBucketRows): DataFrame = {
+    val pl = if (planes > 0) planes else Vectors.autoSrpPlanes(emb.count())
     val q = emb.select(col("vec_id"), col("label"),
-        Vectors.srpBucketPortable(col("embedding"), planes).as("bucket"),
+        Vectors.srpBucketPortable(col("embedding"), pl).as("bucket"),
         Vectors.quantizeInt8(col("embedding")).getField("codes").as("codes"))
       .withColumn("qnorm", sqrt(aggregate(col("codes"), lit(0L),
         (a, c) => a + c.cast("long") * c.cast("long")).cast("double")))
       .persist()
+    assertBoundedBuckets(q, pl, "semDedup", maxBucketRows)
     // integer centroid-sum vector per bucket, rebuilt in pos order (the
     // collect_list order is arbitrary; the sort pins it)
     val cent = q.select(col("bucket"), posexplode(col("codes")).as(Seq("pos", "c")))
@@ -671,7 +707,7 @@ object Dedup {
     * call `spark.catalog.clearCache()` (as Bench does between queries) or
     * unpersist after materializing, or the cached partitions accumulate. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, maxBucketDocs: Long = 10000L): DataFrame = {
     val d = shingleRows(docs, k,
         g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
         carry = Seq("source"))
@@ -679,6 +715,18 @@ object Dedup {
       .agg(collect_set(col("s")).as("sh"))
       .withColumn("n", size(col("sh"))) // set size once per doc, not per pair
       .persist()
+    // This is the O(n²-per-source) ORACLE BASELINE, never the production
+    // path (minhash is). `source` is low-cardinality, so per-bucket cost
+    // is quadratic in corpus size — fail loudly before a large corpus
+    // silently runs quadratically, naming the scale path in the message.
+    val biggest = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).first().getLong(0)
+    if (biggest > maxBucketDocs)
+      throw new IllegalStateException(
+        s"ngramJaccardPairs: largest 'source' bucket holds $biggest docs " +
+          s"(cap $maxBucketDocs) - this exhaustive baseline would run " +
+          "O(n²) over it; use minhashDupPairsPortable (banded LSH) " +
+          "for corpora of this size, or raise maxBucketDocs deliberately")
     val l = d.select(col("source"), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"), col("n").as("n_a"))
     val r = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
@@ -1491,18 +1539,25 @@ object Dedup {
     * Every cross-row aggregate is integer; every double is derived from
     * identical integers by identical single operations — bit-equal. */
   private lazy val semDedupOracleSql: String = {
-    val planeTerms = (0 until 6).map { p =>
-      s"""    (CASE WHEN list_sum([CAST(embedding[j + 1] AS DOUBLE) *
-         |      (CASE WHEN (CAST(('0x' || substr(md5('$p' || '|' ||
-         |          CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0
-         |        THEN 1.0 ELSE -1.0 END)
-         |      for j in range(len(embedding))]) >= 0
-         |      THEN ${1L << p} ELSE 0 END)""".stripMargin
-    }.mkString(" +\n")
-    s"""WITH b AS (
+    // plane count derived from the corpus size EXACTLY like
+    // Vectors.autoSrpPlanes: bit length of ceil(n/256)-1, clamped to
+    // [4,20] — integer arithmetic on both engines, no floating log
+    s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+      |pl AS (SELECT least(20, greatest(4,
+      |    CASE WHEN ((n + 255) // 256) <= 1 THEN 0
+      |         ELSE length(bin(((n + 255) // 256) - 1)) END)) AS planes
+      |  FROM nn),
+      |b AS (
       |  SELECT vec_id, label, embedding,
-      |$planeTerms AS bucket
-      |  FROM embeddings),
+      |    CAST(list_sum([CASE
+      |      WHEN list_sum([CAST(embedding[j + 1] AS DOUBLE) *
+      |        (CASE WHEN (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '|' ||
+      |            CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 2) = 0
+      |          THEN 1.0 ELSE -1.0 END)
+      |        for j in range(len(embedding))]) >= 0
+      |      THEN power(2, p) ELSE 0.0 END
+      |      for p in range(planes)]) AS BIGINT) AS bucket
+      |  FROM embeddings, pl),
       |m AS (
       |  SELECT vec_id, label, bucket, embedding,
       |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS ma

@@ -68,6 +68,23 @@ object Vectors {
       }),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Smallest SRP plane count whose 2^planes buckets hold ~`target` rows
+    * each at corpus size `n` — the knob that keeps per-bucket pairwise
+    * work FLAT as the corpus grows (the r10 verdict's scale contract,
+    * now code instead of prose). Integer-exact — bit length of
+    * ceil(n/target)−1, no floating log — so an external oracle derives
+    * the identical count (DuckDB: `length(bin(((n + target-1)//target)
+    * - 1))`). Clamped to [lo, hi]; hi=20 keeps the 2^planes-row
+    * centroid/bucket side tables broadcastable (≤1M rows). */
+  def autoSrpPlanes(n: Long, target: Long = 256L,
+      lo: Int = 4, hi: Int = 20): Int = {
+    val m = (math.max(n, 1L) + target - 1) / target
+    val bits =
+      if (m <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(hi, math.max(lo, bits))
+  }
+
   /** Deterministic pseudo-random hyperplane: component j of plane p is
     * a signed hash of (p, j) — reproducible on any cluster, no RNG state. */
   private def planeComponent(p: Int, j: Column): Column =

@@ -789,6 +789,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sc.values.forall(s => s > 0 && s <= 5L * 1000000L))
   }
 
+  test("autoSrpPlanes: integer-exact derivation, clamped") {
+    import Vectors.autoSrpPlanes
+    assert(autoSrpPlanes(1) == 4 && autoSrpPlanes(256) == 4)
+    assert(autoSrpPlanes(500) == 4) // sf0.001/sf0.01 embeddings
+    assert(autoSrpPlanes(2000) == 4) // sf0.1 embeddings
+    assert(autoSrpPlanes(256L * 16) == 4)
+    assert(autoSrpPlanes(256L * 16 + 1) == 5)
+    assert(autoSrpPlanes(256L * 32) == 5)
+    // exact powers must not wobble (the floating-log failure mode)
+    assert(autoSrpPlanes(256L * 1024) == 10)
+    assert(autoSrpPlanes(256L * 1024 + 1) == 11)
+    assert(autoSrpPlanes(Long.MaxValue / 2) == 20) // hi clamp
+  }
+
+  test("SRP pairwise operators fail loudly when a bucket exceeds the cap") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e1 = intercept[IllegalStateException] {
+      Dedup.semDedup(emb, tau = 0.35, maxBucketRows = 10).collect()
+    }
+    assert(e1.getMessage.contains("bucket") && e1.getMessage.contains("planes"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.embeddingDupPairs(emb, threshold = 0.9, maxBucketRows = 10).collect()
+    }
+    assert(e2.getMessage.contains("bucket"))
+  }
+
+  test("ngramJaccardPairs: the O(n²) baseline refuses an oversized source bucket") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta", "s0"),
+      (1L, "alpha beta gamma epsilon", "s0"),
+      (2L, "one two three four", "s0")
+    ).toDF("doc_id", "text", "source")
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPairs(d, threshold = 0.1, maxBucketDocs = 2).collect()
+    }
+    assert(e.getMessage.contains("minhash"),
+      "the error must name the scale path")
+    // within the cap it still runs
+    assert(Dedup.ngramJaccardPairs(d, threshold = 0.1, maxBucketDocs = 3)
+      .collect().nonEmpty)
+  }
+
   test("semDedup: removal decisions match a brute-force in-memory reference") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val tau = 0.35
@@ -797,8 +839,10 @@ class OperatorsSpec extends AnyFunSuite {
     // rebuild (bucket, codes) with the same deterministic building blocks,
     // then apply the pairwise-greedy rule directly — an independent
     // implementation of the centroid/semi-join plumbing
+    // same corpus-size-derived plane count as the operator's default
+    val pl = Vectors.autoSrpPlanes(emb.count())
     val rows = emb.select(col("vec_id"),
-        Vectors.srpBucketPortable(col("embedding"), 6).as("bucket"),
+        Vectors.srpBucketPortable(col("embedding"), pl).as("bucket"),
         Vectors.quantizeInt8(col("embedding")).getField("codes").as("codes"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toArray))
