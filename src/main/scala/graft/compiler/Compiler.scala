@@ -242,9 +242,12 @@ final class Compiler(spark: SparkSession, registry: Registry,
     * lineage stays flat (a reliable checkpoint on a real cluster when
     * `graft.checkpoint.dir` is set). The final result is a flat union of
     * the materialized deltas — never re-written per iteration, so total
-    * work is O(Σ|deltaᵢ|) plus, under UNION, the per-iteration
-    * set-difference scan that the semantics themselves require. The only
-    * driver-side value per iteration is the delta's emptiness check.
+    * work is O(Σ|deltaᵢ|); under UNION the seen-before test is a
+    * Bloom-pruned broadcast confirm (see the loop comment), so a
+    * repeat-free recursion never rescans the accumulation and a cyclic
+    * one pays one streamed (never shuffled) scan per iteration. The
+    * driver holds only the delta-emptiness flag and the fixed-size
+    * merged Bloom filter.
     *
     * The iteration cap (`graft.recursive.maxIterations`, default 1000)
     * turns a non-terminating recursion into a loud error instead of an
@@ -307,6 +310,7 @@ final class Compiler(spark: SparkSession, registry: Registry,
     val base = withDeclaredCols(
       if (distinctMode) base0.distinct() else base0, name, declared)
     val outCols = base.columns.toSeq
+    val baseTypes = base.schema.fields.map(_.dataType)
 
     val maxIters = spark.conf.get("graft.recursive.maxIterations", "1000").toInt
     var working = graft.Checkpoints.materialize(base)
@@ -316,6 +320,29 @@ final class Compiler(spark: SparkSession, registry: Registry,
     var acc = working
     var done = working.isEmpty
     var iter = 0
+    // UNION-distinct bookkeeping: "seen before?" is adjudicated by a
+    // driver-merged Bloom filter over a null-safe row hash plus an exact
+    // confirm, NOT by `step.except(acc)` — except() re-shuffles and
+    // re-aggregates the WHOLE accumulation every iteration (O(depth ×
+    // total)). Here:
+    //  - Bloom NEGATIVES are provably unseen (no false negatives) and
+    //    never touch the accumulator at all — a repeat-free recursion
+    //    (series walk) has flat per-iteration cost in |delta|;
+    //  - Bloom positives (real repeats + ~1% FPs) pay one exact confirm:
+    //    a streamed scan of acc against a BROADCAST hash of the small
+    //    candidate set, then a broadcast anti-join back — acc is never
+    //    shuffled, sorted, or re-aggregated. Hash collisions in the row
+    //    hash are harmless: they only route a row through the exact
+    //    confirm. Fixed Bloom sizing keeps per-delta filters mergeable.
+    val bloomItems = 1L << 20
+    def rowHashed(df: DataFrame): DataFrame =
+      df.withColumn("__rh", xxhash64(outCols.map(col): _*))
+    def nullSafeEq(l: DataFrame, r: DataFrame): Column =
+      outCols.map(c => l(c) <=> r(c)).reduce(_ && _)
+    var seenBloom: org.apache.spark.util.sketch.BloomFilter =
+      if (distinctMode && !done)
+        rowHashed(working).stat.bloomFilter("__rh", bloomItems, 0.01)
+      else null
     while (!done) {
       iter += 1
       if (iter > maxIters)
@@ -329,10 +356,44 @@ final class Compiler(spark: SparkSession, registry: Registry,
           throw CompileException(s"recursive CTE $name: recursive term " +
             s"produces ${armDf.columns.length} columns, base has " +
             s"${outCols.length}")
-        armDf.toDF(outCols: _*)
+        // conform each arm to the BASE term's types (PG: the recursive
+        // union is typed by the non-recursive term). Without this a
+        // narrower arm type (e.g. int vs the base's bigint) would make
+        // the row hash of a revisited value differ from the one the
+        // Bloom filter recorded — a silently re-admitted duplicate.
+        armDf.toDF(outCols: _*).select(outCols.zipWithIndex.map {
+          case (c, i) => col(c).cast(baseTypes(i)).as(c) }: _*)
       }.reduce(_ union _)
-      val step = if (distinctMode) step0.except(acc) else step0
-      working = graft.Checkpoints.materialize(step)
+      if (!distinctMode) {
+        working = graft.Checkpoints.materialize(step0)
+      } else {
+        val stepD = graft.Checkpoints.materialize(step0.distinct())
+        val bc = spark.sparkContext.broadcast(seenBloom)
+        val mightSeen = udf((h: Long) => bc.value.mightContainLong(h))
+        val h = rowHashed(stepD)
+        val maybe = graft.Checkpoints.materialize(
+          h.filter(mightSeen(col("__rh"))).drop("__rh"))
+        val nMaybe = maybe.count()
+        val step =
+          if (nMaybe == 0) stepD
+          else if (nMaybe <= 4000000L) {
+            val reappeared = acc.join(broadcast(maybe),
+              nullSafeEq(acc, maybe), "left_semi")
+            val confirmedNew = maybe.join(broadcast(reappeared),
+              nullSafeEq(maybe, reappeared), "left_anti")
+            h.filter(!mightSeen(col("__rh"))).drop("__rh")
+              .union(confirmedNew)
+          } else
+            // candidate set too big to broadcast (massive genuine
+            // re-visitation): plain null-safe anti-join — still cheaper
+            // than except(), which would also re-distinct acc
+            stepD.join(acc, nullSafeEq(stepD, acc), "left_anti")
+        working = graft.Checkpoints.materialize(step)
+        bc.unpersist()
+        if (!working.isEmpty)
+          seenBloom.mergeInPlace(
+            rowHashed(working).stat.bloomFilter("__rh", bloomItems, 0.01))
+      }
       done = working.isEmpty
       if (!done) acc = acc.union(working)
     }

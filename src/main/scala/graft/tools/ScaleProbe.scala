@@ -216,8 +216,28 @@ object ScaleProbe {
       "lsh_incremental" -> (f =>
         Dedup.dedupAgainstLshIndex(idxFor(f), probeBatch)))
 
+    // ---- round-11 addition: deep UNION-distinct recursion probe ----
+    // Here `f` scales recursion DEPTH (64×f iterations, constant
+    // 512-row delta per level), not corpus size. Per-iteration cost
+    // flat in the accumulated size ⇒ total time linear in depth ⇒
+    // fitted exponent ≈ 1. The old `step.except(acc)` formulation
+    // rescanned + re-aggregated the whole accumulation every iteration
+    // ⇒ exponent → 2 on this probe. Repeat-free by construction, so it
+    // also exercises the Bloom-negative fast path (no acc scan at all).
+    val recOps: Seq[(String, Int => DataFrame)] = Seq(
+      "recursive_union_depth" -> (f => {
+        val depth = 64 * f
+        val exec = new graft.exec.Executor(spark, Map.empty)
+        exec.query(
+          s"""WITH RECURSIVE t(n, k) AS (
+             |  SELECT 1, g FROM generate_series(1, 512) AS gs(g)
+             |  UNION
+             |  SELECT n + 1, k FROM t WHERE n < $depth)
+             |SELECT count(*) AS c, sum(n * k) AS s FROM t""".stripMargin)
+      }))
+
     val opFilter = args.drop(1).toSet
-    val allOps = (ops ++ streamOps ++ graphOps ++ incOps)
+    val allOps = (ops ++ streamOps ++ graphOps ++ incOps ++ recOps)
       .filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
     // JIT/codegen warm-up outside the measured region

@@ -287,6 +287,21 @@ class ConformanceSpec extends AnyFunSuite {
       Seq(Seq(1), Seq(2), Seq(3)))
   }
 
+  test("recursive cte: arm narrower than base cannot re-admit a seen value") {
+    // the arm casts to INT while the base literal is BIGINT — the seen-
+    // row check must compare post-conformance values (PG types the
+    // union by the non-recursive term), or the 11-cycle wrap-around 0
+    // would hash differently from the base 0 and duplicate
+    checkLit(
+      """with recursive reach(id) as (
+        |  select 0
+        |  union
+        |  select cast((id + 3) % 11 as int) from reach
+        |)
+        |select id from reach""".stripMargin,
+      (0 to 10).map(i => Seq(i)))
+  }
+
   test("recursive cte: iteration cap fails loudly, not forever") {
     spark.conf.set("graft.recursive.maxIterations", "5")
     try {
