@@ -331,6 +331,19 @@ object Streams {
 
   private val runId = new AtomicInteger(0)
 
+  /** Per-trigger sink emission row counts of every [[runToCompletion]]
+    * query this session, in start order — the emission-contract probe:
+    * StreamingSpec asserts each monitor's per-trigger emission stays
+    * within its documented state bound (rows per cell space, never per
+    * input volume). Complete mode re-pays the full state per trigger by
+    * definition; that is acceptable exactly BECAUSE the state is cell-
+    * bounded — a monitor whose emission grew with volume would fail the
+    * bound. On a production sink that supports upserts, update mode +
+    * watermark is the equivalent shape with per-trigger emission equal
+    * to the CHANGED cells only. */
+  val emissionLog =
+    scala.collection.mutable.Buffer.empty[(String, Seq[Long])]
+
   /** Run a (complete-mode) streaming aggregation over the static parquet
     * to completion and return the final table — turns the streaming path
     * into a batch-comparable result for tests and the correctness gate. */
@@ -358,6 +371,9 @@ object Streams {
         // 8-13× with unchanged plans and this is how to see where
         if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
           q.recentProgress.foreach(p => System.err.println(p.json))
+        val emitted = q.recentProgress.toSeq
+          .map(p => Option(p.sink).map(_.numOutputRows).getOrElse(-1L))
+        emissionLog.synchronized { emissionLog += ((name, emitted)) }
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // materialize: the memory sink table is dropped when the query stops

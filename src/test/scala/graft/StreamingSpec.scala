@@ -173,6 +173,32 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed HLL estimate outside 5% of exact: ${rows.mkString(", ")}")
   }
 
+  test("monitors emit bounded state per trigger, never per input volume") {
+    // complete-mode emission re-pays the full state each trigger; the
+    // contract that makes this acceptable is that the state is CELL-
+    // bounded. A monitor whose per-trigger emission tracked input volume
+    // (rows read so far) instead of its cell space would blow these
+    // bounds immediately — sf0.001 streams 500 docs / 1000+ events.
+    val dir0 = "/root/testdata/sf0.001"
+    val bounds = Seq(
+      "st_quality" -> 64L, // one row per source (20 sources)
+      "st_distinct_hll" -> 32L, // one row per event_type
+      "st_em_drift" -> 128L, // one row per embedding dimension (64)
+      "st_drift" -> 256L) // one row per (source, lang) cell
+    for ((name, bound) <- bounds) {
+      graft.streaming.Streams.emissionLog.synchronized {
+        graft.streaming.Streams.emissionLog.clear()
+      }
+      SparkEntry.queries(name)(spark, dir0).collect()
+      val perTrigger = graft.streaming.Streams.emissionLog.synchronized {
+        graft.streaming.Streams.emissionLog.flatMap(_._2).toSeq
+      }
+      assert(perTrigger.exists(_ >= 0), s"$name: no emission progress recorded")
+      assert(perTrigger.max <= bound,
+        s"$name: a trigger emitted ${perTrigger.max} rows (cell bound $bound)")
+    }
+  }
+
   test("self-building LSH index: each batch dedups against all prior batches") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft_selfidx").toString
