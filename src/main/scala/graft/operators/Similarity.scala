@@ -525,10 +525,12 @@ object Similarity {
     * deployment that must not duplicate vectors would instead re-rank
     * by joining ids back to the primary store. */
   def buildIvfPqIndex(corpus: DataFrame, path: String, dim: Int,
-      nCells: Int = 16, m: Int = 8, codebookSize: Int = 16): Unit = {
+      nCells: Int = 16, m: Int = 8, codebookSize: Int = 16,
+      trainOn: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val model = trainIvfPq(corpus, dim, nCells, m, codebookSize)
+    val model = trainIvfPq(trainOn.getOrElse(corpus), dim, nCells, m,
+      codebookSize)
     codeCorpus(corpus, model).write.mode("overwrite")
       .partitionBy("__cell").parquet(s"$path/codes")
     model.cellCenters.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
@@ -538,6 +540,22 @@ object Similarity {
            (c, code) <- model.codebooks(i).zipWithIndex }
       yield (i, code, c)).toDF("sub", "code", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Append new vectors into an EXISTING IVF-PQ index WITHOUT
+    * retraining: load the persisted model (cells + codebooks), code the
+    * batch with it, and append the coded rows under the same
+    * `partitionBy(__cell)` layout — the day-N ingest shape (the same
+    * persist-once/append-cheap contract as the incremental LSH index).
+    * Probes see the new vectors immediately; the appended index is
+    * row-identical to re-coding the whole corpus from scratch under the
+    * same model (sim_knn_ivfpq_inc gates this). Model drift from a
+    * shifted data distribution is a RETRAIN decision, made explicitly —
+    * an append never silently moves centroids under existing codes. */
+  def appendToIvfPqIndex(newVectors: DataFrame, path: String): Unit = {
+    val model = loadIvfPqModel(newVectors.sparkSession, path)
+    codeCorpus(newVectors, model).write.mode("append")
+      .partitionBy("__cell").parquet(s"$path/codes")
   }
 
   /** Load the driver-local model back from [[buildIvfPqIndex]] output.
@@ -698,6 +716,36 @@ object Similarity {
     // in-memory composition at the same parameters (deterministic
     // training makes the two paths identical) — the storage-layout
     // contract, checked end to end. n_results pins 5 queries × k=10.
+    // incremental maintenance gate: build on 2/3 of the corpus, append
+    // the remaining third WITHOUT retraining, and require the probe to
+    // be row-identical to a from-scratch index coded over the full
+    // corpus under the SAME model (trainOn pins the training split) —
+    // i.e. an append is exactly a rebuild minus the re-coding cost
+    "sim_knn_ivfpq_inc" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 3 =!= 0)
+      val b = e.filter(col("vec_id") % 3 === 0)
+      val q = e.filter(col("vec_id") < 5)
+      val tag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val incDir = s"$tmp/graft_ivfpq_inc_$tag"
+      val refDir = s"$tmp/graft_ivfpq_incref_$tag"
+      buildIvfPqIndex(a, incDir, dim = 64, nCells = 16, m = 16,
+        codebookSize = 16)
+      appendToIvfPqIndex(b, incDir)
+      buildIvfPqIndex(e, refDir, dim = 64, nCells = 16, m = 16,
+        codebookSize = 16, trainOn = Some(a))
+      val inc = knnIvfPqIndexed(s, incDir, q, k = 10, nProbe = 4,
+        refine = 150)
+      val ref = knnIvfPqIndexed(s, refDir, q, k = 10, nProbe = 4,
+        refine = 150)
+      inc.agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+        .crossJoin(inc.exceptAll(ref).agg(count(lit(1)).as("__d1")))
+        .crossJoin(ref.exceptAll(inc).agg(count(lit(1)).as("__d2")))
+        .select(col("n_queries"), col("n_results"),
+          (col("__d1") + col("__d2") === 0).cast("bigint").as("same_as_rebuild"))
+    }),
     "sim_knn_ivfpq_idx" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
@@ -940,6 +988,10 @@ object Similarity {
       """SELECT CAST(5 AS BIGINT) AS n_queries,
         |  CAST(50 AS BIGINT) AS n_results,
         |  CAST(1 AS BIGINT) AS same_as_inmem""".stripMargin,
+    "sim_knn_ivfpq_inc" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries,
+        |  CAST(50 AS BIGINT) AS n_results,
+        |  CAST(1 AS BIGINT) AS same_as_rebuild""".stripMargin,
     // per-(half, dim) decimal-exact sums then double division — both
     // engines round the same values at 6dp
     "em_drift" ->

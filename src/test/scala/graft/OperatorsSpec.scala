@@ -306,6 +306,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(scanLine.isDefined, s"no __cell PartitionFilters in:\n$plan")
   }
 
+  test("IVF-PQ append: no retrain, probes see new vectors, equals same-model rebuild") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.filter(col("vec_id") % 3 =!= 0)
+    val b = emb.filter(col("vec_id") % 3 === 0)
+    val q = emb.filter(col("vec_id") < 5)
+    val incDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_inc").toString
+    val refDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ref").toString
+    Similarity.buildIvfPqIndex(a, incDir, dim = 64, nCells = 16, m = 16,
+      codebookSize = 16)
+    val booksBefore = spark.read.parquet(s"$incDir/books").collect().map(_.toSeq).toSet
+    Similarity.appendToIvfPqIndex(b, incDir)
+    // the model tables were NOT touched by the append
+    assert(spark.read.parquet(s"$incDir/books").collect().map(_.toSeq).toSet
+      == booksBefore)
+    // appended rows are probe-visible: some results come from the b half
+    val inc = Similarity.knnIvfPqIndexed(spark, incDir, q, k = 10,
+      nProbe = 4, refine = 150).collect().map(_.toSeq)
+    assert(inc.exists(r => r(1).asInstanceOf[Long] % 3 == 0),
+      "no appended vector ever surfaced in a probe")
+    // row-identical to a from-scratch coding of a∪b under the SAME model
+    Similarity.buildIvfPqIndex(emb, refDir, dim = 64, nCells = 16, m = 16,
+      codebookSize = 16, trainOn = Some(a))
+    val ref = Similarity.knnIvfPqIndexed(spark, refDir, q, k = 10,
+      nProbe = 4, refine = 150).collect().map(_.toSeq)
+    assert(inc.toSet == ref.toSet, "append diverged from same-model rebuild")
+  }
+
   test("PQ paths survive corpora smaller than the codebook size") {
     // 10 vectors < codebookSize=16: localKMeans clamps the books to 10
     // centroids, so the ADC lookup stride must follow the TRAINED size —
