@@ -34,6 +34,21 @@ object FuzzDump {
     val exec = new Executor(spark, tbls)
 
     val version = args.lift(2).getOrElse("v1")
+    // v4 is the DML-sequence corpus: statements are stateful, so there
+    // is no DuckDB result leg — only the pinned corpus file is written
+    // (DmlFuzzSpec holds the in-memory reference fold).
+    if (version == "v4") {
+      val corpus = SqlFuzzer.corpusV4()
+      Files.write(Paths.get(s"$outDir/fuzz_corpus_v4.sql"),
+        (("-- Seeded fuzz corpus v4 (DML sequences): seed " +
+          SqlFuzzer.CorpusV4Seed + ", " + corpus.size +
+          " programs (one per line; statements joined by '; ').\n" +
+          "-- DmlFuzzSpec asserts the generator reproduces this file byte-identically.\n" +
+          corpus.mkString("\n")) + "\n").getBytes("UTF-8"))
+      println(s"[fuzz] dumped ${corpus.size} v4 DML programs to $outDir")
+      spark.stop()
+      return
+    }
     val (corpus, seed) = version match {
       case "v3" => (SqlFuzzer.corpusV3(), SqlFuzzer.CorpusV3Seed)
       case "v2" => (SqlFuzzer.corpusV2(), SqlFuzzer.CorpusV2Seed)

@@ -379,4 +379,115 @@ object SqlFuzzer {
 
   def corpusV3(): Seq[String] =
     (0 until CorpusV3Size).map(queryV3(CorpusV3Seed, _))
+
+  // -------------------------------------------------- v4: DML sequences
+  /** A fuzzed DML statement SEQUENCE plus the expected final table from
+    * an independent in-memory fold — the differential reference for the
+    * stateful surface (INSERT VALUES / column-subset INSERT /
+    * self-referencing INSERT…SELECT / single- and multi-column UPDATE
+    * incl. the old-row swap / subquery-free and IN-subquery predicates /
+    * DELETE / TRUNCATE). DuckDB cannot replay graft's scope-table
+    * statements and Spark SQL has no UPDATE/DELETE on temp views, so the
+    * fold plays the oracle role the way the MERGE property test does.
+    * Row model: (id, v) BIGINTs, v nullable via column-subset INSERTs —
+    * SQL three-valued WHERE logic is part of what the fold checks. */
+  final case class DmlProgram(statements: Seq[String],
+      expected: Seq[(Option[Long], Option[Long])])
+
+  def programV4(seed: Long, i: Int): DmlProgram = {
+    type Row = (Option[Long], Option[Long])
+    val r = new Random(seed * 4000037L + i)
+    var rows = Vector.empty[Row]
+    val stmts = Seq.newBuilder[String]
+    def insertValues(): Unit = {
+      val vals = (0 until 1 + r.nextInt(3))
+        .map(_ => (r.nextInt(20).toLong, r.nextInt(50).toLong))
+      stmts += s"INSERT INTO t VALUES ${vals.map { case (a, b) => s"($a, $b)" }.mkString(", ")}"
+      rows ++= vals.map { case (a, b) => (Some(a), Some(b)) }
+    }
+    insertValues() // every program starts from a seeded table
+    def pred(): (String, Row => Boolean) = r.nextInt(6) match {
+      case 0 => val c = r.nextInt(50)
+        (s"v < $c", row => row._2.exists(_ < c))
+      case 1 => val m = 2 + r.nextInt(3); val k = r.nextInt(m)
+        (s"id % $m = $k", row => row._1.exists(_ % m == k))
+      case 2 => ("v IS NULL", row => row._2.isEmpty)
+      case 3 => val c = r.nextInt(20)
+        (s"id > $c", row => row._1.exists(_ > c))
+      case 4 => val c = r.nextInt(50); val d = r.nextInt(20)
+        (s"v >= $c AND id <= $d",
+          row => row._2.exists(_ >= c) && row._1.exists(_ <= d))
+      case _ => val c = r.nextInt(50)
+        // IN-subquery predicate over the SAME table: must evaluate
+        // against the pre-statement state
+        (s"id IN (SELECT id FROM t WHERE v < $c)",
+          row => row._1.isDefined) // refined at the call site (needs state)
+    }
+    def vexpr(): (String, Row => Option[Long]) = r.nextInt(4) match {
+      case 0 => val c = r.nextInt(30); (s"v + $c", row => row._2.map(_ + c))
+      case 1 => val c = r.nextInt(50); (s"$c", _ => Some(c.toLong))
+      case 2 => ("id", row => row._1)
+      case _ => ("v * 2", row => row._2.map(_ * 2))
+    }
+    // predicate with state-dependent IN-subquery resolved against a
+    // snapshot of the CURRENT rows (pre-statement semantics)
+    def predOn(snapshot: Vector[Row]): (String, Row => Boolean) = {
+      val (s0, f0) = pred()
+      if (!s0.contains("IN (SELECT")) (s0, f0)
+      else {
+        val c = s0.substring(s0.lastIndexOf("v < ") + 4).init.toLong
+        val ids = snapshot.filter(_._2.exists(_ < c)).flatMap(_._1).toSet
+        (s0, row => row._1.exists(ids.contains))
+      }
+    }
+    val n = 4 + r.nextInt(5)
+    for (_ <- 0 until n) r.nextInt(100) match {
+      case x if x < 20 =>
+        if (r.nextBoolean()) insertValues()
+        else {
+          val ids = (0 until 1 + r.nextInt(2)).map(_ => r.nextInt(20).toLong)
+          stmts += s"INSERT INTO t (id) VALUES ${ids.map(a => s"($a)").mkString(", ")}"
+          rows ++= ids.map(a => (Some(a), None))
+        }
+      case x if x < 35 =>
+        val k = 20 + r.nextInt(30)
+        val (ps, pf) = predOn(rows)
+        stmts += s"INSERT INTO t SELECT id + $k, v FROM t WHERE $ps"
+        rows ++= rows.filter(pf).map { case (a, b) => (a.map(_ + k), b) }
+      case x if x < 55 =>
+        val (es, ef) = vexpr()
+        if (r.nextInt(4) == 0) {
+          stmts += s"UPDATE t SET v = $es"
+          rows = rows.map(row => (row._1, ef(row)))
+        } else {
+          val (ps, pf) = predOn(rows)
+          stmts += s"UPDATE t SET v = $es WHERE $ps"
+          rows = rows.map(row => if (pf(row)) (row._1, ef(row)) else row)
+        }
+      case x if x < 65 =>
+        // multi-column UPDATE: both RHS see the OLD row (the swap case)
+        val (ps, pf) = predOn(rows)
+        stmts += s"UPDATE t SET id = v, v = id WHERE $ps"
+        rows = rows.map(row => if (pf(row)) (row._2, row._1) else row)
+      case x if x < 90 =>
+        val (ps, pf) = predOn(rows)
+        stmts += s"DELETE FROM t WHERE $ps"
+        rows = rows.filterNot(pf)
+      case _ =>
+        stmts += "TRUNCATE TABLE t"
+        rows = Vector.empty
+    }
+    DmlProgram(stmts.result(), rows)
+  }
+
+  /** The committed v4 corpus: 80 DML statement sequences. */
+  val CorpusV4Seed = 20260816L
+  val CorpusV4Size = 80
+
+  def programsV4(): Seq[DmlProgram] =
+    (0 until CorpusV4Size).map(programV4(CorpusV4Seed, _))
+
+  /** Corpus serialization: one program per line, statements joined by
+    * "; " (no string literals in the grammar, so the separator is safe). */
+  def corpusV4(): Seq[String] = programsV4().map(_.statements.mkString("; "))
 }

@@ -1,0 +1,56 @@
+package graft
+
+import scala.io.Source
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.exec.Executor
+import graft.tools.SqlFuzzer
+
+/** DML statement-sequence fuzzing (VERDICT r10 #8): 80 seeded random
+  * INSERT/UPDATE/DELETE/TRUNCATE programs over a scope table, executed
+  * statement by statement through the Executor and compared against an
+  * independent in-memory fold (the oracle role the MERGE property test
+  * plays for MERGE — DuckDB cannot replay graft's stateful scope tables
+  * and Spark SQL has no UPDATE/DELETE on temp views). The corpus is
+  * committed at src/test/resources/fuzz_corpus_v4.sql and pinned
+  * byte-identically so a generator change cannot silently swap the
+  * tested statement space. */
+class DmlFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  test("generator reproduces the committed v4 DML corpus byte-identically") {
+    val res = getClass.getResourceAsStream("/fuzz_corpus_v4.sql")
+    assert(res != null, "fuzz_corpus_v4.sql missing from test resources")
+    val committed = Source.fromInputStream(res, "UTF-8").getLines()
+      .filterNot(l => l.isEmpty || l.startsWith("--")).toSeq
+    val generated = SqlFuzzer.corpusV4()
+    assert(committed.length == generated.length,
+      s"corpus size drift: committed ${committed.length}, generated ${generated.length}")
+    committed.zip(generated).zipWithIndex.foreach { case ((c, g), i) =>
+      assert(c == g, s"corpus drift at program $i:\ncommitted: $c\ngenerated: $g")
+    }
+  }
+
+  test("80 v4 DML statement sequences match the reference fold") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("v", LongType, nullable = true)))
+    def sortKey(t: (Option[Long], Option[Long])) =
+      (t._1.isEmpty, t._1.getOrElse(0L), t._2.isEmpty, t._2.getOrElse(0L))
+    SqlFuzzer.programsV4().zipWithIndex.foreach { case (p, i) =>
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      val exec = new Executor(spark, Map("t" -> empty))
+      p.statements.foreach(exec.execute)
+      val got = exec.query("select id, v from t").collect().toSeq
+        .map(r => (
+          if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(got.sortBy(sortKey) == p.expected.sortBy(sortKey),
+        s"program $i diverged:\n${p.statements.mkString(";\n")}\n" +
+          s"got     =${got.sortBy(sortKey)}\n" +
+          s"expected=${p.expected.sortBy(sortKey)}")
+    }
+  }
+}
