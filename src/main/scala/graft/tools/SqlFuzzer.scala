@@ -469,10 +469,62 @@ object SqlFuzzer {
         val (ps, pf) = predOn(rows)
         stmts += s"UPDATE t SET id = v, v = id WHERE $ps"
         rows = rows.map(row => if (pf(row)) (row._2, row._1) else row)
-      case x if x < 90 =>
+      case x if x < 80 =>
         val (ps, pf) = predOn(rows)
         stmts += s"DELETE FROM t WHERE $ps"
         rows = rows.filterNot(pf)
+      case x if x < 95 =>
+        // MERGE from a VALUES source (unique source ids — duplicate
+        // TARGET ids are legal bag semantics; a target row matching >1
+        // source row is the tested cardinality ERROR, not a fuzz case).
+        // Fold semantics: first applicable clause wins, exactly one
+        // clause per row, across ALL columns.
+        val srcIds = r.nextInt(40) // base offset keeps some matches/misses
+        val src = (0 until 2 + r.nextInt(3))
+          .map(j => (srcIds + j * (1 + r.nextInt(4)), r.nextInt(50).toLong))
+          .distinctBy(_._1)
+        val srcMap = src.map { case (a, b) => (a.toLong, b) }.toMap
+        val mClauses = (0 until 1 + r.nextInt(2)).map { _ =>
+          val (cs, cp): (String, (Option[Long], Long) => Boolean) =
+            r.nextInt(3) match {
+              case 0 => ("", (_, _) => true)
+              case 1 => val c = r.nextInt(50)
+                (s" AND mv > $c", (_, mv) => mv > c)
+              case _ => val c = r.nextInt(50)
+                (s" AND v < $c", (v, _) => v.exists(_ < c))
+            }
+          r.nextInt(3) match {
+            case 0 => (s"WHEN MATCHED$cs THEN UPDATE SET v = mv",
+              cp, Some((v: Option[Long], mv: Long) => Some(mv)))
+            case 1 => (s"WHEN MATCHED$cs THEN UPDATE SET v = v + mv",
+              cp, Some((v: Option[Long], mv: Long) => v.map(_ + mv)))
+            case _ => (s"WHEN MATCHED$cs THEN DELETE", cp, None)
+          }
+        }
+        val withInsert = r.nextInt(3) > 0
+        val insClause = if (withInsert)
+          Seq("WHEN NOT MATCHED THEN INSERT (id, v) VALUES (mid, mv)")
+        else Nil
+        val valuesSql = src.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+        stmts += (s"MERGE INTO t USING (VALUES $valuesSql) AS m(mid, mv) " +
+          s"ON id = mid " + (mClauses.map(_._1) ++ insClause).mkString(" "))
+        val kept = rows.flatMap { case (idO, v) =>
+          idO.flatMap(srcMap.get) match {
+            case None => Some((idO, v))
+            case Some(mv) =>
+              mClauses.find { case (_, p, _) => p(v, mv) } match {
+                case Some((_, _, Some(f))) => Some((idO, f(v, mv)))
+                case Some((_, _, None)) => None
+                case None => Some((idO, v))
+              }
+          }
+        }
+        val tgtIds = rows.flatMap(_._1).toSet
+        val ins = if (withInsert)
+          src.filterNot(s0 => tgtIds.contains(s0._1.toLong))
+            .map { case (a, b) => (Some(a.toLong), Some(b)) }
+        else Nil
+        rows = kept ++ ins
       case _ =>
         stmts += "TRUNCATE TABLE t"
         rows = Vector.empty
@@ -480,9 +532,9 @@ object SqlFuzzer {
     DmlProgram(stmts.result(), rows)
   }
 
-  /** The committed v4 corpus: 80 DML statement sequences. */
+  /** The committed v4 corpus: 100 DML statement sequences. */
   val CorpusV4Seed = 20260816L
-  val CorpusV4Size = 80
+  val CorpusV4Size = 100
 
   def programsV4(): Seq[DmlProgram] =
     (0 until CorpusV4Size).map(programV4(CorpusV4Seed, _))

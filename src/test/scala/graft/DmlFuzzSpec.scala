@@ -7,8 +7,8 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.exec.Executor
 import graft.tools.SqlFuzzer
 
-/** DML statement-sequence fuzzing (VERDICT r10 #8): 80 seeded random
-  * INSERT/UPDATE/DELETE/TRUNCATE programs over a scope table, executed
+/** DML statement-sequence fuzzing (VERDICT r10 #8): 100 seeded random
+  * INSERT/UPDATE/DELETE/MERGE/TRUNCATE programs over a scope table, executed
   * statement by statement through the Executor and compared against an
   * independent in-memory fold (the oracle role the MERGE property test
   * plays for MERGE — DuckDB cannot replay graft's stateful scope tables
@@ -32,7 +32,7 @@ class DmlFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("80 v4 DML statement sequences match the reference fold") {
+  test("100 v4 DML statement sequences match the reference fold") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = true),
       StructField("v", LongType, nullable = true)))
