@@ -329,6 +329,30 @@ object Streams {
       .start()
   }
 
+  /** STREAMING ANN ingest — the IVF-PQ twin of [[lshDedupSelfIndexing]]:
+    * every arriving micro-batch of embeddings is coded with the
+    * persisted (frozen) model and appended into the index under its
+    * `partitionBy(__cell)` layout
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]]). The model
+    * never moves under existing codes — retraining is an explicit
+    * day-0-style rebuild, exactly as in batch. Probes against the index
+    * see each batch as soon as its epoch commits; the day-N index is
+    * row-identical to a from-scratch coding of everything ingested
+    * under the same model (st_ivfpq_ingest gates this against a batch
+    * rebuild). At 100 TB this is the shape that keeps ANN serving fresh
+    * without ever re-touching the archive: per-batch cost is one narrow
+    * code projection + a partitioned append, no index shuffle. */
+  def ivfPqIngest(spark: SparkSession, emb: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToIvfPqIndex(
+          batch.localCheckpoint(true), indexPath)
+        ()
+      }
+      .start()
+
   private val runId = new AtomicInteger(0)
 
   /** Per-trigger sink emission row counts of every [[runToCompletion]]
@@ -538,6 +562,39 @@ object Streams {
         .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
       graft.operators.TextAnalysis.driftFromCells(cells)
     }),
+    // streaming ANN ingest: day-0 index built on even vec_ids (model
+    // frozen there), the odd half STREAMS in and appends per batch; the
+    // final probe must be row-identical to a batch rebuild of the full
+    // corpus under the same model — streaming ingest == batch rebuild
+    // is the invariant, same shape as the LSH incremental gate
+    "st_ivfpq_ingest" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val e = graft.sources.Tables.load(s, dir, "embeddings")
+      val day0 = e.filter(col("vec_id") % 2 === 0)
+      val q = e.filter(col("vec_id") < 5)
+      val tag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val incDir = s"$tmp/graft_ivfpq_st_$tag"
+      val refDir = s"$tmp/graft_ivfpq_stref_$tag"
+      Similarity.buildIvfPqIndex(day0, incDir, dim = 64, nCells = 16,
+        m = 16, codebookSize = 16)
+      val ingest = ivfPqIngest(s,
+        readEmbeddings(s, dir).filter(col("vec_id") % 2 =!= 0), incDir)
+      try ingest.processAllAvailable() finally ingest.stop()
+      Similarity.buildIvfPqIndex(e, refDir, dim = 64, nCells = 16,
+        m = 16, codebookSize = 16, trainOn = Some(day0))
+      val inc = Similarity.knnIvfPqIndexed(s, incDir, q, k = 10,
+        nProbe = 4, refine = 150)
+      val ref = Similarity.knnIvfPqIndexed(s, refDir, q, k = 10,
+        nProbe = 4, refine = 150)
+      inc.agg(count_distinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_results"))
+        .crossJoin(inc.exceptAll(ref).agg(count(lit(1)).as("__d1")))
+        .crossJoin(ref.exceptAll(inc).agg(count(lit(1)).as("__d2")))
+        .select(col("n_queries"), col("n_results"),
+          (col("__d1") + col("__d2") === 0).cast("bigint")
+            .as("same_as_rebuild"))
+    }),
     "st_join_attribution" -> ((s, dir) => {
       runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
         .groupBy(date_format(
@@ -554,6 +611,11 @@ object Streams {
   def oracleSql: Map[String, String] = Map(
     // identical split, identical portable pipeline → identical oracle
     "st_lsh_dedup" -> graft.operators.Dedup.oracleSql("dd_lsh_incremental"),
+    // verdict row: streamed ingest must equal the same-model batch rebuild
+    "st_ivfpq_ingest" ->
+      """SELECT CAST(5 AS BIGINT) AS n_queries,
+        |  CAST(50 AS BIGINT) AS n_results,
+        |  CAST(1 AS BIGINT) AS same_as_rebuild""".stripMargin,
     // identical halves, identical decimal-exact math → identical oracle
     "st_em_drift" -> graft.operators.Similarity.oracleSql("em_drift"),
     // exact side reproduced; the streamed-HLL tolerance flag asserted

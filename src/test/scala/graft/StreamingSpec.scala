@@ -231,6 +231,38 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected matches: $got")
   }
 
+  test("streaming IVF-PQ ingest: multi-batch appends equal the batch rebuild") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val day0 = emb.filter(col("vec_id") % 3 === 0)
+    val b1 = emb.filter(col("vec_id") % 3 === 1)
+    val b2 = emb.filter(col("vec_id") % 3 === 2)
+    val q = emb.filter(col("vec_id") < 5)
+    val base = java.nio.file.Files.createTempDirectory("graft_st_ivfpq").toString
+    val srcDir = s"$base/in"; val idxDir = s"$base/idx"; val refDir = s"$base/ref"
+    // two source files with distinct mtimes → two deterministic batches
+    b1.coalesce(1).write.parquet(srcDir)
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    Similarity.buildIvfPqIndex(day0, idxDir, dim = 64, nCells = 16,
+      m = 16, codebookSize = 16)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val ingest = graft.streaming.Streams.ivfPqIngest(spark, stream, idxDir)
+    try ingest.processAllAvailable() finally ingest.stop()
+    // every vector from every batch landed, exactly once
+    val coded = spark.read.parquet(s"$idxDir/codes")
+    assert(coded.count() == emb.count())
+    // probe equals a batch rebuild of the full corpus under day-0's model
+    Similarity.buildIvfPqIndex(emb, refDir, dim = 64, nCells = 16,
+      m = 16, codebookSize = 16, trainOn = Some(day0))
+    val inc = Similarity.knnIvfPqIndexed(spark, idxDir, q, k = 10,
+      nProbe = 4, refine = 150).collect().map(_.toSeq).toSet
+    val ref = Similarity.knnIvfPqIndexed(spark, refDir, q, k = 10,
+      nProbe = 4, refine = 150).collect().map(_.toSeq).toSet
+    assert(inc == ref, "streamed ingest diverged from the batch rebuild")
+  }
+
   test("restart from checkpoint: no source reprocessing, state survives") {
     // the operational property behind every long-running ingestion
     // pipeline: kill the query, restart from the checkpoint, and (a) the
