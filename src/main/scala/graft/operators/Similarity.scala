@@ -558,6 +558,16 @@ object Similarity {
       .partitionBy("__cell").parquet(s"$path/codes")
   }
 
+  /** Compact an appended IVF-PQ index back to one file per cell:
+    * every [[appendToIvfPqIndex]] epoch leaves one small file per
+    * touched cell, and at ingest cadence that becomes the small-files
+    * pathology (a probe opens files, not bytes). Content-preserving
+    * ([[graft.sources.Sinks.compactParquet]]; the sim_knn_ivfpq_inc
+    * probe-equality gate runs over a compacted index). Model tables are
+    * single-file already and are not touched. */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
+    graft.sources.Sinks.compactParquet(spark, s"$path/codes", Seq("__cell"))
+
   /** Load the driver-local model back from [[buildIvfPqIndex]] output.
     * nCells + m × codebookSize rows — a constant-size driver read, the
     * same class of work as evaluating constant table-function args. */
@@ -733,6 +743,9 @@ object Similarity {
       buildIvfPqIndex(a, incDir, dim = 64, nCells = 16, m = 16,
         codebookSize = 16)
       appendToIvfPqIndex(b, incDir)
+      // compaction is part of the gated lifecycle: the probe equality
+      // below must survive the rewrite (content-preserving by contract)
+      compactIvfPqIndex(s, incDir)
       buildIvfPqIndex(e, refDir, dim = 64, nCells = 16, m = 16,
         codebookSize = 16, trainOn = Some(a))
       val inc = knnIvfPqIndexed(s, incDir, q, k = 10, nProbe = 4,

@@ -65,4 +65,37 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode(mode).parquet(path)
+
+  /** Compact a parquet directory in place: streaming/incremental appends
+    * leave one small file per (batch × partition) — the classic
+    * small-files pathology that turns a 100 TB index scan into millions
+    * of opens. Reads the directory, rewrites it with one file per
+    * hive partition (or `nFiles` total when unpartitioned) into a
+    * staging sibling, then swaps directories. Row content is preserved
+    * exactly (the IVF-PQ compaction gate asserts probe equality).
+    *
+    * The swap is two renames, not atomic as a unit: a reader racing the
+    * swap can see the index briefly missing. Run compaction in the same
+    * maintenance window that owns appends (the ingest job is the
+    * natural owner); object-store deployments would publish a new
+    * versioned prefix instead — this helper keeps the single-directory
+    * contract the rest of the index code uses. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCols: Seq[String] = Nil, nFiles: Int = 1): Unit = {
+    val df = spark.read.parquet(path)
+    val staged = path + "__compact"
+    if (partitionCols.nonEmpty)
+      df.repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(staged)
+    else
+      df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val ps = new org.apache.hadoop.fs.Path(staged)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-point the directory: delete the original, move staging in
+    if (!fs.delete(p, true) || !fs.rename(ps, p))
+      throw new IllegalStateException(
+        s"compactParquet: could not swap $staged into $path")
+  }
 }

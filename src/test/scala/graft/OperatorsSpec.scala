@@ -333,6 +333,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(inc.toSet == ref.toSet, "append diverged from same-model rebuild")
   }
 
+  test("IVF-PQ compaction: one file per cell, content preserved") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_cmp").toString
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") % 3 === 0), dir,
+      dim = 64, nCells = 16, m = 16, codebookSize = 16)
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 1), dir)
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 2), dir)
+    def filesPerCell(): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/codes")
+      root.listFiles().filter(_.getName.startsWith("__cell=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val before = spark.read.parquet(s"$dir/codes")
+      .collect().map(_.toSeq).toSet
+    assert(filesPerCell().values.exists(_ > 1),
+      "appends should have produced multiple files per cell")
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(filesPerCell().values.forall(_ == 1),
+      s"cells not compacted to one file: ${filesPerCell()}")
+    val after = spark.read.parquet(s"$dir/codes")
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "compaction changed the index content")
+  }
+
   test("PQ paths survive corpora smaller than the codebook size") {
     // 10 vectors < codebookSize=16: localKMeans clamps the books to 10
     // centroids, so the ADC lookup stride must follow the TRAINED size —
