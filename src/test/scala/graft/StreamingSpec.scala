@@ -222,6 +222,15 @@ class StreamingSpec extends AnyFunSuite {
     // every signed doc from both batches landed in the index
     assert(spark.read.parquet(idxDir).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 100L, 101L))
+    // per-batch appends left multiple files; compaction repairs the
+    // small-files growth without changing the signature content
+    val sigBefore = spark.read.parquet(idxDir).collect().map(_.toSeq).toSet
+    assert(new java.io.File(idxDir).listFiles()
+      .count(_.getName.endsWith(".parquet")) > 1)
+    graft.sources.Sinks.compactParquet(spark, idxDir)
+    assert(new java.io.File(idxDir).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(idxDir).collect().map(_.toSeq).toSet == sigBefore)
     // matches come back from the parquet SINK, not a driver buffer:
     // exactly one cross-batch match — the copy pair, at full agreement
     // (direction depends on which file streamed first)
