@@ -86,7 +86,6 @@ object Bench {
       times :+= timeOne()
       added += 1
     }
-    val suspect = runs > 1 && spread > 2.0
     def median(xs: Vector[Double]): Double = {
       val w = xs.sorted.take(math.min(3, xs.size))
       if (w.size % 2 == 1) w(w.size / 2)
@@ -107,6 +106,10 @@ object Bench {
       times :+= timeOne()
       driftAdded += 1
     }
+    // suspect reflects the FINAL warm spread — drift reruns that expose
+    // a fast mode (e.g. all-slow initial window + recovered reruns) must
+    // surface as spread, not vanish because the flag was frozen earlier
+    val suspect = runs > 1 && spread > 2.0
     val p50 = median(warm)
     val minWarm = warm.min
     val drift = runs > 1 && p50 > 3.0 * math.max(minWarm, 0.05)

@@ -374,9 +374,15 @@ final class Compiler(spark: SparkSession, registry: Registry,
         val maybe = graft.Checkpoints.materialize(
           h.filter(mightSeen(col("__rh"))).drop("__rh"))
         val nMaybe = maybe.count()
+        // broadcast gate in BYTES, not rows: schema.defaultSize is a
+        // static per-row width proxy (underestimates long strings but
+        // bounds the shape) — wide candidate rows fall back to the
+        // shuffle anti-join instead of OOMing the driver on a forced
+        // multi-GB broadcast
+        val maybeBytes = nMaybe * math.max(maybe.schema.defaultSize, 1)
         val step =
           if (nMaybe == 0) stepD
-          else if (nMaybe <= 4000000L) {
+          else if (maybeBytes <= 64L * 1024 * 1024) {
             val reappeared = acc.join(broadcast(maybe),
               nullSafeEq(acc, maybe), "left_semi")
             val confirmedNew = maybe.join(broadcast(reappeared),

@@ -578,9 +578,11 @@ object Dedup {
     * fail with the fix in the message instead of running quadratically. */
   private def assertBoundedBuckets(bucketed: DataFrame, planes: Int,
       op: String, cap: Long = srpMaxBucketRows): Unit = {
+    // coalesce: zero groups (empty input) must read as 0, not a NULL
+    // row that NPEs — empty corpora pass the guard and return empty
     val biggest = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).first().getLong(0)
+      .agg(coalesce(max(col("__n")), lit(0L))).first().getLong(0)
     if (biggest > cap)
       throw new IllegalStateException(
         s"$op: largest SRP bucket holds $biggest rows (cap $cap) at " +
@@ -720,7 +722,7 @@ object Dedup {
     // is quadratic in corpus size — fail loudly before a large corpus
     // silently runs quadratically, naming the scale path in the message.
     val biggest = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).first().getLong(0)
+      .agg(coalesce(max(col("__n")), lit(0L))).first().getLong(0)
     if (biggest > maxBucketDocs)
       throw new IllegalStateException(
         s"ngramJaccardPairs: largest 'source' bucket holds $biggest docs " +

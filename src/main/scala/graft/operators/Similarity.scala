@@ -552,11 +552,18 @@ object Similarity {
     * same model (sim_knn_ivfpq_inc gates this). Model drift from a
     * shifted data distribution is a RETRAIN decision, made explicitly —
     * an append never silently moves centroids under existing codes. */
-  def appendToIvfPqIndex(newVectors: DataFrame, path: String): Unit = {
-    val model = loadIvfPqModel(newVectors.sparkSession, path)
+  def appendToIvfPqIndex(newVectors: DataFrame, path: String): Unit =
+    appendToIvfPqIndex(newVectors, path,
+      loadIvfPqModel(newVectors.sparkSession, path))
+
+  /** Append with a PRELOADED model — the repeated-append shape (e.g. a
+    * streaming ingest loop): the model is frozen by contract, so
+    * callers appending every trigger load it once instead of paying a
+    * per-batch driver-side parquet read of cells + books. */
+  private[graft] def appendToIvfPqIndex(newVectors: DataFrame,
+      path: String, model: IvfPqModel): Unit =
     codeCorpus(newVectors, model).write.mode("append")
       .partitionBy("__cell").parquet(s"$path/codes")
-  }
 
   /** Compact an appended IVF-PQ index back to one file per cell:
     * every [[appendToIvfPqIndex]] epoch leaves one small file per

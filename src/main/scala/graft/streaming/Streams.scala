@@ -343,15 +343,20 @@ object Streams {
     * without ever re-touching the archive: per-batch cost is one narrow
     * code projection + a partitioned append, no index shuffle. */
   def ivfPqIngest(spark: SparkSession, emb: DataFrame, indexPath: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the model is frozen by contract — load ONCE at stream start, not
+    // per micro-batch (a per-trigger driver-side parquet read of
+    // cells + books would tax every small trigger for immutable data)
+    val model = graft.operators.Similarity.loadIvfPqModel(spark, indexPath)
     emb.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Similarity.appendToIvfPqIndex(
-          batch.localCheckpoint(true), indexPath)
+          batch.localCheckpoint(true), indexPath, model)
         ()
       }
       .start()
+  }
 
   private val runId = new AtomicInteger(0)
 
@@ -397,7 +402,12 @@ object Streams {
           q.recentProgress.foreach(p => System.err.println(p.json))
         val emitted = q.recentProgress.toSeq
           .map(p => Option(p.sink).map(_.numOutputRows).getOrElse(-1L))
-        emissionLog.synchronized { emissionLog += ((name, emitted)) }
+        emissionLog.synchronized {
+          emissionLog += ((name, emitted))
+          // bounded ring: instrumentation must not grow with session age
+          if (emissionLog.size > 64)
+            emissionLog.remove(0, emissionLog.size - 64)
+        }
       } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // materialize: the memory sink table is dropped when the query stops

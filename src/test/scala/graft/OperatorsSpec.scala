@@ -867,6 +867,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("bucket"))
   }
 
+  test("SRP/ngram guards pass empty inputs through (no NULL-max NPE)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 0) // empty, full schema
+    assert(Dedup.semDedup(emb, tau = 0.35).count() == 0)
+    assert(Dedup.embeddingDupPairs(emb, threshold = 0.9).count() == 0)
+    val docs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Dedup.ngramJaccardPairs(docs, threshold = 0.5).count() == 0)
+  }
+
   test("ngramJaccardPairs: the O(n²) baseline refuses an oversized source bucket") {
     val d = Seq(
       (0L, "alpha beta gamma delta", "s0"),
