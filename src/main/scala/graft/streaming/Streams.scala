@@ -350,9 +350,11 @@ object Streams {
     val model = graft.operators.Similarity.loadIvfPqModel(spark, indexPath)
     emb.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.appendToIvfPqIndex(
-          batch.localCheckpoint(true), indexPath, model)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // epoch-tagged staged append: a replayed batch converges on
+        // exactly one copy of its rows (see appendEpochToIvfPqIndex)
+        graft.operators.Similarity.appendEpochToIvfPqIndex(
+          batch.localCheckpoint(true), indexPath, model, epochId)
         ()
       }
       .start()

@@ -262,6 +262,14 @@ class StreamingSpec extends AnyFunSuite {
     // every vector from every batch landed, exactly once
     val coded = spark.read.parquet(s"$idxDir/codes")
     assert(coded.count() == emb.count())
+    // exactly-once: a REPLAYED epoch (same id, same batch — the
+    // foreachBatch retry shape) must converge, not double-append
+    val model = Similarity.loadIvfPqModel(spark, idxDir)
+    val nAfterIngest = coded.count()
+    Similarity.appendEpochToIvfPqIndex(b2, idxDir, model, 1L)
+    Similarity.appendEpochToIvfPqIndex(b2, idxDir, model, 1L)
+    assert(spark.read.parquet(s"$idxDir/codes").count() == nAfterIngest,
+      "replaying an epoch changed the index row count")
     // probe equals a batch rebuild of the full corpus under day-0's model
     Similarity.buildIvfPqIndex(emb, refDir, dim = 64, nCells = 16,
       m = 16, codebookSize = 16, trainOn = Some(day0))
