@@ -576,37 +576,9 @@ object Similarity {
     * the standard sink-idempotence contract Structured Streaming
     * expects of foreachBatch sinks. */
   private[graft] def appendEpochToIvfPqIndex(batch: DataFrame,
-      path: String, model: IvfPqModel, epochId: Long): Unit = {
-    val spark = batch.sparkSession
-    import org.apache.hadoop.fs.Path
-    val staging = s"$path/.epoch-$epochId"
-    codeCorpus(batch, model).write.mode("overwrite")
-      .partitionBy("__cell").parquet(staging)
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val codesPath = new Path(s"$path/codes")
-    // replay repair: clear every file a prior attempt of this epoch moved
-    if (fs.exists(codesPath)) {
-      val it = fs.listFiles(codesPath, true)
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith(s"epoch-$epochId-"))
-          fs.delete(f.getPath, false)
-      }
-    }
-    val stagingPath = new Path(staging)
-    for (cellDir <- fs.listStatus(stagingPath) if cellDir.isDirectory) {
-      val dest = new Path(codesPath, cellDir.getPath.getName)
-      fs.mkdirs(dest)
-      var i = 0
-      for (f <- fs.listStatus(cellDir.getPath)
-           if f.getPath.getName.endsWith(".parquet")) {
-        fs.rename(f.getPath, new Path(dest, s"epoch-$epochId-$i.parquet"))
-        i += 1
-      }
-    }
-    fs.delete(stagingPath, true)
-  }
+      path: String, model: IvfPqModel, epochId: Long): Unit =
+    graft.sources.Sinks.appendEpoch(codeCorpus(batch, model),
+      s"$path/codes", epochId, Seq("__cell"))
 
   /** Compact an appended IVF-PQ index back to one file per cell:
     * every [[appendToIvfPqIndex]] epoch leaves one small file per

@@ -66,6 +66,48 @@ object Sinks {
     df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode(mode).parquet(path)
 
+  /** EXACTLY-ONCE epoch append of a micro-batch into a parquet
+    * directory — the foreachBatch sink-idempotence contract. Plain
+    * `mode("append")` is at-least-once: a failed-then-replayed epoch
+    * double-appends. Here the batch is staged into a dot-prefixed
+    * subdirectory (invisible to Spark readers), any files a prior
+    * attempt of the SAME epoch moved in are deleted, and the staged
+    * files are renamed in under `epoch-<id>-` names — replays converge
+    * on exactly one copy. A crash mid-move leaves a partial epoch, but
+    * the streaming checkpoint has not committed that batch, so restart
+    * replays and repairs it. */
+  def appendEpoch(df: DataFrame, dir: String, epochId: Long,
+      partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val staging = s"$dir/.epoch-$epochId"
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging)
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // replay repair: clear every file a prior attempt of this epoch moved
+    val prior = fs.listFiles(dirPath, true)
+    while (prior.hasNext) {
+      val f = prior.next()
+      if (f.getPath.getName.startsWith(s"epoch-$epochId-") &&
+          !f.getPath.toString.contains("/.epoch-"))
+        fs.delete(f.getPath, false)
+    }
+    def moveFiles(from: Path, to: Path): Unit = {
+      fs.mkdirs(to)
+      var i = 0
+      for (f <- fs.listStatus(from))
+        if (f.isDirectory) moveFiles(f.getPath, new Path(to, f.getPath.getName))
+        else if (f.getPath.getName.endsWith(".parquet")) {
+          fs.rename(f.getPath, new Path(to, s"epoch-$epochId-$i.parquet"))
+          i += 1
+        }
+    }
+    moveFiles(new Path(staging), dirPath)
+    fs.delete(new Path(staging), true)
+  }
+
   /** Compact a parquet directory in place: streaming/incremental appends
     * leave one small file per (batch × partition) — the classic
     * small-files pathology that turns a 100 TB index scan into millions

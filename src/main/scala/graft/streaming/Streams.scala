@@ -276,10 +276,10 @@ object Streams {
     * (2) its own signatures are APPENDED to the index — so day N's
     * crawl dedups against everything ingested through day N−1 without
     * any separate index-build job. `foreachBatch` gives the exactly-once
-    * seam: the append is idempotent per epoch via parquet append +
-    * checkpointed batch ids (re-run batches overwrite their own files
-    * on retry in real deployments; here append semantics suffice for
-    * the at-least-once memory-sink harness).
+    * seam, and both sinks honor it: signatures AND matches append via
+    * [[graft.sources.Sinks.appendEpoch]] (staged, epoch-tagged renames)
+    * so a failed-then-replayed batch converges on exactly one copy
+    * instead of double-appending.
     *
     * Matches are WRITTEN to `matchesPath` as an appended parquet sink —
     * the production shape: nothing about a match ever rides the driver
@@ -298,7 +298,7 @@ object Streams {
       .filter(col("h0").isNotNull)
     sig.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val s = batch.sparkSession
         val bsig = batch.localCheckpoint(true)
         // probe the index path EXPLICITLY: only a genuinely-absent index
@@ -310,7 +310,7 @@ object Streams {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         val idx = if (fs.exists(p)) Some(s.read.parquet(indexPath)) else None
         idx.foreach { index =>
-          Dedup.lshBandRows(index, "corpus_doc", "a", numHashes, bands)
+          val matched = Dedup.lshBandRows(index, "corpus_doc", "a", numHashes, bands)
             .join(broadcast(
               Dedup.lshBandRows(bsig, "batch_doc", "b", numHashes, bands)),
               Seq("band", "bucket"))
@@ -321,9 +321,11 @@ object Streams {
             .agg(max(struct(col("est_jac"), col("corpus_doc"))).as("m"))
             .select(col("batch_doc"), col("m.corpus_doc").as("corpus_doc"),
               col("m.est_jac").as("est_jac"))
-            .write.mode("append").parquet(matchesPath)
+          graft.sources.Sinks.appendEpoch(matched, matchesPath, epochId)
         }
-        bsig.write.mode("append").parquet(indexPath)
+        // exactly-once: a replayed epoch converges instead of
+        // double-appending its signatures (Sinks.appendEpoch)
+        graft.sources.Sinks.appendEpoch(bsig, indexPath, epochId)
         ()
       }
       .start()
