@@ -224,12 +224,18 @@ final case class ExplainStmt(query: Select,
   * scope entry via union (frames are immutable; the scope binding moves). */
 final case class InsertInto(table: String, columns: Seq[String],
     query: Select) extends Statement
-/** `DELETE FROM t [WHERE p]` — rebinds the scope entry filtered. */
-final case class DeleteFrom(table: String, where: Option[Expr]) extends Statement
-/** `UPDATE t SET c = e, ... [WHERE p]` — rebinds with conditional
-  * column replacement (rows failing p keep their values). */
+/** `DELETE FROM t [USING f] [WHERE p]` — rebinds the scope entry
+  * filtered; `USING` (PG) deletes the target rows with ≥1 match in the
+  * joined relation under `p`. */
+final case class DeleteFrom(table: String, where: Option[Expr],
+    using: Option[Relation] = None) extends Statement
+/** `UPDATE t SET c = e, ... [FROM f] [WHERE p]` — rebinds with
+  * conditional column replacement (rows failing p keep their values).
+  * `FROM` (PG) joins another relation: SET expressions and `p` may
+  * reference its columns; a target row with several matches takes ONE
+  * (deterministically, smallest projected tuple — PG says arbitrary). */
 final case class UpdateStmt(table: String, sets: Seq[(String, Expr)],
-    where: Option[Expr]) extends Statement
+    where: Option[Expr], from: Option[Relation] = None) extends Statement
 /** `TRUNCATE [TABLE] t` — rebinds to the empty frame (schema kept). */
 final case class TruncateStmt(table: String) extends Statement
 /** `ANALYZE [TABLE] [t [, t ...]]` — collect measured table statistics

@@ -215,7 +215,29 @@ final class Executor(val spark: SparkSession,
       lastTagThunk = Some(() => s"INSERT 0 ${aligned.count()}")
       None
 
-    case DeleteFrom(table, where) =>
+    case DeleteFrom(table, where, Some(usingRel)) =>
+      // PG `DELETE ... USING f [WHERE p]`: delete target rows with ≥1
+      // match in f under p. Lowered through a synthetic SELECT over the
+      // cross product so the full WHERE machinery (subqueries included)
+      // applies; row identity pinned by __tid, removal via anti-join.
+      val target = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      val t = target.withColumn("__tid", monotonically_increasing_id())
+        .localCheckpoint(true)
+      val joined = t.alias(table)
+        .crossJoin(compiler.compileRelation(usingRel, scope))
+      val sel = graft.ast.Select(
+        items = Seq(graft.ast.ExprItem(
+          graft.ast.ColRef(Seq("__tid")), Some("__tid"))),
+        from = Seq(graft.ast.TableRef(None, "__del_src", None)),
+        where = where)
+      val tids = compiler.compileSelect(sel, scope + ("__del_src" -> joined))
+        .distinct()
+      lastTagThunk = Some(() => s"DELETE ${tids.count()}")
+      rebind(table, t.join(tids, Seq("__tid"), "left_anti").drop("__tid"))
+      None
+
+    case DeleteFrom(table, where, None) =>
       val target = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
       val kept = where match {
@@ -238,7 +260,57 @@ final class Executor(val spark: SparkSession,
       rebind(table, kept)
       None
 
-    case UpdateStmt(table, sets, where) =>
+    case UpdateStmt(table, sets, where, fromRel)
+        if fromRel.isDefined || sets.exists(s => containsSubquery(s._2)) =>
+      // PG `UPDATE ... [FROM f]` and subquery-bearing SET expressions:
+      // lowered through a synthetic SELECT over (target × f) so the full
+      // expression machinery — scalar subqueries (incl. correlated),
+      // IN/EXISTS in WHERE — applies to SET and WHERE alike. Row
+      // identity pinned by __tid; a target row with several FROM
+      // matches takes exactly one, deterministically (smallest projected
+      // tuple — PG documents "arbitrary"). WHERE-UNKNOWN rows keep
+      // their values, like the fast path.
+      val target = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      val setMap: Map[String, Expr] = sets.map { case (c, e) =>
+        resolveColumn(target, table, c) -> e
+      }.toMap
+      val t = target.withColumn("__tid", monotonically_increasing_id())
+        .localCheckpoint(true)
+      val joined = fromRel match {
+        case Some(rel) =>
+          t.alias(table).crossJoin(compiler.compileRelation(rel, scope))
+        case None => t
+      }
+      val items = graft.ast.ExprItem(
+          graft.ast.ColRef(Seq("__tid")), Some("__tid")) +:
+        target.columns.toSeq.map { c =>
+          graft.ast.ExprItem(
+            setMap.getOrElse(c, graft.ast.ColRef(Seq(c))), Some(c))
+        }
+      val sel = graft.ast.Select(items = items,
+        from = Seq(graft.ast.TableRef(None, "__upd_src", None)),
+        where = where)
+      val matched0 = compiler.compileSelect(sel, scope + ("__upd_src" -> joined))
+      val matched =
+        if (fromRel.isDefined) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__tid"))
+            .orderBy(target.columns.toSeq.map(col): _*)
+          matched0.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        } else matched0
+      lastTagThunk = Some(() => s"UPDATE ${matched.count()}")
+      val updatedRows = matched.select(col("__tid") +:
+        target.columns.toSeq.map(c =>
+          col(c).cast(target.schema(c).dataType).as(c)): _*)
+      val untouched = t
+        .join(matched.select(col("__tid")), Seq("__tid"), "left_anti")
+        .select(col("__tid") +: target.columns.toSeq.map(col): _*)
+      rebind(table, untouched.unionAll(updatedRows).drop("__tid"))
+      None
+
+    case UpdateStmt(table, sets, where, _) =>
       val target = scope.getOrElse(table,
         throw CompileException(s"table '$table' not found in scope"))
       // SET names resolve case-insensitively; unknown columns error

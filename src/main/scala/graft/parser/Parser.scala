@@ -184,8 +184,9 @@ final class Parser(tokens: Vector[Token],
   private def parseDelete(): Statement = {
     expectKw("delete"); expectKw("from")
     val table = parseIdent()
+    val using = if (acceptKw("using")) Some(parseRelation()) else None
     val where = if (acceptKw("where")) Some(parseExpr()) else None
-    DeleteFrom(table, where)
+    DeleteFrom(table, where, using)
   }
 
   private def parseUpdate(): Statement = {
@@ -200,8 +201,9 @@ final class Parser(tokens: Vector[Token],
       sets :+= (c -> parseExpr())
       done = !acceptOp(",")
     }
+    val from = if (acceptKw("from")) Some(parseRelation()) else None
     val where = if (acceptKw("where")) Some(parseExpr()) else None
-    UpdateStmt(table, sets, where)
+    UpdateStmt(table, sets, where, from)
   }
 
   private def parseTruncate(): Statement = {

@@ -75,7 +75,14 @@ object Sinks {
     * files are renamed in under `epoch-<id>-` names — replays converge
     * on exactly one copy. A crash mid-move leaves a partial epoch, but
     * the streaming checkpoint has not committed that batch, so restart
-    * replays and repairs it. */
+    * replays and repairs it.
+    *
+    * Epoch ids are scoped to ONE checkpoint lineage: re-attaching a
+    * stream with a FRESH checkpoint to an existing directory restarts
+    * batch ids at 0, and epoch 0's replay-repair would delete the old
+    * stream's epoch-0 files. Run [[compactParquet]] first — compaction
+    * renames everything to plain part files, which no future epoch
+    * touches. */
   def appendEpoch(df: DataFrame, dir: String, epochId: Long,
       partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path

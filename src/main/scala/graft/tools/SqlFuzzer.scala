@@ -464,16 +464,48 @@ object SqlFuzzer {
           stmts += s"UPDATE t SET v = $es WHERE $ps"
           rows = rows.map(row => if (pf(row)) (row._1, ef(row)) else row)
         }
-      case x if x < 65 =>
+      case x if x < 60 =>
         // multi-column UPDATE: both RHS see the OLD row (the swap case)
         val (ps, pf) = predOn(rows)
         stmts += s"UPDATE t SET id = v, v = id WHERE $ps"
         rows = rows.map(row => if (pf(row)) (row._2, row._1) else row)
-      case x if x < 80 =>
+      case x if x < 68 =>
+        // PG UPDATE ... FROM a VALUES relation (unique mids): SET sees
+        // the joined column; join key + extra target-side predicate
+        val src = (0 until 2 + r.nextInt(3))
+          .map(j => (r.nextInt(10) + j * (1 + r.nextInt(3)), r.nextInt(50).toLong))
+          .distinctBy(_._1)
+        val srcMap = src.map { case (a, b) => (a.toLong, b) }.toMap
+        val valuesSql = src.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+        val (ps, pf) = predOn(rows)
+        val plus = r.nextBoolean()
+        val es = if (plus) "v + mv" else "mv"
+        stmts += s"UPDATE t SET v = $es FROM (VALUES $valuesSql) AS m(mid, mv) " +
+          s"WHERE id = mid AND ($ps)"
+        rows = rows.map { row =>
+          row._1.flatMap(srcMap.get) match {
+            case Some(mv) if pf(row) =>
+              (row._1, if (plus) row._2.map(_ + mv) else Some(mv))
+            case _ => row
+          }
+        }
+      case x if x < 78 =>
         val (ps, pf) = predOn(rows)
         stmts += s"DELETE FROM t WHERE $ps"
         rows = rows.filterNot(pf)
-      case x if x < 95 =>
+      case x if x < 84 =>
+        // PG DELETE ... USING a VALUES relation: matched rows go
+        val src = (0 until 2 + r.nextInt(3))
+          .map(j => (r.nextInt(10) + j * (1 + r.nextInt(3)), r.nextInt(50).toLong))
+          .distinctBy(_._1)
+        val srcIdSet = src.map(_._1.toLong).toSet
+        val valuesSql = src.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+        val (ps, pf) = predOn(rows)
+        stmts += s"DELETE FROM t USING (VALUES $valuesSql) AS m(mid, mv) " +
+          s"WHERE id = mid AND ($ps)"
+        rows = rows.filterNot(row =>
+          row._1.exists(srcIdSet.contains) && pf(row))
+      case x if x < 96 =>
         // MERGE from a VALUES source (unique source ids — duplicate
         // TARGET ids are legal bag semantics; a target row matching >1
         // source row is the tested cardinality ERROR, not a fuzz case).

@@ -372,6 +372,32 @@ class ExecutorSpec extends AnyFunSuite {
       == Seq("aa"))
   }
 
+  test("UPDATE ... FROM / scalar-subquery SET / DELETE ... USING (PG forms)") {
+    val exec = new Executor(spark, Map(
+      "t" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      "s" -> Seq((1L, 100L), (3L, 300L), (3L, 299L), (9L, 900L))
+        .toDF("sid", "sv")))
+    // scalar subquery in SET (uncorrelated)
+    exec.execute("UPDATE t SET v = (SELECT max(sv) FROM s) WHERE id = 2")
+    assert(exec.query("select v from t where id = 2")
+      .collect()(0).getLong(0) == 900L)
+    // correlated scalar subquery in SET: NULL where no match keeps NULL
+    exec.execute(
+      "UPDATE t SET v = (SELECT max(sv) FROM s WHERE sid = id) WHERE id = 1")
+    assert(exec.query("select v from t where id = 1")
+      .collect()(0).getLong(0) == 100L)
+    // UPDATE ... FROM: SET sees the joined columns; row 3 has TWO s
+    // matches — exactly one applies (deterministic smallest tuple)
+    exec.execute("UPDATE t SET v = sv FROM s WHERE id = sid AND id = 3")
+    assert(exec.query("select v from t where id = 3")
+      .collect()(0).getLong(0) == 299L)
+    assert(exec.query("select count(*) from t").collect()(0).getLong(0) == 3L)
+    // DELETE ... USING: rows with a match go, others stay
+    exec.execute("DELETE FROM t USING s WHERE id = sid")
+    assert(exec.query("select id from t order by id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("MERGE INTO: upsert with update, delete and conditional insert") {
     val exec = new Executor(spark, Map(
       "t" -> Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("id", "s", "v"),
