@@ -220,19 +220,14 @@ final class Executor(val spark: SparkSession,
       // match in f under p. Lowered through a synthetic SELECT over the
       // cross product so the full WHERE machinery (subqueries included)
       // applies; row identity pinned by __tid, removal via anti-join.
-      val target = scope.getOrElse(table,
-        throw CompileException(s"table '$table' not found in scope"))
-      val t = target.withColumn("__tid", monotonically_increasing_id())
-        .localCheckpoint(true)
-      val joined = t.alias(table)
-        .crossJoin(compiler.compileRelation(usingRel, scope))
+      val (t, fromList) = joinDmlFrame(table, Some(usingRel))
       val sel = graft.ast.Select(
         items = Seq(graft.ast.ExprItem(
           graft.ast.ColRef(Seq("__tid")), Some("__tid"))),
-        from = Seq(graft.ast.TableRef(None, "__del_src", None)),
+        from = fromList,
         where = where)
-      val tids = compiler.compileSelect(sel, scope + ("__del_src" -> joined))
-        .distinct()
+      val tids = compiler.compileSelect(sel, scope + (DmlSrcName -> t))
+        .distinct().localCheckpoint(true) // computed once: tag + anti-join
       lastTagThunk = Some(() => s"DELETE ${tids.count()}")
       rebind(table, t.join(tids, Seq("__tid"), "left_anti").drop("__tid"))
       None
@@ -275,31 +270,27 @@ final class Executor(val spark: SparkSession,
       val setMap: Map[String, Expr] = sets.map { case (c, e) =>
         resolveColumn(target, table, c) -> e
       }.toMap
-      val t = target.withColumn("__tid", monotonically_increasing_id())
-        .localCheckpoint(true)
-      val joined = fromRel match {
-        case Some(rel) =>
-          t.alias(table).crossJoin(compiler.compileRelation(rel, scope))
-        case None => t
-      }
+      val (t, fromList) = joinDmlFrame(table, fromRel)
+      // passthrough target columns are QUALIFIED (t.c): the FROM side
+      // commonly shares names with the target (join keys!) and an
+      // unqualified ref would be ambiguous over the cross product
       val items = graft.ast.ExprItem(
           graft.ast.ColRef(Seq("__tid")), Some("__tid")) +:
         target.columns.toSeq.map { c =>
           graft.ast.ExprItem(
-            setMap.getOrElse(c, graft.ast.ColRef(Seq(c))), Some(c))
+            setMap.getOrElse(c, graft.ast.ColRef(Seq(table, c))), Some(c))
         }
-      val sel = graft.ast.Select(items = items,
-        from = Seq(graft.ast.TableRef(None, "__upd_src", None)),
+      val sel = graft.ast.Select(items = items, from = fromList,
         where = where)
-      val matched0 = compiler.compileSelect(sel, scope + ("__upd_src" -> joined))
-      val matched =
-        if (fromRel.isDefined) {
+      val matched0 = compiler.compileSelect(sel, scope + (DmlSrcName -> t))
+      val matched = (if (fromRel.isDefined) {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("__tid"))
             .orderBy(target.columns.toSeq.map(col): _*)
           matched0.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-        } else matched0
+        } else matched0)
+        .localCheckpoint(true) // computed once: tag + anti-join + union
       lastTagThunk = Some(() => s"UPDATE ${matched.count()}")
       val updatedRows = matched.select(col("__tid") +:
         target.columns.toSeq.map(c =>
@@ -675,6 +666,25 @@ final class Executor(val spark: SparkSession,
 
   /** Does a DML predicate contain subquery forms that need the full
     * WHERE lowering (vs a plain row-wise filter)? */
+  /** Scope key the join-DML lowerings (UPDATE…FROM / DELETE…USING /
+    * subquery-bearing SET) bind their synthetic frame under. */
+  private val DmlSrcName = "__dml_src"
+
+  /** Shared scaffolding for the join-DML lowerings: the target with a
+    * pinned `__tid` row identity (checkpointed — bag semantics must
+    * survive the anti-join/union round trip), plus the synthetic FROM
+    * list that binds it under its table name (qualified refs resolve)
+    * ahead of the user's optional PG FROM/USING relation, which keeps
+    * its OWN aliases — compileCore's cross-join fold assembles them. */
+  private def joinDmlFrame(table: String, rel: Option[graft.ast.Relation])
+      : (DataFrame, Seq[graft.ast.Relation]) = {
+    val target = scope.getOrElse(table,
+      throw CompileException(s"table '$table' not found in scope"))
+    val t = target.withColumn("__tid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    (t, graft.ast.TableRef(None, DmlSrcName, Some(table)) +: rel.toSeq)
+  }
+
   private def containsSubquery(e: Expr): Boolean = e match {
     case _: InSubquery | _: ExistsSubquery | _: ScalarSubquery => true
     case BinaryOp(_, l, r) => containsSubquery(l) || containsSubquery(r)

@@ -93,21 +93,29 @@ object Sinks {
       .parquet(staging)
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // replay repair: clear every file a prior attempt of this epoch moved
-    val prior = fs.listFiles(dirPath, true)
-    while (prior.hasNext) {
-      val f = prior.next()
-      if (f.getPath.getName.startsWith(s"epoch-$epochId-") &&
-          !f.getPath.toString.contains("/.epoch-"))
-        fs.delete(f.getPath, false)
-    }
+    // Replay repair happens PER destination directory the staged epoch
+    // touches (not a full recursive listing of the whole index — that
+    // would make per-batch cost grow with total accumulated file count).
+    // Sound because foreachBatch replays the same batch data and the
+    // write is deterministic, so a replay stages the same partition set
+    // as the failed attempt.
     def moveFiles(from: Path, to: Path): Unit = {
       fs.mkdirs(to)
+      if (fs.exists(to))
+        for (old <- fs.listStatus(to)
+             if old.getPath.getName.startsWith(s"epoch-$epochId-"))
+          fs.delete(old.getPath, false)
       var i = 0
       for (f <- fs.listStatus(from))
         if (f.isDirectory) moveFiles(f.getPath, new Path(to, f.getPath.getName))
         else if (f.getPath.getName.endsWith(".parquet")) {
-          fs.rename(f.getPath, new Path(to, s"epoch-$epochId-$i.parquet"))
+          val dest = new Path(to, s"epoch-$epochId-$i.parquet")
+          // Hadoop reports most rename failures as `false`, not an
+          // exception — swallowing it would commit an epoch with
+          // silently missing rows. Throw so the batch fails and replays.
+          if (!fs.rename(f.getPath, dest))
+            throw new IllegalStateException(
+              s"appendEpoch: rename ${f.getPath} -> $dest failed")
           i += 1
         }
     }

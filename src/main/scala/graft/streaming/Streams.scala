@@ -308,7 +308,17 @@ object Streams {
         // the micro-batch while still appending its signatures.
         val p = new org.apache.hadoop.fs.Path(indexPath)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val idx = if (fs.exists(p)) Some(s.read.parquet(indexPath)) else None
+        // REPLAY correctness: a retried epoch finds its own prior
+        // attempt's signatures already in the index — matching against
+        // them would turn every batch doc into an est_jac=1.0
+        // self-match that clobbers the epoch's real matches. Exclude
+        // this epoch's files (they carry epoch-tagged names) so the
+        // replay sees exactly the pre-epoch index, like the first try.
+        val idx =
+          if (fs.exists(p))
+            Some(s.read.parquet(indexPath)
+              .filter(!input_file_name().contains(s"epoch-$epochId-")))
+          else None
         idx.foreach { index =>
           val matched = Dedup.lshBandRows(index, "corpus_doc", "a", numHashes, bands)
             .join(broadcast(

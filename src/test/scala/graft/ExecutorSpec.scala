@@ -396,6 +396,22 @@ class ExecutorSpec extends AnyFunSuite {
     exec.execute("DELETE FROM t USING s WHERE id = sid")
     assert(exec.query("select id from t order by id")
       .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // shared column names between target and FROM side (the common join
+    // shape): qualified refs must resolve, passthrough columns included
+    val exec2 = new Executor(spark, Map(
+      "t" -> Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L)),
+        (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(20L)))
+        .toDF("id", "v"),
+      "s" -> Seq((1L, 77L)).toDF("id", "v")))
+    exec2.execute("UPDATE t SET v = s.v FROM s WHERE t.id = s.id")
+    assert(exec2.query("select v from t order by id")
+      .collect().map(_.getLong(0)).toSeq == Seq(77L, 20L))
+    // correlated scalar subquery with NO match must SET NULL (PG), not
+    // keep the old value
+    exec2.execute(
+      "UPDATE t SET v = (SELECT max(s.v) FROM s WHERE s.id = t.id) WHERE id = 2")
+    val r2 = exec2.query("select v from t where id = 2").collect()(0)
+    assert(r2.isNullAt(0), s"expected NULL, got $r2")
   }
 
   test("MERGE INTO: upsert with update, delete and conditional insert") {
