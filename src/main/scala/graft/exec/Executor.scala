@@ -607,9 +607,28 @@ final class Executor(val spark: SparkSession,
   def compileQuery(sql: String): Option[DataFrame] =
     Parser.parse(sql, registeredAggNames.toSet) match {
       case s: Select => Some(compiler.compileSelect(s, scope))
+      case ExplainStmt(_, true) =>
+        // EXPLAIN ANALYZE's "compilation" runs the whole query for its
+        // metrics — callers needing a no-action probe must use
+        // deferredResultSchema and execute at their own commit point
+        None
       case _: ShowStmt | _: ExplainStmt => execute(sql)
       case _ => None
     }
+
+  /** Statements whose COMPILATION is execution (EXPLAIN ANALYZE runs
+    * the query to gather runtime metrics): the wire server defers them
+    * to Execute and advertises this static result schema instead of
+    * probing. */
+  def deferredResultSchema(sql: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try Parser.parse(sql, registeredAggNames.toSet) match {
+      case ExplainStmt(_, true) =>
+        Some(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query plan",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      case _ => None
+    } catch { case _: Exception => None }
 
   /** SELECT-only entry; throws on statements. */
   def query(sql: String): DataFrame =
@@ -787,25 +806,71 @@ final class Executor(val spark: SparkSession,
 
 object Executor {
 
-  /** Split a multi-statement script on top-level semicolons ('' strings
-    * and "" identifiers respected). Shared by [[Executor.executeScript]]
-    * and the wire server's simple-query flow (psql `-c "a; b"` / `-f`
-    * send one multi-statement string). */
+  /** Split a multi-statement script on top-level semicolons. '' strings
+    * and "" identifiers are respected, and so are `--` line comments and
+    * `/* */` block comments — an apostrophe inside a comment must not
+    * flip the string state (psql `-c "SELECT 1; -- don't"` is valid PG),
+    * and a trailing comment-only fragment is dropped, not parsed.
+    * Comment TEXT is preserved inside statements (the tokenizer skips it
+    * there). Shared by [[Executor.executeScript]] and the wire server's
+    * simple-query flow (psql `-c "a; b"` / `-f` send one string). */
   def splitStatements(script: String): Seq[String] = {
     val stmts = Seq.newBuilder[String]
     val sb = new StringBuilder
     var inStr = false
     var inIdent = false
-    for (c <- script) {
-      if (c == '\'' && !inIdent) { inStr = !inStr; sb.append(c) }
-      else if (c == '"' && !inStr) { inIdent = !inIdent; sb.append(c) }
-      else if (c == ';' && !inStr && !inIdent) {
-        stmts += sb.toString; sb.clear()
-      }
-      else sb.append(c)
+    var inLine = false // -- comment, to end of line
+    var inBlock = false // /* comment */
+    var i = 0
+    val n = script.length
+    while (i < n) {
+      val c = script.charAt(i)
+      val c2 = if (i + 1 < n) script.charAt(i + 1) else ' '
+      if (inLine) {
+        if (c == '\n') inLine = false
+        sb.append(c); i += 1
+      } else if (inBlock) {
+        if (c == '*' && c2 == '/') { inBlock = false; sb.append("*/"); i += 2 }
+        else { sb.append(c); i += 1 }
+      } else if (inStr) {
+        if (c == '\'') inStr = false
+        sb.append(c); i += 1
+      } else if (inIdent) {
+        if (c == '"') inIdent = false
+        sb.append(c); i += 1
+      } else if (c == '-' && c2 == '-') {
+        inLine = true; sb.append("--"); i += 2
+      } else if (c == '/' && c2 == '*') {
+        inBlock = true; sb.append("/*"); i += 2
+      } else if (c == '\'') { inStr = true; sb.append(c); i += 1 }
+      else if (c == '"') { inIdent = true; sb.append(c); i += 1 }
+      else if (c == ';') { stmts += sb.toString; sb.clear(); i += 1 }
+      else { sb.append(c); i += 1 }
     }
     stmts += sb.toString
-    stmts.result().map(_.trim).filter(_.nonEmpty)
+    stmts.result().map(_.trim).filter { s =>
+      // drop empty and comment-only fragments ("SELECT 1; -- done")
+      s.nonEmpty && !stripLeadingComments(s).isEmpty
+    }
+  }
+
+  /** Strip leading whitespace + comments; empty result ⇒ comment-only. */
+  private def stripLeadingComments(s0: String): String = {
+    var s = s0.trim
+    var changed = true
+    while (changed) {
+      changed = false
+      if (s.startsWith("--")) {
+        val nl = s.indexOf('\n')
+        s = if (nl < 0) "" else s.substring(nl + 1).trim
+        changed = true
+      } else if (s.startsWith("/*")) {
+        val e = s.indexOf("*/")
+        s = if (e < 0) "" else s.substring(e + 2).trim
+        changed = true
+      }
+    }
+    s
   }
 
   /** ANALYZE stats sidecar (`_graft_stats.json` inside a directory

@@ -58,6 +58,15 @@ final class PgWireServer(spark: SparkSession,
     scopeSpecPath: Option[String] = None,
     bindAddress: InetAddress = InetAddress.getLoopbackAddress) {
 
+  // Timestamp text/binary rendering assumes the engine session computes
+  // in UTC (the advertised OID is tz-less 1114; the wire value is the
+  // session wall-clock). A non-UTC session would ship every timestamp
+  // shifted by the host offset — fail loudly at construction instead.
+  require(spark.conf.getOption("spark.sql.session.timeZone")
+      .contains("UTC"),
+    "PgWireServer requires spark.sql.session.timeZone=UTC " +
+      "(timestamp wire rendering is UTC wall-clock)")
+
   private val serverSocket = new ServerSocket(port, 50, bindAddress)
   private val running = new AtomicBoolean(true)
 
@@ -72,6 +81,12 @@ final class PgWireServer(spark: SparkSession,
         t.start()
       } catch {
         case _: java.net.SocketException => // closed during accept
+        case scala.util.control.NonFatal(e) if running.get() =>
+          // transient accept failure (EMFILE, thread-create OOM, ...):
+          // log and keep accepting — dying here leaves a server that
+          // looks alive but can never take another connection
+          System.err.println(s"[graft-pg] accept failed: $e")
+          Thread.sleep(100)
       }
     }
   }, "graft-pg-accept")
@@ -90,15 +105,28 @@ final class PgWireServer(spark: SparkSession,
     out.writeByte(0)
   }
 
+  /** Per-connection-thread reusable body buffer for [[send]]: the row
+    * hot path (one message per DataRow) would otherwise allocate and
+    * double-copy a fresh stream per message. The in-use flag falls back
+    * to a fresh buffer if a body ever nests another send. */
+  private val sendBuf = ThreadLocal.withInitial[java.io.ByteArrayOutputStream](
+    () => new java.io.ByteArrayOutputStream(256))
+  private val sendBufBusy = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+
   /** One typed backend message: tag byte + int32 length (inclusive of
     * itself) + body. */
   private def send(out: DataOutputStream, tag: Char)(
       body: DataOutputStream => Unit): Unit = {
-    val buf = new java.io.ByteArrayOutputStream()
-    body(new DataOutputStream(buf))
-    out.writeByte(tag)
-    out.writeInt(4 + buf.size)
-    buf.writeTo(out)
+    val reuse = !sendBufBusy.get()
+    val buf =
+      if (reuse) { sendBufBusy.set(true); val b = sendBuf.get(); b.reset(); b }
+      else new java.io.ByteArrayOutputStream()
+    try {
+      body(new DataOutputStream(buf))
+      out.writeByte(tag)
+      out.writeInt(4 + buf.size)
+      buf.writeTo(out)
+    } finally if (reuse) sendBufBusy.set(false)
   }
 
   private def sendError(out: DataOutputStream, msg: String,
@@ -684,8 +712,14 @@ final class PgWireServer(spark: SparkSession,
         // typed NULLs so a Describe probe resolves the same schema the
         // typed execution will
         case 16 => "CAST(NULL AS BOOLEAN)"
-        case 20 | 21 | 23 | 26 => "CAST(NULL AS BIGINT)"
-        case 700 | 701 => "CAST(NULL AS DOUBLE)"
+        // per-width int mapping: a Describe probe advertising int8 for
+        // a declared int4 parameter would contradict the 4-byte binary
+        // the typed Execute actually ships (pgjdbc caches Describe OIDs)
+        case 21 => "CAST(NULL AS SMALLINT)"
+        case 23 | 26 => "CAST(NULL AS INT)"
+        case 20 => "CAST(NULL AS BIGINT)"
+        case 700 => "CAST(NULL AS REAL)"
+        case 701 => "CAST(NULL AS DOUBLE)"
         case 1700 => "CAST(NULL AS DECIMAL(38,18))"
         case 1082 => "CAST(NULL AS DATE)"
         case 1114 | 1184 => "CAST(NULL AS TIMESTAMP)"
@@ -701,14 +735,21 @@ final class PgWireServer(spark: SparkSession,
               s"invalid input syntax for type boolean: \"$text\"", "22P02")
           }
           case 20 | 21 | 23 | 26 =>
-            if (intText.matcher(text).matches()) text
+            // cast to the DECLARED width (bare int literals compile to
+            // BIGINT in the engine — Describe would then contradict the
+            // bytes Execute ships); folds at plan time
+            val w = oid match {
+              case 21 => "SMALLINT"; case 23 | 26 => "INT"; case _ => "BIGINT"
+            }
+            if (intText.matcher(text).matches()) s"CAST($text AS $w)"
             else throw new PgErr(
               s"invalid input syntax for type integer: \"$text\"", "22P02")
           case 700 | 701 =>
-            if (numText.matcher(text).matches()) s"CAST($text AS DOUBLE)"
+            val w = if (oid == 700) "REAL" else "DOUBLE"
+            if (numText.matcher(text).matches()) s"CAST($text AS $w)"
             else if (Set("nan", "infinity", "-infinity", "+infinity")
                 .contains(text.toLowerCase))
-              s"CAST($quoted AS DOUBLE)"
+              s"CAST($quoted AS $w)"
             else throw new PgErr(
               s"invalid input syntax for type double precision: \"$text\"",
               "22P02")
@@ -760,10 +801,18 @@ final class PgWireServer(spark: SparkSession,
         inLine = true; out.append("--"); i += 2
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
         blockDepth = 1; out.append("/*"); i += 2
-      } else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+      } else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit &&
+          (i == 0 || { val prev = sql.charAt(i - 1)
+            // PG: $n after an identifier character is part of the
+            // identifier (the engine tokenizer allows $ in idents), not
+            // a parameter — price$1 must not be substituted into
+            !prev.isLetterOrDigit && prev != '_' && prev != '$' })) {
         var j = i + 1
         while (j < sql.length && sql.charAt(j).isDigit) j += 1
-        out.append(onParam(sql.substring(i + 1, j).toInt))
+        val digits = sql.substring(i + 1, j)
+        if (digits.length > 5) // PG caps parameters at 65535
+          throw new PgErr(s"parameter number $$$digits out of range", "08P01")
+        out.append(onParam(digits.toInt))
         i = j
       } else { out.append(c); i += 1 }
     }
@@ -802,12 +851,17 @@ final class PgWireServer(spark: SparkSession,
     private final case class Prepared(sql: String, paramOids: Array[Int])
 
     private final class Portal(val sql: String, val df: Option[DataFrame],
-        val noOpTag: Option[String], val resFmts: Array[Int]) {
+        val noOpTag: Option[String], val resFmts: Array[Int],
+        // statements whose COMPILATION is execution (EXPLAIN ANALYZE):
+        // Bind/Describe must not run them; the static result schema is
+        // advertised and the frame captured at Execute
+        val deferredSchema: Option[StructType] = None) {
       var rows: Array[org.apache.spark.sql.Row] = _ // null until Execute
       var truncated = false
       var pos = 0
       var executed = false // side-effect statements run exactly once
       var tag: Option[String] = None // row-count tag captured at Execute
+      var deferredDf: Option[DataFrame] = None // result captured at Execute
     }
 
     private val prepared =
@@ -873,10 +927,14 @@ final class PgWireServer(spark: SparkSession,
         s"invalid result format code", "08P01")
       val bound = substituteParams(stmt.sql, values, stmt.paramOids)
       val noOp = sessionNoOpTag(bound)
+      val deferred =
+        if (noOp.isDefined || bound.trim.isEmpty) None
+        else exec.deferredResultSchema(bound)
       val df =
-        if (noOp.isDefined || bound.trim.isEmpty || bound.trim == ";") None
+        if (noOp.isDefined || bound.trim.isEmpty || bound.trim == ";" ||
+            deferred.isDefined) None
         else exec.compileQuery(bound)
-      portals(portalName) = new Portal(bound, df, noOp, resFmts)
+      portals(portalName) = new Portal(bound, df, noOp, resFmts, deferred)
       send(out, '2')(_ => ()) // BindComplete
     }
 
@@ -905,9 +963,12 @@ final class PgWireServer(spark: SparkSession,
             // None for DDL/COPY rather than running them)
             val probe = substituteParams(stmt.sql,
               Vector.fill(nParams)(None), stmt.paramOids)
-            exec.compileQuery(probe) match {
-              case Some(df) => sendRowDescription(out, df.schema)
-              case None => send(out, 'n')(_ => ()) // NoData
+            exec.deferredResultSchema(probe) match {
+              case Some(schema) => sendRowDescription(out, schema)
+              case None => exec.compileQuery(probe) match {
+                case Some(df) => sendRowDescription(out, df.schema)
+                case None => send(out, 'n')(_ => ()) // NoData
+              }
             }
           }
         case 'P' =>
@@ -916,7 +977,11 @@ final class PgWireServer(spark: SparkSession,
           portal.df match {
             case Some(df) =>
               sendRowDescription(out, df.schema, portal.resFmts)
-            case None => send(out, 'n')(_ => ())
+            case None => portal.deferredSchema match {
+              case Some(schema) =>
+                sendRowDescription(out, schema, portal.resFmts)
+              case None => send(out, 'n')(_ => ())
+            }
           }
         case other => throw new PgErr(
           s"invalid DESCRIBE kind '$other'", "08P01")
@@ -961,14 +1026,26 @@ final class PgWireServer(spark: SparkSession,
           }
         case None =>
           // side-effect statement: runs HERE, exactly once — Bind and
-          // Describe must not run a CTAS/COPY as a probe
+          // Describe must not run a CTAS/COPY (or EXPLAIN ANALYZE,
+          // whose compilation IS execution) as a probe
           if (!portal.executed) {
             portal.executed = true
-            exec.execute(portal.sql)
+            val res = exec.execute(portal.sql)
             portal.tag = exec.lastCommandTag
+            if (portal.deferredSchema.isDefined) portal.deferredDf = res
           }
-          send(out, 'C')(cstring(_,
-            portal.tag.getOrElse(commandTag(portal.sql))))
+          portal.deferredDf match {
+            case Some(df) =>
+              // deferred result-bearing statement: stream its rows now
+              val (rows, trunc) = fetchRows(df)
+              rows.foreach(row =>
+                sendDataRow(out, df.schema, row, portal.resFmts))
+              if (trunc) truncationNotice(out)
+              send(out, 'C')(cstring(_, s"SELECT ${rows.length}"))
+            case None =>
+              send(out, 'C')(cstring(_,
+                portal.tag.getOrElse(commandTag(portal.sql))))
+          }
       }
     }
 

@@ -79,6 +79,11 @@ final class SqlServer(spark: org.apache.spark.sql.SparkSession,
         t.start()
       } catch {
         case _: java.net.SocketException => // closed during accept — shutdown
+        case scala.util.control.NonFatal(e) if running.get() =>
+          // transient accept failure: log and keep accepting — dying
+          // here leaves a listener that can never take a connection
+          System.err.println(s"[graft-sql] accept failed: $e")
+          Thread.sleep(100)
       }
     }
   }, "graft-sql-accept")

@@ -372,6 +372,26 @@ class ExecutorSpec extends AnyFunSuite {
       == Seq("aa"))
   }
 
+  test("splitStatements: comment-aware top-level semicolon split") {
+    import graft.exec.Executor.splitStatements
+    assert(splitStatements("select 1; select 2") ==
+      Seq("select 1", "select 2"))
+    // trailing comment-only fragment is dropped, not parsed
+    assert(splitStatements("select 1; -- done") == Seq("select 1"))
+    assert(splitStatements("select 1; /* all done */") == Seq("select 1"))
+    // an apostrophe inside a comment must not flip the string state;
+    // the comment rides with the following statement (tokenizer strips it)
+    assert(splitStatements("select 1; -- don't\nselect 2") ==
+      Seq("select 1", "-- don't\nselect 2"))
+    assert(splitStatements("select 1 /* won't; split */; select 2") ==
+      Seq("select 1 /* won't; split */", "select 2"))
+    // semicolons inside strings/identifiers still opaque
+    assert(splitStatements("select ';' as a; select \"b;c\" from t") ==
+      Seq("select ';' as a", "select \"b;c\" from t"))
+    // leading comment before a real statement is kept with it
+    assert(splitStatements("-- header\nselect 1") == Seq("-- header\nselect 1"))
+  }
+
   test("UPDATE ... FROM / scalar-subquery SET / DELETE ... USING (PG forms)") {
     val exec = new Executor(spark, Map(
       "t" -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),

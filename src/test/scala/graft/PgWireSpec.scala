@@ -685,4 +685,55 @@ class PgWireSpec extends AnyFunSuite {
       assert(closed, "server should have closed the connection")
     }
   }
+  test("$ after an identifier character is part of the identifier") {
+    withServer() { c =>
+      c.startup()
+      // the engine tokenizer allows $ in identifiers: a$1 is a column
+      // alias, not a parameter reference (PG lexing rule)
+      c.parseStmt("s1", "select 3 as a$1", Seq())
+      c.describe('S', "s1")
+      val msgs = c.sync()
+      val pd = msgs.find(_.tag == 't').get
+      val din = new DataInputStream(new java.io.ByteArrayInputStream(pd.body))
+      assert(din.readShort() == 0) // no phantom parameter
+      c.bind("p1", "s1", Seq())
+      c.executePortal("p1")
+      val m2 = c.sync()
+      assert(dataRow(m2.find(_.tag == 'D').get) == Seq(Some("3")))
+    }
+  }
+
+  test("simple query: comments around semicolons split correctly") {
+    withServer() { c =>
+      c.startup()
+      // trailing comment-only fragment must not parse-error; the
+      // apostrophe inside it must not corrupt the split state
+      val m1 = c.query("select 1 as x; -- don't\nselect 2 as y")
+      assert(m1.count(_.tag == 'D') == 2)
+      val m2 = c.query("select 3 as z; -- done")
+      assert(m2.count(_.tag == 'D') == 1)
+      assert(m2.exists(m => m.tag == 'C' && str(m.body).contains("SELECT 1")))
+    }
+  }
+
+  test("extended flow: EXPLAIN ANALYZE defers execution to Execute") {
+    withServer() { c =>
+      c.startup()
+      c.parseStmt("s1", "explain analyze select 1 + 1 as a", Seq())
+      c.describe('S', "s1")
+      val msgs = c.sync()
+      // Describe advertises the static plan schema WITHOUT running
+      val rd = msgs.find(_.tag == 'T')
+      assert(rd.isDefined, s"expected RowDescription, got ${msgs.map(_.tag)}")
+      assert(str(rd.get.body).contains("query plan"))
+      c.bind("p1", "s1", Seq())
+      c.executePortal("p1")
+      val m2 = c.sync()
+      val rows = m2.filter(_.tag == 'D')
+      assert(rows.nonEmpty, "EXPLAIN ANALYZE returned no plan rows; tags=" +
+        m2.map(m => m.tag + (if (m.tag == 'E') ":" + str(m.body) else "")))
+      assert(rows.map(dataRow).flatten.flatten
+        .exists(_.contains("Runtime metrics")))
+    }
+  }
 }
