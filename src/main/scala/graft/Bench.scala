@@ -37,10 +37,21 @@ object Bench {
     * this way. `p50`/`minWarm` are computed over WARM runs only (see
     * [[timeQuery]]); `drift` marks a query whose reported p50 still sits
     * >3x above its own warm minimum after every rerun — the reader must
-    * use `mins` for it. */
+    * use `mins` for it. `isolated` ⇒ the end-of-bench isolation pass
+    * ([[isolate]]) re-timed this query; if it converged, suspect/drift
+    * are cleared and p50 is the converged (truthful) figure. */
   final case class QueryTiming(name: String, p50: Double, minWarm: Double,
       times: Vector[Double], suspect: Boolean, drift: Boolean,
-      err: Option[String])
+      err: Option[String], isolated: Boolean = false)
+
+  /** Median of the ≤3 fastest values — the bench's central statistic:
+    * ambient load only ever inflates, so the distribution's lower mode
+    * is the true cost. */
+  def medianFastest(xs: Vector[Double]): Double = {
+    val w = xs.sorted.take(math.min(3, xs.size))
+    if (w.size % 2 == 1) w(w.size / 2)
+    else (w(w.size / 2 - 1) + w(w.size / 2)) / 2
+  }
 
   /** Time `run` `runs`×, catching per-run failures into `err`.
     *
@@ -86,11 +97,7 @@ object Bench {
       times :+= timeOne()
       added += 1
     }
-    def median(xs: Vector[Double]): Double = {
-      val w = xs.sorted.take(math.min(3, xs.size))
-      if (w.size % 2 == 1) w(w.size / 2)
-      else (w(w.size / 2 - 1) + w(w.size / 2)) / 2
-    }
+    def median(xs: Vector[Double]): Double = medianFastest(xs)
     // drift reruns (separate budget): keep buying runs while EITHER
     //  - every warm run sits ≥3x above the previous round's min
     //    (interference spanning the whole window — within-run spread
@@ -114,6 +121,53 @@ object Bench {
     val minWarm = warm.min
     val drift = runs > 1 && p50 > 3.0 * math.max(minWarm, 0.05)
     QueryTiming(name, p50, minWarm, times, suspect, drift, err)
+  }
+
+  /** Isolation pass for a flagged (suspect/drift) timing — the r11
+    * post-mortem's residual hole: the quick pass's reruns share the
+    * noisy window that CREATED the suspicion, so flagged queries still
+    * published interference-inflated p50s (dd_contamination recorded
+    * 4.37 s vs 1.93 s under isolated re-timing). This re-times the
+    * query under the caller's quietest conditions (Bench runs it at the
+    * END of the whole bench, after every other query's GC debt has
+    * settled), buying up to `budget` extra runs until the timing
+    * CONVERGES: the isolation window is self-consistent (spread ≤ 1.5×)
+    * and the fastest-3-warm median lands within 30% of the warm
+    * minimum — i.e. the recorded p50 now matches what a standalone
+    * TimeOne run measures. A converged query is HEALED (suspect/drift
+    * cleared); one that never converges stays flagged so the reader
+    * falls back to `mins`. Either way `isolated = true` records that
+    * the pass ran. Unflagged or failed timings pass through untouched. */
+  def isolate(qt: QueryTiming, run: () => Unit, budget: Int,
+      afterRun: () => Unit = () => ()): QueryTiming = {
+    if (qt.err.isDefined || !(qt.suspect || qt.drift) || budget <= 0) return qt
+    var err: Option[String] = None
+    var iso = Vector.empty[Double]
+    def converged: Boolean = {
+      val warm = (qt.times ++ iso).tail
+      iso.size >= 2 &&
+        iso.max / math.max(iso.min, 1e-9) <= 1.5 &&
+        medianFastest(warm) <= 1.3 * math.max(warm.min, 0.05)
+    }
+    while (err.isEmpty && !converged && iso.size < budget) {
+      val t0 = System.nanoTime()
+      try run()
+      catch {
+        case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+      iso :+= (System.nanoTime() - t0) / 1e9
+      afterRun()
+    }
+    val times = qt.times ++ iso
+    val warm = times.tail
+    val p50 = medianFastest(warm)
+    val minW = warm.min
+    val healed = err.isEmpty && converged
+    QueryTiming(qt.name, p50, minW, times,
+      suspect = !healed,
+      drift = !healed && p50 > 3.0 * math.max(minW, 0.05),
+      err = err, isolated = true)
   }
 
   /** (p50 total, min-of-warm-runs total) over the queries that succeeded —
@@ -205,11 +259,35 @@ object Bench {
       Thread.sleep(200)
       qt
     }
+    // ---- end-of-bench isolation pass: self-heal flagged suspects ----
+    // Everything above ran interleaved with 170 other queries; a flagged
+    // suspect's reruns shared the very window that created the
+    // suspicion. Now the bench is otherwise done — the quietest moment
+    // this process has — re-time each flagged query until its median
+    // converges onto its warm minimum (see [[isolate]]) or the budget
+    // is spent. Healed queries publish their converged p50; residual
+    // suspects stay flagged AND are listed in `isolated` so a reader
+    // knows the re-measurement was attempted, not skipped.
+    val isoBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO", "4").toInt
+    val results2 = results.map { qt =>
+      if (runs > 1 && qt.err.isEmpty && (qt.suspect || qt.drift)) {
+        System.gc(); Thread.sleep(500)
+        val fn = SparkEntry.queries(qt.name)
+        val h = isolate(qt,
+          () => fn(spark, sfDir).write.mode("overwrite").format("noop").save(),
+          isoBudget, afterRun = () => spark.catalog.clearCache())
+        val isoTimes = h.times.drop(qt.times.size)
+        System.err.println(f"[bench] ${qt.name}%-28s isolated ${h.p50}%7.2f s" +
+          s"  (${isoTimes.map(t => f"$t%.2f").mkString("/")})" +
+          (if (h.suspect) "  STILL-SUSPECT" else "  healed"))
+        h
+      } else qt
+    }
     val loadAfter = loadavg()
 
-    val (total, minTotal) = totals(results)
-    val failed = results.filter(_.err.isDefined)
-    val suspects = results.filter(r => r.suspect && r.err.isEmpty).map(_.name)
+    val (total, minTotal) = totals(results2)
+    val failed = results2.filter(_.err.isDefined)
+    val suspects = results2.filter(r => r.suspect && r.err.isEmpty).map(_.name)
     val sfLabel = {
       val base = new java.io.File(sfDir).getName // e.g. "sf0.1"
       val suffix = base.drop(2)
@@ -225,8 +303,9 @@ object Bench {
     // (the trustworthy number under ambient load), `runs` every raw
     // timing, `suspect` the queries whose spread stayed >2x after
     // reruns, and `loadavg` the host load around the run.
-    val ok = results.filter(_.err.isEmpty)
-    val drifts = results.filter(r => r.drift && r.err.isEmpty).map(_.name)
+    val ok = results2.filter(_.err.isEmpty)
+    val drifts = results2.filter(r => r.drift && r.err.isEmpty).map(_.name)
+    val isolatedQs = results2.filter(_.isolated).map(_.name)
     val fullQs = ok.map(r => "\"" + r.name + f"""\":${r.p50}%.3f""")
       .mkString("{", ",", "}")
     val fullMins = ok.map(r => "\"" + r.name + f"""\":${r.minWarm}%.3f""")
@@ -244,8 +323,9 @@ object Bench {
     val errJson = failed.map(r =>
       jstr(r.name) + ":" + jstr(r.err.get.take(200))).mkString("{", ",", "}")
     val driftJson = drifts.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val isolatedJson = isolatedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50-of-3-fastest-warm","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"drift":$driftJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"sf":$sfLabel}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50-of-3-fastest-warm","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"drift":$driftJson,"isolated":$isolatedJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"sf":$sfLabel}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -280,12 +360,13 @@ object Bench {
       (if (drifts.length > 8) drifts.take(8) :+ "+more" else drifts)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
     val footer =
-      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"n_drift":${drifts.length},"drift":$driftCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
+      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"n_drift":${drifts.length},"drift":$driftCompact,"n_isolated":${isolatedQs.length},"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
     val budget = 1750 - header.length - footer.length
     val ordered = ok.sortBy(r => (priority(r.name), r.name))
     val sb = new StringBuilder
     var used = 0
-    ordered.foreach { case QueryTiming(k, v, _, _, _, _, _) =>
+    ordered.foreach { r =>
+      val (k, v) = (r.name, r.p50)
       val entry = "\"" + k + f"""\":$v%.2f"""
       val cost = entry.length + (if (used == 0) 0 else 1)
       if (used + cost <= budget) {

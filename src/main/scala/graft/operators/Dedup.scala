@@ -600,9 +600,14 @@ object Dedup {
   def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.95,
       planes: Int = 0, maxBucketRows: Long = srpMaxBucketRows): DataFrame = {
     val p = if (planes > 0) planes else Vectors.autoSrpPlanes(emb.count())
-    val withB = emb.select(col("vec_id"), col("embedding"),
-      Vectors.srpBucket(col("embedding"), p).as("bucket"))
-      .persist()
+    // materialize (not persist): the bounded-bucket guard is an action
+    // anyway, so eager materialization is free, both self-join legs read
+    // the stored partitions, and the storage is reclaimed automatically
+    // once the returned plan is dropped — no session-lifetime cache leak
+    // and no unpersist obligation pushed onto the caller.
+    val withB = graft.Checkpoints.materialize(
+      emb.select(col("vec_id"), col("embedding"),
+        Vectors.srpBucket(col("embedding"), p).as("bucket")))
     assertBoundedBuckets(withB, p, "embeddingDupPairs", maxBucketRows)
     val l = withB.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val r = withB.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
@@ -655,12 +660,15 @@ object Dedup {
   def semDedup(emb: DataFrame, tau: Double, planes: Int = 0,
       maxBucketRows: Long = srpMaxBucketRows): DataFrame = {
     val pl = if (planes > 0) planes else Vectors.autoSrpPlanes(emb.count())
-    val q = emb.select(col("vec_id"), col("label"),
+    // materialize (not persist) for the same reason as embeddingDupPairs:
+    // the guard is already an action, the centroid and scoring passes
+    // both read the stored partitions, and nothing leaks past the call
+    val q = graft.Checkpoints.materialize(
+      emb.select(col("vec_id"), col("label"),
         Vectors.srpBucketPortable(col("embedding"), pl).as("bucket"),
         Vectors.quantizeInt8(col("embedding")).getField("codes").as("codes"))
       .withColumn("qnorm", sqrt(aggregate(col("codes"), lit(0L),
-        (a, c) => a + c.cast("long") * c.cast("long")).cast("double")))
-      .persist()
+        (a, c) => a + c.cast("long") * c.cast("long")).cast("double"))))
     assertBoundedBuckets(q, pl, "semDedup", maxBucketRows)
     // integer centroid-sum vector per bucket, rebuilt in pos order (the
     // collect_list order is arbitrary; the sort pins it)
@@ -670,7 +678,7 @@ object Dedup {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           e => e.getField("s")).as("cvec"),
         sqrt(sum(col("s") * col("s")).cast("double")).as("cnorm"))
-    val scored = q.join(broadcast(cent), "bucket")
+    val scored = graft.Checkpoints.materialize(q.join(broadcast(cent), "bucket")
       .withColumn("dotc", aggregate(
         zip_with(col("codes"), col("cvec"), (c, s) => c.cast("long") * s),
         lit(0L), (a, x) => a + x))
@@ -678,8 +686,7 @@ object Dedup {
           col("dotc").cast("double") / (col("qnorm") * col("cnorm")))
         .otherwise(lit(0.0)))
       .select(col("vec_id"), col("label"), col("bucket"), col("codes"),
-        col("qnorm"), col("cosc"))
-      .persist()
+        col("qnorm"), col("cosc")))
     val other = scored.select(col("bucket").as("b_b"), col("vec_id").as("id_b"),
       col("codes").as("c_b"), col("qnorm").as("n_b"), col("cosc").as("k_b"))
     // integer pair dot: exact in both engines, then one double divide
@@ -702,21 +709,20 @@ object Dedup {
   /** Exhaustive n-gram jaccard near-dup pairs within each `source`
     * bucket — the O(n²-per-bucket) correctness baseline (MinHash+LSH is
     * the scale path). md5-hashed shingles are portable, so an external
-    * oracle reproduces the exact pair set. Shingle table persisted: one
-    * computation feeds both self-join legs. */
-  /** NOTE: the shingle table stays persisted for the lifetime of the
-    * returned plan (both self-join legs read it). In a long-lived session
-    * call `spark.catalog.clearCache()` (as Bench does between queries) or
-    * unpersist after materializing, or the cached partitions accumulate. */
+    * oracle reproduces the exact pair set. The shingle table is
+    * MATERIALIZED (not persisted): the bucket guard is an action anyway,
+    * one computation feeds both self-join legs, and the stored
+    * partitions are reclaimed once the returned plan is dropped — no
+    * caller-side unpersist discipline required. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       k: Int = 3, maxBucketDocs: Long = 10000L): DataFrame = {
-    val d = shingleRows(docs, k,
+    val d = graft.Checkpoints.materialize(
+      shingleRows(docs, k,
         g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
         carry = Seq("source"))
       .groupBy(col("doc_id"), col("source"))
       .agg(collect_set(col("s")).as("sh"))
-      .withColumn("n", size(col("sh"))) // set size once per doc, not per pair
-      .persist()
+      .withColumn("n", size(col("sh")))) // set size once per doc, not per pair
     // This is the O(n²-per-source) ORACLE BASELINE, never the production
     // path (minhash is). `source` is low-cardinality, so per-bucket cost
     // is quadratic in corpus size — fail loudly before a large corpus

@@ -149,10 +149,39 @@ object Sinks {
       df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(staged)
     val p = new org.apache.hadoop.fs.Path(path)
     val ps = new org.apache.hadoop.fs.Path(staged)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // re-point the directory: delete the original, move staging in
-    if (!fs.delete(p, true) || !fs.rename(ps, p))
+    // Re-point the directory via rename-aside, not delete-then-rename:
+    // a crash at ANY point leaves a recoverable directory on disk
+    // (either the original at `path`/`path__old` or the compacted copy
+    // at `path__compact`), never a window where the data exists only
+    // under an undocumented sibling after the original is gone.
+    if (fs.exists(old)) fs.delete(old, true) // stale debris from a prior crash
+    if (!fs.rename(p, old))
       throw new IllegalStateException(
-        s"compactParquet: could not swap $staged into $path")
+        s"compactParquet: could not move $path aside to $old; " +
+        s"original intact, compacted copy staged at $staged")
+    if (!fs.rename(ps, p))
+      throw new IllegalStateException(
+        s"compactParquet: could not move $staged into $path; " +
+        s"original preserved at $old, compacted copy at $staged — " +
+        s"rename $old back to $path to recover")
+    fs.delete(old, true)
+  }
+
+  /** True iff `dir` exists AND holds at least one non-hidden entry —
+    * i.e. a Spark `read.parquet(dir)` would actually see data. A
+    * directory containing only dot/underscore-prefixed debris (a
+    * crashed [[appendEpoch]] staging dir, a bare `_SUCCESS`) reads as
+    * ABSENT: incremental consumers use this to decide "first epoch,
+    * nothing to read yet" without wedging on schema inference. */
+  def hasVisibleData(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }
   }
 }

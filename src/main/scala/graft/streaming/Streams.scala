@@ -306,8 +306,11 @@ object Streams {
         // failure (transient FS error, corrupt footer) must propagate and
         // fail the batch — a broad catch would silently skip dedup for
         // the micro-batch while still appending its signatures.
-        val p = new org.apache.hadoop.fs.Path(indexPath)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // "Absent" means NO VISIBLE FILES, not bare fs.exists: a crash
+        // between appendEpoch's staging write and its renames on the
+        // very first epoch leaves the directory existing but holding
+        // only the hidden .epoch-0 staging dir — reading that throws
+        // schema-inference errors on every replay and wedges the stream.
         // REPLAY correctness: a retried epoch finds its own prior
         // attempt's signatures already in the index — matching against
         // them would turn every batch doc into an est_jac=1.0
@@ -315,7 +318,7 @@ object Streams {
         // this epoch's files (they carry epoch-tagged names) so the
         // replay sees exactly the pre-epoch index, like the first try.
         val idx =
-          if (fs.exists(p))
+          if (graft.sources.Sinks.hasVisibleData(s, indexPath))
             Some(s.read.parquet(indexPath)
               .filter(!input_file_name().contains(s"epoch-$epochId-")))
           else None

@@ -66,6 +66,47 @@ class BenchSpec extends AnyFunSuite {
     assert(qt.drift, s"expected drift flag: p50=${qt.p50} times=${qt.times}")
   }
 
+  test("isolation pass heals a suspect whose quiet re-timing converges") {
+    // quick-pass shape: every run inflated by interference except the
+    // spread that flagged it; isolation runs land fast and consistent →
+    // the flag clears and the published p50 is the converged figure
+    val flagged = Bench.QueryTiming("noisy", p50 = 0.25, minWarm = 0.24,
+      times = Vector(0.3, 0.25, 0.24, 0.26), suspect = true, drift = false,
+      err = None)
+    val h = Bench.isolate(flagged, () => Thread.sleep(20), budget = 4)
+    assert(h.isolated)
+    assert(!h.suspect && !h.drift,
+      s"converged isolation must heal the flags: $h")
+    assert(h.p50 < 0.1, s"published p50 must be the converged figure: $h")
+    assert(h.minWarm <= h.p50 + 1e-9)
+  }
+
+  test("isolation pass keeps the flag when re-timing never converges") {
+    // isolation runs disagree with each other (still-loaded host):
+    // budget is spent, the suspect flag survives, isolated records the
+    // attempt so the reader knows it was re-measured, not skipped
+    var i = 0
+    val delays = Vector(20L, 200L, 20L, 200L)
+    val flagged = Bench.QueryTiming("wild", p50 = 0.2, minWarm = 0.02,
+      times = Vector(0.2, 0.02, 0.2, 0.2), suspect = true, drift = true,
+      err = None)
+    val h = Bench.isolate(flagged,
+      () => { Thread.sleep(delays(i.min(delays.size - 1))); i += 1 },
+      budget = 4)
+    assert(h.isolated && h.suspect,
+      s"non-converging isolation must stay flagged: $h")
+    assert(i == 4, "isolation must spend its whole budget before giving up")
+  }
+
+  test("isolation pass leaves unflagged and failed timings untouched") {
+    val clean = Bench.QueryTiming("ok", 0.1, 0.1, Vector(0.1, 0.1, 0.1),
+      suspect = false, drift = false, err = None)
+    assert(Bench.isolate(clean, () => fail("must not run"), 4) eq clean)
+    val broken = Bench.QueryTiming("bad", 0.1, 0.1, Vector(0.1),
+      suspect = true, drift = false, err = Some("boom"))
+    assert(Bench.isolate(broken, () => fail("must not run"), 4) eq broken)
+  }
+
   test("prior mins load from a committed capture only at the matching SF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench")
     val f = dir.resolve("BENCH_full.json")

@@ -892,6 +892,30 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().nonEmpty)
   }
 
+  test("pairwise dedup operators leave no persisted frames behind (r11 advice)") {
+    // embeddingDupPairs/semDedup/ngramJaccardPairs share intermediates
+    // across self-join legs via Checkpoints.materialize, NOT persist():
+    // a persist() without unpersist parks cached partitions in the
+    // session CacheManager for its lifetime (Bench papers over it with
+    // clearCache; library callers can't). The probe sees exactly those
+    // registrations, so it fails on the leaky shape and passes on the
+    // materialized one.
+    spark.catalog.clearCache() // neighbors' legitimate caches out of scope
+    import org.apache.spark.sql.graft.CacheProbe
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    Dedup.embeddingDupPairs(emb, threshold = 0.9).count()
+    assert(CacheProbe.noCachedPlans(spark), "embeddingDupPairs leaked a cache")
+    Dedup.semDedup(emb, tau = 0.35).count()
+    assert(CacheProbe.noCachedPlans(spark), "semDedup leaked a cache")
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "s0"),
+      (1L, "alpha beta gamma epsilon", "s0")
+    ).toDF("doc_id", "text", "source")
+    Dedup.ngramJaccardPairs(docs, threshold = 0.1).count()
+    assert(CacheProbe.noCachedPlans(spark), "ngramJaccardPairs leaked a cache")
+  }
+
   test("semDedup: removal decisions match a brute-force in-memory reference") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val tau = 0.35

@@ -240,6 +240,58 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected matches: $got")
   }
 
+  test("self-indexing stream survives first-epoch crash debris (r11 advice)") {
+    import org.apache.spark.sql.functions.col
+    // crash window: appendEpoch staged its write but died before any
+    // rename — the index dir EXISTS but holds only the hidden .epoch-0
+    // staging dir. A bare fs.exists() check would read it, fail schema
+    // inference, and wedge the stream on every replay; the visible-data
+    // check must classify it as "no index yet" instead.
+    val base = java.nio.file.Files.createTempDirectory("graft_selfidx_crash")
+      .toString
+    val inDir = s"$base/in"; val idxDir = s"$base/idx"
+    val matchDir = s"$base/matches"
+    import spark.implicits._
+    val d1 = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six")).toDF("doc_id", "text")
+    d1.coalesce(1).write.parquet(inDir)
+    Seq((7L, 8L)).toDF("a", "b").coalesce(1)
+      .write.parquet(s"$idxDir/.epoch-0") // the crashed attempt's staging
+    assert(!graft.sources.Sinks.hasVisibleData(spark, idxDir),
+      "hidden-only directory must read as absent")
+    assert(!graft.sources.Sinks.hasVisibleData(spark, s"$base/never_made"))
+    val stream = spark.readStream.schema(d1.schema).parquet(inDir)
+    val q = graft.streaming.Streams.lshDedupSelfIndexing(
+      spark, stream, idxDir, matchDir)
+    try q.processAllAvailable() finally q.stop()
+    // the replayed first epoch recovered: debris treated as no-index,
+    // signatures appended, directory now visibly populated
+    assert(spark.read.parquet(idxDir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(graft.sources.Sinks.hasVisibleData(spark, idxDir))
+  }
+
+  test("compactParquet swap is crash-recoverable and clears stale debris") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString
+    val p = s"$base/t"
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    df.repartition(3).write.parquet(p)
+    // debris from a prior compaction that crashed after moving the
+    // original aside must not block the next attempt
+    new java.io.File(p + "__old").mkdirs()
+    graft.sources.Sinks.compactParquet(spark, p)
+    assert(new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(p).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // rename-aside protocol leaves no siblings behind on success
+    assert(!new java.io.File(p + "__old").exists())
+    assert(!new java.io.File(p + "__compact").exists())
+  }
+
   test("streaming IVF-PQ ingest: multi-batch appends equal the batch rebuild") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
