@@ -606,6 +606,13 @@ final class PgWireServer(spark: SparkSession,
     if (tag0 == "CREATE" || tag0 == "DROP") words.mkString(" ") else tag0
   }
 
+  /** CommandComplete tag for a result-bearing statement: PG reports
+    * EXPLAIN and SHOW under their own keyword tags, not `SELECT n`. */
+  private def resultTag(sql: String, n: Int): String = {
+    val kw = commandTag(sql)
+    if (kw == "EXPLAIN" || kw == "SHOW") kw else s"SELECT $n"
+  }
+
   /** Transaction/parameter chatter that off-the-shelf clients emit
     * unprompted (psycopg2 sends BEGIN before the first execute, JDBC and
     * ORMs send SET/COMMIT/ROLLBACK): the engine has no transactions or
@@ -655,7 +662,7 @@ final class PgWireServer(spark: SparkSession,
                 val (rows, truncated) = fetchRows(df)
                 rows.foreach(sendDataRow(out, df.schema, _))
                 if (truncated) truncationNotice(out)
-                send(out, 'C')(cstring(_, s"SELECT ${rows.length}"))
+                send(out, 'C')(cstring(_, resultTag(one, rows.length)))
             }
         }
       }
@@ -1022,7 +1029,7 @@ final class PgWireServer(spark: SparkSession,
             send(out, 's')(_ => ()) // PortalSuspended: client re-Executes
           else {
             if (portal.truncated) truncationNotice(out)
-            send(out, 'C')(cstring(_, s"SELECT ${portal.pos}"))
+            send(out, 'C')(cstring(_, resultTag(portal.sql, portal.pos)))
           }
         case None =>
           // side-effect statement: runs HERE, exactly once — Bind and
@@ -1036,12 +1043,32 @@ final class PgWireServer(spark: SparkSession,
           }
           portal.deferredDf match {
             case Some(df) =>
-              // deferred result-bearing statement: stream its rows now
-              val (rows, trunc) = fetchRows(df)
-              rows.foreach(row =>
-                sendDataRow(out, df.schema, row, portal.resFmts))
-              if (trunc) truncationNotice(out)
-              send(out, 'C')(cstring(_, s"SELECT ${rows.length}"))
+              // deferred result-bearing statement (EXPLAIN ANALYZE): its
+              // rows ride the SAME cursor state as the regular path —
+              // row-limit suspension works, a re-Execute on a drained
+              // portal sends CommandComplete with no rows instead of
+              // re-sending the plan — and the tag is the statement's own
+              // ('EXPLAIN', as PG sends), never 'SELECT n'
+              if (portal.rows == null) {
+                val (rows, trunc) = fetchRows(df)
+                portal.rows = rows
+                portal.truncated = trunc
+              }
+              val limit = if (maxRows <= 0) Int.MaxValue else maxRows
+              val end = math.min(portal.rows.length.toLong,
+                portal.pos.toLong + limit).toInt
+              while (portal.pos < end) {
+                sendDataRow(out, df.schema, portal.rows(portal.pos),
+                  portal.resFmts)
+                portal.pos += 1
+              }
+              if (portal.pos < portal.rows.length)
+                send(out, 's')(_ => ()) // PortalSuspended
+              else {
+                if (portal.truncated) truncationNotice(out)
+                send(out, 'C')(cstring(_,
+                  portal.tag.getOrElse(commandTag(portal.sql))))
+              }
             case None =>
               send(out, 'C')(cstring(_,
                 portal.tag.getOrElse(commandTag(portal.sql))))

@@ -727,6 +727,12 @@ class PgWireSpec extends AnyFunSuite {
       assert(rd.isDefined, s"expected RowDescription, got ${msgs.map(_.tag)}")
       assert(str(rd.get.body).contains("query plan"))
       c.bind("p1", "s1", Seq())
+      // row-limited Execute: the deferred portal must suspend like a
+      // regular cursor, not dump the whole plan
+      c.executePortal("p1", maxRows = 1)
+      val m1b = c.sync()
+      assert(m1b.count(_.tag == 'D') == 1 && m1b.exists(_.tag == 's'),
+        s"expected 1 row + PortalSuspended, tags=${m1b.map(_.tag)}")
       c.executePortal("p1")
       val m2 = c.sync()
       val rows = m2.filter(_.tag == 'D')
@@ -734,6 +740,15 @@ class PgWireSpec extends AnyFunSuite {
         m2.map(m => m.tag + (if (m.tag == 'E') ":" + str(m.body) else "")))
       assert(rows.map(dataRow).flatten.flatten
         .exists(_.contains("Runtime metrics")))
+      // PG's tag for EXPLAIN is 'EXPLAIN', never 'SELECT n'
+      val tag = m2.find(_.tag == 'C').map(m => str(m.body))
+      assert(tag.exists(_.startsWith("EXPLAIN")), s"tag=$tag")
+      // a drained portal re-Executed completes with no rows instead of
+      // re-sending the plan (the cursor-tracked contract)
+      c.executePortal("p1")
+      val m3 = c.sync()
+      assert(m3.count(_.tag == 'D') == 0 && m3.exists(_.tag == 'C'),
+        s"re-Execute must send no rows, tags=${m3.map(_.tag)}")
     }
   }
 }
