@@ -418,14 +418,63 @@ object Dedup {
     * in binary order, so cross pairs always land as (eval, train). */
   def contaminationPortable(train: DataFrame, eval: DataFrame,
       threshold: Double = 0.5, numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4): DataFrame =
+    contaminationImpl(train, eval,
+      minhashDupPairsPortable(_, numHashes, bands, threshold))
+
+  /** PRODUCTION decontamination — what a pipeline should actually run;
+    * [[contaminationPortable]] exists so the external oracle can
+    * reproduce the result bit-for-bit. Two structural cuts beyond the
+    * hash family (isolated r12 timing showed md5-vs-xxhash64 alone
+    * moved nothing — the cost was elsewhere):
+    *
+    * - the two sides are signed SEPARATELY with plain long ids — no
+    *   union, no 't:'/'e:' string tagging riding every shuffle key
+    *   (the portable variant's string keys were the real tax: our own
+    *   dd_minhash_portable beats its baseline while dd_contamination
+    *   trailed), and only train×eval bucket pairs exist by
+    *   construction, never the train×train/eval×eval pairs the
+    *   union-self-join mines and discards;
+    * - the confirm is SIGNATURE-level lane agreement (the
+    *   [[dedupAgainstLshIndex]] contract: `jac` is an unbiased exact-
+    *   dyadic jaccard estimate), skipping the shingle-set collect,
+    *   both wide shingle re-joins, and the per-pair array intersects.
+    *
+    * The eval side (benchmark suites — tiny next to a 100 TB train
+    * corpus) rides a broadcast: the train side streams map-side
+    * through sign → band-explode → broadcast-join → lane compare, and
+    * the only shuffle is the final per-eval-doc argmax. Planted exact
+    * copies surface with certainty under any hash family (identical
+    * text ⇒ identical signatures ⇒ same buckets, agreement 1.0);
+    * near-threshold naturals can differ from the portable variant per
+    * hash family, which the differential spec pins. */
+  def contamination(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.5, numHashes: Int = 16,
+      bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    def sign(docs: DataFrame) = minhashSignatureFromRows(
+      shingleRows(docs, shingleK, xxhash64(_)), numHashes)
+    lshBandRows(sign(train), "train_doc", "a", numHashes, bands)
+      .join(broadcast(
+        lshBandRows(sign(eval), "eval_doc", "b", numHashes, bands)),
+        Seq("band", "bucket"))
+      .select(col("eval_doc"), col("train_doc"),
+        laneAgreement(numHashes, "a", "b").as("jac"))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("eval_doc"))
+      .agg(max(struct(col("jac"), col("train_doc"))).as("m"))
+      .select(col("eval_doc"), col("m.train_doc").as("train_doc"),
+        col("m.jac").as("jac"))
+  }
+
+  private def contaminationImpl(train: DataFrame, eval: DataFrame,
+      pairs: DataFrame => DataFrame): DataFrame = {
     val tagged = train.select(
         concat(lit("t:"), col("doc_id").cast("string")).as("doc_id"),
         col("text"))
       .unionAll(eval.select(
         concat(lit("e:"), col("doc_id").cast("string")).as("doc_id"),
         col("text")))
-    minhashDupPairsPortable(tagged, numHashes, bands, threshold)
+    pairs(tagged)
       .filter(col("doc_a").startsWith("e:") && col("doc_b").startsWith("t:"))
       .groupBy(col("doc_a"))
       .agg(max(struct(col("jac"), col("doc_b"))).as("m"))
@@ -1073,6 +1122,29 @@ object Dedup {
           col("train_doc").cast("long").as("train_doc"), col("jac"))
         .orderBy(col("eval_doc"))
     }),
+    // the PRODUCTION fast-hash (xxhash64) decontamination path. The
+    // hash family is engine-internal, so the oracle leg can't replicate
+    // the banding — instead the gate is deterministic by construction:
+    // eval = src2 plus EXACT COPIES of every 10th train doc (identical
+    // text ⇒ identical signatures in ANY hash family ⇒ candidate
+    // recall 1, lane agreement exactly 1.0), and the output is
+    // restricted to the planted id range, every row of which DuckDB
+    // derives directly from the tables. The full corpus still flows
+    // through the banded pipeline — only the assertion is
+    // planted-scoped.
+    "dd_contamination_fast" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val train = docs.filter(col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("text"))
+      val planted = train.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+      val eval = docs.filter(col("source") === "src2")
+        .select(col("doc_id"), col("text"))
+        .unionAll(planted)
+      contamination(train, eval, threshold = 0.5)
+        .filter(col("eval_doc") >= 20000000L)
+        .orderBy(col("eval_doc"))
+    }),
     // INCREMENTAL dedup against a persisted LSH index: corpus =
     // src0/src1 is signed once and the signatures round-trip through
     // parquet; the batch = src2 plus 80%-prefix variants of every 10th
@@ -1408,6 +1480,15 @@ object Dedup {
         |  FROM ver
         |  WHERE jac >= 0.5 AND doc_a LIKE 'e:%' AND doc_b LIKE 't:%')
         |WHERE rn = 1 ORDER BY eval_doc""".stripMargin),
+    // fast-hash decontamination: planted EXACT copies are found with
+    // certainty under any LSH family and verify at exact jaccard 1.0,
+    // so the planted-scoped output is derivable straight from the table
+    "dd_contamination_fast" ->
+      """SELECT doc_id + 20000000 AS eval_doc, doc_id AS train_doc,
+        |  CAST(1.0 AS DOUBLE) AS jac
+        |FROM documents
+        |WHERE source IN ('src0', 'src1') AND doc_id % 10 = 0
+        |ORDER BY eval_doc""".stripMargin,
     // incremental-index probe: same portable sig/banded CTEs, candidates
     // restricted to batch×corpus, confirm = agreeing-lane fraction
     "dd_lsh_incremental" -> {

@@ -584,6 +584,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.head._3 >= 0.5)
   }
 
+  test("fast-hash contamination matches the portable variant on planted overlaps") {
+    // exact copies: candidate recall is 1 under ANY hash family (equal
+    // text ⇒ equal signatures ⇒ same band bucket), and the verify step
+    // is exact shingle jaccard in both variants — the planted hits and
+    // their jaccards must agree exactly; only near-threshold NATURAL
+    // pairs may differ per family (none exist in this corpus)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("text"))
+    val planted = train.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val eval = docs.filter(col("source") === "src2")
+      .select(col("doc_id"), col("text")).unionAll(planted)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).toString, r.get(1).toString, r.getDouble(2))).toSet
+    val fast = rows(Dedup.contamination(train, eval, threshold = 0.5))
+    val portable = rows(Dedup.contaminationPortable(train, eval, threshold = 0.5))
+    // ids must match; jaccards are exact-shingle in the portable
+    // variant and lane-agreement estimates in the fast one, so only the
+    // id pairs are compared (natural near-dups — e.g. src2 doc 82 vs
+    // train doc 0 at exact 0.95 in this corpus — must appear in BOTH)
+    def ids(s: Set[(String, String, Double)]) = s.map(t => (t._1, t._2))
+    assert(ids(fast) == ids(portable),
+      s"fast-only=${ids(fast) diff ids(portable)}, " +
+        s"portable-only=${ids(portable) diff ids(fast)}")
+    // planted-scoped certainty: every copy surfaces in both variants at
+    // jaccard exactly 1 (identical text ⇒ identical signatures)
+    val nPlanted = planted.count()
+    for ((s, name) <- Seq(fast -> "fast", portable -> "portable")) {
+      val plantedHits = s.filter(_._1.toLong >= 20000000L)
+      assert(plantedHits.size == nPlanted,
+        s"$name: ${plantedHits.size} planted hits, $nPlanted planted")
+      assert(plantedHits.forall { case (e, t, j) =>
+        e.toLong == t.toLong + 20000000L && j == 1.0 }, s"$name planted rows")
+    }
+  }
+
   test("chunkDocs: boundaries exact, content lossless, single tokenize") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val out = TextAnalysis.chunkDocs(df, "text", 4, keep = Seq("doc_id"))
