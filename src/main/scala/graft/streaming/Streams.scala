@@ -375,6 +375,52 @@ object Streams {
       .start()
   }
 
+  /** UPDATE-MODE monitor runner — the production emission shape the
+    * emission-contract docstring promises: each trigger emits ONLY the
+    * cells the batch touched, where complete mode re-pays the whole
+    * cell space per trigger. The sink is an epoch-tagged append log
+    * plus a latest-wins view ([[latestCells]]) — the standard upsert
+    * substitute on sinks without native merge (parquet, object
+    * stores): [[graft.sources.Sinks.appendEpoch]] keeps the appends
+    * exactly-once under replay, and the log compacts on the same
+    * cadence as every other incremental artifact here. State is still
+    * bounded by cell space (no watermark eviction — monitors hold all
+    * cells by design); what update mode changes is the EMISSION bill:
+    * per-trigger rows scale with the batch's touched cells, not the
+    * accumulated cell count. */
+  def runUpdateMonitor(spark: SparkSession, agg: DataFrame,
+      dir: String): Unit = {
+    // same tiny-state parallelism note as runToCompletion
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          graft.sources.Sinks.appendEpoch(
+            batch.withColumn("__epoch", lit(epochId)), dir, epochId)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Latest-wins view over an update-mode append log: the row each key
+    * last emitted IS its current aggregate value, so one keyed window
+    * resolves the monitor's present state. NULL key values group
+    * together (SQL window partitioning), matching the aggregation that
+    * produced them. */
+  def latestCells(spark: SparkSession, dir: String,
+      keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__epoch").desc)
+    spark.read.parquet(dir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__epoch")
+  }
+
   private val runId = new AtomicInteger(0)
 
   /** Per-trigger sink emission row counts of every [[runToCompletion]]
@@ -560,6 +606,19 @@ object Streams {
       runToCompletion(s, qualityMonitor(readDocuments(s, dir)))
         .orderBy(col("source"))
     }),
+    // the same quality monitor in UPDATE mode: per-trigger emission is
+    // the touched cells only, the sink is the exactly-once epoch log,
+    // and the latest-wins view must equal the complete-mode/batch
+    // result — hence the oracle is st_quality's verbatim
+    "st_quality_update" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+      val out =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stq_upd_$tag"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      runUpdateMonitor(s, qualityMonitor(readDocuments(s, dir)), out)
+      latestCells(s, out, Seq("source")).orderBy(col("source"))
+    }),
     // streaming face of ta_drift: the ARRIVING corpus half (odd doc_ids
     // — today's dump) monitored cell by cell against the static
     // historical half. The streaming side is one complete-mode
@@ -635,6 +694,47 @@ object Streams {
     })
   )
 
+  /** The st_quality oracle, shared verbatim by the complete-mode and
+    * update-mode gates: incremental == batch regardless of emission
+    * mode. */
+  private val oracleSqlQuality: String =
+    """WITH s AS (
+        |  SELECT source,
+        |    CASE
+        |      WHEN greatest(
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t))),
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t))),
+        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))) = 0
+        |        THEN 'und'
+        |      WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t)))
+        |        AND len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['le','la','les','et','est'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t)))
+        |        THEN 'fr'
+        |      WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['der','die','das','und','ist'], t)))
+        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            t -> list_contains(['the','a','of','and','is'], t)))
+        |        THEN 'de'
+        |      ELSE 'en' END AS pred,
+        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN n_tokens >= 5 AND punct < 0.2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_quality,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM s GROUP BY source ORDER BY source""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // identical split, identical portable pipeline → identical oracle
     "st_lsh_dedup" -> graft.operators.Dedup.oracleSql("dd_lsh_incremental"),
@@ -709,43 +809,9 @@ object Streams {
     // the incremental==batch invariant stated literally: the streaming
     // drift monitor's oracle IS the batch ta_drift oracle
     "st_drift" -> graft.operators.TextAnalysis.oracleSql("ta_drift"),
-    "st_quality" ->
-      """WITH s AS (
-        |  SELECT source,
-        |    CASE
-        |      WHEN greatest(
-        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['the','a','of','and','is'], t))),
-        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['der','die','das','und','ist'], t))),
-        |        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['le','la','les','et','est'], t)))) = 0
-        |        THEN 'und'
-        |      WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['le','la','les','et','est'], t)))
-        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['der','die','das','und','ist'], t)))
-        |        AND len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['le','la','les','et','est'], t)))
-        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['the','a','of','and','is'], t)))
-        |        THEN 'fr'
-        |      WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['der','die','das','und','ist'], t)))
-        |          > len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |            t -> list_contains(['the','a','of','and','is'], t)))
-        |        THEN 'de'
-        |      ELSE 'en' END AS pred,
-        |    len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
-        |      / length(text) AS punct
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-        |  CAST(sum(CASE WHEN n_tokens >= 5 AND punct < 0.2 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_quality,
-        |  CAST(sum(n_tokens) AS BIGINT) AS tokens
-        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "st_quality" -> oracleSqlQuality,
+    // update-mode incremental == complete-mode == batch: same oracle
+    "st_quality_update" -> oracleSqlQuality,
     "st_join_attribution" ->
       """SELECT strftime(to_timestamp(floor(epoch(p.ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS hour,

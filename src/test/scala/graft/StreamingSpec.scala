@@ -199,6 +199,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("update-mode monitors: per-trigger emission ≤ touched cells, final state == batch") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_upd").toString
+    val inDir = s"$base/in"
+    // three files with distinct mtimes → three deterministic triggers.
+    // Slices are DISJOINT BY SOURCE, so a later batch touches cells no
+    // earlier batch did — complete mode would re-emit the accumulated
+    // cell space every trigger and fail the per-trigger bound sharply
+    // (batch 2 may emit only ITS sources, not batch 0's + 1's)
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val slices = Seq(
+      docs.filter(srcNum % 3 === 0),
+      docs.filter(srcNum % 3 === 1),
+      docs.filter(srcNum % 3 === 2))
+    slices.zipWithIndex.foreach { case (d, i) =>
+      if (i > 0) Thread.sleep(1100)
+      d.coalesce(1).write.mode("append").parquet(inDir)
+    }
+    // the monitors under test: quality (key source), drift cells
+    // (source, lang — the st_drift stream side), and the HLL distinct
+    // monitor's mechanics (approx_count_distinct per key)
+    val monitors = Seq(
+      ("quality", Seq("source"),
+        (d: org.apache.spark.sql.DataFrame) =>
+          graft.streaming.Streams.qualityMonitor(d)),
+      ("drift_cells", Seq("source", "lang"),
+        (d: org.apache.spark.sql.DataFrame) =>
+          d.groupBy(col("source"), col("lang"))
+            .agg(count(lit(1)).as("n_b"))),
+      ("distinct_hll", Seq("source"),
+        (d: org.apache.spark.sql.DataFrame) =>
+          d.groupBy(col("source"))
+            .agg(approx_count_distinct(col("doc_id"), 0.02).as("d"))))
+    for ((name, keys, agg) <- monitors) {
+      val logDir = s"$base/log_$name"
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      graft.streaming.Streams.runUpdateMonitor(spark, agg(stream), logDir)
+      val log = spark.read.parquet(logDir)
+      // per-trigger emission ≤ the batch's touched cells (and a fresh
+      // key in batch N must NOT re-emit untouched cells from batch N-1)
+      val emitted = log.groupBy(col("__epoch"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(emitted.keySet == Set(0L, 1L, 2L), s"$name epochs: $emitted")
+      slices.zipWithIndex.foreach { case (d, i) =>
+        val touched = d.select(keys.map(col): _*).distinct().count()
+        assert(emitted(i.toLong) <= touched,
+          s"$name epoch $i emitted ${emitted(i.toLong)} > touched $touched")
+      }
+      // latest-wins view == batch aggregation over everything ingested
+      val got = graft.streaming.Streams.latestCells(spark, logDir, keys)
+      val want = agg(docs)
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        s"$name: update-mode final state diverged from batch")
+    }
+  }
+
   test("self-building LSH index: each batch dedups against all prior batches") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft_selfidx").toString
