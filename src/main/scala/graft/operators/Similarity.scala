@@ -587,8 +587,10 @@ object Similarity {
     * ([[graft.sources.Sinks.compactParquet]]; the sim_knn_ivfpq_inc
     * probe-equality gate runs over a compacted index). Model tables are
     * single-file already and are not touched. */
-  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
-    graft.sources.Sinks.compactParquet(spark, s"$path/codes", Seq("__cell"))
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+      excludeEpoch: Option[Long] = None): Unit =
+    graft.sources.Sinks.compactParquet(spark, s"$path/codes", Seq("__cell"),
+      excludeEpoch = excludeEpoch)
 
   /** Load the driver-local model back from [[buildIvfPqIndex]] output.
     * nCells + m × codebookSize rows — a constant-size driver read, the

@@ -137,20 +137,38 @@ object Sinks {
     * natural owner); object-store deployments would publish a new
     * versioned prefix instead — this helper keeps the single-directory
     * contract the rest of the index code uses. */
+  /** `excludeEpoch`: files of that [[appendEpoch]] epoch are DROPPED
+    * from the rewrite rather than folded into plain part files. Used
+    * when compaction runs inside the foreachBatch of epoch e (the
+    * ingest-cadence shape): a crashed prior attempt of e may have
+    * left `epoch-e-*` files, and folding them would hide them from the
+    * replay repair — dropping them is safe because the current batch
+    * re-appends epoch e in full right after. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
-      partitionCols: Seq[String] = Nil, nFiles: Int = 1): Unit = {
-    val df = spark.read.parquet(path)
+      partitionCols: Seq[String] = Nil, nFiles: Int = 1,
+      excludeEpoch: Option[Long] = None): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val staged = path + "__compact"
+    val ps = new org.apache.hadoop.fs.Path(staged)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // self-heal a prior crashed swap: live dir missing + rename-aside
+    // survivor present → restore it, then compact normally
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      throw new IllegalStateException(
+        s"compactParquet: could not restore crashed-swap survivor $old " +
+        s"to $path")
+    val df0 = spark.read.parquet(path)
+    val df = excludeEpoch match {
+      case Some(e) => df0.filter(!input_file_name().contains(s"epoch-$e-"))
+      case None => df0
+    }
     if (partitionCols.nonEmpty)
       df.repartition(partitionCols.map(col): _*)
         .write.mode(SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(staged)
     else
       df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(staged)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val ps = new org.apache.hadoop.fs.Path(staged)
-    val old = new org.apache.hadoop.fs.Path(path + "__old")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Re-point the directory via rename-aside, not delete-then-rename:
     // a crash at ANY point leaves a recoverable directory on disk
     // (either the original at `path`/`path__old` or the compacted copy

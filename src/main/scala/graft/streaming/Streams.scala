@@ -289,7 +289,8 @@ object Streams {
   def lshDedupSelfIndexing(spark: SparkSession, docs: DataFrame,
       indexPath: String, matchesPath: String,
       numHashes: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
-      shingleK: Int = 3): org.apache.spark.sql.streaming.StreamingQuery = {
+      shingleK: Int = 3, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val sig = Dedup.withPortableSignature(
       docs.select(col("doc_id"), col("text")), col("text"),
@@ -301,6 +302,20 @@ object Streams {
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val s = batch.sparkSession
         val bsig = batch.localCheckpoint(true)
+        // INGEST-CADENCE COMPACTION (opt-in): every `compactEvery`
+        // epochs, fold the accumulated per-epoch small files into one
+        // file BEFORE this batch reads or appends — at batch-e start
+        // every epoch < e is durably checkpoint-committed, so folding
+        // them is safe, and a crashed prior attempt of e itself is
+        // excluded from the rewrite (it is re-appended below; see
+        // compactParquet's excludeEpoch note). Synchronous on the
+        // trigger by design: compaction cost lands on 1-in-N triggers
+        // instead of a separate maintenance job racing the appends.
+        if (compactEvery > 0 && epochId > 0 &&
+            epochId % compactEvery == 0 &&
+            graft.sources.Sinks.hasVisibleData(s, indexPath))
+          graft.sources.Sinks.compactParquet(s, indexPath,
+            excludeEpoch = Some(epochId))
         // probe the index path EXPLICITLY: only a genuinely-absent index
         // means "first batch, nothing to dedup against". Any other read
         // failure (transient FS error, corrupt footer) must propagate and
@@ -357,7 +372,8 @@ object Streams {
     * rebuild). At 100 TB this is the shape that keeps ANN serving fresh
     * without ever re-touching the archive: per-batch cost is one narrow
     * code projection + a partitioned append, no index shuffle. */
-  def ivfPqIngest(spark: SparkSession, emb: DataFrame, indexPath: String)
+  def ivfPqIngest(spark: SparkSession, emb: DataFrame, indexPath: String,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // the model is frozen by contract — load ONCE at stream start, not
     // per micro-batch (a per-trigger driver-side parquet read of
@@ -366,6 +382,12 @@ object Streams {
     emb.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // ingest-cadence compaction, same contract as the LSH stream:
+        // runs BEFORE this epoch's append, over durably-committed
+        // epochs only, excluding any crashed prior attempt of this one
+        if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
+          graft.operators.Similarity.compactIvfPqIndex(
+            batch.sparkSession, indexPath, excludeEpoch = Some(epochId))
         // epoch-tagged staged append: a replayed batch converges on
         // exactly one copy of its rows (see appendEpochToIvfPqIndex)
         graft.operators.Similarity.appendEpochToIvfPqIndex(

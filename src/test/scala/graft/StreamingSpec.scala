@@ -393,6 +393,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(inc == ref, "streamed ingest diverged from the batch rebuild")
   }
 
+  test("ingest-cadence compaction: bounded files, content identical (LSH stream)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_cadence")
+      .toString
+    // six files with distinct mtimes → six epochs; compactEvery = 2
+    // means three compaction points (3N-epoch coverage of the knob)
+    for (i <- 0 until 6) {
+      if (i > 0) Thread.sleep(1100)
+      docs.filter(col("doc_id") % 6 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    def ingest(tag: String, every: Int): (String, String) = {
+      val idx = s"$base/idx_$tag"; val m = s"$base/m_$tag"
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.Streams.lshDedupSelfIndexing(
+        spark, stream, idx, m, compactEvery = every)
+      try q.processAllAvailable() finally q.stop()
+      (idx, m)
+    }
+    val (idxC, mC) = ingest("c", every = 2)
+    val (idxU, mU) = ingest("u", every = 0)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // compacted: one folded file per compaction point survivor + at
+    // most compactEvery epoch files since the last fold; uncompacted
+    // grows one file per epoch
+    assert(parquetFiles(idxU) >= 6, s"uncompacted=${parquetFiles(idxU)}")
+    assert(parquetFiles(idxC) <= 3,
+      s"compacted index holds ${parquetFiles(idxC)} files (cap 3)")
+    // content identical: same signatures, same matches
+    def rows(d: String) = spark.read.parquet(d).collect()
+      .map(_.toSeq).toSet
+    assert(rows(idxC) == rows(idxU), "compaction changed the index content")
+    assert(rows(mC) == rows(mU), "compaction changed the match results")
+  }
+
+  test("ingest-cadence compaction: bounded files, probe identical (IVF-PQ stream)") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val day0 = emb.filter(col("vec_id") % 5 === 0)
+    val q = emb.filter(col("vec_id") < 5)
+    val base = java.nio.file.Files.createTempDirectory("graft_cadence_pq")
+      .toString
+    for (i <- 1 to 4) {
+      if (i > 1) Thread.sleep(1100)
+      emb.filter(col("vec_id") % 5 === i).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+    }
+    val idxDir = s"$base/idx"; val refDir = s"$base/ref"
+    Similarity.buildIvfPqIndex(day0, idxDir, dim = 64, nCells = 16,
+      m = 16, codebookSize = 16)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val ingest = graft.streaming.Streams.ivfPqIngest(
+      spark, stream, idxDir, compactEvery = 2)
+    try ingest.processAllAvailable() finally ingest.stop()
+    // every vector landed exactly once despite two mid-stream compactions
+    assert(spark.read.parquet(s"$idxDir/codes").count() == emb.count())
+    // file growth bounded: ≤ (1 fold + compactEvery epochs) per cell
+    val nFiles = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$idxDir/codes"))
+    }
+    assert(nFiles <= 3 * 16,
+      s"codes dir holds $nFiles files (cap ${3 * 16})")
+    // probe equality vs a batch rebuild under the same frozen model
+    Similarity.buildIvfPqIndex(emb, refDir, dim = 64, nCells = 16,
+      m = 16, codebookSize = 16, trainOn = Some(day0))
+    val inc = Similarity.knnIvfPqIndexed(spark, idxDir, q, k = 10,
+      nProbe = 4, refine = 150).collect().map(_.toSeq).toSet
+    val ref = Similarity.knnIvfPqIndexed(spark, refDir, q, k = 10,
+      nProbe = 4, refine = 150).collect().map(_.toSeq).toSet
+    assert(inc == ref, "cadence-compacted ingest diverged from the rebuild")
+  }
+
   test("restart from checkpoint: no source reprocessing, state survives") {
     // the operational property behind every long-running ingestion
     // pipeline: kill the query, restart from the checkpoint, and (a) the
