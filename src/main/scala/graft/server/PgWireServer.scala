@@ -515,7 +515,7 @@ final class PgWireServer(spark: SparkSession,
             case 'Q' =>
               val sql = new String(body, 0, math.max(0, body.length - 1),
                 StandardCharsets.UTF_8) // strip trailing NUL
-              handleQuery(out, exec, sql)
+              handleQuery(out, in, exec, sql)
               readyForQuery(out)
             case 'P' | 'B' | 'D' | 'E' | 'C' =>
               try session.handle(tag, body, out)
@@ -634,8 +634,8 @@ final class PgWireServer(spark: SparkSession,
     }
   }
 
-  private def handleQuery(out: DataOutputStream, exec: Executor,
-      sql: String): Unit =
+  private def handleQuery(out: DataOutputStream, in: DataInputStream,
+      exec: Executor, sql: String): Unit =
     try {
       // PG simple protocol: one Query message may carry SEVERAL
       // statements (psql -c "a; b" / -f file.sql) — each gets its own
@@ -649,7 +649,11 @@ final class PgWireServer(spark: SparkSession,
       for (one <- stmts) {
         sessionNoOpTag(one) match {
           case Some(tag) => send(out, 'C')(cstring(_, tag))
-          case None =>
+          case None => parseWireCopy(one) match {
+            case Some(wc) =>
+              if (wc.toStdout) handleCopyOut(out, exec, wc)
+              else handleCopyIn(out, in, exec, wc)
+            case None =>
             exec.execute(one) match {
               case None =>
                 // DML/COPY tags carry the PG row count (what psql
@@ -664,6 +668,7 @@ final class PgWireServer(spark: SparkSession,
                 if (truncated) truncationNotice(out)
                 send(out, 'C')(cstring(_, resultTag(one, rows.length)))
             }
+          }
         }
       }
     } catch {
@@ -677,6 +682,347 @@ final class PgWireServer(spark: SparkSession,
         sendError(out,
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
+
+  // --------------------------------------------- COPY sub-protocol (§53.2.6)
+  //
+  // The wire analog of the engine's COPY statements and the most common
+  // bulk path a real PG client hits (psql `\copy` both directions,
+  // pg_dump-style exports). COPY … TO STDOUT streams every row as
+  // CopyData — deliberately uncapped, unlike the SELECT fetch limit,
+  // because this IS the bulk-export path the truncation notice points
+  // at; rows ride `toLocalIterator` so the driver holds one partition,
+  // not the result. COPY … FROM STDIN accepts CopyData until CopyDone,
+  // parses text/csv, casts to the target table's schema, and appends to
+  // the scope table. Only the text wire format (code 0) is spoken;
+  // BINARY is refused like every option PG would.
+
+  private[server] final case class WireCopy(target: String, cols: Seq[String],
+      toStdout: Boolean, csv: Boolean, header: Boolean, delim: Char,
+      nul: String)
+
+  private val wireCopyRe =
+    ("""(?is)^\s*copy\s+(\(.+\)|(?:"[^"]+"|[\w.]+))\s*""" +
+      """(\(\s*[\w" ,]+\s*\))?\s*(to\s+stdout|from\s+stdin)\s*(.*?)\s*$""").r
+
+  /** Recognize COPY … TO STDOUT / FROM STDIN (the engine's own COPY
+    * statements use file paths and stay with the Executor). Returns the
+    * parsed wire-copy job, or None to fall through. */
+  private[server] def parseWireCopy(sql0: String): Option[WireCopy] = {
+    val sql = sql0.trim.stripSuffix(";")
+    wireCopyRe.findFirstMatchIn(sql).map { m =>
+      val target = m.group(1).trim
+      val cols = Option(m.group(2)).map(_.stripPrefix("(").stripSuffix(")")
+        .split(",").map(c => stripIdentQuotes(c.trim)).toSeq)
+        .getOrElse(Nil)
+      val toStdout = m.group(3).toLowerCase.startsWith("to")
+      val (csv, header, delim, nul) = parseCopyOptions(m.group(4))
+      if (header && !csv)
+        throw new IllegalArgumentException(
+          "COPY HEADER available only in CSV mode")
+      WireCopy(target, cols, toStdout, csv, header,
+        delim.getOrElse(if (csv) ',' else '\t'),
+        nul.getOrElse(if (csv) "" else "\\N"))
+    }
+  }
+
+  private def stripIdentQuotes(s: String): String =
+    if (s.length >= 2 && s.head == '"' && s.last == '"')
+      s.substring(1, s.length - 1).replace("\"\"", "\"")
+    else s.toLowerCase
+
+  /** Both option spellings: `WITH (FORMAT csv, HEADER true, …)` and the
+    * legacy bare `WITH CSV HEADER DELIMITER ','`. Returns
+    * (csv, header, delimiter, null-marker). */
+  private def parseCopyOptions(rest: String)
+      : (Boolean, Boolean, Option[Char], Option[String]) = {
+    var csv = false; var header = false
+    var delim: Option[Char] = None; var nul: Option[String] = None
+    val toks = """'(?:[^']|'')*'|[A-Za-z_0-9.]+"""
+      .r.findAllIn(rest).toList
+    def lit(t: String): String =
+      t.substring(1, t.length - 1).replace("''", "'")
+    var i = 0
+    def peekKw: Option[String] =
+      if (i < toks.length && !toks(i).startsWith("'"))
+        Some(toks(i).toLowerCase) else None
+    while (i < toks.length) {
+      val t = toks(i).toLowerCase; i += 1
+      t match {
+        case "with" | "as" =>
+        case "format" => peekKw match {
+          case Some("csv") => csv = true; i += 1
+          case Some("text") => i += 1
+          case other => throw new IllegalArgumentException(
+            s"unsupported COPY format ${other.getOrElse("?")}")
+        }
+        case "csv" => csv = true
+        case "text" =>
+        case "binary" => throw new IllegalArgumentException(
+          "COPY BINARY is not supported; use text or csv")
+        case "header" => peekKw match {
+          case Some(v @ ("true" | "on" | "1")) => header = true; i += 1
+          case Some("false" | "off" | "0") => header = false; i += 1
+          case Some("match") => header = true; i += 1
+          case _ => header = true
+        }
+        case "delimiter" =>
+          if (i < toks.length && toks(i).startsWith("'")) {
+            val d = lit(toks(i)); i += 1
+            if (d.length != 1) throw new IllegalArgumentException(
+              "COPY delimiter must be a single character")
+            delim = Some(d.head)
+          }
+        case "null" =>
+          if (i < toks.length && toks(i).startsWith("'")) {
+            nul = Some(lit(toks(i))); i += 1
+          }
+        case "quote" | "escape" | "encoding" =>
+          if (i < toks.length && toks(i).startsWith("'")) i += 1
+        case other if other.startsWith("'") => // stray literal: ignore
+        case other => throw new IllegalArgumentException(
+          s"unsupported COPY option $other")
+      }
+    }
+    (csv, header, delim, nul)
+  }
+
+  /** The frame COPY reads/writes: `(query)` compiles as a statement,
+    * a bare name resolves in the session scope (optionally
+    * column-pruned). */
+  private def copySource(exec: Executor, wc: WireCopy): DataFrame = {
+    val df =
+      if (wc.target.startsWith("("))
+        exec.query(wc.target.substring(1, wc.target.length - 1))
+      else resolveCopyTable(exec, wc.target)._2
+    if (wc.cols.nonEmpty) df.select(wc.cols.map(df.col): _*) else df
+  }
+
+  private def resolveCopyTable(exec: Executor, raw: String)
+      : (String, DataFrame) = {
+    val base = raw.split("\\.").last // strip a schema qualifier
+    val name = stripIdentQuotes(base)
+    exec.table(name).map(name -> _).getOrElse(
+      throw new IllegalArgumentException(s"relation \"$name\" does not exist"))
+  }
+
+  private def csvField(v: String, wc: WireCopy): String = {
+    val needsQuote = v.isEmpty || v == wc.nul ||
+      v.exists(c => c == wc.delim || c == '"' || c == '\n' || c == '\r')
+    if (needsQuote) "\"" + v.replace("\"", "\"\"") + "\"" else v
+  }
+
+  private def textField(v: String, wc: WireCopy): String =
+    v.flatMap {
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c == wc.delim => "\\" + c
+      case c => c.toString
+    }
+
+  private def handleCopyOut(out: DataOutputStream, exec: Executor,
+      wc: WireCopy): Unit = {
+    val df = copySource(exec, wc)
+    val schema = df.schema
+    send(out, 'H') { b => // CopyOutResponse, text wire format
+      b.writeByte(0)
+      b.writeShort(schema.length)
+      schema.foreach(_ => b.writeShort(0))
+    }
+    def line(fields: Seq[String]): Unit =
+      send(out, 'd')(_.write(
+        (fields.mkString(wc.delim.toString) + "\n")
+          .getBytes(StandardCharsets.UTF_8)))
+    if (wc.header)
+      line(schema.fields.toSeq.map(f => csvField(f.name, wc)))
+    var n = 0L
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      line((0 until schema.length).map { i =>
+        if (row.isNullAt(i)) wc.nul
+        else {
+          val v = render(row.get(i))
+          if (wc.csv) csvField(v, wc) else textField(v, wc)
+        }
+      })
+      n += 1
+    }
+    send(out, 'c')(_ => ()) // CopyDone
+    send(out, 'C')(cstring(_, s"COPY $n"))
+  }
+
+  /** Upper bound on buffered COPY FROM STDIN payload: the parse happens
+    * once after CopyDone, so the bytes sit on the driver heap; a bulk
+    * load beyond this belongs on storage + the engine's path-COPY. */
+  private val MaxCopyInBytes = 256L << 20
+
+  private def handleCopyIn(out: DataOutputStream, in: DataInputStream,
+      exec: Executor, wc: WireCopy): Unit = {
+    if (wc.target.startsWith("("))
+      throw new IllegalArgumentException("COPY FROM requires a table name")
+    // resolve BEFORE CopyInResponse: a missing table answers with an
+    // ErrorResponse and the client never enters copy mode
+    val (name, existing) = resolveCopyTable(exec, wc.target)
+    val targetSchema = existing.schema
+    val useCols =
+      if (wc.cols.nonEmpty) wc.cols else targetSchema.fieldNames.toSeq
+    useCols.foreach { c =>
+      if (!targetSchema.fieldNames.contains(c))
+        throw new IllegalArgumentException(
+          s"column \"$c\" of relation \"$name\" does not exist")
+    }
+    send(out, 'G') { b => // CopyInResponse, text wire format
+      b.writeByte(0)
+      b.writeShort(useCols.length)
+      useCols.foreach(_ => b.writeShort(0))
+    }
+    out.flush() // the client waits for this before sending CopyData
+    // consume the sub-protocol stream COMPLETELY before any error is
+    // raised — bailing mid-copy would desynchronize the connection
+    val buf = new java.io.ByteArrayOutputStream()
+    var fail: Option[String] = None
+    var copying = true
+    while (copying) {
+      val tag = in.readByte().toChar
+      val len = in.readInt()
+      if (len < 4 || len > MaxFrameBytes)
+        throw new EOFException(s"invalid COPY frame length $len")
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      tag match {
+        case 'd' =>
+          if (fail.isEmpty && buf.size + body.length > MaxCopyInBytes)
+            fail = Some(s"COPY FROM STDIN payload exceeds $MaxCopyInBytes " +
+              "bytes; stage the data and use COPY FROM '<path>' instead")
+          if (fail.isEmpty) buf.write(body)
+        case 'c' => copying = false // CopyDone
+        case 'f' => // CopyFail: the client aborted
+          fail = Some("COPY aborted by client")
+          copying = false
+        case 'H' | 'S' => // Flush/Sync riding the copy stream: ignore
+        case other =>
+          throw new EOFException(
+            s"unexpected message '$other' during COPY FROM STDIN")
+      }
+    }
+    fail.foreach(msg => throw new IllegalArgumentException(msg))
+    val data = new String(buf.toByteArray, StandardCharsets.UTF_8)
+    val parsed =
+      if (wc.csv) parseCopyCsv(data, wc)
+      else parseCopyText(data, wc)
+    val rows0 = if (wc.header && parsed.nonEmpty) parsed.tail else parsed
+    rows0.find(_.length != useCols.length).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"COPY row has ${bad.length} fields, expected ${useCols.length}")
+    }
+    import scala.jdk.CollectionConverters._
+    val strSchema = StructType(useCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, StringType)))
+    val strDf = spark.createDataFrame(
+      rows0.map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)).asJava,
+      strSchema)
+    // cast to the target column types; unlisted columns fill with NULL
+    val aligned = existing.unionAll(strDf.select(targetSchema.fields.map {
+      f =>
+        if (useCols.contains(f.name)) strDf.col(f.name).cast(f.dataType)
+          .as(f.name)
+        else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
+          .as(f.name)
+    }.toSeq: _*))
+    exec.update(name -> aligned)
+    send(out, 'C')(cstring(_, s"COPY ${rows0.length}"))
+  }
+
+  /** PG text-format rows: delimiter-separated fields, backslash escapes,
+    * a bare `\N` field is NULL, a `\.` line terminates the data. Blank
+    * lines are skipped (text round-trips here never produce them: an
+    * empty single-column string still rides a `\copy` as itself on one
+    * line, and multi-column rows always carry delimiters). */
+  private[server] def parseCopyText(data: String,
+      wc: WireCopy): Vector[Array[String]] = {
+    val rows = Vector.newBuilder[Array[String]]
+    val it = data.split("\n", -1).iterator
+      .map(_.stripSuffix("\r"))
+      .takeWhile(_ != "\\.")
+      .filter(_.nonEmpty)
+    for (l <- it) {
+      val fields = Vector.newBuilder[String]
+      val cur = new StringBuilder // decoded field value
+      val raw = new StringBuilder // undecoded source - `\N` detection
+      def flush(): Unit = {
+        fields += (if (raw.toString == "\\N") null else cur.toString)
+        cur.clear(); raw.clear()
+      }
+      var i = 0
+      while (i < l.length) {
+        val c = l.charAt(i)
+        if (c == '\\' && i + 1 < l.length) {
+          val e = l.charAt(i + 1)
+          raw.append(c).append(e)
+          cur.append(e match {
+            case 'n' => '\n'
+            case 'r' => '\r'
+            case 't' => '\t'
+            case 'b' => '\b'
+            case 'f' => '\f'
+            case 'v' => '\u000b'
+            case o => o // incl. \\ and an escaped delimiter
+          })
+          i += 2
+        } else if (c == wc.delim) { flush(); i += 1 }
+        else { cur.append(c); raw.append(c); i += 1 }
+      }
+      flush()
+      rows += fields.result().toArray
+    }
+    rows.result()
+  }
+
+  /** CSV rows with quoted fields (embedded delimiters/newlines/doubled
+    * quotes); an UNQUOTED field equal to the null marker is NULL -
+    * quoted values are never null (PG CSV semantics). */
+  private[server] def parseCopyCsv(data: String,
+      wc: WireCopy): Vector[Array[String]] = {
+    val rows = Vector.newBuilder[Array[String]]
+    var fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quoted = false // current field was ever inside quotes
+    var inQuote = false
+    var rowHasContent = false // any char or delimiter seen on this row
+    def endField(): Unit = {
+      val s = cur.toString
+      fields += (if (!quoted && s == wc.nul) null else s)
+      cur.clear(); quoted = false
+    }
+    def endRow(): Unit = {
+      if (rowHasContent) { endField(); rows += fields.result().toArray }
+      fields = Vector.newBuilder[String]
+      rowHasContent = false
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data.charAt(i)
+      if (inQuote) {
+        if (c == '"') {
+          if (i + 1 < data.length && data.charAt(i + 1) == '"') {
+            cur.append('"'); i += 2
+          } else { inQuote = false; i += 1 }
+        } else { cur.append(c); i += 1 }
+      } else c match {
+        case '"' =>
+          inQuote = true; quoted = true; rowHasContent = true; i += 1
+        case d if d == wc.delim => endField(); rowHasContent = true; i += 1
+        case '\r' if i + 1 < data.length && data.charAt(i + 1) == '\n' =>
+          endRow(); i += 2
+        case '\n' | '\r' => endRow(); i += 1
+        case ch => cur.append(ch); rowHasContent = true; i += 1
+      }
+    }
+    endRow() // final row without a trailing newline
+    rows.result()
+  }
 
   // ------------------------------------------------------- extended flow
 

@@ -53,6 +53,39 @@ class PgWireSpec extends AnyFunSuite {
       readUntilReady()
     }
 
+    /** COPY … FROM STDIN driver: send the Query, wait for
+      * CopyInResponse, stream the chunks as CopyData + CopyDone, then
+      * read the batch response. An ErrorResponse instead of 'G' (e.g.
+      * unknown table) short-circuits to the ready marker. */
+    def copyIn(sql: String, chunks: Seq[String]): Seq[Msg] = {
+      val bytes = sql.getBytes(StandardCharsets.UTF_8)
+      out.writeByte('Q')
+      out.writeInt(4 + bytes.length + 1)
+      out.write(bytes)
+      out.writeByte(0)
+      out.flush()
+      val pre = Seq.newBuilder[Msg]
+      var gotG = false
+      var done = false
+      while (!done) {
+        val t = in.readByte().toChar
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        pre += Msg(t, body)
+        if (t == 'G') { gotG = true; done = true }
+        if (t == 'Z') done = true
+      }
+      if (!gotG) pre.result()
+      else {
+        for (chunk <- chunks)
+          frame('d')(_.write(chunk.getBytes(StandardCharsets.UTF_8)))
+        frame('c')(_ => ())
+        out.flush()
+        pre.result() ++ readUntilReady()
+      }
+    }
+
     // ---- extended-flow frames (Parse/Bind/Describe/Execute/Close/Sync)
 
     private def cstr(b: DataOutputStream, s: String): Unit = {
@@ -573,6 +606,82 @@ class PgWireSpec extends AnyFunSuite {
       val gone = c.sync()
       assert(str(gone.find(_.tag == 'E').get.body).contains("does not exist"))
     }
+  }
+
+  test("COPY TO STDOUT: csv with header, full stream, PG frame sequence") {
+    withServer() { c =>
+      c.startup()
+      val msgs = c.query("COPY fixtures TO STDOUT WITH CSV HEADER")
+      assert(msgs.exists(_.tag == 'H'), s"no CopyOutResponse: ${msgs.map(_.tag)}")
+      val data = msgs.filter(_.tag == 'd').map(m => str(m.body)).mkString
+      assert(data == "id,s\n1,a\n2,b\n3,c\n", s"payload <<$data>>")
+      assert(msgs.exists(_.tag == 'c'), "no CopyDone")
+      assert(msgs.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 3")))
+      // (query) target + text format: tab fields, no row cap semantics
+      val m2 = c.query("COPY (select id * 10 as x, s from fixtures) TO STDOUT")
+      val d2 = m2.filter(_.tag == 'd').map(m => str(m.body)).mkString
+      assert(d2 == "10\ta\n20\tb\n30\tc\n", s"payload <<$d2>>")
+    }
+  }
+
+  test("COPY FROM STDIN: csv and text appends, NULLs and quoting round-trip") {
+    withServer() { c =>
+      c.startup()
+      val in1 = c.copyIn("COPY fixtures FROM STDIN WITH CSV",
+        Seq("4,d\n5,\"e,\"\"e\"\"\"\n"))
+      assert(in1.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 2")),
+        s"tags=${in1.map(_.tag)} err=${in1.filter(_.tag == 'E').map(m => str(m.body))}")
+      // text format with an escaped tab and a NULL
+      val in2 = c.copyIn("COPY fixtures FROM STDIN",
+        Seq("6\tf\\tg\n", "7\t\\N\n"))
+      assert(in2.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 2")))
+      // the appended rows are queryable with exact content
+      val rows = c.query("select id, s from fixtures where id > 3 order by id")
+        .filter(_.tag == 'D').map(dataRow)
+      assert(rows == Seq(
+        Seq(Some("4"), Some("d")),
+        Seq(Some("5"), Some("e,\"e\"")),
+        Seq(Some("6"), Some("f\tg")),
+        Seq(Some("7"), None)), rows.toString)
+      // and they round-trip back out: NULL as \N, tab re-escaped
+      val back = c.query("COPY (select * from fixtures where id > 5) TO STDOUT")
+        .filter(_.tag == 'd').map(m => str(m.body)).mkString
+      assert(back == "6\tf\\tg\n7\t\\N\n", s"payload <<$back>>")
+      // unknown table: error arrives INSTEAD of CopyInResponse and the
+      // connection stays usable
+      val bad = c.copyIn("COPY nope FROM STDIN", Seq("1\n"))
+      assert(bad.exists(_.tag == 'E') && !bad.exists(_.tag == 'G'))
+      assert(c.query("select 1 as k").exists(_.tag == 'D'))
+    }
+  }
+
+  test("psql \\copy round-trips both directions in one session") {
+    assume(new java.io.File("/usr/bin/psql").canExecute)
+    val server = new PgWireServer(spark,
+      Map("fixtures" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    try {
+      import scala.sys.process._
+      val buf = new StringBuilder
+      val logger = ProcessLogger(l => buf.append(l).append('\n'),
+        l => buf.append(l).append('\n'))
+      // one psql session: export, re-import, count — scope is
+      // per-connection, so all three ride the same connection
+      val rc = Process(Seq("/usr/bin/psql", "-h", "127.0.0.1",
+        "-p", server.boundPort.toString, "-U", "graft", "-d", "g", "-X",
+        "-c", s"\\copy fixtures to '$tmp/f.csv' with csv header",
+        "-c", s"\\copy fixtures from '$tmp/f.csv' with csv header",
+        "-c", "select count(*) as n, count(distinct id) as d from fixtures"))
+        .!(logger)
+      val out = buf.toString
+      assert(rc == 0 && !out.contains("ERROR"), out)
+      assert(out.contains("COPY 3"), out) // both \copy directions report
+      val file = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tmp/f.csv")), "UTF-8")
+      assert(file == "id,s\n1,a\n2,b\n3,c\n", s"file <<$file>>")
+      // 3 original + 3 re-imported, same 3 distinct ids
+      assert(out.contains("6") && out.contains("3"), out)
+    } finally server.close()
   }
 
   private def withServerAndPort[A](body: (WireClient, Int) => A): A = {
