@@ -758,20 +758,26 @@ object Dedup {
   /** Exhaustive n-gram jaccard near-dup pairs within each `source`
     * bucket — the O(n²-per-bucket) correctness baseline (MinHash+LSH is
     * the scale path). md5-hashed shingles are portable, so an external
-    * oracle reproduces the exact pair set. The shingle table is
-    * MATERIALIZED (not persisted): the bucket guard is an action anyway,
-    * one computation feeds both self-join legs, and the stored
-    * partitions are reclaimed once the returned plan is dropped — no
-    * caller-side unpersist discipline required. */
+    * oracle reproduces the exact pair set.
+    *
+    * Cache discipline: the shingle table is persist()ed — NOT
+    * lineage-truncated — because the self-join's broadcast decision
+    * needs the InMemoryRelation's measured size (a checkpointed
+    * LogicalRDD advertises unknown stats and demoted the join to
+    * sort-merge: 0.6 s → 4.6 s at sf0.1). The RESULT (the small
+    * thresholded pair set) is materialized before the finally-unpersist
+    * releases the cache, so nothing leaks past the call and the
+    * returned frame never recomputes. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       k: Int = 3, maxBucketDocs: Long = 10000L): DataFrame = {
-    val d = graft.Checkpoints.materialize(
-      shingleRows(docs, k,
+    val d = shingleRows(docs, k,
         g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
         carry = Seq("source"))
       .groupBy(col("doc_id"), col("source"))
       .agg(collect_set(col("s")).as("sh"))
-      .withColumn("n", size(col("sh")))) // set size once per doc, not per pair
+      .withColumn("n", size(col("sh"))) // set size once per doc, not per pair
+      .persist()
+    try {
     // This is the O(n²-per-source) ORACLE BASELINE, never the production
     // path (minhash is). `source` is low-cardinality, so per-bucket cost
     // is quadratic in corpus size — fail loudly before a large corpus
@@ -788,11 +794,13 @@ object Dedup {
       col("sh").as("sh_a"), col("n").as("n_a"))
     val r = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
       col("sh").as("sh_b"), col("n").as("n_b"))
-    l.join(r, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccardPre(col("sh_a"), col("n_a"), col("sh_b"), col("n_b")), 6)
-          .as("jac"))
-      .filter(col("jac") >= threshold)
+    graft.Checkpoints.materialize(
+      l.join(r, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(jaccardPre(col("sh_a"), col("n_a"), col("sh_b"), col("n_b")), 6)
+            .as("jac"))
+        .filter(col("jac") >= threshold))
+    } finally d.unpersist()
   }
 
   /** Exact substring-dedup coverage (Lee et al., "Deduplicating Training
