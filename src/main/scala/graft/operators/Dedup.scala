@@ -770,6 +770,21 @@ object Dedup {
     * returned frame never recomputes. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
       k: Int = 3, maxBucketDocs: Long = 10000L): DataFrame = {
+    val (d, pairs) = ngramJaccardPlan(docs, threshold, k, maxBucketDocs)
+    try graft.Checkpoints.materialize(pairs)
+    finally d.unpersist()
+  }
+
+  /** The persisted shingle table and the LAZY pair plan behind
+    * [[ngramJaccardPairs]] (which materializes the pairs and releases
+    * the cache). Exposed so PlanRegressionSpec can assert the join's
+    * physical shape — the public operator returns a materialized frame
+    * whose plan is an opaque RDD scan. Runs the bounded-bucket guard (an
+    * action, which also populates the cache so the join plans against
+    * MEASURED InMemoryRelation statistics → broadcast, never
+    * sort-merge). Callers of THIS method own `d.unpersist()`. */
+  private[graft] def ngramJaccardPlan(docs: DataFrame, threshold: Double,
+      k: Int, maxBucketDocs: Long = 10000L): (DataFrame, DataFrame) = {
     val d = shingleRows(docs, k,
         g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
         carry = Seq("source"))
@@ -777,30 +792,33 @@ object Dedup {
       .agg(collect_set(col("s")).as("sh"))
       .withColumn("n", size(col("sh"))) // set size once per doc, not per pair
       .persist()
-    try {
     // This is the O(n²-per-source) ORACLE BASELINE, never the production
     // path (minhash is). `source` is low-cardinality, so per-bucket cost
     // is quadratic in corpus size — fail loudly before a large corpus
     // silently runs quadratically, naming the scale path in the message.
-    val biggest = d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-      .agg(coalesce(max(col("__n")), lit(0L))).first().getLong(0)
-    if (biggest > maxBucketDocs)
+    val biggest =
+      try d.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        .agg(coalesce(max(col("__n")), lit(0L))).first().getLong(0)
+      catch { case e: Throwable => d.unpersist(); throw e }
+    if (biggest > maxBucketDocs) {
+      d.unpersist()
       throw new IllegalStateException(
         s"ngramJaccardPairs: largest 'source' bucket holds $biggest docs " +
           s"(cap $maxBucketDocs) - this exhaustive baseline would run " +
           "O(n²) over it; use minhashDupPairsPortable (banded LSH) " +
           "for corpora of this size, or raise maxBucketDocs deliberately")
+    }
     val l = d.select(col("source"), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"), col("n").as("n_a"))
     val r = d.select(col("source").as("source_b"), col("doc_id").as("doc_b"),
       col("sh").as("sh_b"), col("n").as("n_b"))
-    graft.Checkpoints.materialize(
+    val pairs =
       l.join(r, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(jaccardPre(col("sh_a"), col("n_a"), col("sh_b"), col("n_b")), 6)
             .as("jac"))
-        .filter(col("jac") >= threshold))
-    } finally d.unpersist()
+        .filter(col("jac") >= threshold)
+    (d, pairs)
   }
 
   /** Exact substring-dedup coverage (Lee et al., "Deduplicating Training

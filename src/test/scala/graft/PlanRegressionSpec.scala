@@ -433,4 +433,40 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(exchanges <= 2,
       s"expected agg + order-by exchanges only, saw $exchanges")
   }
+
+  test("ngramJaccardPairs: self-join broadcasts off measured cache stats") {
+    // r12 regression pin: lineage-truncating the shingle table replaced
+    // its InMemoryRelation with a stats-less LogicalRDD and demoted the
+    // self-join to sort-merge (0.6 s → 4.6 s at sf0.1). The persisted
+    // table's measured size must keep one leg on a broadcast.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+    val (d, pairs) = graft.operators.Dedup.ngramJaccardPlan(docs, 0.2, 3)
+    try {
+      val p = pairs.queryExecution.explainString(FormattedMode)
+      assert(p.contains("BroadcastHashJoin"),
+        "shingle self-join lost its broadcast")
+      assert(!p.contains("SortMergeJoin"),
+        "shingle self-join fell back to sort-merge")
+      assert(p.contains("InMemoryRelation") || p.contains("InMemoryTableScan"),
+        "shingle table is not the persisted (stats-bearing) relation")
+    } finally d.unpersist()
+  }
+
+  test("contamination (fast): cross-side-only band join, eval broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.filter(col("source").isin("src0", "src1"))
+      .select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("source") === "src2")
+      .select(col("doc_id"), col("text"))
+    val p = graft.operators.Dedup.contamination(train, eval, 0.5)
+      .queryExecution.explainString(FormattedMode)
+    assertNoCartesian(p, "contamination"); assertNoUdf(p, "contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval band rows are not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "train side got shuffled into a sort-merge join")
+  }
 }
