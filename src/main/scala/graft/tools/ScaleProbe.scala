@@ -65,6 +65,21 @@ object ScaleProbe {
       "exact_dedup" -> (f => Dedup.exact(corpus(f))),
       "minhash_portable_pairs" ->
         (f => Dedup.minhashDupPairsPortable(corpus(f), threshold = 0.5)),
+      // r12: the production fast-hash decontamination — both sides sign
+      // with xxhash64, cross-side-only band join with a broadcast eval
+      // leg. Both sides grow f× (train AND the planted eval overlap);
+      // expect ≈ 1: signature computation dominates and banding keeps
+      // the join off the train×eval product.
+      "contamination_fast" -> (f => {
+        val c = corpus(f)
+        val train = c.filter(col("source").isin("src0", "src1"))
+          .select(col("doc_id"), col("text"))
+        val eval = c.filter(col("source") === "src2")
+          .select(col("doc_id"), col("text"))
+          .unionAll(train.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 500000000L).as("doc_id"), col("text")))
+        Dedup.contamination(train, eval, threshold = 0.5)
+      }),
       "chunk_docs_64" -> (f =>
         TextAnalysis.chunkDocs(corpus(f), "text", 64, keep = Seq("doc_id"))
           .groupBy().agg(count(lit(1)).as("n_chunks"),
