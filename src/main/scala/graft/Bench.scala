@@ -141,7 +141,7 @@ object Bench {
   def isolate(qt: QueryTiming, run: () => Unit, budget: Int,
       afterRun: () => Unit = () => ()): QueryTiming = {
     if (qt.err.isDefined || !(qt.suspect || qt.drift) || budget <= 0) return qt
-    var err: Option[String] = None
+    var aborted = false
     var iso = Vector.empty[Double]
     def converged: Boolean = {
       val warm = (qt.times ++ iso).tail
@@ -149,25 +149,34 @@ object Bench {
         iso.max / math.max(iso.min, 1e-9) <= 1.5 &&
         medianFastest(warm) <= 1.3 * math.max(warm.min, 0.05)
     }
-    while (err.isEmpty && !converged && iso.size < budget) {
+    while (!aborted && !converged && iso.size < budget) {
       val t0 = System.nanoTime()
-      try run()
-      catch {
+      try {
+        run()
+        iso :+= (System.nanoTime() - t0) / 1e9
+      } catch {
+        // a transient failure HERE must not retroactively reclassify a
+        // query the quick pass measured successfully 3-5 times: abort
+        // the isolation attempt (its partial timings stand), keep the
+        // flag, and leave err empty so the quick-pass stats publish
         case e: Throwable =>
-          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+          aborted = true
+          System.err.println(
+            s"[bench] isolation run for ${qt.name} failed " +
+              s"(${Option(e.getMessage).getOrElse(e.getClass.getName)}); " +
+              "keeping quick-pass measurements")
       }
-      iso :+= (System.nanoTime() - t0) / 1e9
       afterRun()
     }
     val times = qt.times ++ iso
     val warm = times.tail
     val p50 = medianFastest(warm)
     val minW = warm.min
-    val healed = err.isEmpty && converged
+    val healed = !aborted && converged
     QueryTiming(qt.name, p50, minW, times,
       suspect = !healed,
       drift = !healed && p50 > 3.0 * math.max(minW, 0.05),
-      err = err, isolated = true)
+      err = None, isolated = true)
   }
 
   /** (p50 total, min-of-warm-runs total) over the queries that succeeded —

@@ -1157,7 +1157,12 @@ object Dedup {
     // restricted to the planted id range, every row of which DuckDB
     // derives directly from the tables. The full corpus still flows
     // through the banded pipeline — only the assertion is
-    // planted-scoped.
+    // planted-scoped. train_doc is NOT in the gate output: two train
+    // docs can be near-identical enough to agree on all 16 lanes under
+    // SOME hash family (sf0.001 docs 120/360 sit at exact jaccard
+    // 0.97), and the argmax tie-break would then be family-dependent —
+    // (eval_doc, jac) is deterministic under every family; train-match
+    // resolution is covered by the portable variant's full oracle.
     "dd_contamination_fast" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val train = docs.filter(col("source").isin("src0", "src1"))
@@ -1169,6 +1174,7 @@ object Dedup {
         .unionAll(planted)
       contamination(train, eval, threshold = 0.5)
         .filter(col("eval_doc") >= 20000000L)
+        .select(col("eval_doc"), col("jac"))
         .orderBy(col("eval_doc"))
     }),
     // INCREMENTAL dedup against a persisted LSH index: corpus =
@@ -1507,11 +1513,10 @@ object Dedup {
         |  WHERE jac >= 0.5 AND doc_a LIKE 'e:%' AND doc_b LIKE 't:%')
         |WHERE rn = 1 ORDER BY eval_doc""".stripMargin),
     // fast-hash decontamination: planted EXACT copies are found with
-    // certainty under any LSH family and verify at exact jaccard 1.0,
+    // certainty under any LSH family and confirm at lane agreement 1.0,
     // so the planted-scoped output is derivable straight from the table
     "dd_contamination_fast" ->
-      """SELECT doc_id + 20000000 AS eval_doc, doc_id AS train_doc,
-        |  CAST(1.0 AS DOUBLE) AS jac
+      """SELECT doc_id + 20000000 AS eval_doc, CAST(1.0 AS DOUBLE) AS jac
         |FROM documents
         |WHERE source IN ('src0', 'src1') AND doc_id % 10 = 0
         |ORDER BY eval_doc""".stripMargin,

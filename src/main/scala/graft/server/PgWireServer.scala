@@ -672,6 +672,12 @@ final class PgWireServer(spark: SparkSession,
         }
       }
     } catch {
+      // a desynchronized wire stream cannot be answered-and-continued:
+      // report once, rethrow so serve() closes the connection
+      case d: WireDesync =>
+        sendError(out, d.getMessage, "08P01")
+        out.flush()
+        throw d
       // NonFatal only (SqlServer policy): a fatal JVM error propagates
       // out of this per-connection daemon thread instead of masquerading
       // as a SQL error. By itself that only kills the thread — the
@@ -695,6 +701,14 @@ final class PgWireServer(spark: SparkSession,
   // parses text/csv, casts to the target table's schema, and appends to
   // the scope table. Only the text wire format (code 0) is spoken;
   // BINARY is refused like every option PG would.
+
+  /** Unrecoverable wire-stream desynchronization during the COPY
+    * sub-protocol: the client answers one ErrorResponse, then the
+    * connection closes (extends IOException so handleQuery's rethrow
+    * lands in serve()'s connection-closing catch — keeping the socket
+    * open would misread in-flight CopyData as top-level messages). */
+  private final class WireDesync(msg: String)
+    extends java.io.IOException(msg)
 
   private[server] final case class WireCopy(target: String, cols: Seq[String],
       toStdout: Boolean, csv: Boolean, header: Boolean, delim: Char,
@@ -880,19 +894,38 @@ final class PgWireServer(spark: SparkSession,
     }
     out.flush() // the client waits for this before sending CopyData
     // consume the sub-protocol stream COMPLETELY before any error is
-    // raised — bailing mid-copy would desynchronize the connection
+    // raised — bailing mid-copy would desynchronize the connection:
+    // the client would keep streaming CopyData frames that the main
+    // loop then misreads as top-level messages. Oversized frames are
+    // therefore SKIPPED (length is known) and converted to a clean
+    // error after CopyDone; only a nonsensical length (< 4 — the
+    // stream itself can no longer be trusted) closes the connection.
     val buf = new java.io.ByteArrayOutputStream()
     var fail: Option[String] = None
     var copying = true
     while (copying) {
       val tag = in.readByte().toChar
       val len = in.readInt()
-      if (len < 4 || len > MaxFrameBytes)
-        throw new EOFException(s"invalid COPY frame length $len")
-      val body = new Array[Byte](len - 4)
-      in.readFully(body)
+      if (len < 4)
+        throw new WireDesync(s"invalid COPY frame length $len")
+      val bodyLen = len - 4
+      val oversized = bodyLen > MaxFrameBytes
+      val body =
+        if (oversized) { // skip without buffering; fail cleanly below
+          var left = bodyLen
+          while (left > 0) {
+            val sk = in.skipBytes(left)
+            if (sk <= 0)
+              throw new WireDesync("EOF while skipping oversized CopyData")
+            left -= sk
+          }
+          Array.empty[Byte]
+        } else { val a = new Array[Byte](bodyLen); in.readFully(a); a }
       tag match {
         case 'd' =>
+          if (fail.isEmpty && oversized)
+            fail = Some(s"CopyData frame of $bodyLen bytes exceeds the " +
+              s"$MaxFrameBytes-byte frame cap")
           if (fail.isEmpty && buf.size + body.length > MaxCopyInBytes)
             fail = Some(s"COPY FROM STDIN payload exceeds $MaxCopyInBytes " +
               "bytes; stage the data and use COPY FROM '<path>' instead")
@@ -903,7 +936,7 @@ final class PgWireServer(spark: SparkSession,
           copying = false
         case 'H' | 'S' => // Flush/Sync riding the copy stream: ignore
         case other =>
-          throw new EOFException(
+          throw new WireDesync(
             s"unexpected message '$other' during COPY FROM STDIN")
       }
     }
@@ -936,23 +969,27 @@ final class PgWireServer(spark: SparkSession,
   }
 
   /** PG text-format rows: delimiter-separated fields, backslash escapes,
-    * a bare `\N` field is NULL, a `\.` line terminates the data. Blank
-    * lines are skipped (text round-trips here never produce them: an
-    * empty single-column string still rides a `\copy` as itself on one
-    * line, and multi-column rows always carry delimiters). */
+    * a field whose RAW source equals the null marker (default `\N`) is
+    * NULL, a `\.` line terminates the data. An empty line is a row
+    * with one empty field (how PG writes a single-column empty string)
+    * — only the virtual segment after the final newline is not a row. */
   private[server] def parseCopyText(data: String,
       wc: WireCopy): Vector[Array[String]] = {
     val rows = Vector.newBuilder[Array[String]]
-    val it = data.split("\n", -1).iterator
+    val segs = data.split("\n", -1)
+    val lines: Seq[String] =
+      if (segs.nonEmpty && segs.last.isEmpty) segs.dropRight(1).toSeq
+      else segs.toSeq
+    val it = lines.iterator
       .map(_.stripSuffix("\r"))
       .takeWhile(_ != "\\.")
-      .filter(_.nonEmpty)
     for (l <- it) {
       val fields = Vector.newBuilder[String]
       val cur = new StringBuilder // decoded field value
       val raw = new StringBuilder // undecoded source - `\N` detection
       def flush(): Unit = {
-        fields += (if (raw.toString == "\\N") null else cur.toString)
+        // PG compares the RAW (pre-unescape) field to the null marker
+        fields += (if (raw.toString == wc.nul) null else cur.toString)
         cur.clear(); raw.clear()
       }
       var i = 0
@@ -990,16 +1027,19 @@ final class PgWireServer(spark: SparkSession,
     val cur = new StringBuilder
     var quoted = false // current field was ever inside quotes
     var inQuote = false
-    var rowHasContent = false // any char or delimiter seen on this row
+    var pending = false // chars consumed since the last emitted row
     def endField(): Unit = {
       val s = cur.toString
       fields += (if (!quoted && s == wc.nul) null else s)
       cur.clear(); quoted = false
     }
+    // EVERY newline ends a row — a blank line is a row with one empty
+    // unquoted field (NULL under the default '' marker), as PG reads it
     def endRow(): Unit = {
-      if (rowHasContent) { endField(); rows += fields.result().toArray }
+      endField()
+      rows += fields.result().toArray
       fields = Vector.newBuilder[String]
-      rowHasContent = false
+      pending = false
     }
     var i = 0
     while (i < data.length) {
@@ -1012,15 +1052,15 @@ final class PgWireServer(spark: SparkSession,
         } else { cur.append(c); i += 1 }
       } else c match {
         case '"' =>
-          inQuote = true; quoted = true; rowHasContent = true; i += 1
-        case d if d == wc.delim => endField(); rowHasContent = true; i += 1
+          inQuote = true; quoted = true; pending = true; i += 1
+        case d if d == wc.delim => endField(); pending = true; i += 1
         case '\r' if i + 1 < data.length && data.charAt(i + 1) == '\n' =>
           endRow(); i += 2
         case '\n' | '\r' => endRow(); i += 1
-        case ch => cur.append(ch); rowHasContent = true; i += 1
+        case ch => cur.append(ch); pending = true; i += 1
       }
     }
-    endRow() // final row without a trailing newline
+    if (pending || cur.nonEmpty || quoted) endRow() // no trailing newline
     rows.result()
   }
 

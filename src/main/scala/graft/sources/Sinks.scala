@@ -197,9 +197,36 @@ object Sinks {
       dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // same rule as Spark's file listing: dot/underscore prefixes are
+    // hidden EXCEPT names containing '=' — hive partition directories
+    // like `__cell=3` are data, not metadata
     fs.exists(p) && fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
-      !n.startsWith(".") && !n.startsWith("_")
+      (!n.startsWith(".") && !n.startsWith("_")) || n.contains("=")
+    }
+  }
+
+  /** Self-heal a [[compactParquet]] swap that crashed between its two
+    * renames: the live dir holds no visible data but the rename-aside
+    * survivor (`dir__old`) does — restore it. Idempotent; returns true
+    * when a recovery happened. Incremental consumers call this BEFORE
+    * interpreting "no visible data" as "first epoch": without it the
+    * whole accumulated index would sit orphaned in `__old` while the
+    * stream restarts from scratch. */
+  def recoverCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasVisibleData(spark, dir) || !fs.exists(old)) false
+    else {
+      // the live dir may exist holding only staging debris — clear it
+      // so the survivor can take its place
+      if (fs.exists(p)) fs.delete(p, true)
+      if (!fs.rename(old, p))
+        throw new IllegalStateException(
+          s"recoverCompactSwap: could not restore $old to $dir")
+      true
     }
   }
 }

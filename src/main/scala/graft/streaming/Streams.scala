@@ -289,7 +289,8 @@ object Streams {
   def lshDedupSelfIndexing(spark: SparkSession, docs: DataFrame,
       indexPath: String, matchesPath: String,
       numHashes: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
-      shingleK: Int = 3, compactEvery: Int = 0)
+      shingleK: Int = 3, compactEvery: Int = 0,
+      checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     val sig = Dedup.withPortableSignature(
@@ -297,11 +298,23 @@ object Streams {
       numHashes, shingleK)
       .drop("text")
       .filter(col("h0").isNotNull)
-    sig.writeStream
+    val w0 = sig.writeStream
       .outputMode("append")
+    // production runs pass a durable checkpoint: epoch ids are scoped
+    // to one checkpoint lineage (appendEpoch's contract), so resuming
+    // over an existing index REQUIRES the original checkpoint — a
+    // fresh one would restart ids at 0 and clobber the first epochs
+    checkpointDir.map(c => w0.option("checkpointLocation", c))
+      .getOrElse(w0)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val s = batch.sparkSession
         val bsig = batch.localCheckpoint(true)
+        // a compaction swap that crashed between its renames leaves the
+        // index orphaned in __old with the live dir empty — restore it
+        // BEFORE any "no visible data ⇒ first epoch" decision below, on
+        // EVERY batch (the replayed epoch need not be a compaction
+        // epoch if compactEvery changed across the restart)
+        graft.sources.Sinks.recoverCompactSwap(s, indexPath)
         // INGEST-CADENCE COMPACTION (opt-in): every `compactEvery`
         // epochs, fold the accumulated per-epoch small files into one
         // file BEFORE this batch reads or appends — at batch-e start
@@ -382,6 +395,10 @@ object Streams {
     emb.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // same crashed-swap recovery as the LSH stream, every batch:
+        // the replayed epoch need not be a compaction epoch
+        graft.sources.Sinks.recoverCompactSwap(
+          batch.sparkSession, s"$indexPath/codes")
         // ingest-cadence compaction, same contract as the LSH stream:
         // runs BEFORE this epoch's append, over durably-committed
         // epochs only, excluding any crashed prior attempt of this one
@@ -411,18 +428,33 @@ object Streams {
     * per-trigger rows scale with the batch's touched cells, not the
     * accumulated cell count. */
   def runUpdateMonitor(spark: SparkSession, agg: DataFrame,
-      dir: String): Unit = {
+      dir: String, checkpointDir: Option[String] = None): Unit = {
+    // Epoch ids are scoped to ONE checkpoint lineage (appendEpoch's
+    // contract): a SECOND invocation over an existing log with a fresh
+    // in-memory checkpoint would restart batch ids at 0 — its replay
+    // repair would delete the first run's epoch-0 files and latestCells
+    // would prefer the first run's stale higher epochs. Refuse that
+    // shape loudly; resuming over an existing log requires the durable
+    // checkpoint that keeps epoch ids monotone.
+    if (checkpointDir.isEmpty && graft.sources.Sinks.hasVisibleData(spark, dir))
+      throw new IllegalStateException(
+        s"runUpdateMonitor: log dir $dir already holds data but no " +
+          "checkpointDir was given - a fresh checkpoint would restart " +
+          "epoch ids at 0 and corrupt the latest-wins view; pass the " +
+          "original checkpointDir to resume, or clear the log to start over")
     // same tiny-state parallelism note as runToCompletion
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = agg.writeStream
+      val w = agg.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, epochId: Long) =>
           graft.sources.Sinks.appendEpoch(
             batch.withColumn("__epoch", lit(epochId)), dir, epochId)
           ()
         }
+      val q = checkpointDir
+        .map(c => w.option("checkpointLocation", c)).getOrElse(w)
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -98,6 +98,25 @@ class BenchSpec extends AnyFunSuite {
     assert(i == 4, "isolation must spend its whole budget before giving up")
   }
 
+  test("a failing isolation run keeps the quick-pass measurements") {
+    // a query the quick pass measured successfully 3-5 times must not
+    // be retroactively reclassified as failed by one transient error
+    // during the end-of-bench isolation attempt
+    var i = 0
+    val flagged = Bench.QueryTiming("fragile", p50 = 0.2, minWarm = 0.02,
+      times = Vector(0.2, 0.02, 0.2, 0.2), suspect = true, drift = true,
+      err = None)
+    val h = Bench.isolate(flagged, () => {
+      i += 1
+      if (i == 2) throw new RuntimeException("transient hiccup")
+      Thread.sleep(20)
+    }, budget = 4)
+    assert(h.err.isEmpty, s"transient isolation failure failed the query: $h")
+    assert(h.isolated && h.suspect, s"aborted isolation must stay flagged: $h")
+    // only the one successful run before the failure merged its timing
+    assert(h.times.length == flagged.times.length + 1, h.times.toString)
+  }
+
   test("isolation pass leaves unflagged and failed timings untouched") {
     val clean = Bench.QueryTiming("ok", 0.1, 0.1, Vector(0.1, 0.1, 0.1),
       suspect = false, drift = false, err = None)

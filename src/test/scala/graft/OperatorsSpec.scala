@@ -601,24 +601,30 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.get(0).toString, r.get(1).toString, r.getDouble(2))).toSet
     val fast = rows(Dedup.contamination(train, eval, threshold = 0.5))
     val portable = rows(Dedup.contaminationPortable(train, eval, threshold = 0.5))
-    // ids must match; jaccards are exact-shingle in the portable
-    // variant and lane-agreement estimates in the fast one, so only the
-    // id pairs are compared (natural near-dups — e.g. src2 doc 82 vs
-    // train doc 0 at exact 0.95 in this corpus — must appear in BOTH)
-    def ids(s: Set[(String, String, Double)]) = s.map(t => (t._1, t._2))
-    assert(ids(fast) == ids(portable),
-      s"fast-only=${ids(fast) diff ids(portable)}, " +
-        s"portable-only=${ids(portable) diff ids(fast)}")
+    // the CONTAMINATED-EVAL-DOC sets must match; jaccards are
+    // exact-shingle in the portable variant vs lane-agreement estimates
+    // in the fast one, and the best-TRAIN-match can legitimately differ
+    // when two train docs are near-identical (sf0.001 train 120/360 sit
+    // at exact jaccard 0.97 — under some hash family their signatures
+    // collide and the argmax tie resolves differently). Natural
+    // near-dups (src2 doc 82 vs train 0 at 0.95) must appear in BOTH.
+    def evalIds(s: Set[(String, String, Double)]) = s.map(_._1)
+    assert(evalIds(fast) == evalIds(portable),
+      s"fast-only=${evalIds(fast) diff evalIds(portable)}, " +
+        s"portable-only=${evalIds(portable) diff evalIds(fast)}")
     // planted-scoped certainty: every copy surfaces in both variants at
-    // jaccard exactly 1 (identical text ⇒ identical signatures)
+    // jaccard exactly 1 (identical text ⇒ identical signatures); the
+    // portable variant's exact-jaccard argmax also pins the train id
     val nPlanted = planted.count()
     for ((s, name) <- Seq(fast -> "fast", portable -> "portable")) {
       val plantedHits = s.filter(_._1.toLong >= 20000000L)
       assert(plantedHits.size == nPlanted,
         s"$name: ${plantedHits.size} planted hits, $nPlanted planted")
-      assert(plantedHits.forall { case (e, t, j) =>
-        e.toLong == t.toLong + 20000000L && j == 1.0 }, s"$name planted rows")
+      assert(plantedHits.forall(_._3 == 1.0), s"$name planted jaccards")
     }
+    assert(portable.filter(_._1.toLong >= 20000000L).forall {
+      case (e, t, _) => e.toLong == t.toLong + 20000000L },
+      "portable planted train ids")
   }
 
   test("chunkDocs: boundaries exact, content lossless, single tokenize") {

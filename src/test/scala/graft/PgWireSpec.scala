@@ -246,7 +246,11 @@ class PgWireSpec extends AnyFunSuite {
   private def withServer[A](maxRows: Int = 10000)(
       body: WireClient => A): A = {
     val server = new PgWireServer(spark,
-      Map("fixtures" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")),
+      Map(
+        "fixtures" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"),
+        // single string column: the COPY edge cases (empty-string and
+        // NULL rows ride the wire as empty/marker-only lines)
+        "names" -> Seq("seed").toDF("s")),
       defaultMaxRows = maxRows)
     val client = new WireClient(server.boundPort)
     try body(client)
@@ -652,6 +656,40 @@ class PgWireSpec extends AnyFunSuite {
       val bad = c.copyIn("COPY nope FROM STDIN", Seq("1\n"))
       assert(bad.exists(_.tag == 'E') && !bad.exists(_.tag == 'G'))
       assert(c.query("select 1 as k").exists(_.tag == 'D'))
+    }
+  }
+
+  test("COPY single-column empty strings and NULLs round-trip (PG parity)") {
+    withServer() { c =>
+      c.startup()
+      // text: "x", empty string (bare empty line), NULL (\N line)
+      val t = c.copyIn("COPY names FROM STDIN", Seq("x\n\n\\N\n"))
+      assert(t.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 3")),
+        s"tags=${t.map(_.tag)} err=${t.filter(_.tag == 'E').map(m => str(m.body))}")
+      val rows = c.query(
+        "select s, s is null as isnull from names order by isnull, s")
+        .filter(_.tag == 'D').map(dataRow)
+      assert(rows == Seq(
+        Seq(Some(""), Some("f")),
+        Seq(Some("seed"), Some("f")),
+        Seq(Some("x"), Some("f")),
+        Seq(None, Some("t"))), rows.toString)
+      // text export re-encodes them: empty line and \N line
+      val back = c.query(
+        "COPY (select s from names where s is null or s in ('', 'x')) TO STDOUT")
+        .filter(_.tag == 'd').map(m => str(m.body)).mkString
+      assert(back.split("\n", -1).sorted.mkString(",") == ",,\\N,x",
+        s"payload <<$back>>")
+      // csv: blank line = NULL (empty unquoted = default null marker),
+      // quoted "" = empty string
+      val v = c.copyIn("COPY names FROM STDIN WITH CSV", Seq("y\n\n\"\"\n"))
+      assert(v.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 3")),
+        s"tags=${v.map(_.tag)} err=${v.filter(_.tag == 'E').map(m => str(m.body))}")
+      val n = c.query(
+        "select count(*) as a, sum(case when s is null then 1 else 0 end) as b," +
+          " sum(case when s = '' then 1 else 0 end) as e from names")
+        .filter(_.tag == 'D').map(dataRow).head
+      assert(n == Seq(Some("7"), Some("2"), Some("2")), n.toString)
     }
   }
 

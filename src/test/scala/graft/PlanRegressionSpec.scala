@@ -454,6 +454,29 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally d.unpersist()
   }
 
+  test("embeddingDupPairs / semDedup: bucket joins broadcast, no cartesian") {
+    // sibling pin to the ngram gate: these two also share a
+    // materialized intermediate across self-join legs — a stats change
+    // that demotes their bucket joins to sort-merge must fail here,
+    // not in the next bench round
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pe = graft.operators.Dedup.embeddingDupPairs(emb, threshold = 0.9)
+      .queryExecution.explainString(FormattedMode)
+    assertNoCartesian(pe, "embeddingDupPairs")
+    assert(pe.contains("BroadcastHashJoin"),
+      "embeddingDupPairs bucket self-join lost its broadcast")
+    assert(!pe.contains("SortMergeJoin"),
+      "embeddingDupPairs bucket self-join fell back to sort-merge")
+    val ps = graft.operators.Dedup.semDedup(emb, tau = 0.35)
+      .queryExecution.explainString(FormattedMode)
+    assertNoCartesian(ps, "semDedup")
+    assert(ps.contains("BroadcastHashJoin"),
+      "semDedup lost its broadcast joins")
+    assert(!ps.contains("SortMergeJoin"),
+      "semDedup fell back to sort-merge")
+  }
+
   test("contamination (fast): cross-side-only band join, eval broadcast") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$dir/documents.parquet")

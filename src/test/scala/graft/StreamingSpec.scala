@@ -433,6 +433,98 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(mC) == rows(mU), "compaction changed the match results")
   }
 
+  test("crashed compaction swap: self-indexing stream restores the __old survivor") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_swapcrash")
+      .toString
+    val inDir = s"$base/in"; val idxDir = s"$base/idx"
+    val matchDir = s"$base/m"
+    import spark.implicits._
+    val ck = s"$base/ck"
+    val d1 = Seq((0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six")).toDF("doc_id", "text")
+    d1.coalesce(1).write.parquet(inDir)
+    def start() = graft.streaming.Streams.lshDedupSelfIndexing(spark,
+      spark.readStream.schema(d1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir),
+      idxDir, matchDir, checkpointDir = Some(ck))
+    // run once to accumulate a real index (durable checkpoint: epoch
+    // ids stay monotone across the restart below)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // simulate compactParquet dying between its two renames: the index
+    // has been moved aside, the live dir is gone
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idxDir),
+      new org.apache.hadoop.fs.Path(idxDir + "__old")))
+    // the RESTARTED stream (same checkpoint, new docs incl. a copy of
+    // doc 0) must RECOVER the survivor, not rebuild from scratch
+    Thread.sleep(1100)
+    Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(idxDir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet == Set(0L, 1L, 100L),
+      "recovered index must hold the pre-crash signatures plus the new batch")
+    // and the copy matched against the RECOVERED history
+    val got = spark.read.parquet(matchDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 0L)),
+      s"dedup against the recovered index failed: $got")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idxDir + "__old")))
+  }
+
+  test("hasVisibleData treats hive partition dirs (name contains '=') as data") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_vis").toString
+    Seq((1L, 3)).toDF("id", "__cell").write
+      .partitionBy("__cell").parquet(s"$base/t")
+    assert(graft.sources.Sinks.hasVisibleData(spark, s"$base/t"),
+      "a __cell=N partitioned dir must read as visible data")
+  }
+
+  test("runUpdateMonitor: refuses epoch reuse without a checkpoint, resumes with one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_updck").toString
+    val inDir = s"$base/in"; val logDir = s"$base/log"
+    val ck = s"$base/ck"
+    val d1 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    d1.coalesce(1).write.parquet(inDir)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k")).agg(sum(col("v")).as("s"),
+        count(lit(1)).as("n"))
+    def stream() = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    graft.streaming.Streams.runUpdateMonitor(spark, agg(stream()), logDir,
+      checkpointDir = Some(ck))
+    // reusing a populated log WITHOUT the checkpoint is the epoch-reset
+    // corruption shape — must refuse loudly
+    val e = intercept[IllegalStateException] {
+      graft.streaming.Streams.runUpdateMonitor(spark, agg(stream()), logDir)
+    }
+    assert(e.getMessage.contains("checkpointDir"))
+    // with the original checkpoint, new data resumes at the next epoch
+    // and the latest-wins view equals the full batch aggregate
+    Thread.sleep(1100)
+    Seq(("b", 10L), ("c", 5L)).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    graft.streaming.Streams.runUpdateMonitor(spark, agg(stream()), logDir,
+      checkpointDir = Some(ck))
+    val epochs = spark.read.parquet(logDir).select(col("__epoch"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(epochs.size >= 2 && epochs.max > epochs.min,
+      s"epoch ids did not stay monotone across the resume: $epochs")
+    val got = graft.streaming.Streams.latestCells(spark, logDir, Seq("k"))
+    val want = agg(spark.read.parquet(inDir))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "resumed update monitor diverged from the batch aggregate")
+  }
+
   test("ingest-cadence compaction: bounded files, probe identical (IVF-PQ stream)") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
