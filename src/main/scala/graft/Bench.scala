@@ -44,6 +44,12 @@ object Bench {
       times: Vector[Double], suspect: Boolean, drift: Boolean,
       err: Option[String], isolated: Boolean = false)
 
+  /** Spark's per-job fixed cost on this class of host (FloorProbe:
+    * a bare `range(1).count()` medians ~0.15 s warm): timings at or
+    * under it are all scheduling noise, so relative-spread heuristics
+    * must not fire on them. */
+  val schedulingFloor = 0.15
+
   /** Median of the ≤3 fastest values — the bench's central statistic:
     * ambient load only ever inflates, so the distribution's lower mode
     * is the true cost. */
@@ -115,8 +121,11 @@ object Bench {
     }
     // suspect reflects the FINAL warm spread — drift reruns that expose
     // a fast mode (e.g. all-slow initial window + recovered reruns) must
-    // surface as spread, not vanish because the flag was frozen earlier
-    val suspect = runs > 1 && spread > 2.0
+    // surface as spread, not vanish because the flag was frozen earlier.
+    // Times at or under Spark's per-job scheduling floor (~0.15 s
+    // measured by FloorProbe) spread freely from pure scheduling noise —
+    // a query that cheap is never load-suspect, whatever its ratio.
+    val suspect = runs > 1 && spread > 2.0 && warm.max > schedulingFloor
     val p50 = median(warm)
     val minWarm = warm.min
     val drift = runs > 1 && p50 > 3.0 * math.max(minWarm, 0.05)
@@ -145,8 +154,11 @@ object Bench {
     var iso = Vector.empty[Double]
     def converged: Boolean = {
       val warm = (qt.times ++ iso).tail
+      // sub-floor isolation runs are consistent BY DEFINITION — their
+      // relative spread is scheduling noise, not load
       iso.size >= 2 &&
-        iso.max / math.max(iso.min, 1e-9) <= 1.5 &&
+        (iso.max <= schedulingFloor ||
+          iso.max / math.max(iso.min, 1e-9) <= 1.5) &&
         medianFastest(warm) <= 1.3 * math.max(warm.min, 0.05)
     }
     while (!aborted && !converged && iso.size < budget) {

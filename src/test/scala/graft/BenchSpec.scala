@@ -126,6 +126,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isolate(broken, () => fail("must not run"), 4) eq broken)
   }
 
+  test("sub-scheduling-floor queries are never flagged suspect") {
+    // a 20 ms query can show 2-3x relative spread from pure scheduling
+    // noise (FloorProbe: the bare-job floor is ~150 ms) — that is not
+    // ambient load and must not flag, rerun, or fail isolation
+    var i = 0
+    val delays = Vector(50L, 10L, 30L, 12L, 35L)
+    val qt = Bench.timeQuery("tiny",
+      () => { Thread.sleep(delays(i.min(delays.size - 1))); i += 1 },
+      runs = 3, extraRuns = 2)
+    assert(qt.err.isEmpty)
+    assert(!qt.suspect,
+      s"sub-floor spread flagged as load: ${qt.times}")
+  }
+
   test("prior mins load from a committed capture only at the matching SF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench")
     val f = dir.resolve("BENCH_full.json")
