@@ -790,8 +790,23 @@ final class PgWireServer(spark: SparkSession,
           if (i < toks.length && toks(i).startsWith("'")) {
             nul = Some(lit(toks(i))); i += 1
           }
-        case "quote" | "escape" | "encoding" =>
-          if (i < toks.length && toks(i).startsWith("'")) i += 1
+        // QUOTE/ESCAPE/ENCODING alter parsing semantics: only their
+        // DEFAULT values are spoken here — a non-default value silently
+        // accepted would corrupt the data dialect, so refuse loudly
+        case "quote" | "escape" =>
+          if (i < toks.length && toks(i).startsWith("'")) {
+            val v = lit(toks(i)); i += 1
+            if (v != "\"") throw new IllegalArgumentException(
+              s"COPY ${t.toUpperCase} '$v' is not supported; " +
+                "only the default '\"'")
+          }
+        case "encoding" =>
+          if (i < toks.length && toks(i).startsWith("'")) {
+            val v = lit(toks(i)); i += 1
+            if (!v.toUpperCase.replace("-", "").startsWith("UTF8"))
+              throw new IllegalArgumentException(
+                s"COPY ENCODING '$v' is not supported; only UTF8")
+          }
         case other if other.startsWith("'") => // stray literal: ignore
         case other => throw new IllegalArgumentException(
           s"unsupported COPY option $other")
@@ -813,7 +828,16 @@ final class PgWireServer(spark: SparkSession,
 
   private def resolveCopyTable(exec: Executor, raw: String)
       : (String, DataFrame) = {
-    val base = raw.split("\\.").last // strip a schema qualifier
+    // strip a schema qualifier at the last TOP-LEVEL dot — a dot inside
+    // a quoted identifier ("my.table") is part of the name
+    var lastDot = -1
+    var inQ = false
+    for (i <- raw.indices) raw.charAt(i) match {
+      case '"' => inQ = !inQ
+      case '.' if !inQ => lastDot = i
+      case _ =>
+    }
+    val base = raw.substring(lastDot + 1).trim
     val name = stripIdentQuotes(base)
     exec.table(name).map(name -> _).getOrElse(
       throw new IllegalArgumentException(s"relation \"$name\" does not exist"))
@@ -880,13 +904,15 @@ final class PgWireServer(spark: SparkSession,
     // ErrorResponse and the client never enters copy mode
     val (name, existing) = resolveCopyTable(exec, wc.target)
     val targetSchema = existing.schema
+    // canonicalize the column list to the schema's exact spellings —
+    // case-insensitively, like every other column resolution here
     val useCols =
-      if (wc.cols.nonEmpty) wc.cols else targetSchema.fieldNames.toSeq
-    useCols.foreach { c =>
-      if (!targetSchema.fieldNames.contains(c))
-        throw new IllegalArgumentException(
-          s"column \"$c\" of relation \"$name\" does not exist")
-    }
+      if (wc.cols.isEmpty) targetSchema.fieldNames.toSeq
+      else wc.cols.map { c =>
+        targetSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"""column "$c" of relation "$name" does not exist"""))
+      }
     send(out, 'G') { b => // CopyInResponse, text wire format
       b.writeByte(0)
       b.writeShort(useCols.length)
@@ -951,18 +977,43 @@ final class PgWireServer(spark: SparkSession,
         s"COPY row has ${bad.length} fields, expected ${useCols.length}")
     }
     import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{lit => flit, col => fcol, sum => fsum, when => fwhen, first => ffirst}
     val strSchema = StructType(useCols.map(c =>
       org.apache.spark.sql.types.StructField(c, StringType)))
     val strDf = spark.createDataFrame(
       rows0.map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)).asJava,
       strSchema)
+    // PG rejects un-parseable values with the offending value named.
+    // Probe each typed column with try_cast (the ANSI cast the final
+    // union uses would throw Spark's own error lazily, INSIDE a later
+    // query over the table) and refuse the whole COPY upfront — one
+    // eager aggregate over the batch, which also means CommandComplete
+    // is only sent after the data actually ran.
+    val typedCols = targetSchema.fields.filter(f =>
+      useCols.contains(f.name) && f.dataType != StringType)
+    if (typedCols.nonEmpty && rows0.nonEmpty) {
+      val probes = typedCols.flatMap { f =>
+        val tried = org.apache.spark.sql.functions.expr(
+          s"try_cast(`${f.name}` AS ${f.dataType.sql})")
+        val bad = fcol(f.name).isNotNull && tried.isNull
+        Seq(fsum(bad.cast("long")).as(s"__n_${f.name}"),
+          ffirst(fwhen(bad, fcol(f.name)), ignoreNulls = true)
+            .as(s"__v_${f.name}"))
+      }
+      val r = strDf.agg(probes.head, probes.tail: _*).collect()(0)
+      typedCols.zipWithIndex.foreach { case (f, i) =>
+        if (!r.isNullAt(2 * i) && r.getLong(2 * i) > 0)
+          throw new IllegalArgumentException(
+            s"""invalid input syntax for column "${f.name}" """ +
+              s"(${f.dataType.simpleString}): \"${r.getString(2 * i + 1)}\"")
+      }
+    }
     // cast to the target column types; unlisted columns fill with NULL
     val aligned = existing.unionAll(strDf.select(targetSchema.fields.map {
       f =>
         if (useCols.contains(f.name)) strDf.col(f.name).cast(f.dataType)
           .as(f.name)
-        else org.apache.spark.sql.functions.lit(null).cast(f.dataType)
-          .as(f.name)
+        else flit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*))
     exec.update(name -> aligned)
     send(out, 'C')(cstring(_, s"COPY ${rows0.length}"))

@@ -152,12 +152,10 @@ object Sinks {
     val ps = new org.apache.hadoop.fs.Path(staged)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // self-heal a prior crashed swap: live dir missing + rename-aside
-    // survivor present → restore it, then compact normally
-    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
-      throw new IllegalStateException(
-        s"compactParquet: could not restore crashed-swap survivor $old " +
-        s"to $path")
+    // self-heal a prior crashed swap before reading — the shared helper
+    // also covers the live-dir-present-with-only-hidden-debris shape an
+    // inline `!fs.exists` test would miss
+    recoverCompactSwap(spark, path)
     val df0 = spark.read.parquet(path)
     val df = excludeEpoch match {
       case Some(e) => df0.filter(!input_file_name().contains(s"epoch-$e-"))
@@ -203,6 +201,26 @@ object Sinks {
     fs.exists(p) && fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
       (!n.startsWith(".") && !n.startsWith("_")) || n.contains("=")
+    }
+  }
+
+  /** True iff `dir` (recursively) holds any [[appendEpoch]]-tagged
+    * file. Epoch ids are scoped to one checkpoint lineage, so a stream
+    * re-attaching with a FRESH checkpoint to a directory that still
+    * carries epoch tags would clobber them — the streams use this to
+    * refuse that shape loudly ([[compactParquet]] neutralizes the tags:
+    * compacted files are plain part files no future epoch touches). */
+  def hasEpochFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.startsWith("epoch-")
+      found
     }
   }
 

@@ -293,6 +293,18 @@ object Streams {
       checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
+    // refuse the epoch-reset corruption shape LOUDLY (same contract as
+    // runUpdateMonitor): a fresh checkpoint over an index that still
+    // carries epoch-tagged files would restart batch ids at 0 and let
+    // the replay repair delete the first lineage's epochs. Compaction
+    // neutralizes the tags, so a compacted index accepts a fresh start.
+    if (checkpointDir.isEmpty &&
+        graft.sources.Sinks.hasEpochFiles(spark, indexPath))
+      throw new IllegalStateException(
+        s"lshDedupSelfIndexing: $indexPath holds epoch-tagged files from " +
+          "a prior stream but no checkpointDir was given - a fresh " +
+          "checkpoint would restart epoch ids and clobber them; pass the " +
+          "original checkpointDir to resume, or compact the index first")
     val sig = Dedup.withPortableSignature(
       docs.select(col("doc_id"), col("text")), col("text"),
       numHashes, shingleK)
@@ -386,13 +398,23 @@ object Streams {
     * without ever re-touching the archive: per-batch cost is one narrow
     * code projection + a partitioned append, no index shuffle. */
   def ivfPqIngest(spark: SparkSession, emb: DataFrame, indexPath: String,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // same epoch-reset refusal as lshDedupSelfIndexing: a fresh-built
+    // day-0 index has only plain part files and starts fine; an index a
+    // PREVIOUS stream appended epochs into requires that stream's
+    // checkpoint (or a compaction) before a new lineage may touch it
+    if (checkpointDir.isEmpty &&
+        graft.sources.Sinks.hasEpochFiles(spark, s"$indexPath/codes"))
+      throw new IllegalStateException(
+        s"ivfPqIngest: $indexPath/codes holds epoch-tagged files from a " +
+          "prior stream but no checkpointDir was given - pass the " +
+          "original checkpointDir to resume, or compact the index first")
     // the model is frozen by contract — load ONCE at stream start, not
     // per micro-batch (a per-trigger driver-side parquet read of
     // cells + books would tax every small trigger for immutable data)
     val model = graft.operators.Similarity.loadIvfPqModel(spark, indexPath)
-    emb.writeStream
+    val w0 = emb.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // same crashed-swap recovery as the LSH stream, every batch:
@@ -411,6 +433,8 @@ object Streams {
           batch.localCheckpoint(true), indexPath, model, epochId)
         ()
       }
+    checkpointDir.map(c => w0.option("checkpointLocation", c))
+      .getOrElse(w0)
       .start()
   }
 

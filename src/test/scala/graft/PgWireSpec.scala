@@ -693,6 +693,31 @@ class PgWireSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY FROM rejects un-parseable values, non-default dialects; folds case") {
+    withServer() { c =>
+      c.startup()
+      // PG parity: a malformed int must abort the COPY with the value
+      // named, not silently ingest NULL under a success tag
+      val bad = c.copyIn("COPY fixtures FROM STDIN WITH CSV",
+        Seq("9,z\nabc,w\n"))
+      val err = bad.filter(_.tag == 'E').map(m => str(m.body)).mkString
+      assert(err.contains("invalid input syntax") && err.contains("abc"),
+        s"tags=${bad.map(_.tag)} err=$err")
+      val n0 = c.query("select count(*) as n from fixtures")
+        .filter(_.tag == 'D').map(dataRow).head
+      assert(n0 == Seq(Some("3")), s"failed COPY must add no rows: $n0")
+      // non-default QUOTE would silently mis-parse: refuse loudly
+      val q = c.copyIn("COPY fixtures FROM STDIN WITH (FORMAT csv, QUOTE '''')",
+        Seq("1,x\n"))
+      assert(q.filter(_.tag == 'E').map(m => str(m.body)).mkString
+        .contains("QUOTE"), q.map(_.tag).toString)
+      // column lists resolve case-insensitively, like the rest of SQL
+      val ci = c.copyIn("COPY fixtures (ID, S) FROM STDIN", Seq("7\th\n"))
+      assert(ci.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 1")),
+        s"tags=${ci.map(_.tag)} err=${ci.filter(_.tag == 'E').map(m => str(m.body))}")
+    }
+  }
+
   test("psql \\copy round-trips both directions in one session") {
     assume(new java.io.File("/usr/bin/psql").canExecute)
     val server = new PgWireServer(spark,

@@ -477,6 +477,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(idxDir + "__old")))
   }
 
+  test("incremental streams refuse a fresh checkpoint over an epoch-tagged index") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_epochguard")
+      .toString
+    val inDir = s"$base/in"; val idxDir = s"$base/idx"
+    val d1 = Seq((0L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    d1.coalesce(1).write.parquet(inDir)
+    val q1 = graft.streaming.Streams.lshDedupSelfIndexing(spark,
+      spark.readStream.schema(d1.schema).parquet(inDir),
+      idxDir, s"$base/m")
+    try q1.processAllAvailable() finally q1.stop()
+    // a SECOND stream without the first's checkpoint would restart
+    // epoch ids at 0 and clobber the first lineage — refused loudly
+    val e = intercept[IllegalStateException] {
+      graft.streaming.Streams.lshDedupSelfIndexing(spark,
+        spark.readStream.schema(d1.schema).parquet(inDir),
+        idxDir, s"$base/m")
+    }
+    assert(e.getMessage.contains("checkpointDir"))
+    // compaction neutralizes the epoch tags → a fresh lineage is fine
+    graft.sources.Sinks.compactParquet(spark, idxDir)
+    val q2 = graft.streaming.Streams.lshDedupSelfIndexing(spark,
+      spark.readStream.schema(d1.schema).parquet(inDir),
+      idxDir, s"$base/m")
+    try q2.processAllAvailable() finally q2.stop()
+  }
+
   test("hasVisibleData treats hive partition dirs (name contains '=') as data") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_vis").toString
