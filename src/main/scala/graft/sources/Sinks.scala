@@ -143,10 +143,17 @@ object Sinks {
     * ingest-cadence shape): a crashed prior attempt of e may have
     * left `epoch-e-*` files, and folding them would hide them from the
     * replay repair — dropping them is safe because the current batch
-    * re-appends epoch e in full right after. */
+    * re-appends epoch e in full right after.
+    *
+    * `fold`: applied to the surviving rows before the rewrite — the
+    * hook for logs whose compacted form is a REDUCTION of the appends
+    * rather than their concatenation (the update-monitor epoch log
+    * folds to its latest-wins rows: the compacted file IS the current
+    * state). Identity for plain index compaction. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       partitionCols: Seq[String] = Nil, nFiles: Int = 1,
-      excludeEpoch: Option[Long] = None): Unit = {
+      excludeEpoch: Option[Long] = None,
+      fold: DataFrame => DataFrame = identity): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val staged = path + "__compact"
     val ps = new org.apache.hadoop.fs.Path(staged)
@@ -157,10 +164,10 @@ object Sinks {
     // inline `!fs.exists` test would miss
     recoverCompactSwap(spark, path)
     val df0 = spark.read.parquet(path)
-    val df = excludeEpoch match {
+    val df = fold(excludeEpoch match {
       case Some(e) => df0.filter(!input_file_name().contains(s"epoch-$e-"))
       case None => df0
-    }
+    })
     if (partitionCols.nonEmpty)
       df.repartition(partitionCols.map(col): _*)
         .write.mode(SaveMode.Overwrite)

@@ -446,13 +446,35 @@ object Streams {
     * substitute on sinks without native merge (parquet, object
     * stores): [[graft.sources.Sinks.appendEpoch]] keeps the appends
     * exactly-once under replay, and the log compacts on the same
-    * cadence as every other incremental artifact here. State is still
-    * bounded by cell space (no watermark eviction — monitors hold all
-    * cells by design); what update mode changes is the EMISSION bill:
-    * per-trigger rows scale with the batch's touched cells, not the
-    * accumulated cell count. */
+    * cadence as every other incremental artifact here (`compactEvery`,
+    * below). State is still bounded by cell space (no watermark
+    * eviction — monitors hold all cells by design); what update mode
+    * changes is the EMISSION bill: per-trigger rows scale with the
+    * batch's touched cells, not the accumulated cell count.
+    *
+    * INGEST-CADENCE COMPACTION (`compactEvery` > 0, requires `keys`):
+    * every `compactEvery`-th trigger folds the epoch log to its
+    * latest-wins rows BEFORE that epoch's own append — the compacted
+    * file IS the monitor's current state, one row per cell. `__epoch`
+    * is PRESERVED through the fold (each kept row carries the epoch
+    * that produced it, strictly below the folding epoch), so
+    * [[latestCells]]' ordering stays correct across folds and future
+    * appends: without compaction the log holds one row per
+    * (trigger × touched cell) forever and the latest-wins window
+    * re-scans all of it — the same small-files/unbounded-scan
+    * pathology the index streams' cadence compaction fixes
+    * ([[lshDedupSelfIndexing]], [[ivfPqIngest]]). Same safety seams as
+    * those streams: a crashed swap self-heals at the next batch
+    * ([[graft.sources.Sinks.recoverCompactSwap]]), and a crashed prior
+    * attempt of the folding epoch itself is EXCLUDED from the fold
+    * (the batch re-appends it in full right after), keeping the
+    * replay repair sound. */
   def runUpdateMonitor(spark: SparkSession, agg: DataFrame,
-      dir: String, checkpointDir: Option[String] = None): Unit = {
+      dir: String, checkpointDir: Option[String] = None,
+      compactEvery: Int = 0, keys: Seq[String] = Nil): Unit = {
+    require(compactEvery <= 0 || keys.nonEmpty,
+      "runUpdateMonitor: compactEvery needs the monitor's cell keys " +
+        "(the latest-wins fold is per cell)")
     // Epoch ids are scoped to ONE checkpoint lineage (appendEpoch's
     // contract): a SECOND invocation over an existing log with a fresh
     // in-memory checkpoint would restart batch ids at 0 — its replay
@@ -473,6 +495,18 @@ object Streams {
       val w = agg.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          val ss = batch.sparkSession
+          // crashed-swap recovery every batch, same as the index streams
+          graft.sources.Sinks.recoverCompactSwap(ss, dir)
+          // cadence compaction BEFORE this epoch's append, over durably
+          // committed epochs only; a crashed prior attempt of THIS
+          // epoch is dropped from the fold (re-appended in full below)
+          if (compactEvery > 0 && epochId > 0 &&
+              epochId % compactEvery == 0 &&
+              graft.sources.Sinks.hasVisibleData(ss, dir))
+            graft.sources.Sinks.compactParquet(ss, dir,
+              excludeEpoch = Some(epochId),
+              fold = df => latestWins(df, keys))
           graft.sources.Sinks.appendEpoch(
             batch.withColumn("__epoch", lit(epochId)), dir, epochId)
           ()
@@ -490,13 +524,22 @@ object Streams {
     * together (SQL window partitioning), matching the aggregation that
     * produced them. */
   def latestCells(spark: SparkSession, dir: String,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String]): DataFrame =
+    latestWins(spark.read.parquet(dir), keys).drop("__epoch")
+
+  /** The latest-wins reduction itself, `__epoch` KEPT: each cell's
+    * surviving row still carries the epoch that emitted it, so the
+    * result can be written back as the compacted log
+    * ([[runUpdateMonitor]]'s cadence fold) and re-reduced later
+    * against newer appends. Update mode emits each touched cell at
+    * most once per trigger, so (keys, __epoch) is unique and the
+    * row_number tie-break is never exercised. */
+  def latestWins(df: DataFrame, keys: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col("__epoch").desc)
-    spark.read.parquet(dir)
-      .withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__epoch")
+      .drop("__rn")
   }
 
   private val runId = new AtomicInteger(0)
@@ -554,6 +597,69 @@ object Streams {
     // materialize: the memory sink table is dropped when the query stops
     val out = spark.table(name).cache()
     out.count()
+    out
+  }
+
+  /** Distinct-user monitor aggregation (HLL++ per event type) — shared
+    * by the complete-mode and update-mode gates so both emission modes
+    * maintain the identical mergeable state. */
+  def hllMonitor(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("__d"))
+
+  /** The distinct-monitor gate tail: the streamed estimate must land
+    * within 5% of the batch exact, joined AFTER stream completion. */
+  private def hllVsExact(s: SparkSession, dir: String,
+      approx: DataFrame): DataFrame = {
+    val exact = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("d_exact"))
+    approx.join(exact, "event_type")
+      .select(col("event_type"), col("d_exact"),
+        (abs(col("__d") - col("d_exact")) <= lit(0.05) * col("d_exact"))
+          .cast("bigint").as("within_tol"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Drift-cell monitor aggregation (per (source, lang) arrival counts)
+    * — shared by the complete-mode and update-mode gates. */
+  def driftCellMonitor(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_b"))
+
+  /** The drift gate tail: monitored arrival cells against the static
+    * historical half, through the batch ta_drift's own ppm math.
+    * Union + re-group (NOT a full-outer join): a join on the cell keys
+    * would split NULL-keyed cells (NULL == NULL is never true),
+    * silently diverging from the batch ta_drift's single groupBy — the
+    * union groups NULL keys together exactly as batch does, and the
+    * shared driftFromCells tail keeps the ppm math in lockstep. */
+  private def driftVsHistory(s: SparkSession, dir: String,
+      streamCells: DataFrame): DataFrame = {
+    val histCells = Tables.load(s, dir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_a"))
+    val cells = histCells
+      .select(col("source"), col("lang"), col("n_a"), lit(0L).as("n_b"))
+      .unionAll(streamCells.select(col("source"), col("lang"),
+        lit(0L).as("n_a"), col("n_b")))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
+    graft.operators.TextAnalysis.driftFromCells(cells)
+  }
+
+  /** Fresh per-(query, sf-dir) epoch-log directory under tmp for the
+    * update-mode driver gates — cleared up front so every driver run
+    * starts a new checkpoint lineage legally. */
+  private def updateLogDir(s: SparkSession, name: String,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_${name}_upd_$tag"
+    val p = new org.apache.hadoop.fs.Path(out)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     out
   }
 
@@ -665,17 +771,21 @@ object Streams {
     // isn't streamable). Gate: the streamed estimate lands within 5% of
     // the batch exact, joined AFTER stream completion.
     "st_distinct_hll" -> ((s, dir) => {
-      val approx = runToCompletion(s,
-        readEvents(s, dir).groupBy(col("event_type"))
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("__d")))
-      val exact = Tables.load(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(count_distinct(col("user_id")).as("d_exact"))
-      approx.join(exact, "event_type")
-        .select(col("event_type"), col("d_exact"),
-          (abs(col("__d") - col("d_exact")) <= lit(0.05) * col("d_exact"))
-            .cast("bigint").as("within_tol"))
-        .orderBy(col("event_type"))
+      val approx = runToCompletion(s, hllMonitor(readEvents(s, dir)))
+      hllVsExact(s, dir, approx)
+    }),
+    // the same HLL distinct monitor in UPDATE mode: approx_count_distinct
+    // is mergeable, so update mode re-emits only the cells the batch
+    // touched; the sink is the exactly-once epoch log with cadence
+    // compaction (the log folds to one row per event_type every
+    // compactEvery triggers) and the latest-wins view must pass the
+    // same 5%-of-exact gate as the complete-mode run — hence the
+    // oracle is st_distinct_hll's verbatim
+    "st_distinct_hll_update" -> ((s, dir) => {
+      val out = updateLogDir(s, "hll", dir)
+      runUpdateMonitor(s, hllMonitor(readEvents(s, dir)), out,
+        compactEvery = 2, keys = Seq("event_type"))
+      hllVsExact(s, dir, latestCells(s, out, Seq("event_type")))
     }),
     // the text-pipeline quality gate run as a STREAM over the documents
     // parquet; final table must equal DuckDB's batch computation —
@@ -689,12 +799,9 @@ object Streams {
     // and the latest-wins view must equal the complete-mode/batch
     // result — hence the oracle is st_quality's verbatim
     "st_quality_update" -> ((s, dir) => {
-      val tag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
-      val out =
-        s"${System.getProperty("java.io.tmpdir")}/graft_stq_upd_$tag"
-      val p = new org.apache.hadoop.fs.Path(out)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      runUpdateMonitor(s, qualityMonitor(readDocuments(s, dir)), out)
+      val out = updateLogDir(s, "stq", dir)
+      runUpdateMonitor(s, qualityMonitor(readDocuments(s, dir)), out,
+        compactEvery = 2, keys = Seq("source"))
       latestCells(s, out, Seq("source")).orderBy(col("source"))
     }),
     // streaming face of ta_drift: the ARRIVING corpus half (odd doc_ids
@@ -706,25 +813,19 @@ object Streams {
     // the batch ta_drift: incremental == batch is the invariant.
     "st_drift" -> ((s, dir) => {
       val streamCells = runToCompletion(s,
-        readDocuments(s, dir).filter(col("doc_id") % 2 =!= 0)
-          .groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("n_b")))
-      val histCells = Tables.load(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 0)
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_a"))
-      // union + re-group (NOT a full-outer join): a join on the cell
-      // keys would split NULL-keyed cells (NULL == NULL is never true),
-      // silently diverging from the batch ta_drift's single groupBy —
-      // the union groups NULL keys together exactly as batch does, and
-      // the shared driftFromCells tail keeps the ppm math in lockstep
-      val cells = histCells
-        .select(col("source"), col("lang"), col("n_a"), lit(0L).as("n_b"))
-        .unionAll(streamCells.select(col("source"), col("lang"),
-          lit(0L).as("n_a"), col("n_b")))
-        .groupBy(col("source"), col("lang"))
-        .agg(sum(col("n_a")).as("n_a"), sum(col("n_b")).as("n_b"))
-      graft.operators.TextAnalysis.driftFromCells(cells)
+        driftCellMonitor(readDocuments(s, dir)))
+      driftVsHistory(s, dir, streamCells)
+    }),
+    // the same drift-cell monitor in UPDATE mode: per-trigger emission
+    // is the (source, lang) cells the batch touched, the sink is the
+    // exactly-once epoch log with cadence compaction, and the
+    // latest-wins view feeds the identical driftFromCells tail — the
+    // oracle is st_drift's (= ta_drift's) verbatim
+    "st_drift_update" -> ((s, dir) => {
+      val out = updateLogDir(s, "std", dir)
+      runUpdateMonitor(s, driftCellMonitor(readDocuments(s, dir)), out,
+        compactEvery = 2, keys = Seq("source", "lang"))
+      driftVsHistory(s, dir, latestCells(s, out, Seq("source", "lang")))
     }),
     // streaming ANN ingest: day-0 index built on even vec_ids (model
     // frozen there), the odd half STREAMS in and appends per batch; the
@@ -828,6 +929,11 @@ object Streams {
       """SELECT event_type, count(DISTINCT user_id) AS d_exact,
         |  CAST(1 AS BIGINT) AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // update-mode incremental == complete-mode == batch: same oracle
+    "st_distinct_hll_update" ->
+      """SELECT event_type, count(DISTINCT user_id) AS d_exact,
+        |  CAST(1 AS BIGINT) AS within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st_window_counts" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -887,6 +993,8 @@ object Streams {
     // the incremental==batch invariant stated literally: the streaming
     // drift monitor's oracle IS the batch ta_drift oracle
     "st_drift" -> graft.operators.TextAnalysis.oracleSql("ta_drift"),
+    // update-mode incremental == complete-mode == batch: same oracle
+    "st_drift_update" -> graft.operators.TextAnalysis.oracleSql("ta_drift"),
     "st_quality" -> oracleSqlQuality,
     // update-mode incremental == complete-mode == batch: same oracle
     "st_quality_update" -> oracleSqlQuality,

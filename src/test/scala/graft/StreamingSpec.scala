@@ -260,6 +260,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("update-log cadence compaction: bounded files, latest-wins state identical") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft_updcad").toString
+    val inDir = s"$base/in"
+    // six files with distinct mtimes → six epochs; compactEvery = 2
+    // means folds at epochs 2 and 4 (3N-trigger coverage of the knob).
+    // Slices are by doc_id, so the SAME source cells are touched in
+    // MULTIPLE epochs — each epoch re-emits a higher cumulative count
+    // for its touched sources and the latest-wins fold must keep
+    // exactly the newest row per cell, not merely concatenate.
+    for (i <- 0 until 6) {
+      if (i > 0) Thread.sleep(1100)
+      docs.filter(col("doc_id") % 6 === i).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    def run(tag: String, every: Int): String = {
+      val logDir = s"$base/log_$tag"
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      graft.streaming.Streams.runUpdateMonitor(spark,
+        graft.streaming.Streams.qualityMonitor(stream), logDir,
+        compactEvery = every, keys = Seq("source"))
+      logDir
+    }
+    val logC = run("c", every = 2)
+    val logU = run("u", every = 0)
+    def files(d: String) = new java.io.File(d).listFiles().toSeq
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    // uncompacted: one+ epoch-tagged file per trigger, forever
+    assert(files(logU).count(_.startsWith("epoch-")) >= 6,
+      s"uncompacted log: ${files(logU)}")
+    // compacted: everything before the last fold point (epoch 4) is
+    // folded into plain part files — epoch tags survive only for
+    // epochs appended SINCE that fold
+    val tagged = files(logC).filter(_.startsWith("epoch-"))
+    assert(tagged.nonEmpty &&
+      tagged.forall(n => n.stripPrefix("epoch-").takeWhile(_.isDigit).toInt >= 4),
+      s"compacted log kept pre-fold epoch files: $tagged")
+    assert(files(logC).size < files(logU).size,
+      s"compaction did not shrink the log: ${files(logC).size} vs ${files(logU).size}")
+    // __epoch preserved through the fold: latest-wins ordering intact,
+    // and both logs' current state equals the batch aggregation
+    val want = graft.streaming.Streams.qualityMonitor(docs)
+    for (log <- Seq(logC, logU)) {
+      val got = graft.streaming.Streams.latestCells(spark, log, Seq("source"))
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        s"$log: compacted latest-wins state diverged from batch")
+    }
+    // the fold kept one row per cell for everything below the fold
+    // point: per-source row count in the compacted log is (1 folded)
+    // + (epochs ≥ 4 that touched it), strictly fewer than uncompacted
+    assert(spark.read.parquet(logC).count() <
+      spark.read.parquet(logU).count())
+  }
+
   test("self-building LSH index: each batch dedups against all prior batches") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft_selfidx").toString
