@@ -825,7 +825,7 @@ object Executor {
     val n = script.length
     while (i < n) {
       val c = script.charAt(i)
-      val c2 = if (i + 1 < n) script.charAt(i + 1) else ' '
+      val c2 = if (i + 1 < n) script.charAt(i + 1) else '\u0000'
       if (inLine) {
         if (c == '\n') inLine = false
         sb.append(c); i += 1

@@ -251,8 +251,45 @@ object ScaleProbe {
              |SELECT count(*) AS c, sum(n * k) AS s FROM t""".stripMargin)
       }))
 
+    // ---- round-13 addition: update-monitor epoch log probe ----
+    // Here `f` scales the monitor HORIZON (64×f triggers, constant cell
+    // space), not corpus size: the recurring production cost of an
+    // update-mode monitor is the latest-wins read over its epoch log.
+    // Logs are prepared OUTSIDE the timed region with the exact
+    // appendEpoch / compactParquet(fold=latestWins) calls
+    // runUpdateMonitor makes per trigger; the compacted variant folds
+    // every 4 epochs (compactEvery=4). Expect ≈ 1 uncompacted — the
+    // window re-scans one file per trigger forever, the small-files
+    // pathology — and ≈ 0 compacted: 1 folded file + ≤ compactEvery
+    // recent epochs regardless of horizon.
+    lazy val updCells = Streams.qualityMonitor(base)
+      .repartition(1).localCheckpoint()
+    val logCache = scala.collection.mutable.Map[(Int, Boolean), String]()
+    def logFor(f: Int, compact: Boolean): String =
+      logCache.getOrElseUpdate((f, compact), {
+        val d = System.getProperty("java.io.tmpdir") +
+          s"/graft_probe_updlog_${f}_$compact"
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        for (e <- 0 until 64 * f) {
+          if (compact && e > 0 && e % 4 == 0)
+            graft.sources.Sinks.compactParquet(spark, d,
+              excludeEpoch = Some(e.toLong),
+              fold = df => Streams.latestWins(df, Seq("source")))
+          graft.sources.Sinks.appendEpoch(
+            updCells.withColumn("__epoch", lit(e.toLong)), d, e.toLong)
+        }
+        d
+      })
+    val updOps: Seq[(String, Int => DataFrame)] = Seq(
+      "update_log_latest_nocompact" -> (f =>
+        Streams.latestCells(spark, logFor(f, compact = false), Seq("source"))),
+      "update_log_latest_compact" -> (f =>
+        Streams.latestCells(spark, logFor(f, compact = true), Seq("source"))))
+
     val opFilter = args.drop(1).toSet
-    val allOps = (ops ++ streamOps ++ graphOps ++ incOps ++ recOps)
+    val allOps = (ops ++ streamOps ++ graphOps ++ incOps ++ recOps ++ updOps)
       .filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
     // JIT/codegen warm-up outside the measured region

@@ -140,6 +140,44 @@ class BenchSpec extends AnyFunSuite {
       s"sub-floor spread flagged as load: ${qt.times}")
   }
 
+  test("sustained-load shape (tight spread, 3x prior) joins the isolation pass") {
+    // the r12 flag-evasion hole: consistent 3x inflation with tight
+    // spread evades suspect (spread ≤ 2x) and drift (p50 ≤ 3x own min)
+    // — dd_substring published 3.81 s vs a 1.09 s baseline with zero
+    // flags. The cross-round gate must catch it from history alone,
+    // and a forced isolation at a quieter moment must heal it.
+    var i = 0
+    val delays = Vector(300L, 300L, 310L, 305L) // the loaded window
+    val qt = Bench.timeQuery("sustained",
+      () => { Thread.sleep(delays(i.min(delays.size - 1))); i += 1 },
+      runs = 4, extraRuns = 0)
+    assert(qt.err.isEmpty)
+    assert(!qt.suspect && !qt.drift,
+      s"precondition: the shape must evade the within-window flags: $qt")
+    // committed prior min (or reference entry) was ~100 ms → 3x slow
+    assert(Bench.crossRoundSlow(qt, prior = Some(0.1)),
+      s"cross-round gate missed the sustained-load shape: $qt")
+    // floor guard: a floor-priced query can't trip the ratio on noise
+    val tiny = qt.copy(p50 = 0.18)
+    assert(!Bench.crossRoundSlow(tiny, prior = Some(0.05)),
+      "floor-priced query tripped the cross-round gate")
+    assert(!Bench.crossRoundSlow(qt, prior = None),
+      "gate must stay quiet without a prior")
+    // the forced isolation pass re-times at the quiet moment: fast,
+    // consistent runs converge, the truthful figure publishes
+    val h = Bench.isolate(qt, () => Thread.sleep(20), budget = 4,
+      force = true)
+    assert(h.isolated && !h.suspect && !h.drift, s"forced isolation: $h")
+    assert(h.p50 < 0.1, s"published p50 must be the converged figure: $h")
+    // and a query that is GENUINELY slower converges at its real cost:
+    // truthfully published, left for the slow-list, never masked
+    val real = Bench.isolate(qt, () => Thread.sleep(300), budget = 4,
+      force = true)
+    assert(real.isolated && !real.suspect,
+      s"consistent slow isolation must converge (real regression): $real")
+    assert(real.p50 > 0.25, s"real regression must publish truthfully: $real")
+  }
+
   test("prior mins load from a committed capture only at the matching SF") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bench")
     val f = dir.resolve("BENCH_full.json")
