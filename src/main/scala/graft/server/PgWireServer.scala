@@ -56,7 +56,13 @@ final class PgWireServer(spark: SparkSession,
     scope: Map[String, DataFrame] = Map.empty,
     port: Int = 0, defaultMaxRows: Int = 10000,
     scopeSpecPath: Option[String] = None,
-    bindAddress: InetAddress = InetAddress.getLoopbackAddress) {
+    bindAddress: InetAddress = InetAddress.getLoopbackAddress,
+    copyInSpillBytes: Long = 64L << 20) {
+
+  /** Number of COPY FROM STDIN payloads that crossed
+    * [[copyInSpillBytes]] and took the spooled/distributed path —
+    * observability for tests and operators. */
+  val copyInSpills = new java.util.concurrent.atomic.AtomicInteger(0)
 
   // Timestamp text/binary rendering assumes the engine session computes
   // in UTC (the advertised OID is tz-less 1114; the wire value is the
@@ -891,10 +897,11 @@ final class PgWireServer(spark: SparkSession,
     send(out, 'C')(cstring(_, s"COPY $n"))
   }
 
-  /** Upper bound on buffered COPY FROM STDIN payload: the parse happens
-    * once after CopyDone, so the bytes sit on the driver heap; a bulk
-    * load beyond this belongs on storage + the engine's path-COPY. */
-  private val MaxCopyInBytes = 256L << 20
+  // COPY FROM STDIN payloads at or under `copyInSpillBytes` buffer on
+  // the driver heap and parse in memory; PAST it the frames spool to a
+  // session temp file and the parse runs DISTRIBUTED over that file
+  // (one frame at a time on the driver, never the payload) — a bulk
+  // load has no protocol-level size cap anymore. See [[copyInFromSpill]].
 
   private def handleCopyIn(out: DataOutputStream, in: DataInputStream,
       exec: Executor, wc: WireCopy): Unit = {
@@ -927,6 +934,38 @@ final class PgWireServer(spark: SparkSession,
     // error after CopyDone; only a nonsensical length (< 4 — the
     // stream itself can no longer be trusted) closes the connection.
     val buf = new java.io.ByteArrayOutputStream()
+    var spillFile: java.io.File = null
+    var spillOut: java.io.OutputStream = null
+    // Spill-path guards tracked BYTE-wise while spooling ('"' and '\n'
+    // are ASCII and never occur inside a UTF-8 multibyte sequence):
+    // CSV records may legally contain quoted newlines, which the
+    // distributed linewise split would tear — detect here, refuse
+    // cleanly after CopyDone. The header line (if any) is stripped
+    // during spooling, since "first row" is not a distributed notion.
+    var csvInQuote = false
+    var csvQuotedNewline = false
+    var skipHeader = wc.header
+    def trackCsv(b: Array[Byte], from: Int, until: Int): Unit =
+      if (wc.csv) {
+        var j = from
+        while (j < until) {
+          val c = b(j)
+          if (c == '"') csvInQuote = !csvInQuote
+          else if (c == '\n' && csvInQuote) csvQuotedNewline = true
+          j += 1
+        }
+      }
+    def spillWrite(bytes: Array[Byte]): Unit = {
+      var off = 0
+      if (skipHeader) {
+        val nl = bytes.indexOf('\n'.toByte)
+        trackCsv(bytes, 0, if (nl < 0) bytes.length else nl + 1)
+        if (nl < 0) return // header spans frames; keep skipping
+        off = nl + 1; skipHeader = false
+      }
+      trackCsv(bytes, off, bytes.length)
+      spillOut.write(bytes, off, bytes.length - off)
+    }
     var fail: Option[String] = None
     var copying = true
     while (copying) {
@@ -952,10 +991,19 @@ final class PgWireServer(spark: SparkSession,
           if (fail.isEmpty && oversized)
             fail = Some(s"CopyData frame of $bodyLen bytes exceeds the " +
               s"$MaxFrameBytes-byte frame cap")
-          if (fail.isEmpty && buf.size + body.length > MaxCopyInBytes)
-            fail = Some(s"COPY FROM STDIN payload exceeds $MaxCopyInBytes " +
-              "bytes; stage the data and use COPY FROM '<path>' instead")
-          if (fail.isEmpty) buf.write(body)
+          if (fail.isEmpty) {
+            if (spillOut == null &&
+                buf.size + body.length > copyInSpillBytes) {
+              spillFile =
+                java.io.File.createTempFile("graft_copyin_", ".dat")
+              spillFile.deleteOnExit()
+              spillOut = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(spillFile), 1 << 16)
+              copyInSpills.incrementAndGet()
+              spillWrite(buf.toByteArray); buf.reset()
+            }
+            if (spillOut != null) spillWrite(body) else buf.write(body)
+          }
         case 'c' => copying = false // CopyDone
         case 'f' => // CopyFail: the client aborted
           fail = Some("COPY aborted by client")
@@ -966,23 +1014,33 @@ final class PgWireServer(spark: SparkSession,
             s"unexpected message '$other' during COPY FROM STDIN")
       }
     }
-    fail.foreach(msg => throw new IllegalArgumentException(msg))
-    val data = new String(buf.toByteArray, StandardCharsets.UTF_8)
-    val parsed =
-      if (wc.csv) parseCopyCsv(data, wc)
-      else parseCopyText(data, wc)
-    val rows0 = if (wc.header && parsed.nonEmpty) parsed.tail else parsed
-    rows0.find(_.length != useCols.length).foreach { bad =>
-      throw new IllegalArgumentException(
-        s"COPY row has ${bad.length} fields, expected ${useCols.length}")
+    if (spillOut != null) spillOut.close()
+    fail.foreach { msg =>
+      if (spillFile != null) spillFile.delete()
+      throw new IllegalArgumentException(msg)
     }
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions.{lit => flit, col => fcol, sum => fsum, when => fwhen, first => ffirst}
     val strSchema = StructType(useCols.map(c =>
       org.apache.spark.sql.types.StructField(c, StringType)))
-    val strDf = spark.createDataFrame(
-      rows0.map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)).asJava,
-      strSchema)
+    val (strDf, nRows): (DataFrame, Long) =
+      if (spillFile != null)
+        copyInFromSpill(spillFile, wc, useCols.length, strSchema,
+          csvQuotedNewline)
+      else {
+        val data = new String(buf.toByteArray, StandardCharsets.UTF_8)
+        val parsed =
+          if (wc.csv) parseCopyCsv(data, wc)
+          else parseCopyText(data, wc)
+        val rows0 = if (wc.header && parsed.nonEmpty) parsed.tail else parsed
+        rows0.find(_.length != useCols.length).foreach { bad =>
+          throw new IllegalArgumentException(
+            s"COPY row has ${bad.length} fields, expected ${useCols.length}")
+        }
+        (spark.createDataFrame(
+          rows0.map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)).asJava,
+          strSchema), rows0.length.toLong)
+      }
     // PG rejects un-parseable values with the offending value named.
     // Probe each typed column with try_cast (the ANSI cast the final
     // union uses would throw Spark's own error lazily, INSIDE a later
@@ -991,7 +1049,7 @@ final class PgWireServer(spark: SparkSession,
     // is only sent after the data actually ran.
     val typedCols = targetSchema.fields.filter(f =>
       useCols.contains(f.name) && f.dataType != StringType)
-    if (typedCols.nonEmpty && rows0.nonEmpty) {
+    if (typedCols.nonEmpty && nRows > 0) {
       val probes = typedCols.flatMap { f =>
         val tried = org.apache.spark.sql.functions.expr(
           s"try_cast(`${f.name}` AS ${f.dataType.sql})")
@@ -1016,104 +1074,78 @@ final class PgWireServer(spark: SparkSession,
         else flit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*))
     exec.update(name -> aligned)
-    send(out, 'C')(cstring(_, s"COPY ${rows0.length}"))
+    send(out, 'C')(cstring(_, s"COPY $nRows"))
   }
 
-  /** PG text-format rows: delimiter-separated fields, backslash escapes,
-    * a field whose RAW source equals the null marker (default `\N`) is
-    * NULL, a `\.` line terminates the data. An empty line is a row
-    * with one empty field (how PG writes a single-column empty string)
-    * — only the virtual segment after the final newline is not a row. */
+  /** Distributed parse of a spooled COPY FROM STDIN payload: the spool
+    * file reads linewise (text-format rows never contain raw newlines
+    * — they arrive escaped; a CSV payload with quoted newlines was
+    * detected during spooling and is refused here rather than torn),
+    * and every line decodes through the SAME [[CopyCodec]] dialect the
+    * in-memory path uses — payload size never changes semantics. The
+    * `\.` terminator line is dropped wherever it appears (PG clients
+    * only ever send it last). The spool file must outlive the COPY:
+    * the loaded relation reads it lazily on every downstream query —
+    * the automatic equivalent of "stage the data and COPY FROM
+    * '<path>'" — and deleteOnExit reclaims it with the session. */
+  private def copyInFromSpill(file: java.io.File, wc: WireCopy,
+      nCols: Int, strSchema: StructType,
+      csvQuotedNewline: Boolean): (DataFrame, Long) = {
+    if (wc.csv && csvQuotedNewline) {
+      file.delete()
+      throw new IllegalArgumentException(
+        s"COPY FROM STDIN (csv) payload exceeds the $copyInSpillBytes-" +
+          "byte in-memory threshold and contains quoted newlines, which " +
+          "the distributed linewise parse cannot split; stage the data " +
+          "and use COPY FROM '<path>' instead")
+    }
+    // plain locals only: the task closures must not capture `this`
+    // (a socket-holding server) or the class-nested WireCopy
+    val delim = wc.delim; val nul = wc.nul; val csv = wc.csv
+    import spark.implicits._
+    val parsed = spark.read.textFile(file.getAbsolutePath)
+      .map { l0 =>
+        val l = l0.stripSuffix("\r")
+        if (l == "\\.") null
+        // `l + "\n"` keeps blank-line semantics identical to the
+        // in-memory parse: a blank CSV line is a row with one empty
+        // unquoted field, not zero rows
+        else if (csv) CopyCodec.parseCsv(l + "\n", delim, nul).head
+        else CopyCodec.parseTextLine(l, delim, nul)
+      }
+      .filter(a => a != null)
+    parsed.filter(a => a.length != nCols).head(1).headOption.foreach { bad =>
+      throw new IllegalArgumentException(
+        s"COPY row has ${bad.length} fields, expected $nCols")
+    }
+    val strDf = spark.createDataFrame(
+      parsed.rdd.map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)),
+      strSchema)
+    (strDf, strDf.count())
+  }
+
+  /** PG text-format rows (per-line dialect in
+    * [[CopyCodec.parseTextLine]]): a `\\.` line terminates the data. An
+    * empty line is a row with one empty field (how PG writes a
+    * single-column empty string) — only the virtual segment after the
+    * final newline is not a row. */
   private[server] def parseCopyText(data: String,
       wc: WireCopy): Vector[Array[String]] = {
-    val rows = Vector.newBuilder[Array[String]]
     val segs = data.split("\n", -1)
     val lines: Seq[String] =
       if (segs.nonEmpty && segs.last.isEmpty) segs.dropRight(1).toSeq
       else segs.toSeq
-    val it = lines.iterator
+    lines.iterator
       .map(_.stripSuffix("\r"))
       .takeWhile(_ != "\\.")
-    for (l <- it) {
-      val fields = Vector.newBuilder[String]
-      val cur = new StringBuilder // decoded field value
-      val raw = new StringBuilder // undecoded source - `\N` detection
-      def flush(): Unit = {
-        // PG compares the RAW (pre-unescape) field to the null marker
-        fields += (if (raw.toString == wc.nul) null else cur.toString)
-        cur.clear(); raw.clear()
-      }
-      var i = 0
-      while (i < l.length) {
-        val c = l.charAt(i)
-        if (c == '\\' && i + 1 < l.length) {
-          val e = l.charAt(i + 1)
-          raw.append(c).append(e)
-          cur.append(e match {
-            case 'n' => '\n'
-            case 'r' => '\r'
-            case 't' => '\t'
-            case 'b' => '\b'
-            case 'f' => '\f'
-            case 'v' => '\u000b'
-            case o => o // incl. \\ and an escaped delimiter
-          })
-          i += 2
-        } else if (c == wc.delim) { flush(); i += 1 }
-        else { cur.append(c); raw.append(c); i += 1 }
-      }
-      flush()
-      rows += fields.result().toArray
-    }
-    rows.result()
+      .map(CopyCodec.parseTextLine(_, wc.delim, wc.nul))
+      .toVector
   }
 
-  /** CSV rows with quoted fields (embedded delimiters/newlines/doubled
-    * quotes); an UNQUOTED field equal to the null marker is NULL -
-    * quoted values are never null (PG CSV semantics). */
+  /** CSV rows — PG dialect, see [[CopyCodec.parseCsv]]. */
   private[server] def parseCopyCsv(data: String,
-      wc: WireCopy): Vector[Array[String]] = {
-    val rows = Vector.newBuilder[Array[String]]
-    var fields = Vector.newBuilder[String]
-    val cur = new StringBuilder
-    var quoted = false // current field was ever inside quotes
-    var inQuote = false
-    var pending = false // chars consumed since the last emitted row
-    def endField(): Unit = {
-      val s = cur.toString
-      fields += (if (!quoted && s == wc.nul) null else s)
-      cur.clear(); quoted = false
-    }
-    // EVERY newline ends a row — a blank line is a row with one empty
-    // unquoted field (NULL under the default '' marker), as PG reads it
-    def endRow(): Unit = {
-      endField()
-      rows += fields.result().toArray
-      fields = Vector.newBuilder[String]
-      pending = false
-    }
-    var i = 0
-    while (i < data.length) {
-      val c = data.charAt(i)
-      if (inQuote) {
-        if (c == '"') {
-          if (i + 1 < data.length && data.charAt(i + 1) == '"') {
-            cur.append('"'); i += 2
-          } else { inQuote = false; i += 1 }
-        } else { cur.append(c); i += 1 }
-      } else c match {
-        case '"' =>
-          inQuote = true; quoted = true; pending = true; i += 1
-        case d if d == wc.delim => endField(); pending = true; i += 1
-        case '\r' if i + 1 < data.length && data.charAt(i + 1) == '\n' =>
-          endRow(); i += 2
-        case '\n' | '\r' => endRow(); i += 1
-        case ch => cur.append(ch); pending = true; i += 1
-      }
-    }
-    if (pending || cur.nonEmpty || quoted) endRow() // no trailing newline
-    rows.result()
-  }
+      wc: WireCopy): Vector[Array[String]] =
+    CopyCodec.parseCsv(data, wc.delim, wc.nul)
 
   // ------------------------------------------------------- extended flow
 
@@ -1552,5 +1584,100 @@ object PgServeMain {
       bindAddress = bind)
     println(s"""{"listening": ${server.boundPort}}""")
     Thread.currentThread.join()
+  }
+}
+
+/** The COPY wire-format dialects as pure, serializable functions — a
+  * top-level object so the spilled COPY FROM STDIN path can run them
+  * DISTRIBUTED over the spooled file (closures over the server class,
+  * or its nested WireCopy, would drag a socket-holding `this` into the
+  * task and fail serialization).
+  *
+  * Reference semantics: PostgreSQL COPY text/csv formats as psql's
+  * \copy emits them (`src/framequery/alchemy/dbapi.py:5-161` is the
+  * reference's client-protocol role; the formats themselves are public
+  * PG documentation).
+  */
+private[server] object CopyCodec extends Serializable {
+
+  /** One PG text-format line: delimiter-separated fields, backslash
+    * escapes, a field whose RAW source equals the null marker (default
+    * `\N`) is NULL. PG compares the raw (pre-unescape) field to the
+    * marker, so an escaped `\\N` is the two-char string, never NULL. */
+  def parseTextLine(l: String, delim: Char, nul: String): Array[String] = {
+    val fields = Vector.newBuilder[String]
+    val cur = new StringBuilder // decoded field value
+    val raw = new StringBuilder // undecoded source - `\N` detection
+    def flush(): Unit = {
+      fields += (if (raw.toString == nul) null else cur.toString)
+      cur.clear(); raw.clear()
+    }
+    var i = 0
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (c == '\\' && i + 1 < l.length) {
+        val e = l.charAt(i + 1)
+        raw.append(c).append(e)
+        cur.append(e match {
+          case 'n' => '\n'
+          case 'r' => '\r'
+          case 't' => '\t'
+          case 'b' => '\b'
+          case 'f' => '\f'
+          case 'v' => '\u000b'
+          case o => o // incl. \\ and an escaped delimiter
+        })
+        i += 2
+      } else if (c == delim) { flush(); i += 1 }
+      else { cur.append(c); raw.append(c); i += 1 }
+    }
+    flush()
+    fields.result().toArray
+  }
+
+  /** CSV rows with quoted fields (embedded delimiters/newlines/doubled
+    * quotes); an UNQUOTED field equal to the null marker is NULL -
+    * quoted values are never null (PG CSV semantics). */
+  def parseCsv(data: String, delim: Char, nul: String): Vector[Array[String]] = {
+    val rows = Vector.newBuilder[Array[String]]
+    var fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quoted = false // current field was ever inside quotes
+    var inQuote = false
+    var pending = false // chars consumed since the last emitted row
+    def endField(): Unit = {
+      val s = cur.toString
+      fields += (if (!quoted && s == nul) null else s)
+      cur.clear(); quoted = false
+    }
+    // EVERY newline ends a row — a blank line is a row with one empty
+    // unquoted field (NULL under the default '' marker), as PG reads it
+    def endRow(): Unit = {
+      endField()
+      rows += fields.result().toArray
+      fields = Vector.newBuilder[String]
+      pending = false
+    }
+    var i = 0
+    while (i < data.length) {
+      val c = data.charAt(i)
+      if (inQuote) {
+        if (c == '"') {
+          if (i + 1 < data.length && data.charAt(i + 1) == '"') {
+            cur.append('"'); i += 2
+          } else { inQuote = false; i += 1 }
+        } else { cur.append(c); i += 1 }
+      } else c match {
+        case '"' =>
+          inQuote = true; quoted = true; pending = true; i += 1
+        case d if d == delim => endField(); pending = true; i += 1
+        case '\r' if i + 1 < data.length && data.charAt(i + 1) == '\n' =>
+          endRow(); i += 2
+        case '\n' | '\r' => endRow(); i += 1
+        case ch => cur.append(ch); pending = true; i += 1
+      }
+    }
+    if (pending || cur.nonEmpty || quoted) endRow() // no trailing newline
+    rows.result()
   }
 }

@@ -923,4 +923,77 @@ class PgWireSpec extends AnyFunSuite {
         s"re-Execute must send no rows, tags=${m3.map(_.tag)}")
     }
   }
+
+  test("COPY FROM STDIN spills past the threshold: distributed parse, identical dialect") {
+    // threshold lowered to 2 KB so a multi-KB payload exercises the
+    // spool-to-temp-file + distributed-parse path without staging
+    // gigabytes; frames are chopped mid-row (and mid-field) so the
+    // spooler must reassemble records across CopyData boundaries
+    val server = new PgWireServer(spark,
+      Map("bulk" -> Seq((0L, "seed")).toDF("id", "s")),
+      copyInSpillBytes = 2048)
+    val c = new WireClient(server.boundPort)
+    try {
+      c.startup()
+      // ---- text format: escapes, NULL marker, escaped newline ----
+      val textRows =
+        (1 to 600).map(i => s"$i\tv$i\n") ++
+          Seq("700001\ta\\tb\n", "700002\t\\N\n", "700003\tx\\ny\n")
+      val payload = textRows.mkString
+      assert(payload.length > 2 * 2048, "payload must exceed the threshold")
+      val r1 = c.copyIn("COPY bulk FROM STDIN", payload.grouped(1000).toSeq)
+      assert(r1.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 603")),
+        s"tags=${r1.map(_.tag)} err=${r1.filter(_.tag == 'E').map(m => str(m.body))}")
+      assert(server.copyInSpills.get == 1, "payload did not take the spill path")
+      val agg = c.query(
+        "select count(*) as n, sum(id) as t from bulk where id between 1 and 600")
+        .filter(_.tag == 'D').map(dataRow)
+      assert(agg == Seq(Seq(Some("600"),
+        Some((1 to 600).map(_.toLong).sum.toString))), agg.toString)
+      // dialect identical to the in-memory parse: escapes decode, raw
+      // marker is NULL, escaped newline becomes a real one
+      val specials = c.query("select id, s from bulk where id > 700000 order by id")
+        .filter(_.tag == 'D').map(dataRow)
+      assert(specials == Seq(
+        Seq(Some("700001"), Some("a\tb")),
+        Seq(Some("700002"), None),
+        Seq(Some("700003"), Some("x\ny"))), specials.toString)
+
+      // ---- csv with header, quoting, unquoted-empty NULL, spilled ----
+      val csvPayload = ("id,s\n" +
+        (1 to 400).map(i => s"${800000 + i},w$i\n").mkString +
+        "800501,\"q,\"\"x\"\"\"\n" + "800502,\n" + "800503,\"\"\n")
+      val r2 = c.copyIn("COPY bulk FROM STDIN WITH CSV HEADER",
+        csvPayload.grouped(900).toSeq)
+      assert(r2.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 403")),
+        s"tags=${r2.map(_.tag)} err=${r2.filter(_.tag == 'E').map(m => str(m.body))}")
+      assert(server.copyInSpills.get == 2)
+      val csvSpecials = c.query(
+        "select id, s from bulk where id > 800500 order by id")
+        .filter(_.tag == 'D').map(dataRow)
+      assert(csvSpecials == Seq(
+        Seq(Some("800501"), Some("q,\"x\"")),
+        Seq(Some("800502"), None),
+        Seq(Some("800503"), Some(""))), csvSpecials.toString)
+
+      // ---- spilled CSV with quoted newlines: refused cleanly ----
+      val nlPayload =
+        (1 to 300).map(i => s"${900000 + i},\"a\nb\"\n").mkString
+      val r3 = c.copyIn("COPY bulk FROM STDIN WITH CSV",
+        nlPayload.grouped(800).toSeq)
+      assert(r3.exists(m => m.tag == 'E' &&
+        str(m.body).contains("quoted newlines")),
+        s"tags=${r3.map(_.tag)} err=${r3.filter(_.tag == 'E').map(m => str(m.body))}")
+      // ---- spilled text with a wrong-arity row: same error as in-memory ----
+      val badPayload =
+        ((1 to 300).map(i => s"${910000 + i}\tz\n") :+ "910999\tz\tz\n").mkString
+      val r4 = c.copyIn("COPY bulk FROM STDIN", badPayload.grouped(800).toSeq)
+      assert(r4.exists(m => m.tag == 'E' && str(m.body).contains("3 fields")),
+        s"tags=${r4.map(_.tag)} err=${r4.filter(_.tag == 'E').map(m => str(m.body))}")
+      // neither failed COPY added rows; the connection still serves
+      val n = c.query("select count(*) as n from bulk where id > 900000")
+        .filter(_.tag == 'D').map(dataRow)
+      assert(n == Seq(Seq(Some("0"))), n.toString)
+    } finally { c.close(); server.close() }
+  }
 }
