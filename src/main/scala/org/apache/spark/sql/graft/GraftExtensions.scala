@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.SparkSession
 
-/** Session wiring for graft's native expressions.
+/** Session wiring for graft's native expressions and the `graft_sql`
+  * dialect gateway.
   *
   * Two paths, same registrations:
   *  - `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
@@ -14,11 +15,18 @@ import org.apache.spark.sql.classic.SparkSession
   *
   * After either, `spark.sql("select float_dot(a, b) ...")` — and the
   * graft dialect engine, whose function registry falls through to
-  * `call_function` — resolve to the codegen'd native expressions.
-  */
+  * `call_function` — resolve to the codegen'd native expressions, and
+  * `SELECT * FROM graft_sql('<dialect stmt>')` executes graft dialect
+  * SQL from ANY Spark SQL surface — including a remote Spark Connect
+  * client, which otherwise submits only Spark SQL (the reference's
+  * "remote client executes dialect SQL" role,
+  * `src/framequery/alchemy/dialect.py:13-62`, over the Spark-native
+  * wire as well as the PG wire). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    ext.injectTableFunction(GraftFunctions.graftSqlDescription)
+  }
 }
 
 object GraftFunctions {
@@ -37,9 +45,76 @@ object GraftFunctions {
         (args: Seq[Expression]) => FloatDoubleDist2(args(0), args(1))))
 
   /** Register on an already-built session (temp function registry). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     descriptions.foreach { case (ident, _, builder) =>
       spark.asInstanceOf[SparkSession].sessionState.functionRegistry
         .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
     }
+    spark.asInstanceOf[SparkSession].sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(
+        "graft_sql", graftSqlDescription._3, "built-in")
+  }
+
+  /** `graft_sql('<stmt>')` — the dialect gateway as a Spark SQL TABLE
+    * function. The statement (or ';'-separated script) runs through the
+    * graft [[graft.exec.Executor]] cluster-side against a scope
+    * assembled from everything the calling session can see (temp views,
+    * global temp views, catalog tables), and the call resolves to the
+    * result relation. Dialect statements that CREATE or mutate scope
+    * tables republish them as session temp views, so a remote session
+    * carries dialect state across calls:
+    * `graft_sql('create table t as ...')` then
+    * `graft_sql('select ... from t')`.
+    *
+    * The statement must be a string LITERAL: the dialect compile needs
+    * the text at analysis time (which is also when any DDL side effect
+    * runs — a re-analyzed plan re-executes it, same as re-submitting
+    * the statement). Statements with no result set resolve to a one-row
+    * `status` relation carrying the command tag. */
+  val graftSqlDescription: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    (FunctionIdentifier("graft_sql"),
+      info("graft_sql",
+        "graft_sql(stmt) - execute a graft dialect SQL statement and return its result relation"),
+      (args: Seq[Expression]) => graftSqlPlan(args))
+
+  private def graftSqlPlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types.StringType
+    require(args.length == 1 && args.head.foldable &&
+      args.head.dataType == StringType,
+      "graft_sql expects exactly one string literal argument")
+    val stmt = Option(args.head.eval()).map(_.toString).getOrElse(
+      throw new IllegalArgumentException("graft_sql: statement is NULL"))
+    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("graft_sql: no active SparkSession"))
+    // scope = every table the calling session can see, keyed by bare
+    // name (the dialect's flat-scope model; global temp views span
+    // Connect client sessions, which is how a remote caller reaches
+    // graft-published results)
+    val names = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    scala.util.Try(session.catalog.listTables("global_temp").collect())
+      .getOrElse(Array.empty)
+      .foreach(t => names += (t.name -> s"global_temp.`${t.name}`"))
+    scala.util.Try(session.catalog.listTables().collect())
+      .getOrElse(Array.empty)
+      .foreach(t => names += (t.name -> s"`${t.name}`")) // temp shadows global
+    val scope0: Map[String, org.apache.spark.sql.DataFrame] =
+      names.map { case (n, ref) => n -> session.table(ref) }.toMap
+    val exec = new graft.exec.Executor(session, scope0)
+    val result = exec.executeScript(stmt)
+    // republish dialect-created/mutated tables as session temp views so
+    // the next graft_sql (or plain Spark SQL) call sees them
+    exec.tableNames.foreach { n =>
+      exec.table(n).foreach { df =>
+        if (!scope0.get(n).exists(_ eq df)) df.createOrReplaceTempView(n)
+      }
+    }
+    result
+      .getOrElse {
+        val tag = exec.lastCommandTag.getOrElse("OK").replace("'", "''")
+        session.sql(s"SELECT '$tag' AS status")
+      }
+      .queryExecution.analyzed
+  }
 }

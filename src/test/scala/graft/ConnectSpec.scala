@@ -74,4 +74,63 @@ class ConnectSpec extends AnyFunSuite {
       } finally conn.close()
     } finally bridge.stop()
   }
+
+  test("graft DIALECT executes remotely over Connect via graft_sql") {
+    assume(clientJars.forall(_.exists()),
+      "Spark Connect client jars not shipped in this image")
+    val bridge = org.apache.spark.sql.connect.service.GraftConnectBridge
+    val port = bridge.start(spark.sparkContext, 0)
+    try {
+      // the data a remote analyst would reach: a global temp view
+      // (spans the per-client sessions the Connect service creates)
+      import spark.implicits._
+      val jdoc = Seq(
+        (1L, """{"a": 10, "b": 20}"""), (2L, """{"c": 30}"""))
+        .toDF("doc_id", "payload")
+      jdoc.createOrReplaceGlobalTempView("gconn_jdoc")
+      // local expected result: the same dialect statement through the
+      // engine directly (:: casts + json_each lateral are graft
+      // dialect — plain Spark SQL cannot parse them)
+      val stmt = "select d.doc_id, j.key, j.value::int as v " +
+        "from gconn_jdoc d, lateral json_each(d.payload::json) j " +
+        "order by d.doc_id, j.key"
+      val expect = new graft.exec.Executor(spark,
+        Map("gconn_jdoc" -> jdoc)).query(stmt)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      val loader = new java.net.URLClassLoader(
+        clientJars.map(_.toURI.toURL).toArray,
+        Thread.currentThread.getContextClassLoader)
+      val drv = Class.forName(
+        "org.apache.spark.sql.connect.client.jdbc.SparkConnectDriver",
+        true, loader).getDeclaredConstructor().newInstance()
+        .asInstanceOf[java.sql.Driver]
+      val conn = drv.connect(s"jdbc:sc://localhost:$port",
+        new java.util.Properties)
+      try {
+        val st = conn.createStatement()
+        // the remote client submits Spark SQL; graft_sql carries the
+        // dialect statement through it
+        val r = st.executeQuery(
+          s"SELECT * FROM graft_sql('${stmt.replace("'", "''")}')")
+        val got = Iterator.continually(r)
+          .takeWhile(_.next())
+          .map(rs => (rs.getLong(1), rs.getString(2), rs.getInt(3)))
+          .toSeq
+        r.close()
+        assert(got == expect,
+          s"remote dialect result $got != local $expect")
+        // dialect state carries across calls within the remote session:
+        // CTAS republishes as a temp view the next graft_sql sees
+        val r2 = st.executeQuery(
+          "SELECT * FROM graft_sql('create table gconn_ct as " +
+            "select doc_id * 10 as x from gconn_jdoc')")
+        assert(r2.next()); r2.close()
+        val r3 = st.executeQuery(
+          "SELECT * FROM graft_sql('select sum(x) as s from gconn_ct')")
+        assert(r3.next() && r3.getLong("s") == 30L)
+        r3.close()
+        st.close()
+      } finally conn.close()
+    } finally bridge.stop()
+  }
 }

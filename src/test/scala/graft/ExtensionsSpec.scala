@@ -181,6 +181,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cos.getLong(0) == 1L && math.abs(cos.getDouble(1) - 0.6) < 1e-6)
   }
 
+  test("graft_sql table function runs dialect SQL from Spark SQL") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    // dialect-only constructs (:: cast + json_each lateral) over a temp
+    // view the session owns — the scope assembles from the catalog
+    Seq((1L, """{"a": 10, "b": 20}"""), (2L, """{"c": 30}"""))
+      .toDF("doc_id", "payload").createOrReplaceTempView("gsql_jdoc")
+    val rows = spark.sql(
+      """select * from graft_sql(
+        |  'select d.doc_id, j.key, j.value::int as v
+        |   from gsql_jdoc d, lateral json_each(d.payload::json) j')
+        |order by doc_id, key""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1L, "a", 10), (1L, "b", 20), (2L, "c", 30)),
+      rows.mkString(","))
+    // dialect DDL republishes as a temp view: state carries across
+    // graft_sql calls AND into plain Spark SQL
+    val st = spark.sql(
+      "select * from graft_sql('create table gsql_ct as " +
+        "select doc_id * 10 as x from gsql_jdoc')").collect()
+    assert(st.length == 1 && st.head.getString(0).nonEmpty,
+      s"statement must resolve to a one-row status relation: ${st.mkString}")
+    val back = spark.sql(
+      "select * from graft_sql('select sum(x) as s from gsql_ct')")
+      .collect().head.getLong(0)
+    assert(back == 30L)
+    assert(spark.sql("select sum(x) from gsql_ct").collect()
+      .head.getLong(0) == 30L, "dialect-created table invisible to Spark SQL")
+    // a non-literal argument is a clear analysis error, not a crash
+    val e = intercept[Exception](spark.sql(
+      "select * from graft_sql(payload) ").collect())
+    assert(e.getMessage != null)
+  }
+
   test("TABLESAMPLE REPEATABLE is deterministic and ~fraction-sized") {
     val df = (0 until 4000).map(i => (i, i % 7)).toDF("id", "g")
     val exec = new Executor(spark, Map("big" -> df))

@@ -11,6 +11,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the production wiring (native expressions + the graft_sql
+      // dialect gateway) — also inherited by every session the Spark
+      // Connect service spawns for remote clients (ConnectSpec)
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
