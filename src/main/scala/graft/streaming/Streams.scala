@@ -621,6 +621,35 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  /** Embedding-drift monitor aggregation: the ARRIVING half (odd
+    * vec_id) reduced to one exact (decimal-sum / count) mean per
+    * dimension — state bounded by d, not volume. Shared by the
+    * complete-mode and update-mode gates. */
+  def emDriftMonitor(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 2 =!= 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(27, 12)))
+        .cast("double") / count(lit(1))).as("__mb"))
+
+  /** The embedding-drift gate tail: monitored per-dimension means
+    * joined against the static historical half, decimal math in
+    * lockstep with the batch em_drift. */
+  private def emDriftVsHistory(s: SparkSession, dir: String,
+      streamHalf: DataFrame): DataFrame = {
+    val hist = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 2 === 0)
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(27, 12)))
+        .cast("double") / count(lit(1))).as("__ma"))
+    hist.join(streamHalf, "i")
+      .select(col("i"), round(col("__ma"), 6).as("mean_a"),
+        round(col("__mb"), 6).as("mean_b"),
+        round(abs(col("__ma") - col("__mb")), 6).as("shift"))
+      .orderBy(col("i"))
+  }
+
   /** Drift-cell monitor aggregation (per (source, lang) arrival counts)
     * — shared by the complete-mode and update-mode gates. */
   def driftCellMonitor(docs: DataFrame): DataFrame =
@@ -747,22 +776,19 @@ object Streams {
     // stream completion. Output (and oracle) identical to em_drift.
     "st_em_drift" -> ((s, dir) => {
       val streamHalf = runToCompletion(s,
-        readEmbeddings(s, dir).filter(col("vec_id") % 2 =!= 0)
-          .select(posexplode(col("embedding")).as(Seq("i", "v")))
-          .groupBy(col("i"))
-          .agg((sum(col("v").cast("double").cast(DecimalType(27, 12)))
-            .cast("double") / count(lit(1))).as("__mb")))
-      val hist = Tables.load(s, dir, "embeddings")
-        .filter(col("vec_id") % 2 === 0)
-        .select(posexplode(col("embedding")).as(Seq("i", "v")))
-        .groupBy(col("i"))
-        .agg((sum(col("v").cast("double").cast(DecimalType(27, 12)))
-          .cast("double") / count(lit(1))).as("__ma"))
-      hist.join(streamHalf, "i")
-        .select(col("i"), round(col("__ma"), 6).as("mean_a"),
-          round(col("__mb"), 6).as("mean_b"),
-          round(abs(col("__ma") - col("__mb")), 6).as("shift"))
-        .orderBy(col("i"))
+        emDriftMonitor(readEmbeddings(s, dir)))
+      emDriftVsHistory(s, dir, streamHalf)
+    }),
+    // the same embedding-drift monitor in UPDATE mode: one cell per
+    // dimension, per-trigger emission = dimensions the batch touched,
+    // exactly-once epoch log with cadence compaction, latest-wins view
+    // through the identical historical-join tail — st_em_drift's (=
+    // em_drift's) oracle verbatim
+    "st_em_drift_update" -> ((s, dir) => {
+      val out = updateLogDir(s, "emd", dir)
+      runUpdateMonitor(s, emDriftMonitor(readEmbeddings(s, dir)), out,
+        compactEvery = 2, keys = Seq("i"))
+      emDriftVsHistory(s, dir, latestCells(s, out, Seq("i")))
     }),
     // streaming distinct-user monitor: HLL++ is a MERGEABLE aggregate,
     // so Structured Streaming maintains it incrementally with one
@@ -924,6 +950,8 @@ object Streams {
         |  CAST(1 AS BIGINT) AS same_as_rebuild""".stripMargin,
     // identical halves, identical decimal-exact math → identical oracle
     "st_em_drift" -> graft.operators.Similarity.oracleSql("em_drift"),
+    // update-mode incremental == complete-mode == batch: same oracle
+    "st_em_drift_update" -> graft.operators.Similarity.oracleSql("em_drift"),
     // exact side reproduced; the streamed-HLL tolerance flag asserted
     "st_distinct_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS d_exact,

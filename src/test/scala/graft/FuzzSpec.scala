@@ -108,4 +108,28 @@ class FuzzSpec extends AnyFunSuite {
   test("60 v3 recursive CTEs: graft fixpoint agrees with Spark's native recursion") {
     differential(SqlFuzzer.corpusV3())
   }
+
+  test("graft_sql gateway preserves dialect semantics over a corpus sample") {
+    // the Connect-facing dialect gateway must be semantics-neutral: for
+    // any dialect statement, `SELECT * FROM graft_sql('<stmt>')` from
+    // Spark SQL returns exactly what the engine returns directly. A
+    // strided sample of the pinned v1+v2 corpora (40 shapes: joins,
+    // subqueries, windows, CTEs, nested aggs) pins it; the statement
+    // rides a named PARAMETER, so no escaping can distort it.
+    exec // force the fuzz tables into the session catalog as temp views
+    val sample = (SqlFuzzer.corpus() ++ SqlFuzzer.corpusV2()).zipWithIndex
+      .collect { case (sql, i) if i % 25 == 7 => sql }
+    assert(sample.length >= 40)
+    val failures = Seq.newBuilder[String]
+    sample.foreach { sql =>
+      val direct = normalized(exec.query(sql))
+      val gated = normalized(
+        spark.sql("select * from graft_sql(:stmt)", Map("stmt" -> sql)))
+      if (direct != gated)
+        failures += s"gateway diverged: direct=${direct._2.length} rows, " +
+          s"gated=${gated._2.length} rows\n  $sql"
+    }
+    val f = failures.result()
+    assert(f.isEmpty, s"${f.length}/${sample.length}:\n${f.take(5).mkString("\n")}")
+  }
 }
