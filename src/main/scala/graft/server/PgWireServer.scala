@@ -934,37 +934,85 @@ final class PgWireServer(spark: SparkSession,
     // error after CopyDone; only a nonsensical length (< 4 — the
     // stream itself can no longer be trusted) closes the connection.
     val buf = new java.io.ByteArrayOutputStream()
-    var spillFile: java.io.File = null
+    var spillPath: org.apache.hadoop.fs.Path = null
+    var spillFs: org.apache.hadoop.fs.FileSystem = null
     var spillOut: java.io.OutputStream = null
-    // Spill-path guards tracked BYTE-wise while spooling ('"' and '\n'
-    // are ASCII and never occur inside a UTF-8 multibyte sequence):
-    // CSV records may legally contain quoted newlines, which the
-    // distributed linewise split would tear — detect here, refuse
-    // cleanly after CopyDone. The header line (if any) is stripped
-    // during spooling, since "first row" is not a distributed notion.
+    // Spill-path guards tracked BYTE-wise while spooling (every byte
+    // the machine inspects — '"', '\\', '.', CR, LF — is ASCII and
+    // never occurs inside a UTF-8 multibyte sequence):
+    //  - CSV records may legally contain quoted newlines (LF or a bare
+    //    CR — Hadoop's line reader splits on both), which the
+    //    distributed linewise split would tear: detect, refuse cleanly
+    //    after CopyDone.
+    //  - an UNQUOTED `\.` line is the end-of-data marker (PG rule for
+    //    both formats): stop spooling there so everything after it is
+    //    dropped, exactly as the in-memory parsers do.
+    //  - the header line (if any) is stripped here, since "first row"
+    //    is not a distributed notion.
     var csvInQuote = false
     var csvQuotedNewline = false
     var skipHeader = wc.header
-    def trackCsv(b: Array[Byte], from: Int, until: Int): Unit =
-      if (wc.csv) {
-        var j = from
-        while (j < until) {
-          val c = b(j)
-          if (c == '"') csvInQuote = !csvInQuote
-          else if (c == '\n' && csvInQuote) csvQuotedNewline = true
-          j += 1
-        }
-      }
+    var atLineStart = true
+    var termState = 0 // 1: saw \ at line start; 2: saw \.; 3: saw \.CR
+    var terminated = false
+    val frameBuf = new java.io.ByteArrayOutputStream()
     def spillWrite(bytes: Array[Byte]): Unit = {
       var off = 0
       if (skipHeader) {
         val nl = bytes.indexOf('\n'.toByte)
-        trackCsv(bytes, 0, if (nl < 0) bytes.length else nl + 1)
+        if (wc.csv) {
+          var j = 0
+          val until = if (nl < 0) bytes.length else nl + 1
+          while (j < until) {
+            if (bytes(j) == '"') csvInQuote = !csvInQuote; j += 1
+          }
+        }
         if (nl < 0) return // header spans frames; keep skipping
         off = nl + 1; skipHeader = false
       }
-      trackCsv(bytes, off, bytes.length)
-      spillOut.write(bytes, off, bytes.length - off)
+      frameBuf.reset()
+      var j = off
+      while (j < bytes.length && !terminated) {
+        val b = bytes(j)
+        // the `\.` machine withholds at most 3 bytes ("\\." + CR) until
+        // the line either confirms as the terminator or flushes as data
+        termState match {
+          case 1 =>
+            if (b == '.') termState = 2
+            else {
+              frameBuf.write('\\'); termState = 0; atLineStart = false
+              j -= 1 // reprocess b as a plain byte
+            }
+          case 2 =>
+            if (b == '\n') terminated = true
+            else if (b == '\r') termState = 3
+            else {
+              frameBuf.write('\\'); frameBuf.write('.')
+              termState = 0; atLineStart = false
+              j -= 1
+            }
+          case 3 =>
+            if (b == '\n') terminated = true
+            else {
+              frameBuf.write('\\'); frameBuf.write('.'); frameBuf.write('\r')
+              termState = 0; atLineStart = false
+              j -= 1
+            }
+          case _ =>
+            if (atLineStart && !csvInQuote && b == '\\') termState = 1
+            else {
+              if (wc.csv) {
+                if (b == '"') csvInQuote = !csvInQuote
+                else if ((b == '\n' || b == '\r') && csvInQuote)
+                  csvQuotedNewline = true
+              }
+              frameBuf.write(b)
+              atLineStart = b == '\n'
+            }
+        }
+        j += 1
+      }
+      frameBuf.writeTo(spillOut)
     }
     var fail: Option[String] = None
     var copying = true
@@ -994,11 +1042,19 @@ final class PgWireServer(spark: SparkSession,
           if (fail.isEmpty) {
             if (spillOut == null &&
                 buf.size + body.length > copyInSpillBytes) {
-              spillFile =
-                java.io.File.createTempFile("graft_copyin_", ".dat")
-              spillFile.deleteOnExit()
+              // spool on the session's DEFAULT Hadoop filesystem, not
+              // the driver's local /tmp: on a real cluster the
+              // distributed parse schedules tasks on executors that
+              // cannot read a driver-local file (in local mode the
+              // default FS is file:// and this degrades to a temp file)
+              spillFs = org.apache.hadoop.fs.FileSystem.get(
+                spark.sparkContext.hadoopConfiguration)
+              spillPath = new org.apache.hadoop.fs.Path(
+                spillFs.getHomeDirectory,
+                s".graft_copyin/copyin-${java.util.UUID.randomUUID}.dat")
               spillOut = new java.io.BufferedOutputStream(
-                new java.io.FileOutputStream(spillFile), 1 << 16)
+                spillFs.create(spillPath, true), 1 << 16)
+              spillFs.deleteOnExit(spillPath)
               copyInSpills.incrementAndGet()
               spillWrite(buf.toByteArray); buf.reset()
             }
@@ -1014,9 +1070,15 @@ final class PgWireServer(spark: SparkSession,
             s"unexpected message '$other' during COPY FROM STDIN")
       }
     }
-    if (spillOut != null) spillOut.close()
+    if (spillOut != null) {
+      // a `\.` prefix pending at EOF IS the terminator (PG allows the
+      // marker as the final line with no trailing newline); a lone
+      // withheld backslash was data after all
+      if (!terminated && termState == 1) spillOut.write('\\')
+      spillOut.close()
+    }
     fail.foreach { msg =>
-      if (spillFile != null) spillFile.delete()
+      if (spillPath != null) spillFs.delete(spillPath, false)
       throw new IllegalArgumentException(msg)
     }
     import scala.jdk.CollectionConverters._
@@ -1024,8 +1086,8 @@ final class PgWireServer(spark: SparkSession,
     val strSchema = StructType(useCols.map(c =>
       org.apache.spark.sql.types.StructField(c, StringType)))
     val (strDf, nRows): (DataFrame, Long) =
-      if (spillFile != null)
-        copyInFromSpill(spillFile, wc, useCols.length, strSchema,
+      if (spillPath != null)
+        copyInFromSpill(spillFs, spillPath, wc, useCols.length, strSchema,
           csvQuotedNewline)
       else {
         val data = new String(buf.toByteArray, StandardCharsets.UTF_8)
@@ -1080,19 +1142,21 @@ final class PgWireServer(spark: SparkSession,
   /** Distributed parse of a spooled COPY FROM STDIN payload: the spool
     * file reads linewise (text-format rows never contain raw newlines
     * — they arrive escaped; a CSV payload with quoted newlines was
-    * detected during spooling and is refused here rather than torn),
-    * and every line decodes through the SAME [[CopyCodec]] dialect the
-    * in-memory path uses — payload size never changes semantics. The
-    * `\.` terminator line is dropped wherever it appears (PG clients
-    * only ever send it last). The spool file must outlive the COPY:
+    * detected during spooling and is refused here rather than torn;
+    * the unquoted `\.` end-of-data marker already STOPPED the spool,
+    * so nothing after it is on disk), and every line decodes through
+    * the SAME [[CopyCodec]] dialect the in-memory path uses — payload
+    * size never changes semantics. The spool file lives on the
+    * session's default Hadoop filesystem and must outlive the COPY:
     * the loaded relation reads it lazily on every downstream query —
     * the automatic equivalent of "stage the data and COPY FROM
     * '<path>'" — and deleteOnExit reclaims it with the session. */
-  private def copyInFromSpill(file: java.io.File, wc: WireCopy,
+  private def copyInFromSpill(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, wc: WireCopy,
       nCols: Int, strSchema: StructType,
       csvQuotedNewline: Boolean): (DataFrame, Long) = {
     if (wc.csv && csvQuotedNewline) {
-      file.delete()
+      fs.delete(path, false)
       throw new IllegalArgumentException(
         s"COPY FROM STDIN (csv) payload exceeds the $copyInSpillBytes-" +
           "byte in-memory threshold and contains quoted newlines, which " +
@@ -1103,25 +1167,27 @@ final class PgWireServer(spark: SparkSession,
     // (a socket-holding server) or the class-nested WireCopy
     val delim = wc.delim; val nul = wc.nul; val csv = wc.csv
     import spark.implicits._
-    val parsed = spark.read.textFile(file.getAbsolutePath)
+    val parsed = spark.read.textFile(path.toString)
       .map { l0 =>
         val l = l0.stripSuffix("\r")
-        if (l == "\\.") null
         // `l + "\n"` keeps blank-line semantics identical to the
         // in-memory parse: a blank CSV line is a row with one empty
         // unquoted field, not zero rows
-        else if (csv) CopyCodec.parseCsv(l + "\n", delim, nul).head
+        if (csv) CopyCodec.parseCsv(l + "\n", delim, nul).head
         else CopyCodec.parseTextLine(l, delim, nul)
       }
-      .filter(a => a != null)
-    parsed.filter(a => a.length != nCols).head(1).headOption.foreach { bad =>
+    // one pass answers both gate questions (row count + any wrong-arity
+    // row with its arity); the relation itself stays lazy — downstream
+    // queries re-read the spool exactly like a path-COPY would
+    val arities = parsed.groupByKey(_.length).count().collect().toMap
+    arities.keys.find(_ != nCols).foreach { bad =>
       throw new IllegalArgumentException(
-        s"COPY row has ${bad.length} fields, expected $nCols")
+        s"COPY row has $bad fields, expected $nCols")
     }
     val strDf = spark.createDataFrame(
       parsed.rdd.map(a => org.apache.spark.sql.Row.fromSeq(a.toSeq)),
       strSchema)
-    (strDf, strDf.count())
+    (strDf, arities.values.sum)
   }
 
   /** PG text-format rows (per-line dialect in
@@ -1637,7 +1703,8 @@ private[server] object CopyCodec extends Serializable {
 
   /** CSV rows with quoted fields (embedded delimiters/newlines/doubled
     * quotes); an UNQUOTED field equal to the null marker is NULL -
-    * quoted values are never null (PG CSV semantics). */
+    * quoted values are never null, and an unquoted `\.` line is the
+    * end-of-data marker (PG CSV semantics). */
   def parseCsv(data: String, delim: Char, nul: String): Vector[Array[String]] = {
     val rows = Vector.newBuilder[Array[String]]
     var fields = Vector.newBuilder[String]
@@ -1658,26 +1725,40 @@ private[server] object CopyCodec extends Serializable {
       fields = Vector.newBuilder[String]
       pending = false
     }
+    // an unquoted `\.` alone on a line is PG's end-of-data marker in
+    // CSV too: parsing stops there and the rest of the payload is
+    // ignored (a QUOTED "\." stays data)
+    var lineStart = true
+    var done = false
     var i = 0
-    while (i < data.length) {
+    while (i < data.length && !done) {
       val c = data.charAt(i)
       if (inQuote) {
+        lineStart = false
         if (c == '"') {
           if (i + 1 < data.length && data.charAt(i + 1) == '"') {
             cur.append('"'); i += 2
           } else { inQuote = false; i += 1 }
         } else { cur.append(c); i += 1 }
+      } else if (lineStart && c == '\\' && i + 1 < data.length &&
+          data.charAt(i + 1) == '.' &&
+          (i + 2 >= data.length || data.charAt(i + 2) == '\n' ||
+            data.charAt(i + 2) == '\r')) {
+        done = true
       } else c match {
         case '"' =>
-          inQuote = true; quoted = true; pending = true; i += 1
-        case d if d == delim => endField(); pending = true; i += 1
+          inQuote = true; quoted = true; pending = true; lineStart = false
+          i += 1
+        case d if d == delim =>
+          endField(); pending = true; lineStart = false; i += 1
         case '\r' if i + 1 < data.length && data.charAt(i + 1) == '\n' =>
-          endRow(); i += 2
-        case '\n' | '\r' => endRow(); i += 1
-        case ch => cur.append(ch); pending = true; i += 1
+          endRow(); lineStart = true; i += 2
+        case '\n' | '\r' => endRow(); lineStart = true; i += 1
+        case ch => cur.append(ch); pending = true; lineStart = false; i += 1
       }
     }
-    if (pending || cur.nonEmpty || quoted) endRow() // no trailing newline
+    if (!done && (pending || cur.nonEmpty || quoted))
+      endRow() // no trailing newline
     rows.result()
   }
 }

@@ -292,6 +292,14 @@ object ScaleProbe {
     val allOps = (ops ++ streamOps ++ graphOps ++ incOps ++ recOps ++ updOps)
       .filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
+    // build the update-log fixtures for EVERY factor up front (the
+    // warm-up below only touches f=1): with lazy construction the first
+    // timed run at each higher factor would include hundreds of
+    // appendEpoch calls and publish log-construction time as the probe
+    // measurement whenever runs-per-point is 1
+    if (allOps.exists(_._1.startsWith("update_log")))
+      for (f <- factors; c <- Seq(false, true)) logFor(f, c)
+
     // JIT/codegen warm-up outside the measured region
     allOps.foreach { case (_, op) =>
       op(1).write.mode("overwrite").format("noop").save()

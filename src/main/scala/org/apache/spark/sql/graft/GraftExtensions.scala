@@ -110,6 +110,17 @@ object GraftFunctions {
         if (!scope0.get(n).exists(_ eq df)) df.createOrReplaceTempView(n)
       }
     }
+    // ... and dialect DROPs must stick the same way: a scope name the
+    // script removed loses its temp view (then its global temp view).
+    // Persistent catalog tables are NOT deleted here — the dialect
+    // DROP is scope-level, and destroying warehouse data from a
+    // gateway call would be a privilege the PG-wire path doesn't
+    // exercise either.
+    val after = exec.tableNames.toSet
+    scope0.keysIterator.filterNot(after).foreach { n =>
+      if (!session.catalog.dropTempView(n))
+        session.catalog.dropGlobalTempView(n)
+    }
     result
       .getOrElse {
         val tag = exec.lastCommandTag.getOrElse("OK").replace("'", "''")

@@ -212,6 +212,15 @@ class ExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       "select * from graft_sql(payload) ").collect())
     assert(e.getMessage != null)
+    // dialect DROP sticks across calls: the republished temp view goes
+    // away too, so the next call (and plain Spark SQL) no longer see it
+    spark.sql("select * from graft_sql('drop table gsql_ct')").collect()
+    assert(!spark.catalog.tableExists("gsql_ct"),
+      "dropped dialect table still visible as a temp view")
+    val e2 = intercept[Exception](spark.sql(
+      "select * from graft_sql('select * from gsql_ct')").collect())
+    assert(String.valueOf(e2.getMessage).contains("not found"),
+      s"post-drop query must fail with not-found: ${e2.getMessage}")
   }
 
   test("TABLESAMPLE REPEATABLE is deterministic and ~fraction-sized") {

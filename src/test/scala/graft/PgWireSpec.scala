@@ -990,10 +990,44 @@ class PgWireSpec extends AnyFunSuite {
       val r4 = c.copyIn("COPY bulk FROM STDIN", badPayload.grouped(800).toSeq)
       assert(r4.exists(m => m.tag == 'E' && str(m.body).contains("3 fields")),
         s"tags=${r4.map(_.tag)} err=${r4.filter(_.tag == 'E').map(m => str(m.body))}")
-      // neither failed COPY added rows; the connection still serves
-      val n = c.query("select count(*) as n from bulk where id > 900000")
+      // ---- spilled CSV with a bare CR inside quotes: also refused ----
+      // (Hadoop's line reader splits on CR too, so the linewise parse
+      // would tear the record even without an LF)
+      val crPayload =
+        (1 to 300).map(i => s"${920000 + i},\"a\rb\"\n").mkString
+      val r5 = c.copyIn("COPY bulk FROM STDIN WITH CSV",
+        crPayload.grouped(800).toSeq)
+      assert(r5.exists(m => m.tag == 'E' &&
+        str(m.body).contains("quoted newlines")),
+        s"tags=${r5.map(_.tag)} err=${r5.filter(_.tag == 'E').map(m => str(m.body))}")
+      // ---- `\.` terminator parity: spooling stops at the marker ----
+      // rows after the terminator are dropped exactly as the in-memory
+      // text parse drops them (takeWhile)
+      val termPayload = (1 to 300).map(i => s"${930000 + i}\tt$i\n").mkString +
+        "\\.\n" + (1 to 50).map(i => s"${940000 + i}\tu$i\n").mkString
+      val r6 = c.copyIn("COPY bulk FROM STDIN", termPayload.grouped(700).toSeq)
+      assert(r6.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 300")),
+        s"tags=${r6.map(_.tag)} err=${r6.filter(_.tag == 'E').map(m => str(m.body))}")
+      val nt = c.query(
+        "select count(*) as n from bulk where id between 930000 and 950000")
         .filter(_.tag == 'D').map(dataRow)
-      assert(n == Seq(Seq(Some("0"))), n.toString)
+      assert(nt == Seq(Seq(Some("300"))), nt.toString)
     } finally { c.close(); server.close() }
+  }
+
+  test("CSV end-of-data marker: unquoted \\. terminates, quoted stays data") {
+    withServer() { c =>
+      c.startup()
+      // in-memory path (small payload): unquoted \. ends the data, the
+      // row after it is ignored; a QUOTED "\." is an ordinary value
+      val t = c.copyIn("COPY names FROM STDIN WITH CSV",
+        Seq("alpha\n\"\\.\"\n\\.\nbeta\n"))
+      assert(t.exists(m => m.tag == 'C' && str(m.body).startsWith("COPY 2")),
+        s"tags=${t.map(_.tag)} err=${t.filter(_.tag == 'E').map(m => str(m.body))}")
+      val rows = c.query(
+        "select s from names where s in ('alpha', 'beta', '\\.') order by s")
+        .filter(_.tag == 'D').map(dataRow)
+      assert(rows == Seq(Seq(Some("\\.")), Seq(Some("alpha"))), rows.toString)
+    }
   }
 }
