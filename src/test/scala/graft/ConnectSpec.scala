@@ -28,8 +28,11 @@ class ConnectSpec extends AnyFunSuite {
     .map(new java.io.File(_))
 
   test("Spark Connect JDBC client round-trips a graft query over gRPC") {
-    assume(clientJars.forall(_.exists()),
-      "Spark Connect client jars not shipped in this image")
+    // assert, not assume: the client jars ship since round 12, so their
+    // disappearance is an environment REGRESSION that must fail loudly
+    // instead of silently skipping the only remote-wire coverage
+    assert(clientJars.forall(_.exists()),
+      s"Spark Connect client jars vanished from the image: $clientJars")
     // in-process gRPC service on an ephemeral port (0 → bind any free)
     val bridge = org.apache.spark.sql.connect.service.GraftConnectBridge
     val port = bridge.start(spark.sparkContext, 0)
@@ -76,8 +79,11 @@ class ConnectSpec extends AnyFunSuite {
   }
 
   test("graft DIALECT executes remotely over Connect via graft_sql") {
-    assume(clientJars.forall(_.exists()),
-      "Spark Connect client jars not shipped in this image")
+    // assert, not assume: the client jars ship since round 12, so their
+    // disappearance is an environment REGRESSION that must fail loudly
+    // instead of silently skipping the only remote-wire coverage
+    assert(clientJars.forall(_.exists()),
+      s"Spark Connect client jars vanished from the image: $clientJars")
     val bridge = org.apache.spark.sql.connect.service.GraftConnectBridge
     val port = bridge.start(spark.sparkContext, 0)
     try {
