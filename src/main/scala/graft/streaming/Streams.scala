@@ -700,6 +700,21 @@ object Streams {
       runToCompletion(s, windowedCounts(readEvents(s, dir)))
         .orderBy(col("window_start"), col("event_type"))
     }),
+    // the windowed-count monitor in UPDATE mode WITH its watermark
+    // live: this is the bounded-state-over-unbounded-time production
+    // shape — the watermark retires window state an hour behind event
+    // time, per-trigger emission is the windows the batch touched, and
+    // the epoch log's latest-wins view still reconstructs every window
+    // ever emitted (retired windows keep their final emitted row). In-
+    // order ingestion has no late data, so the final view must equal
+    // the batch expansion — st_window_counts' oracle verbatim.
+    "st_window_update" -> ((s, dir) => {
+      val out = updateLogDir(s, "stw", dir)
+      runUpdateMonitor(s, windowedCounts(readEvents(s, dir)), out,
+        compactEvery = 2, keys = Seq("window_start", "event_type"))
+      latestCells(s, out, Seq("window_start", "event_type"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // sliding 2h windows every 30min: each event counted in exactly 4
     // overlapping windows; final state must equal the batch expansion
     "st_sliding_counts" -> ((s, dir) => {
@@ -963,6 +978,14 @@ object Streams {
         |  CAST(1 AS BIGINT) AS within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "st_window_counts" ->
+      """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // update-mode + watermark == complete mode == batch for in-order
+    // ingestion: same oracle
+    "st_window_update" ->
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
         |         '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,

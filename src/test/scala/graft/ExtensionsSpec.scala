@@ -212,6 +212,15 @@ class ExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       "select * from graft_sql(payload) ").collect())
     assert(e.getMessage != null)
+    // dialect COPY through the gateway: a remote client can trigger a
+    // cluster-side bulk load — the path is read lazily on the cluster,
+    // nothing rides the wire, and the loaded table persists as a view
+    spark.sql("select * from graft_sql(" +
+      "'copy gsql_region from ''/root/testdata/sf0.001/region.parquet'' " +
+      "with format ''parquet''')").collect()
+    assert(spark.sql(
+      "select * from graft_sql('select count(*) as n from gsql_region')")
+      .collect().head.getLong(0) == 5L)
     // dialect DROP sticks across calls: the republished temp view goes
     // away too, so the next call (and plain Spark SQL) no longer see it
     spark.sql("select * from graft_sql('drop table gsql_ct')").collect()

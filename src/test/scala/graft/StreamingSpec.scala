@@ -260,6 +260,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed update monitor: watermark retires state, latest-wins equals batch") {
+    import org.apache.spark.sql.functions._
+    // two TIME-ORDERED batches split at the median event time: by the
+    // time batch 1 processes, the watermark (1 h behind batch 0's max
+    // event time) has retired every window more than an hour before the
+    // split — their state is gone, but their final emitted rows live in
+    // the epoch log, so the latest-wins view still reconstructs the
+    // full history and must equal the batch expansion. This is the
+    // bounded-state-over-unbounded-time shape: state ~ live windows,
+    // log ~ all windows, reads ~ latest-wins (+ cadence compaction).
+    val ev = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val cutSec = ev.select(percentile_approx(
+      unix_timestamp(col("ts")), lit(0.5), lit(1000)).cast("long"))
+      .head().getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("graft_wupd").toString
+    val inDir = s"$base/in"; val logDir = s"$base/log"
+    ev.filter(unix_timestamp(col("ts")) < cutSec)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(1100)
+    ev.filter(unix_timestamp(col("ts")) >= cutSec)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    graft.streaming.Streams.runUpdateMonitor(spark,
+      graft.streaming.Streams.windowedCounts(stream), logDir,
+      compactEvery = 2, keys = Seq("window_start", "event_type"))
+    // per-trigger emission: batch 1 re-emits only ITS touched windows
+    // (new + the straddler), never batch 0's settled history
+    val emitted = spark.read.parquet(logDir).groupBy(col("__epoch"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lateCells = graft.streaming.Streams.windowedCounts(
+      ev.filter(unix_timestamp(col("ts")) >= cutSec - 3600)).count()
+    assert(emitted(1L) <= lateCells,
+      s"batch 1 re-emitted settled windows: ${emitted(1L)} > $lateCells")
+    val got = graft.streaming.Streams.latestCells(
+      spark, logDir, Seq("window_start", "event_type"))
+    val want = graft.streaming.Streams.windowedCounts(ev)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "watermarked update monitor diverged from the batch expansion")
+  }
+
   test("update-log cadence compaction: bounded files, latest-wins state identical") {
     import org.apache.spark.sql.functions._
     val docs = spark.read
