@@ -231,6 +231,23 @@ object Sinks {
     }
   }
 
+  /** True iff `dir` OR its crashed-compaction survivor (`dir__old`)
+    * holds visible data. The survivor IS the artifact —
+    * [[recoverCompactSwap]] restores it on the next batch — so a
+    * consumer deciding "does existing state live here" must count it:
+    * checking only the live dir would let a FRESH checkpoint lineage
+    * start over an empty-looking directory and then have a previous
+    * lineage's data restored underneath it, corrupting epoch ordering. */
+  def hasRecoverableData(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    hasVisibleData(spark, dir) || hasVisibleData(spark, dir + "__old")
+
+  /** [[hasEpochFiles]], survivor-aware — same rationale as
+    * [[hasRecoverableData]]. */
+  def hasRecoverableEpochFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    hasEpochFiles(spark, dir) || hasEpochFiles(spark, dir + "__old")
+
   /** Self-heal a [[compactParquet]] swap that crashed between its two
     * renames: the live dir holds no visible data but the rename-aside
     * survivor (`dir__old`) does — restore it. Idempotent; returns true

@@ -299,7 +299,7 @@ object Streams {
     // the replay repair delete the first lineage's epochs. Compaction
     // neutralizes the tags, so a compacted index accepts a fresh start.
     if (checkpointDir.isEmpty &&
-        graft.sources.Sinks.hasEpochFiles(spark, indexPath))
+        graft.sources.Sinks.hasRecoverableEpochFiles(spark, indexPath))
       throw new IllegalStateException(
         s"lshDedupSelfIndexing: $indexPath holds epoch-tagged files from " +
           "a prior stream but no checkpointDir was given - a fresh " +
@@ -405,7 +405,7 @@ object Streams {
     // PREVIOUS stream appended epochs into requires that stream's
     // checkpoint (or a compaction) before a new lineage may touch it
     if (checkpointDir.isEmpty &&
-        graft.sources.Sinks.hasEpochFiles(spark, s"$indexPath/codes"))
+        graft.sources.Sinks.hasRecoverableEpochFiles(spark, s"$indexPath/codes"))
       throw new IllegalStateException(
         s"ivfPqIngest: $indexPath/codes holds epoch-tagged files from a " +
           "prior stream but no checkpointDir was given - pass the " +
@@ -482,7 +482,7 @@ object Streams {
     // would prefer the first run's stale higher epochs. Refuse that
     // shape loudly; resuming over an existing log requires the durable
     // checkpoint that keeps epoch ids monotone.
-    if (checkpointDir.isEmpty && graft.sources.Sinks.hasVisibleData(spark, dir))
+    if (checkpointDir.isEmpty && graft.sources.Sinks.hasRecoverableData(spark, dir))
       throw new IllegalStateException(
         s"runUpdateMonitor: log dir $dir already holds data but no " +
           "checkpointDir was given - a fresh checkpoint would restart " +
@@ -687,8 +687,14 @@ object Streams {
     val tag = dir.replaceAll("[^0-9a-zA-Z.]", "_")
     val out =
       s"${System.getProperty("java.io.tmpdir")}/graft_${name}_upd_$tag"
-    val p = new org.apache.hadoop.fs.Path(out)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    // clear the compaction siblings too: a crashed swap's __old
+    // survivor would otherwise be "recovered" INTO the fresh lineage's
+    // log at the first batch (and the recoverable-data refusal would
+    // reject the fresh start outright)
+    for (d <- Seq(out, out + "__old", out + "__compact")) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     out
   }
 

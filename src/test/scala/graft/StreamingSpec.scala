@@ -656,6 +656,47 @@ class StreamingSpec extends AnyFunSuite {
       "resumed update monitor diverged from the batch aggregate")
   }
 
+  test("stale compaction survivor counts as existing state for a fresh lineage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a PREVIOUS lineage's compaction swap crashed between its renames:
+    // the live log is gone but the whole accumulated log survives in
+    // __old. A fresh checkpoint lineage starting over that spot would
+    // see "no data", start at epoch 0, and then have the first batch's
+    // recoverCompactSwap restore the OLD lineage's rows (higher
+    // __epoch) underneath it — stale cells would win the latest-wins
+    // view forever. The refusal must count the survivor as the log.
+    val base = java.nio.file.Files.createTempDirectory("graft_updold").toString
+    val inDir = s"$base/in"; val logDir = s"$base/log"
+    val d1 = Seq(("a", 1L)).toDF("k", "v")
+    d1.coalesce(1).write.parquet(inDir)
+    Seq(("a", 99L)).toDF("k", "s").withColumn("__epoch", lit(9L))
+      .write.parquet(logDir + "__old")
+    def stream() = spark.readStream.schema(d1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val e = intercept[IllegalStateException] {
+      graft.streaming.Streams.runUpdateMonitor(spark,
+        stream().groupBy(col("k")).agg(sum(col("v")).as("s")), logDir)
+    }
+    assert(e.getMessage.contains("checkpointDir"), e.getMessage)
+    // the index streams refuse the same shape: epoch-tagged files
+    // orphaned in the survivor block a fresh self-indexing lineage
+    val idxDir = s"$base/idx"
+    new java.io.File(s"$base/idx__old").mkdirs()
+    Seq((1L, 2L)).toDF("a", "b").coalesce(1)
+      .write.parquet(s"$base/idx__old/staged")
+    val f = new java.io.File(s"$base/idx__old/staged")
+      .listFiles().find(_.getName.endsWith(".parquet")).get
+    f.renameTo(new java.io.File(s"$base/idx__old/epoch-3-0.parquet"))
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.Streams.lshDedupSelfIndexing(spark,
+        stream().select(col("k").cast("long").as("doc_id"),
+          col("v").cast("string").as("text")),
+        idxDir, s"$base/m")
+    }
+    assert(e2.getMessage.contains("checkpoint"), e2.getMessage)
+  }
+
   test("ingest-cadence compaction: bounded files, probe identical (IVF-PQ stream)") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
