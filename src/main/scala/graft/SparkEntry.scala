@@ -34,6 +34,7 @@ object SparkEntry {
     graft.operators.RangeJoin.queries ++
     graft.operators.Sketches.queries ++
     graft.operators.Sampling.queries ++
+    graft.sources.Skipping.queries ++
     graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
     graft.operators.RangeJoin.oracleSql ++
     graft.operators.Sketches.oracleSql ++
     graft.operators.Sampling.oracleSql ++
+    graft.sources.Skipping.oracleSql ++
     graft.streaming.Streams.oracleSql
 }

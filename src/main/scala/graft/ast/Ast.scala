@@ -244,3 +244,11 @@ final case class TruncateStmt(table: String) extends Statement
   * broadcast-join decision (see Compiler TableRef) and are visible via
   * the `table_stats()` table function. Returns no result set, like PG. */
 final case class AnalyzeStmt(tables: Seq[String]) extends Statement
+/** `OPTIMIZE [TABLE] t [ZORDER BY (c, ...)] [WITH (files 'n', bits 'b')]`
+  * — in-place storage-layout rewrite of a path-backed table (the
+  * Delta-style maintenance verb): bare OPTIMIZE bin-packs small files;
+  * ZORDER BY rewrites Z-clustered on the named columns and rebuilds the
+  * min/max skipping manifest over them. Content-preserving by contract;
+  * refuses paths this session did not itself write. */
+final case class OptimizeStmt(table: String, zorderBy: Seq[String],
+    options: Map[String, String] = Map.empty) extends Statement

@@ -46,6 +46,12 @@ final class Executor(val spark: SparkSession,
     * are worse than none). */
   private var sourcePaths: Map[String, String] = Map.empty
 
+  /** Paths THIS session wrote (COPY TO, persisted CTAS). OPTIMIZE
+    * rewrites storage in place, so it refuses any path merely attached
+    * from existing data (COPY FROM a user's source tree must never be
+    * clobbered by a maintenance verb). */
+  private var ownedPaths: Set[String] = Set.empty
+
   /** PG command tag for the last executed statement when it carries a
     * row count (`INSERT 0 n` / `UPDATE n` / `DELETE n` / `COPY n`) —
     * what psql displays and JDBC's executeUpdate returns. The count is
@@ -141,6 +147,7 @@ final class Executor(val spark: SparkSession,
       val p = tableFunctions.resolvePath(path)
       writeSink(df, p, options)
       invalidatePath(p)
+      ownedPaths += p
       lastTagThunk = Some(() => s"COPY ${df.count()}")
       None
 
@@ -488,6 +495,7 @@ final class Executor(val spark: SparkSession,
           val io = options - "persist" - "path" + ("format" -> fmt.toLowerCase)
           writeSink(df, p, io)
           invalidatePath(p)
+          ownedPaths += p
           rebind(name, readSource(p, io))
           sourcePaths += (name -> p)
         case None =>
@@ -571,6 +579,52 @@ final class Executor(val spark: SparkSession,
         stats += (n -> st)
         sourcePaths.get(n).foreach(p => Executor.writeStatsSidecar(p, st))
       }
+      None
+
+    case OptimizeStmt(table, zcols, options) =>
+      val df = scope.getOrElse(table,
+        throw CompileException(s"table '$table' not found in scope"))
+      val p = sourcePaths.getOrElse(table,
+        throw CompileException(
+          s"OPTIMIZE: '$table' is not path-backed — CREATE TABLE ... " +
+          "WITH (persist 'parquet') or COPY it through storage first"))
+      if (!ownedPaths.contains(p))
+        throw CompileException(
+          s"OPTIMIZE: refusing to rewrite '$p' in place — it was attached " +
+          "from existing storage, not written by this session; re-create " +
+          "the table WITH (persist 'parquet') to take ownership")
+      // parquet backing is required (the rewrite machinery is parquet);
+      // probe one footer BEFORE any rename touches the directory
+      try spark.read.parquet(p).schema
+      catch {
+        case e: Exception =>
+          throw CompileException(
+            s"OPTIMIZE: '$p' is not parquet-backed (${e.getMessage})")
+      }
+      val resolved = zcols.map(c =>
+        df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw CompileException(s"OPTIMIZE: column '$c' not in '$table'")))
+      val nFiles = options.get("files").map(_.toInt).getOrElse {
+        // bin-pack to ~128 MB target files from actual bytes on disk
+        val fsP = new org.apache.hadoop.fs.Path(p)
+        val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        math.max(1L, fs.getContentSummary(fsP).getLength / (128L << 20)).toInt
+      }
+      val bits = options.get("bits").map(_.toInt).getOrElse(8)
+      // content is preserved by contract, so measured ANALYZE stats
+      // survive the rewrite (only the file layout changed)
+      // every scope entry reading this path captured the OLD file list
+      // in its lineage — re-open them all from the swapped directory
+      val backed = sourcePaths.collect { case (n, sp) if sp == p => n }.toSeq
+      val savedStats = backed.flatMap(n => stats.get(n).map(n -> _)).toMap
+      graft.sources.Skipping.optimize(spark, p, resolved, nFiles, bits)
+      backed.foreach { n =>
+        rebind(n, readSource(p, Map("format" -> "parquet")))
+        sourcePaths += (n -> p)
+        savedStats.get(n).foreach(st => stats += (n -> st))
+      }
+      lastTagThunk = Some(() =>
+        s"OPTIMIZE ${graft.sources.Skipping.dataFiles(spark, p).size}")
       None
 
     case ShowStmt(what) =>

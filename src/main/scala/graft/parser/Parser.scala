@@ -77,6 +77,7 @@ final class Parser(tokens: Vector[Token],
       else if (peekKw("truncate")) parseTruncate()
       else if (peekKw("merge")) parseMerge()
       else if (peekKw("analyze")) parseAnalyze()
+      else if (peekKw("optimize")) parseOptimize()
       else if (peekKw("alter")) parseAlter()
       else parseSelect()
     acceptOp(";")
@@ -279,6 +280,23 @@ final class Parser(tokens: Vector[Token],
       while (acceptOp(",")) names :+= parseIdent()
       AnalyzeStmt(names)
     }
+  }
+
+  private def parseOptimize(): Statement = {
+    expectKw("optimize"); acceptKw("table")
+    val table = parseIdent()
+    val zcols =
+      if (acceptKw("zorder")) {
+        expectKw("by")
+        val paren = acceptOp("(")
+        var cols = Seq(parseIdent())
+        while (acceptOp(",")) cols :+= parseIdent()
+        if (paren) expectOp(")")
+        cols
+      } else Nil
+    val options =
+      if (acceptKw("with")) parseOptionList() else Map.empty[String, String]
+    OptimizeStmt(table, zcols, options)
   }
 
   private def parseDrop(): Statement = {

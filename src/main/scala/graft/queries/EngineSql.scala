@@ -504,6 +504,24 @@ object EngineSql {
       "fq_star" -> ((s: SparkSession, dir: String) =>
         Executor.execute("select nation.* from nation order by n_nationkey",
           Tables.scope(s, dir), s)),
+      // the storage-maintenance verb end-to-end: persist, Z-order
+      // rewrite in place (+ skipping manifest rebuild), query back —
+      // OPTIMIZE must be invisible to results
+      "fq_optimize" -> ((s: SparkSession, dir: String) => {
+        val exec = new Executor(s, Tables.scope(s, dir))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_opt").toString
+        exec.setBasepath(tmp)
+        exec.executeScript(
+          """CREATE TABLE ev WITH (persist 'parquet') AS
+            |  select event_id, user_id % 100 as uid_bucket, value from events;
+            |OPTIMIZE ev ZORDER BY (uid_bucket, value) WITH (files '16')""".stripMargin)
+        exec.query(
+          """select count(1) as n,
+            |  cast(sum(cast(value as decimal(18,6))) as double) as sum_value,
+            |  min(event_id) as min_id, max(event_id) as max_id
+            |from ev
+            |where uid_bucket between 10 and 29 and value between 50 and 150""".stripMargin)
+      }),
       // statistics → plan choice end-to-end: CTAS a derived dimension
       // (whose static size estimate is join-propagated, i.e. useless),
       // ANALYZE it, then join a fact table through it and read the
@@ -536,6 +554,12 @@ object EngineSql {
           |  UNION ALL SELECT 99, 0)
           |ORDER BY n_regionkey""".stripMargin,
       "fq_star" -> "SELECT * FROM nation ORDER BY n_nationkey",
+      "fq_optimize" ->
+        """SELECT count(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+          |  min(event_id) AS min_id, max(event_id) AS max_id
+          |FROM events
+          |WHERE user_id % 100 BETWEEN 10 AND 29 AND value BETWEEN 50 AND 150""".stripMargin,
       // supp_dim has one row per supplier, so its ANALYZEd row_count is
       // COUNT(*) FROM supplier; the join re-derived through nation
       "fq_analyze_stats" ->

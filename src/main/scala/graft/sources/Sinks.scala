@@ -149,11 +149,17 @@ object Sinks {
     * hook for logs whose compacted form is a REDUCTION of the appends
     * rather than their concatenation (the update-monitor epoch log
     * folds to its latest-wins rows: the compacted file IS the current
-    * state). Identity for plain index compaction. */
+    * state). Identity for plain index compaction.
+    *
+    * `writeStaged`: replaces the default coalesce/partitionBy write of
+    * the staging directory — the hook for rewrites that change LAYOUT,
+    * not content (Z-order clustering via [[Skipping.optimize]]). The
+    * swap/recovery machinery is identical either way. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
       partitionCols: Seq[String] = Nil, nFiles: Int = 1,
       excludeEpoch: Option[Long] = None,
-      fold: DataFrame => DataFrame = identity): Unit = {
+      fold: DataFrame => DataFrame = identity,
+      writeStaged: Option[(DataFrame, String) => Unit] = None): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val staged = path + "__compact"
     val ps = new org.apache.hadoop.fs.Path(staged)
@@ -168,12 +174,15 @@ object Sinks {
       case Some(e) => df0.filter(!input_file_name().contains(s"epoch-$e-"))
       case None => df0
     })
-    if (partitionCols.nonEmpty)
-      df.repartition(partitionCols.map(col): _*)
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionCols: _*).parquet(staged)
-    else
-      df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+    writeStaged match {
+      case Some(w) => w(df, staged)
+      case None if partitionCols.nonEmpty =>
+        df.repartition(partitionCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*).parquet(staged)
+      case None =>
+        df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(staged)
+    }
     // Re-point the directory via rename-aside, not delete-then-rename:
     // a crash at ANY point leaves a recoverable directory on disk
     // (either the original at `path`/`path__old` or the compacted copy

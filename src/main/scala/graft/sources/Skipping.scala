@@ -1,0 +1,596 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType, TimestampType}
+import org.apache.hadoop.fs.Path
+
+/** File-level min/max data skipping — the lakehouse pruning layer
+  * (Delta/Iceberg-style) rebuilt as plain Spark + parquet.
+  *
+  * Spark already skips parquet ROW GROUPS via footer statistics, but at
+  * 100 TB the footers themselves are the problem: a scan over a million
+  * files opens a million footers before it can drop any of them. The
+  * manifest here inverts that: ONE tiny parquet sidecar
+  * (`_graft_manifest/`, hidden from plain readers by the underscore
+  * rule) holds per-file `min`/`max`/`null` counts for the indexed
+  * columns, so a selective read prunes the FILE LIST on the driver
+  * before the scan is planned — the pruned files are never opened, and
+  * with a sorted or Z-ordered layout a box predicate touches a handful
+  * of files out of millions.
+  *
+  * Soundness contract (what makes skipping an optimization, never a
+  * correctness dependency):
+  *  - files present on disk but ABSENT from the manifest are always
+  *    read (a stale manifest degrades to extra IO, not lost rows);
+  *  - a missing/unreadable manifest degrades to a full scan;
+  *  - pruning drops a file only when its stats range PROVES the
+  *    conjunction cannot hold there (interval disjointness; null-count
+  *    zero for IS NULL; all-null for IS NOT NULL), with null-stat
+  *    uncertainty resolved toward KEEP;
+  *  - [[readSkipping]] re-applies the exact row-level predicate after
+  *    pruning, so the result equals `read.filter(pred)` by construction.
+  *
+  * Data files are written-once (every writer here creates new files;
+  * rewrites go through staged directory swaps), so a manifest entry can
+  * never describe outdated file CONTENT — only the file SET drifts, and
+  * the contract above makes set drift safe. [[refreshManifest]] is the
+  * incremental repair: it stats only files the manifest has not seen
+  * (the per-epoch appends of a streaming ingest) and drops entries for
+  * files that no longer exist — cost proportional to the delta, not the
+  * table, which is what makes per-batch maintenance viable at ingest
+  * cadence.
+  *
+  * The reference engine has no storage layer at all (frames live in
+  * memory, `src/framequery/executor/_executor.py:445-448`); this module
+  * is part of the beyond-parity surface a 100 TB deployment needs.
+  */
+object Skipping {
+
+  val ManifestDir = "_graft_manifest"
+
+  // ----------------------------------------------------------- predicates
+
+  /** A pruning predicate over one indexed column. The set passed to
+    * [[prunedFiles]]/[[readSkipping]] is a CONJUNCTION. Values are plain
+    * Scala/Java literals (`Int`/`Long`/`Double`/`String`/`Timestamp`…);
+    * typing and ordering semantics are delegated to Spark by evaluating
+    * the pruning test as a Column over the manifest rows, so manifest
+    * stats and predicate literals coerce exactly like the row-level
+    * filter does. */
+  sealed trait Pred { def column: String }
+  /** Inclusive range; `None` = unbounded on that side. */
+  final case class RangePred(column: String, lo: Option[Any],
+      hi: Option[Any]) extends Pred
+  final case class EqPred(column: String, value: Any) extends Pred
+  final case class InPred(column: String, values: Seq[Any]) extends Pred
+  final case class NullPred(column: String) extends Pred
+  final case class NotNullPred(column: String) extends Pred
+
+  /** The exact row-level filter the predicate set denotes — applied by
+    * [[readSkipping]] after pruning, and what a full-scan baseline must
+    * use for the equality `readSkipping == read.filter(...)`. */
+  def predColumn(preds: Seq[Pred]): Column =
+    preds.map {
+      case RangePred(c, lo, hi) =>
+        (lo.map(v => col(c) >= lit(v)) ++ hi.map(v => col(c) <= lit(v)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case EqPred(c, v) => col(c) === lit(v)
+      case InPred(c, vs) => col(c).isin(vs: _*)
+      case NullPred(c) => col(c).isNull
+      case NotNullPred(c) => col(c).isNotNull
+    }.reduceOption(_ && _).getOrElse(lit(true))
+
+  // ------------------------------------------------------------- manifest
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The table root's filesystem path component (scheme/authority
+    * stripped), against which file names are relativized. Both the
+    * manifest writer (from `input_file_name()` URIs) and the directory
+    * lister (from `FileStatus` paths) go through [[relName]] with this
+    * root, so the two sides agree byte-for-byte regardless of how the
+    * filesystem qualifies URIs. */
+  private def rootPath(spark: SparkSession, path: String): String =
+    fs(spark, path).makeQualified(new Path(path)).toUri.getPath
+
+  private def relName(fileUri: String, root: String): String = {
+    val p = new java.net.URI(fileUri).getPath
+    require(p.startsWith(root + "/"),
+      s"skipping: file '$p' is not under table root '$root'")
+    p.drop(root.length + 1)
+  }
+
+  /** Public root for the automatic FileIndex path ([[SkippingFileIndex]]
+    * in `org.apache.spark.sql.graft`). */
+  def rootFsPath(spark: SparkSession, path: String): String =
+    rootPath(spark, path)
+
+  /** [[relName]] that answers `None` instead of throwing — the
+    * FileIndex wrapper keeps any file it cannot relativize (keep is
+    * always the safe direction). */
+  def tryRelName(fileUri: String, root: String): Option[String] =
+    try {
+      val p = new java.net.URI(fileUri).getPath
+      if (p.startsWith(root + "/")) Some(p.drop(root.length + 1)) else None
+    } catch { case _: Exception => None }
+
+  /** Current data files of the table, as root-relative names — the same
+    * hidden-file rule Spark's listing uses (dot/underscore prefixes are
+    * metadata, except names containing '=' which are hive partition
+    * directories). Driver-side recursive list: one RPC per directory,
+    * the same cost Spark's own scan planning pays. */
+  def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val root = rootPath(spark, path)
+    def visible(n: String): Boolean =
+      (!n.startsWith(".") && !n.startsWith("_")) || n.contains("=")
+    def walk(p: Path): Seq[String] =
+      f.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet"))
+            Seq(relName(st.getPath.toUri.toString, root))
+          else Nil
+        }
+    walk(new Path(path))
+  }
+
+  private def statCols(cols: Seq[String]): Seq[Column] =
+    cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"),
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"))
+    }
+
+  /** Per-file stats for `paths` (absolute), keyed by root-relative file
+    * name. One distributed pass: tasks stat the files they read, the
+    * per-file groupBy is map-side-combined, and the tiny result is the
+    * manifest. Hive partition columns are resolved via `basePath`, so
+    * they are indexable like any other column. */
+  private def statsFor(spark: SparkSession, tableRoot: String,
+      paths: Seq[String], cols: Seq[String]): DataFrame = {
+    val root = rootPath(spark, tableRoot)
+    val rel = udf((u: String) => relName(u, root))
+    // group on the raw URI (codegen'd), relativize once per FILE on the
+    // tiny aggregated result — not a UDF per row
+    spark.read.option("basePath", tableRoot).parquet(paths: _*)
+      .groupBy(input_file_name().as("__uri"))
+      .agg(count(lit(1)).as("rows"), statCols(cols): _*)
+      .withColumn("file", rel(col("__uri")))
+      .drop("__uri")
+      .select(col("file") +: col("rows") +: cols.flatMap(c =>
+        Seq(col(s"${c}__min"), col(s"${c}__max"), col(s"${c}__nulls"))): _*)
+  }
+
+  private def manifestPath(path: String) = s"$path/$ManifestDir"
+
+  /** Full manifest (re)build: stat every current data file. */
+  def writeManifest(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    val files = dataFiles(spark, path)
+    require(files.nonEmpty, s"skipping: no data files under $path")
+    val m = statsFor(spark, path, files.map(f => s"$path/$f"), cols)
+    m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+  }
+
+  /** Manifest rows, if a readable manifest exists. `None` = no skipping
+    * (full-scan fallback) — a crashed manifest overwrite lands here. */
+  def readManifest(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!Sinks.hasVisibleData(spark, manifestPath(path))) None
+    else
+      try Some(spark.read.parquet(manifestPath(path)))
+      catch { case _: Exception => None }
+
+  /** Incremental manifest maintenance: stat files the manifest has not
+    * seen, drop entries whose files are gone, keep every other row
+    * untouched. Returns (filesAdded, entriesRemoved). Cost is
+    * proportional to the DELTA — this is what an epoch-append stream
+    * calls per batch (or per compaction cadence). Columns must match
+    * the existing manifest's indexed set; on mismatch (or no manifest)
+    * it falls back to a full [[writeManifest]] rebuild. */
+  def refreshManifest(spark: SparkSession, path: String,
+      cols: Seq[String]): (Long, Long) = {
+    val current = dataFiles(spark, path).toSet
+    readManifest(spark, path) match {
+      case Some(m)
+          if cols.forall(c => m.columns.contains(s"${c}__min")) &&
+            m.columns.length == 2 + 3 * cols.length =>
+        // bounded collect: one string per manifest row = one per data
+        // file — the same driver-memory class as scan planning's file
+        // listing
+        val known = m.select("file").collect().map(_.getString(0)).toSet
+        val added = (current -- known).toSeq.sorted
+        val removed = known -- current
+        if (added.isEmpty && removed.isEmpty) (0L, 0L)
+        else {
+          // semi-join against a local relation, not a million-literal isin
+          import spark.implicits._
+          val currentDf = current.toSeq.toDF("file")
+          val keep = m.join(currentDf, Seq("file"), "left_semi")
+          val merged =
+            if (added.isEmpty) keep
+            else {
+              val add = statsFor(spark, path, added.map(f => s"$path/$f"), cols)
+              keep.select(add.columns.map(col): _*).unionAll(add)
+            }
+          // stage-then-swap so a crash mid-write leaves either the old
+          // manifest or none (both sound), never a torn one
+          val staged = manifestPath(path) + "__staged"
+          merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
+          val f = fs(spark, path)
+          f.delete(new Path(manifestPath(path)), true)
+          if (!f.rename(new Path(staged), new Path(manifestPath(path))))
+            throw new IllegalStateException(
+              s"refreshManifest: rename $staged failed; skipping degrades " +
+              "to full scans until the next manifest write")
+          (added.size.toLong, removed.size.toLong)
+        }
+      case _ =>
+        writeManifest(spark, path, cols)
+        (current.size.toLong, 0L)
+    }
+  }
+
+  // -------------------------------------------------------------- pruning
+
+  /** KEEP condition for one predicate over the manifest's stat columns.
+    * Null stats (all-null file, unstatted type edge) coalesce toward
+    * keep — pruning only ever acts on proof. */
+  private def keepCond(p: Pred): Column = p match {
+    case RangePred(c, lo, hi) =>
+      val notAbove = lo.map(v => !coalesce(col(s"${c}__max") < lit(v), lit(false)))
+      val notBelow = hi.map(v => !coalesce(col(s"${c}__min") > lit(v), lit(false)))
+      (notAbove ++ notBelow).reduceOption(_ && _).getOrElse(lit(true))
+    case EqPred(c, v) => keepCond(RangePred(c, Some(v), Some(v)))
+    case InPred(c, vs) =>
+      vs.map(v => keepCond(RangePred(c, Some(v), Some(v))))
+        .reduceOption(_ || _).getOrElse(lit(false))
+    case NullPred(c) => coalesce(col(s"${c}__nulls") > 0L, lit(true))
+    case NotNullPred(c) =>
+      coalesce(col(s"${c}__nulls") < col("rows"), lit(true))
+  }
+
+  /** Collected-manifest cache for planning-time pruning, keyed by table
+    * path and invalidated by manifest file signature (names + sizes +
+    * mtimes — every manifest write creates fresh UUID part names, so
+    * any update changes the signature). Bounded by data-file count per
+    * table — the same driver-memory class as Spark's own scan-planning
+    * file listing. */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType,
+      Seq[org.apache.spark.sql.Row])]()
+
+  private def manifestSignature(spark: SparkSession,
+      path: String): Option[String] = {
+    val mp = new Path(manifestPath(path))
+    val f = fs(spark, path)
+    try {
+      if (!f.exists(mp)) None
+      else Some(f.listStatus(mp).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(","))
+    } catch { case _: Exception => None }
+  }
+
+  /** The set of files the manifest PROVES cannot satisfy `preds`
+    * (root-relative names), or `None` when no decision is possible
+    * (no/unreadable manifest, no indexed predicate). Driver-only: the
+    * keep condition filters a LocalRelation of the cached manifest
+    * rows, which Catalyst collapses at optimization time — no job.
+    * This is the planning-time entry the automatic FileIndex path
+    * uses; dropping from a DROP set means files unknown to the
+    * manifest can never be excluded. */
+  def droppedFiles(spark: SparkSession, path: String,
+      preds: Seq[Pred]): Option[Set[String]] =
+    manifestSignature(spark, path).flatMap { sig =>
+      val cached = manifestCache.get(path)
+      val loaded =
+        if (cached != null && cached._1 == sig) Some((cached._2, cached._3))
+        else readManifest(spark, path).map { m =>
+          val rows = m.collect().toSeq
+          manifestCache.put(path, (sig, m.schema, rows))
+          (m.schema, rows)
+        }
+      loaded.flatMap { case (schema, rows) =>
+        val indexed = preds.filter(p =>
+          schema.fieldNames.contains(s"${p.column}__min"))
+        if (indexed.isEmpty) None
+        else {
+          import scala.jdk.CollectionConverters._
+          val m = spark.createDataFrame(rows.asJava, schema)
+          val cond = indexed.map(keepCond).reduce(_ && _)
+          Some(m.filter(!cond).select("file").collect()
+            .map(_.getString(0)).toSet)
+        }
+      }
+    }
+
+  /** Evaluate pruning: (files to read, total data files). Unknown files
+    * (on disk, not in manifest) are always kept; predicates on columns
+    * the manifest does not index never prune. */
+  def prunedFiles(spark: SparkSession, path: String,
+      preds: Seq[Pred]): (Seq[String], Int) = {
+    val files = dataFiles(spark, path)
+    droppedFiles(spark, path, preds) match {
+      case None => (files, files.size)
+      case Some(drop) => (files.filterNot(drop.contains), files.size)
+    }
+  }
+
+  /** Manifest-pruned read: equals `spark.read.parquet(path)
+    * .filter(predColumn(preds))` row-for-row, reading only files the
+    * manifest could not disprove. `basePath` keeps hive partition
+    * columns resolvable when reading leaf files directly. */
+  def readSkipping(spark: SparkSession, path: String,
+      preds: Seq[Pred]): DataFrame = {
+    val (kept, _) = prunedFiles(spark, path, preds)
+    val full = spark.read.parquet(path)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          full.schema)
+      else
+        spark.read.option("basePath", path)
+          .schema(full.schema).parquet(kept.map(f => s"$path/$f"): _*)
+    base.filter(predColumn(preds))
+  }
+
+  // ------------------------------------------------------------- Z-order
+
+  /** N-column Morton interleave: bit i of column j lands at position
+    * `i * k + (k - 1 - j)` (round-robin from the high column), so the
+    * combined key localizes ALL k dimensions. Inputs must already be
+    * small non-negative ints (bucket ranks from [[rankBucket]]). Pure
+    * built-in bit ops → whole-stage codegen; generalizes
+    * [[Sinks.mortonCode]] beyond two columns. */
+  def zorderCode(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k >= 1 && k * bits <= 60, s"zorder: $k cols x $bits bits > 60")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+          i * k + (k - 1 - j))
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Map a numeric/date/timestamp column into [0, 2^bits) by quantile
+    * rank: boundaries from one sampled `approxQuantile` pass (no global
+    * sort), the per-row bucket as a codegen'd count-of-boundaries-≤x
+    * over the literal boundary array. Quantile (not min/max-uniform)
+    * buckets keep the Z-curve balanced under skew — a hot key range gets
+    * more buckets, not one overflowing cell. NULLs land in bucket 0. */
+  def rankBucket(df: DataFrame, c: String, bits: Int): Column = {
+    val dt = df.schema(c).dataType
+    def numeric(cc: Column): Column = dt match {
+      case DateType => cc.cast(TimestampType).cast("double")
+      case TimestampType | TimestampNTZType => cc.cast("double")
+      case _ => cc.cast("double")
+    }
+    val probe = "__zq_probe"
+    val n = 1 << bits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds = df.select(numeric(col(c)).as(probe))
+      .stat.approxQuantile(probe, probs, 0.001)
+      .distinct.sorted
+    val arr = array(bounds.map(lit(_)): _*)
+    size(filter(arr, b => b <= numeric(col(c)))).cast("long")
+  }
+
+  /** Z-order-clustered parquet over ANY number of columns: quantile-rank
+    * each column, interleave, range-partition + sort on the code, write.
+    * Every output file then covers a small box in ALL dimensions, so
+    * manifest min/max stats prune box predicates on any subset of them.
+    * `nFiles` bounds output count (at scale: target-file-size / bytes).
+    * Column types: numeric, date, timestamp (rank mapping needs an
+    * order-preserving numeric proxy; strings are still min/max-indexable
+    * via [[writeManifest]], just not rank-bucketable). */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+      nFiles: Int, bits: Int = 8,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val z = zorderCode(cols.map(c => rankBucket(df, c, bits)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
+  /** In-place `OPTIMIZE <path> ZORDER BY (cols)`: rewrite the table
+    * Z-clustered through [[Sinks.compactParquet]]'s staged
+    * rename-aside swap (crash at any point leaves a recoverable
+    * directory; [[Sinks.recoverCompactSwap]] self-heals), then rebuild
+    * the manifest over the new files. With `cols` empty this is plain
+    * bin-packing compaction. Epoch-tagged appends are folded into plain
+    * part files — same contract as compaction everywhere else here: run
+    * it from the job that owns appends. */
+  def optimize(spark: SparkSession, path: String, cols: Seq[String],
+      nFiles: Int, bits: Int = 8): Unit = {
+    // a swap replaces every file name, orphaning any existing manifest —
+    // rebuild it afterwards over the SAME indexed columns (or the zorder
+    // columns, which subsume the old index's purpose under the new layout)
+    val manifestCols: Seq[String] =
+      if (cols.nonEmpty) cols
+      else readManifest(spark, path).toSeq.flatMap(
+        _.columns.collect { case n if n.endsWith("__min") => n.dropRight(5) })
+    if (cols.isEmpty) Sinks.compactParquet(spark, path, nFiles = nFiles)
+    else Sinks.compactParquet(spark, path, nFiles = nFiles,
+      writeStaged = Some((df, staged) =>
+        writeZOrdered(df, staged, cols, nFiles, bits)))
+    if (manifestCols.nonEmpty) writeManifest(spark, path, manifestCols)
+  }
+
+  /** Files actually opened by `df`'s parquet scans, from the executed
+    * plan's `numFiles` metrics (AQE-unwrapped) — the measurement behind
+    * the automatic-pruning gates. Executes the frame. */
+  def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+    }.sum
+  }
+
+  // ------------------------------------------------- driver-gated queries
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+
+  /** `pruning_effective` gate: the oracle pins `true`, so a layout or
+    * manifest regression that stops pruning (kept > half the files)
+    * hash-mismatches — effectiveness is part of the correctness gate,
+    * not just the spec suite. */
+  private def effective(kept: Int, total: Int): Column =
+    lit(kept * 2 <= total).as("pruning_effective")
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** events + the SF-stable derived layout key: `user_id % 100` spans
+    * the same 0..99 domain at every scale factor, so one oracle text
+    * serves all SFs. */
+  private def eventsWithBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), (col("user_id") % 100).as("uid_bucket"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // range-clustered layout + manifest + 1-D range pruning: the file
+    // list shrinks BEFORE the scan is planned; result == plain filter
+    "ix_skip_scan" -> ((s, dir) => {
+      val ev = eventsWithBucket(s, dir)
+      val tmp = tmpTable("graft_skip")
+      ev.repartitionByRange(32, col("uid_bucket"))
+        .sortWithinPartitions("uid_bucket")
+        .write.parquet(tmp)
+      writeManifest(s, tmp, Seq("uid_bucket"))
+      val preds = Seq(RangePred("uid_bucket", Some(10L), Some(19L)))
+      val (kept, total) = prunedFiles(s, tmp, preds)
+      readSkipping(s, tmp, preds)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          effective(kept.size, total))
+    }),
+    // Z-order over TWO dimensions: ONE layout serves box predicates on
+    // both columns at once — the multi-dimensional case 1-D sorting
+    // cannot cover
+    "ix_zorder_scan" -> ((s, dir) => {
+      val ev = eventsWithBucket(s, dir)
+      val tmp = tmpTable("graft_zorder")
+      writeZOrdered(ev, tmp, Seq("uid_bucket", "value"), nFiles = 32)
+      writeManifest(s, tmp, Seq("uid_bucket", "value"))
+      val preds = Seq(RangePred("uid_bucket", Some(10L), Some(29L)),
+        RangePred("value", Some(50.0), Some(150.0)))
+      val (kept, total) = prunedFiles(s, tmp, preds)
+      readSkipping(s, tmp, preds)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          effective(kept.size, total))
+    }),
+    // the ingest shape: three exactly-once epoch appends, the manifest
+    // maintained INCREMENTALLY after each (only the new epoch's files
+    // are statted — `stats_incremental` pins that), then a pruned read
+    "ix_incremental_stats" -> ((s, dir) => {
+      val ev = eventsWithBucket(s, dir)
+      val tmp = tmpTable("graft_incstats")
+      var incremental = true
+      var before = 0
+      for (e <- 0 until 3) {
+        Sinks.appendEpoch(
+          ev.filter(col("event_id") % 3 === e)
+            .repartitionByRange(8, col("uid_bucket"))
+            .sortWithinPartitions("uid_bucket"),
+          tmp, e.toLong)
+        val nNow = dataFiles(s, tmp).size
+        val (added, removed) = refreshManifest(s, tmp, Seq("uid_bucket"))
+        incremental &&= added == (nNow - before).toLong && removed == 0L
+        before = nNow
+      }
+      val preds = Seq(RangePred("uid_bucket", Some(5L), Some(9L)))
+      val (kept, total) = prunedFiles(s, tmp, preds)
+      readSkipping(s, tmp, preds)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          effective(kept.size, total),
+          lit(incremental).as("stats_incremental"))
+    }),
+    // the AUTOMATIC path: a PLAIN read + filter — no readSkipping call —
+    // pruned by ManifestSkippingRule inside the optimizer (the rule the
+    // GraftExtensions session wiring injects); `pruning_effective` is
+    // measured from the executed scan's own numFiles metric
+    "ix_auto_skip" -> ((s, dir) => {
+      val ev = eventsWithBucket(s, dir)
+      val tmp = tmpTable("graft_autoskip")
+      writeZOrdered(ev, tmp, Seq("uid_bucket", "value"), nFiles = 32)
+      writeManifest(s, tmp, Seq("uid_bucket", "value"))
+      val total = dataFiles(s, tmp).size
+      val q = s.read.parquet(tmp)
+        .filter(col("uid_bucket").between(5, 9) &&
+          col("value").between(100.0, 200.0))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      val nf = scannedFiles(q)
+      q.withColumn("pruning_effective", lit(nf * 2 <= total))
+    }),
+    // null-count pruning: IS NULL keeps only files that HOLD nulls —
+    // the manifest dimension min/max cannot express
+    "ix_null_skip" -> ((s, dir) => {
+      val ev = eventsWithBucket(s, dir)
+        .withColumn("et", expr("nullif(event_type, 'click')"))
+      val tmp = tmpTable("graft_nullskip")
+      ev.repartitionByRange(32, col("event_type"))
+        .sortWithinPartitions("event_type")
+        .write.parquet(tmp)
+      writeManifest(s, tmp, Seq("et"))
+      val preds = Seq(NullPred("et"))
+      val (kept, total) = prunedFiles(s, tmp, preds)
+      readSkipping(s, tmp, preds)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          effective(kept.size, total))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "ix_skip_scan" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS pruning_effective
+        |FROM events WHERE user_id % 100 BETWEEN 10 AND 19""".stripMargin,
+    "ix_zorder_scan" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS pruning_effective
+        |FROM events
+        |WHERE user_id % 100 BETWEEN 10 AND 29 AND value BETWEEN 50 AND 150""".stripMargin,
+    "ix_incremental_stats" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS pruning_effective,
+        |  CAST(1 AS BOOLEAN) AS stats_incremental
+        |FROM events WHERE user_id % 100 BETWEEN 5 AND 9""".stripMargin,
+    "ix_auto_skip" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS pruning_effective
+        |FROM events
+        |WHERE user_id % 100 BETWEEN 5 AND 9 AND value BETWEEN 100 AND 200""".stripMargin,
+    "ix_null_skip" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(1 AS BOOLEAN) AS pruning_effective
+        |FROM events WHERE event_type = 'click'""".stripMargin)
+}

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectTableFunction(GraftFunctions.graftSqlDescription)
+    // automatic file-level data skipping for manifest-carrying parquet
+    // tables (see ManifestSkipping) — a no-op for every other relation
+    ext.injectOptimizerRule(session => ManifestSkippingRule(session))
   }
 }
 

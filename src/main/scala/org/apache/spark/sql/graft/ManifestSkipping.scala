@@ -1,0 +1,161 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Skipping
+
+/** AUTOMATIC file-level data skipping — the manifest pruning of
+  * [[graft.sources.Skipping]] wired into Catalyst so that ANY query
+  * over a manifest-carrying parquet table gets file pruning without
+  * calling `readSkipping` explicitly: plain `spark.read.parquet`,
+  * dialect SQL through the graft Executor, `graft_sql(...)` over Spark
+  * Connect, PG-wire sessions — every surface plans through the same
+  * optimizer.
+  *
+  * Mechanism (the Delta `TahoeFileIndex` shape, rebuilt on public
+  * APIs): [[ManifestSkippingRule]] — injected via
+  * [[GraftExtensions]] — wraps the parquet relation's [[FileIndex]] in
+  * a [[SkippingFileIndex]]. At PLANNING time `FileSourceScanExec`
+  * hands the pushed data filters to `listFiles`; the wrapper
+  * translates the translatable conjuncts into manifest predicates,
+  * evaluates the per-file keep condition over the cached manifest rows
+  * (driver-only: the filter collapses over a LocalRelation, no job),
+  * and drops the files the stats disprove. The scan never opens them —
+  * `numFiles`/`filesSize` metrics and `.explain` reflect the pruned
+  * list.
+  *
+  * Soundness inherits [[Skipping]]'s contract: only proof prunes
+  * (interval disjointness / null counts with keep-on-unknown), files
+  * absent from the manifest are never dropped, untranslatable
+  * predicates (OR trees, expressions over columns, UDFs) simply prune
+  * nothing, and the row-level filters still run after the scan — the
+  * wrapper changes IO, never results. */
+object ManifestSkipping {
+
+  /** Does `root` carry a readable manifest directory? One FS existence
+    * probe per parquet relation per planning pass — the same cost class
+    * as the listing the planner does anyway. */
+  def hasManifest(spark: SparkSession, root: Path): Boolean =
+    try {
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new Path(root, Skipping.ManifestDir))
+    } catch { case _: Exception => false }
+
+  /** Catalyst conjunct → manifest pruning predicates. Conservative by
+    * construction: anything unrecognized translates to NOTHING (prunes
+    * no files); strict bounds relax to inclusive ones (a superset —
+    * keeps more); a null literal comparison matches no rows anyway and
+    * translates to nothing. Attribute casing follows the relation
+    * schema, which is what the manifest was built from. */
+  def toPreds(e: Expression): Seq[Skipping.Pred] = e match {
+    case And(l, r) => toPreds(l) ++ toPreds(r)
+    case EqualTo(a: AttributeReference, l: Literal) => eqPred(a, l)
+    case EqualTo(l: Literal, a: AttributeReference) => eqPred(a, l)
+    case EqualNullSafe(a: AttributeReference, l: Literal) =>
+      if (l.value == null) Seq(Skipping.NullPred(a.name)) else eqPred(a, l)
+    case EqualNullSafe(l: Literal, a: AttributeReference) =>
+      if (l.value == null) Seq(Skipping.NullPred(a.name)) else eqPred(a, l)
+    case GreaterThan(a: AttributeReference, l: Literal) => loPred(a, l)
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => loPred(a, l)
+    case LessThan(l: Literal, a: AttributeReference) => loPred(a, l)
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => loPred(a, l)
+    case LessThan(a: AttributeReference, l: Literal) => hiPred(a, l)
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => hiPred(a, l)
+    case GreaterThan(l: Literal, a: AttributeReference) => hiPred(a, l)
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => hiPred(a, l)
+    case In(a: AttributeReference, vs) if vs.forall {
+        case Literal(v, _) => v != null; case _ => false } =>
+      Seq(Skipping.InPred(a.name,
+        vs.map { case l: Literal => scalaOf(l) }))
+    case InSet(a: AttributeReference, vs) if !vs.contains(null) =>
+      Seq(Skipping.InPred(a.name,
+        vs.toSeq.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType))))
+    case IsNull(a: AttributeReference) => Seq(Skipping.NullPred(a.name))
+    case IsNotNull(a: AttributeReference) => Seq(Skipping.NotNullPred(a.name))
+    case _ => Nil
+  }
+
+  private def scalaOf(l: Literal): Any =
+    CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
+  private def eqPred(a: AttributeReference, l: Literal): Seq[Skipping.Pred] =
+    if (l.value == null) Nil else Seq(Skipping.EqPred(a.name, scalaOf(l)))
+  private def loPred(a: AttributeReference, l: Literal): Seq[Skipping.Pred] =
+    if (l.value == null) Nil
+    else Seq(Skipping.RangePred(a.name, Some(scalaOf(l)), None))
+  private def hiPred(a: AttributeReference, l: Literal): Seq[Skipping.Pred] =
+    if (l.value == null) Nil
+    else Seq(Skipping.RangePred(a.name, None, Some(scalaOf(l))))
+}
+
+/** [[FileIndex]] wrapper that applies manifest pruning inside
+  * `listFiles` — partition pruning (hive dirs) stays with the
+  * underlying index; this drops individual data files the manifest
+  * stats disprove. Files that fail to relativize against the table
+  * root (symlinked or foreign paths) are kept — keep is always the
+  * safe direction. */
+class SkippingFileIndex(spark: SparkSession, rootStr: String,
+    val underlying: FileIndex) extends FileIndex {
+
+  private lazy val rootFs = Skipping.rootFsPath(spark, rootStr)
+
+  override def rootPaths: Seq[Path] = underlying.rootPaths
+  override def partitionSchema: StructType = underlying.partitionSchema
+  override def inputFiles: Array[String] = underlying.inputFiles
+  override def sizeInBytes: Long = underlying.sizeInBytes
+  override def refresh(): Unit = underlying.refresh()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = underlying.listFiles(partitionFilters, dataFilters)
+    // partition-column predicates arrive in partitionFilters — the
+    // underlying index already pruned those directories; data filters
+    // are what the manifest can act on
+    val preds = dataFilters.flatMap(ManifestSkipping.toPreds)
+    if (preds.isEmpty) base
+    else Skipping.droppedFiles(spark, rootStr, preds) match {
+      case None => base
+      case Some(drop) if drop.isEmpty => base
+      case Some(drop) =>
+        base.map { pd =>
+          pd.copy(files = pd.files.filterNot { f =>
+            Skipping.tryRelName(f.getPath.toUri.toString, rootFs)
+              .exists(drop.contains)
+          })
+        }.filter(_.files.nonEmpty)
+    }
+  }
+}
+
+/** Optimizer rule: wrap every single-root parquet relation whose
+  * directory carries a `_graft_manifest` sidecar. Idempotent (instance
+  * check); relations without a manifest are untouched, so the rule is
+  * a no-op for every table that never opted into skipping. */
+case class ManifestSkippingRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case hfs: HadoopFsRelation
+            if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
+              !hfs.location.isInstanceOf[SkippingFileIndex] &&
+              hfs.location.rootPaths.length == 1 &&
+              ManifestSkipping.hasManifest(session,
+                hfs.location.rootPaths.head) =>
+          val root = hfs.location.rootPaths.head.toString
+          lr.copy(relation = hfs.copy(location =
+            new SkippingFileIndex(session, root, hfs.location))(session))
+        case _ => lr
+      }
+  }
+}

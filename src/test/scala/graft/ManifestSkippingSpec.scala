@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Skipping
+import graft.sources.Skipping.scannedFiles
+
+/** Automatic manifest pruning injected via GraftExtensions
+  * (ManifestSkippingRule + SkippingFileIndex): plain reads over
+  * manifest-carrying parquet get file skipping with NO API call, every
+  * surface included (DataFrame, dialect SQL); untranslatable or
+  * stale shapes degrade to full reads, never wrong results. The
+  * TestSpark session carries the production `spark.sql.extensions`
+  * wiring, so this exercises exactly what a deployed session runs. */
+class ManifestSkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** clustered table: a 0..49 range-sorted over 10 files, b derived. */
+  private def writeClustered(n: Int): (String, DataFrame) = {
+    val df = spark.range(n.toLong).select(
+      col("id"), (col("id") % 50).as("a"),
+      (col("id") % 7).cast("double").as("b"))
+    val dir = tmp("autoskip")
+    df.repartitionByRange(10, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("a", "b"))
+    (dir, df)
+  }
+
+  private def sets(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("plain read + filter prunes files automatically, results exact") {
+    val (dir, src) = writeClustered(1000)
+    val q = spark.read.parquet(dir).filter(col("a").between(10, 14))
+    assert(sets(q) == sets(src.filter(col("a").between(10, 14))))
+    val nf = scannedFiles(spark.read.parquet(dir)
+      .filter(col("a").between(10, 14)))
+    assert(nf * 2 <= 10, s"scanned $nf of 10")
+    // IN-list (and its InSet optimizer form, >10 values) prunes too
+    val vals = (10L to 21L)
+    val nfIn = scannedFiles(spark.read.parquet(dir)
+      .filter(col("a").isin(vals: _*)))
+    assert(nfIn < 10, s"IN scanned $nfIn of 10")
+    assert(spark.read.parquet(dir).filter(col("a").isin(vals: _*)).count()
+      == src.filter(col("a").isin(vals: _*)).count())
+  }
+
+  test("untranslatable predicates scan everything — and stay correct") {
+    val (dir, src) = writeClustered(500)
+    val q = spark.read.parquet(dir).filter((col("a") * 2) === 20)
+    assert(sets(q) == sets(src.filter((col("a") * 2) === 20)))
+    assert(scannedFiles(spark.read.parquet(dir)
+      .filter((col("a") * 2) === 20)) == 10)
+    // OR across columns is not a conjunct — no pruning, full scan
+    val orq = spark.read.parquet(dir)
+      .filter(col("a") === 1 || col("b") === 3.0)
+    assert(sets(orq) == sets(src.filter(col("a") === 1 || col("b") === 3.0)))
+    assert(scannedFiles(spark.read.parquet(dir)
+      .filter(col("a") === 1 || col("b") === 3.0)) == 10)
+  }
+
+  test("files appended after the manifest are still read (stale-safe)") {
+    val (dir, _) = writeClustered(500)
+    spark.range(100).select(col("id") + 10000, lit(999L).as("a"),
+      lit(0.0).as("b")).toDF("id", "a", "b")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // pred matches ONLY the appended (manifest-unknown) file
+    val q = spark.read.parquet(dir).filter(col("a") === 999)
+    assert(q.count() == 100)
+    // known files still prune around the unknown one
+    val nf = scannedFiles(spark.read.parquet(dir).filter(col("a") === 999))
+    assert(nf < 11, s"scanned $nf")
+  }
+
+  test("tables without a manifest are not wrapped") {
+    val dir = tmp("nowrap")
+    spark.range(100).select(col("id"), (col("id") % 10).as("a"))
+      .repartition(4).write.parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("a") === 3)
+    assert(q.count() == 10)
+    val wrapped = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.isInstanceOf[org.apache.spark.sql.graft.SkippingFileIndex]
+          case _ => false
+        }
+    }
+    assert(wrapped == Seq(false))
+  }
+
+  test("dialect SQL through the engine prunes via the same rule") {
+    val exec = new graft.exec.Executor(spark,
+      Map("src" -> spark.range(2000).select(
+        col("id"), (col("id") % 100).as("a"),
+        (col("id") % 13).cast("double").as("b"))))
+    val base = java.nio.file.Files.createTempDirectory("autoskip_sql").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE t WITH (persist 'parquet') AS select * from src")
+    exec.execute("OPTIMIZE t ZORDER BY (a, b) WITH (files '16')")
+    val q = exec.query("select count(1) as n from t where a between 10 and 19")
+    assert(q.head().getLong(0) == 200L)
+    val nf = scannedFiles(
+      exec.query("select count(1) as n from t where a between 10 and 19"))
+    assert(nf * 2 <= 16, s"dialect scanned $nf of 16")
+  }
+
+  test("null-literal and null-safe comparisons translate soundly") {
+    val dir = tmp("autoskip_null")
+    val df = spark.range(300).select(col("id"),
+      when(col("id") % 3 === 0, lit(null)).otherwise(col("id") % 20).as("a"))
+    df.repartitionByRange(6, col("a")).write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("a"))
+    val full = spark.read.parquet(dir)
+    assert(full.filter(col("a") <=> lit(null)).count() == 100)
+    assert(full.filter(col("a").isNull).count() == 100)
+    assert(full.filter(col("a") <=> 5L).count()
+      == df.filter(col("a") <=> 5L).count())
+    // a = NULL matches nothing; pruning must not break the empty result
+    assert(full.filter(col("a") === lit(null).cast("long")).count() == 0)
+  }
+}

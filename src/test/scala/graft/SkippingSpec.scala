@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Skipping, Sinks}
+import graft.sources.Skipping._
+
+/** File-level min/max data skipping: soundness (pruning never changes
+  * results, stale manifests degrade to extra IO), incrementality
+  * (refresh stats only the delta), effectiveness (clustered layouts
+  * actually prune), and the OPTIMIZE dialect verb end to end. */
+class SkippingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** 3 typed columns incl. nulls: a (long, clustered), b (double),
+    * s (string) — nulls in b and s. */
+  private def sample(n: Int): DataFrame =
+    spark.range(n.toLong).select(
+      col("id"),
+      (col("id") / 10).cast("long").as("a"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise((col("id") % 100).cast("double") / 2).as("b"),
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise(concat(lit("k"), lpad((col("id") % 50).cast("string"), 3, "0")))
+        .as("s"))
+
+  private def collectSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("randomized differential: skipping read == full filter, all pred kinds") {
+    val dir = tmp("skip_diff")
+    val df = sample(500)
+    df.repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir)
+    writeManifest(spark, dir, Seq("a", "b", "s"))
+    val full = spark.read.parquet(dir)
+    val rnd = new scala.util.Random(42)
+    def randPred(): Pred = rnd.nextInt(6) match {
+      case 0 =>
+        val lo = rnd.nextInt(50).toLong
+        RangePred("a", Some(lo), Some(lo + rnd.nextInt(10).toLong))
+      case 1 => RangePred("b", Some(rnd.nextInt(40).toDouble),
+        Some((rnd.nextInt(10) + 40).toDouble))
+      case 2 => EqPred("s", f"k${rnd.nextInt(50)}%03d")
+      case 3 => InPred("a", Seq.fill(3)(rnd.nextInt(50).toLong))
+      case 4 => if (rnd.nextBoolean()) NullPred("b") else NullPred("s")
+      case 5 => if (rnd.nextBoolean()) NotNullPred("b") else NotNullPred("s")
+    }
+    for (_ <- 1 to 30) {
+      val preds = Seq.fill(1 + rnd.nextInt(2))(randPred())
+      val expect = collectSet(full.filter(predColumn(preds)))
+      val got = collectSet(readSkipping(spark, dir, preds))
+      assert(got == expect, s"mismatch for $preds")
+    }
+  }
+
+  test("stale manifest: files unknown to the manifest are always read") {
+    val dir = tmp("skip_stale")
+    sample(100).write.parquet(dir)
+    writeManifest(spark, dir, Seq("a"))
+    // new data lands WITHOUT a manifest refresh
+    sample(100).withColumn("a", col("a") + 1000)
+      .write.mode(SaveMode.Append).parquet(dir)
+    val preds = Seq(RangePred("a", Some(1000L), None))
+    val got = readSkipping(spark, dir, preds)
+    assert(got.count() == 100) // every appended row found
+    val (kept, total) = prunedFiles(spark, dir, preds)
+    assert(kept.size < total) // ...while known disjoint files still prune
+  }
+
+  test("missing manifest degrades to a full scan") {
+    val dir = tmp("skip_nomanifest")
+    sample(50).write.parquet(dir)
+    val (kept, total) = prunedFiles(spark, dir,
+      Seq(RangePred("a", Some(0L), Some(0L))))
+    assert(kept.size == total)
+    assert(collectSet(readSkipping(spark, dir, Seq(RangePred("a", Some(1L), Some(2L)))))
+      == collectSet(spark.read.parquet(dir).filter(col("a").between(1, 2))))
+  }
+
+  test("refreshManifest stats only the delta and drops dead entries") {
+    val dir = tmp("skip_refresh")
+    sample(100).repartition(4).write.parquet(dir)
+    writeManifest(spark, dir, Seq("a", "b"))
+    val before = readManifest(spark, dir).get.collect()
+      .map(r => r.getString(r.fieldIndex("file")) -> r.toString).toMap
+    // no change → no-op
+    assert(refreshManifest(spark, dir, Seq("a", "b")) == ((0L, 0L)))
+    // append 2 more files
+    sample(40).withColumn("a", col("a") + 500).repartition(2)
+      .write.mode(SaveMode.Append).parquet(dir)
+    val (added, removed) = refreshManifest(spark, dir, Seq("a", "b"))
+    assert(added == 2L && removed == 0L)
+    val after = readManifest(spark, dir).get.collect()
+      .map(r => r.getString(r.fieldIndex("file")) -> r.toString).toMap
+    // pre-existing entries byte-identical (not re-statted)
+    before.foreach { case (f, row) => assert(after(f) == row) }
+    assert(after.size == before.size + 2)
+    // delete one data file behind the manifest's back
+    val f = new org.apache.hadoop.fs.Path(dir + "/" + before.keys.head)
+    f.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(f, false)
+    val (a2, r2) = refreshManifest(spark, dir, Seq("a", "b"))
+    assert(a2 == 0L && r2 == 1L)
+    // column-set mismatch falls back to a full rebuild
+    val (a3, _) = refreshManifest(spark, dir, Seq("a"))
+    assert(a3 == dataFiles(spark, dir).size.toLong)
+  }
+
+  test("clustered layout prunes hard; null-count prunes IS [NOT] NULL") {
+    val dir = tmp("skip_eff")
+    // a in [0,49] range-clustered over 10 files; nulls only in a's 0-file
+    sample(500).repartitionByRange(10, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir)
+    writeManifest(spark, dir, Seq("a", "b"))
+    val (kept, total) = prunedFiles(spark, dir,
+      Seq(RangePred("a", Some(10L), Some(14L))))
+    assert(total == 10 && kept.size * 4 <= total,
+      s"kept ${kept.size} of $total")
+    // IS NULL: only files holding nulls of b survive
+    val (keptN, _) = prunedFiles(spark, dir, Seq(NullPred("b")))
+    val withNulls = spark.read.parquet(dir).filter(col("b").isNull)
+      .select(input_file_name()).distinct().count()
+    assert(keptN.size.toLong == withNulls)
+    // NOT NULL against an all-null column: every file prunes
+    val dir2 = tmp("skip_allnull")
+    spark.range(100).select(col("id"), lit(null).cast("double").as("x"))
+      .repartition(4).write.parquet(dir2)
+    writeManifest(spark, dir2, Seq("x"))
+    val (keptA, totalA) = prunedFiles(spark, dir2, Seq(NotNullPred("x")))
+    assert(keptA.isEmpty && totalA == 4)
+    assert(readSkipping(spark, dir2, Seq(NotNullPred("x"))).count() == 0)
+    // ...and IS NULL keeps them (sound both ways on degenerate stats)
+    assert(readSkipping(spark, dir2, Seq(NullPred("x"))).count() == 100)
+  }
+
+  test("zorderCode interleaves round-robin from the high column") {
+    // k=3, bits=2: a=0b10, b=0b01, c=0b11 →
+    // i=0: a0=0@pos2, b0=1@pos1, c0=1@pos0; i=1: a1=1@pos5, b1=0@pos4,
+    // c1=1@pos3 → 0b101011 = 43
+    val got = spark.range(1).select(
+      zorderCode(Seq(lit(2L), lit(1L), lit(3L)), 2).as("z"))
+      .head().getLong(0)
+    assert(got == 43L)
+    // 2-col case agrees with the legacy pairwise mortonCode
+    val df = spark.range(64).select((col("id") % 8).as("x"),
+      (col("id") / 8).cast("long").as("y"))
+    val pair = df.select(Sinks.mortonCode(col("x"), col("y"), 3).as("m"),
+      zorderCode(Seq(col("x"), col("y")), 3).as("z"))
+    assert(pair.filter(col("m") =!= col("z")).count() == 0)
+  }
+
+  test("rankBucket is monotone, bounded, and sends nulls to bucket 0") {
+    val df = spark.range(1000).select(
+      when(col("id") % 10 === 0, lit(null)).otherwise(col("id")).as("v"))
+    val b = df.select(col("v"), rankBucket(df, "v", 4).as("bk"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+    assert(b.forall { case (_, bk) => bk >= 0 && bk < 16 })
+    assert(b.filter(_._1 == -1L).forall(_._2 == 0L))
+    val nonNull = b.filter(_._1 >= 0).sortBy(_._1)
+    assert(nonNull.sliding(2).forall {
+      case Array((_, b1), (_, b2)) => b1 <= b2; case _ => true })
+    // quantile buckets spread a uniform domain across most of the range
+    assert(nonNull.map(_._2).distinct.length >= 12)
+  }
+
+  test("Z-order: ONE layout prunes box predicates on EITHER dimension") {
+    val n = 64
+    val grid = spark.range((n * n).toLong).select(
+      (col("id") % n).as("x"), (col("id") / n).cast("long").as("y"))
+    val dir = tmp("skip_z")
+    writeZOrdered(grid, dir, Seq("x", "y"), nFiles = 16, bits = 6)
+    writeManifest(spark, dir, Seq("x", "y"))
+    val box = Seq(RangePred("x", Some(8L), Some(15L)),
+      RangePred("y", Some(8L), Some(15L)))
+    val (kJoint, total) = prunedFiles(spark, dir, box)
+    val (kX, _) = prunedFiles(spark, dir, box.take(1))
+    val (kY, _) = prunedFiles(spark, dir, box.drop(1))
+    assert(total == 16)
+    // a 1/8-per-dim box: single-dim preds each prune, the joint box
+    // prunes hardest — the property a 1-D sort cannot give both of
+    assert(kX.size < total && kY.size < total, s"x=${kX.size} y=${kY.size}")
+    assert(kJoint.size <= math.min(kX.size, kY.size))
+    assert(kJoint.size * 3 <= total, s"joint kept ${kJoint.size}")
+    // and the read is still exact
+    assert(readSkipping(spark, dir, box).count() == 64)
+  }
+
+  test("OPTIMIZE ZORDER BY: content-preserving, manifest-building, owned-only") {
+    val exec = new graft.exec.Executor(spark,
+      Map("ev" -> sample(300).withColumnRenamed("id", "event_id")))
+    val base = java.nio.file.Files.createTempDirectory("graft_optspec").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select event_id, a, b from ev")
+    val before = collectSet(exec.query(
+      "select * from pev where a between 5 and 9"))
+    exec.execute("OPTIMIZE pev ZORDER BY (a, b) WITH (files '6')")
+    assert(exec.lastCommandTag.exists(_.startsWith("OPTIMIZE")))
+    assert(collectSet(exec.query(
+      "select * from pev where a between 5 and 9")) == before)
+    // the rewrite built a skipping manifest over the zorder columns
+    val p = s"$base/pev.parquet"
+    val m = readManifest(spark, p).get
+    assert(Seq("a__min", "a__max", "b__nulls").forall(m.columns.contains))
+    assert(dataFiles(spark, p).size <= 6)
+    // plain OPTIMIZE (bin-pack) keeps the manifest's column set alive
+    exec.execute("OPTIMIZE pev WITH (files '1')")
+    val m2 = readManifest(spark, p).get
+    assert(Seq("a__min", "b__min").forall(m2.columns.contains))
+    assert(dataFiles(spark, p).size == 1)
+    assert(collectSet(exec.query(
+      "select * from pev where a between 5 and 9")) == before)
+    // not path-backed → refuse
+    val e1 = intercept[graft.compiler.CompileException](
+      exec.execute("OPTIMIZE ev"))
+    assert(e1.getMessage.contains("not path-backed"))
+    // attached (not written) storage → refuse: COPY FROM the files the
+    // CTAS persisted, into a NEW session that never wrote them
+    val exec2 = new graft.exec.Executor(spark, Map.empty)
+    exec2.setBasepath(base)
+    exec2.execute("COPY att FROM 'pev.parquet' WITH format 'parquet'")
+    val e2 = intercept[graft.compiler.CompileException](
+      exec2.execute("OPTIMIZE att"))
+    assert(e2.getMessage.contains("refusing to rewrite"))
+  }
+
+  test("skipping under hive partitioning keeps partition columns intact") {
+    val dir = tmp("skip_hive")
+    sample(200).withColumn("pt", (col("a") % 3).cast("int"))
+      .write.partitionBy("pt").parquet(dir)
+    writeManifest(spark, dir, Seq("a", "pt"))
+    val preds = Seq(RangePred("pt", Some(1), Some(1)),
+      RangePred("a", Some(0L), Some(9L)))
+    val full = spark.read.parquet(dir).filter(predColumn(preds))
+    val got = readSkipping(spark, dir, preds)
+    assert(got.columns.contains("pt"))
+    assert(collectSet(got) == collectSet(full))
+    val (kept, total) = prunedFiles(spark, dir, preds)
+    assert(kept.size < total) // partition-column stats prune too
+  }
+}
