@@ -1458,6 +1458,20 @@ final class Compiler(spark: SparkSession, registry: Registry,
         foreignKeys.getOrElse(table, Nil).filterNot(_._1 == conname) :+
           ((conname, col, refTable, refCol))
     }
+  /** Every declared FK touching any of `tables` on either side, as
+    * (declaring table, constraint, column, referenced table, referenced
+    * column) — what OPTIMIZE snapshots before its rebinds (which drop
+    * keys) and re-declares after (content is preserved by contract, so
+    * the declarations still describe the data). */
+  def foreignKeysInvolving(tables: Set[String])
+      : Seq[(String, String, String, String, String)] =
+    foreignKeys.synchronized {
+      foreignKeys.toSeq.flatMap { case (t, fks) =>
+        fks.collect { case (cn, c, rt, rc) if tables(t) || tables(rt) =>
+          (t, cn, c, rt, rc) }
+      }
+    }
+
   def dropForeignKeysOf(table: String): Unit = foreignKeys.synchronized {
     foreignKeys.remove(table)
     // FKs REFERENCING the rebound/dropped table are stale too

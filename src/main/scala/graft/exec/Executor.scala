@@ -604,25 +604,71 @@ final class Executor(val spark: SparkSession,
       val resolved = zcols.map(c =>
         df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
           throw CompileException(s"OPTIMIZE: column '$c' not in '$table'")))
-      val nFiles = options.get("files").map(_.toInt).getOrElse {
+      // validate EVERYTHING user-controlled up front — a malformed option
+      // or un-bucketable column must fail as a CompileException before
+      // any rename touches the directory, not as an internal error
+      // mid-rewrite
+      resolved.foreach { c =>
+        val dt = df.schema(df.columns.indexWhere(_ == c)).dataType
+        if (!graft.sources.Skipping.rankable(dt))
+          throw CompileException(
+            s"OPTIMIZE: ZORDER BY column '$c' has type ${dt.simpleString} " +
+            "— Z-order clustering needs numeric/date/timestamp (string " +
+            "columns are still min/max-indexed by the manifest)")
+      }
+      def intOption(key: String, default: => Int): Int =
+        options.get(key) match {
+          case None => default
+          case Some(v) =>
+            val i = try v.trim.toInt catch {
+              case _: NumberFormatException => throw CompileException(
+                s"OPTIMIZE: option '$key' must be a positive integer, " +
+                s"got '$v'")
+            }
+            if (i <= 0) throw CompileException(
+              s"OPTIMIZE: option '$key' must be positive, got '$v'")
+            i
+        }
+      val nFiles = intOption("files", {
         // bin-pack to ~128 MB target files from actual bytes on disk
         val fsP = new org.apache.hadoop.fs.Path(p)
         val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         math.max(1L, fs.getContentSummary(fsP).getLength / (128L << 20)).toInt
-      }
-      val bits = options.get("bits").map(_.toInt).getOrElse(8)
-      // content is preserved by contract, so measured ANALYZE stats
-      // survive the rewrite (only the file layout changed)
+      })
+      val bits = intOption("bits", 8)
+      if (resolved.nonEmpty && resolved.length * bits > 60)
+        throw CompileException(
+          s"OPTIMIZE: ${resolved.length} ZORDER columns x $bits bits " +
+          "exceeds the 60-bit interleave budget — lower 'bits' " +
+          s"(max ${60 / resolved.length} here)")
+      // content is preserved by contract, so measured ANALYZE stats and
+      // declared PK/FK metadata survive the rewrite (only the file
+      // layout changed); rebind() drops both, so snapshot + restore
       // every scope entry reading this path captured the OLD file list
       // in its lineage — re-open them all from the swapped directory
       val backed = sourcePaths.collect { case (n, sp) if sp == p => n }.toSeq
       val savedStats = backed.flatMap(n => stats.get(n).map(n -> _)).toMap
+      val savedPks = backed.flatMap(n =>
+        compiler.primaryKeyOf(n).map(n -> _)).toMap
+      val savedFks = compiler.foreignKeysInvolving(backed.toSet)
       graft.sources.Skipping.optimize(spark, p, resolved, nFiles, bits)
       backed.foreach { n =>
         rebind(n, readSource(p, Map("format" -> "parquet")))
         sourcePaths += (n -> p)
         savedStats.get(n).foreach(st => stats += (n -> st))
       }
+      savedPks.foreach { case (n, (cn, cols)) =>
+        compiler.declarePrimaryKey(n, cn, cols) }
+      savedFks.foreach { case (t, cn, c, rt, rc) =>
+        compiler.declareForeignKey(t, cn, c, rt, rc) }
+      // DERIVED frames (lazy CTAS views over this table) are not
+      // path-backed, but their lineage also pins the dead pre-swap file
+      // list — swap in a freshly-listed index, same output attributes
+      scope.toSeq.collect { case (n, d) if !backed.contains(n) => (n, d) }
+        .foreach { case (n, d) =>
+          org.apache.spark.sql.graft.PlanRefresh.reopenPath(spark, d, p)
+            .foreach(fresh => scope += (n -> fresh))
+        }
       lastTagThunk = Some(() =>
         s"OPTIMIZE ${graft.sources.Skipping.dataFiles(spark, p).size}")
       None

@@ -31,15 +31,19 @@ import org.apache.hadoop.fs.Path
   *  - [[readSkipping]] re-applies the exact row-level predicate after
   *    pruning, so the result equals `read.filter(pred)` by construction.
   *
-  * Data files are written-once (every writer here creates new files;
-  * rewrites go through staged directory swaps), so a manifest entry can
-  * never describe outdated file CONTENT — only the file SET drifts, and
-  * the contract above makes set drift safe. [[refreshManifest]] is the
-  * incremental repair: it stats only files the manifest has not seen
-  * (the per-epoch appends of a streaming ingest) and drops entries for
-  * files that no longer exist — cost proportional to the delta, not the
-  * table, which is what makes per-batch maintenance viable at ingest
-  * cadence.
+  * Manifest entries carry the statted file's IDENTITY — `(bytes,
+  * mtime)`, the same key Spark's FileStatusCache trusts — and pruning
+  * acts on an entry only when the live listing still matches it. So a
+  * file REWRITTEN in place under its old name (the one writer that does
+  * this: [[Sinks.appendEpoch]]'s replay repair after a crash, which may
+  * redistribute the epoch's rows across the same deterministic part
+  * names) simply falls out of pruning until restatted — stale content
+  * degrades to extra IO, never lost rows, exactly like an unknown file.
+  * [[refreshManifest]] is the incremental repair: it stats files the
+  * manifest has not seen OR whose identity changed (the per-epoch
+  * appends of a streaming ingest) and drops entries for files that no
+  * longer exist — cost proportional to the delta, not the table, which
+  * is what makes per-batch maintenance viable at ingest cadence.
   *
   * The reference engine has no storage layer at all (frames live in
   * memory, `src/framequery/executor/_executor.py:445-448`); this module
@@ -121,17 +125,24 @@ object Skipping {
     * metadata, except names containing '=' which are hive partition
     * directories). Driver-side recursive list: one RPC per directory,
     * the same cost Spark's own scan planning pays. */
-  def dataFiles(spark: SparkSession, path: String): Seq[String] = {
+  def dataFiles(spark: SparkSession, path: String): Seq[String] =
+    dataFilesWithIdentity(spark, path).map(_._1)
+
+  /** [[dataFiles]] plus each file's identity `(bytes, mtime)` — what
+    * manifest rows are keyed against before they may prune. */
+  def dataFilesWithIdentity(spark: SparkSession,
+      path: String): Seq[(String, Long, Long)] = {
     val f = fs(spark, path)
     val root = rootPath(spark, path)
     def visible(n: String): Boolean =
       (!n.startsWith(".") && !n.startsWith("_")) || n.contains("=")
-    def walk(p: Path): Seq[String] =
+    def walk(p: Path): Seq[(String, Long, Long)] =
       f.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
         .flatMap { st =>
           if (st.isDirectory) walk(st.getPath)
           else if (st.getPath.getName.endsWith(".parquet"))
-            Seq(relName(st.getPath.toUri.toString, root))
+            Seq((relName(st.getPath.toUri.toString, root), st.getLen,
+              st.getModificationTime))
           else Nil
         }
     walk(new Path(path))
@@ -143,35 +154,47 @@ object Skipping {
         sum(col(c).isNull.cast("long")).as(s"${c}__nulls"))
     }
 
-  /** Per-file stats for `paths` (absolute), keyed by root-relative file
-    * name. One distributed pass: tasks stat the files they read, the
-    * per-file groupBy is map-side-combined, and the tiny result is the
-    * manifest. Hive partition columns are resolved via `basePath`, so
-    * they are indexable like any other column. */
+  /** Per-file stats for the listed files, keyed by root-relative file
+    * name and carrying each file's identity `(bytes, mtime)` captured at
+    * stat time. One distributed pass: tasks stat the files they read,
+    * the per-file groupBy is map-side-combined, and the tiny result is
+    * the manifest. Hive partition columns are resolved via `basePath`,
+    * so they are indexable like any other column. */
   private def statsFor(spark: SparkSession, tableRoot: String,
-      paths: Seq[String], cols: Seq[String]): DataFrame = {
+      files: Seq[(String, Long, Long)], cols: Seq[String]): DataFrame = {
     val root = rootPath(spark, tableRoot)
     val rel = udf((u: String) => relName(u, root))
+    import spark.implicits._
+    // the identity the driver listed just before statting — joined back
+    // onto the tiny per-file aggregate (one row per file on both sides)
+    val identity = files.toDF("file", "bytes", "mtime")
     // group on the raw URI (codegen'd), relativize once per FILE on the
     // tiny aggregated result — not a UDF per row
-    spark.read.option("basePath", tableRoot).parquet(paths: _*)
+    spark.read.option("basePath", tableRoot)
+      .parquet(files.map(f => s"$tableRoot/${f._1}"): _*)
       .groupBy(input_file_name().as("__uri"))
       .agg(count(lit(1)).as("rows"), statCols(cols): _*)
       .withColumn("file", rel(col("__uri")))
       .drop("__uri")
-      .select(col("file") +: col("rows") +: cols.flatMap(c =>
-        Seq(col(s"${c}__min"), col(s"${c}__max"), col(s"${c}__nulls"))): _*)
+      .join(identity, Seq("file"))
+      .select(col("file") +: col("bytes") +: col("mtime") +: col("rows") +:
+        cols.flatMap(c =>
+          Seq(col(s"${c}__min"), col(s"${c}__max"), col(s"${c}__nulls"))): _*)
   }
 
   private def manifestPath(path: String) = s"$path/$ManifestDir"
 
-  /** Full manifest (re)build: stat every current data file. */
+  /** Full manifest (re)build: stat every current data file. The listing
+    * (identity capture) precedes the content pass, so a file rewritten
+    * mid-build shows a changed identity at prune time and is simply
+    * read — never pruned on stale stats. */
   def writeManifest(spark: SparkSession, path: String,
       cols: Seq[String]): Unit = {
-    val files = dataFiles(spark, path)
+    val files = dataFilesWithIdentity(spark, path)
     require(files.nonEmpty, s"skipping: no data files under $path")
-    val m = statsFor(spark, path, files.map(f => s"$path/$f"), cols)
+    val m = statsFor(spark, path, files, cols)
     m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+    invalidateManifestProbe()
   }
 
   /** Manifest rows, if a readable manifest exists. `None` = no skipping
@@ -183,35 +206,43 @@ object Skipping {
       catch { case _: Exception => None }
 
   /** Incremental manifest maintenance: stat files the manifest has not
-    * seen, drop entries whose files are gone, keep every other row
-    * untouched. Returns (filesAdded, entriesRemoved). Cost is
-    * proportional to the DELTA — this is what an epoch-append stream
-    * calls per batch (or per compaction cadence). Columns must match
-    * the existing manifest's indexed set; on mismatch (or no manifest)
-    * it falls back to a full [[writeManifest]] rebuild. */
+    * seen OR whose identity `(bytes, mtime)` changed (an in-place
+    * replay rewrite), drop entries whose files are gone, keep every
+    * other row untouched. Returns (filesStatted, entriesRemoved) —
+    * a changed file counts on both sides (old entry out, fresh stat
+    * in). Cost is proportional to the DELTA — this is what an
+    * epoch-append stream calls per batch (or per compaction cadence).
+    * Columns must match the existing manifest's indexed set; on
+    * mismatch (or no/old-format manifest) it falls back to a full
+    * [[writeManifest]] rebuild. */
   def refreshManifest(spark: SparkSession, path: String,
       cols: Seq[String]): (Long, Long) = {
-    val current = dataFiles(spark, path).toSet
+    val current = dataFilesWithIdentity(spark, path)
     readManifest(spark, path) match {
       case Some(m)
           if cols.forall(c => m.columns.contains(s"${c}__min")) &&
-            m.columns.length == 2 + 3 * cols.length =>
-        // bounded collect: one string per manifest row = one per data
+            m.columns.contains("bytes") &&
+            m.columns.length == 4 + 3 * cols.length =>
+        // bounded collect: one row per manifest entry = one per data
         // file — the same driver-memory class as scan planning's file
         // listing
-        val known = m.select("file").collect().map(_.getString(0)).toSet
-        val added = (current -- known).toSeq.sorted
+        val known = m.select("file", "bytes", "mtime").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val added = current.filterNot(known).sortBy(_._1)
         val removed = known -- current
         if (added.isEmpty && removed.isEmpty) (0L, 0L)
         else {
-          // semi-join against a local relation, not a million-literal isin
+          // semi-join against a local relation, not a million-literal
+          // isin; joining on the FULL identity drops gone AND changed
+          // entries in one pass
           import spark.implicits._
-          val currentDf = current.toSeq.toDF("file")
-          val keep = m.join(currentDf, Seq("file"), "left_semi")
+          val currentDf = current.toDF("file", "bytes", "mtime")
+          val keep = m.join(currentDf, Seq("file", "bytes", "mtime"),
+            "left_semi")
           val merged =
             if (added.isEmpty) keep
             else {
-              val add = statsFor(spark, path, added.map(f => s"$path/$f"), cols)
+              val add = statsFor(spark, path, added, cols)
               keep.select(add.columns.map(col): _*).unionAll(add)
             }
           // stage-then-swap so a crash mid-write leaves either the old
@@ -224,6 +255,7 @@ object Skipping {
             throw new IllegalStateException(
               s"refreshManifest: rename $staged failed; skipping degrades " +
               "to full scans until the next manifest write")
+          invalidateManifestProbe()
           (added.size.toLong, removed.size.toLong)
         }
       case _ =>
@@ -273,16 +305,20 @@ object Skipping {
     } catch { case _: Exception => None }
   }
 
-  /** The set of files the manifest PROVES cannot satisfy `preds`
-    * (root-relative names), or `None` when no decision is possible
-    * (no/unreadable manifest, no indexed predicate). Driver-only: the
-    * keep condition filters a LocalRelation of the cached manifest
-    * rows, which Catalyst collapses at optimization time — no job.
-    * This is the planning-time entry the automatic FileIndex path
-    * uses; dropping from a DROP set means files unknown to the
-    * manifest can never be excluded. */
+  /** The files the manifest PROVES cannot satisfy `preds`, as
+    * root-relative name → the identity `(bytes, mtime)` the stats were
+    * taken against, or `None` when no decision is possible
+    * (no/unreadable/old-format manifest, no indexed predicate). A
+    * caller may drop a file ONLY when its live listing identity equals
+    * the mapped one — a file rewritten in place since statting is read,
+    * not pruned. Driver-only: the keep condition filters a
+    * LocalRelation of the cached manifest rows, which Catalyst
+    * collapses at optimization time — no job. This is the
+    * planning-time entry the automatic FileIndex path uses; dropping
+    * from a DROP set means files unknown to the manifest can never be
+    * excluded. */
   def droppedFiles(spark: SparkSession, path: String,
-      preds: Seq[Pred]): Option[Set[String]] =
+      preds: Seq[Pred]): Option[Map[String, (Long, Long)]] =
     manifestSignature(spark, path).flatMap { sig =>
       val cached = manifestCache.get(path)
       val loaded =
@@ -295,28 +331,61 @@ object Skipping {
       loaded.flatMap { case (schema, rows) =>
         val indexed = preds.filter(p =>
           schema.fieldNames.contains(s"${p.column}__min"))
-        if (indexed.isEmpty) None
+        if (indexed.isEmpty || !schema.fieldNames.contains("bytes")) None
         else {
           import scala.jdk.CollectionConverters._
           val m = spark.createDataFrame(rows.asJava, schema)
           val cond = indexed.map(keepCond).reduce(_ && _)
-          Some(m.filter(!cond).select("file").collect()
-            .map(_.getString(0)).toSet)
+          Some(m.filter(!cond).select("file", "bytes", "mtime").collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+            .toMap)
         }
       }
     }
 
   /** Evaluate pruning: (files to read, total data files). Unknown files
-    * (on disk, not in manifest) are always kept; predicates on columns
-    * the manifest does not index never prune. */
+    * (on disk, not in manifest), files whose identity drifted from the
+    * statted one, and predicates on columns the manifest does not index
+    * never prune. */
   def prunedFiles(spark: SparkSession, path: String,
       preds: Seq[Pred]): (Seq[String], Int) = {
-    val files = dataFiles(spark, path)
+    val files = dataFilesWithIdentity(spark, path)
     droppedFiles(spark, path, preds) match {
-      case None => (files, files.size)
-      case Some(drop) => (files.filterNot(drop.contains), files.size)
+      case None => (files.map(_._1), files.size)
+      case Some(drop) =>
+        (files.collect { case (n, len, mt)
+            if !drop.get(n).contains((len, mt)) => n },
+          files.size)
     }
   }
+
+  // --------------------------------------------------- existence probe
+
+  /** TTL-cached `_graft_manifest` existence probe — the optimizer
+    * rule's fixed-point batches would otherwise issue one FS RPC per
+    * manifest-less parquet relation per ITERATION. Every manifest
+    * write in this JVM clears the cache; a manifest created by another
+    * process is picked up within the TTL. */
+  private val ProbeTtlMs = 10000L
+  private val manifestProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
+
+  def manifestExists(spark: SparkSession, root: String): Boolean = {
+    val now = System.currentTimeMillis()
+    val c = manifestProbe.get(root)
+    if (c != null && now - c._2 < ProbeTtlMs) c._1
+    else {
+      val ex =
+        try fs(spark, root).exists(new Path(root, ManifestDir))
+        catch { case _: Exception => false }
+      manifestProbe.put(root, (ex, now))
+      ex
+    }
+  }
+
+  /** Manifest writes are rare; a full clear is cheaper than key
+    * normalization across the path spellings callers use. */
+  private def invalidateManifestProbe(): Unit = manifestProbe.clear()
 
   /** Manifest-pruned read: equals `spark.read.parquet(path)
     * .filter(predColumn(preds))` row-for-row, reading only files the
@@ -355,6 +424,39 @@ object Skipping {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Can `dt` be rank-bucketed (order-preserving numeric proxy)?
+    * Numeric, date, and timestamp qualify; anything else (notably
+    * strings — whose cast-to-double would silently null out and send
+    * every row to bucket 0) must be rejected loudly by callers. Strings
+    * remain min/max-indexable via [[writeManifest]], just not
+    * rank-bucketable. */
+  def rankable(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _: org.apache.spark.sql.types.NumericType => true
+    case _ => false
+  }
+
+  private def numericProxy(dt: DataType, cc: Column): Column = dt match {
+    case DateType => cc.cast(TimestampType).cast("double")
+    case _ => cc.cast("double")
+  }
+
+  private def requireRankable(df: DataFrame, c: String): DataType = {
+    val dt = df.schema(c).dataType
+    require(rankable(dt),
+      s"zorder: column '$c' has type ${dt.simpleString} — rank bucketing " +
+        "needs numeric/date/timestamp (strings are min/max-indexable via " +
+        "writeManifest, but cannot be Z-order clustered)")
+    dt
+  }
+
+  /** Per-row bucket in [0, 2^bits) as a codegen'd
+    * count-of-boundaries-≤x over the literal boundary array. */
+  private def bucketOf(bounds: Array[Double], proxy: Column): Column = {
+    val arr = array(bounds.distinct.sorted.map(lit(_)): _*)
+    size(filter(arr, b => b <= proxy)).cast("long")
+  }
+
   /** Map a numeric/date/timestamp column into [0, 2^bits) by quantile
     * rank: boundaries from one sampled `approxQuantile` pass (no global
     * sort), the per-row bucket as a codegen'd count-of-boundaries-≤x
@@ -362,20 +464,13 @@ object Skipping {
     * buckets keep the Z-curve balanced under skew — a hot key range gets
     * more buckets, not one overflowing cell. NULLs land in bucket 0. */
   def rankBucket(df: DataFrame, c: String, bits: Int): Column = {
-    val dt = df.schema(c).dataType
-    def numeric(cc: Column): Column = dt match {
-      case DateType => cc.cast(TimestampType).cast("double")
-      case TimestampType | TimestampNTZType => cc.cast("double")
-      case _ => cc.cast("double")
-    }
+    val dt = requireRankable(df, c)
     val probe = "__zq_probe"
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
-    val bounds = df.select(numeric(col(c)).as(probe))
+    val bounds = df.select(numericProxy(dt, col(c)).as(probe))
       .stat.approxQuantile(probe, probs, 0.001)
-      .distinct.sorted
-    val arr = array(bounds.map(lit(_)): _*)
-    size(filter(arr, b => b <= numeric(col(c)))).cast("long")
+    bucketOf(bounds, numericProxy(dt, col(c)))
   }
 
   /** Z-order-clustered parquet over ANY number of columns: quantile-rank
@@ -383,14 +478,23 @@ object Skipping {
     * Every output file then covers a small box in ALL dimensions, so
     * manifest min/max stats prune box predicates on any subset of them.
     * `nFiles` bounds output count (at scale: target-file-size / bytes).
-    * Column types: numeric, date, timestamp (rank mapping needs an
-    * order-preserving numeric proxy; strings are still min/max-indexable
-    * via [[writeManifest]], just not rank-bucketable). */
+    * Column types: numeric, date, timestamp (see [[rankable]]); the
+    * boundary estimation for ALL columns runs in ONE sampled
+    * approxQuantile pass over the table, so a k-column Z-order costs
+    * one stats scan + one write, not k + 1 scans. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
       nFiles: Int, bits: Int = 8,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val z = zorderCode(cols.map(c => rankBucket(df, c, bits)), bits)
-    df.withColumn("__z", z)
+    val dts = cols.map(c => requireRankable(df, c))
+    val probeNames = cols.indices.map(i => s"__zq_$i")
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val proxies = df.select(cols.zip(dts).zip(probeNames).map {
+      case ((c, dt), pn) => numericProxy(dt, col(c)).as(pn) }: _*)
+    val allBounds = proxies.stat.approxQuantile(probeNames.toArray, probs, 0.001)
+    val ranks = cols.zip(dts).zip(allBounds).map { case ((c, dt), bounds) =>
+      bucketOf(bounds, numericProxy(dt, col(c)))
+    }
+    df.withColumn("__z", zorderCode(ranks, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -408,12 +512,12 @@ object Skipping {
   def optimize(spark: SparkSession, path: String, cols: Seq[String],
       nFiles: Int, bits: Int = 8): Unit = {
     // a swap replaces every file name, orphaning any existing manifest —
-    // rebuild it afterwards over the SAME indexed columns (or the zorder
-    // columns, which subsume the old index's purpose under the new layout)
-    val manifestCols: Seq[String] =
-      if (cols.nonEmpty) cols
-      else readManifest(spark, path).toSeq.flatMap(
-        _.columns.collect { case n if n.endsWith("__min") => n.dropRight(5) })
+    // rebuild it afterwards over the UNION of the zorder columns and the
+    // previous index's columns: re-clustering on (a, b) must not silently
+    // stop pruning on a previously indexed c
+    val previous: Seq[String] = readManifest(spark, path).toSeq.flatMap(
+      _.columns.collect { case n if n.endsWith("__min") => n.dropRight(5) })
+    val manifestCols = (cols ++ previous.filterNot(cols.contains)).distinct
     if (cols.isEmpty) Sinks.compactParquet(spark, path, nFiles = nFiles)
     else Sinks.compactParquet(spark, path, nFiles = nFiles,
       writeStaged = Some((df, staged) =>
@@ -452,8 +556,23 @@ object Skipping {
   private def effective(kept: Int, total: Int): Column =
     lit(kept * 2 <= total).as("pruning_effective")
 
-  private def tmpTable(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+  /** Deterministic per-gate scratch dir, wiped on reuse — a bench sweep
+    * re-runs every gate many times, and random createTempDirectory names
+    * would pile up full table copies (and never-invalidated
+    * manifestCache keys; a reused path's cache entry is refreshed by the
+    * manifest-signature check instead). */
+  private def tmpTable(prefix: String): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ix", prefix)
+    if (java.nio.file.Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(base)
+    base.toString + "/t"
+  }
 
   /** events + the SF-stable derived layout key: `user_id % 100` spans
     * the same 0..99 domain at every scale factor, so one oracle text

@@ -41,14 +41,14 @@ import graft.sources.Skipping
   * wrapper changes IO, never results. */
 object ManifestSkipping {
 
-  /** Does `root` carry a readable manifest directory? One FS existence
-    * probe per parquet relation per planning pass — the same cost class
-    * as the listing the planner does anyway. */
+  /** Does `root` carry a manifest directory? TTL-cached in
+    * [[Skipping.manifestExists]] — the optimizer's fixed-point batches
+    * re-run this rule several times per query, and an uncached probe
+    * would cost one FS RPC per manifest-less parquet relation per
+    * ITERATION (an object-store HEAD each). Manifest writes in this JVM
+    * invalidate the cache; external writers are seen within the TTL. */
   def hasManifest(spark: SparkSession, root: Path): Boolean =
-    try {
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(new Path(root, Skipping.ManifestDir))
-    } catch { case _: Exception => false }
+    Skipping.manifestExists(spark, root.toString)
 
   /** Catalyst conjunct → manifest pruning predicates. Conservative by
     * construction: anything unrecognized translates to NOTHING (prunes
@@ -127,13 +127,78 @@ class SkippingFileIndex(spark: SparkSession, rootStr: String,
       case None => base
       case Some(drop) if drop.isEmpty => base
       case Some(drop) =>
+        // drop only on FULL identity match — the live FileStatus must
+        // still be the (bytes, mtime) the stats were taken against; a
+        // file rewritten in place since statting is read, not pruned
         base.map { pd =>
           pd.copy(files = pd.files.filterNot { f =>
             Skipping.tryRelName(f.getPath.toUri.toString, rootFs)
-              .exists(drop.contains)
+              .exists(n => drop.get(n)
+                .contains((f.getLen, f.getModificationTime)))
           })
         }.filter(_.files.nonEmpty)
     }
+  }
+}
+
+/** Re-opens file-source relations inside ALREADY-BUILT DataFrames after
+  * an in-place directory rewrite (OPTIMIZE's staged swap). A DataFrame
+  * captures its file LIST at creation (`InMemoryFileIndex` lists
+  * eagerly); after the swap deletes every pre-swap file, any lazy frame
+  * derived from the table — an un-persisted CTAS "view" — would fail at
+  * execution with FileNotFound. [[PlanRefresh.reopenPath]] swaps in a
+  * freshly-listed index while PRESERVING the plan's output attributes,
+  * so downstream expressions keep resolving; content is unchanged by
+  * OPTIMIZE's contract, so results are too. */
+object PlanRefresh {
+
+  /** Resolved-plan → DataFrame (Dataset.ofRows is private[sql]). */
+  def ofRows(spark: SparkSession,
+      plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Monotonic nonce carried as an inert reader option: Catalyst's
+    * `transform` keeps the ORIGINAL node when the rewritten one compares
+    * equal, and `InMemoryFileIndex.equals` is rootPaths-set equality —
+    * a freshly-listed index over the same root reads as "unchanged" and
+    * the replacement is silently discarded. The nonce makes the new
+    * relation structurally distinct (options participate in
+    * HadoopFsRelation equality; unknown keys are ignored by the parquet
+    * reader). */
+  private val reopenNonce = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Replace every file-source relation in `df` whose root set includes
+    * `path` with a freshly-listed copy. Returns None when the plan holds
+    * no such relation (the common case — scan is cheap, plan-only). */
+  def reopenPath(spark: SparkSession, df: org.apache.spark.sql.DataFrame,
+      path: String): Option[org.apache.spark.sql.DataFrame] = {
+    val root = Skipping.rootFsPath(spark, path)
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    var touched = false
+    val fresh = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case hfs: HadoopFsRelation if hfs.location.rootPaths.exists(rp =>
+              rp.toUri.getPath == root) =>
+            touched = true
+            val idx = new org.apache.spark.sql.execution.datasources
+              .InMemoryFileIndex(cs, hfs.location.rootPaths, Map.empty,
+                Some(hfs.schema))
+            // the rewrite folds hive layout and bucketing into flat
+            // part files carrying every column physically — dataSchema
+            // widens to the full schema, partition/bucket metadata drop
+            lr.copy(relation = hfs.copy(location = idx,
+              dataSchema = hfs.schema,
+              partitionSchema = StructType(Nil),
+              bucketSpec = None,
+              options = hfs.options +
+                ("graft.reopened" ->
+                  reopenNonce.incrementAndGet().toString))(cs))
+          case _ => lr
+        }
+    }
+    if (touched) Some(ofRows(spark, fresh)) else None
   }
 }
 

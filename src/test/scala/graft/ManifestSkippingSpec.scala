@@ -110,6 +110,24 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(nf * 2 <= 16, s"dialect scanned $nf of 16")
   }
 
+  test("a manifest written after a negative probe prunes immediately") {
+    // the existence probe is TTL-cached (the optimizer re-runs the rule
+    // per fixed-point iteration); a manifest write in this JVM must
+    // clear the cache, not wait out the TTL
+    val dir = tmp("probe_inv")
+    val df = spark.range(500).select(
+      col("id"), (col("id") % 50).as("a"))
+    df.repartitionByRange(10, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir)
+    // populates the negative probe cache entry for this root
+    assert(scannedFiles(spark.read.parquet(dir)
+      .filter(col("a").between(10, 14))) == 10)
+    Skipping.writeManifest(spark, dir, Seq("a"))
+    val nf = scannedFiles(spark.read.parquet(dir)
+      .filter(col("a").between(10, 14)))
+    assert(nf * 2 <= 10, s"scanned $nf of 10 right after manifest write")
+  }
+
   test("null-literal and null-safe comparisons translate soundly") {
     val dir = tmp("autoskip_null")
     val df = spark.range(300).select(col("id"),

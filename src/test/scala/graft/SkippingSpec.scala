@@ -229,6 +229,125 @@ class SkippingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("refusing to rewrite"))
   }
 
+  test("in-place rewrite under a stable name is read, not pruned") {
+    // the appendEpoch replay-repair shape: a crashed batch's replay may
+    // redistribute rows across the SAME deterministic file names — the
+    // manifest entry's (bytes, mtime) identity gate must keep skipping
+    // sound without any refresh having run
+    val dir = tmp("skip_rewrite")
+    sample(500).repartitionByRange(8, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir)
+    writeManifest(spark, dir, Seq("a"))
+    // victim: the file whose stats say a starts at 0
+    val victim = readManifest(spark, dir).get
+      .filter(col("a__min") === 0L).select("file").head().getString(0)
+    // overwrite it in place with rows the old stats would prune (a=45)
+    val stage = java.nio.file.Files.createTempDirectory("skip_repl")
+    spark.range(20).select((col("id") + 100000L).as("id"), lit(45L).as("a"),
+        lit(1.0).as("b"), lit("zz").as("s"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val part = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, victim),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local FS's checksum sidecar for the replaced bytes (a
+    // real replay writes through the Hadoop FS, which re-creates it)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, s".$victim.crc"))
+    // sample(500): a = id/10, so a=45 has 10 original rows + 20 planted
+    val preds = Seq(EqPred("a", 45L))
+    val (kept, _) = prunedFiles(spark, dir, preds)
+    assert(kept.contains(victim), "identity-drifted file must be kept")
+    assert(readSkipping(spark, dir, preds).count() == 30)
+    // the automatic optimizer-rule path honors the same identity gate
+    assert(spark.read.parquet(dir).filter(col("a") === 45L).count() == 30)
+    // refresh restats exactly the drifted file (out once, in once)...
+    assert(refreshManifest(spark, dir, Seq("a")) == ((1L, 1L)))
+    // ...after which pruning bites again: victim holds only a=45 now,
+    // so a=0 (previously victim's range) prunes it and finds nothing
+    val (kept0, total0) = prunedFiles(spark, dir, Seq(EqPred("a", 0L)))
+    assert(!kept0.contains(victim) && kept0.size < total0)
+    assert(readSkipping(spark, dir, Seq(EqPred("a", 0L))).count() == 0)
+  }
+
+  test("Z-order rejects non-rankable column types loudly") {
+    val df = sample(50)
+    val e = intercept[IllegalArgumentException](
+      writeZOrdered(df, tmp("zfail"), Seq("s"), nFiles = 2))
+    assert(e.getMessage.contains("numeric/date/timestamp"))
+    val e2 = intercept[IllegalArgumentException](rankBucket(df, "s", 4))
+    assert(e2.getMessage.contains("'s'"))
+  }
+
+  test("OPTIMIZE validates options and column types before any rename") {
+    val exec = new graft.exec.Executor(spark,
+      Map("src" -> sample(100).withColumnRenamed("id", "event_id")))
+    val base = java.nio.file.Files.createTempDirectory("graft_optval").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select event_id, a, b, s from src")
+    val p = s"$base/pev.parquet"
+    val filesBefore = dataFiles(spark, p).toSet
+    def rejects(stmt: String, needle: String): Unit = {
+      val e = intercept[graft.compiler.CompileException](exec.execute(stmt))
+      assert(e.getMessage.contains(needle), s"$stmt → ${e.getMessage}")
+    }
+    rejects("OPTIMIZE pev ZORDER BY (s)", "numeric/date/timestamp")
+    rejects("OPTIMIZE pev WITH (files 'lots')", "positive integer")
+    rejects("OPTIMIZE pev WITH (files '0')", "positive")
+    rejects("OPTIMIZE pev ZORDER BY (a, b) WITH (bits '40')", "60-bit")
+    // nothing was rewritten by any refused statement
+    assert(dataFiles(spark, p).toSet == filesBefore)
+    assert(exec.query("select count(1) as n from pev").head().getLong(0) == 100L)
+  }
+
+  test("OPTIMIZE re-opens derived views and preserves declared keys") {
+    val exec = new graft.exec.Executor(spark,
+      Map("src" -> sample(200).withColumnRenamed("id", "event_id")))
+    val base = java.nio.file.Files.createTempDirectory("graft_optview").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select event_id, a, b from src")
+    // a LAZY view over the persisted table: its lineage pins the
+    // pre-swap file list — OPTIMIZE must re-open it, not strand it
+    exec.execute("CREATE TABLE v AS " +
+      "select a, count(1) as n from pev group by a")
+    exec.execute("CREATE TABLE child WITH (persist 'parquet') AS " +
+      "select event_id as ref_id, a from pev")
+    exec.execute("ALTER TABLE pev ADD PRIMARY KEY (event_id)")
+    exec.execute(
+      "ALTER TABLE child ADD FOREIGN KEY (ref_id) REFERENCES pev (event_id)")
+    val vBefore = collectSet(exec.query("select * from v"))
+    val keysBefore = collectSet(exec.query(
+      "select conname, contype from pg_constraint"))
+    assert(keysBefore.size == 2)
+    exec.execute("OPTIMIZE pev ZORDER BY (a, b) WITH (files '4')")
+    // the view still reads — against the swapped files (pre-fix this
+    // threw FileNotFoundException from the dead pre-swap listing)
+    assert(collectSet(exec.query("select * from v")) == vBefore)
+    // content is unchanged by contract, so the declarations still hold
+    assert(collectSet(exec.query(
+      "select conname, contype from pg_constraint")) == keysBefore)
+  }
+
+  test("OPTIMIZE ZORDER on a subset keeps previously indexed columns") {
+    val exec = new graft.exec.Executor(spark,
+      Map("src" -> sample(200).withColumnRenamed("id", "event_id")))
+    val base = java.nio.file.Files.createTempDirectory("graft_optsub").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select event_id, a, b from src")
+    exec.execute("OPTIMIZE pev ZORDER BY (a, b) WITH (files '4')")
+    val p = s"$base/pev.parquet"
+    assert(Seq("a__min", "b__min").forall(
+      readManifest(spark, p).get.columns.contains))
+    // re-clustering on a alone must not silently stop pruning on b
+    exec.execute("OPTIMIZE pev ZORDER BY (a) WITH (files '4')")
+    assert(Seq("a__min", "b__min").forall(
+      readManifest(spark, p).get.columns.contains))
+  }
+
   test("skipping under hive partitioning keeps partition columns intact") {
     val dir = tmp("skip_hive")
     sample(200).withColumn("pt", (col("a") % 3).cast("int"))
