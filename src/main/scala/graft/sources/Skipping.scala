@@ -154,6 +154,77 @@ object Skipping {
         sum(col(c).isNull.cast("long")).as(s"${c}__nulls"))
     }
 
+  // ------------------------------------------------------- bloom sidecar
+
+  /** Per-file Bloom filter aggregation over xxhash64(column) — the
+    * point-lookup complement to min/max stats: on a HIGH-CARDINALITY
+    * column with no clustering, every file spans the full value range
+    * and interval pruning is useless, but a per-file Bloom answers
+    * "could value v be in this file?" with a bounded false-positive
+    * rate. False positives cost extra IO; a Bloom can never prove a
+    * PRESENT value absent, so pruning on `mightContain == false` is
+    * proof, same contract as the interval stats. Sized for
+    * [[BloomExpectedPerFile]] distinct values at [[BloomFpp]] (~117 KB
+    * per file-column); an overfull file degrades to a higher fp rate —
+    * more keeps, never lost rows. */
+  val BloomExpectedPerFile = 100000L
+  val BloomFpp = 0.01
+
+  private class BloomAgg extends org.apache.spark.sql.expressions.Aggregator[
+      java.lang.Long, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    def zero: BloomFilter = BloomFilter.create(BloomExpectedPerFile, BloomFpp)
+    def reduce(b: BloomFilter, a: java.lang.Long): BloomFilter = {
+      if (a != null) b.putLong(a); b
+    }
+    def merge(x: BloomFilter, y: BloomFilter): BloomFilter = {
+      x.mergeInPlace(y); x
+    }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos); bos.toByteArray
+    }
+    def bufferEncoder = org.apache.spark.sql.Encoders
+      .kryo[org.apache.spark.util.sketch.BloomFilter]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private lazy val bloomUdaf =
+    udaf(new BloomAgg, org.apache.spark.sql.Encoders.LONG)
+
+  /** Driver-side xxhash64 of a predicate literal AS the column's type —
+    * the exact expression the builder feeds ([[statsFor]] hashes
+    * `xxhash64(col)` on executors), so probe and build agree bit for
+    * bit. `None` = the coercion between the literal's natural type and
+    * the column type is not provably value-preserving for equality
+    * (e.g. an int literal on a STRING column matches "05" after
+    * coercion but hashes differently) — the caller must skip the Bloom
+    * test and keep the file. Exact type match and integral↔integral
+    * are the provably-sound cases. */
+  private[sources] def bloomProbeHash(v: Any,
+      dt: DataType): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    def integral(t: DataType): Boolean = t match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    try {
+      val l = Literal(v)
+      val sound = l.dataType == dt || (integral(l.dataType) && integral(dt))
+      if (!sound) None
+      else {
+        val cast: org.apache.spark.sql.catalyst.expressions.Expression =
+          if (l.dataType == dt) l else Cast(l, dt, Some("UTC"))
+        Option(XxHash64(Seq(cast), 42L).eval(
+          org.apache.spark.sql.catalyst.InternalRow.empty))
+          .map(_.asInstanceOf[Long])
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Per-file stats for the listed files, keyed by root-relative file
     * name and carrying each file's identity `(bytes, mtime)` captured at
     * stat time. One distributed pass: tasks stat the files they read,
@@ -161,7 +232,8 @@ object Skipping {
     * the manifest. Hive partition columns are resolved via `basePath`,
     * so they are indexable like any other column. */
   private def statsFor(spark: SparkSession, tableRoot: String,
-      files: Seq[(String, Long, Long)], cols: Seq[String]): DataFrame = {
+      files: Seq[(String, Long, Long)], cols: Seq[String],
+      bloomCols: Seq[String] = Nil): DataFrame = {
     val root = rootPath(spark, tableRoot)
     val rel = udf((u: String) => relName(u, root))
     import spark.implicits._
@@ -170,16 +242,19 @@ object Skipping {
     val identity = files.toDF("file", "bytes", "mtime")
     // group on the raw URI (codegen'd), relativize once per FILE on the
     // tiny aggregated result — not a UDF per row
+    val aggs = statCols(cols) ++ bloomCols.map(c =>
+      bloomUdaf(xxhash64(col(c))).as(s"${c}__bloom"))
     spark.read.option("basePath", tableRoot)
       .parquet(files.map(f => s"$tableRoot/${f._1}"): _*)
       .groupBy(input_file_name().as("__uri"))
-      .agg(count(lit(1)).as("rows"), statCols(cols): _*)
+      .agg(count(lit(1)).as("rows"), aggs: _*)
       .withColumn("file", rel(col("__uri")))
       .drop("__uri")
       .join(identity, Seq("file"))
       .select(col("file") +: col("bytes") +: col("mtime") +: col("rows") +:
-        cols.flatMap(c =>
-          Seq(col(s"${c}__min"), col(s"${c}__max"), col(s"${c}__nulls"))): _*)
+        (cols.flatMap(c =>
+          Seq(col(s"${c}__min"), col(s"${c}__max"), col(s"${c}__nulls"))) ++
+         bloomCols.map(c => col(s"${c}__bloom"))): _*)
   }
 
   private def manifestPath(path: String) = s"$path/$ManifestDir"
@@ -189,10 +264,14 @@ object Skipping {
     * mid-build shows a changed identity at prune time and is simply
     * read — never pruned on stale stats. */
   def writeManifest(spark: SparkSession, path: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
+    require(bloomCols.forall(cols.contains),
+      s"skipping: bloom columns must also be stat-indexed (the probe " +
+      s"needs the column type from the stats schema); got bloom=" +
+      s"${bloomCols.mkString(",")} cols=${cols.mkString(",")}")
     val files = dataFilesWithIdentity(spark, path)
     require(files.nonEmpty, s"skipping: no data files under $path")
-    val m = statsFor(spark, path, files, cols)
+    val m = statsFor(spark, path, files, cols, bloomCols)
     m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
     invalidateManifestProbe()
   }
@@ -216,13 +295,14 @@ object Skipping {
     * mismatch (or no/old-format manifest) it falls back to a full
     * [[writeManifest]] rebuild. */
   def refreshManifest(spark: SparkSession, path: String,
-      cols: Seq[String]): (Long, Long) = {
+      cols: Seq[String], bloomCols: Seq[String] = Nil): (Long, Long) = {
     val current = dataFilesWithIdentity(spark, path)
     readManifest(spark, path) match {
       case Some(m)
           if cols.forall(c => m.columns.contains(s"${c}__min")) &&
+            bloomCols.forall(c => m.columns.contains(s"${c}__bloom")) &&
             m.columns.contains("bytes") &&
-            m.columns.length == 4 + 3 * cols.length =>
+            m.columns.length == 4 + 3 * cols.length + bloomCols.length =>
         // bounded collect: one row per manifest entry = one per data
         // file — the same driver-memory class as scan planning's file
         // listing
@@ -242,7 +322,7 @@ object Skipping {
           val merged =
             if (added.isEmpty) keep
             else {
-              val add = statsFor(spark, path, added, cols)
+              val add = statsFor(spark, path, added, cols, bloomCols)
               keep.select(add.columns.map(col): _*).unionAll(add)
             }
           // stage-then-swap so a crash mid-write leaves either the old
@@ -259,7 +339,7 @@ object Skipping {
           (added.size.toLong, removed.size.toLong)
         }
       case _ =>
-        writeManifest(spark, path, cols)
+        writeManifest(spark, path, cols, bloomCols)
         (current.size.toLong, 0L)
     }
   }
@@ -291,7 +371,12 @@ object Skipping {
     * file listing. */
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, org.apache.spark.sql.types.StructType,
-      Seq[org.apache.spark.sql.Row])]()
+      Seq[org.apache.spark.sql.Row],
+      // lazily-deserialized per-(file, column) Bloom filters — same
+      // lifetime as the cached rows (a new manifest signature replaces
+      // the whole entry)
+      java.util.concurrent.ConcurrentHashMap[(String, String),
+        org.apache.spark.util.sketch.BloomFilter])]()
 
   private def manifestSignature(spark: SparkSession,
       path: String): Option[String] = {
@@ -322,13 +407,16 @@ object Skipping {
     manifestSignature(spark, path).flatMap { sig =>
       val cached = manifestCache.get(path)
       val loaded =
-        if (cached != null && cached._1 == sig) Some((cached._2, cached._3))
+        if (cached != null && cached._1 == sig)
+          Some((cached._2, cached._3, cached._4))
         else readManifest(spark, path).map { m =>
           val rows = m.collect().toSeq
-          manifestCache.put(path, (sig, m.schema, rows))
-          (m.schema, rows)
+          val blooms = new java.util.concurrent.ConcurrentHashMap[
+            (String, String), org.apache.spark.util.sketch.BloomFilter]()
+          manifestCache.put(path, (sig, m.schema, rows, blooms))
+          (m.schema, rows, blooms)
         }
-      loaded.flatMap { case (schema, rows) =>
+      loaded.flatMap { case (schema, rows, blooms) =>
         val indexed = preds.filter(p =>
           schema.fieldNames.contains(s"${p.column}__min"))
         if (indexed.isEmpty || !schema.fieldNames.contains("bytes")) None
@@ -336,12 +424,74 @@ object Skipping {
           import scala.jdk.CollectionConverters._
           val m = spark.createDataFrame(rows.asJava, schema)
           val cond = indexed.map(keepCond).reduce(_ && _)
-          Some(m.filter(!cond).select("file", "bytes", "mtime").collect()
+          val statsDropped = m.filter(!cond)
+            .select("file", "bytes", "mtime").collect()
             .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-            .toMap)
+            .toMap
+          val bloomDropped =
+            bloomDrops(schema, rows, blooms, indexed, statsDropped.keySet)
+          Some(statsDropped ++ bloomDropped)
         }
       }
     }
+
+  /** Point-lookup pruning over the per-file Bloom sidecars: for each
+    * file the interval stats could not disprove, an EqPred/InPred on a
+    * bloom-indexed column drops it when NO probe hash might be
+    * contained. Probe hashes are computed once per value (not per
+    * file); a value whose type coercion is not provably sound for
+    * hashing ([[bloomProbeHash]] = None) keeps every file. Runs on the
+    * cached driver-side rows — no job. */
+  private def bloomDrops(schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      blooms: java.util.concurrent.ConcurrentHashMap[(String, String),
+        org.apache.spark.util.sketch.BloomFilter],
+      preds: Seq[Pred],
+      alreadyDropped: Set[String]): Map[String, (Long, Long)] = {
+    // (column, probe hashes) per bloom-testable predicate; None hash
+    // set = untestable → that predicate prunes nothing
+    val tests: Seq[(String, Seq[Long])] = preds.flatMap {
+      case EqPred(c, v) if schema.fieldNames.contains(s"${c}__bloom") =>
+        dtOf(schema, c).flatMap(dt => bloomProbeHash(v, dt))
+          .map(h => c -> Seq(h))
+      case InPred(c, vs) if schema.fieldNames.contains(s"${c}__bloom") &&
+          vs.nonEmpty =>
+        dtOf(schema, c).flatMap { dt =>
+          val hs = vs.map(v => bloomProbeHash(v, dt))
+          if (hs.exists(_.isEmpty)) None else Some(c -> hs.map(_.get))
+        }
+      case _ => None
+    }
+    if (tests.isEmpty) Map.empty
+    else {
+      val fileIdx = schema.fieldIndex("file")
+      val bytesIdx = schema.fieldIndex("bytes")
+      val mtimeIdx = schema.fieldIndex("mtime")
+      rows.iterator.filterNot(r => alreadyDropped(r.getString(fileIdx)))
+        .flatMap { r =>
+          val file = r.getString(fileIdx)
+          val disproved = tests.exists { case (c, hashes) =>
+            val bi = schema.fieldIndex(s"${c}__bloom")
+            if (r.isNullAt(bi)) false // unstatted → keep
+            else {
+              val bf = blooms.computeIfAbsent((file, c), _ =>
+                org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  r.getAs[Array[Byte]](bi)))
+              !hashes.exists(bf.mightContainLong)
+            }
+          }
+          if (disproved)
+            Some(file -> ((r.getLong(bytesIdx), r.getLong(mtimeIdx))))
+          else None
+        }.toMap
+    }
+  }
+
+  /** The indexed column's type, read off the manifest's own stats
+    * schema (`c__min` carries it). */
+  private def dtOf(schema: org.apache.spark.sql.types.StructType,
+      c: String): Option[DataType] =
+    schema.fields.find(_.name == s"${c}__min").map(_.dataType)
 
   /** Evaluate pruning: (files to read, total data files). Unknown files
     * (on disk, not in manifest), files whose identity drifted from the
@@ -515,14 +665,20 @@ object Skipping {
     // rebuild it afterwards over the UNION of the zorder columns and the
     // previous index's columns: re-clustering on (a, b) must not silently
     // stop pruning on a previously indexed c
-    val previous: Seq[String] = readManifest(spark, path).toSeq.flatMap(
-      _.columns.collect { case n if n.endsWith("__min") => n.dropRight(5) })
+    val prevCols = readManifest(spark, path).map(_.columns.toSeq)
+      .getOrElse(Nil)
+    val previous = prevCols.collect {
+      case n if n.endsWith("__min") => n.dropRight(5) }
+    val previousBloom = prevCols.collect {
+      case n if n.endsWith("__bloom") => n.dropRight(7) }
     val manifestCols = (cols ++ previous.filterNot(cols.contains)).distinct
     if (cols.isEmpty) Sinks.compactParquet(spark, path, nFiles = nFiles)
     else Sinks.compactParquet(spark, path, nFiles = nFiles,
       writeStaged = Some((df, staged) =>
         writeZOrdered(df, staged, cols, nFiles, bits)))
-    if (manifestCols.nonEmpty) writeManifest(spark, path, manifestCols)
+    if (manifestCols.nonEmpty)
+      writeManifest(spark, path, manifestCols,
+        previousBloom.filter(manifestCols.contains))
   }
 
   /** Files actually opened by `df`'s parquet scans, from the executed
@@ -660,6 +816,22 @@ object Skipping {
       val nf = scannedFiles(q)
       q.withColumn("pruning_effective", lit(nf * 2 <= total))
     }),
+    // bloom-sidecar point lookups: event_id is HIGH-CARDINALITY and the
+    // layout deliberately UNCLUSTERED, so every file spans the full id
+    // range and interval stats prune NOTHING — the per-file Bloom keeps
+    // ~|IN| files (+ bounded false positives) out of 32
+    "ix_bloom_skip" -> ((s, dir) => {
+      val ev = eventsWithBucket(s, dir)
+      val tmp = tmpTable("graft_bloomskip")
+      ev.repartition(32).write.parquet(tmp)
+      writeManifest(s, tmp, Seq("event_id"), bloomCols = Seq("event_id"))
+      val preds = Seq(InPred("event_id", Seq(11L, 222L, 333L)))
+      val (kept, total) = prunedFiles(s, tmp, preds)
+      readSkipping(s, tmp, preds)
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
+          effective(kept.size, total))
+    }),
     // null-count pruning: IS NULL keeps only files that HOLD nulls —
     // the manifest dimension min/max cannot express
     "ix_null_skip" -> ((s, dir) => {
@@ -706,6 +878,12 @@ object Skipping {
         |  CAST(1 AS BOOLEAN) AS pruning_effective
         |FROM events
         |WHERE user_id % 100 BETWEEN 5 AND 9 AND value BETWEEN 100 AND 200""".stripMargin,
+    "ix_bloom_skip" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS pruning_effective
+        |FROM events WHERE event_id IN (11, 222, 333)""".stripMargin,
     "ix_null_skip" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

@@ -348,6 +348,81 @@ class SkippingSpec extends AnyFunSuite {
       readManifest(spark, p).get.columns.contains))
   }
 
+  test("bloom sidecar prunes point lookups interval stats cannot") {
+    val dir = tmp("skip_bloom")
+    // deliberately UNCLUSTERED: every file spans ~the full id range,
+    // so min/max pruning is useless on the high-cardinality column
+    val df = sample(2000)
+    df.repartition(16).write.parquet(dir)
+    writeManifest(spark, dir, Seq("id"), bloomCols = Seq("id"))
+    val eq = Seq(EqPred("id", 1234L))
+    val (kept, total) = prunedFiles(spark, dir, eq)
+    assert(total == 16 && kept.size * 2 <= total,
+      s"bloom kept ${kept.size} of $total")
+    assert(readSkipping(spark, dir, eq).count() == 1)
+    // absent value: possibly some false-positive keeps, result exact
+    assert(readSkipping(spark, dir, Seq(EqPred("id", 999999L))).count() == 0)
+    // randomized IN-list differential (present + absent values mixed)
+    val rnd = new scala.util.Random(7)
+    val full = spark.read.parquet(dir)
+    for (_ <- 1 to 10) {
+      val vs = Seq.fill(3)(rnd.nextLong(2500))
+      val p = Seq(InPred("id", vs))
+      assert(collectSet(readSkipping(spark, dir, p))
+        == collectSet(full.filter(predColumn(p))))
+    }
+    // the automatic optimizer-rule path prunes via the same sidecar
+    val nf = scannedFiles(spark.read.parquet(dir)
+      .filter(col("id") === 1234L))
+    assert(nf * 2 <= total, s"auto path scanned $nf of $total")
+  }
+
+  test("bloom on strings prunes; unsound literal coercion keeps all") {
+    val dir = tmp("skip_bloom_str")
+    val df = spark.range(2000).select(col("id"),
+      concat(lit("u"), col("id").cast("string")).as("u"))
+    df.repartition(16).write.parquet(dir)
+    writeManifest(spark, dir, Seq("u"), bloomCols = Seq("u"))
+    val eq = Seq(EqPred("u", "u1234"))
+    val (kept, total) = prunedFiles(spark, dir, eq)
+    assert(kept.size * 2 <= total, s"string bloom kept ${kept.size}")
+    assert(readSkipping(spark, dir, eq).count() == 1)
+    // a DOUBLE literal on a LONG column coerces the COLUMN side for the
+    // row comparison — a hash probe of cast(v as long) cannot mirror
+    // that, so the bloom must stand down (prune nothing by hash) while
+    // the result stays exact
+    val dir2 = tmp("skip_bloom_coerce")
+    spark.range(2000).select(col("id"), lit(1.0).as("w"))
+      .repartition(16).write.parquet(dir2)
+    writeManifest(spark, dir2, Seq("id"), bloomCols = Seq("id"))
+    val unsound = Seq(EqPred("id", 1234.0d))
+    val (keptU, totalU) = prunedFiles(spark, dir2, unsound)
+    // interval stats may not prune (files span the full range) and the
+    // bloom must not either — 1234.0 hashes differently than 1234L
+    assert(keptU.size == totalU, "unsound coercion must not bloom-prune")
+    assert(collectSet(readSkipping(spark, dir2, unsound)) ==
+      collectSet(spark.read.parquet(dir2).filter(predColumn(unsound))))
+    assert(readSkipping(spark, dir2, unsound).count() == 1)
+  }
+
+  test("refreshManifest builds blooms for the delta files too") {
+    val dir = tmp("skip_bloom_ref")
+    sample(1000).repartition(8).write.parquet(dir)
+    writeManifest(spark, dir, Seq("id"), bloomCols = Seq("id"))
+    // append a file with ids far outside the original domain
+    spark.range(50).select((col("id") + 50000L).as("id"),
+        lit(0L).as("a"), lit(0.0).as("b"), lit("x").as("s"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    val (added, removed) =
+      refreshManifest(spark, dir, Seq("id"), bloomCols = Seq("id"))
+    assert(added == 1L && removed == 0L)
+    // the appended file's bloom answers point lookups on its ids
+    val p = Seq(EqPred("id", 50007L))
+    val (kept, total) = prunedFiles(spark, dir, p)
+    assert(kept.size * 2 <= total, s"kept ${kept.size} of $total")
+    assert(readSkipping(spark, dir, p).count() == 1)
+  }
+
   test("skipping under hive partitioning keeps partition columns intact") {
     val dir = tmp("skip_hive")
     sample(200).withColumn("pt", (col("a") % 3).cast("int"))
