@@ -616,6 +616,9 @@ final class Executor(val spark: SparkSession,
             "— Z-order clustering needs numeric/date/timestamp (string " +
             "columns are still min/max-indexed by the manifest)")
       }
+      options.keys.find(k => !Set("files", "bits", "index", "bloom")(k))
+        .foreach(k => throw CompileException(
+          s"OPTIMIZE: unknown option '$k' (files, bits, index, bloom)"))
       def intOption(key: String, default: => Int): Int =
         options.get(key) match {
           case None => default
@@ -629,6 +632,18 @@ final class Executor(val spark: SparkSession,
               s"OPTIMIZE: option '$key' must be positive, got '$v'")
             i
         }
+      // `index 'c1,c2'` — extra manifest stat columns; `bloom 'c1'` —
+      // per-file Bloom sidecars for point lookups (implies stats on the
+      // same columns). Both resolved case-insensitively against the
+      // table, validated before any rename.
+      def colListOption(key: String): Seq[String] =
+        options.get(key).toSeq.flatMap(_.split(',')).map(_.trim)
+          .filter(_.nonEmpty).map(c =>
+            df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw CompileException(
+                s"OPTIMIZE: $key column '$c' not in '$table'")))
+      val indexCols = colListOption("index")
+      val bloomCols = colListOption("bloom")
       val nFiles = intOption("files", {
         // bin-pack to ~128 MB target files from actual bytes on disk
         val fsP = new org.apache.hadoop.fs.Path(p)
@@ -651,7 +666,8 @@ final class Executor(val spark: SparkSession,
       val savedPks = backed.flatMap(n =>
         compiler.primaryKeyOf(n).map(n -> _)).toMap
       val savedFks = compiler.foreignKeysInvolving(backed.toSet)
-      graft.sources.Skipping.optimize(spark, p, resolved, nFiles, bits)
+      graft.sources.Skipping.optimize(spark, p, resolved, nFiles, bits,
+        indexCols, bloomCols)
       backed.foreach { n =>
         rebind(n, readSource(p, Map("format" -> "parquet")))
         sourcePaths += (n -> p)

@@ -660,10 +660,12 @@ object Skipping {
     * part files — same contract as compaction everywhere else here: run
     * it from the job that owns appends. */
   def optimize(spark: SparkSession, path: String, cols: Seq[String],
-      nFiles: Int, bits: Int = 8): Unit = {
+      nFiles: Int, bits: Int = 8, indexCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Unit = {
     // a swap replaces every file name, orphaning any existing manifest —
-    // rebuild it afterwards over the UNION of the zorder columns and the
-    // previous index's columns: re-clustering on (a, b) must not silently
+    // rebuild it afterwards over the UNION of the zorder columns, any
+    // explicitly requested index/bloom columns, and the previous
+    // index's column sets: re-clustering on (a, b) must not silently
     // stop pruning on a previously indexed c
     val prevCols = readManifest(spark, path).map(_.columns.toSeq)
       .getOrElse(Nil)
@@ -671,14 +673,16 @@ object Skipping {
       case n if n.endsWith("__min") => n.dropRight(5) }
     val previousBloom = prevCols.collect {
       case n if n.endsWith("__bloom") => n.dropRight(7) }
-    val manifestCols = (cols ++ previous.filterNot(cols.contains)).distinct
+    val blooms = (bloomCols ++ previousBloom).distinct
+    // bloom columns are always stat-indexed too (the probe needs the
+    // column type from the stats schema)
+    val manifestCols = (cols ++ indexCols ++ blooms ++ previous).distinct
     if (cols.isEmpty) Sinks.compactParquet(spark, path, nFiles = nFiles)
     else Sinks.compactParquet(spark, path, nFiles = nFiles,
       writeStaged = Some((df, staged) =>
         writeZOrdered(df, staged, cols, nFiles, bits)))
     if (manifestCols.nonEmpty)
-      writeManifest(spark, path, manifestCols,
-        previousBloom.filter(manifestCols.contains))
+      writeManifest(spark, path, manifestCols, blooms)
   }
 
   /** Files actually opened by `df`'s parquet scans, from the executed

@@ -288,8 +288,49 @@ object ScaleProbe {
       "update_log_latest_compact" -> (f =>
         Streams.latestCells(spark, logFor(f, compact = true), Seq("source"))))
 
+    // ---- data-skipping fixtures: f scales BOTH rows and file count
+    // (f×32 range-clustered files over a global idx), while the probe
+    // predicates target a FIXED ABSOLUTE slice / point — so a pruned
+    // read should stay ~flat as the table grows (the manifest drops the
+    // new files at plan time) while the full-scan control grows with f
+    import graft.sources.Skipping
+    val evSkipBase = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("value"))
+    lazy val nEv: Long = evSkipBase.count()
+    val skipDirs = scala.collection.mutable.Map.empty[Int, String]
+    def skipFor(f: Int): String = skipDirs.getOrElseUpdate(f, {
+      val dir = java.nio.file.Files.createTempDirectory(s"probe_skip_$f")
+        .toString + "/t"
+      (0 until f).map(i => evSkipBase.select(
+          (lit(i.toLong * nEv) + col("event_id")).as("idx"), col("value")))
+        .reduce(_ unionAll _)
+        .repartitionByRange(f * 32, col("idx")).sortWithinPartitions("idx")
+        .write.parquet(dir)
+      Skipping.writeManifest(spark, dir, Seq("idx"), Seq("idx"))
+      dir
+    })
+    val skipOps: Seq[(String, Int => DataFrame)] = Seq(
+      // fixed absolute range over a growing table: manifest pruning
+      // should hold the cost ~flat (exponent ≈ 0)
+      "skip_scan_pruned_fixed" -> (f =>
+        Skipping.readSkipping(spark, skipFor(f),
+            Seq(Skipping.RangePred("idx", Some(0L), Some(nEv / 10))))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))),
+      // the control: same predicate, no pruning — linear in f
+      "skip_scan_full_control" -> (f =>
+        spark.read.parquet(skipFor(f)).where(col("idx") <= nEv / 10)
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))),
+      // bloom point probe over a growing unpruned-by-intervals... the
+      // range layout DOES interval-prune here; the measurement is the
+      // end-to-end point lookup staying flat as files multiply
+      "skip_bloom_point" -> (f =>
+        Skipping.readSkipping(spark, skipFor(f),
+            Seq(Skipping.EqPred("idx", nEv / 2)))
+          .agg(count(lit(1)).as("n"))))
+
     val opFilter = args.drop(1).toSet
-    val allOps = (ops ++ streamOps ++ graphOps ++ incOps ++ recOps ++ updOps)
+    val allOps =
+      (ops ++ streamOps ++ graphOps ++ incOps ++ recOps ++ updOps ++ skipOps)
       .filter { case (n, _) => opFilter.isEmpty || opFilter(n) }
 
     // build the update-log fixtures for EVERY factor up front (the
@@ -299,6 +340,8 @@ object ScaleProbe {
     // measurement whenever runs-per-point is 1
     if (allOps.exists(_._1.startsWith("update_log")))
       for (f <- factors; c <- Seq(false, true)) logFor(f, c)
+    // same reason: manifest+layout construction must not be timed
+    if (allOps.exists(_._1.startsWith("skip_"))) factors.foreach(skipFor)
 
     // JIT/codegen warm-up outside the measured region
     allOps.foreach { case (_, op) =>

@@ -423,6 +423,39 @@ class SkippingSpec extends AnyFunSuite {
     assert(readSkipping(spark, dir, p).count() == 1)
   }
 
+  test("OPTIMIZE WITH (index, bloom): manifests from SQL, unknown keys refused") {
+    val exec = new graft.exec.Executor(spark,
+      Map("src" -> spark.range(2000).select(col("id").as("event_id"),
+        (col("id") % 10).as("a"), (col("id") % 7).cast("double").as("b"))))
+    val base = java.nio.file.Files.createTempDirectory("graft_optbloom").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select event_id, a, b from src")
+    exec.execute(
+      "OPTIMIZE pev WITH (files '16', index 'a', bloom 'event_id')")
+    val p = s"$base/pev.parquet"
+    val m = readManifest(spark, p).get
+    assert(Seq("a__min", "event_id__min", "event_id__bloom")
+      .forall(m.columns.contains), m.columns.mkString(","))
+    // point lookup through the dialect prunes via the bloom (bin-packed
+    // layout has no event_id clustering; min/max alone cannot do this)
+    // (bare OPTIMIZE bin-packs via coalesce, which cannot RAISE the
+    // partition count — total is min(files, source partitions))
+    val (kept, total) = prunedFiles(spark, p,
+      Seq(EqPred("event_id", 1234L)))
+    assert(total > 1 && kept.size * 2 <= total,
+      s"dialect bloom kept ${kept.size} of $total")
+    assert(exec.query(
+      "select count(1) as n from pev where event_id = 1234")
+      .head().getLong(0) == 1L)
+    // a later ZORDER rewrite carries the bloom sidecar forward
+    exec.execute("OPTIMIZE pev ZORDER BY (a, b) WITH (files '8')")
+    assert(readManifest(spark, p).get.columns.contains("event_id__bloom"))
+    val e = intercept[graft.compiler.CompileException](
+      exec.execute("OPTIMIZE pev WITH (shiny 'yes')"))
+    assert(e.getMessage.contains("unknown option 'shiny'"))
+  }
+
   test("skipping under hive partitioning keeps partition columns intact") {
     val dir = tmp("skip_hive")
     sample(200).withColumn("pt", (col("a") % 3).cast("int"))
