@@ -438,6 +438,87 @@ object Streams {
       .start()
   }
 
+  /** Raw-table lakehouse ingest: exactly-once epoch appends of the
+    * arriving rows into a plain parquet table with the DATA-SKIPPING
+    * MANIFEST maintained at ingest cadence — the missing piece between
+    * [[graft.sources.Sinks.appendEpoch]] (durable appends) and
+    * [[graft.sources.Skipping]] (pruned reads): a reader pruning
+    * point/range predicates stays fresh batch-over-batch without any
+    * separate maintenance job.
+    *
+    * Per trigger: recover a crashed compaction swap; at `compactEvery`
+    * cadence fold the per-epoch small files into plain part files
+    * (crashed prior attempt of the current epoch excluded — same
+    * contract as the index streams); range-cluster the batch on
+    * `layoutCols` into `filesPerEpoch` files (so the manifest's
+    * interval stats actually bite) and append it epoch-tagged; then
+    * [[graft.sources.Skipping.refreshManifest]] — which stats ONLY the
+    * delta (this epoch's files; after a compaction trigger, the folded
+    * set), and whose (bytes, mtime) identity gate keeps a replayed
+    * epoch's rewritten files out of pruning until restatted, so a
+    * reader concurrent with a crash-replay sees extra IO, never lost
+    * rows. `bloomCols` adds per-file Bloom sidecars for point lookups
+    * on unclustered high-cardinality columns.
+    *
+    * Epoch-reset refusal matches the index streams: appending into a
+    * table that still carries epoch-tagged files requires the original
+    * checkpoint (compaction neutralizes the tags). */
+  def tableIngest(spark: SparkSession, rows: DataFrame, tablePath: String,
+      indexCols: Seq[String], bloomCols: Seq[String] = Nil,
+      layoutCols: Seq[String] = Nil, filesPerEpoch: Int = 0,
+      compactEvery: Int = 0, checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (checkpointDir.isEmpty &&
+        graft.sources.Sinks.hasRecoverableEpochFiles(spark, tablePath))
+      throw new IllegalStateException(
+        s"tableIngest: $tablePath holds epoch-tagged files from a prior " +
+          "stream but no checkpointDir was given - pass the original " +
+          "checkpointDir to resume, or compact the table first")
+    val w0 = rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val s = batch.sparkSession
+        def cluster(df: DataFrame): DataFrame =
+          if (layoutCols.isEmpty) df
+          else {
+            val lc = layoutCols.map(col)
+            val rp = if (filesPerEpoch > 0)
+              df.repartitionByRange(filesPerEpoch, lc: _*)
+            else df.repartitionByRange(lc: _*)
+            rp.sortWithinPartitions(lc: _*)
+          }
+        graft.sources.Sinks.recoverCompactSwap(s, tablePath)
+        if (compactEvery > 0 && epochId > 0 &&
+            epochId % compactEvery == 0 &&
+            graft.sources.Sinks.hasVisibleData(s, tablePath))
+          // the fold must RE-CLUSTER, not coalesce: a compaction that
+          // flattens the range layout would quietly defeat the manifest
+          // it is supposed to serve
+          graft.sources.Sinks.compactParquet(s, tablePath,
+            excludeEpoch = Some(epochId),
+            writeStaged =
+              if (layoutCols.isEmpty) None
+              else Some((df, staged) =>
+                cluster(df).write.parquet(staged)))
+        val clustered = cluster(batch)
+        graft.sources.Sinks.appendEpoch(
+          clustered.localCheckpoint(true), tablePath, epochId)
+        // delta-cost manifest maintenance INSIDE the exactly-once seam:
+        // the checkpoint commits this batch only after its files are
+        // both appended AND statted — a crash between the two replays
+        // the epoch, and the identity gate handles the overlap. (After
+        // a compaction trigger the swap removed the manifest with the
+        // old directory, so the refresh is a full rebuild — the table
+        // was just fully rewritten anyway, same cost class.)
+        graft.sources.Skipping.refreshManifest(s, tablePath,
+          (indexCols ++ bloomCols).distinct, bloomCols)
+        ()
+      }
+    checkpointDir.map(c => w0.option("checkpointLocation", c))
+      .getOrElse(w0)
+      .start()
+  }
+
   /** UPDATE-MODE monitor runner — the production emission shape the
     * emission-contract docstring promises: each trigger emits ONLY the
     * cells the batch touched, where complete mode re-pays the whole
@@ -907,6 +988,37 @@ object Streams {
           (col("__d1") + col("__d2") === 0).cast("bigint")
             .as("same_as_rebuild"))
     }),
+    // lakehouse ingest end-to-end: stream the events table into a
+    // range-clustered parquet table whose skipping manifest (interval
+    // stats on the layout key + a Bloom sidecar on the high-cardinality
+    // id) is maintained INSIDE each trigger — then gate a pruned range
+    // read and a Bloom point lookup against plain SQL, with
+    // `pruning_effective`/`bloom_effective` making a layout or manifest
+    // regression a hash failure, not a silent slowdown
+    "st_skip_ingest" -> ((s, dir) => {
+      import graft.sources.Skipping
+      val tbl = updateLogDir(s, "skipingest", dir)
+      val src = readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (col("user_id") % 100).as("uid_bucket"))
+      val q = tableIngest(s, src, tbl,
+        indexCols = Seq("uid_bucket", "event_id"),
+        bloomCols = Seq("event_id"),
+        layoutCols = Seq("uid_bucket"), filesPerEpoch = 16)
+      try q.processAllAvailable() finally q.stop()
+      val range = Seq(Skipping.RangePred("uid_bucket", Some(10L), Some(19L)))
+      val (kept, total) = Skipping.prunedFiles(s, tbl, range)
+      val (keptB, totalB) = Skipping.prunedFiles(s, tbl,
+        Seq(Skipping.EqPred("event_id", 77L)))
+      Skipping.readSkipping(s, tbl, range)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"),
+          lit(kept.size * 2 <= total).as("pruning_effective"),
+          lit(keptB.size * 2 <= totalB).as("bloom_effective"))
+    }),
     "st_join_attribution" -> ((s, dir) => {
       runToCompletion(s, clickPurchaseJoin(s, dir), mode = "append")
         .groupBy(date_format(
@@ -969,6 +1081,16 @@ object Streams {
       """SELECT CAST(5 AS BIGINT) AS n_queries,
         |  CAST(50 AS BIGINT) AS n_results,
         |  CAST(1 AS BIGINT) AS same_as_rebuild""".stripMargin,
+    // the streamed table IS the events table (exactly-once appends),
+    // so the pruned read must equal plain SQL over the source; the
+    // effectiveness flags are pinned true
+    "st_skip_ingest" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS pruning_effective,
+        |  CAST(1 AS BOOLEAN) AS bloom_effective
+        |FROM events WHERE user_id % 100 BETWEEN 10 AND 19""".stripMargin,
     // identical halves, identical decimal-exact math → identical oracle
     "st_em_drift" -> graft.operators.Similarity.oracleSql("em_drift"),
     // update-mode incremental == complete-mode == batch: same oracle

@@ -840,6 +840,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported parquet type"))
   }
 
+  test("tableIngest: per-batch manifest upkeep, cadence compaction, exact pruned reads") {
+    import graft.sources.Skipping
+    val base = java.nio.file.Files.createTempDirectory("graft_tbling").toString
+    val inDir = s"$base/in"
+    val tbl = s"$base/table"
+    val src = spark.range(1200).select(col("id"),
+      (col("id") % 50).as("key"), (col("id") % 7).cast("double").as("v"))
+    // six source files with distinct mtimes → six epochs at
+    // maxFilesPerTrigger=1; compactEvery=3 folds once mid-stream
+    for (i <- 0 until 6) {
+      if (i > 0) Thread.sleep(1100)
+      src.filter(col("id") % 6 === i).coalesce(1)
+        .write.mode("append").parquet(inDir)
+    }
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = Streams.tableIngest(spark, stream, tbl,
+      indexCols = Seq("key", "id"), bloomCols = Seq("id"),
+      layoutCols = Seq("key"), filesPerEpoch = 4, compactEvery = 3)
+    try q.processAllAvailable() finally q.stop()
+    // exactly-once content: the ingested table IS the source
+    val got = spark.read.parquet(tbl).select("id", "key", "v")
+    assert(got.exceptAll(src).count() == 0 && src.exceptAll(got).count() == 0)
+    // the manifest tracked every batch: one row per live data file
+    val files = Skipping.dataFiles(spark, tbl)
+    assert(Skipping.readManifest(spark, tbl).get.count() == files.size)
+    // cadence compaction folded epochs < 3 into plain part files
+    assert(files.exists(!_.startsWith("epoch-")), s"no folded files: $files")
+    assert(files.count(_.startsWith("epoch-")) <= 3 * 4,
+      s"unfolded epoch files: $files")
+    // range pruning over the layout key: effective AND exact
+    val range = Seq(Skipping.RangePred("key", Some(10L), Some(19L)))
+    val (kept, total) = Skipping.prunedFiles(spark, tbl, range)
+    assert(kept.size * 2 <= total, s"kept ${kept.size} of $total")
+    assert(Skipping.readSkipping(spark, tbl, range).count() ==
+      src.filter(col("key").between(10, 19)).count())
+    // bloom point lookup on the unclustered id
+    val point = Seq(Skipping.EqPred("id", 123L))
+    val (keptB, totalB) = Skipping.prunedFiles(spark, tbl, point)
+    assert(keptB.size * 2 <= totalB, s"bloom kept ${keptB.size} of $totalB")
+    assert(Skipping.readSkipping(spark, tbl, point).count() == 1)
+    // epoch-reset refusal: live epoch tags + a fresh lineage = corruption
+    val e = intercept[IllegalStateException] {
+      Streams.tableIngest(spark,
+        spark.readStream.schema(src.schema).parquet(inDir), tbl,
+        indexCols = Seq("key"))
+    }
+    assert(e.getMessage.contains("epoch-tagged"))
+  }
+
   test("streaming read takes its schema from the file footer") {
     // the streaming surface must be identical to the batch surface for
     // whatever physical type the current testdata generation uses —
