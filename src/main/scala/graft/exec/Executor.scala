@@ -651,6 +651,13 @@ final class Executor(val spark: SparkSession,
         math.max(1L, fs.getContentSummary(fsP).getLength / (128L << 20)).toInt
       })
       val bits = intOption("bits", 8)
+      // 16 is the rank-bucketing cap (Skipping.requireBits): beyond it
+      // `1 << bits` Int arithmetic wraps (bits=31 silently buckets every
+      // row to 0 — an UNCLUSTERED table with no error) and the quantile
+      // probe array explodes; reject here, before any rename
+      if (bits > 16)
+        throw CompileException(
+          s"OPTIMIZE: option 'bits' must be in 1..16, got '$bits'")
       if (resolved.nonEmpty && resolved.length * bits > 60)
         throw CompileException(
           s"OPTIMIZE: ${resolved.length} ZORDER columns x $bits bits " +
@@ -671,7 +678,13 @@ final class Executor(val spark: SparkSession,
       backed.foreach { n =>
         rebind(n, readSource(p, Map("format" -> "parquet")))
         sourcePaths += (n -> p)
-        savedStats.get(n).foreach(st => stats += (n -> st))
+        savedStats.get(n).foreach { st =>
+          stats += (n -> st)
+          // the swap deleted the old directory INCLUDING the ANALYZE
+          // sidecar — re-persist it, or a fresh session re-attaching to
+          // the path would lose the measured broadcast decision
+          Executor.writeStatsSidecar(p, st)
+        }
       }
       savedPks.foreach { case (n, (cn, cols)) =>
         compiler.declarePrimaryKey(n, cn, cols) }

@@ -244,16 +244,23 @@ object Skipping {
     // tiny aggregated result — not a UDF per row
     val aggs = statCols(cols) ++ bloomCols.map(c =>
       bloomUdaf(xxhash64(col(c))).as(s"${c}__bloom"))
-    spark.read.option("basePath", tableRoot)
+    val statted = spark.read.option("basePath", tableRoot)
       .parquet(files.map(f => s"$tableRoot/${f._1}"): _*)
       .groupBy(input_file_name().as("__uri"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
       .withColumn("file", rel(col("__uri")))
       .drop("__uri")
-      .join(identity, Seq("file"))
-      .select(col("file") +: col("bytes") +: col("mtime") +: col("rows") +:
+    // LEFT join from the listing: a ZERO-ROW parquet file produces no
+    // aggregate group, but it must still get a manifest row (null stats
+    // = keep-on-unknown; rows coalesces to 0) — an inner join would
+    // leave it permanently "unseen" and refreshManifest would restat it
+    // on every call without ever converging
+    identity.join(statted, Seq("file"), "left")
+      .select(col("file") +: col("bytes") +: col("mtime") +:
+        coalesce(col("rows"), lit(0L)).as("rows") +:
         (cols.flatMap(c =>
-          Seq(col(s"${c}__min"), col(s"${c}__max"), col(s"${c}__nulls"))) ++
+          Seq(col(s"${c}__min"), col(s"${c}__max"),
+            coalesce(col(s"${c}__nulls"), lit(0L)).as(s"${c}__nulls"))) ++
          bloomCols.map(c => col(s"${c}__bloom"))): _*)
   }
 
@@ -369,14 +376,23 @@ object Skipping {
     * any update changes the signature). Bounded by data-file count per
     * table — the same driver-memory class as Spark's own scan-planning
     * file listing. */
-  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, org.apache.spark.sql.types.StructType,
-      Seq[org.apache.spark.sql.Row],
-      // lazily-deserialized per-(file, column) Bloom filters — same
-      // lifetime as the cached rows (a new manifest signature replaces
-      // the whole entry)
-      java.util.concurrent.ConcurrentHashMap[(String, String),
-        org.apache.spark.util.sketch.BloomFilter])]()
+  /** Cached manifest: the STAT rows only — `__bloom` byte columns are
+    * stripped before the collect (they are ~117 KB per file-column; the
+    * stat rows stay in the ~100-bytes-per-file class of a plain file
+    * listing). Bloom filters load lazily, ONCE per signature, into
+    * `blooms` as the single resident (deserialized) copy — and only
+    * when a bloom-testable predicate actually arrives. */
+  private final case class CachedManifest(
+      sig: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      bloomCols: Set[String],
+      blooms: java.util.concurrent.ConcurrentHashMap[(String, String),
+        org.apache.spark.util.sketch.BloomFilter],
+      bloomsLoaded: java.util.concurrent.atomic.AtomicBoolean)
+
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedManifest]()
 
   private def manifestSignature(spark: SparkSession,
       path: String): Option[String] = {
@@ -405,31 +421,35 @@ object Skipping {
   def droppedFiles(spark: SparkSession, path: String,
       preds: Seq[Pred]): Option[Map[String, (Long, Long)]] =
     manifestSignature(spark, path).flatMap { sig =>
-      val cached = manifestCache.get(path)
+      val cached0 = manifestCache.get(path)
       val loaded =
-        if (cached != null && cached._1 == sig)
-          Some((cached._2, cached._3, cached._4))
+        if (cached0 != null && cached0.sig == sig) Some(cached0)
         else readManifest(spark, path).map { m =>
-          val rows = m.collect().toSeq
-          val blooms = new java.util.concurrent.ConcurrentHashMap[
-            (String, String), org.apache.spark.util.sketch.BloomFilter]()
-          manifestCache.put(path, (sig, m.schema, rows, blooms))
-          (m.schema, rows, blooms)
+          val bloomCols = m.columns.filter(_.endsWith("__bloom"))
+          val slim = if (bloomCols.isEmpty) m else m.drop(bloomCols: _*)
+          val entry = CachedManifest(sig, slim.schema,
+            slim.collect().toSeq,
+            bloomCols.map(_.dropRight(7)).toSet,
+            new java.util.concurrent.ConcurrentHashMap(),
+            new java.util.concurrent.atomic.AtomicBoolean(false))
+          manifestCache.put(path, entry)
+          entry
         }
-      loaded.flatMap { case (schema, rows, blooms) =>
+      loaded.flatMap { cached =>
+        val schema = cached.schema
         val indexed = preds.filter(p =>
           schema.fieldNames.contains(s"${p.column}__min"))
         if (indexed.isEmpty || !schema.fieldNames.contains("bytes")) None
         else {
           import scala.jdk.CollectionConverters._
-          val m = spark.createDataFrame(rows.asJava, schema)
+          val m = spark.createDataFrame(cached.rows.asJava, schema)
           val cond = indexed.map(keepCond).reduce(_ && _)
           val statsDropped = m.filter(!cond)
             .select("file", "bytes", "mtime").collect()
             .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
             .toMap
           val bloomDropped =
-            bloomDrops(schema, rows, blooms, indexed, statsDropped.keySet)
+            bloomDrops(spark, path, cached, indexed, statsDropped.keySet)
           Some(statsDropped ++ bloomDropped)
         }
       }
@@ -440,22 +460,21 @@ object Skipping {
     * bloom-indexed column drops it when NO probe hash might be
     * contained. Probe hashes are computed once per value (not per
     * file); a value whose type coercion is not provably sound for
-    * hashing ([[bloomProbeHash]] = None) keeps every file. Runs on the
-    * cached driver-side rows — no job. */
-  private def bloomDrops(schema: org.apache.spark.sql.types.StructType,
-      rows: Seq[org.apache.spark.sql.Row],
-      blooms: java.util.concurrent.ConcurrentHashMap[(String, String),
-        org.apache.spark.util.sketch.BloomFilter],
-      preds: Seq[Pred],
+    * hashing ([[bloomProbeHash]] = None) keeps every file. The
+    * deserialized filters load once per manifest signature (a single
+    * driver-side parquet read of just the bloom columns) the first
+    * time a bloom-testable predicate arrives. */
+  private def bloomDrops(spark: SparkSession, path: String,
+      cached: CachedManifest, preds: Seq[Pred],
       alreadyDropped: Set[String]): Map[String, (Long, Long)] = {
+    val schema = cached.schema
     // (column, probe hashes) per bloom-testable predicate; None hash
     // set = untestable → that predicate prunes nothing
     val tests: Seq[(String, Seq[Long])] = preds.flatMap {
-      case EqPred(c, v) if schema.fieldNames.contains(s"${c}__bloom") =>
+      case EqPred(c, v) if cached.bloomCols(c) =>
         dtOf(schema, c).flatMap(dt => bloomProbeHash(v, dt))
           .map(h => c -> Seq(h))
-      case InPred(c, vs) if schema.fieldNames.contains(s"${c}__bloom") &&
-          vs.nonEmpty =>
+      case InPred(c, vs) if cached.bloomCols(c) && vs.nonEmpty =>
         dtOf(schema, c).flatMap { dt =>
           val hs = vs.map(v => bloomProbeHash(v, dt))
           if (hs.exists(_.isEmpty)) None else Some(c -> hs.map(_.get))
@@ -464,20 +483,35 @@ object Skipping {
     }
     if (tests.isEmpty) Map.empty
     else {
+      cached.blooms.synchronized {
+        if (!cached.bloomsLoaded.get()) {
+          readManifest(spark, path).foreach { m =>
+            val colNames = cached.bloomCols.toSeq.sorted
+            m.select(col("file") +: colNames.map(c =>
+                col(s"${c}__bloom")): _*)
+              .collect().foreach { r =>
+                colNames.zipWithIndex.foreach { case (c, i) =>
+                  if (!r.isNullAt(i + 1))
+                    cached.blooms.put((r.getString(0), c),
+                      org.apache.spark.util.sketch.BloomFilter.readFrom(
+                        r.getAs[Array[Byte]](i + 1)))
+                }
+              }
+          }
+          cached.bloomsLoaded.set(true)
+        }
+      }
       val fileIdx = schema.fieldIndex("file")
       val bytesIdx = schema.fieldIndex("bytes")
       val mtimeIdx = schema.fieldIndex("mtime")
-      rows.iterator.filterNot(r => alreadyDropped(r.getString(fileIdx)))
+      cached.rows.iterator
+        .filterNot(r => alreadyDropped(r.getString(fileIdx)))
         .flatMap { r =>
           val file = r.getString(fileIdx)
           val disproved = tests.exists { case (c, hashes) =>
-            val bi = schema.fieldIndex(s"${c}__bloom")
-            if (r.isNullAt(bi)) false // unstatted → keep
-            else {
-              val bf = blooms.computeIfAbsent((file, c), _ =>
-                org.apache.spark.util.sketch.BloomFilter.readFrom(
-                  r.getAs[Array[Byte]](bi)))
-              !hashes.exists(bf.mightContainLong)
+            cached.blooms.get((file, c)) match {
+              case null => false // unstatted (zero-row/absent) → keep
+              case bf => !hashes.exists(bf.mightContainLong)
             }
           }
           if (disproved)
@@ -600,6 +634,16 @@ object Skipping {
     dt
   }
 
+  /** `1 << bits` must stay a sane Int AND a sane quantile count:
+    * bits=31 wraps `1 << bits` negative (empty boundary array → every
+    * row in bucket 0, silently unclustered), and even non-wrapping
+    * large values allocate 2^bits-element probe arrays on the driver.
+    * 16 bits = 65,536 cells per dimension is already far past useful
+    * clustering granularity. */
+  private def requireBits(bits: Int): Unit =
+    require(bits >= 1 && bits <= 16,
+      s"zorder: bits must be in 1..16, got $bits")
+
   /** Per-row bucket in [0, 2^bits) as a codegen'd
     * count-of-boundaries-≤x over the literal boundary array. */
   private def bucketOf(bounds: Array[Double], proxy: Column): Column = {
@@ -615,6 +659,7 @@ object Skipping {
     * more buckets, not one overflowing cell. NULLs land in bucket 0. */
   def rankBucket(df: DataFrame, c: String, bits: Int): Column = {
     val dt = requireRankable(df, c)
+    requireBits(bits)
     val probe = "__zq_probe"
     val n = 1 << bits
     val probs = (1 until n).map(_.toDouble / n).toArray
@@ -636,6 +681,7 @@ object Skipping {
       nFiles: Int, bits: Int = 8,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val dts = cols.map(c => requireRankable(df, c))
+    requireBits(bits)
     val probeNames = cols.indices.map(i => s"__zq_$i")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     val proxies = df.select(cols.zip(dts).zip(probeNames).map {
@@ -726,9 +772,11 @@ object Skipping {
       System.getProperty("java.io.tmpdir"), "graft_ix", prefix)
     if (java.nio.file.Files.exists(base)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).sorted(
+      val walk = java.nio.file.Files.walk(base)
+      try walk.sorted(
         java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
     java.nio.file.Files.createDirectories(base)
     base.toString + "/t"

@@ -474,6 +474,17 @@ object Streams {
         s"tableIngest: $tablePath holds epoch-tagged files from a prior " +
           "stream but no checkpointDir was given - pass the original " +
           "checkpointDir to resume, or compact the table first")
+    // a pre-existing manifest (e.g. OPTIMIZE WITH (index 'a,b,c') before
+    // the stream attached) may index MORE columns than this stream was
+    // configured with — union them in, or the first refresh would
+    // rebuild the manifest narrower and silently stop pruning on the
+    // extras (the same invariant Skipping.optimize holds)
+    val prevManifestCols = graft.sources.Skipping
+      .readManifest(spark, tablePath).map(_.columns.toSeq).getOrElse(Nil)
+    val statCols = (indexCols ++ bloomCols ++ prevManifestCols.collect {
+      case n if n.endsWith("__min") => n.dropRight(5) }).distinct
+    val blooms = (bloomCols ++ prevManifestCols.collect {
+      case n if n.endsWith("__bloom") => n.dropRight(7) }).distinct
     val w0 = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -490,16 +501,30 @@ object Streams {
         graft.sources.Sinks.recoverCompactSwap(s, tablePath)
         if (compactEvery > 0 && epochId > 0 &&
             epochId % compactEvery == 0 &&
-            graft.sources.Sinks.hasVisibleData(s, tablePath))
-          // the fold must RE-CLUSTER, not coalesce: a compaction that
-          // flattens the range layout would quietly defeat the manifest
-          // it is supposed to serve
+            graft.sources.Sinks.hasVisibleData(s, tablePath)) {
+          // the fold's output file count must scale with the ACCUMULATED
+          // table (~128 MB bin-packing, like OPTIMIZE's default), not
+          // reuse the per-epoch count — else per-file size grows without
+          // bound across the stream's life and pruning granularity
+          // collapses. And the fold must RE-CLUSTER, not coalesce: a
+          // compaction that flattens the range layout would quietly
+          // defeat the manifest it is supposed to serve.
+          val fsP = new org.apache.hadoop.fs.Path(tablePath)
+          val fsys = fsP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val foldFiles = math.max(math.max(1L, filesPerEpoch.toLong),
+            fsys.getContentSummary(fsP).getLength / (128L << 20)).toInt
           graft.sources.Sinks.compactParquet(s, tablePath,
+            nFiles = foldFiles,
             excludeEpoch = Some(epochId),
             writeStaged =
               if (layoutCols.isEmpty) None
-              else Some((df, staged) =>
-                cluster(df).write.parquet(staged)))
+              else Some((df, staged) => {
+                val lc = layoutCols.map(col)
+                df.repartitionByRange(foldFiles, lc: _*)
+                  .sortWithinPartitions(lc: _*)
+                  .write.parquet(staged)
+              }))
+        }
         val clustered = cluster(batch)
         graft.sources.Sinks.appendEpoch(
           clustered.localCheckpoint(true), tablePath, epochId)
@@ -511,7 +536,7 @@ object Streams {
         // old directory, so the refresh is a full rebuild — the table
         // was just fully rewritten anyway, same cost class.)
         graft.sources.Skipping.refreshManifest(s, tablePath,
-          (indexCols ++ bloomCols).distinct, bloomCols)
+          statCols, blooms)
         ()
       }
     checkpointDir.map(c => w0.option("checkpointLocation", c))

@@ -176,7 +176,10 @@ object PlanRefresh {
     val root = Skipping.rootFsPath(spark, path)
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     var touched = false
-    val fresh = df.queryExecution.analyzed.transform {
+    // transformDownWithSubqueries: a plain transform never descends into
+    // SubqueryExpression plans, so a view referencing the table only
+    // inside a scalar/EXISTS/IN subquery would keep the dead file list
+    val fresh = df.queryExecution.analyzed.transformDownWithSubqueries {
       case lr: LogicalRelation =>
         lr.relation match {
           case hfs: HadoopFsRelation if hfs.location.rootPaths.exists(rp =>

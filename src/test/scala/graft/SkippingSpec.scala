@@ -296,7 +296,7 @@ class SkippingSpec extends AnyFunSuite {
     rejects("OPTIMIZE pev ZORDER BY (s)", "numeric/date/timestamp")
     rejects("OPTIMIZE pev WITH (files 'lots')", "positive integer")
     rejects("OPTIMIZE pev WITH (files '0')", "positive")
-    rejects("OPTIMIZE pev ZORDER BY (a, b) WITH (bits '40')", "60-bit")
+    rejects("OPTIMIZE pev ZORDER BY (a, b) WITH (bits '40')", "1..16")
     // nothing was rewritten by any refused statement
     assert(dataFiles(spark, p).toSet == filesBefore)
     assert(exec.query("select count(1) as n from pev").head().getLong(0) == 100L)
@@ -454,6 +454,75 @@ class SkippingSpec extends AnyFunSuite {
     val e = intercept[graft.compiler.CompileException](
       exec.execute("OPTIMIZE pev WITH (shiny 'yes')"))
     assert(e.getMessage.contains("unknown option 'shiny'"))
+  }
+
+  test("zero-row files get manifest rows; refresh converges") {
+    val dir = tmp("skip_zero")
+    sample(100).repartition(4).write.parquet(dir)
+    // an empty epoch's write shape: a schema-only parquet file
+    sample(100).limit(0).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    writeManifest(spark, dir, Seq("a"), bloomCols = Seq("a"))
+    val files = dataFiles(spark, dir)
+    assert(readManifest(spark, dir).get.count() == files.size,
+      "every live file, including the zero-row one, gets a row")
+    // convergence: nothing changed → nothing restatted (pre-fix, the
+    // zero-row file was re-'added' and the manifest rewritten forever)
+    assert(refreshManifest(spark, dir, Seq("a"), Seq("a")) == ((0L, 0L)))
+    // pruning remains sound with the null-stat row present
+    val p = Seq(EqPred("a", 5L))
+    assert(collectSet(readSkipping(spark, dir, p)) ==
+      collectSet(spark.read.parquet(dir).filter(predColumn(p))))
+  }
+
+  test("bits outside 1..16 are rejected before any work") {
+    val df = sample(100)
+    val e = intercept[IllegalArgumentException](rankBucket(df, "a", 31))
+    assert(e.getMessage.contains("1..16"))
+    intercept[IllegalArgumentException](
+      writeZOrdered(df, tmp("zbits"), Seq("a"), nFiles = 2, bits = 17))
+    val exec = new graft.exec.Executor(spark, Map("src" -> sample(100)))
+    val base = java.nio.file.Files.createTempDirectory("graft_optbits").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select id, a from src")
+    val ce = intercept[graft.compiler.CompileException](
+      exec.execute("OPTIMIZE pev ZORDER BY (a) WITH (bits '31')"))
+    assert(ce.getMessage.contains("1..16"))
+    // the 60-bit interleave budget now binds only at >= 4 columns
+    val exec2 = new graft.exec.Executor(spark, Map("s4" ->
+      sample(100).select(col("id"), col("a"), col("b"),
+        (col("id") % 3).as("c"))))
+    exec2.setBasepath(
+      java.nio.file.Files.createTempDirectory("graft_opt60").toString)
+    exec2.execute("CREATE TABLE p4 WITH (persist 'parquet') AS " +
+      "select id, a, b, c from s4")
+    val ce2 = intercept[graft.compiler.CompileException](
+      exec2.execute("OPTIMIZE p4 ZORDER BY (id, a, b, c) WITH (bits '16')"))
+    assert(ce2.getMessage.contains("60-bit"))
+  }
+
+  test("OPTIMIZE re-opens subquery-only references and re-persists stats") {
+    val exec = new graft.exec.Executor(spark,
+      Map("src" -> sample(300).withColumnRenamed("id", "event_id"),
+        "other" -> sample(50).withColumnRenamed("id", "event_id")))
+    val base = java.nio.file.Files.createTempDirectory("graft_optsubq").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select event_id, a, b from src")
+    // pev appears ONLY inside a scalar subquery of this lazy view —
+    // a plain plan transform never descends there
+    exec.execute("CREATE TABLE v AS select count(1) as n from other " +
+      "where a <= (select max(a) from pev)")
+    exec.execute("ANALYZE pev")
+    val before = exec.query("select * from v").head().getLong(0)
+    exec.execute("OPTIMIZE pev ZORDER BY (a, b) WITH (files '4')")
+    assert(exec.query("select * from v").head().getLong(0) == before)
+    // the swap deleted the ANALYZE sidecar — OPTIMIZE must re-persist
+    // it so a fresh session re-attaching keeps the measured stats
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$base/pev.parquet/_graft_stats.json")),
+      "stats sidecar must survive OPTIMIZE")
   }
 
   test("skipping under hive partitioning keeps partition columns intact") {

@@ -890,6 +890,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("epoch-tagged"))
   }
 
+  test("tableIngest preserves a pre-existing manifest's wider column set") {
+    import graft.sources.Skipping
+    val base = java.nio.file.Files.createTempDirectory("graft_tbwide").toString
+    val inDir = s"$base/in"
+    val tbl = s"$base/table"
+    val src = spark.range(400).select(col("id"),
+      (col("id") % 20).as("key"), (col("id") % 9).cast("double").as("w"))
+    // day-0 table indexed on (key, w) by a batch job (plain part files —
+    // no epoch tags, so a fresh stream lineage may attach)
+    src.filter(col("id") < 200).repartitionByRange(4, col("key"))
+      .sortWithinPartitions("key").write.parquet(tbl)
+    Skipping.writeManifest(spark, tbl, Seq("key", "w"))
+    src.filter(col("id") >= 200).coalesce(1).write.parquet(inDir)
+    // the stream is configured NARROWER (key only) — the refresh must
+    // not rebuild the manifest without w
+    val q = Streams.tableIngest(spark,
+      spark.readStream.schema(src.schema).parquet(inDir), tbl,
+      indexCols = Seq("key"), layoutCols = Seq("key"), filesPerEpoch = 2)
+    try q.processAllAvailable() finally q.stop()
+    val cols = Skipping.readManifest(spark, tbl).get.columns
+    assert(Seq("key__min", "w__min").forall(cols.contains),
+      s"manifest lost columns: ${cols.mkString(",")}")
+    assert(Skipping.readManifest(spark, tbl).get.count() ==
+      Skipping.dataFiles(spark, tbl).size)
+  }
+
   test("streaming read takes its schema from the file footer") {
     // the streaming surface must be identical to the batch surface for
     // whatever physical type the current testdata generation uses —
