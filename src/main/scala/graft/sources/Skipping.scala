@@ -482,6 +482,8 @@ object Skipping {
       case _ => None
     }
     if (tests.isEmpty) Map.empty
+    else if (cached.rows.size > bloomDriverMaxFiles)
+      bloomDropsDistributed(spark, path, tests)
     else {
       cached.blooms.synchronized {
         if (!cached.bloomsLoaded.get()) {
@@ -526,6 +528,35 @@ object Skipping {
   private def dtOf(schema: org.apache.spark.sql.types.StructType,
       c: String): Option[DataType] =
     schema.fields.find(_.name == s"${c}__min").map(_.dataType)
+
+  /** Above this many manifest entries, Bloom probes run as a tiny
+    * DISTRIBUTED job over the manifest parquet instead of holding every
+    * deserialized filter on the driver (~117 KB per file-column: fine at
+    * thousands of files, ~100 GB at a million). Override with
+    * `-Dgraft.skipping.bloomDriverMaxFiles=n`. */
+  private def bloomDriverMaxFiles: Int =
+    sys.props.get("graft.skipping.bloomDriverMaxFiles").map(_.toInt)
+      .getOrElse(8192)
+
+  /** Distributed Bloom probe: executors deserialize each file's filter
+    * once and test the probe hashes; only the DISPROVED (file, identity)
+    * rows come back. The manifest is a tiny parquet (one row per data
+    * file), so this is a small planning-time job — the price of point
+    * pruning on tables whose filter set no longer fits driver memory. */
+  private def bloomDropsDistributed(spark: SparkSession, path: String,
+      tests: Seq[(String, Seq[Long])]): Map[String, (Long, Long)] =
+    readManifest(spark, path).map { m =>
+      val miss = udf((bytes: Array[Byte], hs: Seq[Long]) =>
+        bytes != null && {
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+          !hs.exists(bf.mightContainLong)
+        })
+      val cond = tests.map { case (c, hs) =>
+        miss(col(s"${c}__bloom"), typedlit(hs)) }.reduce(_ || _)
+      m.filter(cond).select("file", "bytes", "mtime").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    }.getOrElse(Map.empty)
 
   /** Evaluate pruning: (files to read, total data files). Unknown files
     * (on disk, not in manifest), files whose identity drifted from the

@@ -298,6 +298,7 @@ object ScaleProbe {
       .select(col("event_id"), col("value"))
     lazy val nEv: Long = evSkipBase.count()
     val skipDirs = scala.collection.mutable.Map.empty[Int, String]
+    var skipAppendSeq = 0L
     def skipFor(f: Int): String = skipDirs.getOrElseUpdate(f, {
       val dir = java.nio.file.Files.createTempDirectory(s"probe_skip_$f")
         .toString + "/t"
@@ -326,7 +327,24 @@ object ScaleProbe {
       "skip_bloom_point" -> (f =>
         Skipping.readSkipping(spark, skipFor(f),
             Seq(Skipping.EqPred("idx", nEv / 2)))
-          .agg(count(lit(1)).as("n"))))
+          .agg(count(lit(1)).as("n"))),
+      // per-batch manifest maintenance vs ACCUMULATED table size: append
+      // one small epoch's worth of rows, then refreshManifest — must be
+      // FLAT (delta cost: only the new files are statted), the property
+      // that makes per-trigger upkeep viable in tableIngest. Appended
+      // idx values sit far outside the other probes' predicate ranges.
+      // (Listed last: it mutates the shared fixtures.)
+      "skip_refresh_delta" -> (f => {
+        val dir = skipFor(f)
+        skipAppendSeq += 1
+        evSkipBase.limit(2000).select(
+            (col("event_id") + lit(1000000000L) * skipAppendSeq).as("idx"),
+            col("value"))
+          .coalesce(2).write.mode("append").parquet(dir)
+        val (a, r) = Skipping.refreshManifest(spark, dir,
+          Seq("idx"), Seq("idx"))
+        spark.range(a + r + 1).toDF("n")
+      }))
 
     val opFilter = args.drop(1).toSet
     val allOps =

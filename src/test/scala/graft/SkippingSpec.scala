@@ -375,6 +375,18 @@ class SkippingSpec extends AnyFunSuite {
     val nf = scannedFiles(spark.read.parquet(dir)
       .filter(col("id") === 1234L))
     assert(nf * 2 <= total, s"auto path scanned $nf of $total")
+    // DISTRIBUTED probe path (tables too large for driver-held
+    // filters): force the threshold to 1 and re-check both the
+    // pruning decision and the result — identical either way
+    System.setProperty("graft.skipping.bloomDriverMaxFiles", "1")
+    try {
+      val (keptD, totalD) = prunedFiles(spark, dir, eq)
+      assert(totalD == 16 && keptD.size * 2 <= totalD,
+        s"distributed bloom kept ${keptD.size} of $totalD")
+      assert(keptD.toSet == kept.toSet,
+        "driver and distributed probes must agree")
+      assert(readSkipping(spark, dir, eq).count() == 1)
+    } finally System.clearProperty("graft.skipping.bloomDriverMaxFiles")
   }
 
   test("bloom on strings prunes; unsound literal coercion keeps all") {
