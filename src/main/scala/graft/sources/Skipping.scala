@@ -487,8 +487,13 @@ object Skipping {
     else {
       cached.blooms.synchronized {
         if (!cached.bloomsLoaded.get()) {
-          readManifest(spark, path).foreach { m =>
+          // the lazy load re-reads the manifest by path; a concurrent
+          // replacement that changed the column set must degrade to
+          // "no filters loaded" (keep everything) — never fail the
+          // query from a pruning optimization
+          try readManifest(spark, path).foreach { m =>
             val colNames = cached.bloomCols.toSeq.sorted
+              .filter(c => m.columns.contains(s"${c}__bloom"))
             m.select(col("file") +: colNames.map(c =>
                 col(s"${c}__bloom")): _*)
               .collect().foreach { r =>
@@ -499,7 +504,7 @@ object Skipping {
                         r.getAs[Array[Byte]](i + 1)))
                 }
               }
-          }
+          } catch { case _: Exception => () }
           cached.bloomsLoaded.set(true)
         }
       }
@@ -545,18 +550,27 @@ object Skipping {
     * pruning on tables whose filter set no longer fits driver memory. */
   private def bloomDropsDistributed(spark: SparkSession, path: String,
       tests: Seq[(String, Seq[Long])]): Map[String, (Long, Long)] =
-    readManifest(spark, path).map { m =>
+    try readManifest(spark, path).map { m =>
       val miss = udf((bytes: Array[Byte], hs: Seq[Long]) =>
         bytes != null && {
           val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
           !hs.exists(bf.mightContainLong)
         })
-      val cond = tests.map { case (c, hs) =>
-        miss(col(s"${c}__bloom"), typedlit(hs)) }.reduce(_ || _)
-      m.filter(cond).select("file", "bytes", "mtime").collect()
-        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-        .toMap
+      // a concurrent manifest replacement may have dropped a bloom
+      // column since the cached schema was read — test only what the
+      // LIVE manifest carries (missing predicate = prunes nothing)
+      val live = tests.filter { case (c, _) =>
+        m.columns.contains(s"${c}__bloom") }
+      if (live.isEmpty) Map.empty[String, (Long, Long)]
+      else {
+        val cond = live.map { case (c, hs) =>
+          miss(col(s"${c}__bloom"), typedlit(hs)) }.reduce(_ || _)
+        m.filter(cond).select("file", "bytes", "mtime").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+      }
     }.getOrElse(Map.empty)
+    catch { case _: Exception => Map.empty }
 
   /** Evaluate pruning: (files to read, total data files). Unknown files
     * (on disk, not in manifest), files whose identity drifted from the
