@@ -110,6 +110,20 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(nf * 2 <= 16, s"dialect scanned $nf of 16")
   }
 
+  test("automatic path bloom-prunes InSet (>10 IN values) point lookups") {
+    val dir = tmp("autoskip_bloom")
+    val df = spark.range(3000).select(col("id"), (col("id") % 7).as("b"))
+    df.repartition(12).write.parquet(dir) // unclustered: intervals useless
+    Skipping.writeManifest(spark, dir, Seq("id"), bloomCols = Seq("id"))
+    // >10 literals forces Catalyst's InSet form; all present values
+    val vals = (100L to 111L)
+    val q = spark.read.parquet(dir).filter(col("id").isin(vals: _*))
+    assert(q.count() == 12)
+    val nf = scannedFiles(spark.read.parquet(dir)
+      .filter(col("id").isin(vals: _*)))
+    assert(nf < 12, s"InSet bloom scanned $nf of 12")
+  }
+
   test("a manifest written after a negative probe prunes immediately") {
     // the existence probe is TTL-cached (the optimizer re-runs the rule
     // per fixed-point iteration); a manifest write in this JVM must
