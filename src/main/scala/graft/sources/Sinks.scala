@@ -169,6 +169,13 @@ object Sinks {
     // also covers the live-dir-present-with-only-hidden-debris shape an
     // inline `!fs.exists` test would miss
     recoverCompactSwap(spark, path)
+    // A crash AFTER the staged write but BEFORE the swap leaves `staged`
+    // fully populated on disk (recoverCompactSwap only restores `__old`).
+    // Clear it up front so the rewrite below never trips over the debris:
+    // the default writes use SaveMode.Overwrite, but a caller-supplied
+    // `writeStaged` closure may not — and a closure that throws
+    // "path already exists" on every replay wedges its stream permanently.
+    if (fs.exists(ps)) fs.delete(ps, true)
     val df0 = spark.read.parquet(path)
     val df = fold(excludeEpoch match {
       case Some(e) => df0.filter(!input_file_name().contains(s"epoch-$e-"))

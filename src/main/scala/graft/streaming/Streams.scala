@@ -522,7 +522,12 @@ object Streams {
                 val lc = layoutCols.map(col)
                 df.repartitionByRange(foldFiles, lc: _*)
                   .sortWithinPartitions(lc: _*)
-                  .write.parquet(staged)
+                  // Overwrite, not the ErrorIfExists default: a crash
+                  // between this write and the swap leaves `staged`
+                  // populated, and the replayed epoch must be able to
+                  // rewrite it (compactParquet also pre-clears it).
+                  .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                  .parquet(staged)
               }))
         }
         val clustered = cluster(batch)

@@ -456,6 +456,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(p + "__compact").exists())
   }
 
+  test("compactParquet survives a crash AFTER the staged write (stale __compact)") {
+    // crash window the __old recovery does NOT cover: the staged write
+    // completed, then the process died before the swap. The staging dir
+    // sits fully populated; the replayed compaction must be able to
+    // rewrite it even when the caller's writeStaged closure uses the
+    // ErrorIfExists default (tableIngest's re-clustering closure did
+    // until r14) — compactParquet pre-clears the staging dir.
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_staged")
+      .toString
+    val p = s"$base/t"
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(3).write.parquet(p)
+    // the crashed attempt's fully-written staging copy, with DIFFERENT
+    // rows so a swap-in of the stale copy would be caught below
+    Seq((99L, "stale")).toDF("id", "v").write.parquet(p + "__compact")
+    graft.sources.Sinks.compactParquet(spark, p,
+      writeStaged = Some((df, staged) => df.coalesce(1).write.parquet(staged)))
+    assert(spark.read.parquet(p).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L), "stale staged copy leaked into the table")
+    assert(!new java.io.File(p + "__compact").exists())
+  }
+
   test("streaming IVF-PQ ingest: multi-batch appends equal the batch rebuild") {
     import graft.operators.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
