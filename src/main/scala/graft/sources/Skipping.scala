@@ -266,10 +266,70 @@ object Skipping {
 
   private def manifestPath(path: String) = s"$path/$ManifestDir"
 
+  /** Bloom SIDECAR root — the filter bytes live here, per column, NOT
+    * in the stats manifest. Rationale (the r13→r14 restructuring): a
+    * Bloom filter is ~117 KB per file-column where a stat row is ~100
+    * bytes, so any maintenance write that carries blooms along with
+    * stats pays 1000× the bytes it needs to. Splitting them means a
+    * stat refresh appends stat rows only, and the cadence fold of the
+    * stats segments never rewrites a single filter byte. */
+  val BloomDir = "_graft_blooms"
+  private def bloomRoot(path: String) = s"$path/$BloomDir"
+  private def bloomColPath(path: String, c: String) = s"${bloomRoot(path)}/$c"
+
+  /** The columns carrying a Bloom sidecar — discovered from the sidecar
+    * directory listing (one subdirectory per column), not from the
+    * stats schema. Empty on any listing failure: bloom pruning simply
+    * stands down. */
+  def bloomColumns(spark: SparkSession, path: String): Seq[String] =
+    try {
+      val f = fs(spark, path)
+      val br = new Path(bloomRoot(path))
+      if (!f.exists(br)) Nil
+      else f.listStatus(br).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq.sorted
+    } catch { case _: Exception => Nil }
+
+  /** Latest-wins ordering column and removal tombstone marker carried
+    * by every stats-segment row. The manifest directory is APPEND-ONLY
+    * between folds: a refresh appends one small segment (fresh stat
+    * rows at the next `__seq`, plus `__removed = true` tombstones for
+    * file names that vanished) instead of rewriting `keep ∪ add` — the
+    * O(total-files)-bytes-through-one-task cost that made per-trigger
+    * maintenance a scale-killer at manifest sizes where the rewrite
+    * dominates. The same shape the update-monitor epoch log uses
+    * (`__epoch` + cadence latest-wins fold). */
+  val SeqCol = "__seq"
+  val RemovedCol = "__removed"
+
+  /** Latest-wins fold of raw segment rows: per file, the highest-`__seq`
+    * row stands; tombstoned files drop. `__seq`/`__removed` KEPT — the
+    * folded rows are written back as the compacted base segment, and
+    * future appends (strictly higher seq) still win against them. */
+  private def foldKeepSeq(raw: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy(col(SeqCol).desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col(RemovedCol))
+      .drop("__rn")
+  }
+
+  /** Raw segment rows as stored (with `__seq`/`__removed`), if
+    * readable. */
+  private def readManifestRaw(spark: SparkSession,
+      path: String): Option[DataFrame] =
+    if (!Sinks.hasVisibleData(spark, manifestPath(path))) None
+    else
+      try Some(spark.read.parquet(manifestPath(path)))
+      catch { case _: Exception => None }
+
   /** Full manifest (re)build: stat every current data file. The listing
     * (identity capture) precedes the content pass, so a file rewritten
     * mid-build shows a changed identity at prune time and is simply
-    * read — never pruned on stale stats. */
+    * read — never pruned on stale stats. Bloom sidecars are written
+    * FIRST (a crash between the two leaves bloom rows for files the
+    * stats don't know yet — garbage the fold collects, never a pruning
+    * input), then the stats base segment at `__seq = 0`. */
   def writeManifest(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
     require(bloomCols.forall(cols.contains),
@@ -278,76 +338,232 @@ object Skipping {
       s"${bloomCols.mkString(",")} cols=${cols.mkString(",")}")
     val files = dataFilesWithIdentity(spark, path)
     require(files.nonEmpty, s"skipping: no data files under $path")
-    val m = statsFor(spark, path, files, cols, bloomCols)
-    m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestPath(path))
+    val m0 = statsFor(spark, path, files, cols, bloomCols)
+    // persist only when blooms force a second pass over the result
+    val m = if (bloomCols.nonEmpty) m0.persist() else m0
+    try {
+      val f = fs(spark, path)
+      // wipe the WHOLE sidecar root (also clears columns dropped from
+      // the bloom set) before rewriting the requested columns
+      val br = new Path(bloomRoot(path))
+      if (f.exists(br)) f.delete(br, true)
+      bloomCols.foreach { c =>
+        m.select(col("file"), col("bytes"), col("mtime"),
+            col(s"${c}__bloom").as("bloom"))
+          .filter(col("bloom").isNotNull)
+          .coalesce(bloomWriteParts(files.size))
+          .write.mode(SaveMode.Overwrite).parquet(bloomColPath(path, c))
+      }
+      m.drop(bloomCols.map(c => s"${c}__bloom"): _*)
+        .withColumn(SeqCol, lit(0L)).withColumn(RemovedCol, lit(false))
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(manifestPath(path))
+    } finally if (bloomCols.nonEmpty) m.unpersist()
     invalidateManifestProbe()
   }
 
-  /** Manifest rows, if a readable manifest exists. `None` = no skipping
-    * (full-scan fallback) — a crashed manifest overwrite lands here. */
+  /** ~117 KB per filter: cap segments near 128 MB so a huge delta never
+    * funnels through one task. */
+  private def bloomWriteParts(nFiles: Int): Int =
+    math.max(1, nFiles / 1000)
+
+  /** LIVE manifest rows (latest-wins fold applied, tombstones dropped,
+    * `__seq`/`__removed` stripped), if a readable manifest exists —
+    * every consumer sees one row per live file, exactly the pre-r14
+    * logical schema. `None` = no skipping (full-scan fallback) — a
+    * crashed manifest overwrite lands here. */
   def readManifest(spark: SparkSession, path: String): Option[DataFrame] =
-    if (!Sinks.hasVisibleData(spark, manifestPath(path))) None
-    else
-      try Some(spark.read.parquet(manifestPath(path)))
-      catch { case _: Exception => None }
+    readManifestRaw(spark, path).map { raw =>
+      if (!raw.columns.contains(SeqCol)) raw // pre-segment legacy layout
+      else foldKeepSeq(raw).drop(SeqCol, RemovedCol)
+    }
 
   /** Incremental manifest maintenance: stat files the manifest has not
     * seen OR whose identity `(bytes, mtime)` changed (an in-place
-    * replay rewrite), drop entries whose files are gone, keep every
-    * other row untouched. Returns (filesStatted, entriesRemoved) —
-    * a changed file counts on both sides (old entry out, fresh stat
-    * in). Cost is proportional to the DELTA — this is what an
-    * epoch-append stream calls per batch (or per compaction cadence).
-    * Columns must match the existing manifest's indexed set; on
-    * mismatch (or no/old-format manifest) it falls back to a full
-    * [[writeManifest]] rebuild. */
+    * replay rewrite), tombstone entries whose files are gone, keep
+    * every other row untouched. Returns (filesStatted, entriesRemoved)
+    * — a changed file counts on both sides (old entry out, fresh stat
+    * in). The write is one APPENDED segment of O(delta) rows — never a
+    * rewrite of the accumulated manifest — plus, past
+    * [[manifestFoldSegments]] part files, a cadence fold of the stats
+    * segments (stat rows only; Bloom sidecars are GC'd on the same
+    * cadence but only when they carry enough shadowed garbage to be
+    * worth rewriting). Columns must match the existing manifest's
+    * indexed set and sidecar set; on mismatch (or no/old-format
+    * manifest) it falls back to a full [[writeManifest]] rebuild. */
   def refreshManifest(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil): (Long, Long) = {
     val current = dataFilesWithIdentity(spark, path)
-    readManifest(spark, path) match {
-      case Some(m)
-          if cols.forall(c => m.columns.contains(s"${c}__min")) &&
-            bloomCols.forall(c => m.columns.contains(s"${c}__bloom")) &&
-            m.columns.contains("bytes") &&
-            m.columns.length == 4 + 3 * cols.length + bloomCols.length =>
-        // bounded collect: one row per manifest entry = one per data
-        // file — the same driver-memory class as scan planning's file
-        // listing
-        val known = m.select("file", "bytes", "mtime").collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-        val added = current.filterNot(known).sortBy(_._1)
-        val removed = known -- current
+    val expected = (Seq("file", "bytes", "mtime", "rows", SeqCol,
+      RemovedCol) ++ cols.flatMap(c =>
+      Seq(s"${c}__min", s"${c}__max", s"${c}__nulls"))).toSet
+    readManifestRaw(spark, path) match {
+      case Some(raw)
+          if raw.columns.toSet == expected &&
+            bloomColumns(spark, path).toSet == bloomCols.toSet =>
+        // bounded collect: one row per segment row — live entries plus
+        // garbage bounded by the fold cadence; the same driver-memory
+        // class as scan planning's file listing
+        val slim = raw.select("file", "bytes", "mtime", SeqCol, RemovedCol)
+          .collect()
+        val maxSeq = slim.iterator.map(_.getLong(3)).foldLeft(0L)(math.max)
+        val live = slim.groupBy(_.getString(0)).iterator.map {
+          case (_, rs) => rs.maxBy(_.getLong(3))
+        }.collect { case r if !r.getBoolean(4) =>
+          (r.getString(0), r.getLong(1), r.getLong(2)) }.toSet
+        val added = current.filterNot(live).sortBy(_._1)
+        val removed = live -- current.toSet
         if (added.isEmpty && removed.isEmpty) (0L, 0L)
         else {
-          // semi-join against a local relation, not a million-literal
-          // isin; joining on the FULL identity drops gone AND changed
-          // entries in one pass
-          import spark.implicits._
-          val currentDf = current.toDF("file", "bytes", "mtime")
-          val keep = m.join(currentDf, Seq("file", "bytes", "mtime"),
-            "left_semi")
-          val merged =
-            if (added.isEmpty) keep
-            else {
-              val add = statsFor(spark, path, added, cols, bloomCols)
-              keep.select(add.columns.map(col): _*).unionAll(add)
-            }
-          // stage-then-swap so a crash mid-write leaves either the old
-          // manifest or none (both sound), never a torn one
-          val staged = manifestPath(path) + "__staged"
-          merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staged)
-          val f = fs(spark, path)
-          f.delete(new Path(manifestPath(path)), true)
-          if (!f.rename(new Path(staged), new Path(manifestPath(path))))
-            throw new IllegalStateException(
-              s"refreshManifest: rename $staged failed; skipping degrades " +
-              "to full scans until the next manifest write")
+          val currentNames = current.map(_._1).toSet
+          // tombstones only for NAMES that vanished — a changed file's
+          // fresh stat row shadows its old entry by seq on its own
+          val gone = removed.iterator.map(_._1)
+            .filterNot(currentNames).toSeq.sorted
+          appendSegment(spark, path, cols, bloomCols, added, gone,
+            maxSeq + 1L, raw.schema)
           invalidateManifestProbe()
+          maybeFold(spark, path)
           (added.size.toLong, removed.size.toLong)
         }
       case _ =>
         writeManifest(spark, path, cols, bloomCols)
         (current.size.toLong, 0L)
+    }
+  }
+
+  /** One appended stats segment: fresh rows for `added` at `seq`,
+    * tombstones for `gone`. Bloom sidecar rows for the added files are
+    * appended FIRST — the convergence order: a crash between the two
+    * leaves sidecar rows the stats don't reference (harmless garbage,
+    * GC'd at fold) and the replayed refresh re-adds the files whole; the
+    * opposite order would leave statted files whose blooms never get
+    * built. */
+  private def appendSegment(spark: SparkSession, path: String,
+      cols: Seq[String], bloomCols: Seq[String],
+      added: Seq[(String, Long, Long)], gone: Seq[String], seq: Long,
+      segSchema: org.apache.spark.sql.types.StructType): Unit = {
+    val stats =
+      if (added.isEmpty) None
+      else Some(statsFor(spark, path, added, cols, bloomCols))
+    val persisted = stats.map(s =>
+      if (bloomCols.nonEmpty) s.persist() else s)
+    try {
+      persisted.foreach { s =>
+        bloomCols.foreach { c =>
+          s.select(col("file"), col("bytes"), col("mtime"),
+              col(s"${c}__bloom").as("bloom"))
+            .filter(col("bloom").isNotNull)
+            .coalesce(bloomWriteParts(added.size))
+            .write.mode(SaveMode.Append).parquet(bloomColPath(path, c))
+        }
+      }
+      val statRows = persisted.map(
+        _.drop(bloomCols.map(c => s"${c}__bloom"): _*)
+          .withColumn(SeqCol, lit(seq)).withColumn(RemovedCol, lit(false))
+          .select(segSchema.fieldNames.map(col): _*))
+      val tombRows =
+        if (gone.isEmpty) None
+        else {
+          // identity/stat fields are dead weight on a tombstone; nulls
+          // where the schema allows, zero for the non-nullable identity
+          val rows = gone.map { f =>
+            org.apache.spark.sql.Row.fromSeq(segSchema.fields.map { sf =>
+              sf.name match {
+                case "file" => f
+                case "bytes" | "mtime" | "rows" => 0L
+                case SeqCol => seq
+                case RemovedCol => true
+                case _ => null
+              }
+            }.toSeq)
+          }
+          import scala.jdk.CollectionConverters._
+          Some(spark.createDataFrame(rows.asJava, segSchema))
+        }
+      (statRows ++ tombRows).reduceOption(_ unionByName _).foreach(
+        _.coalesce(1).write.mode(SaveMode.Append)
+          .parquet(manifestPath(path)))
+    } finally if (bloomCols.nonEmpty) persisted.foreach(_.unpersist())
+  }
+
+  /** Stats segments accumulated past this part-file count trigger a
+    * fold. Override with `-Dgraft.skipping.manifestFoldSegments=n`. */
+  private def manifestFoldSegments: Int =
+    sys.props.get("graft.skipping.manifestFoldSegments").map(_.toInt)
+      .getOrElse(16)
+
+  private def visibleParquetCount(spark: SparkSession,
+      dir: String): Int =
+    try {
+      val p = new Path(dir)
+      val f = fs(spark, dir)
+      if (!f.exists(p)) 0
+      else f.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        !st.isDirectory && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
+    } catch { case _: Exception => 0 }
+
+  private def maybeFold(spark: SparkSession, path: String): Unit =
+    if (visibleParquetCount(spark, manifestPath(path)) >
+        manifestFoldSegments)
+      foldManifest(spark, path)
+
+  /** Cadence fold: rewrite the stats segments to their latest-wins live
+    * rows (seq preserved — future appends still win), then GC each
+    * Bloom sidecar column that has itself accumulated enough segments,
+    * keeping only rows whose identity a live stat row still carries.
+    * Stage-then-swap both: a crash leaves either the old directory or
+    * none (degrades to a full-scan / rebuild, never a torn read).
+    * Distributed writes sized by bytes — the fold is the ONLY
+    * maintenance step that touches O(total) data, and it flows through
+    * normal parallel tasks on cadence, not through one task per
+    * trigger. */
+  def foldManifest(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    readManifestRaw(spark, path).foreach { raw =>
+      if (raw.columns.contains(SeqCol)) {
+        val mp = new Path(manifestPath(path))
+        val statParts = math.max(1L,
+          f.getContentSummary(mp).getLength / (64L << 20)).toInt
+        val staged = manifestPath(path) + "__staged"
+        val ps = new Path(staged)
+        if (f.exists(ps)) f.delete(ps, true)
+        foldKeepSeq(raw).coalesce(statParts)
+          .write.mode(SaveMode.Overwrite).parquet(staged)
+        f.delete(mp, true)
+        if (!f.rename(ps, mp))
+          throw new IllegalStateException(
+            s"foldManifest: rename $staged failed; skipping degrades to " +
+            "full scans until the next manifest write")
+        invalidateManifestProbe()
+        // Bloom GC — only columns whose sidecar is itself fragmented.
+        // Failures degrade, never fail the refresh: a kept-stale sidecar
+        // is identity-shadowed garbage; a lost one turns bloom pruning
+        // off AND mismatches the refresh compat check, forcing a full
+        // rebuild next time — both sound.
+        bloomColumns(spark, path).foreach { c =>
+          val dir = bloomColPath(path, c)
+          if (visibleParquetCount(spark, dir) > manifestFoldSegments)
+            try {
+              val live = spark.read.parquet(manifestPath(path))
+                .select("file", "bytes", "mtime")
+              val kept = spark.read.parquet(dir)
+                .join(live, Seq("file", "bytes", "mtime"), "left_semi")
+                .dropDuplicates("file")
+              val bParts = math.max(1L, f.getContentSummary(new Path(dir))
+                .getLength / (128L << 20)).toInt
+              val bs = new Path(dir + "__staged")
+              if (f.exists(bs)) f.delete(bs, true)
+              kept.coalesce(bParts)
+                .write.mode(SaveMode.Overwrite).parquet(dir + "__staged")
+              f.delete(new Path(dir), true)
+              f.rename(bs, new Path(dir))
+            } catch { case _: Exception => () }
+        }
+      }
     }
   }
 
@@ -398,11 +614,24 @@ object Skipping {
       path: String): Option[String] = {
     val mp = new Path(manifestPath(path))
     val f = fs(spark, path)
+    def dirSig(p: Path): String =
+      f.listStatus(p).filterNot(_.isDirectory).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
     try {
       if (!f.exists(mp)) None
-      else Some(f.listStatus(mp).map(st =>
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString(","))
+      else {
+        // bloom sidecars participate: a sidecar write/GC alone must
+        // invalidate the cached filters even when stats are unchanged
+        val br = new Path(bloomRoot(path))
+        val bloomSig =
+          if (!f.exists(br)) ""
+          else f.listStatus(br).filter(_.isDirectory)
+            .sortBy(_.getPath.getName)
+            .map(d => s"${d.getPath.getName}[${dirSig(d.getPath)}]")
+            .mkString(";")
+        Some(dirSig(mp) + "|" + bloomSig)
+      }
     } catch { case _: Exception => None }
   }
 
@@ -425,11 +654,14 @@ object Skipping {
       val loaded =
         if (cached0 != null && cached0.sig == sig) Some(cached0)
         else readManifest(spark, path).map { m =>
-          val bloomCols = m.columns.filter(_.endsWith("__bloom"))
-          val slim = if (bloomCols.isEmpty) m else m.drop(bloomCols: _*)
+          // legacy (pre-segment) manifests still carry inline __bloom
+          // columns — strip them from the cached stat rows either way;
+          // the sidecar listing is the live source of bloom columns
+          val inline = m.columns.filter(_.endsWith("__bloom"))
+          val slim = if (inline.isEmpty) m else m.drop(inline: _*)
           val entry = CachedManifest(sig, slim.schema,
             slim.collect().toSeq,
-            bloomCols.map(_.dropRight(7)).toSet,
+            bloomColumns(spark, path).toSet,
             new java.util.concurrent.ConcurrentHashMap(),
             new java.util.concurrent.atomic.AtomicBoolean(false))
           manifestCache.put(path, entry)
@@ -487,23 +719,33 @@ object Skipping {
     else {
       cached.blooms.synchronized {
         if (!cached.bloomsLoaded.get()) {
-          // the lazy load re-reads the manifest by path; a concurrent
-          // replacement that changed the column set must degrade to
-          // "no filters loaded" (keep everything) — never fail the
-          // query from a pruning optimization
-          try readManifest(spark, path).foreach { m =>
-            val colNames = cached.bloomCols.toSeq.sorted
-              .filter(c => m.columns.contains(s"${c}__bloom"))
-            m.select(col("file") +: colNames.map(c =>
-                col(s"${c}__bloom")): _*)
-              .collect().foreach { r =>
-                colNames.zipWithIndex.foreach { case (c, i) =>
-                  if (!r.isNullAt(i + 1))
-                    cached.blooms.put((r.getString(0), c),
-                      org.apache.spark.util.sketch.BloomFilter.readFrom(
-                        r.getAs[Array[Byte]](i + 1)))
-                }
-              }
+          // load from the per-column sidecars, gated on the IDENTITY the
+          // cached stat rows carry: a sidecar row whose (bytes, mtime)
+          // no longer matches the live stat row is a shadowed leftover
+          // from before an in-place rewrite — loading it could wrongly
+          // disprove the rewritten content. Any read failure (concurrent
+          // replacement, GC race) degrades to "no filters loaded" (keep
+          // everything) — never fail the query from a pruning
+          // optimization.
+          try {
+            val fi = cached.schema.fieldIndex("file")
+            val bi = cached.schema.fieldIndex("bytes")
+            val mi = cached.schema.fieldIndex("mtime")
+            val ident = cached.rows.iterator.map(r =>
+              r.getString(fi) -> ((r.getLong(bi), r.getLong(mi)))).toMap
+            cached.bloomCols.toSeq.sorted.foreach { c =>
+              val dir = bloomColPath(path, c)
+              if (Sinks.hasVisibleData(spark, dir))
+                spark.read.parquet(dir)
+                  .select("file", "bytes", "mtime", "bloom")
+                  .collect().foreach { r =>
+                    if (!r.isNullAt(3) && ident.get(r.getString(0))
+                        .contains((r.getLong(1), r.getLong(2))))
+                      cached.blooms.put((r.getString(0), c),
+                        org.apache.spark.util.sketch.BloomFilter.readFrom(
+                          r.getAs[Array[Byte]](3)))
+                  }
+            }
           } catch { case _: Exception => () }
           cached.bloomsLoaded.set(true)
         }
@@ -545,30 +787,33 @@ object Skipping {
 
   /** Distributed Bloom probe: executors deserialize each file's filter
     * once and test the probe hashes; only the DISPROVED (file, identity)
-    * rows come back. The manifest is a tiny parquet (one row per data
-    * file), so this is a small planning-time job — the price of point
-    * pruning on tables whose filter set no longer fits driver memory. */
+    * rows come back. Each tested column's sidecar joins against the
+    * LIVE stat rows on full identity — a shadowed sidecar row (file
+    * rewritten since its filter was built) never matches, the same
+    * gate the driver-side load applies. A column whose sidecar is gone
+    * (concurrent GC/replacement) simply prunes nothing. */
   private def bloomDropsDistributed(spark: SparkSession, path: String,
       tests: Seq[(String, Seq[Long])]): Map[String, (Long, Long)] =
     try readManifest(spark, path).map { m =>
+      val liveIds = m.select("file", "bytes", "mtime")
       val miss = udf((bytes: Array[Byte], hs: Seq[Long]) =>
         bytes != null && {
           val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
           !hs.exists(bf.mightContainLong)
         })
-      // a concurrent manifest replacement may have dropped a bloom
-      // column since the cached schema was read — test only what the
-      // LIVE manifest carries (missing predicate = prunes nothing)
-      val live = tests.filter { case (c, _) =>
-        m.columns.contains(s"${c}__bloom") }
-      if (live.isEmpty) Map.empty[String, (Long, Long)]
-      else {
-        val cond = live.map { case (c, hs) =>
-          miss(col(s"${c}__bloom"), typedlit(hs)) }.reduce(_ || _)
-        m.filter(cond).select("file", "bytes", "mtime").collect()
-          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
-          .toMap
-      }
+      tests.flatMap { case (c, hs) =>
+        val dir = bloomColPath(path, c)
+        if (!Sinks.hasVisibleData(spark, dir)) Nil
+        else
+          try spark.read.parquet(dir)
+            .join(liveIds, Seq("file", "bytes", "mtime"))
+            .dropDuplicates("file")
+            .filter(miss(col("bloom"), typedlit(hs)))
+            .select("file", "bytes", "mtime").collect()
+            .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+            .toSeq
+          catch { case _: Exception => Nil }
+      }.toMap
     }.getOrElse(Map.empty)
     catch { case _: Exception => Map.empty }
 
@@ -762,8 +1007,9 @@ object Skipping {
       .getOrElse(Nil)
     val previous = prevCols.collect {
       case n if n.endsWith("__min") => n.dropRight(5) }
-    val previousBloom = prevCols.collect {
-      case n if n.endsWith("__bloom") => n.dropRight(7) }
+    // discovered BEFORE the swap: the rewrite carries the sidecar away
+    // with the old directory
+    val previousBloom = bloomColumns(spark, path)
     val blooms = (bloomCols ++ previousBloom).distinct
     // bloom columns are always stat-indexed too (the probe needs the
     // column type from the stats schema)

@@ -483,8 +483,8 @@ object Streams {
       .readManifest(spark, tablePath).map(_.columns.toSeq).getOrElse(Nil)
     val statCols = (indexCols ++ bloomCols ++ prevManifestCols.collect {
       case n if n.endsWith("__min") => n.dropRight(5) }).distinct
-    val blooms = (bloomCols ++ prevManifestCols.collect {
-      case n if n.endsWith("__bloom") => n.dropRight(7) }).distinct
+    val blooms = (bloomCols ++
+      graft.sources.Skipping.bloomColumns(spark, tablePath)).distinct
     val w0 = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>

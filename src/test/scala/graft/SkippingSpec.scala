@@ -447,8 +447,10 @@ class SkippingSpec extends AnyFunSuite {
       "OPTIMIZE pev WITH (files '16', index 'a', bloom 'event_id')")
     val p = s"$base/pev.parquet"
     val m = readManifest(spark, p).get
-    assert(Seq("a__min", "event_id__min", "event_id__bloom")
-      .forall(m.columns.contains), m.columns.mkString(","))
+    assert(Seq("a__min", "event_id__min").forall(m.columns.contains),
+      m.columns.mkString(","))
+    // bloom bytes live in the per-column sidecar, not the stats manifest
+    assert(bloomColumns(spark, p) == Seq("event_id"))
     // point lookup through the dialect prunes via the bloom (bin-packed
     // layout has no event_id clustering; min/max alone cannot do this)
     // (bare OPTIMIZE bin-packs via coalesce, which cannot RAISE the
@@ -462,7 +464,7 @@ class SkippingSpec extends AnyFunSuite {
       .head().getLong(0) == 1L)
     // a later ZORDER rewrite carries the bloom sidecar forward
     exec.execute("OPTIMIZE pev ZORDER BY (a, b) WITH (files '8')")
-    assert(readManifest(spark, p).get.columns.contains("event_id__bloom"))
+    assert(bloomColumns(spark, p) == Seq("event_id"))
     val e = intercept[graft.compiler.CompileException](
       exec.execute("OPTIMIZE pev WITH (shiny 'yes')"))
     assert(e.getMessage.contains("unknown option 'shiny'"))
@@ -535,6 +537,136 @@ class SkippingSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
       s"$base/pev.parquet/_graft_stats.json")),
       "stats sidecar must survive OPTIMIZE")
+  }
+
+  private def visibleParquets(dir: String): Map[String, (Long, Long)] = {
+    val d = new java.io.File(dir)
+    if (!d.exists()) Map.empty
+    else d.listFiles().filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+  }
+
+  test("segmented manifest: refresh appends a delta segment, never a rewrite") {
+    val dir = tmp("skip_seg")
+    sample(200).repartition(4).write.parquet(dir)
+    writeManifest(spark, dir, Seq("a", "id"), bloomCols = Seq("id"))
+    val manifestDir = s"$dir/${Skipping.ManifestDir}"
+    val bloomDir = s"$dir/${Skipping.BloomDir}/id"
+    val base = visibleParquets(manifestDir)
+    val bloomBase = visibleParquets(bloomDir)
+    assert(base.nonEmpty && bloomBase.nonEmpty)
+    // delta append + refresh: base segment files BYTE-UNTOUCHED, one
+    // new stats segment, one new bloom segment — the write is O(delta)
+    sample(60).withColumn("a", col("a") + 900).repartition(2)
+      .write.mode(SaveMode.Append).parquet(dir)
+    assert(refreshManifest(spark, dir, Seq("a", "id"), Seq("id")) == ((2L, 0L)))
+    val after = visibleParquets(manifestDir)
+    val bloomAfter = visibleParquets(bloomDir)
+    base.foreach { case (n, id) => assert(after.get(n).contains(id),
+      s"stats segment $n was rewritten by a delta refresh") }
+    bloomBase.foreach { case (n, id) => assert(bloomAfter.get(n).contains(id),
+      s"bloom sidecar $n was rewritten by a delta refresh") }
+    assert(after.size == base.size + 1 && bloomAfter.size == bloomBase.size + 1)
+    // removal-only refresh: a tombstone segment appends; the bloom
+    // sidecar is NOT touched at all (stat-only refreshes never rewrite
+    // filter bytes — the r13 scale residual)
+    val victim = dataFiles(spark, dir).head
+    val vp = new org.apache.hadoop.fs.Path(s"$dir/$victim")
+    vp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(vp, false)
+    assert(refreshManifest(spark, dir, Seq("a", "id"), Seq("id")) == ((0L, 1L)))
+    assert(visibleParquets(bloomDir) == bloomAfter,
+      "a removal-only refresh touched the bloom sidecar")
+    // the folded live view converged: one row per live file, gone file out
+    val m = readManifest(spark, dir).get
+    assert(m.count() == dataFiles(spark, dir).size)
+    assert(m.filter(col("file") === victim).count() == 0)
+  }
+
+  test("segmented manifest: pruning equal across states; fold compacts and preserves") {
+    System.setProperty("graft.skipping.manifestFoldSegments", "4")
+    try {
+      val dir = tmp("skip_fold")
+      sample(300).repartitionByRange(6, col("a")).sortWithinPartitions("a")
+        .write.parquet(dir)
+      writeManifest(spark, dir, Seq("a", "id"), bloomCols = Seq("id"))
+      val preds = Seq(RangePred("a", Some(5L), Some(14L)))
+      val point = Seq(EqPred("id", 123L))
+      val expectRange = collectSet(spark.read.parquet(dir)
+        .filter(predColumn(preds)))
+      // several delta refreshes push past the fold threshold mid-loop
+      for (i <- 1 to 6) {
+        sample(30).withColumn("a", col("a") + lit(1000L * i))
+          .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+        val (a, r) = refreshManifest(spark, dir, Seq("a", "id"), Seq("id"))
+        assert(a == 1L && r == 0L)
+        // pruning answers stay exact in EVERY segmented state
+        assert(collectSet(readSkipping(spark, dir, preds)) == expectRange)
+        assert(readSkipping(spark, dir, point).count() == 1)
+      }
+      // the fold fired: segments collapsed below the threshold
+      val manifestDir = s"$dir/${Skipping.ManifestDir}"
+      assert(visibleParquets(manifestDir).size <= 4,
+        s"fold never fired: ${visibleParquets(manifestDir).keys}")
+      // ...and still prunes effectively (clustered head files drop)
+      val (kept, total) = prunedFiles(spark, dir, preds)
+      assert(kept.size < total, s"kept ${kept.size} of $total after fold")
+      assert(readManifest(spark, dir).get.count() ==
+        dataFiles(spark, dir).size)
+    } finally System.clearProperty("graft.skipping.manifestFoldSegments")
+  }
+
+  test("segmented manifest: crash debris around the fold is survivable") {
+    val dir = tmp("skip_foldcrash")
+    sample(150).repartition(3).write.parquet(dir)
+    writeManifest(spark, dir, Seq("a"))
+    // crash AFTER a fold's staged write, BEFORE the swap: staged dir
+    // sits fully populated with different content — the next fold must
+    // overwrite it, and reads meanwhile see the live manifest
+    val staged = s"$dir/${Skipping.ManifestDir}__staged"
+    Seq((1L, "junk")).toDF("a", "b").write.parquet(staged)
+    sample(30).withColumn("a", col("a") + 500).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    assert(refreshManifest(spark, dir, Seq("a")) == ((1L, 0L)))
+    foldManifest(spark, dir)
+    assert(!new java.io.File(staged).exists(), "staged debris not consumed")
+    val preds = Seq(RangePred("a", Some(500L), None))
+    assert(collectSet(readSkipping(spark, dir, preds)) ==
+      collectSet(spark.read.parquet(dir).filter(predColumn(preds))))
+    // crash BETWEEN delete(live) and rename: manifest gone entirely —
+    // refresh must degrade to a full rebuild, not wedge
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/${Skipping.ManifestDir}")
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
+    val (a, r) = refreshManifest(spark, dir, Seq("a"))
+    assert(a == dataFiles(spark, dir).size.toLong && r == 0L)
+    assert(collectSet(readSkipping(spark, dir, preds)) ==
+      collectSet(spark.read.parquet(dir).filter(predColumn(preds))))
+  }
+
+  test("bloom sidecar GC keeps only live identities; shadowed rows never prune") {
+    System.setProperty("graft.skipping.manifestFoldSegments", "3")
+    try {
+      val dir = tmp("skip_bloomgc")
+      val mk = (lo: Long) => spark.range(lo, lo + 100)
+        .select(col("id"), (col("id") % 10).as("a"),
+          lit(0.0).as("b"), lit("x").as("s"))
+      mk(0).repartition(2).write.parquet(dir)
+      writeManifest(spark, dir, Seq("id"), bloomCols = Seq("id"))
+      for (i <- 1 to 5) {
+        mk(i * 1000L).coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+        refreshManifest(spark, dir, Seq("id"), Seq("id"))
+      }
+      val bloomDir = s"$dir/${Skipping.BloomDir}/id"
+      // the bloom GC ran on fold cadence: sidecar segments bounded
+      assert(visibleParquets(bloomDir).size <= 3,
+        s"bloom GC never fired: ${visibleParquets(bloomDir).keys}")
+      // point lookups still prune and stay exact after GC
+      val p = Seq(EqPred("id", 3007L))
+      val (kept, total) = prunedFiles(spark, dir, p)
+      assert(kept.size * 2 <= total, s"kept ${kept.size} of $total")
+      assert(readSkipping(spark, dir, p).count() == 1)
+      assert(readSkipping(spark, dir, Seq(EqPred("id", 999999L))).count() == 0)
+    } finally System.clearProperty("graft.skipping.manifestFoldSegments")
   }
 
   test("skipping under hive partitioning keeps partition columns intact") {
