@@ -85,6 +85,53 @@ object ManifestSkipping {
     case _ => Nil
   }
 
+  /** The manifest-carrying table root behind a FILE-LIST relation — the
+    * shape a `readStream` micro-batch plans (FileStreamSource builds
+    * each batch's relation over the individual FILES it selected, so
+    * `rootPaths` are N parquet files, not the table directory). When
+    * every root is a file sharing ONE parent directory and that parent
+    * carries a manifest, the parent is the table root and per-file
+    * pruning applies exactly as in the batch path (same identity gate).
+    * Hive-partitioned streaming sources have per-partition parents and
+    * answer None — those reads stay unpruned (documented boundary; the
+    * partition directories themselves were already chosen by the
+    * source). */
+  def fileListRoot(spark: SparkSession, roots: Seq[Path]): Option[Path] =
+    if (roots.isEmpty || !roots.forall(_.getName.endsWith(".parquet"))) None
+    else {
+      val parents = roots.map(_.getParent).distinct
+      parents match {
+        case Seq(p) if p != null && hasManifest(spark, p) => Some(p)
+        case _ => None
+      }
+    }
+
+  /** Files opened by the LAST completed micro-batch of a streaming
+    * query, from its executed plan's scan metrics (AQE-unwrapped) —
+    * the measurement behind the streaming pruning gate. */
+  def lastBatchScannedFiles(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val se = q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        w.streamingQuery
+      case other =>
+        other.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamExecution]
+    }
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(s.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    walk(se.lastExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics.get("numFiles").map(_.value).getOrElse(0L)
+    }.sum
+  }
+
   private def scalaOf(l: Literal): Any =
     CatalystTypeConverters.convertToScala(l.value, l.dataType)
 
@@ -205,10 +252,15 @@ object PlanRefresh {
   }
 }
 
-/** Optimizer rule: wrap every single-root parquet relation whose
-  * directory carries a `_graft_manifest` sidecar. Idempotent (instance
-  * check); relations without a manifest are untouched, so the rule is
-  * a no-op for every table that never opted into skipping. */
+/** Optimizer rule: wrap every parquet relation whose backing directory
+  * carries a `_graft_manifest` sidecar — both the single-root batch
+  * shape (`spark.read.parquet(dir)`) and the FILE-LIST shape a
+  * `readStream` micro-batch plans (root paths = the batch's individual
+  * files, table root = their shared parent; the stream's own input log
+  * is untouched — pruning only skips opening files whose rows the
+  * row-level filter would drop anyway). Idempotent (instance check);
+  * relations without a manifest are untouched, so the rule is a no-op
+  * for every table that never opted into skipping. */
 case class ManifestSkippingRule(session: SparkSession)
     extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -216,13 +268,19 @@ case class ManifestSkippingRule(session: SparkSession)
       lr.relation match {
         case hfs: HadoopFsRelation
             if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
-              !hfs.location.isInstanceOf[SkippingFileIndex] &&
-              hfs.location.rootPaths.length == 1 &&
-              ManifestSkipping.hasManifest(session,
-                hfs.location.rootPaths.head) =>
-          val root = hfs.location.rootPaths.head.toString
-          lr.copy(relation = hfs.copy(location =
-            new SkippingFileIndex(session, root, hfs.location))(session))
+              !hfs.location.isInstanceOf[SkippingFileIndex] =>
+          val roots = hfs.location.rootPaths
+          val tableRoot =
+            if (roots.length == 1 &&
+                ManifestSkipping.hasManifest(session, roots.head))
+              Some(roots.head)
+            else ManifestSkipping.fileListRoot(session, roots)
+          tableRoot match {
+            case Some(root) =>
+              lr.copy(relation = hfs.copy(location = new SkippingFileIndex(
+                session, root.toString, hfs.location))(session))
+            case None => lr
+          }
         case _ => lr
       }
   }

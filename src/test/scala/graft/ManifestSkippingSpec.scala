@@ -156,4 +156,42 @@ class ManifestSkippingSpec extends AnyFunSuite {
     // a = NULL matches nothing; pruning must not break the empty result
     assert(full.filter(col("a") === lit(null).cast("long")).count() == 0)
   }
+
+  test("streaming reads over a manifest-carrying table prune per micro-batch") {
+    // r13 boundary closed: a FileStreamSource micro-batch plans its
+    // relation over the batch's individual FILES (rootPaths = N parquet
+    // files, not the table dir); the rule resolves their shared parent
+    // to the manifest root and prunes the same way the batch path does.
+    // The stream's input log is untouched — pruning only skips opening
+    // files whose rows the row-level filter drops anyway.
+    val (dir, src) = writeClustered(1000)
+    val outDir = tmp("stream_skip_out")
+    val ckpt = tmp("stream_skip_ck")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .filter(col("a").between(10, 14))
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    val nf = try { q.processAllAvailable()
+      org.apache.spark.sql.graft.ManifestSkipping.lastBatchScannedFiles(q)
+    } finally q.stop()
+    // exact rows AND a pruned scan
+    assert(sets(spark.read.parquet(outDir)) ==
+      sets(src.filter(col("a").between(10, 14))))
+    assert(nf > 0 && nf * 2 <= 10, s"streaming scan opened $nf of 10")
+    // unpruned control: without a manifest the same stream opens all 10
+    val dir2 = tmp("stream_noskip")
+    src.repartitionByRange(10, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir2)
+    val q2 = spark.readStream
+      .schema(spark.read.parquet(dir2).schema).parquet(dir2)
+      .filter(col("a").between(10, 14))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", tmp("stream_noskip_out"))
+      .option("checkpointLocation", tmp("stream_noskip_ck")).start()
+    val nf2 = try { q2.processAllAvailable()
+      org.apache.spark.sql.graft.ManifestSkipping.lastBatchScannedFiles(q2)
+    } finally q2.stop()
+    assert(nf2 == 10, s"control scanned $nf2 of 10")
+  }
 }
