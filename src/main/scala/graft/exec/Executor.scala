@@ -616,9 +616,31 @@ final class Executor(val spark: SparkSession,
             "— Z-order clustering needs numeric/date/timestamp (string " +
             "columns are still min/max-indexed by the manifest)")
       }
-      options.keys.find(k => !Set("files", "bits", "index", "bloom")(k))
+      options.keys.find(k =>
+          !Set("files", "bits", "index", "bloom", "force")(k))
         .foreach(k => throw CompileException(
-          s"OPTIMIZE: unknown option '$k' (files, bits, index, bloom)"))
+          s"OPTIMIZE: unknown option '$k' (files, bits, index, bloom, " +
+          "force)"))
+      val force = options.get("force").exists(v =>
+        Set("true", "1", "yes")(v.trim.toLowerCase))
+      // streaming-writer guards, surfaced as CompileExceptions BEFORE
+      // any rename (the same checks run inside Skipping.optimize for
+      // API callers): a live ingest lease always refuses; epoch-tagged
+      // files refuse unless WITH (force 'true') asserts the stream will
+      // never resume from its old checkpoint
+      graft.sources.Sinks.liveIngestLease(spark, p).foreach {
+        case (tok, age) => throw CompileException(
+          s"OPTIMIZE: a streaming ingest holds a live lease on '$table' " +
+          s"(token '$tok', ${age / 1000}s old) — stop the stream and " +
+          "retry after the lease expires, or let its own cadence " +
+          "compaction do the folding")
+      }
+      if (!force && graft.sources.Sinks.hasRecoverableEpochFiles(spark, p))
+        throw CompileException(
+          s"OPTIMIZE: '$table' holds epoch-tagged files from a streaming " +
+          "ingest — folding an uncommitted epoch would make its replay " +
+          "double-append; pass WITH (force 'true') only after confirming " +
+          "the stream will never resume from its old checkpoint")
       def intOption(key: String, default: => Int): Int =
         options.get(key) match {
           case None => default
@@ -674,7 +696,7 @@ final class Executor(val spark: SparkSession,
         compiler.primaryKeyOf(n).map(n -> _)).toMap
       val savedFks = compiler.foreignKeysInvolving(backed.toSet)
       graft.sources.Skipping.optimize(spark, p, resolved, nFiles, bits,
-        indexCols, bloomCols)
+        indexCols, bloomCols, force)
       backed.foreach { n =>
         rebind(n, readSource(p, Map("format" -> "parquet")))
         sourcePaths += (n -> p)

@@ -264,6 +264,86 @@ object Sinks {
       dir: String): Boolean =
     hasEpochFiles(spark, dir) || hasEpochFiles(spark, dir + "__old")
 
+  // ------------------------------------------------- ingest lease
+  // A heartbeat lease the streaming table ingest holds while live, so a
+  // CONCURRENT external rewrite (OPTIMIZE) fails loudly instead of
+  // racing the stream's epoch-replay repair through the staged swap.
+  // This is a loud-failure aid on the single-writer contract, not a
+  // distributed lock: the owner renews it every trigger (one tiny
+  // overwrite RPC), readers treat it as live within a TTL, and a
+  // crashed stream's lease simply expires — no cleanup protocol.
+
+  /** Underscore-prefixed: invisible to data listings, travels with the
+    * directory through compaction swaps. */
+  val IngestLeaseFile = "_graft_ingest_lease"
+
+  /** Default 10 min — several trigger intervals of headroom. Override
+    * with `-Dgraft.ingest.leaseTtlMs=n`. */
+  def ingestLeaseTtlMs: Long =
+    sys.props.get("graft.ingest.leaseTtlMs").map(_.toLong)
+      .getOrElse(10L * 60 * 1000)
+
+  private def leasePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, IngestLeaseFile)
+
+  /** The (token, ageMs) of a LIVE lease on `dir`, if one exists within
+    * the TTL. An unreadable-but-fresh lease file reports token "?" —
+    * refusal stays the safe direction for the guards built on this. A
+    * listing failure reports None (degrades to the pre-lease
+    * contract). */
+  def liveIngestLease(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(String, Long)] =
+    try {
+      val lp = leasePath(dir)
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(lp)) None
+      else {
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(lp).getModificationTime
+        if (age >= ingestLeaseTtlMs) None
+        else {
+          val token =
+            try {
+              val in = fs.open(lp)
+              try new String(
+                org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+              finally in.close()
+            } catch { case _: Exception => "?" }
+          Some((token, age))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Write/refresh the lease as `token`. One overwrite-create RPC;
+    * parents are created as needed (first trigger may run before the
+    * table directory exists). */
+  def renewIngestLease(spark: org.apache.spark.sql.SparkSession,
+      dir: String, token: String): Unit =
+    try {
+      val lp = leasePath(dir)
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(lp, true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+    } catch { case _: Exception => () } // heartbeat loss must not fail a batch
+
+  /** Take the lease at stream start: a LIVE lease under a DIFFERENT
+    * token means another writer owns the table right now — refuse
+    * loudly (the same token re-acquires: a crash-restart of the same
+    * checkpoint lineage within the TTL is the owner coming back). */
+  def acquireIngestLease(spark: org.apache.spark.sql.SparkSession,
+      dir: String, token: String): Unit = {
+    liveIngestLease(spark, dir).foreach { case (t, age) =>
+      if (t != token)
+        throw new IllegalStateException(
+          s"acquireIngestLease: $dir is held by another live ingest " +
+          s"(token '$t', ${age / 1000}s old, ttl " +
+          s"${ingestLeaseTtlMs / 1000}s) — two concurrent writers on " +
+          "one table would corrupt the epoch lineage; stop the other " +
+          "stream or wait for its lease to expire")
+    }
+    renewIngestLease(spark, dir, token)
+  }
+
   /** Self-heal a [[compactParquet]] swap that crashed between its two
     * renames: the live dir holds no visible data but the rename-aside
     * survivor (`dir__old`) does — restore it. Idempotent; returns true

@@ -992,12 +992,36 @@ object Skipping {
     * rename-aside swap (crash at any point leaves a recoverable
     * directory; [[Sinks.recoverCompactSwap]] self-heals), then rebuild
     * the manifest over the new files. With `cols` empty this is plain
-    * bin-packing compaction. Epoch-tagged appends are folded into plain
-    * part files — same contract as compaction everywhere else here: run
-    * it from the job that owns appends. */
+    * bin-packing compaction. The single-writer contract is ENFORCED
+    * (r14): a live ingest lease ([[Sinks.liveIngestLease]]) refuses
+    * outright, and epoch-tagged appends refuse unless `force`
+    * acknowledges the owning stream will never resume — only then are
+    * they folded into plain part files. */
   def optimize(spark: SparkSession, path: String, cols: Seq[String],
       nFiles: Int, bits: Int = 8, indexCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil, force: Boolean = false): Unit = {
+    // concurrency guards (r14): a LIVE ingest lease means a stream owns
+    // this table RIGHT NOW — an external rewrite would race its staged
+    // swaps and epoch-replay repair. Epoch-tagged files without a live
+    // lease mean a stream COULD resume from its old checkpoint; folding
+    // a possibly-uncommitted epoch would make its replay double-append.
+    // `force` overrides only the second (caller asserts the stream will
+    // never resume) — never a live lease.
+    Sinks.liveIngestLease(spark, path).foreach { case (tok, age) =>
+      throw new IllegalStateException(
+        s"optimize: a streaming ingest holds a live lease on $path " +
+        s"(token '$tok', ${age / 1000}s old, ttl " +
+        s"${Sinks.ingestLeaseTtlMs / 1000}s) — run compaction from the " +
+        "owning stream (tableIngest compactEvery), or stop the stream " +
+        "and retry after the lease expires")
+    }
+    if (!force && Sinks.hasRecoverableEpochFiles(spark, path))
+      throw new IllegalStateException(
+        s"optimize: $path holds epoch-tagged files from a streaming " +
+        "ingest — an external rewrite could fold an uncommitted epoch " +
+        "and make its replay double-append; resume the stream and let " +
+        "its cadence compaction fold them, or pass force after " +
+        "confirming the stream will never resume from its old checkpoint")
     // a swap replaces every file name, orphaning any existing manifest —
     // rebuild it afterwards over the UNION of the zorder columns, any
     // explicitly requested index/bloom columns, and the previous

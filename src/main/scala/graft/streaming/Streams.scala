@@ -474,6 +474,13 @@ object Streams {
         s"tableIngest: $tablePath holds epoch-tagged files from a prior " +
           "stream but no checkpointDir was given - pass the original " +
           "checkpointDir to resume, or compact the table first")
+    // writer lease: renewed every trigger, read by external OPTIMIZE to
+    // refuse racing this stream's swaps/replay repair; token = the
+    // checkpoint location so a crash-restart of the SAME lineage within
+    // the TTL re-acquires, while a second concurrent writer refuses
+    val leaseToken = checkpointDir.getOrElse(
+      "mem:" + java.util.UUID.randomUUID())
+    graft.sources.Sinks.acquireIngestLease(spark, tablePath, leaseToken)
     // a pre-existing manifest (e.g. OPTIMIZE WITH (index 'a,b,c') before
     // the stream attached) may index MORE columns than this stream was
     // configured with — union them in, or the first refresh would
@@ -498,6 +505,7 @@ object Streams {
             else df.repartitionByRange(lc: _*)
             rp.sortWithinPartitions(lc: _*)
           }
+        graft.sources.Sinks.renewIngestLease(s, tablePath, leaseToken)
         graft.sources.Sinks.recoverCompactSwap(s, tablePath)
         if (compactEvery > 0 && epochId > 0 &&
             epochId % compactEvery == 0 &&
@@ -531,6 +539,9 @@ object Streams {
               }))
         }
         val clustered = cluster(batch)
+        // the compaction swap carried the lease away with the old
+        // directory — re-establish it before the slow append/stat work
+        graft.sources.Sinks.renewIngestLease(s, tablePath, leaseToken)
         graft.sources.Sinks.appendEpoch(
           clustered.localCheckpoint(true), tablePath, epochId)
         // delta-cost manifest maintenance INSIDE the exactly-once seam:

@@ -539,6 +539,39 @@ class SkippingSpec extends AnyFunSuite {
       "stats sidecar must survive OPTIMIZE")
   }
 
+  test("OPTIMIZE SQL surface: lease/epoch refusals as CompileExceptions, force folds") {
+    val exec = new graft.exec.Executor(spark,
+      Map("src" -> sample(200).withColumnRenamed("id", "event_id")))
+    val base = java.nio.file.Files.createTempDirectory("graft_optlease").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select event_id, a from src")
+    val p = s"$base/pev.parquet"
+    // a live writer's lease on the table → refuse before any rename
+    Sinks.renewIngestLease(spark, p, "some-stream")
+    val e1 = intercept[graft.compiler.CompileException](
+      exec.execute("OPTIMIZE pev WITH (files '2')"))
+    assert(e1.getMessage.contains("live lease"), e1.getMessage)
+    // dead writer (expired lease) + epoch-tagged files → refuse with
+    // force guidance; WITH (force 'true') proceeds and folds the tags
+    System.setProperty("graft.ingest.leaseTtlMs", "1")
+    try {
+      Sinks.appendEpoch(sample(20).withColumnRenamed("id", "event_id")
+        .select(col("event_id"), col("a")), p, 7L)
+      val e2 = intercept[graft.compiler.CompileException](
+        exec.execute("OPTIMIZE pev WITH (files '2')"))
+      assert(e2.getMessage.contains("force"), e2.getMessage)
+      // the scope frame's lineage pins the pre-append file list; the
+      // path read sees the epoch rows too (220) — OPTIMIZE folds them
+      // and rebinds, so afterwards BOTH surfaces agree at 220
+      val before = spark.read.parquet(p).count()
+      exec.execute("OPTIMIZE pev WITH (files '2', force 'true')")
+      assert(exec.query("select count(1) as n from pev")
+        .head().getLong(0) == before)
+      assert(!Sinks.hasRecoverableEpochFiles(spark, p))
+    } finally System.clearProperty("graft.ingest.leaseTtlMs")
+  }
+
   private def visibleParquets(dir: String): Map[String, (Long, Long)] = {
     val d = new java.io.File(dir)
     if (!d.exists()) Map.empty

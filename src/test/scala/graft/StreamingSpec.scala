@@ -913,6 +913,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("epoch-tagged"))
   }
 
+  test("ingest lease: OPTIMIZE refuses a live stream; force folds a dead one") {
+    import graft.sources.{Skipping, Sinks}
+    val base = java.nio.file.Files.createTempDirectory("graft_lease").toString
+    val inDir = s"$base/in"
+    val tbl = s"$base/table"
+    val src = spark.range(300).select(col("id"), (col("id") % 20).as("key"))
+    src.coalesce(1).write.parquet(inDir)
+    val q = Streams.tableIngest(spark,
+      spark.readStream.schema(src.schema).parquet(inDir), tbl,
+      indexCols = Seq("key"), layoutCols = Seq("key"), filesPerEpoch = 2)
+    try q.processAllAvailable() finally q.stop()
+    // the stream left a fresh lease + epoch-tagged files: an external
+    // rewrite racing a (possibly live) writer must refuse on the lease
+    assert(Sinks.liveIngestLease(spark, tbl).isDefined)
+    val e1 = intercept[IllegalStateException](
+      Skipping.optimize(spark, tbl, Nil, nFiles = 1))
+    assert(e1.getMessage.contains("live lease"), e1.getMessage)
+    // lease expired (stream dead) but epoch tags remain: still refuse —
+    // a resume from the old checkpoint would double-append a folded
+    // epoch — unless force asserts the stream is gone for good
+    System.setProperty("graft.ingest.leaseTtlMs", "1")
+    try {
+      val e2 = intercept[IllegalStateException](
+        Skipping.optimize(spark, tbl, Nil, nFiles = 1))
+      assert(e2.getMessage.contains("epoch-tagged"), e2.getMessage)
+      val before = spark.read.parquet(tbl).collect().map(_.toString).toSet
+      Skipping.optimize(spark, tbl, Nil, nFiles = 1, force = true)
+      assert(spark.read.parquet(tbl).collect().map(_.toString).toSet
+        == before)
+      assert(!Sinks.hasRecoverableEpochFiles(spark, tbl))
+    } finally System.clearProperty("graft.ingest.leaseTtlMs")
+    // acquire semantics: a foreign LIVE token refuses, the same token
+    // re-acquires (crash-restart of the same checkpoint lineage)
+    Sinks.acquireIngestLease(spark, tbl, "ck-A")
+    val e3 = intercept[IllegalStateException](
+      Sinks.acquireIngestLease(spark, tbl, "ck-B"))
+    assert(e3.getMessage.contains("another live ingest"), e3.getMessage)
+    Sinks.acquireIngestLease(spark, tbl, "ck-A")
+  }
+
   test("tableIngest preserves a pre-existing manifest's wider column set") {
     import graft.sources.Skipping
     val base = java.nio.file.Files.createTempDirectory("graft_tbwide").toString
