@@ -512,6 +512,11 @@ final class Executor(val spark: SparkSession,
       None
 
     case DropTable(names) =>
+      // free the skipping layer's driver caches for path-backed tables
+      // (stat rows + lazily-loaded Bloom filters); on-disk data is
+      // untouched and a later re-attach reloads them
+      names.flatMap(sourcePaths.get).foreach(
+        graft.sources.Skipping.evictTable)
       scope --= names
       stats --= names
       sourcePaths --= names

@@ -647,9 +647,35 @@ object Skipping {
     * planning-time entry the automatic FileIndex path uses; dropping
     * from a DROP set means files unknown to the manifest can never be
     * excluded. */
+  /** Drop the planning caches for `path` — the DROP TABLE / deleted-
+    * table hook. On-disk data and manifest (if any) are untouched; a
+    * later query over a still-live path simply reloads. Without this,
+    * a long-lived JVM churning ephemeral manifest-carrying tables
+    * accrues stat rows and deserialized Bloom filters it can never
+    * reclaim. */
+  def evictTable(path: String): Unit = {
+    manifestCache.remove(path)
+    manifestProbe.remove(path)
+  }
+
+  /** Test probe: table paths currently resident in the planning cache. */
+  private[graft] def cachedTables: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    manifestCache.keySet.asScala.toSet
+  }
+
   def droppedFiles(spark: SparkSession, path: String,
       preds: Seq[Pred]): Option[Map[String, (Long, Long)]] =
-    manifestSignature(spark, path).flatMap { sig =>
+    manifestSignature(spark, path) match {
+      // self-healing eviction: the manifest is gone (table deleted or
+      // manifest dropped) — free the cached rows/filters instead of
+      // holding them forever for a path that can no longer prune
+      case None => manifestCache.remove(path); None
+      case Some(sig) => droppedFilesCached(spark, path, preds, sig)
+    }
+
+  private def droppedFilesCached(spark: SparkSession, path: String,
+      preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] = {
       val cached0 = manifestCache.get(path)
       val loaded =
         if (cached0 != null && cached0.sig == sig) Some(cached0)
@@ -714,7 +740,7 @@ object Skipping {
       case _ => None
     }
     if (tests.isEmpty) Map.empty
-    else if (cached.rows.size > bloomDriverMaxFiles)
+    else if (cached.rows.size > bloomDriverLimitFiles(cached.bloomCols.size))
       bloomDropsDistributed(spark, path, tests)
     else {
       cached.blooms.synchronized {
@@ -776,14 +802,37 @@ object Skipping {
       c: String): Option[DataType] =
     schema.fields.find(_.name == s"${c}__min").map(_.dataType)
 
+  /** Serialized size of one filter at the fixed sizing parameters —
+    * the unit the driver-cache bound is accounted in. */
+  private[graft] lazy val bloomFilterBytes: Long = {
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(BloomExpectedPerFile, BloomFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.size.toLong
+  }
+
+  /** Budget for driver-resident deserialized Bloom filters, in BYTES
+    * (default 1 GiB). Override with
+    * `-Dgraft.skipping.bloomDriverMaxBytes=n`. */
+  private def bloomDriverMaxBytes: Long =
+    sys.props.get("graft.skipping.bloomDriverMaxBytes").map(_.toLong)
+      .getOrElse(1L << 30)
+
   /** Above this many manifest entries, Bloom probes run as a tiny
-    * DISTRIBUTED job over the manifest parquet instead of holding every
-    * deserialized filter on the driver (~117 KB per file-column: fine at
-    * thousands of files, ~100 GB at a million). Override with
-    * `-Dgraft.skipping.bloomDriverMaxFiles=n`. */
-  private def bloomDriverMaxFiles: Int =
+    * DISTRIBUTED job over the sidecar parquet instead of holding every
+    * deserialized filter on the driver. The bound is accounted in
+    * BYTES — files × bloom columns × [[bloomFilterBytes]] against
+    * [[bloomDriverMaxBytes]] — so a two-column table flips to the
+    * distributed probe at half the file count of a one-column table.
+    * `-Dgraft.skipping.bloomDriverMaxFiles=n` overrides the derived
+    * file limit directly (tests force the distributed path with 1). */
+  private[graft] def bloomDriverLimitFiles(nBloomCols: Int): Int =
     sys.props.get("graft.skipping.bloomDriverMaxFiles").map(_.toInt)
-      .getOrElse(8192)
+      .getOrElse {
+        val perFile = math.max(1, nBloomCols) * bloomFilterBytes
+        math.min(bloomDriverMaxBytes / perFile, Int.MaxValue.toLong).toInt
+      }
 
   /** Distributed Bloom probe: executors deserialize each file's filter
     * once and test the probe hashes; only the DISPROVED (file, identity)

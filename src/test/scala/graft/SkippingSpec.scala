@@ -539,6 +539,44 @@ class SkippingSpec extends AnyFunSuite {
       "stats sidecar must survive OPTIMIZE")
   }
 
+  test("cache lifecycle: deleted tables evict; bloom bound accounts bytes x columns") {
+    val dir = tmp("skip_evict")
+    sample(200).repartition(4).write.parquet(dir)
+    writeManifest(spark, dir, Seq("a"), bloomCols = Seq("a"))
+    // populate the planning cache (stats + lazily-loaded blooms)
+    val p = Seq(EqPred("a", 5L))
+    assert(droppedFiles(spark, dir, p).isDefined)
+    assert(Skipping.cachedTables.contains(dir))
+    // table deleted behind the JVM's back → the next probe answers None
+    // AND self-evicts the dead entry instead of holding it forever
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    assert(droppedFiles(spark, dir, p).isEmpty)
+    assert(!Skipping.cachedTables.contains(dir),
+      "dead table's cache entry survived the probe")
+    // explicit eviction hook (DROP TABLE) — exercised via the dialect
+    val exec = new graft.exec.Executor(spark, Map("src" -> sample(100)))
+    val base = java.nio.file.Files.createTempDirectory("graft_evictsql").toString
+    exec.setBasepath(base)
+    exec.execute("CREATE TABLE pev WITH (persist 'parquet') AS " +
+      "select id, a from src")
+    val pth = s"$base/pev.parquet"
+    writeManifest(spark, pth, Seq("a"))
+    assert(droppedFiles(spark, pth, p).isDefined)
+    assert(Skipping.cachedTables.contains(pth))
+    exec.execute("DROP TABLE pev")
+    assert(!Skipping.cachedTables.contains(pth),
+      "DROP TABLE left the skipping cache entry resident")
+    // the driver-filter budget is bytes-accounted: ~1 GiB / ~117 KB ≈
+    // 8-9k files at one bloom column, HALVED at two columns
+    val one = Skipping.bloomDriverLimitFiles(1)
+    val two = Skipping.bloomDriverLimitFiles(2)
+    assert(one >= 7000 && one <= 10000, s"1-col limit $one")
+    assert(math.abs(two * 2 - one) <= 1, s"2-col limit $two vs $one")
+    assert(Skipping.bloomFilterBytes > 100000 &&
+      Skipping.bloomFilterBytes < 140000)
+  }
+
   test("OPTIMIZE SQL surface: lease/epoch refusals as CompileExceptions, force folds") {
     val exec = new graft.exec.Executor(spark,
       Map("src" -> sample(200).withColumnRenamed("id", "event_id")))
