@@ -522,6 +522,45 @@ object EngineSql {
             |from ev
             |where uid_bucket between 10 and 29 and value between 50 and 150""".stripMargin)
       }),
+      // hive partition pruning × manifest file pruning COMPOSITION over
+      // the dialect's partitioned COPY TO layout: the partition filter
+      // prunes directories (underlying index), the manifest prunes
+      // files WITHIN the surviving partition (SkippingFileIndex defers
+      // partition pruning and acts on data filters) — BOTH
+      // effectiveness flags ride the hashed oracle result, so either
+      // pruning regressing is a correctness failure
+      "ix_partition_skip" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        import graft.sources.Skipping
+        val ev = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"),
+            (col("user_id") % 100).as("uid_bucket"))
+          .repartitionByRange(16, col("uid_bucket"))
+          .sortWithinPartitions("uid_bucket")
+        val exec = new Executor(s, Map("evc" -> ev))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ptskip").toString
+        exec.setBasepath(tmp)
+        exec.execute("COPY evc TO 'pt.parquet' WITH (format 'parquet', " +
+          "partition_by 'event_type')")
+        val p = s"$tmp/pt.parquet"
+        Skipping.writeManifest(s, p, Seq("uid_bucket", "event_type"))
+        val files = Skipping.dataFiles(s, p)
+        val total = files.size
+        val inPt = files.count(_.startsWith("event_type=click/"))
+        def q = s.read.parquet(p)
+          .filter(col("event_type") === "click" &&
+            col("uid_bucket").between(10, 19))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(
+              org.apache.spark.sql.types.DecimalType(18, 6)))
+              .cast("double").as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+        val nf = Skipping.scannedFiles(q)
+        q.withColumn("partition_pruned", lit(inPt < total && nf <= inPt))
+          .withColumn("file_pruned", lit(nf * 2 <= inPt))
+      }),
       // statistics → plan choice end-to-end: CTAS a derived dimension
       // (whose static size estimate is join-propagated, i.e. useless),
       // ANALYZE it, then join a fact table through it and read the
@@ -560,6 +599,14 @@ object EngineSql {
           |  min(event_id) AS min_id, max(event_id) AS max_id
           |FROM events
           |WHERE user_id % 100 BETWEEN 10 AND 29 AND value BETWEEN 50 AND 150""".stripMargin,
+      "ix_partition_skip" ->
+        """SELECT count(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+          |  min(event_id) AS min_id, max(event_id) AS max_id,
+          |  CAST(1 AS BOOLEAN) AS partition_pruned,
+          |  CAST(1 AS BOOLEAN) AS file_pruned
+          |FROM events
+          |WHERE event_type = 'click' AND user_id % 100 BETWEEN 10 AND 19""".stripMargin,
       // supp_dim has one row per supplier, so its ANALYZEd row_count is
       // COUNT(*) FROM supplier; the join re-derived through nation
       "fq_analyze_stats" ->
