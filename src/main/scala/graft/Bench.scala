@@ -393,8 +393,20 @@ object Bench {
     val driftJson = drifts.map("\"" + _ + "\"").mkString("[", ",", "]")
     val isolatedJson = isolatedQs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slowJson = slowQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // build/probe sub-timings the lifecycle gates recorded (GateTimings):
+    // the probe side is where a pruning regression shows — the end-to-end
+    // number is dominated by the table rewrite the gate performs first
+    def p50Of(v: Seq[Double]): Double = { val s = v.sorted; s(s.length / 2) }
+    val phaseGates = graft.sources.GateTimings.snapshot
+      .groupBy(_._1._1).toSeq.sortBy(_._1)
+    val phasesJson = phaseGates.map { case (g, m) =>
+      val inner = m.toSeq.sortBy(_._1._2).map { case ((_, ph), ts) =>
+        f""""$ph":${p50Of(ts)}%.3f,"${ph}_min":${ts.min}%.3f"""
+      }.mkString(",")
+      "\"" + g + "\":{" + inner + "}"
+    }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50-of-3-fastest-warm","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"drift":$driftJson,"isolated":$isolatedJson,"slow":$slowJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"sf":$sfLabel}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50-of-3-fastest-warm","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"drift":$driftJson,"isolated":$isolatedJson,"slow":$slowJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"phases":$phasesJson,"sf":$sfLabel}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -431,8 +443,14 @@ object Bench {
     val slowCompact =
       (if (slowQs.length > 8) slowQs.take(8) :+ "+more" else slowQs)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // probe-side p50 per lifecycle gate rides the compact driver line:
+    // these are the numbers to diff round-over-round for the skipping
+    // layer (the end-to-end gate entries are rewrite-dominated)
+    val probesCompact = phaseGates.flatMap { case (g, m) =>
+      m.get((g, "probe")).map(ts => "\"" + g + f"""\":${p50Of(ts)}%.2f""")
+    }.mkString("{", ",", "}")
     val footer =
-      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"n_drift":${drifts.length},"drift":$driftCompact,"n_isolated":${isolatedQs.length},"n_slow":${slowQs.length},"slow":$slowCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
+      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"n_drift":${drifts.length},"drift":$driftCompact,"n_isolated":${isolatedQs.length},"n_slow":${slowQs.length},"slow":$slowCompact,"probes":$probesCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
     val budget = 1750 - header.length - footer.length
     val ordered = ok.sortBy(r => (priority(r.name), r.name))
     val sb = new StringBuilder

@@ -508,19 +508,25 @@ object EngineSql {
       // rewrite in place (+ skipping manifest rebuild), query back —
       // OPTIMIZE must be invisible to results
       "fq_optimize" -> ((s: SparkSession, dir: String) => {
-        val exec = new Executor(s, Tables.scope(s, dir))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_opt").toString
-        exec.setBasepath(tmp)
-        exec.executeScript(
-          """CREATE TABLE ev WITH (persist 'parquet') AS
-            |  select event_id, user_id % 100 as uid_bucket, value from events;
-            |OPTIMIZE ev ZORDER BY (uid_bucket, value) WITH (files '16')""".stripMargin)
-        exec.query(
-          """select count(1) as n,
-            |  cast(sum(cast(value as decimal(18,6))) as double) as sum_value,
-            |  min(event_id) as min_id, max(event_id) as max_id
-            |from ev
-            |where uid_bucket between 10 and 29 and value between 50 and 150""".stripMargin)
+        import graft.sources.GateTimings
+        val exec = GateTimings.timed("fq_optimize", "build") {
+          val e = new Executor(s, Tables.scope(s, dir))
+          val tmp = java.nio.file.Files.createTempDirectory("graft_opt").toString
+          e.setBasepath(tmp)
+          e.executeScript(
+            """CREATE TABLE ev WITH (persist 'parquet') AS
+              |  select event_id, user_id % 100 as uid_bucket, value from events;
+              |OPTIMIZE ev ZORDER BY (uid_bucket, value) WITH (files '16')""".stripMargin)
+          e
+        }
+        GateTimings.timed("fq_optimize", "probe") {
+          GateTimings.materialize(exec.query(
+            """select count(1) as n,
+              |  cast(sum(cast(value as decimal(18,6))) as double) as sum_value,
+              |  min(event_id) as min_id, max(event_id) as max_id
+              |from ev
+              |where uid_bucket between 10 and 29 and value between 50 and 150""".stripMargin))
+        }
       }),
       // hive partition pruning × manifest file pruning COMPOSITION over
       // the dialect's partitioned COPY TO layout: the partition filter
@@ -531,35 +537,39 @@ object EngineSql {
       // pruning regressing is a correctness failure
       "ix_partition_skip" -> ((s: SparkSession, dir: String) => {
         import org.apache.spark.sql.functions._
-        import graft.sources.Skipping
-        val ev = Tables.load(s, dir, "events")
-          .select(col("event_id"), col("event_type"), col("value"),
-            (col("user_id") % 100).as("uid_bucket"))
-          .repartitionByRange(16, col("uid_bucket"))
-          .sortWithinPartitions("uid_bucket")
-        val exec = new Executor(s, Map("evc" -> ev))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_ptskip").toString
-        exec.setBasepath(tmp)
-        exec.execute("COPY evc TO 'pt.parquet' WITH (format 'parquet', " +
-          "partition_by 'event_type')")
-        val p = s"$tmp/pt.parquet"
-        Skipping.writeManifest(s, p, Seq("uid_bucket", "event_type"))
-        val files = Skipping.dataFiles(s, p)
-        val total = files.size
-        val inPt = files.count(_.startsWith("event_type=click/"))
-        def q = s.read.parquet(p)
-          .filter(col("event_type") === "click" &&
-            col("uid_bucket").between(10, 19))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(
-              org.apache.spark.sql.types.DecimalType(18, 6)))
-              .cast("double").as("sum_value"),
-            min(col("event_id")).as("min_id"),
-            max(col("event_id")).as("max_id"))
-        val nf = Skipping.scannedFiles(q)
-        q.withColumn("partition_pruned", lit(inPt < total && nf <= inPt))
-          .withColumn("file_pruned", lit(nf * 2 <= inPt))
+        import graft.sources.{GateTimings, Skipping}
+        val (p, total, inPt) = GateTimings.timed("ix_partition_skip", "build") {
+          val ev = Tables.load(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value"),
+              (col("user_id") % 100).as("uid_bucket"))
+            .repartitionByRange(16, col("uid_bucket"))
+            .sortWithinPartitions("uid_bucket")
+          val exec = new Executor(s, Map("evc" -> ev))
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_ptskip").toString
+          exec.setBasepath(tmp)
+          exec.execute("COPY evc TO 'pt.parquet' WITH (format 'parquet', " +
+            "partition_by 'event_type')")
+          val path = s"$tmp/pt.parquet"
+          Skipping.writeManifest(s, path, Seq("uid_bucket", "event_type"))
+          val files = Skipping.dataFiles(s, path)
+          (path, files.size, files.count(_.startsWith("event_type=click/")))
+        }
+        GateTimings.timed("ix_partition_skip", "probe") {
+          def q = s.read.parquet(p)
+            .filter(col("event_type") === "click" &&
+              col("uid_bucket").between(10, 19))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(
+                org.apache.spark.sql.types.DecimalType(18, 6)))
+                .cast("double").as("sum_value"),
+              min(col("event_id")).as("min_id"),
+              max(col("event_id")).as("max_id"))
+          val nf = Skipping.scannedFiles(q)
+          GateTimings.materialize(
+            q.withColumn("partition_pruned", lit(inPt < total && nf <= inPt))
+              .withColumn("file_pruned", lit(nf * 2 <= inPt)))
+        }
       }),
       // statistics → plan choice end-to-end: CTAS a derived dimension
       // (whose static size estimate is join-propagated, i.e. useless),

@@ -1154,116 +1154,155 @@ object Skipping {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), (col("user_id") % 100).as("uid_bucket"))
 
+  /** Each gate records its build phase (table + manifest rewrite) and
+    * probe phase (pruned read + aggregate, EXECUTED inside the gate)
+    * into [[GateTimings]], so the bench can publish probe-side numbers
+    * a pruning regression cannot hide behind the rewrite cost. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // range-clustered layout + manifest + 1-D range pruning: the file
     // list shrinks BEFORE the scan is planned; result == plain filter
     "ix_skip_scan" -> ((s, dir) => {
-      val ev = eventsWithBucket(s, dir)
-      val tmp = tmpTable("graft_skip")
-      ev.repartitionByRange(32, col("uid_bucket"))
-        .sortWithinPartitions("uid_bucket")
-        .write.parquet(tmp)
-      writeManifest(s, tmp, Seq("uid_bucket"))
-      val preds = Seq(RangePred("uid_bucket", Some(10L), Some(19L)))
-      val (kept, total) = prunedFiles(s, tmp, preds)
-      readSkipping(s, tmp, preds)
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
-          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
-          effective(kept.size, total))
+      val tmp = GateTimings.timed("ix_skip_scan", "build") {
+        val t = tmpTable("graft_skip")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(32, col("uid_bucket"))
+          .sortWithinPartitions("uid_bucket")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("uid_bucket"))
+        t
+      }
+      GateTimings.timed("ix_skip_scan", "probe") {
+        val preds = Seq(RangePred("uid_bucket", Some(10L), Some(19L)))
+        val (kept, total) = prunedFiles(s, tmp, preds)
+        GateTimings.materialize(readSkipping(s, tmp, preds)
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"),
+            effective(kept.size, total)))
+      }
     }),
     // Z-order over TWO dimensions: ONE layout serves box predicates on
     // both columns at once — the multi-dimensional case 1-D sorting
     // cannot cover
     "ix_zorder_scan" -> ((s, dir) => {
-      val ev = eventsWithBucket(s, dir)
-      val tmp = tmpTable("graft_zorder")
-      writeZOrdered(ev, tmp, Seq("uid_bucket", "value"), nFiles = 32)
-      writeManifest(s, tmp, Seq("uid_bucket", "value"))
-      val preds = Seq(RangePred("uid_bucket", Some(10L), Some(29L)),
-        RangePred("value", Some(50.0), Some(150.0)))
-      val (kept, total) = prunedFiles(s, tmp, preds)
-      readSkipping(s, tmp, preds)
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
-          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
-          effective(kept.size, total))
+      val tmp = GateTimings.timed("ix_zorder_scan", "build") {
+        val t = tmpTable("graft_zorder")
+        writeZOrdered(eventsWithBucket(s, dir), t,
+          Seq("uid_bucket", "value"), nFiles = 32)
+        writeManifest(s, t, Seq("uid_bucket", "value"))
+        t
+      }
+      GateTimings.timed("ix_zorder_scan", "probe") {
+        val preds = Seq(RangePred("uid_bucket", Some(10L), Some(29L)),
+          RangePred("value", Some(50.0), Some(150.0)))
+        val (kept, total) = prunedFiles(s, tmp, preds)
+        GateTimings.materialize(readSkipping(s, tmp, preds)
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"),
+            effective(kept.size, total)))
+      }
     }),
     // the ingest shape: three exactly-once epoch appends, the manifest
     // maintained INCREMENTALLY after each (only the new epoch's files
     // are statted — `stats_incremental` pins that), then a pruned read
     "ix_incremental_stats" -> ((s, dir) => {
-      val ev = eventsWithBucket(s, dir)
-      val tmp = tmpTable("graft_incstats")
-      var incremental = true
-      var before = 0
-      for (e <- 0 until 3) {
-        Sinks.appendEpoch(
-          ev.filter(col("event_id") % 3 === e)
-            .repartitionByRange(8, col("uid_bucket"))
-            .sortWithinPartitions("uid_bucket"),
-          tmp, e.toLong)
-        val nNow = dataFiles(s, tmp).size
-        val (added, removed) = refreshManifest(s, tmp, Seq("uid_bucket"))
-        incremental &&= added == (nNow - before).toLong && removed == 0L
-        before = nNow
+      val (tmp, incremental) =
+        GateTimings.timed("ix_incremental_stats", "build") {
+          val ev = eventsWithBucket(s, dir)
+          val t = tmpTable("graft_incstats")
+          var inc = true
+          var before = 0
+          for (e <- 0 until 3) {
+            Sinks.appendEpoch(
+              ev.filter(col("event_id") % 3 === e)
+                .repartitionByRange(8, col("uid_bucket"))
+                .sortWithinPartitions("uid_bucket"),
+              t, e.toLong)
+            val nNow = dataFiles(s, t).size
+            val (added, removed) = refreshManifest(s, t, Seq("uid_bucket"))
+            inc &&= added == (nNow - before).toLong && removed == 0L
+            before = nNow
+          }
+          (t, inc)
+        }
+      GateTimings.timed("ix_incremental_stats", "probe") {
+        val preds = Seq(RangePred("uid_bucket", Some(5L), Some(9L)))
+        val (kept, total) = prunedFiles(s, tmp, preds)
+        GateTimings.materialize(readSkipping(s, tmp, preds)
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"),
+            effective(kept.size, total),
+            lit(incremental).as("stats_incremental")))
       }
-      val preds = Seq(RangePred("uid_bucket", Some(5L), Some(9L)))
-      val (kept, total) = prunedFiles(s, tmp, preds)
-      readSkipping(s, tmp, preds)
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
-          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
-          effective(kept.size, total),
-          lit(incremental).as("stats_incremental"))
     }),
     // the AUTOMATIC path: a PLAIN read + filter — no readSkipping call —
     // pruned by ManifestSkippingRule inside the optimizer (the rule the
     // GraftExtensions session wiring injects); `pruning_effective` is
     // measured from the executed scan's own numFiles metric
     "ix_auto_skip" -> ((s, dir) => {
-      val ev = eventsWithBucket(s, dir)
-      val tmp = tmpTable("graft_autoskip")
-      writeZOrdered(ev, tmp, Seq("uid_bucket", "value"), nFiles = 32)
-      writeManifest(s, tmp, Seq("uid_bucket", "value"))
-      val total = dataFiles(s, tmp).size
-      val q = s.read.parquet(tmp)
-        .filter(col("uid_bucket").between(5, 9) &&
-          col("value").between(100.0, 200.0))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
-          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
-      val nf = scannedFiles(q)
-      q.withColumn("pruning_effective", lit(nf * 2 <= total))
+      val (tmp, total) = GateTimings.timed("ix_auto_skip", "build") {
+        val t = tmpTable("graft_autoskip")
+        writeZOrdered(eventsWithBucket(s, dir), t,
+          Seq("uid_bucket", "value"), nFiles = 32)
+        writeManifest(s, t, Seq("uid_bucket", "value"))
+        (t, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_auto_skip", "probe") {
+        val q = s.read.parquet(tmp)
+          .filter(col("uid_bucket").between(5, 9) &&
+            col("value").between(100.0, 200.0))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("pruning_effective", lit(nf * 2 <= total)))
+      }
     }),
     // bloom-sidecar point lookups: event_id is HIGH-CARDINALITY and the
     // layout deliberately UNCLUSTERED, so every file spans the full id
     // range and interval stats prune NOTHING — the per-file Bloom keeps
     // ~|IN| files (+ bounded false positives) out of 32
     "ix_bloom_skip" -> ((s, dir) => {
-      val ev = eventsWithBucket(s, dir)
-      val tmp = tmpTable("graft_bloomskip")
-      ev.repartition(32).write.parquet(tmp)
-      writeManifest(s, tmp, Seq("event_id"), bloomCols = Seq("event_id"))
-      val preds = Seq(InPred("event_id", Seq(11L, 222L, 333L)))
-      val (kept, total) = prunedFiles(s, tmp, preds)
-      readSkipping(s, tmp, preds)
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
-          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"),
-          effective(kept.size, total))
+      val tmp = GateTimings.timed("ix_bloom_skip", "build") {
+        val t = tmpTable("graft_bloomskip")
+        eventsWithBucket(s, dir).repartition(32).write.parquet(t)
+        writeManifest(s, t, Seq("event_id"), bloomCols = Seq("event_id"))
+        t
+      }
+      GateTimings.timed("ix_bloom_skip", "probe") {
+        val preds = Seq(InPred("event_id", Seq(11L, 222L, 333L)))
+        val (kept, total) = prunedFiles(s, tmp, preds)
+        GateTimings.materialize(readSkipping(s, tmp, preds)
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"),
+            effective(kept.size, total)))
+      }
     }),
     // null-count pruning: IS NULL keeps only files that HOLD nulls —
     // the manifest dimension min/max cannot express
     "ix_null_skip" -> ((s, dir) => {
-      val ev = eventsWithBucket(s, dir)
-        .withColumn("et", expr("nullif(event_type, 'click')"))
-      val tmp = tmpTable("graft_nullskip")
-      ev.repartitionByRange(32, col("event_type"))
-        .sortWithinPartitions("event_type")
-        .write.parquet(tmp)
-      writeManifest(s, tmp, Seq("et"))
-      val preds = Seq(NullPred("et"))
-      val (kept, total) = prunedFiles(s, tmp, preds)
-      readSkipping(s, tmp, preds)
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
-          countDistinct(col("user_id")).as("n_users"),
-          effective(kept.size, total))
+      val tmp = GateTimings.timed("ix_null_skip", "build") {
+        val t = tmpTable("graft_nullskip")
+        eventsWithBucket(s, dir)
+          .withColumn("et", expr("nullif(event_type, 'click')"))
+          .repartitionByRange(32, col("event_type"))
+          .sortWithinPartitions("event_type")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("et"))
+        t
+      }
+      GateTimings.timed("ix_null_skip", "probe") {
+        val preds = Seq(NullPred("et"))
+        val (kept, total) = prunedFiles(s, tmp, preds)
+        GateTimings.materialize(readSkipping(s, tmp, preds)
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"),
+            effective(kept.size, total)))
+      }
     }))
 
   def oracleSql: Map[String, String] = Map(
