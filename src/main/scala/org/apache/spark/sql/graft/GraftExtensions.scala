@@ -70,10 +70,18 @@ object GraftFunctions {
     * `graft_sql('select ... from t')`.
     *
     * The statement must be a string LITERAL: the dialect compile needs
-    * the text at analysis time (which is also when any DDL side effect
-    * runs — a re-analyzed plan re-executes it, same as re-submitting
-    * the statement). Statements with no result set resolve to a one-row
-    * `status` relation carrying the command tag. */
+    * the text at analysis time. SIDE-EFFECT TIMING (r14): a script that
+    * contains any mutating statement (DDL/DML/COPY/OPTIMIZE/ANALYZE)
+    * resolves to a deferred command ([[GraftSqlCommand]]) that executes
+    * when the query RUNS — so `EXPLAIN` never executes it (Spark plans
+    * EXPLAIN with command execution skipped) and a re-analyzed plan
+    * (view expansion, cached-view re-plan) does not silently re-append.
+    * Such scripts resolve to a one-row `status` relation carrying the
+    * command tag; a mixed script ending in a query still reports only
+    * `status` (its result-set schema cannot be known before the earlier
+    * statements ran) — split the final query into its own graft_sql
+    * call. Pure query scripts compile to a LAZY plan at analysis time —
+    * no side effects to defer. */
   val graftSqlDescription: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
     (FunctionIdentifier("graft_sql"),
@@ -89,8 +97,37 @@ object GraftFunctions {
       "graft_sql expects exactly one string literal argument")
     val stmt = Option(args.head.eval()).map(_.toString).getOrElse(
       throw new IllegalArgumentException("graft_sql: statement is NULL"))
-    val session = org.apache.spark.sql.SparkSession.getActiveSession.getOrElse(
-      throw new IllegalStateException("graft_sql: no active SparkSession"))
+    // classify WITHOUT executing: any mutating statement in the script
+    // defers the whole run to execution time. A script that fails to
+    // parse classifies as pure — the executor will surface its own
+    // error at analysis, same as before.
+    val mutating =
+      try graft.exec.Executor.splitStatements(stmt).exists(s =>
+        graft.parser.Parser.parse(s) match {
+          case _: graft.ast.Select | _: graft.ast.ShowStmt |
+               _: graft.ast.ExplainStmt => false
+          case _ => true
+        })
+      catch { case _: Exception => false }
+    if (mutating) GraftSqlCommand(stmt)
+    else {
+      val session = org.apache.spark.sql.SparkSession.getActiveSession
+        .getOrElse(throw new IllegalStateException(
+          "graft_sql: no active SparkSession"))
+      val (result, _) = runScript(session, stmt)
+      result
+        .getOrElse(session.sql("SELECT 'OK' AS status"))
+        .queryExecution.analyzed
+    }
+  }
+
+  /** Assemble the scope from everything the session can see, run the
+    * script, republish dialect-created/mutated tables as temp views and
+    * drop removed ones. Returns (last result set, command tag). Called
+    * at ANALYSIS time for pure query scripts (no side effects to time)
+    * and at EXECUTION time for mutating ones ([[GraftSqlCommand]]). */
+  private[graft] def runScript(session: org.apache.spark.sql.SparkSession,
+      stmt: String): (Option[org.apache.spark.sql.DataFrame], String) = {
     // scope = every table the calling session can see, keyed by bare
     // name (the dialect's flat-scope model; global temp views span
     // Connect client sessions, which is how a remote caller reaches
@@ -124,11 +161,24 @@ object GraftFunctions {
       if (!session.catalog.dropTempView(n))
         session.catalog.dropGlobalTempView(n)
     }
-    result
-      .getOrElse {
-        val tag = exec.lastCommandTag.getOrElse("OK").replace("'", "''")
-        session.sql(s"SELECT '$tag' AS status")
-      }
-      .queryExecution.analyzed
+    (result, exec.lastCommandTag.getOrElse("OK"))
+  }
+}
+
+/** Deferred execution node for mutating `graft_sql` scripts: analysis
+  * resolves the schema (one `status` string) WITHOUT running anything;
+  * the script executes when the surrounding query runs — once per
+  * submission, never under EXPLAIN, never again on re-analysis. The
+  * ADVICE r13 footgun (EXPLAIN / view re-expansion silently
+  * double-appending an INSERT) is closed by construction. */
+case class GraftSqlCommand(stmt: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "status", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(sparkSession: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val (_, tag) = GraftFunctions.runScript(sparkSession, stmt)
+    Seq(org.apache.spark.sql.Row(tag))
   }
 }

@@ -232,6 +232,36 @@ class ExtensionsSpec extends AnyFunSuite {
       s"post-drop query must fail with not-found: ${e2.getMessage}")
   }
 
+  test("graft_sql defers mutating statements to execution (EXPLAIN-safe)") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    spark.sql(
+      "select * from graft_sql('create table gdef_t as select 1 as x')")
+      .collect()
+    def n(): Long = spark.sql("select count(*) as n from gdef_t")
+      .collect().head.getLong(0)
+    assert(n() == 1L)
+    // EXPLAIN plans with command execution SKIPPED — the INSERT must
+    // not run (the r13 ADVICE footgun: EXPLAIN-executes-DML)
+    val plan = spark.sql(
+      "explain select * from graft_sql('insert into gdef_t values (2)')")
+      .collect().head.getString(0)
+    assert(plan.contains("GraftSqlCommand"), plan.take(200))
+    assert(n() == 1L, "EXPLAIN executed the INSERT")
+    // executing runs it exactly once; a second action on the SAME
+    // dataset does not re-append (command side-effect result is cached)
+    val st = spark.sql(
+      "select * from graft_sql('insert into gdef_t values (2)')")
+    assert(st.collect().head.getString(0).nonEmpty)
+    assert(n() == 2L)
+    st.collect()
+    assert(n() == 2L, "re-collecting one dataset double-appended")
+    // intentional re-submission is a NEW dataset and appends again
+    spark.sql("select * from graft_sql('insert into gdef_t values (3)')")
+      .collect()
+    assert(n() == 3L)
+    spark.sql("select * from graft_sql('drop table gdef_t')").collect()
+  }
+
   test("TABLESAMPLE REPEATABLE is deterministic and ~fraction-sized") {
     val df = (0 until 4000).map(i => (i, i % 7)).toDF("id", "g")
     val exec = new Executor(spark, Map("big" -> df))
