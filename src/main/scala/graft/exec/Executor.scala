@@ -626,8 +626,16 @@ final class Executor(val spark: SparkSession,
         .foreach(k => throw CompileException(
           s"OPTIMIZE: unknown option '$k' (files, bits, index, bloom, " +
           "force)"))
-      val force = options.get("force").exists(v =>
-        Set("true", "1", "yes")(v.trim.toLowerCase))
+      val force = options.get("force") match {
+        case None => false
+        case Some(v) if Set("true", "1", "yes")(v.trim.toLowerCase) => true
+        case Some(v) if Set("false", "0", "no")(v.trim.toLowerCase) => false
+        // a typo'd force must fail loudly, not silently mean false —
+        // the refusal it was meant to override would then tell the user
+        // to pass the very option they think they passed
+        case Some(v) => throw CompileException(
+          s"OPTIMIZE: option 'force' must be true/false, got '$v'")
+      }
       // streaming-writer guards, surfaced as CompileExceptions BEFORE
       // any rename (the same checks run inside Skipping.optimize for
       // API callers): a live ingest lease always refuses; epoch-tagged

@@ -511,7 +511,10 @@ object EngineSql {
         import graft.sources.GateTimings
         val exec = GateTimings.timed("fq_optimize", "build") {
           val e = new Executor(s, Tables.scope(s, dir))
-          val tmp = java.nio.file.Files.createTempDirectory("graft_opt").toString
+          // deterministic wiped dir (not createTempDirectory): a bench
+          // sweep re-runs this gate many times, and random names pile
+          // up full table copies plus never-reprobed cache keys
+          val tmp = graft.sources.Skipping.tmpDir("graft_opt")
           e.setBasepath(tmp)
           e.executeScript(
             """CREATE TABLE ev WITH (persist 'parquet') AS
@@ -545,8 +548,8 @@ object EngineSql {
             .repartitionByRange(16, col("uid_bucket"))
             .sortWithinPartitions("uid_bucket")
           val exec = new Executor(s, Map("evc" -> ev))
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft_ptskip").toString
+          // deterministic wiped dir — same rationale as fq_optimize
+          val tmp = graft.sources.Skipping.tmpDir("graft_ptskip")
           exec.setBasepath(tmp)
           exec.execute("COPY evc TO 'pt.parquet' WITH (format 'parquet', " +
             "partition_by 'event_type')")

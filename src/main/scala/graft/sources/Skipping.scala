@@ -287,7 +287,11 @@ object Skipping {
       val br = new Path(bloomRoot(path))
       if (!f.exists(br)) Nil
       else f.listStatus(br).filter(_.isDirectory)
-        .map(_.getPath.getName).toSeq.sorted
+        .map(_.getPath.getName)
+        // defensive: never surface staging debris as a column name — a
+        // phantom column would poison every downstream statsFor call
+        .filterNot(_.endsWith("__staged"))
+        .toSeq.sorted
     } catch { case _: Exception => Nil }
 
   /** Latest-wins ordering column and removal tombstone marker carried
@@ -555,10 +559,14 @@ object Skipping {
                 .dropDuplicates("file")
               val bParts = math.max(1L, f.getContentSummary(new Path(dir))
                 .getLength / (128L << 20)).toInt
-              val bs = new Path(dir + "__staged")
+              // staged OUTSIDE the sidecar root: a crash between the
+              // write and the rename must not leave a subdirectory that
+              // bloomColumns would list as a phantom column
+              val stagedDir = s"$path/${BloomDir}__staged_$c"
+              val bs = new Path(stagedDir)
               if (f.exists(bs)) f.delete(bs, true)
               kept.coalesce(bParts)
-                .write.mode(SaveMode.Overwrite).parquet(dir + "__staged")
+                .write.mode(SaveMode.Overwrite).parquet(stagedDir)
               f.delete(new Path(dir), true)
               f.rename(bs, new Path(dir))
             } catch { case _: Exception => () }
@@ -669,8 +677,17 @@ object Skipping {
     manifestSignature(spark, path) match {
       // self-healing eviction: the manifest is gone (table deleted or
       // manifest dropped) — free the cached rows/filters instead of
-      // holding them forever for a path that can no longer prune
-      case None => manifestCache.remove(path); None
+      // holding them forever for a path that can no longer prune.
+      // Evict only on CONFIRMED absence: a transient listing failure
+      // also signatures to None, and throwing away ~1 GiB of
+      // deserialized filters over an FS hiccup (to re-read them next
+      // query) would turn every flaky listStatus into a reload storm.
+      case None =>
+        val confirmedGone =
+          try !fs(spark, path).exists(new Path(manifestPath(path)))
+          catch { case _: Exception => false }
+        if (confirmedGone) manifestCache.remove(path)
+        None
       case Some(sig) => droppedFilesCached(spark, path, preds, sig)
     }
 
@@ -1131,7 +1148,7 @@ object Skipping {
     * would pile up full table copies (and never-invalidated
     * manifestCache keys; a reused path's cache entry is refreshed by the
     * manifest-signature check instead). */
-  private def tmpTable(prefix: String): String = {
+  private[graft] def tmpDir(prefix: String): String = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_ix", prefix)
     if (java.nio.file.Files.exists(base)) {
@@ -1143,8 +1160,10 @@ object Skipping {
       finally walk.close()
     }
     java.nio.file.Files.createDirectories(base)
-    base.toString + "/t"
+    base.toString
   }
+
+  private def tmpTable(prefix: String): String = tmpDir(prefix) + "/t"
 
   /** events + the SF-stable derived layout key: `user_id % 100` spans
     * the same 0..99 domain at every scale factor, so one oracle text

@@ -488,10 +488,16 @@ object Streams {
     // extras (the same invariant Skipping.optimize holds)
     val prevManifestCols = graft.sources.Skipping
       .readManifest(spark, tablePath).map(_.columns.toSeq).getOrElse(Nil)
-    val statCols = (indexCols ++ bloomCols ++ prevManifestCols.collect {
-      case n if n.endsWith("__min") => n.dropRight(5) }).distinct
     val blooms = (bloomCols ++
       graft.sources.Skipping.bloomColumns(spark, tablePath)).distinct
+    // blooms feed statCols too (bloom columns must be stat-indexed):
+    // a crashed writeManifest can leave a sidecar with no manifest, so
+    // a discovered bloom column is NOT guaranteed to appear among the
+    // previous manifest's __min columns — without this union the first
+    // refresh would hit writeManifest's subset require and wedge the
+    // stream
+    val statCols = (indexCols ++ blooms ++ prevManifestCols.collect {
+      case n if n.endsWith("__min") => n.dropRight(5) }).distinct
     val w0 = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
@@ -555,9 +561,28 @@ object Streams {
           statCols, blooms)
         ()
       }
-    checkpointDir.map(c => w0.option("checkpointLocation", c))
+    val q = checkpointDir.map(c => w0.option("checkpointLocation", c))
       .getOrElse(w0)
       .start()
+    // heartbeat: per-batch renewal alone loses the guard during a batch
+    // that outlives the TTL or while the stream idles with no incoming
+    // data — a daemon renews at TTL/3 for the query's whole life, so
+    // "live lease" means "stream object still running", not "a batch
+    // fired recently"
+    val hb = new Thread(() => {
+      try {
+        while (q.isActive) {
+          Thread.sleep(math.max(1000L,
+            graft.sources.Sinks.ingestLeaseTtlMs / 3))
+          if (q.isActive)
+            graft.sources.Sinks.renewIngestLease(spark, tablePath, leaseToken)
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    hb.setDaemon(true)
+    hb.setName(s"graft-ingest-lease-${tablePath.hashCode}")
+    hb.start()
+    q
   }
 
   /** UPDATE-MODE monitor runner — the production emission shape the

@@ -577,6 +577,34 @@ class SkippingSpec extends AnyFunSuite {
       Skipping.bloomFilterBytes < 140000)
   }
 
+  test("bloom staging debris and orphan sidecars never wedge maintenance") {
+    val dir = tmp("skip_phantom")
+    sample(100).repartition(2).write.parquet(dir)
+    writeManifest(spark, dir, Seq("id"), bloomCols = Seq("id"))
+    // staging debris — both the in-root legacy shape and the current
+    // outside-the-root location — must never surface as a column name:
+    // a phantom column would poison every downstream statsFor call
+    new java.io.File(s"$dir/${Skipping.BloomDir}/id__staged").mkdirs()
+    new java.io.File(s"$dir/${Skipping.BloomDir}__staged_id").mkdirs()
+    assert(bloomColumns(spark, dir) == Seq("id"))
+    assert(refreshManifest(spark, dir, Seq("id"), Seq("id")) == ((0L, 0L)))
+    // orphan sidecar with NO manifest (writeManifest crashed between
+    // the sidecar write and the stats write): the ingest-discovery
+    // shape — blooms from the sidecar unioned into the stat set — must
+    // rebuild cleanly instead of wedging on the subset require
+    val dir2 = tmp("skip_orphan")
+    sample(100).repartition(2).write.parquet(dir2)
+    writeManifest(spark, dir2, Seq("id"), bloomCols = Seq("id"))
+    val mp = new org.apache.hadoop.fs.Path(s"$dir2/${Skipping.ManifestDir}")
+    mp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(mp, true)
+    val blooms = bloomColumns(spark, dir2)
+    assert(blooms == Seq("id"))
+    val (a, r) =
+      refreshManifest(spark, dir2, (Seq("a") ++ blooms).distinct, blooms)
+    assert(a == 2L && r == 0L)
+    assert(readSkipping(spark, dir2, Seq(EqPred("id", 7L))).count() == 1)
+  }
+
   test("OPTIMIZE SQL surface: lease/epoch refusals as CompileExceptions, force folds") {
     val exec = new graft.exec.Executor(spark,
       Map("src" -> sample(200).withColumnRenamed("id", "event_id")))
