@@ -691,25 +691,81 @@ object Skipping {
       case Some(sig) => droppedFilesCached(spark, path, preds, sig)
     }
 
+  /** The cached live manifest for `path` at signature `sig`, loading
+    * (and caching) it on a miss. Shared by predicate pruning and the
+    * metadata-aggregate rewrite. */
+  private def cachedManifest(spark: SparkSession, path: String,
+      sig: String): Option[CachedManifest] = {
+    val cached0 = manifestCache.get(path)
+    if (cached0 != null && cached0.sig == sig) Some(cached0)
+    else readManifest(spark, path).map { m =>
+      // legacy (pre-segment) manifests still carry inline __bloom
+      // columns — strip them from the cached stat rows either way;
+      // the sidecar listing is the live source of bloom columns
+      val inline = m.columns.filter(_.endsWith("__bloom"))
+      val slim = if (inline.isEmpty) m else m.drop(inline: _*)
+      val entry = CachedManifest(sig, slim.schema,
+        slim.collect().toSeq,
+        bloomColumns(spark, path).toSet,
+        new java.util.concurrent.ConcurrentHashMap(),
+        new java.util.concurrent.atomic.AtomicBoolean(false))
+      manifestCache.put(path, entry)
+      entry
+    }
+  }
+
+  /** Driver-computed GLOBAL aggregate inputs for a metadata-only
+    * rewrite: `Some((totalRows, col -> (min, max, nullCount)))` for the
+    * requested columns, or `None` unless the rewrite is PROVABLY exact —
+    * every live data file must identity-match `(bytes, mtime)` a live
+    * manifest row (a drifted or unknown file disables the rewrite, same
+    * gate as pruning), and every requested column must be stat-indexed.
+    * The aggregation itself runs over the cached manifest rows through
+    * a LocalRelation frame, so min/max/null semantics (NaN ordering,
+    * null skipping, decimal/timestamp comparisons) are exactly Spark's
+    * own. Cost: one live listing + the cached manifest — the same
+    * planning class as the scan it replaces. */
+  def metadataAggStats(spark: SparkSession, path: String,
+      cols: Seq[String]): Option[(Long, Map[String, (Any, Any, Long)])] =
+    manifestSignature(spark, path).flatMap(sig =>
+      cachedManifest(spark, path, sig)).flatMap { cached =>
+      val schema = cached.schema
+      if (!cols.forall(c => schema.fieldNames.contains(s"${c}__min")) ||
+          !schema.fieldNames.contains("bytes")) None
+      else {
+        val live = dataFilesWithIdentity(spark, path)
+        if (live.isEmpty) None
+        else {
+          val fi = schema.fieldIndex("file")
+          val bi = schema.fieldIndex("bytes")
+          val mi = schema.fieldIndex("mtime")
+          val byId = cached.rows.iterator.map(r =>
+            (r.getString(fi), r.getLong(bi), r.getLong(mi)) -> r).toMap
+          if (!live.forall(byId.contains)) None
+          else {
+            import scala.jdk.CollectionConverters._
+            val liveRows = live.map(byId)
+            val m = spark.createDataFrame(liveRows.asJava, schema)
+            val aggs = sum(col("rows")).as("__total") +: cols.flatMap(c =>
+              Seq(min(col(s"${c}__min")).as(s"${c}__agg_mn"),
+                max(col(s"${c}__max")).as(s"${c}__agg_mx"),
+                sum(col(s"${c}__nulls")).as(s"${c}__agg_nl")))
+            val r = m.agg(aggs.head, aggs.tail: _*).head()
+            val total = r.getLong(r.fieldIndex("__total"))
+            val stats = cols.map { c =>
+              c -> ((r.get(r.fieldIndex(s"${c}__agg_mn")),
+                r.get(r.fieldIndex(s"${c}__agg_mx")),
+                r.getLong(r.fieldIndex(s"${c}__agg_nl"))))
+            }.toMap
+            Some((total, stats))
+          }
+        }
+      }
+    }
+
   private def droppedFilesCached(spark: SparkSession, path: String,
       preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] = {
-      val cached0 = manifestCache.get(path)
-      val loaded =
-        if (cached0 != null && cached0.sig == sig) Some(cached0)
-        else readManifest(spark, path).map { m =>
-          // legacy (pre-segment) manifests still carry inline __bloom
-          // columns — strip them from the cached stat rows either way;
-          // the sidecar listing is the live source of bloom columns
-          val inline = m.columns.filter(_.endsWith("__bloom"))
-          val slim = if (inline.isEmpty) m else m.drop(inline: _*)
-          val entry = CachedManifest(sig, slim.schema,
-            slim.collect().toSeq,
-            bloomColumns(spark, path).toSet,
-            new java.util.concurrent.ConcurrentHashMap(),
-            new java.util.concurrent.atomic.AtomicBoolean(false))
-          manifestCache.put(path, entry)
-          entry
-        }
+      val loaded = cachedManifest(spark, path, sig)
       loaded.flatMap { cached =>
         val schema = cached.schema
         val indexed = preds.filter(p =>
@@ -1301,6 +1357,30 @@ object Skipping {
             effective(kept.size, total)))
       }
     }),
+    // metadata-only global aggregates: count/count(col)/min/max answered
+    // ENTIRELY from the manifest — the executed plan holds no file scan
+    // at all (MetadataAggRule collapses it to a LocalRelation), and the
+    // `metadata_only` flag rides the hashed oracle result so the rewrite
+    // silently declining is a correctness failure, not a slowdown
+    "ix_meta_agg" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_agg", "build") {
+        val t = tmpTable("graft_metaagg")
+        eventsWithBucket(s, dir).repartition(16).write.parquet(t)
+        writeManifest(s, t, Seq("event_id", "value", "event_type"))
+        t
+      }
+      GateTimings.timed("ix_meta_agg", "probe") {
+        val q = s.read.parquet(tmp)
+          .agg(count(lit(1)).as("n"), count(col("value")).as("n_vals"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"),
+            min(col("event_type")).as("min_type"),
+            max(col("event_type")).as("max_type"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("metadata_only", lit(nf == 0)))
+      }
+    }),
     // null-count pruning: IS NULL keeps only files that HOLD nulls —
     // the manifest dimension min/max cannot express
     "ix_null_skip" -> ((s, dir) => {
@@ -1358,6 +1438,12 @@ object Skipping {
         |  min(event_id) AS min_id, max(event_id) AS max_id,
         |  CAST(1 AS BOOLEAN) AS pruning_effective
         |FROM events WHERE event_id IN (11, 222, 333)""".stripMargin,
+    "ix_meta_agg" ->
+      """SELECT count(*) AS n, count(value) AS n_vals,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  min(event_type) AS min_type, max(event_type) AS max_type,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM events""".stripMargin,
     "ix_null_skip" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

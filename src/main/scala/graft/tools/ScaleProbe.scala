@@ -36,6 +36,10 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scaleprobe")
+      // production session wiring: the automatic skipping/metadata rules
+      // must be active or the skip_* probes measure the wrong engine
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -317,9 +321,11 @@ object ScaleProbe {
         Skipping.readSkipping(spark, skipFor(f),
             Seq(Skipping.RangePred("idx", Some(0L), Some(nEv / 10))))
           .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))),
-      // the control: same predicate, no pruning — linear in f
+      // the control: same predicate, automatic rules opted out via the
+      // graft.noskip reader option — a genuine full scan, linear in f
       "skip_scan_full_control" -> (f =>
-        spark.read.parquet(skipFor(f)).where(col("idx") <= nEv / 10)
+        spark.read.option("graft.noskip", "true").parquet(skipFor(f))
+          .where(col("idx") <= nEv / 10)
           .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))),
       // bloom point probe over a growing unpruned-by-intervals... the
       // range layout DOES interval-prune here; the measurement is the
@@ -328,6 +334,14 @@ object ScaleProbe {
         Skipping.readSkipping(spark, skipFor(f),
             Seq(Skipping.EqPred("idx", nEv / 2)))
           .agg(count(lit(1)).as("n"))),
+      // metadata-only aggregate over a GROWING manifest table: count +
+      // min answered from the manifest with zero files opened — must be
+      // ~flat while rows and file count grow 8x (the scan-based answer
+      // would be linear in f)
+      "skip_meta_count" -> (f =>
+        spark.read.parquet(skipFor(f))
+          .agg(count(lit(1)).as("n"), min(col("idx")).as("mn"),
+            max(col("idx")).as("mx"))),
       // per-batch manifest maintenance vs ACCUMULATED table size: append
       // one small epoch's worth of rows, then refreshManifest — must be
       // FLAT (delta cost: only the new files are statted), the property

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // automatic file-level data skipping for manifest-carrying parquet
     // tables (see ManifestSkipping) — a no-op for every other relation
     ext.injectOptimizerRule(session => ManifestSkippingRule(session))
+    // metadata-only global aggregates (count/min/max answered from the
+    // manifest with zero files opened; identity-gated, decline-on-doubt)
+    ext.injectOptimizerRule(session => MetadataAggRule(session))
   }
 }
 

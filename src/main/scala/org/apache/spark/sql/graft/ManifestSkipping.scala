@@ -41,6 +41,13 @@ import graft.sources.Skipping
   * wrapper changes IO, never results. */
 object ManifestSkipping {
 
+  /** Reader-level kill switch: `spark.read.option("graft.noskip",
+    * "true")` opts a single read out of BOTH automatic rules (file
+    * pruning and metadata aggregates) — the debugging / benchmarking
+    * escape hatch for forcing a genuine full scan. */
+  def optedOut(hfs: HadoopFsRelation): Boolean =
+    hfs.options.get("graft.noskip").exists(_.equalsIgnoreCase("true"))
+
   /** Does `root` carry a manifest directory? TTL-cached in
     * [[Skipping.manifestExists]] — the optimizer's fixed-point batches
     * re-run this rule several times per query, and an uncached probe
@@ -143,6 +150,107 @@ object ManifestSkipping {
   private def hiPred(a: AttributeReference, l: Literal): Seq[Skipping.Pred] =
     if (l.value == null) Nil
     else Seq(Skipping.RangePred(a.name, None, Some(scalaOf(l))))
+}
+
+/** Metadata-only GLOBAL aggregates over manifest-carrying parquet
+  * tables — the Snowflake/Delta "metadata query" shape rebuilt on the
+  * skipping manifest: an unfiltered `count(*)` / `count(col)` /
+  * `min(col)` / `max(col)` over an indexed table collapses to a
+  * [[LocalRelation]] computed from the manifest's per-file
+  * rows/min/max/null-count stats — ZERO data files are opened (at
+  * 100 TB: no scan, no job, a driver-side fold of the cached manifest).
+  *
+  * Exactness gate (same identity contract as pruning): the rewrite
+  * fires only when EVERY live data file matches `(bytes, mtime)` a
+  * live manifest row — a file appended or rewritten in place since
+  * statting silently disables it and the query runs as a normal scan.
+  * Declines, never degrades: filters, grouping, DISTINCT or FILTERed
+  * aggregates, expression-wrapped columns, unindexed columns,
+  * streaming plans, and empty tables all fall through untouched. */
+case class MetadataAggRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Nil, _, child, _) if !agg.isStreaming =>
+      tryRewrite(agg, child).getOrElse(agg)
+  }
+
+  /** The backing relation, looking through attribute-only projections
+    * (column pruning) — anything else (Filter, computed Project, joins)
+    * declines. */
+  private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case lr: LogicalRelation => Some(lr)
+    case pr: Project
+        if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationOf(pr.child)
+    case _ => None
+  }
+
+  /** What one output expression needs from the manifest: Left(literal
+    * passthrough value) or Right((needed column or None for count(*),
+    * evaluator over (totalRows, per-column (min, max, nulls)))). */
+  private type Stats = (Long, Map[String, (Any, Any, Long)])
+  private def classify(e: Expression, nameOf: AttributeReference => Option[String])
+      : Option[(Option[String], Stats => Any)] = e match {
+    case Alias(c, _) => classify(c, nameOf)
+    case l: Literal => Some((None, _ => l.value match {
+      // Literal.value is already catalyst-typed; hand it back as-is via
+      // a marker the caller recognizes (see convert below)
+      case v => CatalystLiteral(v, l.dataType)
+    }))
+    case AggregateExpression(fn, _, false, None, _) => fn match {
+      case Count(Seq(_: Literal)) => Some((None, s => s._1))
+      case Count(Seq(a: AttributeReference)) =>
+        nameOf(a).map(c => (Some(c), (s: Stats) => s._1 - s._2(c)._3))
+      case Min(a: AttributeReference) =>
+        nameOf(a).map(c => (Some(c), (s: Stats) => s._2(c)._1))
+      case Max(a: AttributeReference) =>
+        nameOf(a).map(c => (Some(c), (s: Stats) => s._2(c)._2))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Marker for already-catalyst literal values (no conversion). */
+  private case class CatalystLiteral(value: Any,
+      dt: org.apache.spark.sql.types.DataType)
+
+  private def tryRewrite(agg: Aggregate,
+      child: LogicalPlan): Option[LogicalPlan] =
+    relationOf(child).flatMap { lr =>
+      lr.relation match {
+        case hfs: HadoopFsRelation
+            if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
+              !ManifestSkipping.optedOut(hfs) &&
+              hfs.location.rootPaths.length == 1 &&
+              ManifestSkipping.hasManifest(session,
+                hfs.location.rootPaths.head) =>
+          val root = hfs.location.rootPaths.head.toString
+          val nameOf: AttributeReference => Option[String] = a =>
+            lr.output.find(_.exprId == a.exprId).map(_.name)
+          val classified = agg.aggregateExpressions.map(e =>
+            classify(e, nameOf))
+          if (classified.exists(_.isEmpty)) None
+          else {
+            val reqs = classified.map(_.get)
+            val needed = reqs.flatMap(_._1).distinct
+            Skipping.metadataAggStats(session, root, needed).map { stats =>
+              val values = reqs.map(_._2(stats))
+              val row = InternalRow.fromSeq(
+                agg.output.zip(values).map {
+                  case (_, CatalystLiteral(v, _)) => v
+                  case (attr, v) => CatalystTypeConverters
+                    .createToCatalystConverter(attr.dataType)(v)
+                })
+              LocalRelation(agg.output, Seq(row))
+            }
+          }
+        case _ => None
+      }
+    }
 }
 
 /** [[FileIndex]] wrapper that applies manifest pruning inside
@@ -268,7 +376,8 @@ case class ManifestSkippingRule(session: SparkSession)
       lr.relation match {
         case hfs: HadoopFsRelation
             if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
-              !hfs.location.isInstanceOf[SkippingFileIndex] =>
+              !hfs.location.isInstanceOf[SkippingFileIndex] &&
+              !ManifestSkipping.optedOut(hfs) =>
           val roots = hfs.location.rootPaths
           val tableRoot =
             if (roots.length == 1 &&

@@ -157,6 +157,82 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(full.filter(col("a") === lit(null).cast("long")).count() == 0)
   }
 
+  test("metadata-only global aggregates answer from the manifest, zero files opened") {
+    val dir = tmp("meta_agg")
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id") % 50).as("a"),
+      concat(lit("s"), lpad(col("id").cast("string"), 4, "0")).as("s"))
+    df.repartition(8).write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("a", "s"))
+    def q = spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n"), count(col("a")).as("na"),
+        min(col("a")).as("mn"), max(col("a")).as("mx"),
+        min(col("s")).as("smn"), max(col("s")).as("smx"))
+    // values equal the real compute (from the in-memory frame, which
+    // the rule cannot touch) — null-skipping count included
+    val expect = df.agg(count(lit(1)), count(col("a")), min(col("a")),
+      max(col("a")), min(col("s")), max(col("s"))).head()
+    assert(q.head() == expect)
+    assert(scannedFiles(q) == 0, "metadata aggregate opened data files")
+    // a filter declines the rewrite (scan runs, possibly pruned)
+    val qf = spark.read.parquet(dir).filter(col("a") > 5)
+      .agg(count(lit(1)).as("n"))
+    assert(scannedFiles(qf) > 0)
+    assert(qf.head().getLong(0) == df.filter(col("a") > 5).count())
+    // an unindexed column declines the WHOLE rewrite
+    val qu = spark.read.parquet(dir).agg(min(col("id")).as("m"))
+    assert(scannedFiles(qu) == 8)
+    assert(qu.head().getLong(0) == 0L)
+    // DISTINCT aggregates decline
+    val qd = spark.read.parquet(dir)
+      .agg(countDistinct(col("a")).as("d"))
+    assert(qd.head().getLong(0) == df.select("a").na.drop()
+      .distinct().count())
+    // a file appended WITHOUT a manifest refresh disables the rewrite
+    // (identity gate: unknown file) — and the answer includes its rows
+    spark.range(5000, 5025).select(col("id"), lit(7L).as("a"),
+        lit("zz").as("s"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(dir)
+    val q2 = spark.read.parquet(dir).agg(count(lit(1)).as("n"))
+    assert(q2.head().getLong(0) == 1025L)
+    assert(scannedFiles(spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n"))) > 0, "stale manifest must not answer")
+    // ...and after a refresh the metadata path resumes
+    Skipping.refreshManifest(spark, dir, Seq("a", "s"))
+    val q4 = spark.read.parquet(dir).agg(count(lit(1)).as("n"))
+    assert(q4.head().getLong(0) == 1025L)
+    assert(scannedFiles(spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n"))) == 0)
+    // the DIALECT surface rides the same session rule: an engine-side
+    // global count over an attached manifest table answers metadata-only
+    val exec = new graft.exec.Executor(spark, Map.empty)
+    exec.setBasepath(new java.io.File(dir).getParent)
+    exec.execute(s"COPY mt FROM '${new java.io.File(dir).getName}' " +
+      "WITH format 'parquet'")
+    val dq = exec.query("select count(1) as n, max(a) as mx from mt")
+    assert(dq.head() == org.apache.spark.sql.Row(1025L, 49L))
+    assert(scannedFiles(
+      exec.query("select count(1) as n, max(a) as mx from mt")) == 0,
+      "dialect global aggregate did not take the metadata path")
+  }
+
+  test("graft.noskip reader option opts a single read out of both rules") {
+    val (dir, src) = writeClustered(500)
+    // pruning rule bypassed: the filtered read opens every file
+    val q = spark.read.option("graft.noskip", "true").parquet(dir)
+      .filter(col("a").between(10, 14))
+    assert(scannedFiles(spark.read.option("graft.noskip", "true")
+      .parquet(dir).filter(col("a").between(10, 14))) == 10)
+    assert(sets(q) == sets(src.filter(col("a").between(10, 14))))
+    // metadata rule bypassed: the global count runs as a real scan
+    assert(scannedFiles(spark.read.option("graft.noskip", "true")
+      .parquet(dir).agg(count(lit(1)).as("n"))) == 10)
+    // ...while the plain read still answers metadata-only
+    assert(scannedFiles(spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n"))) == 0)
+  }
+
   test("streaming reads over a manifest-carrying table prune per micro-batch") {
     // r13 boundary closed: a FileStreamSource micro-batch plans its
     // relation over the batch's individual FILES (rootPaths = N parquet
