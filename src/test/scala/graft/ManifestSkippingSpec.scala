@@ -217,6 +217,52 @@ class ManifestSkippingSpec extends AnyFunSuite {
       "dialect global aggregate did not take the metadata path")
   }
 
+  test("randomized differential: metadata aggregates == opted-out real scans") {
+    // the metadata rewrite SUBSTITUTES ANSWERS, so it gets the same
+    // treatment as the pruning layer: seeded trials over varied types —
+    // nulls, NaN, negative longs, strings, dates, timestamps, decimals,
+    // zero-row files — comparing against the graft.noskip scan
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 6) {
+      val n = 200 + rnd.nextInt(400)
+      val dir = tmp(s"meta_diff$trial")
+      val seed = rnd.nextInt(1000)
+      val nullEvery = 2 + rnd.nextInt(6)
+      val df = spark.range(n.toLong).select(
+        col("id"),
+        when(col("id") % nullEvery === 0, lit(null))
+          .otherwise((xxhash64(col("id") + seed) % 100000L) -
+            lit(50000L)).as("l"),
+        when(col("id") % 17 === 0, lit(Double.NaN))
+          .otherwise((xxhash64(col("id") * 3 + seed) % 1000L)
+            .cast("double") / 7.0).as("d"),
+        when(col("id") % 13 === 0, lit(null))
+          .otherwise(concat(lit("k"),
+            (xxhash64(col("id") + seed) % 1000L).cast("string"))).as("s"),
+        date_add(lit(java.sql.Date.valueOf("2020-01-01")),
+          (col("id") % 500).cast("int")).as("dt"),
+        timestamp_seconds(lit(1600000000L) + col("id") * 37L).as("ts"),
+        ((xxhash64(col("id") - seed) % 100000L).cast("long")
+          .cast("decimal(12,3)") / 1000L).cast("decimal(12,3)").as("dec"))
+      df.repartition(1 + rnd.nextInt(5)).write.parquet(dir)
+      if (trial % 2 == 0) // an empty epoch's schema-only file
+        df.limit(0).coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+      val cols = Seq("id", "l", "d", "s", "dt", "ts", "dec")
+      Skipping.writeManifest(spark, dir, cols)
+      val aggs = count(lit(1)).as("n") +: cols.flatMap(c =>
+        Seq(count(col(c)).as(s"n_$c"), min(col(c)).as(s"mn_$c"),
+          max(col(c)).as(s"mx_$c")))
+      val meta = spark.read.parquet(dir).agg(aggs.head, aggs.tail: _*)
+      val real = spark.read.option("graft.noskip", "true").parquet(dir)
+        .agg(aggs.head, aggs.tail: _*)
+      assert(scannedFiles(spark.read.parquet(dir)
+        .agg(aggs.head, aggs.tail: _*)) == 0,
+        s"trial $trial did not take the metadata path")
+      assert(meta.head() == real.head(), s"trial $trial diverged")
+    }
+  }
+
   test("graft.noskip reader option opts a single read out of both rules") {
     val (dir, src) = writeClustered(500)
     // pruning rule bypassed: the filtered read opens every file
