@@ -714,23 +714,57 @@ object Skipping {
     }
   }
 
+  /** Can a file's stats PROVE every one of its rows satisfies `p`?
+    * Unknown stats coalesce toward NOT-proven — the mirror image of
+    * [[keepCond]]'s keep-on-unknown. A row with a NULL in the predicate
+    * column does NOT satisfy a range/eq/in predicate, so those proofs
+    * also require a zero null count. */
+  private def allInCond(p: Pred): Column = {
+    def proven(c: Column) = coalesce(c, lit(false))
+    p match {
+      case RangePred(c, lo, hi) =>
+        val sides = lo.map(v => proven(col(s"${c}__min") >= lit(v))) ++
+          hi.map(v => proven(col(s"${c}__max") <= lit(v)))
+        (Seq(col(s"${c}__nulls") === 0L) ++ sides).reduce(_ && _)
+      case EqPred(c, v) =>
+        col(s"${c}__nulls") === 0L &&
+          proven(col(s"${c}__min") === lit(v)) &&
+          proven(col(s"${c}__max") === lit(v))
+      case InPred(c, vs) =>
+        // conservative: a file constant at one value inside the set
+        col(s"${c}__nulls") === 0L &&
+          proven(col(s"${c}__min") === col(s"${c}__max")) &&
+          proven(col(s"${c}__min").isin(vs: _*))
+      case NullPred(c) => col(s"${c}__nulls") === col("rows")
+      case NotNullPred(c) => col(s"${c}__nulls") === 0L
+    }
+  }
+
   /** Driver-computed GLOBAL aggregate inputs for a metadata-only
     * rewrite: `Some((totalRows, col -> (min, max, nullCount)))` for the
-    * requested columns, or `None` unless the rewrite is PROVABLY exact —
-    * every live data file must identity-match `(bytes, mtime)` a live
-    * manifest row (a drifted or unknown file disables the rewrite, same
-    * gate as pruning), and every requested column must be stat-indexed.
+    * requested columns over the files `preds` PROVABLY fully includes,
+    * or `None` unless the rewrite is exact:
+    *  - every live data file must identity-match `(bytes, mtime)` a
+    *    live manifest row (a drifted or unknown file disables the
+    *    rewrite, same gate as pruning);
+    *  - every requested and predicate column must be stat-indexed;
+    *  - with `preds` non-empty, every live file must be provably
+    *    ALL-IN (every row satisfies the conjunction) or ALL-OUT (no row
+    *    can — [[keepCond]] disproof, or an empty file); one PARTIAL
+    *    file declines the whole rewrite, the caller scans instead.
     * The aggregation itself runs over the cached manifest rows through
     * a LocalRelation frame, so min/max/null semantics (NaN ordering,
     * null skipping, decimal/timestamp comparisons) are exactly Spark's
     * own. Cost: one live listing + the cached manifest — the same
     * planning class as the scan it replaces. */
   def metadataAggStats(spark: SparkSession, path: String,
-      cols: Seq[String]): Option[(Long, Map[String, (Any, Any, Long)])] =
+      cols: Seq[String], preds: Seq[Pred] = Nil)
+      : Option[(Long, Map[String, (Any, Any, Long)])] =
     manifestSignature(spark, path).flatMap(sig =>
       cachedManifest(spark, path, sig)).flatMap { cached =>
       val schema = cached.schema
-      if (!cols.forall(c => schema.fieldNames.contains(s"${c}__min")) ||
+      val needed = (cols ++ preds.map(_.column)).distinct
+      if (!needed.forall(c => schema.fieldNames.contains(s"${c}__min")) ||
           !schema.fieldNames.contains("bytes")) None
       else {
         val live = dataFilesWithIdentity(spark, path)
@@ -746,18 +780,32 @@ object Skipping {
             import scala.jdk.CollectionConverters._
             val liveRows = live.map(byId)
             val m = spark.createDataFrame(liveRows.asJava, schema)
-            val aggs = sum(col("rows")).as("__total") +: cols.flatMap(c =>
-              Seq(min(col(s"${c}__min")).as(s"${c}__agg_mn"),
-                max(col(s"${c}__max")).as(s"${c}__agg_mx"),
-                sum(col(s"${c}__nulls")).as(s"${c}__agg_nl")))
-            val r = m.agg(aggs.head, aggs.tail: _*).head()
-            val total = r.getLong(r.fieldIndex("__total"))
-            val stats = cols.map { c =>
-              c -> ((r.get(r.fieldIndex(s"${c}__agg_mn")),
-                r.get(r.fieldIndex(s"${c}__agg_mx")),
-                r.getLong(r.fieldIndex(s"${c}__agg_nl"))))
-            }.toMap
-            Some((total, stats))
+            val inCond =
+              preds.map(allInCond).reduceOption(_ && _).getOrElse(lit(true))
+            // empty files and keepCond-disproved files contribute no
+            // rows; anything neither all-in nor all-out is partial
+            val outCond = col("rows") === 0L ||
+              preds.map(p => !keepCond(p)).reduceOption(_ || _)
+                .getOrElse(lit(false))
+            if (preds.nonEmpty &&
+                m.filter(!inCond && !outCond).limit(1).count() > 0) None
+            else {
+              val mIn = if (preds.isEmpty) m else m.filter(inCond)
+              val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
+                cols.flatMap(c =>
+                  Seq(min(col(s"${c}__min")).as(s"${c}__agg_mn"),
+                    max(col(s"${c}__max")).as(s"${c}__agg_mx"),
+                    coalesce(sum(col(s"${c}__nulls")), lit(0L))
+                      .as(s"${c}__agg_nl")))
+              val r = mIn.agg(aggs.head, aggs.tail: _*).head()
+              val total = r.getLong(r.fieldIndex("__total"))
+              val stats = cols.map { c =>
+                c -> ((r.get(r.fieldIndex(s"${c}__agg_mn")),
+                  r.get(r.fieldIndex(s"${c}__agg_mx")),
+                  r.getLong(r.fieldIndex(s"${c}__agg_nl"))))
+              }.toMap
+              Some((total, stats))
+            }
           }
         }
       }
@@ -1381,6 +1429,28 @@ object Skipping {
           q.withColumn("metadata_only", lit(nf == 0)))
       }
     }),
+    // FILTERED metadata aggregate: the filter column is constant per
+    // file (hive partitioning), so every file is provably all-in or
+    // all-out and the count answers from the manifest — zero opens
+    "ix_meta_filter" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_filter", "build") {
+        val t = tmpTable("graft_metafilter")
+        eventsWithBucket(s, dir).repartition(8)
+          .write.partitionBy("event_type").parquet(t)
+        writeManifest(s, t, Seq("event_type", "event_id", "value"))
+        t
+      }
+      GateTimings.timed("ix_meta_filter", "probe") {
+        val q = s.read.parquet(tmp)
+          .filter(col("event_type") === "click")
+          .agg(count(lit(1)).as("n"), count(col("value")).as("n_vals"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("metadata_only", lit(nf == 0)))
+      }
+    }),
     // null-count pruning: IS NULL keeps only files that HOLD nulls —
     // the manifest dimension min/max cannot express
     "ix_null_skip" -> ((s, dir) => {
@@ -1444,6 +1514,11 @@ object Skipping {
         |  min(event_type) AS min_type, max(event_type) AS max_type,
         |  CAST(1 AS BOOLEAN) AS metadata_only
         |FROM events""".stripMargin,
+    "ix_meta_filter" ->
+      """SELECT count(*) AS n, count(value) AS n_vals,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM events WHERE event_type = 'click'""".stripMargin,
     "ix_null_skip" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

@@ -92,6 +92,54 @@ object ManifestSkipping {
     case _ => Nil
   }
 
+  /** EXACT translation for the metadata-aggregate rewrite: every
+    * conjunct must translate with row-set-identical semantics or the
+    * whole expression answers None. Differences from [[toPreds]] (which
+    * may safely over-keep): nothing may be DROPPED, and STRICT bounds
+    * (a > 5) do not translate at all — the pred model only carries
+    * inclusive ranges, and an all-in proof under >= is not an all-in
+    * proof under >. `=`/`<=>`/`>=`/`<=`/IN/IS [NOT] NULL qualify
+    * (BETWEEN desugars to >= AND <=, the main analytic shape). */
+  def toPredsExact(e: Expression): Option[Seq[Skipping.Pred]] = e match {
+    case And(l, r) =>
+      for (a <- toPredsExact(l); b <- toPredsExact(r)) yield a ++ b
+    case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+      Some(Seq(Skipping.EqPred(a.name, scalaOf(l))))
+    case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+      Some(Seq(Skipping.EqPred(a.name, scalaOf(l))))
+    case EqualNullSafe(a: AttributeReference, l: Literal) =>
+      Some(Seq(if (l.value == null) Skipping.NullPred(a.name)
+        else Skipping.EqPred(a.name, scalaOf(l))))
+    case EqualNullSafe(l: Literal, a: AttributeReference) =>
+      Some(Seq(if (l.value == null) Skipping.NullPred(a.name)
+        else Skipping.EqPred(a.name, scalaOf(l))))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+        if l.value != null =>
+      Some(Seq(Skipping.RangePred(a.name, Some(scalaOf(l)), None)))
+    case LessThanOrEqual(l: Literal, a: AttributeReference)
+        if l.value != null =>
+      Some(Seq(Skipping.RangePred(a.name, Some(scalaOf(l)), None)))
+    case LessThanOrEqual(a: AttributeReference, l: Literal)
+        if l.value != null =>
+      Some(Seq(Skipping.RangePred(a.name, None, Some(scalaOf(l)))))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+        if l.value != null =>
+      Some(Seq(Skipping.RangePred(a.name, None, Some(scalaOf(l)))))
+    case In(a: AttributeReference, vs) if vs.forall {
+        case Literal(v, _) => v != null; case _ => false } =>
+      Some(Seq(Skipping.InPred(a.name,
+        vs.map { case l: Literal => scalaOf(l) })))
+    case InSet(a: AttributeReference, vs) if !vs.contains(null) =>
+      Some(Seq(Skipping.InPred(a.name,
+        vs.toSeq.map(v =>
+          CatalystTypeConverters.convertToScala(v, a.dataType)))))
+    case IsNull(a: AttributeReference) =>
+      Some(Seq(Skipping.NullPred(a.name)))
+    case IsNotNull(a: AttributeReference) =>
+      Some(Seq(Skipping.NotNullPred(a.name)))
+    case _ => None
+  }
+
   /** The manifest-carrying table root behind a FILE-LIST relation — the
     * shape a `readStream` micro-batch plans (FileStreamSource builds
     * each batch's relation over the individual FILES it selected, so
@@ -178,14 +226,17 @@ case class MetadataAggRule(session: SparkSession)
       tryRewrite(agg, child).getOrElse(agg)
   }
 
-  /** The backing relation, looking through attribute-only projections
-    * (column pruning) — anything else (Filter, computed Project, joins)
-    * declines. */
-  private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
-    case lr: LogicalRelation => Some(lr)
+  /** The backing relation plus any Filter conditions on the way,
+    * looking through attribute-only projections (column pruning) —
+    * anything else (computed Project, joins, generators) declines. */
+  private def relationOf(p: LogicalPlan)
+      : Option[(LogicalRelation, Seq[Expression])] = p match {
+    case lr: LogicalRelation => Some((lr, Nil))
     case pr: Project
         if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
       relationOf(pr.child)
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      relationOf(f.child).map { case (lr, cs) => (lr, f.condition +: cs) }
     case _ => None
   }
 
@@ -220,7 +271,7 @@ case class MetadataAggRule(session: SparkSession)
 
   private def tryRewrite(agg: Aggregate,
       child: LogicalPlan): Option[LogicalPlan] =
-    relationOf(child).flatMap { lr =>
+    relationOf(child).flatMap { case (lr, filters) =>
       lr.relation match {
         case hfs: HadoopFsRelation
             if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
@@ -231,13 +282,30 @@ case class MetadataAggRule(session: SparkSession)
           val root = hfs.location.rootPaths.head.toString
           val nameOf: AttributeReference => Option[String] = a =>
             lr.output.find(_.exprId == a.exprId).map(_.name)
+          // filters must translate EXACTLY (nothing dropped, no strict
+          // bounds) and reference only the relation's own attributes —
+          // then the stats layer proves every file all-in or all-out,
+          // or the whole rewrite declines
+          val predsOpt: Option[Seq[Skipping.Pred]] =
+            filters.foldLeft(Option(Seq.empty[Skipping.Pred])) {
+              (acc, cond) =>
+                acc.flatMap { a =>
+                  val refsOk = cond.references.toSeq.forall {
+                    case ar: AttributeReference => nameOf(ar).isDefined
+                    case _ => false
+                  }
+                  if (!refsOk) None
+                  else ManifestSkipping.toPredsExact(cond).map(a ++ _)
+                }
+            }
           val classified = agg.aggregateExpressions.map(e =>
             classify(e, nameOf))
-          if (classified.exists(_.isEmpty)) None
+          if (classified.exists(_.isEmpty) || predsOpt.isEmpty) None
           else {
             val reqs = classified.map(_.get)
             val needed = reqs.flatMap(_._1).distinct
-            Skipping.metadataAggStats(session, root, needed).map { stats =>
+            Skipping.metadataAggStats(session, root, needed,
+              predsOpt.get).map { stats =>
               val values = reqs.map(_._2(stats))
               val row = InternalRow.fromSeq(
                 agg.output.zip(values).map {

@@ -260,7 +260,63 @@ class ManifestSkippingSpec extends AnyFunSuite {
         .agg(aggs.head, aggs.tail: _*)) == 0,
         s"trial $trial did not take the metadata path")
       assert(meta.head() == real.head(), s"trial $trial diverged")
+      // FILTERED leg: random inclusive ranges / equalities / null tests —
+      // some provably decidable per file, most partial (decline to a
+      // scan); either path must equal the opted-out real scan
+      for (sub <- 1 to 4) {
+        val pred = rnd.nextInt(4) match {
+          case 0 =>
+            val lo = rnd.nextInt(n).toLong
+            col("id") >= lo && col("id") <= lo + rnd.nextInt(n).toLong
+          case 1 => col("l") >= lit(-25000L)
+          case 2 => col("s").isNotNull
+          case 3 => col("l").isNull
+        }
+        val fAggs = Seq(count(lit(1)).as("n"), count(col("l")).as("nl"),
+          min(col("id")).as("mn"), max(col("dec")).as("mxd"))
+        val fMeta = spark.read.parquet(dir).filter(pred)
+          .agg(fAggs.head, fAggs.tail: _*).head()
+        val fReal = spark.read.option("graft.noskip", "true").parquet(dir)
+          .filter(pred).agg(fAggs.head, fAggs.tail: _*).head()
+        assert(fMeta == fReal, s"trial $trial/$sub filtered diverged")
+      }
     }
+  }
+
+  test("filtered metadata aggregates: all-in/all-out proofs, partials decline") {
+    val dir = tmp("meta_filt")
+    val df = spark.range(900).select(col("id"),
+      (col("id") % 3).cast("int").as("pt"),
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 100).as("v"))
+    df.write.partitionBy("pt").parquet(dir) // pt constant per file
+    Skipping.writeManifest(spark, dir, Seq("pt", "v", "id"))
+    // fully decidable filter (per-file constant column): zero files
+    // opened, values equal the opted-out real scan
+    def aggs = Seq(count(lit(1)).as("n"), count(col("v")).as("nv"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"))
+    def q = spark.read.parquet(dir).filter(col("pt") === 1)
+      .agg(aggs.head, aggs.tail: _*)
+    val real = spark.read.option("graft.noskip", "true").parquet(dir)
+      .filter(col("pt") === 1).agg(aggs.head, aggs.tail: _*)
+    assert(q.head() == real.head())
+    assert(scannedFiles(q) == 0, "decidable filter did not go metadata-only")
+    // provably-empty result: every file all-out — count 0, min null
+    def q0 = spark.read.parquet(dir).filter(col("pt") === 99)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    assert(q0.head() == org.apache.spark.sql.Row(0L, null))
+    assert(scannedFiles(q0) == 0)
+    // a PARTIAL file (range crossing one block's id span) declines the
+    // rewrite — the scan runs and stays exact
+    def qp = spark.read.parquet(dir).filter(col("id") <= 123)
+      .agg(count(lit(1)).as("n"))
+    assert(qp.head().getLong(0) == 124L)
+    assert(scannedFiles(qp) > 0, "partial file must decline the rewrite")
+    // STRICT bounds never translate exactly — declines even when the
+    // row sets would coincide with the inclusive form
+    def qs = spark.read.parquet(dir).filter(col("pt") < 1)
+      .agg(count(lit(1)).as("n"))
+    assert(qs.head().getLong(0) == 300L)
+    assert(scannedFiles(qs) > 0, "strict bound must decline the rewrite")
   }
 
   test("graft.noskip reader option opts a single read out of both rules") {
