@@ -130,22 +130,41 @@ object Skipping {
 
   /** [[dataFiles]] plus each file's identity `(bytes, mtime)` — what
     * manifest rows are keyed against before they may prune. */
+  /** Spark's own hidden-path rule (HadoopFsUtils): dot-prefixed names
+    * are ALWAYS hidden; underscore-prefixed names are hidden unless
+    * they contain '=' (hive partition directories). The listings here
+    * must match what a scan would read byte-for-byte — the metadata
+    * rewrite turns this listing into a COMPLETENESS proof. */
+  private def sparkVisible(n: String): Boolean =
+    !(n.startsWith(".") || (n.startsWith("_") && !n.contains("=")))
+
   def dataFilesWithIdentity(spark: SparkSession,
-      path: String): Seq[(String, Long, Long)] = {
+      path: String): Seq[(String, Long, Long)] =
+    walkDataFiles(spark, path)._1
+
+  /** ([parquet files with identity], saw a visible NON-parquet file).
+    * Spark's scan reads any visible file regardless of extension; the
+    * skipping manifests only ever cover `.parquet` names — a foreign
+    * visible file means this listing is NOT the scan's file set, and
+    * completeness-sensitive callers (the metadata rewrite) must
+    * decline. Pruning callers are indifferent: they only ever DROP
+    * files they know. */
+  private def walkDataFiles(spark: SparkSession,
+      path: String): (Seq[(String, Long, Long)], Boolean) = {
     val f = fs(spark, path)
     val root = rootPath(spark, path)
-    def visible(n: String): Boolean =
-      (!n.startsWith(".") && !n.startsWith("_")) || n.contains("=")
+    var foreign = false
     def walk(p: Path): Seq[(String, Long, Long)] =
-      f.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
+      f.listStatus(p).toSeq.filter(st => sparkVisible(st.getPath.getName))
         .flatMap { st =>
           if (st.isDirectory) walk(st.getPath)
           else if (st.getPath.getName.endsWith(".parquet"))
             Seq((relName(st.getPath.toUri.toString, root), st.getLen,
               st.getModificationTime))
-          else Nil
+          else { foreign = true; Nil }
         }
-    walk(new Path(path))
+    val files = walk(new Path(path))
+    (files, foreign)
   }
 
   private def statCols(cols: Seq[String]): Seq[Column] =
@@ -613,7 +632,23 @@ object Skipping {
       bloomCols: Set[String],
       blooms: java.util.concurrent.ConcurrentHashMap[(String, String),
         org.apache.spark.util.sketch.BloomFilter],
-      bloomsLoaded: java.util.concurrent.atomic.AtomicBoolean)
+      bloomsLoaded: java.util.concurrent.atomic.AtomicBoolean) {
+    /** identity -> row, built once per signature (the metadata rewrite
+      * consults it on every optimizer iteration of a declining plan). */
+    lazy val byIdentity: Map[(String, Long, Long),
+        org.apache.spark.sql.Row] = {
+      val fi = schema.fieldIndex("file")
+      val bi = schema.fieldIndex("bytes")
+      val mi = schema.fieldIndex("mtime")
+      rows.iterator.map(r =>
+        (r.getString(fi), r.getLong(bi), r.getLong(mi)) -> r).toMap
+    }
+    /** predsKey -> "some cached row is PARTIAL under these preds" — a
+      * pure function of (sig, preds), memoized so a declining filtered
+      * aggregate doesn't re-evaluate per fixed-point iteration. */
+    val partialVerdicts =
+      new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  }
 
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedManifest]()
@@ -758,54 +793,72 @@ object Skipping {
     * own. Cost: one live listing + the cached manifest — the same
     * planning class as the scan it replaces. */
   def metadataAggStats(spark: SparkSession, path: String,
-      cols: Seq[String], preds: Seq[Pred] = Nil)
+      cols: Seq[String], preds: Seq[Pred] = Nil,
+      expectedTypes: Map[String, DataType] = Map.empty)
       : Option[(Long, Map[String, (Any, Any, Long)])] =
     manifestSignature(spark, path).flatMap(sig =>
       cachedManifest(spark, path, sig)).flatMap { cached =>
       val schema = cached.schema
       val needed = (cols ++ preds.map(_.column)).distinct
-      if (!needed.forall(c => schema.fieldNames.contains(s"${c}__min")) ||
-          !schema.fieldNames.contains("bytes")) None
+      // cheap pure checks first; the LIVE LISTING comes last and is
+      // never cached — it is the freshness proof (an appended or
+      // rewritten file must disable the rewrite IMMEDIATELY, the
+      // contract the specs pin)
+      val colsOk =
+        needed.forall(c => schema.fieldNames.contains(s"${c}__min")) &&
+        schema.fieldNames.contains("bytes") &&
+        // a read-schema upcast (int column read as long) would hand the
+        // converter a stat of the WRONG runtime class — decline instead
+        // of crashing when the caller's types don't match the stats'
+        needed.forall(c => expectedTypes.get(c).forall(
+          _ == schema(s"${c}__min").dataType))
+      if (!colsOk) None
       else {
-        val live = dataFilesWithIdentity(spark, path)
-        if (live.isEmpty) None
+        // "some cached row is PARTIAL under preds" is a pure function of
+        // (signature, preds) — memoized, so a declining filtered
+        // aggregate costs nothing on re-application. Conservative
+        // superset: evaluated over ALL cached rows (a shadowed row can
+        // only add a spurious decline, never a wrong answer). Collected
+        // over a LocalRelation — Catalyst collapses it driver-side.
+        val predsKey = preds.mkString(";")
+        val hasPartial = preds.nonEmpty && cached.partialVerdicts
+          .computeIfAbsent(predsKey, _ => {
+            import scala.jdk.CollectionConverters._
+            val all = spark.createDataFrame(cached.rows.asJava, schema)
+            val inCond = preds.map(allInCond).reduce(_ && _)
+            val outCond = col("rows") === 0L ||
+              preds.map(p => !keepCond(p)).reduce(_ || _)
+            all.filter(!inCond && !outCond).limit(1).collect().nonEmpty
+          })
+        if (hasPartial) None
         else {
-          val fi = schema.fieldIndex("file")
-          val bi = schema.fieldIndex("bytes")
-          val mi = schema.fieldIndex("mtime")
-          val byId = cached.rows.iterator.map(r =>
-            (r.getString(fi), r.getLong(bi), r.getLong(mi)) -> r).toMap
-          if (!live.forall(byId.contains)) None
+          val (live, foreignFiles) = walkDataFiles(spark, path)
+          // a visible non-parquet file is part of what the scan reads
+          // but can never carry manifest stats — the listing is not the
+          // scan's file set, so the completeness proof fails
+          if (live.isEmpty || foreignFiles ||
+              !live.forall(cached.byIdentity.contains)) None
           else {
             import scala.jdk.CollectionConverters._
-            val liveRows = live.map(byId)
+            val liveRows = live.map(cached.byIdentity)
             val m = spark.createDataFrame(liveRows.asJava, schema)
-            val inCond =
-              preds.map(allInCond).reduceOption(_ && _).getOrElse(lit(true))
-            // empty files and keepCond-disproved files contribute no
-            // rows; anything neither all-in nor all-out is partial
-            val outCond = col("rows") === 0L ||
-              preds.map(p => !keepCond(p)).reduceOption(_ || _)
-                .getOrElse(lit(false))
-            if (preds.nonEmpty &&
-                m.filter(!inCond && !outCond).limit(1).count() > 0) None
-            else {
-              val mIn = if (preds.isEmpty) m else m.filter(inCond)
-              val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
-                cols.flatMap(c =>
-                  Seq(min(col(s"${c}__min")).as(s"${c}__agg_mn"),
-                    max(col(s"${c}__max")).as(s"${c}__agg_mx"),
-                    coalesce(sum(col(s"${c}__nulls")), lit(0L))
-                      .as(s"${c}__agg_nl")))
-              val r = mIn.agg(aggs.head, aggs.tail: _*).head()
-              val total = r.getLong(r.fieldIndex("__total"))
-              val stats = cols.map { c =>
-                c -> ((r.get(r.fieldIndex(s"${c}__agg_mn")),
-                  r.get(r.fieldIndex(s"${c}__agg_mx")),
-                  r.getLong(r.fieldIndex(s"${c}__agg_nl"))))
-              }.toMap
-              Some((total, stats))
-            }
+            val mIn =
+              if (preds.isEmpty) m
+              else m.filter(preds.map(allInCond).reduce(_ && _))
+            val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
+              cols.flatMap(c =>
+                Seq(min(col(s"${c}__min")).as(s"${c}__agg_mn"),
+                  max(col(s"${c}__max")).as(s"${c}__agg_mx"),
+                  coalesce(sum(col(s"${c}__nulls")), lit(0L))
+                    .as(s"${c}__agg_nl")))
+            val r = mIn.agg(aggs.head, aggs.tail: _*).head()
+            val total = r.getLong(r.fieldIndex("__total"))
+            val stats = cols.map { c =>
+              c -> ((r.get(r.fieldIndex(s"${c}__agg_mn")),
+                r.get(r.fieldIndex(s"${c}__agg_mx")),
+                r.getLong(r.fieldIndex(s"${c}__agg_nl"))))
+            }.toMap
+            Some((total, stats))
           }
         }
       }

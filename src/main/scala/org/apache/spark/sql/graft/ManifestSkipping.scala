@@ -247,11 +247,9 @@ case class MetadataAggRule(session: SparkSession)
   private def classify(e: Expression, nameOf: AttributeReference => Option[String])
       : Option[(Option[String], Stats => Any)] = e match {
     case Alias(c, _) => classify(c, nameOf)
-    case l: Literal => Some((None, _ => l.value match {
-      // Literal.value is already catalyst-typed; hand it back as-is via
-      // a marker the caller recognizes (see convert below)
-      case v => CatalystLiteral(v, l.dataType)
-    }))
+    // Literal.value is already catalyst-typed; the marker tells the
+    // row builder to skip conversion
+    case l: Literal => Some((None, _ => CatalystLiteral(l.value)))
     case AggregateExpression(fn, _, false, None, _) => fn match {
       case Count(Seq(_: Literal)) => Some((None, s => s._1))
       case Count(Seq(a: AttributeReference)) =>
@@ -266,8 +264,7 @@ case class MetadataAggRule(session: SparkSession)
   }
 
   /** Marker for already-catalyst literal values (no conversion). */
-  private case class CatalystLiteral(value: Any,
-      dt: org.apache.spark.sql.types.DataType)
+  private case class CatalystLiteral(value: Any)
 
   private def tryRewrite(agg: Aggregate,
       child: LogicalPlan): Option[LogicalPlan] =
@@ -303,13 +300,19 @@ case class MetadataAggRule(session: SparkSession)
           if (classified.exists(_.isEmpty) || predsOpt.isEmpty) None
           else {
             val reqs = classified.map(_.get)
-            val needed = reqs.flatMap(_._1).distinct
+            val needed =
+              (reqs.flatMap(_._1) ++ predsOpt.get.map(_.column)).distinct
+            // the stats layer declines unless each needed column's stat
+            // type EQUALS the relation attribute's type — a read-schema
+            // upcast must fall back to a scan, not crash the converter
+            val types = needed.flatMap(c =>
+              lr.output.find(_.name == c).map(c -> _.dataType)).toMap
             Skipping.metadataAggStats(session, root, needed,
-              predsOpt.get).map { stats =>
+              predsOpt.get, types).map { stats =>
               val values = reqs.map(_._2(stats))
               val row = InternalRow.fromSeq(
                 agg.output.zip(values).map {
-                  case (_, CatalystLiteral(v, _)) => v
+                  case (_, CatalystLiteral(v)) => v
                   case (attr, v) => CatalystTypeConverters
                     .createToCatalystConverter(attr.dataType)(v)
                 })

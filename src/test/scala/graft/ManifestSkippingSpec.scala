@@ -319,6 +319,43 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scannedFiles(qs) > 0, "strict bound must decline the rewrite")
   }
 
+  test("metadata rewrite declines on foreign files and schema-type mismatch") {
+    val dir = tmp("meta_decline")
+    val df = spark.range(300).select(col("id"),
+      (col("id") % 10).cast("int").as("a"))
+    df.repartition(4).write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("a"))
+    assert(scannedFiles(spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n"))) == 0)
+    // a VISIBLE parquet data file without the .parquet suffix: Spark's
+    // scan reads it, the manifest can never cover it — the completeness
+    // proof must fail and the (duplicating) scan answer must stand
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, "datafile0"))
+    val q = spark.read.parquet(dir).agg(count(lit(1)).as("n"))
+    val real = spark.read.option("graft.noskip", "true").parquet(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(q.head() == real.head(), "foreign file broke scan equality")
+    assert(q.head().getLong(0) > 300L, "the foreign file holds real rows")
+    assert(scannedFiles(spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n"))) > 0,
+      "unsuffixed data file must decline the metadata rewrite")
+    // type gate at the stats API: a requested type differing from the
+    // stat's stored type answers None (read-schema upcast shape) —
+    // decline, never a converter crash
+    val dir2 = tmp("meta_types")
+    df.repartition(2).write.parquet(dir2)
+    Skipping.writeManifest(spark, dir2, Seq("a"))
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    assert(Skipping.metadataAggStats(spark, dir2, Seq("a"),
+      expectedTypes = Map("a" -> IntegerType)).isDefined)
+    assert(Skipping.metadataAggStats(spark, dir2, Seq("a"),
+      expectedTypes = Map("a" -> LongType)).isEmpty,
+      "stat/attribute type mismatch must decline")
+  }
+
   test("graft.noskip reader option opts a single read out of both rules") {
     val (dir, src) = writeClustered(500)
     // pruning rule bypassed: the filtered read opens every file
