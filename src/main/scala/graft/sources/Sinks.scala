@@ -83,8 +83,16 @@ object Sinks {
     * stream's epoch-0 files. Run [[compactParquet]] first — compaction
     * renames everything to plain part files, which no future epoch
     * touches. */
+  /** Returns the epoch's file DELTA, root-relative to `dir`: the files
+    * moved in — with the `(bytes, mtime)` identity captured at rename
+    * time, the exact key the skipping manifest needs — and the names a
+    * replay repair deleted. The OWNER-path manifest maintenance
+    * ([[graft.sources.Skipping.refreshManifestDelta]]) consumes this so
+    * a per-trigger refresh never lists the accumulated table. Callers
+    * that don't maintain a manifest simply ignore the value. */
   def appendEpoch(df: DataFrame, dir: String, epochId: Long,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil)
+      : (Seq[(String, Long, Long)], Seq[String]) = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
     val staging = s"$dir/.epoch-$epochId"
@@ -93,21 +101,29 @@ object Sinks {
       .parquet(staging)
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val addedB = Seq.newBuilder[(String, Long, Long)]
+    val removedB = Seq.newBuilder[String]
+    def relOf(rel: String, name: String): String =
+      if (rel.isEmpty) name else s"$rel/$name"
     // Replay repair happens PER destination directory the staged epoch
     // touches (not a full recursive listing of the whole index — that
     // would make per-batch cost grow with total accumulated file count).
     // Sound because foreachBatch replays the same batch data and the
     // write is deterministic, so a replay stages the same partition set
     // as the failed attempt.
-    def moveFiles(from: Path, to: Path): Unit = {
+    def moveFiles(from: Path, to: Path, rel: String): Unit = {
       fs.mkdirs(to)
       if (fs.exists(to))
         for (old <- fs.listStatus(to)
-             if old.getPath.getName.startsWith(s"epoch-$epochId-"))
+             if old.getPath.getName.startsWith(s"epoch-$epochId-")) {
           fs.delete(old.getPath, false)
+          removedB += relOf(rel, old.getPath.getName)
+        }
       var i = 0
       for (f <- fs.listStatus(from))
-        if (f.isDirectory) moveFiles(f.getPath, new Path(to, f.getPath.getName))
+        if (f.isDirectory)
+          moveFiles(f.getPath, new Path(to, f.getPath.getName),
+            relOf(rel, f.getPath.getName))
         else if (f.getPath.getName.endsWith(".parquet")) {
           val dest = new Path(to, s"epoch-$epochId-$i.parquet")
           // Hadoop reports most rename failures as `false`, not an
@@ -116,11 +132,15 @@ object Sinks {
           if (!fs.rename(f.getPath, dest))
             throw new IllegalStateException(
               s"appendEpoch: rename ${f.getPath} -> $dest failed")
+          val st = fs.getFileStatus(dest)
+          addedB += ((relOf(rel, dest.getName), st.getLen,
+            st.getModificationTime))
           i += 1
         }
     }
-    moveFiles(new Path(staging), dirPath)
+    moveFiles(new Path(staging), dirPath, "")
     fs.delete(new Path(staging), true)
+    (addedB.result(), removedB.result())
   }
 
   /** Compact a parquet directory in place: streaming/incremental appends

@@ -173,6 +173,33 @@ object Skipping {
         sum(col(c).isNull.cast("long")).as(s"${c}__nulls"))
     }
 
+  /** Per-file SUM stat for numeric indexed columns — what lets the
+    * metadata-aggregate rewrite answer `sum(col)`/`avg(col)` with zero
+    * files opened. Storage types are chosen for EXACTNESS, not size:
+    * integrals sum as `decimal(38,0)` (a per-file long sum can overflow
+    * Long, and under ANSI mode that would fail the manifest build
+    * itself; 38 digits cannot overflow on any physical file), decimals
+    * widen to precision 38 at their own scale, float/double sum as
+    * double (the same accumulator class Spark's own Sum uses). A null
+    * sum over a file WITH non-null rows (type drift, astronomically
+    * overflowed decimal) is detected at aggregation time and declines
+    * the rewrite — see [[metadataAggStats]]. */
+  private[sources] def sumEligible(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case _ => false
+  }
+
+  private def sumStatCol(c: String, dt: DataType): Column = {
+    import org.apache.spark.sql.types._
+    val proxy = dt match {
+      case _: DecimalType =>
+        col(c).cast(DecimalType(38, dt.asInstanceOf[DecimalType].scale))
+      case FloatType | DoubleType => col(c).cast(DoubleType)
+      case _ => col(c).cast(DecimalType(38, 0)) // integral
+    }
+    sum(proxy).as(s"${c}__sum")
+  }
+
   // ------------------------------------------------------- bloom sidecar
 
   /** Per-file Bloom filter aggregation over xxhash64(column) — the
@@ -259,12 +286,19 @@ object Skipping {
     // the identity the driver listed just before statting — joined back
     // onto the tiny per-file aggregate (one row per file on both sides)
     val identity = files.toDF("file", "bytes", "mtime")
+    val src = spark.read.option("basePath", tableRoot)
+      .parquet(files.map(f => s"$tableRoot/${f._1}"): _*)
+    // numeric indexed columns also carry a per-file sum (the
+    // sum/avg metadata-aggregate input) — eligibility read off the
+    // resolved scan schema, so hive partition columns qualify too
+    val sumCols = cols.filter(c =>
+      src.schema.fields.find(_.name == c).exists(f => sumEligible(f.dataType)))
     // group on the raw URI (codegen'd), relativize once per FILE on the
     // tiny aggregated result — not a UDF per row
-    val aggs = statCols(cols) ++ bloomCols.map(c =>
-      bloomUdaf(xxhash64(col(c))).as(s"${c}__bloom"))
-    val statted = spark.read.option("basePath", tableRoot)
-      .parquet(files.map(f => s"$tableRoot/${f._1}"): _*)
+    val aggs = statCols(cols) ++
+      sumCols.map(c => sumStatCol(c, src.schema(c).dataType)) ++
+      bloomCols.map(c => bloomUdaf(xxhash64(col(c))).as(s"${c}__bloom"))
+    val statted = src
       .groupBy(input_file_name().as("__uri"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
       .withColumn("file", rel(col("__uri")))
@@ -280,6 +314,7 @@ object Skipping {
         (cols.flatMap(c =>
           Seq(col(s"${c}__min"), col(s"${c}__max"),
             coalesce(col(s"${c}__nulls"), lit(0L)).as(s"${c}__nulls"))) ++
+         sumCols.map(c => col(s"${c}__sum")) ++
          bloomCols.map(c => col(s"${c}__bloom"))): _*)
   }
 
@@ -377,10 +412,12 @@ object Skipping {
           .coalesce(bloomWriteParts(files.size))
           .write.mode(SaveMode.Overwrite).parquet(bloomColPath(path, c))
       }
-      m.drop(bloomCols.map(c => s"${c}__bloom"): _*)
+      val seg = m.drop(bloomCols.map(c => s"${c}__bloom"): _*)
         .withColumn(SeqCol, lit(0L)).withColumn(RemovedCol, lit(false))
-        .coalesce(1).write.mode(SaveMode.Overwrite)
+      seg.coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(manifestPath(path))
+      ownerManifests.put(path,
+        OwnerManifest(0L, seg.schema, bloomCols.toSet))
     } finally if (bloomCols.nonEmpty) m.unpersist()
     invalidateManifestProbe()
   }
@@ -417,34 +454,57 @@ object Skipping {
   def refreshManifest(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil): (Long, Long) = {
     val current = dataFilesWithIdentity(spark, path)
-    val expected = (Seq("file", "bytes", "mtime", "rows", SeqCol,
-      RemovedCol) ++ cols.flatMap(c =>
-      Seq(s"${c}__min", s"${c}__max", s"${c}__nulls"))).toSet
     readManifestRaw(spark, path) match {
       case Some(raw)
-          if raw.columns.toSet == expected &&
+          if manifestCompatible(raw.schema, cols) &&
             bloomColumns(spark, path).toSet == bloomCols.toSet =>
-        // bounded collect: one row per segment row — live entries plus
-        // garbage bounded by the fold cadence; the same driver-memory
-        // class as scan planning's file listing
-        val slim = raw.select("file", "bytes", "mtime", SeqCol, RemovedCol)
-          .collect()
-        val maxSeq = slim.iterator.map(_.getLong(3)).foldLeft(0L)(math.max)
-        val live = slim.groupBy(_.getString(0)).iterator.map {
-          case (_, rs) => rs.maxBy(_.getLong(3))
-        }.collect { case r if !r.getBoolean(4) =>
-          (r.getString(0), r.getLong(1), r.getLong(2)) }.toSet
-        val added = current.filterNot(live).sortBy(_._1)
-        val removed = live -- current.toSet
-        if (added.isEmpty && removed.isEmpty) (0L, 0L)
-        else {
+        val (maxSeq, added, removed) =
+          if (manifestBytes(spark, path) <= manifestDiffDriverMaxBytes) {
+            // bounded collect: one row per segment row — live entries
+            // plus garbage bounded by the fold cadence; the same
+            // driver-memory class as scan planning's file listing
+            val slim = raw.select("file", "bytes", "mtime", SeqCol,
+              RemovedCol).collect()
+            val mx = slim.iterator.map(_.getLong(3)).foldLeft(0L)(math.max)
+            val live = slim.groupBy(_.getString(0)).iterator.map {
+              case (_, rs) => rs.maxBy(_.getLong(3))
+            }.collect { case r if !r.getBoolean(4) =>
+              (r.getString(0), r.getLong(1), r.getLong(2)) }.toSet
+            (mx, current.filterNot(live).sortBy(_._1),
+              (live -- current.toSet).iterator.map(_._1).toSeq)
+          } else {
+            // past the driver budget the diff runs as anti-joins between
+            // the listing and the folded manifest — only the (small)
+            // DELTA is ever collected; the whole-log slim collect above
+            // would hold every segment row on the driver
+            import spark.implicits._
+            val listing = current.toDF("file", "bytes", "mtime")
+            val live = foldKeepSeq(raw).select("file", "bytes", "mtime")
+            val add = listing
+              .join(live, Seq("file", "bytes", "mtime"), "left_anti")
+              .collect().map(r =>
+                (r.getString(0), r.getLong(1), r.getLong(2)))
+              .toSeq.sortBy(_._1)
+            val rem = live
+              .join(listing, Seq("file", "bytes", "mtime"), "left_anti")
+              .select("file").collect().map(_.getString(0)).toSeq
+            val mx = raw.agg(coalesce(max(col(SeqCol)), lit(0L)))
+              .head().getLong(0)
+            (mx, add, rem)
+          }
+        if (added.isEmpty && removed.isEmpty) {
+          ownerManifests.put(path,
+            OwnerManifest(maxSeq, raw.schema, bloomCols.toSet))
+          (0L, 0L)
+        } else {
           val currentNames = current.map(_._1).toSet
           // tombstones only for NAMES that vanished — a changed file's
           // fresh stat row shadows its old entry by seq on its own
-          val gone = removed.iterator.map(_._1)
-            .filterNot(currentNames).toSeq.sorted
+          val gone = removed.filterNot(currentNames).distinct.sorted
           appendSegment(spark, path, cols, bloomCols, added, gone,
             maxSeq + 1L, raw.schema)
+          ownerManifests.put(path,
+            OwnerManifest(maxSeq + 1L, raw.schema, bloomCols.toSet))
           invalidateManifestProbe()
           maybeFold(spark, path)
           (added.size.toLong, removed.size.toLong)
@@ -453,6 +513,88 @@ object Skipping {
         writeManifest(spark, path, cols, bloomCols)
         (current.size.toLong, 0L)
     }
+  }
+
+  /** Total bytes under the stats-manifest directory (0 on any failure)
+    * — the distributed-diff switch for [[refreshManifest]]. */
+  private def manifestBytes(spark: SparkSession, path: String): Long =
+    try fs(spark, path).getContentSummary(
+      new Path(manifestPath(path))).getLength
+    catch { case _: Exception => 0L }
+
+  /** Above this many manifest-directory bytes, [[refreshManifest]]
+    * computes its added/removed diff distributed (anti-joins, collect
+    * only the delta) instead of collecting the whole slim segment log
+    * on the driver. Default 16 MB (~200k slim rows). Override with
+    * `-Dgraft.skipping.manifestDiffDriverMaxBytes=n`. */
+  private def manifestDiffDriverMaxBytes: Long =
+    sys.props.get("graft.skipping.manifestDiffDriverMaxBytes")
+      .map(_.toLong).getOrElse(16L << 20)
+
+  /** What the single WRITER of a table knows about its manifest —
+    * next-segment sequencing and the segment schema — so its per-trigger
+    * maintenance can skip both the full table listing and any read of
+    * the accumulated segment log ([[refreshManifestDelta]]). Seeded by
+    * every full [[writeManifest]]/[[refreshManifest]] in this JVM,
+    * dropped by [[evictTable]]; the single-writer ingest lease is what
+    * makes "this JVM's view" authoritative between reconciles. */
+  private final case class OwnerManifest(seq: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      bloomCols: Set[String])
+  private val ownerManifests =
+    new java.util.concurrent.ConcurrentHashMap[String, OwnerManifest]()
+
+  /** OWNER-path manifest maintenance — O(delta) end to end. The caller
+    * (a single-writer ingest holding the lease) passes the files it
+    * KNOWS it appended (with the identity captured at rename time) and
+    * the names it knows it removed; this appends one O(delta) segment —
+    * no table listing, no segment-log read — and bumps the in-memory
+    * sequence. Returns false when this JVM holds no (compatible) owner
+    * state for the table — first trigger after a restart, a fold/
+    * compaction that rebuilt the directory, or a column-set change —
+    * and the caller must reconcile with a full [[refreshManifest]]
+    * (whose listing also picks up any out-of-band files; callers
+    * reconcile on fold cadence regardless, which bounds how long an
+    * out-of-band file stays unindexed — unindexed means unpruned and
+    * metadata-declined, never unread). A name in both `added` and
+    * `removed` (a replayed epoch's repair rewrote it in place) is
+    * simply restatted — the fresh row shadows the old one by seq. */
+  def refreshManifestDelta(spark: SparkSession, path: String,
+      cols: Seq[String], bloomCols: Seq[String],
+      added: Seq[(String, Long, Long)], removed: Seq[String]): Boolean = {
+    val st = ownerManifests.get(path)
+    if (st == null || st.bloomCols != bloomCols.toSet ||
+        !manifestCompatible(st.schema, cols)) false
+    else {
+      val addedNames = added.map(_._1).toSet
+      val gone = removed.distinct.filterNot(addedNames).sorted
+      if (added.nonEmpty || gone.nonEmpty) {
+        val seq = st.seq + 1L
+        appendSegment(spark, path, cols, bloomCols, added.sortBy(_._1),
+          gone, seq, st.schema)
+        ownerManifests.put(path, st.copy(seq = seq))
+        invalidateManifestProbe()
+        maybeFold(spark, path)
+      }
+      true
+    }
+  }
+
+  /** Is an existing manifest's schema the incremental-refresh shape for
+    * this indexed column set? `__sum` columns are OPTIONAL per column
+    * (legacy manifests lack them; non-numeric columns never carry
+    * them) but may only name indexed columns — anything else falls
+    * back to a full rebuild. */
+  private def manifestCompatible(
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Boolean = {
+    val names = schema.fieldNames.toSet
+    val sums = names.filter(_.endsWith("__sum")).map(_.dropRight(5))
+    val expected = (Seq("file", "bytes", "mtime", "rows", SeqCol,
+      RemovedCol) ++ cols.flatMap(c =>
+      Seq(s"${c}__min", s"${c}__max", s"${c}__nulls")) ++
+      sums.map(c => s"${c}__sum")).toSet
+    sums.subsetOf(cols.toSet) && names == expected
   }
 
   /** One appended stats segment: fresh rows for `added` at `seq`,
@@ -481,10 +623,17 @@ object Skipping {
             .write.mode(SaveMode.Append).parquet(bloomColPath(path, c))
         }
       }
-      val statRows = persisted.map(
-        _.drop(bloomCols.map(c => s"${c}__bloom"): _*)
+      val statRows = persisted.map { s0 =>
+        val s1 = s0.drop(bloomCols.map(c => s"${c}__bloom"): _*)
           .withColumn(SeqCol, lit(seq)).withColumn(RemovedCol, lit(false))
-          .select(segSchema.fieldNames.map(col): _*))
+        val have = s1.columns.toSet
+        // a `__sum` the segment schema carries but this stat pass did
+        // not produce (the column's read type drifted non-numeric)
+        // null-fills: unknown sum = the rewrite declines, never lies
+        s1.select(segSchema.fields.map(f =>
+          if (have(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      }
       val tombRows =
         if (gone.isEmpty) None
         else {
@@ -512,7 +661,7 @@ object Skipping {
 
   /** Stats segments accumulated past this part-file count trigger a
     * fold. Override with `-Dgraft.skipping.manifestFoldSegments=n`. */
-  private def manifestFoldSegments: Int =
+  private[graft] def manifestFoldSegments: Int =
     sys.props.get("graft.skipping.manifestFoldSegments").map(_.toInt)
       .getOrElse(16)
 
@@ -557,10 +706,14 @@ object Skipping {
         foldKeepSeq(raw).coalesce(statParts)
           .write.mode(SaveMode.Overwrite).parquet(staged)
         f.delete(mp, true)
-        if (!f.rename(ps, mp))
+        if (!f.rename(ps, mp)) {
+          // the manifest is gone: owner-path delta appends must not
+          // recreate it from a bare delta — force a full reconcile
+          ownerManifests.remove(path)
           throw new IllegalStateException(
             s"foldManifest: rename $staged failed; skipping degrades to " +
             "full scans until the next manifest write")
+        }
         invalidateManifestProbe()
         // Bloom GC — only columns whose sidecar is itself fragmented.
         // Failures degrade, never fail the refresh: a kept-stale sidecar
@@ -643,11 +796,26 @@ object Skipping {
       rows.iterator.map(r =>
         (r.getString(fi), r.getLong(bi), r.getLong(mi)) -> r).toMap
     }
-    /** predsKey -> "some cached row is PARTIAL under these preds" — a
+    /** preds -> "some cached row is PARTIAL under these preds" — a
       * pure function of (sig, preds), memoized so a declining filtered
-      * aggregate doesn't re-evaluate per fixed-point iteration. */
+      * aggregate doesn't re-evaluate per fixed-point iteration. Keyed
+      * by the structured predicate list itself (case-class equality):
+      * a joined-string key would let distinct lists collide on
+      * unescaped separator characters inside string literals, and a
+      * reused hasPartial=false verdict silently answers a filtered
+      * aggregate wrong. */
     val partialVerdicts =
-      new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      new java.util.concurrent.ConcurrentHashMap[Seq[Pred], Boolean]()
+    /** groupCols -> "some cached row is MULTI-VALUED in these columns"
+      * — the grouped rewrite's decline, memoized for the same reason:
+      * a GROUP BY over a non-constant key would otherwise pay the
+      * single-valued probe (and worse, the live listing behind it) per
+      * optimizer invocation. Conservative superset: evaluated over ALL
+      * cached rows ignoring any predicate, so a pred-excluded
+      * multi-valued file adds a spurious decline, never a wrong
+      * answer. */
+    val groupVerdicts =
+      new java.util.concurrent.ConcurrentHashMap[Seq[String], Boolean]()
   }
 
   private val manifestCache =
@@ -699,6 +867,8 @@ object Skipping {
   def evictTable(path: String): Unit = {
     manifestCache.remove(path)
     manifestProbe.remove(path)
+    identityDeclines.remove(path)
+    ownerManifests.remove(path)
   }
 
   /** Test probe: table paths currently resident in the planning cache. */
@@ -775,8 +945,130 @@ object Skipping {
     }
   }
 
+  /** Exact per-column aggregate inputs a metadata-only rewrite hands
+    * back: global (or per-group) min/max/null-count, plus the exact
+    * sum when the manifest carries a trustworthy `__sum` for the
+    * column (`None` = no sum stat, or some counted file's sum is
+    * unknown — the Sum/Average rewrite must decline; `Some(null)` =
+    * zero non-null rows, the aggregate's own null result). */
+  final case class ColStats(min: Any, max: Any, nulls: Long,
+      sum: Option[Any])
+
+  /** (path -> (sig, when)) of identity/foreign completeness-proof
+    * FAILURES — memoized with a short TTL because AQE re-optimizes the
+    * logical plan per stage, and a permanently stale table (foreign
+    * file, drifted identity) would otherwise pay a full recursive
+    * listing per optimizer invocation of the rule. SUCCESS is never
+    * memoized: the live listing IS the freshness proof. The TTL (the
+    * existence probe's) bounds how long an externally repaired table
+    * keeps declining; any manifest write changes `sig` and retries
+    * immediately. */
+  private val identityDeclines =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** The LIVE manifest rows as a driver-local frame, provided the
+    * metadata rewrite's completeness proof holds:
+    *  - every `needed` column is stat-indexed with the expected type;
+    *  - `preds` (if any) prove every cached row all-in or all-out —
+    *    one PARTIAL file declines (memoized per (sig, preds));
+    *  - every live data file identity-matches `(bytes, mtime)` a live
+    *    manifest row, and no visible foreign (non-parquet) file exists.
+    * The returned frame holds ALL live rows (not pred-filtered); the
+    * caller applies [[allInCond]] itself. The live listing is never
+    * cached — it is the freshness proof — but its FAILURES are
+    * TTL-memoized (see [[identityDeclines]]). */
+  private def metadataLiveFrame(spark: SparkSession, path: String,
+      needed: Seq[String], preds: Seq[Pred],
+      expectedTypes: Map[String, DataType])
+      : Option[(DataFrame, org.apache.spark.sql.types.StructType)] =
+    manifestSignature(spark, path).flatMap { sig =>
+      cachedManifest(spark, path, sig).flatMap { cached =>
+        val schema = cached.schema
+        // cheap pure checks first; the LIVE LISTING comes last and is
+        // never cached — it is the freshness proof (an appended or
+        // rewritten file must disable the rewrite IMMEDIATELY, the
+        // contract the specs pin)
+        val colsOk =
+          needed.forall(c => schema.fieldNames.contains(s"${c}__min")) &&
+          schema.fieldNames.contains("bytes") &&
+          // a read-schema upcast (int column read as long) would hand
+          // the converter a stat of the WRONG runtime class — decline
+          // instead of crashing when the caller's types don't match
+          needed.forall(c => expectedTypes.get(c).forall(
+            _ == schema(s"${c}__min").dataType))
+        if (!colsOk) None
+        else {
+          // "some cached row is PARTIAL under preds" is a pure function
+          // of (signature, preds) — memoized, so a declining filtered
+          // aggregate costs nothing on re-application. Conservative
+          // superset: evaluated over ALL cached rows (a shadowed row
+          // can only add a spurious decline, never a wrong answer).
+          val hasPartial = preds.nonEmpty && cached.partialVerdicts
+            .computeIfAbsent(preds, _ => {
+              import scala.jdk.CollectionConverters._
+              val all = spark.createDataFrame(cached.rows.asJava, schema)
+              val inCond = preds.map(allInCond).reduce(_ && _)
+              val outCond = col("rows") === 0L ||
+                preds.map(p => !keepCond(p)).reduce(_ || _)
+              all.filter(!inCond && !outCond).limit(1).collect().nonEmpty
+            })
+          val declined = identityDeclines.get(path)
+          if (hasPartial) None
+          else if (declined != null && declined._1 == sig &&
+              System.currentTimeMillis() - declined._2 < ProbeTtlMs) None
+          else {
+            val (live, foreignFiles) = walkDataFiles(spark, path)
+            // a visible non-parquet file is part of what the scan reads
+            // but can never carry manifest stats — the listing is not
+            // the scan's file set, so the completeness proof fails
+            if (live.isEmpty || foreignFiles ||
+                !live.forall(cached.byIdentity.contains)) {
+              identityDeclines.put(path,
+                (sig, System.currentTimeMillis()))
+              None
+            } else {
+              import scala.jdk.CollectionConverters._
+              val liveRows = live.map(cached.byIdentity)
+              Some((spark.createDataFrame(liveRows.asJava, schema), schema))
+            }
+          }
+        }
+      }
+    }
+
+  /** The per-column aggregate expressions over manifest stat rows:
+    * min-of-mins, max-of-maxes, sum-of-null-counts, and (when the
+    * manifest carries `__sum`) sum-of-sums plus a "some counted file's
+    * sum is unknown though it has non-null rows" poison flag. */
+  private def colAggExprs(schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Seq[Column] =
+    cols.flatMap { c =>
+      val base = Seq(min(col(s"${c}__min")).as(s"${c}__agg_mn"),
+        max(col(s"${c}__max")).as(s"${c}__agg_mx"),
+        coalesce(sum(col(s"${c}__nulls")), lit(0L)).as(s"${c}__agg_nl"))
+      if (!schema.fieldNames.contains(s"${c}__sum")) base
+      else base ++ Seq(
+        sum(col(s"${c}__sum")).as(s"${c}__agg_sm"),
+        coalesce(sum(when(col(s"${c}__sum").isNull &&
+            col("rows") =!= col(s"${c}__nulls"), lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as(s"${c}__agg_sbad"))
+    }
+
+  private def colStatsOf(r: org.apache.spark.sql.Row,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Map[String, ColStats] =
+    cols.map { c =>
+      val sum =
+        if (!schema.fieldNames.contains(s"${c}__sum")) None
+        else if (r.getLong(r.fieldIndex(s"${c}__agg_sbad")) != 0L) None
+        else Some(r.get(r.fieldIndex(s"${c}__agg_sm")))
+      c -> ColStats(r.get(r.fieldIndex(s"${c}__agg_mn")),
+        r.get(r.fieldIndex(s"${c}__agg_mx")),
+        r.getLong(r.fieldIndex(s"${c}__agg_nl")), sum)
+    }.toMap
+
   /** Driver-computed GLOBAL aggregate inputs for a metadata-only
-    * rewrite: `Some((totalRows, col -> (min, max, nullCount)))` for the
+    * rewrite: `Some((totalRows, col -> [[ColStats]]))` for the
     * requested columns over the files `preds` PROVABLY fully includes,
     * or `None` unless the rewrite is exact:
     *  - every live data file must identity-match `(bytes, mtime)` a
@@ -788,81 +1080,98 @@ object Skipping {
     *    can — [[keepCond]] disproof, or an empty file); one PARTIAL
     *    file declines the whole rewrite, the caller scans instead.
     * The aggregation itself runs over the cached manifest rows through
-    * a LocalRelation frame, so min/max/null semantics (NaN ordering,
-    * null skipping, decimal/timestamp comparisons) are exactly Spark's
-    * own. Cost: one live listing + the cached manifest — the same
-    * planning class as the scan it replaces. */
+    * a LocalRelation frame, so min/max/null/sum semantics (NaN
+    * ordering, null skipping, decimal/timestamp comparisons) are
+    * exactly Spark's own; a decimal overflow in the sum-of-sums answers
+    * None (the scan's own ANSI/TRY behavior stands). Cost: one live
+    * listing + the cached manifest — the same planning class as the
+    * scan it replaces. */
   def metadataAggStats(spark: SparkSession, path: String,
       cols: Seq[String], preds: Seq[Pred] = Nil,
       expectedTypes: Map[String, DataType] = Map.empty)
-      : Option[(Long, Map[String, (Any, Any, Long)])] =
-    manifestSignature(spark, path).flatMap(sig =>
-      cachedManifest(spark, path, sig)).flatMap { cached =>
-      val schema = cached.schema
-      val needed = (cols ++ preds.map(_.column)).distinct
-      // cheap pure checks first; the LIVE LISTING comes last and is
-      // never cached — it is the freshness proof (an appended or
-      // rewritten file must disable the rewrite IMMEDIATELY, the
-      // contract the specs pin)
-      val colsOk =
-        needed.forall(c => schema.fieldNames.contains(s"${c}__min")) &&
-        schema.fieldNames.contains("bytes") &&
-        // a read-schema upcast (int column read as long) would hand the
-        // converter a stat of the WRONG runtime class — decline instead
-        // of crashing when the caller's types don't match the stats'
-        needed.forall(c => expectedTypes.get(c).forall(
-          _ == schema(s"${c}__min").dataType))
-      if (!colsOk) None
-      else {
-        // "some cached row is PARTIAL under preds" is a pure function of
-        // (signature, preds) — memoized, so a declining filtered
-        // aggregate costs nothing on re-application. Conservative
-        // superset: evaluated over ALL cached rows (a shadowed row can
-        // only add a spurious decline, never a wrong answer). Collected
-        // over a LocalRelation — Catalyst collapses it driver-side.
-        val predsKey = preds.mkString(";")
-        val hasPartial = preds.nonEmpty && cached.partialVerdicts
-          .computeIfAbsent(predsKey, _ => {
-            import scala.jdk.CollectionConverters._
-            val all = spark.createDataFrame(cached.rows.asJava, schema)
-            val inCond = preds.map(allInCond).reduce(_ && _)
-            val outCond = col("rows") === 0L ||
-              preds.map(p => !keepCond(p)).reduce(_ || _)
-            all.filter(!inCond && !outCond).limit(1).collect().nonEmpty
-          })
-        if (hasPartial) None
-        else {
-          val (live, foreignFiles) = walkDataFiles(spark, path)
-          // a visible non-parquet file is part of what the scan reads
-          // but can never carry manifest stats — the listing is not the
-          // scan's file set, so the completeness proof fails
-          if (live.isEmpty || foreignFiles ||
-              !live.forall(cached.byIdentity.contains)) None
-          else {
-            import scala.jdk.CollectionConverters._
-            val liveRows = live.map(cached.byIdentity)
-            val m = spark.createDataFrame(liveRows.asJava, schema)
-            val mIn =
-              if (preds.isEmpty) m
-              else m.filter(preds.map(allInCond).reduce(_ && _))
-            val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
-              cols.flatMap(c =>
-                Seq(min(col(s"${c}__min")).as(s"${c}__agg_mn"),
-                  max(col(s"${c}__max")).as(s"${c}__agg_mx"),
-                  coalesce(sum(col(s"${c}__nulls")), lit(0L))
-                    .as(s"${c}__agg_nl")))
-            val r = mIn.agg(aggs.head, aggs.tail: _*).head()
-            val total = r.getLong(r.fieldIndex("__total"))
-            val stats = cols.map { c =>
-              c -> ((r.get(r.fieldIndex(s"${c}__agg_mn")),
-                r.get(r.fieldIndex(s"${c}__agg_mx")),
-                r.getLong(r.fieldIndex(s"${c}__agg_nl"))))
-            }.toMap
-            Some((total, stats))
-          }
-        }
+      : Option[(Long, Map[String, ColStats])] = {
+    val needed = (cols ++ preds.map(_.column)).distinct
+    metadataLiveFrame(spark, path, needed, preds, expectedTypes)
+      .flatMap { case (m, schema) =>
+        val mIn =
+          if (preds.isEmpty) m
+          else m.filter(preds.map(allInCond).reduce(_ && _))
+        val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
+          colAggExprs(schema, cols)
+        try {
+          val r = mIn.agg(aggs.head, aggs.tail: _*).head()
+          val total = r.getLong(r.fieldIndex("__total"))
+          Some((total, colStatsOf(r, schema, cols)))
+        } catch { case _: Exception => None } // e.g. decimal sum overflow
       }
-    }
+  }
+
+  /** Per-GROUP aggregate inputs for a metadata-only `GROUP BY` rewrite
+    * over FILE-CONSTANT grouping columns: every live (non-empty,
+    * pred-included) file must be single-valued in every grouping
+    * column — zero nulls with `min == max` (the group key), or
+    * all-null (the SQL null group); one multi-valued file declines.
+    * All of [[metadataAggStats]]' exactness gates apply on top. Returns
+    * one entry per group: (group-key values by column, rows,
+    * per-column [[ColStats]]). Zero groups (every file all-out) is a
+    * VALID answer — grouped aggregation over no rows yields no rows. */
+  def metadataGroupStats(spark: SparkSession, path: String,
+      groupCols: Seq[String], cols: Seq[String], preds: Seq[Pred] = Nil,
+      expectedTypes: Map[String, DataType] = Map.empty)
+      : Option[Seq[(Map[String, Any], Long, Map[String, ColStats])]] = {
+    val needed = (groupCols ++ cols ++ preds.map(_.column)).distinct
+    def constantCond(schema: org.apache.spark.sql.types.StructType) =
+      groupCols.map { g =>
+        col(s"${g}__nulls") === col("rows") ||
+          (col(s"${g}__nulls") === 0L &&
+            col(s"${g}__min") === col(s"${g}__max"))
+      }.reduce(_ && _)
+    // the single-valued proof runs — MEMOIZED — over the cached rows
+    // BEFORE the live listing: a GROUP BY over a non-constant key is a
+    // permanent decline for this manifest state, and must not pay a
+    // recursive table listing per optimizer invocation (AQE re-plans
+    // per stage). Empty files can't violate (no rows in any group).
+    val multiValued = manifestSignature(spark, path)
+      .flatMap(sig => cachedManifest(spark, path, sig)).forall { cached =>
+        !groupCols.forall(g =>
+          cached.schema.fieldNames.contains(s"${g}__min")) ||
+        cached.groupVerdicts.computeIfAbsent(groupCols, _ =>
+          try {
+            import scala.jdk.CollectionConverters._
+            val all = spark.createDataFrame(cached.rows.asJava,
+              cached.schema)
+            all.filter(col("rows") > 0L &&
+                !coalesce(constantCond(cached.schema), lit(false)))
+              .limit(1).collect().nonEmpty
+          } catch { case _: Exception => true })
+      }
+    if (multiValued) None
+    else metadataLiveFrame(spark, path, needed, preds, expectedTypes)
+      .flatMap { case (m, schema) =>
+        val mIn0 =
+          if (preds.isEmpty) m
+          else m.filter(preds.map(allInCond).reduce(_ && _))
+        // empty files carry no rows for ANY group — drop them before
+        // grouping (their null min==max would read as a spurious null
+        // group)
+        val mIn = mIn0.filter(col("rows") > 0L)
+        try {
+          val keys = groupCols.map(g =>
+            when(col(s"${g}__nulls") === col("rows"), lit(null))
+              .otherwise(col(s"${g}__min")).as(s"${g}__key"))
+          val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
+            colAggExprs(schema, cols)
+          val rows = mIn.groupBy(keys: _*)
+            .agg(aggs.head, aggs.tail: _*).collect().toSeq
+          Some(rows.map { r =>
+            val key = groupCols.map(g =>
+              g -> r.get(r.fieldIndex(s"${g}__key"))).toMap
+            (key, r.getLong(r.fieldIndex("__total")),
+              colStatsOf(r, schema, cols))
+          })
+        } catch { case _: Exception => None }
+      }
+  }
 
   private def droppedFilesCached(spark: SparkSession, path: String,
       preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] = {
@@ -1504,6 +1813,53 @@ object Skipping {
           q.withColumn("metadata_only", lit(nf == 0)))
       }
     }),
+    // metadata-only SUM/AVG: per-file exact sums ride the manifest, so
+    // the archetypal dashboard aggregate (sum over a numeric column)
+    // answers with zero files opened — the flag is hashed, a silent
+    // decline is a correctness failure
+    "ix_meta_sum" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_sum", "build") {
+        val t = tmpTable("graft_metasum")
+        eventsWithBucket(s, dir).repartition(16).write.parquet(t)
+        writeManifest(s, t, Seq("event_id", "uid_bucket", "value"))
+        t
+      }
+      GateTimings.timed("ix_meta_sum", "probe") {
+        val q = s.read.parquet(tmp)
+          .agg(count(lit(1)).as("n"),
+            sum(col("event_id")).as("sum_id"),
+            sum(col("uid_bucket")).as("sum_bucket"),
+            avg(col("event_id")).as("avg_id"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("metadata_only", lit(nf == 0)))
+      }
+    }),
+    // metadata-only GROUP BY over a FILE-CONSTANT key (hive layout):
+    // count/sum/min/max fold per file-group from the manifest — the
+    // partition-wise rollup shape, zero files opened
+    "ix_meta_group" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_group", "build") {
+        val t = tmpTable("graft_metagroup")
+        eventsWithBucket(s, dir).repartition(8)
+          .write.partitionBy("event_type").parquet(t)
+        writeManifest(s, t, Seq("event_type", "event_id", "user_id"))
+        t
+      }
+      GateTimings.timed("ix_meta_group", "probe") {
+        val q = s.read.parquet(tmp)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("user_id")).as("sum_uid"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("metadata_only", lit(nf == 0)))
+      }
+    }),
     // null-count pruning: IS NULL keeps only files that HOLD nulls —
     // the manifest dimension min/max cannot express
     "ix_null_skip" -> ((s, dir) => {
@@ -1572,6 +1928,20 @@ object Skipping {
         |  min(event_id) AS min_id, max(event_id) AS max_id,
         |  CAST(1 AS BOOLEAN) AS metadata_only
         |FROM events WHERE event_type = 'click'""".stripMargin,
+    "ix_meta_sum" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id % 100) AS BIGINT) AS sum_bucket,
+        |  avg(event_id) AS avg_id,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM events""".stripMargin,
+    "ix_meta_group" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM events GROUP BY event_type""".stripMargin,
     "ix_null_skip" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

@@ -466,7 +466,8 @@ object Streams {
   def tableIngest(spark: SparkSession, rows: DataFrame, tablePath: String,
       indexCols: Seq[String], bloomCols: Seq[String] = Nil,
       layoutCols: Seq[String] = Nil, filesPerEpoch: Int = 0,
-      compactEvery: Int = 0, checkpointDir: Option[String] = None)
+      compactEvery: Int = 0, checkpointDir: Option[String] = None,
+      reconcileEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (checkpointDir.isEmpty &&
         graft.sources.Sinks.hasRecoverableEpochFiles(spark, tablePath))
@@ -513,6 +514,7 @@ object Streams {
           }
         graft.sources.Sinks.renewIngestLease(s, tablePath, leaseToken)
         graft.sources.Sinks.recoverCompactSwap(s, tablePath)
+        var compacted = false
         if (compactEvery > 0 && epochId > 0 &&
             epochId % compactEvery == 0 &&
             graft.sources.Sinks.hasVisibleData(s, tablePath)) {
@@ -543,22 +545,43 @@ object Streams {
                   .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
                   .parquet(staged)
               }))
+          // the swap replaced every file AND removed the manifest with
+          // the old directory: this JVM's owner state (and planning
+          // caches) for the table are now about a directory that no
+          // longer exists — drop them so the refresh below reconciles
+          // from scratch instead of appending a bare-delta manifest
+          graft.sources.Skipping.evictTable(tablePath)
+          compacted = true
         }
         val clustered = cluster(batch)
         // the compaction swap carried the lease away with the old
         // directory — re-establish it before the slow append/stat work
         graft.sources.Sinks.renewIngestLease(s, tablePath, leaseToken)
-        graft.sources.Sinks.appendEpoch(
+        val (addedFiles, removedNames) = graft.sources.Sinks.appendEpoch(
           clustered.localCheckpoint(true), tablePath, epochId)
-        // delta-cost manifest maintenance INSIDE the exactly-once seam:
-        // the checkpoint commits this batch only after its files are
-        // both appended AND statted — a crash between the two replays
-        // the epoch, and the identity gate handles the overlap. (After
-        // a compaction trigger the swap removed the manifest with the
-        // old directory, so the refresh is a full rebuild — the table
-        // was just fully rewritten anyway, same cost class.)
-        graft.sources.Skipping.refreshManifest(s, tablePath,
-          statCols, blooms)
+        // Manifest maintenance INSIDE the exactly-once seam: the
+        // checkpoint commits this batch only after its files are both
+        // appended AND statted — a crash between the two replays the
+        // epoch, and the identity gate handles the overlap.
+        //
+        // OWNER-path delta refresh (O(delta) END TO END): the lease
+        // makes this stream the table's only writer, and appendEpoch
+        // just reported exactly which files it moved in (with rename-
+        // time identity) and which a replay repair deleted — so the
+        // per-trigger refresh stats ONLY those files, with no table
+        // listing and no segment-log read. A full listing reconcile
+        // runs on `reconcileEvery` cadence (default: the manifest fold
+        // cadence) and after a compaction swap, picking up any
+        // out-of-band file — which until then is merely unindexed
+        // (read, never pruned; metadata rewrites decline on it).
+        val everyN = if (reconcileEvery > 0) reconcileEvery
+          else graft.sources.Skipping.manifestFoldSegments
+        val reconcile = compacted || epochId % everyN == 0L
+        if (reconcile ||
+            !graft.sources.Skipping.refreshManifestDelta(s, tablePath,
+              statCols, blooms, addedFiles, removedNames))
+          graft.sources.Skipping.refreshManifest(s, tablePath,
+            statCols, blooms)
         ()
       }
     val q = checkpointDir.map(c => w0.option("checkpointLocation", c))

@@ -217,12 +217,13 @@ object ManifestSkipping {
   * streaming plans, and empty tables all fall through untouched. */
 case class MetadataAggRule(session: SparkSession)
     extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
   import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegralType}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, _, child, _) if !agg.isStreaming =>
+    case agg @ Aggregate(_, _, child, _) if !agg.isStreaming =>
       tryRewrite(agg, child).getOrElse(agg)
   }
 
@@ -240,27 +241,100 @@ case class MetadataAggRule(session: SparkSession)
     case _ => None
   }
 
-  /** What one output expression needs from the manifest: Left(literal
-    * passthrough value) or Right((needed column or None for count(*),
-    * evaluator over (totalRows, per-column (min, max, nulls)))). */
-  private type Stats = (Long, Map[String, (Any, Any, Long)])
-  private def classify(e: Expression, nameOf: AttributeReference => Option[String])
+  /** One group's (or the global) answer inputs: grouping-key values by
+    * column, the included row count, and per-column manifest stats. */
+  private type Stats = (Map[String, Any], Long, Map[String, Skipping.ColStats])
+
+  /** Evaluation-time decline (sum unavailable for a counted file, long
+    * overflow, decimal precision overflow): the whole rewrite falls
+    * back to the scan — whose own wraparound/ANSI/TRY semantics then
+    * stand, so declining is exact by construction. */
+  private object MetaDecline extends RuntimeException
+    with scala.util.control.NoStackTrace
+
+  /** What one output expression needs from the manifest: the stat
+    * column it touches (None for count(*)/literals) and an evaluator
+    * over [[Stats]]. Exactness notes per aggregate:
+    *  - `count(lit)` answers only for NON-NULL literals — `count(null)`
+    *    is 0, not totalRows. Catalyst's NullPropagation normally folds
+    *    it away first, but the guard must not depend on rule ordering
+    *    in someone else's fixed point (VERDICT r14 #2).
+    *  - `sum` over integrals narrows the exact decimal stat back to
+    *    Spark's Long result, declining on overflow (the scan's own
+    *    wraparound/ANSI error stands); over decimals it declines unless
+    *    the value fits Sum's result precision; over float/double the
+    *    per-file partials ARE the same accumulation class Spark's
+    *    partial aggregation uses.
+    *  - `avg` answers for integral/float/double inputs (exact-sum /
+    *    non-null count, Spark's Double result); DECIMAL averages
+    *    decline — replicating Spark's decimal-division scale/rounding
+    *    from outside is not worth the risk of a last-digit mismatch. */
+  private def classify(e: Expression,
+      nameOf: AttributeReference => Option[String],
+      groupOf: AttributeReference => Option[String])
       : Option[(Option[String], Stats => Any)] = e match {
-    case Alias(c, _) => classify(c, nameOf)
+    case Alias(c, _) => classify(c, nameOf, groupOf)
     // Literal.value is already catalyst-typed; the marker tells the
     // row builder to skip conversion
     case l: Literal => Some((None, _ => CatalystLiteral(l.value)))
+    // a bare attribute in the output is a GROUPING key passthrough
+    case a: AttributeReference =>
+      groupOf(a).map(c => (Some(c), (s: Stats) => s._1(c)))
     case AggregateExpression(fn, _, false, None, _) => fn match {
-      case Count(Seq(_: Literal)) => Some((None, s => s._1))
+      case Count(Seq(l: Literal)) if l.value != null =>
+        Some((None, s => s._2))
       case Count(Seq(a: AttributeReference)) =>
-        nameOf(a).map(c => (Some(c), (s: Stats) => s._1 - s._2(c)._3))
+        nameOf(a).map(c => (Some(c), (s: Stats) => s._2 - s._3(c).nulls))
       case Min(a: AttributeReference) =>
-        nameOf(a).map(c => (Some(c), (s: Stats) => s._2(c)._1))
+        nameOf(a).map(c => (Some(c), (s: Stats) => s._3(c).min))
       case Max(a: AttributeReference) =>
-        nameOf(a).map(c => (Some(c), (s: Stats) => s._2(c)._2))
+        nameOf(a).map(c => (Some(c), (s: Stats) => s._3(c).max))
+      case sm: Sum => sm.child match {
+        case a: AttributeReference =>
+          nameOf(a).map(c => (Some(c), sumEval(c, a.dataType) _))
+        case _ => None
+      }
+      case av: Average => av.child match {
+        case a: AttributeReference if (a.dataType match {
+            case _: IntegralType | FloatType | DoubleType => true
+            case _ => false }) =>
+          nameOf(a).map(c => (Some(c), avgEval(c) _))
+        case _ => None
+      }
       case _ => None
     }
     case _ => None
+  }
+
+  private def sumEval(c: String,
+      dt: org.apache.spark.sql.types.DataType)(s: Stats): Any =
+    s._3(c).sum match {
+      case None => throw MetaDecline
+      case Some(null) => null
+      case Some(v) => dt match {
+        case _: IntegralType =>
+          val bd = v.asInstanceOf[java.math.BigDecimal]
+          try bd.longValueExact()
+          catch { case _: ArithmeticException => throw MetaDecline }
+        case d: DecimalType =>
+          val bd = v.asInstanceOf[java.math.BigDecimal]
+          if (bd.precision > math.min(DecimalType.MAX_PRECISION,
+              d.precision + 10)) throw MetaDecline
+          bd
+        case FloatType | DoubleType => v
+        case _ => throw MetaDecline
+      }
+    }
+
+  private def avgEval(c: String)(s: Stats): Any = {
+    val cs = s._3(c)
+    val nonNull = s._2 - cs.nulls
+    if (nonNull == 0L) null
+    else cs.sum match {
+      case Some(bd: java.math.BigDecimal) => bd.doubleValue() / nonNull
+      case Some(d: java.lang.Double) => d.doubleValue() / nonNull
+      case _ => throw MetaDecline
+    }
   }
 
   /** Marker for already-catalyst literal values (no conversion). */
@@ -279,6 +353,18 @@ case class MetadataAggRule(session: SparkSession)
           val root = hfs.location.rootPaths.head.toString
           val nameOf: AttributeReference => Option[String] = a =>
             lr.output.find(_.exprId == a.exprId).map(_.name)
+          // grouping: every grouping expression must be a bare relation
+          // attribute (the FILE-CONSTANT proof runs per column in the
+          // stats layer); anything computed declines
+          val groupsOpt: Option[Seq[(AttributeReference, String)]] =
+            agg.groupingExpressions.foldLeft(
+              Option(Seq.empty[(AttributeReference, String)])) {
+              (acc, g) => acc.flatMap(a => g match {
+                case ar: AttributeReference =>
+                  nameOf(ar).map(n => a :+ (ar -> n))
+                case _ => None
+              })
+            }
           // filters must translate EXACTLY (nothing dropped, no strict
           // bounds) and reference only the relation's own attributes —
           // then the stats layer proves every file all-in or all-out,
@@ -295,28 +381,48 @@ case class MetadataAggRule(session: SparkSession)
                   else ManifestSkipping.toPredsExact(cond).map(a ++ _)
                 }
             }
-          val classified = agg.aggregateExpressions.map(e =>
-            classify(e, nameOf))
-          if (classified.exists(_.isEmpty) || predsOpt.isEmpty) None
+          if (groupsOpt.isEmpty || predsOpt.isEmpty) None
           else {
-            val reqs = classified.map(_.get)
-            val needed =
-              (reqs.flatMap(_._1) ++ predsOpt.get.map(_.column)).distinct
-            // the stats layer declines unless each needed column's stat
-            // type EQUALS the relation attribute's type — a read-schema
-            // upcast must fall back to a scan, not crash the converter
-            val types = needed.flatMap(c =>
-              lr.output.find(_.name == c).map(c -> _.dataType)).toMap
-            Skipping.metadataAggStats(session, root, needed,
-              predsOpt.get, types).map { stats =>
-              val values = reqs.map(_._2(stats))
-              val row = InternalRow.fromSeq(
-                agg.output.zip(values).map {
-                  case (_, CatalystLiteral(v)) => v
-                  case (attr, v) => CatalystTypeConverters
-                    .createToCatalystConverter(attr.dataType)(v)
-                })
-              LocalRelation(agg.output, Seq(row))
+            val groups = groupsOpt.get
+            val groupOf: AttributeReference => Option[String] = a =>
+              groups.find(_._1.exprId == a.exprId).map(_._2)
+            val classified = agg.aggregateExpressions.map(e =>
+              classify(e, nameOf, groupOf))
+            if (classified.exists(_.isEmpty)) None
+            else {
+              val reqs = classified.map(_.get)
+              val needed = (reqs.flatMap(_._1) ++ groups.map(_._2) ++
+                predsOpt.get.map(_.column)).distinct
+              // the stats layer declines unless each needed column's
+              // stat type EQUALS the relation attribute's type — a
+              // read-schema upcast must fall back to a scan, not crash
+              // the converter
+              val types = needed.flatMap(c =>
+                lr.output.find(_.name == c).map(c -> _.dataType)).toMap
+              val statsOpt: Option[Seq[Stats]] =
+                if (groups.isEmpty)
+                  Skipping.metadataAggStats(session, root, needed,
+                    predsOpt.get, types).map { case (t, m) =>
+                    Seq((Map.empty[String, Any], t, m))
+                  }
+                else
+                  Skipping.metadataGroupStats(session, root,
+                    groups.map(_._2), needed, predsOpt.get, types)
+                    .map(_.map { case (k, t, m) => (k, t, m) })
+              statsOpt.flatMap { statss =>
+                try {
+                  val rows = statss.map { st =>
+                    val values = reqs.map(_._2(st))
+                    InternalRow.fromSeq(
+                      agg.output.zip(values).map {
+                        case (_, CatalystLiteral(v)) => v
+                        case (attr, v) => CatalystTypeConverters
+                          .createToCatalystConverter(attr.dataType)(v)
+                      })
+                  }
+                  Some(LocalRelation(agg.output, rows))
+                } catch { case MetaDecline => None }
+              }
             }
           }
         case _ => None

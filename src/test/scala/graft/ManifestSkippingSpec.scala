@@ -34,6 +34,21 @@ class ManifestSkippingSpec extends AnyFunSuite {
   private def sets(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
+  /** Row equality with double tolerance: metadata sums fold per-FILE
+    * partials where a scan folds per-PARTITION partials — same
+    * accumulation class, but float addition is order-sensitive in the
+    * last ulps. NaN compares equal to NaN (SQL aggregate semantics). */
+  private def close(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      (x.isNaN && y.isNaN) || x == y ||
+        math.abs(x - y) <= 1e-9 * math.max(math.abs(x), math.abs(y))
+    case _ => a == b
+  }
+  private def rowsClose(a: org.apache.spark.sql.Row,
+      b: org.apache.spark.sql.Row): Boolean =
+    a.length == b.length &&
+      (0 until a.length).forall(i => close(a.get(i), b.get(i)))
+
   test("plain read + filter prunes files automatically, results exact") {
     val (dir, src) = writeClustered(1000)
     val q = spark.read.parquet(dir).filter(col("a").between(10, 14))
@@ -243,23 +258,37 @@ class ManifestSkippingSpec extends AnyFunSuite {
           (col("id") % 500).cast("int")).as("dt"),
         timestamp_seconds(lit(1600000000L) + col("id") * 37L).as("ts"),
         ((xxhash64(col("id") - seed) % 100000L).cast("long")
-          .cast("decimal(12,3)") / 1000L).cast("decimal(12,3)").as("dec"))
+          .cast("decimal(12,3)") / 1000L).cast("decimal(12,3)").as("dec"),
+        // NaN-free double: the d column's NaN rows poison its sum/avg
+        // to NaN on both sides, which tests NaN propagation but not the
+        // summation itself
+        ((xxhash64(col("id") * 7 + seed) % 10000L).cast("double") / 100.0)
+          .as("f"),
+        (col("id") % 120).cast("int").as("i"),
+        (col("id") % 7).cast("float").as("fl"))
       df.repartition(1 + rnd.nextInt(5)).write.parquet(dir)
       if (trial % 2 == 0) // an empty epoch's schema-only file
         df.limit(0).coalesce(1)
           .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
-      val cols = Seq("id", "l", "d", "s", "dt", "ts", "dec")
+      val cols = Seq("id", "l", "d", "s", "dt", "ts", "dec", "f", "i", "fl")
       Skipping.writeManifest(spark, dir, cols)
-      val aggs = count(lit(1)).as("n") +: cols.flatMap(c =>
+      // every numeric type rides a sum; avg over the non-decimal ones
+      // (decimal averages decline by design — scale/rounding parity)
+      val sumCols = Seq("id", "l", "d", "dec", "f", "i", "fl")
+      val avgCols = Seq("id", "l", "d", "f", "i", "fl")
+      val aggs = count(lit(1)).as("n") +: (cols.flatMap(c =>
         Seq(count(col(c)).as(s"n_$c"), min(col(c)).as(s"mn_$c"),
-          max(col(c)).as(s"mx_$c")))
+          max(col(c)).as(s"mx_$c"))) ++
+        sumCols.map(c => sum(col(c)).as(s"sm_$c")) ++
+        avgCols.map(c => avg(col(c)).as(s"av_$c")))
       val meta = spark.read.parquet(dir).agg(aggs.head, aggs.tail: _*)
       val real = spark.read.option("graft.noskip", "true").parquet(dir)
         .agg(aggs.head, aggs.tail: _*)
       assert(scannedFiles(spark.read.parquet(dir)
         .agg(aggs.head, aggs.tail: _*)) == 0,
         s"trial $trial did not take the metadata path")
-      assert(meta.head() == real.head(), s"trial $trial diverged")
+      assert(rowsClose(meta.head(), real.head()), s"trial $trial diverged:" +
+        s"\n  meta ${meta.head()}\n  real ${real.head()}")
       // FILTERED leg: random inclusive ranges / equalities / null tests —
       // some provably decidable per file, most partial (decline to a
       // scan); either path must equal the opted-out real scan
@@ -273,12 +302,15 @@ class ManifestSkippingSpec extends AnyFunSuite {
           case 3 => col("l").isNull
         }
         val fAggs = Seq(count(lit(1)).as("n"), count(col("l")).as("nl"),
-          min(col("id")).as("mn"), max(col("dec")).as("mxd"))
+          min(col("id")).as("mn"), max(col("dec")).as("mxd"),
+          sum(col("l")).as("sl"), sum(col("dec")).as("sdec"),
+          avg(col("f")).as("af"))
         val fMeta = spark.read.parquet(dir).filter(pred)
           .agg(fAggs.head, fAggs.tail: _*).head()
         val fReal = spark.read.option("graft.noskip", "true").parquet(dir)
           .filter(pred).agg(fAggs.head, fAggs.tail: _*).head()
-        assert(fMeta == fReal, s"trial $trial/$sub filtered diverged")
+        assert(rowsClose(fMeta, fReal),
+          s"trial $trial/$sub filtered diverged:\n  meta $fMeta\n  real $fReal")
       }
     }
   }
@@ -354,6 +386,108 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(Skipping.metadataAggStats(spark, dir2, Seq("a"),
       expectedTypes = Map("a" -> LongType)).isEmpty,
       "stat/attribute type mismatch must decline")
+  }
+
+  test("metadata GROUP BY over file-constant keys: per-group fold, zero files") {
+    val dir = tmp("meta_group")
+    def mk(k: Option[Long], n: Int, off: Int): DataFrame =
+      spark.range(off.toLong, (off + n).toLong).select(
+        k.map(v => lit(v)).getOrElse(lit(null)).cast("long").as("k"),
+        col("id").as("v"))
+    // one file per append, each CONSTANT in k — incl. a second file of
+    // group 1 (groups span files) and an ALL-NULL file (the SQL null
+    // group)
+    mk(Some(1L), 100, 0).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    mk(Some(1L), 50, 100).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    mk(Some(2L), 80, 200).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    mk(None, 30, 300).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("k", "v"))
+    def aggs = Seq(count(lit(1)).as("n"), count(col("k")).as("nk"),
+      sum(col("v")).as("sv"), min(col("v")).as("mn"),
+      max(col("v")).as("mx"), avg(col("v")).as("av"))
+    def q = spark.read.parquet(dir).groupBy(col("k"))
+      .agg(aggs.head, aggs.tail: _*)
+    val real = spark.read.option("graft.noskip", "true").parquet(dir)
+      .groupBy(col("k")).agg(aggs.head, aggs.tail: _*)
+    assert(sets(q) == sets(real))
+    assert(q.count() == 3) // groups 1, 2, null
+    assert(scannedFiles(q) == 0, "grouped metadata rewrite did not fire")
+    // filtered grouped: IS NOT NULL is all-in/all-out per file here —
+    // the null group drops, still zero files opened
+    def qf = spark.read.parquet(dir).filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val realF = spark.read.option("graft.noskip", "true").parquet(dir)
+      .filter(col("k").isNotNull).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+    assert(sets(qf) == sets(realF))
+    assert(scannedFiles(qf) == 0)
+    // a NON-CONSTANT grouping key declines (scan runs, stays exact) —
+    // and the decline is memoized, so it must also answer consistently
+    // on a second run
+    for (_ <- 1 to 2) {
+      def qd = spark.read.parquet(dir).groupBy(col("v"))
+        .agg(count(lit(1)).as("n"))
+      assert(qd.count() == 260)
+      assert(scannedFiles(qd) > 0,
+        "multi-valued grouping key must decline the rewrite")
+    }
+    // a PARTIAL file under the filter declines the grouped rewrite too
+    def qp = spark.read.parquet(dir).filter(col("v") <= 120)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    assert(sets(qp) == sets(spark.read.option("graft.noskip", "true")
+      .parquet(dir).filter(col("v") <= 120).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))))
+    assert(scannedFiles(qp) > 0)
+    // SQL surface: GROUP BY without the key in the output also folds
+    spark.read.parquet(dir).createOrReplaceTempView("meta_group_t")
+    def qs = spark.sql(
+      "SELECT count(1) AS n FROM meta_group_t GROUP BY k")
+    assert(qs.collect().map(_.getLong(0)).sorted.toSeq == Seq(30L, 80L, 150L))
+    assert(scannedFiles(qs) == 0)
+  }
+
+  test("metadata sum exactness gates: legacy manifests, count(null), multi-root") {
+    // a manifest WITHOUT __sum stats (the legacy shape) must decline
+    // sum/avg while still answering count/min/max — stats built through
+    // the public API always carry sums now, so strip them to simulate
+    val dir = tmp("meta_sum_legacy")
+    val df = spark.range(500).select(col("id"), (col("id") % 9).as("a"))
+    df.repartition(3).write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("a"))
+    val mdir = s"$dir/_graft_manifest"
+    val legacy = spark.read.parquet(mdir).drop("a__sum").cache()
+    legacy.count()
+    val fsys = new org.apache.hadoop.fs.Path(mdir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(mdir), true)
+    legacy.coalesce(1).write.parquet(mdir)
+    legacy.unpersist()
+    def qm = spark.read.parquet(dir).agg(max(col("a")).as("mx"))
+    assert(qm.head().getLong(0) == 8L)
+    assert(scannedFiles(qm) == 0, "legacy manifest must still answer min/max")
+    def qsum = spark.read.parquet(dir).agg(sum(col("a")).as("s"))
+    assert(qsum.head().getLong(0) == df.agg(sum(col("a"))).head().getLong(0))
+    assert(scannedFiles(qsum) > 0,
+      "sum over a legacy manifest (no __sum) must decline to a scan")
+    // count(NULL) is 0, never totalRows — the guard must hold locally,
+    // not via NullPropagation's position in the fixed point (r14 #2)
+    val dir2 = tmp("meta_count_null")
+    df.repartition(2).write.parquet(dir2)
+    Skipping.writeManifest(spark, dir2, Seq("a"))
+    val cn = spark.read.parquet(dir2)
+      .agg(count(lit(null)).as("n")).head().getLong(0)
+    assert(cn == 0L, s"count(NULL) answered $cn")
+    // a MULTI-ROOT read never takes the metadata path (rootPaths gate)
+    val dir3 = tmp("meta_multiroot")
+    df.repartition(2).write.parquet(dir3)
+    Skipping.writeManifest(spark, dir3, Seq("a"))
+    def qmr = spark.read.parquet(dir2, dir3).agg(count(lit(1)).as("n"))
+    assert(qmr.head().getLong(0) == 1000L)
+    assert(scannedFiles(qmr) > 0, "multi-root must decline the rewrite")
   }
 
   test("graft.noskip reader option opts a single read out of both rules") {
