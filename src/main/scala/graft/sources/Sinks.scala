@@ -105,38 +105,53 @@ object Sinks {
     val removedB = Seq.newBuilder[String]
     def relOf(rel: String, name: String): String =
       if (rel.isEmpty) name else s"$rel/$name"
-    // Replay repair happens PER destination directory the staged epoch
-    // touches (not a full recursive listing of the whole index — that
-    // would make per-batch cost grow with total accumulated file count).
+    // Replay repair happens BY NAME, per destination directory the
+    // staged epoch touches — NOT by listing the destination (a listing
+    // of the accumulated table per batch is exactly the O(total)
+    // object-store cost class per-trigger maintenance must avoid).
     // Sound because foreachBatch replays the same batch data and the
-    // write is deterministic, so a replay stages the same partition set
-    // as the failed attempt.
+    // write is deterministic, so a replay stages the same file count
+    // into the same partition set as the failed attempt: the prior
+    // attempt's files are `epoch-<id>-0..k-1` right here, and one probe
+    // past the end catches the should-be-impossible longer prior
+    // attempt (renames are sequential, so prior names are a contiguous
+    // prefix).
     def moveFiles(from: Path, to: Path, rel: String): Unit = {
       fs.mkdirs(to)
-      if (fs.exists(to))
-        for (old <- fs.listStatus(to)
-             if old.getPath.getName.startsWith(s"epoch-$epochId-")) {
-          fs.delete(old.getPath, false)
-          removedB += relOf(rel, old.getPath.getName)
-        }
+      val staged = fs.listStatus(from) // the staging dir: O(delta)
+      val parts = staged.filter(f =>
+        !f.isDirectory && f.getPath.getName.endsWith(".parquet"))
+      var k = 0
+      var more = true
+      while (more) {
+        val old = new Path(to, s"epoch-$epochId-$k.parquet")
+        if (k < parts.length) {
+          // blind delete: one RPC whether or not a prior attempt left
+          // the name (absent-key deletes are cheap no-ops everywhere)
+          if (fs.delete(old, false)) removedB += relOf(rel, old.getName)
+          k += 1
+        } else if (fs.exists(old)) {
+          if (fs.delete(old, false)) removedB += relOf(rel, old.getName)
+          k += 1
+        } else more = false
+      }
       var i = 0
-      for (f <- fs.listStatus(from))
-        if (f.isDirectory)
-          moveFiles(f.getPath, new Path(to, f.getPath.getName),
-            relOf(rel, f.getPath.getName))
-        else if (f.getPath.getName.endsWith(".parquet")) {
-          val dest = new Path(to, s"epoch-$epochId-$i.parquet")
-          // Hadoop reports most rename failures as `false`, not an
-          // exception — swallowing it would commit an epoch with
-          // silently missing rows. Throw so the batch fails and replays.
-          if (!fs.rename(f.getPath, dest))
-            throw new IllegalStateException(
-              s"appendEpoch: rename ${f.getPath} -> $dest failed")
-          val st = fs.getFileStatus(dest)
-          addedB += ((relOf(rel, dest.getName), st.getLen,
-            st.getModificationTime))
-          i += 1
-        }
+      for (f <- parts) {
+        val dest = new Path(to, s"epoch-$epochId-$i.parquet")
+        // Hadoop reports most rename failures as `false`, not an
+        // exception — swallowing it would commit an epoch with
+        // silently missing rows. Throw so the batch fails and replays.
+        if (!fs.rename(f.getPath, dest))
+          throw new IllegalStateException(
+            s"appendEpoch: rename ${f.getPath} -> $dest failed")
+        val st = fs.getFileStatus(dest)
+        addedB += ((relOf(rel, dest.getName), st.getLen,
+          st.getModificationTime))
+        i += 1
+      }
+      for (d <- staged if d.isDirectory)
+        moveFiles(d.getPath, new Path(to, d.getPath.getName),
+          relOf(rel, d.getPath.getName))
     }
     moveFiles(new Path(staging), dirPath, "")
     fs.delete(new Path(staging), true)
