@@ -245,6 +245,34 @@ object Bench {
   def loadPriorMins(path: String, sfBase: String): Map[String, Double] =
     loadQueryMap(path, "mins", sfBase)
 
+  /** Last round's per-gate PROBE p50s from the committed capture's
+    * nested `phases` field — the cross-round reference for the
+    * probe-side regression tripwire (VERDICT r14 #7: the pruning/
+    * metadata paths get the same r-over-r gate the totals have, so a
+    * probe regression can't hide inside a 3s table rewrite). */
+  def loadPriorProbes(path: String, sfBase: String): Map[String, Double] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val sfTok = root.path("sf").asText()
+        if (sfBase != s"sf$sfTok" && sfBase != sfTok) Map.empty
+        else {
+          val phases = root.path("phases")
+          val it = phases.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val g = it.next()
+            val p = phases.path(g).path("probe")
+            if (p.isNumber) b += g -> p.asDouble()
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -409,8 +437,21 @@ object Bench {
       }.mkString(",")
       "\"" + g + "\":{" + inner + "}"
     }.mkString("{", ",", "}")
+    // probe-side r-over-r tripwire (VERDICT r14 #7): a gate whose probe
+    // p50 sits >1.5x the committed capture's is flagged by name — the
+    // same history gate crossRoundSlow applies to totals, floored so a
+    // sub-scheduling-floor probe can't trip on noise
+    val priorProbes = loadPriorProbes("BENCH_full.json", sfBase)
+    val probeSlow = phaseGates.flatMap { case (g, m) =>
+      for {
+        ts <- m.get((g, "probe"))
+        prior <- priorProbes.get(g)
+        if p50Of(ts) > 1.5 * math.max(prior, schedulingFloor)
+      } yield g
+    }
+    val probeSlowJson = probeSlow.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50-of-3-fastest-warm","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"drift":$driftJson,"isolated":$isolatedJson,"slow":$slowJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"phases":$phasesJson,"sf":$sfLabel}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stat":"p50-of-3-fastest-warm","n_runs":$runs,"min_total":$minTotal%.3f,"n_failed":${failed.length},"errors":$errJson,"loadavg":["$loadBefore","$loadAfter"],"suspect":$suspectJson,"drift":$driftJson,"isolated":$isolatedJson,"slow":$slowJson,"probe_slow":$probeSlowJson,"queries":$fullQs,"mins":$fullMins,"runs":$fullRuns,"phases":$phasesJson,"sf":$sfLabel}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -454,7 +495,7 @@ object Bench {
       m.get((g, "probe")).map(ts => "\"" + g + f"""\":${p50Of(ts)}%.2f""")
     }.mkString("{", ",", "}")
     val footer =
-      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"n_drift":${drifts.length},"drift":$driftCompact,"n_isolated":${isolatedQs.length},"n_slow":${slowQs.length},"slow":$slowCompact,"probes":$probesCompact,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
+      f"""},"min_total":$minTotal%.3f,"n_failed":${failed.length},"failed":$failedCompact,"n_suspect":${suspects.length},"suspect":$suspectCompact,"n_drift":${drifts.length},"drift":$driftCompact,"n_isolated":${isolatedQs.length},"n_slow":${slowQs.length},"slow":$slowCompact,"probes":$probesCompact,"probe_slow":$probeSlowJson,"load":["$loadBefore","$loadAfter"],"sf":$sfLabel}"""
     val budget = 1750 - header.length - footer.length
     val ordered = ok.sortBy(r => (priority(r.name), r.name))
     val sb = new StringBuilder

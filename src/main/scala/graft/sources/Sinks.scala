@@ -322,10 +322,16 @@ object Sinks {
     new org.apache.hadoop.fs.Path(dir, IngestLeaseFile)
 
   /** The (token, ageMs) of a LIVE lease on `dir`, if one exists within
-    * the TTL. An unreadable-but-fresh lease file reports token "?" —
-    * refusal stays the safe direction for the guards built on this. A
-    * listing failure reports None (degrades to the pre-lease
-    * contract). */
+    * the TTL. Staleness is judged from TWO clocks and the lease is live
+    * if EITHER says fresh — refusal is the safe direction: the file's
+    * filesystem modification time (server-assigned on object stores)
+    * AND the renewing driver's own timestamp written into the lease
+    * body. Driver/server clock skew can therefore only make a dead
+    * lease linger toward the TTL, never make a LIVE writer's lease read
+    * as expired (the direction that would let OPTIMIZE race a live
+    * stream). An unreadable-but-fresh lease file reports token "?" —
+    * refusal again. A listing failure reports None (degrades to the
+    * pre-lease contract). */
   def liveIngestLease(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[(String, Long)] =
     try {
@@ -333,33 +339,60 @@ object Sinks {
       val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(lp)) None
       else {
-        val age = System.currentTimeMillis() -
-          fs.getFileStatus(lp).getModificationTime
-        if (age >= ingestLeaseTtlMs) None
-        else {
-          val token =
-            try {
-              val in = fs.open(lp)
-              try new String(
-                org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-              finally in.close()
-            } catch { case _: Exception => "?" }
-          Some((token, age))
-        }
+        val now = System.currentTimeMillis()
+        val mtimeAge = now - fs.getFileStatus(lp).getModificationTime
+        val body =
+          try {
+            val in = fs.open(lp)
+            try Some(new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8"))
+            finally in.close()
+          } catch { case _: Exception => None }
+        val token = body.flatMap(_.linesIterator.nextOption()).getOrElse("?")
+        val bodyAge = body.flatMap(_.linesIterator.toSeq.lift(1))
+          .flatMap(_.toLongOption).map(ts => now - ts)
+        val age = math.min(mtimeAge, bodyAge.getOrElse(mtimeAge))
+        if (age >= ingestLeaseTtlMs) None else Some((token, age))
       }
     } catch { case _: Exception => None }
 
-  /** Write/refresh the lease as `token`. One overwrite-create RPC;
-    * parents are created as needed (first trigger may run before the
-    * table directory exists). */
+  /** Write/refresh the lease as `token` (body carries the renewing
+    * driver's timestamp on a second line — see [[liveIngestLease]]).
+    * One overwrite-create RPC; parents are created as needed (first
+    * trigger may run before the table directory exists). */
   def renewIngestLease(spark: org.apache.spark.sql.SparkSession,
       dir: String, token: String): Unit =
     try {
       val lp = leasePath(dir)
       val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(lp, true)
-      try out.write(token.getBytes("UTF-8")) finally out.close()
+      try out.write(
+        s"$token\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
     } catch { case _: Exception => () } // heartbeat loss must not fail a batch
+
+  /** Delete the lease iff it still carries `token` — called by the
+    * owning stream's heartbeat when it observes the query has stopped,
+    * so a GRACEFULLY stopped stream frees the table immediately instead
+    * of making OPTIMIZE wait out the TTL (the error message says "stop
+    * the stream and retry" — that has to actually work). Failures are
+    * swallowed: an undeleted lease just expires. */
+  def releaseIngestLease(spark: org.apache.spark.sql.SparkSession,
+      dir: String, token: String): Unit =
+    try {
+      val lp = leasePath(dir)
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(lp)) {
+        val owner =
+          try {
+            val in = fs.open(lp)
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              "UTF-8").linesIterator.nextOption().getOrElse("?")
+            finally in.close()
+          } catch { case _: Exception => "?" }
+        if (owner == token) fs.delete(lp, false)
+      }
+    } catch { case _: Exception => () }
 
   /** Take the lease at stream start: a LIVE lease under a DIFFERENT
     * token means another writer owns the table right now — refuse

@@ -39,11 +39,19 @@ import org.apache.hadoop.fs.Path
   * redistribute the epoch's rows across the same deterministic part
   * names) simply falls out of pruning until restatted — stale content
   * degrades to extra IO, never lost rows, exactly like an unknown file.
-  * [[refreshManifest]] is the incremental repair: it stats files the
-  * manifest has not seen OR whose identity changed (the per-epoch
-  * appends of a streaming ingest) and drops entries for files that no
-  * longer exist — cost proportional to the delta, not the table, which
-  * is what makes per-batch maintenance viable at ingest cadence.
+  * Maintenance is two-tier (r15): [[refreshManifestDelta]] is the
+  * OWNER path — the single-writer stream passes the exact file delta
+  * its epoch append reported, and the refresh appends one O(delta)
+  * segment with no table listing and no segment-log read (per-trigger
+  * RPC cost flat in total file count; pinned by ManifestDeltaSpec's
+  * counting-filesystem probe). [[refreshManifest]] is the RECONCILE:
+  * it lists for real, diffs against the folded log (driver-side when
+  * small, anti-joins past a byte threshold), stats files the manifest
+  * has not seen OR whose identity changed, and tombstones entries for
+  * files that no longer exist — run on fold cadence and after
+  * compaction swaps, it bounds how long an out-of-band file stays
+  * unindexed (unindexed = read but never pruned, and metadata
+  * aggregates decline — never lost rows).
   *
   * The reference engine has no storage layer at all (frames live in
   * memory, `src/framequery/executor/_executor.py:445-448`); this module

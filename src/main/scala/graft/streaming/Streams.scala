@@ -591,15 +591,25 @@ object Streams {
     // that outlives the TTL or while the stream idles with no incoming
     // data — a daemon renews at TTL/3 for the query's whole life, so
     // "live lease" means "stream object still running", not "a batch
-    // fired recently"
+    // fired recently". The loop POLLS isActive every second (renewing
+    // only on the TTL/3 cadence) so a graceful q.stop() is observed
+    // within ~1s and the lease RELEASED — without that, OPTIMIZE's
+    // "stop the stream and retry" guidance would still refuse for up
+    // to the full TTL after the stream is gone.
     val hb = new Thread(() => {
       try {
+        val renewEvery = math.max(1000L,
+          graft.sources.Sinks.ingestLeaseTtlMs / 3)
+        var lastRenew = System.currentTimeMillis()
         while (q.isActive) {
-          Thread.sleep(math.max(1000L,
-            graft.sources.Sinks.ingestLeaseTtlMs / 3))
-          if (q.isActive)
+          Thread.sleep(1000L)
+          val now = System.currentTimeMillis()
+          if (q.isActive && now - lastRenew >= renewEvery) {
             graft.sources.Sinks.renewIngestLease(spark, tablePath, leaseToken)
+            lastRenew = now
+          }
         }
+        graft.sources.Sinks.releaseIngestLease(spark, tablePath, leaseToken)
       } catch { case _: InterruptedException => () }
     })
     hb.setDaemon(true)

@@ -924,8 +924,17 @@ class StreamingSpec extends AnyFunSuite {
       spark.readStream.schema(src.schema).parquet(inDir), tbl,
       indexCols = Seq("key"), layoutCols = Seq("key"), filesPerEpoch = 2)
     try q.processAllAvailable() finally q.stop()
-    // the stream left a fresh lease + epoch-tagged files: an external
-    // rewrite racing a (possibly live) writer must refuse on the lease
+    // graceful stop RELEASES the lease within a heartbeat poll (~1s) —
+    // "stop the stream and retry" has to actually work, not wait out
+    // the 10-minute TTL (ADVICE r15)
+    val deadline = System.currentTimeMillis() + 15000L
+    while (Sinks.liveIngestLease(spark, tbl).isDefined &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(Sinks.liveIngestLease(spark, tbl).isEmpty,
+      "graceful stop did not release the ingest lease")
+    // a LIVE writer's lease (here: a foreign stream's heartbeat) makes
+    // an external rewrite refuse before any rename
+    Sinks.renewIngestLease(spark, tbl, "other-stream")
     assert(Sinks.liveIngestLease(spark, tbl).isDefined)
     val e1 = intercept[IllegalStateException](
       Skipping.optimize(spark, tbl, Nil, nFiles = 1))
