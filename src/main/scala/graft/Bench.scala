@@ -216,28 +216,36 @@ object Bench {
     (ok.map(_.p50).sum, ok.map(_.minWarm).sum)
   }
 
+  /** Parse a committed bench capture, answering None unless it exists,
+    * parses, and ran at the SAME scale factor — the one shared gate
+    * every cross-round prior loads through (a silent format drift here
+    * would disable every history tripwire at once, so it lives in one
+    * place). */
+  private def loadCapture(path: String, sfBase: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(f)
+        val sfTok = root.path("sf").asText()
+        if (sfBase != s"sf$sfTok" && sfBase != sfTok) None else Some(root)
+      }
+    } catch { case _: Throwable => None }
+
   /** Per-query map from a committed bench capture's JSON `field`. Only
     * used when that capture ran at the SAME scale factor;
     * absent/foreign files are an empty map, never an error. */
   def loadQueryMap(path: String, field: String,
       sfBase: String): Map[String, Double] =
-    try {
-      val f = new java.io.File(path)
-      if (!f.exists()) Map.empty
-      else {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.readTree(f)
-        val sfTok = root.path("sf").asText()
-        if (sfBase != s"sf$sfTok" && sfBase != sfTok) Map.empty
-        else {
-          val mins = root.path(field)
-          val it = mins.fieldNames()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) { val k = it.next(); b += k -> mins.path(k).asDouble() }
-          b.result()
-        }
-      }
-    } catch { case _: Throwable => Map.empty }
+    loadCapture(path, sfBase).map { root =>
+      val mins = root.path(field)
+      val it = mins.fieldNames()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val k = it.next(); b += k -> mins.path(k).asDouble() }
+      b.result()
+    }.getOrElse(Map.empty)
 
   /** Last round's per-query minima from the committed BENCH_full.json —
     * the cross-round drift reference for [[timeQuery]] and half of the
@@ -251,27 +259,17 @@ object Bench {
     * metadata paths get the same r-over-r gate the totals have, so a
     * probe regression can't hide inside a 3s table rewrite). */
   def loadPriorProbes(path: String, sfBase: String): Map[String, Double] =
-    try {
-      val f = new java.io.File(path)
-      if (!f.exists()) Map.empty
-      else {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.readTree(f)
-        val sfTok = root.path("sf").asText()
-        if (sfBase != s"sf$sfTok" && sfBase != sfTok) Map.empty
-        else {
-          val phases = root.path("phases")
-          val it = phases.fieldNames()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) {
-            val g = it.next()
-            val p = phases.path(g).path("probe")
-            if (p.isNumber) b += g -> p.asDouble()
-          }
-          b.result()
-        }
+    loadCapture(path, sfBase).map { root =>
+      val phases = root.path("phases")
+      val it = phases.fieldNames()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val g = it.next()
+        val p = phases.path(g).path("probe")
+        if (p.isNumber) b += g -> p.asDouble()
       }
-    } catch { case _: Throwable => Map.empty }
+      b.result()
+    }.getOrElse(Map.empty)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

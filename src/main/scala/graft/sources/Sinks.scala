@@ -356,50 +356,61 @@ object Sinks {
       }
     } catch { case _: Exception => None }
 
-  /** Write/refresh the lease as `token` (body carries the renewing
-    * driver's timestamp on a second line — see [[liveIngestLease]]).
-    * One overwrite-create RPC; parents are created as needed (first
+  /** Write/refresh the lease as `token` (body lines: token, the
+    * renewing driver's timestamp — see [[liveIngestLease]] — and the
+    * owning RUN's nonce — see [[releaseIngestLease]]). One
+    * overwrite-create RPC; parents are created as needed (first
     * trigger may run before the table directory exists). */
   def renewIngestLease(spark: org.apache.spark.sql.SparkSession,
-      dir: String, token: String): Unit =
+      dir: String, token: String, runNonce: String = ""): Unit =
     try {
       val lp = leasePath(dir)
       val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(lp, true)
       try out.write(
-        s"$token\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+        s"$token\n${System.currentTimeMillis()}\n$runNonce"
+          .getBytes("UTF-8"))
       finally out.close()
     } catch { case _: Exception => () } // heartbeat loss must not fail a batch
 
-  /** Delete the lease iff it still carries `token` — called by the
-    * owning stream's heartbeat when it observes the query has stopped,
-    * so a GRACEFULLY stopped stream frees the table immediately instead
-    * of making OPTIMIZE wait out the TTL (the error message says "stop
-    * the stream and retry" — that has to actually work). Failures are
+  /** Delete the lease iff it still carries THIS RUN's nonce — called by
+    * the owning stream's heartbeat when it observes the query has
+    * stopped, so a GRACEFULLY stopped stream frees the table
+    * immediately instead of making OPTIMIZE wait out the TTL (the
+    * error message says "stop the stream and retry" — that has to
+    * actually work). The nonce, not the token, gates the delete: the
+    * token is the checkpoint lineage, which a RESTARTED stream shares —
+    * a token-only guard would let the old run's dying heartbeat delete
+    * its successor's live lease and reopen the OPTIMIZE race for a
+    * renewal interval. A lease with a different or missing nonce is
+    * left alone (it expires via TTL if truly orphaned). Failures are
     * swallowed: an undeleted lease just expires. */
   def releaseIngestLease(spark: org.apache.spark.sql.SparkSession,
-      dir: String, token: String): Unit =
+      dir: String, token: String, runNonce: String): Unit =
     try {
       val lp = leasePath(dir)
       val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(lp)) {
-        val owner =
+        val lines =
           try {
             val in = fs.open(lp)
             try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-              "UTF-8").linesIterator.nextOption().getOrElse("?")
+              "UTF-8").linesIterator.toSeq
             finally in.close()
-          } catch { case _: Exception => "?" }
-        if (owner == token) fs.delete(lp, false)
+          } catch { case _: Exception => Seq.empty[String] }
+        if (lines.headOption.contains(token) &&
+            runNonce.nonEmpty && lines.lift(2).contains(runNonce))
+          fs.delete(lp, false)
       }
     } catch { case _: Exception => () }
 
   /** Take the lease at stream start: a LIVE lease under a DIFFERENT
     * token means another writer owns the table right now — refuse
     * loudly (the same token re-acquires: a crash-restart of the same
-    * checkpoint lineage within the TTL is the owner coming back). */
+    * checkpoint lineage within the TTL is the owner coming back, and
+    * its fresh `runNonce` fences out the previous run's release). */
   def acquireIngestLease(spark: org.apache.spark.sql.SparkSession,
-      dir: String, token: String): Unit = {
+      dir: String, token: String, runNonce: String = ""): Unit = {
     liveIngestLease(spark, dir).foreach { case (t, age) =>
       if (t != token)
         throw new IllegalStateException(
@@ -409,7 +420,7 @@ object Sinks {
           "one table would corrupt the epoch lineage; stop the other " +
           "stream or wait for its lease to expire")
     }
-    renewIngestLease(spark, dir, token)
+    renewIngestLease(spark, dir, token, runNonce)
   }
 
   /** Self-heal a [[compactParquet]] swap that crashed between its two

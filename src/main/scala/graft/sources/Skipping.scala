@@ -991,6 +991,19 @@ object Skipping {
       : Option[(DataFrame, org.apache.spark.sql.types.StructType)] =
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
+        liveFrameFor(spark, path, sig, cached, needed, preds,
+          expectedTypes)
+      }
+    }
+
+  /** [[metadataLiveFrame]] body for an ALREADY-RESOLVED (sig, cached) —
+    * the grouped path resolves them once for its memoized verdict and
+    * must not pay the signature probe (a manifest-dir + bloom-root
+    * listing) a second time per optimizer invocation. */
+  private def liveFrameFor(spark: SparkSession, path: String,
+      sig: String, cached: CachedManifest, needed: Seq[String],
+      preds: Seq[Pred], expectedTypes: Map[String, DataType])
+      : Option[(DataFrame, org.apache.spark.sql.types.StructType)] = {
         val schema = cached.schema
         // cheap pure checks first; the LIVE LISTING comes last and is
         // never cached — it is the freshness proof (an appended or
@@ -1042,7 +1055,6 @@ object Skipping {
           }
         }
       }
-    }
 
   /** The per-column aggregate expressions over manifest stat rows:
     * min-of-mins, max-of-maxes, sum-of-null-counts, and (when the
@@ -1139,23 +1151,10 @@ object Skipping {
     // permanent decline for this manifest state, and must not pay a
     // recursive table listing per optimizer invocation (AQE re-plans
     // per stage). Empty files can't violate (no rows in any group).
-    val multiValued = manifestSignature(spark, path)
-      .flatMap(sig => cachedManifest(spark, path, sig)).forall { cached =>
-        !groupCols.forall(g =>
-          cached.schema.fieldNames.contains(s"${g}__min")) ||
-        cached.groupVerdicts.computeIfAbsent(groupCols, _ =>
-          try {
-            import scala.jdk.CollectionConverters._
-            val all = spark.createDataFrame(cached.rows.asJava,
-              cached.schema)
-            all.filter(col("rows") > 0L &&
-                !coalesce(constantCond(cached.schema), lit(false)))
-              .limit(1).collect().nonEmpty
-          } catch { case _: Exception => true })
-      }
-    if (multiValued) None
-    else metadataLiveFrame(spark, path, needed, preds, expectedTypes)
-      .flatMap { case (m, schema) =>
+    // (sig, cached) resolve ONCE here and feed liveFrameFor directly —
+    // re-resolving would double the signature probe per invocation.
+    metadataLiveGrouped(spark, path, groupCols, needed, preds,
+      expectedTypes, constantCond).flatMap { case (m, schema) =>
         val mIn0 =
           if (preds.isEmpty) m
           else m.filter(preds.map(allInCond).reduce(_ && _))
@@ -1180,6 +1179,33 @@ object Skipping {
         } catch { case _: Exception => None }
       }
   }
+
+  /** (sig, cached) resolution + the memoized single-valued verdict +
+    * [[liveFrameFor]], in ONE pass — the grouped rewrite's front half. */
+  private def metadataLiveGrouped(spark: SparkSession, path: String,
+      groupCols: Seq[String], needed: Seq[String], preds: Seq[Pred],
+      expectedTypes: Map[String, DataType],
+      constantCond: org.apache.spark.sql.types.StructType => Column)
+      : Option[(DataFrame, org.apache.spark.sql.types.StructType)] =
+    manifestSignature(spark, path).flatMap { sig =>
+      cachedManifest(spark, path, sig).flatMap { cached =>
+        val indexed = groupCols.forall(g =>
+          cached.schema.fieldNames.contains(s"${g}__min"))
+        val multiValued = !indexed ||
+          cached.groupVerdicts.computeIfAbsent(groupCols, _ =>
+            try {
+              import scala.jdk.CollectionConverters._
+              val all = spark.createDataFrame(cached.rows.asJava,
+                cached.schema)
+              all.filter(col("rows") > 0L &&
+                  !coalesce(constantCond(cached.schema), lit(false)))
+                .limit(1).collect().nonEmpty
+            } catch { case _: Exception => true })
+        if (multiValued) None
+        else liveFrameFor(spark, path, sig, cached, needed, preds,
+          expectedTypes)
+      }
+    }
 
   private def droppedFilesCached(spark: SparkSession, path: String,
       preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] = {

@@ -481,7 +481,13 @@ object Streams {
     // the TTL re-acquires, while a second concurrent writer refuses
     val leaseToken = checkpointDir.getOrElse(
       "mem:" + java.util.UUID.randomUUID())
-    graft.sources.Sinks.acquireIngestLease(spark, tablePath, leaseToken)
+    // per-RUN nonce, distinct from the token: the token names the
+    // checkpoint lineage (shared by a restart), the nonce names THIS
+    // stream object — the release path deletes only its own run's
+    // lease, so a dying heartbeat can never unseat its successor
+    val leaseNonce = java.util.UUID.randomUUID().toString
+    graft.sources.Sinks.acquireIngestLease(spark, tablePath, leaseToken,
+      leaseNonce)
     // a pre-existing manifest (e.g. OPTIMIZE WITH (index 'a,b,c') before
     // the stream attached) may index MORE columns than this stream was
     // configured with — union them in, or the first refresh would
@@ -512,7 +518,8 @@ object Streams {
             else df.repartitionByRange(lc: _*)
             rp.sortWithinPartitions(lc: _*)
           }
-        graft.sources.Sinks.renewIngestLease(s, tablePath, leaseToken)
+        graft.sources.Sinks.renewIngestLease(s, tablePath, leaseToken,
+          leaseNonce)
         graft.sources.Sinks.recoverCompactSwap(s, tablePath)
         var compacted = false
         if (compactEvery > 0 && epochId > 0 &&
@@ -556,7 +563,8 @@ object Streams {
         val clustered = cluster(batch)
         // the compaction swap carried the lease away with the old
         // directory — re-establish it before the slow append/stat work
-        graft.sources.Sinks.renewIngestLease(s, tablePath, leaseToken)
+        graft.sources.Sinks.renewIngestLease(s, tablePath, leaseToken,
+          leaseNonce)
         val (addedFiles, removedNames) = graft.sources.Sinks.appendEpoch(
           clustered.localCheckpoint(true), tablePath, epochId)
         // Manifest maintenance INSIDE the exactly-once seam: the
@@ -605,12 +613,21 @@ object Streams {
           Thread.sleep(1000L)
           val now = System.currentTimeMillis()
           if (q.isActive && now - lastRenew >= renewEvery) {
-            graft.sources.Sinks.renewIngestLease(spark, tablePath, leaseToken)
+            graft.sources.Sinks.renewIngestLease(spark, tablePath, leaseToken,
+              leaseNonce)
             lastRenew = now
           }
         }
-        graft.sources.Sinks.releaseIngestLease(spark, tablePath, leaseToken)
-      } catch { case _: InterruptedException => () }
+      } catch { case _: InterruptedException => ()
+      } finally
+        // release in finally: an interrupt mid-sleep must not strand a
+        // stopped stream's lease for the full TTL — but only when the
+        // query really is down (an interrupt against a LIVE stream must
+        // not unseat its own lease). The nonce guard additionally makes
+        // this a no-op if a successor already re-acquired.
+        if (!q.isActive)
+          graft.sources.Sinks.releaseIngestLease(spark, tablePath,
+            leaseToken, leaseNonce)
     })
     hb.setDaemon(true)
     hb.setName(s"graft-ingest-lease-${tablePath.hashCode}")

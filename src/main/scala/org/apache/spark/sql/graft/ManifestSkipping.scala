@@ -157,9 +157,15 @@ object ManifestSkipping {
   def fileListRoot(spark: SparkSession, roots: Seq[Path]): Option[Path] =
     if (roots.isEmpty || !roots.forall(_.getName.endsWith(".parquet"))) None
     else {
+      // climb stops at the FIRST manifest-carrying level: a table whose
+      // own root directory name happens to contain '=' (or a user
+      // streaming a single manifest-carrying partition directory) must
+      // keep the r14 parent-level pruning, not climb past its manifest
+      // to an ancestor that has none
       def tableRootOf(f: Path): Path = {
         var d = f.getParent
-        while (d != null && d.getName.contains("=")) d = d.getParent
+        while (d != null && !hasManifest(spark, d) &&
+            d.getName.contains("=")) d = d.getParent
         d
       }
       roots.map(tableRootOf).distinct match {

@@ -960,6 +960,17 @@ class StreamingSpec extends AnyFunSuite {
       Sinks.acquireIngestLease(spark, tbl, "ck-B"))
     assert(e3.getMessage.contains("another live ingest"), e3.getMessage)
     Sinks.acquireIngestLease(spark, tbl, "ck-A")
+    // release is fenced by the RUN nonce, not just the token: a
+    // restarted stream shares the token (= checkpoint dir), and the old
+    // run's dying heartbeat must not delete the successor's live lease
+    Sinks.renewIngestLease(spark, tbl, "ck-A", "run-1")
+    Sinks.renewIngestLease(spark, tbl, "ck-A", "run-2") // successor
+    Sinks.releaseIngestLease(spark, tbl, "ck-A", "run-1") // old run dies
+    assert(Sinks.liveIngestLease(spark, tbl).isDefined,
+      "old run's release unseated the successor's lease")
+    Sinks.releaseIngestLease(spark, tbl, "ck-A", "run-2")
+    assert(Sinks.liveIngestLease(spark, tbl).isEmpty,
+      "owner's own release should delete the lease")
   }
 
   test("tableIngest preserves a pre-existing manifest's wider column set") {
