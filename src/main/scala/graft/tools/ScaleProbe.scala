@@ -358,6 +358,25 @@ object ScaleProbe {
         val (a, r) = Skipping.refreshManifest(spark, dir,
           Seq("idx"), Seq("idx"))
         spark.range(a + r + 1).toDF("n")
+      }),
+      // OWNER-path per-trigger maintenance (r15): appendEpoch's reported
+      // delta fed straight to refreshManifestDelta — no table listing,
+      // no segment-log read. Expect ~0 in total file count; the RPC-
+      // count proof lives in ManifestDeltaSpec's counting filesystem,
+      // this pins the wall-clock side. (Also mutates the fixtures —
+      // appended idx values sit outside the other probes' ranges.)
+      "skip_refresh_owner" -> (f => {
+        val dir = skipFor(f)
+        skipAppendSeq += 1
+        val batch = evSkipBase.limit(2000).select(
+            (col("event_id") + lit(1000000000L) * skipAppendSeq).as("idx"),
+            col("value")).coalesce(2)
+        val (a, r) = graft.sources.Sinks.appendEpoch(
+          batch.localCheckpoint(true), dir, skipAppendSeq)
+        val ok = Skipping.refreshManifestDelta(spark, dir,
+          Seq("idx"), Seq("idx"), a, r)
+        require(ok, "owner state must be seeded by the fixture build")
+        spark.range(a.size.toLong + 1L).toDF("n")
       }))
 
     val opFilter = args.drop(1).toSet

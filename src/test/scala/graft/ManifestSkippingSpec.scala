@@ -456,6 +456,13 @@ class ManifestSkippingSpec extends AnyFunSuite {
       "SELECT count(1) AS n FROM meta_group_t GROUP BY k")
     assert(qs.collect().map(_.getLong(0)).sorted.toSeq == Seq(30L, 80L, 150L))
     assert(scannedFiles(qs) == 0)
+    // SELECT DISTINCT over a file-constant key IS a grouped aggregate —
+    // the key listing answers from metadata too
+    def qdk = spark.read.parquet(dir).select("k").distinct()
+    assert(qdk.collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+      == Seq(-1L, 1L, 2L))
+    assert(scannedFiles(qdk) == 0, "DISTINCT key did not fold from metadata")
   }
 
   test("metadata sum exactness gates: legacy manifests, count(null), multi-root") {
