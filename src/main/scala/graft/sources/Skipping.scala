@@ -824,6 +824,16 @@ object Skipping {
       * answer. */
     val groupVerdicts =
       new java.util.concurrent.ConcurrentHashMap[Seq[String], Boolean]()
+    /** (col, k, desc, nullsFirst) -> "the top-k bound provably cannot
+      * be derived" — memoized over the CACHED rows so a permanently
+      * declining ORDER BY ... LIMIT shape never pays the live listing
+      * per optimizer iteration. Sound because live files are always a
+      * subset of the cached rows when the identity gate passes (an
+      * out-of-band append fails the gate and is TTL-memoized
+      * separately): cached non-null totals upper-bound live ones, and
+      * a live null row implies its cached row counts nulls too. */
+    val topkVerdicts = new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Boolean, Boolean), Boolean]()
   }
 
   private val manifestCache =
@@ -1179,6 +1189,93 @@ object Skipping {
         } catch { case _: Exception => None }
       }
   }
+
+  /** TOP-K pruning bound: for `ORDER BY c [DESC] LIMIT k` over a
+    * manifest-carrying table, a literal `L` such that AT LEAST `k`
+    * non-null rows provably satisfy `c >= L` (descending; `c <= L`
+    * ascending) — so a derived `Filter(c >= L)` above the relation
+    * cannot change the query's top-k output, while the filter feeds
+    * the normal manifest pruning and drops every file whose range
+    * sits entirely below the bound. The Snowflake-class "top-k
+    * pruning" shape: ORDER BY ts DESC LIMIT 100 over a time-clustered
+    * table reads a handful of files.
+    *
+    * Proof sketch (descending): walk live files by `max` descending,
+    * accumulating non-null row counts; at the first prefix holding
+    * >= k non-null rows, let L = the minimum of the prefix's `min`
+    * stats. Every non-null row of a prefix file is >= its own file
+    * min >= is not needed — >= L by construction, so >= k rows pass
+    * the filter, so the true k-th value v_k >= L, so every top-k row
+    * (value >= v_k) survives. Ties and secondary sort keys are
+    * unaffected: no surviving row is dropped.
+    *
+    * Declines (None): float/double sort columns (NaN ordering edge),
+    * NULLS FIRST orderings when any live file carries a null in `c`
+    * (those nulls belong to the top-k), fewer than k non-null rows,
+    * and every completeness failure [[liveFrameFor]] guards (unknown/
+    * drifted/foreign files — the stats must be TRUE of live data for
+    * the >= k proof to hold). Permanent declines are memoized over
+    * the cached rows (see topkVerdicts); the live listing runs once
+    * per successful derivation, the same planning class as the scan
+    * it shrinks. */
+  def topKFilterBound(spark: SparkSession, path: String, c: String,
+      k: Long, desc: Boolean, nullsFirst: Boolean,
+      expectedTypes: Map[String, DataType]): Option[Any] =
+    manifestSignature(spark, path).flatMap { sig =>
+      cachedManifest(spark, path, sig).flatMap { cached =>
+        val schema = cached.schema
+        val statOk = schema.fieldNames.contains(s"${c}__min") &&
+          (schema(s"${c}__min").dataType match {
+            case org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType => false
+            case _ => true
+          })
+        if (!statOk || k <= 0L) None
+        else {
+          val declined = cached.topkVerdicts.computeIfAbsent(
+            (c, k, desc, nullsFirst), _ =>
+              try {
+                import scala.jdk.CollectionConverters._
+                val all = spark.createDataFrame(cached.rows.asJava, schema)
+                val t = all.agg(
+                  coalesce(sum(col("rows") - col(s"${c}__nulls")), lit(0L)),
+                  coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
+                t.getLong(0) < k || (nullsFirst && t.getLong(1) > 0L)
+              } catch { case _: Exception => true })
+          if (declined) None
+          else liveFrameFor(spark, path, sig, cached, Seq(c), Nil,
+            expectedTypes).flatMap { case (m, _) =>
+            try {
+              val nn = col("rows") - col(s"${c}__nulls")
+              val f = m.filter(nn > 0L)
+              // re-prove on the LIVE rows (the cached verdict is only
+              // the permanent-decline memo)
+              val t = f.agg(coalesce(sum(nn), lit(0L)),
+                coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
+              if (t.getLong(0) < k || (nullsFirst && t.getLong(1) > 0L))
+                None
+              else {
+                val w = org.apache.spark.sql.expressions.Window
+                  .orderBy(if (desc) col(s"${c}__max").desc
+                    else col(s"${c}__min").asc)
+                  .rowsBetween(org.apache.spark.sql.expressions.Window
+                    .unboundedPreceding, 0L)
+                val bound =
+                  if (desc) min(col(s"${c}__min")).over(w)
+                  else max(col(s"${c}__max")).over(w)
+                val r = f.withColumn("__cum", sum(nn).over(w))
+                  .withColumn("__bound", bound)
+                  .filter(col("__cum") >= k)
+                  .orderBy(if (desc) col(s"${c}__max").desc
+                    else col(s"${c}__min").asc)
+                  .limit(1).select("__bound").collect()
+                r.headOption.map(_.get(0)).filter(_ != null)
+              }
+            } catch { case _: Exception => None }
+          }
+        }
+      }
+    }
 
   /** (sig, cached) resolution + the memoized single-valued verdict +
     * [[liveFrameFor]], in ONE pass — the grouped rewrite's front half. */
@@ -1894,6 +1991,29 @@ object Skipping {
           q.withColumn("metadata_only", lit(nf == 0)))
       }
     }),
+    // top-k file pruning: ORDER BY event_id DESC LIMIT 100 over an
+    // event_id-clustered layout — the derived bound filter prunes all
+    // but the tail file(s); `topk_pruned` is hashed so a silently
+    // declining rewrite is a correctness failure
+    "ix_topk_scan" -> ((s, dir) => {
+      val (tmp, total) = GateTimings.timed("ix_topk_scan", "build") {
+        val t = tmpTable("graft_topk")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(32, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("event_id"))
+        (t, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_topk_scan", "probe") {
+        val q = s.read.parquet(tmp)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy(col("event_id").desc).limit(100)
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("topk_pruned", lit(nf * 2 <= total)))
+      }
+    }),
     // null-count pruning: IS NULL keeps only files that HOLD nulls —
     // the manifest dimension min/max cannot express
     "ix_null_skip" -> ((s, dir) => {
@@ -1976,6 +2096,10 @@ object Skipping {
         |  min(event_id) AS min_id, max(event_id) AS max_id,
         |  CAST(1 AS BOOLEAN) AS metadata_only
         |FROM events GROUP BY event_type""".stripMargin,
+    "ix_topk_scan" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(1 AS BOOLEAN) AS topk_pruned
+        |FROM events ORDER BY event_id DESC LIMIT 100""".stripMargin,
     "ix_null_skip" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

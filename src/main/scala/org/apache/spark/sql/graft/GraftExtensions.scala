@@ -29,9 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // automatic file-level data skipping for manifest-carrying parquet
     // tables (see ManifestSkipping) — a no-op for every other relation
     ext.injectOptimizerRule(session => ManifestSkippingRule(session))
-    // metadata-only global aggregates (count/min/max answered from the
-    // manifest with zero files opened; identity-gated, decline-on-doubt)
+    // metadata-only aggregates (count/min/max/sum/avg + file-constant
+    // GROUP BY answered from the manifest with zero files opened;
+    // identity-gated, decline-on-doubt)
     ext.injectOptimizerRule(session => MetadataAggRule(session))
+    // top-k file pruning: ORDER BY c LIMIT k gains a derived range
+    // filter that provably preserves the top-k, so manifest pruning
+    // drops the files outside the bound (decline-on-doubt)
+    ext.injectOptimizerRule(session => TopKPruningRule(session))
   }
 }
 

@@ -443,6 +443,79 @@ case class MetadataAggRule(session: SparkSession)
     }
 }
 
+/** TOP-K file pruning — `ORDER BY c [DESC] LIMIT k` over a
+  * manifest-carrying parquet table gains a derived range filter that
+  * provably keeps at least k qualifying rows
+  * ([[graft.sources.Skipping.topKFilterBound]]), so the existing
+  * manifest pruning drops every file whose range sits entirely on the
+  * wrong side — on a time-clustered 100 TB table, `ORDER BY ts DESC
+  * LIMIT 100` opens a handful of files instead of all of them. The
+  * rewrite only ever ADDS a filter that cannot change the limited
+  * output (>= k rows survive it, so the k-th value is inside the kept
+  * range); every uncertain shape declines: an existing filter between
+  * limit and relation (it would invalidate the row-count proof),
+  * computed sort keys, float/double keys (NaN ordering), NULLS FIRST
+  * with nulls present, fewer than k provable rows, and any
+  * completeness failure of the manifest's identity gate. */
+case class TopKPruningRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+    GlobalLimit, LocalLimit, Project, Sort}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case gl @ GlobalLimit(IntegerLiteral(k1),
+        ll @ LocalLimit(IntegerLiteral(k2), s: Sort))
+        if k1 == k2 && k1 > 0 && s.global && !gl.isStreaming =>
+      rewrite(k1.toLong, s)
+        .map(ns => gl.copy(child = ll.copy(child = ns)))
+        .getOrElse(gl)
+  }
+
+  /** Attribute-only projections between sort and relation; ANY filter,
+    * join, generator, or computed projection declines. */
+  private def bareRelation(p: LogicalPlan): Option[LogicalRelation] =
+    p match {
+      case lr: LogicalRelation => Some(lr)
+      case pr: Project
+          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        bareRelation(pr.child)
+      case _ => None
+    }
+
+  private def rewrite(k: Long, s: Sort): Option[LogicalPlan] =
+    s.order.headOption.flatMap { so =>
+      so.child match {
+        case a: AttributeReference =>
+          bareRelation(s.child).flatMap { lr =>
+            lr.relation match {
+              case hfs: HadoopFsRelation
+                  if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
+                    !ManifestSkipping.optedOut(hfs) &&
+                    hfs.location.rootPaths.length == 1 &&
+                    ManifestSkipping.hasManifest(session,
+                      hfs.location.rootPaths.head) =>
+                val root = hfs.location.rootPaths.head.toString
+                lr.output.find(_.exprId == a.exprId).map(_.name)
+                  .flatMap { c =>
+                    val desc = so.direction == Descending
+                    val nullsFirst = so.nullOrdering == NullsFirst
+                    Skipping.topKFilterBound(session, root, c, k, desc,
+                      nullsFirst, Map(c -> a.dataType)).map { b =>
+                      val bl = Literal.create(b, a.dataType)
+                      val cond: Expression =
+                        if (desc) GreaterThanOrEqual(a, bl)
+                        else LessThanOrEqual(a, bl)
+                      s.copy(child = LFilter(cond, s.child))
+                    }
+                  }
+              case _ => None
+            }
+          }
+        case _ => None
+      }
+    }
+}
+
 /** [[FileIndex]] wrapper that applies manifest pruning inside
   * `listFiles` — partition pruning (hive dirs) stays with the
   * underlying index; this drops individual data files the manifest

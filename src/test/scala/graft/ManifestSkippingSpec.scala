@@ -505,6 +505,69 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scannedFiles(qmr) > 0, "multi-root must decline the rewrite")
   }
 
+  test("top-k pruning: ORDER BY ... LIMIT derives a sound bound and prunes files") {
+    val dir = tmp("topk")
+    val df = spark.range(2000).select(col("id"),
+      (col("id") % 7).cast("double").as("v"),
+      concat(lit("s"), lpad(col("id").cast("string"), 5, "0")).as("s"))
+    df.repartitionByRange(10, col("id")).sortWithinPartitions("id")
+      .write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("id", "s"))
+    // DESC over the clustered unique key: top 25 of 2000 lives in one
+    // file — the derived bound prunes the rest
+    def qd = spark.read.parquet(dir).orderBy(col("id").desc).limit(25)
+    assert(qd.collect().map(_.getLong(0)).toSeq == (1999L to 1975L by -1L))
+    assert(scannedFiles(qd) <= 2, s"DESC top-k scanned ${scannedFiles(qd)} of 10")
+    // ASC (default NULLS FIRST, but the column has no nulls) prunes too
+    def qa = spark.read.parquet(dir).orderBy(col("id")).limit(10)
+    assert(qa.collect().map(_.getLong(0)).toSeq == (0L to 9L))
+    assert(scannedFiles(qa) <= 2)
+    // STRING sort key: exact min/max stats make the bound sound
+    def qs = spark.read.parquet(dir).orderBy(col("s").desc).limit(5)
+    assert(qs.collect().map(_.getString(2)).toSeq ==
+      (1999L to 1995L by -1L).map(i => f"s$i%05d"))
+    assert(scannedFiles(qs) <= 2)
+    // an existing FILTER invalidates the row-count proof — declines,
+    // stays exact
+    def qf = spark.read.parquet(dir).filter(col("v") > 3.0)
+      .orderBy(col("id").desc).limit(5)
+    assert(qf.collect().map(_.getLong(0)).toSeq ==
+      df.filter(col("v") > 3.0).orderBy(col("id").desc).limit(5)
+        .collect().map(_.getLong(0)).toSeq)
+    assert(scannedFiles(qf) == 10, "a pre-existing filter must decline top-k")
+    // k >= total rows declines (cannot prove k survivors short of all)
+    def qb = spark.read.parquet(dir).orderBy(col("id").desc).limit(5000)
+    assert(qb.count() == 2000)
+    assert(scannedFiles(qb) == 10)
+    // double sort keys decline (NaN ordering edge) — correct, unpruned
+    def qv = spark.read.parquet(dir).orderBy(col("v").desc).limit(3)
+    assert(qv.collect().map(_.getDouble(1)).forall(_ == 6.0))
+    assert(scannedFiles(qv) == 10)
+    // NULLS FIRST with nulls present: the null rows ARE the top —
+    // declines, output keeps them
+    val dirN = tmp("topk_nulls")
+    spark.range(500).select(
+      when(col("id") % 5 === 0, lit(null)).otherwise(col("id")).as("k"))
+      .repartitionByRange(5, col("k")).write.parquet(dirN)
+    Skipping.writeManifest(spark, dirN, Seq("k"))
+    def qn = spark.read.parquet(dirN).orderBy(col("k").asc).limit(10)
+    assert(qn.collect().forall(_.isNullAt(0)),
+      "ASC NULLS FIRST must surface the null rows")
+    assert(scannedFiles(qn) == 5)
+    // ...and DESC (nulls last) on the same data still prunes
+    def qnd = spark.read.parquet(dirN).orderBy(col("k").desc).limit(10)
+    assert(qnd.collect().map(_.getLong(0)).toSeq ==
+      (499L to 480L by -1L).filterNot(_ % 5 == 0).take(10))
+    assert(scannedFiles(qnd) < 5)
+    // out-of-band append (identity gate): declines, rows included
+    spark.range(90000, 90010).select(col("id").as("k"))
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(dirN)
+    def qo = spark.read.parquet(dirN).orderBy(col("k").desc).limit(3)
+    assert(qo.collect().map(_.getLong(0)).toSeq ==
+      Seq(90009L, 90008L, 90007L))
+  }
+
   test("graft.noskip reader option opts a single read out of both rules") {
     val (dir, src) = writeClustered(500)
     // pruning rule bypassed: the filtered read opens every file
