@@ -464,29 +464,51 @@ case class TopKPruningRule(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case gl @ GlobalLimit(IntegerLiteral(k1),
-        ll @ LocalLimit(IntegerLiteral(k2), s: Sort))
-        if k1 == k2 && k1 > 0 && s.global && !gl.isStreaming =>
-      rewrite(k1.toLong, s)
-        .map(ns => gl.copy(child = ll.copy(child = ns)))
+        ll @ LocalLimit(IntegerLiteral(k2), body))
+        if k1 == k2 && k1 > 0 && !gl.isStreaming =>
+      rewriteBody(k1.toLong, body)
+        .map(nb => gl.copy(child = ll.copy(child = nb)))
         .getOrElse(gl)
   }
 
-  /** Attribute-only projections between sort and relation; ANY filter,
-    * join, generator, or computed projection declines. */
-  private def bareRelation(p: LogicalPlan): Option[LogicalRelation] =
+  /** Projections ABOVE the sort pass through untouched — a Project
+    * never changes which rows exist, so the limit/sort/bound reasoning
+    * is unaffected (the dialect compiler emits rename projections
+    * around its sorts). Anything else between limit and sort
+    * declines. */
+  private def rewriteBody(k: Long, p: LogicalPlan): Option[LogicalPlan] =
     p match {
-      case lr: LogicalRelation => Some(lr)
-      case pr: Project
-          if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        bareRelation(pr.child)
+      case s: Sort if s.global => rewrite(k, s)
+      case pr: Project =>
+        rewriteBody(k, pr.child).map(c => pr.copy(child = c))
       case _ => None
     }
+
+  /** Trace `a` through alias-of-attribute / pass-through projections to
+    * the backing relation's own attribute — the chain must be purely
+    * renaming (a cast or computation would break the stats linkage),
+    * and ANY filter/join/generator in between declines (it would
+    * invalidate the ">= k rows survive" proof). */
+  private def resolve(p: LogicalPlan, a: AttributeReference)
+      : Option[(LogicalRelation, AttributeReference)] = p match {
+    case lr: LogicalRelation =>
+      lr.output.collectFirst {
+        case ar: AttributeReference if ar.exprId == a.exprId => (lr, ar)
+      }
+    case pr: Project =>
+      pr.projectList.find(_.exprId == a.exprId).flatMap {
+        case ar: AttributeReference => resolve(pr.child, ar)
+        case Alias(ar: AttributeReference, _) => resolve(pr.child, ar)
+        case _ => None
+      }
+    case _ => None
+  }
 
   private def rewrite(k: Long, s: Sort): Option[LogicalPlan] =
     s.order.headOption.flatMap { so =>
       so.child match {
         case a: AttributeReference =>
-          bareRelation(s.child).flatMap { lr =>
+          resolve(s.child, a).flatMap { case (lr, relAttr) =>
             lr.relation match {
               case hfs: HadoopFsRelation
                   if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
@@ -495,19 +517,20 @@ case class TopKPruningRule(session: SparkSession)
                     ManifestSkipping.hasManifest(session,
                       hfs.location.rootPaths.head) =>
                 val root = hfs.location.rootPaths.head.toString
-                lr.output.find(_.exprId == a.exprId).map(_.name)
-                  .flatMap { c =>
-                    val desc = so.direction == Descending
-                    val nullsFirst = so.nullOrdering == NullsFirst
-                    Skipping.topKFilterBound(session, root, c, k, desc,
-                      nullsFirst, Map(c -> a.dataType)).map { b =>
-                      val bl = Literal.create(b, a.dataType)
-                      val cond: Expression =
-                        if (desc) GreaterThanOrEqual(a, bl)
-                        else LessThanOrEqual(a, bl)
-                      s.copy(child = LFilter(cond, s.child))
-                    }
-                  }
+                val c = relAttr.name
+                val desc = so.direction == Descending
+                val nullsFirst = so.nullOrdering == NullsFirst
+                Skipping.topKFilterBound(session, root, c, k, desc,
+                  nullsFirst, Map(c -> relAttr.dataType)).map { b =>
+                  val bl = Literal.create(b, a.dataType)
+                  // the condition references the SORT's own attribute —
+                  // always resolvable against s.child whatever renames
+                  // sit between it and the relation
+                  val cond: Expression =
+                    if (desc) GreaterThanOrEqual(a, bl)
+                    else LessThanOrEqual(a, bl)
+                  s.copy(child = LFilter(cond, s.child))
+                }
               case _ => None
             }
           }

@@ -566,6 +566,16 @@ class ManifestSkippingSpec extends AnyFunSuite {
     def qo = spark.read.parquet(dirN).orderBy(col("k").desc).limit(3)
     assert(qo.collect().map(_.getLong(0)).toSeq ==
       Seq(90009L, 90008L, 90007L))
+    // the DIALECT surface rides the same session rule
+    val exec = new graft.exec.Executor(spark, Map.empty)
+    exec.setBasepath(new java.io.File(dir).getParent)
+    exec.execute(s"COPY tkt FROM '${new java.io.File(dir).getName}' " +
+      "WITH format 'parquet'")
+    val dq = exec.query("select id from tkt order by id desc limit 7")
+    assert(dq.collect().map(_.getLong(0)).toSeq == (1999L to 1993L by -1L))
+    assert(scannedFiles(
+      exec.query("select id from tkt order by id desc limit 7")) <= 2,
+      "dialect top-k did not prune")
   }
 
   test("graft.noskip reader option opts a single read out of both rules") {
