@@ -527,6 +527,12 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(qs.collect().map(_.getString(2)).toSeq ==
       (1999L to 1995L by -1L).map(i => f"s$i%05d"))
     assert(scannedFiles(qs) <= 2)
+    // secondary sort keys ride along: the bound on the FIRST key keeps
+    // every candidate row, whatever the tie-breakers do
+    def qm = spark.read.parquet(dir)
+      .orderBy(col("id").desc, col("v").asc).limit(5)
+    assert(qm.collect().map(_.getLong(0)).toSeq == (1999L to 1995L by -1L))
+    assert(scannedFiles(qm) <= 2)
     // an existing FILTER invalidates the row-count proof — declines,
     // stays exact
     def qf = spark.read.parquet(dir).filter(col("v") > 3.0)
