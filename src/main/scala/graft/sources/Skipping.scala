@@ -1203,9 +1203,9 @@ object Skipping {
     * Proof sketch (descending): walk live files by `max` descending,
     * accumulating non-null row counts; at the first prefix holding
     * >= k non-null rows, let L = the minimum of the prefix's `min`
-    * stats. Every non-null row of a prefix file is >= its own file
-    * min >= is not needed — >= L by construction, so >= k rows pass
-    * the filter, so the true k-th value v_k >= L, so every top-k row
+    * stats. Every non-null row of a prefix file is >= its own file's
+    * min, which is >= L by construction — so >= k rows pass the
+    * filter, so the true k-th value v_k >= L, so every top-k row
     * (value >= v_k) survives. Ties and secondary sort keys are
     * unaffected: no surviving row is dropped.
     *
@@ -1232,8 +1232,11 @@ object Skipping {
           })
         if (!statOk || k <= 0L) None
         else {
+          // memo key omits the direction: the cached decline (non-null
+          // total < k; nulls under NULLS FIRST) is direction-blind, so
+          // ASC and DESC share one verdict
           val declined = cached.topkVerdicts.computeIfAbsent(
-            (c, k, desc, nullsFirst), _ =>
+            (c, k, false, nullsFirst), _ =>
               try {
                 import scala.jdk.CollectionConverters._
                 val all = spark.createDataFrame(cached.rows.asJava, schema)
@@ -1249,8 +1252,12 @@ object Skipping {
               val nn = col("rows") - col(s"${c}__nulls")
               val f = m.filter(nn > 0L)
               // re-prove on the LIVE rows (the cached verdict is only
-              // the permanent-decline memo)
-              val t = f.agg(coalesce(sum(nn), lit(0L)),
+              // the permanent-decline memo). The null total comes from
+              // the UNFILTERED frame: an ALL-null file has nn == 0 and
+              // would be invisible to `f`, yet its nulls are exactly
+              // the rows a NULLS FIRST top-k must surface
+              val t = m.agg(
+                coalesce(sum(when(nn > 0L, nn)), lit(0L)),
                 coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
               if (t.getLong(0) < k || (nullsFirst && t.getLong(1) > 0L))
                 None

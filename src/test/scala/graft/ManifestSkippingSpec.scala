@@ -582,6 +582,16 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scannedFiles(
       exec.query("select id from tkt order by id desc limit 7")) <= 2,
       "dialect top-k did not prune")
+    // LIMIT + OFFSET shapes stay exact whatever logical form Spark
+    // gives them: an Offset between the limits declines, a combined
+    // k+m limit matches with a bound that keeps >= k+m rows — both
+    // sound, and this pins it against plan-shape drift
+    def qoff = spark.read.parquet(dir).orderBy(col("id").desc)
+      .offset(3).limit(5)
+    assert(qoff.collect().map(_.getLong(0)).toSeq == (1996L to 1992L by -1L))
+    val dqo = exec.query(
+      "select id from tkt order by id desc limit 5 offset 3")
+    assert(dqo.collect().map(_.getLong(0)).toSeq == (1996L to 1992L by -1L))
   }
 
   test("graft.noskip reader option opts a single read out of both rules") {
