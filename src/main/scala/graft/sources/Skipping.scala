@@ -824,16 +824,18 @@ object Skipping {
       * answer. */
     val groupVerdicts =
       new java.util.concurrent.ConcurrentHashMap[Seq[String], Boolean]()
-    /** (col, k, desc, nullsFirst) -> "the top-k bound provably cannot
+    /** (col, k, nullsFirst, preds) -> "the top-k bound provably cannot
       * be derived" — memoized over the CACHED rows so a permanently
       * declining ORDER BY ... LIMIT shape never pays the live listing
       * per optimizer iteration. Sound because live files are always a
       * subset of the cached rows when the identity gate passes (an
       * out-of-band append fails the gate and is TTL-memoized
-      * separately): cached non-null totals upper-bound live ones, and
-      * a live null row implies its cached row counts nulls too. */
+      * separately): cached all-in non-null totals upper-bound live
+      * ones, and a live null row implies its cached row counts nulls
+      * too. Direction is NOT part of the key — both checks are
+      * direction-blind. */
     val topkVerdicts = new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, Boolean, Boolean), Boolean]()
+      (String, Long, Boolean, Seq[Pred]), Boolean]()
   }
 
   private val manifestCache =
@@ -1190,74 +1192,86 @@ object Skipping {
       }
   }
 
-  /** TOP-K pruning bound: for `ORDER BY c [DESC] LIMIT k` over a
-    * manifest-carrying table, a literal `L` such that AT LEAST `k`
-    * non-null rows provably satisfy `c >= L` (descending; `c <= L`
-    * ascending) — so a derived `Filter(c >= L)` above the relation
-    * cannot change the query's top-k output, while the filter feeds
-    * the normal manifest pruning and drops every file whose range
-    * sits entirely below the bound. The Snowflake-class "top-k
-    * pruning" shape: ORDER BY ts DESC LIMIT 100 over a time-clustered
-    * table reads a handful of files.
+  /** TOP-K pruning bound: for `[WHERE preds] ORDER BY c [DESC] LIMIT
+    * k` over a manifest-carrying table, a literal `L` such that AT
+    * LEAST `k` pred-matching non-null rows provably satisfy `c >= L`
+    * (descending; `c <= L` ascending) — so a derived `Filter(c >= L)`
+    * above the relation cannot change the query's top-k output, while
+    * the filter feeds the normal manifest pruning and drops every file
+    * whose range sits entirely below the bound. The Snowflake-class
+    * "top-k pruning" shape: WHERE type = 'click' ORDER BY ts DESC
+    * LIMIT 100 over a time-clustered table reads a handful of files.
     *
-    * Proof sketch (descending): walk live files by `max` descending,
-    * accumulating non-null row counts; at the first prefix holding
-    * >= k non-null rows, let L = the minimum of the prefix's `min`
-    * stats. Every non-null row of a prefix file is >= its own file's
-    * min, which is >= L by construction — so >= k rows pass the
-    * filter, so the true k-th value v_k >= L, so every top-k row
-    * (value >= v_k) survives. Ties and secondary sort keys are
-    * unaffected: no surviving row is dropped.
+    * Proof sketch (descending): walk the live files `preds` PROVE
+    * all-in ([[allInCond]] — with no preds, every file) by `max`
+    * descending, accumulating non-null row counts; at the first prefix
+    * holding >= k non-null rows, let L = the minimum of the prefix's
+    * `min` stats. Every non-null row of a prefix file matches the
+    * predicate AND is >= its own file's min, which is >= L by
+    * construction — so >= k qualifying rows pass the filter, so the
+    * true k-th qualifying value v_k >= L, so every top-k row (value >=
+    * v_k) survives. PARTIAL files need no proof: they stay in the scan
+    * and can only contribute additional qualifying rows — the all-in
+    * count is a lower bound, which is the sound direction. Ties and
+    * secondary sort keys are unaffected: no surviving row is dropped.
     *
     * Declines (None): float/double sort columns (NaN ordering edge),
     * NULLS FIRST orderings when any live file carries a null in `c`
-    * (those nulls belong to the top-k), fewer than k non-null rows,
-    * and every completeness failure [[liveFrameFor]] guards (unknown/
-    * drifted/foreign files — the stats must be TRUE of live data for
-    * the >= k proof to hold). Permanent declines are memoized over
-    * the cached rows (see topkVerdicts); the live listing runs once
-    * per successful derivation, the same planning class as the scan
-    * it shrinks. */
+    * (conservative: some of those nulls may belong to the top-k),
+    * fewer than k provable rows, untranslated predicates (the caller
+    * passes only [[graft.sources.Skipping.Pred]]s from an EXACT
+    * translation), and every completeness failure [[liveFrameFor]]
+    * guards (unknown/drifted/foreign files — the stats must be TRUE of
+    * live data for the >= k proof to hold). Permanent declines are
+    * memoized over the cached rows (see topkVerdicts); the live
+    * listing runs once per successful derivation, the same planning
+    * class as the scan it shrinks. */
   def topKFilterBound(spark: SparkSession, path: String, c: String,
       k: Long, desc: Boolean, nullsFirst: Boolean,
-      expectedTypes: Map[String, DataType]): Option[Any] =
+      expectedTypes: Map[String, DataType],
+      preds: Seq[Pred] = Nil): Option[Any] =
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
         val schema = cached.schema
-        val statOk = schema.fieldNames.contains(s"${c}__min") &&
+        val needed = (c +: preds.map(_.column)).distinct
+        val statOk =
+          needed.forall(n => schema.fieldNames.contains(s"${n}__min")) &&
           (schema(s"${c}__min").dataType match {
             case org.apache.spark.sql.types.FloatType |
                  org.apache.spark.sql.types.DoubleType => false
             case _ => true
           })
+        def allIn = preds.map(allInCond).reduceOption(_ && _)
+          .getOrElse(lit(true))
         if (!statOk || k <= 0L) None
         else {
-          // memo key omits the direction: the cached decline (non-null
-          // total < k; nulls under NULLS FIRST) is direction-blind, so
-          // ASC and DESC share one verdict
           val declined = cached.topkVerdicts.computeIfAbsent(
-            (c, k, false, nullsFirst), _ =>
+            (c, k, nullsFirst, preds), _ =>
               try {
                 import scala.jdk.CollectionConverters._
                 val all = spark.createDataFrame(cached.rows.asJava, schema)
+                val nn = col("rows") - col(s"${c}__nulls")
                 val t = all.agg(
-                  coalesce(sum(col("rows") - col(s"${c}__nulls")), lit(0L)),
+                  coalesce(sum(when(allIn, nn)), lit(0L)),
                   coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
                 t.getLong(0) < k || (nullsFirst && t.getLong(1) > 0L)
               } catch { case _: Exception => true })
           if (declined) None
-          else liveFrameFor(spark, path, sig, cached, Seq(c), Nil,
+          else liveFrameFor(spark, path, sig, cached, needed, Nil,
             expectedTypes).flatMap { case (m, _) =>
             try {
               val nn = col("rows") - col(s"${c}__nulls")
-              val f = m.filter(nn > 0L)
+              // only files the predicate PROVABLY fully includes count
+              // toward the >= k proof (lower bound; partial files stay
+              // in the scan and only add rows)
+              val f = m.filter(allIn && nn > 0L)
               // re-prove on the LIVE rows (the cached verdict is only
               // the permanent-decline memo). The null total comes from
               // the UNFILTERED frame: an ALL-null file has nn == 0 and
               // would be invisible to `f`, yet its nulls are exactly
               // the rows a NULLS FIRST top-k must surface
               val t = m.agg(
-                coalesce(sum(when(nn > 0L, nn)), lit(0L)),
+                coalesce(sum(when(allIn && nn > 0L, nn)), lit(0L)),
                 coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
               if (t.getLong(0) < k || (nullsFirst && t.getLong(1) > 0L))
                 None
@@ -2021,6 +2035,31 @@ object Skipping {
           q.withColumn("topk_pruned", lit(nf * 2 <= total)))
       }
     }),
+    // FILTERED top-k: WHERE pred ORDER BY c DESC LIMIT k — the bound
+    // counts only files the predicate provably fully includes (hive
+    // partition constant), and the scan prunes on pred AND bound
+    "ix_topk_filter" -> ((s, dir) => {
+      val (tmp, total) = GateTimings.timed("ix_topk_filter", "build") {
+        val t = tmpTable("graft_topkf")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(16, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.partitionBy("event_type").parquet(t)
+        writeManifest(s, t, Seq("event_type", "event_id"))
+        (t, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_topk_filter", "probe") {
+        val q = s.read.parquet(tmp)
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .orderBy(col("event_id").desc).limit(50)
+        val nf = scannedFiles(q)
+        // stricter than the partition filter alone can satisfy (the
+        // pred keeps 1-in-5 of the files): proves the BOUND pruned
+        GateTimings.materialize(
+          q.withColumn("topk_pruned", lit(nf * 8 <= total)))
+      }
+    }),
     // null-count pruning: IS NULL keeps only files that HOLD nulls —
     // the manifest dimension min/max cannot express
     "ix_null_skip" -> ((s, dir) => {
@@ -2107,6 +2146,11 @@ object Skipping {
       """SELECT event_id, user_id, value,
         |  CAST(1 AS BOOLEAN) AS topk_pruned
         |FROM events ORDER BY event_id DESC LIMIT 100""".stripMargin,
+    "ix_topk_filter" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(1 AS BOOLEAN) AS topk_pruned
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id DESC LIMIT 50""".stripMargin,
     "ix_null_skip" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

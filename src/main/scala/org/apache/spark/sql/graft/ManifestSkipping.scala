@@ -485,30 +485,39 @@ case class TopKPruningRule(session: SparkSession)
     }
 
   /** Trace `a` through alias-of-attribute / pass-through projections to
-    * the backing relation's own attribute — the chain must be purely
-    * renaming (a cast or computation would break the stats linkage),
-    * and ANY filter/join/generator in between declines (it would
-    * invalidate the ">= k rows survive" proof). */
+    * the backing relation's own attribute, collecting the FILTER
+    * conditions on the way — the rename chain must be purely aliasing
+    * (a cast or computation would break the stats linkage); filters are
+    * allowed because the bound derivation counts only files they
+    * provably fully include (the conditions must later translate
+    * EXACTLY or the rewrite declines); any join/generator/aggregate
+    * declines. */
   private def resolve(p: LogicalPlan, a: AttributeReference)
-      : Option[(LogicalRelation, AttributeReference)] = p match {
-    case lr: LogicalRelation =>
-      lr.output.collectFirst {
-        case ar: AttributeReference if ar.exprId == a.exprId => (lr, ar)
-      }
-    case pr: Project =>
-      pr.projectList.find(_.exprId == a.exprId).flatMap {
-        case ar: AttributeReference => resolve(pr.child, ar)
-        case Alias(ar: AttributeReference, _) => resolve(pr.child, ar)
-        case _ => None
-      }
-    case _ => None
-  }
+      : Option[(LogicalRelation, AttributeReference, Seq[Expression])] =
+    p match {
+      case lr: LogicalRelation =>
+        lr.output.collectFirst {
+          case ar: AttributeReference if ar.exprId == a.exprId =>
+            (lr, ar, Seq.empty[Expression])
+        }
+      case f: LFilter =>
+        resolve(f.child, a).map { case (lr, ar, cs) =>
+          (lr, ar, f.condition +: cs)
+        }
+      case pr: Project =>
+        pr.projectList.find(_.exprId == a.exprId).flatMap {
+          case ar: AttributeReference => resolve(pr.child, ar)
+          case Alias(ar: AttributeReference, _) => resolve(pr.child, ar)
+          case _ => None
+        }
+      case _ => None
+    }
 
   private def rewrite(k: Long, s: Sort): Option[LogicalPlan] =
     s.order.headOption.flatMap { so =>
       so.child match {
         case a: AttributeReference =>
-          resolve(s.child, a).flatMap { case (lr, relAttr) =>
+          resolve(s.child, a).flatMap { case (lr, relAttr, filters) =>
             lr.relation match {
               case hfs: HadoopFsRelation
                   if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
@@ -520,16 +529,44 @@ case class TopKPruningRule(session: SparkSession)
                 val c = relAttr.name
                 val desc = so.direction == Descending
                 val nullsFirst = so.nullOrdering == NullsFirst
-                Skipping.topKFilterBound(session, root, c, k, desc,
-                  nullsFirst, Map(c -> relAttr.dataType)).map { b =>
-                  val bl = Literal.create(b, a.dataType)
-                  // the condition references the SORT's own attribute —
-                  // always resolvable against s.child whatever renames
-                  // sit between it and the relation
-                  val cond: Expression =
-                    if (desc) GreaterThanOrEqual(a, bl)
-                    else LessThanOrEqual(a, bl)
-                  s.copy(child = LFilter(cond, s.child))
+                // every filter condition must translate EXACTLY and
+                // reference only the relation's own attributes — then
+                // the bound counts only files the predicate provably
+                // fully includes
+                val nameOf: AttributeReference => Boolean = ar =>
+                  lr.output.exists(_.exprId == ar.exprId)
+                val predsOpt = filters
+                  .foldLeft(Option(Seq.empty[Skipping.Pred])) {
+                    (acc, cond) => acc.flatMap { ps =>
+                      val refsOk = cond.references.toSeq.forall {
+                        case ar: AttributeReference => nameOf(ar)
+                        case _ => false
+                      }
+                      if (!refsOk) None
+                      else ManifestSkipping.toPredsExact(cond).map(ps ++ _)
+                    }
+                  }
+                // decline when a filter already constrains the SORT
+                // column: (a) it is what this rewrite inserts, so this
+                // is the idempotence fence against stacking bound
+                // filters through the fixed point, and (b) a user
+                // filter on the sort column is already the pruning
+                // predicate
+                predsOpt.filter(_.forall(_.column != c)).flatMap { preds =>
+                  val types = (Map(c -> relAttr.dataType) ++
+                    preds.flatMap(p => lr.output.find(_.name == p.column)
+                      .map(o => p.column -> o.dataType))).toMap
+                  Skipping.topKFilterBound(session, root, c, k, desc,
+                    nullsFirst, types, preds).map { b =>
+                    val bl = Literal.create(b, a.dataType)
+                    // the condition references the SORT's own attribute
+                    // — always resolvable against s.child whatever
+                    // renames sit between it and the relation
+                    val cond: Expression =
+                      if (desc) GreaterThanOrEqual(a, bl)
+                      else LessThanOrEqual(a, bl)
+                    s.copy(child = LFilter(cond, s.child))
+                  }
                 }
               case _ => None
             }

@@ -533,14 +533,33 @@ class ManifestSkippingSpec extends AnyFunSuite {
       .orderBy(col("id").desc, col("v").asc).limit(5)
     assert(qm.collect().map(_.getLong(0)).toSeq == (1999L to 1995L by -1L))
     assert(scannedFiles(qm) <= 2)
-    // an existing FILTER invalidates the row-count proof — declines,
-    // stays exact
+    // a filter that does NOT translate exactly (strict bound on an
+    // unindexed double) declines — stays exact, full scan
     def qf = spark.read.parquet(dir).filter(col("v") > 3.0)
       .orderBy(col("id").desc).limit(5)
     assert(qf.collect().map(_.getLong(0)).toSeq ==
       df.filter(col("v") > 3.0).orderBy(col("id").desc).limit(5)
         .collect().map(_.getLong(0)).toSeq)
-    assert(scannedFiles(qf) == 10, "a pre-existing filter must decline top-k")
+    assert(scannedFiles(qf) == 10, "an untranslatable filter must decline")
+    // an EXACTLY-translatable filter COMPOSES: only files the predicate
+    // provably fully includes count toward the >= k proof, and the scan
+    // prunes on predicate AND bound together
+    val dirF = tmp("topk_filtered")
+    spark.range(1600).select(col("id"),
+        (col("id") >= 800L).cast("int").as("half"))
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(dirF)
+    Skipping.writeManifest(spark, dirF, Seq("id", "half"))
+    def qfl = spark.read.parquet(dirF).filter(col("half") === 1)
+      .orderBy(col("id").asc).limit(5)
+    assert(qfl.collect().map(_.getLong(0)).toSeq == (800L to 804L).toSeq)
+    assert(scannedFiles(qfl) <= 3,
+      s"filtered top-k scanned ${scannedFiles(qfl)} of 8")
+    // a filter on the SORT column itself declines (the idempotence
+    // fence) but the filter alone still prunes — and stays exact
+    def qsc = spark.read.parquet(dirF).filter(col("id") >= 1400L)
+      .orderBy(col("id").asc).limit(5)
+    assert(qsc.collect().map(_.getLong(0)).toSeq == (1400L to 1404L).toSeq)
     // k >= total rows declines (cannot prove k survivors short of all)
     def qb = spark.read.parquet(dir).orderBy(col("id").desc).limit(5000)
     assert(qb.count() == 2000)
