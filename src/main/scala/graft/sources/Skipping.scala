@@ -368,6 +368,11 @@ object Skipping {
   val SeqCol = "__seq"
   val RemovedCol = "__removed"
 
+  /** Per-manifest cap on memoized top-k decline verdicts — the key
+    * embeds query literals, so a literal-varying workload would
+    * otherwise grow the map for the manifest signature's lifetime. */
+  private val TopkVerdictCap = 1024
+
   /** Latest-wins fold of raw segment rows: per file, the highest-`__seq`
     * row stands; tombstoned files drop. `__seq`/`__removed` KEPT — the
     * folded rows are written back as the compacted base segment, and
@@ -1245,17 +1250,36 @@ object Skipping {
           .getOrElse(lit(true))
         if (!statOk || k <= 0L) None
         else {
-          val declined = cached.topkVerdicts.computeIfAbsent(
-            (c, k, nullsFirst, preds), _ =>
-              try {
-                import scala.jdk.CollectionConverters._
-                val all = spark.createDataFrame(cached.rows.asJava, schema)
-                val nn = col("rows") - col(s"${c}__nulls")
-                val t = all.agg(
-                  coalesce(sum(when(allIn, nn)), lit(0L)),
-                  coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
-                t.getLong(0) < k || (nullsFirst && t.getLong(1) > 0L)
-              } catch { case _: Exception => true })
+          // memo discipline: (a) a TRANSIENT evaluation failure declines
+          // THIS invocation but is never stored — only a genuinely
+          // computed verdict is "provably cannot be derived"; (b) the
+          // key embeds query literals, so the map is size-capped — a
+          // dashboard workload varying a filter literal must not grow
+          // driver state unboundedly for the manifest's lifetime
+          // (past the cap, verdicts just compute per invocation)
+          val key = (c, k, nullsFirst, preds)
+          val memo = cached.topkVerdicts.get(key)
+          val declined =
+            if (memo != null) memo.booleanValue()
+            else {
+              val computed =
+                try {
+                  import scala.jdk.CollectionConverters._
+                  val all = spark.createDataFrame(cached.rows.asJava,
+                    schema)
+                  val nn = col("rows") - col(s"${c}__nulls")
+                  val t = all.agg(
+                    coalesce(sum(when(allIn, nn)), lit(0L)),
+                    coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
+                  Some(t.getLong(0) < k ||
+                    (nullsFirst && t.getLong(1) > 0L))
+                } catch { case _: Exception => None }
+              computed.foreach { v =>
+                if (cached.topkVerdicts.size < TopkVerdictCap)
+                  cached.topkVerdicts.put(key, v)
+              }
+              computed.getOrElse(true)
+            }
           if (declined) None
           else liveFrameFor(spark, path, sig, cached, needed, Nil,
             expectedTypes).flatMap { case (m, _) =>

@@ -452,8 +452,12 @@ case class MetadataAggRule(session: SparkSession)
   * LIMIT 100` opens a handful of files instead of all of them. The
   * rewrite only ever ADDS a filter that cannot change the limited
   * output (>= k rows survive it, so the k-th value is inside the kept
-  * range); every uncertain shape declines: an existing filter between
-  * limit and relation (it would invalidate the row-count proof),
+  * range). Exactly-translatable WHERE filters COMPOSE: the bound
+  * counts only files the predicate provably fully includes (a lower
+  * bound on qualifying rows — partial files stay in the scan and can
+  * only add candidates). Every uncertain shape declines: a filter
+  * that does not translate exactly, a filter on the sort column
+  * itself (also the idempotence fence against re-deriving the bound),
   * computed sort keys, float/double keys (NaN ordering), NULLS FIRST
   * with nulls present, fewer than k provable rows, and any
   * completeness failure of the manifest's identity gate. */

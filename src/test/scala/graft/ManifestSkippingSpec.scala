@@ -556,10 +556,23 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scannedFiles(qfl) <= 3,
       s"filtered top-k scanned ${scannedFiles(qfl)} of 8")
     // a filter on the SORT column itself declines (the idempotence
-    // fence) but the filter alone still prunes — and stays exact
+    // fence) but the filter alone still prunes — and stays exact.
+    // The decline is pinned OBSERVABLY: an ASC rewrite would inject a
+    // LessThanOrEqual upper bound on id, so the optimized plan must
+    // carry none (CombineFilters would merge stacked bounds into one
+    // Filter node, so node-counting alone could not see a regression)
     def qsc = spark.read.parquet(dirF).filter(col("id") >= 1400L)
       .orderBy(col("id").asc).limit(5)
     assert(qsc.collect().map(_.getLong(0)).toSeq == (1400L to 1404L).toSeq)
+    val conds = qsc.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    assert(!conds.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.LessThanOrEqual =>
+        true
+      case _ => false
+    }), "idempotence fence regressed: a derived bound filter appeared")
     // k >= total rows declines (cannot prove k survivors short of all)
     def qb = spark.read.parquet(dir).orderBy(col("id").desc).limit(5000)
     assert(qb.count() == 2000)
