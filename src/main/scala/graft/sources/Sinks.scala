@@ -194,7 +194,8 @@ object Sinks {
       partitionCols: Seq[String] = Nil, nFiles: Int = 1,
       excludeEpoch: Option[Long] = None,
       fold: DataFrame => DataFrame = identity,
-      writeStaged: Option[(DataFrame, String) => Unit] = None): Unit = {
+      writeStaged: Option[(DataFrame, String) => Unit] = None): Unit =
+    withTableMaintenance(spark, path, "compact") {
     val p = new org.apache.hadoop.fs.Path(path)
     val staged = path + "__compact"
     val ps = new org.apache.hadoop.fs.Path(staged)
@@ -241,7 +242,19 @@ object Sinks {
         s"original preserved at $old, compacted copy at $staged — " +
         s"rename $old back to $path to recover")
     fs.delete(old, true)
+    // the swap just carried the lease FILE away with the old directory
+    // — re-establish the holder's lease immediately, not at the next
+    // heartbeat, or the table sits unfenced for up to TTL/3
+    renewHeldLease(spark, path)
   }
+
+  /** Re-write whatever lease THIS JVM holds on `dir` (no-op when none)
+    * — called after directory swaps that carry the lease file away. */
+  private def renewHeldLease(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    Option(heldLeases.get(leaseKey(spark, dir))).foreach {
+      case (token, nonce) => renewIngestLease(spark, dir, token, nonce)
+    }
 
   /** True iff `dir` exists AND holds at least one non-hidden entry —
     * i.e. a Spark `read.parquet(dir)` would actually see data. A
@@ -398,10 +411,19 @@ object Sinks {
               "UTF-8").linesIterator.toSeq
             finally in.close()
           } catch { case _: Exception => Seq.empty[String] }
+        // Residual race, documented (ADVICE r15): the nonce read above
+        // and the delete below are not one atomic step — a restarted
+        // successor renewing THE SAME token with a new nonce in that
+        // microsecond window loses its fresh lease until its next
+        // renew (≤ TTL/3). A truly atomic fence needs a
+        // conditional-delete primitive the Hadoop FS API does not
+        // expose; the read sits immediately before the delete to keep
+        // the window at its floor.
         if (lines.headOption.contains(token) &&
             runNonce.nonEmpty && lines.lift(2).contains(runNonce))
           fs.delete(lp, false)
       }
+      heldLeases.remove(leaseKey(spark, dir), (token, runNonce))
     } catch { case _: Exception => () }
 
   /** Take the lease at stream start: a LIVE lease under a DIFFERENT
@@ -414,13 +436,118 @@ object Sinks {
     liveIngestLease(spark, dir).foreach { case (t, age) =>
       if (t != token)
         throw new IllegalStateException(
-          s"acquireIngestLease: $dir is held by another live ingest " +
+          s"acquireIngestLease: $dir is held by another live writer " +
           s"(token '$t', ${age / 1000}s old, ttl " +
           s"${ingestLeaseTtlMs / 1000}s) — two concurrent writers on " +
           "one table would corrupt the epoch lineage; stop the other " +
-          "stream or wait for its lease to expire")
+          "stream / let the other maintenance finish, or wait for its " +
+          "lease to expire")
     }
     renewIngestLease(spark, dir, token, runNonce)
+    heldLeases.put(leaseKey(spark, dir), (token, runNonce))
+  }
+
+  /** Leases THIS JVM currently holds (registered by
+    * [[acquireIngestLease]], dropped by [[releaseIngestLease]] under
+    * the same (token, nonce)), keyed by qualified table path. This is
+    * what lets a lease-holding writer's own maintenance calls
+    * ([[withTableMaintenance]]) recognize the lease as theirs instead
+    * of refusing against it — "this JVM's view" is authoritative
+    * because the lease itself guarantees a single writer. */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Canonical lease-registry / maintenance-lock key for `dir`:
+    * filesystem-qualified so `optimize("/t")` and a stream started on
+    * `"file:/t"` agree. Pure client-side resolution — no RPC. */
+  private def leaseKey(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    } catch { case _: Exception => dir }
+
+  /** True iff this JVM holds a live-registered lease on `dir` — the
+    * owner fast-path test for [[withTableMaintenance]]. */
+  def jvmHoldsLease(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = heldLeases.containsKey(leaseKey(spark, dir))
+
+  /** Per-table maintenance locks: serialize same-JVM maintainers (two
+    * threads of one JVM interleaving a staged swap is the same
+    * corruption as two JVMs). ReentrantLock so nested maintenance
+    * frames (optimize → compactParquet → writeManifest → fold) pass
+    * straight through. One lock object per table path ever maintained
+    * by this JVM — the same driver-memory class as the planning
+    * caches. */
+  private val maintenanceLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Run `body` as the table's exclusive writer. The WRITER-RACE FENCE
+    * for batch maintenance (OPTIMIZE / manifest refresh / fold /
+    * rebuild / compaction):
+    *
+    *  - Same JVM: a per-table [[ReentrantLock]] serializes concurrent
+    *    maintainers outright (reentrant, so nested frames of one
+    *    operation run inline).
+    *  - This JVM already holds the table's ingest lease (a live
+    *    [[graft.streaming.Streams.tableIngest]] calling its own cadence
+    *    maintenance, or an enclosing maintenance frame): run directly —
+    *    the existing lease is the fence, and releasing it here would
+    *    unseat the owner.
+    *  - Otherwise: acquire the SAME lease the streaming ingest uses
+    *    under a fresh `maintenance:` token + run nonce — a live foreign
+    *    lease (stream or another JVM's maintenance) refuses loudly via
+    *    [[acquireIngestLease]] — heartbeat it at TTL/3 for the
+    *    operation's duration (a table rewrite can outlive the 10 min
+    *    TTL), and release on exit so the table frees immediately.
+    *
+    * Like the ingest lease itself this is a loud-failure aid on the
+    * single-writer contract, not a distributed lock — the check-then-
+    * write acquire has the same tiny race the stream path has, and
+    * [[graft.sources.Skipping.foldManifest]]'s duplicate-(file,seq)
+    * detection is the backstop that repairs a collision that slips
+    * through. */
+  def withTableMaintenance[T](spark: org.apache.spark.sql.SparkSession,
+      dir: String, what: String)(body: => T): T = {
+    val key = leaseKey(spark, dir)
+    val lock = maintenanceLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try {
+      if (heldLeases.containsKey(key)) body
+      else {
+        val token = s"maintenance:$what:" +
+          java.util.UUID.randomUUID().toString
+        val nonce = java.util.UUID.randomUUID().toString
+        acquireIngestLease(spark, dir, token, nonce)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val hb = new Thread(() => {
+          try {
+            val renewEvery = math.max(1000L, ingestLeaseTtlMs / 3)
+            var lastRenew = System.currentTimeMillis()
+            while (!stop.get()) {
+              Thread.sleep(1000L)
+              val now = System.currentTimeMillis()
+              if (!stop.get() && now - lastRenew >= renewEvery) {
+                renewIngestLease(spark, dir, token, nonce)
+                lastRenew = now
+              }
+            }
+          } catch { case _: InterruptedException => () }
+        })
+        hb.setDaemon(true)
+        hb.setName(s"graft-maintenance-lease-${dir.hashCode}")
+        hb.start()
+        try body
+        finally {
+          stop.set(true)
+          hb.interrupt()
+          releaseIngestLease(spark, dir, token, nonce)
+        }
+      }
+    } finally lock.unlock()
   }
 
   /** Self-heal a [[compactParquet]] swap that crashed between its two

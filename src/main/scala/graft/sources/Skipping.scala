@@ -368,10 +368,42 @@ object Skipping {
   val SeqCol = "__seq"
   val RemovedCol = "__removed"
 
-  /** Per-manifest cap on memoized top-k decline verdicts — the key
-    * embeds query literals, so a literal-varying workload would
-    * otherwise grow the map for the manifest signature's lifetime. */
-  private val TopkVerdictCap = 1024
+  /** Per-manifest cap on each memoized decline-verdict map — the keys
+    * embed query literals (predicates, limits), so a literal-varying
+    * workload would otherwise grow driver state for the manifest
+    * signature's lifetime. */
+  private val VerdictMemoCap = 1024
+
+  /** Size-capped decline memo — ONE helper for the three verdict maps
+    * (r15 ADVICE asked for shared cap discipline), encoding the memo
+    * rules the top-k review established:
+    *
+    *  - a missing key reads as ABSENT, never as a verdict (the value
+    *    type is boxed: `ConcurrentHashMap[K, scala.Boolean].get` would
+    *    silently unbox a missing key's null to `false`);
+    *  - a TRANSIENT evaluation failure (`f` returns None) answers
+    *    `onFailure` for THIS invocation but is never stored — only a
+    *    genuinely computed verdict is permanent;
+    *  - past `cap` entries nothing new is stored — verdicts just
+    *    compute per invocation.
+    *
+    * Unlike computeIfAbsent, two racing first calls may both compute —
+    * harmless, the verdicts are pure functions of the cached rows. */
+  private final class DeclineMemo[K](cap: Int = VerdictMemoCap) {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[K, java.lang.Boolean]()
+    def getOrCompute(k: K, onFailure: Boolean)
+        (f: => Option[Boolean]): Boolean = {
+      val memo = m.get(k)
+      if (memo != null) memo.booleanValue()
+      else {
+        val computed = f
+        computed.foreach { v => if (m.size < cap) m.put(k, v) }
+        computed.getOrElse(onFailure)
+      }
+    }
+    private[graft] def size: Int = m.size
+  }
 
   /** Latest-wins fold of raw segment rows: per file, the highest-`__seq`
     * row stands; tombstoned files drop. `__seq`/`__removed` KEPT — the
@@ -402,7 +434,8 @@ object Skipping {
     * stats don't know yet — garbage the fold collects, never a pruning
     * input), then the stats base segment at `__seq = 0`. */
   def writeManifest(spark: SparkSession, path: String,
-      cols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
+      cols: Seq[String], bloomCols: Seq[String] = Nil): Unit =
+      Sinks.withTableMaintenance(spark, path, "rebuild") {
     require(bloomCols.forall(cols.contains),
       s"skipping: bloom columns must also be stat-indexed (the probe " +
       s"needs the column type from the stats schema); got bloom=" +
@@ -465,7 +498,8 @@ object Skipping {
     * indexed set and sidecar set; on mismatch (or no/old-format
     * manifest) it falls back to a full [[writeManifest]] rebuild. */
   def refreshManifest(spark: SparkSession, path: String,
-      cols: Seq[String], bloomCols: Seq[String] = Nil): (Long, Long) = {
+      cols: Seq[String], bloomCols: Seq[String] = Nil): (Long, Long) =
+      Sinks.withTableMaintenance(spark, path, "refresh") {
     val current = dataFilesWithIdentity(spark, path)
     readManifestRaw(spark, path) match {
       case Some(raw)
@@ -574,7 +608,8 @@ object Skipping {
     * simply restatted — the fresh row shadows the old one by seq. */
   def refreshManifestDelta(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String],
-      added: Seq[(String, Long, Long)], removed: Seq[String]): Boolean = {
+      added: Seq[(String, Long, Long)], removed: Seq[String]): Boolean =
+      Sinks.withTableMaintenance(spark, path, "refresh-delta") {
     val st = ownerManifests.get(path)
     if (st == null || st.bloomCols != bloomCols.toSet ||
         !manifestCompatible(st.schema, cols)) false
@@ -706,10 +741,35 @@ object Skipping {
     * maintenance step that touches O(total) data, and it flows through
     * normal parallel tasks on cadence, not through one task per
     * trigger. */
-  def foldManifest(spark: SparkSession, path: String): Unit = {
+  def foldManifest(spark: SparkSession, path: String): Unit =
+      Sinks.withTableMaintenance(spark, path, "fold") {
     val f = fs(spark, path)
     readManifestRaw(spark, path).foreach { raw =>
       if (raw.columns.contains(SeqCol)) {
+        // COLLISION BACKSTOP: one writer strictly increments `__seq`
+        // and never stats the same file twice within a segment, so a
+        // duplicate (file, seq) pair can only mean two writers appended
+        // segment N+1 concurrently (a lease that expired mid-operation,
+        // or the acquire race) — and then the latest-wins fold is
+        // AMBIGUOUS for those files. Repair from ground truth: rebuild
+        // the manifest from a fresh listing under the same column sets
+        // instead of folding the ambiguity in.
+        val collided = raw.groupBy(col("file"), col(SeqCol)).count()
+          .filter(col("count") > 1).limit(1).count() > 0
+        if (collided) {
+          val cols = raw.columns.toSeq.collect {
+            case n if n.endsWith("__min") => n.dropRight(5) }
+          val blooms = bloomColumns(spark, path)
+          if (dataFilesWithIdentity(spark, path).nonEmpty)
+            writeManifest(spark, path, cols, blooms)
+          else {
+            // collided manifest over a now-empty table: nothing to
+            // rebuild from — drop it (skipping off beats ambiguous)
+            f.delete(new Path(manifestPath(path)), true)
+            evictTable(path)
+            invalidateManifestProbe()
+          }
+        } else {
         val mp = new Path(manifestPath(path))
         val statParts = math.max(1L,
           f.getContentSummary(mp).getLength / (64L << 20)).toInt
@@ -755,6 +815,7 @@ object Skipping {
               f.delete(new Path(dir), true)
               f.rename(bs, new Path(dir))
             } catch { case _: Exception => () }
+        }
         }
       }
     }
@@ -817,8 +878,7 @@ object Skipping {
       * unescaped separator characters inside string literals, and a
       * reused hasPartial=false verdict silently answers a filtered
       * aggregate wrong. */
-    val partialVerdicts =
-      new java.util.concurrent.ConcurrentHashMap[Seq[Pred], Boolean]()
+    val partialVerdicts = new DeclineMemo[Seq[Pred]]()
     /** groupCols -> "some cached row is MULTI-VALUED in these columns"
       * — the grouped rewrite's decline, memoized for the same reason:
       * a GROUP BY over a non-constant key would otherwise pay the
@@ -827,8 +887,7 @@ object Skipping {
       * cached rows ignoring any predicate, so a pred-excluded
       * multi-valued file adds a spurious decline, never a wrong
       * answer. */
-    val groupVerdicts =
-      new java.util.concurrent.ConcurrentHashMap[Seq[String], Boolean]()
+    val groupVerdicts = new DeclineMemo[Seq[String]]()
     /** (col, k, nullsFirst, preds) -> "the top-k bound provably cannot
       * be derived" — memoized over the CACHED rows so a permanently
       * declining ORDER BY ... LIMIT shape never pays the live listing
@@ -839,8 +898,8 @@ object Skipping {
       * ones, and a live null row implies its cached row counts nulls
       * too. Direction is NOT part of the key — both checks are
       * direction-blind. */
-    val topkVerdicts = new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, Boolean, Seq[Pred]), Boolean]()
+    val topkVerdicts =
+      new DeclineMemo[(String, Long, Boolean, Seq[Pred])]()
   }
 
   private val manifestCache =
@@ -901,6 +960,18 @@ object Skipping {
     import scala.jdk.CollectionConverters._
     manifestCache.keySet.asScala.toSet
   }
+
+  /** The columns the table's manifest carries min/max/null stats for
+    * (empty when no readable manifest) — the cheap qualification probe
+    * behind join-driven dynamic file pruning: a plan-time build-side
+    * evaluation is only worth paying when the join key can actually
+    * prune. Served from the planning cache. */
+  def statIndexedColumns(spark: SparkSession, path: String): Set[String] =
+    manifestSignature(spark, path)
+      .flatMap(sig => cachedManifest(spark, path, sig))
+      .map(_.schema.fieldNames.collect {
+        case n if n.endsWith("__min") => n.dropRight(5) }.toSet)
+      .getOrElse(Set.empty)
 
   def droppedFiles(spark: SparkSession, path: String,
       preds: Seq[Pred]): Option[Map[String, (Long, Long)]] =
@@ -1021,6 +1092,20 @@ object Skipping {
       sig: String, cached: CachedManifest, needed: Seq[String],
       preds: Seq[Pred], expectedTypes: Map[String, DataType])
       : Option[(DataFrame, org.apache.spark.sql.types.StructType)] = {
+    import scala.jdk.CollectionConverters._
+    liveRowsFor(spark, path, sig, cached, needed, preds, expectedTypes)
+      .map { case (rows, schema) =>
+        (spark.createDataFrame(rows.asJava, schema), schema) }
+  }
+
+  /** [[liveFrameFor]] minus the DataFrame: the proven live rows
+    * themselves, for consumers that evaluate driver-side without
+    * spinning a Spark job ([[topKFilterBound]]). */
+  private def liveRowsFor(spark: SparkSession, path: String,
+      sig: String, cached: CachedManifest, needed: Seq[String],
+      preds: Seq[Pred], expectedTypes: Map[String, DataType])
+      : Option[(Seq[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)] = {
         val schema = cached.schema
         // cheap pure checks first; the LIVE LISTING comes last and is
         // never cached — it is the freshness proof (an appended or
@@ -1041,15 +1126,18 @@ object Skipping {
           // aggregate costs nothing on re-application. Conservative
           // superset: evaluated over ALL cached rows (a shadowed row
           // can only add a spurious decline, never a wrong answer).
-          val hasPartial = preds.nonEmpty && cached.partialVerdicts
-            .computeIfAbsent(preds, _ => {
-              import scala.jdk.CollectionConverters._
-              val all = spark.createDataFrame(cached.rows.asJava, schema)
-              val inCond = preds.map(allInCond).reduce(_ && _)
-              val outCond = col("rows") === 0L ||
-                preds.map(p => !keepCond(p)).reduce(_ || _)
-              all.filter(!inCond && !outCond).limit(1).collect().nonEmpty
-            })
+          val hasPartial = preds.nonEmpty &&
+            cached.partialVerdicts.getOrCompute(preds, onFailure = true) {
+              try {
+                import scala.jdk.CollectionConverters._
+                val all = spark.createDataFrame(cached.rows.asJava, schema)
+                val inCond = preds.map(allInCond).reduce(_ && _)
+                val outCond = col("rows") === 0L ||
+                  preds.map(p => !keepCond(p)).reduce(_ || _)
+                Some(all.filter(!inCond && !outCond)
+                  .limit(1).collect().nonEmpty)
+              } catch { case _: Exception => None }
+            }
           val declined = identityDeclines.get(path)
           if (hasPartial) None
           else if (declined != null && declined._1 == sig &&
@@ -1064,11 +1152,7 @@ object Skipping {
               identityDeclines.put(path,
                 (sig, System.currentTimeMillis()))
               None
-            } else {
-              import scala.jdk.CollectionConverters._
-              val liveRows = live.map(cached.byIdentity)
-              Some((spark.createDataFrame(liveRows.asJava, schema), schema))
-            }
+            } else Some((live.map(cached.byIdentity), schema))
           }
         }
       }
@@ -1088,7 +1172,11 @@ object Skipping {
         sum(col(s"${c}__sum")).as(s"${c}__agg_sm"),
         coalesce(sum(when(col(s"${c}__sum").isNull &&
             col("rows") =!= col(s"${c}__nulls"), lit(1L))
-          .otherwise(lit(0L))), lit(0L)).as(s"${c}__agg_sbad"))
+          .otherwise(lit(0L))), lit(0L)).as(s"${c}__agg_sbad"),
+        // non-null-row total, the overflow-to-null detector's input:
+        // see [[colStatsOf]]
+        coalesce(sum(col("rows") - col(s"${c}__nulls")), lit(0L))
+          .as(s"${c}__agg_nn"))
     }
 
   private def colStatsOf(r: org.apache.spark.sql.Row,
@@ -1098,6 +1186,16 @@ object Skipping {
       val sum =
         if (!schema.fieldNames.contains(s"${c}__sum")) None
         else if (r.getLong(r.fieldIndex(s"${c}__agg_sbad")) != 0L) None
+        // OVERFLOW-TO-NULL poison (r15 ADVICE): under non-ANSI eval a
+        // decimal(38,0) sum-of-sums overflow answers SQL NULL instead
+        // of throwing, so the catch-Exception decline never fires —
+        // but every contributing per-file sum was non-null (sbad == 0
+        // above), so a NULL total WITH non-null rows present can only
+        // be overflow. Decline; the scan's own wraparound semantics
+        // stand. A NULL total over zero non-null rows is the
+        // legitimate SQL answer and passes through.
+        else if (r.isNullAt(r.fieldIndex(s"${c}__agg_sm")) &&
+            r.getLong(r.fieldIndex(s"${c}__agg_nn")) > 0L) None
         else Some(r.get(r.fieldIndex(s"${c}__agg_sm")))
       c -> ColStats(r.get(r.fieldIndex(s"${c}__agg_mn")),
         r.get(r.fieldIndex(s"${c}__agg_mx")),
@@ -1231,6 +1329,63 @@ object Skipping {
     * memoized over the cached rows (see topkVerdicts); the live
     * listing runs once per successful derivation, the same planning
     * class as the scan it shrinks. */
+  /** Spark-consistent driver-side comparison of two non-null stat
+    * values of the same external type. Strings compare as UNSIGNED
+    * UTF-8 bytes — Spark's binary `UTF8String` order, which diverges
+    * from `String.compareTo`'s UTF-16 code-unit order for
+    * supplementary characters vs chars >= U+E000. Everything else
+    * (boxed numerics, BigDecimal — scale-insensitive compareTo —
+    * java.sql/java.time datetimes, Boolean) delegates to its own
+    * `Comparable`, which matches Spark's ordering for those types
+    * (incl. NaN greatest for Float/Double; the ±0.0 divergence —
+    * compareTo distinguishes them, Spark doesn't — only ever makes
+    * [[rowAllIn]] UNDER-count, the sound direction, and float/double
+    * never reach the bound ordering: the sort column declines them).
+    * A cross-class pair throws (caught upstream as a decline). */
+  private def statCmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (x: Comparable[_], y) =>
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"statCmp: incomparable ${a.getClass}")
+  }
+
+  /** Driver-side [[allInCond]]: does the stat row PROVE every row of
+    * its file satisfies `p`? Null stats read as not-proven (the
+    * `coalesce(_, false)` of the Column form); comparisons via
+    * [[statCmp]]. Must stay conservatively-correct under Spark's
+    * comparison semantics — a file wrongly counted all-in would
+    * inflate the >= k proof. */
+  private def rowAllIn(r: org.apache.spark.sql.Row, p: Pred): Boolean = {
+    def v(n: String): Any = r.get(r.fieldIndex(n))
+    def nulls(c: String) = r.getLong(r.fieldIndex(s"${c}__nulls"))
+    def rows = r.getLong(r.fieldIndex("rows"))
+    def proven(c: String, f: (Any, Any) => Boolean, lit: Any): Boolean = {
+      val s = v(c)
+      s != null && lit != null && f(s, lit)
+    }
+    p match {
+      case RangePred(c, lo, hi) =>
+        nulls(c) == 0L &&
+          lo.forall(l => proven(s"${c}__min", statCmp(_, _) >= 0, l)) &&
+          hi.forall(h => proven(s"${c}__max", statCmp(_, _) <= 0, h))
+      case EqPred(c, x) =>
+        nulls(c) == 0L &&
+          proven(s"${c}__min", statCmp(_, _) == 0, x) &&
+          proven(s"${c}__max", statCmp(_, _) == 0, x)
+      case InPred(c, vs) =>
+        val mn = v(s"${c}__min"); val mx = v(s"${c}__max")
+        nulls(c) == 0L && mn != null && mx != null &&
+          statCmp(mn, mx) == 0 &&
+          vs.exists(x => x != null && statCmp(mn, x) == 0)
+      case NullPred(c) => nulls(c) == rows
+      case NotNullPred(c) => nulls(c) == 0L
+    }
+  }
+
   def topKFilterBound(spark: SparkSession, path: String, c: String,
       k: Long, desc: Boolean, nullsFirst: Boolean,
       expectedTypes: Map[String, DataType],
@@ -1246,75 +1401,78 @@ object Skipping {
                  org.apache.spark.sql.types.DoubleType => false
             case _ => true
           })
-        def allIn = preds.map(allInCond).reduceOption(_ && _)
-          .getOrElse(lit(true))
+        // the whole derivation is DRIVER-SIDE Scala over the (bounded)
+        // stat rows — no Spark job, so AQE re-planning a dashboard of
+        // top-k queries costs plan time, not task scheduling (r15
+        // VERDICT: the old single-partition Window was a 1M-row
+        // one-task sort per successful derivation per plan)
+        def nnOf(r: org.apache.spark.sql.Row): Long =
+          r.getLong(r.fieldIndex("rows")) -
+            r.getLong(r.fieldIndex(s"${c}__nulls"))
+        def nullsOf(r: org.apache.spark.sql.Row): Long =
+          r.getLong(r.fieldIndex(s"${c}__nulls"))
+        def allInRow(r: org.apache.spark.sql.Row): Boolean =
+          preds.forall(rowAllIn(r, _))
         if (!statOk || k <= 0L) None
         else {
-          // memo discipline: (a) a TRANSIENT evaluation failure declines
-          // THIS invocation but is never stored — only a genuinely
-          // computed verdict is "provably cannot be derived"; (b) the
-          // key embeds query literals, so the map is size-capped — a
-          // dashboard workload varying a filter literal must not grow
-          // driver state unboundedly for the manifest's lifetime
-          // (past the cap, verdicts just compute per invocation)
+          // memo discipline lives in DeclineMemo: transient failures
+          // decline THIS invocation but are never stored, and the map
+          // is size-capped because the key embeds query literals
           val key = (c, k, nullsFirst, preds)
-          val memo = cached.topkVerdicts.get(key)
           val declined =
-            if (memo != null) memo.booleanValue()
-            else {
-              val computed =
-                try {
-                  import scala.jdk.CollectionConverters._
-                  val all = spark.createDataFrame(cached.rows.asJava,
-                    schema)
-                  val nn = col("rows") - col(s"${c}__nulls")
-                  val t = all.agg(
-                    coalesce(sum(when(allIn, nn)), lit(0L)),
-                    coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
-                  Some(t.getLong(0) < k ||
-                    (nullsFirst && t.getLong(1) > 0L))
-                } catch { case _: Exception => None }
-              computed.foreach { v =>
-                if (cached.topkVerdicts.size < TopkVerdictCap)
-                  cached.topkVerdicts.put(key, v)
-              }
-              computed.getOrElse(true)
+            cached.topkVerdicts.getOrCompute(key, onFailure = true) {
+              try {
+                val qualifying = cached.rows.iterator
+                  .filter(allInRow).map(nnOf).sum
+                val nulls = cached.rows.iterator.map(nullsOf).sum
+                Some(qualifying < k || (nullsFirst && nulls > 0L))
+              } catch { case _: Exception => None }
             }
           if (declined) None
-          else liveFrameFor(spark, path, sig, cached, needed, Nil,
-            expectedTypes).flatMap { case (m, _) =>
+          else liveRowsFor(spark, path, sig, cached, needed, Nil,
+            expectedTypes).flatMap { case (live, _) =>
             try {
-              val nn = col("rows") - col(s"${c}__nulls")
               // only files the predicate PROVABLY fully includes count
               // toward the >= k proof (lower bound; partial files stay
-              // in the scan and only add rows)
-              val f = m.filter(allIn && nn > 0L)
-              // re-prove on the LIVE rows (the cached verdict is only
-              // the permanent-decline memo). The null total comes from
-              // the UNFILTERED frame: an ALL-null file has nn == 0 and
-              // would be invisible to `f`, yet its nulls are exactly
-              // the rows a NULLS FIRST top-k must surface
-              val t = m.agg(
-                coalesce(sum(when(allIn && nn > 0L, nn)), lit(0L)),
-                coalesce(sum(col(s"${c}__nulls")), lit(0L))).head()
-              if (t.getLong(0) < k || (nullsFirst && t.getLong(1) > 0L))
-                None
+              // in the scan and only add rows). Re-prove on the LIVE
+              // rows (the cached verdict is only the permanent-decline
+              // memo). The null total comes from the UNFILTERED rows:
+              // an ALL-null file has nn == 0 and would be invisible to
+              // `f`, yet its nulls are exactly the rows a NULLS FIRST
+              // top-k must surface
+              val f = live.filter(r => allInRow(r) && nnOf(r) > 0L)
+              val qualifying = f.iterator.map(nnOf).sum
+              val nulls = live.iterator.map(nullsOf).sum
+              if (qualifying < k || (nullsFirst && nulls > 0L)) None
               else {
-                val w = org.apache.spark.sql.expressions.Window
-                  .orderBy(if (desc) col(s"${c}__max").desc
-                    else col(s"${c}__min").asc)
-                  .rowsBetween(org.apache.spark.sql.expressions.Window
-                    .unboundedPreceding, 0L)
-                val bound =
-                  if (desc) min(col(s"${c}__min")).over(w)
-                  else max(col(s"${c}__max")).over(w)
-                val r = f.withColumn("__cum", sum(nn).over(w))
-                  .withColumn("__bound", bound)
-                  .filter(col("__cum") >= k)
-                  .orderBy(if (desc) col(s"${c}__max").desc
-                    else col(s"${c}__min").asc)
-                  .limit(1).select("__bound").collect()
-                r.headOption.map(_.get(0)).filter(_ != null)
+                // walk all-in files by max desc (min asc ascending),
+                // tracking the running min-of-mins (max-of-maxes): the
+                // first prefix holding >= k non-null rows yields the
+                // bound. A null sort key in a qualifying file cannot
+                // occur (nn > 0 forces a non-null min AND max) but
+                // declines defensively, like the old `_ != null` gate.
+                val keyCol = if (desc) s"${c}__max" else s"${c}__min"
+                val bndCol = if (desc) s"${c}__min" else s"${c}__max"
+                val sign = if (desc) -1 else 1
+                val sorted = f.sortWith { (a, b) =>
+                  sign * statCmp(a.get(a.fieldIndex(keyCol)),
+                    b.get(b.fieldIndex(keyCol))) < 0
+                }
+                var cum = 0L
+                var bound: Any = null
+                var out: Option[Any] = None
+                val it = sorted.iterator
+                while (out.isEmpty && it.hasNext) {
+                  val r = it.next()
+                  val b = r.get(r.fieldIndex(bndCol))
+                  if (b == null) throw new IllegalStateException(
+                    s"null $bndCol stat on a file with non-null rows")
+                  if (bound == null || sign * statCmp(b, bound) > 0)
+                    bound = b
+                  cum += nnOf(r)
+                  if (cum >= k) out = Some(bound)
+                }
+                out
               }
             } catch { case _: Exception => None }
           }
@@ -1334,15 +1492,16 @@ object Skipping {
         val indexed = groupCols.forall(g =>
           cached.schema.fieldNames.contains(s"${g}__min"))
         val multiValued = !indexed ||
-          cached.groupVerdicts.computeIfAbsent(groupCols, _ =>
+          cached.groupVerdicts.getOrCompute(groupCols, onFailure = true) {
             try {
               import scala.jdk.CollectionConverters._
               val all = spark.createDataFrame(cached.rows.asJava,
                 cached.schema)
-              all.filter(col("rows") > 0L &&
+              Some(all.filter(col("rows") > 0L &&
                   !coalesce(constantCond(cached.schema), lit(false)))
-                .limit(1).collect().nonEmpty
-            } catch { case _: Exception => true })
+                .limit(1).collect().nonEmpty)
+            } catch { case _: Exception => None }
+          }
         if (multiValued) None
         else liveFrameFor(spark, path, sig, cached, needed, preds,
           expectedTypes)
@@ -1717,11 +1876,14 @@ object Skipping {
     // never resume) — never a live lease.
     Sinks.liveIngestLease(spark, path).foreach { case (tok, age) =>
       throw new IllegalStateException(
-        s"optimize: a streaming ingest holds a live lease on $path " +
+        s"optimize: another writer holds a live lease on $path " +
         s"(token '$tok', ${age / 1000}s old, ttl " +
-        s"${Sinks.ingestLeaseTtlMs / 1000}s) — run compaction from the " +
-        "owning stream (tableIngest compactEvery), or stop the stream " +
-        "and retry after the lease expires")
+        s"${Sinks.ingestLeaseTtlMs / 1000}s) — a streaming ingest " +
+        "(run compaction from the owning stream via tableIngest " +
+        "compactEvery, or stop it and retry) or a concurrent " +
+        "maintenance call (let it finish); this check fires even when " +
+        "the holder lives in THIS JVM, which the maintenance lease's " +
+        "owner fast-path would otherwise wave through")
     }
     if (!force && Sinks.hasRecoverableEpochFiles(spark, path))
       throw new IllegalStateException(
@@ -1730,6 +1892,13 @@ object Skipping {
         "and make its replay double-append; resume the stream and let " +
         "its cadence compaction fold them, or pass force after " +
         "confirming the stream will never resume from its old checkpoint")
+    // WRITER FENCE (r16): beyond refusing a live stream (above), take
+    // the ingest lease OURSELVES for the rewrite's duration — two
+    // concurrent OPTIMIZE calls from different JVMs would interleave
+    // compactParquet's staged swap through the SHARED `__compact`/
+    // `__old` staging names and can destroy data files; the second
+    // maintainer now refuses loudly at acquire instead.
+    Sinks.withTableMaintenance(spark, path, "optimize") {
     // a swap replaces every file name, orphaning any existing manifest —
     // rebuild it afterwards over the UNION of the zorder columns, any
     // explicitly requested index/bloom columns, and the previous
@@ -1752,6 +1921,7 @@ object Skipping {
         writeZOrdered(df, staged, cols, nFiles, bits)))
     if (manifestCols.nonEmpty)
       writeManifest(spark, path, manifestCols, blooms)
+    }
   }
 
   /** Files actually opened by `df`'s parquet scans, from the executed

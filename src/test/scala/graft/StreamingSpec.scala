@@ -958,7 +958,7 @@ class StreamingSpec extends AnyFunSuite {
     Sinks.acquireIngestLease(spark, tbl, "ck-A")
     val e3 = intercept[IllegalStateException](
       Sinks.acquireIngestLease(spark, tbl, "ck-B"))
-    assert(e3.getMessage.contains("another live ingest"), e3.getMessage)
+    assert(e3.getMessage.contains("another live writer"), e3.getMessage)
     Sinks.acquireIngestLease(spark, tbl, "ck-A")
     // release is fenced by the RUN nonce, not just the token: a
     // restarted stream shares the token (= checkpoint dir), and the old
