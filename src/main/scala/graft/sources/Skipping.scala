@@ -2254,6 +2254,65 @@ object Skipping {
           q.withColumn("topk_pruned", lit(nf * 8 <= total)))
       }
     }),
+    // join-driven dynamic file pruning, in-memory dim: the dim's
+    // distinct join keys become an IN filter on the clustered fact, so
+    // the join opens only the files holding those keys — no literal
+    // predicate anywhere; `dfp_pruned` is hashed so a silent decline
+    // is a correctness failure
+    "ix_dfp_scan" -> ((s, dir) => {
+      val (tmp, total) = GateTimings.timed("ix_dfp_scan", "build") {
+        val t = tmpTable("graft_dfp")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(32, col("uid_bucket"))
+          .sortWithinPartitions("uid_bucket")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("uid_bucket"))
+        (t, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_dfp_scan", "probe") {
+        import s.implicits._
+        val dim = Seq(10L, 13L, 17L).toDF("b")
+        val q = s.read.parquet(tmp)
+          .join(dim, col("uid_bucket") === col("b"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("dfp_pruned", lit(nf * 2 <= total)))
+      }
+    }),
+    // the star shape: a PARQUET dim filtered by its own predicate —
+    // the fact prunes on the dim's surviving keys, where a plain plan
+    // reads every fact file (no literal predicate touches the fact)
+    "ix_dfp_star" -> ((s, dir) => {
+      val (tmp, dimT, total) = GateTimings.timed("ix_dfp_star", "build") {
+        val t = tmpTable("graft_dfpstar")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(32, col("uid_bucket"))
+          .sortWithinPartitions("uid_bucket")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("uid_bucket"))
+        val d = tmpDir("graft_dfpdim") + "/t"
+        eventsWithBucket(s, dir).select(col("uid_bucket").as("d_bucket"))
+          .distinct().withColumn("d_cat", col("d_bucket") % 10)
+          .coalesce(1).write.parquet(d)
+        (t, d, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_dfp_star", "probe") {
+        val q = s.read.parquet(tmp)
+          .join(s.read.parquet(dimT).filter(col("d_cat") === 3),
+            col("uid_bucket") === col("d_bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+        // ~10 surviving keys over a 100-bucket/32-file clustered
+        // layout: well under half the fact files (+1 dim file)
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("dfp_pruned", lit(nf * 2 <= total + 1)))
+      }
+    }),
     // null-count pruning: IS NULL keeps only files that HOLD nulls —
     // the manifest dimension min/max cannot express
     "ix_null_skip" -> ((s, dir) => {
@@ -2345,6 +2404,23 @@ object Skipping {
         |  CAST(1 AS BOOLEAN) AS topk_pruned
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id DESC LIMIT 50""".stripMargin,
+    "ix_dfp_scan" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS dfp_pruned
+        |FROM events JOIN (VALUES (10), (13), (17)) AS d(b)
+        |  ON user_id % 100 = d.b""".stripMargin,
+    "ix_dfp_star" ->
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS dfp_pruned
+        |FROM events JOIN (
+        |  SELECT DISTINCT user_id % 100 AS d_bucket,
+        |    (user_id % 100) % 10 AS d_cat FROM events) d
+        |  ON user_id % 100 = d.d_bucket
+        |WHERE d.d_cat = 3""".stripMargin,
     "ix_null_skip" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // filter that provably preserves the top-k, so manifest pruning
     // drops the files outside the bound (decline-on-doubt)
     ext.injectOptimizerRule(session => TopKPruningRule(session))
+    // join-driven dynamic file pruning: a broadcast-eligible build
+    // side's distinct join keys become an IN filter on a
+    // manifest-carrying probe side, so star joins prune fact files
+    // like literal predicates do (decline-on-doubt)
+    ext.injectOptimizerRule(session => DynamicFilePruningRule(session))
   }
 }
 

@@ -580,6 +580,245 @@ case class TopKPruningRule(session: SparkSession)
     }
 }
 
+/** JOIN-DRIVEN dynamic file pruning — the Delta/Photon "DFP" shape
+  * rebuilt on the manifest layer: for `fact JOIN dim ON fact.k = dim.k
+  * [WHERE dim.pred]` where the dim side is BROADCAST-ELIGIBLE (its
+  * plan-stat size fits `spark.sql.autoBroadcastJoinThreshold`) and the
+  * fact side is a manifest-carrying parquet table whose join key is
+  * stat- or bloom-indexed, the rule evaluates the dim side's DISTINCT
+  * join keys at plan time (a `distinct ... limit cap+1` job — bounded
+  * by the broadcast threshold the dim already had to fit, and by
+  * [[DynamicFilePruning.maxKeys]] rows on the driver) and injects
+  * `Filter(fact.k IN (keys), fact)`. The IN conjunct is exactly what
+  * [[SkippingFileIndex]] already prunes on — interval stats AND Bloom
+  * sidecars — so a clustered 100 TB fact table opens only the files
+  * that can hold the dim's surviving keys, where today every star
+  * join reads every fact file unless a literal predicate exists.
+  *
+  * Soundness: a fact row whose key is NOT among the dim side's
+  * non-null distinct keys cannot produce join output, so removing it
+  * is semantics-preserving exactly on the sides where unmatched rows
+  * don't survive — both sides of INNER/CROSS and LEFT SEMI, the RIGHT
+  * side of LEFT OUTER / LEFT ANTI, the LEFT side of RIGHT OUTER; FULL
+  * OUTER prunes nothing. Null join keys never match an equi-join, so
+  * the null-rejecting IN only drops rows the join would drop. An
+  * EMPTY key set injects `false` (the join can produce no matches).
+  * The dim fragment re-executes against the SAME frozen file listing
+  * the real join will read (a Spark file relation captures its file
+  * list at read time), and any non-deterministic expression on the
+  * dim side declines — the collected key set must be the set the join
+  * will see.
+  *
+  * Declines, never degrades: non-equi or cast-wrapped keys, an
+  * unindexed fact key, a dim side over the broadcast threshold (or
+  * broadcast disabled), more than [[DynamicFilePruning.maxKeys]]
+  * distinct keys, streaming plans, `graft.noskip` reads, and any
+  * evaluation failure. Fence: an existing IN/InSet conjunct on the
+  * key attribute anywhere on the fact path declines — that is the
+  * rule's own injection after pushdown (idempotence through the fixed
+  * point) or a user IN that already prunes. Cost: ONE small job per
+  * qualifying join per compile (the dim side is also re-read by the
+  * broadcast exchange — the 2× dim cost is bounded by the broadcast
+  * threshold); key-overflow and evaluation-failure declines are
+  * TTL-memoized so the optimizer's fixed-point iterations don't
+  * re-pay the job. */
+case class DynamicFilePruningRule(session: SparkSession)
+    extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans._
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter, GlobalLimit, Join, LocalLimit, Project}
+  import DynamicFilePruning._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (evaluating.get()) plan
+    else plan.transform {
+      case j: Join if j.condition.isDefined && !j.isStreaming =>
+        tryPrune(j)
+    }
+
+  private def tryPrune(j: Join): Join = {
+    val conjuncts = splitConjunctivePredicates(j.condition.get)
+    val keys = conjuncts.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if j.left.outputSet.contains(a) && j.right.outputSet.contains(b)
+            && a.dataType == b.dataType => (a, b)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if j.left.outputSet.contains(a) && j.right.outputSet.contains(b)
+            && a.dataType == b.dataType => (a, b)
+    }
+    if (keys.isEmpty) j
+    else {
+      var out = j
+      // prune the LEFT side with keys built from the RIGHT, then the
+      // mirror — each key pair is individually sound, and the fence
+      // keeps a second qualifying pair from stacking duplicate filters
+      // on the same attribute
+      for ((lk, rk) <- keys) {
+        if (canFilter(leftSide = true, out.joinType))
+          deriveCond(out.left, lk, out.right, rk).foreach { c =>
+            out = out.copy(left = LFilter(c, out.left)) }
+        if (canFilter(leftSide = false, out.joinType))
+          deriveCond(out.right, rk, out.left, lk).foreach { c =>
+            out = out.copy(right = LFilter(c, out.right)) }
+      }
+      out
+    }
+  }
+
+  /** May rows of the given side that produce NO join match be removed
+    * without changing the join's output? */
+  private def canFilter(leftSide: Boolean, jt: JoinType): Boolean =
+    jt match {
+      case Inner | Cross => true
+      case LeftSemi => true
+      case LeftAnti => !leftSide
+      case LeftOuter => !leftSide
+      case RightOuter => leftSide
+      case _ => false
+    }
+
+  /** The IN condition to inject above `prunable` (keyed by its
+    * attribute `pk`), with keys collected from `build`'s `bk` — or
+    * None on any decline. */
+  private def deriveCond(prunable: LogicalPlan, pk: AttributeReference,
+      build: LogicalPlan, bk: AttributeReference): Option[Expression] = {
+    val thresholdOk = {
+      val t = session.sessionState.conf.autoBroadcastJoinThreshold
+      t > 0 && build.stats.sizeInBytes <= t
+    }
+    if (!thresholdOk || build.isStreaming ||
+        build.exists(_.expressions.exists(e =>
+          e.exists(!_.deterministic)))) None
+    else resolve(prunable, pk).flatMap { case (lr, relAttr) =>
+      lr.relation match {
+        case hfs: HadoopFsRelation
+            if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
+              !ManifestSkipping.optedOut(hfs) &&
+              hfs.location.rootPaths.length == 1 &&
+              ManifestSkipping.hasManifest(session,
+                hfs.location.rootPaths.head) =>
+          val root = hfs.location.rootPaths.head.toString
+          val indexed =
+            Skipping.statIndexedColumns(session, root)(relAttr.name) ||
+              Skipping.bloomColumns(session, root).contains(relAttr.name)
+          if (!indexed) None
+          else collectKeys(build, bk).map { vs =>
+            if (vs.isEmpty) Literal.create(false,
+              org.apache.spark.sql.types.BooleanType)
+            // plain In — OptimizeIn (same batch) dedups and converts
+            // to InSet past the conversion threshold; toPreds handles
+            // both forms
+            else In(pk, vs.map(Literal.create(_, pk.dataType)))
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Trace `a` through aliasing projections to the backing relation's
+    * own attribute, fencing on any existing IN/InSet conjunct on the
+    * traced attribute at any level (our own injection after pushdown,
+    * or a user IN that already prunes). Filters with other shapes pass
+    * through — the injected IN composes with them. */
+  private def resolve(p: LogicalPlan, a: AttributeReference)
+      : Option[(LogicalRelation, AttributeReference)] = p match {
+    case lr: LogicalRelation =>
+      lr.output.collectFirst {
+        case ar: AttributeReference if ar.exprId == a.exprId => (lr, ar)
+      }
+    case f: LFilter =>
+      val fenced = splitConjunctivePredicates(f.condition).exists {
+        case In(x: AttributeReference, _) => x.exprId == a.exprId
+        case InSet(x: AttributeReference, _) => x.exprId == a.exprId
+        case EqualTo(x: AttributeReference, _: Literal) =>
+          x.exprId == a.exprId
+        case EqualTo(_: Literal, x: AttributeReference) =>
+          x.exprId == a.exprId
+        case _ => false
+      }
+      if (fenced) None else resolve(f.child, a)
+    case pr: Project =>
+      pr.projectList.find(_.exprId == a.exprId).flatMap {
+        case ar: AttributeReference => resolve(pr.child, ar)
+        case Alias(ar: AttributeReference, _) => resolve(pr.child, ar)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The build side's distinct non-null key values (EXTERNAL types,
+    * ready for Literal.create), or None past the cap / on failure —
+    * both TTL-memoized so fixed-point iterations don't re-run the
+    * job. The job is a `distinct limit cap+1` over a plan already
+    * proven under the broadcast threshold: driver-safe by
+    * construction. */
+  private def collectKeys(build: LogicalPlan,
+      bk: AttributeReference): Option[Seq[Any]] = {
+    val cap = maxKeys
+    val memoKey = (build.canonicalized, bk.name)
+    if (isDeclined(memoKey)) None
+    else {
+      evaluating.set(true)
+      try {
+        val limited = GlobalLimit(Literal(cap + 1),
+          LocalLimit(Literal(cap + 1),
+            Aggregate(Seq(bk), Seq(bk), build)))
+        val rows = PlanRefresh.ofRows(session, limited).collect()
+        if (rows.length > cap) { decline(memoKey); None }
+        else Some(rows.iterator.map(_.get(0)).filter(_ != null).toSeq)
+      } catch {
+        case _: Exception => decline(memoKey); None
+      } finally evaluating.set(false)
+    }
+  }
+}
+
+/** Shared state for [[DynamicFilePruningRule]]: the re-entrancy guard
+  * (the key-collection job's own optimization must not re-enter the
+  * rule) and the TTL decline memo. */
+object DynamicFilePruning {
+  private[graft] val evaluating = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Cap on collected distinct keys — past it the injected IN (and
+    * the manifest's per-value interval test) stops being cheap, so
+    * the rewrite declines. `-Dgraft.skipping.dfpMaxKeys=n`
+    * overrides. */
+  private[graft] def maxKeys: Int =
+    sys.props.get("graft.skipping.dfpMaxKeys").map(_.toInt).getOrElse(1024)
+
+  private val DeclineTtlMs = 10000L
+  private val DeclineCap = 256
+  /** (canonicalized build plan, key name) -> decline-until. TTL-only
+    * (never a correctness memo — a stale decline just skips pruning);
+    * key VALUES are never memoized: a dim table append must be seen
+    * by the very next compile, or the injected IN would wrongly drop
+    * fact rows matching the new dim keys. */
+  private val declines = new java.util.concurrent.ConcurrentHashMap[
+    (LogicalPlan, String), java.lang.Long]()
+
+  private[graft] def isDeclined(k: (LogicalPlan, String)): Boolean = {
+    val until = declines.get(k)
+    if (until == null) false
+    else if (System.currentTimeMillis() < until) true
+    else { declines.remove(k); false }
+  }
+
+  private[graft] def decline(k: (LogicalPlan, String)): Unit = {
+    if (declines.size >= DeclineCap) {
+      // drop expired entries; if still full, decline unmemoized
+      val now = System.currentTimeMillis()
+      val it = declines.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue < now) it.remove()
+    }
+    if (declines.size < DeclineCap)
+      declines.put(k, System.currentTimeMillis() + DeclineTtlMs)
+  }
+
+  private[graft] def declineCount: Int = declines.size
+}
+
 /** [[FileIndex]] wrapper that applies manifest pruning inside
   * `listFiles` — partition pruning (hive dirs) stays with the
   * underlying index; this drops individual data files the manifest

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Skipping
+import graft.sources.Skipping.scannedFiles
+
+/** Join-driven dynamic file pruning (DynamicFilePruningRule): a
+  * broadcast-eligible build side's distinct join keys become an IN
+  * filter on the manifest-carrying probe side, so the existing
+  * manifest pruning drops fact files no surviving dim key can reach.
+  * Every test pins BOTH the IO effect (scanned-file count) and exact
+  * result equality against the same join with pruning off
+  * (`graft.noskip`). */
+class DfpSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** fact: key `k` 0..49 range-clustered over 10 files; `v` payload. */
+  private def writeFact(n: Int): String = {
+    val df = spark.range(n.toLong).select(
+      col("id"), (col("id") % 50).as("k"),
+      (col("id") % 7).cast("double").as("v"))
+    val dir = tmp("dfp_fact")
+    df.repartitionByRange(10, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("k"))
+    dir
+  }
+
+  private def fact(dir: String): DataFrame = spark.read.parquet(dir)
+  private def factNoskip(dir: String): DataFrame =
+    spark.read.option("graft.noskip", "true").parquet(dir)
+
+  private def sets(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("inner join with a small dim prunes fact files, results exact") {
+    val dir = writeFact(1000)
+    val dim = Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("dk", "tag")
+    def q(f: DataFrame) = f.join(dim, col("k") === col("dk"))
+    assert(sets(q(fact(dir))) == sets(q(factNoskip(dir))))
+    val nf = scannedFiles(q(fact(dir)))
+    assert(nf * 2 <= 10, s"scanned $nf of 10")
+    // control: with graft.noskip the same join reads everything
+    assert(scannedFiles(q(factNoskip(dir))) == 10)
+  }
+
+  test("dim-filtered parquet dim (the star shape) prunes the fact") {
+    val dir = writeFact(1000)
+    val dimDir = tmp("dfp_dim")
+    spark.range(50).select(col("id").as("dk"),
+        (col("id") % 10).as("cat"))
+      .coalesce(1).write.parquet(dimDir)
+    def q(f: DataFrame) = f.join(
+      spark.read.parquet(dimDir).filter(col("cat") === 3),
+      col("k") === col("dk"))
+    assert(sets(q(fact(dir))) == sets(q(factNoskip(dir))))
+    // 5 surviving keys {3,13,23,33,43} over a 0..49 clustered layout:
+    // well under half of the 10 fact files (+1 dim file)
+    val nf = scannedFiles(q(fact(dir)))
+    assert(nf <= 1 + 5, s"scanned $nf (fact+dim)")
+  }
+
+  test("empty key set collapses the fact scan entirely") {
+    val dir = writeFact(500)
+    val dim = Seq(999L).toDF("dk").filter(col("dk") < 0)
+    val q = fact(dir).join(dim, col("k") === col("dk"))
+    assert(q.count() == 0)
+    assert(scannedFiles(fact(dir).join(dim, col("k") === col("dk"))) == 0)
+  }
+
+  test("left outer: the LEFT (fact) side is never filtered; a fact on the RIGHT is") {
+    val dir = writeFact(500)
+    val dim = Seq((10L, "x")).toDF("dk", "tag")
+    // fact LEFT of a left-outer join: unmatched fact rows must survive
+    val qL = fact(dir).join(dim, col("k") === col("dk"), "left")
+    assert(sets(qL) ==
+      sets(factNoskip(dir).join(dim, col("k") === col("dk"), "left")))
+    assert(scannedFiles(
+      fact(dir).join(dim, col("k") === col("dk"), "left")) == 10)
+    // fact RIGHT of a left-outer join: unmatched fact rows drop anyway
+    val qR = dim.join(fact(dir), col("dk") === col("k"), "left")
+    assert(sets(qR) ==
+      sets(dim.join(factNoskip(dir), col("dk") === col("k"), "left")))
+    val nf = scannedFiles(dim.join(fact(dir), col("dk") === col("k"), "left"))
+    assert(nf <= 1, s"scanned $nf of 10")
+  }
+
+  test("left semi and left anti prune soundly") {
+    val dir = writeFact(500)
+    val dim = Seq(5L, 6L).toDF("dk")
+    val semi = fact(dir).join(dim, col("k") === col("dk"), "left_semi")
+    assert(sets(semi) == sets(
+      factNoskip(dir).join(dim, col("k") === col("dk"), "left_semi")))
+    assert(scannedFiles(
+      fact(dir).join(dim, col("k") === col("dk"), "left_semi")) <= 2)
+    // anti with fact on the LEFT: unmatched rows ARE the output —
+    // the fact must scan fully and results stay exact
+    val anti = fact(dir).join(dim, col("k") === col("dk"), "left_anti")
+    assert(sets(anti) == sets(
+      factNoskip(dir).join(dim, col("k") === col("dk"), "left_anti")))
+    assert(scannedFiles(
+      fact(dir).join(dim, col("k") === col("dk"), "left_anti")) == 10)
+  }
+
+  test("declines: oversized dim, too many keys, non-deterministic dim") {
+    val dir = writeFact(500)
+    // too many distinct keys (cap forced to 3)
+    sys.props("graft.skipping.dfpMaxKeys") = "3"
+    try {
+      val wide = Seq(1L, 2L, 3L, 4L, 5L).toDF("dk")
+      val q = fact(dir).join(wide, col("k") === col("dk"))
+      assert(sets(q) == sets(
+        factNoskip(dir).join(wide, col("k") === col("dk"))))
+      assert(scannedFiles(
+        fact(dir).join(wide, col("k") === col("dk"))) == 10)
+    } finally sys.props.remove("graft.skipping.dfpMaxKeys")
+    // dim over the broadcast threshold
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val dim = Seq(10L).toDF("dk")
+      assert(scannedFiles(
+        fact(dir).join(dim, col("k") === col("dk"))) == 10)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // non-deterministic build side: the collected key set need not be
+    // the one the join sees — decline
+    val nd = spark.range(50).select((col("id")).as("dk"))
+      .filter(rand(7) >= 0.0) // always true, but non-deterministic
+    assert(scannedFiles(
+      fact(dir).join(nd, col("k") === col("dk"))) == 10)
+  }
+
+  test("fence: no stacked IN filters through the fixed point; user IN declines") {
+    val dir = writeFact(500)
+    val dim = Seq(7L, 8L).toDF("dk")
+    val q = fact(dir).join(dim, col("k") === col("dk"))
+    val plan = q.queryExecution.optimizedPlan
+    val inCount = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case i: org.apache.spark.sql.catalyst.expressions.In => i
+          case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+        }.size
+    }.sum
+    assert(inCount == 1, s"expected exactly one injected IN, got $inCount")
+    // an existing user IN on the key fences the injection (and already
+    // prunes by itself)
+    val qUser = fact(dir).filter(col("k").isin(7L, 8L))
+      .join(dim, col("k") === col("dk"))
+    assert(sets(qUser) == sets(
+      factNoskip(dir).filter(col("k").isin(7L, 8L))
+        .join(dim, col("k") === col("dk"))))
+  }
+
+  test("composes with literal predicates and bloom-indexed keys") {
+    val dir = writeFact(1000)
+    val dim = Seq((10L, 1), (40L, 2)).toDF("dk", "w")
+    def q(f: DataFrame) = f.filter(col("v") >= 0.0)
+      .join(dim, col("k") === col("dk"))
+      .groupBy(col("dk")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(sets(q(fact(dir))) == sets(q(factNoskip(dir))))
+    val nf = scannedFiles(q(fact(dir)))
+    assert(nf <= 2, s"scanned $nf of 10")
+    // bloom-only key (unclustered layout, high-cardinality id): the
+    // injected IN probes the sidecars
+    val dir2 = tmp("dfp_bloom")
+    spark.range(2000).select(col("id"), (col("id") % 7).as("m"))
+      .repartition(8).write.parquet(dir2)
+    Skipping.writeManifest(spark, dir2, Seq("id"), bloomCols = Seq("id"))
+    val dimIds = Seq(11L, 222L).toDF("did")
+    def qb(f: DataFrame) = f.join(dimIds, col("id") === col("did"))
+    val full = spark.read.option("graft.noskip", "true").parquet(dir2)
+    assert(sets(qb(spark.read.parquet(dir2))) == sets(qb(full)))
+    val nfb = scannedFiles(qb(spark.read.parquet(dir2)))
+    assert(nfb < 8, s"bloom DFP scanned $nfb of 8")
+  }
+}
