@@ -70,7 +70,12 @@ object Skipping {
     * the pruning test as a Column over the manifest rows, so manifest
     * stats and predicate literals coerce exactly like the row-level
     * filter does. */
-  sealed trait Pred { def column: String }
+  sealed trait Pred {
+    def column: String
+    /** Every column the predicate touches — equals `Seq(column)` for
+      * the leaf shapes; [[OrPred]] spans several. */
+    def columns: Seq[String] = Seq(column)
+  }
   /** Inclusive range; `None` = unbounded on that side. */
   final case class RangePred(column: String, lo: Option[Any],
       hi: Option[Any]) extends Pred
@@ -78,6 +83,21 @@ object Skipping {
   final case class InPred(column: String, values: Seq[Any]) extends Pred
   final case class NullPred(column: String) extends Pred
   final case class NotNullPred(column: String) extends Pred
+  /** DISJUNCTION of conjunctions — `(a AND b) OR (c) OR ...`. A file
+    * is kept when ANY disjunct might hold there; dropped only when
+    * every disjunct is disproved. Soundness of translation: a disjunct
+    * may be a RELAXATION of the query's own (dropped conjuncts keep
+    * more), but no disjunct may be missing — a branch that translates
+    * to nothing makes the whole OR untranslatable. The shape behind
+    * multi-branch analytic filters (the TPC-H q19 class) and the
+    * per-group top-k bound filter. */
+  final case class OrPred(disjuncts: Seq[Seq[Pred]]) extends Pred {
+    require(disjuncts.nonEmpty && disjuncts.forall(_.nonEmpty),
+      "OrPred: every disjunct must carry at least one predicate")
+    def column: String = columns.head
+    override def columns: Seq[String] =
+      disjuncts.flatten.flatMap(_.columns).distinct
+  }
 
   /** The exact row-level filter the predicate set denotes — applied by
     * [[readSkipping]] after pruning, and what a full-scan baseline must
@@ -91,6 +111,7 @@ object Skipping {
       case InPred(c, vs) => col(c).isin(vs: _*)
       case NullPred(c) => col(c).isNull
       case NotNullPred(c) => col(c).isNotNull
+      case OrPred(ds) => ds.map(predColumn).reduce(_ || _)
     }.reduceOption(_ && _).getOrElse(lit(true))
 
   // ------------------------------------------------------------- manifest
@@ -838,6 +859,10 @@ object Skipping {
     case NullPred(c) => coalesce(col(s"${c}__nulls") > 0L, lit(true))
     case NotNullPred(c) =>
       coalesce(col(s"${c}__nulls") < col("rows"), lit(true))
+    // kept when ANY disjunct's conjunction might hold — dropped only
+    // when every branch is disproved
+    case OrPred(ds) =>
+      ds.map(_.map(keepCond).reduce(_ && _)).reduce(_ || _)
   }
 
   /** Collected-manifest cache for planning-time pruning, keyed by table
@@ -900,6 +925,15 @@ object Skipping {
       * direction-blind. */
     val topkVerdicts =
       new DeclineMemo[(String, Long, Boolean, Seq[Pred])]()
+    /** (groupCols, c, k, nullsFirst) -> "the per-group top-k bounds
+      * provably cannot be derived" — same cached-rows-superset
+      * soundness as topkVerdicts (nulls and group counts over cached
+      * rows upper-bound live ones). Pred-independent: the memoized
+      * checks (NULLS FIRST nulls, group-domain width) don't involve
+      * the filter; per-group "fewer than k rows" is NOT a decline
+      * (that group just keeps everything). */
+    val windowTopkVerdicts =
+      new DeclineMemo[(Seq[String], String, Long, Boolean)]()
   }
 
   private val manifestCache =
@@ -1038,6 +1072,11 @@ object Skipping {
           proven(col(s"${c}__min").isin(vs: _*))
       case NullPred(c) => col(s"${c}__nulls") === col("rows")
       case NotNullPred(c) => col(s"${c}__nulls") === 0L
+      // SUFFICIENT proof: some disjunct provably holds for every row
+      // (a file could also be all-in with rows split across branches —
+      // that reads as not-proven, the conservative direction)
+      case OrPred(ds) =>
+        ds.map(_.map(allInCond).reduce(_ && _)).reduce(_ || _)
     }
   }
 
@@ -1225,7 +1264,7 @@ object Skipping {
       cols: Seq[String], preds: Seq[Pred] = Nil,
       expectedTypes: Map[String, DataType] = Map.empty)
       : Option[(Long, Map[String, ColStats])] = {
-    val needed = (cols ++ preds.map(_.column)).distinct
+    val needed = (cols ++ preds.flatMap(_.columns)).distinct
     metadataLiveFrame(spark, path, needed, preds, expectedTypes)
       .flatMap { case (m, schema) =>
         val mIn =
@@ -1254,13 +1293,7 @@ object Skipping {
       groupCols: Seq[String], cols: Seq[String], preds: Seq[Pred] = Nil,
       expectedTypes: Map[String, DataType] = Map.empty)
       : Option[Seq[(Map[String, Any], Long, Map[String, ColStats])]] = {
-    val needed = (groupCols ++ cols ++ preds.map(_.column)).distinct
-    def constantCond(schema: org.apache.spark.sql.types.StructType) =
-      groupCols.map { g =>
-        col(s"${g}__nulls") === col("rows") ||
-          (col(s"${g}__nulls") === 0L &&
-            col(s"${g}__min") === col(s"${g}__max"))
-      }.reduce(_ && _)
+    val needed = (groupCols ++ cols ++ preds.flatMap(_.columns)).distinct
     // the single-valued proof runs — MEMOIZED — over the cached rows
     // BEFORE the live listing: a GROUP BY over a non-constant key is a
     // permanent decline for this manifest state, and must not pay a
@@ -1269,7 +1302,7 @@ object Skipping {
     // (sig, cached) resolve ONCE here and feed liveFrameFor directly —
     // re-resolving would double the signature probe per invocation.
     metadataLiveGrouped(spark, path, groupCols, needed, preds,
-      expectedTypes, constantCond).flatMap { case (m, schema) =>
+      expectedTypes).flatMap { case (m, schema) =>
         val mIn0 =
           if (preds.isEmpty) m
           else m.filter(preds.map(allInCond).reduce(_ && _))
@@ -1383,6 +1416,8 @@ object Skipping {
           vs.exists(x => x != null && statCmp(mn, x) == 0)
       case NullPred(c) => nulls(c) == rows
       case NotNullPred(c) => nulls(c) == 0L
+      // same sufficient proof as the Column form
+      case OrPred(ds) => ds.exists(_.forall(rowAllIn(r, _)))
     }
   }
 
@@ -1393,7 +1428,7 @@ object Skipping {
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
         val schema = cached.schema
-        val needed = (c +: preds.map(_.column)).distinct
+        val needed = (c +: preds.flatMap(_.columns)).distinct
         val statOk =
           needed.forall(n => schema.fieldNames.contains(s"${n}__min")) &&
           (schema(s"${c}__min").dataType match {
@@ -1444,35 +1479,149 @@ object Skipping {
               val qualifying = f.iterator.map(nnOf).sum
               val nulls = live.iterator.map(nullsOf).sum
               if (qualifying < k || (nullsFirst && nulls > 0L)) None
+              else boundWalk(f, c, k, desc)
+            } catch { case _: Exception => None }
+          }
+        }
+      }
+    }
+
+  /** The prefix walk behind every top-k bound: order ALL-IN files by
+    * the leading stat (`max` descending / `min` ascending), tracking
+    * the running min-of-mins (max-of-maxes); the first prefix holding
+    * >= k non-null rows yields that running value as the bound. A null
+    * boundary stat on a file with non-null rows cannot occur (nn > 0
+    * forces a non-null min AND max) but throws defensively — callers
+    * catch it as a decline. */
+  private def boundWalk(f: Seq[org.apache.spark.sql.Row], c: String,
+      k: Long, desc: Boolean): Option[Any] = {
+    def nnOf(r: org.apache.spark.sql.Row): Long =
+      r.getLong(r.fieldIndex("rows")) -
+        r.getLong(r.fieldIndex(s"${c}__nulls"))
+    val keyCol = if (desc) s"${c}__max" else s"${c}__min"
+    val bndCol = if (desc) s"${c}__min" else s"${c}__max"
+    val sign = if (desc) -1 else 1
+    val sorted = f.sortWith { (a, b) =>
+      sign * statCmp(a.get(a.fieldIndex(keyCol)),
+        b.get(b.fieldIndex(keyCol))) < 0
+    }
+    var cum = 0L
+    var bound: Any = null
+    var out: Option[Any] = None
+    val it = sorted.iterator
+    while (out.isEmpty && it.hasNext) {
+      val r = it.next()
+      val b = r.get(r.fieldIndex(bndCol))
+      if (b == null) throw new IllegalStateException(
+        s"null $bndCol stat on a file with non-null rows")
+      if (bound == null || sign * statCmp(b, bound) > 0)
+        bound = b
+      cum += nnOf(r)
+      if (cum >= k) out = Some(bound)
+    }
+    out
+  }
+
+  /** Cap on the number of per-group disjuncts the window top-k rewrite
+    * may emit — the injected OR filter is evaluated per ROW (and per
+    * manifest entry at pruning time), so a very wide group domain
+    * stops being cheap. `-Dgraft.skipping.windowTopkMaxGroups=n`
+    * overrides. */
+  private[graft] def windowTopkMaxGroups: Int =
+    sys.props.get("graft.skipping.windowTopkMaxGroups").map(_.toInt)
+      .getOrElse(64)
+
+  /** PER-GROUP top-k bounds: for `QUALIFY row_number()/rank() OVER
+    * (PARTITION BY p... ORDER BY c [DESC]) <= k` (the "top k rows per
+    * key" shape) over a table whose grouping columns are FILE-CONSTANT
+    * (the metadata GROUP BY proof), one bound per live group, derived
+    * exactly like [[topKFilterBound]]'s global one but within the
+    * group's own files. Returns `(group key values in `groupCols`
+    * order, bound)` per group — `None` bound = fewer than k provable
+    * rows in that group, the caller must keep the whole group. Groups
+    * are the distinct key tuples over ALL live non-empty files (every
+    * live file is single-valued in every grouping column, so the
+    * groups partition the scan's rows — the caller's OR filter must
+    * carry one disjunct per group or it would drop rows wholesale).
+    *
+    * Soundness of the per-group walk mirrors the global proof: within
+    * group v, at least k pred-qualifying rows satisfy `c >= L_v`, so
+    * the group's k-th qualifying value is inside the kept range; rows
+    * removed by `c < L_v` sort strictly below every kept row, so
+    * surviving rows' rank/row_number values are unchanged and removed
+    * rows' ranks exceed k. Declines (None): non-file-constant or
+    * unindexed grouping columns, float/double sort column, NULLS FIRST
+    * with any null present, more than [[windowTopkMaxGroups]] live
+    * groups, zero groups, untranslated predicates, and every identity
+    * completeness failure [[liveRowsFor]] guards. Permanent declines
+    * memoize over the cached rows; the live listing runs once per
+    * successful derivation. */
+  def windowTopKBounds(spark: SparkSession, path: String,
+      groupCols: Seq[String], c: String, k: Long, desc: Boolean,
+      nullsFirst: Boolean, expectedTypes: Map[String, DataType],
+      preds: Seq[Pred] = Nil): Option[Seq[(Seq[Any], Option[Any])]] =
+    manifestSignature(spark, path).flatMap { sig =>
+      cachedManifest(spark, path, sig).flatMap { cached =>
+        val schema = cached.schema
+        val needed = ((groupCols :+ c) ++ preds.flatMap(_.columns))
+          .distinct
+        val statOk =
+          needed.forall(n => schema.fieldNames.contains(s"${n}__min")) &&
+          (schema(s"${c}__min").dataType match {
+            case org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType => false
+            case _ => true
+          })
+        def rowsOf(r: org.apache.spark.sql.Row): Long =
+          r.getLong(r.fieldIndex("rows"))
+        def nullsOf(r: org.apache.spark.sql.Row): Long =
+          r.getLong(r.fieldIndex(s"${c}__nulls"))
+        def nnOf(r: org.apache.spark.sql.Row): Long =
+          rowsOf(r) - nullsOf(r)
+        def keyOf(r: org.apache.spark.sql.Row): Seq[Any] =
+          groupCols.map { g =>
+            if (r.getLong(r.fieldIndex(s"${g}__nulls")) == rowsOf(r)) null
+            else r.get(r.fieldIndex(s"${g}__min"))
+          }
+        if (!statOk || k <= 0L || groupCols.isEmpty ||
+            groupsMultiValued(spark, cached, groupCols)) None
+        else {
+          val maxGroups = windowTopkMaxGroups
+          // permanent declines over the CACHED rows (a live-file
+          // superset when the identity gate passes — nulls and group
+          // counts can only over-count, the spurious-decline-only
+          // direction): nulls under NULLS FIRST, group-domain width
+          val key = (groupCols, c, k, nullsFirst)
+          val declined =
+            cached.windowTopkVerdicts.getOrCompute(key, onFailure = true) {
+              try {
+                val nonEmpty = cached.rows.filter(rowsOf(_) > 0L)
+                val nulls = nonEmpty.iterator.map(nullsOf).sum
+                val groups = nonEmpty.iterator.map(keyOf).toSet.size
+                Some((nullsFirst && nulls > 0L) || groups > maxGroups)
+              } catch { case _: Exception => None }
+            }
+          if (declined) None
+          else liveRowsFor(spark, path, sig, cached, needed, Nil,
+            expectedTypes).flatMap { case (live, _) =>
+            try {
+              val nonEmpty = live.filter(rowsOf(_) > 0L)
+              val nulls = nonEmpty.iterator.map(nullsOf).sum
+              if ((nullsFirst && nulls > 0L) || nonEmpty.isEmpty) None
               else {
-                // walk all-in files by max desc (min asc ascending),
-                // tracking the running min-of-mins (max-of-maxes): the
-                // first prefix holding >= k non-null rows yields the
-                // bound. A null sort key in a qualifying file cannot
-                // occur (nn > 0 forces a non-null min AND max) but
-                // declines defensively, like the old `_ != null` gate.
-                val keyCol = if (desc) s"${c}__max" else s"${c}__min"
-                val bndCol = if (desc) s"${c}__min" else s"${c}__max"
-                val sign = if (desc) -1 else 1
-                val sorted = f.sortWith { (a, b) =>
-                  sign * statCmp(a.get(a.fieldIndex(keyCol)),
-                    b.get(b.fieldIndex(keyCol))) < 0
-                }
-                var cum = 0L
-                var bound: Any = null
-                var out: Option[Any] = None
-                val it = sorted.iterator
-                while (out.isEmpty && it.hasNext) {
-                  val r = it.next()
-                  val b = r.get(r.fieldIndex(bndCol))
-                  if (b == null) throw new IllegalStateException(
-                    s"null $bndCol stat on a file with non-null rows")
-                  if (bound == null || sign * statCmp(b, bound) > 0)
-                    bound = b
-                  cum += nnOf(r)
-                  if (cum >= k) out = Some(bound)
-                }
-                out
+                val byGroup = nonEmpty.groupBy(keyOf)
+                if (byGroup.size > maxGroups) None
+                else Some(byGroup.toSeq.map { case (kv, rs) =>
+                  // only files preds PROVABLY fully include count
+                  // toward the group's >= k proof (partials stay in
+                  // the scan and ride the group's disjunct)
+                  val f = rs.filter(r =>
+                    preds.forall(rowAllIn(r, _)) && nnOf(r) > 0L)
+                  val bound =
+                    if (f.iterator.map(nnOf).sum < k) None
+                    else boundWalk(f, c, k, desc)
+                  (kv, bound)
+                })
               }
             } catch { case _: Exception => None }
           }
@@ -1480,29 +1629,44 @@ object Skipping {
       }
     }
 
+  /** Per-file "single-valued in every grouping column" condition over
+    * manifest stat rows: zero nulls with min == max (the group key),
+    * or all-null (the SQL null group). */
+  private def groupConstantCond(groupCols: Seq[String]): Column =
+    groupCols.map { g =>
+      col(s"${g}__nulls") === col("rows") ||
+        (col(s"${g}__nulls") === 0L &&
+          col(s"${g}__min") === col(s"${g}__max"))
+    }.reduce(_ && _)
+
+  /** MEMOIZED "some cached non-empty file is multi-valued in these
+    * columns" verdict — shared by the metadata GROUP BY rewrite and
+    * the per-group top-k bound (both require file-constant keys).
+    * Unindexed grouping columns read as multi-valued. */
+  private def groupsMultiValued(spark: SparkSession,
+      cached: CachedManifest, groupCols: Seq[String]): Boolean =
+    !groupCols.forall(g =>
+        cached.schema.fieldNames.contains(s"${g}__min")) ||
+      cached.groupVerdicts.getOrCompute(groupCols, onFailure = true) {
+        try {
+          import scala.jdk.CollectionConverters._
+          val all = spark.createDataFrame(cached.rows.asJava,
+            cached.schema)
+          Some(all.filter(col("rows") > 0L &&
+              !coalesce(groupConstantCond(groupCols), lit(false)))
+            .limit(1).collect().nonEmpty)
+        } catch { case _: Exception => None }
+      }
+
   /** (sig, cached) resolution + the memoized single-valued verdict +
     * [[liveFrameFor]], in ONE pass — the grouped rewrite's front half. */
   private def metadataLiveGrouped(spark: SparkSession, path: String,
       groupCols: Seq[String], needed: Seq[String], preds: Seq[Pred],
-      expectedTypes: Map[String, DataType],
-      constantCond: org.apache.spark.sql.types.StructType => Column)
+      expectedTypes: Map[String, DataType])
       : Option[(DataFrame, org.apache.spark.sql.types.StructType)] =
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
-        val indexed = groupCols.forall(g =>
-          cached.schema.fieldNames.contains(s"${g}__min"))
-        val multiValued = !indexed ||
-          cached.groupVerdicts.getOrCompute(groupCols, onFailure = true) {
-            try {
-              import scala.jdk.CollectionConverters._
-              val all = spark.createDataFrame(cached.rows.asJava,
-                cached.schema)
-              Some(all.filter(col("rows") > 0L &&
-                  !coalesce(constantCond(cached.schema), lit(false)))
-                .limit(1).collect().nonEmpty)
-            } catch { case _: Exception => None }
-          }
-        if (multiValued) None
+        if (groupsMultiValued(spark, cached, groupCols)) None
         else liveFrameFor(spark, path, sig, cached, needed, preds,
           expectedTypes)
       }
@@ -1513,8 +1677,8 @@ object Skipping {
       val loaded = cachedManifest(spark, path, sig)
       loaded.flatMap { cached =>
         val schema = cached.schema
-        val indexed = preds.filter(p =>
-          schema.fieldNames.contains(s"${p.column}__min"))
+        val indexed = preds.filter(p => p.columns.forall(c =>
+          schema.fieldNames.contains(s"${c}__min")))
         if (indexed.isEmpty || !schema.fieldNames.contains("bytes")) None
         else {
           import scala.jdk.CollectionConverters._
@@ -2254,6 +2418,32 @@ object Skipping {
           q.withColumn("topk_pruned", lit(nf * 8 <= total)))
       }
     }),
+    // PER-PARTITION top-k: row_number() OVER (PARTITION BY type ORDER
+    // BY id DESC) <= k over a hive layout clustered by id within each
+    // type — one bound per group, the per-group OR filter prunes each
+    // partition down to its tail file(s); flag hashed as usual
+    "ix_topk_group" -> ((s, dir) => {
+      val (tmp, total) = GateTimings.timed("ix_topk_group", "build") {
+        val t = tmpTable("graft_topkg")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(32, col("event_type"), col("event_id"))
+          .write.partitionBy("event_type").parquet(t)
+        writeManifest(s, t, Seq("event_type", "event_id"))
+        (t, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_topk_group", "probe") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("event_id").desc)
+        val q = s.read.parquet(tmp)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            col("rn"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("topk_pruned", lit(nf * 2 <= total)))
+      }
+    }),
     // join-driven dynamic file pruning, in-memory dim: the dim's
     // distinct join keys become an IN filter on the clustered fact, so
     // the join opens only the files holding those keys — no literal
@@ -2404,6 +2594,14 @@ object Skipping {
         |  CAST(1 AS BOOLEAN) AS topk_pruned
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id DESC LIMIT 50""".stripMargin,
+    "ix_topk_group" ->
+      """SELECT event_type, event_id, user_id, rn,
+        |  CAST(1 AS BOOLEAN) AS topk_pruned
+        |FROM (SELECT event_type, event_id, user_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 20""".stripMargin,
     "ix_dfp_scan" ->
       """SELECT count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

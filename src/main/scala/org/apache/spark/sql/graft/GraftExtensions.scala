@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-carrying probe side, so star joins prune fact files
     // like literal predicates do (decline-on-doubt)
     ext.injectOptimizerRule(session => DynamicFilePruningRule(session))
+    // per-partition top-k pruning: QUALIFY row_number()/rank() OVER
+    // (PARTITION BY p ORDER BY c) <= k over file-constant p gains a
+    // per-group bound OR filter the manifest prunes on
+    ext.injectOptimizerRule(session => WindowTopKPruningRule(session))
   }
 }
 

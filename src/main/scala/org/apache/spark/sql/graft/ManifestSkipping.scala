@@ -65,6 +65,22 @@ object ManifestSkipping {
     * schema, which is what the manifest was built from. */
   def toPreds(e: Expression): Seq[Skipping.Pred] = e match {
     case And(l, r) => toPreds(l) ++ toPreds(r)
+    // OR prunes only when BOTH branches translate (a branch lost to
+    // translation could hold anywhere — the whole OR must keep
+    // everything); a PARTIALLY-translated branch is fine (a relaxed
+    // disjunct keeps more files, the sound direction). Sides that are
+    // themselves ORs splice flat.
+    case Or(l, r) =>
+      val lp = toPreds(l); val rp = toPreds(r)
+      if (lp.isEmpty || rp.isEmpty) Nil
+      else {
+        def djs(ps: Seq[Skipping.Pred]): Seq[Seq[Skipping.Pred]] =
+          ps match {
+            case Seq(Skipping.OrPred(ds)) => ds
+            case other => Seq(other)
+          }
+        Seq(Skipping.OrPred(djs(lp) ++ djs(rp)))
+      }
     case EqualTo(a: AttributeReference, l: Literal) => eqPred(a, l)
     case EqualTo(l: Literal, a: AttributeReference) => eqPred(a, l)
     case EqualNullSafe(a: AttributeReference, l: Literal) =>
@@ -405,7 +421,7 @@ case class MetadataAggRule(session: SparkSession)
             else {
               val reqs = classified.map(_.get)
               val needed = (reqs.flatMap(_._1) ++ groups.map(_._2) ++
-                predsOpt.get.map(_.column)).distinct
+                predsOpt.get.flatMap(_.columns)).distinct
               // the stats layer declines unless each needed column's
               // stat type EQUALS the relation attribute's type — a
               // read-schema upcast must fall back to a scan, not crash
@@ -556,10 +572,12 @@ case class TopKPruningRule(session: SparkSession)
                 // filters through the fixed point, and (b) a user
                 // filter on the sort column is already the pruning
                 // predicate
-                predsOpt.filter(_.forall(_.column != c)).flatMap { preds =>
+                predsOpt.filter(_.forall(!_.columns.contains(c)))
+                  .flatMap { preds =>
                   val types = (Map(c -> relAttr.dataType) ++
-                    preds.flatMap(p => lr.output.find(_.name == p.column)
-                      .map(o => p.column -> o.dataType))).toMap
+                    preds.flatMap(_.columns).flatMap(cn =>
+                      lr.output.find(_.name == cn)
+                        .map(o => cn -> o.dataType))).toMap
                   Skipping.topKFilterBound(session, root, c, k, desc,
                     nullsFirst, types, preds).map { b =>
                     val bl = Literal.create(b, a.dataType)
@@ -577,6 +595,226 @@ case class TopKPruningRule(session: SparkSession)
           }
         case _ => None
       }
+    }
+}
+
+/** PER-PARTITION top-k file pruning — the window form of
+  * [[TopKPruningRule]]: `QUALIFY row_number()/rank() OVER (PARTITION
+  * BY p ORDER BY c [DESC]) <= k` (compiled to `Filter(rank-pred,
+  * Window(...))`) over a table whose partition columns are
+  * FILE-CONSTANT (the metadata GROUP BY constancy proof) gains a
+  * derived per-group OR filter
+  * `(p <=> v1 AND c >= L1) OR (p <=> v2) OR ...` under the Window —
+  * one disjunct per live group, bounded groups carrying their own
+  * [[graft.sources.Skipping.windowTopKBounds]] limit, unbounded
+  * groups (fewer than k provable rows) kept whole. The OR translates
+  * to an [[graft.sources.Skipping.OrPred]] at the scan, so on a
+  * source-partitioned corpus "top 100 docs per domain by score" opens
+  * each domain's tail files instead of the corpus.
+  *
+  * Soundness: every live file is single-valued in every partition
+  * column, so the disjuncts cover every scanned row's group; within
+  * group v at least k pred-qualifying rows satisfy the bound, so
+  * removed rows (strictly below every kept row in the sort order)
+  * have per-group rank/row_number > k and fail the rank predicate
+  * anyway — and removal cannot change SURVIVING rows' rank values,
+  * because rank-family functions depend only on rows at-or-above the
+  * current one. That stability argument requires EVERY window
+  * expression in the node to be row_number()/rank() over the same
+  * spec — any other function (sum over the partition, lead/lag,
+  * dense_rank whose <= k proof needs distinct VALUES, not rows)
+  * declines. The rank predicate may sit among other conjuncts (they
+  * only further filter output rows the bound already preserved).
+  *
+  * Declines: non-attribute partition/order keys, float/double sort
+  * column, NULLS FIRST with nulls present, non-file-constant or
+  * unindexed partition columns, more than
+  * `graft.skipping.windowTopkMaxGroups` groups, filters on the path
+  * that don't translate EXACTLY — which includes this rule's own
+  * injected OR (the idempotence fence), and streaming plans. */
+case class WindowTopKPruningRule(session: SparkSession)
+    extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+    Project, Window, WindowGroupLimit}
+  import org.apache.spark.sql.catalyst.expressions.{Rank, RowNumber,
+    WindowExpression, WindowSpecDefinition}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ LFilter(cond, w: Window) if !f.isStreaming =>
+      rewrite(cond, w).map(w2 => f.copy(child = w2)).getOrElse(f)
+    case f @ LFilter(cond, p @ Project(pl, w: Window))
+        if !f.isStreaming &&
+          pl.forall(_.isInstanceOf[AttributeReference]) =>
+      rewrite(cond, w)
+        .map(w2 => f.copy(child = p.copy(child = w2))).getOrElse(f)
+  }
+
+  /** k from a rank-bounding conjunct on `attr`: `rn <= k`, `rn < k+1`,
+    * `rn = k` (all imply "rank <= k" for the rows that survive). */
+  private def rankLimit(conjuncts: Seq[Expression],
+      attrs: Set[ExprId]): Option[Long] = {
+    val ks = conjuncts.collect {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k))
+          if attrs(a.exprId) => k.toLong
+      case LessThan(a: AttributeReference, IntegerLiteral(k))
+          if attrs(a.exprId) => k.toLong - 1L
+      case EqualTo(a: AttributeReference, IntegerLiteral(k))
+          if attrs(a.exprId) => k.toLong
+      case EqualTo(IntegerLiteral(k), a: AttributeReference)
+          if attrs(a.exprId) => k.toLong
+      case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference)
+          if attrs(a.exprId) => k.toLong
+      case GreaterThan(IntegerLiteral(k), a: AttributeReference)
+          if attrs(a.exprId) => k.toLong - 1L
+    }
+    if (ks.isEmpty) None else Some(ks.min)
+  }
+
+  private def rewrite(cond: Expression, w: Window): Option[Window] = {
+    // every window expression must be a rank-family function whose
+    // value is stable under removal of strictly-lower rows, over THIS
+    // node's own partition/order spec
+    val rankAttrs = w.windowExpressions.flatMap {
+      case a @ Alias(WindowExpression(fn,
+          WindowSpecDefinition(ps, os, _)), _)
+          if ps == w.partitionSpec && os == w.orderSpec =>
+        fn match {
+          case _: RowNumber => Some(a.exprId)
+          case _: Rank => Some(a.exprId)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (rankAttrs.size != w.windowExpressions.size ||
+        w.partitionSpec.isEmpty || w.orderSpec.isEmpty) None
+    else {
+      val groupAttrsOpt = w.partitionSpec.foldLeft(
+        Option(Seq.empty[AttributeReference])) { (acc, e) =>
+        acc.flatMap(s => e match {
+          case ar: AttributeReference => Some(s :+ ar)
+          case _ => None
+        })
+      }
+      val so = w.orderSpec.head
+      (groupAttrsOpt, so.child) match {
+        case (Some(groupAttrs), orderAttr: AttributeReference) =>
+          rankLimit(splitConjunctivePredicates(cond),
+            rankAttrs.toSet).filter(_ > 0L).flatMap { k =>
+            derive(w, groupAttrs, orderAttr,
+              so.direction == Descending,
+              so.nullOrdering == NullsFirst, k)
+          }
+        case _ => None
+      }
+    }
+  }
+
+  /** Trace every partition/order attribute through the child chain to
+    * ONE shared manifest-carrying relation, translate the on-path
+    * filters exactly, derive per-group bounds, and emit the OR filter
+    * above the window's child. */
+  private def derive(w: Window, groupAttrs: Seq[AttributeReference],
+      orderAttr: AttributeReference, desc: Boolean, nullsFirst: Boolean,
+      k: Long): Option[Window] =
+    resolve(w.child, orderAttr).flatMap { case (lr, relOrder, filters) =>
+      // all partition attrs must land on the SAME relation instance
+      val relGroupsOpt = groupAttrs.foldLeft(
+        Option(Seq.empty[AttributeReference])) { (acc, ga) =>
+        acc.flatMap(s => resolve(w.child, ga) match {
+          case Some((lr2, rg, _)) if lr2 eq lr => Some(s :+ rg)
+          case _ => None
+        })
+      }
+      relGroupsOpt.flatMap { relGroups =>
+        lr.relation match {
+          case hfs: HadoopFsRelation
+              if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
+                !ManifestSkipping.optedOut(hfs) &&
+                hfs.location.rootPaths.length == 1 &&
+                ManifestSkipping.hasManifest(session,
+                  hfs.location.rootPaths.head) =>
+            val root = hfs.location.rootPaths.head.toString
+            val nameOf: AttributeReference => Boolean = ar =>
+              lr.output.exists(_.exprId == ar.exprId)
+            // every on-path filter must translate EXACTLY — the OR
+            // this rule itself injects never does, which is the
+            // idempotence fence through the fixed point
+            val predsOpt = filters
+              .foldLeft(Option(Seq.empty[Skipping.Pred])) {
+                (acc, cond) => acc.flatMap { ps =>
+                  val refsOk = cond.references.toSeq.forall {
+                    case ar: AttributeReference => nameOf(ar)
+                    case _ => false
+                  }
+                  if (!refsOk) None
+                  else ManifestSkipping.toPredsExact(cond).map(ps ++ _)
+                }
+              }
+            // a filter on the sort column composes soundly via
+            // rowAllIn, but one on a PARTITION column does too — no
+            // extra fence needed beyond exact translation
+            predsOpt.flatMap { preds =>
+              val c = relOrder.name
+              val groupCols = relGroups.map(_.name)
+              val types = (Map(c -> relOrder.dataType) ++
+                relGroups.map(g => g.name -> g.dataType) ++
+                preds.flatMap(_.columns).flatMap(cn =>
+                  lr.output.find(_.name == cn)
+                    .map(o => cn -> o.dataType))).toMap
+              Skipping.windowTopKBounds(session, root, groupCols, c, k,
+                desc, nullsFirst, types, preds).flatMap { bounds =>
+                if (bounds.isEmpty || !bounds.exists(_._2.isDefined))
+                  None // nothing bounded — the filter would be pure cost
+                else {
+                  val disjuncts = bounds.map { case (kv, bnd) =>
+                    val keyCond = groupAttrs.zip(kv).map { case (ga, v) =>
+                      EqualNullSafe(ga,
+                        Literal.create(v, ga.dataType)): Expression
+                    }.reduce(And)
+                    bnd match {
+                      case Some(b) =>
+                        val bl = Literal.create(b, orderAttr.dataType)
+                        And(keyCond,
+                          if (desc) GreaterThanOrEqual(orderAttr, bl)
+                          else LessThanOrEqual(orderAttr, bl))
+                      case None => keyCond
+                    }
+                  }
+                  val cond = disjuncts.reduce[Expression](Or)
+                  Some(w.copy(child = LFilter(cond, w.child)))
+                }
+              }
+            }
+          case _ => None
+        }
+      }
+    }
+
+  /** Trace `a` through aliasing projections / filters / a
+    * WindowGroupLimit (Spark's own rank-limit pre-filter, inserted by
+    * InferWindowGroupLimit) to the backing relation, collecting filter
+    * conditions — same shape as [[TopKPruningRule]]'s. */
+  private def resolve(p: LogicalPlan, a: AttributeReference)
+      : Option[(LogicalRelation, AttributeReference, Seq[Expression])] =
+    p match {
+      case lr: LogicalRelation =>
+        lr.output.collectFirst {
+          case ar: AttributeReference if ar.exprId == a.exprId =>
+            (lr, ar, Seq.empty[Expression])
+        }
+      case f: LFilter =>
+        resolve(f.child, a).map { case (lr, ar, cs) =>
+          (lr, ar, f.condition +: cs)
+        }
+      case wgl: WindowGroupLimit => resolve(wgl.child, a)
+      case pr: Project =>
+        pr.projectList.find(_.exprId == a.exprId).flatMap {
+          case ar: AttributeReference => resolve(pr.child, ar)
+          case Alias(ar: AttributeReference, _) => resolve(pr.child, ar)
+          case _ => None
+        }
+      case _ => None
     }
 }
 

@@ -71,12 +71,37 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(sets(q) == sets(src.filter((col("a") * 2) === 20)))
     assert(scannedFiles(spark.read.parquet(dir)
       .filter((col("a") * 2) === 20)) == 10)
-    // OR across columns is not a conjunct — no pruning, full scan
+    // OR with a branch every file might hold (b spans its full range
+    // in every file) — translated, but proves nothing: full scan
     val orq = spark.read.parquet(dir)
       .filter(col("a") === 1 || col("b") === 3.0)
     assert(sets(orq) == sets(src.filter(col("a") === 1 || col("b") === 3.0)))
     assert(scannedFiles(spark.read.parquet(dir)
       .filter(col("a") === 1 || col("b") === 3.0)) == 10)
+  }
+
+  test("OR predicates prune: a file drops only when EVERY branch is disproved") {
+    val (dir, src) = writeClustered(1000)
+    // two narrow ranges on the clustered column: only the files
+    // holding either range survive
+    val cond = col("a").between(5, 6) || col("a").between(40, 41)
+    assert(sets(spark.read.parquet(dir).filter(cond)) ==
+      sets(src.filter(cond)))
+    val nf = scannedFiles(spark.read.parquet(dir).filter(cond))
+    assert(nf < 10 && nf >= 1, s"OR scanned $nf of 10")
+    // a branch that does NOT translate poisons the whole OR (it could
+    // hold anywhere): full scan, still correct
+    val bad = col("a").between(5, 6) || (col("a") * 2) === 80
+    assert(sets(spark.read.parquet(dir).filter(bad)) ==
+      sets(src.filter(bad)))
+    assert(scannedFiles(spark.read.parquet(dir).filter(bad)) == 10)
+    // mixed-column disjuncts with conjunctive branches: (a range AND
+    // b point) OR (a point) — branch conjunctions relax soundly
+    val mixed = (col("a").between(5, 6) && col("b") === 1.0) ||
+      col("a") === 45
+    assert(sets(spark.read.parquet(dir).filter(mixed)) ==
+      sets(src.filter(mixed)))
+    assert(scannedFiles(spark.read.parquet(dir).filter(mixed)) < 10)
   }
 
   test("files appended after the manifest are still read (stale-safe)") {

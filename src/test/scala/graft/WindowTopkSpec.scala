@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Skipping
+import graft.sources.Skipping.scannedFiles
+
+/** Per-partition top-k pruning (WindowTopKPruningRule): QUALIFY
+  * row_number()/rank() OVER (PARTITION BY p ORDER BY c DESC) <= k
+  * over file-constant p derives one bound per group and injects a
+  * per-group OR filter the manifest prunes on. Every test pins the IO
+  * effect AND exact result equality against the same query with
+  * pruning off. */
+class WindowTopkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.session
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** p in {p0,p1,p2} hive-partitioned (file-constant); within each
+    * partition, c = id clustered over ~4 files. */
+  private def writeTable(n: Int): (String, Int) = {
+    val df = spark.range(n.toLong).select(
+      col("id").as("c"),
+      concat(lit("p"), (col("id") % 3)).as("p"),
+      (col("id") % 7).cast("double").as("v"))
+    val dir = tmp("wtopk")
+    df.repartitionByRange(12, col("p"), col("c"))
+      .write.partitionBy("p").parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("p", "c"))
+    (dir, Skipping.dataFiles(spark, dir).size)
+  }
+
+  private def read(dir: String): DataFrame = spark.read.parquet(dir)
+  private def readFull(dir: String): DataFrame =
+    spark.read.option("graft.noskip", "true").parquet(dir)
+
+  private def sets(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def topk(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("rn") <= k)
+
+  test("row_number per-partition top-k prunes files, results exact") {
+    val (dir, total) = writeTable(3000)
+    assert(sets(topk(read(dir), 10)) == sets(topk(readFull(dir), 10)))
+    val nf = scannedFiles(topk(read(dir), 10))
+    assert(nf * 2 <= total, s"scanned $nf of $total")
+    // rank() works the same way (>= k rows above the bound force
+    // removed rows' rank past k)
+    def rk(df: DataFrame) = df.withColumn("r", rank().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("r") <= 10)
+    assert(sets(rk(read(dir))) == sets(rk(readFull(dir))))
+    assert(scannedFiles(rk(read(dir))) * 2 <= total)
+    // the rn = 1 equality shape ("latest per key")
+    def latest(df: DataFrame) = df.withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("rn") === 1)
+    assert(sets(latest(read(dir))) == sets(latest(readFull(dir))))
+    assert(scannedFiles(latest(read(dir))) * 2 <= total)
+  }
+
+  test("ascending order bounds from the LOW end") {
+    val (dir, total) = writeTable(3000)
+    def asc(df: DataFrame) = df.withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").asc)))
+      .filter(col("rn") <= 10)
+    assert(sets(asc(read(dir))) == sets(asc(readFull(dir))))
+    assert(scannedFiles(asc(read(dir))) * 2 <= total)
+  }
+
+  test("composes with an exactly-translatable WHERE filter") {
+    val (dir, total) = writeTable(3000)
+    def q(df: DataFrame) = df.filter(col("p") === "p1")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("rn") <= 10)
+    assert(sets(q(read(dir))) == sets(q(readFull(dir))))
+    // partition pruning alone keeps ~total/3; the bound keeps ~1 file
+    val nf = scannedFiles(q(read(dir)))
+    assert(nf * 4 <= total, s"scanned $nf of $total")
+  }
+
+  test("small groups stay whole (no bound, no lost rows)") {
+    // group p2 gets only 5 rows (< k) — its disjunct must keep the
+    // whole group while the big groups still bound
+    val df = spark.range(3000).select(
+      col("id").as("c"),
+      when(col("id") < 5, lit("p2"))
+        .otherwise(concat(lit("p"), col("id") % 2)).as("p"))
+    val dir = tmp("wtopk_small")
+    df.repartitionByRange(12, col("p"), col("c"))
+      .write.partitionBy("p").parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("p", "c"))
+    def q(d: DataFrame) = d.withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("rn") <= 10)
+    assert(sets(q(read(dir))) == sets(q(readFull(dir))))
+    val r = q(read(dir)).groupBy("p").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("p2") == 5L && r("p0") == 10L && r("p1") == 10L)
+  }
+
+  test("declines: non-constant key, foreign window exprs, dense_rank, group cap, nulls-first") {
+    val (dir, total) = writeTable(2000)
+    // non-file-constant partition key (v spans its domain everywhere)
+    def nc(df: DataFrame) = df.withColumn("rn", row_number().over(
+        Window.partitionBy("v").orderBy(col("c").desc)))
+      .filter(col("rn") <= 5)
+    assert(sets(nc(read(dir))) == sets(nc(readFull(dir))))
+    assert(scannedFiles(nc(read(dir))) == total)
+    // a non-rank window expr in the same spec: removal would change
+    // its value — whole node declines
+    def mixed(df: DataFrame) = {
+      val w = Window.partitionBy("p").orderBy(col("c").desc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("s", sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("rn") <= 10)
+    }
+    assert(sets(mixed(read(dir))) == sets(mixed(readFull(dir))))
+    assert(scannedFiles(mixed(read(dir))) == total)
+    // dense_rank: k rows don't guarantee k distinct values — decline
+    def dr(df: DataFrame) = df.withColumn("dr", dense_rank().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("dr") <= 10)
+    assert(sets(dr(read(dir))) == sets(dr(readFull(dir))))
+    assert(scannedFiles(dr(read(dir))) == total)
+    // group cap
+    sys.props("graft.skipping.windowTopkMaxGroups") = "2"
+    try {
+      assert(scannedFiles(topk(read(dir), 10)) == total)
+    } finally sys.props.remove("graft.skipping.windowTopkMaxGroups")
+    // NULLS FIRST with nulls present must decline (nulls may be the
+    // top-k); the engine stays exact either way
+    val dirN = tmp("wtopk_nulls")
+    spark.range(2000).select(
+        when(col("id") % 100 === 0, lit(null)).otherwise(col("id"))
+          .as("c"),
+        concat(lit("p"), (col("id") % 3)).as("p"))
+      .repartitionByRange(12, col("p"), col("c"))
+      .write.partitionBy("p").parquet(dirN)
+    Skipping.writeManifest(spark, dirN, Seq("p", "c"))
+    val totalN = Skipping.dataFiles(spark, dirN).size
+    def nf1(df: DataFrame) = df.withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").desc_nulls_first)))
+      .filter(col("rn") <= 10)
+    assert(sets(nf1(read(dirN))) == sets(nf1(readFull(dirN))))
+    assert(scannedFiles(nf1(read(dirN))) == totalN)
+    // default desc (nulls last) still bounds over the same data
+    def nl(df: DataFrame) = df.withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("rn") <= 10)
+    assert(sets(nl(read(dirN))) == sets(nl(readFull(dirN))))
+    assert(scannedFiles(nl(read(dirN))) < totalN)
+  }
+
+  test("idempotent through the fixed point: exactly one injected OR filter") {
+    val (dir, _) = writeTable(2000)
+    val plan = topk(read(dir), 10).queryExecution.optimizedPlan
+    val orFilters = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.Or] => f
+    }
+    assert(orFilters.size == 1,
+      s"expected one injected OR filter, got ${orFilters.size}")
+  }
+}
