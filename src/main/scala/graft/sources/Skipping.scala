@@ -1287,13 +1287,31 @@ object Skipping {
     * all-null (the SQL null group); one multi-valued file declines.
     * All of [[metadataAggStats]]' exactness gates apply on top. Returns
     * one entry per group: (group-key values by column, rows,
-    * per-column [[ColStats]]). Zero groups (every file all-out) is a
-    * VALID answer — grouped aggregation over no rows yields no rows. */
+    * per-column [[ColStats]], distinct counts keyed by column list).
+    * Zero groups (every file all-out) is a VALID answer — grouped
+    * aggregation over no rows yields no rows.
+    *
+    * `distinctCols`: one entry per `count(DISTINCT a[, b...])` in the
+    * query — those columns join the FILE-CONSTANT proof (a file
+    * multi-valued in any of them declines), and the per-group distinct
+    * count is then exactly the count of distinct non-null file-key
+    * tuples, computed by Spark's own `countDistinct` over the manifest
+    * rows (so multi-column null semantics — a tuple with ANY null arg
+    * doesn't count — are Spark's, not re-implemented). With
+    * `groupCols` EMPTY and `distinctCols` non-empty this computes the
+    * GLOBAL aggregate (one row, even over zero included files — the
+    * SQL global-aggregate shape). */
   def metadataGroupStats(spark: SparkSession, path: String,
       groupCols: Seq[String], cols: Seq[String], preds: Seq[Pred] = Nil,
-      expectedTypes: Map[String, DataType] = Map.empty)
-      : Option[Seq[(Map[String, Any], Long, Map[String, ColStats])]] = {
-    val needed = (groupCols ++ cols ++ preds.flatMap(_.columns)).distinct
+      expectedTypes: Map[String, DataType] = Map.empty,
+      distinctCols: Seq[Seq[String]] = Nil)
+      : Option[Seq[(Map[String, Any], Long, Map[String, ColStats],
+        Map[Seq[String], Long])]] = {
+    val dLists = distinctCols.distinct
+    val constantCols = (groupCols ++ dLists.flatten).distinct
+    val needed =
+      (constantCols ++ cols ++ preds.flatMap(_.columns)).distinct
+    if (constantCols.isEmpty && groupCols.isEmpty) return None
     // the single-valued proof runs — MEMOIZED — over the cached rows
     // BEFORE the live listing: a GROUP BY over a non-constant key is a
     // permanent decline for this manifest state, and must not pay a
@@ -1301,7 +1319,7 @@ object Skipping {
     // per stage). Empty files can't violate (no rows in any group).
     // (sig, cached) resolve ONCE here and feed liveFrameFor directly —
     // re-resolving would double the signature probe per invocation.
-    metadataLiveGrouped(spark, path, groupCols, needed, preds,
+    metadataLiveGrouped(spark, path, constantCols, needed, preds,
       expectedTypes).flatMap { case (m, schema) =>
         val mIn0 =
           if (preds.isEmpty) m
@@ -1311,18 +1329,28 @@ object Skipping {
         // group)
         val mIn = mIn0.filter(col("rows") > 0L)
         try {
-          val keys = groupCols.map(g =>
+          def keyExpr(g: String): Column =
             when(col(s"${g}__nulls") === col("rows"), lit(null))
-              .otherwise(col(s"${g}__min")).as(s"${g}__key"))
+              .otherwise(col(s"${g}__min"))
+          val keys = groupCols.map(g => keyExpr(g).as(s"${g}__key"))
+          val dAggs = dLists.zipWithIndex.map { case (dc, i) =>
+            countDistinct(keyExpr(dc.head),
+              dc.tail.map(keyExpr): _*).as(s"__dcnt_$i")
+          }
           val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
-            colAggExprs(schema, cols)
+            (colAggExprs(schema, cols) ++ dAggs)
+          // groupBy() with zero keys = the global aggregate: exactly
+          // one row even over zero included files
           val rows = mIn.groupBy(keys: _*)
             .agg(aggs.head, aggs.tail: _*).collect().toSeq
           Some(rows.map { r =>
             val key = groupCols.map(g =>
               g -> r.get(r.fieldIndex(s"${g}__key"))).toMap
+            val dcnts = dLists.zipWithIndex.map { case (dc, i) =>
+              dc -> r.getLong(r.fieldIndex(s"__dcnt_$i"))
+            }.toMap
             (key, r.getLong(r.fieldIndex("__total")),
-              colStatsOf(r, schema, cols))
+              colStatsOf(r, schema, cols), dcnts)
           })
         } catch { case _: Exception => None }
       }
@@ -1658,15 +1686,17 @@ object Skipping {
         } catch { case _: Exception => None }
       }
 
-  /** (sig, cached) resolution + the memoized single-valued verdict +
-    * [[liveFrameFor]], in ONE pass — the grouped rewrite's front half. */
+  /** (sig, cached) resolution + the memoized single-valued verdict
+    * over `constantCols` (grouping PLUS distinct-count columns) +
+    * [[liveFrameFor]], in ONE pass — the grouped rewrite's front
+    * half. */
   private def metadataLiveGrouped(spark: SparkSession, path: String,
-      groupCols: Seq[String], needed: Seq[String], preds: Seq[Pred],
+      constantCols: Seq[String], needed: Seq[String], preds: Seq[Pred],
       expectedTypes: Map[String, DataType])
       : Option[(DataFrame, org.apache.spark.sql.types.StructType)] =
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
-        if (groupsMultiValued(spark, cached, groupCols)) None
+        if (groupsMultiValued(spark, cached, constantCols)) None
         else liveFrameFor(spark, path, sig, cached, needed, preds,
           expectedTypes)
       }
@@ -2370,6 +2400,30 @@ object Skipping {
           q.withColumn("metadata_only", lit(nf == 0)))
       }
     }),
+    // metadata-only COUNT(DISTINCT): both the grouping key and the
+    // counted key are file-constant (two-level hive layout), so the
+    // distinct count is the group's distinct file-key count — zero
+    // files opened, flag hashed
+    "ix_meta_distinct" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_distinct", "build") {
+        val t = tmpTable("graft_metadistinct")
+        eventsWithBucket(s, dir)
+          .repartition(32, col("event_type"), col("uid_bucket"))
+          .write.partitionBy("event_type", "uid_bucket").parquet(t)
+        writeManifest(s, t, Seq("event_type", "uid_bucket", "event_id"))
+        t
+      }
+      GateTimings.timed("ix_meta_distinct", "probe") {
+        val q = s.read.parquet(tmp)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("uid_bucket")).as("n_buckets"),
+            count(lit(1)).as("n"),
+            max(col("event_id")).as("max_id"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("metadata_only", lit(nf == 0)))
+      }
+    }),
     // top-k file pruning: ORDER BY event_id DESC LIMIT 100 over an
     // event_id-clustered layout — the derived bound filter prunes all
     // but the tail file(s); `topk_pruned` is hashed so a silently
@@ -2583,6 +2637,12 @@ object Skipping {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
         |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM events GROUP BY event_type""".stripMargin,
+    "ix_meta_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id % 100) AS n_buckets,
+        |  count(*) AS n, max(event_id) AS max_id,
         |  CAST(1 AS BOOLEAN) AS metadata_only
         |FROM events GROUP BY event_type""".stripMargin,
     "ix_topk_scan" ->

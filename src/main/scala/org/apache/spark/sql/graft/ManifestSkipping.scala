@@ -271,8 +271,10 @@ case class MetadataAggRule(session: SparkSession)
   }
 
   /** One group's (or the global) answer inputs: grouping-key values by
-    * column, the included row count, and per-column manifest stats. */
-  private type Stats = (Map[String, Any], Long, Map[String, Skipping.ColStats])
+    * column, the included row count, per-column manifest stats, and
+    * distinct counts keyed by `count(DISTINCT ...)` column list. */
+  private type Stats = (Map[String, Any], Long,
+    Map[String, Skipping.ColStats], Map[Seq[String], Long])
 
   /** Evaluation-time decline (sum unavailable for a counted file, long
     * overflow, decimal precision overflow): the whole rewrite falls
@@ -282,8 +284,12 @@ case class MetadataAggRule(session: SparkSession)
     with scala.util.control.NoStackTrace
 
   /** What one output expression needs from the manifest: the stat
-    * column it touches (None for count(*)/literals) and an evaluator
+    * columns it touches (empty for count(*)/literals) and an evaluator
     * over [[Stats]]. Exactness notes per aggregate:
+    *  - `count(DISTINCT a[, b...])` answers when every argument is a
+    *    bare attribute — the columns join the file-constant proof in
+    *    the stats layer, and the count is the group's distinct
+    *    file-key-tuple count (VERDICT r15 #4).
     *  - `count(lit)` answers only for NON-NULL literals — `count(null)`
     *    is 0, not totalRows. Catalyst's NullPropagation normally folds
     *    it away first, but the guard must not depend on rule ordering
@@ -301,33 +307,46 @@ case class MetadataAggRule(session: SparkSession)
   private def classify(e: Expression,
       nameOf: AttributeReference => Option[String],
       groupOf: AttributeReference => Option[String])
-      : Option[(Option[String], Stats => Any)] = e match {
+      : Option[(Seq[String], Stats => Any)] = e match {
     case Alias(c, _) => classify(c, nameOf, groupOf)
     // Literal.value is already catalyst-typed; the marker tells the
     // row builder to skip conversion
-    case l: Literal => Some((None, _ => CatalystLiteral(l.value)))
+    case l: Literal => Some((Nil, _ => CatalystLiteral(l.value)))
     // a bare attribute in the output is a GROUPING key passthrough
     case a: AttributeReference =>
-      groupOf(a).map(c => (Some(c), (s: Stats) => s._1(c)))
+      groupOf(a).map(c => (Seq(c), (s: Stats) => s._1(c)))
+    // count(DISTINCT cols...) — the stats layer proves the columns
+    // file-constant or the whole rewrite declines
+    case AggregateExpression(Count(children), _, true, None, _)
+        if children.nonEmpty &&
+          children.forall(_.isInstanceOf[AttributeReference]) =>
+      val names = children.map {
+        case ar: AttributeReference => nameOf(ar) }
+      if (names.exists(_.isEmpty)) None
+      else {
+        val key = names.map(_.get)
+        Some((key, (s: Stats) =>
+          s._4.getOrElse(key, throw MetaDecline)))
+      }
     case AggregateExpression(fn, _, false, None, _) => fn match {
       case Count(Seq(l: Literal)) if l.value != null =>
-        Some((None, s => s._2))
+        Some((Nil, s => s._2))
       case Count(Seq(a: AttributeReference)) =>
-        nameOf(a).map(c => (Some(c), (s: Stats) => s._2 - s._3(c).nulls))
+        nameOf(a).map(c => (Seq(c), (s: Stats) => s._2 - s._3(c).nulls))
       case Min(a: AttributeReference) =>
-        nameOf(a).map(c => (Some(c), (s: Stats) => s._3(c).min))
+        nameOf(a).map(c => (Seq(c), (s: Stats) => s._3(c).min))
       case Max(a: AttributeReference) =>
-        nameOf(a).map(c => (Some(c), (s: Stats) => s._3(c).max))
+        nameOf(a).map(c => (Seq(c), (s: Stats) => s._3(c).max))
       case sm: Sum => sm.child match {
         case a: AttributeReference =>
-          nameOf(a).map(c => (Some(c), sumEval(c, a.dataType) _))
+          nameOf(a).map(c => (Seq(c), sumEval(c, a.dataType) _))
         case _ => None
       }
       case av: Average => av.child match {
         case a: AttributeReference if (a.dataType match {
             case _: IntegralType | FloatType | DoubleType => true
             case _ => false }) =>
-          nameOf(a).map(c => (Some(c), avgEval(c) _))
+          nameOf(a).map(c => (Seq(c), avgEval(c) _))
         case _ => None
       }
       case _ => None
@@ -422,6 +441,20 @@ case class MetadataAggRule(session: SparkSession)
               val reqs = classified.map(_.get)
               val needed = (reqs.flatMap(_._1) ++ groups.map(_._2) ++
                 predsOpt.get.flatMap(_.columns)).distinct
+              // the distinct-count column lists, for the stats layer's
+              // file-constant proof (strip the Alias classify strips)
+              def strip(x: Expression): Expression = x match {
+                case Alias(c, _) => strip(c)
+                case other => other
+              }
+              val distinctLists = agg.aggregateExpressions.map(strip)
+                .collect {
+                  case AggregateExpression(Count(ch), _, true, None, _)
+                      if ch.nonEmpty && ch.forall(
+                        _.isInstanceOf[AttributeReference]) =>
+                    ch.map { case ar: AttributeReference => nameOf(ar) }
+                }.filter(_.forall(_.isDefined))
+                .map(_.map(_.get)).distinct
               // the stats layer declines unless each needed column's
               // stat type EQUALS the relation attribute's type — a
               // read-schema upcast must fall back to a scan, not crash
@@ -429,15 +462,16 @@ case class MetadataAggRule(session: SparkSession)
               val types = needed.flatMap(c =>
                 lr.output.find(_.name == c).map(c -> _.dataType)).toMap
               val statsOpt: Option[Seq[Stats]] =
-                if (groups.isEmpty)
+                if (groups.isEmpty && distinctLists.isEmpty)
                   Skipping.metadataAggStats(session, root, needed,
                     predsOpt.get, types).map { case (t, m) =>
-                    Seq((Map.empty[String, Any], t, m))
+                    Seq((Map.empty[String, Any], t, m,
+                      Map.empty[Seq[String], Long]))
                   }
                 else
                   Skipping.metadataGroupStats(session, root,
-                    groups.map(_._2), needed, predsOpt.get, types)
-                    .map(_.map { case (k, t, m) => (k, t, m) })
+                    groups.map(_._2), needed, predsOpt.get, types,
+                    distinctLists)
               statsOpt.flatMap { statss =>
                 try {
                   val rows = statss.map { st =>

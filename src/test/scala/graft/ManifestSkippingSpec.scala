@@ -490,6 +490,72 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scannedFiles(qdk) == 0, "DISTINCT key did not fold from metadata")
   }
 
+  test("metadata count(DISTINCT) over file-constant keys, zero files") {
+    val dir = tmp("meta_distinct")
+    // two file-constant columns (k, t) spread over 6 one-file appends:
+    // k in {1,1,2,2,null}, t in {a,b} — plus a second file repeating
+    // (k=1, t=a) so distinct-counting must dedup across files
+    def mk(k: Option[Long], t: String, n: Int, off: Int): DataFrame =
+      spark.range(off.toLong, (off + n).toLong).select(
+        k.map(v => lit(v)).getOrElse(lit(null)).cast("long").as("k"),
+        lit(t).as("t"), col("id").as("v"))
+    Seq((Some(1L), "a", 40, 0), (Some(1L), "a", 20, 40),
+        (Some(1L), "b", 30, 100), (Some(2L), "a", 25, 200),
+        (Some(2L), "b", 15, 300), (None, "a", 10, 400))
+      .foreach { case (k, t, n, off) =>
+        mk(k, t, n, off).coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+      }
+    Skipping.writeManifest(spark, dir, Seq("k", "t", "v"))
+    val full = spark.read.option("graft.noskip", "true").parquet(dir)
+    // GLOBAL count(DISTINCT k): null doesn't count; composes with the
+    // other metadata aggregates in one rewrite
+    def qg = spark.read.parquet(dir).agg(
+      countDistinct(col("k")).as("dk"), count(lit(1)).as("n"),
+      max(col("v")).as("mx"))
+    assert(sets(qg) == sets(full.agg(countDistinct(col("k")).as("dk"),
+      count(lit(1)).as("n"), max(col("v")).as("mx"))))
+    assert(qg.head().getLong(0) == 2L)
+    assert(scannedFiles(qg) == 0, "global count(DISTINCT) did not fold")
+    // GROUPED: distinct t per k (the dashboard shape), with the SQL
+    // null group carrying its own count
+    def qk = spark.read.parquet(dir).groupBy(col("k"))
+      .agg(countDistinct(col("t")).as("dt"), count(lit(1)).as("n"))
+    assert(sets(qk) == sets(full.groupBy(col("k"))
+      .agg(countDistinct(col("t")).as("dt"), count(lit(1)).as("n"))))
+    assert(scannedFiles(qk) == 0, "grouped count(DISTINCT) did not fold")
+    // MULTI-ARG count(DISTINCT k, t): tuples with ANY null arg don't
+    // count — 4 non-null (k, t) pairs
+    def qm = spark.read.parquet(dir)
+      .agg(countDistinct(col("k"), col("t")).as("dkt"))
+    assert(qm.head().getLong(0) == 4L)
+    assert(sets(qm) == sets(
+      full.agg(countDistinct(col("k"), col("t")).as("dkt"))))
+    assert(scannedFiles(qm) == 0)
+    // filtered: the pred is all-in/all-out per file here
+    def qf = spark.read.parquet(dir).filter(col("t") === "a")
+      .agg(countDistinct(col("k")).as("dk"))
+    assert(sets(qf) == sets(full.filter(col("t") === "a")
+      .agg(countDistinct(col("k")).as("dk"))))
+    assert(scannedFiles(qf) == 0)
+    // count(DISTINCT v) over a NON-constant column declines (scan runs,
+    // exact) — twice, so the memoized decline answers consistently
+    for (_ <- 1 to 2) {
+      def qd = spark.read.parquet(dir)
+        .agg(countDistinct(col("v")).as("dv"))
+      assert(qd.head().getLong(0) == 140L)
+      assert(scannedFiles(qd) > 0,
+        "multi-valued distinct column must decline")
+    }
+    // SQL surface
+    spark.read.parquet(dir).createOrReplaceTempView("meta_distinct_t")
+    def qs = spark.sql(
+      "SELECT k, count(DISTINCT t) AS dt FROM meta_distinct_t GROUP BY k")
+    assert(sets(qs) == sets(full.groupBy(col("k"))
+      .agg(countDistinct(col("t")).as("dt"))))
+    assert(scannedFiles(qs) == 0)
+  }
+
   test("metadata sum exactness gates: legacy manifests, count(null), multi-root") {
     // a manifest WITHOUT __sum stats (the legacy shape) must decline
     // sum/avg while still answering count/min/max — stats built through
