@@ -342,6 +342,13 @@ object ScaleProbe {
         spark.read.parquet(skipFor(f))
           .agg(count(lit(1)).as("n"), min(col("idx")).as("mn"),
             max(col("idx")).as("mx"))),
+      // top-k file pruning over a GROWING clustered table: ORDER BY idx
+      // DESC LIMIT 100 — the derived bound filter keeps only the tail
+      // file(s), so the cost must stay ~flat while rows and file count
+      // grow 8× (an unpruned top-k is a linear full scan + heap)
+      "skip_topk" -> (f =>
+        spark.read.parquet(skipFor(f))
+          .orderBy(col("idx").desc).limit(100)),
       // per-batch manifest maintenance vs ACCUMULATED table size: append
       // one small epoch's worth of rows, then refreshManifest — must be
       // FLAT (delta cost: only the new files are statted), the property

@@ -161,6 +161,18 @@ class WindowTopkSpec extends AnyFunSuite {
     assert(scannedFiles(nl(read(dirN))) < totalN)
   }
 
+  test("dialect QUALIFY over a manifest table prunes per group") {
+    val (dir, total) = writeTable(3000)
+    val exec = new graft.exec.Executor(spark,
+      Map("t" -> spark.read.parquet(dir)))
+    def q = exec.query("select p, c from t qualify " +
+      "row_number() over (partition by p order by c desc) <= 10")
+    assert(q.count() == 30)
+    val nf = scannedFiles(exec.query("select p, c from t qualify " +
+      "row_number() over (partition by p order by c desc) <= 10"))
+    assert(nf * 2 <= total, s"dialect scanned $nf of $total")
+  }
+
   test("idempotent through the fixed point: exactly one injected OR filter") {
     val (dir, _) = writeTable(2000)
     val plan = topk(read(dir), 10).queryExecution.optimizedPlan
