@@ -314,6 +314,22 @@ object ScaleProbe {
       Skipping.writeManifest(spark, dir, Seq("idx"), Seq("idx"))
       dir
     })
+    // hive layout for the per-partition top-k probe: 8 file-constant
+    // groups, idx range-clustered WITHIN each group, every group's file
+    // count growing with f
+    val wtopkDirs = scala.collection.mutable.Map.empty[Int, String]
+    def wtopkFor(f: Int): String = wtopkDirs.getOrElseUpdate(f, {
+      val dir = java.nio.file.Files.createTempDirectory(s"probe_wtopk_$f")
+        .toString + "/t"
+      (0 until f).map(i => evSkipBase.select(
+          (lit(i.toLong * nEv) + col("event_id")).as("idx"), col("value")))
+        .reduce(_ unionAll _)
+        .withColumn("grp", pmod(col("idx"), lit(8L)))
+        .repartitionByRange(f * 32, col("grp"), col("idx"))
+        .write.partitionBy("grp").parquet(dir)
+      Skipping.writeManifest(spark, dir, Seq("grp", "idx"))
+      dir
+    })
     val skipOps: Seq[(String, Int => DataFrame)] = Seq(
       // fixed absolute range over a growing table: manifest pruning
       // should hold the cost ~flat (exponent ≈ 0)
@@ -349,6 +365,27 @@ object ScaleProbe {
       "skip_topk" -> (f =>
         spark.read.parquet(skipFor(f))
           .orderBy(col("idx").desc).limit(100)),
+      // per-partition top-k over a growing hive layout: one bound per
+      // group keeps each group's tail file(s) — flat while every
+      // group's file count grows 8×
+      "skip_window_topk" -> (f => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("idx").desc)
+        spark.read.parquet(wtopkFor(f))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 100)
+      }),
+      // join-driven dynamic file pruning: a FIXED 100-key dim over the
+      // growing clustered fact — the plan-time key collection plus the
+      // pruned join must stay ~flat (the keys live in the base
+      // replica's idx range; every added replica's files prune away)
+      "skip_dfp" -> (f => {
+        val dim = spark.range(100)
+          .select((col("id") * (nEv / 200L)).as("dk"))
+        spark.read.parquet(skipFor(f))
+          .join(dim, col("idx") === col("dk"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      }),
       // per-batch manifest maintenance vs ACCUMULATED table size: append
       // one small epoch's worth of rows, then refreshManifest — must be
       // FLAT (delta cost: only the new files are statted), the property
@@ -400,6 +437,7 @@ object ScaleProbe {
       for (f <- factors; c <- Seq(false, true)) logFor(f, c)
     // same reason: manifest+layout construction must not be timed
     if (allOps.exists(_._1.startsWith("skip_"))) factors.foreach(skipFor)
+    if (allOps.exists(_._1 == "skip_window_topk")) factors.foreach(wtopkFor)
 
     // JIT/codegen warm-up outside the measured region
     allOps.foreach { case (_, op) =>

@@ -951,17 +951,14 @@ case class DynamicFilePruningRule(session: SparkSession)
 
   /** The IN condition to inject above `prunable` (keyed by its
     * attribute `pk`), with keys collected from `build`'s `bk` — or
-    * None on any decline. */
+    * None on any decline. Check order matters for PLANNING cost: the
+    * prunable-side resolve + manifest probe (TTL-cached) runs FIRST so
+    * the overwhelmingly common case — a join over tables with no
+    * manifest — exits without touching build-side stats or walking the
+    * build plan, on every fixed-point iteration of every query. */
   private def deriveCond(prunable: LogicalPlan, pk: AttributeReference,
-      build: LogicalPlan, bk: AttributeReference): Option[Expression] = {
-    val thresholdOk = {
-      val t = session.sessionState.conf.autoBroadcastJoinThreshold
-      t > 0 && build.stats.sizeInBytes <= t
-    }
-    if (!thresholdOk || build.isStreaming ||
-        build.exists(_.expressions.exists(e =>
-          e.exists(!_.deterministic)))) None
-    else resolve(prunable, pk).flatMap { case (lr, relAttr) =>
+      build: LogicalPlan, bk: AttributeReference): Option[Expression] =
+    resolve(prunable, pk).flatMap { case (lr, relAttr) =>
       lr.relation match {
         case hfs: HadoopFsRelation
             if hfs.fileFormat.isInstanceOf[ParquetFileFormat] &&
@@ -973,7 +970,13 @@ case class DynamicFilePruningRule(session: SparkSession)
           val indexed =
             Skipping.statIndexedColumns(session, root)(relAttr.name) ||
               Skipping.bloomColumns(session, root).contains(relAttr.name)
-          if (!indexed) None
+          val thresholdOk = indexed && {
+            val t = session.sessionState.conf.autoBroadcastJoinThreshold
+            t > 0 && build.stats.sizeInBytes <= t
+          }
+          if (!thresholdOk || build.isStreaming ||
+              build.exists(_.expressions.exists(e =>
+                e.exists(!_.deterministic)))) None
           else collectKeys(build, bk).map { vs =>
             if (vs.isEmpty) Literal.create(false,
               org.apache.spark.sql.types.BooleanType)
@@ -985,7 +988,6 @@ case class DynamicFilePruningRule(session: SparkSession)
         case _ => None
       }
     }
-  }
 
   /** Trace `a` through aliasing projections to the backing relation's
     * own attribute, fencing on any existing IN/InSet conjunct on the
@@ -1006,6 +1008,10 @@ case class DynamicFilePruningRule(session: SparkSession)
           x.exprId == a.exprId
         case EqualTo(_: Literal, x: AttributeReference) =>
           x.exprId == a.exprId
+        // the empty-key-set injection; PruneFilters collapses it
+        // before the next iteration, but never rely on rule ordering
+        // for an idempotence fence
+        case Literal(false, _) => true
         case _ => false
       }
       if (fenced) None else resolve(f.child, a)
