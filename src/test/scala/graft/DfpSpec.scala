@@ -159,6 +159,26 @@ class DfpSpec extends AnyFunSuite {
         .join(dim, col("k") === col("dk"))))
   }
 
+  test("single-key dim: OptimizeIn rewrites the IN to =, the EQ fence holds") {
+    val dir = writeFact(500)
+    val dim = Seq(7L).toDF("dk")
+    val q = fact(dir).join(dim, col("k") === col("dk"))
+    assert(sets(q) == sets(factNoskip(dir).join(dim, col("k") === col("dk"))))
+    assert(scannedFiles(fact(dir).join(dim, col("k") === col("dk"))) <= 1)
+    // the optimized plan holds exactly one injected key predicate —
+    // the fixed point converged (no oscillating In -> EqualTo -> In)
+    val preds = q.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.EqualTo
+              if e.right.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.Literal] => e
+          case i: org.apache.spark.sql.catalyst.expressions.In => i
+        }.size
+    }.sum
+    assert(preds == 1, s"expected one injected key predicate, got $preds")
+  }
+
   test("composes with literal predicates and bloom-indexed keys") {
     val dir = writeFact(1000)
     val dim = Seq((10L, 1), (40L, 2)).toDF("dk", "w")

@@ -65,6 +65,18 @@ class WindowTopkSpec extends AnyFunSuite {
     assert(scannedFiles(latest(read(dir))) * 2 <= total)
   }
 
+  test("secondary sort keys ride along: bound binds only the leading key") {
+    val (dir, total) = writeTable(3000)
+    // removed rows sort strictly below every survivor in c, so the
+    // (c, v) lexicographic ranks of survivors are unchanged
+    def q(df: DataFrame) = df.withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").desc, col("v").asc)))
+      .filter(col("rn") <= 10)
+    assert(sets(q(read(dir))) == sets(q(readFull(dir))))
+    val nf = scannedFiles(q(read(dir)))
+    assert(nf * 2 <= total, s"scanned $nf of $total")
+  }
+
   test("ascending order bounds from the LOW end") {
     val (dir, total) = writeTable(3000)
     def asc(df: DataFrame) = df.withColumn("rn", row_number().over(
