@@ -925,15 +925,18 @@ object Skipping {
       * direction-blind. */
     val topkVerdicts =
       new DeclineMemo[(String, Long, Boolean, Seq[Pred])]()
-    /** (groupCols, c, k, nullsFirst) -> "the per-group top-k bounds
-      * provably cannot be derived" — same cached-rows-superset
-      * soundness as topkVerdicts (nulls and group counts over cached
-      * rows upper-bound live ones). Pred-independent: the memoized
-      * checks (NULLS FIRST nulls, group-domain width) don't involve
-      * the filter; per-group "fewer than k rows" is NOT a decline
-      * (that group just keeps everything). */
+    /** (groupCols, c, k, nullsFirst, maxGroups) -> "the per-group
+      * top-k bounds provably cannot be derived" — same
+      * cached-rows-superset soundness as topkVerdicts (nulls and group
+      * counts over cached rows upper-bound live ones). Pred-independent:
+      * the memoized checks (NULLS FIRST nulls, group-domain width)
+      * don't involve the filter; per-group "fewer than k rows" is NOT
+      * a decline (that group just keeps everything). The group CAP is
+      * part of the key: the memo is permanent per signature, and a
+      * user raising `windowTopkMaxGroups` must not stay declined under
+      * the old cap's verdict. */
     val windowTopkVerdicts =
-      new DeclineMemo[(Seq[String], String, Long, Boolean)]()
+      new DeclineMemo[(Seq[String], String, Long, Boolean, Int)]()
   }
 
   private val manifestCache =
@@ -1619,7 +1622,7 @@ object Skipping {
           // superset when the identity gate passes — nulls and group
           // counts can only over-count, the spurious-decline-only
           // direction): nulls under NULLS FIRST, group-domain width
-          val key = (groupCols, c, k, nullsFirst)
+          val key = (groupCols, c, k, nullsFirst, maxGroups)
           val declined =
             cached.windowTopkVerdicts.getOrCompute(key, onFailure = true) {
               try {

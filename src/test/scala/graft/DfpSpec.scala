@@ -179,6 +179,21 @@ class DfpSpec extends AnyFunSuite {
     assert(preds == 1, s"expected one injected key predicate, got $preds")
   }
 
+  test("dialect SQL joins prune through the same rule") {
+    val dir = writeFact(1000)
+    val exec = new graft.exec.Executor(spark, Map(
+      "fact" -> fact(dir),
+      "dim" -> spark.range(50).select(col("id").as("dk"),
+        (col("id") % 10).as("cat"))))
+    def q = exec.query(
+      "select count(1) as n from fact join dim on k = dk where cat = 3")
+    assert(q.head().getLong(0) ==
+      factNoskip(dir).filter((col("k") % 10) === 3).count())
+    val nf = scannedFiles(exec.query(
+      "select count(1) as n from fact join dim on k = dk where cat = 3"))
+    assert(nf * 2 <= 10, s"dialect DFP scanned $nf of 10")
+  }
+
   test("composes with literal predicates and bloom-indexed keys") {
     val dir = writeFact(1000)
     val dim = Seq((10L, 1), (40L, 2)).toDF("dk", "w")
