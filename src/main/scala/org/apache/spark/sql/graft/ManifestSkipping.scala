@@ -881,19 +881,24 @@ case class WindowTopKPruningRule(session: SparkSession)
   * dim side declines — the collected key set must be the set the join
   * will see.
   *
-  * Declines, never degrades: non-equi or cast-wrapped keys, an
-  * unindexed fact key, a dim side over the broadcast threshold (or
-  * broadcast disabled), more than [[DynamicFilePruning.maxKeys]]
-  * distinct keys, streaming plans, `graft.noskip` reads, and any
-  * evaluation failure. Fence: an existing IN/InSet conjunct on the
-  * key attribute anywhere on the fact path declines — that is the
-  * rule's own injection after pushdown (idempotence through the fixed
-  * point) or a user IN that already prunes. Cost: ONE small job per
+  * Past [[DynamicFilePruning.maxKeys]] distinct keys the injection
+  * degrades to the key domain's `[min, max]` RANGE instead of
+  * declining — two comparisons per row, and a clustered fact still
+  * prunes on the interval stats (the 100k-key dim shape).
+  *
+  * Declines, never degrades wrongly: non-equi or cast-wrapped keys,
+  * an unindexed fact key, a dim side over the broadcast threshold (or
+  * broadcast disabled), streaming plans, `graft.noskip` reads, and
+  * any evaluation failure. Fence: an existing IN/InSet/EQ/range
+  * conjunct on the key attribute anywhere on the fact path declines —
+  * that is the rule's own injection after pushdown (idempotence
+  * through the fixed point; OptimizeIn may rewrite a one-key IN to
+  * EQ, and the wide-key path injects >=/<=) or a user predicate that
+  * already constrains the key. Cost: one or two small jobs per
   * qualifying join per compile (the dim side is also re-read by the
   * broadcast exchange — the 2× dim cost is bounded by the broadcast
-  * threshold); key-overflow and evaluation-failure declines are
-  * TTL-memoized so the optimizer's fixed-point iterations don't
-  * re-pay the job. */
+  * threshold); evaluation-failure declines are TTL-memoized so the
+  * optimizer's fixed-point iterations don't re-pay the job. */
 case class DynamicFilePruningRule(session: SparkSession)
     extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
@@ -977,13 +982,21 @@ case class DynamicFilePruningRule(session: SparkSession)
           if (!thresholdOk || build.isStreaming ||
               build.exists(_.expressions.exists(e =>
                 e.exists(!_.deterministic)))) None
-          else collectKeys(build, bk).map { vs =>
-            if (vs.isEmpty) Literal.create(false,
-              org.apache.spark.sql.types.BooleanType)
-            // plain In — OptimizeIn (same batch) dedups and converts
-            // to InSet past the conversion threshold; toPreds handles
-            // both forms
-            else In(pk, vs.map(Literal.create(_, pk.dataType)))
+          else collectKeys(build, bk).map {
+            case scala.util.Left(vs) =>
+              if (vs.isEmpty) Literal.create(false,
+                org.apache.spark.sql.types.BooleanType)
+              // plain In — OptimizeIn (same batch) dedups and converts
+              // to InSet past the conversion threshold; toPreds handles
+              // both forms
+              else In(pk, vs.map(Literal.create(_, pk.dataType)))
+            // key-domain RANGE past the cap: rows outside the build
+            // side's [min, max] can't match either — two comparisons
+            // instead of a wide IN, and the manifest's interval stats
+            // still prune a clustered fact (the 100k-key dim shape)
+            case scala.util.Right((lo, hi)) =>
+              And(GreaterThanOrEqual(pk, Literal.create(lo, pk.dataType)),
+                LessThanOrEqual(pk, Literal.create(hi, pk.dataType)))
           }
         case _ => None
       }
@@ -1008,6 +1021,16 @@ case class DynamicFilePruningRule(session: SparkSession)
           x.exprId == a.exprId
         case EqualTo(_: Literal, x: AttributeReference) =>
           x.exprId == a.exprId
+        // the wide-key fallback's range conjuncts (also catches a user
+        // range on the key, where the domain is already constrained)
+        case GreaterThanOrEqual(x: AttributeReference, _: Literal) =>
+          x.exprId == a.exprId
+        case LessThanOrEqual(x: AttributeReference, _: Literal) =>
+          x.exprId == a.exprId
+        case GreaterThanOrEqual(_: Literal, x: AttributeReference) =>
+          x.exprId == a.exprId
+        case LessThanOrEqual(_: Literal, x: AttributeReference) =>
+          x.exprId == a.exprId
         // the empty-key-set injection; PruneFilters collapses it
         // before the next iteration, but never rely on rule ordering
         // for an idempotence fence
@@ -1025,13 +1048,16 @@ case class DynamicFilePruningRule(session: SparkSession)
   }
 
   /** The build side's distinct non-null key values (EXTERNAL types,
-    * ready for Literal.create), or None past the cap / on failure —
-    * both TTL-memoized so fixed-point iterations don't re-run the
-    * job. The job is a `distinct limit cap+1` over a plan already
-    * proven under the broadcast threshold: driver-safe by
+    * ready for Literal.create) — `Left(values)` up to the cap, or the
+    * key domain's `Right((min, max))` past it (a wide-key dim still
+    * range-prunes a clustered fact; NaN keys are safe under Spark's
+    * total ordering, where the join's own NaN=NaN equality also
+    * holds). None only on evaluation failure, TTL-memoized so
+    * fixed-point iterations don't re-run the job. Both jobs run over a
+    * plan already proven under the broadcast threshold: driver-safe by
     * construction. */
-  private def collectKeys(build: LogicalPlan,
-      bk: AttributeReference): Option[Seq[Any]] = {
+  private def collectKeys(build: LogicalPlan, bk: AttributeReference)
+      : Option[Either[Seq[Any], (Any, Any)]] = {
     val cap = maxKeys
     val memoKey = (build.canonicalized, bk.name)
     if (isDeclined(memoKey)) None
@@ -1042,8 +1068,19 @@ case class DynamicFilePruningRule(session: SparkSession)
           LocalLimit(Literal(cap + 1),
             Aggregate(Seq(bk), Seq(bk), build)))
         val rows = PlanRefresh.ofRows(session, limited).collect()
-        if (rows.length > cap) { decline(memoKey); None }
-        else Some(rows.iterator.map(_.get(0)).filter(_ != null).toSeq)
+        if (rows.length <= cap)
+          Some(scala.util.Left(
+            rows.iterator.map(_.get(0)).filter(_ != null).toSeq))
+        else {
+          import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+          val lo = Alias(Min(bk).toAggregateExpression(), "lo")()
+          val hi = Alias(Max(bk).toAggregateExpression(), "hi")()
+          val r = PlanRefresh.ofRows(session,
+            Aggregate(Nil, Seq(lo, hi), build)).collect().head
+          // min/max skip nulls; both null = no non-null keys at all
+          if (r.isNullAt(0) || r.isNullAt(1)) Some(scala.util.Left(Nil))
+          else Some(scala.util.Right((r.get(0), r.get(1))))
+        }
       } catch {
         case _: Exception => decline(memoKey); None
       } finally evaluating.set(false)

@@ -108,18 +108,40 @@ class DfpSpec extends AnyFunSuite {
       fact(dir).join(dim, col("k") === col("dk"), "left_anti")) == 10)
   }
 
-  test("declines: oversized dim, too many keys, non-deterministic dim") {
-    val dir = writeFact(500)
-    // too many distinct keys (cap forced to 3)
+  test("past the key cap the injection degrades to the key-domain range") {
+    val dir = writeFact(1000)
     sys.props("graft.skipping.dfpMaxKeys") = "3"
     try {
+      // 5 keys in a narrow low band: the [1, 5] range keeps ~1 of 10
+      // clustered files, exactness preserved
       val wide = Seq(1L, 2L, 3L, 4L, 5L).toDF("dk")
       val q = fact(dir).join(wide, col("k") === col("dk"))
       assert(sets(q) == sets(
         factNoskip(dir).join(wide, col("k") === col("dk"))))
-      assert(scannedFiles(
-        fact(dir).join(wide, col("k") === col("dk"))) == 10)
+      val nf = scannedFiles(fact(dir).join(wide, col("k") === col("dk")))
+      assert(nf * 2 <= 10, s"range fallback scanned $nf of 10")
+      // the fixed point converges: exactly one >= and one <= on the key
+      val plan = fact(dir).join(wide, col("k") === col("dk"))
+        .queryExecution.optimizedPlan
+      val rngs = plan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case e: org.apache.spark.sql.catalyst.expressions
+                .GreaterThanOrEqual => e
+            case e: org.apache.spark.sql.catalyst.expressions
+                .LessThanOrEqual => e
+          }.size
+      }.sum
+      assert(rngs == 2, s"expected one injected range (2 bounds), got $rngs")
+      // a full-domain wide dim stays exact too (range prunes nothing)
+      val full = spark.range(50).select(col("id").as("dk"))
+      assert(sets(fact(dir).join(full, col("k") === col("dk"))) == sets(
+        factNoskip(dir).join(full, col("k") === col("dk"))))
     } finally sys.props.remove("graft.skipping.dfpMaxKeys")
+  }
+
+  test("declines: oversized dim, non-deterministic dim") {
+    val dir = writeFact(500)
     // dim over the broadcast threshold
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
@@ -135,6 +157,34 @@ class DfpSpec extends AnyFunSuite {
       .filter(rand(7) >= 0.0) // always true, but non-deterministic
     assert(scannedFiles(
       fact(dir).join(nd, col("k") === col("dk"))) == 10)
+  }
+
+  test("randomized differential: DFP joins == noskip joins across shapes") {
+    val rnd = new scala.util.Random(20260816L)
+    val dir = writeFact(1500)
+    val joinTypes = Seq("inner", "left", "right", "left_semi", "left_anti")
+    for (trial <- 1 to 12) {
+      val jt = joinTypes(rnd.nextInt(joinTypes.size))
+      // random key set: a contiguous band, a scattered set, or one
+      // with nulls; randomly above/below the (forced-low) cap
+      val cap = if (rnd.nextBoolean()) "4" else "1024"
+      sys.props("graft.skipping.dfpMaxKeys") = cap
+      try {
+        val keys: Seq[java.lang.Long] = rnd.nextInt(3) match {
+          case 0 =>
+            val lo = rnd.nextInt(45)
+            (lo to (lo + rnd.nextInt(8))).map(v => Long.box(v.toLong))
+          case 1 => (1 to (1 + rnd.nextInt(8)))
+            .map(_ => Long.box(rnd.nextInt(60).toLong - 5L))
+          case 2 => Seq(Long.box(rnd.nextInt(50).toLong), null,
+            Long.box(rnd.nextInt(50).toLong))
+        }
+        val dim = keys.toDF("dk")
+        def q(f: DataFrame) = f.join(dim, col("k") === col("dk"), jt)
+        assert(sets(q(fact(dir))) == sets(q(factNoskip(dir))),
+          s"trial $trial: jt=$jt cap=$cap keys=$keys")
+      } finally sys.props.remove("graft.skipping.dfpMaxKeys")
+    }
   }
 
   test("fence: no stacked IN filters through the fixed point; user IN declines") {
