@@ -173,6 +173,45 @@ class WindowTopkSpec extends AnyFunSuite {
     assert(scannedFiles(nl(read(dirN))) < totalN)
   }
 
+  test("pagination shape: rn BETWEEN a AND b bounds on the upper limit") {
+    val (dir, total) = writeTable(3000)
+    def q(df: DataFrame) = df.withColumn("rn", row_number().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("rn").between(3, 7))
+    assert(sets(q(read(dir))) == sets(q(readFull(dir))))
+    val nf = scannedFiles(q(read(dir)))
+    assert(nf * 2 <= total, s"scanned $nf of $total")
+  }
+
+  test("randomized differential: window top-k == noskip across shapes") {
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 8) {
+      val nGroups = 1 + rnd.nextInt(5)
+      val nullFrac = if (rnd.nextBoolean()) 0 else 97
+      val desc = rnd.nextBoolean()
+      val useRank = rnd.nextBoolean()
+      val k = 1 + rnd.nextInt(20)
+      val df = spark.range(1500).select(
+        (if (nullFrac == 0) col("id")
+         else when(col("id") % nullFrac === 0, lit(null))
+           .otherwise(col("id"))).as("c"),
+        concat(lit("g"), (col("id") % nGroups)).as("p"))
+      val dir = tmp(s"wtopk_rnd$trial")
+      df.repartitionByRange(8, col("p"), col("c"))
+        .write.partitionBy("p").parquet(dir)
+      graft.sources.Skipping.writeManifest(spark, dir, Seq("p", "c"))
+      def q(d: DataFrame) = {
+        val w = Window.partitionBy("p").orderBy(
+          if (desc) col("c").desc else col("c").asc)
+        val r = if (useRank) rank().over(w) else row_number().over(w)
+        d.withColumn("rn", r).filter(col("rn") <= k)
+      }
+      assert(sets(q(read(dir))) == sets(q(readFull(dir))),
+        s"trial $trial: groups=$nGroups nulls=${nullFrac != 0} " +
+          s"desc=$desc rank=$useRank k=$k")
+    }
+  }
+
   test("dialect QUALIFY over a manifest table prunes per group") {
     val (dir, total) = writeTable(3000)
     val exec = new graft.exec.Executor(spark,
