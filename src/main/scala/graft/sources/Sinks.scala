@@ -397,31 +397,49 @@ object Sinks {
     * its successor's live lease and reopen the OPTIMIZE race for a
     * renewal interval. A lease with a different or missing nonce is
     * left alone (it expires via TTL if truly orphaned). Failures are
-    * swallowed: an undeleted lease just expires. */
+    * swallowed: an undeleted lease just expires.
+    *
+    * The conditional delete is RENAME-FENCED (closes the r15/r16
+    * check-then-delete race): the Hadoop FS API has no compare-and-
+    * delete, but rename IS atomic, so the release first renames the
+    * lease aside to a releaser-unique claim name, inspects the CLAIMED
+    * copy (which no renewal can touch — [[renewIngestLease]] only ever
+    * overwrite-creates the canonical lease path), and then either
+    * deletes it (it was this run's) or renames it back (a successor
+    * renewed first — its live lease is RESTORED instead of being lost
+    * for up to a renewal interval). If the successor re-created the
+    * lease while it was claimed, the restore rename fails against the
+    * fresh file and the stale claimed copy is dropped. Residual: a
+    * crash between claim and restore leaves the lease absent until the
+    * successor's next renew (≤ TTL/3) — crash-only, vs the old
+    * any-release race. */
   def releaseIngestLease(spark: org.apache.spark.sql.SparkSession,
       dir: String, token: String, runNonce: String): Unit =
     try {
       val lp = leasePath(dir)
       val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(lp)) {
-        val lines =
-          try {
-            val in = fs.open(lp)
-            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-              "UTF-8").linesIterator.toSeq
-            finally in.close()
-          } catch { case _: Exception => Seq.empty[String] }
-        // Residual race, documented (ADVICE r15): the nonce read above
-        // and the delete below are not one atomic step — a restarted
-        // successor renewing THE SAME token with a new nonce in that
-        // microsecond window loses its fresh lease until its next
-        // renew (≤ TTL/3). A truly atomic fence needs a
-        // conditional-delete primitive the Hadoop FS API does not
-        // expose; the read sits immediately before the delete to keep
-        // the window at its floor.
-        if (lines.headOption.contains(token) &&
-            runNonce.nonEmpty && lines.lift(2).contains(runNonce))
-          fs.delete(lp, false)
+        // underscore-prefixed like the lease itself: invisible to data
+        // listings; suffixed with this run's nonce hash so concurrent
+        // releasers never collide on the claim name
+        val claim = new org.apache.hadoop.fs.Path(lp.getParent,
+          s"${IngestLeaseFile}.releasing-${Integer.toHexString(
+            (token + " " + runNonce).hashCode)}")
+        if (fs.exists(claim)) fs.delete(claim, false) // crashed prior claim
+        if (fs.rename(lp, claim)) {
+          val lines =
+            try {
+              val in = fs.open(claim)
+              try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+                "UTF-8").linesIterator.toSeq
+              finally in.close()
+            } catch { case _: Exception => Seq.empty[String] }
+          if (lines.headOption.contains(token) &&
+              runNonce.nonEmpty && lines.lift(2).contains(runNonce))
+            fs.delete(claim, false) // this run's lease: released
+          else if (!fs.rename(claim, lp))
+            fs.delete(claim, false) // successor re-created it meanwhile
+        }
       }
       heldLeases.remove(leaseKey(spark, dir), (token, runNonce))
     } catch { case _: Exception => () }

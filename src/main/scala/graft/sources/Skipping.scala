@@ -1602,6 +1602,22 @@ object Skipping {
             case org.apache.spark.sql.types.FloatType |
                  org.apache.spark.sql.types.DoubleType => false
             case _ => true
+          }) &&
+          // the per-group walk groups stat rows DRIVER-SIDE by Scala
+          // equality on external values, which diverges from Spark's
+          // row equality for exactly three stat types: boxed -0.0 vs
+          // 0.0 compare UNEQUAL (Spark normalizes), Float/Double NaN
+          // payloads may split, and Array[Byte] compares by REFERENCE.
+          // A split group is still sound (relaxed OR disjuncts) but
+          // inflates the group count past windowTopkMaxGroups and
+          // PERMANENTLY memoizes a spurious decline for the signature
+          // (r16 ADVICE) — so those key types decline explicitly, like
+          // the sort column does, BEFORE the memo can store a verdict.
+          groupCols.forall(g => schema(s"${g}__min").dataType match {
+            case org.apache.spark.sql.types.FloatType |
+                 org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.BinaryType => false
+            case _ => true
           })
         def rowsOf(r: org.apache.spark.sql.Row): Long =
           r.getLong(r.fieldIndex("rows"))

@@ -269,4 +269,39 @@ class MaintenanceFenceSpec extends AnyFunSuite {
         s"overflow-to-null must DECLINE the sum, got ${cs.sum}")
     } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
+
+  // ------------------------------------------ rename-fenced release
+
+  test("release is rename-fenced: a successor's lease survives a stale " +
+      "release with nonce intact and no claim debris") {
+    val dir = tmp("fence_release")
+    new java.io.File(dir).mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaseFiles(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(Sinks.IngestLeaseFile)).toSeq.sorted
+    }
+    // old run holds, successor renews over it (same token = same
+    // checkpoint lineage, fresh nonce)
+    Sinks.renewIngestLease(spark, dir, "ck", "run-old")
+    Sinks.renewIngestLease(spark, dir, "ck", "run-new")
+    // the old run's dying heartbeat releases: the claim-inspect-restore
+    // path must put the successor's lease BACK (not just skip the
+    // delete — every release claims the file aside first, so this
+    // exercises the restore branch deterministically)
+    Sinks.releaseIngestLease(spark, dir, "ck", "run-old")
+    assert(Sinks.liveIngestLease(spark, dir).exists(_._1 == "ck"),
+      "successor's lease must survive a stale release")
+    // restored byte-for-byte: the nonce is still the successor's, so
+    // the successor's OWN release still works
+    assert(leaseFiles() == Seq(Sinks.IngestLeaseFile),
+      s"no .releasing claim debris may remain, got ${leaseFiles()}")
+    Sinks.releaseIngestLease(spark, dir, "ck", "run-new")
+    assert(Sinks.liveIngestLease(spark, dir).isEmpty,
+      "the successor's nonce must still gate its own release")
+    assert(leaseFiles().isEmpty, s"release left ${leaseFiles()}")
+  }
 }

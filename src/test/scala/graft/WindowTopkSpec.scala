@@ -173,6 +173,36 @@ class WindowTopkSpec extends AnyFunSuite {
     assert(scannedFiles(nl(read(dirN))) < totalN)
   }
 
+  test("float/double/binary partition keys decline before the memo") {
+    // the per-group walk groups stat rows driver-side by Scala equality
+    // on external values — boxed -0.0/0.0 and byte-array reference
+    // equality diverge from Spark's row equality, so those key types
+    // must decline EXPLICITLY (r16 ADVICE: a split group could blow the
+    // group cap and permanently memoize a spurious decline)
+    val dir = tmp("wtopk_keytypes")
+    spark.range(600).select(col("id").as("c"),
+        (col("id") % 3).cast("double").as("gd"),
+        concat(lit("g"), col("id") % 3).cast("binary").as("gb"))
+      .repartitionByRange(6, col("gd"), col("c"))
+      .write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("gd", "gb", "c"))
+    import org.apache.spark.sql.types._
+    assert(Skipping.windowTopKBounds(spark, dir, Seq("gd"), "c", 5L,
+      desc = true, nullsFirst = false,
+      Map("gd" -> DoubleType, "c" -> LongType)).isEmpty,
+      "double partition key must decline")
+    assert(Skipping.windowTopKBounds(spark, dir, Seq("gb"), "c", 5L,
+      desc = true, nullsFirst = false,
+      Map("gb" -> BinaryType, "c" -> LongType)).isEmpty,
+      "binary partition key must decline")
+    // results stay exact through the rule either way (gb dropped from
+    // the compare: Row.toString renders byte arrays by identity)
+    def dk(df: DataFrame) = df.withColumn("rn", row_number().over(
+        Window.partitionBy("gd").orderBy(col("c").desc)))
+      .filter(col("rn") <= 5).select("c", "gd", "rn")
+    assert(sets(dk(read(dir))) == sets(dk(readFull(dir))))
+  }
+
   test("pagination shape: rn BETWEEN a AND b bounds on the upper limit") {
     val (dir, total) = writeTable(3000)
     def q(df: DataFrame) = df.withColumn("rn", row_number().over(
