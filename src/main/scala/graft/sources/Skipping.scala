@@ -1010,6 +1010,37 @@ object Skipping {
         case n if n.endsWith("__min") => n.dropRight(5) }.toSet)
       .getOrElse(Set.empty)
 
+  /** Does `[lo, hi]` provably COVER the column's whole stat domain
+    * over the cached manifest rows? Used by dynamic file pruning as a
+    * COST heuristic only (a covering range filter can prune nothing
+    * and would be pure per-row overhead): false on any unknown —
+    * missing stats, a null boundary, incomparable types — which means
+    * "inject anyway", never a correctness decision. */
+  def rangeCoversColumn(spark: SparkSession, path: String, c: String,
+      lo: Any, hi: Any): Boolean =
+    try {
+      manifestSignature(spark, path)
+        .flatMap(sig => cachedManifest(spark, path, sig)).exists {
+          cached =>
+        if (!cached.schema.fieldNames.contains(s"${c}__min")) false
+        else {
+          val mins = cached.rows.iterator
+            .map(r => r.get(r.fieldIndex(s"${c}__min"))).toSeq
+          val maxes = cached.rows.iterator
+            .map(r => r.get(r.fieldIndex(s"${c}__max"))).toSeq
+          if (lo == null || hi == null || mins.isEmpty ||
+              mins.exists(_ == null) || maxes.exists(_ == null)) false
+          else {
+            val cmin = mins.reduce((a, b) =>
+              if (statCmp(a, b) <= 0) a else b)
+            val cmax = maxes.reduce((a, b) =>
+              if (statCmp(a, b) >= 0) a else b)
+            statCmp(lo, cmin) <= 0 && statCmp(hi, cmax) >= 0
+          }
+        }
+      }
+    } catch { case _: Exception => false }
+
   def droppedFiles(spark: SparkSession, path: String,
       preds: Seq[Pred]): Option[Map[String, (Long, Long)]] =
     manifestSignature(spark, path) match {

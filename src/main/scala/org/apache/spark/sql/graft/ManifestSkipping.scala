@@ -64,6 +64,9 @@ object ManifestSkipping {
     * translates to nothing. Attribute casing follows the relation
     * schema, which is what the manifest was built from. */
   def toPreds(e: Expression): Seq[Skipping.Pred] = e match {
+    // DFP's own injected predicate: semantically its child (the
+    // wrapper only exists for the rule's idempotence fence)
+    case DfpInjected(c) => toPreds(c)
     case And(l, r) => toPreds(l) ++ toPreds(r)
     // OR prunes only when BOTH branches translate (a branch lost to
     // translation could hold anywhere — the whole OR must keep
@@ -852,6 +855,35 @@ case class WindowTopKPruningRule(session: SparkSession)
     }
 }
 
+/** Marker wrapping a predicate [[DynamicFilePruningRule]] itself
+  * injected — the Spark-DPP precedent of tagging derived pruning
+  * predicates IN the expression tree (a TreeNode tag would be lost the
+  * first time pushdown rebuilds the Filter node). Semantically inert:
+  * evaluates (and code-generates) as its child, so the row-level
+  * filter behaves identically; [[ManifestSkipping.toPreds]] unwraps it
+  * so manifest file pruning still acts on the wrapped IN/range. The
+  * point is FENCE PRECISION (r16 ADVICE): the rule's idempotence check
+  * matches this marker instead of any IN/EQ/range shape on the key, so
+  * a USER predicate on the join key now composes with DFP instead of
+  * silently disabling it. Cost of the wrapper: the conjunct no longer
+  * translates to a parquet-level pushed filter (DataSourceStrategy
+  * doesn't know it) — file-level manifest pruning, the rewrite's whole
+  * point, is unaffected. */
+case class DfpInjected(child: Expression) extends UnaryExpression
+    with Predicate {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): DfpInjected = copy(child = newChild)
+}
+
 /** JOIN-DRIVEN dynamic file pruning — the Delta/Photon "DFP" shape
   * rebuilt on the manifest layer: for `fact JOIN dim ON fact.k = dim.k
   * [WHERE dim.pred]` where the dim side is BROADCAST-ELIGIBLE (its
@@ -888,17 +920,18 @@ case class WindowTopKPruningRule(session: SparkSession)
   *
   * Declines, never degrades wrongly: non-equi or cast-wrapped keys,
   * an unindexed fact key, a dim side over the broadcast threshold (or
-  * broadcast disabled), streaming plans, `graft.noskip` reads, and
-  * any evaluation failure. Fence: an existing IN/InSet/EQ/range
-  * conjunct on the key attribute anywhere on the fact path declines —
-  * that is the rule's own injection after pushdown (idempotence
-  * through the fixed point; OptimizeIn may rewrite a one-key IN to
-  * EQ, and the wide-key path injects >=/<=) or a user predicate that
-  * already constrains the key. Cost: one or two small jobs per
-  * qualifying join per compile (the dim side is also re-read by the
-  * broadcast exchange — the 2× dim cost is bounded by the broadcast
-  * threshold); evaluation-failure declines are TTL-memoized so the
-  * optimizer's fixed-point iterations don't re-pay the job. */
+  * broadcast disabled), streaming plans, `graft.noskip` reads, an
+  * over-budget collection, post-collection dim-file identity drift,
+  * and any evaluation failure. Fence: the injected predicate is
+  * wrapped in the [[DfpInjected]] marker, and the idempotence check
+  * matches ONLY that marker on the traced attribute — a user
+  * IN/EQ/range on the key COMPOSES with the injection instead of
+  * disabling it (r16 ADVICE); one injection per attribute per side.
+  * Cost: one or two small budget-bounded jobs per qualifying join per
+  * compile (the dim side is also re-read by the broadcast exchange —
+  * the 2× dim cost is bounded by the broadcast threshold);
+  * failure/budget declines are TTL-memoized with escalating backoff
+  * so the optimizer's fixed-point iterations don't re-pay the job. */
 case class DynamicFilePruningRule(session: SparkSession)
     extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
@@ -982,31 +1015,46 @@ case class DynamicFilePruningRule(session: SparkSession)
           if (!thresholdOk || build.isStreaming ||
               build.exists(_.expressions.exists(e =>
                 e.exists(!_.deterministic)))) None
-          else collectKeys(build, bk).map {
+          else collectKeys(build, bk).flatMap {
             case scala.util.Left(vs) =>
-              if (vs.isEmpty) Literal.create(false,
-                org.apache.spark.sql.types.BooleanType)
+              if (vs.isEmpty) Some(Literal.create(false,
+                org.apache.spark.sql.types.BooleanType))
               // plain In — OptimizeIn (same batch) dedups and converts
               // to InSet past the conversion threshold; toPreds handles
-              // both forms
-              else In(pk, vs.map(Literal.create(_, pk.dataType)))
+              // both forms. Wrapped in the idempotence marker so a USER
+              // predicate on the key still composes (r16 ADVICE).
+              else Some(DfpInjected(
+                In(pk, vs.map(Literal.create(_, pk.dataType)))))
             // key-domain RANGE past the cap: rows outside the build
             // side's [min, max] can't match either — two comparisons
             // instead of a wide IN, and the manifest's interval stats
-            // still prune a clustered fact (the 100k-key dim shape)
+            // still prune a clustered fact (the 100k-key dim shape).
+            // EXCEPT when the dim domain provably COVERS the fact's own
+            // stat domain: then the range can prune nothing and would
+            // be pure per-row cost — decline (a cost heuristic only,
+            // soundness is not at stake in skipping an injection).
             case scala.util.Right((lo, hi)) =>
-              And(GreaterThanOrEqual(pk, Literal.create(lo, pk.dataType)),
-                LessThanOrEqual(pk, Literal.create(hi, pk.dataType)))
+              if (Skipping.rangeCoversColumn(session, root, relAttr.name,
+                  lo, hi)) None
+              else Some(DfpInjected(And(
+                GreaterThanOrEqual(pk, Literal.create(lo, pk.dataType)),
+                LessThanOrEqual(pk, Literal.create(hi, pk.dataType)))))
           }
         case _ => None
       }
     }
 
   /** Trace `a` through aliasing projections to the backing relation's
-    * own attribute, fencing on any existing IN/InSet conjunct on the
-    * traced attribute at any level (our own injection after pushdown,
-    * or a user IN that already prunes). Filters with other shapes pass
-    * through — the injected IN composes with them. */
+    * own attribute, fencing ONLY on this rule's own prior injection —
+    * a [[DfpInjected]]-marked conjunct referencing the traced
+    * attribute at any level (wherever pushdown moved it). A USER
+    * IN/EQ/range on the key is NOT a fence: the injected IN composes
+    * with it as a plain conjunction (r16 ADVICE — the old value-shape
+    * fence silently forfeited all DFP pruning under any user key
+    * predicate). One injection per attribute per join side: a second
+    * qualifying equi-pair on the SAME fact attribute stays fenced by
+    * the first pair's marker — a deliberate cost bound (the second IN
+    * could only intersect further), documented rather than stacked. */
   private def resolve(p: LogicalPlan, a: AttributeReference)
       : Option[(LogicalRelation, AttributeReference)] = p match {
     case lr: LogicalRelation =>
@@ -1015,25 +1063,14 @@ case class DynamicFilePruningRule(session: SparkSession)
       }
     case f: LFilter =>
       val fenced = splitConjunctivePredicates(f.condition).exists {
-        case In(x: AttributeReference, _) => x.exprId == a.exprId
-        case InSet(x: AttributeReference, _) => x.exprId == a.exprId
-        case EqualTo(x: AttributeReference, _: Literal) =>
-          x.exprId == a.exprId
-        case EqualTo(_: Literal, x: AttributeReference) =>
-          x.exprId == a.exprId
-        // the wide-key fallback's range conjuncts (also catches a user
-        // range on the key, where the domain is already constrained)
-        case GreaterThanOrEqual(x: AttributeReference, _: Literal) =>
-          x.exprId == a.exprId
-        case LessThanOrEqual(x: AttributeReference, _: Literal) =>
-          x.exprId == a.exprId
-        case GreaterThanOrEqual(_: Literal, x: AttributeReference) =>
-          x.exprId == a.exprId
-        case LessThanOrEqual(_: Literal, x: AttributeReference) =>
-          x.exprId == a.exprId
-        // the empty-key-set injection; PruneFilters collapses it
-        // before the next iteration, but never rely on rule ordering
-        // for an idempotence fence
+        case m: DfpInjected => m.references.exists {
+          case ar: AttributeReference => ar.exprId == a.exprId
+          case _ => false
+        }
+        // the empty-key-set injection (unmarked — ConstantFolding
+        // would strip the marker the same iteration anyway);
+        // PruneFilters collapses it before the next iteration, but
+        // never rely on rule ordering for an idempotence fence
         case Literal(false, _) => true
         case _ => false
       }
@@ -1052,25 +1089,42 @@ case class DynamicFilePruningRule(session: SparkSession)
     * key domain's `Right((min, max))` past it (a wide-key dim still
     * range-prunes a clustered fact; NaN keys are safe under Spark's
     * total ordering, where the join's own NaN=NaN equality also
-    * holds). None only on evaluation failure, TTL-memoized so
-    * fixed-point iterations don't re-run the job. Both jobs run over a
-    * plan already proven under the broadcast threshold: driver-safe by
-    * construction. */
+    * holds). None on evaluation failure OR past the wall-clock budget
+    * ([[DynamicFilePruning.budgetMs]] — plan-stat size estimates can
+    * lie, and an underestimated build side must not balloon compile
+    * time unbounded; the collection runs in a cancellable job group on
+    * a helper thread and is abandoned at the budget). Failures are
+    * TTL-memoized with ESCALATING backoff (r16 ADVICE: a flat 10 s
+    * decline re-paid a doomed job on every compile of a hot query).
+    * Both jobs run over a plan already proven under the broadcast
+    * threshold: driver-safe by construction.
+    *
+    * FRESHNESS (r16 ADVICE, the one `medium`): the key job and the
+    * join's broadcast both read the build relations' FROZEN file
+    * listings, but only the listing is frozen — not the bytes. After
+    * the job, every build-side file's LIVE `(bytes, mtime)` is
+    * re-checked against the frozen listing; any drift (an in-place dim
+    * rewrite between collection and now) declines, so the injected IN
+    * can never encode content the join will no longer see from the
+    * collection-to-injection window. The residual plan-to-execution
+    * window is exactly Spark's own staleness contract for ANY captured
+    * scan (an in-place rewrite under a planned query is undefined
+    * behavior upstream too) — out of contract, like the manifest
+    * identity gate's. */
   private def collectKeys(build: LogicalPlan, bk: AttributeReference)
       : Option[Either[Seq[Any], (Any, Any)]] = {
     val cap = maxKeys
     val memoKey = (build.canonicalized, bk.name)
     if (isDeclined(memoKey)) None
     else {
-      evaluating.set(true)
-      try {
+      val out = runBudgeted(session, budgetMs) {
         val limited = GlobalLimit(Literal(cap + 1),
           LocalLimit(Literal(cap + 1),
             Aggregate(Seq(bk), Seq(bk), build)))
         val rows = PlanRefresh.ofRows(session, limited).collect()
         if (rows.length <= cap)
-          Some(scala.util.Left(
-            rows.iterator.map(_.get(0)).filter(_ != null).toSeq))
+          scala.util.Left(
+            rows.iterator.map(_.get(0)).filter(_ != null).toSeq)
         else {
           import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
           val lo = Alias(Min(bk).toAggregateExpression(), "lo")()
@@ -1078,14 +1132,42 @@ case class DynamicFilePruningRule(session: SparkSession)
           val r = PlanRefresh.ofRows(session,
             Aggregate(Nil, Seq(lo, hi), build)).collect().head
           // min/max skip nulls; both null = no non-null keys at all
-          if (r.isNullAt(0) || r.isNullAt(1)) Some(scala.util.Left(Nil))
-          else Some(scala.util.Right((r.get(0), r.get(1))))
+          if (r.isNullAt(0) || r.isNullAt(1)) scala.util.Left(Nil)
+          else scala.util.Right((r.get(0), r.get(1)))
         }
-      } catch {
-        case _: Exception => decline(memoKey); None
-      } finally evaluating.set(false)
+      }
+      out match {
+        case Some(keys) if !buildFilesDrifted(build) =>
+          clearDecline(memoKey)
+          Some(keys)
+        case Some(_) => decline(memoKey); None // identity drift
+        case None => decline(memoKey); None // failure or budget
+      }
     }
   }
+
+  /** Does any file behind `build`'s file-source relations differ LIVE
+    * from the frozen listing the key job just read? Missing or
+    * unreadable counts as drifted (decline is the safe direction).
+    * Cost: one status RPC per dim file — the dim fits the broadcast
+    * threshold, so this is a handful of calls next to the job
+    * itself. */
+  private def buildFilesDrifted(build: LogicalPlan): Boolean =
+    try {
+      val conf = session.sessionState.newHadoopConf()
+      build.collect { case lr: LogicalRelation => lr.relation }.exists {
+        case h: HadoopFsRelation =>
+          h.location.listFiles(Nil, Nil).exists(_.files.exists { st =>
+            try {
+              val live = st.getPath.getFileSystem(conf)
+                .getFileStatus(st.getPath)
+              live.getLen != st.getLen ||
+                live.getModificationTime != st.getModificationTime
+            } catch { case _: Exception => true }
+          })
+        case _ => false
+      }
+    } catch { case _: Exception => true }
 }
 
 /** Shared state for [[DynamicFilePruningRule]]: the re-entrancy guard
@@ -1103,21 +1185,34 @@ object DynamicFilePruning {
   private[graft] def maxKeys: Int =
     sys.props.get("graft.skipping.dfpMaxKeys").map(_.toInt).getOrElse(1024)
 
+  /** Wall-clock budget on one key-collection evaluation (compile +
+    * both jobs). A dim under the broadcast threshold should answer in
+    * well under this; blowing it means the plan-stat estimate lied —
+    * abandon and decline. `-Dgraft.skipping.dfpBudgetMs=n`
+    * overrides. */
+  private[graft] def budgetMs: Long =
+    sys.props.get("graft.skipping.dfpBudgetMs").map(_.toLong)
+      .getOrElse(5000L)
+
   private val DeclineTtlMs = 10000L
+  private val DeclineTtlCapMs = 300000L
   private val DeclineCap = 256
-  /** (canonicalized build plan, key name) -> decline-until. TTL-only
-    * (never a correctness memo — a stale decline just skips pruning);
-    * key VALUES are never memoized: a dim table append must be seen
-    * by the very next compile, or the injected IN would wrongly drop
-    * fact rows matching the new dim keys. */
+  /** (canonicalized build plan, key name) -> (decline-until, failure
+    * count). TTL-only (never a correctness memo — a stale decline just
+    * skips pruning); key VALUES are never memoized: a dim table append
+    * must be seen by the very next compile, or the injected IN would
+    * wrongly drop fact rows matching the new dim keys. The TTL
+    * ESCALATES with consecutive failures (10 s, 20 s, ... capped at
+    * 5 min) so a repeatedly failing or over-budget collection stops
+    * being re-paid on every compile of a hot query; an expired entry
+    * keeps its failure count until a collection SUCCEEDS
+    * ([[clearDecline]]) or cap-eviction claims it. */
   private val declines = new java.util.concurrent.ConcurrentHashMap[
-    (LogicalPlan, String), java.lang.Long]()
+    (LogicalPlan, String), (Long, Int)]()
 
   private[graft] def isDeclined(k: (LogicalPlan, String)): Boolean = {
-    val until = declines.get(k)
-    if (until == null) false
-    else if (System.currentTimeMillis() < until) true
-    else { declines.remove(k); false }
+    val e = declines.get(k)
+    e != null && System.currentTimeMillis() < e._1
   }
 
   private[graft] def decline(k: (LogicalPlan, String)): Unit = {
@@ -1125,13 +1220,51 @@ object DynamicFilePruning {
       // drop expired entries; if still full, decline unmemoized
       val now = System.currentTimeMillis()
       val it = declines.entrySet().iterator()
-      while (it.hasNext) if (it.next().getValue < now) it.remove()
+      while (it.hasNext) if (it.next().getValue._1 < now) it.remove()
     }
-    if (declines.size < DeclineCap)
-      declines.put(k, System.currentTimeMillis() + DeclineTtlMs)
+    val fails = Option(declines.get(k)).map(_._2).getOrElse(0) + 1
+    val ttl = math.min(DeclineTtlCapMs,
+      DeclineTtlMs << math.min(fails - 1, 10))
+    if (declines.size < DeclineCap || declines.containsKey(k))
+      declines.put(k, (System.currentTimeMillis() + ttl, fails))
   }
 
+  private[graft] def clearDecline(k: (LogicalPlan, String)): Unit =
+    declines.remove(k)
+
   private[graft] def declineCount: Int = declines.size
+
+  /** Run `f` on a cancellable helper thread inside its own job group,
+    * abandoning (and cancelling the group's jobs) past `budget` ms.
+    * The helper thread carries the DFP re-entrancy guard — the key
+    * job's own optimization must not re-enter the rule — and the
+    * session as its active one. None = failure OR budget blown. */
+  private[graft] def runBudgeted[T](session: SparkSession,
+      budget: Long)(f: => T): Option[T] = {
+    val group = s"graft-dfp-${java.util.UUID.randomUUID()}"
+    val result = new java.util.concurrent.atomic.AtomicReference[Option[T]](None)
+    val t = new Thread(() => {
+      evaluating.set(true)
+      try {
+        SparkSession.setActiveSession(session)
+        session.sparkContext.setJobGroup(group,
+          "graft DFP key collection", interruptOnCancel = true)
+        try result.set(Some(f))
+        finally session.sparkContext.clearJobGroup()
+      } catch { case _: Throwable => () }
+      finally evaluating.remove()
+    }, group)
+    t.setDaemon(true)
+    t.start()
+    // Thread.join(0) would mean "forever" — clamp so a zero/negative
+    // budget still means "decline immediately", not "wait unbounded"
+    t.join(math.max(1L, budget))
+    if (t.isAlive) {
+      try session.sparkContext.cancelJobGroup(group)
+      catch { case _: Exception => () }
+      None
+    } else result.get()
+  }
 }
 
 /** [[FileIndex]] wrapper that applies manifest pruning inside

@@ -133,10 +133,15 @@ class DfpSpec extends AnyFunSuite {
           }.size
       }.sum
       assert(rngs == 2, s"expected one injected range (2 bounds), got $rngs")
-      // a full-domain wide dim stays exact too (range prunes nothing)
+      // a full-domain wide dim stays exact — and the range injection
+      // DECLINES outright (the dim domain covers the fact's stat
+      // domain, so the filter could prune nothing: pure per-row cost)
       val full = spark.range(50).select(col("id").as("dk"))
       assert(sets(fact(dir).join(full, col("k") === col("dk"))) == sets(
         factNoskip(dir).join(full, col("k") === col("dk"))))
+      assert(markerCount(fact(dir).join(full, col("k") === col("dk"))
+          .queryExecution.optimizedPlan) == 0,
+        "a fact-domain-covering range must not be injected")
     } finally sys.props.remove("graft.skipping.dfpMaxKeys")
   }
 
@@ -187,26 +192,102 @@ class DfpSpec extends AnyFunSuite {
     }
   }
 
-  test("fence: no stacked IN filters through the fixed point; user IN declines") {
+  private def markerCount(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+    plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect {
+          case m: org.apache.spark.sql.graft.DfpInjected => m
+        }.size
+    }.sum
+
+  test("fence: exactly one marked injection through the fixed point") {
     val dir = writeFact(500)
     val dim = Seq(7L, 8L).toDF("dk")
     val q = fact(dir).join(dim, col("k") === col("dk"))
     val plan = q.queryExecution.optimizedPlan
-    val inCount = plan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.collect {
-          case i: org.apache.spark.sql.catalyst.expressions.In => i
-          case i: org.apache.spark.sql.catalyst.expressions.InSet => i
-        }.size
-    }.sum
-    assert(inCount == 1, s"expected exactly one injected IN, got $inCount")
-    // an existing user IN on the key fences the injection (and already
-    // prunes by itself)
-    val qUser = fact(dir).filter(col("k").isin(7L, 8L))
+    assert(markerCount(plan) == 1,
+      s"expected exactly one DfpInjected marker, got ${markerCount(plan)}")
+  }
+
+  test("a user predicate on the key COMPOSES with the injection") {
+    // r16 ADVICE: the old value-shape fence declined on ANY user
+    // =/IN/>=/<= on the key, silently forfeiting all DFP pruning; the
+    // marker fence targets only self-injections
+    val dir = writeFact(1000)
+    val dim = Seq(7L, 8L, 41L).toDF("dk")
+    // user range predicate k <= 20 (drops dim key 41); injection still
+    // fires and the two prune TOGETHER
+    def q(f: DataFrame) = f.filter(col("k") <= 20L)
       .join(dim, col("k") === col("dk"))
-    assert(sets(qUser) == sets(
-      factNoskip(dir).filter(col("k").isin(7L, 8L))
-        .join(dim, col("k") === col("dk"))))
+    assert(sets(q(fact(dir))) == sets(q(factNoskip(dir))))
+    val plan = q(fact(dir)).queryExecution.optimizedPlan
+    assert(markerCount(plan) == 1,
+      s"user range must not fence the injection, got ${markerCount(plan)}")
+    val nf = scannedFiles(q(fact(dir)))
+    assert(nf <= 2, s"composed pruning scanned $nf of 10")
+    // user IN on the key: same story
+    def qIn(f: DataFrame) = f.filter(col("k").isin(7L, 8L, 30L))
+      .join(dim, col("k") === col("dk"))
+    assert(sets(qIn(fact(dir))) == sets(qIn(factNoskip(dir))))
+    assert(markerCount(qIn(fact(dir)).queryExecution.optimizedPlan) == 1)
+    assert(scannedFiles(qIn(fact(dir))) <= 2)
+  }
+
+  test("over-budget key collection declines and memoizes; fresh shapes evaluate") {
+    val dir = writeFact(500)
+    sys.props("graft.skipping.dfpBudgetMs") = "0"
+    try {
+      val dim = Seq(17L, 18L).toDF("dk")
+      def q(f: DataFrame) = f.join(dim, col("k") === col("dk"))
+      assert(sets(q(fact(dir))) == sets(q(factNoskip(dir))))
+      assert(scannedFiles(q(fact(dir))) == 10,
+        "a zero budget must decline the injection")
+    } finally sys.props.remove("graft.skipping.dfpBudgetMs")
+    // a DIFFERENT dim (fresh canonical plan, no memoized decline)
+    // evaluates normally once the budget is back
+    val dim2 = Seq(19L, 20L).toDF("dk")
+    def q2(f: DataFrame) = f.join(dim2, col("k") === col("dk"))
+    assert(sets(q2(fact(dir))) == sets(q2(factNoskip(dir))))
+    assert(scannedFiles(q2(fact(dir))) <= 2)
+  }
+
+  test("post-collection dim-file identity drift declines the injection") {
+    val dir = writeFact(500)
+    val dimDir = tmp("dfp_drift")
+    // only low keys IN THE DATA (no dim filter — a literal filter
+    // would let Catalyst's own constraint propagation infer k <= 4
+    // across the equi-join and prune the fact without DFP at all)
+    spark.range(5).select(col("id").as("dk"))
+      .coalesce(1).write.parquet(dimDir)
+    // a frame captured NOW freezes the dim's file listing (bytes, mtime)
+    val dimDf = spark.read.parquet(dimDir)
+    // rewrite the dim part file IN PLACE under its old name — the
+    // r16-ADVICE race: key collection would read the new bytes while
+    // the frozen identity no longer matches
+    val fsp = new org.apache.hadoop.fs.Path(dimDir)
+    val fs = fsp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(fsp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val replDir = tmp("dfp_drift_repl")
+    spark.range(100).select(col("id").as("dk"))
+      .coalesce(1).write.parquet(replDir)
+    val repl = fs.listStatus(new org.apache.hadoop.fs.Path(replDir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.delete(part, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, repl, fs, part, false,
+      spark.sparkContext.hadoopConfiguration)
+    // the drift check must refuse to inject: full fact (10) + dim (1)
+    assert(scannedFiles(
+      fact(dir).join(dimDf, col("k") === col("dk"))) == 11,
+      "identity drift between collection and injection must decline")
+    // control: the same shape WITHOUT the rewrite injects and prunes
+    val dimDir2 = tmp("dfp_nodrift")
+    spark.range(5).select(col("id").as("dk"))
+      .coalesce(1).write.parquet(dimDir2)
+    val dim2 = spark.read.parquet(dimDir2)
+    assert(scannedFiles(
+      fact(dir).join(dim2, col("k") === col("dk"))) <= 2)
   }
 
   test("single-key dim: OptimizeIn rewrites the IN to =, the EQ fence holds") {
