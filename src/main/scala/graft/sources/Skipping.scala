@@ -308,7 +308,8 @@ object Skipping {
     * so they are indexable like any other column. */
   private def statsFor(spark: SparkSession, tableRoot: String,
       files: Seq[(String, Long, Long)], cols: Seq[String],
-      bloomCols: Seq[String] = Nil): DataFrame = {
+      bloomCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): DataFrame = {
     val root = rootPath(spark, tableRoot)
     val rel = udf((u: String) => relName(u, root))
     import spark.implicits._
@@ -324,8 +325,16 @@ object Skipping {
       src.schema.fields.find(_.name == c).exists(f => sumEligible(f.dataType)))
     // group on the raw URI (codegen'd), relativize once per FILE on the
     // tiny aggregated result — not a UDF per row
+    // per-file EXACT distinct counts are OPT-IN per column (r16
+    // VERDICT #6): multiple countDistinct aggregates plan through an
+    // Expand (one data copy per distinct column), so riding them on
+    // every build would tax every ingest for a stat most tables never
+    // use. Exactness is required — the dense_rank bound proof and the
+    // chain count(DISTINCT) rewrite both need true counts, not
+    // sketches.
     val aggs = statCols(cols) ++
       sumCols.map(c => sumStatCol(c, src.schema(c).dataType)) ++
+      ndvCols.map(c => countDistinct(col(c)).as(s"${c}__ndv")) ++
       bloomCols.map(c => bloomUdaf(xxhash64(col(c))).as(s"${c}__bloom"))
     val statted = src
       .groupBy(input_file_name().as("__uri"))
@@ -344,6 +353,8 @@ object Skipping {
           Seq(col(s"${c}__min"), col(s"${c}__max"),
             coalesce(col(s"${c}__nulls"), lit(0L)).as(s"${c}__nulls"))) ++
          sumCols.map(c => col(s"${c}__sum")) ++
+         ndvCols.map(c =>
+           coalesce(col(s"${c}__ndv"), lit(0L)).as(s"${c}__ndv")) ++
          bloomCols.map(c => col(s"${c}__bloom"))): _*)
   }
 
@@ -455,15 +466,19 @@ object Skipping {
     * stats don't know yet — garbage the fold collects, never a pruning
     * input), then the stats base segment at `__seq = 0`. */
   def writeManifest(spark: SparkSession, path: String,
-      cols: Seq[String], bloomCols: Seq[String] = Nil): Unit =
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): Unit =
       Sinks.withTableMaintenance(spark, path, "rebuild") {
     require(bloomCols.forall(cols.contains),
       s"skipping: bloom columns must also be stat-indexed (the probe " +
       s"needs the column type from the stats schema); got bloom=" +
       s"${bloomCols.mkString(",")} cols=${cols.mkString(",")}")
+    require(ndvCols.forall(cols.contains),
+      s"skipping: ndv columns must also be stat-indexed; got ndv=" +
+      s"${ndvCols.mkString(",")} cols=${cols.mkString(",")}")
     val files = dataFilesWithIdentity(spark, path)
     require(files.nonEmpty, s"skipping: no data files under $path")
-    val m0 = statsFor(spark, path, files, cols, bloomCols)
+    val m0 = statsFor(spark, path, files, cols, bloomCols, ndvCols)
     // persist only when blooms force a second pass over the result
     val m = if (bloomCols.nonEmpty) m0.persist() else m0
     try {
@@ -518,8 +533,14 @@ object Skipping {
     * worth rewriting). Columns must match the existing manifest's
     * indexed set and sidecar set; on mismatch (or no/old-format
     * manifest) it falls back to a full [[writeManifest]] rebuild. */
+  /** `ndvCols` participates only in a full-rebuild fallback — a
+    * COMPATIBLE manifest keeps (and delta-appends) whatever `__ndv`
+    * set it already carries, derived from the segment schema; adding
+    * ndv to an existing manifest takes an explicit
+    * [[writeManifest]]. */
   def refreshManifest(spark: SparkSession, path: String,
-      cols: Seq[String], bloomCols: Seq[String] = Nil): (Long, Long) =
+      cols: Seq[String], bloomCols: Seq[String] = Nil,
+      ndvCols: Seq[String] = Nil): (Long, Long) =
       Sinks.withTableMaintenance(spark, path, "refresh") {
     val current = dataFilesWithIdentity(spark, path)
     readManifestRaw(spark, path) match {
@@ -578,7 +599,7 @@ object Skipping {
           (added.size.toLong, removed.size.toLong)
         }
       case _ =>
-        writeManifest(spark, path, cols, bloomCols)
+        writeManifest(spark, path, cols, bloomCols, ndvCols)
         (current.size.toLong, 0L)
     }
   }
@@ -659,11 +680,15 @@ object Skipping {
       cols: Seq[String]): Boolean = {
     val names = schema.fieldNames.toSet
     val sums = names.filter(_.endsWith("__sum")).map(_.dropRight(5))
+    // `__ndv` columns are OPTIONAL per indexed column, like `__sum`
+    // (opt-in at writeManifest; preserved by refresh/fold)
+    val ndvs = names.filter(_.endsWith("__ndv")).map(_.dropRight(5))
     val expected = (Seq("file", "bytes", "mtime", "rows", SeqCol,
       RemovedCol) ++ cols.flatMap(c =>
       Seq(s"${c}__min", s"${c}__max", s"${c}__nulls")) ++
-      sums.map(c => s"${c}__sum")).toSet
-    sums.subsetOf(cols.toSet) && names == expected
+      sums.map(c => s"${c}__sum") ++ ndvs.map(c => s"${c}__ndv")).toSet
+    sums.subsetOf(cols.toSet) && ndvs.subsetOf(cols.toSet) &&
+      names == expected
   }
 
   /** One appended stats segment: fresh rows for `added` at `seq`,
@@ -677,9 +702,13 @@ object Skipping {
       cols: Seq[String], bloomCols: Seq[String],
       added: Seq[(String, Long, Long)], gone: Seq[String], seq: Long,
       segSchema: org.apache.spark.sql.types.StructType): Unit = {
+    // the segment schema is authoritative for which columns carry
+    // `__ndv` — the delta path restats exactly the existing stat set
+    val ndvCols = segSchema.fieldNames.toSeq
+      .filter(_.endsWith("__ndv")).map(_.dropRight(5))
     val stats =
       if (added.isEmpty) None
-      else Some(statsFor(spark, path, added, cols, bloomCols))
+      else Some(statsFor(spark, path, added, cols, bloomCols, ndvCols))
     val persisted = stats.map(s =>
       if (bloomCols.nonEmpty) s.persist() else s)
     try {
@@ -780,9 +809,11 @@ object Skipping {
         if (collided) {
           val cols = raw.columns.toSeq.collect {
             case n if n.endsWith("__min") => n.dropRight(5) }
+          val ndvs = raw.columns.toSeq.collect {
+            case n if n.endsWith("__ndv") => n.dropRight(5) }
           val blooms = bloomColumns(spark, path)
           if (dataFilesWithIdentity(spark, path).nonEmpty)
-            writeManifest(spark, path, cols, blooms)
+            writeManifest(spark, path, cols, blooms, ndvs)
           else {
             // collided manifest over a now-empty table: nothing to
             // rebuild from — drop it (skipping off beats ambiguous)
@@ -925,8 +956,8 @@ object Skipping {
       * direction-blind. */
     val topkVerdicts =
       new DeclineMemo[(String, Long, Boolean, Seq[Pred])]()
-    /** (groupCols, c, k, nullsFirst, maxGroups) -> "the per-group
-      * top-k bounds provably cannot be derived" — same
+    /** (groupCols, c, k, kDistinct, nullsFirst, maxGroups) -> "the
+      * per-group top-k bounds provably cannot be derived" — same
       * cached-rows-superset soundness as topkVerdicts (nulls and group
       * counts over cached rows upper-bound live ones). Pred-independent:
       * the memoized checks (NULLS FIRST nulls, group-domain width)
@@ -936,13 +967,43 @@ object Skipping {
       * user raising `windowTopkMaxGroups` must not stay declined under
       * the old cap's verdict. */
     val windowTopkVerdicts =
-      new DeclineMemo[(Seq[String], String, Long, Boolean, Int)]()
+      new DeclineMemo[(Seq[String], String, Long, Long, Boolean, Int)]()
   }
 
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedManifest]()
 
+  /** TTL cache over [[manifestSignature]]'s directory listings — the
+    * r16 VERDICT's "shared per-(query, root) probe" item: EVERY
+    * metadata consumer (file pruning, the agg/top-k/window/DFP rules)
+    * resolves the signature per optimizer invocation, and the five
+    * rules × N fixed-point iterations were each paying a manifest-dir
+    * + bloom-root listing. Soundness of serving a STALE signature for
+    * up to the TTL: the signature is only ever a CACHE KEY for the
+    * stat rows — pruning still requires each dropped file's live
+    * `(bytes, mtime)` to match its stat row, and every metadata
+    * rewrite runs its own uncached live data listing as the
+    * completeness proof (new/changed files decline). A stale signature
+    * therefore only delays ADOPTING fresh stats, bounded by the TTL —
+    * the same contract [[manifestExists]] documents. In-JVM writes
+    * clear it via [[invalidateManifestProbe]]. */
+  private val sigProbe =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Option[String], Long)]()
+
   private def manifestSignature(spark: SparkSession,
+      path: String): Option[String] = {
+    val now = System.currentTimeMillis()
+    val c = sigProbe.get(path)
+    if (c != null && now - c._2 < ProbeTtlMs) c._1
+    else {
+      val sig = manifestSignatureUncached(spark, path)
+      sigProbe.put(path, (sig, now))
+      sig
+    }
+  }
+
+  private def manifestSignatureUncached(spark: SparkSession,
       path: String): Option[String] = {
     val mp = new Path(manifestPath(path))
     val f = fs(spark, path)
@@ -988,6 +1049,7 @@ object Skipping {
   def evictTable(path: String): Unit = {
     manifestCache.remove(path)
     manifestProbe.remove(path)
+    sigProbe.remove(path)
     identityDeclines.remove(path)
     ownerManifests.remove(path)
   }
@@ -1342,52 +1404,142 @@ object Skipping {
       : Option[Seq[(Map[String, Any], Long, Map[String, ColStats],
         Map[Seq[String], Long])]] = {
     val dLists = distinctCols.distinct
-    val constantCols = (groupCols ++ dLists.flatten).distinct
-    val needed =
-      (constantCols ++ cols ++ preds.flatMap(_.columns)).distinct
-    if (constantCols.isEmpty && groupCols.isEmpty) return None
-    // the single-valued proof runs — MEMOIZED — over the cached rows
+    if (dLists.isEmpty && groupCols.isEmpty) return None
+    // the single-valued proofs run — MEMOIZED — over the cached rows
     // BEFORE the live listing: a GROUP BY over a non-constant key is a
     // permanent decline for this manifest state, and must not pay a
     // recursive table listing per optimizer invocation (AQE re-plans
     // per stage). Empty files can't violate (no rows in any group).
     // (sig, cached) resolve ONCE here and feed liveFrameFor directly —
     // re-resolving would double the signature probe per invocation.
-    metadataLiveGrouped(spark, path, constantCols, needed, preds,
-      expectedTypes).flatMap { case (m, schema) =>
-        val mIn0 =
-          if (preds.isEmpty) m
-          else m.filter(preds.map(allInCond).reduce(_ && _))
-        // empty files carry no rows for ANY group — drop them before
-        // grouping (their null min==max would read as a spurious null
-        // group)
-        val mIn = mIn0.filter(col("rows") > 0L)
-        try {
-          def keyExpr(g: String): Column =
-            when(col(s"${g}__nulls") === col("rows"), lit(null))
-              .otherwise(col(s"${g}__min"))
-          val keys = groupCols.map(g => keyExpr(g).as(s"${g}__key"))
-          val dAggs = dLists.zipWithIndex.map { case (dc, i) =>
-            countDistinct(keyExpr(dc.head),
-              dc.tail.map(keyExpr): _*).as(s"__dcnt_$i")
+    manifestSignature(spark, path).flatMap { sig =>
+      cachedManifest(spark, path, sig).flatMap { cached =>
+        val schema = cached.schema
+        // each count(DISTINCT ...) answers one of two ways:
+        //  - FILE-CONSTANT: every file single-valued in the listed
+        //    columns -> the count is the distinct file-key-tuple count
+        //    (works grouped and global);
+        //  - NDV-CHAIN (global only, single column carrying an exact
+        //    `__ndv` stat): files sorted by min must have DISJOINT
+        //    value ranges (shared boundary values subtract exactly
+        //    one), so per-file exact distinct counts ADD — the
+        //    clustered/Z-ordered layout shape. Float/double decline:
+        //    the driver-side boundary comparison distinguishes
+        //    -0.0/0.0 where Spark's equality does not.
+        // a list provable neither way declines the whole rewrite.
+        def chainEligible(dc: Seq[String]): Boolean =
+          groupCols.isEmpty && dc.sizeIs == 1 && {
+            val c = dc.head
+            schema.fieldNames.contains(s"${c}__ndv") &&
+            schema.fieldNames.contains(s"${c}__min") &&
+            (schema(s"${c}__min").dataType match {
+              case org.apache.spark.sql.types.FloatType |
+                   org.apache.spark.sql.types.DoubleType => false
+              case _ => true
+            })
           }
-          val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
-            (colAggExprs(schema, cols) ++ dAggs)
-          // groupBy() with zero keys = the global aggregate: exactly
-          // one row even over zero included files
-          val rows = mIn.groupBy(keys: _*)
-            .agg(aggs.head, aggs.tail: _*).collect().toSeq
-          Some(rows.map { r =>
-            val key = groupCols.map(g =>
-              g -> r.get(r.fieldIndex(s"${g}__key"))).toMap
-            val dcnts = dLists.zipWithIndex.map { case (dc, i) =>
-              dc -> r.getLong(r.fieldIndex(s"__dcnt_$i"))
-            }.toMap
-            (key, r.getLong(r.fieldIndex("__total")),
-              colStatsOf(r, schema, cols), dcnts)
-          })
-        } catch { case _: Exception => None }
+        val constLists = dLists.filter(dc =>
+          dc.forall(c => schema.fieldNames.contains(s"${c}__min")) &&
+            !groupsMultiValued(spark, cached, dc))
+        val chainLists = dLists.filterNot(constLists.contains)
+          .filter(chainEligible)
+        val needed = ((groupCols ++ dLists.flatten) ++ cols ++
+          preds.flatMap(_.columns)).distinct
+        if (constLists.size + chainLists.size != dLists.size) None
+        else if (groupCols.nonEmpty &&
+            groupsMultiValued(spark, cached, groupCols)) None
+        else liveFrameFor(spark, path, sig, cached, needed, preds,
+            expectedTypes).flatMap { case (m, _) =>
+          val mIn0 =
+            if (preds.isEmpty) m
+            else m.filter(preds.map(allInCond).reduce(_ && _))
+          // empty files carry no rows for ANY group — drop them before
+          // grouping (their null min==max would read as a spurious null
+          // group)
+          val mIn = mIn0.filter(col("rows") > 0L)
+          try {
+            def keyExpr(g: String): Column =
+              when(col(s"${g}__nulls") === col("rows"), lit(null))
+                .otherwise(col(s"${g}__min"))
+            val keys = groupCols.map(g => keyExpr(g).as(s"${g}__key"))
+            val dAggs = constLists.zipWithIndex.map { case (dc, i) =>
+              countDistinct(keyExpr(dc.head),
+                dc.tail.map(keyExpr): _*).as(s"__dcnt_$i")
+            }
+            val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
+              (colAggExprs(schema, cols) ++ dAggs)
+            // chain counts evaluate driver-side over the included live
+            // rows (LocalRelation collect — no job); any decline
+            // (overlapping ranges, unknown ndv) fails the whole rewrite
+            val chainCounts: Map[Seq[String], Long] =
+              if (chainLists.isEmpty) Map.empty
+              else {
+                val rs = mIn.collect().toSeq
+                chainLists.map { dc =>
+                  chainDistinctCount(rs, dc.head) match {
+                    case Some(n) => dc -> n
+                    case None => return None
+                  }
+                }.toMap
+              }
+            // groupBy() with zero keys = the global aggregate: exactly
+            // one row even over zero included files
+            val rows = mIn.groupBy(keys: _*)
+              .agg(aggs.head, aggs.tail: _*).collect().toSeq
+            Some(rows.map { r =>
+              val key = groupCols.map(g =>
+                g -> r.get(r.fieldIndex(s"${g}__key"))).toMap
+              val dcnts = constLists.zipWithIndex.map { case (dc, i) =>
+                dc -> r.getLong(r.fieldIndex(s"__dcnt_$i"))
+              }.toMap ++ chainCounts
+              (key, r.getLong(r.fieldIndex("__total")),
+                colStatsOf(r, schema, cols), dcnts)
+            })
+          } catch { case _: Exception => None }
+        }
       }
+    }
+  }
+
+  /** EXACT distinct count of non-null values of `c` across the given
+    * (live, pred-included, non-empty) stat rows, by the DISJOINT-RANGE
+    * chain: files sorted by `min`; a file starting strictly above the
+    * running max adds its full `__ndv`, one starting EXACTLY at the
+    * running max shares precisely that one attained boundary value
+    * (processed values <= runMax, new values >= min == runMax) and
+    * adds `__ndv - 1`; any true overlap makes per-file counts
+    * non-additive — decline. All-null files contribute nothing;
+    * a null `__ndv` (legacy null-filled segment row) declines. */
+  private def chainDistinctCount(rows: Seq[org.apache.spark.sql.Row],
+      c: String): Option[Long] = {
+    val files = rows.filter { r =>
+      r.getLong(r.fieldIndex("rows")) -
+        r.getLong(r.fieldIndex(s"${c}__nulls")) > 0L
+    }
+    val sorted =
+      try files.sortWith { (a, b) =>
+        statCmp(a.get(a.fieldIndex(s"${c}__min")),
+          b.get(b.fieldIndex(s"${c}__min"))) < 0
+      } catch { case _: Exception => return None }
+    var total = 0L
+    var runMax: Any = null
+    for (r <- sorted) {
+      val mn = r.get(r.fieldIndex(s"${c}__min"))
+      val mx = r.get(r.fieldIndex(s"${c}__max"))
+      if (mn == null || mx == null ||
+          r.isNullAt(r.fieldIndex(s"${c}__ndv"))) return None
+      val ndv = r.getLong(r.fieldIndex(s"${c}__ndv"))
+      if (runMax == null) { total += ndv; runMax = mx }
+      else {
+        val rel = try statCmp(mn, runMax)
+          catch { case _: Exception => return None }
+        if (rel > 0) total += ndv
+        else if (rel == 0) total += ndv - 1L
+        else return None // overlapping ranges: counts don't add
+        if (statCmp(mx, runMax) > 0) runMax = mx
+      }
+    }
+    Some(total)
   }
 
   /** TOP-K pruning bound: for `[WHERE preds] ORDER BY c [DESC] LIMIT
@@ -1584,6 +1736,64 @@ object Skipping {
     out
   }
 
+  /** [[boundWalk]] generalized with a DISTINCT-VALUE target: the
+    * prefix must hold >= `kRows` non-null rows AND >= `kDistinct`
+    * provably-distinct non-null values. The distinct lower bound is a
+    * disjoint chain over per-file exact `__ndv` stats: walking in sort
+    * order, a file strictly beyond the chain edge (its whole range
+    * past the last counted file's far boundary) adds its full count,
+    * one touching the edge EXACTLY shares that one attained value and
+    * adds `__ndv - 1`, an overlapping or ndv-less file adds ZERO (its
+    * rows still count toward `kRows`) — every counted file's range is
+    * pairwise disjoint from the others', so the per-file exact counts
+    * add to a true lower bound. `kDistinct = 0` degrades to
+    * [[boundWalk]]. */
+  private def boundWalkK(f: Seq[org.apache.spark.sql.Row], c: String,
+      kRows: Long, kDistinct: Long, desc: Boolean): Option[Any] = {
+    if (kDistinct <= 0L) return boundWalk(f, c, kRows, desc)
+    def nnOf(r: org.apache.spark.sql.Row): Long =
+      r.getLong(r.fieldIndex("rows")) -
+        r.getLong(r.fieldIndex(s"${c}__nulls"))
+    val keyCol = if (desc) s"${c}__max" else s"${c}__min"
+    val bndCol = if (desc) s"${c}__min" else s"${c}__max"
+    val sign = if (desc) -1 else 1
+    val sorted = f.sortWith { (a, b) =>
+      sign * statCmp(a.get(a.fieldIndex(keyCol)),
+        b.get(b.fieldIndex(keyCol))) < 0
+    }
+    var cumRows = 0L
+    var cumDist = 0L
+    var bound: Any = null
+    var edge: Any = null // the chain's far boundary (last counted bnd)
+    var out: Option[Any] = None
+    val it = sorted.iterator
+    while (out.isEmpty && it.hasNext) {
+      val r = it.next()
+      val lead = r.get(r.fieldIndex(keyCol))
+      val b = r.get(r.fieldIndex(bndCol))
+      if (b == null || lead == null) throw new IllegalStateException(
+        s"null $bndCol/$keyCol stat on a file with non-null rows")
+      if (bound == null || sign * statCmp(b, bound) > 0)
+        bound = b
+      cumRows += nnOf(r)
+      if (!r.isNullAt(r.fieldIndex(s"${c}__ndv"))) {
+        val ndv = r.getLong(r.fieldIndex(s"${c}__ndv"))
+        if (edge == null) { cumDist += ndv; edge = b }
+        else {
+          // desc: count in full when the file's max sits STRICTLY
+          // below the chain edge (all its values are new); exactly AT
+          // the edge shares precisely the one attained boundary value
+          val rel = sign * statCmp(lead, edge)
+          if (rel > 0) { cumDist += ndv; edge = b }
+          else if (rel == 0) { cumDist += math.max(0L, ndv - 1L); edge = b }
+          // overlap: contributes no provable new values
+        }
+      }
+      if (cumRows >= kRows && cumDist >= kDistinct) out = Some(bound)
+    }
+    out
+  }
+
   /** Cap on the number of per-group disjuncts the window top-k rewrite
     * may emit — the injected OR filter is evaluated per ROW (and per
     * manifest entry at pruning time), so a very wide group domain
@@ -1618,10 +1828,20 @@ object Skipping {
     * completeness failure [[liveRowsFor]] guards. Permanent declines
     * memoize over the cached rows; the live listing runs once per
     * successful derivation. */
+  /** `kDistinct` (r16 VERDICT #6, the dense_rank unlock): when > 0,
+    * the per-group bound must ALSO provably keep at least that many
+    * DISTINCT non-null sort values — proved by a disjoint-range chain
+    * over the per-file exact `__ndv` stats (files without the stat, or
+    * overlapping the chain, contribute zero — the sound direction).
+    * `dense_rank() <= k` needs this: k ROWS don't imply k distinct
+    * VALUES, so a removed row's dense_rank is only provably > k when
+    * >= k distinct values sort at-or-above the bound. Requires the
+    * sort column to carry `__ndv` or every group declines. */
   def windowTopKBounds(spark: SparkSession, path: String,
       groupCols: Seq[String], c: String, k: Long, desc: Boolean,
       nullsFirst: Boolean, expectedTypes: Map[String, DataType],
-      preds: Seq[Pred] = Nil): Option[Seq[(Seq[Any], Option[Any])]] =
+      preds: Seq[Pred] = Nil, kDistinct: Long = 0L)
+      : Option[Seq[(Seq[Any], Option[Any])]] =
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
         val schema = cached.schema
@@ -1661,7 +1881,10 @@ object Skipping {
             if (r.getLong(r.fieldIndex(s"${g}__nulls")) == rowsOf(r)) null
             else r.get(r.fieldIndex(s"${g}__min"))
           }
-        if (!statOk || k <= 0L || groupCols.isEmpty ||
+        val ndvOk = kDistinct <= 0L ||
+          schema.fieldNames.contains(s"${c}__ndv")
+        if (!statOk || !ndvOk || (k <= 0L && kDistinct <= 0L) ||
+            groupCols.isEmpty ||
             groupsMultiValued(spark, cached, groupCols)) None
         else {
           val maxGroups = windowTopkMaxGroups
@@ -1669,7 +1892,7 @@ object Skipping {
           // superset when the identity gate passes — nulls and group
           // counts can only over-count, the spurious-decline-only
           // direction): nulls under NULLS FIRST, group-domain width
-          val key = (groupCols, c, k, nullsFirst, maxGroups)
+          val key = (groupCols, c, k, kDistinct, nullsFirst, maxGroups)
           val declined =
             cached.windowTopkVerdicts.getOrCompute(key, onFailure = true) {
               try {
@@ -1697,7 +1920,7 @@ object Skipping {
                     preds.forall(rowAllIn(r, _)) && nnOf(r) > 0L)
                   val bound =
                     if (f.iterator.map(nnOf).sum < k) None
-                    else boundWalk(f, c, k, desc)
+                    else boundWalkK(f, c, k, kDistinct, desc)
                   (kv, bound)
                 })
               }
@@ -1735,22 +1958,6 @@ object Skipping {
             .limit(1).collect().nonEmpty)
         } catch { case _: Exception => None }
       }
-
-  /** (sig, cached) resolution + the memoized single-valued verdict
-    * over `constantCols` (grouping PLUS distinct-count columns) +
-    * [[liveFrameFor]], in ONE pass — the grouped rewrite's front
-    * half. */
-  private def metadataLiveGrouped(spark: SparkSession, path: String,
-      constantCols: Seq[String], needed: Seq[String], preds: Seq[Pred],
-      expectedTypes: Map[String, DataType])
-      : Option[(DataFrame, org.apache.spark.sql.types.StructType)] =
-    manifestSignature(spark, path).flatMap { sig =>
-      cachedManifest(spark, path, sig).flatMap { cached =>
-        if (groupsMultiValued(spark, cached, constantCols)) None
-        else liveFrameFor(spark, path, sig, cached, needed, preds,
-          expectedTypes)
-      }
-    }
 
   private def droppedFilesCached(spark: SparkSession, path: String,
       preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] = {
@@ -1951,7 +2158,11 @@ object Skipping {
     * manifest-less parquet relation per ITERATION. Every manifest
     * write in this JVM clears the cache; a manifest created by another
     * process is picked up within the TTL. */
-  private val ProbeTtlMs = 10000L
+  /** Override with `-Dgraft.skipping.probeTtlMs=n` (tests use 0 to
+    * pin prompt self-eviction). */
+  private def ProbeTtlMs: Long =
+    sys.props.get("graft.skipping.probeTtlMs").map(_.toLong)
+      .getOrElse(10000L)
   private val manifestProbe =
     new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
 
@@ -1969,8 +2180,13 @@ object Skipping {
   }
 
   /** Manifest writes are rare; a full clear is cheaper than key
-    * normalization across the path spellings callers use. */
-  private def invalidateManifestProbe(): Unit = manifestProbe.clear()
+    * normalization across the path spellings callers use. Clears the
+    * signature probe too — a write must be adopted by the very next
+    * in-JVM planning pass, not after the TTL. */
+  private def invalidateManifestProbe(): Unit = {
+    manifestProbe.clear()
+    sigProbe.clear()
+  }
 
   /** Manifest-pruned read: equals `spark.read.parquet(path)
     * .filter(predColumn(preds))` row-for-row, reading only files the
@@ -2474,6 +2690,33 @@ object Skipping {
           q.withColumn("metadata_only", lit(nf == 0)))
       }
     }),
+    // metadata-only count(DISTINCT) over a NON-file-constant column:
+    // the clustered layout gives per-file DISJOINT value ranges, so
+    // the exact per-file `__ndv` stats ADD along the chain (boundary-
+    // shared values subtract one) — the rewrite no clustered warehouse
+    // table needs a scan for; zero files opened, flag hashed
+    "ix_meta_ndv" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_ndv", "build") {
+        val t = tmpTable("graft_metandv")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(16, col("uid_bucket"))
+          .sortWithinPartitions("uid_bucket")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("uid_bucket"),
+          ndvCols = Seq("uid_bucket"))
+        t
+      }
+      GateTimings.timed("ix_meta_ndv", "probe") {
+        val q = s.read.parquet(tmp)
+          .agg(countDistinct(col("uid_bucket")).as("n_buckets"),
+            count(lit(1)).as("n"),
+            min(col("uid_bucket")).as("min_bucket"),
+            max(col("uid_bucket")).as("max_bucket"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("metadata_only", lit(nf == 0)))
+      }
+    }),
     // top-k file pruning: ORDER BY event_id DESC LIMIT 100 over an
     // event_id-clustered layout — the derived bound filter prunes all
     // but the tail file(s); `topk_pruned` is hashed so a silently
@@ -2543,6 +2786,33 @@ object Skipping {
           .filter(col("rn") <= 20)
           .select(col("event_type"), col("event_id"), col("user_id"),
             col("rn"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("topk_pruned", lit(nf * 2 <= total)))
+      }
+    }),
+    // PER-PARTITION top-k by dense_rank: k DISTINCT values per group,
+    // provable only through the per-file exact `__ndv` stats (k rows
+    // are not k values) — the same per-group OR filter prunes each
+    // partition's tail files; flag hashed
+    "ix_topk_dense" -> ((s, dir) => {
+      val (tmp, total) = GateTimings.timed("ix_topk_dense", "build") {
+        val t = tmpTable("graft_topkd")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(32, col("event_type"), col("event_id"))
+          .write.partitionBy("event_type").parquet(t)
+        writeManifest(s, t, Seq("event_type", "event_id"),
+          ndvCols = Seq("event_id"))
+        (t, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_topk_dense", "probe") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("event_id").desc)
+        val q = s.read.parquet(tmp)
+          .withColumn("dr", dense_rank().over(w))
+          .filter(col("dr") <= 20)
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            col("dr"))
         val nf = scannedFiles(q)
         GateTimings.materialize(
           q.withColumn("topk_pruned", lit(nf * 2 <= total)))
@@ -2695,6 +2965,21 @@ object Skipping {
         |  count(*) AS n, max(event_id) AS max_id,
         |  CAST(1 AS BOOLEAN) AS metadata_only
         |FROM events GROUP BY event_type""".stripMargin,
+    "ix_meta_ndv" ->
+      """SELECT count(DISTINCT user_id % 100) AS n_buckets,
+        |  count(*) AS n,
+        |  min(user_id % 100) AS min_bucket,
+        |  max(user_id % 100) AS max_bucket,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM events""".stripMargin,
+    "ix_topk_dense" ->
+      """SELECT event_type, event_id, user_id, dr,
+        |  CAST(1 AS BOOLEAN) AS topk_pruned
+        |FROM (SELECT event_type, event_id, user_id,
+        |    dense_rank() OVER (PARTITION BY event_type
+        |      ORDER BY event_id DESC) AS dr
+        |  FROM events)
+        |WHERE dr <= 20""".stripMargin,
     "ix_topk_scan" ->
       """SELECT event_id, user_id, value,
         |  CAST(1 AS BOOLEAN) AS topk_pruned

@@ -657,11 +657,16 @@ case class TopKPruningRule(session: SparkSession)
   * anyway — and removal cannot change SURVIVING rows' rank values,
   * because rank-family functions depend only on rows at-or-above the
   * current one. That stability argument requires EVERY window
-  * expression in the node to be row_number()/rank() over the same
-  * spec — any other function (sum over the partition, lead/lag,
-  * dense_rank whose <= k proof needs distinct VALUES, not rows)
-  * declines. The rank predicate may sit among other conjuncts (they
-  * only further filter output rows the bound already preserved).
+  * expression in the node to be row_number()/rank()/dense_rank() over
+  * the same spec — any other function (sum over the partition,
+  * lead/lag) declines. A bound justified by a row_number()/rank()
+  * conjunct proves >= k ROWS above it; one justified only by a
+  * dense_rank() conjunct proves >= k DISTINCT VALUES above it via the
+  * manifest's per-file exact `__ndv` stats (a disjoint-range chain —
+  * see [[graft.sources.Skipping.windowTopKBounds]]); either proof
+  * makes every removed row fail its conjunct. The rank predicate may
+  * sit among other conjuncts (they only further filter output rows
+  * the bound already preserved).
   *
   * Declines: non-attribute partition/order keys, float/double sort
   * column, NULLS FIRST with nulls present, non-file-constant or
@@ -674,8 +679,8 @@ case class WindowTopKPruningRule(session: SparkSession)
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
     Project, Window, WindowGroupLimit}
-  import org.apache.spark.sql.catalyst.expressions.{Rank, RowNumber,
-    WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank,
+    RowNumber, WindowExpression, WindowSpecDefinition}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ LFilter(cond, w: Window) if !f.isStreaming =>
@@ -711,14 +716,19 @@ case class WindowTopKPruningRule(session: SparkSession)
   private def rewrite(cond: Expression, w: Window): Option[Window] = {
     // every window expression must be a rank-family function whose
     // value is stable under removal of strictly-lower rows, over THIS
-    // node's own partition/order spec
+    // node's own partition/order spec. dense_rank qualifies for
+    // STABILITY (it depends only on distinct values at-or-above the
+    // current row) but its <= k proof needs k distinct VALUES, not k
+    // rows — tracked separately and proved via the manifest's per-file
+    // `__ndv` stats (r16 VERDICT #6).
     val rankAttrs = w.windowExpressions.flatMap {
       case a @ Alias(WindowExpression(fn,
           WindowSpecDefinition(ps, os, _)), _)
           if ps == w.partitionSpec && os == w.orderSpec =>
         fn match {
-          case _: RowNumber => Some(a.exprId)
-          case _: Rank => Some(a.exprId)
+          case _: RowNumber => Some(a.exprId -> false)
+          case _: Rank => Some(a.exprId -> false)
+          case _: DenseRank => Some(a.exprId -> true)
           case _ => None
         }
       case _ => None
@@ -736,11 +746,27 @@ case class WindowTopKPruningRule(session: SparkSession)
       val so = w.orderSpec.head
       (groupAttrsOpt, so.child) match {
         case (Some(groupAttrs), orderAttr: AttributeReference) =>
-          rankLimit(splitConjunctivePredicates(cond),
-            rankAttrs.toSet).filter(_ > 0L).flatMap { k =>
-            derive(w, groupAttrs, orderAttr,
-              so.direction == Descending,
-              so.nullOrdering == NullsFirst, k)
+          // removal is justified by failing ANY bounded conjunct, so
+          // ONE proof suffices: prefer a row-count bound (no ndv stat
+          // needed); fall back to the distinct-value bound when only
+          // dense_rank is constrained
+          val conjuncts = splitConjunctivePredicates(cond)
+          val rowK = rankLimit(conjuncts,
+            rankAttrs.collect { case (id, false) => id }.toSet)
+            .filter(_ > 0L)
+          val denseK = rankLimit(conjuncts,
+            rankAttrs.collect { case (id, true) => id }.toSet)
+            .filter(_ > 0L)
+          (rowK, denseK) match {
+            case (Some(k), _) =>
+              derive(w, groupAttrs, orderAttr,
+                so.direction == Descending,
+                so.nullOrdering == NullsFirst, k, 0L)
+            case (None, Some(kd)) =>
+              derive(w, groupAttrs, orderAttr,
+                so.direction == Descending,
+                so.nullOrdering == NullsFirst, 0L, kd)
+            case _ => None
           }
         case _ => None
       }
@@ -753,7 +779,7 @@ case class WindowTopKPruningRule(session: SparkSession)
     * above the window's child. */
   private def derive(w: Window, groupAttrs: Seq[AttributeReference],
       orderAttr: AttributeReference, desc: Boolean, nullsFirst: Boolean,
-      k: Long): Option[Window] =
+      k: Long, kDistinct: Long): Option[Window] =
     resolve(w.child, orderAttr).flatMap { case (lr, relOrder, filters) =>
       // all partition attrs must land on the SAME relation instance
       val relGroupsOpt = groupAttrs.foldLeft(
@@ -800,7 +826,8 @@ case class WindowTopKPruningRule(session: SparkSession)
                   lr.output.find(_.name == cn)
                     .map(o => cn -> o.dataType))).toMap
               Skipping.windowTopKBounds(session, root, groupCols, c, k,
-                desc, nullsFirst, types, preds).flatMap { bounds =>
+                desc, nullsFirst, types, preds, kDistinct)
+                .flatMap { bounds =>
                 if (bounds.isEmpty || !bounds.exists(_._2.isDefined))
                   None // nothing bounded — the filter would be pure cost
                 else {

@@ -556,6 +556,76 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scannedFiles(qs) == 0)
   }
 
+  test("ndv chain count(DISTINCT): exact over clustered files, survives delta+fold, overlap declines") {
+    // clustered layout: per-file a-ranges are disjoint (range
+    // partitioner: one value -> one partition), so per-file exact
+    // distinct counts ADD along the chain — global count(DISTINCT a)
+    // answers with zero files opened
+    val df = spark.range(1000L).select(
+      col("id"), (col("id") % 50).as("a"),
+      (col("id") % 7).cast("double").as("b"))
+    val dir = tmp("ndv_chain")
+    df.repartitionByRange(10, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("a"), ndvCols = Seq("a"))
+    def q = spark.read.parquet(dir)
+      .agg(countDistinct(col("a")).as("nd"), count(lit(1)).as("n"))
+    assert(q.head().getLong(0) == 50L && q.head().getLong(1) == 1000L)
+    assert(scannedFiles(q) == 0, "chain count(DISTINCT) must be scan-free")
+    // composes with an exactly-translatable filter (value exact; the
+    // scan count depends on whether the sampled range boundaries made
+    // every file provably all-in/all-out, so only exactness is pinned)
+    def qf = spark.read.parquet(dir).filter(col("a") <= 24L)
+      .agg(countDistinct(col("a")).as("nd"))
+    assert(qf.head().getLong(0) == 25L)
+    // delta append: refreshManifest restats ONLY the new files and the
+    // appended segment keeps carrying `__ndv` (schema-derived)
+    df.filter(col("id") < 120).select((col("id") + 1000).as("id"),
+        (col("a") + 50).as("a"), col("b"))
+      .repartitionByRange(2, col("a")).write.mode("append").parquet(dir)
+    val (statted, _) = Skipping.refreshManifest(spark, dir, Seq("a"))
+    assert(statted == 2L, s"expected only the delta statted, got $statted")
+    def q2 = spark.read.parquet(dir)
+      .agg(countDistinct(col("a")).as("nd"))
+    assert(q2.head().getLong(0) == 100L)
+    assert(scannedFiles(q2) == 0,
+      "ndv must ride the delta append (segment-schema derived)")
+    // fold preserves the stat
+    Skipping.foldManifest(spark, dir)
+    assert(q2.head().getLong(0) == 100L)
+    assert(scannedFiles(q2) == 0, "fold must preserve __ndv")
+    // OVERLAPPING file ranges: per-file counts don't add — the chain
+    // declines and the scan answers (exact either way)
+    val dir2 = tmp("ndv_overlap")
+    df.repartition(8).write.parquet(dir2) // unclustered: ranges overlap
+    Skipping.writeManifest(spark, dir2, Seq("a"), ndvCols = Seq("a"))
+    def q3 = spark.read.parquet(dir2)
+      .agg(countDistinct(col("a")).as("nd"))
+    assert(q3.head().getLong(0) == 50L)
+    assert(scannedFiles(q3) > 0, "overlapping ranges must decline to a scan")
+    // boundary-sharing: two files touching at one attained value
+    // subtract exactly one — forge the layout with explicit ranges
+    val dir3 = tmp("ndv_boundary")
+    spark.range(0L, 11L).select(col("id").as("a"))
+      .coalesce(1).write.parquet(dir3) // [0..10]
+    spark.range(10L, 21L).select(col("id").as("a"))
+      .coalesce(1).write.mode("append").parquet(dir3) // [10..20]
+    Skipping.writeManifest(spark, dir3, Seq("a"), ndvCols = Seq("a"))
+    def q4 = spark.read.parquet(dir3)
+      .agg(countDistinct(col("a")).as("nd"))
+    assert(q4.head().getLong(0) == 21L,
+      "shared boundary value 10 must count once")
+    assert(scannedFiles(q4) == 0)
+    // a FLOAT/DOUBLE distinct column declines (driver-side boundary
+    // comparison distinguishes -0.0/0.0 where Spark's equality doesn't)
+    Skipping.writeManifest(spark, dir, Seq("a", "b"),
+      ndvCols = Seq("a", "b"))
+    def qd = spark.read.parquet(dir)
+      .agg(countDistinct(col("b")).as("nd"))
+    assert(qd.head().getLong(0) == 7L)
+    assert(scannedFiles(qd) > 0, "double distinct column must decline")
+  }
+
   test("metadata sum exactness gates: legacy manifests, count(null), multi-root") {
     // a manifest WITHOUT __sum stats (the legacy shape) must decline
     // sum/avg while still answering count/min/max — stats built through

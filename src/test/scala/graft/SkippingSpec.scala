@@ -547,13 +547,17 @@ class SkippingSpec extends AnyFunSuite {
     val p = Seq(EqPred("a", 5L))
     assert(droppedFiles(spark, dir, p).isDefined)
     assert(Skipping.cachedTables.contains(dir))
-    // table deleted behind the JVM's back → the next probe answers None
-    // AND self-evicts the dead entry instead of holding it forever
+    // table deleted behind the JVM's back → once the probe TTL lapses
+    // (zeroed here; default 10 s) the next probe answers None AND
+    // self-evicts the dead entry instead of holding it forever
     val hp = new org.apache.hadoop.fs.Path(dir)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-    assert(droppedFiles(spark, dir, p).isEmpty)
-    assert(!Skipping.cachedTables.contains(dir),
-      "dead table's cache entry survived the probe")
+    sys.props("graft.skipping.probeTtlMs") = "0"
+    try {
+      assert(droppedFiles(spark, dir, p).isEmpty)
+      assert(!Skipping.cachedTables.contains(dir),
+        "dead table's cache entry survived the probe")
+    } finally sys.props.remove("graft.skipping.probeTtlMs")
     // explicit eviction hook (DROP TABLE) — exercised via the dialect
     val exec = new graft.exec.Executor(spark, Map("src" -> sample(100)))
     val base = java.nio.file.Files.createTempDirectory("graft_evictsql").toString

@@ -173,6 +173,49 @@ class WindowTopkSpec extends AnyFunSuite {
     assert(scannedFiles(nl(read(dirN))) < totalN)
   }
 
+  test("dense_rank bounds through per-file ndv stats; ndv-less manifests decline") {
+    // same layout as writeTable but the manifest opts the sort column
+    // into exact per-file distinct counts — the dense_rank <= k proof
+    // needs k distinct VALUES, which only `__ndv` can establish
+    val df = spark.range(3000L).select(
+      col("id").as("c"),
+      concat(lit("p"), (col("id") % 3)).as("p"),
+      (col("id") % 5).as("dup")) // 5-way duplicated sort key variant
+    val dir = tmp("wtopk_dense")
+    df.repartitionByRange(12, col("p"), col("c"))
+      .write.partitionBy("p").parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("p", "c"),
+      ndvCols = Seq("c"))
+    val total = Skipping.dataFiles(spark, dir).size
+    def dr(df: DataFrame) = df.withColumn("dr", dense_rank().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("dr") <= 10)
+    assert(sets(dr(read(dir))) == sets(dr(readFull(dir))))
+    val nf = scannedFiles(dr(read(dir)))
+    assert(nf * 2 <= total, s"dense_rank scanned $nf of $total")
+    // direct API: the distinct target alone derives per-group bounds
+    import org.apache.spark.sql.types._
+    val bounds = Skipping.windowTopKBounds(spark, dir, Seq("p"), "c",
+      0L, desc = true, nullsFirst = false,
+      Map("p" -> StringType, "c" -> LongType), Nil, kDistinct = 10L)
+    assert(bounds.exists(_.forall(_._2.isDefined)),
+      s"every group should bound, got $bounds")
+    // soundness of the distinct target: a DUPLICATED sort key must
+    // keep enough files for k distinct values, not just k rows —
+    // c%5 has 600 distinct values per group over the same files, the
+    // bound must sit at least 10 distinct values deep
+    val dirDup = tmp("wtopk_densedup")
+    df.select(col("dup").as("c"), col("p"), col("c").as("orig"))
+      .repartitionByRange(12, col("p"), col("c"))
+      .write.partitionBy("p").parquet(dirDup)
+    Skipping.writeManifest(spark, dirDup, Seq("p", "c"),
+      ndvCols = Seq("c"))
+    def dr5(df: DataFrame) = df.withColumn("dr", dense_rank().over(
+        Window.partitionBy("p").orderBy(col("c").desc)))
+      .filter(col("dr") <= 3).select("p", "c", "orig", "dr")
+    assert(sets(dr5(read(dirDup))) == sets(dr5(readFull(dirDup))))
+  }
+
   test("float/double/binary partition keys decline before the memo") {
     // the per-group walk groups stat rows driver-side by Scala equality
     // on external values — boxed -0.0/0.0 and byte-array reference
