@@ -311,7 +311,8 @@ object ScaleProbe {
         .reduce(_ unionAll _)
         .repartitionByRange(f * 32, col("idx")).sortWithinPartitions("idx")
         .write.parquet(dir)
-      Skipping.writeManifest(spark, dir, Seq("idx"), Seq("idx"))
+      Skipping.writeManifest(spark, dir, Seq("idx"), Seq("idx"),
+        ndvCols = Seq("idx"))
       dir
     })
     // hive layout for the per-partition top-k probe: 8 file-constant
@@ -327,7 +328,8 @@ object ScaleProbe {
         .withColumn("grp", pmod(col("idx"), lit(8L)))
         .repartitionByRange(f * 32, col("grp"), col("idx"))
         .write.partitionBy("grp").parquet(dir)
-      Skipping.writeManifest(spark, dir, Seq("grp", "idx"))
+      Skipping.writeManifest(spark, dir, Seq("grp", "idx"),
+        ndvCols = Seq("idx"))
       dir
     })
     val skipOps: Seq[(String, Int => DataFrame)] = Seq(
@@ -374,6 +376,24 @@ object ScaleProbe {
         spark.read.parquet(wtopkFor(f))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 100)
+      }),
+      // chain count(DISTINCT) over a GROWING clustered table: per-file
+      // exact ndv stats add along disjoint ranges, zero files opened —
+      // the driver-side fold must stay ~flat while distinct values and
+      // file count grow 8x (a scan-based distinct is linear + shuffle)
+      "skip_meta_ndv" -> (f =>
+        spark.read.parquet(skipFor(f))
+          .agg(countDistinct(col("idx")).as("nd"),
+            count(lit(1)).as("n"))),
+      // dense_rank per-partition top-k over the growing hive layout:
+      // the distinct-value bound (ndv chain) keeps each group's tail
+      // file(s) — flat like the row_number leg
+      "skip_topk_dense" -> (f => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("idx").desc)
+        spark.read.parquet(wtopkFor(f))
+          .withColumn("dr", dense_rank().over(w))
+          .filter(col("dr") <= 100)
       }),
       // join-driven dynamic file pruning: a FIXED 100-key dim over the
       // growing clustered fact — the plan-time key collection plus the
@@ -437,7 +457,8 @@ object ScaleProbe {
       for (f <- factors; c <- Seq(false, true)) logFor(f, c)
     // same reason: manifest+layout construction must not be timed
     if (allOps.exists(_._1.startsWith("skip_"))) factors.foreach(skipFor)
-    if (allOps.exists(_._1 == "skip_window_topk")) factors.foreach(wtopkFor)
+    if (allOps.exists(n => n._1 == "skip_window_topk" ||
+        n._1 == "skip_topk_dense")) factors.foreach(wtopkFor)
 
     // JIT/codegen warm-up outside the measured region
     allOps.foreach { case (_, op) =>
