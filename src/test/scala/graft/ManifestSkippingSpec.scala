@@ -626,6 +626,45 @@ class ManifestSkippingSpec extends AnyFunSuite {
     assert(scannedFiles(qd) > 0, "double distinct column must decline")
   }
 
+  test("randomized differential: chain count(DISTINCT) == noskip across layouts") {
+    val rnd = new scala.util.Random(20260816L)
+    var metadataHits = 0
+    for (trial <- 1 to 10) {
+      // random domain width (forces boundary sharing at narrow widths),
+      // random layout (clustered = chain-eligible, hashed = overlap
+      // decline), random nulls, random exact filter
+      val domain = 1 + rnd.nextInt(200)
+      val clustered = trial <= 5 || rnd.nextBoolean()
+      val nullEvery = if (rnd.nextBoolean()) 0 else 13
+      val filtered = rnd.nextBoolean()
+      val base = spark.range(800).select(
+        (if (nullEvery == 0) col("id") % domain
+         else when(col("id") % nullEvery === 0, lit(null))
+           .otherwise(col("id") % domain)).cast("long").as("a"),
+        col("id"))
+      val dir = tmp(s"ndv_rnd$trial")
+      (if (clustered)
+         base.repartitionByRange(6, col("a")).sortWithinPartitions("a")
+       else base.repartition(6))
+        .write.parquet(dir)
+      Skipping.writeManifest(spark, dir, Seq("a"), ndvCols = Seq("a"))
+      def q(d: DataFrame) = {
+        val f = if (filtered) d.filter(col("a") >= lit(domain / 3L)) else d
+        f.agg(countDistinct(col("a")).as("nd"), count(col("a")).as("n"))
+      }
+      val got = q(spark.read.parquet(dir)).head()
+      val want = q(
+        spark.read.option("graft.noskip", "true").parquet(dir)).head()
+      assert(got == want,
+        s"trial $trial: domain=$domain clustered=$clustered " +
+          s"nulls=${nullEvery != 0} filtered=$filtered got=$got want=$want")
+      if (scannedFiles(q(spark.read.parquet(dir))) == 0) metadataHits += 1
+    }
+    // the differential must actually exercise the metadata path, not
+    // just watch every trial decline
+    assert(metadataHits >= 3, s"only $metadataHits metadata-only trials")
+  }
+
   test("metadata sum exactness gates: legacy manifests, count(null), multi-root") {
     // a manifest WITHOUT __sum stats (the legacy shape) must decline
     // sum/avg while still answering count/min/max — stats built through

@@ -258,30 +258,39 @@ class WindowTopkSpec extends AnyFunSuite {
 
   test("randomized differential: window top-k == noskip across shapes") {
     val rnd = new scala.util.Random(20260817L)
-    for (trial <- 1 to 8) {
+    for (trial <- 1 to 12) {
       val nGroups = 1 + rnd.nextInt(5)
       val nullFrac = if (rnd.nextBoolean()) 0 else 97
       val desc = rnd.nextBoolean()
-      val useRank = rnd.nextBoolean()
+      // 0 = row_number, 1 = rank, 2 = dense_rank (distinct-value bound
+      // via the ndv chain); the sort key is randomly DUPLICATED so the
+      // dense trials exercise k-distinct-vs-k-rows for real
+      val fnKind = rnd.nextInt(3)
+      val dup = if (rnd.nextBoolean()) 1L else 3L
       val k = 1 + rnd.nextInt(20)
       val df = spark.range(1500).select(
-        (if (nullFrac == 0) col("id")
+        (if (nullFrac == 0) col("id") / dup
          else when(col("id") % nullFrac === 0, lit(null))
-           .otherwise(col("id"))).as("c"),
+           .otherwise(col("id") / dup)).cast("long").as("c"),
         concat(lit("g"), (col("id") % nGroups)).as("p"))
       val dir = tmp(s"wtopk_rnd$trial")
       df.repartitionByRange(8, col("p"), col("c"))
         .write.partitionBy("p").parquet(dir)
-      graft.sources.Skipping.writeManifest(spark, dir, Seq("p", "c"))
+      graft.sources.Skipping.writeManifest(spark, dir, Seq("p", "c"),
+        ndvCols = Seq("c"))
       def q(d: DataFrame) = {
         val w = Window.partitionBy("p").orderBy(
           if (desc) col("c").desc else col("c").asc)
-        val r = if (useRank) rank().over(w) else row_number().over(w)
+        val r = fnKind match {
+          case 0 => row_number().over(w)
+          case 1 => rank().over(w)
+          case _ => dense_rank().over(w)
+        }
         d.withColumn("rn", r).filter(col("rn") <= k)
       }
       assert(sets(q(read(dir))) == sets(q(readFull(dir))),
         s"trial $trial: groups=$nGroups nulls=${nullFrac != 0} " +
-          s"desc=$desc rank=$useRank k=$k")
+          s"desc=$desc fn=$fnKind dup=$dup k=$k")
     }
   }
 
