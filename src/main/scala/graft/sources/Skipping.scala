@@ -1419,16 +1419,32 @@ object Skipping {
         //  - FILE-CONSTANT: every file single-valued in the listed
         //    columns -> the count is the distinct file-key-tuple count
         //    (works grouped and global);
-        //  - NDV-CHAIN (global only, single column carrying an exact
-        //    `__ndv` stat): files sorted by min must have DISJOINT
-        //    value ranges (shared boundary values subtract exactly
-        //    one), so per-file exact distinct counts ADD — the
+        //  - NDV-CHAIN (single column carrying an exact `__ndv` stat):
+        //    within the global row set (or within each group's files —
+        //    the grouping keys are file-constant, so the groups
+        //    partition the FILES), files sorted by min must have
+        //    DISJOINT value ranges (shared boundary values subtract
+        //    exactly one), so per-file exact distinct counts ADD — the
         //    clustered/Z-ordered layout shape. Float/double decline:
         //    the driver-side boundary comparison distinguishes
-        //    -0.0/0.0 where Spark's equality does not.
+        //    -0.0/0.0 where Spark's equality does not. The GROUPED
+        //    chain additionally requires group-key types whose
+        //    driver-side Scala equality matches Spark's row equality
+        //    (float/double/binary decline — the windowTopKBounds
+        //    discipline), because the per-group walk partitions rows
+        //    by external values.
         // a list provable neither way declines the whole rewrite.
+        def groupKeysChainSafe: Boolean =
+          groupCols.forall(g =>
+            schema.fieldNames.contains(s"${g}__min") &&
+              (schema(s"${g}__min").dataType match {
+                case org.apache.spark.sql.types.FloatType |
+                     org.apache.spark.sql.types.DoubleType |
+                     org.apache.spark.sql.types.BinaryType => false
+                case _ => true
+              }))
         def chainEligible(dc: Seq[String]): Boolean =
-          groupCols.isEmpty && dc.sizeIs == 1 && {
+          dc.sizeIs == 1 && groupKeysChainSafe && {
             val c = dc.head
             schema.fieldNames.contains(s"${c}__ndv") &&
             schema.fieldNames.contains(s"${c}__min") &&
@@ -1469,26 +1485,49 @@ object Skipping {
             val aggs = coalesce(sum(col("rows")), lit(0L)).as("__total") +:
               (colAggExprs(schema, cols) ++ dAggs)
             // chain counts evaluate driver-side over the included live
-            // rows (LocalRelation collect — no job); any decline
-            // (overlapping ranges, unknown ndv) fails the whole rewrite
-            val chainCounts: Map[Seq[String], Long] =
+            // rows (LocalRelation collect — no job), PER GROUP: the
+            // grouping keys are file-constant, so the groups partition
+            // the files and each group gets its own disjointness walk.
+            // Driver grouping/matching uses external-value equality —
+            // consistent with Spark's row equality for the type-guarded
+            // keys (chainEligible). Any decline (overlapping ranges,
+            // unknown ndv) fails the whole rewrite.
+            val chainByGroup: Map[Seq[Any], Map[Seq[String], Long]] =
               if (chainLists.isEmpty) Map.empty
               else {
                 val rs = mIn.collect().toSeq
-                chainLists.map { dc =>
-                  chainDistinctCount(rs, dc.head) match {
-                    case Some(n) => dc -> n
-                    case None => return None
+                def keyOf(r: org.apache.spark.sql.Row): Seq[Any] =
+                  groupCols.map { g =>
+                    if (r.getLong(r.fieldIndex(s"${g}__nulls")) ==
+                        r.getLong(r.fieldIndex("rows"))) null
+                    else r.get(r.fieldIndex(s"${g}__min"))
                   }
-                }.toMap
+                rs.groupBy(keyOf).map { case (kv, grs) =>
+                  kv -> chainLists.map { dc =>
+                    chainDistinctCount(grs, dc.head) match {
+                      case Some(n) => dc -> n
+                      case None => return None
+                    }
+                  }.toMap
+                }
               }
             // groupBy() with zero keys = the global aggregate: exactly
             // one row even over zero included files
             val rows = mIn.groupBy(keys: _*)
               .agg(aggs.head, aggs.tail: _*).collect().toSeq
             Some(rows.map { r =>
-              val key = groupCols.map(g =>
-                g -> r.get(r.fieldIndex(s"${g}__key"))).toMap
+              val keyVals = groupCols.map(g =>
+                r.get(r.fieldIndex(s"${g}__key")))
+              val key = groupCols.zip(keyVals).toMap
+              val chainCounts =
+                if (chainLists.isEmpty) Map.empty[Seq[String], Long]
+                else chainByGroup.getOrElse(keyVals,
+                  // the GLOBAL aggregate emits its one row even over
+                  // zero included files — distinct-of-nothing is 0; a
+                  // GROUPED key with no matching driver group can only
+                  // mean external equality diverged — decline
+                  if (groupCols.isEmpty) chainLists.map(_ -> 0L).toMap
+                  else return None)
               val dcnts = constLists.zipWithIndex.map { case (dc, i) =>
                 dc -> r.getLong(r.fieldIndex(s"__dcnt_$i"))
               }.toMap ++ chainCounts
@@ -2791,6 +2830,32 @@ object Skipping {
           q.withColumn("topk_pruned", lit(nf * 2 <= total)))
       }
     }),
+    // GROUPED chain count(DISTINCT): the grouping key is file-constant
+    // (hive) but the counted column is merely CLUSTERED within each
+    // group — the per-group disjoint-range chain answers where the
+    // file-constant proof (ix_meta_distinct) cannot; zero files opened
+    "ix_meta_ndv_group" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_ndv_group", "build") {
+        val t = tmpTable("graft_metandvg")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(32, col("event_type"), col("uid_bucket"))
+          .sortWithinPartitions("uid_bucket")
+          .write.partitionBy("event_type").parquet(t)
+        writeManifest(s, t, Seq("event_type", "uid_bucket"),
+          ndvCols = Seq("uid_bucket"))
+        t
+      }
+      GateTimings.timed("ix_meta_ndv_group", "probe") {
+        val q = s.read.parquet(tmp)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("uid_bucket")).as("n_buckets"),
+            count(lit(1)).as("n"),
+            max(col("uid_bucket")).as("max_bucket"))
+        val nf = scannedFiles(q)
+        GateTimings.materialize(
+          q.withColumn("metadata_only", lit(nf == 0)))
+      }
+    }),
     // PER-PARTITION top-k by dense_rank: k DISTINCT values per group,
     // provable only through the per-file exact `__ndv` stats (k rows
     // are not k values) — the same per-group OR filter prunes each
@@ -2972,6 +3037,13 @@ object Skipping {
         |  max(user_id % 100) AS max_bucket,
         |  CAST(1 AS BOOLEAN) AS metadata_only
         |FROM events""".stripMargin,
+    "ix_meta_ndv_group" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id % 100) AS n_buckets,
+        |  count(*) AS n,
+        |  max(user_id % 100) AS max_bucket,
+        |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM events GROUP BY event_type""".stripMargin,
     "ix_topk_dense" ->
       """SELECT event_type, event_id, user_id, dr,
         |  CAST(1 AS BOOLEAN) AS topk_pruned

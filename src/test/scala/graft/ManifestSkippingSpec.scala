@@ -637,27 +637,39 @@ class ManifestSkippingSpec extends AnyFunSuite {
       val clustered = trial <= 5 || rnd.nextBoolean()
       val nullEvery = if (rnd.nextBoolean()) 0 else 13
       val filtered = rnd.nextBoolean()
+      // grouped trials: a hive (file-constant) key with the distinct
+      // column clustered WITHIN each group — the per-group chain
+      val grouped = rnd.nextBoolean()
       val base = spark.range(800).select(
         (if (nullEvery == 0) col("id") % domain
          else when(col("id") % nullEvery === 0, lit(null))
            .otherwise(col("id") % domain)).cast("long").as("a"),
-        col("id"))
+        concat(lit("g"), col("id") % 3).as("g"), col("id"))
       val dir = tmp(s"ndv_rnd$trial")
-      (if (clustered)
-         base.repartitionByRange(6, col("a")).sortWithinPartitions("a")
-       else base.repartition(6))
-        .write.parquet(dir)
-      Skipping.writeManifest(spark, dir, Seq("a"), ndvCols = Seq("a"))
+      val laid =
+        if (clustered)
+          base.repartitionByRange(6, col("g"), col("a"))
+            .sortWithinPartitions("a")
+        else base.repartition(6)
+      (if (grouped) laid.write.partitionBy("g") else laid.write)
+        .parquet(dir)
+      Skipping.writeManifest(spark, dir,
+        if (grouped) Seq("g", "a") else Seq("a"), ndvCols = Seq("a"))
       def q(d: DataFrame) = {
         val f = if (filtered) d.filter(col("a") >= lit(domain / 3L)) else d
-        f.agg(countDistinct(col("a")).as("nd"), count(col("a")).as("n"))
+        if (grouped)
+          f.groupBy(col("g")).agg(countDistinct(col("a")).as("nd"),
+            count(col("a")).as("n"))
+        else f.agg(countDistinct(col("a")).as("nd"),
+          count(col("a")).as("n"))
       }
-      val got = q(spark.read.parquet(dir)).head()
-      val want = q(
-        spark.read.option("graft.noskip", "true").parquet(dir)).head()
+      val got = sets(q(spark.read.parquet(dir)))
+      val want = sets(q(
+        spark.read.option("graft.noskip", "true").parquet(dir)))
       assert(got == want,
-        s"trial $trial: domain=$domain clustered=$clustered " +
-          s"nulls=${nullEvery != 0} filtered=$filtered got=$got want=$want")
+        s"trial $trial: domain=$domain clustered=$clustered grouped=" +
+          s"$grouped nulls=${nullEvery != 0} filtered=$filtered " +
+          s"got=$got want=$want")
       if (scannedFiles(q(spark.read.parquet(dir))) == 0) metadataHits += 1
     }
     // the differential must actually exercise the metadata path, not
