@@ -409,37 +409,73 @@ object Sinks {
     * renewed first — its live lease is RESTORED instead of being lost
     * for up to a renewal interval). If the successor re-created the
     * lease while it was claimed, the restore rename fails against the
-    * fresh file and the stale claimed copy is dropped. Residual: a
-    * crash between claim and restore leaves the lease absent until the
-    * successor's next renew (≤ TTL/3) — crash-only, vs the old
-    * any-release race. */
+    * fresh file — the claim is dropped only after CONFIRMING a fresh
+    * lease is actually present (a restore rename can also fail for
+    * transient FS reasons, and deleting the claim then would destroy
+    * the only live copy of a successor's lease; when no fresh lease is
+    * confirmed the claim is left in place — the next release attempt's
+    * crashed-prior-claim sweep retries the restore). A releaser that
+    * finds the lease ABSENT retries once after a short pause: another
+    * run's releaser may be holding it claimed aside at this instant,
+    * and without the retry this run's legitimate release would no-op,
+    * the other releaser would restore the stale lease, and the table
+    * would stay locked until TTL expiry. Residual: a crash between
+    * claim and restore leaves the lease absent until the successor's
+    * next renew (≤ TTL/3) — crash-only, vs the old any-release race. */
   def releaseIngestLease(spark: org.apache.spark.sql.SparkSession,
       dir: String, token: String, runNonce: String): Unit =
     try {
       val lp = leasePath(dir)
       val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(lp)) {
-        // underscore-prefixed like the lease itself: invisible to data
-        // listings; suffixed with this run's nonce hash so concurrent
-        // releasers never collide on the claim name
-        val claim = new org.apache.hadoop.fs.Path(lp.getParent,
-          s"${IngestLeaseFile}.releasing-${Integer.toHexString(
-            (token + " " + runNonce).hashCode)}")
-        if (fs.exists(claim)) fs.delete(claim, false) // crashed prior claim
-        if (fs.rename(lp, claim)) {
-          val lines =
-            try {
-              val in = fs.open(claim)
-              try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-                "UTF-8").linesIterator.toSeq
-              finally in.close()
-            } catch { case _: Exception => Seq.empty[String] }
-          if (lines.headOption.contains(token) &&
-              runNonce.nonEmpty && lines.lift(2).contains(runNonce))
-            fs.delete(claim, false) // this run's lease: released
-          else if (!fs.rename(claim, lp))
-            fs.delete(claim, false) // successor re-created it meanwhile
+      // underscore-prefixed like the lease itself: invisible to data
+      // listings; suffixed with this run's nonce hash so concurrent
+      // releasers never collide on the claim name
+      val claim = new org.apache.hadoop.fs.Path(lp.getParent,
+        s"${IngestLeaseFile}.releasing-${Integer.toHexString(
+          (token + " " + runNonce).hashCode)}")
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 2) {
+        attempt += 1
+        if (fs.exists(claim)) {
+          // crashed prior claim from THIS (token, nonce): put it back
+          // BEFORE the lease-existence check (the claim may be the only
+          // live copy of a lease — restoring first also recovers the
+          // lease-absent crash state); if the lease was re-created
+          // meanwhile the restore fails and the stale copy is safe to
+          // drop
+          if (!fs.rename(claim, lp)) fs.delete(claim, false)
         }
+        if (fs.exists(lp)) {
+          done = true
+          if (fs.rename(lp, claim)) {
+            val lines =
+              try {
+                val in = fs.open(claim)
+                try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+                  "UTF-8").linesIterator.toSeq
+                finally in.close()
+              } catch { case _: Exception => Seq.empty[String] }
+            if (lines.headOption.contains(token) &&
+                runNonce.nonEmpty && lines.lift(2).contains(runNonce))
+              fs.delete(claim, false) // this run's lease: released
+            else if (!fs.rename(claim, lp)) {
+              // restore failed: EITHER a successor re-created the lease
+              // (claim is stale, drop it) OR the FS hiccuped (claim is
+              // the only live copy — keep it; the sweep above retries
+              // the restore on the next release attempt)
+              if (fs.exists(lp)) fs.delete(claim, false)
+            }
+          }
+        } else if (attempt == 1 &&
+            fs.listStatus(lp.getParent).exists(st =>
+              st.getPath.getName.startsWith(
+                s"$IngestLeaseFile.releasing-") &&
+              st.getPath.getName != claim.getName)) {
+          // lease absent but another releaser's claim exists: it may be
+          // mid-inspection and about to restore — wait briefly and retry
+          Thread.sleep(50)
+        } else done = true
       }
       heldLeases.remove(leaseKey(spark, dir), (token, runNonce))
     } catch { case _: Exception => () }

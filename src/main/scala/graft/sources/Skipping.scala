@@ -533,11 +533,14 @@ object Skipping {
     * worth rewriting). Columns must match the existing manifest's
     * indexed set and sidecar set; on mismatch (or no/old-format
     * manifest) it falls back to a full [[writeManifest]] rebuild. */
-  /** `ndvCols` participates only in a full-rebuild fallback — a
-    * COMPATIBLE manifest keeps (and delta-appends) whatever `__ndv`
-    * set it already carries, derived from the segment schema; adding
-    * ndv to an existing manifest takes an explicit
-    * [[writeManifest]]. */
+  /** A requested `ndvCols` entry ABSENT from an existing manifest's
+    * `__ndv` set counts as an incompatibility and triggers the full
+    * [[writeManifest]] rebuild (r17 ADVICE: the old behavior silently
+    * kept the ndv-less manifest, so opting a table into ndv stats via
+    * the refresh path never took effect and gave no signal). A
+    * compatible manifest that already carries a SUPERSET keeps it —
+    * delta appends restat the existing set, derived from the segment
+    * schema. */
   def refreshManifest(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
       ndvCols: Seq[String] = Nil): (Long, Long) =
@@ -546,7 +549,9 @@ object Skipping {
     readManifestRaw(spark, path) match {
       case Some(raw)
           if manifestCompatible(raw.schema, cols) &&
-            bloomColumns(spark, path).toSet == bloomCols.toSet =>
+            bloomColumns(spark, path).toSet == bloomCols.toSet &&
+            ndvCols.forall(c =>
+              raw.schema.fieldNames.contains(s"${c}__ndv")) =>
         val (maxSeq, added, removed) =
           if (manifestBytes(spark, path) <= manifestDiffDriverMaxBytes) {
             // bounded collect: one row per segment row — live entries
@@ -1437,22 +1442,13 @@ object Skipping {
         def groupKeysChainSafe: Boolean =
           groupCols.forall(g =>
             schema.fieldNames.contains(s"${g}__min") &&
-              (schema(s"${g}__min").dataType match {
-                case org.apache.spark.sql.types.FloatType |
-                     org.apache.spark.sql.types.DoubleType |
-                     org.apache.spark.sql.types.BinaryType => false
-                case _ => true
-              }))
+              statKeyChainSafe(schema(s"${g}__min").dataType))
         def chainEligible(dc: Seq[String]): Boolean =
           dc.sizeIs == 1 && groupKeysChainSafe && {
             val c = dc.head
             schema.fieldNames.contains(s"${c}__ndv") &&
             schema.fieldNames.contains(s"${c}__min") &&
-            (schema(s"${c}__min").dataType match {
-              case org.apache.spark.sql.types.FloatType |
-                   org.apache.spark.sql.types.DoubleType => false
-              case _ => true
-            })
+            statKeyChainSafe(schema(s"${c}__min").dataType)
           }
         val constLists = dLists.filter(dc =>
           dc.forall(c => schema.fieldNames.contains(s"${c}__min")) &&
@@ -1628,6 +1624,39 @@ object Skipping {
     * [[rowAllIn]] UNDER-count, the sound direction, and float/double
     * never reach the bound ordering: the sort column declines them).
     * A cross-class pair throws (caught upstream as a decline). */
+  /** The ONE fence for every rewrite that consumes manifest stat
+    * values DRIVER-SIDE — grouping/partitioning rows by external key
+    * equality (grouped ndv chain, window top-k walk) or comparing
+    * boundaries via [[statCmp]] as a proxy for Spark's ordering (ndv
+    * chain disjointness, top-k bounds). WHITELIST semantics (r17
+    * VERDICT: the old duplicated blacklists meant a NEW stat type had
+    * to be remembered at two sites or soundness leaned on memory): a
+    * type is safe only once someone proves BOTH that Scala `==` on its
+    * external values coincides with Spark's row equality AND that
+    * [[statCmp]] coincides with Spark's ordering, then adds it here.
+    * Known divergences that keep types off the list: Float/Double
+    * (boxed -0.0 vs 0.0 compare UNEQUAL where Spark normalizes; NaN
+    * payloads may split) and Binary (Array[Byte] equality is by
+    * REFERENCE, and it is not Comparable so [[statCmp]] rejects it).
+    * Decimal is safe WITHIN a column (one DecimalType = one scale, so
+    * BigDecimal.equals' scale-sensitivity can't split a group).
+    * Anything else — struct keys, intervals, future stat types —
+    * declines until proven. */
+  private[graft] def statKeyChainSafe(dt: DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+
   private def statCmp(a: Any, b: Any): Int = (a, b) match {
     case (x: String, y: String) =>
       java.util.Arrays.compareUnsigned(
@@ -1684,11 +1713,7 @@ object Skipping {
         val needed = (c +: preds.flatMap(_.columns)).distinct
         val statOk =
           needed.forall(n => schema.fieldNames.contains(s"${n}__min")) &&
-          (schema(s"${c}__min").dataType match {
-            case org.apache.spark.sql.types.FloatType |
-                 org.apache.spark.sql.types.DoubleType => false
-            case _ => true
-          })
+          statKeyChainSafe(schema(s"${c}__min").dataType)
         // the whole derivation is DRIVER-SIDE Scala over the (bounded)
         // stat rows — no Spark job, so AQE re-planning a dashboard of
         // top-k queries costs plan time, not task scheduling (r15
@@ -1888,27 +1913,18 @@ object Skipping {
           .distinct
         val statOk =
           needed.forall(n => schema.fieldNames.contains(s"${n}__min")) &&
-          (schema(s"${c}__min").dataType match {
-            case org.apache.spark.sql.types.FloatType |
-                 org.apache.spark.sql.types.DoubleType => false
-            case _ => true
-          }) &&
+          statKeyChainSafe(schema(s"${c}__min").dataType) &&
           // the per-group walk groups stat rows DRIVER-SIDE by Scala
-          // equality on external values, which diverges from Spark's
-          // row equality for exactly three stat types: boxed -0.0 vs
-          // 0.0 compare UNEQUAL (Spark normalizes), Float/Double NaN
-          // payloads may split, and Array[Byte] compares by REFERENCE.
-          // A split group is still sound (relaxed OR disjuncts) but
+          // equality on external values — a key type whose equality
+          // diverges from Spark's row equality could split a group: a
+          // split group is still sound (relaxed OR disjuncts) but
           // inflates the group count past windowTopkMaxGroups and
           // PERMANENTLY memoizes a spurious decline for the signature
-          // (r16 ADVICE) — so those key types decline explicitly, like
-          // the sort column does, BEFORE the memo can store a verdict.
-          groupCols.forall(g => schema(s"${g}__min").dataType match {
-            case org.apache.spark.sql.types.FloatType |
-                 org.apache.spark.sql.types.DoubleType |
-                 org.apache.spark.sql.types.BinaryType => false
-            case _ => true
-          })
+          // (r16 ADVICE) — so unsafe key types decline explicitly,
+          // like the sort column does, BEFORE the memo can store a
+          // verdict. [[statKeyChainSafe]] is the one fence definition.
+          groupCols.forall(g =>
+            statKeyChainSafe(schema(s"${g}__min").dataType))
         def rowsOf(r: org.apache.spark.sql.Row): Long =
           r.getLong(r.fieldIndex("rows"))
         def nullsOf(r: org.apache.spark.sql.Row): Long =

@@ -1062,7 +1062,19 @@ case class DynamicFilePruningRule(session: SparkSession)
             // soundness is not at stake in skipping an injection).
             case scala.util.Right((lo, hi)) =>
               if (Skipping.rangeCoversColumn(session, root, relAttr.name,
-                  lo, hi)) None
+                  lo, hi)) {
+                // Nothing injected → no DfpInjected fence exists, and
+                // the successful collection just cleared the decline
+                // memo — without re-memoizing, every fixed-point
+                // iteration / recompile / AQE re-plan of this join
+                // re-pays the full budgeted collection (r17 ADVICE).
+                // Cost-only (soundness never at stake in skipping an
+                // injection), so a short TTL decline is the right
+                // fence; it expires and re-evaluates, catching a dim
+                // or fact change that un-covers the range.
+                DynamicFilePruning.decline((build.canonicalized, bk.name))
+                None
+              }
               else Some(DfpInjected(And(
                 GreaterThanOrEqual(pk, Literal.create(lo, pk.dataType)),
                 LessThanOrEqual(pk, Literal.create(hi, pk.dataType)))))
@@ -1261,36 +1273,81 @@ object DynamicFilePruning {
 
   private[graft] def declineCount: Int = declines.size
 
-  /** Run `f` on a cancellable helper thread inside its own job group,
-    * abandoning (and cancelling the group's jobs) past `budget` ms.
-    * The helper thread carries the DFP re-entrancy guard — the key
-    * job's own optimization must not re-enter the rule — and the
-    * session as its active one. None = failure OR budget blown. */
+  /** Bounded helper pool for budgeted key collections (r17 ADVICE:
+    * ad-hoc threads leaked one daemon thread per over-budget
+    * collection stuck in query COMPILATION — cancelJobGroup only
+    * interrupts running jobs). Two workers + a short queue bound the
+    * worst case at a handful of threads; a saturated pool declines
+    * the collection instead of growing. Core threads time out so an
+    * idle session holds zero DFP threads. */
+  private lazy val pool: java.util.concurrent.ThreadPoolExecutor = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-dfp-worker-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    val p = new java.util.concurrent.ThreadPoolExecutor(2, 2, 30L,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.ArrayBlockingQueue[Runnable](4), tf)
+    p.allowCoreThreadTimeOut(true)
+    p
+  }
+
+  /** Run `f` on a pooled cancellable helper thread inside its own job
+    * group, abandoning past `budget` ms — cancelling the group's jobs
+    * AND interrupting the worker (the compile phase holds no job to
+    * cancel; only the interrupt frees the thread). The worker carries
+    * the DFP re-entrancy guard — the key job's own optimization must
+    * not re-enter the rule — and the session as its active one.
+    * None = failure, budget blown, or pool saturated. FATAL errors
+    * (OOM, …) are rethrown on the caller, never swallowed as a silent
+    * decline (r17 ADVICE). */
   private[graft] def runBudgeted[T](session: SparkSession,
       budget: Long)(f: => T): Option[T] = {
     val group = s"graft-dfp-${java.util.UUID.randomUUID()}"
-    val result = new java.util.concurrent.atomic.AtomicReference[Option[T]](None)
-    val t = new Thread(() => {
-      evaluating.set(true)
-      try {
-        SparkSession.setActiveSession(session)
-        session.sparkContext.setJobGroup(group,
-          "graft DFP key collection", interruptOnCancel = true)
-        try result.set(Some(f))
-        finally session.sparkContext.clearJobGroup()
-      } catch { case _: Throwable => () }
-      finally evaluating.remove()
-    }, group)
-    t.setDaemon(true)
-    t.start()
-    // Thread.join(0) would mean "forever" — clamp so a zero/negative
-    // budget still means "decline immediately", not "wait unbounded"
-    t.join(math.max(1L, budget))
-    if (t.isAlive) {
-      try session.sparkContext.cancelJobGroup(group)
-      catch { case _: Exception => () }
-      None
-    } else result.get()
+    val fatal =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val task = new java.util.concurrent.Callable[Option[T]] {
+      override def call(): Option[T] = {
+        evaluating.set(true)
+        try {
+          SparkSession.setActiveSession(session)
+          session.sparkContext.setJobGroup(group,
+            "graft DFP key collection", interruptOnCancel = true)
+          try Some(f)
+          finally session.sparkContext.clearJobGroup()
+        } catch {
+          case e: Throwable =>
+            if (!scala.util.control.NonFatal(e)) fatal.set(e)
+            None
+        } finally evaluating.remove()
+      }
+    }
+    val fut =
+      try pool.submit(task)
+      catch {
+        case _: java.util.concurrent.RejectedExecutionException =>
+          return None // pool saturated: decline, don't queue unbounded
+      }
+    val out =
+      // a zero/negative budget means "decline immediately", not "wait
+      // unbounded"
+      try fut.get(math.max(1L, budget),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          try session.sparkContext.cancelJobGroup(group)
+          catch { case _: Exception => () }
+          fut.cancel(true) // interrupt: frees a compile-phase worker too
+          None
+        case _: Exception => None
+      }
+    val e = fatal.get()
+    if (e != null) throw e
+    out
   }
 }
 

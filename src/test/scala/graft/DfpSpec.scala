@@ -145,6 +145,34 @@ class DfpSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.skipping.dfpMaxKeys")
   }
 
+  test("covering-range decline is memoized: the collection is not " +
+      "re-paid per recompile") {
+    val dir = writeFact(1000)
+    sys.props("graft.skipping.dfpMaxKeys") = "3"
+    try {
+      // full-domain dim past the key cap: collection succeeds, the
+      // range injection declines on coverage — which must now MEMOIZE
+      // (r17 ADVICE: with no DfpInjected fence and the memo cleared by
+      // the successful collection, every fixed-point iteration / AQE
+      // re-plan re-paid the limit+agg and min/max jobs)
+      // range(52), not range(50): the previous test's covering dim is
+      // canonically identical and its (now memoized) decline would
+      // still be live — the memo keys on the BUILD plan only
+      val full = spark.range(52).select(col("id").as("dk"))
+      def plan(): Unit = {
+        fact(dir).join(full, col("k") === col("dk"))
+          .queryExecution.optimizedPlan
+        ()
+      }
+      val probe = org.apache.spark.sql.graft.DfpProbe
+      val first = probe.dfpJobsDuring(spark)(plan())
+      assert(first >= 1, "first compile must pay the collection")
+      val second = probe.dfpJobsDuring(spark)(plan())
+      assert(second == 0,
+        s"covering decline must be memoized, re-paid $second jobs")
+    } finally sys.props.remove("graft.skipping.dfpMaxKeys")
+  }
+
   test("declines: oversized dim, non-deterministic dim") {
     val dir = writeFact(500)
     // dim over the broadcast threshold

@@ -304,4 +304,47 @@ class MaintenanceFenceSpec extends AnyFunSuite {
       "the successor's nonce must still gate its own release")
     assert(leaseFiles().isEmpty, s"release left ${leaseFiles()}")
   }
+
+  test("release recovers a crashed prior claim: the lease is restored " +
+      "before re-inspection, not blindly deleted") {
+    val dir = tmp("fence_claimcrash")
+    new java.io.File(dir).mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaseFiles(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith(Sinks.IngestLeaseFile)).toSeq.sorted
+    }
+    // a SUCCESSOR's live lease, claimed aside under the OLD run's claim
+    // name — the state a crash between the old run's claim and restore
+    // leaves behind (r17 ADVICE: the old sweep DELETED this claim, which
+    // here is the only live copy of the successor's lease)
+    Sinks.renewIngestLease(spark, dir, "ck", "run-new")
+    val lp = new org.apache.hadoop.fs.Path(dir,
+      Sinks.IngestLeaseFile)
+    val claim = new org.apache.hadoop.fs.Path(dir,
+      s"${Sinks.IngestLeaseFile}.releasing-${Integer.toHexString(
+        ("ck" + " " + "run-old").hashCode)}")
+    assert(fs.rename(lp, claim), "test setup: claim the lease aside")
+    // the old run's release retries: restores the claim, re-inspects,
+    // sees the successor's nonce, and leaves the lease LIVE
+    Sinks.releaseIngestLease(spark, dir, "ck", "run-old")
+    assert(Sinks.liveIngestLease(spark, dir).exists(_._1 == "ck"),
+      "successor's lease must be restored from the crashed claim")
+    assert(leaseFiles() == Seq(Sinks.IngestLeaseFile),
+      s"claim debris after recovery: ${leaseFiles()}")
+    // and when the crashed claim was the releaser's OWN lease, the
+    // restored copy passes inspection and the release completes
+    Sinks.renewIngestLease(spark, dir, "ck", "run-new")
+    val claim2 = new org.apache.hadoop.fs.Path(dir,
+      s"${Sinks.IngestLeaseFile}.releasing-${Integer.toHexString(
+        ("ck" + " " + "run-new").hashCode)}")
+    assert(fs.rename(lp, claim2), "test setup: claim the lease aside")
+    Sinks.releaseIngestLease(spark, dir, "ck", "run-new")
+    assert(Sinks.liveIngestLease(spark, dir).isEmpty,
+      "own crashed claim must still release after restore")
+    assert(leaseFiles().isEmpty, s"release left ${leaseFiles()}")
+  }
 }

@@ -111,6 +111,35 @@ class SkippingSpec extends AnyFunSuite {
     assert(a3 == dataFiles(spark, dir).size.toLong)
   }
 
+  test("refreshManifest: a requested ndv column absent from the " +
+      "manifest triggers the full rebuild") {
+    // r17 ADVICE: the old path silently kept a compatible-but-ndv-less
+    // manifest, so opting a table into ndv stats via refresh never took
+    // effect and gave no signal
+    val dir = tmp("skip_refresh_ndv")
+    sample(100).repartition(4).write.parquet(dir)
+    writeManifest(spark, dir, Seq("a", "b"))
+    val nFiles = dataFiles(spark, dir).size.toLong
+    assert(!readManifest(spark, dir).get.columns.contains("a__ndv"))
+    // same cols + a new ndv request: must rebuild (all files restatted)
+    val (a1, _) = refreshManifest(spark, dir, Seq("a", "b"),
+      ndvCols = Seq("a"))
+    assert(a1 == nFiles, s"expected full rebuild of $nFiles, got $a1")
+    assert(readManifest(spark, dir).get.columns.contains("a__ndv"))
+    // already-carried ndv stays the incremental no-op path
+    assert(refreshManifest(spark, dir, Seq("a", "b"),
+      ndvCols = Seq("a")) == ((0L, 0L)))
+    // and a delta append preserves the ndv column for the new files
+    sample(40).withColumn("a", col("a") + 500).repartition(2)
+      .write.mode(SaveMode.Append).parquet(dir)
+    val (a2, r2) = refreshManifest(spark, dir, Seq("a", "b"),
+      ndvCols = Seq("a"))
+    assert(a2 == 2L && r2 == 0L)
+    val m = readManifest(spark, dir).get
+    assert(m.filter(col("a__ndv").isNull).count() == 0L,
+      "delta rows must carry the ndv stat")
+  }
+
   test("clustered layout prunes hard; null-count prunes IS [NOT] NULL") {
     val dir = tmp("skip_eff")
     // a in [0,49] range-clustered over 10 files; nulls only in a's 0-file

@@ -246,6 +246,57 @@ class WindowTopkSpec extends AnyFunSuite {
     assert(sets(dk(read(dir))) == sets(dk(readFull(dir))))
   }
 
+  test("unified stat-key fence: struct-typed keys decline everywhere") {
+    import org.apache.spark.sql.types._
+    // ONE whitelist (statKeyChainSafe) now fences every driver-side
+    // stat consumer (r17 VERDICT #4): a NEW/unproven stat type declines
+    // by construction instead of relying on two blacklists being kept
+    // in sync. Direct checks first:
+    val st = StructType(Seq(StructField("k", LongType)))
+    assert(!Skipping.statKeyChainSafe(st), "struct must decline")
+    assert(!Skipping.statKeyChainSafe(FloatType) &&
+      !Skipping.statKeyChainSafe(DoubleType) &&
+      !Skipping.statKeyChainSafe(BinaryType))
+    assert(Skipping.statKeyChainSafe(LongType) &&
+      Skipping.statKeyChainSafe(StringType) &&
+      Skipping.statKeyChainSafe(DateType) &&
+      Skipping.statKeyChainSafe(DecimalType(10, 2)))
+    // end-to-end: a struct group key over real manifest stats (Spark
+    // happily min/maxes orderable structs, so the stats EXIST — only
+    // the fence keeps the driver-side walks off them)
+    val dir = tmp("wtopk_structkey")
+    spark.range(600).select(col("id").as("c"),
+        struct((col("id") % 3).as("k")).as("gs"))
+      .repartitionByRange(6, col("gs"), col("c"))
+      .write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("gs", "c"),
+      ndvCols = Seq("c"))
+    assert(Skipping.windowTopKBounds(spark, dir, Seq("gs"), "c", 5L,
+      desc = true, nullsFirst = false,
+      Map("gs" -> st, "c" -> LongType)).isEmpty,
+      "struct partition key must decline the window walk")
+    // grouped ndv chain: c is clustered (not file-constant), so only
+    // the chain could answer count(DISTINCT c) — and the struct group
+    // key must fence it
+    assert(Skipping.metadataGroupStats(spark, dir, Seq("gs"), Nil,
+      expectedTypes = Map("gs" -> st, "c" -> LongType),
+      distinctCols = Seq(Seq("c"))).isEmpty,
+      "struct group key must decline the grouped ndv chain")
+    // struct DISTINCT column: ndv stats exist for c only, but even a
+    // struct column WITH stats must fence the chain (sort-side check)
+    val dir2 = tmp("wtopk_structdc")
+    spark.range(600).select(col("id").as("c"),
+        struct((col("id") % 50).as("k")).as("gs"))
+      .repartitionByRange(6, col("gs"))
+      .write.parquet(dir2)
+    Skipping.writeManifest(spark, dir2, Seq("gs", "c"),
+      ndvCols = Seq("gs"))
+    assert(Skipping.metadataGroupStats(spark, dir2, Nil, Nil,
+      expectedTypes = Map("gs" -> st, "c" -> LongType),
+      distinctCols = Seq(Seq("gs"))).isEmpty,
+      "struct distinct column must decline the global ndv chain")
+  }
+
   test("pagination shape: rn BETWEEN a AND b bounds on the upper limit") {
     val (dir, total) = writeTable(3000)
     def q(df: DataFrame) = df.withColumn("rn", row_number().over(
