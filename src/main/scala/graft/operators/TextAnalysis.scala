@@ -557,12 +557,20 @@ object TextAnalysis {
     * a trillion-row count model that no single node could. */
   def perplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // bigrams via explode(arrays_zip(slice, slice)) — the original
+    // zip_with LAMBDA was the problem (higher-order-function lambdas
+    // are CodegenFallback/interpreted; r17 bench had this query at
+    // 1.74x the reference, its worst paired ratio). arrays_zip takes
+    // no lambda: it and slice both codegen, so the whole derivation
+    // stays inside one WholeStageCodegen span with ZERO added
+    // shuffles (unlike the posexplode+lead window pattern, which pays
+    // a doc_id exchange+sort — right for shingleRows' k-grams, wasted
+    // here where k=2 slices are cheap).
     def bigrams(df: DataFrame): DataFrame = df
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("t"), lit(1), size(col("t")) - 1),
-        slice(col("t"), lit(2), size(col("t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val ref = toks.filter(col("doc_id") % 2 === 0)
     val refBi = bigrams(ref).groupBy(col("w1"), col("w2"))
