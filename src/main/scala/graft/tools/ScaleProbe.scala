@@ -332,7 +332,45 @@ object ScaleProbe {
         ndvCols = Seq("idx"))
       dir
     })
+    // FIXED data size, GROWING file count — the r18 stats-cap fixture:
+    // same rows at every factor, split across f*32 range-clustered
+    // files, so the probe isolates pruning cost in FILE COUNT
+    val capDirs = scala.collection.mutable.Map.empty[Int, String]
+    def capFor(f: Int): String = capDirs.getOrElseUpdate(f, {
+      val dir = java.nio.file.Files.createTempDirectory(s"probe_cap_$f")
+        .toString + "/t"
+      evSkipBase.select(col("event_id").as("idx"), col("value"))
+        .repartitionByRange(f * 32, col("idx")).sortWithinPartitions("idx")
+        .write.parquet(dir)
+      Skipping.writeManifest(spark, dir, Seq("idx"))
+      dir
+    })
     val skipOps: Seq[(String, Int => DataFrame)] = Seq(
+      // OVERSIZED-manifest pruning cost in FILE COUNT at fixed data
+      // size (r17 VERDICT lead item): statsDriverMaxBytes=1 forces the
+      // distributed keep/drop job — no stat row is collected on the
+      // driver — and the per-run evictTable clears the TTL'd drop memo
+      // so every run times the JOB, not the memo. The action runs
+      // inside the op (the prop must cover planning). Expect ~flat:
+      // the keep/drop evaluation distributes over the manifest parquet
+      // while the driver only receives the dropped triples.
+      "skip_stats_cap" -> (f => {
+        val dir = capFor(f)
+        sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+        try {
+          Skipping.evictTable(dir)
+          val lo = nEv / 2
+          val hi = lo + math.max(1L, nEv / 64L)
+          val n = spark.read.parquet(dir)
+            .filter(col("idx") >= lo && col("idx") < hi)
+            .agg(count(lit(1))).head().getLong(0)
+          require(n > 0, "cap probe must keep some rows")
+          spark.range(n + 1).toDF("n")
+        } finally {
+          sys.props.remove("graft.skipping.statsDriverMaxBytes")
+          Skipping.evictTable(dir)
+        }
+      }),
       // fixed absolute range over a growing table: manifest pruning
       // should hold the cost ~flat (exponent ≈ 0)
       "skip_scan_pruned_fixed" -> (f =>
@@ -459,6 +497,7 @@ object ScaleProbe {
     if (allOps.exists(_._1.startsWith("skip_"))) factors.foreach(skipFor)
     if (allOps.exists(n => n._1 == "skip_window_topk" ||
         n._1 == "skip_topk_dense")) factors.foreach(wtopkFor)
+    if (allOps.exists(_._1 == "skip_stats_cap")) factors.foreach(capFor)
 
     // JIT/codegen warm-up outside the measured region
     allOps.foreach { case (_, op) =>

@@ -86,6 +86,42 @@ class ManifestDeltaSpec extends AnyFunSuite {
     assert(entries >= 64, s"reconcile unexpectedly cheap: $entries entries")
   }
 
+  test("oversized pruning: metadata RPCs flat in file count, nothing " +
+      "cached on the driver") {
+    // r17 VERDICT lead item, the RPC leg: past the stats driver cap the
+    // keep/drop evaluation must not walk the table per file — its LIST
+    // calls and paging volume stay O(manifest segments), flat while the
+    // data file count grows 8x (the wall-clock leg is ScaleProbe's
+    // skip_stats_cap; the no-collect contract is SkippingSpec's)
+    def probe(files: Int): (Long, Long, Long) = {
+      val dir = tmp(s"cap_rpc_$files")
+      rows(files * 100, 0)
+        .repartitionByRange(files, col("k")).sortWithinPartitions("k")
+        .write.parquet(dir)
+      Skipping.writeManifest(spark, dir, Seq("k"))
+      sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+      try {
+        Skipping.evictTable(dir)
+        CountingLocalFs.reset()
+        val drops = Skipping.droppedFiles(spark, dir,
+          Seq(Skipping.RangePred("k", Some(0L), Some(49L))))
+        assert(drops.exists(_.nonEmpty), "the cap path must still prune")
+        assert(!Skipping.cachedTables.contains(dir))
+        val (l, s) = CountingLocalFs.counts
+        (l, s, CountingLocalFs.listedEntries.get())
+      } finally {
+        sys.props.remove("graft.skipping.statsDriverMaxBytes")
+        Skipping.evictTable(dir)
+      }
+    }
+    val (l1, s1, e1) = probe(8)
+    val (l2, s2, e2) = probe(64)
+    assert(l2 <= l1 * 2 && s2 <= s1 * 2 && e2 <= e1 * 2,
+      s"oversized pruning RPCs grew with data file count: " +
+        s"lists $l1 -> $l2, stats $s1 -> $s2, entries $e1 -> $e2")
+    assert(l1 > 0 && e1 > 0)
+  }
+
   test("out-of-band files are picked up at the cadence reconcile") {
     val dir = tmp("oob_reconcile")
     rows(400, 0).repartition(4).write.parquet(dir)

@@ -111,6 +111,100 @@ class SkippingSpec extends AnyFunSuite {
     assert(a3 == dataFiles(spark, dir).size.toLong)
   }
 
+  test("oversized manifest: pruning runs distributed, no stat row is " +
+      "collected, driver-walk rewrites decline") {
+    // r17 VERDICT lead item: past graft.skipping.statsDriverMaxBytes
+    // the planning cache must NOT collect O(files) stat rows — pruning
+    // still works (as a job returning only dropped triples) and every
+    // driver-sequential rewrite declines soundly
+    val dir = tmp("skip_cap")
+    spark.range(3000).select(col("id").as("a"),
+        (col("id") % 7).cast("double").as("v"))
+      .repartitionByRange(10, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir)
+    writeManifest(spark, dir, Seq("a"))
+    sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+    try {
+      Skipping.evictTable(dir)
+      def q(df: DataFrame) = df.filter(col("a") >= 100 && col("a") < 400)
+      assert(collectSet(q(spark.read.parquet(dir))) ==
+        collectSet(q(spark.read.option("graft.noskip", "true")
+          .parquet(dir))))
+      val nf = Skipping.scannedFiles(q(spark.read.parquet(dir)))
+      assert(nf * 2 <= 10, s"distributed pruning scanned $nf of 10")
+      assert(!Skipping.cachedTables.contains(dir),
+        "stat rows were collected past the driver cap")
+      import org.apache.spark.sql.types._
+      assert(Skipping.metadataAggStats(spark, dir, Seq("a"),
+        expectedTypes = Map("a" -> LongType)).isEmpty,
+        "metadata aggregate must decline past the cap")
+      assert(Skipping.topKFilterBound(spark, dir, "a", 5L, desc = true,
+        nullsFirst = false, Map("a" -> LongType)).isEmpty,
+        "top-k bound must decline past the cap")
+      assert(Skipping.statIndexedColumns(spark, dir).isEmpty,
+        "DFP qualification must decline past the cap")
+    } finally {
+      sys.props.remove("graft.skipping.statsDriverMaxBytes")
+      Skipping.evictTable(dir)
+    }
+    // cap lifted: the driver path resumes and the cache repopulates
+    assert(droppedFiles(spark, dir,
+      Seq(RangePred("a", Some(100L), Some(399L)))).exists(_.nonEmpty))
+    assert(Skipping.cachedTables.contains(dir))
+  }
+
+  test("oversized manifest: bloom point-lookup pruning still drops " +
+      "files through the distributed probe") {
+    val dir = tmp("skip_cap_bloom")
+    // high-cardinality unclustered id: interval stats can't prune, only
+    // the bloom can
+    spark.range(4000).select(col("id"),
+        pmod(col("id") * 2654435761L, lit(4000L)).as("k"))
+      .repartition(8).write.parquet(dir)
+    writeManifest(spark, dir, Seq("k"), bloomCols = Seq("k"))
+    sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+    try {
+      Skipping.evictTable(dir)
+      def q(df: DataFrame) = df.filter(col("k") === 17L)
+      assert(collectSet(q(spark.read.parquet(dir))) ==
+        collectSet(q(spark.read.option("graft.noskip", "true")
+          .parquet(dir))))
+      val nf = Skipping.scannedFiles(q(spark.read.parquet(dir)))
+      assert(nf < 8, s"bloom-distributed pruning scanned $nf of 8")
+      assert(!Skipping.cachedTables.contains(dir),
+        "stat rows were collected past the driver cap")
+    } finally {
+      sys.props.remove("graft.skipping.statsDriverMaxBytes")
+      Skipping.evictTable(dir)
+    }
+  }
+
+  test("stats cache LRU: the byte budget evicts the least recently " +
+      "used table, not the hot one") {
+    val d1 = tmp("skip_lru1"); val d2 = tmp("skip_lru2")
+    Seq(d1, d2).foreach { d =>
+      sample(300).repartitionByRange(4, col("a"))
+        .write.parquet(d)
+      writeManifest(spark, d, Seq("a"))
+    }
+    val p = Seq(RangePred("a", Some(0L), Some(5L)))
+    sys.props("graft.skipping.statsCacheMaxBytes") = "1"
+    try {
+      Skipping.evictTable(d1); Skipping.evictTable(d2)
+      assert(droppedFiles(spark, d1, p).isDefined)
+      assert(Skipping.cachedTables.contains(d1))
+      // loading d2 must evict d1 (budget fits ~one entry), keep d2
+      assert(droppedFiles(spark, d2, p).isDefined)
+      assert(Skipping.cachedTables.contains(d2),
+        "the incoming entry must be resident")
+      assert(!Skipping.cachedTables.contains(d1),
+        "the LRU entry must be evicted past the byte budget")
+    } finally {
+      sys.props.remove("graft.skipping.statsCacheMaxBytes")
+      Skipping.evictTable(d1); Skipping.evictTable(d2)
+    }
+  }
+
   test("refreshManifest: a requested ndv column absent from the " +
       "manifest triggers the full rebuild") {
     // r17 ADVICE: the old path silently kept a compatible-but-ndv-less
