@@ -309,7 +309,8 @@ object Skipping {
   private def statsFor(spark: SparkSession, tableRoot: String,
       files: Seq[(String, Long, Long)], cols: Seq[String],
       bloomCols: Seq[String] = Nil,
-      ndvCols: Seq[String] = Nil): DataFrame = {
+      ndvCols: Seq[String] = Nil,
+      hllCols: Seq[String] = Nil): DataFrame = {
     val root = rootPath(spark, tableRoot)
     val rel = udf((u: String) => relName(u, root))
     import spark.implicits._
@@ -332,9 +333,16 @@ object Skipping {
     // use. Exactness is required — the dense_rank bound proof and the
     // chain count(DISTINCT) rewrite both need true counts, not
     // sketches.
+    // per-file MERGEABLE HLL register sketches are likewise OPT-IN
+    // (r17 VERDICT #5): ~1.5 KB Datasketches binary per file-column —
+    // an order of magnitude over the ~100 B stat row, so only tables
+    // that want metadata approx-distinct on arbitrary layouts pay it.
+    // Unlike `__ndv` (exact, consumed only under disjointness proofs),
+    // sketches UNION across any layout — clustering not required.
     val aggs = statCols(cols) ++
       sumCols.map(c => sumStatCol(c, src.schema(c).dataType)) ++
       ndvCols.map(c => countDistinct(col(c)).as(s"${c}__ndv")) ++
+      hllCols.map(c => hll_sketch_agg(col(c)).as(s"${c}__hll")) ++
       bloomCols.map(c => bloomUdaf(xxhash64(col(c))).as(s"${c}__bloom"))
     val statted = src
       .groupBy(input_file_name().as("__uri"))
@@ -355,6 +363,9 @@ object Skipping {
          sumCols.map(c => col(s"${c}__sum")) ++
          ndvCols.map(c =>
            coalesce(col(s"${c}__ndv"), lit(0L)).as(s"${c}__ndv")) ++
+         // zero-row files keep a NULL sketch (no rows -> nothing to
+         // count; the consumer treats rows==0 as zero contribution)
+         hllCols.map(c => col(s"${c}__hll")) ++
          bloomCols.map(c => col(s"${c}__bloom"))): _*)
   }
 
@@ -467,7 +478,7 @@ object Skipping {
     * input), then the stats base segment at `__seq = 0`. */
   def writeManifest(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
-      ndvCols: Seq[String] = Nil): Unit =
+      ndvCols: Seq[String] = Nil, hllCols: Seq[String] = Nil): Unit =
       Sinks.withTableMaintenance(spark, path, "rebuild") {
     require(bloomCols.forall(cols.contains),
       s"skipping: bloom columns must also be stat-indexed (the probe " +
@@ -476,9 +487,13 @@ object Skipping {
     require(ndvCols.forall(cols.contains),
       s"skipping: ndv columns must also be stat-indexed; got ndv=" +
       s"${ndvCols.mkString(",")} cols=${cols.mkString(",")}")
+    require(hllCols.forall(cols.contains),
+      s"skipping: hll columns must also be stat-indexed; got hll=" +
+      s"${hllCols.mkString(",")} cols=${cols.mkString(",")}")
     val files = dataFilesWithIdentity(spark, path)
     require(files.nonEmpty, s"skipping: no data files under $path")
-    val m0 = statsFor(spark, path, files, cols, bloomCols, ndvCols)
+    val m0 = statsFor(spark, path, files, cols, bloomCols, ndvCols,
+      hllCols)
     // persist only when blooms force a second pass over the result
     val m = if (bloomCols.nonEmpty) m0.persist() else m0
     try {
@@ -543,7 +558,8 @@ object Skipping {
     * schema. */
   def refreshManifest(spark: SparkSession, path: String,
       cols: Seq[String], bloomCols: Seq[String] = Nil,
-      ndvCols: Seq[String] = Nil): (Long, Long) =
+      ndvCols: Seq[String] = Nil,
+      hllCols: Seq[String] = Nil): (Long, Long) =
       Sinks.withTableMaintenance(spark, path, "refresh") {
     val current = dataFilesWithIdentity(spark, path)
     readManifestRaw(spark, path) match {
@@ -551,7 +567,9 @@ object Skipping {
           if manifestCompatible(raw.schema, cols) &&
             bloomColumns(spark, path).toSet == bloomCols.toSet &&
             ndvCols.forall(c =>
-              raw.schema.fieldNames.contains(s"${c}__ndv")) =>
+              raw.schema.fieldNames.contains(s"${c}__ndv")) &&
+            hllCols.forall(c =>
+              raw.schema.fieldNames.contains(s"${c}__hll")) =>
         val (maxSeq, added, removed) =
           if (manifestBytes(spark, path) <= manifestDiffDriverMaxBytes) {
             // bounded collect: one row per segment row — live entries
@@ -604,7 +622,7 @@ object Skipping {
           (added.size.toLong, removed.size.toLong)
         }
       case _ =>
-        writeManifest(spark, path, cols, bloomCols, ndvCols)
+        writeManifest(spark, path, cols, bloomCols, ndvCols, hllCols)
         (current.size.toLong, 0L)
     }
   }
@@ -685,15 +703,17 @@ object Skipping {
       cols: Seq[String]): Boolean = {
     val names = schema.fieldNames.toSet
     val sums = names.filter(_.endsWith("__sum")).map(_.dropRight(5))
-    // `__ndv` columns are OPTIONAL per indexed column, like `__sum`
-    // (opt-in at writeManifest; preserved by refresh/fold)
+    // `__ndv` and `__hll` columns are OPTIONAL per indexed column,
+    // like `__sum` (opt-in at writeManifest; preserved by refresh/fold)
     val ndvs = names.filter(_.endsWith("__ndv")).map(_.dropRight(5))
+    val hlls = names.filter(_.endsWith("__hll")).map(_.dropRight(5))
     val expected = (Seq("file", "bytes", "mtime", "rows", SeqCol,
       RemovedCol) ++ cols.flatMap(c =>
       Seq(s"${c}__min", s"${c}__max", s"${c}__nulls")) ++
-      sums.map(c => s"${c}__sum") ++ ndvs.map(c => s"${c}__ndv")).toSet
+      sums.map(c => s"${c}__sum") ++ ndvs.map(c => s"${c}__ndv") ++
+      hlls.map(c => s"${c}__hll")).toSet
     sums.subsetOf(cols.toSet) && ndvs.subsetOf(cols.toSet) &&
-      names == expected
+      hlls.subsetOf(cols.toSet) && names == expected
   }
 
   /** One appended stats segment: fresh rows for `added` at `seq`,
@@ -708,12 +728,17 @@ object Skipping {
       added: Seq[(String, Long, Long)], gone: Seq[String], seq: Long,
       segSchema: org.apache.spark.sql.types.StructType): Unit = {
     // the segment schema is authoritative for which columns carry
-    // `__ndv` — the delta path restats exactly the existing stat set
+    // `__ndv`/`__hll` — the delta path restats exactly the existing
+    // stat set (so sketches ride refreshManifest/refreshManifestDelta
+    // and the fold untouched: one O(delta) segment, per-file rows)
     val ndvCols = segSchema.fieldNames.toSeq
       .filter(_.endsWith("__ndv")).map(_.dropRight(5))
+    val hllCols = segSchema.fieldNames.toSeq
+      .filter(_.endsWith("__hll")).map(_.dropRight(5))
     val stats =
       if (added.isEmpty) None
-      else Some(statsFor(spark, path, added, cols, bloomCols, ndvCols))
+      else Some(statsFor(spark, path, added, cols, bloomCols, ndvCols,
+        hllCols))
     val persisted = stats.map(s =>
       if (bloomCols.nonEmpty) s.persist() else s)
     try {
@@ -920,7 +945,18 @@ object Skipping {
       bloomCols: Set[String],
       blooms: java.util.concurrent.ConcurrentHashMap[(String, String),
         org.apache.spark.util.sketch.BloomFilter],
-      bloomsLoaded: java.util.concurrent.atomic.AtomicBoolean) {
+      bloomsLoaded: java.util.concurrent.atomic.AtomicBoolean,
+      /** columns whose segments carry `__hll` sketches — recorded here
+        * because the sketch BYTES are stripped from the cached rows
+        * (like `__bloom`: ~1.5 KB/file-column vs ~100 B stat rows);
+        * [[metadataApproxDistinct]] reads them with a tiny job. */
+      hllCols: Set[String] = Set.empty) {
+    /** column -> unioned-estimate, memoized per signature: the whole-
+      * column approx ndv is a per-signature constant, and the DFP
+      * density heuristic must not re-pay the manifest-read job per
+      * compile. */
+    val hllEstimates =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
     /** identity -> row, built once per signature (the metadata rewrite
       * consults it on every optimizer iteration of a declining plan). */
     lazy val byIdentity: Map[(String, Long, Long),
@@ -1221,14 +1257,19 @@ object Skipping {
     else readManifest(spark, path).map { m =>
       // legacy (pre-segment) manifests still carry inline __bloom
       // columns — strip them from the cached stat rows either way;
-      // the sidecar listing is the live source of bloom columns
-      val inline = m.columns.filter(_.endsWith("__bloom"))
+      // the sidecar listing is the live source of bloom columns.
+      // `__hll` sketch bytes are stripped too (an order of magnitude
+      // over the stat row) — their presence is recorded in hllCols and
+      // they are read by a job on demand, never held resident.
+      val inline = m.columns.filter(n =>
+        n.endsWith("__bloom") || n.endsWith("__hll"))
       val slim = if (inline.isEmpty) m else m.drop(inline: _*)
       val entry = CachedManifest(sig, slim.schema,
         slim.collect().toSeq,
         bloomColumns(spark, path).toSet,
         new java.util.concurrent.ConcurrentHashMap(),
-        new java.util.concurrent.atomic.AtomicBoolean(false))
+        new java.util.concurrent.atomic.AtomicBoolean(false),
+        m.columns.filter(_.endsWith("__hll")).map(_.dropRight(5)).toSet)
       evictForBudget(entry.approxBytes)
       manifestCache.put(path, entry)
       entry
@@ -1465,6 +1506,117 @@ object Skipping {
         } catch { case _: Exception => None } // e.g. decimal sum overflow
       }
   }
+
+  /** Metadata APPROX distinct count of column `c` from the per-file
+    * `__hll` register sketches — answers on ANY layout (clustering not
+    * required: sketches UNION), where the exact `__ndv` chain answers
+    * only provably-disjoint ones. Same completeness discipline as the
+    * exact rewrites ([[liveRowsFor]]: live identity walk, foreign-file
+    * check, preds must prove every file all-in or all-out); the
+    * sketches themselves are NOT driver-resident — one tiny job reads
+    * them from the manifest parquet, unions (`hll_union_agg`) and
+    * estimates. A pred-included file with non-null rows but no/null
+    * sketch declines (a legacy null-filled segment must not silently
+    * undercount). NOT a transparent rewrite of `approx_count_distinct`:
+    * Spark's scan answer uses HLL++ and a rewrite would change query
+    * results — this is an explicit API (and the DFP density
+    * heuristic's input), gated like the sketch operators: exact side
+    * reproduced, tolerance flag asserted (ix_meta_hll). */
+  def metadataApproxDistinct(spark: SparkSession, path: String,
+      c: String, preds: Seq[Pred] = Nil,
+      expectedTypes: Map[String, DataType] = Map.empty): Option[Long] =
+    manifestSignature(spark, path).flatMap { sig =>
+      cachedManifest(spark, path, sig).flatMap { cached =>
+        if (!cached.hllCols.contains(c)) None
+        else {
+          val needed = (c +: preds.flatMap(_.columns)).distinct
+          liveRowsFor(spark, path, sig, cached, needed, preds,
+            expectedTypes).flatMap { case (rows, schema) =>
+            val included =
+              rows.filter(r => preds.forall(rowAllIn(r, _)))
+            val withData = included.filter { r =>
+              r.getLong(r.fieldIndex("rows")) -
+                r.getLong(r.fieldIndex(s"${c}__nulls")) > 0L
+            }
+            if (withData.isEmpty) Some(0L)
+            else if (preds.isEmpty &&
+                cached.hllEstimates.containsKey(c))
+              Some(cached.hllEstimates.get(c))
+            else hllUnionEstimate(spark, path, c, withData.map { r =>
+              (r.getString(r.fieldIndex("file")),
+                r.getLong(r.fieldIndex("bytes")),
+                r.getLong(r.fieldIndex("mtime")))
+            }).map { est =>
+              if (preds.isEmpty) cached.hllEstimates.put(c, est)
+              est
+            }
+          }
+        }
+      }
+    }
+
+  /** min/max of a collected key set under the stat ordering — None on
+    * an empty or incomparable set. DFP's density heuristic input. */
+  def externalRange(vs: Seq[Any]): Option[(Any, Any)] =
+    try {
+      if (vs.isEmpty) None
+      else Some((
+        vs.reduce((a, b) => if (statCmp(a, b) <= 0) a else b),
+        vs.reduce((a, b) => if (statCmp(a, b) >= 0) a else b)))
+    } catch { case _: Exception => None }
+
+  /** COST heuristic for DFP (r17 VERDICT #5, the density decline):
+    * does a dim key set of `keyCount` distinct values likely cover the
+    * fact column's whole value domain — i.e. would an injected IN
+    * probably prune nothing and be pure per-row cost? True only when
+    * the fact manifest carries an `__hll` sketch for `c` and the
+    * unioned estimate says the column has at most ~keyCount/0.9
+    * distinct values. Never a correctness decision (a wrong true just
+    * skips an injection; the join's own semantics stand); the estimate
+    * is memoized per manifest signature, so repeated compiles cost a
+    * map lookup, not a job. */
+  def keysLikelyCoverNdv(spark: SparkSession, path: String, c: String,
+      keyCount: Long): Boolean =
+    try {
+      manifestSignature(spark, path)
+        .flatMap(sig => cachedManifest(spark, path, sig)).exists {
+          cached =>
+        cached.hllCols.contains(c) && {
+          val est =
+            if (cached.hllEstimates.containsKey(c))
+              cached.hllEstimates.get(c)
+            else metadataApproxDistinct(spark, path, c).getOrElse(-1L)
+          est > 0L && keyCount.toDouble >= est.toDouble * 0.9
+        }
+      }
+    } catch { case _: Exception => false }
+
+  /** One small job: union the `__hll` sketches of exactly `ids` (full
+    * identity match — a shadowed sketch row from before an in-place
+    * rewrite never joins) and estimate. None when any wanted file's
+    * sketch is missing or null. */
+  private def hllUnionEstimate(spark: SparkSession, path: String,
+      c: String, ids: Seq[(String, Long, Long)]): Option[Long] =
+    try {
+      import spark.implicits._
+      readManifest(spark, path).flatMap { m =>
+        if (!m.columns.contains(s"${c}__hll")) None
+        else {
+          val wanted = ids.toDF("file", "bytes", "mtime")
+          val joined = m
+            .select(col("file"), col("bytes"), col("mtime"),
+              col(s"${c}__hll").as("__sk"))
+            .join(wanted, Seq("file", "bytes", "mtime"))
+          val r = joined.agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("__sk").isNull, lit(1L))
+              .otherwise(lit(0L))), lit(0L)).as("nullsk"),
+            hll_sketch_estimate(hll_union_agg(col("__sk"))).as("est"))
+            .head()
+          if (r.getLong(0) != ids.size.toLong || r.getLong(1) != 0L) None
+          else Some(r.getLong(2))
+        }
+      }
+    } catch { case _: Exception => None }
 
   /** Per-GROUP aggregate inputs for a metadata-only `GROUP BY` rewrite
     * over FILE-CONSTANT grouping columns: every live (non-empty,
@@ -2922,6 +3074,43 @@ object Skipping {
           q.withColumn("metadata_only", lit(nf == 0)))
       }
     }),
+    // per-file HLL register sketches: approx count(DISTINCT) answered
+    // from the manifest on an UNCLUSTERED layout — the shape the exact
+    // ndv chain can never answer (no disjointness to prove). Exact
+    // side oracle-reproduced; the sketch path's flags hashed: answered
+    // (metadata path produced an estimate) and within_tol (<= 5% of
+    // the exact scan). Filtered leg rides the same sketch set.
+    "ix_meta_hll" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_hll", "build") {
+        val t = tmpTable("graft_metahll")
+        eventsWithBucket(s, dir)
+          .repartition(16, col("event_id")) // bucket UNclustered
+          .write.partitionBy("event_type").parquet(t)
+        writeManifest(s, t, Seq("event_type", "uid_bucket"),
+          hllCols = Seq("uid_bucket"))
+        t
+      }
+      GateTimings.timed("ix_meta_hll", "probe") {
+        val est = metadataApproxDistinct(s, tmp, "uid_bucket")
+          .getOrElse(-1L)
+        val estClick = metadataApproxDistinct(s, tmp, "uid_bucket",
+          Seq(EqPred("event_type", "click")),
+          Map("event_type" ->
+            org.apache.spark.sql.types.StringType)).getOrElse(-1L)
+        val q = s.read.parquet(tmp).agg(
+          countDistinct(col("uid_bucket")).as("n_buckets"),
+          countDistinct(when(col("event_type") === "click",
+            col("uid_bucket"))).as("n_buckets_click"))
+        GateTimings.materialize(q
+          .withColumn("hll_answered", lit(est >= 0L && estClick >= 0L))
+          .withColumn("within_tol",
+            lit(est >= 0L) &&
+              abs(lit(est) - col("n_buckets")) <=
+                lit(0.05) * col("n_buckets") &&
+              abs(lit(estClick) - col("n_buckets_click")) <=
+                greatest(lit(0.05) * col("n_buckets_click"), lit(1.0))))
+      }
+    }),
     // top-k file pruning: ORDER BY event_id DESC LIMIT 100 over an
     // event_id-clustered layout — the derived bound filter prunes all
     // but the tail file(s); `topk_pruned` is hashed so a silently
@@ -3202,6 +3391,16 @@ object Skipping {
         |  min(user_id % 100) AS min_bucket,
         |  max(user_id % 100) AS max_bucket,
         |  CAST(1 AS BOOLEAN) AS metadata_only
+        |FROM events""".stripMargin,
+    // exact sides reproduced; the sketch path's flags asserted — HLL
+    // register state is engine-internal, the union-then-estimate
+    // within 5% of the exact scan is the gate (the ap_* discipline)
+    "ix_meta_hll" ->
+      """SELECT count(DISTINCT user_id % 100) AS n_buckets,
+        |  count(DISTINCT CASE WHEN event_type = 'click'
+        |    THEN user_id % 100 END) AS n_buckets_click,
+        |  CAST(1 AS BOOLEAN) AS hll_answered,
+        |  CAST(1 AS BOOLEAN) AS within_tol
         |FROM events""".stripMargin,
     "ix_meta_ndv_group" ->
       """SELECT event_type,

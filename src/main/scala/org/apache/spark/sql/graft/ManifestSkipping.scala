@@ -1046,6 +1046,22 @@ case class DynamicFilePruningRule(session: SparkSession)
             case scala.util.Left(vs) =>
               if (vs.isEmpty) Some(Literal.create(false,
                 org.apache.spark.sql.types.BooleanType))
+              // DENSITY decline (cost-only): when the dim's key range
+              // covers the fact's stat domain AND the fact manifest's
+              // HLL sketch says the column has no more distinct values
+              // than the dim has keys, the IN would likely keep every
+              // row — skip the injection and memoize like the range-
+              // coverage decline (no marker exists to fence otherwise).
+              else if (Skipping.externalRange(vs).exists {
+                  case (lo, hi) =>
+                    Skipping.rangeCoversColumn(session, root,
+                      relAttr.name, lo, hi) &&
+                    Skipping.keysLikelyCoverNdv(session, root,
+                      relAttr.name, vs.size.toLong)
+                }) {
+                DynamicFilePruning.decline((build.canonicalized, bk.name))
+                None
+              }
               // plain In — OptimizeIn (same batch) dedups and converts
               // to InSet past the conversion threshold; toPreds handles
               // both forms. Wrapped in the idempotence marker so a USER

@@ -173,6 +173,32 @@ class DfpSpec extends AnyFunSuite {
     } finally sys.props.remove("graft.skipping.dfpMaxKeys")
   }
 
+  test("density decline: an HLL-covered full-domain dim skips the " +
+      "injection, a narrow dim still prunes") {
+    // fact with HLL sketches on the key: the manifest knows k has ~50
+    // distinct values, so a dim with >= that many keys spanning the
+    // domain would inject an IN that keeps every row — pure cost
+    val df = spark.range(1000).select(
+      col("id"), (col("id") % 50).as("k"),
+      (col("id") % 7).cast("double").as("v"))
+    val dir = tmp("dfp_dense")
+    df.repartitionByRange(10, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("k"), hllCols = Seq("k"))
+    val full = spark.range(60).select((col("id") % 50).as("dk"))
+      .distinct()
+    def qFull(f: DataFrame) = f.join(full, col("k") === col("dk"))
+    assert(sets(qFull(fact(dir))) == sets(qFull(factNoskip(dir))))
+    assert(markerCount(qFull(fact(dir)).queryExecution.optimizedPlan)
+      == 0, "a domain-covering dim must decline on density")
+    // narrow dim: density check passes it through, the IN still prunes
+    val narrow = Seq(1L, 2L, 3L).toDF("dk")
+    def qN(f: DataFrame) = f.join(narrow, col("k") === col("dk"))
+    assert(sets(qN(fact(dir))) == sets(qN(factNoskip(dir))))
+    assert(scannedFiles(qN(fact(dir))) * 2 <= 10,
+      "a narrow dim must still inject and prune")
+  }
+
   test("declines: oversized dim, non-deterministic dim") {
     val dir = writeFact(500)
     // dim over the broadcast threshold

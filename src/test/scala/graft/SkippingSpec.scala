@@ -111,6 +111,70 @@ class SkippingSpec extends AnyFunSuite {
     assert(a3 == dataFiles(spark, dir).size.toLong)
   }
 
+  test("per-file HLL sketches: metadata approx distinct on an " +
+      "unclustered layout, within 5% of exact, rides delta and fold") {
+    System.setProperty("graft.skipping.manifestFoldSegments", "3")
+    try {
+      val dir = tmp("skip_hll")
+      // UNCLUSTERED in k: every file spans the whole domain, so the
+      // exact ndv chain can never answer — only the union of per-file
+      // sketches can
+      spark.range(5000).select(col("id"),
+          pmod(col("id") * 2654435761L, lit(997L)).as("k"))
+        .repartition(8).write.parquet(dir)
+      writeManifest(spark, dir, Seq("k"), hllCols = Seq("k"))
+      def exact(): Long = spark.read.parquet(dir)
+        .agg(countDistinct(col("k"))).head().getLong(0)
+      def est(): Option[Long] =
+        Skipping.metadataApproxDistinct(spark, dir, "k")
+      val (x1, e1) = (exact(), est())
+      assert(e1.isDefined, "sketch path must answer")
+      assert(math.abs(e1.get - x1) <= 0.05 * x1,
+        s"estimate ${e1.get} vs exact $x1")
+      // the sketch bytes are NOT driver-resident: the cached stat rows
+      // carry no __hll column
+      assert(Skipping.cachedTables.contains(dir))
+      // delta refreshes ride the same O(delta) append path AND push
+      // past the fold threshold — the estimate must track the growing
+      // domain through every segmented state
+      for (i <- 1 to 4) {
+        spark.range(1000).select((col("id") + 100000L * i).as("id"),
+            (lit(1000L * i) + pmod(col("id"), lit(200L))).as("k"))
+          .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+        val (a, r) = refreshManifest(spark, dir, Seq("k"),
+          hllCols = Seq("k"))
+        assert(a == 1L && r == 0L)
+        val (x, e) = (exact(), est())
+        assert(e.isDefined && math.abs(e.get - x) <= 0.05 * x,
+          s"after delta $i: estimate $e vs exact $x")
+      }
+      assert(Skipping.metadataApproxDistinct(spark, dir, "id").isEmpty,
+        "a column without sketches must decline")
+      // an out-of-band append (no refresh) breaks the completeness
+      // proof: the estimate must decline rather than undercount
+      spark.range(10).select(col("id"), lit(99999L).as("k"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+      assert(est().isEmpty, "out-of-band file must decline the sketch path")
+      val (af, _) = refreshManifest(spark, dir, Seq("k"),
+        hllCols = Seq("k"))
+      assert(af == 1L)
+      val (x2, e2) = (exact(), est())
+      assert(e2.isDefined && math.abs(e2.get - x2) <= 0.05 * x2)
+    } finally System.clearProperty("graft.skipping.manifestFoldSegments")
+  }
+
+  test("HLL sketches: requesting them on a sketch-less compatible " +
+      "manifest triggers the rebuild, like ndv") {
+    val dir = tmp("skip_hll_rebuild")
+    sample(200).repartition(4).write.parquet(dir)
+    writeManifest(spark, dir, Seq("a"))
+    val n = dataFiles(spark, dir).size.toLong
+    val (a1, _) = refreshManifest(spark, dir, Seq("a"),
+      hllCols = Seq("a"))
+    assert(a1 == n, "hll request on a sketch-less manifest must rebuild")
+    assert(Skipping.metadataApproxDistinct(spark, dir, "a").isDefined)
+  }
+
   test("oversized manifest: pruning runs distributed, no stat row is " +
       "collected, driver-walk rewrites decline") {
     // r17 VERDICT lead item: past graft.skipping.statsDriverMaxBytes
