@@ -109,15 +109,42 @@ final class TableFunctions(spark: SparkSession) {
         // subquery, so materialize the per-row array first, then explode
         val gen = tf.func match {
           case "json_each" =>
-            // native from_json → map<string,string>: value rendering is
-            // identical to the Jackson UDF (Json.jsonEachEntries) but the
-            // parse stays inside whole-stage codegen — no per-row UDF in
-            // what is otherwise the hottest lateral path
-            spark.range(1).select(Json.jsonEachEntries(argCols.head).as("__m"))
-              .select(explode(col("__m")))
+            // DEFAULT: from_json → map<string,string> — value rendering
+            // identical to the Jackson UDF (Json.jsonEachEntries), pair
+            // order = document order (PG json semantics). VARIANT MODE
+            // (graft.json.variant=true): try_parse_json + the
+            // VariantExplode generator — fully codegen'd where
+            // from_json is CodegenFallback, at the cost of key-sorted
+            // pair order (PG jsonb semantics; see Json.variantMode).
+            if (Json.variantMode(spark))
+              // key IS NOT NULL = object entries only (an array input
+              // yields null-key rows, which json_each must not emit —
+              // the default mode's from_json(Map) on an array parses
+              // to null and emits nothing). The outer reference lives
+              // in the first Project (the only place Spark allows it);
+              // the generator then reads the local column.
+              spark.range(1).select(argCols.head.as("__js"))
+                .select(Json.variantEntries(col("__js")))
+                .filter(col("key").isNotNull)
+                .select(col("key"),
+                  Json.variantValueText(col("value")).as("value"))
+            else
+              spark.range(1)
+                .select(Json.jsonEachEntries(argCols.head).as("__m"))
+                .select(explode(col("__m")))
           case "json_array_elements" =>
-            spark.range(1).select(Json.jsonArrayEntries(argCols.head).as("__arr"))
-              .select(explode(col("__arr")).as("value"))
+            if (Json.variantMode(spark))
+              // key IS NULL = array elements only (JSON object keys are
+              // never null, so an object input emits nothing — the
+              // default mode's from_json(Array) contract)
+              spark.range(1).select(argCols.head.as("__js"))
+                .select(Json.variantEntries(col("__js")))
+                .filter(col("key").isNull)
+                .select(Json.variantValueText(col("value")).as("value"))
+            else
+              spark.range(1)
+                .select(Json.jsonArrayEntries(argCols.head).as("__arr"))
+                .select(explode(col("__arr")).as("value"))
           case "generate_series" =>
             val step = if (argCols.length > 2) argCols(2) else lit(1L)
             // sequence() is inclusive like PG

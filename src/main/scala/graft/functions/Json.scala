@@ -82,4 +82,35 @@ object Json {
 
   def jsonEach(c: Column): Column = explode(jsonEachEntries(c))
   def jsonArrayElements(c: Column): Column = explode(jsonArrayEntries(c))
+
+  /** Session switch `graft.json.variant=true`: route json_each /
+    * json_array_elements through Spark 4 VariantType (`try_parse_json`
+    * + the VariantExplode generator, both CODEGEN'd — `from_json` is
+    * CodegenFallback/interpreted, measured as the only non-codegen
+    * stage left in the lateral-JSON hot path). Value rendering matches
+    * [[render]] exactly (`cast(variant as string)` unquotes top-level
+    * strings, re-emits everything else as compact JSON, and JSON null
+    * coalesces to the text "null").
+    *
+    * DOCUMENTED DIVERGENCE: Variant stores object fields SORTED BY
+    * KEY, so json_each emits (key, value) pairs in key order, not
+    * document order — PG jsonb semantics instead of PG json. Arrays
+    * keep element order. The default therefore stays the document-
+    * order-preserving from_json path; opt in where per-row JSON volume
+    * dominates and pair order is immaterial (the driver gate hashes
+    * sorted rows, so fq_json_lateral is green in both modes —
+    * spec-pinned). Malformed input: no rows (try_parse_json → null),
+    * the same contract as the default mode's PERMISSIVE parse. */
+  def variantMode(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("graft.json.variant").contains("true")
+
+  /** (pos, key, value) generator over a JSON text column, variant
+    * mode. Project `key` and [[variantValueText]] after the select. */
+  def variantEntries(c: Column): Column =
+    org.apache.spark.sql.graft.VariantColumns
+      .variantExplode(try_parse_json(c))
+
+  /** The variant value as render-contract text (see [[render]]). */
+  def variantValueText(v: Column): Column =
+    coalesce(v.cast(StringType), lit("null"))
 }

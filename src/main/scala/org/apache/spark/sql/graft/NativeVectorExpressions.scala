@@ -356,3 +356,17 @@ object NativeVectorColumns {
       AdcLookupSum(ExpressionUtils.expression(codes),
         ExpressionUtils.expression(dtab), codebookSize))
 }
+
+/** Column bridge for the VARIANT JSON generators (r17 VERDICT #6):
+  * `variant_explode` is registered only as a TABLE-valued function in
+  * Spark's SQL registry, so the Column API can't name it — this builds
+  * the Catalyst [[org.apache.spark.sql.catalyst.expressions.variant
+  * .VariantExplode]] generator directly (the codegen'd JSON path:
+  * `parse_json` is RuntimeReplaceable into a StaticInvoke where
+  * `from_json` is CodegenFallback/interpreted). */
+object VariantColumns {
+  def variantExplode(c: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.variant.VariantExplode(
+        ExpressionUtils.expression(c)))
+}

@@ -440,6 +440,57 @@ class ConformanceSpec extends AnyFunSuite {
       Seq(Seq("foo")))
   }
 
+  test("json lateral: variant mode matches the default mode row sets") {
+    // graft.json.variant routes LATERAL json_each/json_array_elements
+    // through try_parse_json + VariantExplode (codegen'd; from_json is
+    // CodegenFallback). Pair ORDER diverges (variant sorts object keys
+    // — documented PG-jsonb-like semantics); the row SETS must be
+    // identical, which is also what the driver's sorted-row hash gates
+    // (fq_json_lateral green in both modes reduces to this).
+    val cases = Seq(
+      """select j.key, j.value
+         from (select '{"z":26,"a":{"n":[1,2]},"s":"txt","nul":null,"b":true}' as js) t,
+         lateral json_each(js) as j""",
+      """select e.value
+         from (select '[3,1,2,"s",null,[4],{"o":true}]' as js) t,
+         lateral json_array_elements(js) as e""",
+      // shape guards: json_each over an array / elements over an object
+      // yield no rows in BOTH modes; malformed JSON likewise
+      """select count(1) as n
+         from (select '[1,2]' as js) t, lateral json_each(js) as j""",
+      """select count(1) as n
+         from (select '{"k":1}' as js) t,
+         lateral json_array_elements(js) as e""",
+      """select count(1) as n
+         from (select 'not json' as js) t, lateral json_each(js) as j""",
+      """select b.key from json_array_elements('[{"foo": "bar"}]' :: json),
+         lateral json_each(value) as b order by key""")
+    val defaults = cases.map(q => rows(exec.query(q)))
+    spark.conf.set("graft.json.variant", "true")
+    try cases.zip(defaults).foreach { case (q, exp) =>
+      assert(rows(exec.query(q)) == exp, s"variant mode diverges on: $q")
+    } finally spark.conf.unset("graft.json.variant")
+  }
+
+  test("fq_json_lateral: the variant path matches the default over " +
+      "real events and actually plans VariantExplode") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = rows(SparkEntry.queries("fq_json_lateral")(spark, dir))
+    val exp = run()
+    spark.conf.set("graft.json.variant", "true")
+    try {
+      assert(run() == exp,
+        "variant path changed fq_json_lateral's result set")
+      val p = SparkEntry.queries("fq_json_lateral")(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("variant_explode") || p.contains("VariantExplode"),
+        "variant mode did not plan the VariantExplode generator")
+      assert(!p.contains("from_json"),
+        "variant mode still plans the interpreted from_json path")
+    } finally spark.conf.unset("graft.json.variant")
+  }
+
   // --------------------------------------------------------- special forms
   test("trim both chars") {
     checkLit("select trim(both 'xyz' from 'yxTomxx')", Seq(Seq("Tom")))
