@@ -1052,13 +1052,18 @@ case class DynamicFilePruningRule(session: SparkSession)
               // than the dim has keys, the IN would likely keep every
               // row — skip the injection and memoize like the range-
               // coverage decline (no marker exists to fence otherwise).
-              else if (Skipping.externalRange(vs).exists {
-                  case (lo, hi) =>
+              // Budgeted like the key collection: the first evaluation
+              // per signature runs a (tiny) sketch-union job, which
+              // must neither re-enter this rule nor balloon compile
+              // time; later compiles hit the per-signature memo.
+              else if (runBudgeted(session, budgetMs) {
+                  Skipping.externalRange(vs).exists { case (lo, hi) =>
                     Skipping.rangeCoversColumn(session, root,
                       relAttr.name, lo, hi) &&
                     Skipping.keysLikelyCoverNdv(session, root,
                       relAttr.name, vs.size.toLong)
-                }) {
+                  }
+                }.getOrElse(false)) {
                 DynamicFilePruning.decline((build.canonicalized, bk.name))
                 None
               }

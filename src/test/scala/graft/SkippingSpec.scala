@@ -163,6 +163,51 @@ class SkippingSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.skipping.manifestFoldSegments")
   }
 
+  test("randomized differential: HLL estimate within 5% of the exact " +
+      "scan across layouts, cardinalities, and filtered legs") {
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 6) {
+      val dir = tmp(s"skip_hllrnd$trial")
+      val card = Seq(7L, 97L, 1009L, 4999L)(rnd.nextInt(4))
+      val n = 2000 + rnd.nextInt(3000)
+      val parts = 2 + rnd.nextInt(8)
+      val base = spark.range(n.toLong).select(col("id"),
+        pmod(col("id") * 2654435761L, lit(card)).as("k"),
+        (col("id") % 4).cast("string").as("g"))
+      // random layout: clustered, hash-spread, or hive by g
+      rnd.nextInt(3) match {
+        case 0 => base.repartitionByRange(parts, col("k"))
+          .write.parquet(dir)
+        case 1 => base.repartition(parts).write.parquet(dir)
+        case 2 => base.repartition(parts, col("id"))
+          .write.partitionBy("g").parquet(dir)
+      }
+      writeManifest(spark, dir, Seq("g", "k"), hllCols = Seq("k"))
+      val exact = spark.read.parquet(dir)
+        .agg(countDistinct(col("k"))).head().getLong(0)
+      val est = Skipping.metadataApproxDistinct(spark, dir, "k")
+      assert(est.isDefined, s"trial $trial must answer")
+      assert(math.abs(est.get - exact) <= math.max(1.0, 0.05 * exact),
+        s"trial $trial (card=$card, n=$n): est ${est.get} vs $exact")
+      // filtered leg over the file-constant hive key where it exists
+      val gv = rnd.nextInt(4).toString
+      val preds = Seq(EqPred("g", gv))
+      val estF = Skipping.metadataApproxDistinct(spark, dir, "k", preds,
+        Map("g" -> org.apache.spark.sql.types.StringType))
+      val exactF = spark.read.parquet(dir)
+        .filter(col("g") === gv)
+        .agg(countDistinct(col("k"))).head().getLong(0)
+      // non-hive layouts have partial files under the pred -> the
+      // completeness proof declines; hive layouts must answer
+      estF match {
+        case Some(e) =>
+          assert(math.abs(e - exactF) <= math.max(1.0, 0.05 * exactF),
+            s"trial $trial filtered: est $e vs $exactF")
+        case None => // declined: sound (partial files under the pred)
+      }
+    }
+  }
+
   test("HLL sketches: requesting them on a sketch-less compatible " +
       "manifest triggers the rebuild, like ndv") {
     val dir = tmp("skip_hll_rebuild")
