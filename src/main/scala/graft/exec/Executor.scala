@@ -622,10 +622,11 @@ final class Executor(val spark: SparkSession,
             "columns are still min/max-indexed by the manifest)")
       }
       options.keys.find(k =>
-          !Set("files", "bits", "index", "bloom", "force")(k))
+          !Set("files", "bits", "index", "bloom", "ndv", "hll",
+            "force")(k))
         .foreach(k => throw CompileException(
           s"OPTIMIZE: unknown option '$k' (files, bits, index, bloom, " +
-          "force)"))
+          "ndv, hll, force)"))
       val force = options.get("force") match {
         case None => false
         case Some(v) if Set("true", "1", "yes")(v.trim.toLowerCase) => true
@@ -668,9 +669,12 @@ final class Executor(val spark: SparkSession,
             i
         }
       // `index 'c1,c2'` — extra manifest stat columns; `bloom 'c1'` —
-      // per-file Bloom sidecars for point lookups (implies stats on the
-      // same columns). Both resolved case-insensitively against the
-      // table, validated before any rename.
+      // per-file Bloom sidecars for point lookups; `ndv 'c1'` — exact
+      // per-file distinct counts (the chain count(DISTINCT) / dense_rank
+      // inputs); `hll 'c1'` — per-file HLL register sketches (approx
+      // distinct on any layout). All imply stats on the same columns,
+      // resolved case-insensitively against the table, validated before
+      // any rename.
       def colListOption(key: String): Seq[String] =
         options.get(key).toSeq.flatMap(_.split(',')).map(_.trim)
           .filter(_.nonEmpty).map(c =>
@@ -679,6 +683,8 @@ final class Executor(val spark: SparkSession,
                 s"OPTIMIZE: $key column '$c' not in '$table'")))
       val indexCols = colListOption("index")
       val bloomCols = colListOption("bloom")
+      val ndvCols = colListOption("ndv")
+      val hllCols = colListOption("hll")
       val nFiles = intOption("files", {
         // bin-pack to ~128 MB target files from actual bytes on disk
         val fsP = new org.apache.hadoop.fs.Path(p)
@@ -709,7 +715,7 @@ final class Executor(val spark: SparkSession,
         compiler.primaryKeyOf(n).map(n -> _)).toMap
       val savedFks = compiler.foreignKeysInvolving(backed.toSet)
       graft.sources.Skipping.optimize(spark, p, resolved, nFiles, bits,
-        indexCols, bloomCols, force)
+        indexCols, bloomCols, force, ndvCols, hllCols)
       backed.foreach { n =>
         rebind(n, readSource(p, Map("format" -> "parquet")))
         sourcePaths += (n -> p)

@@ -2683,7 +2683,8 @@ object Skipping {
     * they folded into plain part files. */
   def optimize(spark: SparkSession, path: String, cols: Seq[String],
       nFiles: Int, bits: Int = 8, indexCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil, force: Boolean = false): Unit = {
+      bloomCols: Seq[String] = Nil, force: Boolean = false,
+      ndvCols: Seq[String] = Nil, hllCols: Seq[String] = Nil): Unit = {
     // concurrency guards (r14): a LIVE ingest lease means a stream owns
     // this table RIGHT NOW — an external rewrite would race its staged
     // swaps and epoch-replay repair. Epoch-tagged files without a live
@@ -2725,19 +2726,29 @@ object Skipping {
       .getOrElse(Nil)
     val previous = prevCols.collect {
       case n if n.endsWith("__min") => n.dropRight(5) }
+    // ndv/hll stat sets survive the rewrite like the index set does —
+    // re-clustering must not silently cost a table its chain-distinct
+    // or approx-distinct answers (r18: previously dropped here)
+    val previousNdv = prevCols.collect {
+      case n if n.endsWith("__ndv") => n.dropRight(5) }
+    val previousHll = prevCols.collect {
+      case n if n.endsWith("__hll") => n.dropRight(5) }
     // discovered BEFORE the swap: the rewrite carries the sidecar away
     // with the old directory
     val previousBloom = bloomColumns(spark, path)
     val blooms = (bloomCols ++ previousBloom).distinct
-    // bloom columns are always stat-indexed too (the probe needs the
-    // column type from the stats schema)
-    val manifestCols = (cols ++ indexCols ++ blooms ++ previous).distinct
+    val ndvs = (ndvCols ++ previousNdv).distinct
+    val hlls = (hllCols ++ previousHll).distinct
+    // bloom/ndv/hll columns are always stat-indexed too (the probes
+    // need the column type from the stats schema)
+    val manifestCols =
+      (cols ++ indexCols ++ blooms ++ ndvs ++ hlls ++ previous).distinct
     if (cols.isEmpty) Sinks.compactParquet(spark, path, nFiles = nFiles)
     else Sinks.compactParquet(spark, path, nFiles = nFiles,
       writeStaged = Some((df, staged) =>
         writeZOrdered(df, staged, cols, nFiles, bits)))
     if (manifestCols.nonEmpty)
-      writeManifest(spark, path, manifestCols, blooms)
+      writeManifest(spark, path, manifestCols, blooms, ndvs, hlls)
     }
   }
 

@@ -440,13 +440,25 @@ class SkippingSpec extends AnyFunSuite {
     val m = readManifest(spark, p).get
     assert(Seq("a__min", "a__max", "b__nulls").forall(m.columns.contains))
     assert(dataFiles(spark, p).size <= 6)
-    // plain OPTIMIZE (bin-pack) keeps the manifest's column set alive
+    // ndv/hll dialect options build those stat sets (r18)
+    exec.execute("OPTIMIZE pev WITH (files '4', ndv 'a', hll 'a')")
+    val mN = readManifest(spark, p).get
+    assert(Seq("a__ndv", "a__hll").forall(mN.columns.contains),
+      s"ndv/hll options ignored: ${mN.columns.mkString(",")}")
+    assert(Skipping.metadataApproxDistinct(spark, p, "a").isDefined)
+    // plain OPTIMIZE (bin-pack) keeps the manifest's column set alive —
+    // INCLUDING the ndv/hll stat sets (r18: previously dropped by the
+    // post-swap rebuild)
     exec.execute("OPTIMIZE pev WITH (files '1')")
     val m2 = readManifest(spark, p).get
-    assert(Seq("a__min", "b__min").forall(m2.columns.contains))
+    assert(Seq("a__min", "b__min", "a__ndv", "a__hll")
+      .forall(m2.columns.contains),
+      s"rewrite lost stat sets: ${m2.columns.mkString(",")}")
     assert(dataFiles(spark, p).size == 1)
     assert(collectSet(exec.query(
       "select * from pev where a between 5 and 9")) == before)
+    assert(Skipping.metadataApproxDistinct(spark, p, "a").isDefined,
+      "approx-distinct must still answer after the rewrite")
     // not path-backed → refuse
     val e1 = intercept[graft.compiler.CompileException](
       exec.execute("OPTIMIZE ev"))
