@@ -712,12 +712,18 @@ object Dedup {
     // materialize (not persist) for the same reason as embeddingDupPairs:
     // the guard is already an action, the centroid and scoring passes
     // both read the stored partitions, and nothing leaks past the call
+    // all three integer dot products below run through the codegen'd
+    // IntDotLong expression — the zip_with+aggregate lambda forms are
+    // CodegenFallback (interpreted) and made the O(pairs*dim) semi-join
+    // loop this operator's dominant cost (r18: 1.77x the reference min;
+    // integer sums are associative, so the values are bit-identical)
+    val intDot = org.apache.spark.sql.graft.NativeVectorColumns.intDot _
     val q = graft.Checkpoints.materialize(
       emb.select(col("vec_id"), col("label"),
         Vectors.srpBucketPortable(col("embedding"), pl).as("bucket"),
         Vectors.quantizeInt8(col("embedding")).getField("codes").as("codes"))
-      .withColumn("qnorm", sqrt(aggregate(col("codes"), lit(0L),
-        (a, c) => a + c.cast("long") * c.cast("long")).cast("double"))))
+      .withColumn("qnorm",
+        sqrt(intDot(col("codes"), col("codes")).cast("double"))))
     assertBoundedBuckets(q, pl, "semDedup", maxBucketRows)
     // integer centroid-sum vector per bucket, rebuilt in pos order (the
     // collect_list order is arbitrary; the sort pins it)
@@ -728,9 +734,7 @@ object Dedup {
           e => e.getField("s")).as("cvec"),
         sqrt(sum(col("s") * col("s")).cast("double")).as("cnorm"))
     val scored = graft.Checkpoints.materialize(q.join(broadcast(cent), "bucket")
-      .withColumn("dotc", aggregate(
-        zip_with(col("codes"), col("cvec"), (c, s) => c.cast("long") * s),
-        lit(0L), (a, x) => a + x))
+      .withColumn("dotc", intDot(col("codes"), col("cvec")))
       .withColumn("cosc", when(col("qnorm") > 0 && col("cnorm") > 0,
           col("dotc").cast("double") / (col("qnorm") * col("cnorm")))
         .otherwise(lit(0.0)))
@@ -739,9 +743,9 @@ object Dedup {
     val other = scored.select(col("bucket").as("b_b"), col("vec_id").as("id_b"),
       col("codes").as("c_b"), col("qnorm").as("n_b"), col("cosc").as("k_b"))
     // integer pair dot: exact in both engines, then one double divide
-    val pairCos = aggregate(
-      zip_with(col("codes"), col("c_b"), (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (a, x) => a + x).cast("double") / (col("qnorm") * col("n_b"))
+    val pairCos =
+      intDot(col("codes"), col("c_b")).cast("double") /
+        (col("qnorm") * col("n_b"))
     val removed = scored.join(other,
         col("bucket") === col("b_b") && col("vec_id") =!= col("id_b") &&
           col("qnorm") > 0 && col("n_b") > 0 &&

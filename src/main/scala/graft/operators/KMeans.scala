@@ -43,12 +43,18 @@ object KMeans {
   private def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * Scale + 0.5).cast("long"))
 
-  /** integer squared L2 distance between a quantized vector column and a
-    * literal centroid — codegen-free higher-order fold, one pass/vector */
-  private def dist2(q: Column, cv: Array[Long]): Column =
-    aggregate(
-      zip_with(q, typedLit(cv), (x, y) => { val d = x - y; d * d }),
-      lit(0L), (a, x) => a + x)
+  /** integer squared L2 distance between a quantized vector column and
+    * a literal centroid, via the algebraic identity
+    * `|q-c|² = q·q − 2·q·c + c·c`: EXACT in integers (so values match
+    * the oracle's unrolled sum((x-y)²) bit for bit), and every dot runs
+    * through the codegen'd [[org.apache.spark.sql.graft.IntDotLong]] —
+    * the old zip_with+aggregate fold was CodegenFallback (interpreted)
+    * and paid O(k·dim) interpreted work per row per iteration. `q·q`
+    * (`qq`) is computed ONCE per row, not once per centroid. */
+  private def dist2(qq: Column, q: Column, cv: Array[Long]): Column = {
+    val intDot = org.apache.spark.sql.graft.NativeVectorColumns.intDot _
+    qq - lit(2L) * intDot(q, typedLit(cv)) + lit(cv.map(v => v * v).sum)
+  }
 
   /** nearest-centroid assignment: adds `d` (min integer distance) and
     * `cid` columns. `array_position` finds the FIRST index holding the
@@ -56,13 +62,16 @@ object KMeans {
     * the lowest centroid id — the oracle's ORDER BY d, cid. */
   private def assign(df: DataFrame,
       cents: Seq[(Long, Array[Long])]): DataFrame = {
-    val dists = array(cents.map { case (_, cv) => dist2(col("q"), cv) }: _*)
+    val intDot = org.apache.spark.sql.graft.NativeVectorColumns.intDot _
+    val dists = array(cents.map { case (_, cv) =>
+      dist2(col("_qq"), col("q"), cv) }: _*)
     val ids = typedLit(cents.map(_._1).toArray)
-    df.withColumn("_dists", dists)
+    df.withColumn("_qq", intDot(col("q"), col("q")))
+      .withColumn("_dists", dists)
       .withColumn("d", array_min(col("_dists")))
       .withColumn("cid", element_at(ids,
         array_position(col("_dists"), col("d")).cast("int")))
-      .drop("_dists")
+      .drop("_dists", "_qq")
   }
 
   /** Run `iters` Lloyd iterations at `k` clusters; returns the per-cluster
