@@ -3122,6 +3122,44 @@ object Skipping {
                 greatest(lit(0.05) * col("n_buckets_click"), lit(1.0))))
       }
     }),
+    // OVERSIZED-manifest pruning (the r18 driver cap): with the stat
+    // budget forced to 1 byte the keep/drop runs as a distributed job
+    // and NOTHING is collected on the driver — the filtered aggregate
+    // must still prune the clustered layout and stay exact. Both
+    // effects hashed: `cap_pruned` (files actually dropped) and
+    // `nothing_cached` (no stat rows resident).
+    "ix_stats_cap" -> ((s, dir) => {
+      val (tmp, total) = GateTimings.timed("ix_stats_cap", "build") {
+        val t = tmpTable("graft_statscap")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(16, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("event_id"))
+        (t, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_stats_cap", "probe") {
+        sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+        try {
+          evictTable(tmp)
+          val hi = s.read.parquet(tmp)
+            .agg(max(col("event_id"))).head().getLong(0)
+          val q = s.read.parquet(tmp)
+            .filter(col("event_id") > hi - hi / 8)
+            .agg(count(lit(1)).as("n"),
+              min(col("event_id")).as("min_id"),
+              max(col("event_id")).as("max_id"))
+          val nf = scannedFiles(q)
+          GateTimings.materialize(q
+            .withColumn("cap_pruned", lit(nf * 2 <= total))
+            .withColumn("nothing_cached",
+              lit(!cachedTables.contains(tmp))))
+        } finally {
+          sys.props.remove("graft.skipping.statsDriverMaxBytes")
+          evictTable(tmp)
+        }
+      }
+    }),
     // top-k file pruning: ORDER BY event_id DESC LIMIT 100 over an
     // event_id-clustered layout — the derived bound filter prunes all
     // but the tail file(s); `topk_pruned` is hashed so a silently
@@ -3403,6 +3441,17 @@ object Skipping {
         |  max(user_id % 100) AS max_bucket,
         |  CAST(1 AS BOOLEAN) AS metadata_only
         |FROM events""".stripMargin,
+    // cap_pruned/nothing_cached asserted: the distributed keep/drop
+    // must actually drop files while the driver cache stays empty
+    "ix_stats_cap" ->
+      """SELECT count(*) AS n,
+        |  min(event_id) AS min_id,
+        |  max(event_id) AS max_id,
+        |  CAST(1 AS BOOLEAN) AS cap_pruned,
+        |  CAST(1 AS BOOLEAN) AS nothing_cached
+        |FROM events
+        |WHERE event_id > (SELECT max(event_id) - max(event_id) // 8
+        |                  FROM events)""".stripMargin,
     // exact sides reproduced; the sketch path's flags asserted — HLL
     // register state is engine-internal, the union-then-estimate
     // within 5% of the exact scan is the gate (the ap_* discipline)
