@@ -40,19 +40,21 @@ object Json {
     node.elements().asScala.toSeq.map(render)
   }
 
-  /** json_each(col): array<struct<key,value>> for inline/explode */
-  val jsonEachUdf = udf((s: String) => parseObject(s).map { case (k, v) => JsonKV(k, v) })
-  /** json_array_elements(col): array<string> for explode */
-  val jsonArrayUdf = udf((s: String) => parseArray(s))
-
-  /** scalar: extract a field from a JSON object column (extension) */
-  val jsonGetUdf = udf((s: String, field: String) => {
-    if (s == null) null
-    else {
-      val n = mapper.readTree(s).get(field)
-      if (n == null) null else render(n)
-    }
-  })
+  /** scalar `json_get(obj, field)` (extension, dialect-registered):
+    * the field's value as render-contract text ([[render]] — top-level
+    * strings unquoted, everything else compact JSON, JSON null as the
+    * text "null"), SQL NULL when the field is absent or the input is
+    * not a JSON object. Fully native (`from_json` to map + key probe —
+    * no Jackson per row); the field argument may be any expression,
+    * not just a literal. Malformed input yields SQL NULL (PERMISSIVE),
+    * the same contract as [[jsonEachEntries]]' default mode. Variant-
+    * mode callers wanting jsonb-style access compose Spark's own
+    * `parse_json`/`variant_get` through the call_function fallback. */
+  def jsonGet(j: Column, field: Column): Column = {
+    val m = from_json(j, MapType(StringType, StringType))
+    when(map_contains_key(m, field),
+      coalesce(element_at(m, field), lit("null")))
+  }
 
   /** json_each as a NATIVE generator: `from_json` to `map<string,string>`
     * stays inside whole-stage codegen and its StringType value conversion
@@ -94,7 +96,12 @@ object Json {
     *
     * DOCUMENTED DIVERGENCE: Variant stores object fields SORTED BY
     * KEY, so json_each emits (key, value) pairs in key order, not
-    * document order — PG jsonb semantics instead of PG json. Arrays
+    * document order — PG jsonb semantics instead of PG json. This
+    * reaches VALUE TEXT too, not just pair order: a NESTED multi-key
+    * object value re-renders key-sorted ({"a":{"z":1,"b":2}} →
+    * value text {"b":2,"z":1}), where the from_json path re-emits it
+    * in document order ({"z":1,"b":2}) — again exactly PG's jsonb-vs-
+    * json rendering split (ConformanceSpec pins both). Arrays
     * keep element order. The default therefore stays the document-
     * order-preserving from_json path; opt in where per-row JSON volume
     * dominates and pair order is immaterial (the driver gate hashes

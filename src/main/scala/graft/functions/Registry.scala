@@ -108,6 +108,9 @@ object Registry {
     // lowercase names; always quoting is valid SQL either way)
     "quote_ident" -> { case Seq(s) =>
       concat(lit("\""), regexp_replace(s, "\"", "\"\""), lit("\"")) },
+    // scalar JSON field access (extension; see Json.jsonGet for the
+    // render/NULL contract) — native from_json probe, no Jackson
+    "json_get" -> { case Seq(j, f) => Json.jsonGet(j, f) },
     // distributed row id (reference add_rowid / dask strided ids,
     // util/_dask.py:105-120 — one partition-local counter here, no rounds)
     "rowid" -> (_ => monotonically_increasing_id()),

@@ -443,8 +443,13 @@ object Sinks {
           // live copy of a lease — restoring first also recovers the
           // lease-absent crash state); if the lease was re-created
           // meanwhile the restore fails and the stale copy is safe to
-          // drop
-          if (!fs.rename(claim, lp)) fs.delete(claim, false)
+          // drop — but ONLY once a fresh lease is CONFIRMED present
+          // (the same guard as the inspection branch below): a
+          // transient rename failure with the lease absent must keep
+          // the claim, which may be the only live copy of a
+          // successor's lease, for the next attempt's retry
+          if (!fs.rename(claim, lp) && fs.exists(lp))
+            fs.delete(claim, false)
         }
         if (fs.exists(lp)) {
           done = true

@@ -1253,8 +1253,14 @@ object Skipping {
     if (cached0 != null && cached0.sig == sig) {
       cached0.lastAccess.set(System.nanoTime())
       Some(cached0)
-    } else if (statsOversized(spark, path)) None
-    else readManifest(spark, path).map { m =>
+    } else {
+      // a stale same-path entry (old signature, or a formerly-fitting
+      // manifest that grew past the cap) must not stay resident: drop
+      // it NOW rather than letting evictForBudget count its bytes or
+      // LRU pressure eventually find it (r18 ADVICE)
+      if (cached0 != null) manifestCache.remove(path, cached0)
+      if (statsOversized(spark, path)) None
+      else readManifest(spark, path).map { m =>
       // legacy (pre-segment) manifests still carry inline __bloom
       // columns — strip them from the cached stat rows either way;
       // the sidecar listing is the live source of bloom columns.
@@ -1273,6 +1279,7 @@ object Skipping {
       evictForBudget(entry.approxBytes)
       manifestCache.put(path, entry)
       entry
+      }
     }
   }
 

@@ -78,7 +78,14 @@ final case class FloatDot(left: Expression, right: Expression)
   * under Long range — integer sums are associative, which is what keeps
   * the operator hash-checkable in any evaluation order. Replaces the
   * interpreted zip_with+aggregate lambda pair (CodegenFallback) that
-  * made dd_semdedup the worst bench ratio in r18's quiet capture. */
+  * made dd_semdedup the worst bench ratio in r18's quiet capture.
+  *
+  * NULL contract (r18 ADVICE): the zip_with+aggregate forms this
+  * replaced answer NULL for length-mismatched inputs (zip_with pads
+  * with nulls, `null * x` poisons the sum) and for null elements — so
+  * this expression does too, instead of silently summing a truncated
+  * prefix. The quantizer's fixed-dim non-null codes never hit either
+  * branch, so existing call sites are value-identical. */
 final case class IntDotLong(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -86,6 +93,9 @@ final case class IntDotLong(left: Expression, right: Expression)
     Seq(TypeCollection(ArrayType(IntegerType), ArrayType(LongType)),
       TypeCollection(ArrayType(IntegerType), ArrayType(LongType)))
   override def dataType: DataType = LongType
+  // NULL out of non-null inputs on length mismatch / null elements —
+  // force the isNull slot even when both children are non-nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "int_dot"
 
   private def isLong(e: Expression): Boolean = e.dataType match {
@@ -98,10 +108,12 @@ final case class IntDotLong(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (leftIsLong) x.getLong(i) else x.getInt(i).toLong
       val yv = if (rightIsLong) y.getLong(i) else y.getInt(i).toLong
       s += xv * yv
@@ -115,17 +127,24 @@ final case class IntDotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val bad = ctx.freshName("bad")
       val lget = if (leftIsLong) s"$a.getLong($i)"
         else s"(long) $a.getInt($i)"
       val rget = if (rightIsLong) s"$b.getLong($i)"
         else s"(long) $b.getInt($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $lget * $rget;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $s += $lget * $rget;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -491,6 +491,36 @@ class ConformanceSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.json.variant")
   }
 
+  test("json_each nested MULTI-key object value text: document order " +
+      "by default, key-sorted in variant mode (documented divergence)") {
+    // r18 ADVICE: the variant divergence reaches nested VALUE TEXT,
+    // not just pair order — Variant re-renders a nested multi-key
+    // object key-sorted (PG jsonb), from_json preserves document
+    // order (PG json). Pin both behaviors.
+    val q = """select j.value from (select '{"a":{"z":1,"b":2}}' as js)
+               t, lateral json_each(js) as j"""
+    assert(rows(exec.query(q)) == Seq(Seq("""{"z":1,"b":2}""")),
+      "default mode must re-emit the nested object in document order")
+    spark.conf.set("graft.json.variant", "true")
+    try assert(rows(exec.query(q)) == Seq(Seq("""{"b":2,"z":1}""")),
+      "variant mode must re-emit the nested object key-sorted")
+    finally spark.conf.unset("graft.json.variant")
+  }
+
+  test("json_get scalar field access (dialect extension)") {
+    // render contract: top-level strings unquoted, numbers/objects as
+    // compact JSON (document order — the from_json path), JSON null as
+    // the TEXT 'null', missing field as SQL NULL, non-object as NULL
+    checkLit(
+      """select json_get(js, 'a') as a, json_get(js, 'n') as n,
+                json_get(js, 'o') as o, json_get(js, 'nul') as nul,
+                json_get(js, 'missing') as m
+         from (select '{"a":"x","n":5,"o":{"z":1,"b":2},"nul":null}' as js) t""",
+      Seq(Seq("x", "5", """{"z":1,"b":2}""", "null", null)))
+    checkLit("""select json_get('[1,2]' :: json, 'a') as a""",
+      Seq(Seq(null)))
+  }
+
   // --------------------------------------------------------- special forms
   test("trim both chars") {
     checkLit("select trim(both 'xyz' from 'yxTomxx')", Seq(Seq("Tom")))

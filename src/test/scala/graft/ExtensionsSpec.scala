@@ -155,6 +155,33 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("int_dot answers NULL on length mismatch and null elements, " +
+      "in both codegen and interpreted eval") {
+    // r18 ADVICE: the zip_with+aggregate forms int_dot replaced answer
+    // NULL for mismatched lengths / null elements — a truncated or
+    // garbage finite sum must never escape. Exercise both eval paths.
+    import org.apache.spark.sql.functions.{col, expr}
+    val intDot = org.apache.spark.sql.graft.NativeVectorColumns.intDot _
+    val df = Seq(
+      (1L, Seq[Integer](1, 2, 3), Seq[Integer](4, 5, 6)),   // clean
+      (2L, Seq[Integer](1, 2), Seq[Integer](4, 5, 6)),      // mismatch
+      (3L, Seq[Integer](1, null, 3), Seq[Integer](4, 5, 6)) // null elem
+    ).toDF("id", "a", "b")
+    def run(factoryMode: String): Map[Long, Any] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", factoryMode)
+      try df.select(col("id"), intDot(col("a"), col("b")).as("d"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    val exp = Map[Long, Any](1L -> 32L, 2L -> null, 3L -> null)
+    assert(run("CODEGEN_ONLY") == exp)
+    assert(run("NO_CODEGEN") == exp)
+  }
+
   test("native float_double_dist2 computes squared L2 against centroids") {
     import org.apache.spark.sql.functions.col
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.0)))
