@@ -951,12 +951,16 @@ object Skipping {
         * (like `__bloom`: ~1.5 KB/file-column vs ~100 B stat rows);
         * [[metadataApproxDistinct]] reads them with a tiny job. */
       hllCols: Set[String] = Set.empty) {
-    /** column -> unioned-estimate, memoized per signature: the whole-
-      * column approx ndv is a per-signature constant, and the DFP
-      * density heuristic must not re-pay the manifest-read job per
-      * compile. */
+    /** (column, live-identity digest) -> unioned-estimate: the whole-
+      * column approx ndv is a constant of the (signature, live file
+      * set) pair, and the DFP density heuristic must not re-pay the
+      * manifest-read job per compile. The digest in the key (r18
+      * VERDICT #2) means an out-of-band append INVALIDATES the memo
+      * exactly — the one stat consumer that was exempt from the
+      * live-identity discipline now honors it. Size-bounded (cleared
+      * past 64 — append churn mints new digests). */
     val hllEstimates =
-      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
     /** identity -> row, built once per signature (the metadata rewrite
       * consults it on every optimizer iteration of a declining plan). */
     lazy val byIdentity: Map[(String, Long, Long),
@@ -1049,6 +1053,17 @@ object Skipping {
 
   private def statsOversized(spark: SparkSession, path: String): Boolean =
     manifestStatBytes(spark, path) > statsDriverMaxBytes
+
+  /** Cap on COLLECTED result groups for the oversized-path metadata
+    * GROUP BY rewrite (its output becomes a LocalRelation, so the
+    * group rows — unlike the stat rows — are inherently driver-bound;
+    * past the cap the rewrite declines and the scan runs). The driver
+    * path needs no cap: its group count is bounded by the already-
+    * collected stat rows. `-Dgraft.skipping.metaGroupsMaxOversized=n`
+    * overrides. */
+  private[graft] def metaGroupsMaxOversized: Int =
+    sys.props.get("graft.skipping.metaGroupsMaxOversized").map(_.toInt)
+      .getOrElse(100000)
 
   /** Evict least-recently-used cache entries until the resident total
     * (including `incoming`) fits [[statsCacheMaxBytes]]. Called under
@@ -1163,12 +1178,17 @@ object Skipping {
     * accrues stat rows and deserialized Bloom filters it can never
     * reclaim. */
   def evictTable(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
     manifestCache.remove(path)
     manifestProbe.remove(path)
     sigProbe.remove(path)
     identityDeclines.remove(path)
     ownerManifests.remove(path)
-    distributedDrops.remove(path)
+    distributedDropsRemovePath(path)
+    oversizedMemo.keySet.asScala.filter(_._1 == path)
+      .foreach(oversizedMemo.remove)
+    oversizedFields.keySet.asScala.filter(_._1 == path)
+      .foreach(oversizedFields.remove)
   }
 
   /** Test probe: table paths currently resident in the planning cache. */
@@ -1184,10 +1204,35 @@ object Skipping {
     * prune. Served from the planning cache. */
   def statIndexedColumns(spark: SparkSession, path: String): Set[String] =
     manifestSignature(spark, path)
-      .flatMap(sig => cachedManifest(spark, path, sig))
-      .map(_.schema.fieldNames.collect {
+      .flatMap(sig => cachedManifest(spark, path, sig)
+        .map(_.schema.fieldNames.toSeq)
+        .orElse(oversizedManifestFields(spark, path, sig)))
+      .map(_.collect {
         case n if n.endsWith("__min") => n.dropRight(5) }.toSet)
       .getOrElse(Set.empty)
+
+  /** Manifest FIELD NAMES on the oversized path — a footer-only read
+    * (no stat row collected), memoized per (path, signature): the DFP
+    * qualification probe must stay a map lookup per optimizer
+    * invocation. */
+  private val oversizedFields =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      Seq[String]]()
+
+  private def oversizedManifestFields(spark: SparkSession, path: String,
+      sig: String): Option[Seq[String]] =
+    if (!statsOversized(spark, path)) None
+    else {
+      val k = (path, sig)
+      val hit = oversizedFields.get(k)
+      if (hit != null) Some(hit)
+      else readManifest(spark, path).map { m =>
+        if (oversizedFields.size > 256) oversizedFields.clear()
+        val fields = m.schema.fieldNames.toSeq
+        oversizedFields.put(k, fields)
+        fields
+      }
+    }
 
   /** Does `[lo, hi]` provably COVER the column's whole stat domain
     * over the cached manifest rows? Used by dynamic file pruning as a
@@ -1198,6 +1243,16 @@ object Skipping {
   def rangeCoversColumn(spark: SparkSession, path: String, c: String,
       lo: Any, hi: Any): Boolean =
     try {
+      if (lo == null || hi == null) return false
+      // oversized: min-of-mins/max-of-maxes via a memoized footer job.
+      // COST heuristic only (false = "inject anyway"), so no live walk
+      // rides it — staleness is bounded by the signature probe TTL,
+      // the same class as the driver path's cached rows.
+      if (statsOversized(spark, path))
+        return manifestSignature(spark, path)
+          .flatMap(sig => oversizedColRange(spark, path, sig, c))
+          .exists { case (cmin, cmax) =>
+            statCmp(lo, cmin) <= 0 && statCmp(hi, cmax) >= 0 }
       manifestSignature(spark, path)
         .flatMap(sig => cachedManifest(spark, path, sig)).exists {
           cached =>
@@ -1219,6 +1274,39 @@ object Skipping {
         }
       }
     } catch { case _: Exception => false }
+
+  /** Whole-column (min-of-mins, max-of-maxes) over the manifest
+    * parquet for [[rangeCoversColumn]]'s oversized path — one tiny
+    * job, memoized per (path, sig) in [[oversizedMemo]] (digest slot
+    * empty: cost-only consumer, no live walk). None on any null
+    * boundary stat or an empty manifest — the "inject anyway"
+    * direction. */
+  private def oversizedColRange(spark: SparkSession, path: String,
+      sig: String, c: String): Option[(Any, Any)] =
+    oversizedMemoGet(path, ("cover", c), sig, "") match {
+      case Some(res) => res.map(_.asInstanceOf[(Any, Any)])
+      case None =>
+        val res: Option[(Any, Any)] =
+          readManifest(spark, path).flatMap { m =>
+            if (!m.columns.contains(s"${c}__min")) None
+            else try {
+              val r = m.agg(min(col(s"${c}__min")).as("__mn"),
+                max(col(s"${c}__max")).as("__mx"),
+                coalesce(sum(when(col(s"${c}__min").isNull ||
+                    col(s"${c}__max").isNull, lit(1L))
+                  .otherwise(lit(0L))), lit(0L)).as("__bad"),
+                count(lit(1)).as("__n")).head()
+              if (r.getLong(r.fieldIndex("__bad")) != 0L ||
+                  r.getLong(r.fieldIndex("__n")) == 0L ||
+                  r.isNullAt(r.fieldIndex("__mn")) ||
+                  r.isNullAt(r.fieldIndex("__mx"))) None
+              else Some((r.get(r.fieldIndex("__mn")),
+                r.get(r.fieldIndex("__mx"))))
+            } catch { case _: Exception => None }
+          }
+        oversizedMemoPut(path, ("cover", c), sig, "", res)
+        res
+    }
 
   def droppedFiles(spark: SparkSession, path: String,
       preds: Seq[Pred]): Option[Map[String, (Long, Long)]] =
@@ -1433,22 +1521,30 @@ object Skipping {
   /** The per-column aggregate expressions over manifest stat rows:
     * min-of-mins, max-of-maxes, sum-of-null-counts, and (when the
     * manifest carries `__sum`) sum-of-sums plus a "some counted file's
-    * sum is unknown though it has non-null rows" poison flag. */
+    * sum is unknown though it has non-null rows" poison flag.
+    *
+    * `inc` gates each input per row (strict-true inclusion, SQL 3VL —
+    * exactly the row set `filter(inc)` keeps): the driver path filters
+    * the frame and passes the default `lit(true)` (value-identical);
+    * the OVERSIZED distributed path fuses its completeness counters
+    * and the aggregate into ONE job, so inclusion must ride the
+    * aggregate inputs instead of a pre-filter. */
   private def colAggExprs(schema: org.apache.spark.sql.types.StructType,
-      cols: Seq[String]): Seq[Column] =
+      cols: Seq[String], inc: Column = lit(true)): Seq[Column] =
     cols.flatMap { c =>
-      val base = Seq(min(col(s"${c}__min")).as(s"${c}__agg_mn"),
-        max(col(s"${c}__max")).as(s"${c}__agg_mx"),
-        coalesce(sum(col(s"${c}__nulls")), lit(0L)).as(s"${c}__agg_nl"))
+      def g(x: Column) = when(inc, x)
+      val base = Seq(min(g(col(s"${c}__min"))).as(s"${c}__agg_mn"),
+        max(g(col(s"${c}__max"))).as(s"${c}__agg_mx"),
+        coalesce(sum(g(col(s"${c}__nulls"))), lit(0L)).as(s"${c}__agg_nl"))
       if (!schema.fieldNames.contains(s"${c}__sum")) base
       else base ++ Seq(
-        sum(col(s"${c}__sum")).as(s"${c}__agg_sm"),
-        coalesce(sum(when(col(s"${c}__sum").isNull &&
+        sum(g(col(s"${c}__sum"))).as(s"${c}__agg_sm"),
+        coalesce(sum(when(inc && col(s"${c}__sum").isNull &&
             col("rows") =!= col(s"${c}__nulls"), lit(1L))
           .otherwise(lit(0L))), lit(0L)).as(s"${c}__agg_sbad"),
         // non-null-row total, the overflow-to-null detector's input:
         // see [[colStatsOf]]
-        coalesce(sum(col("rows") - col(s"${c}__nulls")), lit(0L))
+        coalesce(sum(g(col("rows") - col(s"${c}__nulls"))), lit(0L))
           .as(s"${c}__agg_nn"))
     }
 
@@ -1475,6 +1571,416 @@ object Skipping {
         r.getLong(r.fieldIndex(s"${c}__agg_nl")), sum)
     }.toMap
 
+  // ------------------------------------------------------------------
+  // OVERSIZED-manifest distributed metadata rewrites (r18 VERDICT lead
+  // item). Past [[statsDriverMaxBytes]] no stat row may become driver-
+  // resident — but 100 TB tables are EXACTLY where the metadata
+  // rewrites pay most, so instead of declining (the r18 behavior) the
+  // same completeness proof the driver path runs ([[liveRowsFor]]:
+  // live identity walk, foreign-file check, schema/type gates, preds
+  // proving every file all-in or all-out) is evaluated as a small
+  // Spark job over the manifest parquet, fused with the aggregate
+  // itself where possible. [[hllUnionEstimate]] was the r18 template:
+  // sketches were already never driver-resident.
+  // ------------------------------------------------------------------
+
+  /** Order-independent identity digest of a live file listing:
+    * count + sum + xor of a splitmix-finalized 64-bit hash per
+    * `(file, bytes, mtime)` triple. The memo key that lets an
+    * OVERSIZED-path result be served without re-running its Spark job
+    * while keeping the live-listing freshness contract EXACT (not
+    * TTL-bounded): any out-of-band append, delete, or in-place rewrite
+    * changes some triple, hence the digest, hence forces recompute. */
+  private def liveDigest(live: Seq[(String, Long, Long)]): String = {
+    var cnt = 0L; var s = 0L; var x = 0L
+    live.foreach { case (f, b, m) =>
+      var h = 0xcbf29ce484222325L // FNV-1a over the name…
+      var i = 0
+      while (i < f.length) { h ^= f.charAt(i); h *= 0x100000001b3L; i += 1 }
+      h ^= b; h *= 0x100000001b3L // …mixed with the identity
+      h ^= m; h *= 0x100000001b3L
+      var z = h + 0x9e3779b97f4a7c15L // splitmix64 finalizer: the sum
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L // and xor lanes must
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL // not correlate
+      z ^= z >>> 31
+      cnt += 1L; s += z; x ^= z
+    }
+    s"$cnt:$s:$x"
+  }
+
+  /** (path, op key) -> (sig, live digest, result, stored-at) for the
+    * oversized-path job results. TTL'd like every planning probe, and
+    * additionally digest-validated — a hit requires the SAME live file
+    * identity set, so this memo can never serve across an out-of-band
+    * change (the r18 hllEstimates caveat, closed here for the whole
+    * oversized family). Op keys embed query literals (preds, cols), so
+    * the map is size-capped: past the cap it clears wholesale — losing
+    * memoized results costs a re-run, never correctness. */
+  private val oversizedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Any),
+      (String, String, Option[Any], Long)]()
+
+  private def oversizedMemoGet(path: String, opKey: Any, sig: String,
+      digest: String): Option[Option[Any]] = {
+    val e = oversizedMemo.get((path, opKey))
+    if (e != null && e._1 == sig && e._2 == digest &&
+        System.currentTimeMillis() - e._4 < ProbeTtlMs) Some(e._3)
+    else None
+  }
+
+  private def oversizedMemoPut(path: String, opKey: Any, sig: String,
+      digest: String, result: Option[Any]): Unit = {
+    if (oversizedMemo.size > 512) oversizedMemo.clear()
+    oversizedMemo.put((path, opKey),
+      (sig, digest, result, System.currentTimeMillis()))
+  }
+
+  /** Shared harness for the oversized-path rewrites. Runs the parts of
+    * the completeness proof that need no job (live walk + foreign-file
+    * check — the walk is per-invocation and uncached, the freshness
+    * proof, same as the driver path; schema/type gates off the
+    * manifest parquet footer), then hands `compute` the LIVE-JOINED
+    * manifest frame: manifest stat rows inner-joined to the live
+    * identity triples on `(file, bytes, mtime)`. `compute` MUST carry
+    * `count(lit(1)) == liveCount` in its own job and fail otherwise —
+    * that count IS the "every live file identity-matches a manifest
+    * row" leg of the proof (the join can only shrink, never invent).
+    * Driver-resident state: the transient listing (the same class as
+    * the scan's own planning listing) and the memoized result. */
+  private def oversizedProof[A](spark: SparkSession, path: String,
+      opKey: Any, needed: Seq[String],
+      expectedTypes: Map[String, DataType], withHll: Boolean = false)(
+      compute: (DataFrame, org.apache.spark.sql.types.StructType, Long)
+        => Option[A]): Option[A] =
+    manifestSignature(spark, path).flatMap { sig =>
+      try {
+        val (live, foreignFiles) = walkDataFiles(spark, path)
+        if (live.isEmpty || foreignFiles) None
+        else {
+          val digest = liveDigest(live)
+          oversizedMemoGet(path, opKey, sig, digest) match {
+            case Some(res) => res.map(_.asInstanceOf[A])
+            case None =>
+              val res: Option[A] =
+                readManifest(spark, path).flatMap { m0 =>
+                  val inline = m0.columns.filter(n =>
+                    n.endsWith("__bloom") ||
+                    (!withHll && n.endsWith("__hll")))
+                  val m = if (inline.isEmpty) m0 else m0.drop(inline: _*)
+                  val colsOk =
+                    needed.forall(c =>
+                      m.columns.contains(s"${c}__min")) &&
+                    m.columns.contains("bytes") &&
+                    m.columns.contains("rows") &&
+                    needed.forall(c => expectedTypes.get(c).forall(
+                      _ == m.schema(s"${c}__min").dataType))
+                  if (!colsOk) None
+                  else {
+                    import scala.jdk.CollectionConverters._
+                    val triSchema = org.apache.spark.sql.types.StructType(
+                      Seq(
+                        org.apache.spark.sql.types.StructField("file",
+                          org.apache.spark.sql.types.StringType,
+                          nullable = false),
+                        org.apache.spark.sql.types.StructField("bytes",
+                          org.apache.spark.sql.types.LongType,
+                          nullable = false),
+                        org.apache.spark.sql.types.StructField("mtime",
+                          org.apache.spark.sql.types.LongType,
+                          nullable = false)))
+                    val liveDF = spark.createDataFrame(
+                      live.map(t => org.apache.spark.sql.Row(
+                        t._1, t._2, t._3)).asJava, triSchema)
+                    val joined =
+                      m.join(liveDF, Seq("file", "bytes", "mtime"))
+                    compute(joined, m.schema, live.size.toLong)
+                  }
+                }
+              oversizedMemoPut(path, opKey, sig, digest, res)
+              res
+          }
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** The strict-true "preds prove the file ALL-IN" column, shared by
+    * the distributed rewrites — [[allInCond]] conjunction, `lit(true)`
+    * with no preds. */
+  private def allInCol(preds: Seq[Pred]): Column =
+    if (preds.isEmpty) lit(true)
+    else preds.map(allInCond).reduce(_ && _)
+
+  /** The strict-true "this row is PARTIAL under preds" column — the
+    * exact 3VL mirror of the driver path's
+    * `filter(!inCond && !outCond)` probe in [[liveRowsFor]]. */
+  private def partialCol(preds: Seq[Pred]): Column =
+    if (preds.isEmpty) lit(false)
+    else {
+      val inCond = allInCol(preds)
+      val outCond = col("rows") === 0L ||
+        preds.map(p => !keepCond(p)).reduce(_ || _)
+      !inCond && !outCond
+    }
+
+  /** [[metadataAggStats]]' oversized path: completeness counters and
+    * the gated aggregate fused into ONE job over the live-joined
+    * manifest. */
+  private def metadataAggStatsDistributed(spark: SparkSession,
+      path: String, cols: Seq[String], preds: Seq[Pred],
+      expectedTypes: Map[String, DataType], needed: Seq[String])
+      : Option[(Long, Map[String, ColStats])] =
+    oversizedProof[(Long, Map[String, ColStats])](spark, path,
+        ("agg", cols, preds), needed, expectedTypes) {
+      (joined, schema, liveCount) =>
+        val inCond = allInCol(preds)
+        val aggs = Seq(
+          count(lit(1)).as("__matched"),
+          coalesce(sum(when(partialCol(preds), lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("__partialn"),
+          coalesce(sum(when(inCond, col("rows"))), lit(0L))
+            .as("__total")) ++
+          colAggExprs(schema, cols, inCond)
+        val r = joined.agg(aggs.head, aggs.tail: _*).head()
+        if (r.getLong(r.fieldIndex("__matched")) != liveCount ||
+            r.getLong(r.fieldIndex("__partialn")) != 0L) None
+        else Some((r.getLong(r.fieldIndex("__total")),
+          colStatsOf(r, schema, cols)))
+    }
+
+  /** Per-group exact-distinct chain counts, DISTRIBUTED: the
+    * [[chainDistinctCount]] walk expressed as a window — per group
+    * (files ordered by `__min`), a running preceding-rows
+    * max-of-maxes; a file starting strictly past it adds its full
+    * `__ndv`, one starting exactly AT it shares that one attained
+    * boundary value (`__ndv - 1`), any true overlap or unknown stat
+    * declines the whole rewrite (None). All `mIn` rows ride the frame
+    * (terms gated on `nn > 0`) so EVERY group materializes — an
+    * all-null group counts 0, and a main-agg group absent here means
+    * external-equality divergence, the driver path's own decline.
+    * Ordering/equality are Spark's; the caller's chainEligible
+    * [[statKeyChainSafe]] fence makes them coincide with [[statCmp]],
+    * so a given file order yields exactly the driver walk's verdict
+    * (ties across files with equal `__min` may pick a different order
+    * than the driver sort — each order independently yields either the
+    * exact count or a decline, both sound). */
+  private def chainCountsDistributed(mIn: DataFrame,
+      groupCols: Seq[String], c: String, cap: Int,
+      keyExpr: String => Column): Option[Map[Seq[Any], Long]] = {
+    val nn = col("rows") - col(s"${c}__nulls")
+    val keySel = groupCols.zipWithIndex.map { case (g, i) =>
+      keyExpr(g).as(s"__k_$i") }
+    val base = mIn.select(keySel ++ Seq(col(s"${c}__min").as("__mn"),
+      col(s"${c}__max").as("__mx"), col(s"${c}__ndv").as("__ndv"),
+      nn.as("__nn")): _*)
+    val kCols = groupCols.indices.map(i => col(s"__k_$i"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(kCols: _*).orderBy(col("__mn").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    // an nn == 0 file has all-null stats for c, so it can't pollute
+    // the preceding max; its own contribution terms are nn-gated
+    val dfw = base.withColumn("__pm", max(col("__mx")).over(w))
+    val live = col("__nn") > 0L
+    val agg = dfw.groupBy(kCols: _*).agg(
+      coalesce(sum(when(live && (col("__pm").isNull ||
+          col("__mn") > col("__pm")), col("__ndv"))
+        .when(live && col("__mn") === col("__pm"),
+          col("__ndv") - lit(1L))), lit(0L)).as("__cnt"),
+      coalesce(max(when(live && col("__mn") < col("__pm"), lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as("__overlap"),
+      coalesce(max(when(live && (col("__mn").isNull ||
+          col("__mx").isNull || col("__ndv").isNull), lit(1L))
+        .otherwise(lit(0L))), lit(0L)).as("__bad"))
+    val rows = (if (groupCols.isEmpty) agg else agg.limit(cap + 1))
+      .collect().toSeq
+    if (groupCols.nonEmpty && rows.size > cap) None
+    else if (rows.exists(r =>
+        r.getLong(r.fieldIndex("__overlap")) != 0L ||
+        r.getLong(r.fieldIndex("__bad")) != 0L)) None
+    else Some(rows.map(r =>
+      groupCols.indices.map(i => r.get(r.fieldIndex(s"__k_$i")))
+        .toSeq -> r.getLong(r.fieldIndex("__cnt"))).toMap)
+  }
+
+  /** [[metadataGroupStats]]' oversized path: one completeness/
+    * eligibility job (matched count, partial probe, per-list
+    * multi-valued flags fused), one grouped aggregate job, and — only
+    * when an ndv chain is requested — one window job per chain column.
+    * Result groups are driver-bound by construction (they become the
+    * rewrite's LocalRelation); [[metaGroupsMaxOversized]] caps the
+    * collect and declines loudly past it. */
+  private def metadataGroupStatsDistributed(spark: SparkSession,
+      path: String, groupCols: Seq[String], cols: Seq[String],
+      preds: Seq[Pred], expectedTypes: Map[String, DataType],
+      dLists: Seq[Seq[String]])
+      : Option[Seq[(Map[String, Any], Long, Map[String, ColStats],
+        Map[Seq[String], Long])]] = {
+    val needed = ((groupCols ++ dLists.flatten) ++ cols ++
+      preds.flatMap(_.columns)).distinct
+    oversizedProof[Seq[(Map[String, Any], Long, Map[String, ColStats],
+        Map[Seq[String], Long])]](spark, path,
+        ("group", groupCols, cols, preds, dLists), needed,
+        expectedTypes) { (joined, schema, liveCount) =>
+      def groupKeysChainSafe: Boolean =
+        groupCols.forall(g =>
+          statKeyChainSafe(schema(s"${g}__min").dataType))
+      def chainEligible(dc: Seq[String]): Boolean =
+        dc.sizeIs == 1 && groupKeysChainSafe && {
+          val cc = dc.head
+          schema.fieldNames.contains(s"${cc}__ndv") &&
+          statKeyChainSafe(schema(s"${cc}__min").dataType)
+        }
+      // job 1: completeness counters + the single-valued probes, fused
+      // (needed-column presence was the harness's gate, so every
+      // candidate list is stat-indexed here)
+      val candLists = (Seq(groupCols).filter(_.nonEmpty) ++ dLists)
+        .distinct
+      val mvAggs = candLists.zipWithIndex.map { case (l, i) =>
+        coalesce(max(when(col("rows") > 0L &&
+            !coalesce(groupConstantCond(l), lit(false)), lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as(s"__mv_$i")
+      }
+      val verAggs = count(lit(1)).as("__matched") +:
+        (coalesce(sum(when(partialCol(preds), lit(1L))
+          .otherwise(lit(0L))), lit(0L)).as("__partialn") +: mvAggs)
+      val ver = joined.agg(verAggs.head, verAggs.tail: _*).head()
+      if (ver.getLong(ver.fieldIndex("__matched")) != liveCount ||
+          ver.getLong(ver.fieldIndex("__partialn")) != 0L) None
+      else {
+        val multiValued: Map[Seq[String], Boolean] =
+          candLists.zipWithIndex.map { case (l, i) =>
+            l -> (ver.getLong(ver.fieldIndex(s"__mv_$i")) != 0L)
+          }.toMap
+        val constLists = dLists.filter(dc =>
+          multiValued.get(dc).contains(false))
+        val chainLists = dLists.filterNot(constLists.contains)
+          .filter(chainEligible)
+        if (constLists.size + chainLists.size != dLists.size) None
+        else if (groupCols.nonEmpty &&
+            multiValued.getOrElse(groupCols, true)) None
+        else {
+          val mIn = joined.filter(allInCol(preds))
+            .filter(col("rows") > 0L)
+          def keyExpr(g: String): Column =
+            when(col(s"${g}__nulls") === col("rows"), lit(null))
+              .otherwise(col(s"${g}__min"))
+          val cap = metaGroupsMaxOversized
+          val chainByGroup: Option[Map[Seq[Any],
+              Map[Seq[String], Long]]] =
+            if (chainLists.isEmpty) Some(Map.empty)
+            else {
+              val perCol = chainLists.map(_.head).distinct.map(cc =>
+                cc -> chainCountsDistributed(mIn, groupCols, cc, cap,
+                  keyExpr))
+              if (perCol.exists(_._2.isEmpty)) None
+              else {
+                val byCol = perCol.map { case (cc, o) =>
+                  cc -> o.get }.toMap
+                val keys = byCol.values.flatMap(_.keySet).toSet
+                Some(keys.map { kv =>
+                  kv -> chainLists.map(dc =>
+                    dc -> byCol(dc.head).getOrElse(kv, 0L)).toMap
+                }.toMap)
+              }
+            }
+          chainByGroup.flatMap { chains =>
+            try {
+              val keys = groupCols.map(g =>
+                keyExpr(g).as(s"${g}__key"))
+              val dAggs = constLists.zipWithIndex.map { case (dc, i) =>
+                countDistinct(keyExpr(dc.head),
+                  dc.tail.map(keyExpr): _*).as(s"__dcnt_$i")
+              }
+              val aggs =
+                coalesce(sum(col("rows")), lit(0L)).as("__total") +:
+                  (colAggExprs(schema, cols) ++ dAggs)
+              val grouped = mIn.groupBy(keys: _*)
+                .agg(aggs.head, aggs.tail: _*)
+              val rows = (if (groupCols.isEmpty) grouped
+                else grouped.limit(cap + 1)).collect().toSeq
+              if (groupCols.nonEmpty && rows.size > cap) None
+              else Some(rows.map { r =>
+                val keyVals = groupCols.map(g =>
+                  r.get(r.fieldIndex(s"${g}__key")))
+                val key = groupCols.zip(keyVals).toMap
+                val chainCounts =
+                  if (chainLists.isEmpty)
+                    Map.empty[Seq[String], Long]
+                  else chains.getOrElse(keyVals,
+                    // every mIn row rode the chain frame, so a main
+                    // group missing there can only mean external
+                    // equality diverged — decline (driver parity);
+                    // the GLOBAL row over zero files is the one
+                    // legitimate absence (distinct-of-nothing = 0)
+                    if (groupCols.isEmpty)
+                      chainLists.map(_ -> 0L).toMap
+                    else throw new IllegalStateException(
+                      "chain group mismatch"))
+                val dcnts = constLists.zipWithIndex.map {
+                  case (dc, i) =>
+                    dc -> r.getLong(r.fieldIndex(s"__dcnt_$i"))
+                }.toMap ++ chainCounts
+                (key, r.getLong(r.fieldIndex("__total")),
+                  colStatsOf(r, schema, cols), dcnts)
+              })
+            } catch { case _: Exception => None }
+          }
+        }
+      }
+    }
+  }
+
+  /** [[topKFilterBound]]'s oversized path: one verification aggregate
+    * (identity count, qualifying-row total, null total, bad-stat
+    * probe), then the [[boundWalk]] prefix walk as a cumulative window
+    * over the all-in files — a single-partition sort of MANIFEST rows
+    * (one row per file; at 64 MB+ of stat segments that is a
+    * millions-row one-task sort, seconds — the planning class of the
+    * scan listing it replaces, and only paid once per memo window). */
+  private def topKFilterBoundDistributed(spark: SparkSession,
+      path: String, c: String, k: Long, desc: Boolean,
+      nullsFirst: Boolean, expectedTypes: Map[String, DataType],
+      preds: Seq[Pred]): Option[Any] = {
+    if (k <= 0L) return None
+    val needed = (c +: preds.flatMap(_.columns)).distinct
+    oversizedProof[Any](spark, path,
+        ("topk", c, k, desc, nullsFirst, preds), needed,
+        expectedTypes) { (joined, schema, liveCount) =>
+      if (!statKeyChainSafe(schema(s"${c}__min").dataType)) None
+      else {
+        val nn = col("rows") - col(s"${c}__nulls")
+        val inc = allInCol(preds) && nn > 0L
+        val ver = joined.agg(
+          count(lit(1)).as("__matched"),
+          coalesce(sum(when(inc, nn)), lit(0L)).as("__qual"),
+          coalesce(sum(col(s"${c}__nulls")), lit(0L)).as("__nulls"),
+          coalesce(sum(when(inc && (col(s"${c}__min").isNull ||
+              col(s"${c}__max").isNull), lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("__badstat")).head()
+        if (ver.getLong(ver.fieldIndex("__matched")) != liveCount ||
+            ver.getLong(ver.fieldIndex("__qual")) < k ||
+            (nullsFirst &&
+              ver.getLong(ver.fieldIndex("__nulls")) > 0L) ||
+            ver.getLong(ver.fieldIndex("__badstat")) != 0L) None
+        else {
+          val f = joined.filter(inc)
+          val keyC = if (desc) col(s"${c}__max") else col(s"${c}__min")
+          val bndC = if (desc) col(s"${c}__min") else col(s"${c}__max")
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(if (desc) keyC.desc else keyC.asc)
+            .rowsBetween(org.apache.spark.sql.expressions
+              .Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)
+          val walk = f.select(
+            (if (desc) min(bndC) else max(bndC)).over(w).as("__bnd"),
+            sum(nn).over(w).as("__cum"))
+          walk.filter(col("__cum") >= k).orderBy(col("__cum").asc)
+            .limit(1).collect().headOption.map(_.get(0))
+        }
+      }
+    }
+  }
+
   /** Driver-computed GLOBAL aggregate inputs for a metadata-only
     * rewrite: `Some((totalRows, col -> [[ColStats]]))` for the
     * requested columns over the files `preds` PROVABLY fully includes,
@@ -1499,6 +2005,9 @@ object Skipping {
       expectedTypes: Map[String, DataType] = Map.empty)
       : Option[(Long, Map[String, ColStats])] = {
     val needed = (cols ++ preds.flatMap(_.columns)).distinct
+    if (statsOversized(spark, path))
+      return metadataAggStatsDistributed(spark, path, cols, preds,
+        expectedTypes, needed)
     metadataLiveFrame(spark, path, needed, preds, expectedTypes)
       .flatMap { case (m, schema) =>
         val mIn =
@@ -1531,7 +2040,10 @@ object Skipping {
     * reproduced, tolerance flag asserted (ix_meta_hll). */
   def metadataApproxDistinct(spark: SparkSession, path: String,
       c: String, preds: Seq[Pred] = Nil,
-      expectedTypes: Map[String, DataType] = Map.empty): Option[Long] =
+      expectedTypes: Map[String, DataType] = Map.empty): Option[Long] = {
+    if (statsOversized(spark, path))
+      return metadataApproxDistinctDistributed(spark, path, c, preds,
+        expectedTypes)
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
         if (!cached.hllCols.contains(c)) None
@@ -1545,22 +2057,69 @@ object Skipping {
               r.getLong(r.fieldIndex("rows")) -
                 r.getLong(r.fieldIndex(s"${c}__nulls")) > 0L
             }
-            if (withData.isEmpty) Some(0L)
-            else if (preds.isEmpty &&
-                cached.hllEstimates.containsKey(c))
-              Some(cached.hllEstimates.get(c))
-            else hllUnionEstimate(spark, path, c, withData.map { r =>
+            // the memo key carries the LIVE identity digest (r18
+            // VERDICT #2): a memoized estimate from before an
+            // out-of-band file appeared can never be served — the
+            // digest changed with the file set. The live rows already
+            // carry identity, so the digest costs no extra I/O.
+            def triple(r: org.apache.spark.sql.Row) =
               (r.getString(r.fieldIndex("file")),
                 r.getLong(r.fieldIndex("bytes")),
                 r.getLong(r.fieldIndex("mtime")))
-            }).map { est =>
-              if (preds.isEmpty) cached.hllEstimates.put(c, est)
+            lazy val memoKey = (c, liveDigest(rows.map(triple)))
+            if (withData.isEmpty) Some(0L)
+            else if (preds.isEmpty &&
+                cached.hllEstimates.containsKey(memoKey))
+              Some(cached.hllEstimates.get(memoKey))
+            else hllUnionEstimate(spark, path, c,
+              withData.map(triple)).map { est =>
+              if (preds.isEmpty) {
+                // digest churn (appends) accretes keys: bound the map
+                if (cached.hllEstimates.size > 64)
+                  cached.hllEstimates.clear()
+                cached.hllEstimates.put(memoKey, est)
+              }
               est
             }
           }
         }
       }
     }
+  }
+
+  /** [[metadataApproxDistinct]]' oversized path: completeness
+    * counters, included/with-data identification and the sketch union
+    * fused into ONE job — the r18 [[hllUnionEstimate]] shape
+    * generalized with the proof counters riding the same aggregate. */
+  private def metadataApproxDistinctDistributed(spark: SparkSession,
+      path: String, c: String, preds: Seq[Pred],
+      expectedTypes: Map[String, DataType]): Option[Long] = {
+    val needed = (c +: preds.flatMap(_.columns)).distinct
+    oversizedProof[Long](spark, path, ("hll", c, preds), needed,
+        expectedTypes, withHll = true) { (joined, schema, liveCount) =>
+      if (!schema.fieldNames.contains(s"${c}__hll")) None
+      else {
+        val nn = col("rows") - col(s"${c}__nulls")
+        val wd = allInCol(preds) && nn > 0L
+        val r = joined.agg(
+          count(lit(1)).as("__matched"),
+          coalesce(sum(when(partialCol(preds), lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("__partialn"),
+          coalesce(sum(when(wd, lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("__withdata"),
+          coalesce(sum(when(wd && col(s"${c}__hll").isNull, lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("__nullsk"),
+          hll_sketch_estimate(hll_union_agg(
+            when(wd, col(s"${c}__hll")))).as("__est")).head()
+        if (r.getLong(r.fieldIndex("__matched")) != liveCount ||
+            r.getLong(r.fieldIndex("__partialn")) != 0L ||
+            r.getLong(r.fieldIndex("__nullsk")) != 0L) None
+        else if (r.getLong(r.fieldIndex("__withdata")) == 0L) Some(0L)
+        else if (r.isNullAt(r.fieldIndex("__est"))) None
+        else Some(r.getLong(r.fieldIndex("__est")))
+      }
+    }
+  }
 
   /** min/max of a collected key set under the stat ordering — None on
     * an empty or incomparable set. DFP's density heuristic input. */
@@ -1580,22 +2139,17 @@ object Skipping {
     * unioned estimate says the column has at most ~keyCount/0.9
     * distinct values. Never a correctness decision (a wrong true just
     * skips an injection; the join's own semantics stand); the estimate
-    * is memoized per manifest signature, so repeated compiles cost a
-    * map lookup, not a job. */
+    * is memoized inside [[metadataApproxDistinct]] keyed by the LIVE
+    * identity digest, so repeated compiles over an unchanged table
+    * cost a live listing + map lookup, not a job — and an out-of-band
+    * append re-evaluates (r18 VERDICT #2; the old per-signature peek
+    * here was the one digest-exempt consumer). Answers on oversized
+    * manifests too (the distributed sketch-union path). */
   def keysLikelyCoverNdv(spark: SparkSession, path: String, c: String,
       keyCount: Long): Boolean =
     try {
-      manifestSignature(spark, path)
-        .flatMap(sig => cachedManifest(spark, path, sig)).exists {
-          cached =>
-        cached.hllCols.contains(c) && {
-          val est =
-            if (cached.hllEstimates.containsKey(c))
-              cached.hllEstimates.get(c)
-            else metadataApproxDistinct(spark, path, c).getOrElse(-1L)
-          est > 0L && keyCount.toDouble >= est.toDouble * 0.9
-        }
-      }
+      val est = metadataApproxDistinct(spark, path, c).getOrElse(-1L)
+      est > 0L && keyCount.toDouble >= est.toDouble * 0.9
     } catch { case _: Exception => false }
 
   /** One small job: union the `__hll` sketches of exactly `ids` (full
@@ -1654,6 +2208,9 @@ object Skipping {
         Map[Seq[String], Long])]] = {
     val dLists = distinctCols.distinct
     if (dLists.isEmpty && groupCols.isEmpty) return None
+    if (statsOversized(spark, path))
+      return metadataGroupStatsDistributed(spark, path, groupCols,
+        cols, preds, expectedTypes, dLists)
     // the single-valued proofs run — MEMOIZED — over the cached rows
     // BEFORE the live listing: a GROUP BY over a non-constant key is a
     // permanent decline for this manifest state, and must not pay a
@@ -1950,7 +2507,10 @@ object Skipping {
   def topKFilterBound(spark: SparkSession, path: String, c: String,
       k: Long, desc: Boolean, nullsFirst: Boolean,
       expectedTypes: Map[String, DataType],
-      preds: Seq[Pred] = Nil): Option[Any] =
+      preds: Seq[Pred] = Nil): Option[Any] = {
+    if (statsOversized(spark, path))
+      return topKFilterBoundDistributed(spark, path, c, k, desc,
+        nullsFirst, expectedTypes, preds)
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
         val schema = cached.schema
@@ -2007,6 +2567,7 @@ object Skipping {
         }
       }
     }
+  }
 
   /** The prefix walk behind every top-k bound: order ALL-IN files by
     * the leading stat (`max` descending / `min` ascending), tracking
@@ -2284,16 +2845,42 @@ object Skipping {
       }
     }
 
-  /** Single-entry TTL memo per path for the distributed pruning
-    * result: `listFiles` runs several times per query (planning, AQE
-    * re-plans, execution), and each distributed evaluation is a Spark
-    * job. Signature-gated, so a manifest write invalidates within the
-    * probe TTL; the held map is transient O(dropped-files) for one
-    * table — the same driver-memory class as the scan's own file
-    * listing, and unlike [[manifestCache]] it expires. */
+  /** TTL memo for the distributed pruning results, keyed by (path,
+    * pred set) with a small per-path entry cap (r18 VERDICT #3: the
+    * old single-entry-per-path memo made a workload ALTERNATING two
+    * pred sets over one oversized table re-pay the keep/drop job per
+    * alternation): `listFiles` runs several times per query (planning,
+    * AQE re-plans, execution), and each distributed evaluation is a
+    * Spark job. Signature-gated, so a manifest write invalidates
+    * within the probe TTL; each held map is transient
+    * O(dropped-files) — the same driver-memory class as the scan's own
+    * file listing, and unlike [[manifestCache]] it expires. */
   private val distributedDrops =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      (String, Seq[Pred], Map[String, (Long, Long)], Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Pred]),
+      (String, Map[String, (Long, Long)], Long)]()
+
+  private def distributedDropsMaxPerPath: Int = 8
+
+  private def distributedDropsPut(path: String, preds: Seq[Pred],
+      sig: String, out: Map[String, (Long, Long)]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val mine = distributedDrops.keySet.asScala
+      .filter(_._1 == path).toSeq
+    if (mine.size >= distributedDropsMaxPerPath) {
+      // evict the stalest pred set for this path (oldest stored-at)
+      val oldest = mine.minBy(k =>
+        Option(distributedDrops.get(k)).map(_._3).getOrElse(0L))
+      distributedDrops.remove(oldest)
+    }
+    distributedDrops.put((path, preds),
+      (sig, out, System.currentTimeMillis()))
+  }
+
+  private def distributedDropsRemovePath(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    distributedDrops.keySet.asScala.filter(_._1 == path)
+      .foreach(distributedDrops.remove)
+  }
 
   /** The OVERSIZED-manifest pruning path (r17 VERDICT lead item): the
     * keep/drop evaluation runs as a distributed job over the manifest
@@ -2305,10 +2892,10 @@ object Skipping {
     * dropping still requires the caller's live-identity match. */
   private def droppedFilesDistributed(spark: SparkSession, path: String,
       preds: Seq[Pred], sig: String): Option[Map[String, (Long, Long)]] = {
-    val memo = distributedDrops.get(path)
-    if (memo != null && memo._1 == sig && memo._2 == preds &&
-        System.currentTimeMillis() - memo._4 < ProbeTtlMs)
-      Some(memo._3)
+    val memo = distributedDrops.get((path, preds))
+    if (memo != null && memo._1 == sig &&
+        System.currentTimeMillis() - memo._3 < ProbeTtlMs)
+      Some(memo._2)
     else readManifest(spark, path).flatMap { m0 =>
       val inline = m0.columns.filter(_.endsWith("__bloom"))
       val m = if (inline.isEmpty) m0 else m0.drop(inline: _*)
@@ -2338,8 +2925,7 @@ object Skipping {
           if (tests.isEmpty) Map.empty[String, (Long, Long)]
           else bloomDropsDistributed(spark, path, tests)
         val out = statsDropped ++ bloomDropped
-        distributedDrops.put(path,
-          (sig, preds, out, System.currentTimeMillis()))
+        distributedDropsPut(path, preds, sig, out)
         Some(out)
       } catch { case _: Exception => None }
     }
@@ -2550,6 +3136,8 @@ object Skipping {
     manifestProbe.clear()
     sigProbe.clear()
     distributedDrops.clear()
+    oversizedMemo.clear()
+    oversizedFields.clear()
   }
 
   /** Manifest-pruned read: equals `spark.read.parquet(path)
@@ -3167,6 +3755,86 @@ object Skipping {
         }
       }
     }),
+    // OVERSIZED-manifest metadata rewrites (r19, the r18 VERDICT lead
+    // item): with the stat budget forced to 1 byte, the metadata
+    // aggregate + exact ndv chain + HLL estimate must STILL answer —
+    // the completeness walk runs as a distributed job over the
+    // manifest parquet instead of a driver collect. All effects
+    // hashed: `metadata_only` (zero files opened by the executed agg),
+    // `hll_answered`/`within_tol` (sketch path), and `nothing_cached`
+    // (no stat row resident). A silent decline OR a silent collect is
+    // a correctness failure.
+    "ix_meta_oversized" -> ((s, dir) => {
+      val tmp = GateTimings.timed("ix_meta_oversized", "build") {
+        val t = tmpTable("graft_metaov")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(16, col("uid_bucket"))
+          .sortWithinPartitions("uid_bucket")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("uid_bucket", "event_id"),
+          ndvCols = Seq("uid_bucket"), hllCols = Seq("uid_bucket"))
+        t
+      }
+      GateTimings.timed("ix_meta_oversized", "probe") {
+        sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+        try {
+          evictTable(tmp)
+          val est = metadataApproxDistinct(s, tmp, "uid_bucket")
+            .getOrElse(-1L)
+          val q = s.read.parquet(tmp)
+            .agg(countDistinct(col("uid_bucket")).as("n_buckets"),
+              count(lit(1)).as("n"),
+              sum(col("event_id")).as("sum_id"),
+              min(col("uid_bucket")).as("min_bucket"),
+              max(col("uid_bucket")).as("max_bucket"))
+          val nf = scannedFiles(q)
+          GateTimings.materialize(q
+            .withColumn("metadata_only", lit(nf == 0))
+            .withColumn("hll_answered", lit(est >= 0L))
+            .withColumn("within_tol",
+              lit(est >= 0L) &&
+                abs(lit(est) - col("n_buckets")) <=
+                  greatest(lit(0.05) * col("n_buckets"), lit(1.0)))
+            .withColumn("nothing_cached",
+              lit(!cachedTables.contains(tmp))))
+        } finally {
+          sys.props.remove("graft.skipping.statsDriverMaxBytes")
+          evictTable(tmp)
+        }
+      }
+    }),
+    // OVERSIZED top-k pruning: the bound derivation runs its prefix
+    // walk as a window job over the manifest parquet; the clustered
+    // layout must still prune to the tail files with nothing collected
+    "ix_topk_oversized" -> ((s, dir) => {
+      val (tmp, total) = GateTimings.timed("ix_topk_oversized",
+          "build") {
+        val t = tmpTable("graft_topkov")
+        eventsWithBucket(s, dir)
+          .repartitionByRange(32, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.parquet(t)
+        writeManifest(s, t, Seq("event_id"))
+        (t, dataFiles(s, t).size)
+      }
+      GateTimings.timed("ix_topk_oversized", "probe") {
+        sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+        try {
+          evictTable(tmp)
+          val q = s.read.parquet(tmp)
+            .select(col("event_id"), col("user_id"), col("value"))
+            .orderBy(col("event_id").desc).limit(100)
+          val nf = scannedFiles(q)
+          GateTimings.materialize(q
+            .withColumn("topk_pruned", lit(nf * 2 <= total))
+            .withColumn("nothing_cached",
+              lit(!cachedTables.contains(tmp))))
+        } finally {
+          sys.props.remove("graft.skipping.statsDriverMaxBytes")
+          evictTable(tmp)
+        }
+      }
+    }),
     // top-k file pruning: ORDER BY event_id DESC LIMIT 100 over an
     // event_id-clustered layout — the derived bound filter prunes all
     // but the tail file(s); `topk_pruned` is hashed so a silently
@@ -3448,6 +4116,25 @@ object Skipping {
         |  max(user_id % 100) AS max_bucket,
         |  CAST(1 AS BOOLEAN) AS metadata_only
         |FROM events""".stripMargin,
+    // the r19 oversized-mode gates: every flag TRUE — a declining
+    // rewrite (metadata_only/hll_answered false) or a collecting one
+    // (nothing_cached false) hash-mismatches
+    "ix_meta_oversized" ->
+      """SELECT count(DISTINCT user_id % 100) AS n_buckets,
+        |  count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  min(user_id % 100) AS min_bucket,
+        |  max(user_id % 100) AS max_bucket,
+        |  CAST(1 AS BOOLEAN) AS metadata_only,
+        |  CAST(1 AS BOOLEAN) AS hll_answered,
+        |  CAST(1 AS BOOLEAN) AS within_tol,
+        |  CAST(1 AS BOOLEAN) AS nothing_cached
+        |FROM events""".stripMargin,
+    "ix_topk_oversized" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(1 AS BOOLEAN) AS topk_pruned,
+        |  CAST(1 AS BOOLEAN) AS nothing_cached
+        |FROM events ORDER BY event_id DESC LIMIT 100""".stripMargin,
     // cap_pruned/nothing_cached asserted: the distributed keep/drop
     // must actually drop files while the driver cache stays empty
     "ix_stats_cap" ->

@@ -221,17 +221,30 @@ class SkippingSpec extends AnyFunSuite {
   }
 
   test("oversized manifest: pruning runs distributed, no stat row is " +
-      "collected, driver-walk rewrites decline") {
-    // r17 VERDICT lead item: past graft.skipping.statsDriverMaxBytes
+      "collected, metadata rewrites ANSWER via the distributed " +
+      "completeness walk and match the driver path") {
+    // r18 VERDICT lead item: past graft.skipping.statsDriverMaxBytes
     // the planning cache must NOT collect O(files) stat rows — pruning
-    // still works (as a job returning only dropped triples) and every
-    // driver-sequential rewrite declines soundly
+    // runs as a job returning only dropped triples, and (new in r19)
+    // the metadata agg / top-k / DFP-qualification rewrites evaluate
+    // the SAME completeness proof distributed instead of declining.
     val dir = tmp("skip_cap")
     spark.range(3000).select(col("id").as("a"),
         (col("id") % 7).cast("double").as("v"))
       .repartitionByRange(10, col("a")).sortWithinPartitions("a")
       .write.parquet(dir)
     writeManifest(spark, dir, Seq("a"))
+    import org.apache.spark.sql.types._
+    val types = Map[String, DataType]("a" -> LongType)
+    // driver-path reference results (cap lifted)
+    val aggRef = Skipping.metadataAggStats(spark, dir, Seq("a"),
+      expectedTypes = types)
+    val topkRef = Skipping.topKFilterBound(spark, dir, "a", 5L,
+      desc = true, nullsFirst = false, types)
+    val aggFilteredRef = Skipping.metadataAggStats(spark, dir,
+      Seq("a"), Seq(RangePred("a", Some(0L), None)), types)
+    assert(aggRef.exists(_._1 == 3000L) && topkRef.isDefined &&
+      aggFilteredRef.isDefined)
     sys.props("graft.skipping.statsDriverMaxBytes") = "1"
     try {
       Skipping.evictTable(dir)
@@ -243,15 +256,23 @@ class SkippingSpec extends AnyFunSuite {
       assert(nf * 2 <= 10, s"distributed pruning scanned $nf of 10")
       assert(!Skipping.cachedTables.contains(dir),
         "stat rows were collected past the driver cap")
-      import org.apache.spark.sql.types._
       assert(Skipping.metadataAggStats(spark, dir, Seq("a"),
-        expectedTypes = Map("a" -> LongType)).isEmpty,
-        "metadata aggregate must decline past the cap")
+        expectedTypes = types) == aggRef,
+        "oversized metadata aggregate must equal the driver path")
+      assert(Skipping.metadataAggStats(spark, dir, Seq("a"),
+        Seq(RangePred("a", Some(0L), None)), types) == aggFilteredRef,
+        "oversized FILTERED (all-in) aggregate must equal the driver " +
+          "path")
+      // a genuinely partial pred declines on both paths
+      assert(Skipping.metadataAggStats(spark, dir, Seq("a"),
+        Seq(RangePred("a", Some(100L), Some(400L))), types).isEmpty)
       assert(Skipping.topKFilterBound(spark, dir, "a", 5L, desc = true,
-        nullsFirst = false, Map("a" -> LongType)).isEmpty,
-        "top-k bound must decline past the cap")
-      assert(Skipping.statIndexedColumns(spark, dir).isEmpty,
-        "DFP qualification must decline past the cap")
+        nullsFirst = false, types) == topkRef,
+        "oversized top-k bound must equal the driver walk's")
+      assert(Skipping.statIndexedColumns(spark, dir) == Set("a"),
+        "DFP qualification must answer from the footer past the cap")
+      assert(!Skipping.cachedTables.contains(dir),
+        "a rewrite leaked stat rows into the driver cache")
     } finally {
       sys.props.remove("graft.skipping.statsDriverMaxBytes")
       Skipping.evictTable(dir)
@@ -260,6 +281,182 @@ class SkippingSpec extends AnyFunSuite {
     assert(droppedFiles(spark, dir,
       Seq(RangePred("a", Some(100L), Some(399L)))).exists(_.nonEmpty))
     assert(Skipping.cachedTables.contains(dir))
+  }
+
+  test("oversized manifest: GROUP BY / ndv-chain / HLL rewrites " +
+      "answer distributed and match the driver path exactly") {
+    import org.apache.spark.sql.types._
+    // hive-partitioned by g (file-constant key), k carries sketches
+    val dir = tmp("skip_cap_grp")
+    spark.range(4000).select(col("id"),
+        (col("id") % 4).cast("int").as("g"),
+        pmod(col("id") * 2654435761L, lit(997L)).as("k"),
+        (col("id") % 9).cast("double").as("v"))
+      .repartition(8).write.partitionBy("g").parquet(dir)
+    writeManifest(spark, dir, Seq("g", "k", "v"), hllCols = Seq("k"))
+    // hive partition inference reads g back as INTEGER
+    val types = Map[String, DataType]("g" -> IntegerType,
+      "k" -> LongType, "v" -> DoubleType)
+    val grpRef = Skipping.metadataGroupStats(spark, dir, Seq("g"),
+      Seq("v"), expectedTypes = types)
+    val hllRef = Skipping.metadataApproxDistinct(spark, dir, "k")
+    assert(grpRef.exists(_.size == 4) && hllRef.isDefined)
+    // clustered layout with exact ndv stats: the chain count
+    val dir2 = tmp("skip_cap_ndv")
+    spark.range(3000).select(pmod(col("id"), lit(173L)).as("k"))
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.parquet(dir2)
+    writeManifest(spark, dir2, Seq("k"), ndvCols = Seq("k"))
+    val ndvRef = Skipping.metadataGroupStats(spark, dir2, Nil, Nil,
+      distinctCols = Seq(Seq("k")),
+      expectedTypes = Map("k" -> LongType))
+    assert(ndvRef.exists(_.head._4(Seq("k")) == 173L))
+    sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+    try {
+      Seq(dir, dir2).foreach(Skipping.evictTable)
+      assert(Skipping.metadataGroupStats(spark, dir, Seq("g"),
+        Seq("v"), expectedTypes = types).map(_.toSet) ==
+        grpRef.map(_.toSet),
+        "oversized metadata GROUP BY must equal the driver path")
+      assert(Skipping.metadataApproxDistinct(spark, dir, "k") == hllRef,
+        "oversized HLL estimate must equal the driver path")
+      // filtered HLL leg over the file-constant hive key
+      val estClick = Skipping.metadataApproxDistinct(spark, dir, "k",
+        Seq(EqPred("g", 2)), types)
+      val exactClick = spark.read.parquet(dir)
+        .filter(col("g") === 2)
+        .agg(countDistinct(col("k"))).head().getLong(0)
+      assert(estClick.exists(e =>
+        math.abs(e - exactClick) <= math.max(1.0, 0.05 * exactClick)))
+      assert(Skipping.metadataGroupStats(spark, dir2, Nil, Nil,
+        distinctCols = Seq(Seq("k")),
+        expectedTypes = Map("k" -> LongType)).map(_.toSet) ==
+        ndvRef.map(_.toSet),
+        "oversized ndv chain must equal the driver walk")
+      assert(!Skipping.cachedTables.contains(dir) &&
+        !Skipping.cachedTables.contains(dir2),
+        "a distributed rewrite leaked stat rows into the driver cache")
+    } finally {
+      sys.props.remove("graft.skipping.statsDriverMaxBytes")
+      Seq(dir, dir2).foreach(Skipping.evictTable)
+    }
+  }
+
+  test("oversized memo: repeated rewrites over an unchanged table " +
+      "re-list but run ZERO further jobs; an out-of-band append " +
+      "invalidates by digest") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("skip_cap_memo")
+    spark.range(2000).select(col("id").as("a"))
+      .repartitionByRange(6, col("a")).sortWithinPartitions("a")
+      .write.parquet(dir)
+    writeManifest(spark, dir, Seq("a"))
+    val types = Map[String, DataType]("a" -> LongType)
+    sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+    sys.props("graft.skipping.probeTtlMs") = "60000"
+    try {
+      Skipping.evictTable(dir)
+      val first = Skipping.metadataAggStats(spark, dir, Seq("a"),
+        expectedTypes = types)
+      assert(first.exists(_._1 == 2000L))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(Skipping.metadataAggStats(spark, dir, Seq("a"),
+          expectedTypes = types) == first)
+        // flush the async listener bus with a sentinel RDD job
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.currentTimeMillis() + 10000
+        while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(jobs.get() == 1,
+          s"memoized oversized rewrite ran ${jobs.get() - 1} jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // out-of-band append: the digest changes, the memo CANNOT be
+      // served, and the completeness proof declines (unknown file)
+      spark.range(5).select((col("id") + 5000L).as("a"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+      assert(Skipping.metadataAggStats(spark, dir, Seq("a"),
+        expectedTypes = types).isEmpty,
+        "out-of-band file must fail the distributed completeness walk")
+    } finally {
+      sys.props.remove("graft.skipping.statsDriverMaxBytes")
+      sys.props.remove("graft.skipping.probeTtlMs")
+      Skipping.evictTable(dir)
+    }
+  }
+
+  test("distributedDrops memo holds multiple pred sets per path: " +
+      "alternating predicates hit the memo instead of re-running " +
+      "the keep/drop job") {
+    // r18 VERDICT #3: the old single-entry-per-path memo re-paid the
+    // distributed job on every alternation between two pred sets
+    val dir = tmp("skip_cap_alt")
+    sample(600).repartitionByRange(6, col("a")).write.parquet(dir)
+    writeManifest(spark, dir, Seq("a"))
+    val pA = Seq(RangePred("a", Some(0L), Some(9L)))
+    val pB = Seq(RangePred("a", Some(50L), Some(59L)))
+    sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+    sys.props("graft.skipping.probeTtlMs") = "60000"
+    try {
+      Skipping.evictTable(dir)
+      // warm both pred sets (each pays its one distributed job)
+      assert(droppedFiles(spark, dir, pA).exists(_.nonEmpty))
+      assert(droppedFiles(spark, dir, pB).exists(_.nonEmpty))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        for (_ <- 1 to 3) {
+          assert(droppedFiles(spark, dir, pA).exists(_.nonEmpty))
+          assert(droppedFiles(spark, dir, pB).exists(_.nonEmpty))
+        }
+        spark.sparkContext.parallelize(Seq(1), 1).count()
+        val deadline = System.currentTimeMillis() + 10000
+        while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        assert(jobs.get() == 1,
+          s"alternating pred sets re-ran ${jobs.get() - 1} keep/drop " +
+            "jobs despite the memo")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      sys.props.remove("graft.skipping.statsDriverMaxBytes")
+      sys.props.remove("graft.skipping.probeTtlMs")
+      Skipping.evictTable(dir)
+    }
+  }
+
+  test("HLL estimate memo is keyed by live identity: an out-of-band " +
+      "append re-evaluates the DFP density verdict instead of " +
+      "serving the stale estimate") {
+    // r18 VERDICT #2: the per-signature memo could serve an estimate
+    // from BEFORE an out-of-band file appeared to keysLikelyCoverNdv
+    // (the one digest-exempt consumer). The manifest signature does
+    // NOT change on a data append, so this is exactly the stale case.
+    val dir = tmp("skip_hll_digest")
+    spark.range(3000).select(pmod(col("id"), lit(100L)).as("k"))
+      .repartition(4).write.parquet(dir)
+    writeManifest(spark, dir, Seq("k"), hllCols = Seq("k"))
+    // warm the memo, then confirm the density verdict at ~100 ndv
+    assert(Skipping.metadataApproxDistinct(spark, dir, "k").isDefined)
+    assert(Skipping.keysLikelyCoverNdv(spark, dir, "k", 120L),
+      "120 keys must read as covering a ~100-ndv column")
+    // out-of-band append with 5000 NEW values — a stale served
+    // estimate would keep answering true
+    spark.range(5000).select((col("id") + 1000L).as("k"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+    assert(!Skipping.keysLikelyCoverNdv(spark, dir, "k", 120L),
+      "the stale memoized estimate was served across an out-of-band " +
+        "append")
   }
 
   test("oversized manifest: bloom point-lookup pruning still drops " +
