@@ -2710,7 +2710,10 @@ object Skipping {
       groupCols: Seq[String], c: String, k: Long, desc: Boolean,
       nullsFirst: Boolean, expectedTypes: Map[String, DataType],
       preds: Seq[Pred] = Nil, kDistinct: Long = 0L)
-      : Option[Seq[(Seq[Any], Option[Any])]] =
+      : Option[Seq[(Seq[Any], Option[Any])]] = {
+    if (statsOversized(spark, path))
+      return windowTopKBoundsDistributed(spark, path, groupCols, c, k,
+        desc, nullsFirst, expectedTypes, preds, kDistinct)
     manifestSignature(spark, path).flatMap { sig =>
       cachedManifest(spark, path, sig).flatMap { cached =>
         val schema = cached.schema
@@ -2789,6 +2792,144 @@ object Skipping {
         }
       }
     }
+  }
+
+  /** [[windowTopKBounds]]' oversized path: the per-group
+    * [[boundWalkK]] fold is a sequential recurrence (the chain edge
+    * advances only on counted files), so it streams as a
+    * repartition-by-group + sort-within-partitions + mapPartitions
+    * fold — no per-group materialization, O(files) rows through one
+    * shuffle. Three memoized jobs: verification (identity count,
+    * nulls, group-key single-valued probe), group materialization
+    * (ALL non-empty files — a group with no all-in rows must still
+    * surface with a None bound, and the job doubles as the
+    * [[windowTopkMaxGroups]] cap check), and the fold itself over the
+    * all-in nn>0 rows. Driver-side group-key equality across the job
+    * results is fenced by [[statKeyChainSafe]], same as the driver
+    * walk. */
+  private def windowTopKBoundsDistributed(spark: SparkSession,
+      path: String, groupCols: Seq[String], c: String, k: Long,
+      desc: Boolean, nullsFirst: Boolean,
+      expectedTypes: Map[String, DataType], preds: Seq[Pred],
+      kDistinct: Long): Option[Seq[(Seq[Any], Option[Any])]] = {
+    if ((k <= 0L && kDistinct <= 0L) || groupCols.isEmpty) return None
+    val needed = ((groupCols :+ c) ++ preds.flatMap(_.columns)).distinct
+    oversizedProof[Seq[(Seq[Any], Option[Any])]](spark, path,
+        ("wtopk", groupCols, c, k, kDistinct, desc, nullsFirst, preds),
+        needed, expectedTypes) { (joined, schema, liveCount) =>
+      val statOk = statKeyChainSafe(schema(s"${c}__min").dataType) &&
+        groupCols.forall(g =>
+          statKeyChainSafe(schema(s"${g}__min").dataType))
+      val ndvOk = kDistinct <= 0L ||
+        schema.fieldNames.contains(s"${c}__ndv")
+      if (!statOk || !ndvOk) None
+      else {
+        val maxGroups = windowTopkMaxGroups
+        val nn = col("rows") - col(s"${c}__nulls")
+        val ver = joined.agg(
+          count(lit(1)).as("__matched"),
+          coalesce(sum(when(col("rows") > 0L, col(s"${c}__nulls"))),
+            lit(0L)).as("__nulls"),
+          coalesce(max(when(col("rows") > 0L &&
+              !coalesce(groupConstantCond(groupCols), lit(false)),
+              lit(1L)).otherwise(lit(0L))), lit(0L)).as("__mv"),
+          coalesce(sum(when(col("rows") > 0L, lit(1L))
+            .otherwise(lit(0L))), lit(0L)).as("__nonempty")).head()
+        if (ver.getLong(ver.fieldIndex("__matched")) != liveCount ||
+            ver.getLong(ver.fieldIndex("__mv")) != 0L ||
+            (nullsFirst &&
+              ver.getLong(ver.fieldIndex("__nulls")) > 0L) ||
+            ver.getLong(ver.fieldIndex("__nonempty")) == 0L) None
+        else {
+          def keyExpr(g: String): Column =
+            when(col(s"${g}__nulls") === col("rows"), lit(null))
+              .otherwise(col(s"${g}__min"))
+          val kAliases = groupCols.zipWithIndex.map { case (g, i) =>
+            keyExpr(g).as(s"__k_$i") }
+          val kCols = groupCols.indices.map(i => col(s"__k_$i"))
+          // job 2: ALL non-empty groups (the result surface + the cap)
+          val groupRows = joined.filter(col("rows") > 0L)
+            .select(kAliases: _*).distinct()
+            .limit(maxGroups + 1).collect().toSeq
+          if (groupRows.size > maxGroups) None
+          else {
+            val allKeys: Seq[Seq[Any]] = groupRows.map(r =>
+              groupCols.indices.map(i =>
+                r.get(r.fieldIndex(s"__k_$i"))).toSeq)
+            // job 3: the fold over all-in nn>0 rows, grouped-contiguous
+            val keyC = if (desc) col(s"${c}__max")
+              else col(s"${c}__min")
+            val f = joined.filter(allInCol(preds) && nn > 0L)
+              .select(kAliases ++ Seq(
+                keyC.as("__lead"),
+                (if (desc) col(s"${c}__min")
+                 else col(s"${c}__max")).as("__bnd"),
+                nn.as("__nn"),
+                (if (schema.fieldNames.contains(s"${c}__ndv"))
+                  col(s"${c}__ndv")
+                else lit(null).cast("long")).as("__ndv")): _*)
+            val parts = math.max(1, math.min(groupRows.size,
+              spark.sparkContext.defaultParallelism))
+            val sorted = f.repartition(parts, kCols: _*)
+              .sortWithinPartitions((kCols :+
+                (if (desc) col("__lead").desc
+                 else col("__lead").asc)): _*)
+            val nk = groupCols.size
+            val sign = if (desc) -1 else 1
+            val kD = kDistinct
+            val kR = k
+            val walked: Map[Seq[Any], Option[Any]] =
+              sorted.rdd.mapPartitions { it =>
+                val out = collection.mutable.ArrayBuffer[
+                  (Seq[Any], Option[Any])]()
+                var cur: Seq[Any] = null
+                var open = false
+                var cumRows = 0L; var cumDist = 0L
+                var bound: Any = null; var edge: Any = null
+                var found: Option[Any] = None
+                def flush(): Unit = if (open) out += ((cur, found))
+                it.foreach { r =>
+                  val key = (0 until nk).map(r.get)
+                  if (!open || key != cur) {
+                    flush()
+                    cur = key; open = true
+                    cumRows = 0L; cumDist = 0L
+                    bound = null; edge = null; found = None
+                  }
+                  if (found.isEmpty) {
+                    val lead = r.get(nk)
+                    val b = r.get(nk + 1)
+                    val nnv = r.getLong(nk + 2)
+                    if (lead == null || b == null)
+                      throw new IllegalStateException(
+                        s"null boundary stat on a non-null-rows file")
+                    if (bound == null || sign * statCmp(b, bound) > 0)
+                      bound = b
+                    cumRows += nnv
+                    if (!r.isNullAt(nk + 3)) {
+                      val ndv = r.getLong(nk + 3)
+                      if (edge == null) { cumDist += ndv; edge = b }
+                      else {
+                        val rel = sign * statCmp(lead, edge)
+                        if (rel > 0) { cumDist += ndv; edge = b }
+                        else if (rel == 0) {
+                          cumDist += math.max(0L, ndv - 1L); edge = b
+                        }
+                      }
+                    }
+                    if (cumRows >= kR && cumDist >= kD)
+                      found = Some(bound)
+                  }
+                }
+                flush()
+                out.iterator
+              }.collect().toMap
+            Some(allKeys.map(kv => (kv, walked.getOrElse(kv, None))))
+          }
+        }
+      }
+    }
+  }
 
   /** Per-file "single-valued in every grouping column" condition over
     * manifest stat rows: zero nulls with min == max (the group key),

@@ -371,6 +371,43 @@ object ScaleProbe {
           Skipping.evictTable(dir)
         }
       }),
+      // OVERSIZED-mode metadata aggregate (r19): the distributed
+      // completeness walk + fused aggregate over the manifest parquet
+      // must stay ~flat in FILE COUNT at fixed data size — a silent
+      // decline would surface as a LINEAR full-scan exponent, a silent
+      // collect as driver heap. Evict per run so the job is timed,
+      // not the digest memo.
+      "skip_meta_oversized" -> (f => {
+        val dir = capFor(f)
+        sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+        try {
+          Skipping.evictTable(dir)
+          val r = spark.read.parquet(dir)
+            .agg(count(lit(1)).as("n"), min(col("idx")).as("mn"),
+              max(col("idx")).as("mx")).head()
+          require(r.getLong(0) > 0L, "oversized meta agg must answer")
+          spark.range(1).toDF("n")
+        } finally {
+          sys.props.remove("graft.skipping.statsDriverMaxBytes")
+          Skipping.evictTable(dir)
+        }
+      }),
+      // OVERSIZED-mode top-k: the window prefix walk over the manifest
+      // parquet + the pruned tail scan — ~flat in file count
+      "skip_topk_oversized" -> (f => {
+        val dir = capFor(f)
+        sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+        try {
+          Skipping.evictTable(dir)
+          val n = spark.read.parquet(dir)
+            .orderBy(col("idx").desc).limit(100).count()
+          require(n == 100L, "oversized top-k must keep 100 rows")
+          spark.range(1).toDF("n")
+        } finally {
+          sys.props.remove("graft.skipping.statsDriverMaxBytes")
+          Skipping.evictTable(dir)
+        }
+      }),
       // fixed absolute range over a growing table: manifest pruning
       // should hold the cost ~flat (exponent ≈ 0)
       "skip_scan_pruned_fixed" -> (f =>
@@ -497,7 +534,9 @@ object ScaleProbe {
     if (allOps.exists(_._1.startsWith("skip_"))) factors.foreach(skipFor)
     if (allOps.exists(n => n._1 == "skip_window_topk" ||
         n._1 == "skip_topk_dense")) factors.foreach(wtopkFor)
-    if (allOps.exists(_._1 == "skip_stats_cap")) factors.foreach(capFor)
+    if (allOps.exists(n => n._1 == "skip_stats_cap" ||
+        n._1 == "skip_meta_oversized" || n._1 == "skip_topk_oversized"))
+      factors.foreach(capFor)
 
     // JIT/codegen warm-up outside the measured region
     allOps.foreach { case (_, op) =>

@@ -65,6 +65,69 @@ class WindowTopkSpec extends AnyFunSuite {
     assert(scannedFiles(latest(read(dir))) * 2 <= total)
   }
 
+  test("oversized manifest: per-group bounds fold distributed, equal " +
+      "the driver walk, still prune, nothing collected") {
+    // r19: the last oversized decline in the rewrite family — the
+    // boundWalkK recurrence streams via repartition-by-group +
+    // sortWithinPartitions + mapPartitions
+    val (dir, total) = writeTable(3000)
+    import org.apache.spark.sql.types._
+    val types = Map[String, DataType]("p" -> StringType,
+      "c" -> LongType)
+    val ref = Skipping.windowTopKBounds(spark, dir, Seq("p"), "c", 10L,
+      desc = true, nullsFirst = false, types)
+    assert(ref.exists(_.size == 3))
+    sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+    try {
+      Skipping.evictTable(dir)
+      val got = Skipping.windowTopKBounds(spark, dir, Seq("p"), "c",
+        10L, desc = true, nullsFirst = false, types)
+      assert(got.map(_.toMap) == ref.map(_.toMap),
+        s"oversized bounds $got must equal driver bounds $ref")
+      // the whole rule path: pruning + exact results with zero stat
+      // rows resident
+      assert(sets(topk(read(dir), 10)) == sets(topk(readFull(dir), 10)))
+      assert(scannedFiles(topk(read(dir), 10)) * 2 <= total)
+      assert(!Skipping.cachedTables.contains(dir),
+        "stat rows were collected past the driver cap")
+      // dense_rank (kDistinct) leg needs ndv stats: declines on this
+      // ndv-less manifest in BOTH modes
+      assert(Skipping.windowTopKBounds(spark, dir, Seq("p"), "c", 0L,
+        desc = true, nullsFirst = false, types,
+        kDistinct = 5L).isEmpty)
+    } finally {
+      sys.props.remove("graft.skipping.statsDriverMaxBytes")
+      Skipping.evictTable(dir)
+    }
+  }
+
+  test("oversized manifest: dense_rank kDistinct chain equals the " +
+      "driver walk over ndv stats") {
+    val df = spark.range(2400).select(col("id").as("c"),
+      concat(lit("p"), (col("id") % 2)).as("p"))
+    val dir = tmp("wtopk_ov_ndv")
+    df.repartitionByRange(8, col("p"), col("c"))
+      .write.partitionBy("p").parquet(dir)
+    Skipping.writeManifest(spark, dir, Seq("p", "c"),
+      ndvCols = Seq("c"))
+    import org.apache.spark.sql.types._
+    val types = Map[String, DataType]("p" -> StringType,
+      "c" -> LongType)
+    val ref = Skipping.windowTopKBounds(spark, dir, Seq("p"), "c", 7L,
+      desc = true, nullsFirst = false, types, kDistinct = 7L)
+    assert(ref.exists(bs => bs.size == 2 && bs.forall(_._2.isDefined)))
+    sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+    try {
+      Skipping.evictTable(dir)
+      val got = Skipping.windowTopKBounds(spark, dir, Seq("p"), "c",
+        7L, desc = true, nullsFirst = false, types, kDistinct = 7L)
+      assert(got.map(_.toMap) == ref.map(_.toMap))
+    } finally {
+      sys.props.remove("graft.skipping.statsDriverMaxBytes")
+      Skipping.evictTable(dir)
+    }
+  }
+
   test("secondary sort keys ride along: bound binds only the leading key") {
     val (dir, total) = writeTable(3000)
     // removed rows sort strictly below every survivor in c, so the
