@@ -35,8 +35,12 @@ object TextAnalysis {
 
   def stopwordRatio(c: Column): Column = {
     val toks = tokens(c)
-    val stops = filter(toks, t => t.isInCollection(stopwords))
-    size(stops).cast("double") / size(toks)
+    // codegen'd constant-set count (r18 VERDICT #6): value-identical
+    // to size(filter(toks, isInCollection)) - duplicates count, null
+    // elements don't, null array answers null
+    val stops = org.apache.spark.sql.graft.NativeVectorColumns
+      .countInSet(toks, stopwords)
+    stops.cast("double") / size(toks)
   }
 
   def punctRatio(c: Column): Column =
@@ -53,7 +57,8 @@ object TextAnalysis {
   def langId(c: Column): Column = {
     val toks = tokens(c)
     val Seq(sEn, sDe, sFr) = langProfiles.map { case (_, words) =>
-      size(filter(toks, t => t.isInCollection(words)))
+      org.apache.spark.sql.graft.NativeVectorColumns
+        .countInSet(toks, words)
     }
     when(greatest(sEn, sDe, sFr) === 0, lit("und"))
       .when(sFr > sDe && sFr > sEn, lit("fr"))
@@ -507,7 +512,8 @@ object TextAnalysis {
     val nwRaw = nn(size(toks))
     val nw = greatest(nwRaw, lit(1L))
     val stopPm =
-      idiv(nn(size(filter(toks, t => t.isInCollection(stop)))) * 1000, nw)
+      idiv(nn(org.apache.spark.sql.graft.NativeVectorColumns
+        .countInSet(toks, stop)) * 1000, nw)
     val mwl100 = idiv(nn(length(concat_ws("", toks))) * 100, nw)
     val ttrPm = idiv(nn(size(array_distinct(toks))) * 1000, nw)
     val score = lit(3L) * stopPm + lit(2L) * ttrPm +

@@ -411,9 +411,15 @@ object Relational {
     // bucketed by priority class per return flag.
     "q12_late_shipments" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
+      // the +60d due date is hoisted into the BUILD side projection so
+      // the broadcast relation carries it precomputed — the interval
+      // add runs once per orders row, not once per joined lineitem row
+      // (values identical: timestamp arithmetic is deterministic)
       val ord = Tables.load(s, dir, "orders")
-      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .withColumn("__o_due",
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey") &&
+          col("l_shipdate") > col("__o_due"))
         .groupBy(col("l_returnflag"))
         .agg(
           sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)

@@ -409,8 +409,70 @@ object AdcLookupSum {
   }
 }
 
+/** Count of array elements contained in a small CONSTANT word set —
+  * the text-quality hot loop (`size(filter(toks,
+  * t.isInCollection(words)))` is an interpreted ArrayFilter lambda
+  * with a per-element linear In; this is a codegen'd loop over a
+  * shared UTF8String hash set). Value-identical to the lambda form:
+  * duplicates count per occurrence (NOT array_intersect's set
+  * semantics), null elements never count, a NULL array answers NULL.
+  * The set is built once per (driver, executor) and shipped by
+  * reference into the generated code. */
+final case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  @transient private lazy val set
+      : java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[
+      org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(
+      org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    var n = 0
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set,
+      "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = 0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CountInSet = copy(child = newChild)
+}
+
 /** Column builders (bridging `private[sql]` ExpressionUtils). */
 object NativeVectorColumns {
+  def countInSet(arr: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(
+      CountInSet(ExpressionUtils.expression(arr), words))
   def floatDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

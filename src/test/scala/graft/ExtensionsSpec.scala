@@ -182,6 +182,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(run("NO_CODEGEN") == exp)
   }
 
+  test("count_in_set equals size(filter(isInCollection)) in both eval " +
+      "modes, incl. duplicates, null elements, and null arrays") {
+    import org.apache.spark.sql.functions.{col, filter, size}
+    val words = Seq("the", "a", "of")
+    val df = Seq(
+      (1L, Seq("the", "the", "a", "dog", "of")), // duplicates count
+      (2L, Seq("dog", "cat")),
+      (3L, Seq[String](null, "the", null)),      // nulls never count
+      (4L, Seq.empty[String]),
+      (5L, null)                                  // null array -> null
+    ).toDF("id", "toks")
+    val lambda = df.select(col("id"),
+      size(filter(col("toks"),
+        t => t.isInCollection(words))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    def native(mode: String): Map[Long, Any] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(col("id"),
+        org.apache.spark.sql.graft.NativeVectorColumns
+          .countInSet(col("toks"), words).as("n"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(native("CODEGEN_ONLY") == lambda)
+    assert(native("NO_CODEGEN") == lambda)
+  }
+
   test("native float_double_dist2 computes squared L2 against centroids") {
     import org.apache.spark.sql.functions.col
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.0)))
