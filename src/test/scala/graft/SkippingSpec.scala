@@ -391,6 +391,69 @@ class SkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized differential: every oversized rewrite equals the " +
+      "driver path across layouts, preds, nulls, and group shapes") {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 1 to 6) {
+      val dir = tmp(s"skip_ovdiff$trial")
+      val n = 1000 + rnd.nextInt(2000)
+      val base = spark.range(n.toLong).select(
+        col("id").as("a"),
+        (col("id") % (3 + rnd.nextInt(3))).cast("int").as("g"),
+        when(col("id") % 13 === 0, lit(null))
+          .otherwise((col("id") % 90).cast("double")).as("v"),
+        pmod(col("id"), lit(97L)).as("k"))
+      val parts = 3 + rnd.nextInt(6)
+      rnd.nextInt(3) match {
+        case 0 => base.repartitionByRange(parts, col("a"))
+          .sortWithinPartitions("a").write.parquet(dir)
+        case 1 => base.repartition(parts).write.parquet(dir)
+        case 2 => base.repartition(parts, col("a"))
+          .write.partitionBy("g").parquet(dir)
+      }
+      writeManifest(spark, dir, Seq("a", "g", "v", "k"),
+        ndvCols = Seq("a"), hllCols = Seq("k"))
+      val types = Map[String, DataType]("a" -> LongType,
+        "g" -> IntegerType, "v" -> DoubleType, "k" -> LongType)
+      def preds(): Seq[Pred] = rnd.nextInt(4) match {
+        case 0 => Nil
+        case 1 => Seq(RangePred("a", Some(0L), None)) // all-in
+        case 2 =>
+          val lo = rnd.nextInt(n).toLong
+          Seq(RangePred("a", Some(lo), Some(lo + 200L))) // maybe partial
+        case 3 => Seq(NotNullPred("v"))
+      }
+      val p1 = preds(); val p2 = preds()
+      val topkK = 1L + rnd.nextInt(50).toLong
+      val topkDesc = rnd.nextBoolean()
+      def runAll() = (
+        Skipping.metadataAggStats(spark, dir, Seq("a", "v"), p1, types),
+        Skipping.metadataGroupStats(spark, dir, Seq("g"), Seq("v"), p2,
+          types).map(_.toSet),
+        Skipping.metadataGroupStats(spark, dir, Nil, Nil,
+          distinctCols = Seq(Seq("a")),
+          expectedTypes = types).map(_.toSet),
+        Skipping.metadataApproxDistinct(spark, dir, "k"),
+        Skipping.topKFilterBound(spark, dir, "a", topkK,
+          desc = topkDesc, nullsFirst = false, types))
+      Skipping.evictTable(dir)
+      val driver = runAll()
+      sys.props("graft.skipping.statsDriverMaxBytes") = "1"
+      try {
+        Skipping.evictTable(dir)
+        val oversized = runAll()
+        assert(oversized == driver,
+          s"trial $trial: oversized $oversized != driver $driver " +
+            s"(p1=$p1 p2=$p2)")
+        assert(!Skipping.cachedTables.contains(dir))
+      } finally {
+        sys.props.remove("graft.skipping.statsDriverMaxBytes")
+        Skipping.evictTable(dir)
+      }
+    }
+  }
+
   test("distributedDrops memo holds multiple pred sets per path: " +
       "alternating predicates hit the memo instead of re-running " +
       "the keep/drop job") {
