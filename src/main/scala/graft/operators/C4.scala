@@ -127,14 +127,40 @@ object C4 {
     // duplicate spans (every span made only of planted fragments repeats
     // corpus-wide), so n_dup_removed is large and the first-occurrence
     // tie-break is exercised for real.
+    // Shuffle shape (r19): the published aggregate only needs the span-
+    // hash MULTISET — per-h counts give every output exactly:
+    //   n_spans       = Σ c(h)                 (= count over span rows)
+    //   n_unique      = |{h}|                  (= count_distinct(h))
+    //   n_dup_removed = Σ (c(h) − 1) = n_spans − n_unique
+    //                                          (= Σ (1 − first): each h
+    //                                           has exactly ONE first row)
+    //   kept_checksum = Σ_{distinct h} h mod 2^60
+    //                                          (= checksum over first
+    //                                           rows: one per distinct h)
+    // so neither [[spanDedup]] window survives into this plan: spans are
+    // assembled from the fragment ARRAY carried through posexplode
+    // (element_at is codegen'd — no lead() window, no per-doc sort) and
+    // the only exchange is the groupBy(h) with map-side combine. The old
+    // plan paid 3 wide exchanges (doc_id window, h window, final agg) and
+    // shuffled every span row; this one shuffles distinct-h partials.
+    // Span values are bit-identical: same filtered-fragment array, same
+    // pos-indexed 3-fragment concat_ws, same md5 lane.
     "ta_c4_spans" -> ((s, dir) => {
-      spanDedup(plantForC4(Tables.load(s, dir, "documents")))
-        .agg(count(lit(1)).as("n_spans"),
-          count_distinct(col("h")).as("n_unique"),
-          sum(lit(1) - col("first")).as("n_dup_removed"),
-          TextAnalysis.checksum60(
-            when(col("first") === 1, col("h")).otherwise(lit(0L)))
-            .as("kept_checksum"))
+      val withFrags = plantForC4(Tables.load(s, dir, "documents"))
+        .select(filter(
+          transform(split(col("text"), "[.!?]"), f => trim(f)),
+          f => f =!= "").as("frags"))
+      val spans = withFrags
+        .select(col("frags"), posexplode(col("frags")).as(Seq("pos", "frag")))
+        .filter(col("pos") <= size(col("frags")) - 3)
+        .select(TextAnalysis.md5Prefix60(concat_ws(" ", col("frag"),
+          element_at(col("frags"), col("pos") + 2),
+          element_at(col("frags"), col("pos") + 3))).as("h"))
+      spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_spans"),
+          count(lit(1)).as("n_unique"),
+          (sum(col("c")) - count(lit(1))).as("n_dup_removed"),
+          TextAnalysis.checksum60(col("h")).as("kept_checksum"))
     })
   )
 

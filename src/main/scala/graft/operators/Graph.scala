@@ -68,11 +68,18 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
-    // one scalar to the driver: the node count for the teleport term
-    val n = deg.count()
-    // (src, dst, d) reused every iteration — materialize once
+    // (src, dst, d) reused every iteration — materialize once. Everything
+    // downstream (node count, r0) derives from THIS table, so the base
+    // edge list is scanned exactly once: the old shape recomputed the
+    // full scan→distinct→degree pipeline three times (deg.count() job,
+    // the materialize itself, and r0 inside the main job).
     val out = Checkpoints.materialize(sym.join(deg, "src"))
-    var ranks = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
+    // each src row carries its unique degree, so (src, d).distinct()
+    // IS the degree table — recovered from the checkpoint for free
+    val degM = out.select(col("src"), col("d")).distinct()
+    // one scalar to the driver: the node count for the teleport term
+    val n = degM.count()
+    var ranks = degM.select(col("src").as("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {
       ranks = out.join(ranks, out("src") === ranks("node"))
         .groupBy(col("dst"))
@@ -168,8 +175,12 @@ object Graph {
       col("b") === col("lo") && col("c") === col("hi"), "left_semi")
     val corners = tris.select(explode(array(col("a"), col("b"), col("c")))
       .as("node"))
-    val nodes = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node"))).distinct()
+    // node set from the MATERIALIZED oriented edges (every input edge
+    // appears exactly once as lo→hi, endpoints preserved) — deriving it
+    // from `edges` would recompute the upstream plan (for gr_triangles,
+    // the whole co-click self-join + aggregation) a second time
+    val nodes = o.select(col("lo").as("node"))
+      .union(o.select(col("hi").as("node"))).distinct()
     nodes.join(corners.groupBy("node").agg(count(lit(1)).as("__t")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__t"), lit(0L)).as("tri"))

@@ -104,25 +104,49 @@ object TextAnalysis {
     * two documents is guaranteed to contribute a common fingerprint —
     * which plain whole-document digests are not.
     *
-    * Shape: posexplode → lead(k-1) window → md5-prefix hash → windowed
-    * min — one shuffle keyed by doc_id, every expression codegen'd.
-    * Returns distinct (doc_id, fp); documents with fewer than w full
-    * k-grams yield no rows (no full window exists). */
+    * Shape (r19): k-grams from the token array carried through
+    * posexplode (element_at indexing — codegen'd, no lead() window) →
+    * md5-prefix hash → windowed min over the ONE doc_id exchange this
+    * operator keeps; the trailing distinct and any same-key caller
+    * aggregation reuse its partitioning. Returns distinct (doc_id,
+    * fp); documents with fewer than w full k-grams yield no rows (no
+    * full window exists). */
+  /** Minimum token count for a document to own a full winnow window. */
+  def winnowMinTokens(k: Int = 3, w: Int = 4): Int = k + w - 1
+
   def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+    // k-grams from the token ARRAY carried through posexplode:
+    // element_at indexing stays codegen'd (the r18 shape paid a
+    // lead(k−1) window — an Exchange + per-doc sort — just to see the
+    // next k−1 tokens, and a count() window just to know the gram
+    // count, which is size(__toks) − k + 1 for free). A fully
+    // array-side form (transform + slice + array_min, zero exchanges)
+    // was built and MEASURED SLOWER at sf0.1 (1.26 → 1.73 s min
+    // paired): the md5 inside a higher-order-function lambda is
+    // interpreted per element, and that tax beat the one exchange this
+    // form keeps. See OPTIMIZATION_r19.md.
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .filter(size(col("__toks")) >= winnowMinTokens(k, w))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "t")))
+      .filter(col("pos") <= size(col("__toks")) - k)
+      .select(col("doc_id"), col("pos"),
+        (col("pos") <= size(col("__toks")) - winnowMinTokens(k, w))
+          .as("__full"),
+        md5Prefix60(concat_ws(" ", (0 until k).map(j =>
+          if (j == 0) col("t")
+          else element_at(col("__toks"), col("pos") + lit(j + 1))): _*))
+          .as("h"))
+    // ONE exchange: the doc_id window. The trailing distinct reuses its
+    // hash partitioning (ClusteredDistribution(doc_id, fp) is satisfied
+    // by HashPartitioning(doc_id)), so no second shuffle.
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = (0 until k).map(i =>
-      if (i == 0) col("t") else lead(col("t"), i).over(byPos))
-    val grams = tok.select(col("doc_id"), col("pos"),
-        concat_ws(" ", parts: _*).as("g"), parts.last.isNotNull.as("__full"))
-      .filter(col("__full"))
-      .select(col("doc_id"), col("pos"), md5Prefix60(col("g")).as("h"))
-    val winMin = grams.select(col("doc_id"), col("pos"),
-      min(col("h")).over(byPos.rowsBetween(0, w - 1)).as("m"),
-      count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
-    winMin.filter(col("pos") <= col("n") - w) // full windows only (0-based)
+    grams.select(col("doc_id"),
+        min(col("h")).over(byPos.rowsBetween(0, w - 1)).as("m"),
+        col("__full"))
+      .filter(col("__full")) // windows fully inside the gram run only
       .select(col("doc_id"), col("m").as("fp"))
       .distinct()
   }
@@ -910,7 +934,10 @@ object TextAnalysis {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
-    // winnowing fingerprint summary (k=3 grams, w=4 windows)
+    // winnowing fingerprint summary (k=3 grams, w=4 windows). The
+    // groupBy reuses the window's doc_id hash partitioning established
+    // inside winnowFingerprints — no aggregation exchange; the output
+    // sort is the only other shuffle.
     "ta_winnow" -> ((s, dir) => {
       winnowFingerprints(Tables.load(s, dir, "documents"))
         .groupBy(col("doc_id"))

@@ -330,13 +330,23 @@ object Relational {
     }),
 
     // TPC-H Q14 shape: conditional revenue share (case inside both sums).
+    // The PROMO% test is hoisted into the BUILD side projection (the q12
+    // date-hoist pattern): the broadcast relation carries one precomputed
+    // boolean per part instead of the p_type string — the LIKE runs once
+    // per part row, not once per probed lineitem row, and the broadcast
+    // itself narrows. The volume product is bound once pre-agg so both
+    // sums read the same attribute. Values identical: LIKE on a NULL
+    // p_type yields NULL, which the when() routes to 0 either way, and
+    // the double product feeding dsum's decimal cast is unchanged.
     "q14_promo" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val part = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_type").like("PROMO%").as("__promo"))
       li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
-        .agg((dsum(when(col("p_type").like("PROMO%"),
-            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0))) /
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
+        .select(col("__promo"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__vol"))
+        .agg((dsum(when(col("__promo"), col("__vol")).otherwise(lit(0))) /
+          dsum(col("__vol")) * 100)
           .as("promo_pct"))
     }),
 
@@ -613,8 +623,16 @@ object Relational {
     // shuffle carries one 15-number row per partition, nothing else.
     "q_corr_matrix" -> ((s, dir) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // DECIMAL(8,2), not (18,6): the four measures are money/ratio
+      // columns that are exact 2-dp values under 10^6, so the (8,2)
+      // quantization is numerically IDENTICAL to (18,6) (and to the
+      // oracle's (19,6)) — but the products stay at precision 17 ≤ 18,
+      // inside Spark's compact long-backed Decimal representation,
+      // instead of (38,12) which forces JavaBigDecimal allocation per
+      // row per aggregate. The sums are exact either way; the doubles
+      // cast from them are bit-identical.
       val e = Tables.load(s, dir, "lineitem").select(
-        cols.map(c => col(c).cast(DecimalType(18, 6)).as(c)): _*)
+        cols.map(c => col(c).cast(DecimalType(8, 2)).as(c)): _*)
       val pairs = for {
         i <- cols.indices; j <- cols.indices if i < j
       } yield (cols(i), cols(j))

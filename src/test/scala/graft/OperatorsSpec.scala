@@ -1067,4 +1067,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(incremental == full,
       s"incremental sketch merge diverged: $incremental vs $full")
   }
+
+  test("winnow r19: array-side fingerprints equal the window formulation") {
+    // the r18 shape — posexplode + lead(k-1) window + min-over-window +
+    // distinct — re-built inline as the equivalence reference for the
+    // zero-shuffle array-side rewrite (r19 optimization round)
+    def windowWinnow(docs: org.apache.spark.sql.DataFrame,
+        k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val parts = (0 until k).map(i =>
+        if (i == 0) col("t") else lead(col("t"), i).over(byPos))
+      val grams = tok.select(col("doc_id"), col("pos"),
+          concat_ws(" ", parts: _*).as("g"), parts.last.isNotNull.as("__full"))
+        .filter(col("__full"))
+        .select(col("doc_id"), col("pos"),
+          TextAnalysis.md5Prefix60(col("g")).as("h"))
+      val winMin = grams.select(col("doc_id"), col("pos"),
+        min(col("h")).over(byPos.rowsBetween(0, w - 1)).as("m"),
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("n"))
+      winMin.filter(col("pos") <= col("n") - w)
+        .select(col("doc_id"), col("m").as("fp"))
+        .distinct()
+    }
+    // mixed shapes: long docs, an exact-minimum-window doc (k+w-1
+    // tokens), a one-short doc (k+w-2 → zero fingerprints), repeated
+    // tokens (duplicate gram hashes), empty text
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "prefix words first alpha beta gamma delta epsilon zeta eta"),
+      (3L, "one two three four five six"),       // exactly k+w-1 = 6
+      (4L, "one two three four five"),           // 5 < 6 → no rows
+      (5L, "rep rep rep rep rep rep rep rep"),   // duplicate grams
+      (6L, "")).toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 3))) {
+      val neu = TextAnalysis.winnowFingerprints(d, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val old = windowWinnow(d, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(neu == old, s"winnow divergence at k=$k w=$w")
+      // doc 4 (5 tokens) owns a full window only when k+w-1 <= 5;
+      // doc 6 (empty) never does; doc 3 (6 tokens) always does here
+      assert(neu.exists(_._1 == 4L) == (k + w - 1 <= 5))
+      assert(!neu.exists(_._1 == 6L))
+      assert(neu.exists(_._1 == 3L))
+    }
+  }
+
+  test("C4 spans r19: hash-multiset aggregate equals the spanDedup form") {
+    // ta_c4_spans' restructured aggregate (per-h counts, no windows)
+    // must equal the spanDedup(first-flag) aggregation on every output
+    val docs = Seq(
+      (1L, "One full sentence here. Two full sentences here. Three full sentences here. Four closes it."),
+      (2L, "One full sentence here. Two full sentences here. Three full sentences here. Four closes it."),
+      (3L, "Entirely different first! Entirely different second? Entirely different third."),
+      (4L, "Too short. Only two."),  // < 3 fragments → no spans
+      (5L, "")).toDF("doc_id", "text")
+    val viaWindow = C4.spanDedup(docs)
+      .agg(count(lit(1)).as("n_spans"),
+        count_distinct(col("h")).as("n_unique"),
+        sum(lit(1) - col("first")).as("n_dup_removed"),
+        TextAnalysis.checksum60(
+          when(col("first") === 1, col("h")).otherwise(lit(0L)))
+          .as("kept_checksum")).head()
+    val withFrags = docs.select(filter(
+      transform(split(col("text"), "[.!?]"), f => trim(f)),
+      f => f =!= "").as("frags"))
+    val spans = withFrags
+      .select(col("frags"), posexplode(col("frags")).as(Seq("pos", "frag")))
+      .filter(col("pos") <= size(col("frags")) - 3)
+      .select(TextAnalysis.md5Prefix60(concat_ws(" ", col("frag"),
+        element_at(col("frags"), col("pos") + 2),
+        element_at(col("frags"), col("pos") + 3))).as("h"))
+    val viaAgg = spans.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_spans"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("c")) - count(lit(1))).as("n_dup_removed"),
+        TextAnalysis.checksum60(col("h")).as("kept_checksum")).head()
+    assert(viaAgg == viaWindow,
+      s"ta_c4_spans aggregate divergence: $viaAgg vs $viaWindow")
+  }
 }
