@@ -102,8 +102,20 @@ final case class IntDotLong(left: Expression, right: Expression)
     case ArrayType(LongType, _) => true
     case _ => false
   }
+  private def mayHoldNulls(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
   private lazy val leftIsLong = isLong(left)
   private lazy val rightIsLong = isLong(right)
+  // the NULL-element leg of the contract is only reachable when a
+  // child's array type admits null elements — when both schemas prove
+  // containsNull=false (the dd_semdedup/km_embed quantized-code case),
+  // the hot loop is emitted WITHOUT the per-element isNullAt branch
+  // (the r18 ADVICE fix added it unconditionally and taxed the tight
+  // integer loop; the contract is unchanged, the check is just proven
+  // away at plan time)
+  private lazy val elementsNullable = mayHoldNulls(left) || mayHoldNulls(right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -113,7 +125,7 @@ final case class IntDotLong(left: Expression, right: Expression)
     var s = 0L
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (leftIsLong) x.getLong(i) else x.getInt(i).toLong
       val yv = if (rightIsLong) y.getLong(i) else y.getInt(i).toLong
       s += xv * yv
@@ -132,6 +144,10 @@ final case class IntDotLong(left: Expression, right: Expression)
         else s"(long) $a.getInt($i)"
       val rget = if (rightIsLong) s"$b.getLong($i)"
         else s"(long) $b.getInt($i)"
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -140,7 +156,7 @@ final case class IntDotLong(left: Expression, right: Expression)
          |  long $s = 0L;
          |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $nullCheck
          |    $s += $lget * $rget;
          |  }
          |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
