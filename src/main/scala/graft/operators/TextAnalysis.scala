@@ -475,18 +475,35 @@ object TextAnalysis {
       size(tokens(col("text"))).as("n_tokens"),
       punctRatio(col("text")).as("punct"),
       fingerprint(col("text")).as("fp"))
-    val kept = scored.filter(col("lang") === "en" &&
-      col("n_tokens") >= minTokens && col("punct") < maxPunct)
-    val deduped = kept
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("__rn") === 1).drop("__rn")
-    val sampled = Sampling.hashSample(deduped, col("doc_id"), sampleFraction)
-    val funnel = docs.agg(count(lit(1)).as("n_raw"))
-      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
-      .crossJoin(deduped.agg(count(lit(1)).as("n_unique")))
-      .crossJoin(sampled.agg(count(lit(1)).as("n_sampled"),
-        coalesce(sum(col("n_chars")), lit(0L)).as("chars_sampled")))
+    // Funnel shape (r19): every stage is a FLAG on one scored frame, so
+    // the whole funnel is ONE corpus pass + ONE fp window. The old
+    // crossJoin-of-four-counts recomputed the scored projection (langId,
+    // tokenization, punct, fingerprint — the expensive per-row work)
+    // three times and the dedup window twice. Stage values unchanged:
+    //  - kept: the language/token/punct gate;
+    //  - unique: first KEPT row of each fp group in doc_id order —
+    //    the cumulative kept-count over the fp window equals 1 exactly
+    //    where row_number over the kept subset did (doc_id is unique,
+    //    so the order is total);
+    //  - sampled: the same deterministic hash gate on unique rows.
+    val keptCond = col("lang") === "en" &&
+      col("n_tokens") >= minTokens && col("punct") < maxPunct
+    val byFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val flagged = scored
+      .withColumn("__kept", keptCond.cast("long"))
+      .withColumn("__uniq", (col("__kept") === 1L &&
+        sum(col("__kept")).over(byFp) === 1L).cast("long"))
+      .withColumn("__samp", (col("__uniq") === 1L &&
+        Sampling.uniformHash(col("doc_id")) < sampleFraction).cast("long"))
+    val sampled = flagged.filter(col("__samp") === 1L)
+      .drop("__kept", "__uniq", "__samp")
+    val funnel = flagged.agg(
+      count(lit(1)).as("n_raw"),
+      sum(col("__kept")).as("n_kept"),
+      sum(col("__uniq")).as("n_unique"),
+      sum(col("__samp")).as("n_sampled"),
+      coalesce(sum(when(col("__samp") === 1L, col("n_chars"))), lit(0L))
+        .as("chars_sampled"))
     (sampled, funnel)
   }
 
@@ -820,10 +837,18 @@ object TextAnalysis {
       val flags = Seq("ok_nwords", "ok_wordlen", "ok_symbols", "ok_bullets",
         "ok_ellipsis", "ok_alpha", "ok_stopwords", "ok_duplines",
         "ok_duppara")
+      // the pass conjunction is collapsed to ONE long BEFORE the
+      // aggregate: the three count_distincts plan through Expand (4
+      // replicas of every input row), so each column carried into the
+      // agg is paid four times — a 9-flag struct rode every replica
       val base = docs.select(col("source"), col("lang"), col("n_chars"),
         size(tokens(col("text"))).cast("long").as("n_toks"),
         fingerprint(col("text")).as("fp"),
         gopherQualityFlags(col("text")).as("q"))
+        .select(col("source"), col("lang"), col("n_chars"), col("n_toks"),
+          col("fp"),
+          flags.map(f => col(s"q.$f")).reduce(_ && _).cast("long")
+            .as("gpass"))
       base.agg(
         count(lit(1)).as("n_docs"),
         count_distinct(col("source")).as("n_sources"),
@@ -831,8 +856,7 @@ object TextAnalysis {
         sum(col("n_toks")).as("total_tokens"),
         sum(col("n_chars")).as("total_chars"),
         count_distinct(col("fp")).as("n_unique_docs"),
-        sum(flags.map(f => col(s"q.$f")).reduce(_ && _).cast("long"))
-          .as("n_gopher_pass"))
+        sum(col("gpass")).as("n_gopher_pass"))
     }),
     // model-based quality filter: the fasttext-style linear scorer every
     // LLM data pipeline runs after rule filters (GPT-3 / LLaMA corpus
