@@ -47,6 +47,27 @@ object Dedup {
   def shinglesXx(c: Column, k: Int = 3): Column =
     transform(shingles(c, k), s => xxhash64(s))
 
+  /** (doc_id, s) STRING k-shingle rows built codegen-only — the
+    * ta_winnow shape: the token array rides through one posexplode and
+    * each gram is assembled with try_element_at (concat_ws skips the
+    * NULLs past a short doc's end, matching [[shingles]]'s slice
+    * truncation — a doc shorter than k tokens yields its single short
+    * gram at position 0, exactly like `slice(toks, 1, k)`). One row per
+    * gram POSITION 0..max(n−k, 0): callers needing [[shingles]]'s
+    * per-doc distinctness dedup on (doc_id, s) downstream. No window,
+    * no higher-order lambda (those are CodegenFallback — interpreted —
+    * and the measured dominant cost of the Bloom contamination path),
+    * no exchange. */
+  def shingleStringRows(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "t")))
+      .filter(col("pos") <= greatest(size(col("__toks")) - k, lit(0)))
+      .select(col("doc_id"), concat_ws(" ", (0 until k).map(j =>
+        if (j == 0) col("t")
+        else try_element_at(col("__toks"), col("pos") + lit(j + 1))): _*)
+        .as("s"))
+
   /** (doc_id [, carry...], s) rows of hashed FULL k-shingles, built from
     * native operators only: posexplode → window lead(k-1) → concat_ws →
     * hash. No higher-order-function lambdas (those are CodegenFallback —
@@ -513,17 +534,21 @@ object Dedup {
     // join all read this table — without the checkpoint each of the three
     // consumers would re-explode and re-distinct the blocklist shingles
     // (at cluster scale: write to storage / reliable checkpoint instead)
-    val blShingles = Checkpoints.materialize(blocklist
-      .select(explode(shingles(col("text"), k)).as("s")).distinct())
+    val blShingles = Checkpoints.materialize(
+      shingleStringRows(blocklist, k).select(col("s")).distinct())
     val bloom = blShingles.stat.bloomFilter("s",
       math.max(blShingles.count(), 1000L), fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => bc.value.mightContainString(s))
-    corpus.select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+    // gram rows are per-POSITION (no per-doc array_distinct — that form
+    // paid an interpreted transform() lambda per doc); the per-doc
+    // distinctness that [[shingles]] provided moves into the final
+    // count(DISTINCT s), which only ever sees the Bloom+semi survivors
+    shingleStringRows(corpus, k)
       .filter(mightContain(col("s")))
       .join(blShingles, Seq("s"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit_shingles"))
+      .agg(count_distinct(col("s")).as("n_hit_shingles"))
   }
 
   /** Persist a decontamination blocklist ARTIFACT: the distinct
@@ -537,7 +562,7 @@ object Dedup {
   def writeBloomBlocklist(blocklist: DataFrame, path: String, k: Int = 8,
       fpp: Double = 0.01): Unit = {
     val spark = blocklist.sparkSession
-    blocklist.select(explode(shingles(col("text"), k)).as("s")).distinct()
+    shingleStringRows(blocklist, k).select(col("s")).distinct()
       .write.mode("overwrite").parquet(s"$path/shingles")
     val shT = spark.read.parquet(s"$path/shingles")
     val bloom = shT.stat.bloomFilter("s", math.max(shT.count(), 1000L), fpp)
@@ -566,11 +591,13 @@ object Dedup {
       finally is.close()
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => bc.value.mightContainString(s))
-    corpus.select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+    // same per-position gram rows + count(DISTINCT) as
+    // [[bloomShingleContamination]] — identical result by construction
+    shingleStringRows(corpus, k)
       .filter(mightContain(col("s")))
       .join(shT, Seq("s"), "left_semi")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_hit_shingles"))
+      .agg(count_distinct(col("s")).as("n_hit_shingles"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist. Manku-style
