@@ -69,28 +69,31 @@ object Dedup {
         .as("s"))
 
   /** (doc_id [, carry...], s) rows of hashed FULL k-shingles, built from
-    * native operators only: posexplode → window lead(k-1) → concat_ws →
-    * hash. No higher-order-function lambdas (those are CodegenFallback —
+    * native operators only — the ta_winnow shape: the token array rides
+    * through one posexplode and each gram is assembled with element_at
+    * (codegen'd; the previous lead(k−1) window paid an Exchange + per-doc
+    * sort over EVERY token row just to see the next k−1 tokens). No
+    * higher-order-function lambdas (those are CodegenFallback —
     * interpreted — and dominate cost at scale; measured 9.4s vs <2s on
-    * 5k docs). One shuffle keyed by doc_id, which the downstream
-    * per-document aggregations (min-hash / collect_set) then reuse
-    * without re-shuffling. Documents shorter than k tokens yield no rows.
-    * `withPos = true` additionally emits the gram's token position
-    * (needed by interval-coverage consumers like
+    * 5k docs), and now ZERO exchanges: the downstream per-document
+    * aggregations (min-hash) get map-side partial combine, so only one
+    * row per document ever crosses the wire. Documents shorter than k
+    * tokens yield no rows. `withPos = true` additionally emits the
+    * gram's token position (needed by interval-coverage consumers like
     * [[substringDupCoverage]]). */
   def shingleRows(docs: DataFrame, k: Int, hashFn: Column => Column,
       carry: Seq[String] = Nil, withPos: Boolean = false): DataFrame = {
-    val tok = docs.select(
-      col("doc_id") +: carry.map(col) :+
-        posexplode(tokens(col("text"))).as(Seq("pos", "t")): _*)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = (0 until k).map(i => if (i == 0) col("t") else lead(col("t"), i).over(w))
     val posCols = if (withPos) Seq(col("pos")) else Nil
-    tok.select(col("doc_id") +: (carry.map(col) ++ posCols) :+
-        concat_ws(" ", parts: _*).as("g") :+ parts.last.isNotNull.as("__full"): _*)
-      .filter(col("__full"))
+    docs.select(col("doc_id") +: carry.map(col) :+
+        tokens(col("text")).as("__toks"): _*)
+      .select(col("doc_id") +: carry.map(col) :+ col("__toks") :+
+        posexplode(col("__toks")).as(Seq("pos", "t")): _*)
+      .filter(col("pos") <= size(col("__toks")) - k)
       .select(col("doc_id") +: (carry.map(col) ++ posCols) :+
-        hashFn(col("g")).as("s"): _*)
+        hashFn(concat_ws(" ", (0 until k).map(j =>
+          if (j == 0) col("t")
+          else element_at(col("__toks"), col("pos") + lit(j + 1))): _*))
+          .as("s"): _*)
   }
 
   /** MinHash signature: `numHashes` seeded xxhash64 minima over shingles */
