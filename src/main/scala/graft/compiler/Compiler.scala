@@ -366,41 +366,65 @@ final class Compiler(spark: SparkSession, registry: Registry,
       }.reduce(_ union _)
       if (!distinctMode) {
         working = graft.Checkpoints.materialize(step0)
+        done = working.isEmpty
       } else {
         val stepD = graft.Checkpoints.materialize(step0.distinct())
         val bc = spark.sparkContext.broadcast(seenBloom)
         val mightSeen = udf((h: Long) => bc.value.mightContainLong(h))
         val h = rowHashed(stepD)
-        val maybe = graft.Checkpoints.materialize(
-          h.filter(mightSeen(col("__rh"))).drop("__rh"))
-        val nMaybe = maybe.count()
-        // broadcast gate in BYTES, not rows: schema.defaultSize is a
-        // static per-row width proxy (underestimates long strings but
-        // bounds the shape) — wide candidate rows fall back to the
-        // shuffle anti-join instead of OOMing the driver on a forced
-        // multi-GB broadcast
-        val maybeBytes = nMaybe * math.max(maybe.schema.defaultSize, 1)
-        val step =
-          if (nMaybe == 0) stepD
-          else if (maybeBytes <= 64L * 1024 * 1024) {
-            val reappeared = acc.join(broadcast(maybe),
-              nullSafeEq(acc, maybe), "left_semi")
-            val confirmedNew = maybe.join(broadcast(reappeared),
-              nullSafeEq(maybe, reappeared), "left_anti")
-            h.filter(!mightSeen(col("__rh"))).drop("__rh")
-              .union(confirmedNew)
-          } else
-            // candidate set too big to broadcast (massive genuine
-            // re-visitation): plain null-safe anti-join — still cheaper
-            // than except(), which would also re-distinct acc
-            stepD.join(acc, nullSafeEq(stepD, acc), "left_anti")
-        working = graft.Checkpoints.materialize(step)
+        // ONE narrow job answers both "is the step empty?" and "how
+        // many rows might be repeats?": a per-partition fold over the
+        // projected row hash, probing the broadcast Bloom directly —
+        // no exchange, no second emptiness probe. On a big cluster
+        // (and equally on a tiny fixpoint like the mod-11 walk) the
+        // per-iteration floor is driver ROUND-TRIPS, not data volume,
+        // so the common no-repeat iteration pays exactly three
+        // actions: the delta checkpoint, this fold, the Bloom build.
+        val (nStep, nMaybe) = h.select(col("__rh")).queryExecution.toRdd
+          .mapPartitions { it =>
+            var n = 0L; var m = 0L
+            it.foreach { r =>
+              n += 1L
+              if (bc.value.mightContainLong(r.getLong(0))) m += 1L
+            }
+            Iterator.single((n, m))
+          }.fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+        if (nMaybe == 0) {
+          // Bloom negatives are provably unseen: the whole delta is new
+          // and stepD is already materialized — no confirm join, no
+          // second checkpoint, no extra emptiness probe
+          working = stepD
+          done = nStep == 0
+        } else {
+          val maybe = graft.Checkpoints.materialize(
+            h.filter(mightSeen(col("__rh"))).drop("__rh"))
+          // broadcast gate in BYTES, not rows: schema.defaultSize is a
+          // static per-row width proxy (underestimates long strings but
+          // bounds the shape) — wide candidate rows fall back to the
+          // shuffle anti-join instead of OOMing the driver on a forced
+          // multi-GB broadcast
+          val maybeBytes = nMaybe * math.max(maybe.schema.defaultSize, 1)
+          val step =
+            if (maybeBytes <= 64L * 1024 * 1024) {
+              val reappeared = acc.join(broadcast(maybe),
+                nullSafeEq(acc, maybe), "left_semi")
+              val confirmedNew = maybe.join(broadcast(reappeared),
+                nullSafeEq(maybe, reappeared), "left_anti")
+              h.filter(!mightSeen(col("__rh"))).drop("__rh")
+                .union(confirmedNew)
+            } else
+              // candidate set too big to broadcast (massive genuine
+              // re-visitation): plain null-safe anti-join — still cheaper
+              // than except(), which would also re-distinct acc
+              stepD.join(acc, nullSafeEq(stepD, acc), "left_anti")
+          working = graft.Checkpoints.materialize(step)
+          done = working.isEmpty
+        }
         bc.unpersist()
-        if (!working.isEmpty)
+        if (!done)
           seenBloom.mergeInPlace(
             rowHashed(working).stat.bloomFilter("__rh", bloomItems, 0.01))
       }
-      done = working.isEmpty
       if (!done) acc = acc.union(working)
     }
     acc

@@ -194,6 +194,38 @@ class ConformanceSpec extends AnyFunSuite {
         |select id from r""".stripMargin,
       Seq(Seq(0), Seq(1), Seq(2)))
   }
+  test("recursive cte: no-repeat UNION iteration pays three actions") {
+    // The fixpoint loop's cost floor is driver round-trips per
+    // iteration, not data volume. A no-repeat UNION-distinct iteration
+    // must pay exactly three actions — delta checkpoint, the fused
+    // (count, bloom-maybe-count) aggregate, Bloom build — and only the
+    // final repeat iteration pays the confirm joins. The +3 mod 11 walk
+    // runs 11 iterations (10 no-repeat + 1 terminal repeat); measured
+    // 64 jobs in this shape vs 116 for the pre-r19 shape (separate
+    // maybe checkpoint + count + re-checkpoint + two emptiness
+    // probes). Bound with slack for AQE stage jobs; a return to the
+    // old shape blows well past it.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      checkLit(
+        """with recursive r(id) as (select 0 union select (id + 3) % 11 from r)
+          |select cast(count(1) as bigint) as cnt from r""".stripMargin,
+        Seq(Seq(11L)))
+      spark.sparkContext.parallelize(Seq(1), 1).count() // flush listener bus
+      val deadline = System.currentTimeMillis() + 10000
+      while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(20)
+      val n = jobs.get() - 1 // minus the sentinel
+      assert(n <= 85, s"mod-11 recursion ran $n jobs (expected ~64: " +
+        "3 actions per no-repeat iteration; the pre-r19 shape ran 116)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
   test("recursive cte: join in the recursive term walks a chain") {
     checkLit(
       """with recursive d(id, depth) as (
