@@ -250,11 +250,16 @@ object TextAnalysis {
     * (`chars·100 ≤ t100·total`), so both engines agree bit-for-bit with
     * no float division anywhere.
     *
-    * Scale shape: ONE posexplode pass (narrow) + one doc-keyed window
-    * for the lead-token n-gram build covering all nine sizes, a
-    * (doc, n, gram) count shuffle, a (doc, n) reduce, and a broadcast-
-    * size grid join — linear in corpus tokens, never quadratic, no
-    * per-size rescan of the corpus.
+    * Scale shape (r20): the token arrays are hash-partitioned by doc_id
+    * ONCE up front — the only corpus-sized exchange. All nine gram
+    * sizes assemble map-side from `element_at` indexing (fully codegen,
+    * no lead() window, no interpreted map_filter), and both downstream
+    * aggregations are keyed by supersets of doc_id, so they run on the
+    * established partitioning with ZERO further exchanges of gram rows.
+    * The r19 shape shuffled every gram STRING — ~9× the corpus bytes —
+    * plus a window exchange and the per-gram reduce exchange; this one
+    * moves the corpus once and then only (doc, n) aggregate rows.
+    * Linear in corpus tokens, never quadratic, no per-size rescan.
     *
     * Returns (doc_id, n, num_chars, total, pass): one row per document
     * per n, docs with fewer than n tokens passing with num_chars 0. */
@@ -263,30 +268,42 @@ object TextAnalysis {
     5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
 
   def gopherNgramStats(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ns = gopherNgramThresholds.keys.toSeq.sorted
+    // the ONE corpus exchange: token arrays keyed by doc_id. The census
+    // subtree and the gram subtree share this exchange (ReuseExchange),
+    // so the corpus is scanned and tokenized once; the gram census and
+    // (doc, n) reduce both cluster by doc_id-supersets and reuse the
+    // partitioning instead of shuffling 9× the corpus in gram strings.
     val withToks = docs.select(
       (col("doc_id") +: keep.map(col)) :+ tokens(col("text")).as("toks"): _*)
+      .repartition(col("doc_id"))
     // `keep` columns ride the census (one row per doc) so callers don't
     // re-scan the corpus to join them back — at 100 TB a third corpus
     // pass for a source label is real money
     val census = withToks.select(
       (col("doc_id") +: keep.map(col)) :+
         length(concat_ws(" ", col("toks"))).cast("long").as("total"): _*)
-    val pos = withToks.select(col("doc_id"),
+    val pos = withToks.select(col("doc_id"), col("toks"),
       posexplode(col("toks")).as(Seq("pos", "t")))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // token at 0-based position pos+i is element_at(toks, pos+i+1);
+    // try_element_at answers NULL past the document end (same rows the
+    // lead() window produced — bit-identical grams, no Exchange/sort)
     val leads = (0 until ns.max).map(i =>
-      if (i == 0) col("t") else lead(col("t"), i).over(byPos))
-    // gram_n is NULL when the window runs off the document end
-    val gramCols = ns.map { n =>
-      when(leads(n - 1).isNotNull,
-        concat_ws(" ", leads.take(n): _*)).as(s"g$n")
+      if (i == 0) col("t")
+      else try_element_at(col("toks"), col("pos") + lit(i + 1)))
+    // gram_n is NULL when the gram would run off the document end; the
+    // (n, gram) pairs unfold through ONE codegen explode of a struct
+    // array and a null filter (the previous map_filter lambda is a
+    // CodegenFallback — interpreted per token row)
+    val gramStructs = ns.map { n =>
+      struct(lit(n).as("n"),
+        when(leads(n - 1).isNotNull,
+          concat_ws(" ", leads.take(n): _*)).as("gram"))
     }
-    val grams = pos.select(col("doc_id") +: gramCols: _*)
-      .select(col("doc_id"), explode(map_filter(
-        map(ns.flatMap(n => Seq(lit(n), col(s"g$n"))): _*),
-        (_, g) => g.isNotNull)).as(Seq("n", "gram")))
+    val grams = pos
+      .select(col("doc_id"), explode(array(gramStructs: _*)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .filter(col("gram").isNotNull)
     val perGram = grams.groupBy(col("doc_id"), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     // top_chars = character coverage of the MOST FREQUENT n-gram (the
