@@ -212,11 +212,16 @@ object TextAnalysis {
       (size(split(c, "…", -1)) - 1)
     val lines = split(c, "\n")
     val nLines = size(lines)
-    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    // codegen'd constant-regex counts (r20): value-identical to
+    // size(filter(lines, l => trim(l).rlike(re))) — the ArrayFilter
+    // lambda is CodegenFallback, interpreted per line per row
+    val bulletLines = org.apache.spark.sql.graft.NativeVectorColumns
+      .countMatching(lines, "^[-*•]", trimFirst = true)
     // \z, not $: Java's $ matches before a trailing \r, RE2's does not
-    val ellipsisLines =
-      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)\\z")))
-    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val ellipsisLines = org.apache.spark.sql.graft.NativeVectorColumns
+      .countMatching(lines, "(\\.\\.\\.|…)\\z", trimFirst = true)
+    val alphaWords = org.apache.spark.sql.graft.NativeVectorColumns
+      .countMatching(words, "[A-Za-z]", trimFirst = false)
     // intersect against ONE tokenization — a filter lambda re-splitting
     // the document per stop word would tokenize it 10× per row
     val stopHits = size(array_intersect(

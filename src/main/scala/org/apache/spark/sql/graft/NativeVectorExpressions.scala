@@ -484,11 +484,74 @@ final case class CountInSet(child: Expression, words: Seq[String])
       newChild: Expression): CountInSet = copy(child = newChild)
 }
 
+/** Count of array elements whose (optionally space-trimmed) value
+  * matches a CONSTANT regex — the Gopher line/word-rule hot loop
+  * (`size(filter(lines, l => trim(l).rlike(re)))` is an interpreted
+  * ArrayFilter lambda evaluated per element per row; this is one
+  * codegen'd loop over a shared compiled Pattern). Value-identical to
+  * the lambda form: `trimFirst` applies UTF8String.trim (ASCII space
+  * only — exactly Spark's trim()), the match is Matcher.find (exactly
+  * RLIKE's semantics), null elements never count, a NULL array answers
+  * NULL (as size(filter(NULL)) does under ANSI). The Pattern compiles
+  * once per (driver, executor) and ships by reference into the
+  * generated code; Pattern is thread-safe (each call gets its own
+  * Matcher). */
+final case class CountMatching(child: Expression, regex: String,
+    trimFirst: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_matching"
+
+  @transient private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(regex)
+
+  override protected def nullSafeEval(a: Any): Any =
+    CountMatching.count(a.asInstanceOf[ArrayData], pattern, trimFirst)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("pattern", pattern,
+      "java.util.regex.Pattern")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = org.apache.spark.sql.graft.CountMatching.count(
+         |  $a, $patRef, $trimFirst);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CountMatching = copy(child = newChild)
+}
+
+object CountMatching {
+  def count(arr: ArrayData, pattern: java.util.regex.Pattern,
+      trimFirst: Boolean): Int = {
+    val m = arr.numElements()
+    var n = 0
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        var s = arr.getUTF8String(i)
+        if (trimFirst) s = s.trim()
+        if (pattern.matcher(s.toString).find()) n += 1
+      }
+      i += 1
+    }
+    n
+  }
+}
+
 /** Column builders (bridging `private[sql]` ExpressionUtils). */
 object NativeVectorColumns {
   def countInSet(arr: Column, words: Seq[String]): Column =
     ExpressionUtils.column(
       CountInSet(ExpressionUtils.expression(arr), words))
+
+  def countMatching(arr: Column, regex: String,
+      trimFirst: Boolean): Column =
+    ExpressionUtils.column(
+      CountMatching(ExpressionUtils.expression(arr), regex, trimFirst))
   def floatDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -213,6 +213,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(native("NO_CODEGEN") == lambda)
   }
 
+  test("count_matching equals size(filter(rlike)) in both eval modes, " +
+      "with and without trim, incl. null elements and null arrays") {
+    import org.apache.spark.sql.functions.{col, filter, size, trim}
+    val df = Seq(
+      (1L, Seq("- bullet", "  - indented bullet", "prose line", "-tight")),
+      (2L, Seq("no match here", "still none")),
+      (3L, Seq[String](null, "- after null", null)), // nulls never count
+      (4L, Seq.empty[String]),
+      (5L, null) // null array -> null
+    ).toDF("id", "lines")
+    val re = "^[-*•]"
+    val lambdaTrim = df.select(col("id"),
+      size(filter(col("lines"), l => trim(l).rlike(re))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val lambdaRaw = df.select(col("id"),
+      size(filter(col("lines"), l => l.rlike(re))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    def native(mode: String, doTrim: Boolean): Map[Long, Any] = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(col("id"),
+        org.apache.spark.sql.graft.NativeVectorColumns
+          .countMatching(col("lines"), re, trimFirst = doTrim).as("n"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(native("CODEGEN_ONLY", doTrim = true) == lambdaTrim)
+    assert(native("NO_CODEGEN", doTrim = true) == lambdaTrim)
+    assert(native("CODEGEN_ONLY", doTrim = false) == lambdaRaw)
+    assert(native("NO_CODEGEN", doTrim = false) == lambdaRaw)
+  }
+
   test("native float_double_dist2 computes squared L2 against centroids") {
     import org.apache.spark.sql.functions.col
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.0)))
