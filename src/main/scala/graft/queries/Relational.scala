@@ -577,14 +577,28 @@ object Relational {
     // keyed user_id; the range frame is a per-partition sliding
     // accumulator, not a per-row rescan.
     "q_rolling_7d" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
-        .rangeBetween(-604800L, 0L)
+      // Two GROWING frames instead of one sliding frame (r20): Spark
+      // evaluates a moving [-604800, 0] range frame by re-aggregating
+      // the whole frame every time it slides — O(rows × frame size) —
+      // while unbounded-preceding frames accumulate incrementally in
+      // O(rows). sec is an exact integer, so rows with sec ≤ cur−604801
+      // are EXACTLY the rows outside [cur−604800, cur], and the decimal
+      // sums are exact, so cum − old is bit-identical to the framed sum
+      // (an empty old frame sums to NULL → coalesce to exact 0).
+      val wCum = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(Window.unboundedPreceding, 0L)
+      val wOld = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(Window.unboundedPreceding, -604801L)
+      val vq = col("value").cast(DecimalType(18, 6))
       Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value"),
           expr("ts_nanos div 1000000000").as("sec"))
-        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("n_7d",
+          count(lit(1)).over(wCum) - count(lit(1)).over(wOld))
         .withColumn("val_7d",
-          sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+          (sum(vq).over(wCum) -
+            coalesce(sum(vq).over(wOld), lit(0).cast(DecimalType(18, 6))))
+            .cast("double"))
         .select(col("event_id"), col("user_id"), col("n_7d"),
           round(col("val_7d"), 6).as("val_7d"))
         .orderBy(col("event_id"))
