@@ -57,7 +57,14 @@ object Dedup {
     * per-doc distinctness dedup on (doc_id, s) downstream. No window,
     * no higher-order lambda (those are CodegenFallback — interpreted —
     * and the measured dominant cost of the Bloom contamination path),
-    * no exchange. */
+    * no exchange.
+    *
+    * NULL-text divergence from `explode(shingles(text))` (r19 ADVICE):
+    * a NULL text tokenizes to a NULL array, so posexplode yields NO
+    * rows here, while `shingles(NULL)` emitted one empty-string gram
+    * (size(null) = −1 makes its sequence yield [0] and concat_ws over
+    * the null slice gives ""). Deliberate: a null document owns no
+    * k-grams; pinned by an OperatorsSpec test. */
   def shingleStringRows(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), col("__toks"),
@@ -536,9 +543,14 @@ object Dedup {
     // materialized once: the count, the bloom aggregation and the confirm
     // join all read this table — without the checkpoint each of the three
     // consumers would re-explode and re-distinct the blocklist shingles
-    // (at cluster scale: write to storage / reliable checkpoint instead)
+    // (at cluster scale: write to storage / reliable checkpoint instead).
+    // The blocklist needs only `text` (r19 ADVICE): shingleStringRows
+    // wants a doc_id column, and the ids are discarded here, so a
+    // constant satisfies it without narrowing the accepted inputs.
     val blShingles = Checkpoints.materialize(
-      shingleStringRows(blocklist, k).select(col("s")).distinct())
+      shingleStringRows(
+        blocklist.select(lit(0L).as("doc_id"), col("text")), k)
+        .select(col("s")).distinct())
     val bloom = blShingles.stat.bloomFilter("s",
       math.max(blShingles.count(), 1000L), fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
@@ -565,7 +577,11 @@ object Dedup {
   def writeBloomBlocklist(blocklist: DataFrame, path: String, k: Int = 8,
       fpp: Double = 0.01): Unit = {
     val spark = blocklist.sparkSession
-    shingleStringRows(blocklist, k).select(col("s")).distinct()
+    // text-only blocklists accepted — ids are discarded (see
+    // bloomShingleContamination)
+    shingleStringRows(
+        blocklist.select(lit(0L).as("doc_id"), col("text")), k)
+      .select(col("s")).distinct()
       .write.mode("overwrite").parquet(s"$path/shingles")
     val shT = spark.read.parquet(s"$path/shingles")
     val bloom = shT.stat.bloomFilter("s", math.max(shT.count(), 1000L), fpp)
@@ -863,8 +879,9 @@ object Dedup {
     * intervals [pos, pos+k-1]. The paper builds a corpus-wide suffix
     * array — inherently single-node; the Spark-first shape is linear and
     * fully distributed:
-    *  1. gram rows with positions: ONE posexplode + doc-keyed lead()
-    *     window ([[shingleRows]] with `withPos = true`);
+    *  1. gram rows with positions: ONE posexplode with window-free
+    *     element_at gram assembly ([[shingleRows]] with
+    *     `withPos = true` — map-side, no exchange);
     *  2. cross-document census: distinct (gram, doc) → per-gram doc
     *     count ≥ 2 (shuffles keyed by the 60-bit gram hash, map-side
     *     partial aggregation);

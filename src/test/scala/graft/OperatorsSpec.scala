@@ -30,6 +30,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dup.getLong(1) == 0L) // keeps min doc_id
   }
 
+  test("shingleStringRows: null text yields no rows, short text its one " +
+      "truncated gram (the documented divergence from explode(shingles))") {
+    val df = Seq((1L, null: String), (2L, "a b"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.shingleStringRows(df, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // doc 1 (null text): NO rows — shingles(NULL) used to emit one ""
+    // gram; doc 2 (< k tokens): one slice-truncated gram at position 0
+    assert(rows == Set((2L, "a b"), (3L, "a b c"), (3L, "b c d")))
+  }
+
   test("minhash LSH finds high-jaccard pairs found by exhaustive search") {
     // exhaustive ground truth
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
