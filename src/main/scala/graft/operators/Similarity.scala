@@ -520,10 +520,15 @@ object Similarity {
   /** Materialize an IVF-PQ index: the coded corpus written
     * `partitionBy(__cell)` — the layout that makes a probe a
     * PARTITION-PRUNED read of ~4-byte codes at 100 TB — plus the
-    * driver-local model (cells, codebooks) as two tiny parquet tables.
-    * The raw embedding rides along per row for the exact re-rank; a
-    * deployment that must not duplicate vectors would instead re-rank
-    * by joining ids back to the primary store. */
+    * driver-local model (cells + codebooks) as ONE tiny parquet table
+    * (`model`: kind 0 = cell rows keyed by `i`, kind 1 = codebook rows
+    * keyed by (`i` = subspace, `code`); r20 — the former cells/books
+    * pair cost a write job per table at build time and a read+collect
+    * job per table at every load, all on a few-KB artifact whose cost
+    * is pure scheduling floor). The raw embedding rides along per row
+    * for the exact re-rank; a deployment that must not duplicate
+    * vectors would instead re-rank by joining ids back to the primary
+    * store. */
   def buildIvfPqIndex(corpus: DataFrame, path: String, dim: Int,
       nCells: Int = 16, m: Int = 8, codebookSize: Int = 16,
       trainOn: Option[DataFrame] = None): Unit = {
@@ -533,13 +538,13 @@ object Similarity {
       codebookSize)
     codeCorpus(corpus, model).write.mode("overwrite")
       .partitionBy("__cell").parquet(s"$path/codes")
-    model.cellCenters.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/cells")
-    (for { i <- model.codebooks.indices
-           (c, code) <- model.codebooks(i).zipWithIndex }
-      yield (i, code, c)).toDF("sub", "code", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/books")
+    val cellRows = model.cellCenters.zipWithIndex
+      .map { case (c, i) => (0, i, 0, c) }.toSeq
+    val bookRows = for { i <- model.codebooks.indices
+                         (c, code) <- model.codebooks(i).zipWithIndex }
+      yield (1, i, code, c)
+    (cellRows ++ bookRows).toDF("kind", "i", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
   }
 
   /** Append new vectors into an EXISTING IVF-PQ index WITHOUT
@@ -593,17 +598,18 @@ object Similarity {
       excludeEpoch = excludeEpoch)
 
   /** Load the driver-local model back from [[buildIvfPqIndex]] output.
-    * nCells + m × codebookSize rows — a constant-size driver read, the
-    * same class of work as evaluating constant table-function args. */
+    * nCells + m × codebookSize rows in ONE read+collect — a
+    * constant-size driver read, the same class of work as evaluating
+    * constant table-function args. */
   private[graft] def loadIvfPqModel(spark: SparkSession, path: String): IvfPqModel = {
-    val cells = spark.read.parquet(s"$path/cells").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val bookRows = spark.read.parquet(s"$path/books").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val m = bookRows.map(_._1).max + 1
+    val rows = spark.read.parquet(s"$path/model").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toArray))
+    val cells = rows.filter(_._1 == 0).sortBy(_._2).map(_._4)
+    val bookRows = rows.filter(_._1 == 1)
+    val m = bookRows.map(_._2).max + 1
     val books = (0 until m).map { i =>
-      bookRows.filter(_._1 == i).sortBy(_._2).map(_._3)
+      bookRows.filter(_._2 == i).sortBy(_._3).map(_._4)
     }
     IvfPqModel(cells, books)
   }

@@ -326,11 +326,11 @@ class OperatorsSpec extends AnyFunSuite {
     val refDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_ref").toString
     Similarity.buildIvfPqIndex(a, incDir, dim = 64, nCells = 16, m = 16,
       codebookSize = 16)
-    val booksBefore = spark.read.parquet(s"$incDir/books").collect().map(_.toSeq).toSet
+    val modelBefore = spark.read.parquet(s"$incDir/model").collect().map(_.toSeq).toSet
     Similarity.appendToIvfPqIndex(b, incDir)
-    // the model tables were NOT touched by the append
-    assert(spark.read.parquet(s"$incDir/books").collect().map(_.toSeq).toSet
-      == booksBefore)
+    // the model table was NOT touched by the append
+    assert(spark.read.parquet(s"$incDir/model").collect().map(_.toSeq).toSet
+      == modelBefore)
     // appended rows are probe-visible: some results come from the b half
     val inc = Similarity.knnIvfPqIndexed(spark, incDir, q, k = 10,
       nProbe = 4, refine = 150).collect().map(_.toSeq)
